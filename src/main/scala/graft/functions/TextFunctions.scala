@@ -26,16 +26,23 @@ object TextFunctions {
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "or", "is", "are", "to", "in", "on", "for", "with")
 
+  /** All ratio denominators are wrapped in `nullif(·, 0)`: Spark 4 runs with
+    * ANSI SQL on by default, so a bare `x / 0` would throw DIVIDE_BY_ZERO at
+    * runtime; with the guard an empty token array yields SQL NULL — the same
+    * thing `x / NULLIF(d, 0)` yields in the DuckDB oracle. */
+  private def safeDiv(num: Column, den: Column): Column =
+    num.cast("double") / nullif(den.cast("double"), lit(0.0))
+
   def stopwordRatio(toks: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
     val sw = array(stopwords.map(lit): _*)
-    size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks)
+    safeDiv(size(filter(toks, t => array_contains(sw, t))), size(toks))
   }
 
   def distinctTokenRatio(toks: Column): Column =
-    size(array_distinct(toks)).cast("double") / size(toks)
+    safeDiv(size(array_distinct(toks)), size(toks))
 
   def meanTokenLength(toks: Column): Column =
-    aggregate(toks, lit(0.0), (acc, t) => acc + length(t)).cast("double") / size(toks)
+    safeDiv(aggregate(toks, lit(0.0), (acc, t) => acc + length(t)), size(toks))
 
   def punctRatio(c: Column): Column =
     (length(c) - length(regexp_replace(c, "\\p{Punct}", ""))).cast("double") /
@@ -83,7 +90,7 @@ object TextFunctions {
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, n))))
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
 
   /** Deterministic per-seed hash of a token: xxhash64(token, seed). */
   private def tokenHash(t: Column, seed: Int): Column = xxhash64(t, lit(seed))
@@ -101,7 +108,7 @@ object TextFunctions {
   def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => concat_ws("_", b.cast("string"),
-        xxhash64(concat_ws(",", transform(slice(sig, b * rows + 1, rows), _.cast("string"))))
+        xxhash64(concat_ws(",", transform(slice(sig, b * rows + 1, lit(rows)), _.cast("string"))))
           .cast("string")))
 
   /** 64-bit SimHash over tokens: bit j of result = sign of
@@ -111,10 +118,13 @@ object TextFunctions {
   def simhash64(toks: Column): Column =
     aggregate(
       transform(sequence(lit(0), lit(63)), j =>
+        // shiftright/shiftleft's Scala API takes a literal Int shift; with a
+        // per-bit Column shift we go through the SQL registry instead.
         when(size(filter(toks, t =>
-          shiftright(xxhash64(t), j.cast("int")).bitwiseAND(lit(1L)) === lit(1L))) * 2
+          call_function("shiftright", xxhash64(t), j.cast("int"))
+            .bitwiseAND(lit(1L)) === lit(1L))) * 2
           > size(toks),
-          shiftleft(lit(1L), j.cast("int"))).otherwise(lit(0L))),
+          call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L))),
       lit(0L), (acc, v) => acc.bitwiseOR(v))
 
   /** Hamming distance between two 64-bit SimHashes. */
@@ -127,6 +137,6 @@ object TextFunctions {
   def jaccard(a: Column, b: Column): Column = {
     val ad = array_distinct(a); val bd = array_distinct(b)
     val inter = size(array_intersect(ad, bd)).cast("double")
-    inter / (size(ad) + size(bd) - inter)
+    safeDiv(inter, size(ad) + size(bd) - inter)
   }
 }

@@ -24,13 +24,16 @@ import org.apache.spark.sql.types._
   *
   * Elements are widened to Double before multiply/accumulate — identical
   * fold order and precision as the HOF versions, so the two formulations
-  * are bit-compatible and interchangeable under tests.
-  *
-  * Null array elements are not supported (embedding vectors never have
-  * them); mismatched lengths score over the common prefix.
+  * are bit-compatible and interchangeable under tests: mismatched lengths
+  * yield NULL (as `zip_with`'s null-padding does) and a zero-norm cosine
+  * yields NULL (as the `nullif`-guarded HOF cosine does). Null array
+  * *elements* are not supported (embedding vectors never have them).
   */
 trait VectorBinaryArithmetic extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // NULL is also produced for length-mismatch / zero-norm inputs, not just
+  // null children.
+  override def nullable: Boolean = true
 
   protected def elementType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
@@ -59,7 +62,8 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0; var i = 0
     while (i < n) { s += get(a, left, i) * get(b, right, i); i += 1 }
     s
@@ -69,12 +73,16 @@ case class DotProductExpr(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $a.${getter(left)}($i)) * ((double) $b.${getter(right)}($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ((double) $a.${getter(left)}($i)) * ((double) $b.${getter(right)}($i));
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -89,13 +97,15 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = get(a, left, i); val y = get(b, right, i)
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -103,15 +113,22 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.${getter(left)}($i);
-         |  double $y = (double) $b.${getter(right)}($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.${getter(left)}($i);
+         |    double $y = (double) $b.${getter(right)}($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($denom == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / $denom; }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -171,15 +188,16 @@ case class L2NormExpr(child: Expression) extends UnaryExpression {
   * the kernels usable from `spark.sql("... graft_cosine(a, b) ...")` too.
   */
 object VectorExpressions {
-  @volatile private var registered = Set.empty[SparkSession]
-
-  def register(spark: SparkSession): Unit = synchronized {
-    if (!registered.contains(spark)) {
-      val reg = spark.sessionState.functionRegistry
+  /** Idempotent per-session registration probed via the session's own
+    * FunctionRegistry — no references to SparkSession are retained here, so
+    * stopped sessions (e.g. per-test sessions) remain garbage-collectable. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) {
       reg.createOrReplaceTempFunction("graft_dot", es => DotProductExpr(es(0), es(1)), "built-in")
       reg.createOrReplaceTempFunction("graft_cosine", es => CosineSimilarityExpr(es(0), es(1)), "built-in")
       reg.createOrReplaceTempFunction("graft_l2norm", es => L2NormExpr(es.head), "built-in")
-      registered += spark
     }
   }
 

@@ -35,9 +35,12 @@ object VectorFunctions {
   /** ‖a‖₂ */
   def l2Norm(a: Column): Column = sqrt(normSq(a))
 
-  /** cos(a,b) = dot / (‖a‖·‖b‖). Pre-normalized vectors ⇒ use dotProduct. */
+  /** cos(a,b) = dot / (‖a‖·‖b‖). Pre-normalized vectors ⇒ use dotProduct.
+    * Zero-norm input ⇒ NULL (ANSI-safe: the denominator goes through
+    * `nullif(·, 0)` so Spark 4's default ANSI mode never raises
+    * DIVIDE_BY_ZERO, and DuckDB's `x / NULLIF(d, 0)` agrees). */
   def cosine(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+    dotProduct(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0.0))
 
   /** Reference score calibration `cos + 1.0` (search_test_image.py:63). */
   def cosinePlusOne(a: Column, b: Column): Column = cosine(a, b) + lit(1.0)

@@ -21,9 +21,14 @@ object VectorMean extends Aggregator[Seq[Float], VectorMeanBuffer, Seq[Float]] {
 
   override def reduce(b: VectorMeanBuffer, v: Seq[Float]): VectorMeanBuffer = {
     if (v == null) return b
-    val sums = if (b.sums.isEmpty) new Array[Double](v.length) else b.sums
+    // Grow the buffer on ragged input (same zero-padding as merge) so the
+    // result is independent of encounter order; short vectors contribute 0
+    // to the tail dimensions rather than silently truncating long ones.
+    val sums =
+      if (b.sums.length >= v.length) b.sums
+      else java.util.Arrays.copyOf(b.sums, v.length)
     var i = 0
-    while (i < v.length && i < sums.length) { sums(i) += v(i); i += 1 }
+    while (i < v.length) { sums(i) += v(i); i += 1 }
     VectorMeanBuffer(sums, b.count + 1)
   }
 

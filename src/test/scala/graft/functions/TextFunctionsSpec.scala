@@ -1,0 +1,104 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+  import TextFunctions._
+
+  test("tokens + ratios on a normal document") {
+    val df = Seq("The cat and the dog sat on the mat").toDF("text")
+      .select(tokens($"text").as("toks"))
+    val r = df.select(
+      stopwordRatio($"toks").as("sw"),
+      distinctTokenRatio($"toks").as("dr"),
+      meanTokenLength($"toks").as("ml")
+    ).head()
+    // 9 tokens; stopwords: the×3, and, on → 5/9
+    assert(math.abs(r.getDouble(0) - 5.0 / 9.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 7.0 / 9.0) < 1e-12)
+    assert(r.getDouble(2) > 2.0 && r.getDouble(2) < 4.0)
+  }
+
+  test("ratio denominators are ANSI-safe: empty tokens yield NULL") {
+    val df = Seq(Seq.empty[String]).toDF("toks")
+    val r = df.select(
+      stopwordRatio($"toks"), distinctTokenRatio($"toks"), meanTokenLength($"toks")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("punctRatio") {
+    val r = Seq("a,b.c!").toDF("t").select(punctRatio($"t")).as[Double].head()
+    assert(math.abs(r - 0.5) < 1e-12)
+  }
+
+  test("langIdPredict on marker-rich text") {
+    val df = Seq(
+      "the quick fox is happy to run in the woods and a river",
+      "el perro y la casa de los amigos que viven en madrid",
+      "der hund und die katze ist ein freund",
+      "zzz qqq xxx"
+    ).toDF("text")
+    val r = df.select(langIdPredict(tokens($"text"))).as[String].collect()
+    assert(r === Array("en", "es", "de", "und"))
+  }
+
+  test("shingles") {
+    val r = Seq("a b c d").toDF("t")
+      .select(shingles(tokens($"t"), 3)).as[Seq[String]].head()
+    assert(r === Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(shingles(tokens($"t"), 3)).as[Seq[String]].head()
+    assert(short === Seq("a b"))
+  }
+
+  test("minhash signature: identical docs agree, sig length = k") {
+    val df = Seq(("x", "a b c d e f g"), ("y", "a b c d e f g"), ("z", "q r s t u v w"))
+      .toDF("id", "t")
+      .select($"id", minhashSignature(shingles(tokens($"t"), 2), 16).as("sig"))
+    val m = df.as[(String, Seq[Long])].collect().toMap
+    assert(m("x").length === 16)
+    assert(m("x") === m("y"))
+    assert(m("x") !== m("z"))
+  }
+
+  test("lsh band keys: identical signatures share all bands") {
+    val df = Seq(("x", "a b c d e f g h"), ("y", "a b c d e f g h"))
+      .toDF("id", "t")
+      .select($"id", lshBandKeys(minhashSignature(shingles(tokens($"t"), 2), 16), 4, 4).as("bk"))
+    val m = df.as[(String, Seq[String])].collect().toMap
+    assert(m("x").length === 4)
+    assert(m("x") === m("y"))
+  }
+
+  test("simhash: deterministic, near-dup docs have small hamming distance") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again and again"),
+      ("b", "the quick brown fox jumps over the lazy cat again and again"),
+      ("c", "completely different words about spark catalyst codegen physical plans")
+    ).toDF("id", "t").select($"id", simhash64(tokens($"t")).as("h"))
+    val m = df.as[(String, Long)].collect().toMap
+    val near = java.lang.Long.bitCount(m("a") ^ m("b"))
+    val far = java.lang.Long.bitCount(m("a") ^ m("c"))
+    assert(near < far, s"near=$near far=$far")
+    val viaCol = df.agg(max(hamming64(lit(m("a")), lit(m("b"))))).as[Long].head()
+    assert(viaCol === near.toLong)
+  }
+
+  test("jaccard: exact sets, empty-safe") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("a", "b")
+    val r = df.select(jaccard($"a", $"b")).as[Double].head()
+    assert(math.abs(r - 0.5) < 1e-12)
+    val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+    assert(empty.select(jaccard($"a", $"b")).head().isNullAt(0))
+  }
+
+  test("fingerprints: content fingerprint is order/multiplicity invariant") {
+    val df = Seq(("x", "b a a c"), ("y", "a b c"), ("z", "a b d")).toDF("id", "t")
+      .select($"id", contentFingerprint(tokens($"t")).as("fp"))
+    val m = df.as[(String, String)].collect().toMap
+    assert(m("x") === m("y"))
+    assert(m("x") !== m("z"))
+  }
+}
