@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's named-query surface (the analog of the
+  * reference's mode dispatch, `/root/reference/app.py:296-321`): every
+  * operator family from SURVEY.md §2 is represented by at least one entry,
+  * and every entry with SQL-expressible semantics has a DuckDB oracle in
+  * `oracleSql` (same column names, deterministic ordering).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Retrieval.knnWhole(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Etl.queries ++ Analytics.queries ++ Retrieval.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Multimodal.queries
+
+  def oracleSql: Map[String, String] =
+    Etl.oracleSql ++ Analytics.oracleSql ++ Retrieval.oracleSql ++
+      TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Multimodal.oracleSql
 }

@@ -52,8 +52,28 @@ object VectorMean extends Aggregator[Seq[Float], VectorMeanBuffer, Seq[Float]] {
   override def outputEncoder: Encoder[Seq[Float]] = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
 
+/** Double-precision variant: same partial-aggregation shape, but the mean
+  * is returned as `array<double>` — used where the centroid feeds further
+  * double arithmetic (IVF probes, oracle-checked queries) and a cast to
+  * float would discard the exactness the buffer already has. */
+object VectorMeanDouble extends Aggregator[Seq[Float], VectorMeanBuffer, Seq[Double]] {
+  override def zero: VectorMeanBuffer = VectorMean.zero
+  override def reduce(b: VectorMeanBuffer, v: Seq[Float]): VectorMeanBuffer =
+    VectorMean.reduce(b, v)
+  override def merge(a: VectorMeanBuffer, b: VectorMeanBuffer): VectorMeanBuffer =
+    VectorMean.merge(a, b)
+  override def finish(r: VectorMeanBuffer): Seq[Double] =
+    if (r.count == 0) null else r.sums.map(_ / r.count).toSeq
+  override def bufferEncoder: Encoder[VectorMeanBuffer] = Encoders.product[VectorMeanBuffer]
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 object VectorAggregates {
   /** DataFrame-API aggregate column: `df.groupBy(k).agg(vectorMean($"vec"))`. */
   private lazy val vectorMeanUdaf = udaf(VectorMean)
   def vectorMean(c: Column): Column = vectorMeanUdaf(c)
+
+  private lazy val vectorMeanDoubleUdaf = udaf(VectorMeanDouble)
+  def vectorMeanDouble(c: Column): Column = vectorMeanDoubleUdaf(c)
 }

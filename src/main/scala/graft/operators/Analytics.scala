@@ -1,0 +1,423 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Analytics + join + top-k + set + window operators (SURVEY.md §2.3–2.6).
+  *
+  * The reference's analytics are pandas `value_counts`/`Counter` loops
+  * (`/root/reference/analyze_dataset_distribution.py`) and its joins are
+  * dict-build hash probes (`upload_features_to_elasticsearch.py:160-205`);
+  * here each is one declarative plan so Catalyst gets partial aggregation,
+  * broadcast-vs-shuffle join choice, and `TakeOrderedAndProject` top-k.
+  *
+  * Float determinism at any scale: every SUM over a non-integral double
+  * column goes through DECIMAL(18,2/4) so the aggregate is exact and
+  * order-independent (shuffle/merge order differs run to run on a real
+  * cluster), then casts back to double to keep the published schema.
+  */
+object Analytics {
+
+  /** Exact, order-independent sum of a 2-decimal money column. */
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  // --- aggregations (A1–A9, A12–A13) ---------------------------------------
+
+  /** A1 — value_counts per year (analyze_dataset_distribution.py:62). */
+  def valueCounts(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("yr")
+
+  /** A2 — explode a multi-value string column and count values
+    * (analyze_dataset_distribution.py:78-83). */
+  def explodeCount(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(explode(split(col("p_name"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy("tok")
+
+  /** A3 — top-N of a count with deterministic tiebreak
+    * (`most_common(15)`, analyze_dataset_distribution.py:82). */
+  def topN(s: SparkSession, d: String): DataFrame =
+    explodeCount(s, d).orderBy(desc("n"), asc("tok")).limit(15)
+
+  /** A4 — min/max/mean/median stats per group
+    * (analyze_dataset_distribution.py:98-99). l_quantity is
+    * integral-valued so its double sum is exact in any order. */
+  def stats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** A5 — exact distinct counts per group
+    * (`nunique()`, analyze_dataset_distribution.py:337-358). */
+  def distinctCount(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("c_nationkey")).as("n_nations"))
+      .orderBy("c_mktsegment")
+
+  /** A6 — fixed-width histogram (analyze_dataset_distribution.py:301). */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 25000).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+
+  /** A7 — group-by mean over a 2-decimal double (exact via DECIMAL). */
+  def groupMean(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg((moneySum(col("value")) / count(lit(1))).as("avg_value"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** A8 — distribution of list lengths (tags-per-segment,
+    * visualize_segmented_tags.py:202-204). */
+  def lengthDist(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("n_toks")
+
+  /** A9 — boolean partition count (has-coords vs not,
+    * analyze_dataset_distribution.py:252). */
+  def nullPartition(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy((col("value") > 250).as("has_high"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("has_high")
+
+  /** P12+A1 — decade binning (analyze_dataset_distribution.py:102). */
+  def decade(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy((floor(year(col("o_orderdate")) / 10) * 10).as("decade"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("decade")
+
+  // --- joins (J1–J5) --------------------------------------------------------
+
+  /** J1 — features ⋈ metadata lookup join on the shared id
+    * (upload_features_to_elasticsearch.py:160-205). Left outer keeps
+    * unmatched feature rows exactly as the reference does. */
+  def joinLookup(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .join(Tables.documents(s, d),
+        col("vec_id") === col("doc_id"), "left")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("lang"), col("n_chars"))
+      .orderBy("vec_id")
+
+  /** J2 — existence (left-semi) join: parts that actually ship
+    * (extract_clip_features.py:37-84's allow-set). */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .join(Tables.lineitem(s, d),
+        col("p_partkey") === col("l_partkey"), "left_semi")
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+      .orderBy("p_brand")
+
+  /** anti variant of J2 (the reference's P2 complement filter):
+    * customers with no order since 2000. */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(year(col("o_orderdate")) >= 2000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  /** J1 at scale — multi-way star join + exact revenue rollup. nation and
+    * supplier are dimension-sized → Catalyst broadcasts them; only the
+    * lineitem aggregation shuffles (partial agg map-side first). */
+  def joinMultiAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("n_name")
+
+  /** J4 — point lookups by id batch (`ids: {values: [...]}`,
+    * search_with_segments.py:364-378). */
+  def joinPointLookup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey").isin(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L))
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+
+  // --- top-k (T3/T4) --------------------------------------------------------
+
+  /** T3 — global top-k with deterministic tiebreak; plans as
+    * TakeOrderedAndProject (per-partition heap, no full sort). */
+  def topkOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+
+  /** T2 — per-group top-k via ranking window
+    * (max_segments cap, sam_segment_clip_pipeline.py:361). */
+  def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("user_id", "event_id", "value", "rn")
+      .orderBy("user_id", "rn")
+  }
+
+  /** A13 — deterministic argmax per group (best-match selection,
+    * search_with_segments.py:264-267). */
+  def argmaxPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(desc("value"), asc("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_type", "event_id", "value")
+      .orderBy("event_type")
+  }
+
+  // --- set ops (§2.6) -------------------------------------------------------
+
+  private def custkeysOfYear(s: SparkSession, d: String, yr: Int): DataFrame =
+    Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey")).distinct()
+
+  /** EXCEPT — the reference's train/test complement split as a set op. */
+  def setExcept(s: SparkSession, d: String): DataFrame =
+    custkeysOfYear(s, d, 1995).except(custkeysOfYear(s, d, 1996))
+      .orderBy("o_custkey")
+
+  def setIntersect(s: SparkSession, d: String): DataFrame =
+    custkeysOfYear(s, d, 1995).intersect(custkeysOfYear(s, d, 1996))
+      .orderBy("o_custkey")
+
+  // --- windows / event-stream batch parity (§2.9 R4) ------------------------
+
+  private def userW = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+
+  /** Running sum per user in event-time order (DECIMAL accumulation:
+    * left-to-right, exact, engine-independent). */
+  def winRunningSum(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("run_sum",
+        sum(col("value").cast(DecimalType(18, 2)))
+          .over(userW.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .select("user_id", "event_id", "run_sum")
+      .orderBy("user_id", "event_id")
+
+  /** lag/delta: inter-event gap per user in milliseconds. */
+  def winLagDelta(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("delta_ms", col("ms") - lag("ms", 1).over(userW))
+      .select("user_id", "event_id", "delta_ms")
+      .orderBy("user_id", "event_id")
+
+  /** Tumbling-window counts + exact sums per (hour, type) — the batch
+    * equivalent of the streaming ingest rollup (SRS §4.6 digests). */
+  def evtTumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .orderBy("h", "event_type")
+
+  /** Gap-based sessionization (30 min): new-session flag via lag, session
+    * id via running sum — the standard shuffle-once formulation (both
+    * windows share one partitioning, so Spark sorts each user partition
+    * once and pipelines the two window operators). */
+  def evtSession(s: SparkSession, d: String): DataFrame = {
+    val gapMs = 30L * 60 * 1000
+    val newSession = when(lag("ms", 1).over(userW).isNull
+      || col("ms") - lag("ms", 1).over(userW) > gapMs, 1L).otherwise(0L)
+    Tables.events(s, d)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("new_s", newSession)
+      .withColumn("sid",
+        sum("new_s").over(userW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id")
+      .agg(max("sid").as("n_sessions"), count(lit(1)).as("n_events"),
+        (count(lit(1)) / max("sid").cast("double")).as("events_per_session"))
+      .orderBy("user_id")
+  }
+
+  /** JSON extraction + modular bucket rollup (S7-adjacent: the reference's
+    * per-image JSON side files become a queryable column). */
+  def evtJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy((get_json_object(col("props"), "$.k").cast("long") % 10).as("kmod"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("kmod")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_value_counts" -> valueCounts,
+    "agg_explode_count" -> explodeCount,
+    "agg_topn" -> topN,
+    "agg_stats" -> stats,
+    "agg_distinct" -> distinctCount,
+    "agg_histogram" -> histogram,
+    "agg_group_mean" -> groupMean,
+    "agg_length_dist" -> lengthDist,
+    "agg_null_partition" -> nullPartition,
+    "agg_decade" -> decade,
+    "join_lookup" -> joinLookup,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_multi_agg" -> joinMultiAgg,
+    "join_point_lookup" -> joinPointLookup,
+    "topk_orders" -> topkOrders,
+    "topk_per_group" -> topkPerGroup,
+    "argmax_per_group" -> argmaxPerGroup,
+    "set_except" -> setExcept,
+    "set_intersect" -> setIntersect,
+    "win_running_sum" -> winRunningSum,
+    "win_lag_delta" -> winLagDelta,
+    "evt_tumbling" -> evtTumbling,
+    "evt_session" -> evtSession,
+    "evt_json" -> evtJson)
+
+  val oracleSql: Map[String, String] = Map(
+    "agg_value_counts" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n
+         FROM orders GROUP BY yr ORDER BY yr""",
+    "agg_explode_count" ->
+      """SELECT tok, count(*) AS n
+         FROM (SELECT unnest(string_split(p_name, ' ')) AS tok FROM part)
+         GROUP BY tok ORDER BY tok""",
+    "agg_topn" ->
+      """SELECT tok, count(*) AS n
+         FROM (SELECT unnest(string_split(p_name, ' ')) AS tok FROM part)
+         GROUP BY tok ORDER BY n DESC, tok LIMIT 15""",
+    "agg_stats" ->
+      """SELECT l_returnflag,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+           sum(l_quantity) / count(*) AS avg_qty,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_distinct" ->
+      """SELECT c_mktsegment, count(*) AS n,
+           count(DISTINCT c_nationkey) AS n_nations
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "agg_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin, count(*) AS n
+         FROM orders GROUP BY bin ORDER BY bin""",
+    "agg_group_mean" ->
+      """SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+           count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_length_dist" ->
+      """SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, count(*) AS n
+         FROM documents GROUP BY n_toks ORDER BY n_toks""",
+    "agg_null_partition" ->
+      """SELECT value > 250 AS has_high, count(*) AS n
+         FROM events GROUP BY has_high ORDER BY has_high""",
+    "agg_decade" ->
+      """SELECT CAST(FLOOR(year(o_orderdate) / 10) * 10 AS BIGINT) AS decade, count(*) AS n
+         FROM orders GROUP BY decade ORDER BY decade""",
+    "join_lookup" ->
+      """SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, d.lang, d.n_chars
+         FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id
+         ORDER BY e.vec_id""",
+    "join_semi" ->
+      """SELECT p_brand, count(*) AS n FROM part
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+         GROUP BY p_brand ORDER BY p_brand""",
+    "join_anti" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND year(o_orderdate) >= 2000)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_multi_agg" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "join_point_lookup" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+         WHERE o_orderkey IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
+         ORDER BY o_orderkey""",
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "topk_per_group" ->
+      """SELECT user_id, event_id, value, rn FROM (
+           SELECT user_id, event_id, value,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rn
+           FROM events)
+         WHERE rn <= 3 ORDER BY user_id, rn""",
+    "argmax_per_group" ->
+      """SELECT event_type, event_id, value FROM (
+           SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+           FROM events)
+         WHERE rn = 1 ORDER BY event_type""",
+    "set_except" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         EXCEPT
+         SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey""",
+    "set_intersect" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         INTERSECT
+         SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey""",
+    "win_running_sum" ->
+      """SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+         FROM events ORDER BY user_id, event_id""",
+    "win_lag_delta" ->
+      """SELECT user_id, event_id,
+           epoch_ms(ts) - lag(epoch_ms(ts), 1)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_ms
+         FROM events ORDER BY user_id, event_id""",
+    "evt_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY h, event_type ORDER BY h, event_type""",
+    "evt_session" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         y AS (
+           SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM x)
+         SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions,
+           count(*) AS n_events,
+           count(*) / CAST(MAX(sid) AS DOUBLE) AS events_per_session
+         FROM y GROUP BY user_id ORDER BY user_id""",
+    "evt_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kmod,
+           count(*) AS n
+         FROM events GROUP BY kmod ORDER BY kmod""")
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Metadata-ETL operators (SURVEY.md §2.2 P1–P17, §2.1 S1–S7).
+  *
+  * The reference cleans a photo-metadata CSV through a chain of scripts
+  * (`/root/reference/filter_label_paths.py`, `clean_label_etiketler.py`,
+  * `clean_and_fill_na.py`, `upload_features_to_elasticsearch.py:95-114`).
+  * Each step is re-expressed as a declarative Column transform so Catalyst
+  * pushes the work into one codegen'd scan — no per-row Python, no
+  * intermediate CSV materialization.
+  *
+  * Every query orders its output deterministically and aliases every
+  * computed column identically to its DuckDB oracle (driver hash-compares
+  * after sorting columns by name).
+  */
+object Etl {
+
+  /** P1/P2 — prefix filter (the reference's train/test split on
+    * `kapak_gorseli.startswith('dataset/')`, filter_label_paths.py:41-54). */
+  def prefixSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("source").startsWith("src1"))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
+  /** P3/P4 — cell cleanse: pattern→empty (clean_label_etiketler.py:5-16) and
+    * sentinel fill (clean_and_fill_na.py:4-17). */
+  def cellCleanse(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        when(col("text").contains("slow"), lit(""))
+          .otherwise(substring(col("text"), 1, 40)).as("text_clean"),
+        when(trim(col("lang")) === "" || col("lang").isin("zh"), lit("NA"))
+          .otherwise(col("lang")).as("lang_filled"))
+      .orderBy("doc_id")
+
+  /** P5 — safe casts (`safe_int/safe_float/safe_str`,
+    * upload_features_to_elasticsearch.py:95-114): JSON field → long,
+    * sentinel → NULL, int-via-float truncation. */
+  def safeCast(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        nullif(col("event_type"), lit("error")).as("etype_nullable"),
+        floor(col("value")).cast("long").as("value_int"))
+      .orderBy("event_id")
+
+  /** P6/P7 — URL → basename → stem (update_label_paths.py:7-16). */
+  def urlFilename(s: SparkSession, d: String): DataFrame = {
+    val url = concat(lit("https://archive.example.org/photos/"), col("source"),
+      lit("/img_"), col("doc_id"), lit(".jpg"))
+    val fname = regexp_extract(url, "([^/]+)$", 1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), url.as("url"), fname.as("filename"),
+        regexp_replace(fname, "\\.[a-z]+$", "").as("stem"))
+      .orderBy("doc_id")
+  }
+
+  /** P8/P12 — regex year extraction from a `dataset/YYYY/MM/...` path plus
+    * decade binning (analyze_dataset_distribution.py:56-57,102). */
+  def regexYear(s: SparkSession, d: String): DataFrame = {
+    val path = concat(lit("dataset/"), year(col("o_orderdate")), lit("/"),
+      lpad(month(col("o_orderdate")).cast("string"), 2, "0"),
+      lit("/o_"), col("o_orderkey"), lit(".jpg"))
+    val yr = regexp_extract(col("path"), "dataset/([0-9]{4})/", 1).cast("long")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), path.as("path"))
+      .withColumn("yr", yr)
+      .withColumn("decade", floor(col("yr") / 10) * 10)
+      .orderBy("o_orderkey")
+  }
+
+  /** keyword dictionary shared with the oracle SQL (P9,
+    * analyze_dataset_distribution.py:19-45's 60-entry location list). */
+  val Keywords: Seq[String] = Seq("spark", "join", "filter", "window",
+    "stream", "hash", "sort", "merge", "scan", "vector", "batch", "query")
+
+  /** P9 — keyword containment over a dictionary: which of the 12 keywords
+    * appear in each document (higher-order `filter`, no UDF). */
+  def keywordMatch(s: SparkSession, d: String): DataFrame = {
+    val matched = filter(array(Keywords.map(lit): _*), k => col("text").contains(k))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_join(matched, ",").as("matched"),
+        size(matched).cast("long").as("n_matched"))
+      .orderBy("doc_id")
+  }
+
+  /** P16/P17 — extension-variant normalization + allowed-extension
+    * predicate (update_elasticsearch_with_segments.py:138-162; app.py:31-35). */
+  def extProbe(s: SparkSession, d: String): DataFrame = {
+    val fname = concat(col("source"), lit("_"), col("doc_id"),
+      element_at(array(lit(".jpg"), lit(".jpeg"), lit(".png"), lit(".txt")),
+        (col("doc_id") % 4 + 1).cast("int")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), fname.as("fname"))
+      .withColumn("allowed", col("fname").rlike("\\.(png|jpg|jpeg|gif)$"))
+      .withColumn("stem", regexp_replace(col("fname"), "\\.(jpg|jpeg|png)$", ""))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_prefix_split" -> prefixSplit,
+    "etl_cell_cleanse" -> cellCleanse,
+    "etl_safe_cast" -> safeCast,
+    "etl_url_filename" -> urlFilename,
+    "etl_regex_year" -> regexYear,
+    "etl_keyword_match" -> keywordMatch,
+    "etl_ext_probe" -> extProbe)
+
+  private val kwList = Keywords.map(k => s"'$k'").mkString("[", ", ", "]")
+
+  val oracleSql: Map[String, String] = Map(
+    "etl_prefix_split" ->
+      "SELECT doc_id, source FROM documents WHERE source LIKE 'src1%' ORDER BY doc_id",
+    "etl_cell_cleanse" ->
+      """SELECT doc_id,
+         CASE WHEN contains(text, 'slow') THEN '' ELSE substr(text, 1, 40) END AS text_clean,
+         CASE WHEN trim(lang) = '' OR lang IN ('zh') THEN 'NA' ELSE lang END AS lang_filled
+         FROM documents ORDER BY doc_id""",
+    "etl_safe_cast" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         nullif(event_type, 'error') AS etype_nullable,
+         CAST(FLOOR(value) AS BIGINT) AS value_int
+         FROM events ORDER BY event_id""",
+    "etl_url_filename" ->
+      """WITH u AS (SELECT doc_id,
+           'https://archive.example.org/photos/' || source || '/img_' || doc_id || '.jpg' AS url
+           FROM documents)
+         SELECT doc_id, url,
+           regexp_extract(url, '([^/]+)$', 1) AS filename,
+           regexp_replace(regexp_extract(url, '([^/]+)$', 1), '\.[a-z]+$', '') AS stem
+         FROM u ORDER BY doc_id""",
+    "etl_regex_year" ->
+      """WITH p AS (SELECT o_orderkey,
+           'dataset/' || CAST(year(o_orderdate) AS INT) || '/' ||
+           lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') || '/o_' || o_orderkey || '.jpg' AS path
+           FROM orders)
+         SELECT o_orderkey, path,
+           CAST(regexp_extract(path, 'dataset/([0-9]{4})/', 1) AS BIGINT) AS yr,
+           CAST(FLOOR(CAST(regexp_extract(path, 'dataset/([0-9]{4})/', 1) AS BIGINT) / 10) * 10 AS BIGINT) AS decade
+         FROM p ORDER BY o_orderkey""",
+    "etl_keyword_match" ->
+      s"""SELECT doc_id,
+          array_to_string(list_filter($kwList, k -> contains(text, k)), ',') AS matched,
+          CAST(len(list_filter($kwList, k -> contains(text, k))) AS BIGINT) AS n_matched
+          FROM documents ORDER BY doc_id""",
+    "etl_ext_probe" ->
+      """WITH f AS (SELECT doc_id,
+           source || '_' || doc_id || (['.jpg', '.jpeg', '.png', '.txt'])[CAST(doc_id % 4 + 1 AS INT)] AS fname
+           FROM documents)
+         SELECT doc_id, fname,
+           regexp_matches(fname, '\.(png|jpg|jpeg|gif)$') AS allowed,
+           regexp_replace(fname, '\.(jpg|jpeg|png)$', '') AS stem
+         FROM f ORDER BY doc_id""")
+}

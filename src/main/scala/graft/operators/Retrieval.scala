@@ -1,0 +1,401 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorAggregates.vectorMeanDouble
+import graft.functions.VectorExpressions.{fusedCosine, fusedDot, fusedL2Norm}
+
+/** The retrieval surface (SURVEY.md §2.8 Q1–Q5, §2.7 V6/V7/V9 + the
+  * similarity-search scale path).
+  *
+  * The reference's photo/segment model is projected deterministically onto
+  * the driver's `embeddings` table: each group of 8 consecutive vectors is
+  * one "image" (`image_id = vec_id div 8`, `seg_id = vec_id mod 8`), the
+  * image's whole-image feature vector is the element-wise mean of its
+  * segments (exactly how the reference derives `whole_image_features`,
+  * `/root/reference/SAM/upload_segments_to_elasticsearch.py:61-68`), and
+  * each segment carries a zero-shot tag (`lbl_<label>`) with a
+  * deterministic confidence — mirroring the segments_flat table
+  * (`SAM/setup_elasticsearch_sam.py:31-95`).
+  *
+  * Scale notes (the part that matters at 100 TB):
+  *  - every query-side table (query segments, centroids, probe lists, tag
+  *    vocab) is tiny → `broadcast(...)`, so the only scan of the big table
+  *    is one narrow pass; no shuffle of the corpus itself.
+  *  - top-k is always `orderBy(score).limit(k)` → Catalyst plans
+  *    TakeOrderedAndProject: a per-partition k-heap + driver merge, the
+  *    same shape ES uses per shard (`search_with_segments.py:148-164`).
+  *  - cosine scoring uses the fused codegen expression
+  *    ([[graft.functions.VectorExpressions]]), one primitive loop per row.
+  *  - knn_ivf is the ANN scale path: cluster assignment is precomputable
+  *    (partition-by-cluster at write time ⇒ partition pruning makes the
+  *    probe literally skip files); here both stages are in one plan.
+  */
+object Retrieval {
+
+  val SegsPerImage = 8
+
+  /** segments_flat projection of `embeddings` (see object doc). */
+  def segs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      expr(s"vec_id DIV $SegsPerImage").as("image_id"),
+      expr(s"vec_id % $SegsPerImage").as("seg_id"),
+      col("vec_id"), col("embedding"),
+      concat(lit("lbl_"), col("label")).as("tag"),
+      (col("vec_id") * 37 % 100 / lit(100.0)).as("conf"))
+
+  /** Whole-image vectors: per-image element-wise mean of segment vectors
+    * (A10 — the one true UDAF, map-side partial aggregation). */
+  def imageVecs(s: SparkSession, d: String): DataFrame =
+    segs(s, d).groupBy("image_id")
+      .agg(vectorMeanDouble(col("embedding")).as("wv"))
+
+  /** Per-label centroids = the zero-shot "vocabulary" vectors (V2: the
+    * reference's 50 CLIP text-prompt embeddings become 10 label centroids). */
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).groupBy("label")
+      .agg(vectorMeanDouble(col("embedding")).as("c"))
+
+  /** The deterministic query vector: embedding of vec_id 0. */
+  private def q0(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+
+  /** Query-image whole vector: centroid of image 0's segments. */
+  private def qWhole(s: SparkSession, d: String): DataFrame =
+    imageVecs(s, d).filter(col("image_id") === 0)
+      .select(col("wv").as("qwv"))
+
+  // --- V6/V1 — the vector kernel, oracle-checked element by element --------
+
+  /** Per-vector l2norm / dot / cosine vs the query vector — bit-parity
+    * harness for the fused codegen kernels. */
+  def vecKernel(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).crossJoin(broadcast(q0(s, d)))
+      .select(col("vec_id"),
+        round(fusedL2Norm(s, col("embedding")), 6).as("norm"),
+        round(fusedDot(s, col("embedding"), col("qv")), 6).as("dot_q"),
+        round(fusedCosine(s, col("embedding"), col("qv")), 6).as("cos_q"))
+      .orderBy("vec_id")
+
+  // --- Q1 — whole-image brute-force kNN -------------------------------------
+
+  /** Q1 (`search_with_segments.py:148-185`): score every row
+    * `cos(q, features) + 1.0`, optional tag pre-filter, top-k. The filter
+    * is pushed to the parquet scan; scoring+TakeOrdered is one codegen span. */
+  def knnWhole(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("label").isin(1, 2, 3, 4, 5, 6, 7))
+      .crossJoin(broadcast(q0(s, d)))
+      .withColumn("score", fusedCosine(s, col("embedding"), col("qv")) + 1.0)
+      .orderBy(desc("score"), asc("vec_id")).limit(10)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+
+  // --- ANN scale path — IVF-style two-stage probe ---------------------------
+
+  /** IVF kNN: assign every vector to its nearest label-centroid, probe the
+    * nprobe=3 centroids closest to the query, brute-force only vectors in
+    * probed clusters. At lake scale the assignment is a write-time
+    * partition column and the probe prunes partitions. */
+  def knnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cents = labelCentroids(s, d)
+      .select(col("label").as("clabel"), col("c"))
+    // cluster assignment: argmax cosine over the 10 centroids
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(desc("ccos"), asc("clabel"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", fusedCosine(s, col("embedding"), col("c")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("clabel").cast("long").as("cluster"))
+    // probe list: 3 centroids nearest to the query vector
+    val probe = cents.crossJoin(broadcast(q0(s, d)))
+      .withColumn("qcos", fusedCosine(s, col("c"), col("qv")))
+      .orderBy(desc("qcos"), asc("clabel")).limit(3)
+      .select(col("clabel").cast("long").as("cluster"))
+    e.join(assign, "vec_id")
+      .join(broadcast(probe), "cluster")
+      .crossJoin(broadcast(q0(s, d)))
+      .withColumn("score", fusedCosine(s, col("embedding"), col("qv")))
+      .orderBy(desc("score"), asc("vec_id")).limit(10)
+      .select(col("vec_id"), col("cluster"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+  }
+
+  // --- Q2 — segment-level match ---------------------------------------------
+
+  /** Per-candidate-image segment scores: for each query segment the best
+    * matching db segment (A13 argmax), then avg/max across query segments
+    * (A12) — `search_with_segments.py:244-301`. */
+  private def segmentScores(s: SparkSession, d: String,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val all = segs(s, d)
+    val qsegs = all.filter(col("image_id") === 0)
+      .select(col("seg_id").as("qseg"), col("embedding").as("qv"))
+    val base = all.filter(col("image_id") =!= 0)
+      .select(col("image_id"), col("embedding"))
+    val dsegs = candidates.fold(base)(c => base.join(broadcast(c), "image_id"))
+    dsegs.crossJoin(broadcast(qsegs))
+      .withColumn("cos", fusedCosine(s, col("qv"), col("embedding")))
+      .groupBy("image_id", "qseg").agg(max("cos").as("best"))
+      .groupBy("image_id")
+      .agg(avg("best").as("avg_sim"), max("best").as("max_sim"))
+  }
+
+  /** Q2: rank all candidate images by mean best-segment similarity; attach
+    * the reference's `((avg+1)/2)*100` percentage calibration (V9). */
+  def q2Segment(s: SparkSession, d: String): DataFrame =
+    segmentScores(s, d)
+      .orderBy(desc("avg_sim"), asc("image_id")).limit(10)
+      .select(col("image_id"),
+        round(col("avg_sim"), 6).as("avg_sim"),
+        round(col("max_sim"), 6).as("max_sim"),
+        round((col("avg_sim") + 1) / 2 * 100, 6).as("similarity_percentage"))
+      .orderBy(desc("avg_sim"), asc("image_id"))
+
+  // --- Q3 — hybrid two-stage retrieve-rerank --------------------------------
+
+  /** Q3 (`search_with_segments.py:345-445`): stage 1 ranks whole-image
+    * vectors and keeps a candidate pool of max(20·k, 100); stage 2 computes
+    * segment scores for the pool only; final score
+    * `0.4·whole + 0.6·coalesce(segment, 0)`. The pool bound is a semantic
+    * feature (it caps rerank cost) and the 100 TB story: stage 2's
+    * quadratic segment matching only ever sees `pool` images. */
+  def q3Hybrid(s: SparkSession, d: String): DataFrame = {
+    val k = 10
+    val pool = math.max(20 * k, 100)
+    val whole = imageVecs(s, d).filter(col("image_id") =!= 0)
+      .crossJoin(broadcast(qWhole(s, d)))
+      .withColumn("whole_score", fusedCosine(s, col("wv"), col("qwv")))
+      .orderBy(desc("whole_score"), asc("image_id")).limit(pool)
+      .select("image_id", "whole_score")
+    val seg = segmentScores(s, d, Some(whole.select("image_id")))
+      .select(col("image_id"), col("avg_sim"))
+    whole.join(seg, Seq("image_id"), "left")
+      .withColumn("seg_score", coalesce(col("avg_sim"), lit(0.0)))
+      .withColumn("hybrid_score",
+        col("whole_score") * 0.4 + col("seg_score") * 0.6)
+      .orderBy(desc("hybrid_score"), asc("image_id")).limit(k)
+      .select(col("image_id"),
+        round(col("whole_score"), 6).as("whole_score"),
+        round(col("seg_score"), 6).as("seg_score"),
+        round(col("hybrid_score"), 6).as("hybrid_score"))
+      .orderBy(desc("hybrid_score"), asc("image_id"))
+  }
+
+  // --- Q4 — tag search ------------------------------------------------------
+
+  /** Q4 (`search_with_segments.py:304-342`): per-object conjunction —
+    * a segment matches iff its tag ∈ query set AND confidence ≥ 0.1; score
+    * is the max matching confidence (deterministic replacement for ES BM25,
+    * documented divergence per SURVEY.md §7.4). */
+  def q4Tags(s: SparkSession, d: String): DataFrame =
+    segs(s, d)
+      .filter(col("tag").isin("lbl_3", "lbl_7") && col("conf") >= 0.1)
+      .groupBy("image_id")
+      .agg(count(lit(1)).as("n_matched"), max("conf").as("best_conf"))
+      .orderBy(desc("best_conf"), asc("image_id")).limit(10)
+
+  // --- Q5 — segment-table search with ALL-tags filter -----------------------
+
+  /** Q5 (`SAM/test_similarity_search.py:48-104`): candidate images must
+    * contain ALL query tags (forall-AND over tag_list), ranked by whole-
+    * image cosine + 1. */
+  def q5SegmentTable(s: SparkSession, d: String): DataFrame = {
+    val need = Seq("lbl_1", "lbl_2")
+    val matching = segs(s, d)
+      .groupBy("image_id")
+      .agg(countDistinct(when(col("tag").isin(need: _*), col("tag"))).as("hits"))
+      .filter(col("hits") === need.size && col("image_id") =!= 0)
+      .select("image_id")
+    imageVecs(s, d).join(matching, "image_id")
+      .crossJoin(broadcast(qWhole(s, d)))
+      .withColumn("score", fusedCosine(s, col("wv"), col("qwv")) + 1.0)
+      .orderBy(desc("score"), asc("image_id")).limit(10)
+      .select(col("image_id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("image_id"))
+  }
+
+  // --- V7/J8 — zero-shot tag generation -------------------------------------
+
+  /** Zero-shot classification as dataflow
+    * (`SAM/sam_segment_clip_pipeline.py:219-257`): segment × vocabulary
+    * cross join (vocab broadcast — exact J8 mapping), cosine, softmax over
+    * the vocabulary via window, top-5 per segment. */
+  def zsTags(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+    val wRank = w.orderBy(desc("cos"), asc("tag"))
+    segs(s, d).filter(col("image_id") < 5)
+      .select("vec_id", "embedding")
+      .crossJoin(broadcast(labelCentroids(s, d)
+        .select(concat(lit("lbl_"), col("label")).as("tag"), col("c"))))
+      .withColumn("cos", fusedCosine(s, col("embedding"), col("c")))
+      .withColumn("prob", exp(col("cos")) / sum(exp(col("cos"))).over(w))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("vec_id"), col("tag"), round(col("prob"), 6).as("prob"), col("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
+  // --- A10 — element-wise vector mean, oracle-checked -----------------------
+
+  /** Spot-check the VectorMean aggregator against DuckDB's per-element avg
+    * (4 probe dimensions across all 10 label groups). */
+  def aggVectorMean(s: SparkSession, d: String): DataFrame =
+    labelCentroids(s, d)
+      .select(col("label").cast("long").as("label"),
+        round(element_at(col("c"), 1), 6).as("c1"),
+        round(element_at(col("c"), 17), 6).as("c17"),
+        round(element_at(col("c"), 33), 6).as("c33"),
+        round(element_at(col("c"), 64), 6).as("c64"))
+      .orderBy("label")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_kernel" -> vecKernel,
+    "knn_whole" -> knnWhole,
+    "knn_ivf" -> knnIvf,
+    "q2_segment" -> q2Segment,
+    "q3_hybrid" -> q3Hybrid,
+    "q4_tags" -> q4Tags,
+    "q5_segment_table" -> q5SegmentTable,
+    "zs_tags" -> zsTags,
+    "agg_vector_mean" -> aggVectorMean)
+
+  // Shared SQL fragments for the oracle (DuckDB): the same derived model.
+  private val segsSql =
+    s"""segs AS (SELECT vec_id // $SegsPerImage AS image_id,
+       vec_id % $SegsPerImage AS seg_id, vec_id,
+       CAST(embedding AS DOUBLE[]) AS v,
+       'lbl_' || label AS tag,
+       (vec_id * 37 % 100) / 100.0 AS conf
+       FROM embeddings)"""
+  private val q0Sql =
+    "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)"
+  private val imageVecsSql =
+    s"""iv AS (SELECT image_id, list(v ORDER BY i) AS wv FROM (
+       SELECT vec_id // $SegsPerImage AS image_id, i,
+         avg(CAST(embedding[i] AS DOUBLE)) AS v
+       FROM embeddings, range(1, 65) t(i) GROUP BY image_id, i)
+       GROUP BY image_id)"""
+  private val qWholeSql =
+    "qw AS (SELECT wv AS qwv FROM iv WHERE image_id = 0)"
+  private val centSql =
+    """cent AS (SELECT label, list(v ORDER BY i) AS c FROM (
+       SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS v
+       FROM embeddings, range(1, 65) t(i) GROUP BY label, i)
+       GROUP BY label)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "vec_kernel" ->
+      s"""WITH $q0Sql
+         SELECT vec_id,
+           round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS norm,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv), 6) AS dot_q,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS cos_q
+         FROM embeddings, q ORDER BY vec_id""",
+    "knn_whole" ->
+      s"""WITH $q0Sql,
+         scored AS (
+           SELECT vec_id, CAST(label AS BIGINT) AS label,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) + 1.0 AS score
+           FROM embeddings, q WHERE label IN (1, 2, 3, 4, 5, 6, 7))
+         SELECT vec_id, label, round(score, 6) AS score
+         FROM (SELECT * FROM scored ORDER BY score DESC, vec_id LIMIT 10)
+         ORDER BY round(score, 6) DESC, vec_id""",
+    "knn_ivf" ->
+      s"""WITH $centSql, $q0Sql,
+         assign AS (
+           SELECT vec_id, cluster FROM (
+             SELECT e.vec_id, CAST(c.label AS BIGINT) AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.label) AS rn
+             FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         probe AS (
+           SELECT CAST(c.label AS BIGINT) AS cluster FROM cent c, q
+           ORDER BY list_cosine_similarity(c.c, q.qv) DESC, c.label LIMIT 3),
+         scored AS (
+           SELECT e.vec_id, a.cluster,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+           FROM embeddings e
+           JOIN assign a USING (vec_id)
+           JOIN probe p USING (cluster), q)
+         SELECT vec_id, cluster, round(score, 6) AS score
+         FROM (SELECT * FROM scored ORDER BY score DESC, vec_id LIMIT 10)
+         ORDER BY round(score, 6) DESC, vec_id""",
+    "q2_segment" ->
+      s"""WITH $segsSql,
+         qs AS (SELECT seg_id AS qseg, v AS qv FROM segs WHERE image_id = 0),
+         ds AS (SELECT image_id, v FROM segs WHERE image_id <> 0),
+         pair AS (SELECT d.image_id, q.qseg,
+             list_cosine_similarity(q.qv, d.v) AS cos
+           FROM qs q CROSS JOIN ds d),
+         best AS (SELECT image_id, qseg, max(cos) AS best FROM pair GROUP BY image_id, qseg),
+         agg AS (SELECT image_id, avg(best) AS avg_sim, max(best) AS max_sim
+           FROM best GROUP BY image_id)
+         SELECT image_id, round(avg_sim, 6) AS avg_sim, round(max_sim, 6) AS max_sim,
+           round((avg_sim + 1) / 2 * 100, 6) AS similarity_percentage
+         FROM (SELECT * FROM agg ORDER BY avg_sim DESC, image_id LIMIT 10)
+         ORDER BY round(avg_sim, 6) DESC, image_id""",
+    "q3_hybrid" ->
+      s"""WITH $segsSql, $imageVecsSql, $qWholeSql,
+         whole AS (
+           SELECT image_id, list_cosine_similarity(iv.wv, qw.qwv) AS whole_score
+           FROM iv, qw WHERE image_id <> 0
+           ORDER BY whole_score DESC, image_id LIMIT 100),
+         qs AS (SELECT seg_id AS qseg, v AS qv FROM segs WHERE image_id = 0),
+         pair AS (SELECT d.image_id, q.qseg, list_cosine_similarity(q.qv, d.v) AS cos
+           FROM qs q CROSS JOIN (SELECT s.image_id, s.v FROM segs s
+             JOIN whole w USING (image_id)) d),
+         best AS (SELECT image_id, qseg, max(cos) AS best FROM pair GROUP BY image_id, qseg),
+         seg AS (SELECT image_id, avg(best) AS avg_sim FROM best GROUP BY image_id),
+         fin AS (
+           SELECT w.image_id, w.whole_score,
+             COALESCE(s.avg_sim, 0.0) AS seg_score,
+             w.whole_score * 0.4 + COALESCE(s.avg_sim, 0.0) * 0.6 AS hybrid_score
+           FROM whole w LEFT JOIN seg s USING (image_id))
+         SELECT image_id, round(whole_score, 6) AS whole_score,
+           round(seg_score, 6) AS seg_score, round(hybrid_score, 6) AS hybrid_score
+         FROM (SELECT * FROM fin ORDER BY hybrid_score DESC, image_id LIMIT 10)
+         ORDER BY round(hybrid_score, 6) DESC, image_id""",
+    "q4_tags" ->
+      s"""WITH $segsSql
+         SELECT image_id, count(*) AS n_matched, max(conf) AS best_conf
+         FROM segs WHERE tag IN ('lbl_3', 'lbl_7') AND conf >= 0.1
+         GROUP BY image_id ORDER BY best_conf DESC, image_id LIMIT 10""",
+    "q5_segment_table" ->
+      s"""WITH $segsSql, $imageVecsSql, $qWholeSql,
+         m AS (SELECT image_id FROM segs GROUP BY image_id
+           HAVING count(DISTINCT CASE WHEN tag IN ('lbl_1', 'lbl_2') THEN tag END) = 2
+             AND image_id <> 0),
+         scored AS (
+           SELECT m.image_id, list_cosine_similarity(iv.wv, qw.qwv) + 1.0 AS score
+           FROM m JOIN iv USING (image_id), qw)
+         SELECT image_id, round(score, 6) AS score
+         FROM (SELECT * FROM scored ORDER BY score DESC, image_id LIMIT 10)
+         ORDER BY round(score, 6) DESC, image_id""",
+    "zs_tags" ->
+      s"""WITH $centSql,
+         s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id // $SegsPerImage < 5),
+         pair AS (SELECT s.vec_id, 'lbl_' || c.label AS tag,
+             list_cosine_similarity(s.v, c.c) AS cos
+           FROM s CROSS JOIN cent c),
+         sm AS (SELECT vec_id, tag, cos,
+             exp(cos) / SUM(exp(cos)) OVER (PARTITION BY vec_id) AS prob,
+             CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, tag) AS BIGINT) AS rank
+           FROM pair)
+         SELECT vec_id, tag, round(prob, 6) AS prob, rank
+         FROM sm WHERE rank <= 5 ORDER BY vec_id, rank""",
+    "agg_vector_mean" ->
+      s"""WITH $centSql
+         SELECT CAST(label AS BIGINT) AS label,
+           round(c[1], 6) AS c1, round(c[17], 6) AS c17,
+           round(c[33], 6) AS c33, round(c[64], 6) AS c64
+         FROM cent ORDER BY label""")
+}
