@@ -1,9 +1,118 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Text-analysis queries over `documents` (filled in below). */
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis queries over `documents` — the LLM-training-data operators
+  * (quality scoring, language ID, token counting, fingerprinting) layered
+  * on [[graft.functions.TextFunctions]]. Everything is a pure expression
+  * tree per row: no shuffle, runs at scan speed, trivially parallel at
+  * 100 TB. All ratio outputs are single IEEE divisions of exact integer
+  * counts, so they hash-match the oracle bit-for-bit without rounding.
+  */
 object TextAnalysis {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  private def docToks = tokens(col("text"))
+
+  /** Quality-scoring features per document. */
+  def quality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", docToks)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        distinctTokenRatio(col("toks")).as("distinct_ratio"),
+        stopwordRatio(col("toks")).as("stopword_ratio"),
+        meanTokenLength(col("toks")).as("mean_tok_len"),
+        punctRatio(col("text")).as("punct_ratio"))
+      .orderBy("doc_id")
+
+  /** n-gram/stopword-marker language ID (argmax over per-language hit
+    * counts; deterministic tie rule = LangMarkers declaration order). */
+  def langId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", docToks)
+      .select(col("doc_id"), langIdPredict(col("toks")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** BPE-ish token-count estimate: whitespace words + punctuation clusters. */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(filter(split(col("text"), "[\\s]+"), t => length(t) > 0))
+          .cast("long").as("n_ws_tokens"),
+        size(filter(split(col("text"), "[^\\p{Punct}]+"), t => length(t) > 0))
+          .cast("long").as("n_punct_clusters"),
+        tokenCountEstimate(col("text")).cast("long").as("token_estimate"))
+      .orderBy("doc_id")
+
+  /** Document fingerprints: exact (md5), bag-of-words (order/multiplicity
+    * invariant), and the 3-shingle count feeding MinHash. */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", docToks)
+      .select(
+        col("doc_id"),
+        exactFingerprint(col("text")).as("fp_exact"),
+        contentFingerprint(col("toks")).as("fp_bag"),
+        size(shingles(col("toks"), 3)).cast("long").as("n_shingles"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_quality" -> quality,
+    "txt_langid" -> langId,
+    "txt_tokencount" -> tokenCount,
+    "txt_fingerprint" -> fingerprint)
+
+  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  private val toksSql = "string_split(lower(text), ' ')"
+
+  val oracleSql: Map[String, String] = Map(
+    "txt_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+         SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(CAST(len(toks) AS DOUBLE), 0.0) AS distinct_ratio,
+           CAST(len(list_filter(toks, x -> list_contains(${sqlList(EnglishStopwords)}, x))) AS DOUBLE)
+             / nullif(CAST(len(toks) AS DOUBLE), 0.0) AS stopword_ratio,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / nullif(CAST(len(toks) AS DOUBLE), 0.0) AS mean_tok_len,
+           CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS punct_ratio
+         FROM t ORDER BY doc_id""",
+    "txt_langid" -> {
+      val hits = LangMarkers.map { case (l, m) =>
+        s"len(list_filter(list_distinct(toks), x -> list_contains(${sqlList(m)}, x))) AS h_$l"
+      }.mkString(", ")
+      val best = LangMarkers.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
+      val cases = LangMarkers.map { case (l, _) =>
+        s"WHEN h_$l = best AND best > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         h AS (SELECT doc_id, $hits FROM t),
+         b AS (SELECT *, $best AS best FROM h)
+         SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+         FROM b ORDER BY doc_id"""
+    },
+    "txt_tokencount" ->
+      """WITH t AS (SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0)) AS n_ws,
+           len(list_filter(regexp_split_to_array(text, '[^[:punct:]]+'), x -> length(x) > 0)) AS n_pc
+           FROM documents)
+         SELECT doc_id, CAST(n_ws AS BIGINT) AS n_ws_tokens,
+           CAST(n_pc AS BIGINT) AS n_punct_clusters,
+           CAST(n_ws + n_pc AS BIGINT) AS token_estimate
+         FROM t ORDER BY doc_id""",
+    "txt_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+         SELECT doc_id,
+           md5(text) AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp_bag,
+           CAST(CASE WHEN len(toks) < 3 THEN 1 ELSE len(toks) - 2 END AS BIGINT) AS n_shingles
+         FROM t ORDER BY doc_id""")
 }

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
+
+/** Decode / feature-extract boundary for multimodal payloads.
+  *
+  * In the reference this is CLIP over image bytes
+  * (`/root/reference/extract_clip_features.py:20-35`); the container has
+  * no codecs or model weights, so the *codec* is a clearly-marked
+  * deterministic fake — but the Spark contract around it is the real
+  * thing and is what gets tested:
+  *
+  *  - `mapPartitions`, not per-row UDF: the "model" is initialized once
+  *    per partition (executor-side lazy singleton), the idiom that makes
+  *    per-image inference viable on a 1000-executor cluster.
+  *  - Iterator→Iterator streaming: no partition materialization, no
+  *    driver collect.
+  *  - typed output schema (`MediaFeature`) so downstream ops are plain
+  *    columnar Spark (the embedding feeds graft_cosine etc. directly).
+  */
+object MultimodalStub {
+
+  case class MediaFeature(doc_id: Long, width: Int, height: Int,
+      feature: Array[Float])
+
+  /** Stand-in for a real encoder; one instance per partition. */
+  class DeterministicEncoder(dim: Int) extends Serializable {
+    def encode(id: Long, bytes: Array[Byte]): MediaFeature = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
+      val f = Array.tabulate(dim)(j =>
+        ((h + j * 2654435761L) % 1000 / 1000.0).toFloat)
+      MediaFeature(id, width = 640, height = 480, feature = f)
+    }
+  }
+
+  /** df must have (doc_id: long, payload: binary). */
+  def decodeAndEmbed(df: DataFrame, dim: Int = 16): Dataset[MediaFeature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val model = new DeterministicEncoder(dim) // once per partition, not per row
+        it.map { case (id, bytes) => model.encode(id, bytes) }
+      }
+  }
+}
