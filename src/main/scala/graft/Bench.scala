@@ -10,9 +10,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: one untimed pass of the cheapest query per operator family
+    // JIT-compiles the expression kernels and caches parquet footers, so
+    // per-query timings measure steady-state throughput instead of JVM
+    // startup (the first query otherwise absorbs multiple seconds of it).
+    Seq("dedup_exact", "txt_quality", "knn_whole").foreach { w =>
+      SparkEntry.queries.get(w).foreach { fn =>
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink materializes every output column; .count() would let
+      // Catalyst prune the computed columns and time only the scan.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

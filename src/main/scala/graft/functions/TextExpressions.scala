@@ -1,0 +1,252 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+
+/** Native one-pass MinHash / SimHash kernels.
+  *
+  * The HOF formulations in [[TextFunctions]] are correct but make k (=64)
+  * interpreted passes over the token array — `minhashSignature` evaluates
+  * one `aggregate` lambda chain per permutation, and `simhash64` re-hashes
+  * every token once per bit position (64× redundant string hashing). These
+  * expressions hash each token ONCE and derive all k slots / all 64 bit
+  * counts from that single digest in a primitive loop — the shape that
+  * matters when signing billions of documents (the LSH dedup pass over a
+  * 100 TB corpus is exactly such a scan).
+  *
+  * Bit-compatible with the HOF versions (verified by parity tests):
+  *  - slot i of the signature = min over tokens of `xxhash64(tok, i)`,
+  *    reproduced here as `XXH64.hashInt(i, XXH64.hashUTF8String(tok, 42))`
+  *    — the same seed-chaining Spark's `xxhash64(c1, c2)` performs;
+  *  - SimHash bit j = strict majority of `bit_j(xxhash64(tok))` over
+  *    tokens (ties → 0), identical to the HOF's `2·|set| > n` rule.
+  *
+  * `CodegenFallback` is deliberate: the per-row cost is the O(tokens·k)
+  * loop inside eval, so breaking the whole-stage-codegen span costs
+  * nothing measurable, and array-returning codegen would add complexity
+  * for no win. Null array → null; null *elements* are skipped.
+  */
+trait TokenArrayExpression extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+}
+
+/** MinHash signature: k seed-chained xxhash64 permutations, one string
+  * hash per token. Empty input → all-Long.MaxValue (as the HOF's
+  * `aggregate` init value yields). */
+case class MinHashSigExpr(child: Expression, k: Int) extends TokenArrayExpression {
+  require(k > 0, "minhash signature length must be positive")
+  override def prettyName: String = "graft_minhash"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val h1 = XXH64.hashUTF8String(arr.getUTF8String(t), 42L)
+        var i = 0
+        while (i < k) {
+          val hi = XXH64.hashInt(i, h1)
+          if (hi < sig(i)) sig(i) = hi
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash: one xxhash64 per token, ±1 per bit position, sign of
+  * the per-bit sum. */
+case class SimHash64Expr(child: Expression) extends TokenArrayExpression {
+  override def prettyName: String = "graft_simhash"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(t), 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct word-n-gram shingle HASHES in one pass: each token is
+  * xxhash64'd once, each shingle hash is the seed-chain of its n token
+  * hashes, and deduplication runs over primitive longs in an
+  * open-addressing table — no shingle strings are ever materialized.
+  *
+  * The HOF spelling (`transform` + `slice` + `concat_ws`, then
+  * `array_distinct`) builds every shingle string through interpreted
+  * lambdas at ~µs/shingle; for the inverted-index Jaccard join the
+  * shingle's identity is only ever used as a join key, so a 64-bit hash
+  * is a drop-in replacement (collision odds ~2⁻⁶⁴ per pair of distinct
+  * shingles — distinct counts and intersection counts are unchanged
+  * w.h.p., which the DuckDB string-based oracle confirms at sf0.01).
+  * Fewer than n tokens → one shingle spanning all tokens (matching
+  * [[TextFunctions.shingles]]). Null elements are skipped. */
+case class ShingleHashSetExpr(child: Expression, n: Int) extends TokenArrayExpression {
+  require(n > 0, "shingle width must be positive")
+  override def prettyName: String = "graft_shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    // per-token hashes, nulls skipped
+    val th = new Array[Long](m)
+    var cnt = 0
+    var t = 0
+    while (t < m) {
+      if (!arr.isNullAt(t)) {
+        th(cnt) = XXH64.hashUTF8String(arr.getUTF8String(t), 42L)
+        cnt += 1
+      }
+      t += 1
+    }
+    val nSh = if (cnt < n) 1 else cnt - n + 1
+    val width = if (cnt < n) cnt else n
+    // open-addressing dedup over primitive longs
+    var cap = 8
+    while (cap < nSh * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val out = new Array[Long](nSh)
+    var outN = 0
+    var i = 0
+    while (i < nSh) {
+      var acc = 42L
+      var j = 0
+      while (j < width) { acc = XXH64.hashLong(th(i + j), acc); j += 1 }
+      var slot = (acc.toInt & (cap - 1))
+      var found = false
+      while (used(slot) && !found) {
+        if (table(slot) == acc) found = true else slot = (slot + 1) & (cap - 1)
+      }
+      if (!found) {
+        used(slot) = true; table(slot) = acc
+        out(outN) = acc; outN += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, outN))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Fraction of agreeing slots between two equal-length MinHash signatures
+  * (= the LSH estimate of Jaccard similarity). A codegen'd primitive loop:
+  * the HOF spelling `size(filter(zip_with(a, b, _ === _), p => p)) / k`
+  * allocates two intermediate arrays per row AND falls back to interpreted
+  * lambda evaluation (higher-order functions have no doGenCode), which
+  * dominates candidate-pair scoring at scale. Mismatched lengths → null. */
+case class MinHashAgreeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "graft_minhash_agree"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got ${l.catalogString}, ${r.catalogString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements() || n == 0) return null
+    var eq = 0; var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val eq = ctx.freshName("eq")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements() || $n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $eq = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.getLong($i) == $b.getLong($i)) $eq++;
+         |  }
+         |  ${ev.value} = ((double) $eq) / $n;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object TextExpressions {
+  /** Idempotent per-session registration (same pattern as
+    * [[VectorExpressions.register]] — probe the registry, retain nothing). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("graft_minhash"))) {
+      reg.createOrReplaceTempFunction("graft_minhash",
+        es => MinHashSigExpr(es(0), es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+      reg.createOrReplaceTempFunction("graft_simhash",
+        es => SimHash64Expr(es.head), "built-in")
+      reg.createOrReplaceTempFunction("graft_minhash_agree",
+        es => MinHashAgreeExpr(es(0), es(1)), "built-in")
+      reg.createOrReplaceTempFunction("graft_shingle_hashes",
+        es => ShingleHashSetExpr(es(0), es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    }
+  }
+
+  def minhashSig(spark: SparkSession, toks: Column, k: Int): Column = {
+    register(spark); call_function("graft_minhash", toks, lit(k))
+  }
+  def simhash64(spark: SparkSession, toks: Column): Column = {
+    register(spark); call_function("graft_simhash", toks)
+  }
+  def minhashAgree(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("graft_minhash_agree", a, b)
+  }
+  def shingleHashes(spark: SparkSession, toks: Column, n: Int): Column = {
+    register(spark); call_function("graft_shingle_hashes", toks, lit(n))
+  }
+}

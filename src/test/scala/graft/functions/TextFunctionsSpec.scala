@@ -94,6 +94,39 @@ class TextFunctionsSpec extends SparkSpec {
     assert(empty.select(jaccard($"a", $"b")).head().isNullAt(0))
   }
 
+  test("native MinHashSigExpr is bit-compatible with the HOF minhashSignature") {
+    val docs = Seq("a b c d e f g", "the quick brown fox", "x", "", "a a a b")
+    val df = docs.toDF("t").withColumn("toks", tokens($"t"))
+    val hof = df.select(minhashSignature($"toks", 16)).as[Seq[Long]].collect()
+    val native = df.select(
+      graft.functions.TextExpressions.minhashSig(spark, $"toks", 16)).as[Seq[Long]].collect()
+    assert(native.toSeq === hof.toSeq)
+    assert(native.forall(_.length === 16))
+  }
+
+  test("native SimHash64Expr is bit-compatible with the HOF simhash64") {
+    val docs = Seq("a b c d e f g", "the quick brown fox jumps", "solo", "", "a a b")
+    val df = docs.toDF("t").withColumn("toks", tokens($"t"))
+    val hof = df.select(simhash64($"toks")).as[Long].collect()
+    val native = df.select(
+      graft.functions.TextExpressions.simhash64(spark, $"toks")).as[Long].collect()
+    assert(native.toSeq === hof.toSeq)
+  }
+
+  test("ShingleHashSetExpr: distinct count parity with HOF shingles, dedupe works") {
+    val docs = Seq("a b c d e", "a b a b a b", "x y", "", "solo")
+    val df = docs.toDF("t").withColumn("toks", tokens($"t"))
+    val hofN = df.select(size(array_distinct(shingles($"toks", 3)))).as[Int].collect()
+    val natN = df.select(
+      size(graft.functions.TextExpressions.shingleHashes(spark, $"toks", 3))).as[Int].collect()
+    assert(natN.toSeq === hofN.toSeq)
+    // identical docs produce identical hash sets
+    val two = Seq("p q r s t", "p q r s t").toDF("t")
+      .select(graft.functions.TextExpressions.shingleHashes(spark, tokens($"t"), 3))
+      .as[Seq[Long]].collect()
+    assert(two(0) === two(1))
+  }
+
   test("fingerprints: content fingerprint is order/multiplicity invariant") {
     val df = Seq(("x", "b a a c"), ("y", "a b c"), ("z", "a b d")).toDF("id", "t")
       .select($"id", contentFingerprint(tokens($"t")).as("fp"))
