@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface for the ingest flow the reference only
+  * *specifies* (SRS §4.1-4.2: new upload → auto-tag → similarity
+  * suggestions → notification digests; no code exists —
+  * `/root/repo/SURVEY.md` §2.9 R4), green-field designed over the
+  * `events` table shape.
+  *
+  * Every transformation here is a plain `DataFrame => DataFrame` so the
+  * SAME logic runs in batch (where the DuckDB oracle can check it — the
+  * `evt_*` entries in [[graft.operators.Analytics]]) and under
+  * `readStream` (where the specs drive it through MemoryStream). That
+  * unified-plan property is the point of building on Spark: watermarks
+  * and output modes are execution concerns, not semantics.
+  *
+  * Scale notes: all stateful ops key by `user_id` (or the agg's group
+  * key), so state is hash-partitioned across executors; watermarks bound
+  * state size; the static dim side of [[enriched]] broadcasts.
+  */
+object Streams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source ingest: the SRS "upload folder" becomes a streaming
+    * parquet directory scan — bounded per-trigger file count so a backlog
+    * doesn't produce one giant micro-batch. */
+  def fileIngest(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Hourly tumbling counts+sums per event type. In streaming, pair with
+    * `withWatermark` (see [[withEventWatermark]]) for append-mode
+    * finalization; in batch the same plan is the `evt_tumbling` oracle
+    * query modulo window-struct vs date_trunc spelling. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("h"), col("event_type"), col("n"), col("sum_value"))
+
+  /** 30-minute-gap session windows per user: Spark's native
+    * `session_window` keeps per-key open-window state, closed by the
+    * watermark — the streaming analog of the batch `evt_session`
+    * lag/gap sessionization. */
+  def sessionized(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min("ts").as("first_ts"), max("ts").as("last_ts"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** Exactly-once-per-event semantics over an at-least-once transport:
+    * drop duplicate `event_id`s, with state bounded by the watermark. */
+  def deduped(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
+  /** Stream-static enrichment: the dim side is a small static table →
+    * broadcast hash join per micro-batch, no shuffle of the stream. */
+  def enriched(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left")
+
+  def withEventWatermark(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay)
+
+  // --- custom state: per-user running digest (SRS §4.6 notifications) ----
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class UserDigest(user_id: Long, n_events: Long, total_value: Double,
+      last_type: String)
+
+  /** Running per-user digest via mapGroupsWithState — the custom-state
+    * escape hatch for semantics windows can't express (here: a
+    * monotonically updated "activity digest" per user, emitted every
+    * micro-batch). State is one small case class per user key. */
+  def userDigest(events: Dataset[Ev]): Dataset[UserDigest] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserDigest, UserDigest](GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[UserDigest]) =>
+          val prev = state.getOption.getOrElse(UserDigest(uid, 0L, 0.0, ""))
+          // fold in timestamp order for a deterministic last_type
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val next = sorted.foldLeft(prev) { (d, e) =>
+            UserDigest(uid, d.n_events + 1, d.total_value + e.value, e.event_type)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  // --- sink: merge/upsert via foreachBatch (SURVEY §2.1 S10) -------------
+
+  /** Upsert-by-key sink: each micro-batch is merged into a parquet target
+    * (read → left-anti old rows → union new → rewrite), the plain-Spark
+    * MERGE the reference performs against its index
+    * (`/root/reference/SAM/update_elasticsearch_with_segments.py:165-268`).
+    * Idempotent per batch; swap for a Delta/Iceberg MERGE INTO when a
+    * table format is available. */
+  def upsertByKey(spark: SparkSession, target: String, key: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val fresh = batch.dropDuplicates(key)
+    val merged =
+      if (scala.util.Try(spark.read.parquet(target).schema).isSuccess) {
+        val old = spark.read.parquet(target)
+        old.join(fresh, old(key) === fresh(key), "left_anti").unionByName(fresh)
+      } else fresh
+    // target is rewritten per batch: stage to a tmp dir then swap would be
+    // the production move; direct overwrite keeps the example minimal.
+    val staged = merged.cache()
+    staged.count()
+    staged.write.mode("overwrite").parquet(target)
+    staged.unpersist()
+  }
+
+  /** Wire a streaming DataFrame into the upsert sink. */
+  def startUpsertStream(events: DataFrame, target: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(upsertByKey(events.sparkSession, target, "event_id") _)
+      .start()
+}

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.Streams.Ev
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  private val evs = Seq(
+    Ev(1L, ts(0), 10L, "view", 1.0),
+    Ev(2L, ts(5), 10L, "click", 2.0),
+    Ev(3L, ts(70), 10L, "view", 3.0), // > 30 min gap → new session, next hour
+    Ev(4L, ts(2), 20L, "view", 4.0),
+    Ev(2L, ts(5), 10L, "click", 2.0)) // duplicate event_id
+
+  test("tumblingCounts: identical results in batch and streaming (unified plan)") {
+    val batch = Streams.tumblingCounts(evs.toDF()).orderBy("h", "event_type").collect()
+
+    val input = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(Streams.withEventWatermark(input.toDF()))
+      .writeStream.format("memory").queryName("tumbling_sink")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(evs)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_sink").orderBy("h", "event_type").collect()
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed.length === 3) // (h0: view, click), (h1: view)
+    } finally q.stop()
+  }
+
+  test("sessionized: session_window splits on the 30-minute gap") {
+    val input = MemoryStream[Ev]
+    val q = Streams.sessionized(Streams.withEventWatermark(input.toDF()))
+      .writeStream.format("memory").queryName("session_sink")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(evs)
+      q.processAllAvailable()
+      val rows = spark.table("session_sink")
+        .select("user_id", "n_events").orderBy("user_id", "n_events").as[(Long, Long)].collect()
+      // user 10: session {1,2,dup2} (dedup NOT applied here) = 3 events, then {3}
+      assert(rows.toSeq === Seq((10L, 1L), (10L, 3L), (20L, 1L)))
+    } finally q.stop()
+  }
+
+  test("deduped: duplicate event_ids collapse across micro-batches") {
+    val input = MemoryStream[Ev]
+    val q = Streams.deduped(input.toDF())
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(evs.take(3))
+      q.processAllAvailable()
+      input.addData(evs.drop(3)) // includes the dup of event_id=2 in a LATER batch
+      q.processAllAvailable()
+      val n = spark.table("dedup_sink").count()
+      assert(n === 4, "5 rows in, 1 cross-batch duplicate dropped")
+    } finally q.stop()
+  }
+
+  test("enriched: stream-static join broadcasts the dim side") {
+    val dim = Seq(("view", "read"), ("click", "interact")).toDF("event_type", "category")
+    val input = MemoryStream[Ev]
+    val q = Streams.enriched(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(evs.take(2))
+      q.processAllAvailable()
+      val m = spark.table("enrich_sink")
+        .select("event_id", "category").as[(Long, String)].collect().toMap
+      assert(m === Map(1L -> "read", 2L -> "interact"))
+    } finally q.stop()
+  }
+
+  test("userDigest: mapGroupsWithState accumulates across micro-batches") {
+    val input = MemoryStream[Ev]
+    val q = Streams.userDigest(input.toDS())
+      .writeStream.format("memory").queryName("digest_sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(evs.take(2)) // user 10: 2 events, 3.0 total
+      q.processAllAvailable()
+      input.addData(evs.slice(2, 4)) // user 10: +1 (6.0), user 20: 1
+      q.processAllAvailable()
+      val digest = spark.table("digest_sink").as[Streams.UserDigest].collect()
+        .groupBy(_.user_id).map { case (u, ds) => u -> ds.maxBy(_.n_events) }
+      assert(digest(10L).n_events === 3L)
+      assert(math.abs(digest(10L).total_value - 6.0) < 1e-9)
+      assert(digest(10L).last_type === "view")
+      assert(digest(20L).n_events === 1L)
+    } finally q.stop()
+  }
+
+  test("upsertByKey foreachBatch sink: later batches win, target stays keyed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val target = s"$dir/target"
+    val b1 = Seq(Ev(1L, ts(0), 10L, "view", 1.0), Ev(2L, ts(1), 11L, "view", 2.0)).toDF()
+    Streams.upsertByKey(spark, target, "event_id")(b1, 0L)
+    val b2 = Seq(Ev(2L, ts(2), 11L, "click", 9.0), Ev(3L, ts(3), 12L, "view", 3.0)).toDF()
+    Streams.upsertByKey(spark, target, "event_id")(b2, 1L)
+    val out = spark.read.parquet(target)
+      .select("event_id", "event_type", "value").orderBy("event_id")
+      .as[(Long, String, Double)].collect()
+    assert(out.toSeq === Seq((1L, "view", 1.0), (2L, "click", 9.0), (3L, "view", 3.0)))
+  }
+
+  test("fileIngest: streaming file source reads the events shape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    evs.take(3).toDF().write.parquet(s"$dir/in")
+    val q = Streams.fileIngest(spark, s"$dir/in", maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("ingest_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ingest_sink").count() === 3)
+    } finally q.stop()
+  }
+}
