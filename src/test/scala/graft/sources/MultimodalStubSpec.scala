@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalStubSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeAndEmbed: mapPartitions boundary yields typed features, deterministic") {
+    val df = Seq(
+      (1L, Array[Byte](1, 2, 3)),
+      (2L, Array[Byte](1, 2, 3)),
+      (3L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")
+    val out = MultimodalStub.decodeAndEmbed(df, dim = 8)
+    val rows = out.collect().sortBy(_.doc_id)
+    assert(rows.map(_.doc_id).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.forall(_.feature.length === 8))
+    assert(rows(0).feature.toSeq === rows(1).feature.toSeq,
+      "same bytes → same embedding (deterministic stub)")
+    assert(rows(0).feature.toSeq !== rows(2).feature.toSeq)
+    // the feature column is directly consumable by the vector kernels
+    val cos = out.toDF()
+      .select(graft.functions.VectorExpressions.fusedCosine(spark,
+        col("feature"), col("feature")).as("c"))
+      .as[Double].collect()
+    assert(cos.forall(c => math.abs(c - 1.0) < 1e-6))
+  }
+
+  test("decodeAndEmbed survives empty partitions and empty payloads") {
+    val df = Seq((1L, Array.empty[Byte])).toDF("doc_id", "payload").repartition(8)
+    val rows = MultimodalStub.decodeAndEmbed(df, dim = 4).collect()
+    assert(rows.length === 1 && rows.head.feature.length === 4)
+  }
+}
