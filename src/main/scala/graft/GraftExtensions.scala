@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** Session-extension entry point: install the graft kernel functions into
+  * any SparkSession via configuration —
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   spark.sql("SELECT graft_cosine(a.embedding, b.embedding) ...")
+  * }}}
+  *
+  * This is the library's pure-SQL surface: a cluster operator can expose
+  * every kernel (vector similarity, MinHash/SimHash/shingle signatures)
+  * to SQL-only users without a line of Scala. The Column-level accessors
+  * in [[graft.functions.VectorExpressions]] / [[TextExpressions]] remain
+  * the programmatic path; both register the same expressions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", "_FUNC_(a, b) - dot product of two float/double arrays",
+      es => DotProductExpr(es(0), es(1))),
+    ("graft_cosine", "_FUNC_(a, b) - cosine similarity; NULL on zero norm or length mismatch",
+      es => CosineSimilarityExpr(es(0), es(1))),
+    ("graft_l2norm", "_FUNC_(a) - Euclidean norm of a float/double array",
+      es => L2NormExpr(es.head)),
+    ("graft_minhash", "_FUNC_(tokens, k) - k-slot MinHash signature of a string array",
+      es => MinHashSigExpr(es(0), es(1).eval().asInstanceOf[Number].intValue())),
+    ("graft_simhash", "_FUNC_(tokens) - 64-bit SimHash of a string array",
+      es => SimHash64Expr(es.head)),
+    ("graft_minhash_agree", "_FUNC_(sigA, sigB) - fraction of agreeing MinHash slots (Jaccard estimate)",
+      es => MinHashAgreeExpr(es(0), es(1))),
+    ("graft_shingle_hashes", "_FUNC_(tokens, n) - distinct word-n-gram shingle hashes",
+      es => ShingleHashSetExpr(es(0), es(1).eval().asInstanceOf[Number].intValue())))
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+}

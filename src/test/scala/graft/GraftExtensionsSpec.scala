@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Builds a SEPARATE SparkSession (same SparkContext) with
+  * `graft.GraftExtensions` installed and exercises the pure-SQL surface.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("extensions install the kernel functions for pure-SQL use") {
+    val sc = spark.sparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext =
+      try SparkSession.builder().master(sc.master)
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      finally {
+        SparkSession.setDefaultSession(spark)
+        SparkSession.setActiveSession(spark)
+      }
+    try {
+      val r = ext.sql(
+        """SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+                  graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                  graft_l2norm(array(3.0D, 4.0D)) AS n,
+                  size(graft_minhash(array('a','b'), 16)) AS mh,
+                  graft_simhash(array('a','b')) AS sh,
+                  graft_minhash_agree(array(1L, 2L), array(1L, 3L)) AS agree,
+                  size(graft_shingle_hashes(array('a','b','c','d'), 3)) AS nsh
+        """).head()
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      assert(math.abs(r.getDouble(1) - 11.0) < 1e-12)
+      assert(math.abs(r.getDouble(2) - 5.0) < 1e-12)
+      assert(r.getInt(3) === 16)
+      assert(r.getLong(4) !== 0L)
+      assert(math.abs(r.getDouble(5) - 0.5) < 1e-12)
+      assert(r.getInt(6) === 2)
+      // DESCRIBE FUNCTION surfaces the injected usage docs
+      val desc = ext.sql("DESCRIBE FUNCTION graft_cosine")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(desc.contains("cosine"))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
