@@ -20,9 +20,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Etl.queries ++ Analytics.queries ++ Retrieval.queries ++
-      TextAnalysis.queries ++ Dedup.queries ++ Multimodal.queries
+      TextAnalysis.queries ++ Dedup.queries ++ Multimodal.queries ++
+      Skew.queries
 
   def oracleSql: Map[String, String] =
     Etl.oracleSql ++ Analytics.oracleSql ++ Retrieval.oracleSql ++
-      TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Multimodal.oracleSql
+      TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Multimodal.oracleSql ++
+      Skew.oracleSql
 }

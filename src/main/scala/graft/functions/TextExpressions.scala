@@ -220,6 +220,72 @@ case class MinHashAgreeExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Sign-random-projection (hyperplane) LSH signature of a float/double
+  * vector: bit j = sign of ⟨v, r_j⟩ for `nbits` pseudo-random Rademacher
+  * (±1) hyperplanes derived deterministically from xxhash64 — so the
+  * signature is stable across executors, sessions and runs with no
+  * broadcast of a projection matrix. P[bit agrees] = 1 − θ/π (the classic
+  * SimHash-for-cosine bound), so Hamming distance on signatures estimates
+  * angular distance; banding the signature buckets near-neighbors for a
+  * candidate join exactly like MinHash-LSH does for Jaccard. */
+case class HyperplaneSigExpr(child: Expression, nbits: Int) extends UnaryExpression
+    with CodegenFallback {
+  require(nbits > 0 && nbits <= 64, "nbits must be in 1..64")
+  override def prettyName: String = "graft_hyperplane_sig"
+  override def dataType: DataType = LongType
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${t.catalogString}")
+  }
+
+  // Rademacher plane matrix, built once per (instance, dim) — deterministic,
+  // so rebuilt copies on other executors are identical.
+  @transient private var planeDim = -1
+  @transient private var planes: Array[Byte] = _
+  private def planesFor(dim: Int): Array[Byte] = {
+    if (planeDim != dim) {
+      val p = new Array[Byte](nbits * dim)
+      var j = 0
+      while (j < nbits * dim) {
+        p(j) = if ((XXH64.hashLong(j.toLong, 42L) & 1L) == 1L) 1 else -1
+        j += 1
+      }
+      planes = p; planeDim = dim
+    }
+    planes
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val dim = a.numElements()
+    val p = planesFor(dim)
+    var sig = 0L
+    var j = 0
+    while (j < nbits) {
+      var s = 0.0
+      var i = 0
+      val off = j * dim
+      while (i < dim) {
+        val x = if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        s += (if (p(off + i) == 1) x else -x)
+        i += 1
+      }
+      if (s > 0.0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   /** Idempotent per-session registration (same pattern as
     * [[VectorExpressions.register]] — probe the registry, retain nothing). */
@@ -234,6 +300,8 @@ object TextExpressions {
         es => MinHashAgreeExpr(es(0), es(1)), "built-in")
       reg.createOrReplaceTempFunction("graft_shingle_hashes",
         es => ShingleHashSetExpr(es(0), es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+      reg.createOrReplaceTempFunction("graft_hyperplane_sig",
+        es => HyperplaneSigExpr(es(0), es(1).eval().asInstanceOf[Number].intValue()), "built-in")
     }
   }
 
@@ -248,5 +316,8 @@ object TextExpressions {
   }
   def shingleHashes(spark: SparkSession, toks: Column, n: Int): Column = {
     register(spark); call_function("graft_shingle_hashes", toks, lit(n))
+  }
+  def hyperplaneSig(spark: SparkSession, vec: Column, nbits: Int): Column = {
+    register(spark); call_function("graft_hyperplane_sig", vec, lit(nbits))
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TextExpressions
 import graft.functions.VectorAggregates.vectorMeanDouble
 import graft.functions.VectorExpressions.{fusedCosine, fusedDot, fusedL2Norm}
 
@@ -125,6 +126,34 @@ object Retrieval {
       .withColumn("score", fusedCosine(s, col("embedding"), col("qv")))
       .orderBy(desc("score"), asc("vec_id")).limit(10)
       .select(col("vec_id"), col("cluster"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+  }
+
+  /** LSH-bucketed ANN (the companion scale path to [[knnIvf]]): 64-bit
+    * hyperplane signature per vector, banded 4×16 bits; candidates = rows
+    * sharing ≥1 band with the query signature (a broadcast semi-join —
+    * with a query BATCH the same layout becomes a band equi-join); exact
+    * cosine only on candidates. Recall grows with bands, cost with band
+    * width — the standard SRP-LSH trade. No DuckDB oracle (hash-derived):
+    * rows-only check; `TextFunctionsSpec` pins the signature properties. */
+  def knnLsh(s: SparkSession, d: String): DataFrame = {
+    def banded(df: DataFrame, sig: Column): DataFrame = {
+      val bandCols = (0 until 4).map(i => concat_ws("_",
+        lit(i), shiftright(sig, i * 16).bitwiseAND(lit(0xFFFFL))))
+      df.withColumn("band", explode(array(bandCols: _*)))
+    }
+    val e = Tables.embeddings(s, d)
+      .withColumn("sig", TextExpressions.hyperplaneSig(s, col("embedding"), 64))
+    val qBands = banded(q0(s, d)
+      .withColumn("sig", TextExpressions.hyperplaneSig(s, col("qv"), 64)), col("sig"))
+      .select("band")
+    banded(e, col("sig"))
+      .join(broadcast(qBands), Seq("band"), "left_semi")
+      .select("vec_id", "embedding").distinct()
+      .crossJoin(broadcast(q0(s, d)))
+      .withColumn("score", fusedCosine(s, col("embedding"), col("qv")))
+      .orderBy(desc("score"), asc("vec_id")).limit(10)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
   }
 
@@ -260,6 +289,7 @@ object Retrieval {
     "vec_kernel" -> vecKernel,
     "knn_whole" -> knnWhole,
     "knn_ivf" -> knnIvf,
+    "knn_lsh" -> knnLsh,
     "q2_segment" -> q2Segment,
     "q3_hybrid" -> q3Hybrid,
     "q4_tags" -> q4Tags,

@@ -127,6 +127,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(two(0) === two(1))
   }
 
+  test("HyperplaneSigExpr: deterministic, angular-distance-sensitive") {
+    val base = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val near = base.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val far = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq(("b", base.toSeq), ("b2", base.toSeq), ("n", near.toSeq), ("f", far.toSeq))
+      .toDF("id", "v").withColumn("v", $"v".cast("array<float>"))
+      .select($"id", graft.functions.TextExpressions.hyperplaneSig(spark, $"v", 64).as("s"))
+    val m = df.as[(String, Long)].collect().toMap
+    assert(m("b") === m("b2"), "same vector → same signature")
+    val dNear = java.lang.Long.bitCount(m("b") ^ m("n"))
+    val dFar = java.lang.Long.bitCount(m("b") ^ m("f"))
+    assert(dNear < dFar, s"near=$dNear far=$dFar")
+    // double input gives the same signature as float input (widened math)
+    val d2 = Seq(base.map(_.toDouble).toSeq).toDF("v")
+      .select(graft.functions.TextExpressions.hyperplaneSig(spark, $"v", 64)).as[Long].head()
+    assert(d2 === m("b"))
+  }
+
   test("fingerprints: content fingerprint is order/multiplicity invariant") {
     val df = Seq(("x", "b a a c"), ("y", "a b c"), ("z", "a b d")).toDF("id", "t")
       .select($"id", contentFingerprint(tokens($"t")).as("fp"))
