@@ -53,9 +53,45 @@ object Multimodal {
         md5(col("chunk")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** End-to-end multimodal feature path: binary payload → frame-sample
+    * (every 2nd chunk — the video-frame-stride analog) → per-frame stub
+    * embedding through the [[graft.sources.MultimodalStub]] mapPartitions
+    * boundary → element-wise [[graft.functions.VectorAggregates]] mean
+    * pooled per document. The decode is the deterministic fake (no codecs
+    * in the container); everything around it — explode shape, per-frame
+    * typed features, partial-aggregated pooling — is the real pipeline.
+    * No oracle (hash-derived features): rows-only check. */
+  def frameEmbed(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorAggregates.vectorMean
+    import graft.functions.VectorExpressions.fusedL2Norm
+    val frames = Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_chunks",
+        ceil(length(col("payload")) / lit(ChunkBytes.toDouble)).cast("long"))
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .filter(col("chunk_idx") % 2 === 0) // frame-sample stride 2
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"substring(payload, chunk_idx * $ChunkBytes + 1, $ChunkBytes)").as("frame"))
+    val perFrame = graft.sources.MultimodalStub
+      .decodeAndEmbed(frames.select(
+        (col("doc_id") * 1000000 + col("chunk_idx")).as("doc_id"),
+        col("frame").as("payload")), dim = 16)
+      .toDF()
+      .select((col("doc_id") / 1000000).cast("long").as("doc_id"),
+        col("feature"))
+    perFrame.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"), vectorMean(col("feature")).as("doc_vec"))
+      .select(col("doc_id"), col("n_frames"),
+        size(col("doc_vec")).cast("long").as("dim"),
+        round(fusedL2Norm(s, col("doc_vec").cast("array<double>")), 6).as("vec_norm"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> binaryMeta,
-    "mm_chunk" -> chunk)
+    "mm_chunk" -> chunk,
+    "mm_frame_embed" -> frameEmbed)
 
   val oracleSql: Map[String, String] = Map(
     "mm_binary_meta" ->

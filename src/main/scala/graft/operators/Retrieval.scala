@@ -130,16 +130,17 @@ object Retrieval {
   }
 
   /** LSH-bucketed ANN (the companion scale path to [[knnIvf]]): 64-bit
-    * hyperplane signature per vector, banded 4×16 bits; candidates = rows
+    * hyperplane signature per vector, banded 8×8 bits; candidates = rows
     * sharing ≥1 band with the query signature (a broadcast semi-join —
     * with a query BATCH the same layout becomes a band equi-join); exact
-    * cosine only on candidates. Recall grows with bands, cost with band
-    * width — the standard SRP-LSH trade. No DuckDB oracle (hash-derived):
-    * rows-only check; `TextFunctionsSpec` pins the signature properties. */
+    * cosine only on candidates. Recall grows with band count, precision
+    * with band width (P[8-bit band agrees] = (1−θ/π)⁸) — the standard
+    * SRP-LSH trade. No DuckDB oracle (hash-derived): rows-only check;
+    * `TextFunctionsSpec` pins the signature properties. */
   def knnLsh(s: SparkSession, d: String): DataFrame = {
     def banded(df: DataFrame, sig: Column): DataFrame = {
-      val bandCols = (0 until 4).map(i => concat_ws("_",
-        lit(i), shiftright(sig, i * 16).bitwiseAND(lit(0xFFFFL))))
+      val bandCols = (0 until 8).map(i => concat_ws("_",
+        lit(i), shiftright(sig, i * 8).bitwiseAND(lit(0xFFL))))
       df.withColumn("band", explode(array(bandCols: _*)))
     }
     val e = Tables.embeddings(s, d)
