@@ -232,6 +232,32 @@ object Retrieval {
       .agg(count(lit(1)).as("n_matched"), max("conf").as("best_conf"))
       .orderBy(desc("best_conf"), asc("image_id")).limit(10)
 
+  /** Q4 over the REAL nested shape (`photos.segments[]`, SURVEY.md §1.3 /
+    * §7.4 hard part): segments collected into an array<struct> column,
+    * then filtered with a SINGLE-lambda `exists` so tag∈set AND conf≥0.1
+    * hold on the SAME segment object — the ES-`nested`-query semantics a
+    * flattened AND of two independent `exists` calls would violate
+    * (cross-matching one segment's tag with another's confidence). Best
+    * confidence is extracted with nested HOFs (filter → transform →
+    * array_max), no explode: with
+    * spark.sql.optimizer.nestedSchemaPruning the scan reads only the
+    * nested fields touched. Output is order-invariant in the collected
+    * array (size / max), so collect_list nondeterminism cannot leak. */
+  def q4TagsNested(s: SparkSession, d: String): DataFrame = {
+    val matchSeg = (seg: Column) =>
+      seg.getField("tag").isin("lbl_3", "lbl_7") && seg.getField("conf") >= 0.1
+    val photos = segs(s, d)
+      .groupBy("image_id")
+      .agg(collect_list(struct(col("seg_id"), col("tag"), col("conf"))).as("segments"))
+    photos
+      .filter(exists(col("segments"), matchSeg))
+      .select(col("image_id"),
+        size(col("segments")).cast("long").as("n_segments"),
+        round(array_max(transform(filter(col("segments"), matchSeg),
+          seg => seg.getField("conf"))), 6).as("best_conf"))
+      .orderBy(desc("best_conf"), asc("image_id")).limit(10)
+  }
+
   // --- Q5 — segment-table search with ALL-tags filter -----------------------
 
   /** Q5 (`SAM/test_similarity_search.py:48-104`): candidate images must
@@ -294,6 +320,7 @@ object Retrieval {
     "q2_segment" -> q2Segment,
     "q3_hybrid" -> q3Hybrid,
     "q4_tags" -> q4Tags,
+    "q4_tags_nested" -> q4TagsNested,
     "q5_segment_table" -> q5SegmentTable,
     "zs_tags" -> zsTags,
     "agg_vector_mean" -> aggVectorMean)
@@ -399,6 +426,14 @@ object Retrieval {
          SELECT image_id, count(*) AS n_matched, max(conf) AS best_conf
          FROM segs WHERE tag IN ('lbl_3', 'lbl_7') AND conf >= 0.1
          GROUP BY image_id ORDER BY best_conf DESC, image_id LIMIT 10""",
+    "q4_tags_nested" ->
+      s"""WITH $segsSql,
+         n AS (SELECT image_id, count(*) AS n_segments FROM segs GROUP BY image_id),
+         b AS (SELECT image_id, round(max(conf), 6) AS best_conf FROM segs
+           WHERE tag IN ('lbl_3', 'lbl_7') AND conf >= 0.1 GROUP BY image_id)
+         SELECT n.image_id, CAST(n.n_segments AS BIGINT) AS n_segments, b.best_conf
+         FROM n JOIN b ON n.image_id = b.image_id
+         ORDER BY best_conf DESC, n.image_id LIMIT 10""",
     "q5_segment_table" ->
       s"""WITH $segsSql, $imageVecsSql, $qWholeSql,
          m AS (SELECT image_id FROM segs GROUP BY image_id

@@ -17,6 +17,19 @@ class BucketingSpec extends SparkSpec {
     val dim = (0L to 49L).map(k => (k, s"n$k")).toDF("k", "name")
     spark.sql("DROP TABLE IF EXISTS b_fact")
     spark.sql("DROP TABLE IF EXISTS b_dim")
+    // a previous JVM's warehouse dirs survive DROP TABLE of an unknown table
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    Seq("b_fact", "b_dim").foreach { t =>
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     fact.write.bucketBy(8, "k").sortBy("k").saveAsTable("b_fact")
     dim.write.bucketBy(8, "k").sortBy("k").saveAsTable("b_dim")
     // disable broadcast + AQE locally so the plan must rely on bucketing

@@ -102,6 +102,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark: append-mode windows finalize and too-late rows are dropped") {
+    val input = MemoryStream[Ev]
+    // 10-minute watermark so hour-0's window closes quickly in event time
+    val q = Streams.tumblingCounts(input.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("wm_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq(Ev(1L, ts(0), 10L, "view", 1.0), Ev(2L, ts(5), 10L, "view", 2.0)))
+      q.processAllAvailable()
+      // advance event time far past hour 0 + watermark → finalizes hour-0 window
+      input.addData(Seq(Ev(3L, ts(200), 10L, "view", 3.0)))
+      q.processAllAvailable()
+      val afterClose = spark.table("wm_sink").select("h", "n").as[(Timestamp, Long)].collect()
+      assert(afterClose.exists(_._2 == 2L), s"hour-0 window (n=2) emitted: ${afterClose.toSeq}")
+      // a row far older than the advanced watermark must be DROPPED
+      input.addData(Seq(Ev(4L, ts(1), 10L, "view", 99.0)))
+      q.processAllAvailable()
+      input.addData(Seq(Ev(5L, ts(400), 10L, "view", 5.0)))
+      q.processAllAvailable()
+      val ns = spark.table("wm_sink").select("n").as[Long].collect().toSeq
+      assert(!ns.contains(3L),
+        s"late event must not re-open or re-emit the closed hour-0 window: $ns")
+    } finally q.stop()
+  }
+
   test("upsertByKey foreachBatch sink: later batches win, target stays keyed") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val target = s"$dir/target"
