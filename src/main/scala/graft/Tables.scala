@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Readers for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -34,4 +34,33 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  // --- typed surface ------------------------------------------------------
+  // Case-class Datasets for the tables the library manipulates as whole
+  // records (compile-time column safety; Catalyst still prunes/pushes
+  // through the typed plan). DataFrame remains the norm for dynamic-schema
+  // relational work.
+
+  case class Document(doc_id: Long, text: String, lang: String,
+      n_chars: Long, source: String)
+  case class EmbeddingRow(vec_id: Long, embedding: Seq[Float], label: Long)
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  def documentsDs(s: SparkSession, d: String): Dataset[Document] = {
+    import s.implicits._
+    documents(s, d).select("doc_id", "text", "lang", "n_chars", "source")
+      .as[Document]
+  }
+  def embeddingsDs(s: SparkSession, d: String): Dataset[EmbeddingRow] = {
+    import s.implicits._
+    embeddings(s, d).select(col("vec_id"), col("embedding"),
+      col("label").cast("long").as("label")).as[EmbeddingRow]
+  }
+  def eventsDs(s: SparkSession, d: String): Dataset[Event] = {
+    import s.implicits._
+    events(s, d).as[Event]
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

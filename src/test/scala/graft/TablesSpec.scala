@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class TablesSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  test("typed accessors: schemas bind, filters still push to the scan") {
+    val docs = Tables.documentsDs(spark, d)
+    assert(docs.head().doc_id >= 0L)
+    // typed filter by field still reaches the parquet scan as a pushed filter
+    val q = Tables.embeddingsDs(spark, d).filter(col("vec_id") === 0)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,0)]"), scan)
+    assert(q.head().embedding.nonEmpty)
+    val ev = Tables.eventsDs(spark, d)
+    assert(ev.head().ts != null)
+  }
+}
