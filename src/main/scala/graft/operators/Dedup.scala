@@ -10,7 +10,9 @@ import graft.functions.TextFunctions._
 import graft.functions.VectorExpressions.fusedCosine
 
 /** Deduplication suite for training-data pipelines: exact, n-gram Jaccard,
-  * MinHash+LSH, SimHash, and embedding near-dup.
+  * MinHash+LSH, SimHash, and embedding near-dup — exposed as a GENERIC
+  * API over any (id, text | vector) DataFrame, with the `documents`-table
+  * queries below as thin oracle-checked bindings.
   *
   * The scale discipline throughout: NEVER all-pairs over the corpus.
   * Every candidate generation is blocked — by content key (LSH band /
@@ -26,41 +28,38 @@ import graft.functions.VectorExpressions.fusedCosine
   */
 object Dedup {
 
-  /** Exact dedup via content fingerprint: every doc with its md5 and the
-    * size of its duplicate group (hash-groupBy — one shuffle on the 16-byte
-    * digest, not the document text). */
-  def exact(s: SparkSession, d: String): DataFrame = {
+  // =========================================================================
+  // Generic API — input: any DataFrame with an id column, a text (or
+  // vector) column, and optionally a cheap blocking column. Outputs are
+  // UNordered pair/row sets; callers add ordering/limits.
+  // =========================================================================
+
+  /** Exact dedup via content fingerprint: every row with its md5 and the
+    * size of its duplicate group (hash-groupBy — one shuffle on the
+    * 16-byte digest, not the document text). */
+  def exactDuplicates(df: DataFrame, id: Column, text: Column): DataFrame = {
     val w = Window.partitionBy("fp")
-    Tables.documents(s, d)
-      .select(col("doc_id"), exactFingerprint(col("text")).as("fp"))
+    df.select(id.as("doc_id"), exactFingerprint(text).as("fp"))
       .withColumn("dup_count", count(lit(1)).over(w))
-      .orderBy("doc_id")
   }
 
-  /** Cheap blocking key: same language, same 100-char length bucket.
-    * Near-dups almost always agree on both; the quadratic pair step then
-    * runs per block instead of per corpus. */
-  private def blocked(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("blk", concat_ws("_", col("lang"), expr("n_chars DIV 100")))
-
-  /** n-gram (3-shingle) Jaccard near-dup: top-20 most similar pairs within
-    * blocks, restricted to pairs sharing ≥1 shingle. Jaccard of distinct
-    * shingle sets = int/int division → exact.
+  /** Exact pairwise n-gram Jaccard within blocks, restricted to pairs
+    * sharing ≥1 shingle → (doc_a, doc_b, jac).
     *
     * Computed as an INVERTED-INDEX join, not a block-wise nested loop:
     * explode distinct shingles, self-join on (block, shingle), count
-    * matches per pair → |A∩B|, then jac = inter/(|A|+|B|-inter). The
+    * matches per pair → |A∩B|, then jac = inter/(|A|+|B|−inter). The
     * per-pair work is one counter bump instead of an O(|A|·|B|) array
-    * intersection, and the shuffle key is the shingle — exactly the
-    * layout that scales this to a 100 TB corpus. */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    // Shingle identity only matters as a join key, so shingles live as
-    // 64-bit hashes end to end (one native pass, no shingle strings):
-    // same distinct/intersection counts w.h.p., ~3× less shuffle volume.
-    val ex = blocked(s, d)
-      .select(col("doc_id"), col("blk"),
-        TextExpressions.shingleHashes(s, tokens(col("text")), 3).as("sh"))
+    * intersection, and the shuffle key is the shingle — the layout that
+    * scales to a 100 TB corpus. Shingle identity only matters as a join
+    * key, so shingles live as 64-bit hashes end to end (one native pass,
+    * no shingle strings): same counts w.h.p., ~3× less shuffle volume. */
+  def jaccardPairs(df: DataFrame, id: Column, text: Column, block: Column,
+      n: Int = 3): DataFrame = {
+    val s = df.sparkSession
+    val ex = df
+      .select(id.as("doc_id"), block.as("blk"),
+        TextExpressions.shingleHashes(s, tokens(text), n).as("sh"))
       .select(col("doc_id"), col("blk"), size(col("sh")).as("n"),
         explode(col("sh")).as("g"))
     // Aliased self-join: both sides canonicalize to the same subplan, so
@@ -74,90 +73,119 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
-      .orderBy(desc("jac"), asc("doc_a"), asc("doc_b")).limit(20)
   }
 
-  /** Embedding near-dup baseline: brute-force pairwise cosine, top-20.
-    * The oracle-checkable ground truth that `knn_ivf`-style blocking
-    * approximates at scale. */
-  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", fusedCosine(s, col("va"), col("vb")))
-      .orderBy(desc("cos"), asc("vec_a"), asc("vec_b")).limit(20)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
-      .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
-  }
-
-  /** MinHash+LSH near-dup candidates (no oracle: xxhash64-based).
-    * token-set MinHash, 64 permutations, 16 bands × 4 rows:
-    * shingle→minhash→band→bucket-join, estimated Jaccard = fraction of
-    * agreeing signature slots. Band keys are salted with the block key so
-    * bucket sizes stay bounded on skewed corpora. */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    // Exact duplicates are collapsed FIRST (identical token set ⇒ identical
-    // signature): a dup cluster of size c would otherwise share all 16
-    // bands and emit 16·c²/2 candidate rows — on a duplicate-heavy corpus
-    // that quadratic blow-up, not the hashing, is the bottleneck. Exact
-    // dup pairs are `dedup_exact`'s output; this query reports near-dups
-    // among exact-distinct documents, with the representative's cluster
-    // size carried as `n_docs_a/b`. Standard production-LSH layout.
-    // No array_distinct before signing: min over a multiset equals min
-    // over its distinct set, so MinHash is dedup-invariant for free.
-    val sigs = blocked(s, d)
-      .withColumn("sig", TextExpressions.minhashSig(s, tokens(col("text")), 64))
+  /** MinHash+LSH near-dup pairs among exact-distinct texts →
+    * (doc_a, doc_b, est_jaccard, n_docs_a, n_docs_b).
+    *
+    * Exact duplicates are collapsed FIRST (identical token multiset ⇒
+    * identical signature — min over a multiset equals min over its set,
+    * so no array_distinct is needed before signing): a dup cluster of
+    * size c would otherwise share all bands and emit bands·c²/2 candidate
+    * rows; on a duplicate-heavy corpus that quadratic blow-up, not the
+    * hashing, is the bottleneck. The representative's cluster size rides
+    * along as `n_docs_*`. Standard production-LSH layout. */
+  def minhashPairs(df: DataFrame, id: Column, text: Column, block: Column,
+      k: Int = 64, bands: Int = 16, rows: Int = 4,
+      minEst: Double = 0.5): DataFrame = {
+    val s = df.sparkSession
+    val sigs = df
+      .select(id.as("doc_id"), block.as("blk"),
+        TextExpressions.minhashSig(s, tokens(text), k).as("sig"))
       .groupBy(col("blk"), col("sig"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_docs"))
     // Band self-join as an ALIASED self-join: both sides canonicalize to
     // the identical (scan → sig → explode → shuffle-by-band) subplan, so
-    // ReuseExchange computes the signature scan and the band shuffle ONCE
-    // — re-attaching sigs to candidate pairs afterwards would instead
-    // recompute the signature scan per join. Uniq'ing above bounds the
-    // sig payload riding this shuffle to one row per distinct text.
-    val bands = sigs
+    // ReuseExchange computes the signature scan and the band shuffle once.
+    // Uniq'ing above bounds the sig payload riding this shuffle to one row
+    // per distinct text.
+    val banded = sigs
       .select(col("doc_id"), col("n_docs"), col("sig"), col("blk"),
-        explode(lshBandKeys(col("sig"), 16, 4)).as("bk"))
+        explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("doc_id"), col("n_docs"), col("sig"),
         concat_ws("_", col("blk"), col("bk")).as("band"))
-    bands.as("x").join(bands.as("y"), col("x.band") === col("y.band"))
+    banded.as("x").join(banded.as("y"), col("x.band") === col("y.band"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       // Score per matching band-row with the codegen'd agreement kernel
-      // (cheap: 64 long compares), then distinct on the narrow result —
+      // (cheap: k long compares), then distinct on the narrow result —
       // a pair agreeing on m bands collapses m scored rows to one.
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         TextExpressions.minhashAgree(s, col("x.sig"), col("y.sig")).as("est_jaccard"),
         col("x.n_docs").as("n_docs_a"), col("y.n_docs").as("n_docs_b"))
-      .filter(col("est_jaccard") >= 0.5)
+      .filter(col("est_jaccard") >= minEst)
       .distinct()
-      .orderBy(desc("est_jaccard"), asc("doc_a"), asc("doc_b")).limit(50)
   }
 
-  /** SimHash near-dup (no oracle: xxhash64-based). 64-bit token SimHash,
-    * 4 × 16-bit bands as candidate buckets (a pair within Hamming ≤ 3 of
-    * each other must agree on ≥1 band by pigeonhole), then exact Hamming
-    * distance on candidates. */
-  def simhash(s: SparkSession, d: String): DataFrame = {
-    val sh = blocked(s, d)
-      .withColumn("sim", TextExpressions.simhash64(s, tokens(col("text"))))
-      .select(col("doc_id"), col("blk"), col("sim"))
-    val bandCols = (0 until 4).map(i =>
+  /** SimHash near-dup pairs → (doc_a, doc_b, hamming). 64-bit token
+    * SimHash, `bands` equal-width bit-bands as candidate buckets (a pair
+    * within Hamming < bands of each other must agree on ≥1 band by
+    * pigeonhole), then exact Hamming distance on candidates. */
+  def simhashPairs(df: DataFrame, id: Column, text: Column, block: Column,
+      bands: Int = 4, maxHamming: Int = 16): DataFrame = {
+    val s = df.sparkSession
+    val width = 64 / bands
+    val mask = (1L << width) - 1L
+    val sh = df.select(id.as("doc_id"), block.as("blk"),
+      TextExpressions.simhash64(s, tokens(text)).as("sim"))
+    val bandCols = (0 until bands).map(i =>
       struct(lit(i).as("bi"),
-        shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bv")))
-    val bands = sh.select(col("doc_id"), col("sim"), col("blk"),
+        shiftright(col("sim"), i * width).bitwiseAND(lit(mask)).as("bv")))
+    val banded = sh.select(col("doc_id"), col("sim"), col("blk"),
         explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("sim"),
         concat_ws("_", col("blk"), col("bs.bi"), col("bs.bv")).as("band"))
-    val a = bands.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"), col("band"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"), col("band"))
-    a.join(b, Seq("band")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
-      .withColumn("hamming", hamming64(col("sim_a"), col("sim_b")).cast("long"))
-      .filter(col("hamming") <= 16)
-      .select("doc_a", "doc_b", "hamming")
-      .orderBy(asc("hamming"), asc("doc_a"), asc("doc_b")).limit(30)
+    banded.as("x").join(banded.as("y"), col("x.band") === col("y.band"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hamming64(col("x.sim"), col("y.sim")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
+
+  /** Brute-force pairwise embedding cosine → (vec_a, vec_b, cos): the
+    * oracle-checkable ground truth that the banded/IVF paths approximate
+    * at scale. O(N²) by construction — small inputs only. */
+  def embeddingPairs(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val s = df.sparkSession
+    val a = df.select(id.as("vec_a"), vec.as("va"))
+    val b = df.select(id.as("vec_b"), vec.as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        fusedCosine(s, col("va"), col("vb")).as("cos"))
+  }
+
+  // =========================================================================
+  // Oracle-checked bindings on the documents/embeddings tables
+  // =========================================================================
+
+  /** Cheap blocking key: same language, same 100-char length bucket.
+    * Near-dups almost always agree on both; the quadratic pair step then
+    * runs per block instead of per corpus. */
+  private def blocked(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("blk", concat_ws("_", col("lang"), expr("n_chars DIV 100")))
+
+  def exact(s: SparkSession, d: String): DataFrame =
+    exactDuplicates(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(blocked(s, d), col("doc_id"), col("text"), col("blk"))
+      .orderBy(desc("jac"), asc("doc_a"), asc("doc_b")).limit(20)
+
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashPairs(blocked(s, d), col("doc_id"), col("text"), col("blk"))
+      .orderBy(desc("est_jaccard"), asc("doc_a"), asc("doc_b")).limit(50)
+
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashPairs(blocked(s, d), col("doc_id"), col("text"), col("blk"))
+      .orderBy(asc("hamming"), asc("doc_a"), asc("doc_b")).limit(30)
+
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame =
+    embeddingPairs(Tables.embeddings(s, d), col("vec_id"), col("embedding"))
+      .orderBy(desc("cos"), asc("vec_a"), asc("vec_b")).limit(20)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact,

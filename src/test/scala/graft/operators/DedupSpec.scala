@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The generic dedup API on a hand-built corpus with known structure:
+  * ids 1,2 exact dups; 3 a near-dup of them; 4 unrelated. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (3L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (4L, "completely different text about spark catalyst codegen and physical plans")
+  ).toDF("id", "text").withColumn("blk", lit("b"))
+
+  test("exactDuplicates: dup group sizes") {
+    val m = Dedup.exactDuplicates(docs, $"id", $"text")
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(m === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("jaccardPairs: exact value for the known near-dup, no cross-block pairs") {
+    val pairs = Dedup.jaccardPairs(docs, $"id", $"text", $"blk")
+      .as[(Long, Long, Double)].collect().toSeq
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(math.abs(m((1L, 2L)) - 1.0) < 1e-12, "exact dups have jac 1")
+    // 13 tokens → 11 distinct 3-shingles each; 'dog'→'cat' at pos 8 breaks
+    // shingles 6,7,8 → inter 8, union 14 → 4/7
+    assert(math.abs(m((1L, 3L)) - 8.0 / 14.0) < 1e-12)
+    assert(!m.contains((1L, 4L)) || m((1L, 4L)) < 0.2)
+  }
+
+  test("minhashPairs: collapses exact dups, finds the near-dup, carries cluster size") {
+    val pairs = Dedup.minhashPairs(docs, $"id", $"text", $"blk", minEst = 0.3)
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    // 1 and 2 collapse to representative 1 with n_docs=2
+    assert(pairs.forall(p => p._1 != 2L && p._2 != 2L))
+    val nd = pairs.find(p => p._1 == 1L && p._2 == 3L)
+    assert(nd.isDefined, s"near-dup (1,3) must surface: $pairs")
+    assert(nd.get._4 === 2L, "representative carries cluster size")
+    assert(nd.get._3 > 0.3)
+  }
+
+  test("simhashPairs: near-dup within hamming budget, unrelated doc outside") {
+    val pairs = Dedup.simhashPairs(docs, $"id", $"text", $"blk", maxHamming = 16)
+      .as[(Long, Long, Long)].collect().toSeq
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) === 0L, "exact dups at hamming 0")
+    assert(m.get((1L, 3L)).exists(_ <= 16L), s"near-dup close in hamming: $pairs")
+  }
+
+  test("embeddingPairs: cosine ground truth on unit vectors") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("id", "v")
+    val m = Dedup.embeddingPairs(vecs, $"id", $"v")
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(math.abs(m((1L, 2L)) - 1.0) < 1e-9)
+    assert(math.abs(m((1L, 3L))) < 1e-9)
+  }
+}
