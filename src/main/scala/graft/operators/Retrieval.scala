@@ -88,11 +88,9 @@ object Retrieval {
     * `cos(q, features) + 1.0`, optional tag pre-filter, top-k. The filter
     * is pushed to the parquet scan; scoring+TakeOrdered is one codegen span. */
   def knnWhole(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .filter(col("label").isin(1, 2, 3, 4, 5, 6, 7))
-      .crossJoin(broadcast(q0(s, d)))
-      .withColumn("score", fusedCosine(s, col("embedding"), col("qv")) + 1.0)
-      .orderBy(desc("score"), asc("vec_id")).limit(10)
+    Search.knnBrute(
+      Tables.embeddings(s, d).filter(col("label").isin(1, 2, 3, 4, 5, 6, 7)),
+      col("embedding"), q0(s, d), k = 10, tie = col("vec_id"), offset = 1.0)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         round(col("score"), 6).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
@@ -103,31 +101,12 @@ object Retrieval {
     * nprobe=3 centroids closest to the query, brute-force only vectors in
     * probed clusters. At lake scale the assignment is a write-time
     * partition column and the probe prunes partitions. */
-  def knnIvf(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val cents = labelCentroids(s, d)
-      .select(col("label").as("clabel"), col("c"))
-    // cluster assignment: argmax cosine over the 10 centroids
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(desc("ccos"), asc("clabel"))
-    val assign = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", fusedCosine(s, col("embedding"), col("c")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("clabel").cast("long").as("cluster"))
-    // probe list: 3 centroids nearest to the query vector
-    val probe = cents.crossJoin(broadcast(q0(s, d)))
-      .withColumn("qcos", fusedCosine(s, col("c"), col("qv")))
-      .orderBy(desc("qcos"), asc("clabel")).limit(3)
-      .select(col("clabel").cast("long").as("cluster"))
-    e.join(assign, "vec_id")
-      .join(broadcast(probe), "cluster")
-      .crossJoin(broadcast(q0(s, d)))
-      .withColumn("score", fusedCosine(s, col("embedding"), col("qv")))
-      .orderBy(desc("score"), asc("vec_id")).limit(10)
+  def knnIvf(s: SparkSession, d: String): DataFrame =
+    Search.knnIvf(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+      labelCentroids(s, d).select(col("label").as("cid"), col("c")),
+      q0(s, d), nprobe = 3, k = 10)
       .select(col("vec_id"), col("cluster"), round(col("score"), 6).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
-  }
 
   /** LSH-bucketed ANN (the companion scale path to [[knnIvf]]): 64-bit
     * hyperplane signature per vector, banded 8×8 bits; candidates = rows
@@ -137,26 +116,11 @@ object Retrieval {
     * with band width (P[8-bit band agrees] = (1−θ/π)⁸) — the standard
     * SRP-LSH trade. No DuckDB oracle (hash-derived): rows-only check;
     * `TextFunctionsSpec` pins the signature properties. */
-  def knnLsh(s: SparkSession, d: String): DataFrame = {
-    def banded(df: DataFrame, sig: Column): DataFrame = {
-      val bandCols = (0 until 8).map(i => concat_ws("_",
-        lit(i), shiftright(sig, i * 8).bitwiseAND(lit(0xFFL))))
-      df.withColumn("band", explode(array(bandCols: _*)))
-    }
-    val e = Tables.embeddings(s, d)
-      .withColumn("sig", TextExpressions.hyperplaneSig(s, col("embedding"), 64))
-    val qBands = banded(q0(s, d)
-      .withColumn("sig", TextExpressions.hyperplaneSig(s, col("qv"), 64)), col("sig"))
-      .select("band")
-    banded(e, col("sig"))
-      .join(broadcast(qBands), Seq("band"), "left_semi")
-      .select("vec_id", "embedding").distinct()
-      .crossJoin(broadcast(q0(s, d)))
-      .withColumn("score", fusedCosine(s, col("embedding"), col("qv")))
-      .orderBy(desc("score"), asc("vec_id")).limit(10)
-      .select(col("vec_id"), round(col("score"), 6).as("score"))
+  def knnLsh(s: SparkSession, d: String): DataFrame =
+    Search.knnLsh(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+      q0(s, d), k = 10)
+      .select(col("__vid").as("vec_id"), round(col("score"), 6).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
-  }
 
   // --- Q2 — segment-level match ---------------------------------------------
 
@@ -171,11 +135,7 @@ object Retrieval {
     val base = all.filter(col("image_id") =!= 0)
       .select(col("image_id"), col("embedding"))
     val dsegs = candidates.fold(base)(c => base.join(broadcast(c), "image_id"))
-    dsegs.crossJoin(broadcast(qsegs))
-      .withColumn("cos", fusedCosine(s, col("qv"), col("embedding")))
-      .groupBy("image_id", "qseg").agg(max("cos").as("best"))
-      .groupBy("image_id")
-      .agg(avg("best").as("avg_sim"), max("best").as("max_sim"))
+    Search.segmentScores(dsegs, qsegs)
   }
 
   /** Q2: rank all candidate images by mean best-segment similarity; attach
@@ -207,11 +167,7 @@ object Retrieval {
       .select("image_id", "whole_score")
     val seg = segmentScores(s, d, Some(whole.select("image_id")))
       .select(col("image_id"), col("avg_sim"))
-    whole.join(seg, Seq("image_id"), "left")
-      .withColumn("seg_score", coalesce(col("avg_sim"), lit(0.0)))
-      .withColumn("hybrid_score",
-        col("whole_score") * 0.4 + col("seg_score") * 0.6)
-      .orderBy(desc("hybrid_score"), asc("image_id")).limit(k)
+    Search.hybridCombine(whole, seg, wWhole = 0.4, wSeg = 0.6, k = k)
       .select(col("image_id"),
         round(col("whole_score"), 6).as("whole_score"),
         round(col("seg_score"), 6).as("seg_score"),
@@ -226,11 +182,7 @@ object Retrieval {
     * is the max matching confidence (deterministic replacement for ES BM25,
     * documented divergence per SURVEY.md §7.4). */
   def q4Tags(s: SparkSession, d: String): DataFrame =
-    segs(s, d)
-      .filter(col("tag").isin("lbl_3", "lbl_7") && col("conf") >= 0.1)
-      .groupBy("image_id")
-      .agg(count(lit(1)).as("n_matched"), max("conf").as("best_conf"))
-      .orderBy(desc("best_conf"), asc("image_id")).limit(10)
+    Search.tagSearch(segs(s, d), Seq("lbl_3", "lbl_7"), minConf = 0.1, k = 10)
 
   /** Q4 over the REAL nested shape (`photos.segments[]`, SURVEY.md §1.3 /
     * §7.4 hard part): segments collected into an array<struct> column,

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExpressions
+import graft.functions.VectorExpressions.fusedCosine
+
+/** The generic retrieval API — the reference's four search modes
+  * (`/root/reference/search_with_segments.py`, `app.py:296-321`) as
+  * functions over ARBITRARY corpora, so a user can point them at their own
+  * tables; [[Retrieval]]'s named queries are thin oracle-checked bindings.
+  *
+  * Conventions: `query` is a one-row DataFrame holding the query vector in
+  * column `qv` (broadcast everywhere — with a query BATCH the crossJoins
+  * become broadcast joins keyed by a query id, same plans). Every top-k is
+  * `orderBy(score desc, tie asc).limit(k)` ⇒ TakeOrderedAndProject (a
+  * per-partition k-heap + driver merge, the shape ES uses per shard).
+  */
+object Search {
+
+  /** Q1 — brute-force cosine kNN: one narrow corpus scan, fused-codegen
+    * scoring, tournament top-k. `offset` reproduces the reference's
+    * `cos + 1.0` calibration. */
+  def knnBrute(corpus: DataFrame, vec: Column, query: DataFrame, k: Int,
+      tie: Column, offset: Double = 0.0): DataFrame = {
+    val s = corpus.sparkSession
+    corpus.crossJoin(broadcast(query))
+      .withColumn("score", fusedCosine(s, vec, col("qv")) + lit(offset))
+      .orderBy(desc("score"), tie.asc).limit(k)
+  }
+
+  /** IVF kNN: assign every vector to its nearest centroid (argmax cosine
+    * over the broadcast centroid table), probe the `nprobe` centroids
+    * closest to the query, brute-force only vectors in probed clusters.
+    * At lake scale the assignment is a write-time partition column and the
+    * probe prunes partitions/files. */
+  def knnIvf(corpus: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, // (cid: long-castable, c: vector)
+      query: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val s = corpus.sparkSession
+    val wAssign = Window.partitionBy("__vid").orderBy(desc("ccos"), asc("cid"))
+    val assign = corpus.select(id.as("__vid"), vec.as("__v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", fusedCosine(s, col("__v"), col("c")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("__vid"), col("cid").cast("long").as("cluster"))
+    val probe = centroids.crossJoin(broadcast(query))
+      .withColumn("qcos", fusedCosine(s, col("c"), col("qv")))
+      .orderBy(desc("qcos"), asc("cid")).limit(nprobe)
+      .select(col("cid").cast("long").as("cluster"))
+    corpus.join(assign, id === col("__vid"))
+      .join(broadcast(probe), "cluster")
+      .crossJoin(broadcast(query))
+      .withColumn("score", fusedCosine(s, vec, col("qv")))
+      .orderBy(desc("score"), id.asc).limit(k)
+  }
+
+  /** SRP-LSH kNN: hyperplane signatures banded `bands`×(nbits/bands) bits;
+    * candidates share ≥1 band with the query; exact cosine only on
+    * candidates. Recall grows with band count, precision with band width. */
+  def knnLsh(corpus: DataFrame, id: Column, vec: Column, query: DataFrame,
+      k: Int, nbits: Int = 64, bands: Int = 8): DataFrame = {
+    val s = corpus.sparkSession
+    val width = nbits / bands
+    val mask = (1L << width) - 1L
+    def banded(df: DataFrame, sig: Column): DataFrame = {
+      val bandCols = (0 until bands).map(i => concat_ws("_",
+        lit(i), shiftright(sig, i * width).bitwiseAND(lit(mask))))
+      df.withColumn("band", explode(array(bandCols: _*)))
+    }
+    val e = corpus.select(id.as("__vid"), vec.as("__v"))
+      .withColumn("sig", TextExpressions.hyperplaneSig(s, col("__v"), nbits))
+    val qBands = banded(query
+      .withColumn("sig", TextExpressions.hyperplaneSig(s, col("qv"), nbits)), col("sig"))
+      .select("band")
+    banded(e, col("sig"))
+      .join(broadcast(qBands), Seq("band"), "left_semi")
+      .select("__vid", "__v").distinct()
+      .crossJoin(broadcast(query))
+      .withColumn("score", fusedCosine(s, col("__v"), col("qv")))
+      .orderBy(desc("score"), asc("__vid")).limit(k)
+  }
+
+  /** Q2 scoring core — for each query segment find the best-cosine db
+    * segment per image (A13 argmax), then avg/max across query segments
+    * per image (A12). `qSegs` carries one vector per query segment in
+    * `qv` (+ a `qseg` id). */
+  def segmentScores(dbSegs: DataFrame, // (image_id, embedding)
+      qSegs: DataFrame): DataFrame = {
+    val s = dbSegs.sparkSession
+    dbSegs.crossJoin(broadcast(qSegs))
+      .withColumn("cos", fusedCosine(s, col("qv"), col("embedding")))
+      .groupBy("image_id", "qseg").agg(max("cos").as("best"))
+      .groupBy("image_id")
+      .agg(avg("best").as("avg_sim"), max("best").as("max_sim"))
+  }
+
+  /** Q3 combine — weighted two-stage score with the reference's
+    * missing-segment→0.0 default (`search_with_segments.py:427,430`). */
+  def hybridCombine(whole: DataFrame, // (image_id, whole_score)
+      seg: DataFrame, // (image_id, avg_sim)
+      wWhole: Double, wSeg: Double, k: Int): DataFrame =
+    whole.join(seg, Seq("image_id"), "left")
+      .withColumn("seg_score", coalesce(col("avg_sim"), lit(0.0)))
+      .withColumn("hybrid_score",
+        col("whole_score") * wWhole + col("seg_score") * wSeg)
+      .orderBy(desc("hybrid_score"), asc("image_id")).limit(k)
+
+  /** Q4 — tag search with per-object conjunction (tag ∈ set AND conf ≥
+    * minConf on the SAME segment row); deterministic score = max matching
+    * confidence (documented BM25 replacement, SURVEY.md §7.4). */
+  def tagSearch(segTable: DataFrame, // (image_id, tag, conf)
+      tags: Seq[String], minConf: Double, k: Int): DataFrame =
+    segTable
+      .filter(col("tag").isin(tags: _*) && col("conf") >= minConf)
+      .groupBy("image_id")
+      .agg(count(lit(1)).as("n_matched"), max("conf").as("best_conf"))
+      .orderBy(desc("best_conf"), asc("image_id")).limit(k)
+}

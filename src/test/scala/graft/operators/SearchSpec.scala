@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The generic Search API on a hand-built corpus (two tight clusters
+  * around orthogonal axes). */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def v(x: Double, y: Double, z: Double) = Seq(x.toFloat, y.toFloat, z.toFloat)
+  private lazy val corpus = Seq(
+    (1L, v(1, 0.01, 0)), (2L, v(1, 0.02, 0)), (3L, v(1, 0.03, 0)), // cluster A
+    (4L, v(0, 0.01, 1)), (5L, v(0, 0.02, 1)), (6L, v(0, 0.03, 1))  // cluster B
+  ).toDF("id", "vec")
+  private lazy val query = Seq(Tuple1(v(1, 0, 0))).toDF("qv")
+
+  test("knnBrute: exact ranking with offset calibration") {
+    val r = Search.knnBrute(corpus, $"vec", query, k = 3, tie = $"id", offset = 1.0)
+      .select("id", "score").as[(Long, Double)].collect()
+    assert(r.map(_._1).toSeq === Seq(1L, 2L, 3L), "cluster A ranks first")
+    assert(r.forall(p => p._2 > 1.9 && p._2 <= 2.0), "cos+1 calibration")
+  }
+
+  test("knnIvf: probing the right centroid reproduces brute-force top-k") {
+    val cents = Seq((0L, v(1, 0.02, 0).map(_.toDouble)), (1L, v(0, 0.02, 1).map(_.toDouble)))
+      .toDF("cid", "c")
+    val ivf = Search.knnIvf(corpus, $"id", $"vec", cents, query, nprobe = 1, k = 3)
+      .select("id").as[Long].collect().toSeq
+    val brute = Search.knnBrute(corpus, $"vec", query, k = 3, tie = $"id")
+      .select("id").as[Long].collect().toSeq
+    assert(ivf === brute)
+  }
+
+  test("knnLsh: candidates are a corpus subset, ranking exact on candidates") {
+    val r = Search.knnLsh(corpus, $"id", $"vec", query, k = 6)
+      .select($"__vid", $"score").as[(Long, Double)].collect()
+    assert(r.nonEmpty && r.map(_._1).toSet.subsetOf((1L to 6L).toSet))
+    assert(r.sortBy(-_._2).toSeq === r.toSeq, "sorted by exact cosine")
+    assert(r.head._1 === 1L, "nearest neighbor survives bucketing")
+  }
+
+  test("tagSearch: per-object conjunction and max-confidence score") {
+    val segTable = Seq(
+      (10L, "sky", 0.9), (10L, "tree", 0.05), // sky matches; tree below conf
+      (11L, "tree", 0.4), (11L, "sky", 0.02), // tree matches
+      (12L, "car", 0.9) // tag not in query
+    ).toDF("image_id", "tag", "conf")
+    val r = Search.tagSearch(segTable, Seq("sky", "tree"), minConf = 0.1, k = 10)
+      .select("image_id", "n_matched", "best_conf")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(r === Seq((10L, 1L, 0.9), (11L, 1L, 0.4)))
+  }
+
+  test("hybridCombine: weights and missing-segment default") {
+    val whole = Seq((1L, 0.9), (2L, 0.5)).toDF("image_id", "whole_score")
+    val seg = Seq((2L, 1.0)).toDF("image_id", "avg_sim") // image 1 has no segs
+    val r = Search.hybridCombine(whole, seg, 0.4, 0.6, k = 2)
+      .select("image_id", "hybrid_score").as[(Long, Double)].collect().toMap
+    assert(math.abs(r(1L) - 0.36) < 1e-12, "missing segment → 0.0")
+    assert(math.abs(r(2L) - 0.8) < 1e-12)
+  }
+}
