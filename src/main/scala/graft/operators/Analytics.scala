@@ -240,6 +240,17 @@ object Analytics {
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
       .orderBy("h", "event_type")
 
+  /** SLIDING-window counts (1-hour window, 30-minute slide): every event
+    * lands in exactly 2 overlapping windows. Spark's `window()` generator
+    * expands the assignment inline (no self-join); the oracle reproduces
+    * it by unnesting the two window starts per event. */
+  def evtSliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type")
+
   /** Gap-based sessionization (30 min): new-session flag via lag, session
     * id via running sum — the standard shuffle-once formulation (both
     * windows share one partitioning, so Spark sorts each user partition
@@ -291,6 +302,7 @@ object Analytics {
     "win_running_sum" -> winRunningSum,
     "win_lag_delta" -> winLagDelta,
     "evt_tumbling" -> evtTumbling,
+    "evt_sliding" -> evtSliding,
     "evt_session" -> evtSession,
     "evt_json" -> evtJson)
 
@@ -399,6 +411,13 @@ object Analytics {
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY h, event_type ORDER BY h, event_type""",
+    "evt_sliding" ->
+      """WITH sw AS (
+           SELECT event_type,
+             time_bucket(INTERVAL 30 MINUTE, ts) - unnest([INTERVAL 0 MINUTE, INTERVAL 30 MINUTE]) AS ws
+           FROM events)
+         SELECT ws, event_type, count(*) AS n
+         FROM sw GROUP BY ws, event_type ORDER BY ws, event_type""",
     "evt_session" ->
       """WITH x AS (
            SELECT user_id, ts, event_id,

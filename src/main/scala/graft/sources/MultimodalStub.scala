@@ -36,6 +36,30 @@ object MultimodalStub {
     }
   }
 
+  case class ResizedMedia(doc_id: Long, orig_bytes: Long, new_bytes: Long,
+      scale: Double, payload: Array[Byte])
+
+  /** Resize stand-in (the reference caps images at 800/1024 px,
+    * `/root/reference/SAM/sam_segment_clip_pipeline.py:157-184`): without
+    * codecs, "resize to fit budget" is a stride byte-downsample — but the
+    * contract is the real one: pure per-row map, payload in / smaller
+    * payload out + provenance metadata, streaming through mapPartitions
+    * with no materialization. df must have (doc_id: long, payload: binary). */
+  def resizeStub(df: DataFrame, maxBytes: Int = 1024): Dataset[ResizedMedia] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val n = bytes.length
+        if (n <= maxBytes) ResizedMedia(id, n, n, 1.0, bytes)
+        else {
+          val stride = math.ceil(n.toDouble / maxBytes).toInt
+          val out = Array.tabulate((n + stride - 1) / stride)(i => bytes(i * stride))
+          ResizedMedia(id, n, out.length, out.length.toDouble / n, out)
+        }
+      })
+  }
+
   /** df must have (doc_id: long, payload: binary). */
   def decodeAndEmbed(df: DataFrame, dim: Int = 16): Dataset[MediaFeature] = {
     val spark = df.sparkSession

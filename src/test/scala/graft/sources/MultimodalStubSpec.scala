@@ -27,6 +27,16 @@ class MultimodalStubSpec extends SparkSpec {
     assert(cos.forall(c => math.abs(c - 1.0) < 1e-6))
   }
 
+  test("resizeStub: under-budget passthrough, over-budget stride-downsample") {
+    val big = Array.tabulate(1000)(_.toByte)
+    val df = Seq((1L, Array[Byte](1, 2, 3)), (2L, big)).toDF("doc_id", "payload")
+    val rows = MultimodalStub.resizeStub(df, maxBytes = 100).collect().sortBy(_.doc_id)
+    assert(rows(0).scale === 1.0 && rows(0).payload.toSeq === Seq[Byte](1, 2, 3))
+    assert(rows(1).orig_bytes === 1000L && rows(1).new_bytes === 100L)
+    assert(rows(1).payload.length === 100)
+    assert(rows(1).payload(1) === 10.toByte, "stride sampling keeps every 10th byte")
+  }
+
   test("decodeAndEmbed survives empty partitions and empty payloads") {
     val df = Seq((1L, Array.empty[Byte])).toDF("doc_id", "payload").repartition(8)
     val rows = MultimodalStub.decodeAndEmbed(df, dim = 4).collect()
