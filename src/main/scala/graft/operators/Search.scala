@@ -84,6 +84,26 @@ object Search {
       .orderBy(desc("score"), asc("__vid")).limit(k)
   }
 
+  /** Batched kNN — N query vectors against the corpus in ONE plan: the
+    * query table (qid, qv) broadcasts, scoring is the same fused kernel,
+    * and per-query top-k comes from a rank window partitioned by qid (one
+    * shuffle by qid instead of N separate jobs). This is the production
+    * shape for offline retrieval evaluation / bulk similarity suggestion
+    * (SRS §4.2): at 1000 executors the corpus is scanned once regardless
+    * of the batch size. */
+  def knnBatch(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, // (qid, qv)
+      k: Int): DataFrame = {
+    val s = corpus.sparkSession
+    val w = Window.partitionBy("qid").orderBy(desc("score"), col("__vid").asc)
+    corpus.select(id.as("__vid"), vec.as("__v"))
+      .crossJoin(broadcast(queries))
+      .withColumn("score", fusedCosine(s, col("__v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("__vid").as("id"), col("score"), col("rank"))
+  }
+
   /** Q2 scoring core — for each query segment find the best-cosine db
     * segment per image (A13 argmax), then avg/max across query segments
     * per image (A12). `qSegs` carries one vector per query segment in

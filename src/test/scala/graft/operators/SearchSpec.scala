@@ -41,6 +41,18 @@ class SearchSpec extends SparkSpec {
     assert(r.head._1 === 1L, "nearest neighbor survives bucketing")
   }
 
+  test("knnBatch: per-query top-k in one plan matches per-query brute force") {
+    val queries = Seq((100L, v(1, 0, 0)), (200L, v(0, 0, 1))).toDF("qid", "qv")
+    val batch = Search.knnBatch(corpus, $"id", $"vec", queries, k = 2)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    val singles = Seq(100L -> v(1, 0, 0), 200L -> v(0, 0, 1)).flatMap { case (qid, qv) =>
+      Search.knnBrute(corpus, $"vec", Seq(Tuple1(qv)).toDF("qv"), k = 2, tie = $"id")
+        .select("id").as[Long].collect().zipWithIndex
+        .map { case (id, i) => (qid, id, i + 1) }
+    }.sorted
+    assert(batch === singles)
+  }
+
   test("tagSearch: per-object conjunction and max-confidence score") {
     val segTable = Seq(
       (10L, "sky", 0.9), (10L, "tree", 0.05), // sky matches; tree below conf

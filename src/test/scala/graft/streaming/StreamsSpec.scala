@@ -140,6 +140,25 @@ class StreamsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "view", 1.0), (2L, "click", 9.0), (3L, "view", 3.0)))
   }
 
+  test("dedupedByContent: token-identical docs dropped across micro-batches") {
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.dedupedByContent(
+        input.toDF().toDF("id", "text"), "text")
+      .writeStream.format("memory").queryName("cdedup_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq((1L, "the quick brown fox"), (2L, "totally different words")))
+      q.processAllAvailable()
+      input.addData(Seq(
+        (3L, "the quick brown fox"), // exact dup of 1, later batch
+        (4L, "THE Quick BROWN fox"), // case-normalized dup of 1
+        (5L, "a genuinely new document")))
+      q.processAllAvailable()
+      val ids = spark.table("cdedup_sink").select("id").as[Long].collect().toSet
+      assert(ids === Set(1L, 2L, 5L), s"dups 3,4 dropped: $ids")
+    } finally q.stop()
+  }
+
   test("fileIngest: streaming file source reads the events shape") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     evs.take(3).toDF().write.parquet(s"$dir/in")
