@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Time-aligned join utilities — the operator family Spark's DataFrame API
+  * lacks natively (the classic "custom operator" candidates). Built by
+  * COMPOSITION per the preference order (SURVEY.md §7.3 / spark guide):
+  * the union + running-window formulation is a single shuffle on the join
+  * keys and needs no custom LogicalPlan/Strategy, no per-row subqueries,
+  * and no range-explode — the shape that scales to misaligned event
+  * streams at 100 TB.
+  */
+object Joins {
+
+  /** AS-OF (backward) join: for every left row, the most recent right row
+    * with `rightTs ≤ leftTs` in the same key group.
+    *
+    * Mechanics: tag both sides, union by name, ONE window pass per key
+    * ordered by (ts, side, tiebreak) carrying `last(right-payload,
+    * ignoreNulls)` and a running right-row count, then keep left rows.
+    * Right rows at the same timestamp as a left row sort first (side 0 <
+    * 1) ⇒ inclusive ≤ semantics; `tiebreak` makes equal-timestamp right
+    * rows deterministic.
+    *
+    * Output: left.* + `asof_<c>` for each requested right column +
+    * `n_prior` (how many right rows preceded). Unmatched left rows get
+    * NULLs and n_prior = 0 (left-outer semantics).
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      tiebreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_t", col(leftTs))
+      .withColumn("_side", lit(1))
+      .withColumn("_tb", lit(null).cast(right.schema(tiebreak).dataType))
+      .withColumn("_rv", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          rightVals.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))))
+    val r = right
+      .withColumn("_t", col(rightTs))
+      .withColumn("_side", lit(0))
+      .withColumn("_tb", col(tiebreak))
+      .withColumn("_rv", struct(rightVals.map(col): _*))
+      .select((keys ++ Seq("_t", "_side", "_tb", "_rv")).map(col): _*)
+    val unioned = l.select((keys ++ Seq("_t", "_side", "_tb", "_rv")).map(col)
+      ++ leftCols.filterNot(keys.contains).map(col): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc, col("_side").asc, col("_tb").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = unioned
+      .withColumn("_last_rv", last(col("_rv"), ignoreNulls = true).over(w))
+      .withColumn("n_prior", sum(when(col("_side") === 0, 1L).otherwise(0L)).over(w))
+      .filter(col("_side") === 1)
+    rightVals.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"asof_$c", col("_last_rv").getField(c))
+    }.select((leftCols ++ rightVals.map(c => s"asof_$c") :+ "n_prior").map(col): _*)
+  }
+
+  /** Oracle-checked binding: each click event joined to the user's most
+    * recent preceding error event. */
+  def asofClickError(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_ts"), col("event_id").as("err_id"))
+    asOf(clicks, errors, keys = Seq("user_id"),
+      leftTs = "ts", rightTs = "err_ts",
+      rightVals = Seq("err_ts"), tiebreak = "err_id")
+      .select(col("event_id"), col("user_id"),
+        col("asof_err_ts").as("last_error_ts"),
+        col("n_prior").as("errors_so_far"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof" -> asofClickError)
+
+  val oracleSql: Map[String, String] = Map(
+    "join_asof" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         e AS (SELECT user_id, ts AS ets FROM events WHERE event_type = 'error')
+         SELECT c.event_id, c.user_id,
+           max(e.ets) AS last_error_ts,
+           count(e.ets) AS errors_so_far
+         FROM c LEFT JOIN e ON e.user_id = c.user_id AND e.ets <= c.ts
+         GROUP BY c.event_id, c.user_id
+         ORDER BY c.event_id""")
+}

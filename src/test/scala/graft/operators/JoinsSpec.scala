@@ -1,0 +1,56 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+
+  test("asOf: backward inclusive match, tiebreak, unmatched nulls, running count") {
+    val left = Seq(
+      (1L, 10L, ts(5)),   // after r1/r2 (same ts!) → tiebreak picks rid 2
+      (2L, 10L, ts(10)),  // exactly AT r3's ts → inclusive ≤ matches r3
+      (3L, 10L, ts(1)),   // before any right row → nulls, n_prior 0
+      (4L, 20L, ts(9))    // other key, single right row at ts 7
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (1L, 10L, ts(3), "a"),
+      (2L, 10L, ts(3), "b"),  // same ts as rid 1 → deterministic by rid
+      (3L, 10L, ts(10), "c"),
+      (4L, 20L, ts(7), "d"),
+      (5L, 30L, ts(0), "e")   // key with no left rows
+    ).toDF("rid", "k", "rt", "v")
+
+    val out = Joins.asOf(left, right, keys = Seq("k"),
+      leftTs = "t", rightTs = "rt", rightVals = Seq("v", "rt"), tiebreak = "rid")
+      .select("id", "asof_v", "n_prior")
+      .as[(Long, Option[String], Long)].collect().sortBy(_._1).toSeq
+
+    assert(out === Seq(
+      (1L, Some("b"), 2L),   // both ts(3) rows precede; last by rid = "b"
+      (2L, Some("c"), 3L),   // inclusive at equal timestamp
+      (3L, None, 0L),
+      (4L, Some("d"), 1L)))
+  }
+
+  test("asOf binding matches a brute-force computation on real events") {
+    val d = "/root/testdata/sf0.001"
+    val out = Joins.asofClickError(spark, d)
+      .as[(Long, Long, Option[Timestamp], Long)].collect()
+    assert(out.nonEmpty)
+    // brute force for a handful of rows
+    val ev = graft.Tables.events(spark, d)
+      .select("event_id", "user_id", "ts", "event_type")
+      .as[(Long, Long, Timestamp, String)].collect()
+    val errors = ev.filter(_._4 == "error")
+    out.take(20).foreach { case (eid, uid, lastErr, n) =>
+      val click = ev.find(_._1 == eid).get
+      val prior = errors.filter(e => e._2 == uid && !e._3.after(click._3))
+      assert(n === prior.length, s"event $eid prior-error count")
+      assert(lastErr === prior.sortBy(_._3.getTime).lastOption.map(_._3), s"event $eid")
+    }
+  }
+}
