@@ -39,7 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("graft_minhash_agree", "_FUNC_(sigA, sigB) - fraction of agreeing MinHash slots (Jaccard estimate)",
       es => MinHashAgreeExpr(es(0), es(1))),
     ("graft_shingle_hashes", "_FUNC_(tokens, n) - distinct word-n-gram shingle hashes",
-      es => ShingleHashSetExpr(es(0), es(1).eval().asInstanceOf[Number].intValue())))
+      es => ShingleHashSetExpr(es(0), es(1).eval().asInstanceOf[Number].intValue())),
+    ("graft_hyperplane_sig", "_FUNC_(vec, nbits) - sign-random-projection LSH signature",
+      es => HyperplaneSigExpr(es(0), es(1).eval().asInstanceOf[Number].intValue())))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, usage, builder) =>

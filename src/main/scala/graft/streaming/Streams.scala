@@ -86,6 +86,24 @@ object Streams {
   def enriched(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("event_type"), "left")
 
+  /** STREAM-STREAM interval join: each left event matched to right events
+    * of the same key within `[lts − lookback, lts]`. Both sides carry
+    * watermarks and the join has a time BOUND, so Spark can expire state:
+    * per-key buffered rows older than watermark+lookback are dropped —
+    * the requirement for an unbounded two-stream join to run forever.
+    * Column names on the two sides must be disjoint apart from `key`. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      lts: String, rts: String, lookback: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    left.withWatermark(lts, watermark)
+      .join(right.withWatermark(rts, watermark), expr(
+        s"""$key = __rk AND $rts BETWEEN $lts - INTERVAL $lookback AND $lts"""))
+
+  /** Right-side prep for [[intervalJoin]]: rename the key so the join
+    * condition can reference both sides unambiguously. */
+  def intervalRight(right: DataFrame, key: String): DataFrame =
+    right.withColumnRenamed(key, "__rk")
+
   def withEventWatermark(events: DataFrame, delay: String = "2 hours"): DataFrame =
     events.withWatermark("ts", delay)
 

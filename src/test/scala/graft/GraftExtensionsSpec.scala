@@ -27,7 +27,8 @@ class GraftExtensionsSpec extends SparkSpec {
                   size(graft_minhash(array('a','b'), 16)) AS mh,
                   graft_simhash(array('a','b')) AS sh,
                   graft_minhash_agree(array(1L, 2L), array(1L, 3L)) AS agree,
-                  size(graft_shingle_hashes(array('a','b','c','d'), 3)) AS nsh
+                  size(graft_shingle_hashes(array('a','b','c','d'), 3)) AS nsh,
+                  graft_hyperplane_sig(array(1.0D, -2.0D, 3.0D), 32) AS hp
         """).head()
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
       assert(math.abs(r.getDouble(1) - 11.0) < 1e-12)

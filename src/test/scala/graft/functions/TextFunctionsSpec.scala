@@ -127,6 +127,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(two(0) === two(1))
   }
 
+  test("native expressions: null/edge inputs") {
+    import graft.functions.TextExpressions._
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq.empty[String])
+    ).toDF("id", "toks")
+      .union(Seq((3L, null.asInstanceOf[Seq[String]])).toDF("id", "toks"))
+    val r = df.select($"id",
+        minhashSig(spark, $"toks", 4).as("mh"),
+        simhash64(spark, $"toks").as("sh"),
+        shingleHashes(spark, $"toks", 3).as("shg"))
+      .orderBy("id").collect()
+    assert(!r(0).isNullAt(1) && !r(0).isNullAt(2) && !r(0).isNullAt(3))
+    // empty array: minhash = all MaxValue (aggregate init), simhash 0, 1 shingle
+    assert(r(1).getSeq[Long](1).forall(_ == Long.MaxValue))
+    assert(r(1).getLong(2) === 0L)
+    assert(r(1).getSeq[Long](3).length === 1)
+    // null array propagates null
+    assert(r(2).isNullAt(1) && r(2).isNullAt(2) && r(2).isNullAt(3))
+    // null ELEMENTS are skipped, not fatal
+    val withNullElem = spark.sql(
+      "SELECT graft_minhash(array('a', CAST(NULL AS STRING), 'b'), 4) AS m, " +
+      "graft_minhash(array('a', 'b'), 4) AS m2")
+    val row = withNullElem.head()
+    assert(row.getSeq[Long](0) === row.getSeq[Long](1))
+  }
+
   test("HyperplaneSigExpr: deterministic, angular-distance-sensitive") {
     val base = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
     val near = base.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }

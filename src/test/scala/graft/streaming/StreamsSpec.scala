@@ -140,6 +140,25 @@ class StreamsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "view", 1.0), (2L, "click", 9.0), (3L, "view", 3.0)))
   }
 
+  test("intervalJoin: stream-stream join within the time bound only") {
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val errors = MemoryStream[(Long, Long, Timestamp)]
+    val joined = Streams.intervalJoin(
+      clicks.toDF().toDF("click_id", "user_id", "cts"),
+      Streams.intervalRight(errors.toDF().toDF("err_id", "user_id", "ets"), "user_id"),
+      key = "user_id", lts = "cts", rts = "ets")
+    val q = joined.select("click_id", "err_id")
+      .writeStream.format("memory").queryName("ssj_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      errors.addData(Seq((100L, 10L, ts(5)), (101L, 10L, ts(40)), (102L, 20L, ts(9))))
+      clicks.addData(Seq((1L, 10L, ts(10)))) // err 100 within 10min, 101 after, 102 other user
+      q.processAllAvailable()
+      val pairs = spark.table("ssj_sink").as[(Long, Long)].collect().toSet
+      assert(pairs === Set((1L, 100L)), s"only in-window same-user error joins: $pairs")
+    } finally q.stop()
+  }
+
   test("dedupedByContent: token-identical docs dropped across micro-batches") {
     val input = MemoryStream[(Long, String)]
     val q = Streams.dedupedByContent(
