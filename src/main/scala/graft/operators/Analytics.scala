@@ -240,6 +240,16 @@ object Analytics {
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
       .orderBy("h", "event_type")
 
+  /** ROLLUP aggregation — (year, month) order counts with subtotals per
+    * year and a grand total. The reference has no grouping-sets notion
+    * (SURVEY.md §2.4); Spark's rollup is a single pass emitting all
+    * grouping levels (one Expand + one aggregate, not three jobs). */
+  def rollupCounts(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("yr"), asc_nulls_first("mo"))
+
   /** SLIDING-window counts (1-hour window, 30-minute slide): every event
     * lands in exactly 2 overlapping windows. Spark's `window()` generator
     * expands the assignment inline (no self-join); the oracle reproduces
@@ -301,6 +311,7 @@ object Analytics {
     "set_intersect" -> setIntersect,
     "win_running_sum" -> winRunningSum,
     "win_lag_delta" -> winLagDelta,
+    "agg_rollup" -> rollupCounts,
     "evt_tumbling" -> evtTumbling,
     "evt_sliding" -> evtSliding,
     "evt_session" -> evtSession,
@@ -411,6 +422,10 @@ object Analytics {
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY h, event_type ORDER BY h, event_type""",
+    "agg_rollup" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, count(*) AS n
+         FROM orders GROUP BY ROLLUP (yr, mo)
+         ORDER BY yr NULLS FIRST, mo NULLS FIRST""",
     "evt_sliding" ->
       """WITH sw AS (
            SELECT event_type,
