@@ -122,6 +122,20 @@ object Retrieval {
       .select(col("__vid").as("vec_id"), round(col("score"), 6).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
 
+  /** T1/T2/V5 — the reference's mask selection (sort by area desc, keep
+    * ≤max_segments, drop tiny areas; `sam_segment_clip_pipeline.py:182,361`,
+    * `extract_sam_clip_features.py:65-78`) as a rank window per image.
+    * Area is a deterministic synthetic (no pixel data in testdata). */
+  def segAreaTopk(s: SparkSession, d: String): DataFrame =
+    segs(s, d)
+      .withColumn("area", (col("vec_id") * 131 % 997 + 100).cast("long"))
+      .filter(col("area") >= 150)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("image_id").orderBy(desc("area"), asc("seg_id"))))
+      .filter(col("rnk") <= 3)
+      .select("image_id", "seg_id", "area", "rnk")
+      .orderBy("image_id", "rnk")
+
   // --- Q2 — segment-level match ---------------------------------------------
 
   /** Per-candidate-image segment scores: for each query segment the best
@@ -273,6 +287,7 @@ object Retrieval {
     "q3_hybrid" -> q3Hybrid,
     "q4_tags" -> q4Tags,
     "q4_tags_nested" -> q4TagsNested,
+    "seg_area_topk" -> segAreaTopk,
     "q5_segment_table" -> q5SegmentTable,
     "zs_tags" -> zsTags,
     "agg_vector_mean" -> aggVectorMean)
@@ -378,6 +393,15 @@ object Retrieval {
          SELECT image_id, count(*) AS n_matched, max(conf) AS best_conf
          FROM segs WHERE tag IN ('lbl_3', 'lbl_7') AND conf >= 0.1
          GROUP BY image_id ORDER BY best_conf DESC, image_id LIMIT 10""",
+    "seg_area_topk" ->
+      s"""WITH $segsSql,
+         a AS (SELECT image_id, seg_id, CAST(vec_id * 131 % 997 + 100 AS BIGINT) AS area
+           FROM segs),
+         r AS (SELECT image_id, seg_id, area,
+             row_number() OVER (PARTITION BY image_id ORDER BY area DESC, seg_id) AS rnk
+           FROM a WHERE area >= 150)
+         SELECT image_id, seg_id, area, CAST(rnk AS INT) AS rnk
+         FROM r WHERE rnk <= 3 ORDER BY image_id, rnk""",
     "q4_tags_nested" ->
       s"""WITH $segsSql,
          n AS (SELECT image_id, count(*) AS n_segments FROM segs GROUP BY image_id),
