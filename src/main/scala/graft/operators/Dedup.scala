@@ -85,9 +85,15 @@ object Dedup {
     * rows; on a duplicate-heavy corpus that quadratic blow-up, not the
     * hashing, is the bottleneck. The representative's cluster size rides
     * along as `n_docs_*`. Standard production-LSH layout. */
+  /** @param topK when > 0, the caller only wants the global top-`topK`
+    *   pairs by (est_jaccard desc, doc_a, doc_b): a pair appears at most
+    *   `bands` times in the band join, so taking the top `bands·topK`
+    *   multiplied rows with a TakeOrdered heap (no shuffle) provably
+    *   contains the top-`topK` distinct pairs — the full-corpus distinct
+    *   of every candidate pair (the dominant shuffle) is skipped. */
   def minhashPairs(df: DataFrame, id: Column, text: Column, block: Column,
       k: Int = 64, bands: Int = 16, rows: Int = 4,
-      minEst: Double = 0.5): DataFrame = {
+      minEst: Double = 0.5, topK: Int = 0): DataFrame = {
     val s = df.sparkSession
     val sigs = df
       .select(id.as("doc_id"), block.as("blk"),
@@ -104,7 +110,7 @@ object Dedup {
         explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("doc_id"), col("n_docs"), col("sig"),
         concat_ws("_", col("blk"), col("bk")).as("band"))
-    banded.as("x").join(banded.as("y"), col("x.band") === col("y.band"))
+    val scored = banded.as("x").join(banded.as("y"), col("x.band") === col("y.band"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       // Score per matching band-row with the codegen'd agreement kernel
       // (cheap: k long compares), then distinct on the narrow result —
@@ -113,7 +119,12 @@ object Dedup {
         TextExpressions.minhashAgree(s, col("x.sig"), col("y.sig")).as("est_jaccard"),
         col("x.n_docs").as("n_docs_a"), col("y.n_docs").as("n_docs_b"))
       .filter(col("est_jaccard") >= minEst)
-      .distinct()
+    if (topK > 0)
+      scored
+        .orderBy(desc("est_jaccard"), asc("doc_a"), asc("doc_b"))
+        .limit(bands * topK) // TakeOrdered heap over multiplied rows
+        .distinct()
+    else scored.distinct()
   }
 
   /** SimHash near-dup pairs → (doc_a, doc_b, hamming). 64-bit token
@@ -174,7 +185,7 @@ object Dedup {
       .orderBy(desc("jac"), asc("doc_a"), asc("doc_b")).limit(20)
 
   def minhashLsh(s: SparkSession, d: String): DataFrame =
-    minhashPairs(blocked(s, d), col("doc_id"), col("text"), col("blk"))
+    minhashPairs(blocked(s, d), col("doc_id"), col("text"), col("blk"), topK = 50)
       .orderBy(desc("est_jaccard"), asc("doc_a"), asc("doc_b")).limit(50)
 
   def simhash(s: SparkSession, d: String): DataFrame =

@@ -52,6 +52,18 @@ class DedupSpec extends SparkSpec {
     assert(m.get((1L, 3L)).exists(_ <= 16L), s"near-dup close in hamming: $pairs")
   }
 
+  test("minhashPairs topK hint: identical top-k to the full-distinct path") {
+    val d = "/root/testdata/sf0.001"
+    val blk = graft.Tables.documents(spark, d)
+      .withColumn("blk", concat_ws("_", col("lang"), expr("n_chars DIV 100")))
+    def top(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(desc("est_jaccard"), asc("doc_a"), asc("doc_b")).limit(10)
+      .collect().toSeq
+    val full = top(Dedup.minhashPairs(blk, $"doc_id", $"text", $"blk"))
+    val hinted = top(Dedup.minhashPairs(blk, $"doc_id", $"text", $"blk", topK = 10))
+    assert(hinted === full)
+  }
+
   test("embeddingPairs: cosine ground truth on unit vectors") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))
