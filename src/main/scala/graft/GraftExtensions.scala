@@ -23,7 +23,9 @@ import graft.functions._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      /* arguments */ "", /* examples */ "", /* note */ "", /* group */ "misc_funcs",
+      /* since */ "0.1.0", /* deprecated */ "", /* source */ "built-in")
 
   private val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_dot", "_FUNC_(a, b) - dot product of two float/double arrays",

@@ -52,6 +52,18 @@ object Etl {
         floor(col("value")).cast("long").as("value_int"))
       .orderBy("event_id")
 
+  /** R1 — deterministic sampling. The reference seeds Python's PRNG
+    * (`random.seed(42)`, sam_segment_clip_pipeline.py:150-151); cross-
+    * runtime PRNG equality is impossible (SURVEY.md §7.4), so the engine
+    * samples by CONTENT HASH instead: stable across runtimes, insert
+    * order, and partitioning — the property a reproducible training-data
+    * split actually needs. Keeps ~2/16 of rows (md5 first hex digit). */
+  def hashSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
   /** P6/P7 — URL → basename → stem (update_label_paths.py:7-16). */
   def urlFilename(s: SparkSession, d: String): DataFrame = {
     val url = concat(lit("https://archive.example.org/photos/"), col("source"),
@@ -110,6 +122,7 @@ object Etl {
     "etl_prefix_split" -> prefixSplit,
     "etl_cell_cleanse" -> cellCleanse,
     "etl_safe_cast" -> safeCast,
+    "etl_hash_sample" -> hashSample,
     "etl_url_filename" -> urlFilename,
     "etl_regex_year" -> regexYear,
     "etl_keyword_match" -> keywordMatch,
@@ -125,6 +138,10 @@ object Etl {
          CASE WHEN contains(text, 'slow') THEN '' ELSE substr(text, 1, 40) END AS text_clean,
          CASE WHEN trim(lang) = '' OR lang IN ('zh') THEN 'NA' ELSE lang END AS lang_filled
          FROM documents ORDER BY doc_id""",
+    "etl_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+         ORDER BY doc_id""",
     "etl_safe_cast" ->
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
