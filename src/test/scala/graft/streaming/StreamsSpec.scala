@@ -178,6 +178,22 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startUpsertStream: full writeStream wiring upserts across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upstream").toString
+    val input = MemoryStream[Ev]
+    val q = Streams.startUpsertStream(input.toDF(), s"$dir/target", s"$dir/ckpt")
+    try {
+      input.addData(Seq(Ev(1L, ts(0), 10L, "view", 1.0)))
+      q.processAllAvailable()
+      input.addData(Seq(Ev(1L, ts(2), 10L, "click", 5.0), Ev(2L, ts(3), 11L, "view", 2.0)))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/target")
+        .select("event_id", "event_type").orderBy("event_id")
+        .as[(Long, String)].collect().toSeq
+      assert(out === Seq((1L, "click"), (2L, "view")), "latest batch wins per key")
+    } finally q.stop()
+  }
+
   test("fileIngest: streaming file source reads the events shape") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     evs.take(3).toDF().write.parquet(s"$dir/in")
