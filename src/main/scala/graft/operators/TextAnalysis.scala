@@ -59,7 +59,9 @@ object TextAnalysis {
         col("doc_id"),
         exactFingerprint(col("text")).as("fp_exact"),
         contentFingerprint(col("toks")).as("fp_bag"),
-        size(shingles(col("toks"), 3)).cast("long").as("n_shingles"))
+        // |shingles(toks, 3)| is pure arithmetic — building the shingle
+        // strings just to count them would interpret an HOF per row
+        greatest(lit(1L), (size(col("toks")) - 2).cast("long")).as("n_shingles"))
       .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
