@@ -21,10 +21,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Etl.queries ++ Analytics.queries ++ Retrieval.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Multimodal.queries ++
-      Skew.queries ++ Joins.queries
+      Skew.queries ++ Joins.queries ++ Pipelines.queries
 
   def oracleSql: Map[String, String] =
     Etl.oracleSql ++ Analytics.oracleSql ++ Retrieval.oracleSql ++
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Multimodal.oracleSql ++
-      Skew.oracleSql ++ Joins.oracleSql
+      Skew.oracleSql ++ Joins.oracleSql ++ Pipelines.oracleSql
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** End-to-end corpus curation — the LLM-training-data pipeline the brief
+  * targets, composed from the library's layers in ONE lineage:
+  *
+  *   scan → quality signals (TextFunctions) → quality gate → language
+  *   gate → exact dedup keep-first → MinHash near-dup drop (Dedup) → out
+  *
+  * Everything before the near-dup stage is a single narrow codegen'd pass
+  * plus one window shuffle; the near-dup stage reuses the banded-LSH
+  * candidate layout. At 100 TB each stage's shuffle key is explicit
+  * (fingerprint, then band) and no stage is corpus×corpus.
+  */
+object Pipelines {
+
+  /** Survivors of the quality + language + exact-dedup stages, with the
+    * signals that decided them (oracle-checkable end to end). */
+  def curateExact(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("stop_ratio", stopwordRatio(col("toks")))
+      .withColumn("lang_pred", langIdPredict(col("toks")))
+    val gated = scored
+      .filter(col("n_tokens") >= 5 && col("lang_pred") =!= "und")
+    // exact dedup: keep the smallest doc_id per content fingerprint
+    val w = Window.partitionBy("fp").orderBy(asc("doc_id"))
+    gated
+      .withColumn("fp", exactFingerprint(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang_pred", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** Full curation: [[curateExact]] minus near-duplicates. One-pass drop:
+    * any surviving doc that appears as the GREATER id of a ≥0.9-estimated
+    * MinHash pair is removed (the smaller id stays as the cluster
+    * representative — the standard single-sweep policy; a transitive
+    * union-find refinement is an iterative extension). xxhash64-based →
+    * rows-only check; the spec pins behavior on a corpus with known dups. */
+  def curate(s: SparkSession, d: String): DataFrame = {
+    val base = curateExact(s, d)
+    val blk = Tables.documents(s, d)
+      .join(base.select("doc_id"), "doc_id") // only survivors are signed
+      .withColumn("blk", concat_ws("_", col("lang"), expr("n_chars DIV 100")))
+    val nearDupDrop = Dedup
+      .minhashPairs(blk, col("doc_id"), col("text"), col("blk"), minEst = 0.9)
+      .select(col("doc_b").as("doc_id")).distinct()
+    base.join(nearDupDrop, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate_exact" -> curateExact,
+    "pipeline_curate" -> curate)
+
+  val oracleSql: Map[String, String] = Map(
+    "pipeline_curate_exact" -> {
+      val hits = LangMarkers.map { case (l, m) =>
+        s"len(list_filter(list_distinct(toks), x -> list_contains([${m.map(x => s"'$x'").mkString(", ")}], x))) AS h_$l"
+      }.mkString(", ")
+      val best = LangMarkers.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
+      val cases = LangMarkers.map { case (l, _) =>
+        s"WHEN h_$l = best AND best > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+         h AS (SELECT doc_id, text, toks, $hits FROM t),
+         b AS (SELECT *, $best AS best FROM h),
+         lp AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE $cases ELSE 'und' END AS lang_pred
+           FROM b),
+         g AS (SELECT * FROM lp WHERE n_tokens >= 5 AND lang_pred <> 'und'),
+         r AS (SELECT doc_id, lang_pred, n_tokens,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM g)
+         SELECT doc_id, lang_pred, n_tokens FROM r WHERE rn = 1 ORDER BY doc_id"""
+    })
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("curate: near-dup stage only ever removes docs, reps survive") {
+    val exact = Pipelines.curateExact(spark, d).select("doc_id").as[Long].collect().toSet
+    val full = Pipelines.curate(spark, d).select("doc_id").as[Long].collect().toSet
+    assert(full.subsetOf(exact), "near-dup drop is a refinement")
+    assert(full.nonEmpty)
+    // every dropped doc has a surviving smaller-id near-dup partner
+    val dropped = exact -- full
+    if (dropped.nonEmpty) {
+      val blk = graft.Tables.documents(spark, d)
+        .join(exact.toSeq.toDF("doc_id"), "doc_id")
+        .withColumn("blk", org.apache.spark.sql.functions.concat_ws("_",
+          $"lang", org.apache.spark.sql.functions.expr("n_chars DIV 100")))
+      val pairs = Dedup.minhashPairs(blk, $"doc_id", $"text", $"blk", minEst = 0.9)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      dropped.foreach { id =>
+        assert(pairs.exists(_._2 == id), s"dropped $id must be a doc_b of a >=0.9 pair")
+      }
+    }
+  }
+
+  test("curateExact: quality gate and exact-dedup keep-first on known rows") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "too short"),                                    // < 5 tokens
+      (4L, "zz qq xx yy ww vv uu")                          // no lang markers → und
+    ).toDF("doc_id", "text")
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy(asc("doc_id"))
+    val out = docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("lang_pred", langIdPredict(col("toks")))
+      .filter(col("n_tokens") >= 5 && col("lang_pred") =!= "und")
+      .withColumn("fp", exactFingerprint(col("text")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L), "dup 2, short 3, und 4 all removed; first copy kept")
+  }
+}
