@@ -153,6 +153,45 @@ object Dedup {
       .distinct()
   }
 
+  /** Transitive duplicate CLUSTERING: connected components over a
+    * candidate-pair graph → (doc_id, cluster) with cluster = the smallest
+    * doc id in the component (so A≈B and B≈C land in one cluster even
+    * when A and C never paired — the refinement a one-pass doc_b drop
+    * misses).
+    *
+    * Iterated min-label propagation: each round every node adopts the
+    * minimum label in its closed neighborhood; converges in O(diameter)
+    * rounds (near-dup clusters are shallow — a handful of rounds), each
+    * round one aggregation over the edge list. Edges are symmetrized
+    * once; labels live in a small (node, label) table — at 100 TB the
+    * edge list is the only big shuffle and it is never materialized
+    * per-pair-squared. `localCheckpoint` truncates the growing lineage so
+    * round N does not replay rounds 1..N-1. */
+  def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("u").as("node"))
+      .distinct().withColumn("lbl", col("node")).localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("node", "v").withColumnRenamed("lbl", "vlbl"), "v")
+        .groupBy(col("u").as("node")).agg(min("vlbl").as("nbr_lbl"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      round += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
+  }
+
   /** Brute-force pairwise embedding cosine → (vec_a, vec_b, cos): the
     * oracle-checkable ground truth that the banded/IVF paths approximate
     * at scale. O(N²) by construction — small inputs only. */

@@ -40,21 +40,23 @@ object Pipelines {
       .orderBy("doc_id")
   }
 
-  /** Full curation: [[curateExact]] minus near-duplicates. One-pass drop:
-    * any surviving doc that appears as the GREATER id of a ≥0.9-estimated
-    * MinHash pair is removed (the smaller id stays as the cluster
-    * representative — the standard single-sweep policy; a transitive
-    * union-find refinement is an iterative extension). xxhash64-based →
+  /** Full curation: [[curateExact]] minus near-duplicates, with TRANSITIVE
+    * clustering — ≥0.9-estimated MinHash pairs are closed into connected
+    * components ([[Dedup.dupClusters]]) and exactly one representative
+    * (the smallest doc id) survives per component, so A≈B≈C collapses to
+    * one doc even when A and C never banded together. xxhash64-based →
     * rows-only check; the spec pins behavior on a corpus with known dups. */
   def curate(s: SparkSession, d: String): DataFrame = {
     val base = curateExact(s, d)
     val blk = Tables.documents(s, d)
       .join(base.select("doc_id"), "doc_id") // only survivors are signed
       .withColumn("blk", concat_ws("_", col("lang"), expr("n_chars DIV 100")))
-    val nearDupDrop = Dedup
+    val pairs = Dedup
       .minhashPairs(blk, col("doc_id"), col("text"), col("blk"), minEst = 0.9)
-      .select(col("doc_b").as("doc_id")).distinct()
-    base.join(nearDupDrop, Seq("doc_id"), "left_anti")
+    val clusters = Dedup.dupClusters(pairs)
+    base.join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+      .select("doc_id", "lang_pred", "n_tokens")
       .orderBy("doc_id")
   }
 

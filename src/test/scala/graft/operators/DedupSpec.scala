@@ -64,6 +64,21 @@ class DedupSpec extends SparkSpec {
     assert(hinted === full)
   }
 
+  test("dupClusters: transitive components, min-id representative") {
+    // chain 1-2-3, pair 10-11, chain 20-21-22-23 (longer diameter), isolated pairs
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L),
+      (30L, 31L), (31L, 32L), (30L, 32L) // triangle
+    ).toDF("doc_a", "doc_b")
+    val m = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(m(1L) === 1L && m(2L) === 1L && m(3L) === 1L, "A~B~C one cluster via transitivity")
+    assert(m(10L) === 10L && m(11L) === 10L)
+    assert(Seq(20L, 21L, 22L, 23L).map(m) === Seq(20L, 20L, 20L, 20L))
+    assert(Seq(30L, 31L, 32L).map(m) === Seq(30L, 30L, 30L))
+  }
+
   test("embeddingPairs: cosine ground truth on unit vectors") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))

@@ -20,9 +20,12 @@ class PipelinesSpec extends SparkSpec {
         .withColumn("blk", org.apache.spark.sql.functions.concat_ws("_",
           $"lang", org.apache.spark.sql.functions.expr("n_chars DIV 100")))
       val pairs = Dedup.minhashPairs(blk, $"doc_id", $"text", $"blk", minEst = 0.9)
-        .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      val clusters = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
       dropped.foreach { id =>
-        assert(pairs.exists(_._2 == id), s"dropped $id must be a doc_b of a >=0.9 pair")
+        val rep = clusters.get(id)
+        assert(rep.isDefined, s"dropped $id must be in a dup cluster")
+        assert(rep.get < id && full.contains(rep.get),
+          s"dropped $id's representative ${rep.get} must survive")
       }
     }
   }
