@@ -159,19 +159,22 @@ object Dedup {
     * when A and C never paired — the refinement a one-pass doc_b drop
     * misses).
     *
-    * Iterated min-label propagation: each round every node adopts the
-    * minimum label in its closed neighborhood; converges in O(diameter)
-    * rounds (near-dup clusters are shallow — a handful of rounds), each
-    * round one aggregation over the edge list. Edges are symmetrized
-    * once; labels live in a small (node, label) table — at 100 TB the
-    * edge list is the only big shuffle and it is never materialized
-    * per-pair-squared. `localCheckpoint` truncates the growing lineage so
-    * round N does not replay rounds 1..N-1. */
+    * Iterated min-label propagation WITH POINTER JUMPING: each round a
+    * node adopts the minimum of (its label, its neighbors' labels, its
+    * label's label). The jump term short-circuits chains, so convergence
+    * is O(log diameter) rounds instead of O(diameter) — on a near-dup
+    * chain of length 100 that is ~7 rounds, not 100. Each round is one
+    * aggregation over the edge list plus one small label-table
+    * self-join; at 100 TB the edge list is the only big shuffle and it
+    * is never materialized per-pair-squared. `localCheckpoint` truncates
+    * the growing lineage so round N does not replay rounds 1..N-1. */
   def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxRounds: Int = 20): DataFrame = {
+    // No distinct: duplicate edges are absorbed by the min-aggregation
+    // each round, so paying a distinct shuffle up front buys nothing.
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct().localCheckpoint()
+      .localCheckpoint()
     var labels = edges.select(col("u").as("node"))
       .distinct().withColumn("lbl", col("node")).localCheckpoint()
     var changed = 1L
@@ -180,9 +183,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels.withColumnRenamed("node", "v").withColumnRenamed("lbl", "vlbl"), "v")
         .groupBy(col("u").as("node")).agg(min("vlbl").as("nbr_lbl"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
+      // pointer jump: the label of my current label
+      val jump = labels
+        .join(labels.select(col("node").as("lbl"), col("lbl").as("jlbl")), Seq("lbl"))
+        .select(col("node"), col("jlbl"))
+      val next = labels
+        .join(nbrMin, Seq("node"), "left")
+        .join(jump, Seq("node"), "left")
         .select(col("node"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"),
+            coalesce(col("nbr_lbl"), col("lbl")),
+            coalesce(col("jlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
         .filter(col("lbl") =!= col("old")).count()

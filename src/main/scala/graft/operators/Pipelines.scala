@@ -47,7 +47,9 @@ object Pipelines {
     * one doc even when A and C never banded together. xxhash64-based →
     * rows-only check; the spec pins behavior on a corpus with known dups. */
   def curate(s: SparkSession, d: String): DataFrame = {
-    val base = curateExact(s, d)
+    // base feeds both the signing input and the final join — materialize
+    // once instead of recomputing the quality/langid scan per consumer
+    val base = curateExact(s, d).localCheckpoint()
     val blk = Tables.documents(s, d)
       .join(base.select("doc_id"), "doc_id") // only survivors are signed
       .withColumn("blk", concat_ws("_", col("lang"), expr("n_chars DIV 100")))
