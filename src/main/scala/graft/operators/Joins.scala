@@ -62,6 +62,45 @@ object Joins {
     }.select((leftCols ++ rightVals.map(c => s"asof_$c") :+ "n_prior").map(col): _*)
   }
 
+  /** RANGE (interval-containment) join with NO equi key: match every
+    * point row to every interval row with `start ≤ ts ≤ end`.
+    *
+    * A naive theta-join is |points|×|intervals|; instead both sides are
+    * binned to fixed-width time buckets — intervals explode into one row
+    * per overlapped bucket — and the join becomes an EQUI-join on the
+    * bucket plus an exact containment filter. Shuffle volume is
+    * O(points + Σ interval-spans/binWidth); a (point, interval) pair can
+    * only meet in the point's own bucket, so no dedup is needed.
+    * `binWidthSec` should be on the order of the typical interval length
+    * (too small explodes intervals, too large inflates bucket fan-in). */
+  def rangeJoin(points: DataFrame, pointTs: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binWidthSec: Long = 3600L): DataFrame = {
+    val p = points.withColumn("_bin",
+      floor(unix_timestamp(col(pointTs)) / binWidthSec))
+    val iv = intervals.withColumn("_bin", explode(sequence(
+      floor(unix_timestamp(col(startCol)) / binWidthSec),
+      floor(unix_timestamp(col(endCol)) / binWidthSec))))
+    p.join(iv, Seq("_bin"))
+      .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
+      .drop("_bin")
+  }
+
+  /** Oracle-checked binding for [[rangeJoin]]: one 2-hour window per user
+    * (anchored at their first event), counting ALL events — any user —
+    * that fall inside it. No equi key: a genuine interval join. */
+  def rangeEventWindows(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val windows = ev.groupBy("user_id")
+      .agg(min("ts").as("w_start"))
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 2 HOURS"))
+    rangeJoin(ev.select(col("ts"), col("event_id")), "ts",
+        windows, "w_start", "w_end")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_in_window"))
+      .orderBy("user_id")
+  }
+
   /** Oracle-checked binding: each click event joined to the user's most
     * recent preceding error event. */
   def asofClickError(s: SparkSession, d: String): DataFrame = {
@@ -80,7 +119,8 @@ object Joins {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "join_asof" -> asofClickError)
+    "join_asof" -> asofClickError,
+    "join_range" -> rangeEventWindows)
 
   val oracleSql: Map[String, String] = Map(
     "join_asof" ->
@@ -91,5 +131,12 @@ object Joins {
            count(e.ets) AS errors_so_far
          FROM c LEFT JOIN e ON e.user_id = c.user_id AND e.ets <= c.ts
          GROUP BY c.event_id, c.user_id
-         ORDER BY c.event_id""")
+         ORDER BY c.event_id""",
+    "join_range" ->
+      """WITH w AS (
+           SELECT user_id, min(ts) AS w_start, min(ts) + INTERVAL 2 HOUR AS w_end
+           FROM events GROUP BY user_id)
+         SELECT w.user_id, count(*) AS n_in_window
+         FROM w JOIN events e ON e.ts >= w.w_start AND e.ts <= w.w_end
+         GROUP BY w.user_id ORDER BY w.user_id""")
 }

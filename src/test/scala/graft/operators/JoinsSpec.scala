@@ -36,6 +36,23 @@ class JoinsSpec extends SparkSpec {
       (4L, Some("d"), 1L)))
   }
 
+  test("rangeJoin: binned interval join equals brute-force theta join") {
+    val points = (0 until 200).map(i => (i.toLong, ts(i))).toDF("pid", "t")
+    val intervals = Seq(
+      (1L, ts(10), ts(25)),   // 16 points
+      (2L, ts(24), ts(30)),   // overlapping interval
+      (3L, ts(300), ts(310)), // empty
+      (4L, ts(58), ts(62))    // spans a bin boundary (60-min bins)
+    ).toDF("iid", "s", "e")
+    val binned = Joins.rangeJoin(points, "t", intervals, "s", "e", binWidthSec = 3600L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val brute = points.join(intervals, $"t" >= $"s" && $"t" <= $"e")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(binned === brute)
+    assert(brute.count(_._2 == 1L) === 16)
+    assert(!brute.exists(_._2 == 3L))
+  }
+
   test("asOf binding matches a brute-force computation on real events") {
     val d = "/root/testdata/sf0.001"
     val out = Joins.asofClickError(spark, d)
