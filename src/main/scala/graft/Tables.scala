@@ -63,4 +63,17 @@ object Tables {
   }
 
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so the whole corpus is queryable
+    * from pure SQL (`spark.sql("SELECT ... FROM documents ...")`) —
+    * together with [[graft.GraftExtensions]] this is the full SQL-only
+    * surface of the engine. */
+  def registerTables(s: SparkSession, d: String): Unit =
+    names.foreach {
+      case n @ "events" => events(s, d).createOrReplaceTempView(n)
+      case n => table(s, d, n).createOrReplaceTempView(n)
+    }
 }

@@ -16,4 +16,13 @@ class TablesSpec extends SparkSpec {
     val ev = Tables.eventsDs(spark, d)
     assert(ev.head().ts != null)
   }
+
+  test("registerTables: whole corpus queryable from pure SQL") {
+    Tables.registerTables(spark, d)
+    val n = spark.sql(
+      """SELECT count(*) FROM documents d
+         JOIN embeddings e ON e.vec_id % 500 = d.doc_id % 500""").head().getLong(0)
+    assert(n > 0)
+    assert(spark.sql("SELECT max(ts) FROM events").head().getTimestamp(0) != null)
+  }
 }

@@ -172,6 +172,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(d2 === m("b"))
   }
 
+  test("MinHash agreement estimates Jaccard within statistical tolerance") {
+    import graft.functions.TextExpressions._
+    // two token sets with known Jaccard 1/3 (10 shared, 20 each-only)
+    val shared = (1 to 10).map(i => s"s$i")
+    val a = shared ++ (1 to 20).map(i => s"a$i")
+    val b = shared ++ (1 to 20).map(i => s"b$i")
+    val est = Seq((a, b)).toDF("a", "b")
+      .select(minhashAgree(spark,
+        minhashSig(spark, $"a", 256), minhashSig(spark, $"b", 256)))
+      .as[Double].head()
+    val trueJac = 10.0 / 50.0
+    // σ = sqrt(p(1-p)/k) ≈ 0.025 at k=256; 4σ tolerance
+    assert(math.abs(est - trueJac) < 0.1, s"est=$est true=$trueJac")
+  }
+
   test("fingerprints: content fingerprint is order/multiplicity invariant") {
     val df = Seq(("x", "b a a c"), ("y", "a b c"), ("z", "a b d")).toDF("id", "t")
       .select($"id", contentFingerprint(tokens($"t")).as("fp"))

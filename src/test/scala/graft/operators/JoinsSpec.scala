@@ -36,6 +36,18 @@ class JoinsSpec extends SparkSpec {
       (4L, Some("d"), 1L)))
   }
 
+  test("asOf: composite keys partition the timeline independently") {
+    val left = Seq((1L, "a", 1L, ts(10)), (2L, "a", 2L, ts(10)), (3L, "b", 1L, ts(10)))
+      .toDF("id", "k1", "k2", "t")
+    val right = Seq(
+      (1L, "a", 1L, ts(5), "a1"), (2L, "a", 2L, ts(6), "a2"), (3L, "b", 9L, ts(7), "b9"))
+      .toDF("rid", "k1", "k2", "rt", "v")
+    val out = Joins.asOf(left, right, keys = Seq("k1", "k2"),
+      leftTs = "t", rightTs = "rt", rightVals = Seq("v"), tiebreak = "rid")
+      .select("id", "asof_v").as[(Long, Option[String])].collect().toMap
+    assert(out === Map(1L -> Some("a1"), 2L -> Some("a2"), 3L -> None))
+  }
+
   test("rangeJoin: binned interval join equals brute-force theta join") {
     val points = (0 until 200).map(i => (i.toLong, ts(i))).toDF("pid", "t")
     val intervals = Seq(
