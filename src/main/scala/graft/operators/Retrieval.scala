@@ -119,7 +119,7 @@ object Retrieval {
   def knnLsh(s: SparkSession, d: String): DataFrame =
     Search.knnLsh(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
       q0(s, d), k = 10)
-      .select(col("__vid").as("vec_id"), round(col("score"), 6).as("score"))
+      .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
 
   /** T1/T2/V5 — the reference's mask selection (sort by area desc, keep

@@ -29,6 +29,7 @@ object Search {
     corpus.crossJoin(broadcast(query))
       .withColumn("score", fusedCosine(s, vec, col("qv")) + lit(offset))
       .orderBy(desc("score"), tie.asc).limit(k)
+      .drop("qv")
   }
 
   /** IVF kNN: assign every vector to its nearest centroid (argmax cosine
@@ -56,6 +57,7 @@ object Search {
       .crossJoin(broadcast(query))
       .withColumn("score", fusedCosine(s, vec, col("qv")))
       .orderBy(desc("score"), id.asc).limit(k)
+      .drop("__vid", "qv")
   }
 
   /** SRP-LSH kNN: hyperplane signatures banded `bands`×(nbits/bands) bits;
@@ -82,6 +84,7 @@ object Search {
       .crossJoin(broadcast(query))
       .withColumn("score", fusedCosine(s, col("__v"), col("qv")))
       .orderBy(desc("score"), asc("__vid")).limit(k)
+      .select(col("__vid").as("id"), col("score"))
   }
 
   /** Batched kNN — N query vectors against the corpus in ONE plan: the

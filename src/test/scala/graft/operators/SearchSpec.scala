@@ -35,7 +35,7 @@ class SearchSpec extends SparkSpec {
 
   test("knnLsh: candidates are a corpus subset, ranking exact on candidates") {
     val r = Search.knnLsh(corpus, $"id", $"vec", query, k = 6)
-      .select($"__vid", $"score").as[(Long, Double)].collect()
+      .select($"id", $"score").as[(Long, Double)].collect()
     assert(r.nonEmpty && r.map(_._1).toSet.subsetOf((1L to 6L).toSet))
     assert(r.sortBy(-_._2).toSeq === r.toSeq, "sorted by exact cosine")
     assert(r.head._1 === 1L, "nearest neighbor survives bucketing")
