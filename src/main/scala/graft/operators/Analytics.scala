@@ -240,6 +240,27 @@ object Analytics {
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
       .orderBy("h", "event_type")
 
+  /** Data-profiling sweep — per-column null count, distinct count, min and
+    * max for the orders table, all columns in ONE scan: the stack/unpivot
+    * trick turns N per-column jobs into a single aggregate (at 100 TB a
+    * profile that scans once instead of once per column is the difference
+    * between minutes and hours). */
+  def profile(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val stacked = o.select(explode(array(cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("s"))
+      .select(col("s.col_name"), col("s.v"))
+    stacked.groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_str"),
+        max(col("v")).as("max_str"))
+      .orderBy("col_name")
+  }
+
   /** ROLLUP aggregation — (year, month) order counts with subtotals per
     * year and a grand total. The reference has no grouping-sets notion
     * (SURVEY.md §2.4); Spark's rollup is a single pass emitting all
@@ -312,6 +333,7 @@ object Analytics {
     "win_running_sum" -> winRunningSum,
     "win_lag_delta" -> winLagDelta,
     "agg_rollup" -> rollupCounts,
+    "agg_profile" -> profile,
     "evt_tumbling" -> evtTumbling,
     "evt_sliding" -> evtSliding,
     "evt_session" -> evtSession,
@@ -422,6 +444,18 @@ object Analytics {
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY h, event_type ORDER BY h, event_type""",
+    "agg_profile" ->
+      """WITH s AS (
+           SELECT col_name, v FROM (
+             SELECT unnest(['o_orderkey', 'o_custkey', 'o_orderstatus', 'o_totalprice']) AS col_name,
+                    unnest([CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                            CAST(o_orderstatus AS VARCHAR), CAST(o_totalprice AS VARCHAR)]) AS v
+             FROM orders))
+         SELECT col_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           count(DISTINCT v) AS n_distinct,
+           min(v) AS min_str, max(v) AS max_str
+         FROM s GROUP BY col_name ORDER BY col_name""",
     "agg_rollup" ->
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, count(*) AS n
          FROM orders GROUP BY ROLLUP (yr, mo)

@@ -64,6 +64,21 @@ object Etl {
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
 
+  /** R1 extension — stratified deterministic split: per-language sampling
+    * fractions applied via md5 hash buckets (see [[hashSample]] for why
+    * hashing beats PRNG seeding). The training-mix knob of a data
+    * pipeline: e.g. keep 50% of 'en', 25% of everything else, stably. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    // bucket ∈ [0, 16): first hex digit of md5(doc_id)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+      .cast("int")
+    Tables.documents(s, d)
+      .withColumn("bkt", bucket)
+      .filter(when(col("lang") === "en", col("bkt") < 8).otherwise(col("bkt") < 4))
+      .select("doc_id", "lang", "bkt")
+      .orderBy("doc_id")
+  }
+
   /** P6/P7 — URL → basename → stem (update_label_paths.py:7-16). */
   def urlFilename(s: SparkSession, d: String): DataFrame = {
     val url = concat(lit("https://archive.example.org/photos/"), col("source"),
@@ -123,6 +138,7 @@ object Etl {
     "etl_cell_cleanse" -> cellCleanse,
     "etl_safe_cast" -> safeCast,
     "etl_hash_sample" -> hashSample,
+    "etl_stratified_sample" -> stratifiedSample,
     "etl_url_filename" -> urlFilename,
     "etl_regex_year" -> regexYear,
     "etl_keyword_match" -> keywordMatch,
@@ -141,6 +157,13 @@ object Etl {
     "etl_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+         ORDER BY doc_id""",
+    "etl_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+           strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS bkt
+         FROM documents)
+         SELECT doc_id, lang, CAST(bkt AS INT) AS bkt FROM b
+         WHERE CASE WHEN lang = 'en' THEN bkt < 8 ELSE bkt < 4 END
          ORDER BY doc_id""",
     "etl_safe_cast" ->
       """SELECT event_id,
