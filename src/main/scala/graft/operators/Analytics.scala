@@ -232,6 +232,31 @@ object Analytics {
       .select("user_id", "event_id", "delta_ms")
       .orderBy("user_id", "event_id")
 
+  /** NTILE quartiles — each user's events bucketed into value quartiles
+    * (windowed ranking family beyond row_number/lag). */
+  def winNtile(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("quartile",
+        ntile(4).over(Window.partitionBy("user_id").orderBy(asc("value"), asc("event_id"))))
+      .groupBy("user_id", "quartile")
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .orderBy("user_id", "quartile")
+
+  /** Hour-over-hour retention — distinct users active in hour h who are
+    * also active in h+1 (self-join on the hour grid; the engagement
+    * metric every event pipeline ends up computing). */
+  def evtRetention(s: SparkSession, d: String): DataFrame = {
+    val hours = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h")).distinct()
+    hours.as("a")
+      .join(hours.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.h") === col("a.h") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("a.h").as("h"))
+      .agg(countDistinct(col("a.user_id")).as("retained"))
+      .orderBy("h")
+  }
+
   /** Tumbling-window counts + exact sums per (hour, type) — the batch
     * equivalent of the streaming ingest rollup (SRS §4.6 digests). */
   def evtTumbling(s: SparkSession, d: String): DataFrame =
@@ -336,6 +361,8 @@ object Analytics {
     "agg_profile" -> profile,
     "evt_tumbling" -> evtTumbling,
     "evt_sliding" -> evtSliding,
+    "win_ntile" -> winNtile,
+    "evt_retention" -> evtRetention,
     "evt_session" -> evtSession,
     "evt_json" -> evtJson)
 
@@ -460,6 +487,19 @@ object Analytics {
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, count(*) AS n
          FROM orders GROUP BY ROLLUP (yr, mo)
          ORDER BY yr NULLS FIRST, mo NULLS FIRST""",
+    "win_ntile" ->
+      """WITH q AS (SELECT user_id, value,
+           ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS quartile
+         FROM events)
+         SELECT user_id, quartile, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM q GROUP BY user_id, quartile ORDER BY user_id, quartile""",
+    "evt_retention" ->
+      """WITH hrs AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events)
+         SELECT a.h, count(DISTINCT a.user_id) AS retained
+         FROM hrs a JOIN hrs b
+           ON a.user_id = b.user_id AND b.h = a.h + INTERVAL 1 HOUR
+         GROUP BY a.h ORDER BY a.h""",
     "evt_sliding" ->
       """WITH sw AS (
            SELECT event_type,
