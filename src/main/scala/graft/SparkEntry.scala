@@ -27,4 +27,13 @@ object SparkEntry {
     Etl.oracleSql ++ Analytics.oracleSql ++ Retrieval.oracleSql ++
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Multimodal.oracleSql ++
       Skew.oracleSql ++ Joins.oracleSql ++ Pipelines.oracleSql
+
+  /** Register every named query as a temp view over `sfDir`, alongside the
+    * base tables — the complete engine surface from pure SQL:
+    * `spark.sql("SELECT * FROM knn_whole")`. Views are lazy: nothing runs
+    * until queried. */
+  def registerQueryViews(spark: SparkSession, sfDir: String): Unit = {
+    Tables.registerTables(spark, sfDir)
+    queries.foreach { case (name, fn) => fn(spark, sfDir).createOrReplaceTempView(name) }
+  }
 }

@@ -195,8 +195,13 @@ object Dedup {
             coalesce(col("nbr_lbl"), col("lbl")),
             coalesce(col("jlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
-        .filter(col("lbl") =!= col("old")).count()
+      // convergence check every 2nd round: pointer jumping converges in
+      // O(log d) rounds, so one possibly-wasted extra round costs less
+      // than a change-count job per round
+      if (round % 2 == 1 || round >= maxRounds - 1) {
+        changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+          .filter(col("lbl") =!= col("old")).count()
+      }
       labels = next
       round += 1
     }

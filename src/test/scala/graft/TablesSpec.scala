@@ -17,6 +17,14 @@ class TablesSpec extends SparkSpec {
     assert(ev.head().ts != null)
   }
 
+  test("registerQueryViews: every named query runs from pure SQL") {
+    SparkEntry.registerQueryViews(spark, d)
+    assert(spark.sql("SELECT * FROM knn_whole").count() === 10)
+    assert(spark.sql(
+      "SELECT * FROM txt_quality WHERE n_tokens > 0").count() > 0)
+    assert(spark.sql("SELECT * FROM pipeline_curate_exact").count() > 0)
+  }
+
   test("registerTables: whole corpus queryable from pure SQL") {
     Tables.registerTables(spark, d)
     val n = spark.sql(
