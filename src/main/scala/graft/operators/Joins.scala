@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Time-aligned join utilities — the operator family Spark's DataFrame API
-  * lacks natively (the classic "custom operator" candidates). Built by
+  * lacks natively (the classic "custom operator" candidates; absent from
+  * the reference too — SURVEY.md §2.3 "No sort-merge/range/as-of joins" —
+  * so this is green-field scale surface, not parity). Built by
   * COMPOSITION per the preference order (SURVEY.md §7.3 / spark guide):
   * the union + running-window formulation is a single shuffle on the join
   * keys and needs no custom LogicalPlan/Strategy, no per-row subqueries,

@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
 
-/** End-to-end corpus curation — the LLM-training-data pipeline the brief
-  * targets, composed from the library's layers in ONE lineage:
+/** End-to-end corpus curation — the batch analog of the reference's
+  * multi-script cleanup chain (`/root/reference/filter_label_paths.py` →
+  * `clean_label_etiketler.py` → `clean_and_fill_na.py`, which hands CSVs
+  * between processes) generalized to the LLM-training-data pipeline the
+  * brief targets, composed from the library's layers in ONE lineage:
   *
   *   scan → quality signals (TextFunctions) → quality gate → language
   *   gate → exact dedup keep-first → MinHash near-dup drop (Dedup) → out

@@ -65,6 +65,22 @@ class SearchSpec extends SparkSpec {
     assert(r === Seq((10L, 1L, 0.9), (11L, 1L, 0.4)))
   }
 
+  test("segmentScores: per-query-segment argmax then avg/max per image") {
+    // image 1: segments at x-axis and y-axis; image 2: one diagonal segment
+    val dbSegs = Seq(
+      (1L, v(1, 0, 0)), (1L, v(0, 1, 0)),
+      (2L, v(1, 1, 0).map(x => (x / math.sqrt(2)).toFloat))
+    ).toDF("image_id", "embedding")
+    val qSegs = Seq((0, v(1, 0, 0)), (1, v(0, 0, 1))).toDF("qseg", "qv")
+    val m = Search.segmentScores(dbSegs, qSegs)
+      .select("image_id", "avg_sim", "max_sim")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // image 1: qseg0 best = 1.0 (x-axis), qseg1 best = 0.0 → avg 0.5, max 1.0
+    assert(math.abs(m(1L)._1 - 0.5) < 1e-6 && math.abs(m(1L)._2 - 1.0) < 1e-6)
+    // image 2: qseg0 best = 1/√2, qseg1 best = 0 → avg ≈ 0.3536
+    assert(math.abs(m(2L)._1 - 1.0 / math.sqrt(2) / 2) < 1e-6)
+  }
+
   test("hybridCombine: weights and missing-segment default") {
     val whole = Seq((1L, 0.9), (2L, 0.5)).toDF("image_id", "whole_score")
     val seg = Seq((2L, 1.0)).toDF("image_id", "avg_sim") // image 1 has no segs

@@ -37,6 +37,22 @@ class MultimodalStubSpec extends SparkSpec {
     assert(rows(1).payload(1) === 10.toByte, "stride sampling keeps every 10th byte")
   }
 
+  test("frameEmbed composition: frame counts and pooled dim on real docs") {
+    val out = graft.operators.Multimodal.frameEmbed(spark, "/root/testdata/sf0.001")
+    val rows = out.select("doc_id", "n_frames", "dim", "vec_norm")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 == 16L), "pooled vector keeps the frame-embedding dim")
+    assert(rows.forall(_._4 > 0.0), "pooled vector is non-degenerate")
+    // stride-2 sampling: n_frames = ceil(n_chunks / 2) for every doc
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("doc_id", "CAST(ceil(octet_length(CAST(text AS BINARY)) / 256.0) AS LONG) AS nc")
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, nf, _, _) =>
+      assert(nf === (docs(id) + 1) / 2, s"doc $id stride-2 frame count")
+    }
+  }
+
   test("decodeAndEmbed survives empty partitions and empty payloads") {
     val df = Seq((1L, Array.empty[Byte])).toDF("doc_id", "payload").repartition(8)
     val rows = MultimodalStub.decodeAndEmbed(df, dim = 4).collect()

@@ -37,6 +37,17 @@ class SourcesSpec extends SparkSpec {
     assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
   }
 
+  test("CsvSource: explicit schema skips inference and binds types") {
+    val dir = tmp("graft_csv_schema")
+    Files.write(Paths.get(dir, "t.csv"), "id,score\n1,2.5\n2,3.5\n".getBytes(StandardCharsets.UTF_8))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType)))
+    val df = CsvSource.read(spark, dir, Some(schema))
+    assert(df.schema.map(_.dataType.typeName) === Seq("long", "double"))
+    assert(df.orderBy("id").as[(Long, Double)].collect().toSeq === Seq((1L, 2.5), (2L, 3.5)))
+  }
+
   test("CsvSource: round-trip write/read keeps rows") {
     val dir = tmp("graft_csv_rt")
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
