@@ -194,6 +194,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming similarity scoring: fused cosine + broadcast vocab on a stream") {
+    // the SRS ingest flow (upload → auto-tag/suggest): incoming embeddings
+    // scored against a static centroid table with the same kernels the
+    // batch queries use — retrieval transforms are streaming-compatible
+    val cents = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f))).toDF("cid", "c")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val scored = input.toDF().toDF("vec_id", "embedding")
+      .crossJoin(broadcast(cents))
+      .withColumn("cos", graft.functions.VectorExpressions.fusedCosine(
+        spark, $"embedding", $"c"))
+      .filter($"cos" > 0.9)
+    val q = scored.select("vec_id", "cid")
+      .writeStream.format("memory").queryName("score_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq((100L, Seq(0.99f, 0.01f)), (200L, Seq(0.01f, 0.99f))))
+      q.processAllAvailable()
+      val m = spark.table("score_sink").as[(Long, Long)].collect().toMap
+      assert(m === Map(100L -> 0L, 200L -> 1L), "each vector tags its own centroid")
+    } finally q.stop()
+  }
+
   test("fileIngest: streaming file source reads the events shape") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     evs.take(3).toDF().write.parquet(s"$dir/in")
