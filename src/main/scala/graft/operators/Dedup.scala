@@ -128,9 +128,13 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs → (doc_a, doc_b, hamming). 64-bit token
-    * SimHash, `bands` equal-width bit-bands as candidate buckets (a pair
-    * within Hamming < bands of each other must agree on ≥1 band by
-    * pigeonhole), then exact Hamming distance on candidates. */
+    * SimHash, `bands` equal-width bit-bands as candidate buckets, then
+    * exact Hamming distance on candidates. Recall guarantee: a pair with
+    * Hamming < `bands` MUST agree on ≥1 band (pigeonhole) and is always
+    * found; pairs between `bands` and `maxHamming` are surfaced
+    * best-effort when their differing bits happen to cluster — raise
+    * `bands` (narrower bands) to push the guaranteed radius up at the
+    * cost of more candidates. */
   def simhashPairs(df: DataFrame, id: Column, text: Column, block: Column,
       bands: Int = 4, maxHamming: Int = 16): DataFrame = {
     val s = df.sparkSession
