@@ -172,16 +172,14 @@ object Retrieval {
     * feature (it caps rerank cost) and the 100 TB story: stage 2's
     * quadratic segment matching only ever sees `pool` images. */
   def q3Hybrid(s: SparkSession, d: String): DataFrame = {
-    val k = 10
-    val pool = math.max(20 * k, 100)
-    val whole = imageVecs(s, d).filter(col("image_id") =!= 0)
-      .crossJoin(broadcast(qWhole(s, d)))
-      .withColumn("whole_score", fusedCosine(s, col("wv"), col("qwv")))
-      .orderBy(desc("whole_score"), asc("image_id")).limit(pool)
-      .select("image_id", "whole_score")
-    val seg = segmentScores(s, d, Some(whole.select("image_id")))
-      .select(col("image_id"), col("avg_sim"))
-    Search.hybridCombine(whole, seg, wWhole = 0.4, wSeg = 0.6, k = k)
+    val all = segs(s, d)
+    Search.hybrid(
+      wholeVecs = imageVecs(s, d).filter(col("image_id") =!= 0),
+      dbSegs = all.filter(col("image_id") =!= 0).select("image_id", "embedding"),
+      queryWhole = qWhole(s, d).select(col("qwv").as("qv")),
+      qSegs = all.filter(col("image_id") === 0)
+        .select(col("seg_id").as("qseg"), col("embedding").as("qv")),
+      k = 10)
       .select(col("image_id"),
         round(col("whole_score"), 6).as("whole_score"),
         round(col("seg_score"), 6).as("seg_score"),

@@ -132,6 +132,28 @@ object Search {
         col("whole_score") * wWhole + col("seg_score") * wSeg)
       .orderBy(desc("hybrid_score"), asc("image_id")).limit(k)
 
+  /** Q3 — the full two-stage hybrid mode as one call
+    * (`search_with_segments.py:345-445`): stage 1 ranks whole-image
+    * vectors and keeps a pool of max(poolFactor·k, poolMin) candidates;
+    * stage 2 computes segment scores for the pool ONLY; final score
+    * `wWhole·whole + wSeg·coalesce(segment, 0)`. The pool bound is a
+    * semantic feature (it caps rerank cost) and the 100 TB story: the
+    * quadratic segment matching only ever sees `pool` images.
+    *
+    * `wholeVecs`: (image_id, wv); `dbSegs`: (image_id, embedding);
+    * `queryWhole`: one row (qv); `qSegs`: (qseg, qv). */
+  def hybrid(wholeVecs: DataFrame, dbSegs: DataFrame,
+      queryWhole: DataFrame, qSegs: DataFrame, k: Int,
+      wWhole: Double = 0.4, wSeg: Double = 0.6,
+      poolFactor: Int = 20, poolMin: Int = 100): DataFrame = {
+    val pool = math.max(poolFactor * k, poolMin)
+    val whole = knnBrute(wholeVecs, col("wv"), queryWhole, pool, tie = col("image_id"))
+      .select(col("image_id"), col("score").as("whole_score"))
+    val candSegs = dbSegs.join(broadcast(whole.select("image_id")), "image_id")
+    val seg = segmentScores(candSegs, qSegs).select(col("image_id"), col("avg_sim"))
+    hybridCombine(whole, seg, wWhole, wSeg, k)
+  }
+
   /** Q4 — tag search with per-object conjunction (tag ∈ set AND conf ≥
     * minConf on the SAME segment row); deterministic score = max matching
     * confidence (documented BM25 replacement, SURVEY.md §7.4). */
