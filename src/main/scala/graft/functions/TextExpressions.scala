@@ -246,20 +246,25 @@ case class HyperplaneSigExpr(child: Expression, nbits: Int) extends UnaryExpress
   }
 
   // Rademacher plane matrix, built once per (instance, dim) — deterministic,
-  // so rebuilt copies on other executors are identical.
-  @transient private var planeDim = -1
-  @transient private var planes: Array[Byte] = _
+  // so rebuilt copies on other executors are identical. The cache is a
+  // single volatile reference to an immutable (dim, planes) pair: a thread
+  // either sees null / a stale pair (and rebuilds the same deterministic
+  // matrix) or a fully published one — never a dim that matches with a
+  // partially written array (the JMM hazard of two separate plain fields).
+  @transient @volatile private var planeCache: (Int, Array[Byte]) = _
   private def planesFor(dim: Int): Array[Byte] = {
-    if (planeDim != dim) {
+    val cached = planeCache
+    if (cached != null && cached._1 == dim) cached._2
+    else {
       val p = new Array[Byte](nbits * dim)
       var j = 0
       while (j < nbits * dim) {
         p(j) = if ((XXH64.hashLong(j.toLong, 42L) & 1L) == 1L) 1 else -1
         j += 1
       }
-      planes = p; planeDim = dim
+      planeCache = (dim, p)
+      p
     }
-    planes
   }
 
   override def nullSafeEval(v: Any): Any = {

@@ -3,10 +3,10 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, typedlit}
 import org.apache.spark.sql.types._
 
 /** Fused, codegen'd vector kernels (SURVEY.md §4 "custom Catalyst work").
@@ -181,6 +181,133 @@ case class L2NormExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-row argmax-cosine cluster assignment against a LITERAL centroid
+  * codebook: `nearest_centroid(v, ids, cents)` returns the id of the
+  * centroid with the highest cosine similarity to `v` (ties → smallest
+  * id, matching `ORDER BY cos DESC, cid`).
+  *
+  * This is the shuffle-free IVF assignment path: an IVF codebook is an
+  * index artifact, small by construction (≈√N lists even at lake scale),
+  * so it ships inside the plan as a foldable literal and every row
+  * computes its own argmax in one fused loop — no crossJoin row
+  * multiplication, no per-vector-id window Exchange. The codebook
+  * (id-sorted, norms precomputed) is deserialized once per expression
+  * instance, not per row.
+  *
+  * NULL for: null input, empty codebook, dimension mismatch, or a
+  * zero-norm input vector (cosine undefined everywhere). Zero-norm
+  * CENTROIDS are skipped (no row assigns to them). */
+case class NearestCentroidExpr(vec: Expression, ids: Expression, cents: Expression)
+    extends TernaryExpression {
+  override def prettyName: String = "graft_nearest_centroid"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def first: Expression = vec
+  override def second: Expression = ids
+  override def third: Expression = cents
+
+  private def vecIsFloat: Boolean = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val idsOk = ids.foldable && (ids.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    val centsOk = cents.foldable && (cents.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    })
+    if (vecOk && idsOk && centsOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, foldable array<bigint>, " +
+        s"foldable array<array<double>>), got ${vec.dataType.catalogString}, " +
+        s"${ids.dataType.catalogString}, ${cents.dataType.catalogString}")
+  }
+
+  // Codebook unpacked once per (deserialized) instance: id-ascending order
+  // so the strict `>` comparison below yields the smallest id on ties.
+  @transient private lazy val book: (Array[Long], Array[Array[Double]], Array[Double]) = {
+    val idData = ids.eval().asInstanceOf[ArrayData]
+    val cData = cents.eval().asInstanceOf[ArrayData]
+    val n = idData.numElements()
+    require(cData.numElements() == n,
+      s"$prettyName: ids ($n) and centroids (${cData.numElements()}) differ in length")
+    val pairs = Array.tabulate(n)(i => (idData.getLong(i), cData.getArray(i).toDoubleArray()))
+      .sortBy(_._1)
+    val norms = pairs.map { case (_, c) =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    (pairs.map(_._1), pairs.map(_._2), norms)
+  }
+
+  /** Long.MinValue is the "no assignment" sentinel the codegen path maps
+    * to SQL NULL. Public because generated code calls it via a plan
+    * reference object. */
+  def nearestId(a: ArrayData): Long = {
+    val (idArr, centArr, normArr) = book
+    if (idArr.isEmpty) return Long.MinValue
+    val dim = a.numElements()
+    if (dim != centArr(0).length) return Long.MinValue
+    val isF = vecIsFloat
+    var nv = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+      nv += x * x; i += 1
+    }
+    if (nv == 0.0) return Long.MinValue
+    val qn = math.sqrt(nv)
+    var best = Long.MinValue
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < idArr.length) {
+      if (normArr(c) > 0.0) {
+        val cv = centArr(c)
+        var dot = 0.0
+        i = 0
+        while (i < dim) {
+          val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+          dot += x * cv(i); i += 1
+        }
+        val cos = dot / (qn * normArr(c))
+        if (cos > bestCos) { bestCos = cos; best = idArr(c) }
+      }
+      c += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(v: Any, idsV: Any, centsV: Any): Any = {
+    val r = nearestId(v.asInstanceOf[ArrayData])
+    if (r == Long.MinValue) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this, classOf[NearestCentroidExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, _, _) => {
+      val r = ctx.freshName("nid")
+      s"""
+         |long $r = $ref.nearestId($a);
+         |if ($r == Long.MIN_VALUE) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(vec = f, ids = s, cents = t)
+}
+
 /** Registration + Column-level accessors for the fused kernels.
   *
   * Registered through the session FunctionRegistry and invoked via
@@ -198,6 +325,8 @@ object VectorExpressions {
       reg.createOrReplaceTempFunction("graft_dot", es => DotProductExpr(es(0), es(1)), "built-in")
       reg.createOrReplaceTempFunction("graft_cosine", es => CosineSimilarityExpr(es(0), es(1)), "built-in")
       reg.createOrReplaceTempFunction("graft_l2norm", es => L2NormExpr(es.head), "built-in")
+      reg.createOrReplaceTempFunction("graft_nearest_centroid",
+        es => NearestCentroidExpr(es(0), es(1), es(2)), "built-in")
     }
   }
 
@@ -209,5 +338,14 @@ object VectorExpressions {
   }
   def fusedL2Norm(spark: SparkSession, a: Column): Column = {
     register(spark); call_function("graft_l2norm", a)
+  }
+
+  /** Argmax-cosine assignment of `vec` against a small driver-held
+    * codebook (see [[NearestCentroidExpr]]). `cents` rides into the plan
+    * as a foldable literal — broadcast-by-construction, zero shuffle. */
+  def nearestCentroid(spark: SparkSession, vec: Column,
+      ids: Seq[Long], cents: Seq[Seq[Double]]): Column = {
+    register(spark)
+    call_function("graft_nearest_centroid", vec, typedlit(ids), typedlit(cents))
   }
 }

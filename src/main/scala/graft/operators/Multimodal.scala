@@ -44,6 +44,10 @@ object Multimodal {
       .withColumn("payload", col("text").cast("binary"))
       .withColumn("n_chunks",
         ceil(length(col("payload")) / lit(ChunkBytes.toDouble)).cast("long"))
+      // Empty payloads yield zero chunks. Without the guard,
+      // sequence(0, n_chunks - 1) with n_chunks = 0 is sequence(0, -1),
+      // which Spark evaluates as a DESCENDING [0, -1] — two spurious rows.
+      .filter(col("n_chunks") > 0)
       .select(col("doc_id"), col("payload"),
         explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
       .withColumn("chunk", expr(s"substring(payload, chunk_idx * $ChunkBytes + 1, $ChunkBytes)"))
@@ -68,6 +72,7 @@ object Multimodal {
       .withColumn("payload", col("text").cast("binary"))
       .withColumn("n_chunks",
         ceil(length(col("payload")) / lit(ChunkBytes.toDouble)).cast("long"))
+      .filter(col("n_chunks") > 0) // sequence(0, -1) guard, as in [[chunk]]
       .select(col("doc_id"), col("payload"),
         explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
       .filter(col("chunk_idx") % 2 === 0) // frame-sample stride 2

@@ -368,7 +368,7 @@ object Retrieval {
     "q3_hybrid" ->
       s"""WITH $segsSql, $imageVecsSql, $qWholeSql,
          whole AS (
-           SELECT image_id, list_cosine_similarity(iv.wv, qw.qwv) AS whole_score
+           SELECT image_id, list_cosine_similarity(iv.wv, qw.qwv) + 1.0 AS whole_score
            FROM iv, qw WHERE image_id <> 0
            ORDER BY whole_score DESC, image_id LIMIT 100),
          qs AS (SELECT seg_id AS qseg, v AS qv FROM segs WHERE image_id = 0),

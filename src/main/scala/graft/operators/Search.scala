@@ -32,32 +32,54 @@ object Search {
       .drop("qv")
   }
 
-  /** IVF kNN: assign every vector to its nearest centroid (argmax cosine
-    * over the broadcast centroid table), probe the `nprobe` centroids
-    * closest to the query, brute-force only vectors in probed clusters.
-    * At lake scale the assignment is a write-time partition column and the
-    * probe prunes partitions/files. */
+  /** IVF kNN: assign every vector to its nearest centroid, probe the
+    * `nprobe` centroids closest to the query, brute-force only vectors in
+    * probed clusters.
+    *
+    * The codebook is an index artifact — small by construction (≈√N lists
+    * even at lake scale), so it is collected once and the per-row argmax
+    * runs as ONE fused expression over the literal codebook
+    * ([[graft.functions.VectorExpressions.NearestCentroidExpr]]). The
+    * corpus is never shuffled: scan → assign (per-row, codegen) → probe
+    * filter → score → TakeOrdered, asserted by `SearchSpec`'s plan test.
+    * (The previous formulation — crossJoin(centroids) + a row_number
+    * window keyed by vector id — pushed N·C rows through a hash Exchange
+    * just to pick each row's argmax; at 100× that Exchange IS the query.)
+    * The probe is resolved driver-side over the same codebook and becomes
+    * an `isin` filter — against a cluster-partitioned layout that is
+    * literal partition pruning (`IvfLayoutSpec`). */
   def knnIvf(corpus: DataFrame, id: Column, vec: Column,
       centroids: DataFrame, // (cid: long-castable, c: vector)
       query: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val s = corpus.sparkSession
-    val wAssign = Window.partitionBy("__vid").orderBy(desc("ccos"), asc("cid"))
-    val assign = corpus.select(id.as("__vid"), vec.as("__v"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("ccos", fusedCosine(s, col("__v"), col("c")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("__vid"), col("cid").cast("long").as("cluster"))
-    val probe = centroids.crossJoin(broadcast(query))
-      .withColumn("qcos", fusedCosine(s, col("c"), col("qv")))
-      .orderBy(desc("qcos"), asc("cid")).limit(nprobe)
-      .select(col("cid").cast("long").as("cluster"))
-    corpus.join(assign, id === col("__vid"))
-      .join(broadcast(probe), "cluster")
+    val book = centroids
+      .select(col("cid").cast("long"), col("c").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val qv = query.select(col("qv").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    // Probe selection = the oracle's ORDER BY cos DESC, cid LIMIT nprobe,
+    // computed over the already-collected codebook.
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) Double.NegativeInfinity else dot / d
+    }
+    val probed = book.map { case (cid, c) => (cid, cos(c, qv)) }
+      .sortBy { case (cid, qcos) => (-qcos, cid) }
+      .take(nprobe).map(_._1).toSeq
+    corpus
+      .withColumn("cluster", graft.functions.VectorExpressions.nearestCentroid(
+        s, vec, book.map(_._1).toSeq, book.map(_._2.toSeq).toSeq))
+      .filter(col("cluster").isin(probed: _*))
       .crossJoin(broadcast(query))
       .withColumn("score", fusedCosine(s, vec, col("qv")))
       .orderBy(desc("score"), id.asc).limit(k)
-      .drop("__vid", "qv")
+      .drop("qv")
   }
 
   /** SRP-LSH kNN: hyperplane signatures banded `bands`×(nbits/bands) bits;
@@ -136,9 +158,13 @@ object Search {
     * (`search_with_segments.py:345-445`): stage 1 ranks whole-image
     * vectors and keeps a pool of max(poolFactor·k, poolMin) candidates;
     * stage 2 computes segment scores for the pool ONLY; final score
-    * `wWhole·whole + wSeg·coalesce(segment, 0)`. The pool bound is a
-    * semantic feature (it caps rerank cost) and the 100 TB story: the
-    * quadratic segment matching only ever sees `pool` images.
+    * `wWhole·whole + wSeg·coalesce(segment, 0)`. Stage 1 uses the same
+    * `cos + 1.0` calibration as the standalone whole-image mode (the ES
+    * script_score, `search_with_segments.py:159,425`), so the reported
+    * whole/hybrid scores match the reference's, not just the ranking.
+    * The pool bound is a semantic feature (it caps rerank cost) and the
+    * 100 TB story: the quadratic segment matching only ever sees `pool`
+    * images.
     *
     * `wholeVecs`: (image_id, wv); `dbSegs`: (image_id, embedding);
     * `queryWhole`: one row (qv); `qSegs`: (qseg, qv). */
@@ -147,7 +173,8 @@ object Search {
       wWhole: Double = 0.4, wSeg: Double = 0.6,
       poolFactor: Int = 20, poolMin: Int = 100): DataFrame = {
     val pool = math.max(poolFactor * k, poolMin)
-    val whole = knnBrute(wholeVecs, col("wv"), queryWhole, pool, tie = col("image_id"))
+    val whole = knnBrute(wholeVecs, col("wv"), queryWhole, pool,
+      tie = col("image_id"), offset = 1.0)
       .select(col("image_id"), col("score").as("whole_score"))
     val candSegs = dbSegs.join(broadcast(whole.select("image_id")), "image_id")
     val seg = segmentScores(candSegs, qSegs).select(col("image_id"), col("avg_sim"))

@@ -72,13 +72,26 @@ object Streams {
     * first occurrence of each MinHash signature passes, later ones
     * (exact dups and token-multiset-identical docs) are dropped — the
     * streaming face of [[graft.operators.Dedup.minhashPairs]]'s collapse
-    * step. State = one row per distinct signature, bounded by the
-    * watermark when `tsCol` is set. `df` needs a string `textCol`. */
-  def dedupedByContent(df: DataFrame, textCol: String, k: Int = 64): DataFrame = {
+    * step. State = one row per distinct signature.
+    *
+    * Pass `watermark = Some(tsCol -> delay)` to bound that state: the
+    * stream gets `withWatermark(tsCol, delay)` and dedup switches to
+    * `dropDuplicatesWithinWatermark`, so signatures older than the
+    * watermark are evicted — the requirement for an unbounded ingest
+    * stream to run forever. With `watermark = None` (and in batch, where
+    * watermarks are no-ops) state grows with the number of distinct
+    * signatures. `df` needs a string `textCol`. */
+  def dedupedByContent(df: DataFrame, textCol: String, k: Int = 64,
+      watermark: Option[(String, String)] = None): DataFrame = {
     val withSig = df.withColumn("_sig",
       graft.functions.TextExpressions.minhashSig(df.sparkSession,
         split(lower(col(textCol)), " "), k))
-    withSig.dropDuplicates("_sig").drop("_sig")
+    val deduped = watermark match {
+      case Some((tsCol, delay)) if df.isStreaming =>
+        withSig.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark("_sig")
+      case _ => withSig.dropDuplicates("_sig")
+    }
+    deduped.drop("_sig")
   }
 
   /** Stream-static enrichment: the dim side is a small static table →

@@ -33,6 +33,44 @@ class SearchSpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("knnIvf: assignment is shuffle-free — no Exchange between scan and scoring") {
+    // A file-backed corpus, like production: against a LocalRelation the
+    // optimizer constant-folds the whole pipeline (and EliminateLimits can
+    // even drop the top-k), which is not the plan shape being claimed.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_plan").toString
+    corpus.write.parquet(s"$dir/corpus")
+    val lake = spark.read.parquet(s"$dir/corpus")
+    val cents = Seq((0L, v(1, 0.02, 0).map(_.toDouble)), (1L, v(0, 0.02, 1).map(_.toDouble)))
+      .toDF("cid", "c")
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Search.knnIvf(lake, $"id", $"vec", cents, query, nprobe = 1, k = 3)
+      val plan = df.queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(shuffles.isEmpty,
+        s"IVF assign+probe+score must not shuffle the corpus:\n$plan")
+      assert(plan.toString.contains("TakeOrderedAndProject"),
+        s"top-k must be a TakeOrdered heap, not a global sort:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+  }
+
+  test("nearestCentroid: argmax id, smallest-id tie-break, null edge cases") {
+    import graft.functions.VectorExpressions.nearestCentroid
+    val rows = Seq((1L, v(1, 0, 0)), (2L, v(0, 0, 1)), (3L, v(0, 0, 0)))
+      .toDF("id", "vec")
+    // two identical centroids (ids 7 and 4) → tie resolves to smaller id 4
+    val assigned = rows.withColumn("cluster", nearestCentroid(spark, $"vec",
+        Seq(7L, 4L, 9L), Seq(Seq(1.0, 0, 0), Seq(1.0, 0, 0), Seq(0.0, 0, 1))))
+      .select("id", "cluster").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(assigned(1L) === Some(4L), "tie → smallest centroid id")
+    assert(assigned(2L) === Some(9L))
+    assert(assigned(3L) === None, "zero-norm vector → null assignment")
+  }
+
   test("knnLsh: candidates are a corpus subset, ranking exact on candidates") {
     val r = Search.knnLsh(corpus, $"id", $"vec", query, k = 6)
       .select($"id", $"score").as[(Long, Double)].collect()
