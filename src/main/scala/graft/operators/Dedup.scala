@@ -53,15 +53,34 @@ object Dedup {
     * intersection, and the shuffle key is the shingle — the layout that
     * scales to a 100 TB corpus. Shingle identity only matters as a join
     * key, so shingles live as 64-bit hashes end to end (one native pass,
-    * no shingle strings): same counts w.h.p., ~3× less shuffle volume. */
+    * no shingle strings): same counts w.h.p., ~3× less shuffle volume.
+    *
+    * `maxDocFreq > 0` enables the HOT-BUCKET GUARD: a shingle shared by m
+    * docs within a block emits m² join rows, so one piece of boilerplate
+    * (a shared header, a license banner) shared by a whole block turns
+    * the bucket quadratic. The guard drops postings of shingles whose
+    * per-(blk) document frequency exceeds the cap — the standard
+    * production-LSH df-cap. Dropped shingles don't count toward `inter`
+    * (na/nb still count them), so with the guard on, `jac` is a LOWER
+    * bound; ultra-common shingles carry ~no similarity signal, which is
+    * why dropping them is the accepted trade. [[hotShingles]] reports
+    * what a given cap would drop. */
   def jaccardPairs(df: DataFrame, id: Column, text: Column, block: Column,
-      n: Int = 3): DataFrame = {
+      n: Int = 3, maxDocFreq: Int = 0): DataFrame = {
     val s = df.sparkSession
-    val ex = df
+    val posting = df
       .select(id.as("doc_id"), block.as("blk"),
         TextExpressions.shingleHashes(s, tokens(text), n).as("sh"))
       .select(col("doc_id"), col("blk"), size(col("sh")).as("n"),
         explode(col("sh")).as("g"))
+    // The df-count window hashes by the SAME (blk, g) key the self-join
+    // shuffles on, so the guard rides the exchange the join needs anyway.
+    val ex =
+      if (maxDocFreq > 0) {
+        val w = Window.partitionBy("blk", "g")
+        posting.withColumn("_df", count(lit(1)).over(w))
+          .filter(col("_df") <= maxDocFreq).drop("_df")
+      } else posting
     // Aliased self-join: both sides canonicalize to the same subplan, so
     // the shingle scan + (blk, g) exchange are computed once and reused.
     ex.as("x").join(ex.as("y"),
@@ -73,6 +92,21 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
+  }
+
+  /** The audit face of [[jaccardPairs]]'s / [[minhashPairs]]'s hot-bucket
+    * guard: every (blk, shingle) whose document frequency exceeds
+    * `maxDocFreq`, with its df and the m·(m−1)/2 candidate pairs it would
+    * have emitted — the "logged drop count" a production dedup run records
+    * next to its output. */
+  def hotShingles(df: DataFrame, id: Column, text: Column, block: Column,
+      n: Int = 3, maxDocFreq: Int = 10): DataFrame = {
+    val s = df.sparkSession
+    df.select(id.as("doc_id"), block.as("blk"),
+        explode(TextExpressions.shingleHashes(s, tokens(text), n)).as("g"))
+      .groupBy("blk", "g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .withColumn("pairs_dropped", (col("df") * (col("df") - 1) / 2).cast("long"))
   }
 
   /** MinHash+LSH near-dup pairs among exact-distinct texts →
@@ -90,10 +124,20 @@ object Dedup {
     *   `bands` times in the band join, so taking the top `bands·topK`
     *   multiplied rows with a TakeOrdered heap (no shuffle) provably
     *   contains the top-`topK` distinct pairs — the full-corpus distinct
-    *   of every candidate pair (the dominant shuffle) is skipped. */
+    *   of every candidate pair (the dominant shuffle) is skipped.
+    * @param maxBandFreq hot-bucket guard (> 0 to enable): a band key
+    *   shared by m distinct signatures emits m² candidate rows, so one
+    *   degenerate bucket (shared boilerplate whose shingle set collides
+    *   into the same band under many signatures) can go quadratic even
+    *   after the exact-dup collapse. Postings of band keys with document
+    *   frequency > cap are dropped. Unlike [[jaccardPairs]]'s cap this
+    *   cannot corrupt scores — est_jaccard comes from full-signature
+    *   agreement, not the join — it only forgoes candidates from buckets
+    *   too hot to be discriminative (they typically still pair through
+    *   their other `bands − 1` band keys). */
   def minhashPairs(df: DataFrame, id: Column, text: Column, block: Column,
       k: Int = 64, bands: Int = 16, rows: Int = 4,
-      minEst: Double = 0.5, topK: Int = 0): DataFrame = {
+      minEst: Double = 0.5, topK: Int = 0, maxBandFreq: Int = 0): DataFrame = {
     val s = df.sparkSession
     val sigs = df
       .select(id.as("doc_id"), block.as("blk"),
@@ -105,11 +149,18 @@ object Dedup {
     // ReuseExchange computes the signature scan and the band shuffle once.
     // Uniq'ing above bounds the sig payload riding this shuffle to one row
     // per distinct text.
-    val banded = sigs
+    val allBanded = sigs
       .select(col("doc_id"), col("n_docs"), col("sig"), col("blk"),
         explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("doc_id"), col("n_docs"), col("sig"),
         concat_ws("_", col("blk"), col("bk")).as("band"))
+    // The df-count window hashes by the same band key the self-join
+    // shuffles on — the guard rides the join's exchange.
+    val banded =
+      if (maxBandFreq > 0)
+        allBanded.withColumn("_df", count(lit(1)).over(Window.partitionBy("band")))
+          .filter(col("_df") <= maxBandFreq).drop("_df")
+      else allBanded
     val scored = banded.as("x").join(banded.as("y"), col("x.band") === col("y.band"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       // Score per matching band-row with the codegen'd agreement kernel

@@ -64,8 +64,13 @@ object Multimodal {
     * pooled per document. The decode is the deterministic fake (no codecs
     * in the container); everything around it — explode shape, per-frame
     * typed features, partial-aggregated pooling — is the real pipeline.
-    * No oracle (hash-derived features): rows-only check. */
-  def frameEmbed(s: SparkSession, d: String): DataFrame = {
+    * No oracle (hash-derived features): rows-only check.
+    *
+    * `encoder` swaps in a real [[graft.sources.MultimodalStub.MediaEncoder]]
+    * implementation (factory, initialized once per partition) — the
+    * extension point a user implements against an actual codec/model. */
+  def frameEmbed(s: SparkSession, d: String,
+      encoder: Option[() => graft.sources.MultimodalStub.MediaEncoder] = None): DataFrame = {
     import graft.functions.VectorAggregates.vectorMean
     import graft.functions.VectorExpressions.fusedL2Norm
     val frames = Tables.documents(s, d)
@@ -81,7 +86,7 @@ object Multimodal {
     val perFrame = graft.sources.MultimodalStub
       .decodeAndEmbed(frames.select(
         (col("doc_id") * 1000000 + col("chunk_idx")).as("doc_id"),
-        col("frame").as("payload")), dim = 16)
+        col("frame").as("payload")), dim = 16, encoderFactory = encoder)
       .toDF()
       .select((col("doc_id") / 1000000).cast("long").as("doc_id"),
         col("feature"))
@@ -96,7 +101,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> binaryMeta,
     "mm_chunk" -> chunk,
-    "mm_frame_embed" -> frameEmbed)
+    "mm_frame_embed" -> ((s, d) => frameEmbed(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "mm_binary_meta" ->

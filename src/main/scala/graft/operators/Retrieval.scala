@@ -108,6 +108,18 @@ object Retrieval {
       .select(col("vec_id"), col("cluster"), round(col("score"), 6).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
 
+  /** Batched kNN (the SRS §4.2 "similarity suggestions" production shape,
+    * [[Search.knnBatch]]): the first four embeddings as a query BATCH
+    * against the whole corpus in one plan — the corpus is scanned once for
+    * all queries; per-query top-k is a rank window keyed by qid. */
+  def knnBatchQ(s: SparkSession, d: String): DataFrame =
+    Search.knnBatch(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+      Tables.embeddings(s, d).filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")), k = 5)
+      .select(col("qid"), col("id"), round(col("score"), 6).as("score"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+
   /** LSH-bucketed ANN (the companion scale path to [[knnIvf]]): 64-bit
     * hyperplane signature per vector, banded 8×8 bits; candidates = rows
     * sharing ≥1 band with the query signature (a broadcast semi-join —
@@ -276,10 +288,61 @@ object Retrieval {
         round(element_at(col("c"), 64), 6).as("c64"))
       .orderBy("label")
 
+  // --- Q6 — parameterized dispatch (the reference's call-time API) --------
+
+  /** Call-time search parameters — the reference's HTTP/CLI surface takes
+    * (mode, image, tags, k, weights) per request
+    * (`/root/reference/app.py:296-321`, `search_with_segments.py:628-709`);
+    * the named `queries` entries above are fixed oracle-checked bindings
+    * of the same engines. `queryImageId` selects which image supplies the
+    * query vectors (the "uploaded image" analog). */
+  case class SearchRequest(
+      mode: String, // "whole" | "segment" | "hybrid" | "tags"
+      k: Int = 10,
+      queryImageId: Long = 0L,
+      tags: Seq[String] = Nil,
+      minConf: Double = 0.1,
+      wWhole: Double = 0.4,
+      wSeg: Double = 0.6)
+
+  /** One entry point, four modes, every knob an argument — each mode
+    * delegates to the same generic [[Search]] engine the named queries
+    * use, so parameterization adds no second code path. */
+  def run(s: SparkSession, d: String, req: SearchRequest): DataFrame = {
+    val qid = req.queryImageId
+    def qSegs = segs(s, d).filter(col("image_id") === qid)
+      .select(col("seg_id").as("qseg"), col("embedding").as("qv"))
+    def others = segs(s, d).filter(col("image_id") =!= qid)
+    req.mode match {
+      case "whole" =>
+        val qw = imageVecs(s, d).filter(col("image_id") === qid)
+          .select(col("wv").as("qv"))
+        Search.knnBrute(imageVecs(s, d).filter(col("image_id") =!= qid),
+            col("wv"), qw, req.k, tie = col("image_id"), offset = 1.0)
+          .select(col("image_id"), col("score"))
+      case "segment" =>
+        Search.segmentScores(others.select("image_id", "embedding"), qSegs)
+          .orderBy(desc("avg_sim"), asc("image_id")).limit(req.k)
+          .withColumn("similarity_percentage", (col("avg_sim") + 1) / 2 * 100)
+      case "hybrid" =>
+        Search.hybrid(
+          wholeVecs = imageVecs(s, d).filter(col("image_id") =!= qid),
+          dbSegs = others.select("image_id", "embedding"),
+          queryWhole = imageVecs(s, d).filter(col("image_id") === qid)
+            .select(col("wv").as("qv")),
+          qSegs = qSegs, k = req.k, wWhole = req.wWhole, wSeg = req.wSeg)
+      case "tags" =>
+        Search.tagSearch(segs(s, d), req.tags, req.minConf, req.k)
+      case other => throw new IllegalArgumentException(
+        s"unknown search mode '$other' (expected whole|segment|hybrid|tags)")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_kernel" -> vecKernel,
     "knn_whole" -> knnWhole,
     "knn_ivf" -> knnIvf,
+    "knn_batch" -> knnBatchQ,
     "knn_lsh" -> knnLsh,
     "q2_segment" -> q2Segment,
     "q3_hybrid" -> q3Hybrid,
@@ -351,6 +414,17 @@ object Retrieval {
          SELECT vec_id, cluster, round(score, 6) AS score
          FROM (SELECT * FROM scored ORDER BY score DESC, vec_id LIMIT 10)
          ORDER BY round(score, 6) DESC, vec_id""",
+    "knn_batch" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 4),
+         scored AS (SELECT q.qid, e.vec_id AS id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+           FROM embeddings e CROSS JOIN q),
+         r AS (SELECT qid, id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+           FROM scored)
+         SELECT qid, id, round(score, 6) AS score, rank
+         FROM r WHERE rank <= 5 ORDER BY qid, rank""",
     "q2_segment" ->
       s"""WITH $segsSql,
          qs AS (SELECT seg_id AS qseg, v AS qv FROM segs WHERE image_id = 0),

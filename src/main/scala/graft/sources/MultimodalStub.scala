@@ -24,8 +24,18 @@ object MultimodalStub {
   case class MediaFeature(doc_id: Long, width: Int, height: Int,
       feature: Array[Float])
 
+  /** The pluggable bytes→feature boundary: implement this against a real
+    * decoder/model (ONNX runtime session, JNI codec, remote endpoint) and
+    * pass a FACTORY of it to [[decodeAndEmbed]] — the factory runs once
+    * per partition on the executor, so per-model init (weights load,
+    * session create) is amortized across the partition's rows, never paid
+    * per row and never serialized from the driver. */
+  trait MediaEncoder extends Serializable {
+    def encode(id: Long, bytes: Array[Byte]): MediaFeature
+  }
+
   /** Stand-in for a real encoder; one instance per partition. */
-  class DeterministicEncoder(dim: Int) extends Serializable {
+  class DeterministicEncoder(dim: Int) extends MediaEncoder {
     def encode(id: Long, bytes: Array[Byte]): MediaFeature = {
       var h = 1125899906842597L
       var i = 0
@@ -60,13 +70,16 @@ object MultimodalStub {
       })
   }
 
-  /** df must have (doc_id: long, payload: binary). */
-  def decodeAndEmbed(df: DataFrame, dim: Int = 16): Dataset[MediaFeature] = {
+  /** df must have (doc_id: long, payload: binary). `encoderFactory` plugs
+    * in a real [[MediaEncoder]]; the default is the deterministic stub. */
+  def decodeAndEmbed(df: DataFrame, dim: Int = 16,
+      encoderFactory: Option[() => MediaEncoder] = None): Dataset[MediaFeature] = {
     val spark = df.sparkSession
     import spark.implicits._
+    val mk = encoderFactory.getOrElse(() => new DeterministicEncoder(dim))
     df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        val model = new DeterministicEncoder(dim) // once per partition, not per row
+        val model = mk() // once per partition, not per row
         it.map { case (id, bytes) => model.encode(id, bytes) }
       }
   }

@@ -150,26 +150,73 @@ object Streams {
 
   // --- sink: merge/upsert via foreachBatch (SURVEY §2.1 S10) -------------
 
+  private def fs(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** Upsert-by-key sink: each micro-batch is merged into a parquet target
     * (read → left-anti old rows → union new → rewrite), the plain-Spark
     * MERGE the reference performs against its index
     * (`/root/reference/SAM/update_elasticsearch_with_segments.py:165-268`).
     * Idempotent per batch; swap for a Delta/Iceberg MERGE INTO when a
-    * table format is available. */
+    * table format is available.
+    *
+    * The merge reads the target and replaces it, so the merged rows are
+    * written to a STAGING directory first and swapped in with a rename:
+    * the write that computes from the target never writes over it.
+    * (A cache()-then-overwrite would corrupt the target if an evicted
+    * partition were recomputed mid-overwrite — lineage would re-read the
+    * half-overwritten target.) Rewrites O(table) per trigger; see
+    * [[upsertByKeyPartitioned]] for the partition-bounded variant. */
   def upsertByKey(spark: SparkSession, target: String, key: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val fresh = batch.dropDuplicates(key)
-    val merged =
-      if (scala.util.Try(spark.read.parquet(target).schema).isSuccess) {
-        val old = spark.read.parquet(target)
-        old.join(fresh, old(key) === fresh(key), "left_anti").unionByName(fresh)
-      } else fresh
-    // target is rewritten per batch: stage to a tmp dir then swap would be
-    // the production move; direct overwrite keeps the example minimal.
-    val staged = merged.cache()
-    staged.count()
-    staged.write.mode("overwrite").parquet(target)
-    staged.unpersist()
+    if (scala.util.Try(spark.read.parquet(target).schema).isSuccess) {
+      val old = spark.read.parquet(target)
+      val merged = old.join(fresh, old(key) === fresh(key), "left_anti")
+        .unionByName(fresh)
+      val tmp = s"${target}__staging_$batchId"
+      merged.write.mode("overwrite").parquet(tmp) // durable before any delete
+      val f = fs(spark, target)
+      f.delete(new org.apache.hadoop.fs.Path(target), true)
+      f.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(target))
+    } else fresh.write.mode("overwrite").parquet(target)
+  }
+
+  /** Partition-bounded upsert: the target is laid out `partitionBy(
+    * partCol)` (a date/bucket column) and a micro-batch rewrites ONLY the
+    * partitions it touches — dynamic partition overwrite — instead of the
+    * whole table. At lake scale this is the difference between O(batch)
+    * and O(table) per trigger.
+    *
+    * Mechanics per batch: collect the batch's distinct `partCol` values
+    * (small — partitions per trigger, not rows); read ONLY those
+    * partitions of the target (`isin` → partition pruning, proven shape
+    * in `IvfLayoutSpec`); anti-join + union = the merged content of the
+    * touched partitions; stage it durably; then dynamic-overwrite, which
+    * replaces exactly the partitions present in the staged frame and
+    * leaves every other partition's files untouched (byte-asserted in
+    * `StreamsSpec`). */
+  def upsertByKeyPartitioned(spark: SparkSession, target: String, key: String,
+      partCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    val fresh = batch.dropDuplicates(key)
+    if (scala.util.Try(spark.read.parquet(target).schema).isSuccess) {
+      val touched = fresh.select(partCol).distinct().collect().map(_.get(0)).toSeq
+      val old = spark.read.parquet(target).filter(col(partCol).isin(touched: _*))
+      val merged = old.join(fresh, old(key) === fresh(key), "left_anti")
+        .unionByName(fresh)
+      val tmp = s"${target}__staging_$batchId"
+      merged.write.mode("overwrite").parquet(tmp) // durable before touching target
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try spark.read.parquet(tmp)
+        .write.partitionBy(partCol).mode("overwrite").parquet(target)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      fs(spark, target).delete(new org.apache.hadoop.fs.Path(tmp), true)
+    } else fresh.write.partitionBy(partCol).mode("overwrite").parquet(target)
   }
 
   /** Wire a streaming DataFrame into the upsert sink. */

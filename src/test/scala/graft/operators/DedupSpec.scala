@@ -64,6 +64,46 @@ class DedupSpec extends SparkSpec {
     assert(hinted === full)
   }
 
+  test("hot-bucket guard: shared boilerplate can't go quadratic") {
+    // Degenerate block: 40 docs that share one boilerplate prefix but have
+    // otherwise-unique tails — the worst case for an inverted-index join:
+    // every boilerplate shingle pairs all 40 docs → ~m²/2 join rows.
+    val boiler = "copyright acme corp all rights reserved unauthorized use prohibited"
+    val corpus = (1 to 40).map(i =>
+      (i.toLong, s"$boiler unique tail ${i}a ${i}b ${i}c ${i}d ${i}e"))
+      .toDF("id", "text").withColumn("blk", lit("b"))
+    val unguarded = Dedup.jaccardPairs(corpus, $"id", $"text", $"blk")
+    val guarded = Dedup.jaccardPairs(corpus, $"id", $"text", $"blk", maxDocFreq = 10)
+    // Unguarded: all 40·39/2 pairs share boilerplate shingles.
+    assert(unguarded.count() === 40L * 39 / 2)
+    // Guarded: boilerplate shingles (df=40 > 10) are dropped; tails are
+    // unique so no pair shares a surviving shingle.
+    assert(guarded.count() === 0)
+    // The audit view reports exactly the dropped hot keys and their cost.
+    val hot = Dedup.hotShingles(corpus, $"id", $"text", $"blk", maxDocFreq = 10)
+      .select("df", "pairs_dropped").as[(Long, Long)].collect()
+    assert(hot.nonEmpty && hot.forall { case (df, p) => df === 40L && p === 40L * 39 / 2 })
+    // Same guard on the banded minhash path: candidates bounded, none of
+    // the truly-identical-signature pairs are lost for non-hot buckets.
+    val mhUnguarded = Dedup.minhashPairs(corpus, $"id", $"text", $"blk", minEst = 0.2)
+    val mhGuarded = Dedup.minhashPairs(corpus, $"id", $"text", $"blk",
+      minEst = 0.2, maxBandFreq = 10)
+    assert(mhGuarded.count() <= mhUnguarded.count())
+  }
+
+  test("dupClusters: 1000-node chain converges within O(log d) pointer-jump rounds") {
+    // Worst-case diameter: a path graph 1-2-…-1000. Plain min-label
+    // propagation needs ~1000 rounds; pointer jumping squares the reach
+    // each round, so ⌈log2(1000)⌉ ≈ 10 rounds must suffice. maxRounds=14
+    // (10 + convergence-detection slack) guards the O(log d) claim — if a
+    // regression degrades to linear propagation, labels come back wrong.
+    val n = 1000L
+    val chain = spark.range(1, n).select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val labels = Dedup.dupClusters(chain, maxRounds = 14)
+    assert(labels.filter(col("cluster") === 1L).count() === n)
+    assert(labels.count() === n)
+  }
+
   test("dupClusters: transitive components, min-id representative") {
     // chain 1-2-3, pair 10-11, chain 20-21-22-23 (longer diameter), isolated pairs
     val pairs = Seq(

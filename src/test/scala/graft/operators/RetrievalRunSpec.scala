@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Retrieval.SearchRequest
+
+/** The parameterized dispatch ([[Retrieval.run]]) — all four reference
+  * modes through one entry with call-time k / weights / tags / query
+  * image, against real testdata. */
+class RetrievalRunSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("whole mode: k is honored, query image excluded, cos+1 calibration") {
+    val r = Retrieval.run(spark, d, SearchRequest("whole", k = 3))
+      .as[(Long, Double)].collect()
+    assert(r.length === 3)
+    assert(!r.map(_._1).contains(0L), "query image must not match itself")
+    assert(r.forall(p => p._2 > 0.0 && p._2 <= 2.0))
+    assert(r.sortBy(-_._2).toSeq === r.toSeq)
+  }
+
+  test("segment mode: parameterized query image changes the result") {
+    val from0 = Retrieval.run(spark, d, SearchRequest("segment", k = 5))
+      .select("image_id").as[Long].collect().toSeq
+    val from3 = Retrieval.run(spark, d,
+        SearchRequest("segment", k = 5, queryImageId = 3L))
+      .select("image_id").as[Long].collect().toSeq
+    assert(from0.length === 5 && from3.length === 5)
+    assert(!from3.contains(3L), "query image excluded for its own query")
+    assert(from0 !== from3, "different query image → different ranking")
+  }
+
+  test("hybrid mode: weights are live — extreme weights reproduce the pure modes") {
+    val wholeOnly = Retrieval.run(spark, d,
+        SearchRequest("hybrid", k = 5, wWhole = 1.0, wSeg = 0.0))
+      .select("image_id", "hybrid_score").as[(Long, Double)].collect()
+    val whole = Retrieval.run(spark, d, SearchRequest("whole", k = 5))
+      .as[(Long, Double)].collect()
+    assert(wholeOnly.map(_._1).toSeq === whole.map(_._1).toSeq,
+      "wSeg=0 ranking = whole-image ranking")
+    wholeOnly.zip(whole).foreach { case ((_, h), (_, w)) =>
+      assert(math.abs(h - w) < 1e-9, "wWhole=1 score = whole score")
+    }
+    val segHeavy = Retrieval.run(spark, d,
+        SearchRequest("hybrid", k = 5, wWhole = 0.0, wSeg = 1.0))
+      .select("image_id").as[Long].collect().toSeq
+    assert(segHeavy.length === 5)
+  }
+
+  test("tags mode: tag set and confidence floor are live") {
+    val loose = Retrieval.run(spark, d,
+      SearchRequest("tags", k = 50, tags = Seq("lbl_3", "lbl_7"), minConf = 0.1))
+    val strict = Retrieval.run(spark, d,
+      SearchRequest("tags", k = 50, tags = Seq("lbl_3", "lbl_7"), minConf = 0.9))
+    assert(strict.count() < loose.count(), "raising minConf shrinks the result")
+    val other = Retrieval.run(spark, d,
+      SearchRequest("tags", k = 50, tags = Seq("lbl_1"), minConf = 0.1))
+    val looseIds = loose.select("image_id").as[Long].collect().toSet
+    val otherIds = other.select("image_id").as[Long].collect().toSet
+    assert(looseIds !== otherIds, "different tag set → different matches")
+  }
+
+  test("unknown mode fails fast") {
+    intercept[IllegalArgumentException] {
+      Retrieval.run(spark, d, SearchRequest("vibes"))
+    }
+  }
+}

@@ -53,6 +53,32 @@ class MultimodalStubSpec extends SparkSpec {
     }
   }
 
+  test("MediaEncoder is pluggable: a second implementation runs through frameEmbed") {
+    // A toy alternative encoder — what a real ONNX/codec impl would be:
+    // feature = [len, first byte, last byte] normalized-ish, dim 3.
+    class ByteStatsEncoder extends MultimodalStub.MediaEncoder {
+      def encode(id: Long, bytes: Array[Byte]): MultimodalStub.MediaFeature = {
+        val n = bytes.length
+        val f = Array(
+          n.toFloat / 256f,
+          if (n > 0) bytes(0).toFloat else 0f,
+          if (n > 0) bytes(n - 1).toFloat else 0f)
+        MultimodalStub.MediaFeature(id, width = 0, height = 0, feature = f)
+      }
+    }
+    val out = graft.operators.Multimodal.frameEmbed(spark, "/root/testdata/sf0.001",
+      encoder = Some(() => new ByteStatsEncoder))
+    val rows = out.select("doc_id", "dim", "vec_norm").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 == 3L), "pooled dim follows the plugged encoder's dim")
+    assert(rows.forall(_._3 > 0.0))
+    // and the same frames through the default stub still give dim 16 —
+    // the factory really switches implementations, not just parameters
+    val stub = graft.operators.Multimodal.frameEmbed(spark, "/root/testdata/sf0.001")
+      .select("dim").distinct().as[Long].collect().toSeq
+    assert(stub === Seq(16L))
+  }
+
   test("decodeAndEmbed survives empty partitions and empty payloads") {
     val df = Seq((1L, Array.empty[Byte])).toDF("doc_id", "payload").repartition(8)
     val rows = MultimodalStub.decodeAndEmbed(df, dim = 4).collect()

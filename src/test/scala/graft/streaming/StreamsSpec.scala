@@ -140,6 +140,35 @@ class StreamsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "view", 1.0), (2L, "click", 9.0), (3L, "view", 3.0)))
   }
 
+  test("upsertByKeyPartitioned: only touched partitions are rewritten") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_part").toString
+    val target = s"$dir/target"
+    def batch(rows: (Long, String, Double)*) =
+      rows.toDF("event_id", "day", "value")
+    // seed three day-partitions
+    Streams.upsertByKeyPartitioned(spark, target, "event_id", "day")(
+      batch((1L, "d1", 1.0), (2L, "d2", 2.0), (3L, "d3", 3.0)), 0L)
+    def partFiles(day: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$target/day=$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val d1Before = partFiles("d1")
+    val d3Before = partFiles("d3")
+    assert(d1Before.nonEmpty && d3Before.nonEmpty)
+    // second batch touches ONLY d2 (update) — d1/d3 files must not change
+    Streams.upsertByKeyPartitioned(spark, target, "event_id", "day")(
+      batch((2L, "d2", 9.0), (4L, "d2", 4.0)), 1L)
+    assert(partFiles("d1") === d1Before, "untouched partition d1 rewritten")
+    assert(partFiles("d3") === d3Before, "untouched partition d3 rewritten")
+    val out = spark.read.parquet(target)
+      .select("event_id", "day", "value").orderBy("event_id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out === Seq((1L, "d1", 1.0), (2L, "d2", 9.0), (3L, "d3", 3.0), (4L, "d2", 4.0)))
+    // no staging dirs left behind
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.contains("staging")))
+  }
+
   test("intervalJoin: stream-stream join within the time bound only") {
     val clicks = MemoryStream[(Long, Long, Timestamp)]
     val errors = MemoryStream[(Long, Long, Timestamp)]
