@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off scale-stress evidence (`BENCH_scale.json`): replicate the
+  * sf0.1 `documents`/`embeddings` tables 10× and time the four heaviest
+  * queries at 1× and 10×. Pass condition = time grows ≤ ~linearly in
+  * rows: every candidate-generation step is blocked/banded and every
+  * corpus join is broadcast or band-keyed, so work should scale with
+  * rows, not rows².
+  *
+  * The replication is deliberately dup-heavy (the realistic 10× for a
+  * crawl corpus, and the adversarial direction for dedup):
+  *  - replicas 1–4: token ROTATIONS of the original — identical token
+  *    multiset ⇒ identical MinHash signature, so they stress the
+  *    exact-collapse-before-banding path (a dup cluster of size c must
+  *    NOT emit c² band candidates);
+  *  - replicas 5–9: rotations + a unique suffix token — distinct
+  *    signatures at ~0.95 estimated Jaccard, so each source doc gains a
+  *    bounded near-dup clique (constant size ⇒ pair count stays linear
+  *    in rows).
+  * Embeddings are replicated as-is under shifted ids (10× scoring and
+  * assignment work; centroid count unchanged, as an IVF codebook would
+  * be).
+  */
+object ScaleBench {
+
+  private val Queries = Seq("dedup_minhash_lsh", "pipeline_curate", "knn_ivf", "q3_hybrid")
+  private val Reps = 10
+  private val IdStride = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val scratch = if (args.length > 1) args(1) else "/root/repo/.scalebench/sf1"
+    val out = if (args.length > 2) args(2) else "/root/repo/BENCH_scale.json"
+    val cpus = Runtime.getRuntime.availableProcessors()
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$scratch/embeddings.parquet").exists()) {
+      val docs = Tables.documents(spark, base)
+      (0 until Reps).map { i =>
+        val toks = split(col("text"), " ")
+        val rotated =
+          if (i == 0) col("text")
+          else array_join(concat(
+            slice(toks, i + 1, 1 << 20), slice(toks, 1, i)), " ")
+        val text =
+          if (i >= 5) concat(rotated, lit(s" sbr$i")) // unique token → near-dup, not dup
+          else rotated
+        docs.select(
+          (col("doc_id") + i * IdStride).as("doc_id"),
+          text.as("text"), col("lang"), col("source"))
+      }.reduce(_ unionByName _)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$scratch/documents.parquet")
+      val emb = Tables.embeddings(spark, base)
+      (0 until Reps).map { i =>
+        emb.select((col("vec_id") + i * IdStride).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$scratch/embeddings.parquet")
+    }
+
+    def run(dir: String, name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // JIT/footer warmup at the smallest scale so 1× timings aren't
+    // absorbing JVM startup (same policy as Bench).
+    Queries.foreach(run("/root/testdata/sf0.01", _))
+    val oneX = Queries.map(n => n -> run(base, n)).toMap
+    val tenX = Queries.map(n => n -> run(scratch, n)).toMap
+
+    val qJson = Queries.map { n =>
+      val r = tenX(n) / oneX(n)
+      f"""    "$n": {"sec_1x": ${oneX(n)}%.3f, "sec_10x": ${tenX(n)}%.3f, "time_ratio": $r%.2f}"""
+    }.mkString(",\n")
+    val json =
+      s"""{
+         |  "rows_factor": $Reps,
+         |  "base": "$base",
+         |  "note": "10x replication is dup-heavy by design (rotated + suffixed replicas); pass = time_ratio <= ~rows_factor",
+         |  "queries": {
+         |$qJson
+         |  }
+         |}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}

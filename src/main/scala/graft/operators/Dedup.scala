@@ -208,6 +208,24 @@ object Dedup {
       .distinct()
   }
 
+  /** Re-root a just-checkpointed frame on its materialized RDD so its
+    * size ESTIMATE resets to the session default.
+    *
+    * `Dataset.localCheckpoint` truncates lineage but propagates the
+    * ORIGIN plan's estimated statistics into the resulting `LogicalRDD`.
+    * In an iterative loop that is a time bomb: round N's plan joins the
+    * round-(N−1) checkpoint several times, so its sizeInBytes estimate is
+    * a PRODUCT of the previous round's estimate with itself — the BigInt
+    * bit-length grows ~3× per round (measured: 82 → 323 → 1048 → … → 7.1M
+    * bits by round 9), and from round ~10 the driver spends its time in
+    * BigInteger.multiply inside join-size estimation (20 s/round at round
+    * 11, 87 s at round 12, on a 165k-edge graph whose actual per-round
+    * work is 0.3 s). Rebuilding from the checkpointed RDD drops the
+    * poisoned estimate; AQE still converts to broadcast joins from
+    * RUNTIME shuffle sizes, so the executed plans are unchanged. */
+  private[graft] def statsReset(ckpt: DataFrame): DataFrame =
+    ckpt.sparkSession.createDataFrame(ckpt.rdd, ckpt.schema)
+
   /** Transitive duplicate CLUSTERING: connected components over a
     * candidate-pair graph → (doc_id, cluster) with cluster = the smallest
     * doc id in the component (so A≈B and B≈C land in one cluster even
@@ -227,11 +245,14 @@ object Dedup {
       maxRounds: Int = 20): DataFrame = {
     // No distinct: duplicate edges are absorbed by the min-aggregation
     // each round, so paying a distinct shuffle up front buys nothing.
+    // Edges keep the plain checkpoint (Tungsten rows, read every round);
+    // only the loop-carried label table goes through statsReset — that is
+    // where the estimate compounding happens.
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .localCheckpoint()
-    var labels = edges.select(col("u").as("node"))
-      .distinct().withColumn("lbl", col("node")).localCheckpoint()
+    var labels = statsReset(edges.select(col("u").as("node"))
+      .distinct().withColumn("lbl", col("node")).localCheckpoint())
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -249,15 +270,15 @@ object Dedup {
           least(col("lbl"),
             coalesce(col("nbr_lbl"), col("lbl")),
             coalesce(col("jlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+      val ckpt = statsReset(next.localCheckpoint())
       // convergence check every 2nd round: pointer jumping converges in
       // O(log d) rounds, so one possibly-wasted extra round costs less
       // than a change-count job per round
       if (round % 2 == 1 || round >= maxRounds - 1) {
-        changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+        changed = ckpt.join(labels.withColumnRenamed("lbl", "old"), "node")
           .filter(col("lbl") =!= col("old")).count()
       }
-      labels = next
+      labels = ckpt
       round += 1
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))

@@ -104,6 +104,35 @@ class DedupSpec extends SparkSpec {
     assert(labels.count() === n)
   }
 
+  test("statsReset: checkpoint size estimates must not compound across rounds") {
+    // localCheckpoint propagates the ORIGIN plan's estimated sizeInBytes
+    // into the LogicalRDD. An iterative loop that re-checkpoints a frame
+    // built from several self-joins of the previous checkpoint therefore
+    // MULTIPLIES the estimate into itself every round — bit-length grows
+    // geometrically, and from round ~10 the driver burns minutes in
+    // BigInteger.multiply during join-size estimation (measured: 87 s for
+    // one 20k-row round). statsReset re-roots on the materialized RDD,
+    // restoring the constant session-default estimate.
+    def sizeBits(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes.bigInteger.bitLength
+    def step(df: org.apache.spark.sql.DataFrame) = df.as("a")
+      .join(df.as("b"), col("a.node") === col("b.node"))
+      .join(df.as("c"), col("a.node") === col("c.node"))
+      .select(col("a.node").as("node"))
+    var naive = spark.range(50).select(col("id").as("node")).localCheckpoint()
+    var reset = Dedup.statsReset(naive)
+    val naiveBits = (1 to 3).map { _ =>
+      naive = step(naive).localCheckpoint(); sizeBits(naive)
+    }
+    val resetBits = (1 to 3).map { _ =>
+      reset = Dedup.statsReset(step(reset).localCheckpoint()); sizeBits(reset)
+    }
+    assert(naiveBits.last > 3 * naiveBits.head,
+      s"precondition: naive estimates compound geometrically, got $naiveBits")
+    assert(resetBits.distinct.size === 1 && resetBits.head <= 64,
+      s"statsReset keeps the estimate constant, got $resetBits")
+  }
+
   test("dupClusters: transitive components, min-id representative") {
     // chain 1-2-3, pair 10-11, chain 20-21-22-23 (longer diameter), isolated pairs
     val pairs = Seq(
