@@ -1,0 +1,147 @@
+package graft
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.operators.Retrieval
+
+/** Request/response boundary for the parameterized search dispatch — the
+  * engine-side equivalent of the reference's HTTP endpoints
+  * (`/root/reference/app.py:83-321`: per-request form fields `top_k`,
+  * `tags`, `whole_weight`, `segment_weight`; response envelope
+  * `{"mode": …, "top_k": …, "results": […]}`) and its CLI
+  * (`search_with_segments.py:628-709`).
+  *
+  * graft is a library, not a web app, so the boundary is a pure
+  * function: request JSON in → response JSON out, with
+  * [[graft.operators.Retrieval.run]] doing the work. Any HTTP server
+  * (or queue consumer, or notebook) can wrap [[handle]] without touching
+  * engine internals; [[SearchCli]] is the bundled terminal wrapper.
+  * Errors come back as `{"error": …}` payloads, matching the
+  * reference's error JSON, rather than as exceptions.
+  *
+  * The reference uploads an image per request and embeds it; this
+  * container has no codecs/models (see `MultimodalStub`), so the query
+  * image is selected by id (`query_image_id`) — the same "query vectors
+  * come from the request" dataflow with the embedding step resolved
+  * against the embeddings table.
+  *
+  * Collecting `results` to the driver is correct HERE and only here:
+  * it is the serving edge, the result is ≤ k rows by construction, and
+  * everything upstream ran distributed.
+  */
+object Serving {
+
+  /** Request field names follow the reference's form fields
+    * (`app.py:110-111, 208-213`); `tags` accepts a JSON array or the
+    * reference's comma-separated string. Unknown fields are ignored;
+    * missing fields take [[Retrieval.SearchRequest]] defaults. */
+  def parseRequest(json: String): Retrieval.SearchRequest = {
+    val fields = JsonMethods.parse(json) match {
+      case JObject(fs) => fs.toMap
+      case other => throw new IllegalArgumentException(
+        s"request must be a JSON object, got ${other.getClass.getSimpleName}")
+    }
+    def num(name: String): Option[Double] = fields.get(name).map {
+      case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble
+      case JDouble(d) => d
+      case JDecimal(d) => d.toDouble
+      case other => throw new IllegalArgumentException(s"'$name' must be a number, got $other")
+    }
+    def str(name: String): Option[String] = fields.get(name).map {
+      case JString(v) => v
+      case other => throw new IllegalArgumentException(s"'$name' must be a string, got $other")
+    }
+    val tags = fields.get("tags") match {
+      case Some(JArray(vs)) => vs.map {
+        case JString(v) => v
+        case other => throw new IllegalArgumentException(s"tags entries must be strings, got $other")
+      }
+      case Some(JString(csv)) => // the reference's comma-separated form field
+        csv.split(",").map(_.trim).filter(_.nonEmpty).toList
+      case Some(other) => throw new IllegalArgumentException(s"'tags' must be array or string, got $other")
+      case None => Nil
+    }
+    val defaults = Retrieval.SearchRequest(mode = "")
+    Retrieval.SearchRequest(
+      mode = str("mode").getOrElse(
+        throw new IllegalArgumentException("missing required field 'mode'")),
+      k = num("top_k").map(_.toInt).getOrElse(defaults.k),
+      queryImageId = num("query_image_id").map(_.toLong).getOrElse(defaults.queryImageId),
+      tags = tags,
+      minConf = num("min_conf").getOrElse(defaults.minConf),
+      wWhole = num("whole_weight").getOrElse(defaults.wWhole),
+      wSeg = num("segment_weight").getOrElse(defaults.wSeg))
+  }
+
+  /** One request, one JSON response: parse → [[Retrieval.run]] →
+    * `{"mode": …, "top_k": …, "results": [row, …]}`. Row objects come
+    * from Spark's own row→JSON encoder (`Dataset.toJSON`), so column
+    * names and values match the named-query surface exactly. */
+  def handle(s: SparkSession, d: String, requestJson: String): String =
+    try {
+      val req = parseRequest(requestJson)
+      val rows = Retrieval.run(s, d, req).toJSON.collect()
+      s"""{"mode":${quote(req.mode)},"top_k":${req.k},"results":[${rows.mkString(",")}]}"""
+    } catch {
+      case NonFatal(e) =>
+        s"""{"error":${quote(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}}"""
+    }
+
+  private def quote(v: String): String =
+    JsonMethods.compact(JsonMethods.render(JString(v)))
+}
+
+/** Terminal wrapper over [[Serving.handle]] — the reference's CLI
+  * surface (`search_with_segments.py:628-709`: mode + per-mode knobs as
+  * flags). Either pass the request as one JSON blob or as flags:
+  *
+  * {{{
+  * runMain graft.SearchCli --data /root/testdata/sf0.001 --mode hybrid \
+  *   --top-k 5 --whole-weight 0.7 --segment-weight 0.3
+  * runMain graft.SearchCli --data /root/testdata/sf0.001 \
+  *   --json {"mode":"tags","tags":"lbl_2,lbl_4","top_k":5}
+  * }}}
+  */
+object SearchCli {
+
+  /** Flags → request JSON (pure, spec-tested). `--json` wins if given;
+    * other flags map 1:1 onto [[Serving.parseRequest]] field names. */
+  def requestJson(args: Array[String]): String = {
+    val kv = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    kv.get("--json").getOrElse {
+      val fields = List(
+        kv.get("--mode").map(v => s""""mode":${jstr(v)}"""),
+        kv.get("--top-k").map(v => s""""top_k":$v"""),
+        kv.get("--query-image-id").map(v => s""""query_image_id":$v"""),
+        kv.get("--tags").map(v => s""""tags":${jstr(v)}"""),
+        kv.get("--min-conf").map(v => s""""min_conf":$v"""),
+        kv.get("--whole-weight").map(v => s""""whole_weight":$v"""),
+        kv.get("--segment-weight").map(v => s""""segment_weight":$v""")).flatten
+      fields.mkString("{", ",", "}")
+    }
+  }
+
+  private def jstr(v: String): String =
+    JsonMethods.compact(JsonMethods.render(JString(v)))
+
+  def main(args: Array[String]): Unit = {
+    val kv = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val data = kv.getOrElse("--data",
+      sys.error("--data <dir> is required (parquet table directory)"))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-search")
+      .config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors())
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(Serving.handle(spark, data, requestJson(args)))
+    spark.stop()
+  }
+}

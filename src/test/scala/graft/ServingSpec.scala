@@ -1,0 +1,62 @@
+package graft
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.operators.Retrieval
+
+/** The JSON serving boundary: request parsing (reference form-field
+  * names), response envelope, error payloads, and CLI flag mapping. */
+class ServingSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("parseRequest: reference field names, defaults, both tags forms") {
+    val full = Serving.parseRequest(
+      """{"mode":"hybrid","top_k":7,"query_image_id":3,
+         "whole_weight":0.7,"segment_weight":0.3,
+         "min_conf":0.25,"tags":["a","b"]}""")
+    assert(full === Retrieval.SearchRequest("hybrid", k = 7, queryImageId = 3L,
+      tags = Seq("a", "b"), minConf = 0.25, wWhole = 0.7, wSeg = 0.3))
+    // the reference's comma-separated form-field tags (app.py tag_filter)
+    assert(Serving.parseRequest("""{"mode":"tags","tags":"a, b ,c"}""").tags
+      === Seq("a", "b", "c"))
+    val defaults = Serving.parseRequest("""{"mode":"whole"}""")
+    assert(defaults === Retrieval.SearchRequest("whole"))
+  }
+
+  test("handle: envelope mode/top_k/results, rows match Retrieval.run") {
+    val out = Serving.handle(spark, d, """{"mode":"whole","top_k":4}""")
+    val parsed = JsonMethods.parse(out)
+    assert((parsed \ "mode") === JString("whole"))
+    assert((parsed \ "top_k") === JInt(4))
+    val results = (parsed \ "results").asInstanceOf[JArray].arr
+    assert(results.size === 4)
+    // rows carry the engine's column names, straight from Dataset.toJSON
+    val ids = results.map(r => (r \ "image_id").asInstanceOf[JInt].num.toLong)
+    val direct = Retrieval.run(spark, d, Retrieval.SearchRequest("whole", k = 4))
+      .select("image_id").collect().map(_.getLong(0)).toList
+    assert(ids === direct)
+  }
+
+  test("handle: tags mode via comma string; errors come back as JSON") {
+    val out = Serving.handle(spark, d,
+      """{"mode":"tags","tags":"lbl_2","top_k":3,"min_conf":0.0}""")
+    val results = (JsonMethods.parse(out) \ "results").asInstanceOf[JArray].arr
+    assert(results.nonEmpty && results.size <= 3)
+    val err = Serving.handle(spark, d, """{"mode":"teleport"}""")
+    assert((JsonMethods.parse(err) \ "error").isInstanceOf[JString])
+    val bad = Serving.handle(spark, d, """["not","an","object"]""")
+    assert((JsonMethods.parse(bad) \ "error").isInstanceOf[JString])
+  }
+
+  test("SearchCli.requestJson: flags map onto request fields; --json wins") {
+    val json = SearchCli.requestJson(Array(
+      "--data", "/x", "--mode", "hybrid", "--top-k", "5",
+      "--whole-weight", "0.7", "--segment-weight", "0.3"))
+    assert(Serving.parseRequest(json) === Retrieval.SearchRequest(
+      "hybrid", k = 5, wWhole = 0.7, wSeg = 0.3))
+    val raw = """{"mode":"tags","tags":"x"}"""
+    assert(SearchCli.requestJson(Array("--json", raw, "--mode", "ignored")) === raw)
+  }
+}
