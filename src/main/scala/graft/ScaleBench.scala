@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  private val Queries = Seq("dedup_minhash_lsh", "pipeline_curate", "knn_ivf", "q3_hybrid")
+  private val Queries = Seq(
+    "dedup_minhash_lsh", "pipeline_curate", "knn_ivf", "q3_hybrid",
+    "dedup_ngram_jaccard", "zs_tags", "knn_batch")
   private val Reps = 10
   private val IdStride = 10000000L
 

@@ -75,7 +75,8 @@ object Serving {
       tags = tags,
       minConf = num("min_conf").getOrElse(defaults.minConf),
       wWhole = num("whole_weight").getOrElse(defaults.wWhole),
-      wSeg = num("segment_weight").getOrElse(defaults.wSeg))
+      wSeg = num("segment_weight").getOrElse(defaults.wSeg),
+      maxSegments = num("max_segments").map(_.toInt).getOrElse(defaults.maxSegments))
   }
 
   /** One request, one JSON response: parse → [[Retrieval.run]] →
@@ -120,6 +121,7 @@ object SearchCli {
         kv.get("--query-image-id").map(v => s""""query_image_id":$v"""),
         kv.get("--tags").map(v => s""""tags":${jstr(v)}"""),
         kv.get("--min-conf").map(v => s""""min_conf":$v"""),
+        kv.get("--max-segments").map(v => s""""max_segments":$v"""),
         kv.get("--whole-weight").map(v => s""""whole_weight":$v"""),
         kv.get("--segment-weight").map(v => s""""segment_weight":$v""")).flatten
       fields.mkString("{", ",", "}")

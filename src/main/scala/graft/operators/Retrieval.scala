@@ -138,9 +138,13 @@ object Retrieval {
     * ≤max_segments, drop tiny areas; `sam_segment_clip_pipeline.py:182,361`,
     * `extract_sam_clip_features.py:65-78`) as a rank window per image.
     * Area is a deterministic synthetic (no pixel data in testdata). */
+  /** Deterministic synthetic mask area (no pixel data in testdata); the
+    * one formula shared by mask selection and the `max_segments` cap. */
+  private[graft] def segArea: Column = (col("vec_id") * 131 % 997 + 100).cast("long")
+
   def segAreaTopk(s: SparkSession, d: String): DataFrame =
     segs(s, d)
-      .withColumn("area", (col("vec_id") * 131 % 997 + 100).cast("long"))
+      .withColumn("area", segArea)
       .filter(col("area") >= 150)
       .withColumn("rnk", row_number().over(
         Window.partitionBy("image_id").orderBy(desc("area"), asc("seg_id"))))
@@ -303,7 +307,12 @@ object Retrieval {
       tags: Seq[String] = Nil,
       minConf: Double = 0.1,
       wWhole: Double = 0.4,
-      wSeg: Double = 0.6)
+      wSeg: Double = 0.6,
+      // cap on QUERY segments, largest areas first — the reference's
+      // max_segments form field (`segment_query_image` keeps the top
+      // max_segments masks after the area-desc sort,
+      // `search_with_segments.py:72,82`; default 10, `app.py:158`)
+      maxSegments: Int = 10)
 
   /** One entry point, four modes, every knob an argument — each mode
     * delegates to the same generic [[Search]] engine the named queries
@@ -311,6 +320,8 @@ object Retrieval {
   def run(s: SparkSession, d: String, req: SearchRequest): DataFrame = {
     val qid = req.queryImageId
     def qSegs = segs(s, d).filter(col("image_id") === qid)
+      .withColumn("area", segArea)
+      .orderBy(desc("area"), asc("seg_id")).limit(req.maxSegments)
       .select(col("seg_id").as("qseg"), col("embedding").as("qv"))
     def others = segs(s, d).filter(col("image_id") =!= qid)
     req.mode match {

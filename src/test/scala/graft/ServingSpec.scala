@@ -14,10 +14,11 @@ class ServingSpec extends SparkSpec {
   test("parseRequest: reference field names, defaults, both tags forms") {
     val full = Serving.parseRequest(
       """{"mode":"hybrid","top_k":7,"query_image_id":3,
-         "whole_weight":0.7,"segment_weight":0.3,
+         "whole_weight":0.7,"segment_weight":0.3,"max_segments":4,
          "min_conf":0.25,"tags":["a","b"]}""")
     assert(full === Retrieval.SearchRequest("hybrid", k = 7, queryImageId = 3L,
-      tags = Seq("a", "b"), minConf = 0.25, wWhole = 0.7, wSeg = 0.3))
+      tags = Seq("a", "b"), minConf = 0.25, wWhole = 0.7, wSeg = 0.3,
+      maxSegments = 4))
     // the reference's comma-separated form-field tags (app.py tag_filter)
     assert(Serving.parseRequest("""{"mode":"tags","tags":"a, b ,c"}""").tags
       === Seq("a", "b", "c"))

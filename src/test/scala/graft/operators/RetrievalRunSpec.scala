@@ -50,6 +50,29 @@ class RetrievalRunSpec extends SparkSpec {
     assert(segHeavy.length === 5)
   }
 
+  test("max_segments caps query segments, largest areas first") {
+    // maxSegments=1 must equal segmentScores driven by ONLY the
+    // top-area query segment — the reference's masks[:max_segments]
+    // after the area-desc sort (search_with_segments.py:72,82).
+    val capped = Retrieval.run(spark, d,
+        SearchRequest("segment", k = 5, maxSegments = 1))
+      .select("image_id").as[Long].collect().toSeq
+    val topSeg = Retrieval.segs(spark, d).filter(col("image_id") === 0)
+      .withColumn("area", (col("vec_id") * 131 % 997 + 100).cast("long"))
+      .orderBy(desc("area"), asc("seg_id")).limit(1)
+      .select(col("seg_id").as("qseg"), col("embedding").as("qv"))
+    val manual = Search.segmentScores(
+        Retrieval.segs(spark, d).filter(col("image_id") =!= 0)
+          .select("image_id", "embedding"), topSeg)
+      .orderBy(desc("avg_sim"), asc("image_id")).limit(5)
+      .select("image_id").as[Long].collect().toSeq
+    assert(capped === manual)
+    // default (10 ≥ 8 segs/image) keeps all segments → named-query behavior
+    val all = Retrieval.run(spark, d, SearchRequest("segment", k = 5))
+      .select("image_id").as[Long].collect().toSeq
+    assert(all.length === 5)
+  }
+
   test("tags mode: tag set and confidence floor are live") {
     val loose = Retrieval.run(spark, d,
       SearchRequest("tags", k = 50, tags = Seq("lbl_3", "lbl_7"), minConf = 0.1))
