@@ -285,8 +285,9 @@ object Dedup {
   }
 
   /** Brute-force pairwise embedding cosine → (vec_a, vec_b, cos): the
-    * oracle-checkable ground truth that the banded/IVF paths approximate
-    * at scale. O(N²) by construction — small inputs only. */
+    * oracle-checkable ground truth that [[embeddingPairsLsh]] and the IVF
+    * layout approximate at scale. O(N²) by construction — small inputs
+    * only. */
   def embeddingPairs(df: DataFrame, id: Column, vec: Column): DataFrame = {
     val s = df.sparkSession
     val a = df.select(id.as("vec_a"), vec.as("va"))
@@ -294,6 +295,51 @@ object Dedup {
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         fusedCosine(s, col("va"), col("vb")).as("cos"))
+  }
+
+  /** Embedding near-dup at SCALE: sign-random-projection LSH banding
+    * replaces the O(N²) pair join of [[embeddingPairs]] — 64-bit
+    * hyperplane signature per vector, `bands`×(nbits/bands)-bit band keys
+    * as candidate buckets, id-only self-join per bucket, then EXACT
+    * cosine on candidates only → (vec_a, vec_b, cos) with cos ≥ `minCos`.
+    *
+    * Same layout discipline as [[minhashPairs]]: the band shuffle carries
+    * (band, id) — vectors stay OUT of the candidate join and are joined
+    * back by id for the exact rescore, so the quadratic step is bounded
+    * per bucket and the wide payload moves through linear shuffles only.
+    * `maxBandFreq` is the hot-bucket guard (a band shared by m vectors
+    * emits m² candidates). Recall is probabilistic in the angle:
+    * P[band agrees] = (1−θ/π)^width per band, ≥1-band collision required
+    * — near-identical vectors (θ→0) collide with certainty, which is the
+    * dedup regime. Scores are exact; only candidate RECALL is
+    * approximate (`DedupSpec` pins both). */
+  def embeddingPairsLsh(df: DataFrame, id: Column, vec: Column,
+      minCos: Double = 0.9, nbits: Int = 64, bands: Int = 8,
+      maxBandFreq: Int = 0): DataFrame = {
+    val s = df.sparkSession
+    val width = nbits / bands
+    val mask = (1L << width) - 1L
+    val base = df.select(id.as("__vid"), vec.as("__v"))
+    val sigs = base.select(col("__vid"),
+      TextExpressions.hyperplaneSig(s, col("__v"), nbits).as("sig"))
+    val bandCols = (0 until bands).map(i => concat_ws("_",
+      lit(i), shiftright(col("sig"), i * width).bitwiseAND(lit(mask))))
+    val allBanded = sigs.select(col("__vid"), explode(array(bandCols: _*)).as("band"))
+    val banded =
+      if (maxBandFreq > 0)
+        allBanded.withColumn("_df", count(lit(1)).over(Window.partitionBy("band")))
+          .filter(col("_df") <= maxBandFreq).drop("_df")
+      else allBanded
+    val cands = banded.as("x").join(banded.as("y"), col("x.band") === col("y.band"))
+      .filter(col("x.__vid") < col("y.__vid"))
+      .select(col("x.__vid").as("vec_a"), col("y.__vid").as("vec_b"))
+      .distinct()
+    cands
+      .join(base.select(col("__vid").as("vec_a"), col("__v").as("va")), "vec_a")
+      .join(base.select(col("__vid").as("vec_b"), col("__v").as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        fusedCosine(s, col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= minCos)
   }
 
   // =========================================================================
@@ -329,10 +375,24 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
 
+  /** The scale path for the same pairs (hyperplane-sig banding → exact
+    * rescore); rows-only check (signature not DuckDB-expressible),
+    * exactness + recall pinned by `DedupSpec`. The synthetic embeddings
+    * have no true near-dups (max pairwise cos ≈ 0.48), so this binding
+    * probes at 0.35 — recall there is the documented wide-angle
+    * best-effort; the dedup regime (θ→0, recall→1) is spec-pinned on a
+    * constructed corpus. */
+  def embeddingNearDupLsh(s: SparkSession, d: String): DataFrame =
+    embeddingPairsLsh(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+      minCos = 0.35)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_a"), asc("vec_b")).limit(50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_embedding" -> embeddingNearDup,
+    "dedup_embedding_lsh" -> embeddingNearDupLsh,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash)
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -52,24 +52,12 @@ object Search {
       centroids: DataFrame, // (cid: long-castable, c: vector)
       query: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val s = corpus.sparkSession
-    val book = centroids
-      .select(col("cid").cast("long"), col("c").cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+    val book = collectCodebook(centroids)
     val qv = query.select(col("qv").cast("array<double>"))
       .head().getSeq[Double](0).toArray
     // Probe selection = the oracle's ORDER BY cos DESC, cid LIMIT nprobe,
     // computed over the already-collected codebook.
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < math.min(a.length, b.length)) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      val d = math.sqrt(na) * math.sqrt(nb)
-      if (d == 0.0) Double.NegativeInfinity else dot / d
-    }
-    val probed = book.map { case (cid, c) => (cid, cos(c, qv)) }
+    val probed = book.map { case (cid, c) => (cid, cosArr(c, qv)) }
       .sortBy { case (cid, qcos) => (-qcos, cid) }
       .take(nprobe).map(_._1).toSeq
     corpus
@@ -80,6 +68,62 @@ object Search {
       .withColumn("score", fusedCosine(s, vec, col("qv")))
       .orderBy(desc("score"), id.asc).limit(k)
       .drop("qv")
+  }
+
+  /** Materialize the IVF index AT REST: assign each corpus row to its
+    * nearest centroid (same fused argmax as [[knnIvf]], zero shuffle) and
+    * write the corpus parquet PARTITIONED BY cluster. This is the 100 TB
+    * form of the index: the assignment happens once at write time, and a
+    * probe's cluster filter becomes literal partition pruning — unprobed
+    * clusters' files are never opened (`IvfLayoutSpec` asserts
+    * PartitionFilters + numFiles). */
+  def writeIvfIndex(corpus: DataFrame, vec: Column,
+      centroids: DataFrame, // (cid: long-castable, c: vector)
+      path: String): Unit = {
+    val s = corpus.sparkSession
+    val book = collectCodebook(centroids)
+    corpus
+      .withColumn("cluster", graft.functions.VectorExpressions.nearestCentroid(
+        s, vec, book.map(_._1).toSeq, book.map(_._2.toSeq).toSeq))
+      .write.partitionBy("cluster").parquet(path)
+  }
+
+  /** kNN over a [[writeIvfIndex]] layout: resolve the probe driver-side
+    * over the codebook, filter the indexed corpus by probed clusters (a
+    * partition filter — file skipping, not row filtering), brute-force
+    * only what survives. Matches [[knnIvf]]'s results for the same
+    * codebook; the difference is WHERE the assignment ran (write time vs
+    * in-plan). */
+  def knnIvfIndexed(s: SparkSession, indexPath: String, vec: Column,
+      centroids: DataFrame, query: DataFrame, nprobe: Int, k: Int,
+      tie: Column): DataFrame = {
+    val book = collectCodebook(centroids)
+    val qv = query.select(col("qv").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val probed = book.map { case (cid, c) => (cid, cosArr(c, qv)) }
+      .sortBy { case (cid, qcos) => (-qcos, cid) }
+      .take(nprobe).map(_._1).toSeq
+    s.read.parquet(indexPath)
+      .filter(col("cluster").isin(probed: _*))
+      .crossJoin(broadcast(query))
+      .withColumn("score", fusedCosine(s, vec, col("qv")))
+      .orderBy(desc("score"), tie.asc).limit(k)
+      .drop("qv")
+  }
+
+  private def collectCodebook(centroids: DataFrame): Array[(Long, Array[Double])] =
+    centroids.select(col("cid").cast("long"), col("c").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  private def cosArr(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < math.min(a.length, b.length)) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) Double.NegativeInfinity else dot / d
   }
 
   /** SRP-LSH kNN: hyperplane signatures banded `bands`×(nbits/bands) bits;

@@ -148,6 +148,39 @@ class DedupSpec extends SparkSpec {
     assert(Seq(30L, 31L, 32L).map(m) === Seq(30L, 30L, 30L))
   }
 
+  test("embeddingPairsLsh: full recall in the near-dup regime, exact subset elsewhere") {
+    // The dedup regime (θ→0): 20 deterministic base directions in R^16,
+    // 3 jittered copies each (within-group cos ≥ 0.99). SRP banding must
+    // find EVERY within-group pair — near-identical vectors agree on
+    // (essentially) all bands, which is the regime the operator targets.
+    def h(i: Int, j: Int): Double = (((i * 2654435761L + j * 40503L) % 1000).toDouble / 500.0) - 1.0
+    val rows = (for { g <- 0 until 20; c <- 0 until 3 } yield {
+      val base = Array.tabulate(16)(j => h(g, j))
+      val v = base.zipWithIndex.map { case (x, j) => (x + 0.02 * h(g * 31 + c, j)).toFloat }
+      ((g * 10 + c).toLong, v.toSeq)
+    }).toDF("id", "v")
+    val bruteNd = Dedup.embeddingPairs(rows, $"id", $"v").filter($"cos" >= 0.99)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    val lshNd = Dedup.embeddingPairsLsh(rows, $"id", $"v", minCos = 0.99)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(bruteNd.size >= 60, s"construction sanity: ${bruteNd.size}")
+    assert(lshNd === bruteNd, "near-dup regime demands full recall + exact scores")
+
+    // Wide-angle regime on real testdata (max pairwise cos ≈ 0.48):
+    // recall is best-effort by design, but every returned pair must be a
+    // brute pair with the IDENTICAL exact cosine, and candidates must
+    // surface (the named query binds at this threshold).
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Dedup.embeddingPairs(e, $"vec_id", $"embedding")
+      .filter($"cos" >= 0.35)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    val lsh = Dedup.embeddingPairsLsh(e, $"vec_id", $"embedding", minCos = 0.35)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (k, c) =>
+      assert(brute.contains(k) && math.abs(brute(k) - c) < 1e-12, s"$k") }
+  }
+
   test("embeddingPairs: cosine ground truth on unit vectors") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))

@@ -13,6 +13,28 @@ import graft.SparkSpec
 class IvfLayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  test("writeIvfIndex + knnIvfIndexed: at-rest index matches in-plan knnIvf, probe prunes") {
+    val d = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(spark, d)
+    val cents = Retrieval.labelCentroids(spark, d)
+      .select(col("label").cast("long").as("cid"), col("c"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_api").toString
+    Search.writeIvfIndex(e, col("embedding"), cents, s"$dir/idx")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val indexed = Search.knnIvfIndexed(spark, s"$dir/idx", col("embedding"),
+      cents, q, nprobe = 3, k = 10, tie = col("vec_id"))
+    // the probe's cluster filter reaches the scan as a partition filter
+    val planStr = indexed.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters:") && planStr.contains("cluster"),
+      s"probe must prune partitions, not filter rows:\n$planStr")
+    // and the at-rest path answers exactly like the in-plan path
+    val a = indexed.select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    val b = Search.knnIvf(e, col("vec_id"), col("embedding"), cents, q,
+        nprobe = 3, k = 10)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(a === b)
+  }
+
   test("cluster-partitioned layout: probe filter prunes partitions at the scan") {
     val d = "/root/testdata/sf0.001"
     val e = graft.Tables.embeddings(spark, d)
