@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Degenerate inputs through the GENERIC APIs: empty corpora and
+  * single-row corpora must flow through every operator without throwing
+  * and produce the mathematically right (usually empty) answer. At lake
+  * scale these are not corner cases — a block, a partition, or a
+  * filtered sub-corpus is routinely empty, and an operator that throws
+  * on it kills the whole job. */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val noDocs = Seq.empty[(Long, String)].toDF("id", "text")
+    .withColumn("blk", lit("b"))
+  private lazy val oneDoc = Seq((1L, "just one lonely document here"))
+    .toDF("id", "text").withColumn("blk", lit("b"))
+  private lazy val noVecs = Seq.empty[(Long, Seq[Float])].toDF("id", "v")
+  private lazy val oneVec = Seq((1L, Seq(1f, 0f, 0f))).toDF("id", "v")
+  private lazy val q = Seq(Tuple1(Seq(1f, 0f, 0f))).toDF("qv")
+
+  test("dedup suite: empty and singleton corpora yield empty pair sets") {
+    assert(Dedup.exactDuplicates(noDocs, $"id", $"text").count() === 0)
+    assert(Dedup.exactDuplicates(oneDoc, $"id", $"text").count() === 1)
+    for (df <- Seq(noDocs, oneDoc)) {
+      assert(Dedup.jaccardPairs(df, $"id", $"text", $"blk").count() === 0)
+      assert(Dedup.minhashPairs(df, $"id", $"text", $"blk").count() === 0)
+      assert(Dedup.simhashPairs(df, $"id", $"text", $"blk").count() === 0)
+    }
+    assert(Dedup.embeddingPairs(noVecs, $"id", $"v").count() === 0)
+    assert(Dedup.embeddingPairsLsh(oneVec, $"id", $"v").count() === 0)
+  }
+
+  test("dupClusters: empty edge list terminates and yields no clusters") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.dupClusters(empty).count() === 0)
+    val one = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val m = Dedup.dupClusters(one).as[(Long, Long)].collect().toMap
+    assert(m === Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("search: empty corpus answers empty, singleton answers itself") {
+    assert(Search.knnBrute(noVecs, $"v", q, k = 5, tie = $"id").count() === 0)
+    val hit = Search.knnBrute(oneVec, $"v", q, k = 5, tie = $"id")
+      .select("id", "score").as[(Long, Double)].collect()
+    assert(hit.toSeq === Seq((1L, 1.0)))
+    val qb = Seq((7L, Seq(1f, 0f, 0f))).toDF("qid", "qv")
+    assert(Search.knnBatch(noVecs, $"id", $"v", qb, k = 3).count() === 0)
+    assert(Search.knnLsh(noVecs, $"id", $"v", q, k = 3).count() === 0)
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0))).toDF("cid", "c")
+    assert(Search.knnIvf(noVecs, $"id", $"v", cents, q, nprobe = 1, k = 3).count() === 0)
+    // segment scoring with no db segments / no query segments
+    val noSegs = Seq.empty[(Long, Seq[Float])].toDF("image_id", "embedding")
+    val qSegs = Seq((0L, Seq(1f, 0f, 0f))).toDF("qseg", "qv")
+    assert(Search.segmentScores(noSegs, qSegs).count() === 0)
+    val dbSegs = Seq((5L, Seq(1f, 0f, 0f))).toDF("image_id", "embedding")
+    val noQSegs = Seq.empty[(Long, Seq[Float])].toDF("qseg", "qv")
+    assert(Search.segmentScores(dbSegs, noQSegs).count() === 0)
+  }
+
+  test("tagSearch: empty segment table and empty tag list") {
+    val noTags = Seq.empty[(Long, String, Double)].toDF("image_id", "tag", "conf")
+    assert(Search.tagSearch(noTags, Seq("x"), 0.5, 5).count() === 0)
+    val segs = Seq((1L, "a", 0.9)).toDF("image_id", "tag", "conf")
+    // empty tag list = no constraint to satisfy → no matches (the
+    // reference requires at least one tag in tags mode)
+    assert(Search.tagSearch(segs, Nil, 0.5, 5).count() === 0)
+  }
+}
