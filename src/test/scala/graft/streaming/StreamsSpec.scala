@@ -207,6 +207,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupedByContent with watermark: dups dropped in-window, state evicted after") {
+    // The bounded-state mode: dropDuplicatesWithinWatermark keyed by the
+    // MinHash signature. A signature re-arriving within the watermark is
+    // dropped; once the watermark passes its first occurrence, its state
+    // is EVICTED and the same content is admitted again — the property
+    // that lets an unbounded ingest stream run forever.
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.dedupedByContent(
+        input.toDF().toDF("id", "ts", "text"), "text",
+        watermark = Some("ts" -> "10 minutes"))
+      .writeStream.format("memory").queryName("wdedup_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq((1L, ts(0), "the quick brown fox"),
+        (2L, ts(1), "something else entirely")))
+      q.processAllAvailable()
+      // same signature within the watermark window → dropped
+      input.addData(Seq((3L, ts(2), "the quick brown fox")))
+      q.processAllAvailable()
+      // advance event time far past 0:00 + 10min → signature state evicted
+      input.addData(Seq((4L, ts(60), "unrelated watermark advancer")))
+      q.processAllAvailable()
+      // same content again, now past the watermark → admitted as new
+      input.addData(Seq((5L, ts(61), "the quick brown fox")))
+      q.processAllAvailable()
+      val ids = spark.table("wdedup_sink").select("id").as[Long].collect().toSet
+      assert(ids === Set(1L, 2L, 4L, 5L),
+        s"3 dropped in-window, 5 admitted after eviction: $ids")
+    } finally q.stop()
+  }
+
   test("startUpsertStream: full writeStream wiring upserts across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upstream").toString
     val input = MemoryStream[Ev]
