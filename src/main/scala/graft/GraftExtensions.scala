@@ -43,7 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("graft_shingle_hashes", "_FUNC_(tokens, n) - distinct word-n-gram shingle hashes",
       es => ShingleHashSetExpr(es(0), es(1).eval().asInstanceOf[Number].intValue())),
     ("graft_hyperplane_sig", "_FUNC_(vec, nbits) - sign-random-projection LSH signature",
-      es => HyperplaneSigExpr(es(0), es(1).eval().asInstanceOf[Number].intValue())))
+      es => HyperplaneSigExpr(es(0), es(1).eval().asInstanceOf[Number].intValue())),
+    ("graft_nearest_centroid",
+      "_FUNC_(vec, ids, cents) - id of the max-cosine centroid in a literal codebook (ties -> smallest id)",
+      es => NearestCentroidExpr(es(0), es(1), es(2))))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, usage, builder) =>

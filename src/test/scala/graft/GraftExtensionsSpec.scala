@@ -28,7 +28,10 @@ class GraftExtensionsSpec extends SparkSpec {
                   graft_simhash(array('a','b')) AS sh,
                   graft_minhash_agree(array(1L, 2L), array(1L, 3L)) AS agree,
                   size(graft_shingle_hashes(array('a','b','c','d'), 3)) AS nsh,
-                  graft_hyperplane_sig(array(1.0D, -2.0D, 3.0D), 32) AS hp
+                  graft_hyperplane_sig(array(1.0D, -2.0D, 3.0D), 32) AS hp,
+                  graft_nearest_centroid(array(0.9D, 0.1D),
+                    array(4L, 7L),
+                    array(array(1.0D, 0.0D), array(0.0D, 1.0D))) AS nc
         """).head()
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
       assert(math.abs(r.getDouble(1) - 11.0) < 1e-12)
@@ -37,6 +40,7 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(r.getLong(4) !== 0L)
       assert(math.abs(r.getDouble(5) - 0.5) < 1e-12)
       assert(r.getInt(6) === 2)
+      assert(r.getLong(8) === 4L, "nearest centroid id via pure SQL")
       // DESCRIBE FUNCTION surfaces the injected usage docs
       val desc = ext.sql("DESCRIBE FUNCTION graft_cosine")
         .collect().map(_.getString(0)).mkString("\n")

@@ -60,6 +60,32 @@ class VectorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("nearestCentroid: generated vectors match a driver-side argmax model") {
+    // One codebook, 250 generated vectors evaluated in one DataFrame pass
+    // (codegen path), checked row-by-row against a straightforward scala
+    // argmax over the same codebook (interpreted model). Ties break to
+    // the smallest id in both.
+    val cents: Seq[Seq[Double]] = samples(6).take(6).map(_._1)
+    val ids: Seq[Long] = Seq(30L, 10L, 50L, 20L, 60L, 40L)
+    def model(v: Seq[Double]): Option[Long] = {
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val d = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+        if (d == 0.0) Double.NaN else dot / d
+      }
+      val nv = math.sqrt(v.map(x => x * x).sum)
+      if (nv == 0.0) None
+      else Some(ids.zip(cents).map { case (id, c) => (id, cos(v, c)) }
+        .sortBy { case (id, s) => (-s, id) }.head._1)
+    }
+    val vs = samples(250).map(_._2) :+ Seq.fill(dim)(0.0) // include zero-norm
+    val got = vs.toDF("v")
+      .select(VectorExpressions.nearestCentroid(spark, $"v", ids, cents).as("nc"))
+      .collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    vs.zip(got).foreach { case (v, g) => assert(g === model(v), s"vec $v") }
+  }
+
   test("top-k nesting: top-k ⊆ top-(k+1) under deterministic tiebreak") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def topk(k: Int): Seq[Long] = {
