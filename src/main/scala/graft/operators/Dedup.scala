@@ -241,8 +241,14 @@ object Dedup {
     * self-join; at 100 TB the edge list is the only big shuffle and it
     * is never materialized per-pair-squared. `localCheckpoint` truncates
     * the growing lineage so round N does not replay rounds 1..N-1. */
+  /** @param checkEvery convergence-check cadence: a change-count job runs
+    *   every `checkEvery` rounds (and always on the last). The count joins
+    *   two checkpointed node tables — at lake scale that is orders of
+    *   magnitude cheaper than the full edges⋈labels round it can save, so
+    *   a cluster deployment wants 1; locally, per-job latency dominates
+    *   tiny data and 2 (amortize the count, waste ≤1 cheap round) wins. */
   def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20, checkEvery: Int = 2): DataFrame = {
     // No distinct: duplicate edges are absorbed by the min-aggregation
     // each round, so paying a distinct shuffle up front buys nothing.
     // Edges keep the plain checkpoint (Tungsten rows, read every round);
@@ -271,10 +277,7 @@ object Dedup {
             coalesce(col("nbr_lbl"), col("lbl")),
             coalesce(col("jlbl"), col("lbl"))).as("lbl"))
       val ckpt = statsReset(next.localCheckpoint())
-      // convergence check every 2nd round: pointer jumping converges in
-      // O(log d) rounds, so one possibly-wasted extra round costs less
-      // than a change-count job per round
-      if (round % 2 == 1 || round >= maxRounds - 1) {
+      if (round % checkEvery == checkEvery - 1 || round >= maxRounds - 1) {
         changed = ckpt.join(labels.withColumnRenamed("lbl", "old"), "node")
           .filter(col("lbl") =!= col("old")).count()
       }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,6 +41,45 @@ object Pipelines {
       .filter(col("rn") === 1)
       .select("doc_id", "lang_pred", "n_tokens")
       .orderBy("doc_id")
+  }
+
+  /** [[curateExact]] with PER-STAGE observed metrics — the engine analog
+    * of the reference cleanup scripts' per-stage "removed N rows" logs
+    * (`clean_and_fill_na.py`, `clean_label_etiketler.py` print counts
+    * after every rule). Uses Spark's `Observation` API: each metric is an
+    * accumulator folded into the SAME job (A14 running counters — zero
+    * extra passes, exactly-once semantics per action, unlike a
+    * `count()` per stage which would rescan).
+    *
+    * Returns (result, observations). After ONE action on the result,
+    * `observations.map(o => o.name -> o.get("rows"))` yields the funnel:
+    * `scanned` → `quality_gated` (n_tokens + langid survivors) →
+    * `exact_kept` (one representative per fingerprint). */
+  def curateExactObserved(s: SparkSession, d: String): (DataFrame, Seq[Observation]) = {
+    val obScan = Observation("scanned")
+    val obGate = Observation("quality_gated")
+    val obKept = Observation("exact_kept")
+    val scored = Tables.documents(s, d)
+      .observe(obScan, count(lit(1)).as("rows"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("lang_pred", langIdPredict(col("toks")))
+    val gated = scored
+      .filter(col("n_tokens") >= 5 && col("lang_pred") =!= "und")
+      .observe(obGate, count(lit(1)).as("rows"))
+    val w = Window.partitionBy("fp").orderBy(asc("doc_id"))
+    val kept = gated
+      .withColumn("fp", exactFingerprint(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang_pred", "n_tokens")
+      .orderBy("doc_id")
+      // observe ABOVE the global sort: the sort's range-partitioner runs a
+      // SAMPLING pass over its child, which would fire a below-sort
+      // accumulator twice (sample + real pass). Above the sort it fires
+      // exactly once per action.
+      .observe(obKept, count(lit(1)).as("rows"))
+    (kept, Seq(obScan, obGate, obKept))
   }
 
   /** Full curation: [[curateExact]] minus near-duplicates, with TRANSITIVE

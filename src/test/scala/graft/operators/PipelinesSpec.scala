@@ -30,6 +30,21 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("curateExactObserved: per-stage funnel metrics match independent counts") {
+    val d = "/root/testdata/sf0.001"
+    val (out, obs) = Pipelines.curateExactObserved(spark, d)
+    val result = out.collect() // ONE action; metrics fold into this job
+    val m = obs.map(o => o.name -> o.get("rows").asInstanceOf[Long]).toMap
+    // the funnel is a funnel
+    assert(m("scanned") >= m("quality_gated") && m("quality_gated") >= m("exact_kept"))
+    // each stage count equals the independently-computed ground truth
+    assert(m("scanned") === graft.Tables.documents(spark, d).count())
+    assert(m("exact_kept") === result.length.toLong)
+    assert(m("exact_kept") === Pipelines.curateExact(spark, d).count())
+    // and the observed variant returns the identical rows
+    assert(result.toSeq === Pipelines.curateExact(spark, d).collect().toSeq)
+  }
+
   test("curateExact: quality gate and exact-dedup keep-first on known rows") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
