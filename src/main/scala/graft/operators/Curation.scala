@@ -1,0 +1,297 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Training-data curation operators beyond the reference's own surface —
+  * the standard pre-training corpus hygiene passes (Gopher/C4-style
+  * repetition filters, PII redaction, benchmark decontamination,
+  * temperature-based language mixing, sequence packing, per-source caps),
+  * each generic-API-first with a thin named binding over `documents`.
+  *
+  * Scale notes per operator are inline; the common theme: every shuffle is
+  * keyed by doc id or a blocking key, the only broadcast sides are
+  * provably small (per-language count table, benchmark shingle set), and
+  * per-row math is integer/IEEE-exact so the DuckDB oracles hash-match
+  * bit for bit.
+  */
+object Curation {
+
+  // --- repetition signals (Gopher-style quality filters) -------------------
+
+  /** Per-document repetition signals: `top_tok_frac` (share of the most
+    * frequent token) and `dup_2gram_frac` (share of duplicate 2-gram
+    * occurrences) — the classic "top n-gram fraction" / "duplicate n-gram
+    * fraction" repetition filters for pre-training corpora.
+    *
+    * Shape: explode → two partial-aggregated groupBys keyed by doc id
+    * (map-side combine bounds shuffle rows by distinct tokens per doc) →
+    * doc-level join. No corpus×corpus step; at 100 TB both shuffles are
+    * ~vocabulary-sized per doc, not text-sized. */
+  def repetitionSignals(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df.select(id.as("doc_id"), tokens(text).as("toks"))
+    val tok = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("n_tokens"))
+    val gram = base.select(col("doc_id"), explode(shingles(col("toks"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_grams"), count(lit(1)).as("n_distinct"))
+    tok.join(gram, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("top_c").cast("double") / col("n_tokens").cast("double"))
+          .as("top_tok_frac"),
+        ((col("n_grams") - col("n_distinct")).cast("double")
+          / col("n_grams").cast("double")).as("dup_2gram_frac"))
+  }
+
+  // --- PII redaction --------------------------------------------------------
+
+  /** Simple character classes only — identical leftmost-greedy semantics in
+    * Java regex (Spark) and RE2 (the DuckDB oracle). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{7,15}"
+
+  /** Redact emails, IPv4 addresses and international phone numbers with
+    * typed placeholders, and count each. Replacement order matters (email
+    * first: its local part may contain digits/dots that would otherwise
+    * feed the IP pattern) and is part of the contract. Pure per-row
+    * regexp expressions — codegen'd, shuffle-free, scan-speed at 100 TB. */
+  def piiRedact(df: DataFrame, text: Column): DataFrame = {
+    def n(re: String) = size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    df.withColumn("n_emails", n(EmailRe))
+      .withColumn("n_ips", n(Ipv4Re))
+      .withColumn("n_phones", n(PhoneRe))
+      .withColumn("redacted", redacted)
+  }
+
+  // --- benchmark decontamination -------------------------------------------
+
+  /** Drop training documents that share ANY word `n`-shingle with the
+    * benchmark/test set — standard eval-set decontamination.
+    *
+    * 100 TB shape: the benchmark side is tiny relative to the corpus, so
+    * its distinct shingle set is BROADCAST and contamination is a
+    * broadcast left-semi per exploded shingle — the corpus is scanned
+    * once and never shuffled; the only exchange is the doc-id distinct
+    * on the (small) contaminated set. Shingles join on their raw strings
+    * here for oracle portability; at scale key on xxhash64(shingle) to
+    * shrink the broadcast. */
+  def decontaminate(train: DataFrame, test: DataFrame, id: Column,
+      text: Column, n: Int = 5): DataFrame = {
+    val testSh = test.select(explode(shingles(tokens(text), n)).as("sh")).distinct()
+    val contaminated = train
+      .select(id.as("doc_id"), explode(shingles(tokens(text), n)).as("sh"))
+      .join(broadcast(testSh), Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+    train.select(id.as("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  // --- temperature-based language mixing -----------------------------------
+
+  /** Deterministic temperature resampling across languages: language `l`
+    * with `c_l` docs is downsampled with keep-probability
+    * `(c_min / c_l)^(1-alpha)` — alpha=1 keeps the natural distribution,
+    * alpha=0 equalizes, alpha=0.5 is the usual sqrt flattening for
+    * multilingual pre-training mixes. Membership is decided by an
+    * md5-derived uniform in [0,1), so the sample is reproducible
+    * run-to-run and engine-to-engine (no RNG state).
+    *
+    * The per-language count table is a handful of rows → broadcast both
+    * ways; the corpus is never shuffled. alpha=0.5 routes through IEEE
+    * `sqrt` (correctly rounded ⇒ bit-exact vs the oracle); other alphas
+    * use `pow`, which the JVM does not guarantee correctly rounded —
+    * fine for production, not for bit-exact cross-engine checks. */
+  def temperatureSample(df: DataFrame, langCol: Column, idCol: Column,
+      alpha: Double = 0.5): DataFrame = {
+    val cnts = df.groupBy(langCol.as("__lang")).agg(count(lit(1)).as("__c"))
+    val cmin = cnts.agg(min("__c").as("__cmin"))
+    val ratio = col("__cmin").cast("double") / col("__c").cast("double")
+    val keepF = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    val fracs = cnts.crossJoin(broadcast(cmin)).withColumn("__f", keepF)
+    val u = conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    df.join(broadcast(fracs), langCol === col("__lang"))
+      .filter(u < col("__f"))
+      .drop("__lang", "__c", "__cmin", "__f")
+  }
+
+  // --- sequence packing -----------------------------------------------------
+
+  /** Concat-and-chop sequence packing: within each `part` shard, documents
+    * (ordered by `id`) are laid end to end and cut into fixed `budget`
+    * windows; each doc gets the window index (`pack_id`) and token offset
+    * (`pack_offset`) where it starts. This is the GPT-style pre-training
+    * layout pass. Packing per shard (not globally) is the scale story:
+    * shards pack independently in parallel, one bounded window shuffle,
+    * no global ordering bottleneck. All arithmetic is integer → exact. */
+  def packSequences(df: DataFrame, part: Column, id: Column, nTok: Column,
+      budget: Long): DataFrame = {
+    val w = Window.partitionBy(part).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cum", coalesce(sum(nTok).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"__cum DIV ${budget}L"))
+      .withColumn("pack_offset", col("__cum") % lit(budget))
+      .drop("__cum")
+  }
+
+  // --- per-source caps ------------------------------------------------------
+
+  /** Keep at most `n` rows per group (first by `order`) — the per-domain /
+    * per-source cap that bounds any single crawl source's share of the
+    * corpus. One window shuffle keyed by the group. */
+  def capPerGroup(df: DataFrame, group: Column, order: Column, n: Int): DataFrame =
+    df.withColumn("rn",
+        row_number().over(Window.partitionBy(group).orderBy(order)).cast("long"))
+      .filter(col("rn") <= n)
+
+  // --- named queries --------------------------------------------------------
+
+  def txtRepetition(s: SparkSession, d: String): DataFrame =
+    repetitionSignals(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+
+  /** The corpus carries no real PII, so the binding seeds deterministic
+    * synthetic PII derived from `doc_id` (an extra email on even ids) —
+    * the redaction itself is what's under test, with exact oracle parity. */
+  def txtPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com via +1555"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"),
+      when(col("doc_id") % 2 === 0, lit(" cc admin@example.org")).otherwise(lit("")))
+    piiRedact(Tables.documents(s, d).withColumn("text", aug), col("text"))
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+      .orderBy("doc_id")
+  }
+
+  /** Held-out set = docs whose md5(doc_id) starts with '0' (~1/16 of the
+    * corpus); survivors = the rest minus anything sharing a 5-shingle. */
+  def curateDecontam(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    decontaminate(docs.filter(!isTest), docs.filter(isTest),
+      col("doc_id"), col("text"), n = 5)
+      .orderBy("doc_id")
+  }
+
+  def mixTemperature(s: SparkSession, d: String): DataFrame =
+    temperatureSample(Tables.documents(s, d), col("lang"), col("doc_id"), alpha = 0.5)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  def packSequencesQ(s: SparkSession, d: String): DataFrame =
+    packSequences(
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("long")),
+      col("source"), col("doc_id"), col("n_tokens"), budget = 512L)
+      .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
+      .orderBy("doc_id")
+
+  def mixSourceCap(s: SparkSession, d: String): DataFrame =
+    capPerGroup(Tables.documents(s, d), col("source"), col("doc_id"), n = 15)
+      .select("doc_id", "source", "rn")
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_repetition" -> txtRepetition,
+    "txt_pii_redact" -> txtPiiRedact,
+    "curate_decontam" -> curateDecontam,
+    "mix_temperature" -> mixTemperature,
+    "pack_sequences" -> packSequencesQ,
+    "mix_source_cap" -> mixSourceCap)
+
+  private val toksSql = "string_split(lower(text), ' ')"
+
+  /** DuckDB 5-shingle expression mirroring [[TextFunctions.shingles]]
+    * (docs shorter than n collapse to one whole-text shingle). */
+  private def shinglesSql(n: Int) =
+    s"""CASE WHEN len(toks) < $n THEN [array_to_string(toks, ' ')]
+        ELSE list_transform(range(1, len(toks) - ${n - 2}),
+          i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')) END"""
+
+  /** Hex → uint32 for the md5-uniform (DuckDB has no conv()). */
+  private val hexUSql = (1 to 8).map { i =>
+    s"(CAST(strpos('0123456789abcdef', substr(h, $i, 1)) AS BIGINT) - 1) * ${1L << (4 * (8 - i))}"
+  }.mkString("(", " + ", ")")
+
+  val oracleSql: Map[String, String] = Map(
+    "txt_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         tc AS (SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok),
+         ta AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_tokens FROM tc GROUP BY doc_id),
+         g0 AS (SELECT doc_id, ${shinglesSql(2)} AS grams FROM t),
+         gc AS (SELECT doc_id, g, count(*) AS c
+                FROM (SELECT doc_id, unnest(grams) AS g FROM g0) GROUP BY doc_id, g),
+         ga AS (SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct FROM gc GROUP BY doc_id)
+         SELECT ta.doc_id, CAST(ta.n_tokens AS BIGINT) AS n_tokens,
+           CAST(top_c AS DOUBLE) / CAST(ta.n_tokens AS DOUBLE) AS top_tok_frac,
+           CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_2gram_frac
+         FROM ta JOIN ga ON ta.doc_id = ga.doc_id ORDER BY ta.doc_id""",
+    "txt_pii_redact" ->
+      s"""WITH a AS (SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com via +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+             || CASE WHEN doc_id % 2 = 0 THEN ' cc admin@example.org' ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+             '$PhoneRe', '<PHONE>', 'g') AS redacted
+         FROM a ORDER BY doc_id""",
+    "curate_decontam" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_test
+           FROM documents),
+         e AS (SELECT doc_id, is_test, unnest(${shinglesSql(5)}) AS sh FROM t),
+         bad AS (SELECT DISTINCT e.doc_id FROM e
+                 JOIN (SELECT DISTINCT sh FROM e WHERE is_test) ts ON e.sh = ts.sh
+                 WHERE NOT e.is_test)
+         SELECT doc_id FROM t
+         WHERE NOT is_test AND doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
+    "mix_temperature" ->
+      s"""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+         m AS (SELECT min(c) AS cmin FROM c),
+         f AS (SELECT lang, sqrt(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE)) AS f FROM c, m),
+         u AS (SELECT doc_id, lang, $hexUSql AS uu
+               FROM (SELECT doc_id, lang,
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+                     FROM documents))
+         SELECT u.doc_id, u.lang FROM u JOIN f ON u.lang = f.lang
+         WHERE CAST(uu AS DOUBLE) / 4294967296.0 < f ORDER BY u.doc_id""",
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM t)
+         SELECT doc_id, source, n_tokens,
+           CAST(cum // 512 AS BIGINT) AS pack_id,
+           CAST(cum % 512 AS BIGINT) AS pack_offset
+         FROM c ORDER BY doc_id""",
+    "mix_source_cap" ->
+      """SELECT doc_id, source, rn FROM (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
+           FROM documents)
+         WHERE rn <= 15 ORDER BY doc_id""")
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The curation generic APIs on hand-built corpora with known structure. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionSignals: exact fractions on a known repetitive doc") {
+    val df = Seq(
+      (1L, "a a a b"), // top tok a:3/4; 2grams [a a, a a, a b] → 1 dup of 3
+      (2L, "x y z w") // no repetition at all
+    ).toDF("id", "text")
+    val m = Curation.repetitionSignals(df, $"id", $"text")
+      .select("doc_id", "n_tokens", "top_tok_frac", "dup_2gram_frac")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(m(1L) === ((1L, 4L, 3.0 / 4.0, 1.0 / 3.0)))
+    assert(m(2L) === ((2L, 4L, 1.0 / 4.0, 0.0)))
+  }
+
+  test("repetitionSignals: single-token doc degenerates cleanly") {
+    val r = Curation.repetitionSignals(Seq((1L, "solo")).toDF("id", "text"), $"id", $"text")
+      .select("n_tokens", "top_tok_frac", "dup_2gram_frac")
+      .as[(Long, Double, Double)].head()
+    assert(r === ((1L, 1.0, 0.0)))
+  }
+
+  test("piiRedact: counts and replacement order") {
+    val df = Seq(
+      (1L, "mail a@b.com and c.d+x@e.org, ip 192.168.0.1, call +4915112345678"),
+      (2L, "nothing sensitive here")
+    ).toDF("id", "text")
+    val out = Curation.piiRedact(df, $"text")
+      .select("id", "n_emails", "n_ips", "n_phones", "redacted")
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === 2L) // a@b.com and c.d+x@e.org ('+' is in the local-part class)
+    assert(out(1L)._3 === 1L && out(1L)._4 === 1L)
+    val red = out(1L)._5
+    assert(red.contains("<EMAIL>") && red.contains("<IP>") && red.contains("<PHONE>"))
+    assert(!red.contains("192.168.0.1") && !red.contains("+49151"))
+    assert(out(2L) === ((2L, 0L, 0L, 0L, "nothing sensitive here")))
+  }
+
+  test("piiRedact: email digits never leak into the IP pattern") {
+    // local part looks like a dotted quad — must be eaten by the email pass
+    val red = Curation.piiRedact(Seq((1L, "odd 1.2.3.4@x.io addr")).toDF("id", "text"), $"text")
+      .select("redacted").as[String].head()
+    assert(red === "odd <EMAIL> addr")
+  }
+
+  test("decontaminate: drops shingle-sharing train docs only") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // shares 5-gram with test
+      (2L, "completely unrelated text about catalyst physical plans here"),
+      (3L, "short doc") // <5 tokens → whole-text shingle
+    ).toDF("id", "text")
+    val test = Seq(
+      (100L, "we saw the quick brown fox jumps nearby"),
+      (101L, "short doc")
+    ).toDF("id", "text")
+    val kept = Curation.decontaminate(train, test, $"id", $"text")
+      .as[Long].collect().sorted
+    assert(kept === Array(2L)) // 1 contaminated via shared 5-gram, 3 via whole-text
+  }
+
+  test("decontaminate: no test overlap keeps everything") {
+    val train = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val test = Seq((9L, "one two three four five six")).toDF("id", "text")
+    assert(Curation.decontaminate(train, test, $"id", $"text").count() === 1L)
+  }
+
+  test("temperatureSample: keeps all of the rarest language, downsamples the rest") {
+    val df = (1L to 400L).map(i => (i, if (i <= 40) "rare" else "big")).toDF("id", "lang")
+    val kept = Curation.temperatureSample(df, $"lang", $"id", alpha = 0.5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("rare") === 40L) // keep prob sqrt(40/40) = 1
+    // big: keep prob sqrt(40/360) ≈ 0.333 of 360 ≈ 120; md5 uniformity → wide bounds
+    assert(kept("big") > 60L && kept("big") < 180L)
+  }
+
+  test("temperatureSample: deterministic across runs") {
+    val df = (1L to 200L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "lang")
+    val a = Curation.temperatureSample(df, $"lang", $"id").select("id").as[Long].collect().sorted
+    val b = Curation.temperatureSample(df, $"lang", $"id").select("id").as[Long].collect().sorted
+    assert(a.sameElements(b) && a.nonEmpty)
+  }
+
+  test("packSequences: chop points and offsets, per shard") {
+    val df = Seq(
+      (1L, "s1", 4L), (2L, "s1", 4L), (3L, "s1", 4L), (4L, "s1", 4L),
+      (5L, "s2", 11L), (6L, "s2", 1L)
+    ).toDF("id", "shard", "n")
+    val m = Curation.packSequences(df, $"shard", $"id", $"n", budget = 10L)
+      .select("id", "pack_id", "pack_offset")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) === ((0L, 0L)) && m(2L) === ((0L, 4L)) && m(3L) === ((0L, 8L)))
+    assert(m(4L) === ((1L, 2L))) // cum 12 → second window, offset 2
+    assert(m(5L) === ((0L, 0L)) && m(6L) === ((1L, 1L))) // shards independent
+  }
+
+  test("capPerGroup: boundary inclusive, order respected") {
+    val df = (1L to 10L).map(i => (i, "g")).toDF("id", "grp")
+    val kept = Curation.capPerGroup(df, $"grp", $"id", n = 3)
+      .select("id").as[Long].collect().sorted
+    assert(kept === Array(1L, 2L, 3L))
+  }
+}
