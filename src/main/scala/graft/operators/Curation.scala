@@ -132,17 +132,56 @@ object Curation {
     * (ordered by `id`) are laid end to end and cut into fixed `budget`
     * windows; each doc gets the window index (`pack_id`) and token offset
     * (`pack_offset`) where it starts. This is the GPT-style pre-training
-    * layout pass. Packing per shard (not globally) is the scale story:
-    * shards pack independently in parallel, one bounded window shuffle,
-    * no global ordering bottleneck. All arithmetic is integer → exact. */
+    * layout pass.
+    *
+    * The running token sum is a hierarchical two-pass prefix sum, NOT a
+    * single `Window.partitionBy(part)` — that window funnels every row of
+    * a shard through ONE task, so a corpus with a handful of shards runs
+    * on a handful of cores no matter how many executors exist. Instead:
+    *
+    *  1. each shard's id-range is cut into `buckets` order-preserving
+    *     sub-buckets (`width_bucket` over the shard's [min,max] id span —
+    *     monotonic in id, so bucket order == id order);
+    *  2. an exclusive prefix sum runs per (shard, bucket) — parallelism
+    *     is shards × buckets;
+    *  3. bucket token totals (shards × buckets rows — tiny) get a
+    *     per-shard exclusive cumulative sum and broadcast back: each
+    *     row's global cum = its local prefix + its bucket's offset.
+    *
+    * Identical output to the flat window (integer arithmetic, same total
+    * order), verified row-exact in `CurationSpec`. Bucket *balance*
+    * depends on ids being roughly uniform in their span; imbalance only
+    * costs parallelism, never correctness. `id` must be numeric (it is
+    * range-bucketed). Two scans of the input (prefix pass + totals pass)
+    * buy unbounded scale-out — the classic scan/offset decomposition. */
   def packSequences(df: DataFrame, part: Column, id: Column, nTok: Column,
-      budget: Long): DataFrame = {
-    val w = Window.partitionBy(part).orderBy(id)
+      budget: Long, buckets: Int = 64): DataFrame = {
+    val in = df.withColumn("__pp", part)
+      .withColumn("__pid", id.cast("double"))
+      .withColumn("__pn", nTok.cast("long"))
+    // Per-shard id span; +1 keeps lo < hi even for single-id shards and
+    // puts max itself in the top bucket (width_bucket's hi is exclusive).
+    val span = in.groupBy("__pp")
+      .agg(min("__pid").as("__lo"), max("__pid").as("__hi"))
+    val bucketed = in.join(broadcast(span), "__pp")
+      .withColumn("__bkt",
+        width_bucket(col("__pid"), col("__lo"), col("__hi") + 1, lit(buckets)))
+      .drop("__lo", "__hi")
+    val wLoc = Window.partitionBy("__pp", "__bkt").orderBy(id)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("__cum", coalesce(sum(nTok).over(w), lit(0L)))
+    val wOff = Window.partitionBy("__pp").orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("__pp", "__bkt")
+      .agg(sum("__pn").as("__tot"))
+      .withColumn("__off", coalesce(sum("__tot").over(wOff), lit(0L)))
+      .select("__pp", "__bkt", "__off")
+    bucketed
+      .withColumn("__loc", coalesce(sum(col("__pn")).over(wLoc), lit(0L)))
+      .join(broadcast(offsets), Seq("__pp", "__bkt"))
+      .withColumn("__cum", col("__loc") + col("__off"))
       .withColumn("pack_id", expr(s"__cum DIV ${budget}L"))
       .withColumn("pack_offset", col("__cum") % lit(budget))
-      .drop("__cum")
+      .drop("__pp", "__pid", "__pn", "__bkt", "__loc", "__off", "__cum")
   }
 
   // --- per-source caps ------------------------------------------------------

@@ -100,6 +100,40 @@ class CurationSpec extends SparkSpec {
     assert(m(5L) === ((0L, 0L)) && m(6L) === ((1L, 1L))) // shards independent
   }
 
+  test("packSequences: hierarchical two-pass matches the flat-window prefix sum exactly") {
+    // Skewed id-space (i²) + uneven shards + a single-row shard: bucket
+    // BALANCE degrades, bucket ORDER (and thus the packing) must not.
+    val df = (1L to 500L).map { i =>
+      val shard = if (i <= 350) "big" else if (i <= 499) "mid" else "solo"
+      (i * i, shard, (i % 7) + 1)
+    }.toDF("id", "shard", "n")
+    val got = Curation.packSequences(df, $"shard", $"id", $"n", budget = 100L, buckets = 8)
+      .select("id", "pack_id", "pack_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = df.withColumn("cum", coalesce(sum($"n").over(w), lit(0L)))
+      .select($"id", expr("cum DIV 100L").as("p"), ($"cum" % 100L).as("o"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.sameElements(want))
+  }
+
+  test("packSequences: prefix-sum window is per (shard, bucket), not per shard") {
+    val df = (1L to 1000L).map(i => (i, "onlyshard", 3L)).toDF("id", "shard", "n")
+    val m = Curation.packSequences(df, $"shard", $"id", $"n", budget = 64L, buckets = 8)
+    val plan = m.queryExecution.executedPlan.toString
+    // The heavy window's shuffle must key on BOTH the shard and the
+    // sub-bucket — a single-shard corpus still fans out across tasks.
+    assert("hashpartitioning\\(__pp#\\d+, __bkt#\\d+".r.findFirstIn(plan).isDefined,
+      s"expected (__pp, __bkt) hash partitioning in:\n$plan")
+    // And the sub-split is real: 1000 uniform ids over 8 buckets.
+    val nBuckets = df.withColumn("b",
+        width_bucket($"id".cast("double"), lit(1.0), lit(1001.0), lit(8)))
+      .select("b").distinct().count()
+    assert(nBuckets === 8L)
+  }
+
   test("capPerGroup: boundary inclusive, order respected") {
     val df = (1L to 10L).map(i => (i, "g")).toDF("id", "grp")
     val kept = Curation.capPerGroup(df, $"grp", $"id", n = 3)
