@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -79,6 +80,47 @@ object Etl {
       .orderBy("doc_id")
   }
 
+  /** R2 — contiguous global row index over a total order, WITHOUT the
+    * single-task `row_number().over(Window.orderBy(id))` bottleneck: the
+    * id span is cut into order-preserving range buckets (`width_bucket`
+    * is monotonic in id), row_number runs per bucket, and the per-bucket
+    * row counts (≤ `buckets` rows) get an exclusive cumulative sum that
+    * broadcasts back as each bucket's starting offset. Identical output
+    * to the flat window; parallelism = buckets instead of 1. Same
+    * scan/offset decomposition as [[Curation.packSequences]]. `id` must
+    * be numeric (range-bucketed); skewed id spans cost balance only,
+    * never correctness. 0-based. */
+  def globalRowIndex(df: DataFrame, id: Column, buckets: Int = 64): DataFrame = {
+    val in = df.withColumn("__gid", id.cast("double"))
+    val span = in.agg(min("__gid").as("__lo"), max("__gid").as("__hi"))
+    val bucketed = in.crossJoin(broadcast(span))
+      .withColumn("__bkt",
+        width_bucket(col("__gid"), col("__lo"), col("__hi") + 1, lit(buckets)))
+      .drop("__lo", "__hi")
+    val wLoc = Window.partitionBy("__bkt").orderBy(id)
+    // ≤ `buckets` rows flow through this partition-less window — fine.
+    val wOff = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("__bkt").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(wOff), lit(0L)))
+      .select("__bkt", "__off")
+    bucketed
+      .withColumn("__ln", row_number().over(wLoc).cast("long"))
+      .join(broadcast(offsets), "__bkt")
+      .withColumn("global_idx", col("__off") + col("__ln") - 1L)
+      .drop("__gid", "__bkt", "__ln", "__off")
+  }
+
+  /** R2 — the reference's `--row-range "9001-9593"` manual shard slice
+    * (`sam_segment_clip_pipeline.py:117-154,299-309`) as one declarative
+    * op: global index (see [[globalRowIndex]]) then an index-range
+    * filter. Any worker can take any contiguous slice of a 100 TB corpus
+    * without a driver-side CSV split. */
+  def rowRange(s: SparkSession, d: String): DataFrame =
+    globalRowIndex(Tables.documents(s, d), col("doc_id"))
+      .filter(col("global_idx").between(100, 299))
+      .select("doc_id", "global_idx")
+      .orderBy("doc_id")
+
   /** P6/P7 — URL → basename → stem (update_label_paths.py:7-16). */
   def urlFilename(s: SparkSession, d: String): DataFrame = {
     val url = concat(lit("https://archive.example.org/photos/"), col("source"),
@@ -139,6 +181,7 @@ object Etl {
     "etl_safe_cast" -> safeCast,
     "etl_hash_sample" -> hashSample,
     "etl_stratified_sample" -> stratifiedSample,
+    "etl_row_range" -> rowRange,
     "etl_url_filename" -> urlFilename,
     "etl_regex_year" -> regexYear,
     "etl_keyword_match" -> keywordMatch,
@@ -165,6 +208,12 @@ object Etl {
          SELECT doc_id, lang, CAST(bkt AS INT) AS bkt FROM b
          WHERE CASE WHEN lang = 'en' THEN bkt < 8 ELSE bkt < 4 END
          ORDER BY doc_id""",
+    "etl_row_range" ->
+      """SELECT doc_id, global_idx FROM (
+           SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_idx
+           FROM documents)
+         WHERE global_idx BETWEEN 100 AND 299 ORDER BY doc_id""",
     "etl_safe_cast" ->
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
