@@ -241,14 +241,16 @@ object Dedup {
     * self-join; at 100 TB the edge list is the only big shuffle and it
     * is never materialized per-pair-squared. `localCheckpoint` truncates
     * the growing lineage so round N does not replay rounds 1..N-1. */
-  /** @param checkEvery convergence-check cadence: a change-count job runs
-    *   every `checkEvery` rounds (and always on the last). The count joins
-    *   two checkpointed node tables — at lake scale that is orders of
-    *   magnitude cheaper than the full edges⋈labels round it can save, so
-    *   a cluster deployment wants 1; locally, per-job latency dominates
-    *   tiny data and 2 (amortize the count, waste ≤1 cheap round) wins. */
+  /** Convergence is detected every round, nearly for free: the round's
+    * aggregate also emits each node's previous label (`old`), so the
+    * change count is a filter over the round's OWN materialized
+    * checkpoint — no label⋈label join, no extra shuffle, just a scan of
+    * in-memory blocks. The loop exits on the first round that moves
+    * nothing, with no overshoot rounds. (An `observe` metric would fold
+    * the count into the checkpoint job itself, but eager checkpointing
+    * does not complete observations — measured, not assumed.) */
   def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-      maxRounds: Int = 20, checkEvery: Int = 2): DataFrame = {
+      maxRounds: Int = 20): DataFrame = {
     // No distinct: duplicate edges are absorbed by the min-aggregation
     // each round, so paying a distinct shuffle up front buys nothing.
     // Edges keep the plain checkpoint (Tungsten rows, read every round);
@@ -257,31 +259,37 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .localCheckpoint()
-    var labels = statsReset(edges.select(col("u").as("node"))
-      .distinct().withColumn("lbl", col("node")).localCheckpoint())
+    // Seed labels with round 1's result directly: with identity labels the
+    // first iteration reduces to lbl = min(node, min neighbor) and its
+    // jump term is the identity — so fold that round into initialization
+    // (one aggregation, no distinct job, no first-round join pair).
+    var labels = statsReset(edges.groupBy(col("u").as("node"))
+      .agg(min("v").as("__nbr"))
+      .select(col("node"), least(col("node"), col("__nbr")).as("lbl"))
+      .localCheckpoint())
     var changed = 1L
-    var round = 0
+    var round = 1
     while (changed > 0 && round < maxRounds) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("node", "v").withColumnRenamed("lbl", "vlbl"), "v")
-        .groupBy(col("u").as("node")).agg(min("vlbl").as("nbr_lbl"))
-      // pointer jump: the label of my current label
+      // One round = min over three candidate sources, fused into a single
+      // union + map-side-combined min aggregate (the per-node left-join
+      // chain this replaces cost two extra shuffles per round): the node's
+      // own label (flagged, so the aggregate can also emit it as `old`),
+      // its neighbors' labels, and its label's label (pointer jump —
+      // missing rows in the latter two just contribute nothing to the
+      // min, which is what the left-join coalesce spelled out).
+      val nbr = edges
+        .join(labels.withColumnRenamed("node", "v").withColumnRenamed("lbl", "cand"), "v")
+        .select(col("u").as("node"), col("cand"), lit(false).as("own"))
       val jump = labels
-        .join(labels.select(col("node").as("lbl"), col("lbl").as("jlbl")), Seq("lbl"))
-        .select(col("node"), col("jlbl"))
-      val next = labels
-        .join(nbrMin, Seq("node"), "left")
-        .join(jump, Seq("node"), "left")
-        .select(col("node"),
-          least(col("lbl"),
-            coalesce(col("nbr_lbl"), col("lbl")),
-            coalesce(col("jlbl"), col("lbl"))).as("lbl"))
+        .join(labels.select(col("node").as("lbl"), col("lbl").as("cand")), Seq("lbl"))
+        .select(col("node"), col("cand"), lit(false).as("own"))
+      val next = labels.select(col("node"), col("lbl").as("cand"), lit(true).as("own"))
+        .unionByName(nbr).unionByName(jump)
+        .groupBy("node")
+        .agg(min("cand").as("lbl"), min(when(col("own"), col("cand"))).as("old"))
       val ckpt = statsReset(next.localCheckpoint())
-      if (round % checkEvery == checkEvery - 1 || round >= maxRounds - 1) {
-        changed = ckpt.join(labels.withColumnRenamed("lbl", "old"), "node")
-          .filter(col("lbl") =!= col("old")).count()
-      }
-      labels = ckpt
+      changed = ckpt.filter(col("lbl") =!= col("old")).count()
+      labels = ckpt.select("node", "lbl")
       round += 1
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))

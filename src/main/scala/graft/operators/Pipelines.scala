@@ -95,8 +95,14 @@ object Pipelines {
     val blk = Tables.documents(s, d)
       .join(base.select("doc_id"), "doc_id") // only survivors are signed
       .withColumn("blk", concat_ws("_", col("lang"), expr("n_chars DIV 100")))
+    // Banding tuned to the 0.9 threshold: 8 bands × 8 rows collide at
+    // ~(1/8)^(1/8) ≈ 0.77, so j=0.9 pairs band with ~99% recall while the
+    // 0.5-similar mass (which 16×4 banding — tuned for a 0.5 threshold —
+    // would surface and then discard) mostly never reaches the scorer. On
+    // a near-dup-heavy corpus that is a ~20× cut in candidate pairs.
     val pairs = Dedup
-      .minhashPairs(blk, col("doc_id"), col("text"), col("blk"), minEst = 0.9)
+      .minhashPairs(blk, col("doc_id"), col("text"), col("blk"),
+        bands = 8, rows = 8, minEst = 0.9)
     val clusters = Dedup.dupClusters(pairs)
     base.join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
