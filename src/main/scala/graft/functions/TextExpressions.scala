@@ -169,6 +169,43 @@ case class ShingleHashSetExpr(child: Expression, n: Int) extends TokenArrayExpre
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Count of the most frequent token, in one pass over the row — the
+  * per-row kernel of the Gopher-style top-token-fraction filter. The
+  * explode → groupBy(doc, tok) → groupBy(doc) spelling shuffles a row
+  * per distinct token per doc; a per-doc mode is per-row math and needs
+  * no shuffle at all. Tokens are keyed by xxhash64 digest in a per-row
+  * open-addressing table (two distinct tokens colliding is ~2⁻⁶⁴ per
+  * doc — below any corpus noise floor). Empty / all-null input → 0. */
+case class TopTokenCountExpr(child: Expression) extends TokenArrayExpression {
+  override def prettyName: String = "graft_top_tok_count"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    var cap = 8
+    while (cap < m * 2) cap <<= 1
+    val keys = new Array[Long](cap)
+    val cnts = new Array[Int](cap)
+    var best = 0
+    var t = 0
+    while (t < m) {
+      if (!arr.isNullAt(t)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(t), 42L)
+        var slot = h.toInt & (cap - 1)
+        while (cnts(slot) != 0 && keys(slot) != h) slot = (slot + 1) & (cap - 1)
+        keys(slot) = h
+        cnts(slot) += 1
+        if (cnts(slot) > best) best = cnts(slot)
+      }
+      t += 1
+    }
+    best.toLong
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Fraction of agreeing slots between two equal-length MinHash signatures
   * (= the LSH estimate of Jaccard similarity). A codegen'd primitive loop:
   * the HOF spelling `size(filter(zip_with(a, b, _ === _), p => p)) / k`
@@ -307,7 +344,13 @@ object TextExpressions {
         es => ShingleHashSetExpr(es(0), es(1).eval().asInstanceOf[Number].intValue()), "built-in")
       reg.createOrReplaceTempFunction("graft_hyperplane_sig",
         es => HyperplaneSigExpr(es(0), es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+      reg.createOrReplaceTempFunction("graft_top_tok_count",
+        es => TopTokenCountExpr(es.head), "built-in")
     }
+  }
+
+  def topTokenCount(spark: SparkSession, toks: Column): Column = {
+    register(spark); call_function("graft_top_tok_count", toks)
   }
 
   def minhashSig(spark: SparkSession, toks: Column, k: Int): Column = {

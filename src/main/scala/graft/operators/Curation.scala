@@ -28,24 +28,28 @@ object Curation {
     * occurrences) — the classic "top n-gram fraction" / "duplicate n-gram
     * fraction" repetition filters for pre-training corpora.
     *
-    * Shape: explode → two partial-aggregated groupBys keyed by doc id
-    * (map-side combine bounds shuffle rows by distinct tokens per doc) →
-    * doc-level join. No corpus×corpus step; at 100 TB both shuffles are
-    * ~vocabulary-sized per doc, not text-sized. */
+    * Shape: one narrow codegen'd scan, ZERO shuffles — both signals are
+    * per-document facts, so they are computed per row by native kernels
+    * ([[graft.functions.TextExpressions.TopTokenCountExpr]] for the mode
+    * count; the deduped [[graft.functions.TextExpressions.ShingleHashSetExpr]]
+    * size for distinct 2-grams, with total 2-grams pure arithmetic). The
+    * earlier explode → groupBy(doc, gram) → groupBy(doc) → join spelling
+    * shuffled a row per distinct token/gram per doc — correct, but a
+    * corpus-sized shuffle for a row-local quantity. */
   def repetitionSignals(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val base = df.select(id.as("doc_id"), tokens(text).as("toks"))
-    val tok = base.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("n_tokens"))
-    val gram = base.select(col("doc_id"), explode(shingles(col("toks"), 2)).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(sum("c").as("n_grams"), count(lit(1)).as("n_distinct"))
-    tok.join(gram, "doc_id")
+    val s = df.sparkSession
+    val nGrams = when(col("n_tokens") < 2, lit(1L)).otherwise(col("n_tokens") - 1L)
+    df.select(id.as("doc_id"), tokens(text).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        graft.functions.TextExpressions.topTokenCount(s, col("toks")).as("top_c"),
+        size(graft.functions.TextExpressions.shingleHashes(s, col("toks"), 2))
+          .cast("long").as("n_distinct"))
       .select(col("doc_id"), col("n_tokens"),
         (col("top_c").cast("double") / col("n_tokens").cast("double"))
           .as("top_tok_frac"),
-        ((col("n_grams") - col("n_distinct")).cast("double")
-          / col("n_grams").cast("double")).as("dup_2gram_frac"))
+        ((nGrams - col("n_distinct")).cast("double")
+          / nGrams.cast("double")).as("dup_2gram_frac"))
   }
 
   // --- PII redaction --------------------------------------------------------
@@ -83,14 +87,21 @@ object Curation {
     * its distinct shingle set is BROADCAST and contamination is a
     * broadcast left-semi per exploded shingle — the corpus is scanned
     * once and never shuffled; the only exchange is the doc-id distinct
-    * on the (small) contaminated set. Shingles join on their raw strings
-    * here for oracle portability; at scale key on xxhash64(shingle) to
-    * shrink the broadcast. */
+    * on the (small) contaminated set. Membership is keyed on the
+    * xxhash64'd shingle ([[graft.functions.TextExpressions.ShingleHashSetExpr]]
+    * — one native pass per row, per-doc pre-deduped, 8-byte join keys
+    * instead of strings, ~8× smaller broadcast). A 64-bit collision
+    * (~2⁻⁶⁴ per shingle pair) can only OVER-drop a training doc, never
+    * leak contamination. The DuckDB oracle decides membership on the
+    * shingle strings themselves, so the hashed result hash-matches it
+    * exactly unless such a collision occurs. */
   def decontaminate(train: DataFrame, test: DataFrame, id: Column,
       text: Column, n: Int = 5): DataFrame = {
-    val testSh = test.select(explode(shingles(tokens(text), n)).as("sh")).distinct()
+    val s = train.sparkSession
+    def sh(c: Column) = graft.functions.TextExpressions.shingleHashes(s, tokens(c), n)
+    val testSh = test.select(explode(sh(text)).as("sh")).distinct()
     val contaminated = train
-      .select(id.as("doc_id"), explode(shingles(tokens(text), n)).as("sh"))
+      .select(id.as("doc_id"), explode(sh(text)).as("sh"))
       .join(broadcast(testSh), Seq("sh"), "left_semi")
       .select("doc_id").distinct()
     train.select(id.as("doc_id"))

@@ -187,6 +187,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(math.abs(est - trueJac) < 0.1, s"est=$est true=$trueJac")
   }
 
+  test("TopTokenCountExpr: parity with explode-groupBy mode count") {
+    import graft.functions.TextExpressions._
+    // deterministic pseudo-random token bags with heavy repeats
+    val rows = (1 to 50).map { i =>
+      (i.toLong, (1 to 40).map(j => s"t${(i * 31 + j * j) % 7}"))
+    }
+    val df = rows.toDF("id", "toks")
+    val native = df.select($"id", topTokenCount(spark, $"toks").as("c"))
+      .as[(Long, Long)].collect().toMap
+    val oracle = rows.map { case (id, toks) =>
+      id -> toks.groupBy(identity).values.map(_.size).max.toLong
+    }.toMap
+    assert(native === oracle)
+    // degenerate inputs
+    val edge = Seq((1L, Seq.empty[String]), (2L, Seq("x")), (3L, Seq("x", "x", "x")))
+      .toDF("id", "toks")
+      .select($"id", topTokenCount(spark, $"toks").as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(edge === Map(1L -> 0L, 2L -> 1L, 3L -> 3L))
+  }
+
   test("fingerprints: content fingerprint is order/multiplicity invariant") {
     val df = Seq(("x", "b a a c"), ("y", "a b c"), ("z", "a b d")).toDF("id", "t")
       .select($"id", contentFingerprint(tokens($"t")).as("fp"))
