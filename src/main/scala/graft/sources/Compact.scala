@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Small-file compaction for parquet table directories (SURVEY.md §2.1
+  * S9/S10 adjacent — table maintenance).
+  *
+  * The reference never needs this (its store is Elasticsearch), but any
+  * lake-backed deployment of the engine does: per-trigger streaming
+  * upserts ([[graft.streaming.Streams.upsertByKey]]) and fine-grained
+  * batch writes accumulate files far smaller than a parquet row group,
+  * and at 100 TB a scan's task count — and the NameNode/listing load —
+  * is driven by FILE COUNT, not bytes. Compaction is the standard
+  * OPTIMIZE/rewrite maintenance pass (Delta OPTIMIZE, Iceberg
+  * rewrite_data_files) expressed with plain Spark + an atomic swap.
+  *
+  * Sizing comes from real file metadata (one driver-side listing —
+  * metadata-scale, not data-scale): output file count =
+  * ceil(total bytes / targetBytes). The rewrite is a round-robin
+  * `repartition(n)` — one shuffle that both balances output sizes and
+  * restores scan parallelism; `coalesce` would be shuffle-free but chains
+  * the read parallelism to the (tiny-file) input splits and skews output
+  * sizes. Durability follows the staging discipline of
+  * [[graft.streaming.Streams.upsertByKey]]: the compacted copy is fully
+  * written to a sibling staging directory before the target is replaced,
+  * so a crash mid-compact never leaves a half-table.
+  */
+object Compact {
+
+  /** Result of one compaction run. */
+  final case class CompactStats(
+      filesBefore: Long, bytesBefore: Long, filesAfter: Long, bytesAfter: Long)
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Data files under `path` (non-recursive; parquet leaf dir), ignoring
+    * _SUCCESS/._* bookkeeping. */
+  private def dataFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val f = fs(spark, path)
+    f.listStatus(new Path(path)).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(s => (s.getPath.getName, s.getLen))
+  }
+
+  /** Rewrite the parquet directory at `path` into ≈`targetBytes` files.
+    * No-op (returns current stats, touches nothing) when the directory
+    * already has ≤ the target file count — an idempotent maintenance
+    * pass, safe on a schedule. Returns before/after stats. */
+  def compactParquet(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): CompactStats = {
+    val before = dataFiles(spark, path)
+    val bytes = before.map(_._2).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    if (before.size <= nOut)
+      return CompactStats(before.size, bytes, before.size, bytes)
+    val tmp = s"${path}__compact_staging"
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp) // durable before any delete
+    val f = fs(spark, path)
+    f.delete(new Path(path), true)
+    f.rename(new Path(tmp), new Path(path))
+    val after = dataFiles(spark, path)
+    CompactStats(before.size, bytes, after.size, after.map(_._2).sum)
+  }
+
+  /** Partition-wise compaction for a `partitionBy(partCol)` layout: each
+    * partition directory compacts independently (and only when over its
+    * file-count target), so a table with one hot partition does not
+    * rewrite its cold ones — the O(touched)-not-O(table) principle of
+    * [[graft.streaming.Streams.upsertByKeyPartitioned]] applied to
+    * maintenance. Returns (partitionDir → stats) for partitions visited. */
+  def compactPartitioned(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Map[String, CompactStats] = {
+    val f = fs(spark, path)
+    f.listStatus(new Path(path)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { s =>
+        s.getPath.getName -> compactParquet(spark, s.getPath.toString, targetBytes)
+      }.toMap
+  }
+}
