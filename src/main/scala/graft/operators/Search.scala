@@ -153,6 +153,56 @@ object Search {
       .select(col("__vid").as("id"), col("score"))
   }
 
+  /** Train a PQ codebook ([[graft.functions.PqExpressions]]) from a
+    * deterministic sample: the `sampleN` corpus rows with the smallest
+    * `xxhash64(id)` — pseudo-random, reproducible across runs/partitions,
+    * and a TakeOrdered (no sort of the full corpus). faiss-style division
+    * of labor: training is driver-side on the sample, encoding/scoring
+    * are distributed native expressions. */
+  def pqTrain(corpus: DataFrame, id: Column, vec: Column, m: Int, ks: Int,
+      sampleN: Int = 10000, iters: Int = 8): Seq[Seq[Double]] = {
+    val sample = corpus.orderBy(xxhash64(id).asc, id.asc).limit(sampleN)
+      .select(vec.cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    graft.functions.PqExpressions.train(sample, m, ks, iters)
+      .map(_.toSeq).toSeq
+  }
+
+  /** Corpus → (corpus, `codes` array<int>): the AT-REST form of a PQ
+    * index. Persist id+codes (m small ints/row instead of D floats) and
+    * serve ADC scans from that — for 512-dim/float corpora that is the
+    * 100 TB→0.4 TB compression that lets the whole index live in RAM. */
+  def pqEncode(corpus: DataFrame, vec: Column,
+      book: Seq[Seq[Double]], ks: Int): DataFrame =
+    corpus.withColumn("codes",
+      graft.functions.PqExpressions.pqEncode(corpus.sparkSession, vec, book, ks))
+
+  /** Two-stage PQ kNN: (1) ADC scan — the query's per-subspace dot
+    * products with every centroid fold into an m×ks lookup table riding
+    * the plan as a literal, so each row scores with m table lookups and
+    * no float math; TakeOrdered keeps `refine·k` candidates. (2) exact
+    * cosine rerank of the candidates only. `encoded` must carry `codes`
+    * (from [[pqEncode]], typically read back from the at-rest index) plus
+    * the raw vector for the rerank stage (at scale: a point-lookup join
+    * of refine·k ids against the vector table instead). */
+  def knnPq(encoded: DataFrame, id: Column, vec: Column,
+      book: Seq[Seq[Double]], ks: Int,
+      query: DataFrame, k: Int, refine: Int = 4): DataFrame = {
+    val s = encoded.sparkSession
+    val qv = query.select(col("qv").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val m = book.length / ks
+    val lut = graft.functions.PqExpressions
+      .adcLut(qv, book.map(_.toArray).toArray, m, ks)
+    encoded
+      .withColumn("adc", graft.functions.PqExpressions.pqAdc(s, col("codes"), lut.toSeq, ks))
+      .orderBy(desc("adc"), id.asc).limit(math.max(refine * k, k))
+      .crossJoin(broadcast(query))
+      .withColumn("score", fusedCosine(s, vec, col("qv")))
+      .orderBy(desc("score"), id.asc).limit(k)
+      .drop("qv", "adc")
+  }
+
   /** Batched kNN — N query vectors against the corpus in ONE plan: the
     * query table (qid, qv) broadcasts, scoring is the same fused kernel,
     * and per-query top-k comes from a rank window partitioned by qid (one

@@ -79,6 +79,52 @@ class SearchSpec extends SparkSpec {
     assert(r.head._1 === 1L, "nearest neighbor survives bucketing")
   }
 
+  test("knnPq: train/encode/ADC round trip, exact rerank recovers brute-force top-k") {
+    import graft.functions.PqExpressions
+    // 60 deterministic 8-dim vectors in 4 angular clusters
+    def mk(c: Int, i: Int): Seq[Float] = {
+      val base = Array.fill(8)(0.0)
+      base(c * 2) = 1.0; base(c * 2 + 1) = 0.1 + 0.01 * i
+      base.map(_.toFloat).toSeq
+    }
+    val corpus = (0 until 60).map(i => (i.toLong, mk(i % 4, i / 4))).toDF("id", "vec")
+    val q = Seq(Tuple1(mk(2, 0))).toDF("qv")
+    val book = Search.pqTrain(corpus, $"id", $"vec", m = 4, ks = 4, sampleN = 60)
+    assert(book.length === 16 && book.forall(_.length === 2))
+    // determinism: same inputs, same codebook
+    assert(book === Search.pqTrain(corpus, $"id", $"vec", m = 4, ks = 4, sampleN = 60))
+    val enc = Search.pqEncode(corpus, $"vec", book, ks = 4)
+    val codes = enc.select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length === 4 && c.forall(x => x >= 0 && x < 4)))
+    val pq = Search.knnPq(enc, $"id", $"vec", book, ks = 4, q, k = 10, refine = 3)
+      .select("id").as[Long].collect().toSeq
+    val brute = Search.knnBrute(corpus, $"vec", q, k = 10, tie = $"id")
+      .select("id").as[Long].collect().toSeq
+    assert(pq === brute, s"pq=$pq brute=$brute")
+    // ADC score parity against a hand-computed LUT sum on one row
+    val lut = PqExpressions.adcLut(mk(2, 0).map(_.toDouble).toArray,
+      book.map(_.toArray).toArray, 4, 4)
+    val row0 = enc.filter($"id" === 0L).select("codes").as[Seq[Int]].head()
+    val expected = row0.zipWithIndex.map { case (c, j) => lut(j * 4 + c) }.sum
+    val got = enc.filter($"id" === 0L)
+      .select(PqExpressions.pqAdc(spark, $"codes", lut.toSeq, 4)).as[Double].head()
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("knnPq: invalid codes and dimension mismatches are null, not errors") {
+    import graft.functions.PqExpressions
+    val book = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)) // m=1, ks=2, sub=2
+    val bad = Seq((1L, Seq(9)), (2L, Seq(0, 1))).toDF("id", "codes")
+      .select($"id", PqExpressions.pqAdc(spark, $"codes", Seq(0.5, 0.25), 2).as("s"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(bad(1L).isEmpty, "out-of-range code → null")
+    assert(bad(2L).isEmpty, "wrong code count → null")
+    val wrongDim = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "vec")
+      .select(PqExpressions.pqEncode(spark, $"vec", book, 2).as("c"))
+      .as[Option[Seq[Int]]].head()
+    assert(wrongDim.isEmpty, "vec dim ≠ m·sub → null")
+  }
+
   test("knnBatch: per-query top-k in one plan matches per-query brute force") {
     val queries = Seq((100L, v(1, 0, 0)), (200L, v(0, 0, 1))).toDF("qid", "qv")
     val batch = Search.knnBatch(corpus, $"id", $"vec", queries, k = 2)
