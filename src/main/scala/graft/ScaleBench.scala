@@ -28,7 +28,11 @@ object ScaleBench {
 
   private val Queries = Seq(
     "dedup_minhash_lsh", "pipeline_curate", "knn_ivf", "q3_hybrid",
-    "dedup_ngram_jaccard", "zs_tags", "knn_batch")
+    "dedup_ngram_jaccard", "zs_tags", "knn_batch",
+    // round 5: the hierarchical prefix-sum packer (parallelism must not
+    // collapse to one task per source shard) and the PQ encode+ADC scan
+    // (per-row work ⇒ strictly linear).
+    "pack_sequences", "knn_pq")
   private val Reps = 10
   private val IdStride = 10000000L
 

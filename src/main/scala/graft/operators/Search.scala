@@ -153,6 +153,77 @@ object Search {
       .select(col("__vid").as("id"), col("score"))
   }
 
+  /** Distributed spherical k-means (Lloyd's) — the codebook TRAINER the
+    * IVF path was missing ([[knnIvf]]/[[writeIvfIndex]] take centroids as
+    * input; this produces them from the corpus itself). Each round is one
+    * job with no corpus shuffle beyond the aggregate:
+    *
+    *  - ASSIGN: cosine-argmax against the current codebook riding the
+    *    plan as a foldable literal
+    *    ([[graft.functions.VectorExpressions.NearestCentroidExpr]] —
+    *    per-row, codegen'd, zero shuffle);
+    *  - UPDATE: element-wise [[graft.functions.VectorMeanDouble]] per
+    *    cluster — map-side partial aggregation means the shuffle carries
+    *    one dim-sized buffer per (cluster, partition), not vectors;
+    *  - the k new centroids collect to the driver (an index artifact,
+    *    ≈√N lists even at lake scale — same justification as the probe
+    *    codebook).
+    *
+    * Deterministic: init = the k corpus rows with smallest `xxhash64(id)`
+    * (reproducible pseudo-random, TakeOrdered not full sort), no RNG
+    * anywhere. Empty clusters keep their previous centroid; zero vectors
+    * are unassignable (the argmax yields null) and drop from updates.
+    * Stops early when the max centroid movement (L∞ of element deltas)
+    * falls below `tol`. Returns (cid, c) ready to feed [[knnIvf]] /
+    * [[writeIvfIndex]]. */
+  def kmeansTrain(corpus: DataFrame, id: Column, vec: Column, k: Int,
+      iters: Int = 10, tol: Double = 1e-9): DataFrame = {
+    val s = corpus.sparkSession
+    var book: Array[Array[Double]] = corpus
+      .orderBy(xxhash64(id).asc, id.asc).limit(k)
+      .select(vec.cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cids = book.indices.map(_.toLong)
+    var moved = Double.MaxValue
+    var it = 0
+    while (it < iters && moved > tol) {
+      val assigned = corpus
+        .withColumn("__c", graft.functions.VectorExpressions.nearestCentroid(
+          s, vec, cids, book.map(_.toSeq).toSeq))
+        .filter(col("__c").isNotNull)
+        .groupBy("__c")
+        .agg(graft.functions.VectorAggregates
+          .vectorMeanDouble(vec.cast("array<float>")).as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+      moved = 0.0
+      book = book.zipWithIndex.map { case (old, c) =>
+        assigned.get(c.toLong) match {
+          case Some(next) =>
+            var i = 0
+            while (i < next.length) {
+              moved = math.max(moved, math.abs(next(i) - old(i))); i += 1
+            }
+            next
+          case None => old // empty cluster: keep previous centroid
+        }
+      }
+      it += 1
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      book.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i.toLong, c.toSeq)
+      }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = false))))
+  }
+
   /** Train a PQ codebook ([[graft.functions.PqExpressions]]) from a
     * deterministic sample: the `sampleN` corpus rows with the smallest
     * `xxhash64(id)` — pseudo-random, reproducible across runs/partitions,

@@ -79,6 +79,36 @@ class SearchSpec extends SparkSpec {
     assert(r.head._1 === 1L, "nearest neighbor survives bucketing")
   }
 
+  test("kmeansTrain: recovers cluster structure, deterministic, feeds knnIvf") {
+    val cents = Search.kmeansTrain(corpus, $"id", $"vec", k = 2, iters = 10)
+    assert(cents.count() === 2L)
+    // trained centroids separate the two angular clusters exactly
+    val book = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val assigned = corpus.withColumn("c",
+        graft.functions.VectorExpressions.nearestCentroid(
+          spark, $"vec", book.map(_._1).toSeq, book.map(_._2).toSeq))
+      .select("id", "c").as[(Long, Long)].collect().toMap
+    assert(Set(assigned(1L), assigned(2L), assigned(3L)).size === 1, "cluster A coherent")
+    assert(Set(assigned(4L), assigned(5L), assigned(6L)).size === 1, "cluster B coherent")
+    assert(assigned(1L) !== assigned(4L), "clusters separated")
+    // deterministic retrain
+    val again = Search.kmeansTrain(corpus, $"id", $"vec", k = 2, iters = 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    assert(again === book.toSeq)
+    // end to end: trained codebook drives IVF to the brute-force top-k
+    val ivf = Search.knnIvf(corpus, $"id", $"vec", cents, query, nprobe = 1, k = 3)
+      .select("id").as[Long].collect().toSeq
+    val brute = Search.knnBrute(corpus, $"vec", query, k = 3, tie = $"id")
+      .select("id").as[Long].collect().toSeq
+    assert(ivf === brute)
+  }
+
+  test("kmeansTrain: k larger than natural clusters keeps empty-cluster centroids") {
+    val cents = Search.kmeansTrain(corpus, $"id", $"vec", k = 4, iters = 5)
+    assert(cents.count() === 4L, "empty clusters must not vanish")
+    assert(cents.collect().forall(_.getSeq[Double](1).length === 3))
+  }
+
   test("knnPq: train/encode/ADC round trip, exact rerank recovers brute-force top-k") {
     import graft.functions.PqExpressions
     // 60 deterministic 8-dim vectors in 4 angular clusters
