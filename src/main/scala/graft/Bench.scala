@@ -28,7 +28,12 @@ object Bench {
       // Catalyst prune the computed columns and time only the scan.
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Deterministically drop localCheckpoint blocks (CC loops) so one
+      // query's pinned block-manager memory never inflates the next
+      // query's timing (ContextCleaner frees them only after GC).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

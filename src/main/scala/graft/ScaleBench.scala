@@ -76,7 +76,15 @@ object ScaleBench {
     def run(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // localCheckpoint blocks (CC loop in pipeline_curate) are released
+      // by the async ContextCleaner only when the RDD objects are GC'd;
+      // at 10× they otherwise pin gigabytes of block-manager memory and
+      // every LATER query's timing degrades monotonically (measured:
+      // knn_batch read 27× instead of its true ~2.4×). Free them
+      // deterministically so each query is timed against a clean heap.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      sec
     }
     // JIT/footer warmup at the smallest scale so 1× timings aren't
     // absorbing JVM startup (same policy as Bench).
