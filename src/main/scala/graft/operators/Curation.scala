@@ -94,15 +94,29 @@ object Curation {
     * (~2⁻⁶⁴ per shingle pair) can only OVER-drop a training doc, never
     * leak contamination. The DuckDB oracle decides membership on the
     * shingle strings themselves, so the hashed result hash-matches it
-    * exactly unless such a collision occurs. */
+    * exactly unless such a collision occurs.
+    *
+    * The broadcast is only safe while the test side IS small: 8 bytes ×
+    * distinct shingles must fit the driver and every executor. When the
+    * held-out side is corpus-shaped (`maxBroadcastRows` exceeded — decided
+    * by one cheap count of the test side, metadata-scale next to the
+    * corpus scan), the membership probe falls back to a SHUFFLE_HASH
+    * left-semi on the 8-byte key: both sides exchange on `sh`, nothing
+    * collects anywhere. Identical survivors either way (`CurationSpec`
+    * proves it); only the physical join strategy moves. */
   def decontaminate(train: DataFrame, test: DataFrame, id: Column,
-      text: Column, n: Int = 5): DataFrame = {
+      text: Column, n: Int = 5,
+      maxBroadcastRows: Long = 10L * 1000 * 1000): DataFrame = {
     val s = train.sparkSession
     def sh(c: Column) = graft.functions.TextExpressions.shingleHashes(s, tokens(c), n)
     val testSh = test.select(explode(sh(text)).as("sh")).distinct()
+    // count() the ~|test| side only — never the training corpus
+    val probeSide =
+      if (test.count() <= maxBroadcastRows) broadcast(testSh)
+      else testSh.hint("shuffle_hash")
     val contaminated = train
       .select(id.as("doc_id"), explode(sh(text)).as("sh"))
-      .join(broadcast(testSh), Seq("sh"), "left_semi")
+      .join(probeSide, Seq("sh"), "left_semi")
       .select("doc_id").distinct()
     train.select(id.as("doc_id"))
       .join(contaminated, Seq("doc_id"), "left_anti")
