@@ -110,9 +110,76 @@ object Pipelines {
       .orderBy("doc_id")
   }
 
+  /** The COMPLETE hygiene chain over an arbitrary corpus — quality →
+    * repetition → language → exact dedup → near-dup — with every stage
+    * oracle-expressible (unlike [[curate]], whose MinHash near-dup stage
+    * hashes with xxhash64 and gets a rows-only check):
+    *
+    *  1. quality gate: `n_tokens ≥ 5`;
+    *  2. repetition gate (the Gopher-style filters, same kernels as
+    *     [[Curation.repetitionSignals]]): share of the most frequent
+    *     token ≤ `maxTopTokFrac`, share of duplicate 2-gram occurrences
+    *     ≤ `maxDup2gramFrac` — both per-row native expressions, zero
+    *     shuffle;
+    *  3. language gate: `lang_pred ≠ "und"`;
+    *  4. exact dedup: keep the smallest doc id per md5 fingerprint;
+    *  5. near-dup: a survivor is dropped iff it has a ≥ `minJac`
+    *     3-shingle-Jaccard partner with a SMALLER doc id in its
+    *     (lang, length-bucket) block — [[Dedup.jaccardPairs]]'s
+    *     inverted-index join, never all-pairs. This keep-smallest rule is
+    *     deliberately non-transitive so DuckDB can check it without
+    *     recursion; the transitive-closure variant is [[curate]].
+    *
+    * `docs` needs (doc_id, text, lang, n_chars) — lang/n_chars only feed
+    * the near-dup blocking key. Stages 1-4 are one narrow codegen'd scan
+    * + one window shuffle; stage 5's shuffle is keyed by (block, shingle
+    * hash). The survivor set checkpoints before fanning into the pair
+    * self-join and the final anti-join (ids + scalars only — the text
+    * rides in from `docs` by id). */
+  def curateFullOn(docs: DataFrame, maxTopTokFrac: Double = 0.2,
+      maxDup2gramFrac: Double = 0.1, minJac: Double = 0.9): DataFrame = {
+    val s = docs.sparkSession
+    import graft.functions.TextExpressions
+    val nGrams = when(col("n_tokens") < 2, lit(1L)).otherwise(col("n_tokens") - 1L)
+    val scored = docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("lang_pred", langIdPredict(col("toks")))
+      .withColumn("top_tok_frac",
+        TextExpressions.topTokenCount(s, col("toks")).cast("double")
+          / col("n_tokens").cast("double"))
+      .withColumn("dup_2gram_frac",
+        (nGrams - size(TextExpressions.shingleHashes(s, col("toks"), 2)).cast("long"))
+          .cast("double") / nGrams.cast("double"))
+    val gated = scored.filter(
+      col("n_tokens") >= 5 &&
+        col("top_tok_frac") <= maxTopTokFrac &&
+        col("dup_2gram_frac") <= maxDup2gramFrac &&
+        col("lang_pred") =!= "und")
+    val w = Window.partitionBy("fp").orderBy(asc("doc_id"))
+    val kept = gated
+      .withColumn("fp", exactFingerprint(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang_pred", "n_tokens", "top_tok_frac", "dup_2gram_frac")
+      .localCheckpoint()
+    val blk = docs
+      .join(kept.select("doc_id"), "doc_id") // only survivors are shingled
+      .withColumn("blk", concat_ws("_", col("lang"), expr("n_chars DIV 100")))
+    val dropped = Dedup.jaccardPairs(blk, col("doc_id"), col("text"), col("blk"))
+      .filter(col("jac") >= minJac)
+      .select(col("doc_b").as("doc_id")).distinct()
+    kept.join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  def curateFull(s: SparkSession, d: String): DataFrame =
+    curateFullOn(Tables.documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate_exact" -> curateExact,
-    "pipeline_curate" -> curate)
+    "pipeline_curate" -> curate,
+    "pipeline_curate_full" -> curateFull)
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_curate_exact" -> {
@@ -134,5 +201,57 @@ object Pipelines {
              row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
            FROM g)
          SELECT doc_id, lang_pred, n_tokens FROM r WHERE rn = 1 ORDER BY doc_id"""
+    },
+    "pipeline_curate_full" -> {
+      val hits = LangMarkers.map { case (l, m) =>
+        s"len(list_filter(list_distinct(toks), x -> list_contains([${m.map(x => s"'$x'").mkString(", ")}], x))) AS h_$l"
+      }.mkString(", ")
+      val best = LangMarkers.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
+      val cases = LangMarkers.map { case (l, _) =>
+        s"WHEN h_$l = best AND best > 0 THEN '$l'"
+      }.mkString(" ")
+      // word 2-grams (whole text when < 2 tokens) and 3-shingles (whole
+      // text when < 3 tokens) — mirror TextFunctions.shingles semantics
+      val grams2 =
+        """CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+           ELSE list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) END"""
+      val sh3 =
+        """CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END"""
+      s"""WITH t AS (SELECT doc_id, text, lang, n_chars,
+             string_split(lower(text), ' ') AS toks FROM documents),
+         h AS (SELECT *, $hits FROM t),
+         b AS (SELECT *, $best AS best FROM h),
+         lp AS (SELECT doc_id, text, lang, n_chars, toks,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE $cases ELSE 'und' END AS lang_pred
+           FROM b),
+         tc AS (SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM lp) GROUP BY doc_id, tok),
+         ta AS (SELECT doc_id, max(c) AS top_c FROM tc GROUP BY doc_id),
+         gc AS (SELECT doc_id, g, count(*) AS c
+                FROM (SELECT doc_id, unnest($grams2) AS g FROM lp) GROUP BY doc_id, g),
+         ga AS (SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct FROM gc GROUP BY doc_id),
+         rep AS (SELECT lp.*,
+             CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_tok_frac,
+             CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_2gram_frac
+           FROM lp JOIN ta USING (doc_id) JOIN ga USING (doc_id)),
+         g AS (SELECT * FROM rep
+           WHERE n_tokens >= 5 AND top_tok_frac <= 0.2
+             AND dup_2gram_frac <= 0.1 AND lang_pred <> 'und'),
+         r AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM g),
+         k AS (SELECT * FROM r WHERE rn = 1),
+         sh AS (SELECT doc_id, lang || '_' || (n_chars // 100) AS blk,
+             list_distinct($sh3) AS sh FROM k),
+         pair AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             len(list_filter(a.sh, x -> list_contains(b2.sh, x))) AS inter,
+             len(a.sh) AS na, len(b2.sh) AS nb
+           FROM sh a JOIN sh b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id),
+         drp AS (SELECT DISTINCT doc_b AS doc_id FROM pair
+           WHERE inter > 0
+             AND CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.9)
+         SELECT doc_id, lang_pred, n_tokens, top_tok_frac, dup_2gram_frac FROM k
+         WHERE doc_id NOT IN (SELECT doc_id FROM drp)
+         ORDER BY doc_id"""
     })
 }

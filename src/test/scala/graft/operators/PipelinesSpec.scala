@@ -45,6 +45,60 @@ class PipelinesSpec extends SparkSpec {
     assert(result.toSeq === Pipelines.curateExact(spark, d).collect().toSeq)
   }
 
+  test("curateFullOn: every gate fires on a known corpus, survivors exact") {
+    import org.apache.spark.sql.functions._
+    // ~29-token clean English base; its one-token-appended variant is a
+    // 27/28 ≈ 0.964 three-shingle-Jaccard near-dup in the same block.
+    val base = "the quick brown fox jumps over the lazy dog while many other " +
+      "animals watch from shade near the old stone bridge by the river bank " +
+      "under warm evening light"
+    val docs = Seq(
+      (1L, base),                     // survives — the near-dup representative
+      (2L, base),                     // exact dup of 1 → dropped at stage 4
+      (3L, base + " tonight"),        // jac 27/28 ≥ 0.9 vs doc 1 → dropped at stage 5
+      (4L, "the the the the the the quick fox"), // top_tok_frac 6/8 → repetition gate
+      (5L, "too short"),              // n_tokens < 5 → quality gate
+      (6L, "zz qq xx yy ww vv uu"),   // no lang markers → language gate
+      (7L, "a completely different sentence about spark catalyst optimizer " +
+        "rules and the physical plans they produce in practice") // survives
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val out = Pipelines.curateFullOn(docs)
+      .select("doc_id", "lang_pred", "n_tokens")
+      .as[(Long, String, Long)].collect().toList
+    assert(out.map(_._1) === List(1L, 7L))
+    assert(out.forall(_._2 == "en"))
+    // and the repetitive doc is dropped by the REPETITION gate, not another
+    // stage: it passes quality (8 tokens) and language ("the" marker)
+    val rep = Curation.repetitionSignals(
+        docs.filter($"doc_id" === 4L), $"doc_id", $"text")
+      .select("top_tok_frac").as[Double].head()
+    assert(rep > 0.2)
+  }
+
+  test("curateFullOn: near-dup drop is keep-smallest within the block") {
+    import org.apache.spark.sql.functions._
+    val base = "the quick brown fox jumps over the lazy dog while many other " +
+      "animals watch from shade near the old stone bridge by the river bank " +
+      "under warm evening light"
+    // A second near-dup of the SAME base: both later ids drop, smallest stays,
+    // even though the two later docs are also near-dups of each other.
+    val docs = Seq(
+      (10L, base), (11L, base + " tonight"), (12L, base + " today"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val kept = Pipelines.curateFullOn(docs).select("doc_id").as[Long].collect().toList
+    assert(kept === List(10L))
+    // different block (different lang value) → no pair, both survive
+    val split = Seq((20L, base), (21L, base + " tonight"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", when($"doc_id" === 20L, "en").otherwise("de"))
+      .withColumn("n_chars", length(col("text")))
+    assert(Pipelines.curateFullOn(split).count() === 2L)
+  }
+
   test("curateExact: quality gate and exact-dedup keep-first on known rows") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
