@@ -94,6 +94,45 @@ object Streams {
     deduped.drop("_sig")
   }
 
+  /** Per-row hygiene gate for a document ingest stream: the quality +
+    * repetition + language predicates and the PII redaction the batch
+    * curation chain uses ([[graft.operators.Pipelines.curateFullOn]]
+    * stages 1-3, [[graft.operators.Curation.piiRedact]]), on the
+    * streaming face. Every signal here is a pure per-row expression — no
+    * state, no watermark, no output-mode constraint — so the gate is
+    * append-mode streaming-safe BY CONSTRUCTION, and the same call on a
+    * batch frame yields identical survivors/redactions (parity proven in
+    * `StreamsSpec`). Chain [[dedupedByContent]] after it for the full
+    * ingest flow: gate → redact → dedup; the stateful dedup is the only
+    * stage that needs a watermark.
+    *
+    * Adds `n_tokens`, `top_tok_frac`, `dup_2gram_frac`, `lang_pred`
+    * (the signals that admitted the row) and piiRedact's
+    * `n_emails`/`n_ips`/`n_phones`/`redacted`. */
+  def hygieneGated(df: DataFrame, textCol: String, minTokens: Long = 5,
+      maxTopTokFrac: Double = 0.2, maxDup2gramFrac: Double = 0.1,
+      requireLang: Boolean = true): DataFrame = {
+    import graft.functions.{TextExpressions, TextFunctions}
+    val s = df.sparkSession
+    val nGrams = when(col("n_tokens") < 2, lit(1L)).otherwise(col("n_tokens") - 1L)
+    val scored = df
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("top_tok_frac",
+        TextExpressions.topTokenCount(s, col("__toks")).cast("double")
+          / col("n_tokens").cast("double"))
+      .withColumn("dup_2gram_frac",
+        (nGrams - size(TextExpressions.shingleHashes(s, col("__toks"), 2)).cast("long"))
+          .cast("double") / nGrams.cast("double"))
+      .withColumn("lang_pred", TextFunctions.langIdPredict(col("__toks")))
+    val gated = scored.filter(
+      col("n_tokens") >= minTokens &&
+        col("top_tok_frac") <= maxTopTokFrac &&
+        col("dup_2gram_frac") <= maxDup2gramFrac &&
+        (if (requireLang) col("lang_pred") =!= "und" else lit(true)))
+    graft.operators.Curation.piiRedact(gated, col(textCol)).drop("__toks")
+  }
+
   /** Stream-static enrichment: the dim side is a small static table →
     * broadcast hash join per micro-batch, no shuffle of the stream. */
   def enriched(events: DataFrame, dim: DataFrame): DataFrame =
@@ -166,8 +205,10 @@ object Streams {
     * the write that computes from the target never writes over it.
     * (A cache()-then-overwrite would corrupt the target if an evicted
     * partition were recomputed mid-overwrite — lineage would re-read the
-    * half-overwritten target.) Rewrites O(table) per trigger; see
-    * [[upsertByKeyPartitioned]] for the partition-bounded variant. */
+    * half-overwritten target.) Rewrites O(table) per trigger — SMALL
+    * TABLES ONLY (a serving-side index of thousands of rows, not a lake
+    * table). The production default is [[upsertByKeyPartitioned]], which
+    * rewrites only the partitions a batch touches. */
   def upsertByKey(spark: SparkSession, target: String, key: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val fresh = batch.dropDuplicates(key)
@@ -219,12 +260,22 @@ object Streams {
     } else fresh.write.partitionBy(partCol).mode("overwrite").parquet(target)
   }
 
-  /** Wire a streaming DataFrame into the upsert sink. */
-  def startUpsertStream(events: DataFrame, target: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+  /** Wire a streaming DataFrame into the upsert sink. With `partCol` set
+    * (the documented default for anything table-sized) each micro-batch
+    * routes through [[upsertByKeyPartitioned]] and rewrites only the
+    * partitions it touches; without it, the whole-table
+    * [[upsertByKey]] merge — small serving tables only. */
+  def startUpsertStream(events: DataFrame, target: String, checkpoint: String,
+      partCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val sink = partCol match {
+      case Some(p) => upsertByKeyPartitioned(events.sparkSession, target, "event_id", p) _
+      case None => upsertByKey(events.sparkSession, target, "event_id") _
+    }
     events.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch(upsertByKey(events.sparkSession, target, "event_id") _)
+      .foreachBatch(sink)
       .start()
+  }
 }

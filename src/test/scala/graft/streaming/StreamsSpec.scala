@@ -254,6 +254,62 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hygieneGated: identical survivors and redactions in batch and streaming") {
+    val docs = Seq(
+      (1L, "reach me at bob@example.com about the quick brown fox and the lazy dog"),
+      (2L, "the the the the the the quick fox"), // top_tok_frac 6/8 → repetition gate
+      (3L, "too short"),                         // n_tokens < 5 → quality gate
+      (4L, "zz qq xx yy ww vv uu"),              // no lang markers → language gate
+      (5L, "the server at 10.1.2.3 and the backup line +4915112345678 are fine today"))
+    val cols = Seq("id", "n_tokens", "lang_pred", "n_emails", "n_ips", "n_phones", "redacted")
+    val batch = Streams.hygieneGated(docs.toDF("id", "text"), "text")
+      .selectExpr(cols: _*).orderBy("id").collect().toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.hygieneGated(input.toDF().toDF("id", "text"), "text")
+      .selectExpr(cols: _*)
+      .writeStream.format("memory").queryName("hygiene_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs.take(3)) // gates fire across micro-batch boundaries too
+      q.processAllAvailable()
+      input.addData(docs.drop(3))
+      q.processAllAvailable()
+      val streamed = spark.table("hygiene_sink").orderBy("id").collect().toSeq
+      assert(streamed === batch, "batch and streaming must agree row for row")
+      // only 1 and 5 survive; their PII is redacted with typed counts
+      val m = spark.table("hygiene_sink")
+        .select("id", "n_emails", "n_ips", "n_phones", "redacted")
+        .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+      assert(m.keySet === Set(1L, 5L))
+      assert(m(1L)._2 === 1L && m(1L)._5.contains("<EMAIL>"))
+      assert(m(5L)._3 === 1L && m(5L)._4 === 1L &&
+        m(5L)._5.contains("<IP>") && m(5L)._5.contains("<PHONE>"))
+      assert(!m(1L)._5.contains("bob@") && !m(5L)._5.contains("10.1.2.3"))
+    } finally q.stop()
+  }
+
+  test("startUpsertStream with partCol routes through the partitioned upsert") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upstream_part").toString
+    val input = MemoryStream[Ev]
+    val q = Streams.startUpsertStream(
+      input.toDF().withColumn("day", to_date($"ts")),
+      s"$dir/target", s"$dir/ckpt", partCol = Some("day"))
+    try {
+      input.addData(Seq(Ev(1L, ts(0), 10L, "view", 1.0)))
+      q.processAllAvailable()
+      input.addData(Seq(Ev(1L, ts(2), 10L, "click", 5.0), Ev(2L, ts(3), 11L, "view", 2.0)))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/target")
+        .select("event_id", "event_type").orderBy("event_id")
+        .as[(Long, String)].collect().toSeq
+      assert(out === Seq((1L, "click"), (2L, "view")), "latest batch wins per key")
+      // and the layout is really partitioned by day
+      assert(new java.io.File(s"$dir/target").listFiles()
+        .exists(_.getName.startsWith("day=")))
+    } finally q.stop()
+  }
+
   test("streaming similarity scoring: fused cosine + broadcast vocab on a stream") {
     // the SRS ingest flow (upload → auto-tag/suggest): incoming embeddings
     // scored against a static centroid table with the same kernels the
