@@ -65,6 +65,35 @@ class CurationSpec extends SparkSpec {
     assert(kept === Array(2L)) // 1 contaminated via shared 5-gram, 3 via whole-text
   }
 
+  test("decontaminate: shuffle fallback produces identical survivors, no broadcast probe") {
+    // Corpus-shaped held-out side: maxBroadcastRows = 0 forces the
+    // SHUFFLE_HASH left-semi membership probe. Survivors must be identical
+    // to the broadcast path — only the physical join strategy may move.
+    val train = (1L to 60L).map(i => (i, s"train document number $i about topic ${i % 7} body"))
+      .toDF("id", "text")
+    val test = (100L to 120L).map(i => (i, s"train document number ${i - 99} about topic ${(i - 99) % 7} body"))
+      .toDF("id", "text")
+    val viaBroadcast = Curation.decontaminate(train, test, $"id", $"text")
+    val viaShuffle = Curation.decontaminate(train, test, $"id", $"text",
+      maxBroadcastRows = 0L)
+    assert(viaShuffle.as[Long].collect().sorted
+      === viaBroadcast.as[Long].collect().sorted)
+    // the probe (LeftSemi on sh) really is a shuffled hash join, not a
+    // broadcast — the property that keeps a corpus-sized test set off the
+    // driver and executors' heap
+    val semiJoins = viaShuffle.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("LeftSemi")).toSeq
+    assert(semiJoins.nonEmpty)
+    assert(semiJoins.exists(l => l.contains("ShuffledHashJoin")),
+      s"expected a ShuffledHashJoin LeftSemi probe in:\n${semiJoins.mkString("\n")}")
+    assert(!semiJoins.exists(l => l.contains("BroadcastHashJoin")),
+      s"broadcast probe must be gone under the fallback:\n${semiJoins.mkString("\n")}")
+    // and the broadcast path keeps its broadcast probe
+    val bSemi = viaBroadcast.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("LeftSemi")).toSeq
+    assert(bSemi.exists(_.contains("BroadcastHashJoin")))
+  }
+
   test("decontaminate: no test overlap keeps everything") {
     val train = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
     val test = Seq((9L, "one two three four five six")).toDF("id", "text")
