@@ -274,6 +274,64 @@ object Search {
       .drop("qv", "adc")
   }
 
+  /** Materialize the COMPOSED IVF × PQ index at rest — the textbook IVFADC
+    * layout: every row carries its nearest-centroid `cluster` (the same
+    * fused literal-codebook argmax as [[writeIvfIndex]], zero shuffle) AND
+    * its PQ `codes` (the distributed codegen encode of [[pqEncode]]), and
+    * the table is written `partitionBy(cluster)`. A query then composes the
+    * two prunings: the probe's cluster filter skips FILES (partition
+    * pruning) and the ADC scan reads m small ints per surviving row
+    * instead of D floats. PQ here encodes raw vectors (IVF-Flat + PQ), not
+    * per-cluster residuals — one shared codebook, simpler and
+    * oracle-friendly; the residual refinement is a documented non-goal.
+    * Raw vectors ride along for the rerank stage (at lake scale: keep
+    * id+codes only and point-lookup the rerank candidates instead). */
+  def writeIvfPqIndex(corpus: DataFrame, vec: Column,
+      centroids: DataFrame, // (cid: long-castable, c: vector)
+      book: Seq[Seq[Double]], ks: Int, path: String): Unit = {
+    val s = corpus.sparkSession
+    val cb = collectCodebook(centroids)
+    corpus
+      .withColumn("cluster", graft.functions.VectorExpressions.nearestCentroid(
+        s, vec, cb.map(_._1).toSeq, cb.map(_._2.toSeq).toSeq))
+      .withColumn("codes",
+        graft.functions.PqExpressions.pqEncode(s, vec, book, ks))
+      .write.partitionBy("cluster").parquet(path)
+  }
+
+  /** kNN over a [[writeIvfPqIndex]] layout — IVFADC serving: (1) resolve
+    * the probe driver-side over the IVF codebook → a partition filter, so
+    * unprobed clusters' files never open; (2) ADC-scan the survivors (m
+    * table lookups per row against the query's literal LUT — no float
+    * math, no raw-vector reads needed for scoring); (3) exact cosine
+    * rerank of the top `refine·k` ADC candidates. With `refine·k` ≥ the
+    * probed row count the rerank is exhaustive over the probe and the
+    * result equals [[knnIvf]]/[[knnIvfIndexed]] for the same codebook —
+    * the parity `SearchSpec` pins. */
+  def knnIvfPq(s: SparkSession, indexPath: String, vec: Column,
+      centroids: DataFrame, book: Seq[Seq[Double]], ks: Int,
+      query: DataFrame, nprobe: Int, k: Int, tie: Column,
+      refine: Int = 4): DataFrame = {
+    val cb = collectCodebook(centroids)
+    val qv = query.select(col("qv").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val probed = cb.map { case (cid, c) => (cid, cosArr(c, qv)) }
+      .sortBy { case (cid, qcos) => (-qcos, cid) }
+      .take(nprobe).map(_._1).toSeq
+    val m = book.length / ks
+    val lut = graft.functions.PqExpressions
+      .adcLut(qv, book.map(_.toArray).toArray, m, ks)
+    s.read.parquet(indexPath)
+      .filter(col("cluster").isin(probed: _*)) // partition pruning, not row filtering
+      .withColumn("adc",
+        graft.functions.PqExpressions.pqAdc(s, col("codes"), lut.toSeq, ks))
+      .orderBy(desc("adc"), tie.asc).limit(math.max(refine * k, k))
+      .crossJoin(broadcast(query))
+      .withColumn("score", fusedCosine(s, vec, col("qv")))
+      .orderBy(desc("score"), tie.asc).limit(k)
+      .drop("qv", "adc")
+  }
+
   /** Batched kNN — N query vectors against the corpus in ONE plan: the
     * query table (qid, qv) broadcasts, scoring is the same fused kernel,
     * and per-query top-k comes from a rank window partitioned by qid (one

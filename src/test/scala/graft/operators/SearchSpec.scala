@@ -141,6 +141,43 @@ class SearchSpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-12)
   }
 
+  test("writeIvfPqIndex + knnIvfPq: probe-pruned ADC + rerank equals knnIvf") {
+    // 60 deterministic 8-dim vectors in 4 angular clusters (as in knnPq)
+    def mk(c: Int, i: Int): Seq[Float] = {
+      val base = Array.fill(8)(0.0)
+      base(c * 2) = 1.0; base(c * 2 + 1) = 0.1 + 0.01 * i
+      base.map(_.toFloat).toSeq
+    }
+    val corpus = (0 until 60).map(i => (i.toLong, mk(i % 4, i / 4))).toDF("id", "vec")
+    val q = Seq(Tuple1(mk(2, 0))).toDF("qv")
+    val cents = Search.kmeansTrain(corpus, $"id", $"vec", k = 4, iters = 10)
+    val book = Search.pqTrain(corpus, $"id", $"vec", m = 4, ks = 4, sampleN = 60)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Search.writeIvfPqIndex(corpus, $"vec", cents, book, ks = 4, s"$dir/idx")
+    // the at-rest table carries both index forms
+    val idx = spark.read.parquet(s"$dir/idx")
+    assert(idx.columns.toSet === Set("id", "vec", "codes", "cluster"))
+    assert(idx.select("cluster").distinct().count() === 4L)
+    // refine·k ≥ probed rows → rerank is exhaustive over the probe and the
+    // composed path must equal the in-plan IVF answer exactly
+    val ivfpq = Search.knnIvfPq(spark, s"$dir/idx", $"vec", cents, book, ks = 4,
+      q, nprobe = 2, k = 5, tie = $"id", refine = 20)
+    val planStr = ivfpq.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters:") && planStr.contains("cluster"),
+      s"probe must prune partitions at the scan:\n$planStr")
+    val a = ivfpq.select("id", "score").as[(Long, Double)].collect().toSeq
+    val b = Search.knnIvf(corpus, $"id", $"vec", cents, q, nprobe = 2, k = 5)
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    assert(a === b, s"ivfpq=$a ivf=$b")
+    // and a tight refine still recovers the true nearest neighbor: the ADC
+    // approximation orders the right cluster's members near the top
+    val tight = Search.knnIvfPq(spark, s"$dir/idx", $"vec", cents, book, ks = 4,
+      q, nprobe = 1, k = 1, tie = $"id", refine = 4)
+      .select("id").as[Long].head()
+    assert(tight === Search.knnBrute(corpus, $"vec", q, k = 1, tie = $"id")
+      .select("id").as[Long].head())
+  }
+
   test("knnPq: invalid codes and dimension mismatches are null, not errors") {
     import graft.functions.PqExpressions
     val book = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)) // m=1, ks=2, sub=2
