@@ -48,20 +48,42 @@ object Compact {
   /** Rewrite the parquet directory at `path` into ≈`targetBytes` files.
     * No-op (returns current stats, touches nothing) when the directory
     * already has ≤ the target file count — an idempotent maintenance
-    * pass, safe on a schedule. Returns before/after stats. */
+    * pass, safe on a schedule. Returns before/after stats.
+    *
+    * Swap discipline: the compacted copy is fully durable in a sibling
+    * staging dir, then the swap is rename(path → __old) · rename(staging
+    * → path) · delete(__old). Compared to delete-then-rename, the
+    * table-path-missing window shrinks from a recursive delete (O(files)
+    * on HDFS/local, and worse on object stores) to two O(1) metadata
+    * renames, and EVERY intermediate state keeps a complete durable copy
+    * — a crash between the renames strands readers but loses nothing,
+    * and the next compact (or any caller) self-heals by renaming __old
+    * back. `onStep` is a test seam for injecting crashes between steps. */
   def compactParquet(spark: SparkSession, path: String,
-      targetBytes: Long = 128L * 1024 * 1024): CompactStats = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      onStep: String => Unit = _ => ()): CompactStats = {
+    val f = fs(spark, path)
+    val pathP = new Path(path)
+    val oldP = new Path(s"${path}__compact_old")
+    val tmpP = new Path(s"${path}__compact_staging")
+    // self-heal a crash between the swap renames: the previous table is
+    // intact at __old — put it back before touching anything else
+    if (!f.exists(pathP) && f.exists(oldP)) f.rename(oldP, pathP)
+    f.delete(tmpP, true) // leftover staging from an interrupted run
+    f.delete(oldP, true) // leftover __old from a crash after the swap
     val before = dataFiles(spark, path)
     val bytes = before.map(_._2).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     if (before.size <= nOut)
       return CompactStats(before.size, bytes, before.size, bytes)
-    val tmp = s"${path}__compact_staging"
     spark.read.parquet(path).repartition(nOut)
-      .write.mode("overwrite").parquet(tmp) // durable before any delete
-    val f = fs(spark, path)
-    f.delete(new Path(path), true)
-    f.rename(new Path(tmp), new Path(path))
+      .write.mode("overwrite").parquet(tmpP.toString) // durable before any move
+    onStep("staged")
+    f.rename(pathP, oldP)
+    onStep("vacated")
+    f.rename(tmpP, pathP)
+    onStep("swapped")
+    f.delete(oldP, true)
     val after = dataFiles(spark, path)
     CompactStats(before.size, bytes, after.size, after.map(_._2).sum)
   }

@@ -211,16 +211,26 @@ object Streams {
     * rewrites only the partitions a batch touches. */
   def upsertByKey(spark: SparkSession, target: String, key: String)(
       batch: DataFrame, batchId: Long): Unit = {
+    val f = fs(spark, target)
+    val targetP = new org.apache.hadoop.fs.Path(target)
+    val oldP = new org.apache.hadoop.fs.Path(s"${target}__old")
+    // self-heal a crash between the swap renames of a previous batch: the
+    // previous table is intact at __old — put it back first
+    if (!f.exists(targetP) && f.exists(oldP)) f.rename(oldP, targetP)
+    f.delete(oldP, true)
     val fresh = batch.dropDuplicates(key)
     if (scala.util.Try(spark.read.parquet(target).schema).isSuccess) {
       val old = spark.read.parquet(target)
       val merged = old.join(fresh, old(key) === fresh(key), "left_anti")
         .unionByName(fresh)
       val tmp = s"${target}__staging_$batchId"
-      merged.write.mode("overwrite").parquet(tmp) // durable before any delete
-      val f = fs(spark, target)
-      f.delete(new org.apache.hadoop.fs.Path(target), true)
-      f.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(target))
+      val tmpP = new org.apache.hadoop.fs.Path(tmp)
+      merged.write.mode("overwrite").parquet(tmp) // durable before any move
+      // rename-out/rename-in/delete-old: every intermediate state keeps a
+      // complete durable copy (see Compact.compactParquet's swap notes)
+      f.rename(targetP, oldP)
+      f.rename(tmpP, targetP)
+      f.delete(oldP, true)
     } else fresh.write.mode("overwrite").parquet(target)
   }
 

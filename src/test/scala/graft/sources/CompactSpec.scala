@@ -42,6 +42,38 @@ class CompactSpec extends SparkSpec {
     assert(s2.filesBefore === s2.filesAfter)
   }
 
+  test("compactParquet: a crash at any swap step loses nothing and self-heals") {
+    def seed(): String = {
+      val dir = s"${tmpDir()}/t"
+      spark.range(5000).withColumn("v", col("id") % 7)
+        .repartition(20).write.parquet(dir)
+      dir
+    }
+    val checksum = (0L until 5000L).map(_ % 7).sum
+    def readable(path: String): Boolean =
+      scala.util.Try(spark.read.parquet(path).agg(sum("v")).as[Long].head())
+        .toOption.contains(checksum)
+    case class Boom(step: String) extends RuntimeException(step)
+    for (crashAt <- Seq("staged", "vacated", "swapped")) {
+      val dir = seed()
+      intercept[Boom] {
+        Compact.compactParquet(spark, dir, targetBytes = Long.MaxValue,
+          onStep = s => if (s == crashAt) throw Boom(s))
+      }
+      // a COMPLETE durable copy exists at every step: at the table path
+      // itself except in the instant between the two renames, where it is
+      // intact at __old
+      assert(readable(dir) || readable(s"${dir}__compact_old"),
+        s"crash at $crashAt must leave a full copy")
+      // the next scheduled run self-heals and completes the compaction
+      val healed = Compact.compactParquet(spark, dir, targetBytes = Long.MaxValue)
+      assert(healed.filesAfter === 1L, s"post-crash($crashAt) run: $healed")
+      assert(readable(dir), s"table readable after healing from $crashAt")
+      assert(!new java.io.File(s"${dir}__compact_old").exists())
+      assert(!new java.io.File(s"${dir}__compact_staging").exists())
+    }
+  }
+
   test("compactPartitioned: only oversized partitions rewritten") {
     val dir = s"${tmpDir()}/t"
     Seq.tabulate(2000)(i => (i.toLong, if (i % 4 == 0) "a" else "b"))
