@@ -68,9 +68,13 @@ object Multimodal {
     *
     * `encoder` swaps in a real [[graft.sources.MultimodalStub.MediaEncoder]]
     * implementation (factory, initialized once per partition) — the
-    * extension point a user implements against an actual codec/model. */
+    * extension point a user implements against an actual codec/model.
+    * `keepVec` carries the pooled `doc_vec` through to the output so the
+    * result feeds retrieval directly (frameEmbed → knnBrute, the
+    * reference's extract-then-search flow). */
   def frameEmbed(s: SparkSession, d: String,
-      encoder: Option[() => graft.sources.MultimodalStub.MediaEncoder] = None): DataFrame = {
+      encoder: Option[() => graft.sources.MultimodalStub.MediaEncoder] = None,
+      keepVec: Boolean = false): DataFrame = {
     import graft.functions.VectorAggregates.vectorMean
     import graft.functions.VectorExpressions.fusedL2Norm
     val frames = Tables.documents(s, d)
@@ -90,11 +94,13 @@ object Multimodal {
       .toDF()
       .select((col("doc_id") / 1000000).cast("long").as("doc_id"),
         col("feature"))
-    perFrame.groupBy("doc_id")
+    val pooled = perFrame.groupBy("doc_id")
       .agg(count(lit(1)).as("n_frames"), vectorMean(col("feature")).as("doc_vec"))
-      .select(col("doc_id"), col("n_frames"),
-        size(col("doc_vec")).cast("long").as("dim"),
-        round(fusedL2Norm(s, col("doc_vec").cast("array<double>")), 6).as("vec_norm"))
+    val base = Seq(col("doc_id"), col("n_frames"),
+      size(col("doc_vec")).cast("long").as("dim"),
+      round(fusedL2Norm(s, col("doc_vec").cast("array<double>")), 6).as("vec_norm"))
+    pooled
+      .select((if (keepVec) base :+ col("doc_vec") else base): _*)
       .orderBy("doc_id")
   }
 

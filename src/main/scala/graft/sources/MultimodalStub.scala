@@ -46,6 +46,36 @@ object MultimodalStub {
     }
   }
 
+  /** A real CONTENT-DERIVED encoder (no external deps): the L2-normalized
+    * histogram of byte values over `dim` equal-width bins — the byte-level
+    * analog of the color histogram, the classic pre-deep-learning image
+    * feature. Unlike [[DeterministicEncoder]] (a hash — one changed byte
+    * decorrelates the whole vector), SIMILAR payloads get SIMILAR
+    * embeddings, so retrieval over its features is semantically
+    * meaningful: frameEmbed → knnBrute over it ranks near-identical
+    * payloads first (`MultimodalStubSpec` drives that end to end). Same
+    * contract as the reference's CLIP extraction
+    * (`/root/reference/extract_clip_features.py:20-35`): bytes in,
+    * unit-norm feature out — swapping in a real model is this class with
+    * the histogram loop replaced by a session call. */
+  class ByteHistogramEncoder(dim: Int = 16) extends MediaEncoder {
+    def encode(id: Long, bytes: Array[Byte]): MediaFeature = {
+      val hist = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) {
+        hist(((bytes(i) & 0xFF) * dim) / 256) += 1f
+        i += 1
+      }
+      var norm = 0.0
+      var j = 0
+      while (j < dim) { norm += hist(j).toDouble * hist(j); j += 1 }
+      val inv = if (norm == 0.0) 0f else (1.0 / math.sqrt(norm)).toFloat
+      j = 0
+      while (j < dim) { hist(j) *= inv; j += 1 }
+      MediaFeature(id, width = 0, height = 0, feature = hist)
+    }
+  }
+
   case class ResizedMedia(doc_id: Long, orig_bytes: Long, new_bytes: Long,
       scale: Double, payload: Array[Byte])
 

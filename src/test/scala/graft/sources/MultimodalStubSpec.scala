@@ -79,6 +79,54 @@ class MultimodalStubSpec extends SparkSpec {
     assert(stub === Seq(16L))
   }
 
+  test("ByteHistogramEncoder: similar content → similar embedding, retrieval works") {
+    // Three content groups with distinct byte-value distributions — the
+    // property a hash-based stub cannot have: group membership must be
+    // recoverable from the EMBEDDING alone.
+    def payload(lo: Int, hi: Int, seed: Int): Array[Byte] =
+      Array.tabulate(512)(i => (lo + (i * 31 + seed * 7) % (hi - lo)).toByte)
+    val df = Seq(
+      (1L, payload(0, 60, 1)), (2L, payload(0, 60, 2)),    // "dark" group
+      (3L, payload(90, 150, 1)), (4L, payload(90, 150, 2)), // "mid" group
+      (5L, payload(200, 255, 1))                            // "bright" loner
+    ).toDF("doc_id", "payload")
+    val feats = MultimodalStub.decodeAndEmbed(df, dim = 16,
+      encoderFactory = Some(() => new MultimodalStub.ByteHistogramEncoder(16))).toDF()
+    // unit-norm features out
+    val norms = feats.select(graft.functions.VectorExpressions.fusedL2Norm(
+        spark, col("feature").cast("array<double>"))).as[Double].collect()
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
+    // retrieval: querying with doc 1's embedding ranks its group-mate 2
+    // above every other doc — content similarity survives the encoder
+    val q = feats.filter(col("doc_id") === 1L).select(col("feature").as("qv"))
+    val top = graft.operators.Search.knnBrute(
+        feats.filter(col("doc_id") =!= 1L), col("feature"), q, k = 4,
+        tie = col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top.head === 2L, s"group-mate first: $top")
+    assert(top.last === 5L, s"distribution-distant loner last: $top")
+  }
+
+  test("frameEmbed(ByteHistogramEncoder) → knnBrute: the extract-then-search flow") {
+    // the full pipeline over real document bytes: chunk → frame-sample →
+    // per-frame byte-histogram features → mean-pool → retrieval
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.operators.Multimodal.frameEmbed(spark, d,
+        encoder = Some(() => new MultimodalStub.ByteHistogramEncoder(16)),
+        keepVec = true)
+      .select("doc_id", "doc_vec")
+    val q = emb.filter(col("doc_id") === 7L).select(col("doc_vec").as("qv"))
+    val top = graft.operators.Search.knnBrute(emb, col("doc_vec"), q, k = 5,
+        tie = col("doc_id"))
+      .select("doc_id", "score").as[(Long, Double)].collect()
+    assert(top.head._1 === 7L, "a doc's own pooled embedding is its nearest")
+    assert(math.abs(top.head._2 - 1.0) < 1e-6)
+    assert(top.length === 5 && top.forall(_._2 <= 1.0 + 1e-9))
+    // and the named-query face is unchanged by the keepVec extension
+    val cols = graft.operators.Multimodal.frameEmbed(spark, d).columns.toSeq
+    assert(cols === Seq("doc_id", "n_frames", "dim", "vec_norm"))
+  }
+
   test("decodeAndEmbed survives empty partitions and empty payloads") {
     val df = Seq((1L, Array.empty[Byte])).toDF("doc_id", "payload").repartition(8)
     val rows = MultimodalStub.decodeAndEmbed(df, dim = 4).collect()
