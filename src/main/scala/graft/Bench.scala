@@ -22,18 +22,32 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    // Per-query MEDIAN of 3 runs: single-run timings at this scale swung
+    // up to ~2.5× run-to-run on GC/JIT luck; the median cuts the worst
+    // per-query spread to ~1.5× and the median spread to ~13% (measured,
+    // two clean same-code suite runs). The residual is BETWEEN-JVM drift
+    // (CPU boost state, page cache, code-cache layout) that hits all reps
+    // of a query equally — more reps can't remove it, so cross-round
+    // per-query deltas under ~1.5× on sub-second queries remain
+    // low-signal; the suite total (±15%) and multi-second queries are the
+    // robust comparisons. Reported total = sum of medians (steady-state
+    // suite cost), not the 3× measurement wall-clock.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink materializes every output column; .count() would let
-      // Catalyst prune the computed columns and time only the scan.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // Deterministically drop localCheckpoint blocks (CC loops) so one
-      // query's pinned block-manager memory never inflates the next
-      // query's timing (ContextCleaner frees them only after GC).
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      name -> sec
+      val times = Seq.fill(reps) {
+        val t0 = System.nanoTime()
+        // noop sink materializes every output column; .count() would let
+        // Catalyst prune the computed columns and time only the scan.
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // Deterministically drop localCheckpoint blocks (CC loops) so one
+        // query's pinned block-manager memory never inflates the next
+        // query's timing (ContextCleaner frees them only after GC).
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        sec
+      }
+      name -> times.sorted.apply(reps / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -131,6 +131,29 @@ object Retrieval {
       .orderBy(desc("score"), asc("vec_id"))
   }
 
+  /** The COMPOSED at-rest index end to end — IVFADC serving as a named
+    * query: write the embeddings as a [[Search.writeIvfPqIndex]] layout
+    * (cluster partition column + PQ codes) into a scratch dir, then
+    * answer the standard query through [[Search.knnIvfPq]]: probe →
+    * partition-pruned scan → literal-LUT ADC → exact rerank. The index
+    * build rides inside the query here so the driver can run it
+    * hands-off; production builds the index once and serves many
+    * queries. Same recall caveat as [[knnPq]] on this corpus (distance
+    * concentration on near-random synthetic vectors); exact-parity
+    * behavior is pinned in `SearchSpec`. No DuckDB oracle (k-means
+    * codebook); rows-only check. */
+  def knnIvfPqQ(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = labelCentroids(s, d).select(col("label").as("cid"), col("c"))
+    val book = Search.pqTrain(emb, col("vec_id"), col("embedding"), m = 16, ks = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_q").toString
+    Search.writeIvfPqIndex(emb, col("embedding"), cents, book, ks = 16, s"$dir/idx")
+    Search.knnIvfPq(s, s"$dir/idx", col("embedding"), cents, book, ks = 16,
+      q0(s, d), nprobe = 3, k = 10, tie = col("vec_id"), refine = 10)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+  }
+
   /** Codebook training + assignment end to end: spherical k-means over
     * the embeddings ([[Search.kmeansTrain]] — VERDICT r4's "missing
     * half" of the IVF path), then every vector labeled with its trained
@@ -395,6 +418,7 @@ object Retrieval {
     "knn_batch" -> knnBatchQ,
     "knn_lsh" -> knnLsh,
     "knn_pq" -> knnPq,
+    "knn_ivfpq" -> knnIvfPqQ,
     "vec_kmeans" -> vecKmeans,
     "q2_segment" -> q2Segment,
     "q3_hybrid" -> q3Hybrid,

@@ -270,6 +270,33 @@ object Streams {
     } else fresh.write.partitionBy(partCol).mode("overwrite").parquet(target)
   }
 
+  /** The COMPLETE streaming ingest flow as one callable — the SRS
+    * upload→curate→index pipeline (§4.1-4.2) assembled from this module's
+    * stages, each independently parity-tested:
+    *
+    *   source → [[hygieneGated]] (stateless quality/repetition/language
+    *   gates + PII redaction) → [[dedupedByContent]] (watermark-bounded
+    *   signature dedup — the only stateful stage) → [[startUpsertStream]]
+    *   via the partition-bounded upsert.
+    *
+    * `df` must carry (`keyCol`, `textCol`, `tsCol`, `partCol`). Returns
+    * the running query; the target table holds the redacted text (the
+    * `redacted` column replaces `textCol`, so raw PII never lands at
+    * rest) plus the admission signals. */
+  def ingestPipeline(df: DataFrame, textCol: String, keyCol: String,
+      tsCol: String, partCol: String, target: String, checkpoint: String,
+      dedupWatermark: String = "1 hour")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val gated = hygieneGated(df, textCol)
+    val deduped = dedupedByContent(gated, textCol,
+      watermark = Some(tsCol -> dedupWatermark))
+    val curated = deduped
+      .drop(textCol) // only the redacted form reaches the table
+      .withColumnRenamed("redacted", textCol)
+      .withColumnRenamed(keyCol, "event_id") // upsert sink's key contract
+    startUpsertStream(curated, target, checkpoint, partCol = Some(partCol))
+  }
+
   /** Wire a streaming DataFrame into the upsert sink. With `partCol` set
     * (the documented default for anything table-sized) each micro-batch
     * routes through [[upsertByKeyPartitioned]] and rewrites only the

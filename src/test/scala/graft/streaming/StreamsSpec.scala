@@ -310,6 +310,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestPipeline: gate → dedup → partitioned upsert, redacted text at rest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_pipe").toString
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val q = Streams.ingestPipeline(
+      input.toDF().toDF("id", "ts", "day", "text"),
+      textCol = "text", keyCol = "id", tsCol = "ts", partCol = "day",
+      target = s"$dir/t", checkpoint = s"$dir/ckpt")
+    try {
+      input.addData(Seq(
+        (1L, ts(0), "d1", "reach me at bob@example.com about the quick brown fox and the lazy dog"),
+        (2L, ts(1), "d1", "the the the the the the quick fox"), // repetition gate
+        (3L, ts(2), "d1", "a completely different sentence about the spark optimizer and its rules")))
+      q.processAllAvailable()
+      input.addData(Seq(
+        (4L, ts(3), "d2", "reach me at bob@example.com about the quick brown fox and the lazy dog"), // content dup of 1
+        (5L, ts(4), "d2", "another fine document with the usual english words in it")))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/t")
+      val ids = out.select("event_id").as[Long].collect().toSet
+      assert(ids === Set(1L, 3L, 5L),
+        s"2 gated (repetition), 4 deduped (same signature as 1): $ids")
+      // PII never lands at rest: the text column IS the redacted form
+      val t1 = out.filter($"event_id" === 1L).select("text").as[String].head()
+      assert(t1.contains("<EMAIL>") && !t1.contains("bob@example.com"))
+      // partitioned layout on the part column
+      assert(new java.io.File(s"$dir/t").listFiles().exists(_.getName.startsWith("day=")))
+    } finally q.stop()
+  }
+
   test("streaming similarity scoring: fused cosine + broadcast vocab on a stream") {
     // the SRS ingest flow (upload → auto-tag/suggest): incoming embeddings
     // scored against a static centroid table with the same kernels the
