@@ -32,7 +32,11 @@ object ScaleBench {
     // round 5: the hierarchical prefix-sum packer (parallelism must not
     // collapse to one task per source shard) and the PQ encode+ADC scan
     // (per-row work ⇒ strictly linear).
-    "pack_sequences", "knn_pq")
+    "pack_sequences", "knn_pq",
+    // round 7: the full oracle-checked hygiene chain (its jaccard near-dup
+    // stage must stay clique-bounded on the dup-heavy replicas) and the
+    // composed IVFADC build+serve (encode linear, probe pruned).
+    "pipeline_curate_full", "knn_ivfpq")
   private val Reps = 10
   private val IdStride = 10000000L
 

@@ -60,6 +60,29 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Search.segmentScores(dbSegs, noQSegs).count() === 0)
   }
 
+  test("curateFullOn: empty and singleton corpora flow through every stage") {
+    val noCorpus = Seq.empty[(Long, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "n_chars")
+    assert(Pipelines.curateFullOn(noCorpus).count() === 0)
+    // NB "the quick brown fox jumps over the lazy dog" would fail the
+    // repetition gate here: top_tok_frac = 2/9 ≈ 0.22 > 0.2
+    val oneGood = Seq((1L,
+      "a quick brown fox jumps over the lazy dog sleeping near his quiet river",
+      "en", 72L)).toDF("doc_id", "text", "lang", "n_chars")
+    assert(Pipelines.curateFullOn(oneGood).select("doc_id").as[Long].collect()
+      === Array(1L))
+    // a singleton that fails a gate yields empty, not an error
+    val oneBad = Seq((1L, "x", "en", 1L)).toDF("doc_id", "text", "lang", "n_chars")
+    assert(Pipelines.curateFullOn(oneBad).count() === 0)
+  }
+
+  test("hygieneGated: empty input and all-rejected input both yield empty") {
+    val none = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(graft.streaming.Streams.hygieneGated(none, "text").count() === 0)
+    val rejected = Seq((1L, "zz qq xx yy ww vv uu")).toDF("id", "text")
+    assert(graft.streaming.Streams.hygieneGated(rejected, "text").count() === 0)
+  }
+
   test("tagSearch: empty segment table and empty tag list") {
     val noTags = Seq.empty[(Long, String, Double)].toDF("image_id", "tag", "conf")
     assert(Search.tagSearch(noTags, Seq("x"), 0.5, 5).count() === 0)
