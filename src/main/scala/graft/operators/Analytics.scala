@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -286,6 +286,37 @@ object Analytics {
       .orderBy("col_name")
   }
 
+  /** Per-group quantiles over any numeric column. `exact = true` uses
+    * Spark's `percentile` (true interpolated quantiles; per-group memory
+    * grows with DISTINCT values — fine up to ~10⁷ distinct per group,
+    * and bit-exact against DuckDB's `quantile_cont`, which is what the
+    * oracle checks). `exact = false` routes to `approx_percentile`
+    * (mergeable bounded-memory sketch — the 100 TB path, where an exact
+    * per-group value map would not fit an executor; rank error ≤
+    * 1/accuracy). Same shuffle shape either way: one partial-aggregated
+    * groupBy, sketch/map merged map-side. */
+  def quantiles(df: DataFrame, group: Column, value: Column,
+      probs: Seq[Double], exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    val ps = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val v = value.cast("double")
+    val q =
+      if (exact) expr(s"percentile(__v, $ps)")
+      else expr(s"approx_percentile(__v, $ps, $accuracy)")
+    df.withColumn("__v", v)
+      .groupBy(group.as("grp"))
+      .agg(q.as("qs"))
+      .select(Seq(col("grp")) ++ probs.zipWithIndex.map { case (p, i) =>
+        col("qs").getItem(i).as(s"p${(p * 100).round}")
+      }: _*)
+  }
+
+  def aggQuantiles(s: SparkSession, d: String): DataFrame =
+    quantiles(Tables.orders(s, d), col("o_orderstatus"), col("o_totalprice"),
+      probs = Seq(0.5, 0.9, 0.99))
+      .withColumnRenamed("grp", "o_orderstatus")
+      .orderBy("o_orderstatus")
+
   /** ROLLUP aggregation — (year, month) order counts with subtotals per
     * year and a grand total. The reference has no grouping-sets notion
     * (SURVEY.md §2.4); Spark's rollup is a single pass emitting all
@@ -359,6 +390,7 @@ object Analytics {
     "win_lag_delta" -> winLagDelta,
     "agg_rollup" -> rollupCounts,
     "agg_profile" -> profile,
+    "agg_quantiles" -> aggQuantiles,
     "evt_tumbling" -> evtTumbling,
     "evt_sliding" -> evtSliding,
     "win_ntile" -> winNtile,
@@ -483,6 +515,12 @@ object Analytics {
            count(DISTINCT v) AS n_distinct,
            min(v) AS min_str, max(v) AS max_str
          FROM s GROUP BY col_name ORDER BY col_name""",
+    "agg_quantiles" ->
+      """SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "agg_rollup" ->
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, count(*) AS n
          FROM orders GROUP BY ROLLUP (yr, mo)

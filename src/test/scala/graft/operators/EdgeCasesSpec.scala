@@ -83,6 +83,20 @@ class EdgeCasesSpec extends SparkSpec {
     assert(graft.streaming.Streams.hygieneGated(rejected, "text").count() === 0)
   }
 
+  test("quantiles: exact is interpolated, approx lands within rank error") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val exact = Analytics.quantiles(df, $"grp", $"v", Seq(0.5, 0.99))
+      .select("p50", "p99").as[(Double, Double)].head()
+    assert(exact._1 === 50.5, "percentile interpolates between 50 and 51")
+    assert(math.abs(exact._2 - 99.01) < 1e-9)
+    // the 100 TB path: bounded-memory sketch, value within rank error
+    val approx = Analytics.quantiles(df, $"grp", $"v", Seq(0.5), exact = false)
+      .select("p50").as[Double].head()
+    assert(approx >= 49.0 && approx <= 52.0, s"approx p50 = $approx")
+    // empty input: no groups, no rows, no error
+    assert(Analytics.quantiles(df.filter($"v" < 0), $"grp", $"v", Seq(0.5)).count() === 0)
+  }
+
   test("tagSearch: empty segment table and empty tag list") {
     val noTags = Seq.empty[(Long, String, Double)].toDF("image_id", "tag", "conf")
     assert(Search.tagSearch(noTags, Seq("x"), 0.5, 5).count() === 0)
