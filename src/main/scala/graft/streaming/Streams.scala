@@ -133,6 +133,106 @@ object Streams {
     graft.operators.Curation.piiRedact(gated, col(textCol)).drop("__toks")
   }
 
+  /** Internal row shape for [[nearDupPairsStream]]'s band posting list.
+    * `ts` keeps the WATERMARK-TAGGED timestamp column alive into the
+    * grouped Dataset — event-time timeout requires it downstream. (Not
+    * `private`: encoder codegen needs the class accessible.) */
+  case class BandPost(band: String, doc_id: Long, sig: Seq[Long],
+      ts: java.sql.Timestamp, ts_ms: Long)
+
+  /** One emitted near-dup candidate: `doc_a` < `doc_b`, `est` = fraction
+    * of agreeing MinHash slots (≈ Jaccard). */
+  case class NearDupPair(doc_a: Long, doc_b: Long, est: Double)
+
+  /** Streaming MinHash-LSH NEAR-dup candidate pairs — the streaming face
+    * of [[graft.operators.Dedup.minhashPairs]], beyond
+    * [[dedupedByContent]]'s exact-signature suppression: a new document
+    * is compared against the recent docs sharing any LSH band, and every
+    * (older, newer) pair whose signatures agree on ≥ `minEst` of slots is
+    * emitted as it happens.
+    *
+    * Scale/state design (the part that must survive an unbounded stream):
+    *  - state is keyed by BAND (hash-partitioned across executors); a doc
+    *    posts to `bands` keys, so the per-key comparison set is the
+    *    band's bucket, never the corpus — same never-all-pairs discipline
+    *    as the batch LSH;
+    *  - per-band state stores (doc_id, k-slot signature, event-time) and
+    *    is TIME-BOUNDED two ways: entries older than the watermark are
+    *    evicted on every access, and fully idle bands clear via an
+    *    event-time timeout — so state is O(docs inside the watermark
+    *    window), independent of stream age;
+    *  - a doc is admitted into a band's state once (re-deliveries are
+    *    ignored), so a pair is emitted at most once per agreeing band and
+    *    never re-emitted in later batches. Pairs agreeing on SEVERAL
+    *    bands surface once per agreeing band within that trigger —
+    *    `distinct` them per micro-batch downstream (foreachBatch), where
+    *    it is a batch-local dedup, not more stream state.
+    *
+    * `df` needs (`idCol`: long, `textCol`: string, `tsCol`: timestamp).
+    * In batch the same call degenerates to one pass with empty initial
+    * state — `StreamsSpec` pins batch/stream agreement. */
+  def nearDupPairsStream(df: DataFrame, idCol: String, textCol: String,
+      tsCol: String, k: Int = 64, bands: Int = 16, minEst: Double = 0.8,
+      delayMinutes: Int = 10): Dataset[NearDupPair] = {
+    val s = df.sparkSession
+    import s.implicits._
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val delayMs = delayMinutes * 60000L
+    val sig = graft.functions.TextExpressions.minhashSig(s,
+      split(lower(col(textCol)), " "), k)
+    val posts = df
+      .withWatermark(tsCol, s"$delayMinutes minutes")
+      .withColumn("__sig", sig)
+      .withColumn("__band", explode(
+        graft.functions.TextFunctions.lshBandKeys(col("__sig"), bands, k / bands)))
+      .select(col("__band").as("band"), col(idCol).as("doc_id"),
+        col("__sig").as("sig"), col(tsCol).as("ts"),
+        unix_millis(col(tsCol)).as("ts_ms"))
+      .as[BandPost]
+    posts
+      .groupByKey(_.band)
+      .flatMapGroupsWithState[List[(Long, Seq[Long], Long)], NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) { // idle band past the watermark: clear
+            state.remove()
+            Iterator.empty
+          } else {
+            // batch execution eliminates the watermark node, and the batch
+            // GroupState then refuses watermark accessors — treat that as
+            // watermark 0 / no timeout (batch state dies with the job)
+            val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
+            var entries = state.getOption.getOrElse(Nil)
+              .filter(_._3 >= wm) // watermark eviction on every access
+            val out = List.newBuilder[NearDupPair]
+            // deterministic order inside the trigger
+            rows.toSeq.sortBy(r => (r.ts_ms, r.doc_id)).foreach { r =>
+              if (!entries.exists(_._1 == r.doc_id)) {
+                entries.foreach { case (oid, osig, _) =>
+                  val n = math.min(osig.length, r.sig.length)
+                  var agree = 0
+                  var i = 0
+                  while (i < n) { if (osig(i) == r.sig(i)) agree += 1; i += 1 }
+                  val est = if (n == 0) 0.0 else agree.toDouble / n
+                  if (est >= minEst)
+                    out += NearDupPair(math.min(oid, r.doc_id),
+                      math.max(oid, r.doc_id), est)
+                }
+                entries = (r.doc_id, r.sig, r.ts_ms) :: entries
+              }
+            }
+            if (entries.isEmpty) state.remove()
+            else {
+              state.update(entries)
+              // wake once the newest entry ages past the watermark window
+              scala.util.Try(
+                state.setTimeoutTimestamp(entries.map(_._3).max + delayMs))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stream-static enrichment: the dim side is a small static table →
     * broadcast hash join per micro-batch, no shuffle of the stream. */
   def enriched(events: DataFrame, dim: DataFrame): DataFrame =

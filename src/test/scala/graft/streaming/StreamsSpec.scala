@@ -310,6 +310,56 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupPairsStream: banded candidates across batches, watermark evicts") {
+    val base = "the quick brown fox jumps over the lazy dog while many other " +
+      "animals watch from shade near the old stone bridge by the river bank " +
+      "under warm evening light"
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.nearDupPairsStream(
+        input.toDF().toDF("id", "ts", "text"), "id", "text", "ts",
+        minEst = 0.5, delayMinutes = 10)
+      .writeStream.format("memory").queryName("ndp_sink")
+      .outputMode(OutputMode.Append()).start()
+    def pairs(): Set[(Long, Long)] = spark.table("ndp_sink")
+      .select("doc_a", "doc_b").distinct().as[(Long, Long)].collect().toSet
+    try {
+      input.addData(Seq((1L, ts(0), base),
+        (2L, ts(1), "completely unrelated text about catalyst physical plans here")))
+      q.processAllAvailable()
+      assert(pairs() === Set.empty, "no near-dups yet")
+      // near-dup arrives in a LATER batch → pair against banded state
+      input.addData(Seq((3L, ts(2), base + " tonight")))
+      q.processAllAvailable()
+      assert(pairs() === Set((1L, 3L)), s"only the true near-dup pair: ${pairs()}")
+      val est = spark.table("ndp_sink").filter($"doc_a" === 1L)
+        .select("est").as[Double].head()
+      assert(est > 0.8, s"one appended token ≈ 0.97 Jaccard, est=$est")
+      // advance the watermark far past docs 1-3, evicting their band state
+      input.addData(Seq((4L, ts(60), "a watermark advancing row with distinct words")))
+      q.processAllAvailable()
+      // same content as doc 1 — its partner was evicted, so NO pair fires...
+      input.addData(Seq((5L, ts(61), base)))
+      q.processAllAvailable()
+      assert(pairs() === Set((1L, 3L)), s"evicted state must not pair: ${pairs()}")
+      // ...but a fresh in-window near-dup of doc 5 pairs immediately
+      input.addData(Seq((6L, ts(62), base + " today")))
+      q.processAllAvailable()
+      assert(pairs() === Set((1L, 3L), (5L, 6L)), s"got ${pairs()}")
+    } finally q.stop()
+  }
+
+  test("nearDupPairsStream: the same call works in batch with empty initial state") {
+    val base = "the quick brown fox jumps over the lazy dog while many other " +
+      "animals watch from shade near the old stone bridge by the river bank " +
+      "under warm evening light"
+    val batch = Seq((1L, ts(0), base), (2L, ts(1), base + " tonight"),
+      (3L, ts(2), "entirely different words that should never band together"))
+      .toDF("id", "ts", "text")
+    val got = Streams.nearDupPairsStream(batch, "id", "text", "ts", minEst = 0.5)
+      .toDF().select("doc_a", "doc_b").distinct().as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
   test("ingestPipeline: gate → dedup → partitioned upsert, redacted text at rest") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_pipe").toString
     val input = MemoryStream[(Long, Timestamp, String, String)]
