@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.{Analytics, Retrieval}
+
+/** Plan-level audit that the declarative-plan promise holds where it
+  * matters most at 100 TB: predicates reach the parquet scan as
+  * PushedFilters (row groups skip via statistics) and ReadSchema is
+  * pruned to the referenced columns (a scan that decodes all columns for
+  * a 2-column projection pays the full IO bill). Complements
+  * `PlanAuditSpec` (no unbroadcast cartesians) with positive evidence on
+  * representative queries of each shape. */
+class PushdownAuditSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).toSeq
+
+  test("knn_whole: label pre-filter and query point-lookup are pushed; vectors pruned") {
+    val s = scans(Retrieval.knnWhole(spark, d))
+    assert(s.exists(_.contains("PushedFilters: [In(label")),
+      s"corpus label filter must reach the scan:\n${s.mkString("\n")}")
+    assert(s.exists(_.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,0)")),
+      s"query-vector lookup must be a pushed point filter:\n${s.mkString("\n")}")
+  }
+
+  test("agg_value_counts: 9-column table, exactly one column decoded") {
+    val s = scans(Analytics.valueCounts(spark, d))
+    assert(s.exists(_.contains("ReadSchema: struct<o_orderdate:timestamp_ntz>")),
+      s"scan must read ONLY o_orderdate:\n${s.mkString("\n")}")
+  }
+
+  test("join_point_lookup: the id batch is pushed into the big-side scan") {
+    val s = scans(Analytics.joinPointLookup(spark, d))
+    assert(s.exists(_.contains("PushedFilters: [In(o_orderkey")),
+      s"point-lookup ids must prune at the scan:\n${s.mkString("\n")}")
+  }
+
+  test("documents text queries never decode unreferenced columns") {
+    val s = scans(graft.operators.TextAnalysis.queries("txt_tokencount")(spark, d))
+    val docScans = s.filter(_.contains("documents.parquet"))
+    assert(docScans.nonEmpty)
+    assert(docScans.forall(l => !l.matches(".*ReadSchema.*(lang|source|n_chars).*")),
+      s"token count needs doc_id+text only:\n${docScans.mkString("\n")}")
+  }
+}
