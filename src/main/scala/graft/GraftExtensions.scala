@@ -46,7 +46,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => HyperplaneSigExpr(es(0), es(1).eval().asInstanceOf[Number].intValue())),
     ("graft_nearest_centroid",
       "_FUNC_(vec, ids, cents) - id of the max-cosine centroid in a literal codebook (ties -> smallest id)",
-      es => NearestCentroidExpr(es(0), es(1), es(2))))
+      es => NearestCentroidExpr(es(0), es(1), es(2))),
+    ("graft_top_tok_count", "_FUNC_(tokens) - occurrence count of the most frequent token",
+      es => TopTokenCountExpr(es.head)),
+    ("graft_pq_encode",
+      "_FUNC_(vec, cents, ks) - m PQ subspace codes against a flattened literal codebook",
+      es => PqEncodeExpr(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue())),
+    ("graft_pq_adc",
+      "_FUNC_(codes, lut, ks) - asymmetric-distance score of PQ codes against a query LUT",
+      es => PqAdcExpr(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue())))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, usage, builder) =>

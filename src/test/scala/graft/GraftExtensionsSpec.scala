@@ -31,7 +31,11 @@ class GraftExtensionsSpec extends SparkSpec {
                   graft_hyperplane_sig(array(1.0D, -2.0D, 3.0D), 32) AS hp,
                   graft_nearest_centroid(array(0.9D, 0.1D),
                     array(4L, 7L),
-                    array(array(1.0D, 0.0D), array(0.0D, 1.0D))) AS nc
+                    array(array(1.0D, 0.0D), array(0.0D, 1.0D))) AS nc,
+                  graft_top_tok_count(array('a','b','a','a')) AS ttc,
+                  graft_pq_encode(array(1.0D, 0.0D),
+                    array(array(1.0D), array(0.0D), array(0.0D), array(1.0D)), 2) AS pqc,
+                  graft_pq_adc(array(0, 1), array(0.5D, 0.25D, 0.125D, 0.0625D), 2) AS adc
         """).head()
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
       assert(math.abs(r.getDouble(1) - 11.0) < 1e-12)
@@ -41,6 +45,11 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(5) - 0.5) < 1e-12)
       assert(r.getInt(6) === 2)
       assert(r.getLong(8) === 4L, "nearest centroid id via pure SQL")
+      assert(r.getLong(9) === 3L, "top token count via pure SQL")
+      // m=2 subspaces of 1 dim, ks=2: vec [1,0] → codes (argmin-L2) = [0, 0]
+      assert(r.getSeq[Int](10) === Seq(0, 0), "PQ encode via pure SQL")
+      // ADC: code 0 of subspace 0 → lut(0)=0.5; code 1 of subspace 1 → lut(2+1)=0.0625
+      assert(math.abs(r.getDouble(11) - 0.5625) < 1e-12, "PQ ADC via pure SQL")
       // DESCRIBE FUNCTION surfaces the injected usage docs
       val desc = ext.sql("DESCRIBE FUNCTION graft_cosine")
         .collect().map(_.getString(0)).mkString("\n")
