@@ -64,4 +64,28 @@ object VectorFunctions {
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
       lit(0.0), (acc, v) => acc + v))
+
+  // --- scalar int8 quantization (SQ8 — faiss-style per-vector scaling) -----
+
+  /** max |x_i| of a vector — the per-vector SQ8 scale denominator.
+    * Materialize it as a column before calling [[sq8Codes]] (same
+    * attribute-vs-recompute note as [[l2NormalizeBy]]). */
+  def sq8MaxAbs(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(d(x))))
+
+  /** Per-vector scalar int8 quantization: code_i = ⌊x_i · 127/maxAbs + ½⌋
+    * ∈ [−127, 127] — 4× smaller than float32 at rest. Pure integer-exact
+    * double arithmetic (explicit ⌊·+½⌋, not engine-specific `round`), so
+    * a DuckDB oracle reproduces the codes bit for bit. A zero vector
+    * (maxAbs = 0) quantizes to NULL, not an error.
+    *
+    * Scoring needs NO dequantization for cosine ranking — cosine is
+    * scale-invariant, so `fusedCosine(codes, q)` over the raw int codes
+    * equals the dequantized-vector cosine exactly; `maxAbs/127` is only
+    * needed to reconstruct values (dot products, L2). Encode is HOF-based
+    * (a one-time write-side pass, like the at-rest index builders); the
+    * QUERY side runs on the codegen'd cosine kernel. */
+  def sq8Codes(a: Column, maxAbs: Column): Column =
+    transform(a, x =>
+      floor(d(x) * lit(127.0) / nullif(maxAbs, lit(0.0)) + lit(0.5)).cast("int"))
 }

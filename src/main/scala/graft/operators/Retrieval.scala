@@ -82,6 +82,42 @@ object Retrieval {
         round(fusedCosine(s, col("embedding"), col("qv")), 6).as("cos_q"))
       .orderBy("vec_id")
 
+  // --- SQ8 — scalar int8 quantization (the third compression leg) ----------
+
+  /** Per-vector SQ8 quantization audit: scale, the int8 codes themselves,
+    * and the reconstruction cosine (≈ 1 − quantization error). Integer-
+    * exact arithmetic end to end, so unlike PQ (k-means codebooks) this
+    * compression path is FULLY oracle-checked — codes hash-match DuckDB
+    * bit for bit. */
+  def vecSq8(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.{sq8Codes, sq8MaxAbs}
+    Tables.embeddings(s, d)
+      .withColumn("__v", col("embedding").cast("array<double>"))
+      .withColumn("__ma", sq8MaxAbs(col("__v")))
+      .withColumn("codes", sq8Codes(col("__v"), col("__ma")))
+      .select(col("vec_id"), round(col("__ma"), 6).as("maxabs"), col("codes"),
+        round(fusedCosine(s, col("codes").cast("array<double>"), col("__v")), 6)
+          .as("recon_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** kNN over SQ8 codes — 4× less at-rest data per vector, scored WITHOUT
+    * dequantization: cosine is scale-invariant, so the codegen'd cosine
+    * kernel runs directly on the int codes and ranks exactly as the
+    * dequantized vectors would. Quantization noise is deterministic, so
+    * this stays oracle-checked (vs the rows-only PQ path). */
+  def knnSq8(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.{sq8Codes, sq8MaxAbs}
+    val enc = Tables.embeddings(s, d)
+      .withColumn("__v", col("embedding").cast("array<double>"))
+      .withColumn("__ma", sq8MaxAbs(col("__v")))
+      .withColumn("codes", sq8Codes(col("__v"), col("__ma")).cast("array<double>"))
+    val q = q0(s, d).select(col("qv").cast("array<double>").as("qv"))
+    Search.knnBrute(enc, col("codes"), q, k = 10, tie = col("vec_id"))
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+  }
+
   // --- Q1 — whole-image brute-force kNN -------------------------------------
 
   /** Q1 (`search_with_segments.py:148-185`): score every row
@@ -419,6 +455,8 @@ object Retrieval {
     "knn_lsh" -> knnLsh,
     "knn_pq" -> knnPq,
     "knn_ivfpq" -> knnIvfPqQ,
+    "vec_sq8" -> vecSq8,
+    "knn_sq8" -> knnSq8,
     "vec_kmeans" -> vecKmeans,
     "q2_segment" -> q2Segment,
     "q3_hybrid" -> q3Hybrid,
@@ -461,6 +499,26 @@ object Retrieval {
            round(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv), 6) AS dot_q,
            round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS cos_q
          FROM embeddings, q ORDER BY vec_id""",
+    "vec_sq8" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM t),
+         c AS (SELECT vec_id, v, maxabs,
+             list_transform(v, x -> CAST(floor(x * 127.0 / nullif(maxabs, 0) + 0.5) AS INTEGER)) AS codes
+           FROM m)
+         SELECT vec_id, round(maxabs, 6) AS maxabs, codes,
+           round(list_cosine_similarity(list_transform(codes, x -> CAST(x AS DOUBLE)), v), 6) AS recon_cos
+         FROM c ORDER BY vec_id""",
+    "knn_sq8" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM t),
+         c AS (SELECT vec_id,
+             list_transform(v, x -> CAST(floor(x * 127.0 / nullif(maxabs, 0) + 0.5) AS DOUBLE)) AS codes
+           FROM m),
+         q AS (SELECT v AS qv FROM t WHERE vec_id = 0),
+         s AS (SELECT c.vec_id, list_cosine_similarity(c.codes, q.qv) AS cos FROM c, q)
+         SELECT vec_id, round(cos, 6) AS score
+         FROM (SELECT * FROM s ORDER BY cos DESC, vec_id LIMIT 10)
+         ORDER BY score DESC, vec_id""",
     "knn_whole" ->
       s"""WITH $q0Sql,
          scored AS (

@@ -37,6 +37,8 @@ def normalize(rows):
                 rr.append(v.isoformat())
             elif isinstance(v, (list, tuple)):
                 rr.append(tuple(v))
+            elif hasattr(v, "tolist"):  # numpy array cell (array-typed column)
+                rr.append(tuple(v.tolist()))
             else:
                 rr.append(v)
         out.append(tuple(rr))
