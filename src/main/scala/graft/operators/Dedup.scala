@@ -250,15 +250,44 @@ object Dedup {
     * the count into the checkpoint job itself, but eager checkpointing
     * does not complete observations — measured, not assumed.) */
   def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20, maxDriverEdges: Long = 2L * 1000 * 1000): DataFrame = {
     // No distinct: duplicate edges are absorbed by the min-aggregation
     // each round, so paying a distinct shuffle up front buys nothing.
     // Edges keep the plain checkpoint (Tungsten rows, read every round);
     // only the loop-carried label table goes through statsReset — that is
     // where the estimate compounding happens.
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
       .localCheckpoint()
+    // SMALL-GRAPH FAST PATH — the broadcast-threshold idea applied to the
+    // CC loop: a near-dup edge list is an index-scale artifact (pairs, not
+    // corpus rows), and when it fits the driver comfortably a union-find
+    // answers in one collect instead of O(log d) aggregate+join jobs.
+    // Union always points the LARGER root at the smaller, so every root
+    // IS its component's min id — byte-identical output to the loop
+    // (parity spec-pinned). The count is a scan of the in-memory
+    // checkpoint blocks, not a recompute. Above the threshold (a real
+    // lake-scale graph) the distributed loop below runs unchanged.
+    if (edges.count() <= 2 * maxDriverEdges) { // both directions stored
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.toLocalIterator().forEachRemaining { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val s = pairs.sparkSession
+      import s.implicits._
+      return parent.keys.toSeq.sorted.map(n => (n, find(n)))
+        .toDF("doc_id", "cluster")
+    }
     // Seed labels with round 1's result directly: with identity labels the
     // first iteration reduces to lbl = min(node, min neighbor) and its
     // jump term is the identity — so fold that round into initialization

@@ -99,9 +99,27 @@ class DedupSpec extends SparkSpec {
     // regression degrades to linear propagation, labels come back wrong.
     val n = 1000L
     val chain = spark.range(1, n).select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-    val labels = Dedup.dupClusters(chain, maxRounds = 14)
+    // maxDriverEdges = 0 forces the DISTRIBUTED loop — this test guards
+    // the loop's pointer jumping, which the small-graph fast path would
+    // otherwise bypass entirely
+    val labels = Dedup.dupClusters(chain, maxRounds = 14, maxDriverEdges = 0L)
     assert(labels.filter(col("cluster") === 1L).count() === n)
     assert(labels.count() === n)
+  }
+
+  test("dupClusters: driver fast path is byte-identical to the distributed loop") {
+    // chains, a triangle, isolated pairs, plus a pseudo-random component mix
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L), (31L, 32L), (30L, 32L)) ++
+      (0 until 400).map { i =>
+        val a = (i * 7919L) % 97; val b = (i * 104729L) % 97
+        (100L + math.min(a, b), 100L + math.max(a, b))
+      }.filter(p => p._1 != p._2)).toDF("doc_a", "doc_b")
+    val fast = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val loop = Dedup.dupClusters(pairs, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(fast === loop)
+    assert(fast.nonEmpty)
   }
 
   test("statsReset: checkpoint size estimates must not compound across rounds") {
