@@ -176,10 +176,67 @@ object Pipelines {
   def curateFull(s: SparkSession, d: String): DataFrame =
     curateFullOn(Tables.documents(s, d))
 
+  /** INCREMENTAL curation — the daily-increment flow the reference runs
+    * as its update scripts (`update_label_paths.py`,
+    * `update_elasticsearch_with_segments.py`: new data arrives, is
+    * cleaned, and merged against what the store already holds):
+    * `incoming` goes through the same quality/repetition/language gates
+    * and keep-first exact dedup as [[curateFullOn]] stages 1-4, then
+    * drops anything whose content fingerprint ALREADY EXISTS in the
+    * curated table — an anti-join on the 16-byte md5, so the existing
+    * corpus contributes only its fingerprint column (never rescanned
+    * text, never reshuffled by content). At lake scale `existingFp` is a
+    * stored column of the curated table; the shuffle is keyed by the
+    * digest, O(increment + |fp table|). Near-dup against the EXISTING
+    * corpus is deliberately out of scope here (that is a full
+    * [[Dedup.minhashPairs]] run over both sets — the periodic compaction
+    * pass, not the per-increment one); within the increment the gates
+    * mirror the batch chain exactly. */
+  def curateIncrementalOn(incoming: DataFrame, existingFp: DataFrame,
+      maxTopTokFrac: Double = 0.2, maxDup2gramFrac: Double = 0.1): DataFrame = {
+    val s = incoming.sparkSession
+    import graft.functions.TextExpressions
+    val nGrams = when(col("n_tokens") < 2, lit(1L)).otherwise(col("n_tokens") - 1L)
+    val scored = incoming
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("lang_pred", langIdPredict(col("toks")))
+      .withColumn("top_tok_frac",
+        TextExpressions.topTokenCount(s, col("toks")).cast("double")
+          / col("n_tokens").cast("double"))
+      .withColumn("dup_2gram_frac",
+        (nGrams - size(TextExpressions.shingleHashes(s, col("toks"), 2)).cast("long"))
+          .cast("double") / nGrams.cast("double"))
+    val gated = scored.filter(
+      col("n_tokens") >= 5 &&
+        col("top_tok_frac") <= maxTopTokFrac &&
+        col("dup_2gram_frac") <= maxDup2gramFrac &&
+        col("lang_pred") =!= "und")
+    val w = Window.partitionBy("fp").orderBy(asc("doc_id"))
+    gated
+      .withColumn("fp", exactFingerprint(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(existingFp.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      .select("doc_id", "lang_pred", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** Binding: docs with `doc_id % 4 = 0` play the arriving increment;
+    * the rest are "yesterday's" curated corpus contributing fingerprints. */
+  def curateIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    curateIncrementalOn(
+      docs.filter(col("doc_id") % 4 === 0),
+      docs.filter(col("doc_id") % 4 =!= 0)
+        .select(exactFingerprint(col("text")).as("fp")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate_exact" -> curateExact,
     "pipeline_curate" -> curate,
-    "pipeline_curate_full" -> curateFull)
+    "pipeline_curate_full" -> curateFull,
+    "pipeline_curate_incr" -> curateIncremental)
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_curate_exact" -> {
@@ -252,6 +309,45 @@ object Pipelines {
              AND CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.9)
          SELECT doc_id, lang_pred, n_tokens, top_tok_frac, dup_2gram_frac FROM k
          WHERE doc_id NOT IN (SELECT doc_id FROM drp)
+         ORDER BY doc_id"""
+    },
+    "pipeline_curate_incr" -> {
+      val hits = LangMarkers.map { case (l, m) =>
+        s"len(list_filter(list_distinct(toks), x -> list_contains([${m.map(x => s"'$x'").mkString(", ")}], x))) AS h_$l"
+      }.mkString(", ")
+      val best = LangMarkers.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
+      val cases = LangMarkers.map { case (l, _) =>
+        s"WHEN h_$l = best AND best > 0 THEN '$l'"
+      }.mkString(" ")
+      val grams2 =
+        """CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+           ELSE list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) END"""
+      s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+             FROM documents WHERE doc_id % 4 = 0),
+         ex AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 4 <> 0),
+         h AS (SELECT *, $hits FROM t),
+         b AS (SELECT *, $best AS best FROM h),
+         lp AS (SELECT doc_id, text, toks,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE $cases ELSE 'und' END AS lang_pred
+           FROM b),
+         tc AS (SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM lp) GROUP BY doc_id, tok),
+         ta AS (SELECT doc_id, max(c) AS top_c FROM tc GROUP BY doc_id),
+         gc AS (SELECT doc_id, g, count(*) AS c
+                FROM (SELECT doc_id, unnest($grams2) AS g FROM lp) GROUP BY doc_id, g),
+         ga AS (SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct FROM gc GROUP BY doc_id),
+         rep AS (SELECT lp.*,
+             CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_tok_frac,
+             CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_2gram_frac
+           FROM lp JOIN ta USING (doc_id) JOIN ga USING (doc_id)),
+         g AS (SELECT * FROM rep
+           WHERE n_tokens >= 5 AND top_tok_frac <= 0.2
+             AND dup_2gram_frac <= 0.1 AND lang_pred <> 'und'),
+         r AS (SELECT *, md5(text) AS fp,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM g)
+         SELECT doc_id, lang_pred, n_tokens FROM r
+         WHERE rn = 1 AND fp NOT IN (SELECT fp FROM ex)
          ORDER BY doc_id"""
     })
 }

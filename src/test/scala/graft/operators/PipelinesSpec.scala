@@ -99,6 +99,22 @@ class PipelinesSpec extends SparkSpec {
     assert(Pipelines.curateFullOn(split).count() === 2L)
   }
 
+  test("curateIncrementalOn: gates within the increment, exact anti vs existing") {
+    import org.apache.spark.sql.functions._
+    val base = "a quick brown fox jumps over the lazy dog sleeping near his quiet river"
+    val incoming = Seq(
+      (100L, base),                      // fp exists in the curated table → dropped
+      (101L, base + " again today"),     // genuinely new → survives
+      (102L, base + " again today"),     // exact dup WITHIN the increment → dropped
+      (103L, "too short")                // quality gate
+    ).toDF("doc_id", "text")
+    val existing = Seq(Tuple1(base)).toDF("text")
+      .select(md5(col("text")).as("fp"))
+    val out = Pipelines.curateIncrementalOn(incoming, existing)
+      .select("doc_id").as[Long].collect().toList
+    assert(out === List(101L))
+  }
+
   test("curateExact: quality gate and exact-dedup keep-first on known rows") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
