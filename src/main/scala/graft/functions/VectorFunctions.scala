@@ -86,6 +86,7 @@ object VectorFunctions {
     * (a one-time write-side pass, like the at-rest index builders); the
     * QUERY side runs on the codegen'd cosine kernel. */
   def sq8Codes(a: Column, maxAbs: Column): Column =
-    transform(a, x =>
-      floor(d(x) * lit(127.0) / nullif(maxAbs, lit(0.0)) + lit(0.5)).cast("int"))
+    when(maxAbs === lit(0.0), lit(null).cast("array<int>"))
+      .otherwise(transform(a, x =>
+        floor(d(x) * lit(127.0) / maxAbs + lit(0.5)).cast("int")))
 }

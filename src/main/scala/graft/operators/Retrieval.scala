@@ -503,7 +503,8 @@ object Retrieval {
       """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM t),
          c AS (SELECT vec_id, v, maxabs,
-             list_transform(v, x -> CAST(floor(x * 127.0 / nullif(maxabs, 0) + 0.5) AS INTEGER)) AS codes
+             CASE WHEN maxabs = 0 THEN NULL
+               ELSE list_transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS INTEGER)) END AS codes
            FROM m)
          SELECT vec_id, round(maxabs, 6) AS maxabs, codes,
            round(list_cosine_similarity(list_transform(codes, x -> CAST(x AS DOUBLE)), v), 6) AS recon_cos
@@ -512,7 +513,8 @@ object Retrieval {
       """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM t),
          c AS (SELECT vec_id,
-             list_transform(v, x -> CAST(floor(x * 127.0 / nullif(maxabs, 0) + 0.5) AS DOUBLE)) AS codes
+             CASE WHEN maxabs = 0 THEN NULL
+               ELSE list_transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS DOUBLE)) END AS codes
            FROM m),
          q AS (SELECT v AS qv FROM t WHERE vec_id = 0),
          s AS (SELECT c.vec_id, list_cosine_similarity(c.codes, q.qv) AS cos FROM c, q)

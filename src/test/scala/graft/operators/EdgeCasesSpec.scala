@@ -83,6 +83,21 @@ class EdgeCasesSpec extends SparkSpec {
     assert(graft.streaming.Streams.hygieneGated(rejected, "text").count() === 0)
   }
 
+  test("nearDupPairsStream (batch) and sq8: empty/degenerate inputs flow through") {
+    import java.sql.Timestamp
+    val none = Seq.empty[(Long, Timestamp, String)].toDF("id", "ts", "text")
+    assert(graft.streaming.Streams
+      .nearDupPairsStream(none, "id", "text", "ts").count() === 0)
+    // zero vector quantizes to NULL codes, not an error
+    import graft.functions.VectorFunctions.{sq8Codes, sq8MaxAbs}
+    val z = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(3.0, -4.0))).toDF("id", "v")
+      .withColumn("ma", sq8MaxAbs($"v"))
+      .withColumn("codes", sq8Codes($"v", $"ma"))
+      .select("id", "codes").as[(Long, Option[Seq[Int]])].collect().toMap
+    assert(z(1L).isEmpty, "zero vector quantizes to NULL, not an error")
+    assert(z(2L).contains(Seq(95, -127)), s"codes ⌊x·127/4+½⌋: ${z(2L)}")
+  }
+
   test("quantiles: exact is interpolated, approx lands within rank error") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
     val exact = Analytics.quantiles(df, $"grp", $"v", Seq(0.5, 0.99))
