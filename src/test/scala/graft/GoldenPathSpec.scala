@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Pipelines, Search}
+import graft.sources.Compact
+
+/** The whole library composed as ONE production flow over real testdata —
+  * the end-to-end a reference user runs daily, stage outputs feeding the
+  * next stage with assertions at every boundary:
+  *
+  *   documents → full curation chain → sequence packing → parquet table
+  *   → small-file compaction → (embeddings) k-means codebook → at-rest
+  *   IVFADC index → probe-pruned search.
+  */
+class GoldenPathSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("curate → pack → write → compact → train → index → search, end to end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_golden").toString
+
+    // 1. curate: quality/repetition/language/exact/near-dup gates
+    val docs = Tables.documents(spark, d)
+    val curated = Pipelines.curateFullOn(docs)
+    val kept = curated.select("doc_id")
+    val nDocs = docs.count()
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept < nDocs, s"curation keeps a strict subset: $nKept/$nDocs")
+
+    // 2. pack the survivors into fixed 512-token training windows
+    val packed = Curation.packSequences(
+      docs.join(kept, "doc_id")
+        .withColumn("n_tokens", size(split(lower($"text"), " ")).cast("long")),
+      $"source", $"doc_id", $"n_tokens", budget = 512L)
+    assert(packed.count() === nKept, "packing is row-preserving")
+    assert(packed.agg(max("pack_offset")).as[Long].head() < 512L)
+
+    // 3. land the curated+packed table deliberately fragmented, then compact
+    packed.select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
+      .repartition(16).write.parquet(s"$dir/corpus")
+    val stats = Compact.compactParquet(spark, s"$dir/corpus", targetBytes = Long.MaxValue)
+    assert(stats.filesBefore === 16 && stats.filesAfter === 1L)
+    val landed = spark.read.parquet(s"$dir/corpus")
+    assert(landed.count() === nKept, "compaction preserves every row")
+
+    // 4. train an IVF codebook on the embeddings and lay the index at rest
+    val emb = Tables.embeddings(spark, d)
+    val cents = Search.kmeansTrain(emb, $"vec_id", $"embedding", k = 8, iters = 5)
+    val book = Search.pqTrain(emb, $"vec_id", $"embedding", m = 8, ks = 16, sampleN = 2000)
+    Search.writeIvfPqIndex(emb, $"embedding", cents, book, ks = 16, s"$dir/idx")
+    assert(spark.read.parquet(s"$dir/idx").select("cluster").distinct().count() === 8L)
+
+    // 5. serve a query: probe-pruned ADC scan + exact rerank finds the
+    //    query vector itself first, with the probe pruning partitions
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val hits = Search.knnIvfPq(spark, s"$dir/idx", $"embedding", cents, book,
+      ks = 16, q, nprobe = 2, k = 5, tie = $"vec_id", refine = 10)
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("cluster"))
+    val top = hits.select("vec_id", "score").as[(Long, Double)].collect()
+    assert(top.head._1 === 0L && math.abs(top.head._2 - 1.0) < 1e-6,
+      s"self-retrieval at cosine 1.0: ${top.toSeq}")
+    assert(top.length === 5)
+  }
+}
