@@ -268,13 +268,51 @@ object Curation {
       .select("doc_id", "source", "rn")
       .orderBy("doc_id")
 
+  /** Corpus-level hygiene report in ONE scan — the aggregate face of the
+    * reference's per-stage "removed N rows" logs (`clean_and_fill_na.py`
+    * prints counts after every rule): how many docs each gate of
+    * [[Pipelines.curateFullOn]] would flag, plus the exact-dup surplus.
+    * Gate counts are INDEPENDENT (a doc can trip several), so the report
+    * explains the corpus, not the funnel — the funnel is
+    * [[Pipelines.curateExactObserved]]. All metrics are integer counts ⇒
+    * bit-exact against the oracle; one narrow codegen'd scan + a single
+    * aggregate, no shuffle wider than the final one-row reduce. */
+  def hygieneReport(df: DataFrame, text: Column,
+      minTokens: Long = 5, maxTopTokFrac: Double = 0.2,
+      maxDup2gramFrac: Double = 0.1): DataFrame = {
+    val s = df.sparkSession
+    val nGrams = when(col("n_tokens") < 2, lit(1L)).otherwise(col("n_tokens") - 1L)
+    def flag(c: Column) = sum(when(c, 1L).otherwise(0L))
+    df.select(tokens(text).as("toks"), exactFingerprint(text).as("fp"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("top_frac",
+        graft.functions.TextExpressions.topTokenCount(s, col("toks")).cast("double")
+          / col("n_tokens").cast("double"))
+      .withColumn("dup_frac",
+        (nGrams - size(graft.functions.TextExpressions.shingleHashes(s, col("toks"), 2))
+          .cast("long")).cast("double") / nGrams.cast("double"))
+      .withColumn("lang_pred", langIdPredict(col("toks")))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        flag(col("n_tokens") < minTokens).as("n_too_short"),
+        flag(col("top_frac") > maxTopTokFrac || col("dup_frac") > maxDup2gramFrac)
+          .as("n_repetitive"),
+        flag(col("lang_pred") === "und").as("n_lang_und"),
+        countDistinct(col("fp")).as("n_distinct_texts"),
+        sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  def curateReport(s: SparkSession, d: String): DataFrame =
+    hygieneReport(Tables.documents(s, d), col("text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_repetition" -> txtRepetition,
     "txt_pii_redact" -> txtPiiRedact,
     "curate_decontam" -> curateDecontam,
     "mix_temperature" -> mixTemperature,
     "pack_sequences" -> packSequencesQ,
-    "mix_source_cap" -> mixSourceCap)
+    "mix_source_cap" -> mixSourceCap,
+    "curate_report" -> curateReport)
 
   private val toksSql = "string_split(lower(text), ' ')"
 
@@ -357,5 +395,38 @@ object Curation {
            SELECT doc_id, source,
              CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
            FROM documents)
-         WHERE rn <= 15 ORDER BY doc_id""")
+         WHERE rn <= 15 ORDER BY doc_id""",
+    "curate_report" -> {
+      import graft.functions.TextFunctions.LangMarkers
+      val hits = LangMarkers.map { case (l, m) =>
+        s"len(list_filter(list_distinct(toks), x -> list_contains([${m.map(x => s"'$x'").mkString(", ")}], x))) AS h_$l"
+      }.mkString(", ")
+      val best = LangMarkers.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
+      val cases = LangMarkers.map { case (l, _) =>
+        s"WHEN h_$l = best AND best > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         h AS (SELECT *, $hits FROM t),
+         b AS (SELECT *, $best AS best FROM h),
+         lp AS (SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE $cases ELSE 'und' END AS lang_pred
+           FROM b),
+         tc AS (SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM lp) GROUP BY doc_id, tok),
+         ta AS (SELECT doc_id, max(c) AS top_c FROM tc GROUP BY doc_id),
+         gc AS (SELECT doc_id, g, count(*) AS c
+                FROM (SELECT doc_id, unnest(${shinglesSql(2)}) AS g FROM lp) GROUP BY doc_id, g),
+         ga AS (SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct FROM gc GROUP BY doc_id),
+         rep AS (SELECT lp.doc_id, lp.text, lp.n_tokens, lp.lang_pred,
+             CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_frac,
+             CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac
+           FROM lp JOIN ta USING (doc_id) JOIN ga USING (doc_id))
+         SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_tokens < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+           CAST(sum(CASE WHEN top_frac > 0.2 OR dup_frac > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+           CAST(sum(CASE WHEN lang_pred = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_und,
+           count(DISTINCT md5(text)) AS n_distinct_texts,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         FROM rep"""
+    })
 }
