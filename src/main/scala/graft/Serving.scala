@@ -93,6 +93,18 @@ object Serving {
         s"""{"error":${quote(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}}"""
     }
 
+  /** The reference's `GET /health` (`app.py:72-80`) as a pure function:
+    * liveness plus the engine-meaningful part — do the data directory's
+    * tables actually resolve? A wrapper maps this to its health route. */
+  def health(s: SparkSession, d: String): String =
+    try {
+      val n = Tables.embeddings(s, d).count()
+      s"""{"status":"healthy","service":"graft image search","version":"0.1.0","vectors":$n}"""
+    } catch {
+      case NonFatal(e) =>
+        s"""{"status":"unhealthy","error":${quote(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}}"""
+    }
+
   private def quote(v: String): String =
     JsonMethods.compact(JsonMethods.render(JString(v)))
 }

@@ -51,6 +51,15 @@ class ServingSpec extends SparkSpec {
     assert((JsonMethods.parse(bad) \ "error").isInstanceOf[JString])
   }
 
+  test("health: healthy with vector count on real data, unhealthy JSON on bad dir") {
+    val ok = JsonMethods.parse(Serving.health(spark, d))
+    assert((ok \ "status") === JString("healthy"))
+    assert((ok \ "vectors").asInstanceOf[JInt].num.toLong > 0L)
+    val bad = JsonMethods.parse(Serving.health(spark, "/nonexistent/dir"))
+    assert((bad \ "status") === JString("unhealthy"))
+    assert((bad \ "error").isInstanceOf[JString])
+  }
+
   test("SearchCli.requestJson: flags map onto request fields; --json wins") {
     val json = SearchCli.requestJson(Array(
       "--data", "/x", "--mode", "hybrid", "--top-k", "5",
