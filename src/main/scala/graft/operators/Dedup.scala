@@ -135,15 +135,24 @@ object Dedup {
     *   agreement, not the join — it only forgoes candidates from buckets
     *   too hot to be discriminative (they typically still pair through
     *   their other `bands − 1` band keys). */
+  /** @param uniqTexts collapse identical signatures to one representative
+    *   before banding (the production default, see above). Turn OFF when
+    *   every concrete PAIR matters: the collapse eats not just exact dups
+    *   but any pair whose k slots happen to ALL agree (at jac ≈ 0.99
+    *   that's a coin flip per pair), which under-reports pair output. */
   def minhashPairs(df: DataFrame, id: Column, text: Column, block: Column,
       k: Int = 64, bands: Int = 16, rows: Int = 4,
-      minEst: Double = 0.5, topK: Int = 0, maxBandFreq: Int = 0): DataFrame = {
+      minEst: Double = 0.5, topK: Int = 0, maxBandFreq: Int = 0,
+      uniqTexts: Boolean = true): DataFrame = {
     val s = df.sparkSession
-    val sigs = df
+    val raw = df
       .select(id.as("doc_id"), block.as("blk"),
         TextExpressions.minhashSig(s, tokens(text), k).as("sig"))
-      .groupBy(col("blk"), col("sig"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_docs"))
+    val sigs =
+      if (uniqTexts)
+        raw.groupBy(col("blk"), col("sig"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_docs"))
+      else raw.withColumn("n_docs", lit(1L))
     // Band self-join as an ALIASED self-join: both sides canonicalize to
     // the identical (scan → sig → explode → shuffle-by-band) subplan, so
     // ReuseExchange computes the signature scan and the band shuffle once.
@@ -251,6 +260,17 @@ object Dedup {
     * does not complete observations — measured, not assumed.) */
   def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxRounds: Int = 20, maxDriverEdges: Long = 2L * 1000 * 1000): DataFrame = {
+    // Both paths (union-find fast path and the distributed loop) key on
+    // LONG ids — min-label semantics and the row.getLong fast path need
+    // them. Fail loudly on non-integral id columns instead of silently
+    // turning string ids into NULL edges.
+    Seq(aCol, bCol).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"dupClusters requires integral (long-castable) id columns; " +
+          s"'$c' is ${dt.catalogString}. Map string ids to longs first " +
+          s"(e.g. xxhash64, or a dictionary join) and keep the mapping.")
+    }
     // No distinct: duplicate edges are absorbed by the min-aggregation
     // each round, so paying a distinct shuffle up front buys nothing.
     // Edges keep the plain checkpoint (Tungsten rows, read every round);
@@ -401,13 +421,60 @@ object Dedup {
     jaccardPairs(blocked(s, d), col("doc_id"), col("text"), col("blk"))
       .orderBy(desc("jac"), asc("doc_a"), asc("doc_b")).limit(20)
 
-  def minhashLsh(s: SparkSession, d: String): DataFrame =
-    minhashPairs(blocked(s, d), col("doc_id"), col("text"), col("blk"), topK = 50)
-      .orderBy(desc("est_jaccard"), asc("doc_a"), asc("doc_b")).limit(50)
+  /** VERIFICATION stage shared by the LSH dedup bindings: exact word
+    * 3-gram Jaccard on candidate pairs, recomputed from the raw text —
+    * the standard second stage of production near-dup (LSH proposes,
+    * exact verify disposes). This is what makes the LSH bindings
+    * oracle-checkable: DuckDB can't express the signatures, but it CAN
+    * recompute exact Jaccard over all in-block pairs, and at the verify
+    * threshold the candidate generators have recall 1 on this corpus
+    * (est-jaccard ≥ 0.5 pairs here sit at jac ≥ 0.95, where a 16-band
+    * miss is ~1e-13; SimHash's pigeonhole guarantee covers hamming <
+    * bands) — so verified-candidates ≡ all-pairs-above-threshold and the
+    * hashes match. Shingle identity is the xxhash64 digest (same
+    * justification as [[jaccardPairs]]: a collision is ~2⁻⁶⁴ and only
+    * perturbs one count). */
+  private def verifyJaccard(s: SparkSession, docs: DataFrame,
+      cands: DataFrame, minJac: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      TextExpressions.shingleHashes(s, tokens(col("text")), 3).as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .withColumn("__i", size(array_intersect(col("sha"), col("shb"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("__i").cast("double") /
+          nullif((size(col("sha")) + size(col("shb")) - col("__i")).cast("double"),
+            lit(0.0))).as("jac"))
+      .filter(col("jac") >= minJac)
+      .orderBy(desc("jac"), asc("doc_a"), asc("doc_b"))
+  }
 
-  def simhash(s: SparkSession, d: String): DataFrame =
-    simhashPairs(blocked(s, d), col("doc_id"), col("text"), col("blk"))
-      .orderBy(asc("hamming"), asc("doc_a"), asc("doc_b")).limit(30)
+  /** MinHash-LSH near-dup, full two-stage production shape: banded
+    * signature join proposes candidates, [[verifyJaccard]] confirms with
+    * exact Jaccard ≥ 0.5 — fully oracle-checked (see verifyJaccard doc). */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = blocked(s, d)
+    // uniqTexts off: the oracle checks PAIRS, and the signature collapse
+    // eats pairs whose 64 slots all agree (a coin flip at jac ≈ 0.99)
+    val cands = minhashPairs(docs, col("doc_id"), col("text"), col("blk"),
+      uniqTexts = false)
+      .select("doc_a", "doc_b")
+    verifyJaccard(s, docs, cands, minJac = 0.5)
+  }
+
+  /** SimHash near-dup, same two-stage shape: bit-band candidates
+    * (pigeonhole: any pair within hamming < bands is guaranteed
+    * proposed), exact-Jaccard verification — oracle-checked against the
+    * same all-pairs SQL as [[minhashLsh]], proving the two independent
+    * candidate generators agree through verification. */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val docs = blocked(s, d)
+    val cands = simhashPairs(docs, col("doc_id"), col("text"), col("blk"),
+      maxHamming = 63)
+      .select("doc_a", "doc_b")
+    verifyJaccard(s, docs, cands, minJac = 0.5)
+  }
 
   def embeddingNearDup(s: SparkSession, d: String): DataFrame =
     embeddingPairs(Tables.embeddings(s, d), col("vec_id"), col("embedding"))
@@ -416,17 +483,20 @@ object Dedup {
       .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
 
   /** The scale path for the same pairs (hyperplane-sig banding → exact
-    * rescore); rows-only check (signature not DuckDB-expressible),
-    * exactness + recall pinned by `DedupSpec`. The synthetic embeddings
-    * have no true near-dups (max pairwise cos ≈ 0.48), so this binding
-    * probes at 0.35 — recall there is the documented wide-angle
-    * best-effort; the dedup regime (θ→0, recall→1) is spec-pinned on a
-    * constructed corpus. */
+    * rescore). The binding runs a RECALL-1 band config — 32 bands of 2
+    * bits, so a pair at the cos 0.4 verify threshold misses all bands
+    * with probability (1−0.398)³² ≈ 9·10⁻⁸ — which makes the output
+    * identical to all-pairs-≥-0.4 and therefore fully oracle-checkable
+    * (scores were always exact; only candidate recall was approximate).
+    * Production dedup configs trade that recall for candidate sparsity
+    * (θ→0 pairs collide with certainty under any config — the regime
+    * `DedupSpec` pins on a constructed corpus); the generic operator
+    * keeps its defaults. */
   def embeddingNearDupLsh(s: SparkSession, d: String): DataFrame =
     embeddingPairsLsh(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
-      minCos = 0.35)
+      minCos = 0.4, bands = 32)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
-      .orderBy(desc("cos"), asc("vec_a"), asc("vec_b")).limit(50)
+      .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact,
@@ -466,5 +536,33 @@ object Dedup {
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          SELECT vec_a, vec_b, round(cos, 6) AS cos
          FROM (SELECT * FROM pair ORDER BY cos DESC, vec_a, vec_b LIMIT 20)
+         ORDER BY round(cos, 6) DESC, vec_a, vec_b""",
+    // The two text-LSH bindings share the all-pairs verification oracle:
+    // exact 3-gram Jaccard ≥ 0.5 within blocks (candidate recall at the
+    // threshold is 1 on this corpus — see the Scala-side docs).
+    "dedup_minhash_lsh" -> verifiedJaccardSql,
+    "dedup_simhash" -> verifiedJaccardSql,
+    "dedup_embedding_lsh" ->
+      """WITH pair AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         SELECT vec_a, vec_b, round(cos, 6) AS cos
+         FROM pair WHERE cos >= 0.4
          ORDER BY round(cos, 6) DESC, vec_a, vec_b""")
+
+  private lazy val verifiedJaccardSql =
+    s"""WITH t AS (SELECT doc_id, lang || '_' || (n_chars // 100) AS blk,
+         string_split(lower(text), ' ') AS toks FROM documents),
+       sh AS (SELECT doc_id, blk, list_distinct($shSql) AS sh FROM t),
+       pair AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+           len(a.sh) AS na, len(b.sh) AS nb
+         FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b,
+         CAST(inter AS DOUBLE) / nullif(CAST(na + nb - inter AS DOUBLE), 0.0) AS jac
+       FROM pair
+       WHERE CAST(inter AS DOUBLE) / nullif(CAST(na + nb - inter AS DOUBLE), 0.0) >= 0.5
+       ORDER BY jac DESC, doc_a, doc_b"""
 }

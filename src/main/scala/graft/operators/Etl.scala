@@ -175,7 +175,59 @@ object Etl {
       .orderBy("doc_id")
   }
 
+  /** S1/P5 — multi-format date parsing (the reference's ES date mapping
+    * `yyyy-MM-dd HH:mm:ss||yyyy-MM-dd||epoch_millis`,
+    * upload_features_to_elasticsearch.py:40, via
+    * [[graft.sources.CsvSource.parseDate]]). The raw strings are derived
+    * deterministically from `events.ts` — one third each format, plus an
+    * unparseable sentinel on error rows — then re-parsed through the
+    * fallback chain; output is the canonical second-resolution rendering
+    * so the DuckDB oracle hash-compares exactly. */
+  def dateMulti(s: SparkSession, d: String): DataFrame = {
+    val raw = when(col("event_type") === "error", lit("N/A")).otherwise(
+      when(col("event_id") % 3 === 0, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .when(col("event_id") % 3 === 1, date_format(col("ts"), "yyyy-MM-dd"))
+        .otherwise(unix_millis(col("ts")).cast("string")))
+    Tables.events(s, d)
+      .withColumn("raw", raw)
+      .withColumn("parsed", graft.sources.CsvSource.parseDate(col("raw")))
+      .select(col("event_id"), col("raw"),
+        date_format(col("parsed"), "yyyy-MM-dd HH:mm:ss").as("parsed_str"),
+        col("parsed").isNotNull.as("ok"))
+      .orderBy("event_id")
+  }
+
+  /** S1+P1..P7 composed — the reference's flagship metadata-ETL chain as
+    * ONE lineage (update_label_paths.py:62-104 → filter_label_paths.py:22-44
+    * → clean_label_etiketler.py:34-77 → clean_and_fill_na.py:38-85):
+    * url→filename, prefix split, cell cleanse, sentinel fill, safe cast.
+    * The reference runs 4 scripts with CSV re-reads between them; here
+    * Catalyst collapses the chain into a single codegen'd scan — the
+    * filter lands before any string work on the pruned rows. */
+  def labelChain(s: SparkSession, d: String): DataFrame = {
+    val url = concat(lit("https://archive.example.org/photos/img_"),
+      col("source"), lit("_"), col("doc_id"), lit(".jpg"))
+    Tables.documents(s, d)
+      .withColumn("url", url)
+      .withColumn("filename", regexp_extract(col("url"), "([^/]+)$", 1))
+      .withColumn("path", concat(lit("dataset/"), col("filename")))
+      .filter(col("filename").startsWith("img_src1"))
+      .withColumn("text_clean",
+        when(col("text").contains("slow"), lit(""))
+          .otherwise(substring(col("text"), 1, 40)))
+      .withColumn("lang_filled",
+        when(trim(col("lang")) === "" || col("lang").isin("zh"), lit("NA"))
+          .otherwise(col("lang")))
+      .withColumn("n_chars_int",
+        graft.sources.CsvSource.safeInt(concat(col("n_chars"), lit(".0"))))
+      .select("doc_id", "path", "filename", "text_clean", "lang_filled",
+        "n_chars_int")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_date_multi" -> dateMulti,
+    "etl_label_chain" -> labelChain,
     "etl_prefix_split" -> prefixSplit,
     "etl_cell_cleanse" -> cellCleanse,
     "etl_safe_cast" -> safeCast,
@@ -190,6 +242,33 @@ object Etl {
   private val kwList = Keywords.map(k => s"'$k'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "etl_date_multi" ->
+      """WITH r AS (SELECT event_id,
+           CASE WHEN event_type = 'error' THEN 'N/A'
+             WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+             WHEN event_id % 3 = 1 THEN strftime(ts, '%Y-%m-%d')
+             ELSE CAST(epoch_ms(ts) AS VARCHAR) END AS raw
+           FROM events),
+         p AS (SELECT event_id, raw,
+           coalesce(try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+                    try_strptime(raw, '%Y-%m-%d'),
+                    epoch_ms(TRY_CAST(raw AS BIGINT))) AS parsed
+           FROM r)
+         SELECT event_id, raw,
+           strftime(parsed, '%Y-%m-%d %H:%M:%S') AS parsed_str,
+           parsed IS NOT NULL AS ok
+         FROM p ORDER BY event_id""",
+    "etl_label_chain" ->
+      """WITH u AS (SELECT doc_id, text, lang, n_chars,
+           'https://archive.example.org/photos/img_' || source || '_' || doc_id || '.jpg' AS url
+           FROM documents),
+         f AS (SELECT *, regexp_extract(url, '([^/]+)$', 1) AS filename FROM u),
+         k AS (SELECT * FROM f WHERE filename LIKE 'img_src1%')
+         SELECT doc_id, 'dataset/' || filename AS path, filename,
+           CASE WHEN contains(text, 'slow') THEN '' ELSE substr(text, 1, 40) END AS text_clean,
+           CASE WHEN trim(lang) = '' OR lang IN ('zh') THEN 'NA' ELSE lang END AS lang_filled,
+           CAST(TRY_CAST(n_chars || '.0' AS DOUBLE) AS BIGINT) AS n_chars_int
+         FROM k ORDER BY doc_id""",
     "etl_prefix_split" ->
       "SELECT doc_id, source FROM documents WHERE source LIKE 'src1%' ORDER BY doc_id",
     "etl_cell_cleanse" ->

@@ -232,33 +232,64 @@ object Pipelines {
         .select(exactFingerprint(col("text")).as("fp")))
   }
 
+  /** A14 — the per-stage RUNNING COUNTERS surfaced as an oracle-checked
+    * relation: run ONE action over [[curateExactObserved]]'s plan, read
+    * the Observation accumulators (which folded into that same job —
+    * zero extra scans), and emit the funnel as (stage, n_rows). The
+    * oracle recomputes each stage's cardinality declaratively, so the
+    * accumulator plumbing itself — placement above the sort, exactly-
+    * once firing — is what's under test. */
+  def curateCountersQ(s: SparkSession, d: String): DataFrame = {
+    val (kept, obs) = curateExactObserved(s, d)
+    kept.foreach(_ => ()) // the single action that fires the observations
+    import s.implicits._
+    obs.map(o => (o.name, o.get("rows").asInstanceOf[Number].longValue()))
+      .toDF("stage", "n_rows").orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate_exact" -> curateExact,
+    "pipeline_curate_counters" -> curateCountersQ,
     "pipeline_curate" -> curate,
     "pipeline_curate_full" -> curateFull,
     "pipeline_curate_incr" -> curateIncremental)
 
+  /** Shared DuckDB CTE prefix `t,h,b,lp,g`: tokenize → langid hits →
+    * best marker → lang_pred/n_tokens → quality gate (mirrors
+    * [[curateExact]]'s stages). */
+  private lazy val langGateCtes: String = {
+    val hits = LangMarkers.map { case (l, m) =>
+      s"len(list_filter(list_distinct(toks), x -> list_contains([${m.map(x => s"'$x'").mkString(", ")}], x))) AS h_$l"
+    }.mkString(", ")
+    val best = LangMarkers.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
+    val cases = LangMarkers.map { case (l, _) =>
+      s"WHEN h_$l = best AND best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+       h AS (SELECT doc_id, text, toks, $hits FROM t),
+       b AS (SELECT *, $best AS best FROM h),
+       lp AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CASE $cases ELSE 'und' END AS lang_pred
+         FROM b),
+       g AS (SELECT * FROM lp WHERE n_tokens >= 5 AND lang_pred <> 'und')"""
+  }
+
   val oracleSql: Map[String, String] = Map(
-    "pipeline_curate_exact" -> {
-      val hits = LangMarkers.map { case (l, m) =>
-        s"len(list_filter(list_distinct(toks), x -> list_contains([${m.map(x => s"'$x'").mkString(", ")}], x))) AS h_$l"
-      }.mkString(", ")
-      val best = LangMarkers.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
-      val cases = LangMarkers.map { case (l, _) =>
-        s"WHEN h_$l = best AND best > 0 THEN '$l'"
-      }.mkString(" ")
-      s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
-         h AS (SELECT doc_id, text, toks, $hits FROM t),
-         b AS (SELECT *, $best AS best FROM h),
-         lp AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
-             CASE $cases ELSE 'und' END AS lang_pred
-           FROM b),
-         g AS (SELECT * FROM lp WHERE n_tokens >= 5 AND lang_pred <> 'und'),
+    "pipeline_curate_exact" ->
+      s"""WITH $langGateCtes,
          r AS (SELECT doc_id, lang_pred, n_tokens,
              row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
            FROM g)
-         SELECT doc_id, lang_pred, n_tokens FROM r WHERE rn = 1 ORDER BY doc_id"""
-    },
+         SELECT doc_id, lang_pred, n_tokens FROM r WHERE rn = 1 ORDER BY doc_id""",
+    "pipeline_curate_counters" ->
+      s"""WITH $langGateCtes
+         SELECT stage, n_rows FROM (
+           SELECT 'scanned' AS stage, count(*) AS n_rows FROM documents
+           UNION ALL
+           SELECT 'quality_gated', count(*) FROM g
+           UNION ALL
+           SELECT 'exact_kept', count(DISTINCT md5(text)) FROM g)
+         ORDER BY stage""",
     "pipeline_curate_full" -> {
       val hits = LangMarkers.map { case (l, m) =>
         s"len(list_filter(list_distinct(toks), x -> list_contains([${m.map(x => s"'$x'").mkString(", ")}], x))) AS h_$l"

@@ -144,9 +144,19 @@ object Search {
     val qBands = banded(query
       .withColumn("sig", TextExpressions.hyperplaneSig(s, col("qv"), nbits)), col("sig"))
       .select("band")
-    banded(e, col("sig"))
+    // Candidate dedup carries 8-byte ids ONLY — the embeddings never cross
+    // an exchange: band hits dedup on __vid (map-side partial combine eats
+    // the per-band duplication before the shuffle), the deduped id set
+    // broadcasts back, and scoring re-scans the corpus through a broadcast
+    // semi-join probe (a second narrow scan beats shuffling dim-sized
+    // vectors at 100 TB; the candidate set is band-selectivity-bounded —
+    // the same order as the scoring work itself, so broadcast-safe for any
+    // sane band config).
+    val candIds = banded(e.select("__vid", "sig"), col("sig"))
       .join(broadcast(qBands), Seq("band"), "left_semi")
-      .select("__vid", "__v").distinct()
+      .select("__vid").distinct()
+    e.select("__vid", "__v")
+      .join(broadcast(candIds), Seq("__vid"), "left_semi")
       .crossJoin(broadcast(query))
       .withColumn("score", fusedCosine(s, col("__v"), col("qv")))
       .orderBy(desc("score"), asc("__vid")).limit(k)

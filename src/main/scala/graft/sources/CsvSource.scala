@@ -59,6 +59,17 @@ object CsvSource {
   def safeInt(c: Column): Column = safeFloat(c).cast("long")
   def safeFloat(c: Column): Column = nullif(trim(c), lit("NA")).try_cast("double")
 
+  /** Multi-format date fallback chain — the reference's Elasticsearch
+    * mapping `yyyy-MM-dd HH:mm:ss||yyyy-MM-dd||epoch_millis` for
+    * `yayinlanma_tarihi` (`upload_features_to_elasticsearch.py:40`): try
+    * the full datetime, then the bare date, then an epoch-millis integer;
+    * anything else is NULL, never an error. Pure `try_*` Columns → stays
+    * inside whole-stage codegen, no per-row exception control flow. */
+  def parseDate(c: Column): Column = coalesce(
+    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
+    try_to_timestamp(c, lit("yyyy-MM-dd")),
+    timestamp_millis(when(c.rlike("^-?[0-9]+$"), c).try_cast("long")))
+
   /** CSV sink with header, one directory per table (S3). */
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)

@@ -293,6 +293,22 @@ object Streams {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Delete stale `${target}__staging_*` leftovers from crashed earlier
+    * batches. Batch ids move forward across retries, so a crash between
+    * staging and swap would otherwise leak one orphan dir per attempt
+    * forever (the swap self-heal only knows about `__old`). Runs on
+    * entry, before this batch stages — never touches the current batch's
+    * own staging dir. */
+  private def dropStaleStaging(spark: SparkSession, target: String): Unit = {
+    val f = fs(spark, target)
+    val parent = new org.apache.hadoop.fs.Path(target).getParent
+    val prefix = new org.apache.hadoop.fs.Path(target).getName + "__staging_"
+    if (parent != null && f.exists(parent))
+      f.listStatus(parent).foreach { st =>
+        if (st.getPath.getName.startsWith(prefix)) f.delete(st.getPath, true)
+      }
+  }
+
   /** Upsert-by-key sink: each micro-batch is merged into a parquet target
     * (read → left-anti old rows → union new → rewrite), the plain-Spark
     * MERGE the reference performs against its index
@@ -315,9 +331,12 @@ object Streams {
     val targetP = new org.apache.hadoop.fs.Path(target)
     val oldP = new org.apache.hadoop.fs.Path(s"${target}__old")
     // self-heal a crash between the swap renames of a previous batch: the
-    // previous table is intact at __old — put it back first
+    // previous table is intact at __old — put it back first; then clear
+    // any staging leftovers a pre-swap crash stranded (their batch never
+    // committed, so they are rebuilt from the stream on retry)
     if (!f.exists(targetP) && f.exists(oldP)) f.rename(oldP, targetP)
     f.delete(oldP, true)
+    dropStaleStaging(spark, target)
     val fresh = batch.dropDuplicates(key)
     if (scala.util.Try(spark.read.parquet(target).schema).isSuccess) {
       val old = spark.read.parquet(target)
@@ -350,6 +369,7 @@ object Streams {
     * `StreamsSpec`). */
   def upsertByKeyPartitioned(spark: SparkSession, target: String, key: String,
       partCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    dropStaleStaging(spark, target)
     val fresh = batch.dropDuplicates(key)
     if (scala.util.Try(spark.read.parquet(target).schema).isSuccess) {
       val touched = fresh.select(partCol).distinct().collect().map(_.get(0)).toSeq
