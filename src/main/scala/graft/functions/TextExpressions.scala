@@ -71,6 +71,51 @@ case class MinHashSigExpr(child: Expression, k: Int) extends TokenArrayExpressio
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** MinHash signature over PRE-HASHED set elements (array<bigint>, e.g.
+  * the output of [[ShingleHashSetExpr]]): slot i = min over elements of
+  * `XXH64.hashInt(i, elemHash)` — the same seed-chaining as
+  * [[MinHashSigExpr]] with the string hash replaced by the element's
+  * 64-bit digest. Lets the signature estimate the jaccard of ANY hashed
+  * set (word n-gram shingles, feature ids) rather than only word
+  * 1-grams — signing the same set a downstream exact-verify stage
+  * measures is what makes est-jaccard a faithful candidate filter.
+  * Empty input → all-Long.MaxValue; null elements impossible
+  * (containsNull=false upstream) but skipped defensively. */
+case class MinHashSigFromHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0, "minhash signature length must be positive")
+  override def prettyName: String = "graft_minhash_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val h1 = arr.getLong(t)
+        var i = 0
+        while (i < k) {
+          val hi = XXH64.hashInt(i, h1)
+          if (hi < sig(i)) sig(i) = hi
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash: one xxhash64 per token, ±1 per bit position, sign of
   * the per-bit sum. */
 case class SimHash64Expr(child: Expression) extends TokenArrayExpression {
@@ -423,6 +468,9 @@ object TextExpressions {
       reg.createOrReplaceTempFunction("graft_pii_scrub",
         es => PiiScrubExpr(es(0), litStr(es(1)), litStr(es(2)), litStr(es(3))),
         "built-in")
+      reg.createOrReplaceTempFunction("graft_minhash_hashes",
+        es => MinHashSigFromHashesExpr(es(0),
+          es(1).eval().asInstanceOf[Number].intValue()), "built-in")
     }
   }
 
@@ -432,6 +480,9 @@ object TextExpressions {
 
   def minhashSig(spark: SparkSession, toks: Column, k: Int): Column = {
     register(spark); call_function("graft_minhash", toks, lit(k))
+  }
+  def minhashSigFromHashes(spark: SparkSession, hashes: Column, k: Int): Column = {
+    register(spark); call_function("graft_minhash_hashes", hashes, lit(k))
   }
   def simhash64(spark: SparkSession, toks: Column): Column = {
     register(spark); call_function("graft_simhash", toks)

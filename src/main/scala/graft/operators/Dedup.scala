@@ -21,10 +21,16 @@ import graft.functions.VectorExpressions.fusedCosine
   * groupBy is one shuffle of (key, doc_id) pairs, and bucket sizes bound
   * the join fan-out (the classic MinHash-LSH layout).
   *
-  * `dedup_exact`, `dedup_ngram_jaccard` and `dedup_embedding` are
-  * DuckDB-oracle-checked; the MinHash/SimHash queries hash with xxhash64
-  * (no DuckDB equivalent) and are declared without an oracle per the
-  * driver contract (rows-only check).
+  * Oracle status: `dedup_exact`, `dedup_ngram_jaccard`, `dedup_embedding`
+  * are directly DuckDB-checked. `dedup_minhash_lsh` and `dedup_simhash`
+  * run the full two-stage production shape (signature banding proposes,
+  * exact-Jaccard verification disposes) with recall-1 candidate configs
+  * at the verify threshold, so their output equals the all-pairs SQL and
+  * is ALSO fully checked even though the signatures themselves have no
+  * DuckDB equivalent. Only `dedup_embedding_lsh` stays rows-only: a
+  * recall-1 band config at its wide-angle threshold costs more than the
+  * brute binding it approximates (see its doc), so the checked ground
+  * truth for embedding pairs stays with `dedup_embedding`.
   */
 object Dedup {
 
@@ -139,15 +145,25 @@ object Dedup {
     *   before banding (the production default, see above). Turn OFF when
     *   every concrete PAIR matters: the collapse eats not just exact dups
     *   but any pair whose k slots happen to ALL agree (at jac ≈ 0.99
-    *   that's a coin flip per pair), which under-reports pair output. */
+    *   that's a coin flip per pair), which under-reports pair output.
+    * @param shingleN sign word `shingleN`-gram shingles instead of word
+    *   1-grams (0 = 1-grams). Sign the SET a downstream exact-verify
+    *   stage measures: on a small-vocabulary corpus, 1-gram jaccard
+    *   between same-block docs is routinely ≥ 0.5 while 3-gram jaccard
+    *   is ~0.03, so a 1-gram signature floods a 3-gram verifier with
+    *   false candidates (measured 439k candidates vs ~70 at sf0.1). */
   def minhashPairs(df: DataFrame, id: Column, text: Column, block: Column,
       k: Int = 64, bands: Int = 16, rows: Int = 4,
       minEst: Double = 0.5, topK: Int = 0, maxBandFreq: Int = 0,
-      uniqTexts: Boolean = true): DataFrame = {
+      uniqTexts: Boolean = true, shingleN: Int = 0): DataFrame = {
     val s = df.sparkSession
+    val sigCol =
+      if (shingleN > 0)
+        TextExpressions.minhashSigFromHashes(s,
+          TextExpressions.shingleHashes(s, tokens(text), shingleN), k)
+      else TextExpressions.minhashSig(s, tokens(text), k)
     val raw = df
-      .select(id.as("doc_id"), block.as("blk"),
-        TextExpressions.minhashSig(s, tokens(text), k).as("sig"))
+      .select(id.as("doc_id"), block.as("blk"), sigCol.as("sig"))
     val sigs =
       if (uniqTexts)
         raw.groupBy(col("blk"), col("sig"))
@@ -434,7 +450,7 @@ object Dedup {
     * hashes match. Shingle identity is the xxhash64 digest (same
     * justification as [[jaccardPairs]]: a collision is ~2⁻⁶⁴ and only
     * perturbs one count). */
-  private def verifyJaccard(s: SparkSession, docs: DataFrame,
+  private[graft] def verifyJaccard(s: SparkSession, docs: DataFrame,
       cands: DataFrame, minJac: Double): DataFrame = {
     val sh = docs.select(col("doc_id"),
       TextExpressions.shingleHashes(s, tokens(col("text")), 3).as("sh"))
@@ -456,9 +472,10 @@ object Dedup {
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val docs = blocked(s, d)
     // uniqTexts off: the oracle checks PAIRS, and the signature collapse
-    // eats pairs whose 64 slots all agree (a coin flip at jac ≈ 0.99)
+    // eats pairs whose 64 slots all agree (a coin flip at jac ≈ 0.99).
+    // shingleN=3: sign the same 3-gram sets the verify stage measures.
     val cands = minhashPairs(docs, col("doc_id"), col("text"), col("blk"),
-      uniqTexts = false)
+      uniqTexts = false, shingleN = 3)
       .select("doc_a", "doc_b")
     verifyJaccard(s, docs, cands, minJac = 0.5)
   }
@@ -470,8 +487,14 @@ object Dedup {
     * candidate generators agree through verification. */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val docs = blocked(s, d)
+    // bands=8 (8-bit bands): pigeonhole finds every pair within hamming 8
+    // — the default 4×16-bit banding missed 11 of the 77 jac ≥ 0.89 pairs
+    // at sf0.1 (their token simhashes differ by ~5-15 bits, and a clean
+    // 16-bit band isn't guaranteed above hamming 3). maxHamming=16 stays
+    // as the cheap prefilter so the verify join sees dozens of
+    // candidates, not the band join's raw output.
     val cands = simhashPairs(docs, col("doc_id"), col("text"), col("blk"),
-      maxHamming = 63)
+      bands = 8)
       .select("doc_a", "doc_b")
     verifyJaccard(s, docs, cands, minJac = 0.5)
   }
@@ -483,20 +506,22 @@ object Dedup {
       .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
 
   /** The scale path for the same pairs (hyperplane-sig banding → exact
-    * rescore). The binding runs a RECALL-1 band config — 32 bands of 2
-    * bits, so a pair at the cos 0.4 verify threshold misses all bands
-    * with probability (1−0.398)³² ≈ 9·10⁻⁸ — which makes the output
-    * identical to all-pairs-≥-0.4 and therefore fully oracle-checkable
-    * (scores were always exact; only candidate recall was approximate).
-    * Production dedup configs trade that recall for candidate sparsity
-    * (θ→0 pairs collide with certainty under any config — the regime
-    * `DedupSpec` pins on a constructed corpus); the generic operator
-    * keeps its defaults. */
+    * rescore); rows-only check (signature not DuckDB-expressible),
+    * exactness + recall pinned by `DedupSpec`. The synthetic embeddings
+    * have no true near-dups (max pairwise cos ≈ 0.51), so this binding
+    * probes at 0.35 — recall there is the documented wide-angle
+    * best-effort; the dedup regime (θ→0, recall→1) is spec-pinned on a
+    * constructed corpus. A recall-1 band config (32×2-bit) WOULD make
+    * this oracle-checkable, but at a wide-angle threshold it passes
+    * ~every pair through the band join — slower than the brute-force
+    * [[embeddingNearDup]] it approximates (measured 4.9 s vs 0.7 s at
+    * sf0.1), so the checked ground truth stays with the brute binding
+    * and this one keeps the production bands. */
   def embeddingNearDupLsh(s: SparkSession, d: String): DataFrame =
     embeddingPairsLsh(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
-      minCos = 0.4, bands = 32)
+      minCos = 0.35)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
-      .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
+      .orderBy(desc("cos"), asc("vec_a"), asc("vec_b")).limit(50)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact,
@@ -541,15 +566,7 @@ object Dedup {
     // exact 3-gram Jaccard ≥ 0.5 within blocks (candidate recall at the
     // threshold is 1 on this corpus — see the Scala-side docs).
     "dedup_minhash_lsh" -> verifiedJaccardSql,
-    "dedup_simhash" -> verifiedJaccardSql,
-    "dedup_embedding_lsh" ->
-      """WITH pair AS (
-           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
-           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-         SELECT vec_a, vec_b, round(cos, 6) AS cos
-         FROM pair WHERE cos >= 0.4
-         ORDER BY round(cos, 6) DESC, vec_a, vec_b""")
+    "dedup_simhash" -> verifiedJaccardSql)
 
   private lazy val verifiedJaccardSql =
     s"""WITH t AS (SELECT doc_id, lang || '_' || (n_chars // 100) AS blk,

@@ -64,7 +64,11 @@ object Multimodal {
     * pooled per document. The decode is the deterministic fake (no codecs
     * in the container); everything around it — explode shape, per-frame
     * typed features, partial-aggregated pooling — is the real pipeline.
-    * No oracle (hash-derived features): rows-only check.
+    * The named binding runs the RAW-COUNT byte-histogram encoder
+    * (integer-valued features) with double-precision pooling, so every
+    * number in the output is reproducible arithmetic over byte counts —
+    * which is what lets a DuckDB oracle check the whole chunk → stride →
+    * mapPartitions-encode → pool pipeline despite the float feature type.
     *
     * `encoder` swaps in a real [[graft.sources.MultimodalStub.MediaEncoder]]
     * implementation (factory, initialized once per partition) — the
@@ -75,7 +79,7 @@ object Multimodal {
   def frameEmbed(s: SparkSession, d: String,
       encoder: Option[() => graft.sources.MultimodalStub.MediaEncoder] = None,
       keepVec: Boolean = false): DataFrame = {
-    import graft.functions.VectorAggregates.vectorMean
+    import graft.functions.VectorAggregates.vectorMeanDouble
     import graft.functions.VectorExpressions.fusedL2Norm
     val frames = Tables.documents(s, d)
       .withColumn("payload", col("text").cast("binary"))
@@ -94,11 +98,13 @@ object Multimodal {
       .toDF()
       .select((col("doc_id") / 1000000).cast("long").as("doc_id"),
         col("feature"))
+    // Double-precision pooling: integer-valued features sum exactly, one
+    // IEEE division per element — no float cast between encode and norm.
     val pooled = perFrame.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_frames"), vectorMean(col("feature")).as("doc_vec"))
+      .agg(count(lit(1)).as("n_frames"), vectorMeanDouble(col("feature")).as("doc_vec"))
     val base = Seq(col("doc_id"), col("n_frames"),
       size(col("doc_vec")).cast("long").as("dim"),
-      round(fusedL2Norm(s, col("doc_vec").cast("array<double>")), 6).as("vec_norm"))
+      round(fusedL2Norm(s, col("doc_vec")), 6).as("vec_norm"))
     pooled
       .select((if (keepVec) base :+ col("doc_vec") else base): _*)
       .orderBy("doc_id")
@@ -107,7 +113,9 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> binaryMeta,
     "mm_chunk" -> chunk,
-    "mm_frame_embed" -> ((s, d) => frameEmbed(s, d)))
+    "mm_frame_embed" -> ((s, d) => frameEmbed(s, d,
+      encoder = Some(() =>
+        new graft.sources.MultimodalStub.ByteHistogramEncoder(16, normalize = false)))))
 
   val oracleSql: Map[String, String] = Map(
     "mm_binary_meta" ->
@@ -125,5 +133,27 @@ object Multimodal {
          SELECT doc_id, chunk_idx,
            CAST(length(substr(text, CAST(chunk_idx * 256 + 1 AS BIGINT), 256)) AS BIGINT) AS chunk_len,
            md5(substr(text, CAST(chunk_idx * 256 + 1 AS BIGINT), 256)) AS chunk_md5
-         FROM x ORDER BY doc_id, chunk_idx""")
+         FROM x ORDER BY doc_id, chunk_idx""",
+    // Exploits two exactness facts: (1) the raw-count histogram of the
+    // pooled frames equals the histogram of the CONCATENATION of the
+    // sampled (even-index) chunks, so no per-frame grouping is needed;
+    // (2) the text is ASCII (asserted by byte_len = char_len in
+    // mm_binary_meta), so ascii(char) IS the byte value.
+    "mm_frame_embed" ->
+      """WITH d AS (SELECT doc_id, text,
+           CAST(CEIL(length(text) / 256.0) AS BIGINT) AS nc FROM documents),
+         f AS (SELECT doc_id, text, nc,
+             CAST(CEIL(nc / 2.0) AS BIGINT) AS n_frames
+           FROM d WHERE nc > 0),
+         p AS (SELECT doc_id, n_frames, unnest(range(1, length(text) + 1)) AS pos, text FROM f),
+         b AS (SELECT doc_id, n_frames,
+             ascii(substr(text, CAST(pos AS INT), 1)) // 16 AS bin
+           FROM p WHERE ((pos - 1) // 256) % 2 = 0),
+         h AS (SELECT doc_id, n_frames, bin, count(*) AS c FROM b GROUP BY 1, 2, 3),
+         nrm AS (SELECT doc_id, n_frames,
+             sqrt(sum(pow(c / CAST(n_frames AS DOUBLE), 2))) AS vn
+           FROM h GROUP BY doc_id, n_frames)
+         SELECT doc_id, n_frames, CAST(16 AS BIGINT) AS dim,
+           round(vn, 6) AS vec_norm
+         FROM nrm ORDER BY doc_id""")
 }

@@ -58,7 +58,14 @@ object MultimodalStub {
     * (`/root/reference/extract_clip_features.py:20-35`): bytes in,
     * unit-norm feature out — swapping in a real model is this class with
     * the histogram loop replaced by a session call. */
-  class ByteHistogramEncoder(dim: Int = 16) extends MediaEncoder {
+  /** @param normalize L2-normalize the histogram (the retrieval-friendly
+    *   default). `false` keeps RAW INTEGER bin counts (exact in Float up
+    *   to 2²⁴) — the oracle-checkable form: every downstream aggregate
+    *   over integer-valued features stays bit-reproducible in any engine,
+    *   which is how `mm_frame_embed` gets a DuckDB oracle despite the
+    *   float feature column. */
+  class ByteHistogramEncoder(dim: Int = 16, normalize: Boolean = true)
+      extends MediaEncoder {
     def encode(id: Long, bytes: Array[Byte]): MediaFeature = {
       val hist = new Array[Float](dim)
       var i = 0
@@ -66,12 +73,14 @@ object MultimodalStub {
         hist(((bytes(i) & 0xFF) * dim) / 256) += 1f
         i += 1
       }
-      var norm = 0.0
-      var j = 0
-      while (j < dim) { norm += hist(j).toDouble * hist(j); j += 1 }
-      val inv = if (norm == 0.0) 0f else (1.0 / math.sqrt(norm)).toFloat
-      j = 0
-      while (j < dim) { hist(j) *= inv; j += 1 }
+      if (normalize) {
+        var norm = 0.0
+        var j = 0
+        while (j < dim) { norm += hist(j).toDouble * hist(j); j += 1 }
+        val inv = if (norm == 0.0) 0f else (1.0 / math.sqrt(norm)).toFloat
+        j = 0
+        while (j < dim) { hist(j) *= inv; j += 1 }
+      }
       MediaFeature(id, width = 0, height = 0, feature = hist)
     }
   }

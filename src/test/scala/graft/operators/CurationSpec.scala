@@ -50,6 +50,18 @@ class CurationSpec extends SparkSpec {
     assert(red === "odd <EMAIL> addr")
   }
 
+  test("piiRedact fused kernel: counts are on the ORIGINAL text, replace is sequential") {
+    // The dotted-quad local part matches the IP pattern on the raw text
+    // (counted) but is consumed by the email replacement (not redacted
+    // twice) — the exact contract of the 6-expression spelling the fused
+    // PiiScrubExpr replaced, and what the DuckDB oracle computes.
+    val out = Curation.piiRedact(
+        Seq((1L, "odd 1.2.3.4@x.io addr")).toDF("id", "text"), $"text")
+      .select("n_emails", "n_ips", "n_phones", "redacted")
+      .as[(Long, Long, Long, String)].head()
+    assert(out === ((1L, 1L, 0L, "odd <EMAIL> addr")))
+  }
+
   test("decontaminate: drops shingle-sharing train docs only") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"), // shares 5-gram with test

@@ -208,4 +208,40 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(m((1L, 2L)) - 1.0) < 1e-9)
     assert(math.abs(m((1L, 3L))) < 1e-9)
   }
+
+  test("minhashPairs uniqTexts=false: identical texts emit their concrete pairs") {
+    val t = "alpha beta gamma delta epsilon zeta"
+    val df = Seq((1L, t), (2L, t), (3L, t)).toDF("id", "text")
+      .withColumn("blk", lit("b"))
+    // production default collapses the trio to one representative → no pairs
+    val collapsed = Dedup.minhashPairs(df, $"id", $"text", $"blk")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(collapsed.isEmpty)
+    // pair-level mode: all three in-group pairs surface with est = 1
+    val pairs = Dedup.minhashPairs(df, $"id", $"text", $"blk", uniqTexts = false)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.forall(_._3 === 1.0))
+  }
+
+  test("minhashPairs shingleN: signature estimates the n-gram jaccard, not 1-gram") {
+    // Same vocabulary, different order: 1-gram jaccard = 1.0, 3-gram
+    // jaccard ≈ 0 — shingle signing must NOT pair them at minEst 0.5.
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = (1 to 40).reverse.map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text").withColumn("blk", lit("b"))
+    val oneGram = Dedup.minhashPairs(df, $"id", $"text", $"blk",
+      uniqTexts = false).count()
+    val threeGram = Dedup.minhashPairs(df, $"id", $"text", $"blk",
+      uniqTexts = false, shingleN = 3).count()
+    assert(oneGram === 1L, "1-gram signatures see identical token sets")
+    assert(threeGram === 0L, "3-gram signatures see disjoint shingle sets")
+  }
+
+  test("dupClusters: rejects non-integral id columns loudly") {
+    val pairs = Seq(("a", "b")).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] { Dedup.dupClusters(pairs) }
+    assert(e.getMessage.contains("integral"))
+  }
 }

@@ -90,6 +90,24 @@ class SourcesSpec extends SparkSpec {
     assert(tag === Map("building" -> 0.8f, "sky" -> 0.1f))
   }
 
+  test("CsvSource.parseDate: datetime, date, epoch-millis fallback chain") {
+    val df = Seq(
+      (1L, "2024-03-05 12:34:56"),  // full datetime
+      (2L, "2024-03-05"),           // bare date -> midnight
+      (3L, "1709642096123"),        // epoch millis
+      (4L, "not-a-date"),           // unparseable -> NULL, no error
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "raw")
+    val out = df.select(col("id"),
+        date_format(CsvSource.parseDate(col("raw")), "yyyy-MM-dd HH:mm:ss.SSS")
+          .as("p"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("2024-03-05 12:34:56.000"))
+    assert(out(2L).contains("2024-03-05 00:00:00.000"))
+    assert(out(3L).contains("2024-03-05 12:34:56.123")) // same instant, ms kept
+    assert(out(4L).isEmpty && out(5L).isEmpty)
+  }
+
   test("BinarySource: glob scan, path parts, existence semi-join") {
     val dir = tmp("graft_bin")
     Files.createDirectories(Paths.get(dir, "1900", "01"))

@@ -140,6 +140,23 @@ class StreamsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "view", 1.0), (2L, "click", 9.0), (3L, "view", 3.0)))
   }
 
+  test("upsertByKey: stale staging dirs from crashed earlier batches are cleared") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_heal").toString
+    val target = s"$dir/target"
+    // simulate two crashed attempts that staged but never swapped
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"${target}__staging_3"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"${target}__staging_7"))
+    val b1 = Seq(Ev(1L, ts(0), 10L, "view", 1.0)).toDF()
+    Streams.upsertByKey(spark, target, "event_id")(b1, 8L)
+    val leftovers = new java.io.File(dir).list().toSeq.filter(_.contains("__staging_"))
+    assert(leftovers.isEmpty, s"stale staging not cleaned: $leftovers")
+    assert(spark.read.parquet(target).count() === 1)
+    // and a sibling table's dirs are untouched by the prefix match
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/other__staging_1"))
+    Streams.upsertByKey(spark, target, "event_id")(b1, 9L)
+    assert(new java.io.File(s"$dir/other__staging_1").exists())
+  }
+
   test("upsertByKeyPartitioned: only touched partitions are rewritten") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_part").toString
     val target = s"$dir/target"
