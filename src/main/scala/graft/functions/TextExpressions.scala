@@ -116,6 +116,45 @@ case class MinHashSigFromHashesExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** LSH band keys as 64-bit hashes: band b of a k-slot signature is the
+  * seed-chained xxhash64 of its `rows` slots, mixed with the band index
+  * → array<long> of length `bands`. The numeric replacement for the
+  * string keys `"b_" + hash` the HOF spelling builds: the band join is
+  * the dominant shuffle of every LSH pass, and an 8-byte key both
+  * shuffles and hash-compares several times cheaper than a concat'd
+  * string (which also cost per-row string building). A 64-bit collision
+  * can only MERGE two buckets — extra candidates that the downstream
+  * est/hamming/exact-verify filters reject — never lose a pair. */
+case class LshBandKeysExpr(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bands > 0 && rows > 0, "bands and rows must be positive")
+  override def prettyName: String = "graft_lsh_band_keys"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val sig = v.asInstanceOf[ArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 42L
+      var j = b * rows
+      val end = math.min((b + 1) * rows, sig.numElements())
+      while (j < end) { acc = XXH64.hashLong(sig.getLong(j), acc); j += 1 }
+      out(b) = XXH64.hashInt(b, acc)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash: one xxhash64 per token, ±1 per bit position, sign of
   * the per-bit sum. */
 case class SimHash64Expr(child: Expression) extends TokenArrayExpression {
@@ -249,6 +288,72 @@ case class TopTokenCountExpr(child: Expression) extends TokenArrayExpression {
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** |A ∩ B| for two long-array SETS (e.g. [[ShingleHashSetExpr]] outputs)
+  * without materializing the intersection: open-addressing probe of the
+  * smaller side, one counter. `size(array_intersect(a, b))` builds (and
+  * immediately discards) the intersection array per row — on a verify
+  * stage scoring tens of thousands of candidate pairs against ~400-element
+  * shingle sets, the allocation is the cost. Inputs are treated as sets
+  * (duplicates in either side count once, matching array_intersect's
+  * distinct semantics on pre-deduped inputs). Null array → null. */
+case class ArrayLongIntersectCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def prettyName: String = "graft_intersect_count"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got ${l.catalogString}, ${r.catalogString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    var a = l.asInstanceOf[ArrayData]
+    var b = r.asInstanceOf[ArrayData]
+    if (a.numElements() > b.numElements()) { val t = a; a = b; b = t }
+    val n = a.numElements()
+    if (n == 0) return 0L
+    var cap = 8
+    while (cap < n * 2) cap <<= 1
+    val keys = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val h = a.getLong(i)
+        var slot = h.toInt & (cap - 1)
+        while (used(slot) && keys(slot) != h) slot = (slot + 1) & (cap - 1)
+        used(slot) = true; keys(slot) = h
+      }
+      i += 1
+    }
+    // separate matched[] (never clear used[] — an open-addressing delete
+    // would break other keys' probe chains) so dups in b count once
+    val matched = new Array[Boolean](cap)
+    var cnt = 0L
+    val m = b.numElements()
+    var j = 0
+    while (j < m) {
+      if (!b.isNullAt(j)) {
+        val h = b.getLong(j)
+        var slot = h.toInt & (cap - 1)
+        var found = false
+        while (used(slot) && !found) {
+          if (keys(slot) == h) found = true else slot = (slot + 1) & (cap - 1)
+        }
+        if (found && !matched(slot)) { matched(slot) = true; cnt += 1 }
+      }
+      j += 1
+    }
+    cnt
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** Fraction of agreeing slots between two equal-length MinHash signatures
@@ -471,6 +576,12 @@ object TextExpressions {
       reg.createOrReplaceTempFunction("graft_minhash_hashes",
         es => MinHashSigFromHashesExpr(es(0),
           es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+      reg.createOrReplaceTempFunction("graft_lsh_band_keys",
+        es => LshBandKeysExpr(es(0),
+          es(1).eval().asInstanceOf[Number].intValue(),
+          es(2).eval().asInstanceOf[Number].intValue()), "built-in")
+      reg.createOrReplaceTempFunction("graft_intersect_count",
+        es => ArrayLongIntersectCountExpr(es(0), es(1)), "built-in")
     }
   }
 
@@ -483,6 +594,12 @@ object TextExpressions {
   }
   def minhashSigFromHashes(spark: SparkSession, hashes: Column, k: Int): Column = {
     register(spark); call_function("graft_minhash_hashes", hashes, lit(k))
+  }
+  def lshBandKeysLong(spark: SparkSession, sig: Column, bands: Int, rows: Int): Column = {
+    register(spark); call_function("graft_lsh_band_keys", sig, lit(bands), lit(rows))
+  }
+  def intersectCount(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("graft_intersect_count", a, b)
   }
   def simhash64(spark: SparkSession, toks: Column): Column = {
     register(spark); call_function("graft_simhash", toks)

@@ -173,12 +173,17 @@ object Dedup {
     // the identical (scan → sig → explode → shuffle-by-band) subplan, so
     // ReuseExchange computes the signature scan and the band shuffle once.
     // Uniq'ing above bounds the sig payload riding this shuffle to one row
-    // per distinct text.
+    // per distinct text. Band keys are 8-byte hashes (native
+    // [[TextExpressions.lshBandKeysLong]] folded with the block via
+    // xxhash64), not concat'd strings — the band exchange is every LSH
+    // pass's dominant shuffle, and a long key shuffles/compares several
+    // times cheaper; a collision merges buckets (extra candidates the
+    // est filter rejects), never loses a pair.
     val allBanded = sigs
       .select(col("doc_id"), col("n_docs"), col("sig"), col("blk"),
-        explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+        explode(TextExpressions.lshBandKeysLong(s, col("sig"), bands, rows)).as("bk"))
       .select(col("doc_id"), col("n_docs"), col("sig"),
-        concat_ws("_", col("blk"), col("bk")).as("band"))
+        xxhash64(col("blk"), col("bk")).as("band"))
     // The df-count window hashes by the same band key the self-join
     // shuffles on — the guard rides the join's exchange.
     val banded =
@@ -218,13 +223,15 @@ object Dedup {
     val mask = (1L << width) - 1L
     val sh = df.select(id.as("doc_id"), block.as("blk"),
       TextExpressions.simhash64(s, tokens(text)).as("sim"))
+    // numeric band key: (band index << width) | band bits, folded with the
+    // block via xxhash64 — 8 bytes through the band exchange, no strings
     val bandCols = (0 until bands).map(i =>
-      struct(lit(i).as("bi"),
-        shiftright(col("sim"), i * width).bitwiseAND(lit(mask)).as("bv")))
+      shiftright(col("sim"), i * width).bitwiseAND(lit(mask))
+        + lit(i.toLong * (mask + 1L)))
     val banded = sh.select(col("doc_id"), col("sim"), col("blk"),
-        explode(array(bandCols: _*)).as("bs"))
+        explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("sim"),
-        concat_ws("_", col("blk"), col("bs.bi"), col("bs.bv")).as("band"))
+        xxhash64(col("blk"), col("bk")).as("band"))
     banded.as("x").join(banded.as("y"), col("x.band") === col("y.band"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -398,8 +405,11 @@ object Dedup {
     val base = df.select(id.as("__vid"), vec.as("__v"))
     val sigs = base.select(col("__vid"),
       TextExpressions.hyperplaneSig(s, col("__v"), nbits).as("sig"))
-    val bandCols = (0 until bands).map(i => concat_ws("_",
-      lit(i), shiftright(col("sig"), i * width).bitwiseAND(lit(mask))))
+    // numeric band key: (band index << width) | band bits — 8 bytes
+    // through the band exchange, no per-row string building
+    val bandCols = (0 until bands).map(i =>
+      shiftright(col("sig"), i * width).bitwiseAND(lit(mask))
+        + lit(i.toLong * (mask + 1L)))
     val allBanded = sigs.select(col("__vid"), explode(array(bandCols: _*)).as("band"))
     val banded =
       if (maxBandFreq > 0)
@@ -457,7 +467,8 @@ object Dedup {
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
-      .withColumn("__i", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("__i",
+        TextExpressions.intersectCount(s, col("sha"), col("shb")).cast("int"))
       .select(col("doc_a"), col("doc_b"),
         (col("__i").cast("double") /
           nullif((size(col("sha")) + size(col("shb")) - col("__i")).cast("double"),

@@ -135,8 +135,11 @@ object Search {
     val width = nbits / bands
     val mask = (1L << width) - 1L
     def banded(df: DataFrame, sig: Column): DataFrame = {
-      val bandCols = (0 until bands).map(i => concat_ws("_",
-        lit(i), shiftright(sig, i * width).bitwiseAND(lit(mask))))
+      // numeric band key: (band index << width) | band bits — 8 bytes
+      // through the semi-join, no per-row string building
+      val bandCols = (0 until bands).map(i =>
+        shiftright(sig, i * width).bitwiseAND(lit(mask))
+          + lit(i.toLong * (mask + 1L)))
       df.withColumn("band", explode(array(bandCols: _*)))
     }
     val e = corpus.select(id.as("__vid"), vec.as("__v"))

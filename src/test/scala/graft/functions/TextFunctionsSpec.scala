@@ -208,6 +208,45 @@ class TextFunctionsSpec extends SparkSpec {
     assert(edge === Map(1L -> 0L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("ArrayLongIntersectCountExpr: parity with size(array_intersect) on random sets") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 60).map { i =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong).distinct
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong).distinct
+      (i.toLong, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val nat = df.select($"id",
+        graft.functions.TextExpressions.intersectCount(spark, $"a", $"b"))
+      .as[(Long, Long)].collect().toMap
+    val ref = df.select($"id", size(array_intersect($"a", $"b")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(nat === ref)
+    // edges: empty either side, null input, duplicate elements count once
+    val edge = Seq(
+      (1L, Seq.empty[Long], Seq(1L, 2L)),
+      (2L, Seq(1L, 1L, 2L), Seq(1L, 1L, 3L)),
+      (3L, null.asInstanceOf[Seq[Long]], Seq(1L)))
+      .toDF("id", "a", "b")
+      .select($"id", graft.functions.TextExpressions.intersectCount(spark, $"a", $"b"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(edge === Map(1L -> Some(0L), 2L -> Some(1L), 3L -> None))
+  }
+
+  test("LshBandKeysExpr: identical signatures share all keys, band index separates") {
+    val sigA = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
+    val sigB = Seq(1L, 2L, 3L, 4L, 99L, 6L, 7L, 8L) // band 1 of 2 differs
+    val df = Seq((1L, sigA), (2L, sigA), (3L, sigB)).toDF("id", "sig")
+      .select($"id",
+        graft.functions.TextExpressions.lshBandKeysLong(spark, $"sig", 2, 4).as("bk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(df(1L) === df(2L), "deterministic")
+    assert(df(1L).length === 2)
+    assert(df(1L).head === df(3L).head, "unchanged band agrees")
+    assert(df(1L)(1) !== df(3L)(1), "changed band differs")
+    assert(df(1L).distinct.length === 2, "band index separates equal slot content")
+  }
+
   test("fingerprints: content fingerprint is order/multiplicity invariant") {
     val df = Seq(("x", "b a a c"), ("y", "a b c"), ("z", "a b d")).toDF("id", "t")
       .select($"id", contentFingerprint(tokens($"t")).as("fp"))
