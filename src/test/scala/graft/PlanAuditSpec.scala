@@ -32,4 +32,28 @@ class PlanAuditSpec extends SparkSpec {
         s"queries with an unbroadcast cartesian product: $offenders")
     } finally spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
   }
+
+  test("knnLsh: no shuffle exchange carries the embedding vectors") {
+    // Candidate dedup must move 8-byte ids only — the corpus vectors
+    // reach scoring through a broadcast semi-join probe, never an
+    // exchange (Search.knnLsh's documented scale contract).
+    val d = "/root/testdata/sf0.001"
+    // static plan: AQE wraps the tree in AdaptiveSparkPlanExec, hiding
+    // the exchanges from a plain collect
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try SparkEntry.queries("knn_lsh")(spark, d).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.nonEmpty, "expected the id-dedup exchange to exist")
+    shuffles.foreach { e =>
+      val arrayCols = e.output.filter(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrayCols.isEmpty,
+        s"shuffle carries array columns ${arrayCols.map(_.name)} — vectors must not cross an exchange")
+    }
+  }
 }
