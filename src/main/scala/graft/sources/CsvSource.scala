@@ -63,11 +63,17 @@ object CsvSource {
     * mapping `yyyy-MM-dd HH:mm:ss||yyyy-MM-dd||epoch_millis` for
     * `yayinlanma_tarihi` (`upload_features_to_elasticsearch.py:40`): try
     * the full datetime, then the bare date, then an epoch-millis integer;
-    * anything else is NULL, never an error. Pure `try_*` Columns → stays
-    * inside whole-stage codegen, no per-row exception control flow. */
+    * anything else is NULL, never an error. Each format is gated by a
+    * shape regex so a non-matching string short-circuits to NULL instead
+    * of paying `try_to_timestamp`'s exception-driven failure path — on a
+    * mixed-format column most rows fail most formats, so the guard is
+    * the difference between regex-speed and exception-speed per miss
+    * (the guards accept exactly what the strict CORRECTED parser would:
+    * zero-padded, full-width fields). */
   def parseDate(c: Column): Column = coalesce(
-    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
-    try_to_timestamp(c, lit("yyyy-MM-dd")),
+    try_to_timestamp(when(c.rlike("^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$"), c),
+      lit("yyyy-MM-dd HH:mm:ss")),
+    try_to_timestamp(when(c.rlike("^\\d{4}-\\d{2}-\\d{2}$"), c), lit("yyyy-MM-dd")),
     timestamp_millis(when(c.rlike("^-?[0-9]+$"), c).try_cast("long")))
 
   /** CSV sink with header, one directory per table (S3). */
