@@ -54,7 +54,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => PqEncodeExpr(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue())),
     ("graft_pq_adc",
       "_FUNC_(codes, lut, ks) - asymmetric-distance score of PQ codes against a query LUT",
-      es => PqAdcExpr(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue())))
+      es => PqAdcExpr(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue())),
+    ("graft_minhash_hashes",
+      "_FUNC_(hashes, k) - k-slot MinHash signature over pre-hashed set elements (e.g. shingle hashes)",
+      es => MinHashSigFromHashesExpr(es(0), es(1).eval().asInstanceOf[Number].intValue())),
+    ("graft_lsh_band_keys",
+      "_FUNC_(sig, bands, rows) - 8-byte LSH band keys of a MinHash signature",
+      es => LshBandKeysExpr(es(0), es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue())),
+    ("graft_intersect_count",
+      "_FUNC_(a, b) - |A intersect B| of two bigint-array sets without materializing the intersection",
+      es => ArrayLongIntersectCountExpr(es(0), es(1))),
+    ("graft_pii_scrub",
+      "_FUNC_(text, emailRe, ipRe, phoneRe) - struct(n_emails, n_ips, n_phones, redacted): counts on the original text, sequential replacement",
+      es => PiiScrubExpr(es(0),
+        es(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+        es(2).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+        es(3).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, usage, builder) =>

@@ -35,7 +35,14 @@ class GraftExtensionsSpec extends SparkSpec {
                   graft_top_tok_count(array('a','b','a','a')) AS ttc,
                   graft_pq_encode(array(1.0D, 0.0D),
                     array(array(1.0D), array(0.0D), array(0.0D), array(1.0D)), 2) AS pqc,
-                  graft_pq_adc(array(0, 1), array(0.5D, 0.25D, 0.125D, 0.0625D), 2) AS adc
+                  graft_pq_adc(array(0, 1), array(0.5D, 0.25D, 0.125D, 0.0625D), 2) AS adc,
+                  size(graft_minhash_hashes(array(1L, 2L, 3L), 8)) AS mhh,
+                  size(graft_lsh_band_keys(array(1L, 2L, 3L, 4L), 2, 2)) AS nbk,
+                  graft_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS ic,
+                  graft_pii_scrub('mail a@b.co now',
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                    '\\+\\d{7,15}') AS pii
         """).head()
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
       assert(math.abs(r.getDouble(1) - 11.0) < 1e-12)
@@ -50,6 +57,12 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(r.getSeq[Int](10) === Seq(0, 0), "PQ encode via pure SQL")
       // ADC: code 0 of subspace 0 → lut(0)=0.5; code 1 of subspace 1 → lut(2+1)=0.0625
       assert(math.abs(r.getDouble(11) - 0.5625) < 1e-12, "PQ ADC via pure SQL")
+      assert(r.getInt(12) === 8, "minhash-over-hashes via pure SQL")
+      assert(r.getInt(13) === 2, "LSH band keys via pure SQL")
+      assert(r.getLong(14) === 2L, "intersect count via pure SQL")
+      val pii = r.getStruct(15)
+      assert(pii.getLong(0) === 1L && pii.getString(3) === "mail <EMAIL> now",
+        "PII scrub via pure SQL")
       // DESCRIBE FUNCTION surfaces the injected usage docs
       val desc = ext.sql("DESCRIBE FUNCTION graft_cosine")
         .collect().map(_.getString(0)).mkString("\n")
