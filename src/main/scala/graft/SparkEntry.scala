@@ -30,8 +30,11 @@ object SparkEntry {
 
   /** Register every named query as a temp view over `sfDir`, alongside the
     * base tables — the complete engine surface from pure SQL:
-    * `spark.sql("SELECT * FROM knn_whole")`. Views are lazy: nothing runs
-    * until queried. */
+    * `spark.sql("SELECT * FROM knn_whole")`. Views are lazy — nothing runs
+    * until queried — except the few bindings that materialize an index or
+    * an Observation during CONSTRUCTION (`knn_ivfpq*` builds/caches the
+    * at-rest index, `pipeline_curate_counters` runs the observed job to
+    * read its accumulators). */
   def registerQueryViews(spark: SparkSession, sfDir: String): Unit = {
     Tables.registerTables(spark, sfDir)
     queries.foreach { case (name, fn) => fn(spark, sfDir).createOrReplaceTempView(name) }

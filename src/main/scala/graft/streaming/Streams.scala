@@ -137,7 +137,7 @@ object Streams {
     * `ts` keeps the WATERMARK-TAGGED timestamp column alive into the
     * grouped Dataset — event-time timeout requires it downstream. (Not
     * `private`: encoder codegen needs the class accessible.) */
-  case class BandPost(band: String, doc_id: Long, sig: Seq[Long],
+  case class BandPost(band: Long, doc_id: Long, sig: Seq[Long],
       ts: java.sql.Timestamp, ts_ms: Long)
 
   /** One emitted near-dup candidate: `doc_a` < `doc_b`, `est` = fraction
@@ -183,8 +183,10 @@ object Streams {
     val posts = df
       .withWatermark(tsCol, s"$delayMinutes minutes")
       .withColumn("__sig", sig)
+      // numeric band keys: the state store and its shuffle key by an
+      // 8-byte hash instead of a concat'd string (same batch-side rule)
       .withColumn("__band", explode(
-        graft.functions.TextFunctions.lshBandKeys(col("__sig"), bands, k / bands)))
+        graft.functions.TextExpressions.lshBandKeysLong(s, col("__sig"), bands, k / bands)))
       .select(col("__band").as("band"), col(idCol).as("doc_id"),
         col("__sig").as("sig"), col(tsCol).as("ts"),
         unix_millis(col(tsCol)).as("ts_ms"))
