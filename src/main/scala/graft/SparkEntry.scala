@@ -37,6 +37,14 @@ object SparkEntry {
     * read its accumulators). */
   def registerQueryViews(spark: SparkSession, sfDir: String): Unit = {
     Tables.registerTables(spark, sfDir)
-    queries.foreach { case (name, fn) => fn(spark, sfDir).createOrReplaceTempView(name) }
+    // per-view isolation: one binding failing to CONSTRUCT (e.g. an
+    // eager index build hitting an unwritable scratch dir) must not
+    // abort registration of the other ~90 views
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).createOrReplaceTempView(name)
+      catch { case e: Exception =>
+        System.err.println(s"[graft] view '$name' not registered: ${e.getMessage}")
+      }
+    }
   }
 }

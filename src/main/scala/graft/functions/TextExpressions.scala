@@ -139,12 +139,19 @@ case class LshBandKeysExpr(child: Expression, bands: Int, rows: Int)
 
   override def nullSafeEval(v: Any): Any = {
     val sig = v.asInstanceOf[ArrayData]
+    // fail LOUDLY on a bands/rows/k mismatch: a short signature would
+    // otherwise hash empty slot ranges into one CONSTANT key per tail
+    // band, silently putting every document in a single bucket and
+    // sending the band self-join quadratic over the whole corpus
+    require(sig.numElements() >= bands * rows,
+      s"$prettyName: signature has ${sig.numElements()} slots, " +
+        s"bands*rows = ${bands * rows} required")
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
       var acc = 42L
       var j = b * rows
-      val end = math.min((b + 1) * rows, sig.numElements())
+      val end = (b + 1) * rows
       while (j < end) { acc = XXH64.hashLong(sig.getLong(j), acc); j += 1 }
       out(b) = XXH64.hashInt(b, acc)
       b += 1
@@ -297,7 +304,10 @@ case class TopTokenCountExpr(child: Expression) extends TokenArrayExpression {
   * stage scoring tens of thousands of candidate pairs against ~400-element
   * shingle sets, the allocation is the cost. Inputs are treated as sets
   * (duplicates in either side count once, matching array_intersect's
-  * distinct semantics on pre-deduped inputs). Null array → null. */
+  * distinct semantics on pre-deduped inputs). Null array → null. Null
+  * ELEMENTS are skipped — unlike `array_intersect`, which counts a null
+  * present on both sides as one intersecting element; the graft callers
+  * all feed containsNull=false shingle arrays where the two agree. */
 case class ArrayLongIntersectCountExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with CodegenFallback {
@@ -537,10 +547,14 @@ case class PiiScrubExpr(child: Expression, emailRe: String, ipRe: String,
   override def nullSafeEval(v: Any): Any = {
     val s0 = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
     val (nEmails, s1) = countAndReplace(emailP, s0, "<EMAIL>")
-    val nIps = countOnly(ipP, s0)
-    val (_, s2) = countAndReplace(ipP, s1, "<IP>")
-    val nPhones = countOnly(phoneP, s0)
-    val (_, s3) = countAndReplace(phoneP, s2, "<PHONE>")
+    // counts are defined on the ORIGINAL text; when the prior passes
+    // changed nothing the replace scan's own count IS that count, so the
+    // separate count scan is skipped — this is what makes a clean row
+    // cost 3 scans (email/ip/phone once each), not 5
+    val (nIpRepl, s2) = countAndReplace(ipP, s1, "<IP>")
+    val nIps = if (s1 eq s0) nIpRepl else countOnly(ipP, s0)
+    val (nPhoneRepl, s3) = countAndReplace(phoneP, s2, "<PHONE>")
+    val nPhones = if (s2 eq s0) nPhoneRepl else countOnly(phoneP, s0)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](nEmails, nIps, nPhones,
         org.apache.spark.unsafe.types.UTF8String.fromString(s3)))

@@ -111,6 +111,21 @@ object TextFunctions {
         xxhash64(concat_ws(",", transform(slice(sig, b * rows + 1, lit(rows)), _.cast("string"))))
           .cast("string")))
 
+  /** Numeric band keys for a BIT-PACKED 64-bit signature (SimHash /
+    * hyperplane LSH): band i = `(i << width) | bits[i*width, (i+1)*width)`
+    * — 8 bytes through the band exchange, no per-row string building.
+    * The single definition all three banded paths (SimHash pairs,
+    * embedding LSH pairs, SRP-LSH kNN) share, so their keyspaces cannot
+    * drift apart. `bands * width` must be ≤ 64 and `width` ≤ 32. */
+  def packedBandKeys(sig: Column, bands: Int, width: Int): Seq[Column] = {
+    require(bands > 0 && width > 0 && width <= 32 && bands * width <= 64,
+      s"invalid banding: bands=$bands width=$width")
+    val mask = (1L << width) - 1L
+    (0 until bands).map(i =>
+      shiftright(sig, i * width).bitwiseAND(lit(mask))
+        + lit(i.toLong * (mask + 1L)))
+  }
+
   /** 64-bit SimHash over tokens: bit j of result = sign of
     * Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Formulated bit-major
     * (outer loop over the 64 bit positions, inner filter over tokens):

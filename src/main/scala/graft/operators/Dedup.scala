@@ -220,16 +220,12 @@ object Dedup {
       bands: Int = 4, maxHamming: Int = 16): DataFrame = {
     val s = df.sparkSession
     val width = 64 / bands
-    val mask = (1L << width) - 1L
     val sh = df.select(id.as("doc_id"), block.as("blk"),
       TextExpressions.simhash64(s, tokens(text)).as("sim"))
-    // numeric band key: (band index << width) | band bits, folded with the
+    // numeric band key ([[TextFunctions.packedBandKeys]]) folded with the
     // block via xxhash64 — 8 bytes through the band exchange, no strings
-    val bandCols = (0 until bands).map(i =>
-      shiftright(col("sim"), i * width).bitwiseAND(lit(mask))
-        + lit(i.toLong * (mask + 1L)))
     val banded = sh.select(col("doc_id"), col("sim"), col("blk"),
-        explode(array(bandCols: _*)).as("bk"))
+        explode(array(packedBandKeys(col("sim"), bands, width): _*)).as("bk"))
       .select(col("doc_id"), col("sim"),
         xxhash64(col("blk"), col("bk")).as("band"))
     banded.as("x").join(banded.as("y"), col("x.band") === col("y.band"))
@@ -401,16 +397,13 @@ object Dedup {
       maxBandFreq: Int = 0): DataFrame = {
     val s = df.sparkSession
     val width = nbits / bands
-    val mask = (1L << width) - 1L
     val base = df.select(id.as("__vid"), vec.as("__v"))
     val sigs = base.select(col("__vid"),
       TextExpressions.hyperplaneSig(s, col("__v"), nbits).as("sig"))
-    // numeric band key: (band index << width) | band bits — 8 bytes
+    // numeric band key ([[TextFunctions.packedBandKeys]]) — 8 bytes
     // through the band exchange, no per-row string building
-    val bandCols = (0 until bands).map(i =>
-      shiftright(col("sig"), i * width).bitwiseAND(lit(mask))
-        + lit(i.toLong * (mask + 1L)))
-    val allBanded = sigs.select(col("__vid"), explode(array(bandCols: _*)).as("band"))
+    val allBanded = sigs.select(col("__vid"),
+      explode(array(packedBandKeys(col("sig"), bands, width): _*)).as("band"))
     val banded =
       if (maxBandFreq > 0)
         allBanded.withColumn("_df", count(lit(1)).over(Window.partitionBy("band")))
@@ -498,13 +491,15 @@ object Dedup {
     * candidate generators agree through verification. */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val docs = blocked(s, d)
-    // bands=8 (8-bit bands): pigeonhole finds every pair within hamming 8
-    // — the default 4×16-bit banding missed 11 of the 77 jac ≥ 0.89 pairs
-    // at sf0.1 (their token simhashes differ by up to 10 bits, and a clean
-    // 16-bit band isn't guaranteed above hamming 3). maxHamming=12 (the
-    // observed true-pair max 10 + margin) is the cheap prefilter that
-    // keeps the verify join to ~56k candidates instead of the 161k that
-    // pile up at hamming 13-16 on biased simhash bits (5.4 s → 1.3 s).
+    // bands=8 (8-bit bands): pigeonhole GUARANTEES every pair within
+    // hamming 7 (8 bands, ≤7 differing bits ⇒ ≥1 clean band); pairs at
+    // hamming 8-12 are best-effort and empirically all found on this
+    // corpus (pinned: the fixed seed-42 testdata's 77 jac ≥ 0.89 pairs
+    // peak at hamming 10, and the default 4×16-bit banding — guarantee
+    // radius 3 — missed 11 of them). maxHamming=12 (observed max 10 +
+    // margin) is the cheap prefilter that keeps the verify join to ~56k
+    // candidates instead of the 161k that pile up at hamming 13-16 on
+    // biased simhash bits (5.4 s → 1.3 s at sf0.1).
     val cands = simhashPairs(docs, col("doc_id"), col("text"), col("blk"),
       bands = 8, maxHamming = 12)
       .select("doc_a", "doc_b")

@@ -230,10 +230,14 @@ object Retrieval {
   def knnIvfPqExact(s: SparkSession, d: String): DataFrame = {
     val cents = labelCentroids(s, d).select(col("label").as("cid"), col("c"))
     val (dir, book) = ivfPqIndex(s, d)
-    val n = Tables.embeddings(s, d).count() // parquet metadata count — cheap
-    val refine = math.max(1, math.ceil(n / 10.0).toInt)
+    val k = 10
+    // one count job over the (small-metadata) corpus sizes the pool;
+    // refine derives from k so refine·k ≥ N — the exactness invariant —
+    // survives a k change
+    val n = Tables.embeddings(s, d).count()
+    val refine = math.max(1, math.ceil(n.toDouble / k).toInt)
     Search.knnIvfPq(s, s"$dir/idx", col("embedding"), cents, book, ks = 16,
-      q0(s, d), nprobe = Int.MaxValue, k = 10, tie = col("vec_id"),
+      q0(s, d), nprobe = Int.MaxValue, k = k, tie = col("vec_id"),
       refine = refine)
       .select(col("vec_id"), round(col("score"), 6).as("score"))
       .orderBy(desc("score"), asc("vec_id"))

@@ -133,15 +133,11 @@ object Search {
       k: Int, nbits: Int = 64, bands: Int = 8): DataFrame = {
     val s = corpus.sparkSession
     val width = nbits / bands
-    val mask = (1L << width) - 1L
-    def banded(df: DataFrame, sig: Column): DataFrame = {
-      // numeric band key: (band index << width) | band bits — 8 bytes
+    def banded(df: DataFrame, sig: Column): DataFrame =
+      // numeric band key ([[TextFunctions.packedBandKeys]]) — 8 bytes
       // through the semi-join, no per-row string building
-      val bandCols = (0 until bands).map(i =>
-        shiftright(sig, i * width).bitwiseAND(lit(mask))
-          + lit(i.toLong * (mask + 1L)))
-      df.withColumn("band", explode(array(bandCols: _*)))
-    }
+      df.withColumn("band", explode(array(
+        graft.functions.TextFunctions.packedBandKeys(sig, bands, width): _*)))
     val e = corpus.select(id.as("__vid"), vec.as("__v"))
       .withColumn("sig", TextExpressions.hyperplaneSig(s, col("__v"), nbits))
     val qBands = banded(query

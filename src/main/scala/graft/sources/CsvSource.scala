@@ -69,12 +69,15 @@ object CsvSource {
     * mixed-format column most rows fail most formats, so the guard is
     * the difference between regex-speed and exception-speed per miss
     * (the guards accept exactly what the strict CORRECTED parser would:
-    * zero-padded, full-width fields). */
+    * zero-padded, full-width fields). The millis branch caps at 15
+    * digits: beyond ~9.2·10¹⁵ ms `timestamp_millis` overflows the micros
+    * range with an ArithmeticException rather than NULL, which would
+    * break the never-an-error contract on e.g. an epoch-NANOS string. */
   def parseDate(c: Column): Column = coalesce(
     try_to_timestamp(when(c.rlike("^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$"), c),
       lit("yyyy-MM-dd HH:mm:ss")),
     try_to_timestamp(when(c.rlike("^\\d{4}-\\d{2}-\\d{2}$"), c), lit("yyyy-MM-dd")),
-    timestamp_millis(when(c.rlike("^-?[0-9]+$"), c).try_cast("long")))
+    timestamp_millis(when(c.rlike("^-?[0-9]{1,15}$"), c).try_cast("long")))
 
   /** CSV sink with header, one directory per table (S3). */
   def write(df: DataFrame, path: String): Unit =

@@ -136,7 +136,12 @@ object Streams {
   /** Internal row shape for [[nearDupPairsStream]]'s band posting list.
     * `ts` keeps the WATERMARK-TAGGED timestamp column alive into the
     * grouped Dataset — event-time timeout requires it downstream. (Not
-    * `private`: encoder codegen needs the class accessible.) */
+    * `private`: encoder codegen needs the class accessible.)
+    *
+    * `band` became Long (numeric band keys) in r8 — a state-store KEY
+    * SCHEMA change: a streaming query checkpointed under the old String
+    * keys cannot resume against this version (StateSchemaNotCompatible);
+    * restart from a fresh checkpoint. */
   case class BandPost(band: Long, doc_id: Long, sig: Seq[Long],
       ts: java.sql.Timestamp, ts_ms: Long)
 
