@@ -96,7 +96,8 @@ class SourcesSpec extends SparkSpec {
       (2L, "2024-03-05"),           // bare date -> midnight
       (3L, "1709642096123"),        // epoch millis
       (4L, "not-a-date"),           // unparseable -> NULL, no error
-      (5L, null.asInstanceOf[String])
+      (5L, null.asInstanceOf[String]),
+      (6L, "1709642096123456789")   // epoch NANOS: would overflow millis*1000
     ).toDF("id", "raw")
     val out = df.select(col("id"),
         date_format(CsvSource.parseDate(col("raw")), "yyyy-MM-dd HH:mm:ss.SSS")
@@ -106,6 +107,7 @@ class SourcesSpec extends SparkSpec {
     assert(out(2L).contains("2024-03-05 00:00:00.000"))
     assert(out(3L).contains("2024-03-05 12:34:56.123")) // same instant, ms kept
     assert(out(4L).isEmpty && out(5L).isEmpty)
+    assert(out(6L).isEmpty, "out-of-range numeric is NULL, never an error")
   }
 
   test("BinarySource: glob scan, path parts, existence semi-join") {
