@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Etl.queries ++ Analytics.queries ++ Retrieval.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Multimodal.queries ++
-      Skew.queries ++ Joins.queries ++ Pipelines.queries ++ Curation.queries
+      Skew.queries ++ Joins.queries ++ Pipelines.queries ++ Curation.queries ++
+      Lexical.queries
 
   def oracleSql: Map[String, String] =
     Etl.oracleSql ++ Analytics.oracleSql ++ Retrieval.oracleSql ++
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Multimodal.oracleSql ++
-      Skew.oracleSql ++ Joins.oracleSql ++ Pipelines.oracleSql ++ Curation.oracleSql
+      Skew.oracleSql ++ Joins.oracleSql ++ Pipelines.oracleSql ++ Curation.oracleSql ++
+      Lexical.oracleSql
 
   /** Register every named query as a temp view over `sfDir`, alongside the
     * base tables — the complete engine surface from pure SQL:

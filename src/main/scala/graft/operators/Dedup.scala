@@ -530,9 +530,27 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_a"), asc("vec_b")).limit(50)
 
+  /** Oracle-checked face of [[dupClusters]]: exact-Jaccard near-dup pairs
+    * at ≥ 0.35 → connected components → (doc_id, cluster = component min
+    * id, comp_size). DuckDB replays the clustering with a recursive CTE
+    * (transitive reachability, then min per node), so the WHOLE
+    * pairs→components path — not just the pair stage — is hash-checked
+    * against an independent implementation. Chain/diameter behavior is
+    * additionally spec-pinned on synthetic graphs (DedupSpec). */
+  def clustersQ(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardPairs(blocked(s, d), col("doc_id"), col("text"), col("blk"))
+      .filter(col("jac") >= 0.35)
+    val cl = dupClusters(pairs)
+    cl.groupBy("cluster").agg(count(lit(1)).as("comp_size"))
+      .join(cl, "cluster")
+      .select(col("doc_id"), col("cluster"), col("comp_size"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_clusters" -> clustersQ,
     "dedup_embedding" -> embeddingNearDup,
     "dedup_embedding_lsh" -> embeddingNearDupLsh,
     "dedup_minhash_lsh" -> minhashLsh,
@@ -561,6 +579,27 @@ object Dedup {
            CAST(inter AS DOUBLE) / nullif(CAST(na + nb - inter AS DOUBLE), 0.0) AS jac
          FROM pair WHERE inter > 0
          ORDER BY jac DESC, doc_a, doc_b LIMIT 20""",
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, lang || '_' || (n_chars // 100) AS blk,
+           string_split(lower(text), ' ') AS toks FROM documents),
+         sh AS (SELECT doc_id, blk, list_distinct($shSql) AS sh FROM t),
+         rawpair AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+             len(a.sh) AS na, len(b.sh) AS nb
+           FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+         pair AS (SELECT doc_a, doc_b FROM rawpair
+           WHERE CAST(inter AS DOUBLE)
+             / nullif(CAST(na + nb - inter AS DOUBLE), 0.0) >= 0.35),
+         edge AS (SELECT doc_a AS a, doc_b AS b FROM pair
+           UNION SELECT doc_b, doc_a FROM pair
+           UNION SELECT doc_a, doc_a FROM pair
+           UNION SELECT doc_b, doc_b FROM pair),
+         reach(a, b) AS (SELECT a, b FROM edge
+           UNION SELECT r.a, e.b FROM reach r JOIN edge e ON r.b = e.a)
+         SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster,
+           CAST(count(DISTINCT b) AS BIGINT) AS comp_size
+         FROM reach GROUP BY a ORDER BY doc_id""",
     "dedup_embedding" ->
       """WITH pair AS (
            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Lexical (keyword) retrieval and lexical+vector fusion — the portable
+  * replacement for the reference's Elasticsearch relevance scoring.
+  *
+  * The reference's tag search orders hits by ES's BM25 `_score`
+  * (`/root/reference/search_with_segments.py:304-342`,
+  * `/root/reference/app.py:256-293`), which SURVEY.md §6 flags as
+  * unportable: ES relevance depends on shard-local statistics. Here the
+  * same ranking model (Lucene's BM25, the formula ES documents publicly)
+  * is computed EXACTLY from global corpus statistics, so scores are
+  * deterministic and reproducible — and therefore oracle-checkable.
+  *
+  * Scale shape (100 TB corpus, |Q| query terms):
+  *   - corpus stats (N, avgdl) are one map-side-partial aggregate —
+  *     at lake scale these live as precomputed table statistics;
+  *   - postings are restricted to the query terms BEFORE the explode
+  *     (`filter(toks, …)` then `explode`), so the shuffle carries
+  *     O(matching occurrences), never O(corpus tokens);
+  *   - per-term document frequencies are ≤ |Q| rows, broadcast back;
+  *   - the per-document score is a FIXED-ORDER sum over the query terms
+  *     (per-term pivot, then left-to-right addition) so the IEEE result
+  *     is bit-identical to the oracle no matter what order Spark's
+  *     aggregation visits postings in;
+  *   - top-k is orderBy+limit → TakeOrderedAndProject per-partition heaps.
+  */
+object Lexical {
+
+  /** Lucene/ES BM25 constants (the values ES ships with). */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** The deterministic benchmark query (terms present in the corpus
+    * vocabulary; order fixes the score-summation order). */
+  val QueryTerms: Seq[String] = Seq("vector", "stream", "filter")
+
+  /** RRF constant — the value Elasticsearch's hybrid `rank` API uses. */
+  val RrfK = 60
+
+  /** Candidate-list depth for rank fusion: ranks are computed on the
+    * top-`PoolN` retrieved list of each retriever (that is what rank
+    * fusion fuses), never on the corpus — the global row_number window
+    * only ever sees `PoolN` rows. */
+  val PoolN = 50
+
+  /** Per-document BM25 score for `terms` over `documents`:
+    * idf(t)·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), summed per doc in
+    * declaration order of `terms`; idf = ln(1 + (N−df+0.5)/(df+0.5)).
+    * Only documents matching ≥1 term appear. */
+  def bm25Scores(s: SparkSession, d: String,
+      terms: Seq[String] = QueryTerms): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val qarr = array(terms.map(lit): _*)
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("toks"))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(filter(col("toks"), t => array_contains(qarr, t))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("s", col("idf") * col("tf") * lit(K1 + 1.0) /
+        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+    val pivots = terms.map(t => max(when(col("term") === t, col("s"))).as(s"s_$t"))
+    val total = terms.map(t => coalesce(col(s"s_$t"), lit(0.0))).reduceLeft(_ + _)
+    scored.groupBy("doc_id")
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("doc_id"), round(total, 6).as("score"))
+  }
+
+  /** Named query: BM25 top-10 for the benchmark terms. */
+  def bm25Q(s: SparkSession, d: String): DataFrame =
+    bm25Scores(s, d).orderBy(desc("score"), asc("doc_id")).limit(10)
+
+  /** Reciprocal-rank fusion of the BM25 list and the dense-vector kNN
+    * list (doc_id ⟗ vec_id — the synthetic corpus aligns them 1:1):
+    * score = Σ 1/(60+rank), a retriever missing the doc contributes 0.
+    * This is ES's hybrid `rank.rrf` — the fusion the reference would use
+    * if it combined its tag `_score` with its kNN similarity. Ranks are
+    * positions WITHIN each top-`PoolN` retrieved list (rank fusion's
+    * definition), so the unpartitioned row_number window is bounded by
+    * `PoolN`, not the corpus. */
+  def rrfHybrid(s: SparkSession, d: String): DataFrame = {
+    val byLex = Window.orderBy(desc("score"), asc("doc_id"))
+    val lex = bm25Scores(s, d)
+      .orderBy(desc("score"), asc("doc_id")).limit(PoolN)
+      .select(col("doc_id"), row_number().over(byLex).cast("long").as("r_lex"))
+    val q0 = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val byVec = Window.orderBy(desc("cs"), asc("doc_id"))
+    val vec = Search.knnBrute(Tables.embeddings(s, d), col("embedding"),
+        q0, k = PoolN, tie = col("vec_id"))
+      .select(col("vec_id").as("doc_id"), round(col("score"), 6).as("cs"))
+      .select(col("doc_id"), row_number().over(byVec).cast("long").as("r_vec"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_lex"), lit(0L)).as("rank_lex"),
+        coalesce(col("r_vec"), lit(0L)).as("rank_vec"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_vec")), lit(0.0)), 6).as("rrf_score"))
+      .orderBy(desc("rrf_score"), asc("doc_id")).limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_bm25" -> bm25Q,
+    "q6_rrf_hybrid" -> rrfHybrid)
+
+  private def termIn = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+  private def pivotSum = QueryTerms
+    .map(t => s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0)")
+    .mkString(" + ")
+
+  /** The BM25 pipeline as oracle SQL (same fixed-order score sum). */
+  private val bm25Sql =
+    s"""t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl FROM t),
+       tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, term,
+                CAST(count(*) AS DOUBLE) AS tf
+              FROM (SELECT doc_id, toks, unnest(toks) AS term FROM t)
+              WHERE term IN $termIn GROUP BY doc_id, dl, term),
+       dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+       sc AS (SELECT doc_id, term,
+                ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ${K1 + 1.0}
+                  / (tf + $K1 * (${1.0 - B} + $B * dl / avgdl)) AS s
+              FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+       lexs AS (SELECT doc_id, round($pivotSum, 6) AS score FROM sc GROUP BY doc_id)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "search_bm25" ->
+      s"""WITH $bm25Sql
+         SELECT doc_id, score FROM lexs ORDER BY score DESC, doc_id LIMIT 10""",
+    "q6_rrf_hybrid" ->
+      s"""WITH $bm25Sql,
+         lexr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
+                  FROM (SELECT * FROM lexs ORDER BY score DESC, doc_id LIMIT $PoolN)),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         vs AS (SELECT vec_id AS doc_id,
+                  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS cs
+                FROM embeddings, q),
+         vr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cs DESC, doc_id) AS BIGINT) AS r_vec
+                FROM (SELECT * FROM vs ORDER BY cs DESC, doc_id LIMIT $PoolN))
+         SELECT doc_id,
+           coalesce(r_lex, 0) AS rank_lex, coalesce(r_vec, 0) AS rank_vec,
+           round(coalesce(1.0 / ($RrfK + r_lex), 0.0)
+                 + coalesce(1.0 / ($RrfK + r_vec), 0.0), 6) AS rrf_score
+         FROM lexr FULL OUTER JOIN vr USING (doc_id)
+         ORDER BY rrf_score DESC, doc_id LIMIT 10""")
+}

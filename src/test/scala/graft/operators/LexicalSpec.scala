@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BM25 + RRF against an independent driver-side re-implementation, and
+  * the clustersQ face of dupClusters against an in-test union-find. */
+class LexicalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Plain-Scala BM25 over the collected corpus — an independent oracle
+    * for the distributed pipeline (same tokenizer: split(lower, ' ')). */
+  private lazy val expectedBm25: Map[Long, Double] = {
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }
+    val n = toks.length.toDouble
+    val avgdl = toks.map(_._2.size).sum.toDouble / n
+    val terms = Lexical.QueryTerms
+    val dfreq = terms.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+    toks.flatMap { case (id, ts) =>
+      val score = terms.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else {
+          val idf = math.log(1.0 + (n - dfreq(t) + 0.5) / (dfreq(t) + 0.5))
+          idf * tf * (Lexical.K1 + 1.0) /
+            (tf + Lexical.K1 * (1.0 - Lexical.B + Lexical.B * ts.size / avgdl))
+        }
+      }.sum
+      if (score > 0) Some(id -> score) else None
+    }.toMap
+  }
+
+  test("bm25Scores matches a driver-side re-implementation") {
+    val got = Lexical.bm25Scores(spark, sf)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet === expectedBm25.keySet)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - expectedBm25(id)) < 1e-6, s"doc $id")
+    }
+    assert(got.nonEmpty, "benchmark terms must occur in the corpus")
+  }
+
+  test("search_bm25: top-10, descending, deterministic across runs") {
+    val a = Lexical.bm25Q(spark, sf).as[(Long, Double)].collect().toSeq
+    val b = Lexical.bm25Q(spark, sf).as[(Long, Double)].collect().toSeq
+    assert(a === b)
+    assert(a.size === 10)
+    assert(a.map(_._2) === a.map(_._2).sorted.reverse)
+  }
+
+  test("rrfHybrid: ranks bounded by PoolN, score reconstructs from ranks") {
+    val rows = Lexical.rrfHybrid(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows.size === 10)
+    rows.foreach { case (id, rl, rv, s) =>
+      assert(rl >= 0 && rl <= Lexical.PoolN, s"doc $id r_lex")
+      assert(rv >= 0 && rv <= Lexical.PoolN, s"doc $id r_vec")
+      assert(rl > 0 || rv > 0, s"doc $id must be in at least one list")
+      val want =
+        (if (rl > 0) 1.0 / (Lexical.RrfK + rl) else 0.0) +
+        (if (rv > 0) 1.0 / (Lexical.RrfK + rv) else 0.0)
+      assert(math.abs(s - want) < 1e-6, s"doc $id score")
+    }
+    // docs in BOTH lists outrank docs of the same best single rank
+    val scores = rows.map(_._4)
+    assert(scores === scores.sorted.reverse)
+  }
+
+  test("clustersQ matches an in-test union-find over the same pairs") {
+    val pairs = Dedup.jaccardPairs(
+        graft.Tables.documents(spark, sf)
+          .withColumn("blk", concat_ws("_", $"lang", expr("n_chars DIV 100"))),
+        $"doc_id", $"text", $"blk")
+      .filter($"jac" >= 0.35)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSeq
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    val sizes = want.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    val got = Dedup.clustersQ(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(r => r._1 -> r._2).toMap === want)
+    got.foreach { case (id, c, n) => assert(n === sizes(c), s"doc $id comp_size") }
+    assert(got.nonEmpty, "sf0.001 has planted near-dups")
+  }
+}
