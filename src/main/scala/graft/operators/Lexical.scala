@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -50,10 +50,35 @@ object Lexical {
     * only ever sees `PoolN` rows. */
   val PoolN = 50
 
+  /** Shared scoring tail: postings (doc_id, dl, term, tf) ⋈ broadcast
+    * per-term df ⋈ broadcast corpus stats → per-doc fixed-order score
+    * sum. Both the ad-hoc path and the at-rest index path end here, so
+    * their results are bit-identical by construction. */
+  private def score(tf: DataFrame, dfreq: DataFrame, stats: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("s", col("idf") * col("tf") * lit(K1 + 1.0) /
+        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+    val pivots = terms.map(t => max(when(col("term") === t, col("s"))).as(s"s_$t"))
+    val total = terms.map(t => coalesce(col(s"s_$t"), lit(0.0))).reduceLeft(_ + _)
+    scored.groupBy("doc_id")
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("doc_id"), round(total, 6).as("score"))
+  }
+
   /** Per-document BM25 score for `terms` over `documents`:
     * idf(t)·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), summed per doc in
     * declaration order of `terms`; idf = ln(1 + (N−df+0.5)/(df+0.5)).
-    * Only documents matching ≥1 term appear. */
+    * Only documents matching ≥1 term appear.
+    *
+    * Ad-hoc shape: the corpus is scanned twice (matched postings; corpus
+    * stats — the N/avgdl constants a lake deployment precomputes as
+    * table statistics). The at-rest shape that scans neither is
+    * [[bm25FromIndex]]. */
   def bm25Scores(s: SparkSession, d: String,
       terms: Seq[String] = QueryTerms): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -69,19 +94,94 @@ object Lexical {
       .agg(count(lit(1)).cast("double").as("tf"))
     val dfreq = tf.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
-    val scored = tf
-      .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("s", col("idf") * col("tf") * lit(K1 + 1.0) /
-        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
-    val pivots = terms.map(t => max(when(col("term") === t, col("s"))).as(s"s_$t"))
-    val total = terms.map(t => coalesce(col(s"s_$t"), lit(0.0))).reduceLeft(_ + _)
-    scored.groupBy("doc_id")
-      .agg(pivots.head, pivots.tail: _*)
-      .select(col("doc_id"), round(total, 6).as("score"))
+    score(tf, dfreq, stats, terms)
   }
+
+  // --- At-rest inverted index — the 100 TB serving path ---------------------
+
+  /** Postings-list bucket count. Serving reads `|Q|/buckets` of the index
+    * via partition pruning; real deployments size this so one bucket ≈
+    * one HDFS block per executor wave. */
+  val IndexBuckets = 64
+
+  /** Write the inverted index: postings (doc_id, dl, term, tf) and the
+    * per-term df table, both hash-partitioned on the term (so a query
+    * term's postings and its df land in ONE partition directory each),
+    * plus the one-row corpus stats. This is the standard search-engine
+    * split — tokenize once at ingest, serve every query after from
+    * term-keyed posting lists; no query ever re-reads the corpus. */
+  def writeInvertedIndex(docs: DataFrame, id: Column, text: Column,
+      dir: String, buckets: Int = IndexBuckets): Unit = {
+    val toks = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+    val posts = toks
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+    posts.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    posts.groupBy("bucket", "term")
+      .agg(count(lit(1)).cast("double").as("df"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
+    toks.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(size(col("toks"))).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** BM25 served from a [[writeInvertedIndex]] layout: the query terms'
+    * bucket ids become PartitionFilters (≤ |Q| of `buckets` directories
+    * read) and the term equality a PushedFilter inside them — corpus
+    * text is never touched. Bit-identical to [[bm25Scores]] (shared
+    * [[score]] tail; parity spec-pinned). */
+  def bm25FromIndex(s: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms,
+      buckets: Int = IndexBuckets): DataFrame = {
+    // bucket ids of the query terms, via the same xxhash64 — one job
+    // over a |Q|-row local relation, no index read
+    import s.implicits._
+    val bIds = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .distinct().as[Long].collect().toSeq
+    val posts = s.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bIds: _*) && col("term").isin(terms: _*))
+      .select("doc_id", "dl", "term", "tf")
+    val dfreq = s.read.parquet(s"$dir/terms")
+      .filter(col("bucket").isin(bIds: _*) && col("term").isin(terms: _*))
+      .select("term", "df")
+    val stats = s.read.parquet(s"$dir/stats")
+    score(posts, dfreq, stats, terms)
+  }
+
+  /** Per-JVM index cache (same pattern as the IVFADC cache in
+    * [[Retrieval]]): the testdata dirs are immutable, so one build
+    * serves all Bench reps — the measured number is the SERVING path —
+    * and scratch dirs don't accumulate (one per sfDir, removed on JVM
+    * exit). */
+  private val idxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      idxCache.values.forEach { dir =>
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+        }
+        rm(new java.io.File(dir))
+      }
+    }))
+  }
+
+  private def index(s: SparkSession, d: String): String =
+    idxCache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+      writeInvertedIndex(Tables.documents(s, d), col("doc_id"), col("text"), s"$tmp/idx")
+      s"$tmp/idx"
+    })
+
+  /** Named query: [[bm25Q]] answered from the at-rest index — shares
+    * `search_bm25`'s oracle, so the whole index write/read/serve path is
+    * hash-checked against the corpus-scan formulation. */
+  def bm25IdxQ(s: SparkSession, d: String): DataFrame =
+    bm25FromIndex(s, index(s, d))
+      .orderBy(desc("score"), asc("doc_id")).limit(10)
 
   /** Named query: BM25 top-10 for the benchmark terms. */
   def bm25Q(s: SparkSession, d: String): DataFrame =
@@ -119,6 +219,7 @@ object Lexical {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_bm25" -> bm25Q,
+    "search_bm25_idx" -> bm25IdxQ,
     "q6_rrf_hybrid" -> rrfHybrid)
 
   private def termIn = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
@@ -143,6 +244,9 @@ object Lexical {
 
   val oracleSql: Map[String, String] = Map(
     "search_bm25" ->
+      s"""WITH $bm25Sql
+         SELECT doc_id, score FROM lexs ORDER BY score DESC, doc_id LIMIT 10""",
+    "search_bm25_idx" ->
       s"""WITH $bm25Sql
          SELECT doc_id, score FROM lexs ORDER BY score DESC, doc_id LIMIT 10""",
     "q6_rrf_hybrid" ->

@@ -71,6 +71,34 @@ class LexicalSpec extends SparkSpec {
     assert(scores === scores.sorted.reverse)
   }
 
+  test("bm25FromIndex: bit-identical to the corpus scan, bucket filter prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("lex_idx").toString
+    try {
+      Lexical.writeInvertedIndex(
+        graft.Tables.documents(spark, sf), $"doc_id", $"text", s"$dir/idx")
+      val served = Lexical.bm25FromIndex(spark, s"$dir/idx")
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters:") && plan.contains("bucket"),
+        s"query-term buckets must be partition filters:\n$plan")
+      assert(plan.contains("PushedFilters:") && plan.contains("term"),
+        s"term equality must push into the pruned partitions:\n$plan")
+      val a = served.as[(Long, Double)].collect().toMap
+      val b = Lexical.bm25Scores(spark, sf).as[(Long, Double)].collect().toMap
+      assert(a === b, "index serving must equal the corpus-scan formulation")
+      // pruning is meaningful: the layout has far more bucket dirs than
+      // the ≤|Q| the PartitionFilters admit
+      val total = new java.io.File(s"$dir/idx/postings").listFiles()
+        .count(_.getName.startsWith("bucket="))
+      assert(total > Lexical.QueryTerms.size,
+        s"index must have more buckets than query terms (got $total)")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("clustersQ matches an in-test union-find over the same pairs") {
     val pairs = Dedup.jaccardPairs(
         graft.Tables.documents(spark, sf)
