@@ -127,9 +127,80 @@ object Lexical {
     posts.groupBy("bucket", "term")
       .agg(count(lit(1)).cast("double").as("df"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
+    // sum_dl rides along so incremental appends can recombine the average
+    // EXACTLY (token counts are integers, so double sums are exact and
+    // avgdl = sum/n reproduces the full-rebuild division bit for bit)
     toks.agg(count(lit(1)).cast("double").as("n_docs"),
-        avg(size(col("toks"))).as("avgdl"))
+        avg(size(col("toks"))).as("avgdl"),
+        sum(size(col("toks"))).cast("double").as("sum_dl"))
       .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Crash-safe table rewrite (the Compact swap pattern): stage the new
+    * contents (the staging job may still READ `path` — it is untouched
+    * until the job commits), vacate, rename in; on entry self-heal a
+    * crash between the renames from `__old`. */
+  private def swapWrite(s: SparkSession, path: String)(write: String => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val oldP = new org.apache.hadoop.fs.Path(path + "__old")
+    val tmpP = new org.apache.hadoop.fs.Path(path + "__staging")
+    if (!f.exists(p) && f.exists(oldP)) f.rename(oldP, p)
+    f.delete(tmpP, true); f.delete(oldP, true)
+    write(tmpP.toString)
+    f.rename(p, oldP); f.rename(tmpP, p); f.delete(oldP, true)
+  }
+
+  /** Append a batch of NEW documents (doc_ids disjoint from the indexed
+    * corpus — the contract of an ingest increment) to an existing index:
+    * postings append into their bucket directories (new doc_ids touch no
+    * existing row, so appending files IS the merge), while the two small
+    * derived tables — per-term df and corpus stats — are recombined by
+    * exact integer-in-double sums and swapped in crash-safely. Serving
+    * from an appended index is bit-identical to a full rebuild
+    * (spec-pinned), because every aggregate the scorer reads is
+    * order-independent.
+    *
+    * Atomicity caveat, stated honestly: the three updates (postings
+    * append, terms swap, stats swap) are individually durable but not
+    * jointly atomic — a crash between them leaves df/stats stale w.r.t.
+    * the appended postings, and the recovery is re-running the batch's
+    * derived-table merge (or a full [[writeInvertedIndex]] rebuild).
+    * Production lakes put exactly this multi-file commit under a table
+    * format's MVCC (Iceberg/Delta); the operator keeps the layout
+    * format-agnostic. */
+  def appendToIndex(docs: DataFrame, id: Column, text: Column,
+      dir: String, buckets: Int = IndexBuckets): Unit = {
+    val s = docs.sparkSession
+    val toks = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+    val posts = toks
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        posexplode(col("toks")).as(Seq("pos", "term")))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .localCheckpoint() // one computation feeds both the append and the df merge
+    posts.write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+    val newDf = posts.groupBy("bucket", "term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val mergedTerms = s.read.parquet(s"$dir/terms")
+      .select("bucket", "term", "df").unionByName(newDf)
+      .groupBy("bucket", "term").agg(sum("df").as("df"))
+    swapWrite(s, s"$dir/terms") { tmp =>
+      mergedTerms.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    }
+    val newStats = toks.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(size(col("toks"))).cast("double").as("sum_dl"))
+    val merged = s.read.parquet(s"$dir/stats")
+      .select(col("n_docs"), col("sum_dl"))
+      .unionByName(newStats)
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .select(col("n_docs"), (col("sum_dl") / col("n_docs")).as("avgdl"), col("sum_dl"))
+    swapWrite(s, s"$dir/stats") { tmp =>
+      merged.write.mode("overwrite").parquet(tmp)
+    }
   }
 
   /** BM25 served from a [[writeInvertedIndex]] layout: the query terms'

@@ -125,6 +125,36 @@ class LexicalSpec extends SparkSpec {
     }
   }
 
+  test("appendToIndex: build half + append half serves bit-identical to a full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("lex_incr").toString
+    try {
+      val docs = graft.Tables.documents(spark, sf)
+      val cut = 250L
+      Lexical.writeInvertedIndex(
+        docs.filter($"doc_id" < cut), $"doc_id", $"text", s"$dir/incr")
+      Lexical.appendToIndex(
+        docs.filter($"doc_id" >= cut), $"doc_id", $"text", s"$dir/incr")
+      Lexical.writeInvertedIndex(docs, $"doc_id", $"text", s"$dir/full")
+      val a = Lexical.bm25FromIndex(spark, s"$dir/incr")
+        .as[(Long, Double)].collect().toMap
+      val b = Lexical.bm25FromIndex(spark, s"$dir/full")
+        .as[(Long, Double)].collect().toMap
+      assert(a === b, "BM25 from the appended index must equal the full rebuild")
+      val pa = Lexical.phraseFromIndex(spark, s"$dir/incr")
+        .as[(Long, Long)].collect().toMap
+      val pb = Lexical.phraseFromIndex(spark, s"$dir/full")
+        .as[(Long, Long)].collect().toMap
+      assert(pa === pb, "phrase counts from the appended index must equal the full rebuild")
+      // both halves really contributed
+      assert(a.keys.exists(_ < cut) && a.keys.exists(_ >= cut))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("clustersQ matches an in-test union-find over the same pairs") {
     val pairs = Dedup.jaccardPairs(
         graft.Tables.documents(spark, sf)
