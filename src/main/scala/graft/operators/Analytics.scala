@@ -321,6 +321,23 @@ object Analytics {
     * year and a grand total. The reference has no grouping-sets notion
     * (SURVEY.md §2.4); Spark's rollup is a single pass emitting all
     * grouping levels (one Expand + one aggregate, not three jobs). */
+  /** Bivariate dependence stats per group — corr/covariance/stddevs in ONE
+    * grouped pass. Both engines use centered (Welford-merged) co-moment
+    * aggregates, which avoid the catastrophic cancellation of the naive
+    * E[xy]−E[x]E[y] sums — that is what keeps the cross-engine values
+    * equal at 6 decimals; map-side partial co-moments merge
+    * associatively, so the shuffle carries one small state per
+    * (partition, group). */
+  def corrStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("covar_qty_price"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(stddev_samp(col("l_extendedprice")), 6).as("sd_price"))
+      .orderBy("l_returnflag")
+
   def rollupCounts(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .rollup(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
@@ -389,6 +406,7 @@ object Analytics {
     "win_running_sum" -> winRunningSum,
     "win_lag_delta" -> winLagDelta,
     "agg_rollup" -> rollupCounts,
+    "agg_corr" -> corrStats,
     "agg_profile" -> profile,
     "agg_quantiles" -> aggQuantiles,
     "evt_tumbling" -> evtTumbling,
@@ -525,6 +543,13 @@ object Analytics {
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, count(*) AS n
          FROM orders GROUP BY ROLLUP (yr, mo)
          ORDER BY yr NULLS FIRST, mo NULLS FIRST""",
+    "agg_corr" ->
+      """SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(stddev_samp(l_extendedprice), 6) AS sd_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "win_ntile" ->
       """WITH q AS (SELECT user_id, value,
            ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS quartile
