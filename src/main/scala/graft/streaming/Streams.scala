@@ -442,4 +442,38 @@ object Streams {
       .foreachBatch(sink)
       .start()
   }
+
+  /** Maintain the lexical inverted index from a document stream: the
+    * first micro-batch writes the index, every later one rides
+    * [[graft.operators.Lexical.appendToIndex]] (postings append into
+    * their bucket dirs; df/corpus stats recombine by exact sums behind
+    * crash-safe swaps). Serving from the streamed index is bit-identical
+    * to a full rebuild over everything ingested (spec-pinned) — the
+    * same batch/stream-parity contract as the rest of this surface.
+    *
+    * Batch contract: doc_ids are NEW (an ingest increment, the same
+    * contract as appendToIndex). Exactly-once: the checkpoint replays a
+    * failed batch, and a replayed append would double-count postings —
+    * production puts the append under a table format's MVCC commit; the
+    * operator keeps the layout format-agnostic (same caveat as
+    * appendToIndex, stated there). */
+  def indexIngest(docs: DataFrame, indexDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val statsDir = new org.apache.hadoop.fs.Path(s"$indexDir/stats")
+          val f = statsDir.getFileSystem(
+            batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (f.exists(statsDir))
+            graft.operators.Lexical.appendToIndex(
+              batch, col("doc_id"), col("text"), indexDir)
+          else
+            graft.operators.Lexical.writeInvertedIndex(
+              batch, col("doc_id"), col("text"), indexDir)
+        }
+      }
+      .start()
 }

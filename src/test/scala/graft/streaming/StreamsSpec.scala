@@ -428,6 +428,46 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("indexIngest: streamed index serves bit-identical to a full rebuild") {
+    import graft.operators.Lexical
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_stream").toString
+    val b1 = Seq(
+      (1L, "the vector engine joins a hash join to a stream"),
+      (2L, "filter the stream before the hash join runs"))
+    val b2 = Seq(
+      (3L, "a vector and another vector filter the batch"),
+      (4L, "hash join hash join twice in one doc"))
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.indexIngest(
+      input.toDF().toDF("doc_id", "text"), s"$dir/idx", s"$dir/ckpt")
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      (b1 ++ b2).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/docs")
+      Lexical.writeInvertedIndex(
+        spark.read.parquet(s"$dir/docs"), $"doc_id", $"text", s"$dir/full")
+      val a = Lexical.bm25FromIndex(spark, s"$dir/idx")
+        .as[(Long, Double)].collect().toMap
+      val b = Lexical.bm25FromIndex(spark, s"$dir/full")
+        .as[(Long, Double)].collect().toMap
+      assert(a === b, "streamed BM25 must equal the full rebuild")
+      assert(a.keySet === Set(1L, 2L, 3L), "docs matching the query terms")
+      val pa = Lexical.phraseFromIndex(spark, s"$dir/idx")
+        .as[(Long, Long)].collect().toMap
+      val pb = Lexical.phraseFromIndex(spark, s"$dir/full")
+        .as[(Long, Long)].collect().toMap
+      assert(pa === pb && pa(4L) === 2L,
+        "streamed phrase counts must equal the rebuild, incl. repeats")
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("fileIngest: streaming file source reads the events shape") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     evs.take(3).toDF().write.parquet(s"$dir/in")
