@@ -64,11 +64,37 @@ object TextAnalysis {
         greatest(lit(1L), (size(col("toks")) - 2).cast("long")).as("n_shingles"))
       .orderBy("doc_id")
 
+  /** Corpus vocabulary profile: the top-30 terms by total occurrences,
+    * with document frequency and the share of the token stream each
+    * covers — the Zipf head a tokenizer-training or stopword-curation
+    * pass reads first. One explode + one term-keyed aggregation
+    * (map-side partial, so the shuffle carries one row per
+    * (partition, term), not per occurrence); top-k is a
+    * TakeOrderedAndProject heap. The share divides two exact longs cast
+    * to double, so it hash-matches the oracle bit for bit. */
+  def vocab(s: SparkSession, d: String): DataFrame = {
+    // stream total WITHOUT the explode (sum of array sizes — cheap scan,
+    // broadcast as a 1-row constant); an unpartitioned window over the
+    // vocabulary would serialize on one task at corpus scale
+    val total = Tables.documents(s, d)
+      .agg(sum(size(docToks)).cast("double").as("total_toks"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(docToks).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf_total"),
+        countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(total))
+      .withColumn("token_share", col("tf_total").cast("double") / col("total_toks"))
+      .drop("total_toks")
+      .orderBy(desc("tf_total"), asc("term")).limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_quality" -> quality,
     "txt_langid" -> langId,
     "txt_tokencount" -> tokenCount,
-    "txt_fingerprint" -> fingerprint)
+    "txt_fingerprint" -> fingerprint,
+    "txt_vocab" -> vocab)
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
@@ -116,5 +142,15 @@ object TextAnalysis {
            md5(text) AS fp_exact,
            md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp_bag,
            CAST(CASE WHEN len(toks) < 3 THEN 1 ELSE len(toks) - 2 END AS BIGINT) AS n_shingles
-         FROM t ORDER BY doc_id""")
+         FROM t ORDER BY doc_id""",
+    "txt_vocab" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         total AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS total_toks FROM t),
+         e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         v AS (SELECT term, count(*) AS tf_total, count(DISTINCT doc_id) AS df
+               FROM e GROUP BY term)
+         SELECT term, tf_total, df,
+           CAST(tf_total AS DOUBLE) / total_toks AS token_share
+         FROM v CROSS JOIN total
+         ORDER BY tf_total DESC, term LIMIT 30""")
 }
