@@ -36,7 +36,14 @@ object ScaleBench {
     // round 7: the full oracle-checked hygiene chain (its jaccard near-dup
     // stage must stay clique-bounded on the dup-heavy replicas) and the
     // composed IVFADC build+serve (encode linear, probe pruned).
-    "pipeline_curate_full", "knn_ivfpq")
+    "pipeline_curate_full", "knn_ivfpq",
+    // round 8: the lexical family — BM25 ad-hoc (postings restricted to
+    // query terms), index build+serve (explode/shuffle must stay linear;
+    // the timing is dominated by the build since the per-sfDir cache sees
+    // each scale once), positional phrase (pruned reads + doc_id joins),
+    // and transitive clustering (pairs stay clique-bounded on the
+    // dup-heavy replicas, CC rounds O(log d)).
+    "search_bm25", "search_bm25_idx", "search_phrase", "dedup_clusters")
   private val Reps = 10
   private val IdStride = 10000000L
 
