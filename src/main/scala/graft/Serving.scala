@@ -56,16 +56,17 @@ object Serving {
       case JString(v) => v
       case other => throw new IllegalArgumentException(s"'$name' must be a string, got $other")
     }
-    val tags = fields.get("tags") match {
+    def strList(name: String): Seq[String] = fields.get(name) match {
       case Some(JArray(vs)) => vs.map {
         case JString(v) => v
-        case other => throw new IllegalArgumentException(s"tags entries must be strings, got $other")
+        case other => throw new IllegalArgumentException(s"$name entries must be strings, got $other")
       }
       case Some(JString(csv)) => // the reference's comma-separated form field
         csv.split(",").map(_.trim).filter(_.nonEmpty).toList
-      case Some(other) => throw new IllegalArgumentException(s"'tags' must be array or string, got $other")
+      case Some(other) => throw new IllegalArgumentException(s"'$name' must be array or string, got $other")
       case None => Nil
     }
+    val tags = strList("tags")
     val defaults = Retrieval.SearchRequest(mode = "")
     Retrieval.SearchRequest(
       mode = str("mode").getOrElse(
@@ -73,6 +74,7 @@ object Serving {
       k = num("top_k").map(_.toInt).getOrElse(defaults.k),
       queryImageId = num("query_image_id").map(_.toLong).getOrElse(defaults.queryImageId),
       tags = tags,
+      terms = strList("terms"),
       minConf = num("min_conf").getOrElse(defaults.minConf),
       wWhole = num("whole_weight").getOrElse(defaults.wWhole),
       wSeg = num("segment_weight").getOrElse(defaults.wSeg),
@@ -132,6 +134,7 @@ object SearchCli {
         kv.get("--top-k").map(v => s""""top_k":$v"""),
         kv.get("--query-image-id").map(v => s""""query_image_id":$v"""),
         kv.get("--tags").map(v => s""""tags":${jstr(v)}"""),
+        kv.get("--terms").map(v => s""""terms":${jstr(v)}"""),
         kv.get("--min-conf").map(v => s""""min_conf":$v"""),
         kv.get("--max-segments").map(v => s""""max_segments":$v"""),
         kv.get("--whole-weight").map(v => s""""whole_weight":$v"""),

@@ -312,9 +312,14 @@ object Lexical {
     * positions WITHIN each top-`PoolN` retrieved list (rank fusion's
     * definition), so the unpartitioned row_number window is bounded by
     * `PoolN`, not the corpus. */
-  def rrfHybrid(s: SparkSession, d: String): DataFrame = {
+  def rrfHybrid(s: SparkSession, d: String): DataFrame =
+    rrfHybridK(s, d, QueryTerms, k = 10)
+
+  /** [[rrfHybrid]] with the request knobs exposed (serving dispatch). */
+  def rrfHybridK(s: SparkSession, d: String, terms: Seq[String],
+      k: Int): DataFrame = {
     val byLex = Window.orderBy(desc("score"), asc("doc_id"))
-    val lex = bm25Scores(s, d)
+    val lex = bm25Scores(s, d, terms)
       .orderBy(desc("score"), asc("doc_id")).limit(PoolN)
       .select(col("doc_id"), row_number().over(byLex).cast("long").as("r_lex"))
     val q0 = Tables.embeddings(s, d).filter(col("vec_id") === 0)
@@ -331,7 +336,7 @@ object Lexical {
         round(
           coalesce(lit(1.0) / (lit(RrfK) + col("r_lex")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(RrfK) + col("r_vec")), lit(0.0)), 6).as("rrf_score"))
-      .orderBy(desc("rrf_score"), asc("doc_id")).limit(10)
+      .orderBy(desc("rrf_score"), asc("doc_id")).limit(k)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -458,10 +458,13 @@ object Retrieval {
     * of the same engines. `queryImageId` selects which image supplies the
     * query vectors (the "uploaded image" analog). */
   case class SearchRequest(
-      mode: String, // "whole" | "segment" | "hybrid" | "tags"
+      mode: String, // "whole" | "segment" | "hybrid" | "tags" | "lexical" | "rrf"
       k: Int = 10,
       queryImageId: Long = 0L,
       tags: Seq[String] = Nil,
+      // query terms for the beyond-reference lexical/rrf modes (the text
+      // the reference would type into its ES match box)
+      terms: Seq[String] = Nil,
       minConf: Double = 0.1,
       wWhole: Double = 0.4,
       wSeg: Double = 0.6,
@@ -501,8 +504,15 @@ object Retrieval {
           qSegs = qSegs, k = req.k, wWhole = req.wWhole, wSeg = req.wSeg)
       case "tags" =>
         Search.tagSearch(segs(s, d), req.tags, req.minConf, req.k)
+      case "lexical" => // beyond-reference: deterministic BM25 (portable ES _score)
+        require(req.terms.nonEmpty, "lexical mode needs non-empty 'terms'")
+        Lexical.bm25Scores(s, d, req.terms)
+          .orderBy(desc("score"), asc("doc_id")).limit(req.k)
+      case "rrf" => // beyond-reference: ES-style hybrid rank fusion
+        require(req.terms.nonEmpty, "rrf mode needs non-empty 'terms'")
+        Lexical.rrfHybridK(s, d, req.terms, req.k)
       case other => throw new IllegalArgumentException(
-        s"unknown search mode '$other' (expected whole|segment|hybrid|tags)")
+        s"unknown search mode '$other' (expected whole|segment|hybrid|tags|lexical|rrf)")
     }
   }
 

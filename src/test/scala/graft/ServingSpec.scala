@@ -51,6 +51,18 @@ class ServingSpec extends SparkSpec {
     assert((JsonMethods.parse(bad) \ "error").isInstanceOf[JString])
   }
 
+  test("handle: lexical mode via comma-string terms round-trips the envelope") {
+    val out = Serving.handle(spark, d,
+      """{"mode":"lexical","terms":"hash,merge","top_k":3}""")
+    val parsed = JsonMethods.parse(out)
+    assert((parsed \ "mode") === JString("lexical"))
+    val results = (parsed \ "results").asInstanceOf[JArray].arr
+    assert(results.size === 3)
+    // missing terms → error payload, not an exception
+    val err = Serving.handle(spark, d, """{"mode":"lexical"}""")
+    assert((JsonMethods.parse(err) \ "error").isInstanceOf[JString])
+  }
+
   test("health: healthy with vector count on real data, unhealthy JSON on bad dir") {
     val ok = JsonMethods.parse(Serving.health(spark, d))
     assert((ok \ "status") === JString("healthy"))

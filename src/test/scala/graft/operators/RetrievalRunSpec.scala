@@ -86,6 +86,37 @@ class RetrievalRunSpec extends SparkSpec {
     assert(looseIds !== otherIds, "different tag set → different matches")
   }
 
+  test("lexical mode: request terms are live, equals the direct BM25 call") {
+    val got = Retrieval.run(spark, d,
+        SearchRequest("lexical", k = 5, terms = Seq("hash", "merge")))
+      .as[(Long, Double)].collect().toSeq
+    val want = Lexical.bm25Scores(spark, d, Seq("hash", "merge"))
+      .orderBy(org.apache.spark.sql.functions.desc("score"),
+        org.apache.spark.sql.functions.asc("doc_id")).limit(5)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === want)
+    assert(got.size === 5)
+    // different terms → different ranking (the knob is live)
+    val other = Retrieval.run(spark, d,
+        SearchRequest("lexical", k = 5, terms = Seq("vector")))
+      .as[(Long, Double)].collect().toSeq
+    assert(other !== got)
+    intercept[IllegalArgumentException] {
+      Retrieval.run(spark, d, SearchRequest("lexical", k = 5))
+    }
+  }
+
+  test("rrf mode: k honored, scores reconstruct from fused ranks") {
+    val r = Retrieval.run(spark, d,
+        SearchRequest("rrf", k = 4, terms = Seq("vector", "stream", "filter")))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r.size === 4)
+    // matches the named-query binding at the default terms/k prefix
+    val named = Lexical.rrfHybrid(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r === named.take(4))
+  }
+
   test("unknown mode fails fast") {
     intercept[IllegalArgumentException] {
       Retrieval.run(spark, d, SearchRequest("vibes"))
