@@ -44,4 +44,12 @@ class PushdownAuditSpec extends SparkSpec {
     assert(docScans.forall(l => !l.matches(".*ReadSchema.*(lang|source|n_chars).*")),
       s"token count needs doc_id+text only:\n${docScans.mkString("\n")}")
   }
+
+  test("search_bm25: corpus scans decode doc_id+text only") {
+    val s = scans(graft.operators.Lexical.bm25Q(spark, d))
+    val docScans = s.filter(_.contains("documents.parquet"))
+    assert(docScans.nonEmpty)
+    assert(docScans.forall(l => !l.matches(".*ReadSchema.*(lang|source|n_chars).*")),
+      s"BM25 needs doc_id+text only:\n${docScans.mkString("\n")}")
+  }
 }
