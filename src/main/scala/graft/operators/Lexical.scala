@@ -63,12 +63,24 @@ object Lexical {
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .withColumn("s", col("idf") * col("tf") * lit(K1 + 1.0) /
         (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
-    val pivots = terms.map(t => max(when(col("term") === t, col("s"))).as(s"s_$t"))
-    val total = terms.map(t => coalesce(col(s"s_$t"), lit(0.0))).reduceLeft(_ + _)
+    // pivot columns are aliased by INDEX, not term text — user-supplied
+    // terms may contain '.', '`', or duplicates, any of which would break
+    // attribute resolution if embedded in a column name
+    val pivots = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("s"))).as(s"s_$i")
+    }
+    val total = terms.indices.map(i => coalesce(col(s"s_$i"), lit(0.0)))
+      .reduceLeft(_ + _)
     scored.groupBy("doc_id")
       .agg(pivots.head, pivots.tail: _*)
       .select(col("doc_id"), round(total, 6).as("score"))
   }
+
+  /** Query-side analyzer — the SAME normalization [[tokens]] applies to
+    * documents (ES runs its analyzer over the query too; without this,
+    * "Vector" silently scores zero against a lowercased index). */
+  private def analyze(terms: Seq[String]): Seq[String] =
+    terms.map(_.trim.toLowerCase).filter(_.nonEmpty)
 
   /** Per-document BM25 score for `terms` over `documents`:
     * idf(t)·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), summed per doc in
@@ -80,7 +92,9 @@ object Lexical {
     * table statistics). The at-rest shape that scans neither is
     * [[bm25FromIndex]]. */
   def bm25Scores(s: SparkSession, d: String,
-      terms: Seq[String] = QueryTerms): DataFrame = {
+      rawTerms: Seq[String] = QueryTerms): DataFrame = {
+    val terms = analyze(rawTerms)
+    require(terms.nonEmpty, "BM25 needs at least one non-empty term")
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val qarr = array(terms.map(lit): _*)
@@ -113,16 +127,22 @@ object Lexical {
     * query ever re-reads the corpus. Positions (sorted, 0-based) are
     * what phrase queries ([[phraseFromIndex]]) consume — the same extra
     * ~1 int per occurrence Lucene pays for `match_phrase`. */
-  def writeInvertedIndex(docs: DataFrame, id: Column, text: Column,
-      dir: String, buckets: Int = IndexBuckets): Unit = {
-    val toks = docs.select(id.as("doc_id"), tokens(text).as("toks"))
-    val posts = toks
+  /** The posting-list derivation shared by full build and append — ONE
+    * definition so a layout change can never silently break the
+    * append-equals-rebuild bit-parity contract. */
+  private def postings(toks: DataFrame, buckets: Int): DataFrame =
+    toks
       .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
         posexplode(col("toks")).as(Seq("pos", "term")))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+
+  def writeInvertedIndex(docs: DataFrame, id: Column, text: Column,
+      dir: String, buckets: Int = IndexBuckets): Unit = {
+    val toks = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+    val posts = postings(toks, buckets)
     posts.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
     posts.groupBy("bucket", "term")
       .agg(count(lit(1)).cast("double").as("df"))
@@ -140,12 +160,32 @@ object Lexical {
     * contents (the staging job may still READ `path` — it is untouched
     * until the job commits), vacate, rename in; on entry self-heal a
     * crash between the renames from `__old`. */
+  /** The swap's crash self-heal, callable on its own: a crash between
+    * `rename(p, __old)` and `rename(__staging, p)` leaves only `__old` on
+    * disk, and any EAGER read of `path` (parquet schema resolution) would
+    * fail before reaching the swap that knows how to heal it — so entry
+    * points that read swap-managed tables heal FIRST. */
+  private def healSwap(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val oldP = new org.apache.hadoop.fs.Path(path + "__old")
+    if (!f.exists(p) && f.exists(oldP)) f.rename(oldP, p)
+  }
+
+  /** Heal both swap-managed index tables — for callers that must decide
+    * "does this index exist?" (e.g. the streaming ingest's
+    * rebuild-vs-append probe): without healing first, a crash mid-swap
+    * makes a COMPLETE index look absent and a rebuild would clobber it. */
+  private[graft] def healIndex(s: SparkSession, dir: String): Unit = {
+    healSwap(s, s"$dir/terms"); healSwap(s, s"$dir/stats")
+  }
+
   private def swapWrite(s: SparkSession, path: String)(write: String => Unit): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val oldP = new org.apache.hadoop.fs.Path(path + "__old")
     val tmpP = new org.apache.hadoop.fs.Path(path + "__staging")
-    if (!f.exists(p) && f.exists(oldP)) f.rename(oldP, p)
+    healSwap(s, path)
     f.delete(tmpP, true); f.delete(oldP, true)
     write(tmpP.toString)
     f.rename(p, oldP); f.rename(tmpP, p); f.delete(oldP, true)
@@ -172,14 +212,12 @@ object Lexical {
   def appendToIndex(docs: DataFrame, id: Column, text: Column,
       dir: String, buckets: Int = IndexBuckets): Unit = {
     val s = docs.sparkSession
+    // heal interrupted swaps BEFORE the eager parquet reads below — a
+    // crash between a swap's renames would otherwise wedge every retry
+    // on PATH_NOT_FOUND without ever reaching the swap's own self-heal
+    healIndex(s, dir)
     val toks = docs.select(id.as("doc_id"), tokens(text).as("toks"))
-    val posts = toks
-      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
-        posexplode(col("toks")).as(Seq("pos", "term")))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"),
-        sort_array(collect_list(col("pos"))).as("positions"))
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+    val posts = postings(toks, buckets)
       .localCheckpoint() // one computation feeds both the append and the df merge
     posts.write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
     val newDf = posts.groupBy("bucket", "term")
@@ -209,8 +247,11 @@ object Lexical {
     * text is never touched. Bit-identical to [[bm25Scores]] (shared
     * [[score]] tail; parity spec-pinned). */
   def bm25FromIndex(s: SparkSession, dir: String,
-      terms: Seq[String] = QueryTerms,
+      rawTerms: Seq[String] = QueryTerms,
       buckets: Int = IndexBuckets): DataFrame = {
+    val terms = analyze(rawTerms)
+    require(terms.nonEmpty, "BM25 needs at least one non-empty term")
+    healIndex(s, dir)
     // bucket ids of the query terms, via the same xxhash64 — one job
     // over a |Q|-row local relation, no index read
     import s.implicits._
@@ -242,9 +283,11 @@ object Lexical {
     * equi-joins key on doc_id only (posting rows, never corpus rows);
     * intersections are per-row array kernels. */
   def phraseFromIndex(s: SparkSession, dir: String,
-      phrase: Seq[String] = Phrase,
+      rawPhrase: Seq[String] = Phrase,
       buckets: Int = IndexBuckets): DataFrame = {
+    val phrase = analyze(rawPhrase)
     require(phrase.size >= 2, "a phrase needs at least two terms")
+    healIndex(s, dir)
     import s.implicits._
     val bIds = phrase.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(buckets.toLong)))
@@ -317,17 +360,24 @@ object Lexical {
 
   /** [[rrfHybrid]] with the request knobs exposed (serving dispatch). */
   def rrfHybridK(s: SparkSession, d: String, terms: Seq[String],
-      k: Int): DataFrame = {
+      k: Int, queryVecId: Long = 0L): DataFrame = {
     val byLex = Window.orderBy(desc("score"), asc("doc_id"))
     val lex = bm25Scores(s, d, terms)
       .orderBy(desc("score"), asc("doc_id")).limit(PoolN)
       .select(col("doc_id"), row_number().over(byLex).cast("long").as("r_lex"))
-    val q0 = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+    val q0 = Tables.embeddings(s, d).filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("qv"))
     val byVec = Window.orderBy(desc("cs"), asc("doc_id"))
-    val vec = Search.knnBrute(Tables.embeddings(s, d), col("embedding"),
-        q0, k = PoolN, tie = col("vec_id"))
-      .select(col("vec_id").as("doc_id"), round(col("score"), 6).as("cs"))
+    // the pool is cut on the ROUNDED similarity (not knnBrute's raw-score
+    // heap): the oracle ranks by round(cs, 6), and a raw-score cut could
+    // admit a different rank-PoolN member when two docs round equal —
+    // rounding first makes the boundary tiebreak (doc_id) identical in
+    // both engines, same as the lex side
+    val vec = Tables.embeddings(s, d).crossJoin(broadcast(q0))
+      .select(col("vec_id").as("doc_id"),
+        round(graft.functions.VectorExpressions.fusedCosine(
+          s, col("embedding"), col("qv")), 6).as("cs"))
+      .orderBy(desc("cs"), asc("doc_id")).limit(PoolN)
       .select(col("doc_id"), row_number().over(byVec).cast("long").as("r_vec"))
     lex.join(vec, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),

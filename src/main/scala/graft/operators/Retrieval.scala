@@ -510,7 +510,7 @@ object Retrieval {
           .orderBy(desc("score"), asc("doc_id")).limit(req.k)
       case "rrf" => // beyond-reference: ES-style hybrid rank fusion
         require(req.terms.nonEmpty, "rrf mode needs non-empty 'terms'")
-        Lexical.rrfHybridK(s, d, req.terms, req.k)
+        Lexical.rrfHybridK(s, d, req.terms, req.k, queryVecId = req.queryImageId)
       case other => throw new IllegalArgumentException(
         s"unknown search mode '$other' (expected whole|segment|hybrid|tags|lexical|rrf)")
     }

@@ -464,6 +464,14 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // heal interrupted swaps BEFORE probing: a crash mid stats-swap
+          // leaves a COMPLETE index with stats parked at __old, and an
+          // unhealed probe would read that as "no index" and clobber all
+          // previously ingested postings with this one batch's rebuild.
+          // After healing, stats absence really does mean "never
+          // completed an initial build" (stats is written last), where a
+          // full (re)write of the replayed first batch is the right move.
+          graft.operators.Lexical.healIndex(batch.sparkSession, indexDir)
           val statsDir = new org.apache.hadoop.fs.Path(s"$indexDir/stats")
           val f = statsDir.getFileSystem(
             batch.sparkSession.sparkContext.hadoopConfiguration)

@@ -116,7 +116,8 @@ class LexicalSpec extends SparkSpec {
       assert(got === want)
       assert(got.nonEmpty, "benchmark phrase must occur in the corpus")
       // a doc with 2+ occurrences exists at this sf — counting, not existence
-      assert(got.values.max >= 1)
+      assert(got.values.max >= 2,
+        "a multi-occurrence doc must count > 1 (intersect must not collapse repeats)")
     } finally {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
@@ -147,6 +148,45 @@ class LexicalSpec extends SparkSpec {
       assert(pa === pb, "phrase counts from the appended index must equal the full rebuild")
       // both halves really contributed
       assert(a.keys.exists(_ < cut) && a.keys.exists(_ >= cut))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("query analyzer: case-folded terms, dotted and duplicate terms are safe") {
+    val lower = Lexical.bm25Scores(spark, sf, Seq("vector"))
+      .as[(Long, Double)].collect().toMap
+    val upper = Lexical.bm25Scores(spark, sf, Seq(" Vector "))
+      .as[(Long, Double)].collect().toMap
+    assert(upper === lower, "the query runs through the document analyzer")
+    // '.' or duplicates in terms must not break attribute resolution
+    val weird = Lexical.bm25Scores(spark, sf, Seq("node.js", "hash", "hash"))
+      .as[(Long, Double)].collect()
+    assert(weird.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Lexical.bm25Scores(spark, sf, Seq("  ", ""))
+    }
+  }
+
+  test("healIndex: serving recovers an index whose stats swap was interrupted") {
+    val dir = java.nio.file.Files.createTempDirectory("lex_heal").toString
+    try {
+      Lexical.writeInvertedIndex(
+        graft.Tables.documents(spark, sf), $"doc_id", $"text", s"$dir/idx")
+      val before = Lexical.bm25FromIndex(spark, s"$dir/idx")
+        .as[(Long, Double)].collect().toMap
+      // simulate a crash between the swap's two renames: stats vacated
+      // to __old, replacement never moved in
+      for (t <- Seq("stats", "terms")) {
+        assert(new java.io.File(s"$dir/idx/$t")
+          .renameTo(new java.io.File(s"$dir/idx/${t}__old")))
+      }
+      val after = Lexical.bm25FromIndex(spark, s"$dir/idx")
+        .as[(Long, Double)].collect().toMap
+      assert(after === before, "heal must restore the vacated tables")
     } finally {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
