@@ -63,5 +63,29 @@ class GoldenPathSpec extends SparkSpec {
     assert(top.head._1 === 0L && math.abs(top.head._2 - 1.0) < 1e-6,
       s"self-retrieval at cosine 1.0: ${top.toSeq}")
     assert(top.length === 5)
+
+    // 6. the lexical leg over the SAME curated corpus: index it in two
+    //    ingest increments (exercising the append path), serve BM25 and
+    //    a positional phrase, and check the curation boundary holds —
+    //    only surviving docs are ever retrievable
+    val curatedDocs = docs.join(kept, "doc_id")
+    val ids = kept.as[Long].collect().toSet
+    val cut = ids.toSeq.sorted.apply(ids.size / 2)
+    graft.operators.Lexical.writeInvertedIndex(
+      curatedDocs.filter($"doc_id" <= cut), $"doc_id", $"text", s"$dir/lex")
+    graft.operators.Lexical.appendToIndex(
+      curatedDocs.filter($"doc_id" > cut), $"doc_id", $"text", s"$dir/lex")
+    val lexTop = graft.operators.Lexical.bm25FromIndex(spark, s"$dir/lex")
+      .orderBy(desc("score"), asc("doc_id")).limit(5)
+      .as[(Long, Double)].collect()
+    assert(lexTop.nonEmpty && lexTop.forall(r => ids.contains(r._1)),
+      "BM25 serves only curated docs")
+    val phr = graft.operators.Lexical.phraseFromIndex(spark, s"$dir/lex")
+      .as[(Long, Long)].collect()
+    assert(phr.forall(r => ids.contains(r._1)), "phrase serves only curated docs")
+    // fuse the two retrievers' id sets — the serving dispatch's rrf mode
+    // runs the same fusion against the full tables (RetrievalRunSpec);
+    // here the composed-flow property is that both legs read one corpus
+    assert((lexTop.map(_._1) ++ top.map(_._1)).nonEmpty)
   }
 }
