@@ -91,10 +91,10 @@ object Lexical {
     * stats — the N/avgdl constants a lake deployment precomputes as
     * table statistics). The at-rest shape that scans neither is
     * [[bm25FromIndex]]. */
-  def bm25Scores(s: SparkSession, d: String,
-      rawTerms: Seq[String] = QueryTerms): DataFrame = {
-    val terms = analyze(rawTerms)
-    require(terms.nonEmpty, "BM25 needs at least one non-empty term")
+  /** Matched postings + per-term df + corpus stats for `terms` — the
+    * shared front of every ad-hoc lexical query. */
+  private def termStats(s: SparkSession, d: String,
+      terms: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val qarr = array(terms.map(lit): _*)
@@ -108,8 +108,65 @@ object Lexical {
       .agg(count(lit(1)).cast("double").as("tf"))
     val dfreq = tf.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
+    (tf, dfreq, stats)
+  }
+
+  def bm25Scores(s: SparkSession, d: String,
+      rawTerms: Seq[String] = QueryTerms): DataFrame = {
+    val terms = analyze(rawTerms)
+    require(terms.nonEmpty, "BM25 needs at least one non-empty term")
+    val (tf, dfreq, stats) = termStats(s, d, terms)
     score(tf, dfreq, stats, terms)
   }
+
+  /** ES `bool` query semantics, made deterministic: a document matches
+    * when it contains EVERY `must` term and NO `mustNot` term; its score
+    * is the BM25 sum over the `must` and `should` terms it matches (must
+    * clauses score in ES too — filter-only is its separate `filter`
+    * clause). One postings pass covers all three clause lists; the
+    * exclusion flags ride the same per-doc aggregation as the score
+    * pivots, so bool adds no extra shuffle over plain BM25. */
+  def bm25BoolScores(s: SparkSession, d: String, must: Seq[String],
+      should: Seq[String], mustNot: Seq[String]): DataFrame = {
+    val (mustT, shouldT, notT) = (analyze(must), analyze(should), analyze(mustNot))
+    require(mustT.nonEmpty || shouldT.nonEmpty,
+      "bool query needs at least one must or should term")
+    val scoring = mustT ++ shouldT // fixed summation order: must, then should
+    val (tf, dfreq, stats) = termStats(s, d, scoring ++ notT)
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("s", col("idf") * col("tf") * lit(K1 + 1.0) /
+        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+    val pivots = scoring.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("s"))).as(s"s_$i")
+    }
+    val mustFlags = mustT.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, lit(1)).otherwise(lit(0))).as(s"m_$i")
+    }
+    val notFlags = notT.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, lit(1)).otherwise(lit(0))).as(s"x_$i")
+    }
+    val aggs = pivots ++ mustFlags ++ notFlags
+    val total = scoring.indices.map(i => coalesce(col(s"s_$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val keep = (mustT.indices.map(i => col(s"m_$i") === 1) ++
+      notT.indices.map(i => col(s"x_$i") === 0))
+      .foldLeft(lit(true))(_ && _)
+    scored.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(keep)
+      .select(col("doc_id"), round(total, 6).as("score"))
+  }
+
+  /** Named query: bool search — require "hash", score "vector"/"merge"
+    * alongside it, exclude anything mentioning "slow". */
+  def boolQ(s: SparkSession, d: String): DataFrame =
+    bm25BoolScores(s, d, must = Seq("hash"),
+      should = Seq("vector", "merge"), mustNot = Seq("slow"))
+      .orderBy(desc("score"), asc("doc_id")).limit(10)
 
   // --- At-rest inverted index — the 100 TB serving path ---------------------
 
@@ -393,6 +450,7 @@ object Lexical {
     "search_bm25" -> bm25Q,
     "search_bm25_idx" -> bm25IdxQ,
     "search_phrase" -> phraseQ,
+    "search_bool" -> boolQ,
     "q6_rrf_hybrid" -> rrfHybrid)
 
   private def termIn = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
@@ -422,6 +480,31 @@ object Lexical {
     "search_bm25_idx" ->
       s"""WITH $bm25Sql
          SELECT doc_id, score FROM lexs ORDER BY score DESC, doc_id LIMIT 10""",
+    "search_bool" -> {
+      val must = Seq("hash"); val should = Seq("vector", "merge"); val not = Seq("slow")
+      val allIn = (must ++ should ++ not).map(t => s"'$t'").mkString("(", ", ", ")")
+      val sum = (must ++ should)
+        .map(t => s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0)")
+        .mkString(" + ")
+      val mustF = must.map(t =>
+        s"max(CASE WHEN term = '$t' THEN 1 ELSE 0 END) = 1").mkString(" AND ")
+      val notF = not.map(t =>
+        s"max(CASE WHEN term = '$t' THEN 1 ELSE 0 END) = 0").mkString(" AND ")
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl FROM t),
+         tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, term,
+                  CAST(count(*) AS DOUBLE) AS tf
+                FROM (SELECT doc_id, toks, unnest(toks) AS term FROM t)
+                WHERE term IN $allIn GROUP BY doc_id, dl, term),
+         dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         sc AS (SELECT doc_id, term,
+                  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ${K1 + 1.0}
+                    / (tf + $K1 * (${1.0 - B} + $B * dl / avgdl)) AS s
+                FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+         SELECT doc_id, round($sum, 6) AS score FROM sc GROUP BY doc_id
+         HAVING $mustF AND $notF
+         ORDER BY score DESC, doc_id LIMIT 10"""
+    },
     "search_phrase" -> {
       // adjacency check straight off the token array (1-based lists):
       // i is a candidate start, term j must sit at i+j

@@ -156,6 +156,29 @@ class LexicalSpec extends SparkSpec {
     }
   }
 
+  test("bm25BoolScores: must filters, mustNot excludes, must+should both score") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }.toMap
+    val got = Lexical.bm25BoolScores(spark, sf,
+        must = Seq("hash"), should = Seq("vector", "merge"), mustNot = Seq("slow"))
+      .as[(Long, Double)].collect().toMap
+    assert(got.nonEmpty)
+    got.keys.foreach { id =>
+      assert(docs(id).contains("hash"), s"doc $id must contain the must term")
+      assert(!docs(id).contains("slow"), s"doc $id must not contain the mustNot term")
+    }
+    // every eligible doc appears (the filter is exact, not approximate)
+    val eligible = docs.filter { case (_, ts) =>
+      ts.contains("hash") && !ts.contains("slow")
+    }.keySet
+    assert(got.keySet === eligible)
+    // the must term scores: a doc with ONLY the must term still scores > 0
+    val onlyMust = eligible.filter(id =>
+      !docs(id).contains("vector") && !docs(id).contains("merge"))
+    onlyMust.foreach(id => assert(got(id) > 0.0, s"doc $id: must clause must score"))
+  }
+
   test("query analyzer: case-folded terms, dotted and duplicate terms are safe") {
     val lower = Lexical.bm25Scores(spark, sf, Seq("vector"))
       .as[(Long, Double)].collect().toMap
