@@ -126,6 +126,35 @@ class LexicalSpec extends SparkSpec {
     }
   }
 
+  test("proximityFromIndex: slop widens matches; counts match a driver-side scan") {
+    val dir = java.nio.file.Files.createTempDirectory("lex_prox").toString
+    try {
+      Lexical.writeInvertedIndex(
+        graft.Tables.documents(spark, sf), $"doc_id", $"text", s"$dir/idx")
+      val slop = 2
+      val got = Lexical.proximityFromIndex(spark, s"$dir/idx", "sort", "merge", slop)
+        .as[(Long, Long)].collect().toMap
+      val want = graft.Tables.documents(spark, sf)
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+        .map { case (id, t) =>
+          val ts = t.toLowerCase.split(" ", -1)
+          id -> ts.indices.count(i => ts(i) == "sort" &&
+            (i + 1 to math.min(i + 1 + slop, ts.length - 1))
+              .exists(j => ts(j) == "merge")).toLong
+        }.filter(_._2 > 0).toMap
+      assert(got === want)
+      // slop 2 is a strict superset of exact adjacency
+      val exact = Lexical.proximityFromIndex(spark, s"$dir/idx", "sort", "merge", 0)
+        .as[(Long, Long)].collect().toMap
+      assert(exact.keySet.subsetOf(got.keySet) && got.size > exact.size)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("appendToIndex: build half + append half serves bit-identical to a full rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("lex_incr").toString
     try {
