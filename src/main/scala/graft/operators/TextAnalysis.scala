@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -89,12 +90,56 @@ object TextAnalysis {
       .orderBy(desc("tf_total"), asc("term")).limit(30)
   }
 
+  /** Per-source distinctive vocabulary — weighted log-odds with an
+    * informative Dirichlet prior (Monroe et al.'s "Fightin' Words", the
+    * standard corpus-comparison tool curation teams run to characterize
+    * a source before mixing it): for each (source, term),
+    * δ = ln-odds(term in source, prior-smoothed) −
+    *     ln-odds(term in REST of corpus, prior-smoothed),
+    * prior mass a_w = corpus share × a0 (a0 = 100). Top 5 per source.
+    *
+    * Shape: one explode, three aggregations keyed (source,term)/(term)/
+    * (source) — all map-side partial. The (source,term)⋈(term) join
+    * shuffles on the term key both sides are already aggregated by
+    * (vocabulary-sized — NOT broadcast); only the #sources table and the
+    * 1-row total broadcast. Rank window partitions by source, never
+    * global. Every input to the two ln calls is an exact integer count
+    * in double, so both engines evaluate identical expressions. */
+  def distinctiveTerms(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.documents(s, d)
+      .select(col("source"), explode(docToks).as("term"))
+    val yi = e.groupBy("source", "term")
+      .agg(count(lit(1)).cast("double").as("y_iw"))
+    val yw = e.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("y_w"))
+    val ni = e.groupBy("source")
+      .agg(count(lit(1)).cast("double").as("n_i"))
+    val n = e.agg(count(lit(1)).cast("double").as("n_all"))
+    val a0 = lit(100.0)
+    val aw = col("y_w") * a0 / col("n_all")
+    val delta =
+      log((col("y_iw") + aw) / (col("n_i") + a0 - col("y_iw") - aw)) -
+      log((col("y_w") - col("y_iw") + aw) /
+        (col("n_all") - col("n_i") + a0 - (col("y_w") - col("y_iw")) - aw))
+    val w = Window.partitionBy("source")
+      .orderBy(desc("log_odds"), asc("term"))
+    yi.join(yw, "term")
+      .join(broadcast(ni), "source")
+      .crossJoin(broadcast(n))
+      .withColumn("log_odds", round(delta, 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("term"), col("log_odds"))
+      .orderBy(asc("source"), desc("log_odds"), asc("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_quality" -> quality,
     "txt_langid" -> langId,
     "txt_tokencount" -> tokenCount,
     "txt_fingerprint" -> fingerprint,
-    "txt_vocab" -> vocab)
+    "txt_vocab" -> vocab,
+    "txt_distinctive" -> distinctiveTerms)
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
@@ -152,5 +197,22 @@ object TextAnalysis {
          SELECT term, tf_total, df,
            CAST(tf_total AS DOUBLE) / total_toks AS token_share
          FROM v CROSS JOIN total
-         ORDER BY tf_total DESC, term LIMIT 30""")
+         ORDER BY tf_total DESC, term LIMIT 30""",
+    "txt_distinctive" ->
+      """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents),
+         e AS (SELECT source, unnest(toks) AS term FROM t),
+         yi AS (SELECT source, term, CAST(count(*) AS DOUBLE) AS y_iw FROM e GROUP BY source, term),
+         yw AS (SELECT term, CAST(count(*) AS DOUBLE) AS y_w FROM e GROUP BY term),
+         ni AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_i FROM e GROUP BY source),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n_all FROM e),
+         d AS (SELECT yi.source, yi.term,
+                 ln((y_iw + y_w * 100.0 / n_all) / (n_i + 100.0 - y_iw - y_w * 100.0 / n_all))
+                 - ln((y_w - y_iw + y_w * 100.0 / n_all)
+                      / (n_all - n_i + 100.0 - (y_w - y_iw) - y_w * 100.0 / n_all)) AS delta
+               FROM yi JOIN yw USING (term) JOIN ni USING (source) CROSS JOIN n),
+         r AS (SELECT source, term, round(delta, 6) AS log_odds,
+                 row_number() OVER (PARTITION BY source ORDER BY round(delta, 6) DESC, term) AS rn
+               FROM d)
+         SELECT source, term, log_odds FROM r WHERE rn <= 5
+         ORDER BY source, log_odds DESC, term""")
 }
