@@ -133,8 +133,28 @@ object TextAnalysis {
       .orderBy(asc("source"), desc("log_odds"), asc("term"))
   }
 
+  /** Adjacent-pair merge statistics — the per-round statistic a BPE /
+    * WordPiece trainer computes (count every adjacent symbol pair, merge
+    * the winner, repeat), here over the word stream: top 20 pairs by
+    * count with the number of distinct documents containing each. One
+    * array kernel per row (no self-join: the pair list is built by a
+    * positional transform over the token array), then a pair-keyed
+    * partial aggregation — the trainer's full loop is this query
+    * iterated with a merge applied between rounds. */
+  def bigramMerge(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", docToks)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(desc("n"), asc("pair")).limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_quality" -> quality,
+    "txt_bigram_merge" -> bigramMerge,
     "txt_langid" -> langId,
     "txt_tokencount" -> tokenCount,
     "txt_fingerprint" -> fingerprint,
@@ -214,5 +234,12 @@ object TextAnalysis {
                  row_number() OVER (PARTITION BY source ORDER BY round(delta, 6) DESC, term) AS rn
                FROM d)
          SELECT source, term, log_odds FROM r WHERE rn <= 5
-         ORDER BY source, log_odds DESC, term""")
+         ORDER BY source, log_odds DESC, term""",
+    "txt_bigram_merge" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         p AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i + 1])) AS pair
+               FROM t WHERE len(toks) >= 2)
+         SELECT pair, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+         FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")
 }
