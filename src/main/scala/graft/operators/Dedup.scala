@@ -547,10 +547,53 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-document EXACT-SUBSTRING duplication coverage — the signal
+    * behind span-excision dedup (remove the repeated passage, keep the
+    * document; whole-doc near-dup scoring misses a boilerplate paragraph
+    * pasted into otherwise-distinct pages): for every doc, how many of
+    * its token positions sit inside an `n`-token run that also occurs in
+    * ANOTHER document.
+    *
+    * Shape: positional n-grams hashed per row (64-bit, grouped by hash —
+    * counts equal the string grouping w.h.p., same trade as
+    * [[jaccardPairs]]); the gram-keyed df aggregation and the
+    * dup-filter join both shuffle on the key the grams are already
+    * aggregated by. Coverage = distinct covered positions via an
+    * explode of each dup gram's n offsets — ×n amplification on DUP
+    * grams only (the rare case by assumption; a sorted interval-sweep
+    * kernel is the constant-factor upgrade if a corpus is mostly
+    * boilerplate). */
+  def spanCoverageOn(df: DataFrame, id: Column, text: Column,
+      n: Int = 8): DataFrame = {
+    val docs = df.select(id.as("doc_id"), tokens(text).as("toks"))
+      .filter(size(col("toks")) >= n)
+    val grams = docs.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_toks"),
+      posexplode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $n))))"))
+        .as(Seq("pos", "g")))
+    val dupG = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2).select("g")
+    grams.join(dupG, "g")
+      .select(col("doc_id"), col("n_toks"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .groupBy("doc_id", "n_toks")
+      .agg((count(lit(1)) / n).cast("long").as("n_dup_ngrams"),
+        countDistinct(col("p")).as("n_covered"))
+      .withColumn("dup_coverage",
+        col("n_covered").cast("double") / col("n_toks").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  def spanCoverageQ(s: SparkSession, d: String): DataFrame =
+    spanCoverageOn(Tables.documents(s, d), col("doc_id"), col("text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_clusters" -> clustersQ,
+    "dedup_span_coverage" -> spanCoverageQ,
     "dedup_embedding" -> embeddingNearDup,
     "dedup_embedding_lsh" -> embeddingNearDupLsh,
     "dedup_minhash_lsh" -> minhashLsh,
@@ -600,6 +643,20 @@ object Dedup {
          SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster,
            CAST(count(DISTINCT b) AS BIGINT) AS comp_size
          FROM reach GROUP BY a ORDER BY doc_id""",
+    "dedup_span_coverage" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, toks FROM t
+               WHERE len(toks) >= 8),
+         g AS (SELECT doc_id, n_toks, pos, array_to_string(toks[pos:pos+7], ' ') AS gram
+               FROM (SELECT doc_id, n_toks, toks,
+                       unnest(range(1, len(toks) - 6)) AS pos FROM d)),
+         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (SELECT doc_id, n_toks, pos FROM g JOIN dup USING (gram)),
+         e AS (SELECT doc_id, n_toks, unnest(range(pos, pos + 8)) AS p FROM cov)
+         SELECT doc_id, n_toks, CAST(count(*) // 8 AS BIGINT) AS n_dup_ngrams,
+           CAST(count(DISTINCT p) AS BIGINT) AS n_covered,
+           CAST(count(DISTINCT p) AS DOUBLE) / n_toks AS dup_coverage
+         FROM e GROUP BY doc_id, n_toks ORDER BY doc_id""",
     "dedup_embedding" ->
       """WITH pair AS (
            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -16,6 +16,26 @@ class DedupSpec extends SparkSpec {
     (4L, "completely different text about spark catalyst codegen and physical plans")
   ).toDF("id", "text").withColumn("blk", lit("b"))
 
+  test("spanCoverageOn: a shared 8-token passage is localized exactly") {
+    // 20-token docs sharing tokens 5..16 (a 12-token pasted passage →
+    // 5 dup 8-grams covering 12 positions); doc 3 shares nothing
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"
+    val corpus = Seq(
+      (1L, s"a1 a2 a3 a4 a5 $passage z1 z2 z3"),
+      (2L, s"b1 b2 b3 b4 b5 $passage y1 y2 y3"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14 c15 c16 c17 c18 c19 c20")
+    ).toDF("id", "text")
+    val r = Dedup.spanCoverageOn(corpus, $"id", $"text")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(r.map(_._1) === Seq(1L, 2L), "only the passage-sharing docs appear")
+    r.foreach { case (id, nToks, nGrams, nCov, cov) =>
+      assert(nToks === 20L)
+      assert(nGrams === 5L, s"doc $id: 12-token run ⇒ 5 dup 8-grams")
+      assert(nCov === 12L, s"doc $id: exactly the pasted span is covered")
+      assert(math.abs(cov - 0.6) < 1e-12)
+    }
+  }
+
   test("exactDuplicates: dup group sizes") {
     val m = Dedup.exactDuplicates(docs, $"id", $"text")
       .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
