@@ -589,11 +589,61 @@ object Dedup {
   def spanCoverageQ(s: SparkSession, d: String): DataFrame =
     spanCoverageOn(Tables.documents(s, d), col("doc_id"), col("text"))
 
+  /** Span-EXCISION — [[spanCoverageOn]]'s transform face (Lee et al.'s
+    * exact-substring dedup policy): every duplicated `n`-token run keeps
+    * exactly one copy — in its OWNER, the smallest doc_id containing the
+    * gram — and is cut from every other document; documents survive with
+    * the pasted passage removed. Every doc comes back (clean_text = the
+    * original tokens for docs without excisions), so the output is a
+    * drop-in replacement corpus.
+    *
+    * The owner rule makes the result deterministic and single-pass:
+    * gram → min(doc_id) is one aggregation, excised positions are the
+    * non-owner dup gram offsets, and the rebuild is an ordered
+    * per-row reassembly (sort_array over (pos, tok) structs — no window,
+    * no second corpus shuffle beyond the anti-join on (doc, pos)). */
+  def spanExciseOn(df: DataFrame, id: Column, text: Column,
+      n: Int = 8): DataFrame = {
+    val docs = df.select(id.as("doc_id"), tokens(text).as("toks"))
+    val grams = docs.filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, size(toks) - $n), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $n))))"))
+          .as(Seq("pos", "g")))
+    val owners = grams.groupBy("g")
+      .agg(min(col("doc_id")).as("owner"),
+        countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2).select("g", "owner")
+    val excised = grams.join(owners, "g")
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val kept = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .join(excised, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("kv"))
+    // left join, not groupBy alone: a FULLY excised doc has no kept rows
+    // but must still come back (empty clean_text), like every other doc
+    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(kept, Seq("doc_id"), "left")
+      .withColumn("kv", coalesce(col("kv"), array()))
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_toks") - size(col("kv"))).cast("long").as("n_removed"),
+        expr("array_join(transform(kv, x -> x.tok), ' ')").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  def spanExciseQ(s: SparkSession, d: String): DataFrame =
+    spanExciseOn(Tables.documents(s, d), col("doc_id"), col("text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_clusters" -> clustersQ,
     "dedup_span_coverage" -> spanCoverageQ,
+    "dedup_span_excise" -> spanExciseQ,
     "dedup_embedding" -> embeddingNearDup,
     "dedup_embedding_lsh" -> embeddingNearDupLsh,
     "dedup_minhash_lsh" -> minhashLsh,
@@ -657,6 +707,25 @@ object Dedup {
            CAST(count(DISTINCT p) AS BIGINT) AS n_covered,
            CAST(count(DISTINCT p) AS DOUBLE) / n_toks AS dup_coverage
          FROM e GROUP BY doc_id, n_toks ORDER BY doc_id""",
+    "dedup_span_excise" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, toks FROM t),
+         g AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS gram
+               FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos FROM d
+                     WHERE len(toks) >= 8)),
+         own AS (SELECT gram, min(doc_id) AS owner FROM g
+                 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         exc AS (SELECT DISTINCT doc_id, p
+                 FROM (SELECT g.doc_id, unnest(range(pos, pos + 8)) AS p
+                       FROM g JOIN own USING (gram) WHERE g.doc_id <> own.owner)),
+         excl AS (SELECT doc_id, array_agg(p) AS ps FROM exc GROUP BY doc_id)
+         SELECT d.doc_id, d.n_toks,
+           CAST(coalesce(len(ps), 0) AS BIGINT) AS n_removed,
+           coalesce(array_to_string(list_transform(
+             list_filter(range(1, len(toks) + 1),
+               i -> ps IS NULL OR NOT list_contains(ps, i)),
+             i -> toks[i]), ' '), '') AS clean_text
+         FROM d LEFT JOIN excl USING (doc_id) ORDER BY doc_id""",
     "dedup_embedding" ->
       """WITH pair AS (
            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -36,6 +36,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("spanExciseOn: owner keeps the passage, others lose exactly it, rest verbatim") {
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"
+    val t1 = s"a1 a2 a3 a4 a5 $passage z1 z2 z3"
+    val t2 = s"b1 b2 b3 b4 b5 $passage y1 y2 y3"
+    val t3 = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    val corpus = Seq((1L, t1), (2L, t2), (3L, t3)).toDF("id", "text")
+    val r = Dedup.spanExciseOn(corpus, $"id", $"text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(x => x._1 -> (x._3, x._4)).toMap
+    assert(r(1L) === ((0L, t1)), "owner (smallest doc id) keeps its copy intact")
+    assert(r(2L) === ((12L, "b1 b2 b3 b4 b5 y1 y2 y3")),
+      "non-owner loses exactly the pasted passage")
+    assert(r(3L) === ((0L, t3)), "an untouched doc passes through verbatim")
+  }
+
   test("exactDuplicates: dup group sizes") {
     val m = Dedup.exactDuplicates(docs, $"id", $"text")
       .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
