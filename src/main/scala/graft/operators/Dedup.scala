@@ -614,25 +614,43 @@ object Dedup {
       .agg(min(col("doc_id")).as("owner"),
         countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 2).select("g", "owner")
+    // excised is index-scale (dup positions only) and feeds THREE
+    // consumers (the doc probe, the position anti-join, and its own
+    // distinct) — materialize once instead of recomputing the gram
+    // pipeline per consumer
     val excised = grams.join(owners, "g")
       .filter(col("doc_id") =!= col("owner"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
       .distinct()
-    val kept = docs
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .localCheckpoint()
+    // Only docs that actually lose positions pay the explode + reassembly
+    // shuffle — by the span-dedup assumption that is the small minority,
+    // so the corpus-wide cost is one semi/anti probe, not a full
+    // posexplode + collect_list of every token.
+    val excDocs = excised.select("doc_id").distinct()
+    val kept = docs.join(excDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
       .join(excised, Seq("doc_id", "pos"), "left_anti")
-      .groupBy("doc_id")
+      .groupBy("doc_id", "n_toks")
       .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("kv"))
-    // left join, not groupBy alone: a FULLY excised doc has no kept rows
-    // but must still come back (empty clean_text), like every other doc
-    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
-      .join(kept, Seq("doc_id"), "left")
+    // the join with excDocs is a semi, so a FULLY excised doc (no kept
+    // rows) drops out of `kept` — restore it through the same left-join
+    // path the untouched docs take, with an empty token list
+    val rebuilt = docs
+      .join(excDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(kept.select(col("doc_id"), col("kv")), Seq("doc_id"), "left")
       .withColumn("kv", coalesce(col("kv"), array()))
       .select(col("doc_id"), col("n_toks"),
         (col("n_toks") - size(col("kv"))).cast("long").as("n_removed"),
         expr("array_join(transform(kv, x -> x.tok), ' ')").as("clean_text"))
-      .orderBy("doc_id")
+    val untouched = docs.join(excDocs, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        lit(0L).as("n_removed"),
+        array_join(col("toks"), " ").as("clean_text"))
+    rebuilt.unionByName(untouched).orderBy("doc_id")
   }
 
   def spanExciseQ(s: SparkSession, d: String): DataFrame =
