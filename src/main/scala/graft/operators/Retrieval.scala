@@ -521,6 +521,9 @@ object Retrieval {
     "knn_whole" -> knnWhole,
     "knn_ivf" -> knnIvf,
     "knn_batch" -> knnBatchQ,
+    "knn_mmr" -> ((s: SparkSession, d: String) =>
+      Search.mmrRerank(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+        q0(s, d), poolN = 20, k = 10, lambda = 0.7)),
     "knn_lsh" -> knnLsh,
     "knn_pq" -> knnPq,
     "knn_ivfpq" -> knnIvfPqQ,
@@ -646,6 +649,29 @@ object Retrieval {
            FROM scored)
          SELECT qid, id, round(score, 6) AS score, rank
          FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+    "knn_mmr" ->
+      """WITH RECURSIVE q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         pool AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS rel
+           FROM embeddings, q ORDER BY rel DESC, vec_id LIMIT 20),
+         sims AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(list_cosine_similarity(a.v, b.v), 6) AS sim
+           FROM pool a, pool b),
+         mmr(step, sel, picked, score) AS (
+           (SELECT 1, [vec_id], vec_id, rel FROM pool ORDER BY rel DESC, vec_id LIMIT 1)
+           UNION ALL
+           (SELECT step + 1, list_append(sel, c.pick), c.pick, c.mmr_score
+            FROM mmr, LATERAL (
+              SELECT p.vec_id AS pick,
+                round(0.7 * p.rel - 0.3 * (SELECT max(sim) FROM sims
+                  WHERE ia = p.vec_id AND list_contains(mmr.sel, ib)), 6) AS mmr_score
+              FROM pool p WHERE NOT list_contains(mmr.sel, p.vec_id)
+              ORDER BY mmr_score DESC, p.vec_id LIMIT 1) c
+            WHERE mmr.step < 10))
+         SELECT CAST(step AS BIGINT) AS rank, CAST(picked AS BIGINT) AS vec_id,
+           score AS mmr_score
+         FROM mmr ORDER BY step""",
     "q2_segment" ->
       s"""WITH $segsSql,
          qs AS (SELECT seg_id AS qseg, v AS qv FROM segs WHERE image_id = 0),

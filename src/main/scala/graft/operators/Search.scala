@@ -32,6 +32,60 @@ object Search {
       .drop("qv")
   }
 
+  /** MMR diversified re-rank (maximal marginal relevance) — the standard
+    * diversity pass over a retrieved pool: greedily pick
+    * argmax λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s), so near
+    * duplicates of an already-selected hit are pushed down in favor of
+    * relevant-but-different results.
+    *
+    * Distribution boundary, stated plainly: the candidate pool (top
+    * `poolN` by rounded relevance) and its `poolN`² pairwise similarity
+    * matrix are computed DISTRIBUTED; the greedy selection itself is
+    * inherently sequential (selection i depends on 1..i−1) and runs on
+    * the driver over that bounded index-scale artifact — the same rule
+    * as the serving edge's ≤k collect and the codebook artifacts. All
+    * inputs to the greedy are 6-decimal-rounded with doc-id tiebreaks,
+    * so the selection is deterministic and the DuckDB oracle replays it
+    * exactly with a recursive CTE. */
+  def mmrRerank(corpus: DataFrame, id: Column, vec: Column, query: DataFrame,
+      poolN: Int = 20, k: Int = 10, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && k <= poolN, s"need 1 <= k <= poolN, got k=$k poolN=$poolN")
+    val s = corpus.sparkSession
+    val pool = corpus.crossJoin(broadcast(query))
+      .select(id.as("vec_id"), vec.as("v"),
+        round(fusedCosine(s, vec, col("qv")), 6).as("rel"))
+      .orderBy(desc("rel"), asc("vec_id")).limit(poolN)
+      .localCheckpoint() // feeds the rel map and both sides of the sim matrix
+    val rel = pool.select(col("vec_id"), col("rel"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sims = pool.select(col("vec_id").as("ia"), col("v").as("va"))
+      .crossJoin(pool.select(col("vec_id").as("ib"), col("v").as("vb")))
+      .select(col("ia"), col("ib"),
+        round(fusedCosine(s, col("va"), col("vb")), 6).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.TreeSet.empty[Long] ++ rel.keys
+    while (selected.size < k && remaining.nonEmpty) {
+      val pick =
+        if (selected.isEmpty)
+          remaining.map(d => d -> rel(d)).toSeq
+            .maxBy { case (d, sc) => (sc, -d) } // rel desc, id asc
+        else
+          remaining.map { d =>
+            val worst = selected.map { case (sid, _) => sims((d, sid)) }.max
+            d -> r6(lambda * rel(d) - (1.0 - lambda) * worst)
+          }.toSeq.maxBy { case (d, sc) => (sc, -d) }
+      selected += pick
+      remaining -= pick._1
+    }
+    import s.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id0, sc), i) => (i + 1L, id0, sc) }
+      .toDF("rank", "vec_id", "mmr_score")
+  }
+
   /** IVF kNN: assign every vector to its nearest centroid, probe the
     * `nprobe` centroids closest to the query, brute-force only vectors in
     * probed clusters.

@@ -23,6 +23,26 @@ class SearchSpec extends SparkSpec {
     assert(r.forall(p => p._2 > 1.9 && p._2 <= 2.0), "cos+1 calibration")
   }
 
+  test("mmrRerank: diversity pulls the other cluster up; λ=1 reduces to pure relevance") {
+    // pure relevance would return all of cluster A before any of B;
+    // with diversity the 2nd pick must leave A (A-members are ~identical)
+    val div = Search.mmrRerank(corpus, $"id", $"vec", query,
+        poolN = 6, k = 4, lambda = 0.5)
+      .select("rank", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(div.head === ((1L, 1L)), "first pick is the most relevant")
+    assert(Set(4L, 5L, 6L).contains(div(1)._2),
+      s"second pick must come from cluster B: $div")
+    val pure = Search.mmrRerank(corpus, $"id", $"vec", query,
+        poolN = 6, k = 4, lambda = 1.0)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(pure === Seq(1L, 2L, 3L, 4L), "λ=1 is the relevance order")
+    // deterministic across runs
+    val again = Search.mmrRerank(corpus, $"id", $"vec", query,
+        poolN = 6, k = 4, lambda = 0.5)
+      .select("rank", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(again === div)
+  }
+
   test("knnIvf: probing the right centroid reproduces brute-force top-k") {
     val cents = Seq((0L, v(1, 0.02, 0).map(_.toDouble)), (1L, v(0, 0.02, 1).map(_.toDouble)))
       .toDF("cid", "c")
