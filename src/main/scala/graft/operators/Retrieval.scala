@@ -511,8 +511,13 @@ object Retrieval {
       case "rrf" => // beyond-reference: ES-style hybrid rank fusion
         require(req.terms.nonEmpty, "rrf mode needs non-empty 'terms'")
         Lexical.rrfHybridK(s, d, req.terms, req.k, queryVecId = req.queryImageId)
+      case "mmr" => // beyond-reference: diversified top-k
+        Search.mmrRerank(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+          Tables.embeddings(s, d).filter(col("vec_id") === req.queryImageId)
+            .select(col("embedding").as("qv")),
+          poolN = math.max(2 * req.k, 20), k = req.k)
       case other => throw new IllegalArgumentException(
-        s"unknown search mode '$other' (expected whole|segment|hybrid|tags|lexical|rrf)")
+        s"unknown search mode '$other' (expected whole|segment|hybrid|tags|lexical|rrf|mmr)")
     }
   }
 

@@ -117,6 +117,14 @@ class RetrievalRunSpec extends SparkSpec {
     assert(r === named.take(4))
   }
 
+  test("mmr mode: k honored, first pick is the query vector itself") {
+    val r = Retrieval.run(spark, d, SearchRequest("mmr", k = 5, queryImageId = 3L))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(r.size === 5)
+    assert(r.head._2 === 3L, "self-retrieval leads (cosine 1.0)")
+    assert(r.map(_._1) === (1L to 5L), "ranks are 1..k")
+  }
+
   test("unknown mode fails fast") {
     intercept[IllegalArgumentException] {
       Retrieval.run(spark, d, SearchRequest("vibes"))
