@@ -176,6 +176,26 @@ object Pipelines {
   def curateFull(s: SparkSession, d: String): DataFrame =
     curateFullOn(Tables.documents(s, d))
 
+  /** The full chain over the SPAN-EXCISED corpus — production order for
+    * a crawl: cut cross-document boilerplate passages first
+    * ([[Dedup.spanExciseOn]]), then quality/repetition/language gates and
+    * doc-level dedup judge the text that would actually be trained on.
+    * A page that is boilerplate + one good paragraph can pass here and
+    * be dropped by [[curateFull]] (or vice versa: its repetition gate
+    * may only clear AFTER the pasted block is gone). Same gate
+    * definitions, different corpus — both sides share one
+    * implementation (Scala: [[curateFullOn]]; SQL: the parameterized
+    * CTE pyramid). */
+  def curateExcise(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cleaned = docs.select(col("doc_id"), col("lang"))
+      .join(Dedup.spanExciseOn(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("clean_text")), "doc_id")
+      .select(col("doc_id"), col("clean_text").as("text"), col("lang"),
+        length(col("clean_text")).cast("long").as("n_chars"))
+    curateFullOn(cleaned)
+  }
+
   /** INCREMENTAL curation — the daily-increment flow the reference runs
     * as its update scripts (`update_label_paths.py`,
     * `update_elasticsearch_with_segments.py`: new data arrives, is
@@ -252,6 +272,7 @@ object Pipelines {
     "pipeline_curate_counters" -> curateCountersQ,
     "pipeline_curate" -> curate,
     "pipeline_curate_full" -> curateFull,
+    "pipeline_curate_excise" -> curateExcise,
     "pipeline_curate_incr" -> curateIncremental)
 
   /** Shared DuckDB CTE prefix `t,h,b,lp,g`: tokenize → langid hits →
@@ -290,7 +311,40 @@ object Pipelines {
            UNION ALL
            SELECT 'exact_kept', count(DISTINCT md5(text)) FROM g)
          ORDER BY stage""",
-    "pipeline_curate_full" -> {
+    "pipeline_curate_full" ->
+      curateFullSqlFrom("src AS (SELECT doc_id, text, lang, n_chars FROM documents)"),
+    "pipeline_curate_excise" -> {
+      // span-excision CTEs (the dedup_span_excise policy) producing the
+      // cleaned corpus `src` the shared full-chain CTEs then gate
+      val excise =
+        """xt AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+           xg AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS gram
+                  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos
+                        FROM xt WHERE len(toks) >= 8)),
+           xown AS (SELECT gram, min(doc_id) AS owner FROM xg
+                    GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+           xexc AS (SELECT DISTINCT doc_id, p
+                    FROM (SELECT xg.doc_id, unnest(range(pos, pos + 8)) AS p
+                          FROM xg JOIN xown USING (gram) WHERE xg.doc_id <> xown.owner)),
+           xexcl AS (SELECT doc_id, array_agg(p) AS ps FROM xexc GROUP BY doc_id),
+           src0 AS (SELECT xt.doc_id, lang,
+               coalesce(array_to_string(list_transform(
+                 list_filter(range(1, len(toks) + 1),
+                   i -> ps IS NULL OR NOT list_contains(ps, i)),
+                 i -> toks[i]), ' '), '') AS text
+             FROM xt LEFT JOIN xexcl USING (doc_id)),
+           src AS (SELECT doc_id, text, lang,
+               CAST(length(text) AS BIGINT) AS n_chars FROM src0)"""
+      curateFullSqlFrom(excise)
+    }) ++ extraOracles
+
+  /** The full-chain CTE pyramid parameterized by its corpus source: a
+    * CTE chain whose last relation must be `src(doc_id, text, lang,
+    * n_chars)`. `pipeline_curate_full` binds it to raw `documents`;
+    * `pipeline_curate_excise` binds it to the span-excised corpus — ONE
+    * definition of the gates, two corpora, like the Scala side's
+    * [[curateFullOn]]. */
+  private def curateFullSqlFrom(sourceCtes: String): String = {
       val hits = LangMarkers.map { case (l, m) =>
         s"len(list_filter(list_distinct(toks), x -> list_contains([${m.map(x => s"'$x'").mkString(", ")}], x))) AS h_$l"
       }.mkString(", ")
@@ -306,8 +360,9 @@ object Pipelines {
       val sh3 =
         """CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
            ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END"""
-      s"""WITH t AS (SELECT doc_id, text, lang, n_chars,
-             string_split(lower(text), ' ') AS toks FROM documents),
+      s"""WITH $sourceCtes,
+         t AS (SELECT doc_id, text, lang, n_chars,
+             string_split(lower(text), ' ') AS toks FROM src),
          h AS (SELECT *, $hits FROM t),
          b AS (SELECT *, $best AS best FROM h),
          lp AS (SELECT doc_id, text, lang, n_chars, toks,
@@ -341,7 +396,9 @@ object Pipelines {
          SELECT doc_id, lang_pred, n_tokens, top_tok_frac, dup_2gram_frac FROM k
          WHERE doc_id NOT IN (SELECT doc_id FROM drp)
          ORDER BY doc_id"""
-    },
+  }
+
+  private lazy val extraOracles: Map[String, String] = Map(
     "pipeline_curate_incr" -> {
       val hits = LangMarkers.map { case (l, m) =>
         s"len(list_filter(list_distinct(toks), x -> list_contains([${m.map(x => s"'$x'").mkString(", ")}], x))) AS h_$l"
