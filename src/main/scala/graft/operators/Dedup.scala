@@ -617,13 +617,17 @@ object Dedup {
     // excised is index-scale (dup positions only) and feeds THREE
     // consumers (the doc probe, the position anti-join, and its own
     // distinct) — materialize once instead of recomputing the gram
-    // pipeline per consumer
-    val excised = grams.join(owners, "g")
+    // pipeline per consumer. statsReset (rebuild from the checkpointed
+    // RDD) is REQUIRED, not just the stats fix: the raw localCheckpoint
+    // keeps the lineage's attribute ids, and joining it back against
+    // `docs` (the same lineage) trips analyzer attribute-conflict
+    // errors; the rebuild mints fresh ids.
+    val excised = statsReset(grams.join(owners, "g")
       .filter(col("doc_id") =!= col("owner"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint())
     // Only docs that actually lose positions pay the explode + reassembly
     // shuffle — by the span-dedup assumption that is the small minority,
     // so the corpus-wide cost is one semi/anti probe, not a full
