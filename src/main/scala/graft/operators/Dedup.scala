@@ -604,7 +604,12 @@ object Dedup {
     * no second corpus shuffle beyond the anti-join on (doc, pos)). */
   def spanExciseOn(df: DataFrame, id: Column, text: Column,
       n: Int = 8): DataFrame = {
-    val docs = df.select(id.as("doc_id"), tokens(text).as("toks"))
+    // gram MATCHING is case-folded (tokens() lowercases, like every dedup
+    // op here), but the REBUILD keeps the original-case tokens — the two
+    // splits align position-for-position, so "drop-in replacement" means
+    // exactly that: an untouched doc round-trips verbatim
+    val docs = df.select(id.as("doc_id"), tokens(text).as("toks"),
+      split(text, " ").as("raw"))
     val grams = docs.filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         posexplode(expr(
@@ -635,7 +640,7 @@ object Dedup {
     val excDocs = excised.select("doc_id").distinct()
     val kept = docs.join(excDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
-        posexplode(col("toks")).as(Seq("pos", "tok")))
+        posexplode(col("raw")).as(Seq("pos", "tok")))
       .join(excised, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id", "n_toks")
       .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("kv"))
@@ -653,7 +658,7 @@ object Dedup {
     val untouched = docs.join(excDocs, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
         lit(0L).as("n_removed"),
-        array_join(col("toks"), " ").as("clean_text"))
+        array_join(col("raw"), " ").as("clean_text"))
     rebuilt.unionByName(untouched).orderBy("doc_id")
   }
 
@@ -730,8 +735,9 @@ object Dedup {
            CAST(count(DISTINCT p) AS DOUBLE) / n_toks AS dup_coverage
          FROM e GROUP BY doc_id, n_toks ORDER BY doc_id""",
     "dedup_span_excise" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-         d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, toks FROM t),
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks,
+             string_split(text, ' ') AS raw FROM documents),
+         d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, toks, raw FROM t),
          g AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS gram
                FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos FROM d
                      WHERE len(toks) >= 8)),
@@ -746,7 +752,7 @@ object Dedup {
            coalesce(array_to_string(list_transform(
              list_filter(range(1, len(toks) + 1),
                i -> ps IS NULL OR NOT list_contains(ps, i)),
-             i -> toks[i]), ' '), '') AS clean_text
+             i -> raw[i]), ' '), '') AS clean_text
          FROM d LEFT JOIN excl USING (doc_id) ORDER BY doc_id""",
     "dedup_embedding" ->
       """WITH pair AS (

@@ -50,30 +50,41 @@ object Lexical {
     * only ever sees `PoolN` rows. */
   val PoolN = 50
 
+  /** Per-(doc, term) BM25 contribution `s`: postings ⋈ broadcast df ⋈
+    * broadcast corpus stats with the Lucene formula applied. */
+  private def scoredPostings(tf: DataFrame, dfreq: DataFrame,
+      stats: DataFrame): DataFrame =
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("s", col("idf") * col("tf") * lit(K1 + 1.0) /
+        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+
+  /** Per-term score pivots, aliased by INDEX, not term text —
+    * user-supplied terms may contain '.', '`', or duplicates, any of
+    * which would break attribute resolution if embedded in a column
+    * name. */
+  private def scorePivots(terms: Seq[String]): Seq[Column] =
+    terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("s"))).as(s"s_$i")
+    }
+
+  /** Fixed-order (left-to-right in `terms` order) pivot sum — the IEEE
+    * result is independent of aggregation order. */
+  private def pivotTotal(terms: Seq[String]): Column =
+    terms.indices.map(i => coalesce(col(s"s_$i"), lit(0.0))).reduceLeft(_ + _)
+
   /** Shared scoring tail: postings (doc_id, dl, term, tf) ⋈ broadcast
     * per-term df ⋈ broadcast corpus stats → per-doc fixed-order score
     * sum. Both the ad-hoc path and the at-rest index path end here, so
     * their results are bit-identical by construction. */
   private def score(tf: DataFrame, dfreq: DataFrame, stats: DataFrame,
       terms: Seq[String]): DataFrame = {
-    val scored = tf
-      .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("s", col("idf") * col("tf") * lit(K1 + 1.0) /
-        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
-    // pivot columns are aliased by INDEX, not term text — user-supplied
-    // terms may contain '.', '`', or duplicates, any of which would break
-    // attribute resolution if embedded in a column name
-    val pivots = terms.zipWithIndex.map { case (t, i) =>
-      max(when(col("term") === t, col("s"))).as(s"s_$i")
-    }
-    val total = terms.indices.map(i => coalesce(col(s"s_$i"), lit(0.0)))
-      .reduceLeft(_ + _)
-    scored.groupBy("doc_id")
+    val pivots = scorePivots(terms)
+    scoredPostings(tf, dfreq, stats).groupBy("doc_id")
       .agg(pivots.head, pivots.tail: _*)
-      .select(col("doc_id"), round(total, 6).as("score"))
+      .select(col("doc_id"), round(pivotTotal(terms), 6).as("score"))
   }
 
   /** Query-side analyzer — the SAME normalization [[tokens]] applies to
@@ -82,15 +93,6 @@ object Lexical {
   private def analyze(terms: Seq[String]): Seq[String] =
     terms.map(_.trim.toLowerCase).filter(_.nonEmpty)
 
-  /** Per-document BM25 score for `terms` over `documents`:
-    * idf(t)·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), summed per doc in
-    * declaration order of `terms`; idf = ln(1 + (N−df+0.5)/(df+0.5)).
-    * Only documents matching ≥1 term appear.
-    *
-    * Ad-hoc shape: the corpus is scanned twice (matched postings; corpus
-    * stats — the N/avgdl constants a lake deployment precomputes as
-    * table statistics). The at-rest shape that scans neither is
-    * [[bm25FromIndex]]. */
   /** Matched postings + per-term df + corpus stats for `terms` — the
     * shared front of every ad-hoc lexical query. */
   private def termStats(s: SparkSession, d: String,
@@ -111,6 +113,15 @@ object Lexical {
     (tf, dfreq, stats)
   }
 
+  /** Per-document BM25 score for `terms` over `documents`:
+    * idf(t)·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), summed per doc in
+    * declaration order of `terms`; idf = ln(1 + (N−df+0.5)/(df+0.5)).
+    * Only documents matching ≥1 term appear.
+    *
+    * Ad-hoc shape: the corpus is scanned twice (matched postings; corpus
+    * stats — the N/avgdl constants a lake deployment precomputes as
+    * table statistics). The at-rest shape that scans neither is
+    * [[bm25FromIndex]]. */
   def bm25Scores(s: SparkSession, d: String,
       rawTerms: Seq[String] = QueryTerms): DataFrame = {
     val terms = analyze(rawTerms)
@@ -133,32 +144,20 @@ object Lexical {
       "bool query needs at least one must or should term")
     val scoring = mustT ++ shouldT // fixed summation order: must, then should
     val (tf, dfreq, stats) = termStats(s, d, scoring ++ notT)
-    val scored = tf
-      .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("s", col("idf") * col("tf") * lit(K1 + 1.0) /
-        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
-    val pivots = scoring.zipWithIndex.map { case (t, i) =>
-      max(when(col("term") === t, col("s"))).as(s"s_$i")
-    }
     val mustFlags = mustT.zipWithIndex.map { case (t, i) =>
       max(when(col("term") === t, lit(1)).otherwise(lit(0))).as(s"m_$i")
     }
     val notFlags = notT.zipWithIndex.map { case (t, i) =>
       max(when(col("term") === t, lit(1)).otherwise(lit(0))).as(s"x_$i")
     }
-    val aggs = pivots ++ mustFlags ++ notFlags
-    val total = scoring.indices.map(i => coalesce(col(s"s_$i"), lit(0.0)))
-      .reduceLeft(_ + _)
+    val aggs = scorePivots(scoring) ++ mustFlags ++ notFlags
     val keep = (mustT.indices.map(i => col(s"m_$i") === 1) ++
       notT.indices.map(i => col(s"x_$i") === 0))
       .foldLeft(lit(true))(_ && _)
-    scored.groupBy("doc_id")
+    scoredPostings(tf, dfreq, stats).groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
       .filter(keep)
-      .select(col("doc_id"), round(total, 6).as("score"))
+      .select(col("doc_id"), round(pivotTotal(scoring), 6).as("score"))
   }
 
   /** Named query: bool search — require "hash", score "vector"/"merge"
@@ -303,23 +302,31 @@ object Lexical {
     * read) and the term equality a PushedFilter inside them — corpus
     * text is never touched. Bit-identical to [[bm25Scores]] (shared
     * [[score]] tail; parity spec-pinned). */
+  /** Shared index-serving preamble: heal interrupted swaps, compute the
+    * query terms' bucket ids via the same xxhash64 (one job over a
+    * |Q|-row local relation, no index read), and open a bucket-partitioned
+    * index table with the bucket PartitionFilter + term PushedFilter
+    * applied — every index-served query path (BM25, phrase, proximity)
+    * reads through here so the pruning logic has exactly one definition. */
+  private def prunedRead(s: SparkSession, dir: String, table: String,
+      terms: Seq[String], buckets: Int): DataFrame = {
+    healIndex(s, dir)
+    import s.implicits._
+    val bIds = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .distinct().as[Long].collect().toSeq
+    s.read.parquet(s"$dir/$table")
+      .filter(col("bucket").isin(bIds: _*) && col("term").isin(terms: _*))
+  }
+
   def bm25FromIndex(s: SparkSession, dir: String,
       rawTerms: Seq[String] = QueryTerms,
       buckets: Int = IndexBuckets): DataFrame = {
     val terms = analyze(rawTerms)
     require(terms.nonEmpty, "BM25 needs at least one non-empty term")
-    healIndex(s, dir)
-    // bucket ids of the query terms, via the same xxhash64 — one job
-    // over a |Q|-row local relation, no index read
-    import s.implicits._
-    val bIds = terms.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)))
-      .distinct().as[Long].collect().toSeq
-    val posts = s.read.parquet(s"$dir/postings")
-      .filter(col("bucket").isin(bIds: _*) && col("term").isin(terms: _*))
+    val posts = prunedRead(s, dir, "postings", terms, buckets)
       .select("doc_id", "dl", "term", "tf")
-    val dfreq = s.read.parquet(s"$dir/terms")
-      .filter(col("bucket").isin(bIds: _*) && col("term").isin(terms: _*))
+    val dfreq = prunedRead(s, dir, "terms", terms, buckets)
       .select("term", "df")
     val stats = s.read.parquet(s"$dir/stats")
     score(posts, dfreq, stats, terms)
@@ -344,13 +351,7 @@ object Lexical {
       buckets: Int = IndexBuckets): DataFrame = {
     val phrase = analyze(rawPhrase)
     require(phrase.size >= 2, "a phrase needs at least two terms")
-    healIndex(s, dir)
-    import s.implicits._
-    val bIds = phrase.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)))
-      .distinct().as[Long].collect().toSeq
-    val posts = s.read.parquet(s"$dir/postings")
-      .filter(col("bucket").isin(bIds: _*) && col("term").isin(phrase: _*))
+    val posts = prunedRead(s, dir, "postings", phrase, buckets)
       .select("doc_id", "term", "positions")
     val shifted = phrase.zipWithIndex.map { case (t, i) =>
       posts.filter(col("term") === t)
@@ -381,13 +382,7 @@ object Lexical {
     val pair = analyze(Seq(first, second))
     require(pair.size == 2, "proximity search needs two non-empty terms")
     require(slop >= 0, "slop must be >= 0")
-    healIndex(s, dir)
-    import s.implicits._
-    val bIds = pair.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)))
-      .distinct().as[Long].collect().toSeq
-    val posts = s.read.parquet(s"$dir/postings")
-      .filter(col("bucket").isin(bIds: _*) && col("term").isin(pair: _*))
+    val posts = prunedRead(s, dir, "postings", pair, buckets)
       .select("doc_id", "term", "positions")
     val a = posts.filter(col("term") === pair.head)
       .select(col("doc_id"), col("positions").as("pa"))

@@ -317,7 +317,8 @@ object Pipelines {
       // span-excision CTEs (the dedup_span_excise policy) producing the
       // cleaned corpus `src` the shared full-chain CTEs then gate
       val excise =
-        """xt AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+        """xt AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks,
+               string_split(text, ' ') AS raw FROM documents),
            xg AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS gram
                   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos
                         FROM xt WHERE len(toks) >= 8)),
@@ -331,7 +332,7 @@ object Pipelines {
                coalesce(array_to_string(list_transform(
                  list_filter(range(1, len(toks) + 1),
                    i -> ps IS NULL OR NOT list_contains(ps, i)),
-                 i -> toks[i]), ' '), '') AS text
+                 i -> raw[i]), ' '), '') AS text
              FROM xt LEFT JOIN xexcl USING (doc_id)),
            src AS (SELECT doc_id, text, lang,
                CAST(length(text) AS BIGINT) AS n_chars FROM src0)"""

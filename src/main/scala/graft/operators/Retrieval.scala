@@ -458,7 +458,7 @@ object Retrieval {
     * of the same engines. `queryImageId` selects which image supplies the
     * query vectors (the "uploaded image" analog). */
   case class SearchRequest(
-      mode: String, // "whole" | "segment" | "hybrid" | "tags" | "lexical" | "rrf"
+      mode: String, // "whole" | "segment" | "hybrid" | "tags" | "lexical" | "rrf" | "mmr"
       k: Int = 10,
       queryImageId: Long = 0L,
       tags: Seq[String] = Nil,

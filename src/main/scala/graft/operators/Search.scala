@@ -48,7 +48,12 @@ object Search {
     * so the selection is deterministic and the DuckDB oracle replays it
     * exactly with a recursive CTE. */
   def mmrRerank(corpus: DataFrame, id: Column, vec: Column, query: DataFrame,
-      poolN: Int = 20, k: Int = 10, lambda: Double = 0.7): DataFrame = {
+      poolN: Int = 20, k: Int = 10, lambda: Double = 0.7,
+      // the diversity weight is an EXPLICIT parameter, not 1−λ computed
+      // at runtime: (1.0 − 0.7) is 0.30000000000000004, a different
+      // double from the oracle's 0.3 literal — exactly the class of
+      // boundary hazard the 6-decimal rounding convention exists to kill
+      diversity: Double = 0.3): DataFrame = {
     require(k >= 1 && k <= poolN, s"need 1 <= k <= poolN, got k=$k poolN=$poolN")
     val s = corpus.sparkSession
     val pool = corpus.crossJoin(broadcast(query))
@@ -75,7 +80,7 @@ object Search {
         else
           remaining.map { d =>
             val worst = selected.map { case (sid, _) => sims((d, sid)) }.max
-            d -> r6(lambda * rel(d) - (1.0 - lambda) * worst)
+            d -> r6(lambda * rel(d) - diversity * worst)
           }.toSeq.maxBy { case (d, sc) => (sc, -d) }
       selected += pick
       remaining -= pick._1

@@ -108,13 +108,16 @@ object TextAnalysis {
   def distinctiveTerms(s: SparkSession, d: String): DataFrame = {
     val e = Tables.documents(s, d)
       .select(col("source"), explode(docToks).as("term"))
-    val yi = e.groupBy("source", "term")
+    // one corpus explode; yw/ni/n are ROLL-UPS of yi (exact integer sums,
+    // so values equal the direct aggregations), not re-scans. statsReset
+    // wraps the checkpoint because yi is immediately self-joined with its
+    // own roll-ups (the attribute-conflict hazard pinned in Dedup).
+    val yi = Dedup.statsReset(e.groupBy("source", "term")
       .agg(count(lit(1)).cast("double").as("y_iw"))
-    val yw = e.groupBy("term")
-      .agg(count(lit(1)).cast("double").as("y_w"))
-    val ni = e.groupBy("source")
-      .agg(count(lit(1)).cast("double").as("n_i"))
-    val n = e.agg(count(lit(1)).cast("double").as("n_all"))
+      .localCheckpoint())
+    val yw = yi.groupBy("term").agg(sum("y_iw").as("y_w"))
+    val ni = yi.groupBy("source").agg(sum("y_iw").as("n_i"))
+    val n = ni.agg(sum("n_i").as("n_all"))
     val a0 = lit(100.0)
     val aw = col("y_w") * a0 / col("n_all")
     val delta =

@@ -83,9 +83,16 @@ class GoldenPathSpec extends SparkSpec {
     val phr = graft.operators.Lexical.phraseFromIndex(spark, s"$dir/lex")
       .as[(Long, Long)].collect()
     assert(phr.forall(r => ids.contains(r._1)), "phrase serves only curated docs")
-    // fuse the two retrievers' id sets — the serving dispatch's rrf mode
-    // runs the same fusion against the full tables (RetrievalRunSpec);
-    // here the composed-flow property is that both legs read one corpus
-    assert((lexTop.map(_._1) ++ top.map(_._1)).nonEmpty)
+    // the streamed two-increment index holds exactly the curated corpus:
+    // every curated doc that matches a benchmark term is retrievable
+    val matchable = curatedDocs
+      .filter(graft.operators.Lexical.QueryTerms
+        .map(t => array_contains(split(lower($"text"), " "), t))
+        .reduce(_ || _))
+      .select("doc_id").as[Long].collect().toSet
+    val allLex = graft.operators.Lexical.bm25FromIndex(spark, s"$dir/lex")
+      .select("doc_id").as[Long].collect().toSet
+    assert(allLex === matchable,
+      "the incremental index must retrieve exactly the matchable curated docs")
   }
 }

@@ -27,18 +27,18 @@ class SearchSpec extends SparkSpec {
     // pure relevance would return all of cluster A before any of B;
     // with diversity the 2nd pick must leave A (A-members are ~identical)
     val div = Search.mmrRerank(corpus, $"id", $"vec", query,
-        poolN = 6, k = 4, lambda = 0.5)
+        poolN = 6, k = 4, lambda = 0.5, diversity = 0.5)
       .select("rank", "vec_id").as[(Long, Long)].collect().toSeq
     assert(div.head === ((1L, 1L)), "first pick is the most relevant")
     assert(Set(4L, 5L, 6L).contains(div(1)._2),
       s"second pick must come from cluster B: $div")
     val pure = Search.mmrRerank(corpus, $"id", $"vec", query,
-        poolN = 6, k = 4, lambda = 1.0)
+        poolN = 6, k = 4, lambda = 1.0, diversity = 0.0)
       .select("vec_id").as[Long].collect().toSeq
     assert(pure === Seq(1L, 2L, 3L, 4L), "λ=1 is the relevance order")
     // deterministic across runs
     val again = Search.mmrRerank(corpus, $"id", $"vec", query,
-        poolN = 6, k = 4, lambda = 0.5)
+        poolN = 6, k = 4, lambda = 0.5, diversity = 0.5)
       .select("rank", "vec_id").as[(Long, Long)].collect().toSeq
     assert(again === div)
   }
