@@ -43,7 +43,11 @@ object ScaleBench {
     // each scale once), positional phrase (pruned reads + doc_id joins),
     // and transitive clustering (pairs stay clique-bounded on the
     // dup-heavy replicas, CC rounds O(log d)).
-    "search_bm25", "search_bm25_idx", "search_phrase", "dedup_clusters")
+    "search_bm25", "search_bm25_idx", "search_phrase", "dedup_clusters",
+    // round 8b: exact-substring span ops — the dup-heavy corpus is their
+    // WORST case (~every 8-gram is duplicated, so the position explode
+    // covers the whole corpus), yet work stays linear in dup occurrences.
+    "dedup_span_coverage", "pipeline_curate_excise")
   private val Reps = 10
   private val IdStride = 10000000L
 
