@@ -478,13 +478,55 @@ object Lexical {
       .orderBy(desc("rrf_score"), asc("doc_id")).limit(k)
   }
 
+  /** Weighted SCORE fusion — the second fusion flavor beside
+    * [[rrfHybridK]]'s rank fusion, and the same weighting pattern the
+    * reference's own hybrid mode applies to whole/segment scores
+    * (default weights 0.4/0.6 match its `whole_weight`/`segment_weight`
+    * defaults): each retriever's top-`PoolN` scores min-max normalize to
+    * [0,1] within the pool, then fuse as w_lex·lex + w_vec·vec. A doc
+    * missing from one list contributes 0 on that side. All arithmetic
+    * runs on 6-decimal-rounded pool scores with fixed operand order, so
+    * the fusion is oracle-exact; the pools are bounded checkpointed
+    * artifacts (statsReset for the self-join min/max). */
+  def weightedHybrid(s: SparkSession, d: String,
+      terms: Seq[String] = QueryTerms, wLex: Double = 0.4, wVec: Double = 0.6,
+      queryVecId: Long = 0L, k: Int = 10): DataFrame = {
+    def norm(pool: DataFrame, scoreCol: String, out: String): DataFrame = {
+      val mm = pool.agg(min(col(scoreCol)).as("mn"), max(col(scoreCol)).as("mx"))
+      pool.crossJoin(broadcast(mm))
+        .select(col("doc_id"),
+          round(when(col("mx") > col("mn"),
+            (col(scoreCol) - col("mn")) / (col("mx") - col("mn")))
+            .otherwise(lit(1.0)), 6).as(out))
+    }
+    val lexPool = Dedup.statsReset(bm25Scores(s, d, terms)
+      .orderBy(desc("score"), asc("doc_id")).limit(PoolN).localCheckpoint())
+    val q0 = Tables.embeddings(s, d).filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    val vecPool = Dedup.statsReset(Tables.embeddings(s, d)
+      .crossJoin(broadcast(q0))
+      .select(col("vec_id").as("doc_id"),
+        round(graft.functions.VectorExpressions.fusedCosine(
+          s, col("embedding"), col("qv")), 6).as("cs"))
+      .orderBy(desc("cs"), asc("doc_id")).limit(PoolN).localCheckpoint())
+    norm(lexPool, "score", "norm_lex")
+      .join(norm(vecPool, "cs", "norm_vec"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("norm_lex"), lit(0.0)).as("norm_lex"),
+        coalesce(col("norm_vec"), lit(0.0)).as("norm_vec"),
+        round(lit(wLex) * coalesce(col("norm_lex"), lit(0.0)) +
+          lit(wVec) * coalesce(col("norm_vec"), lit(0.0)), 6).as("fused"))
+      .orderBy(desc("fused"), asc("doc_id")).limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_bm25" -> bm25Q,
     "search_bm25_idx" -> bm25IdxQ,
     "search_phrase" -> phraseQ,
     "search_phrase_slop" -> proximityQ,
     "search_bool" -> boolQ,
-    "q6_rrf_hybrid" -> rrfHybrid)
+    "q6_rrf_hybrid" -> rrfHybrid,
+    "q7_weighted_hybrid" -> ((s: SparkSession, d: String) => weightedHybrid(s, d)))
 
   private def termIn = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
   private def pivotSum = QueryTerms
@@ -557,6 +599,24 @@ object Lexical {
              i -> $adj)) AS BIGINT) AS n_occ FROM t)
          SELECT doc_id, n_occ FROM m WHERE n_occ > 0 ORDER BY doc_id"""
     },
+    "q7_weighted_hybrid" ->
+      s"""WITH $bm25Sql,
+         lexp AS (SELECT * FROM lexs ORDER BY score DESC, doc_id LIMIT $PoolN),
+         lexn AS (SELECT doc_id,
+             round(CASE WHEN mx > mn THEN (score - mn) / (mx - mn) ELSE 1.0 END, 6) AS nl
+           FROM lexp CROSS JOIN (SELECT min(score) AS mn, max(score) AS mx FROM lexp)),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         vs AS (SELECT vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS cs
+           FROM embeddings, q),
+         vp AS (SELECT * FROM vs ORDER BY cs DESC, doc_id LIMIT $PoolN),
+         vn AS (SELECT doc_id,
+             round(CASE WHEN mx > mn THEN (cs - mn) / (mx - mn) ELSE 1.0 END, 6) AS nv
+           FROM vp CROSS JOIN (SELECT min(cs) AS mn, max(cs) AS mx FROM vp))
+         SELECT doc_id, coalesce(nl, 0.0) AS norm_lex, coalesce(nv, 0.0) AS norm_vec,
+           round(0.4 * coalesce(nl, 0.0) + 0.6 * coalesce(nv, 0.0), 6) AS fused
+         FROM lexn FULL OUTER JOIN vn USING (doc_id)
+         ORDER BY fused DESC, doc_id LIMIT 10""",
     "q6_rrf_hybrid" ->
       s"""WITH $bm25Sql,
          lexr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex

@@ -208,6 +208,26 @@ class LexicalSpec extends SparkSpec {
     onlyMust.foreach(id => assert(got(id) > 0.0, s"doc $id: must clause must score"))
   }
 
+  test("weightedHybrid: weights are live, extremes reduce to the single retrievers") {
+    val lexOnly = Lexical.weightedHybrid(spark, sf, wLex = 1.0, wVec = 0.0)
+      .select("doc_id").as[Long].collect().toSeq
+    val lexDirect = Lexical.bm25Scores(spark, sf)
+      .orderBy(org.apache.spark.sql.functions.desc("score"),
+        org.apache.spark.sql.functions.asc("doc_id"))
+      .limit(10).select("doc_id").as[Long].collect().toSeq
+    // wVec=0 ⇒ ranking by normalized lex score = ranking by lex score
+    // (min-max is monotone), with vec-only pool docs at fused 0
+    assert(lexOnly.take(lexDirect.size) === lexDirect)
+    val fused = Lexical.weightedHybrid(spark, sf)
+      .as[(Long, Double, Double, Double)].collect()
+    fused.foreach { case (id, nl, nv, f) =>
+      assert(nl >= 0.0 && nl <= 1.0 && nv >= 0.0 && nv <= 1.0, s"doc $id norms")
+      assert(math.abs(f - BigDecimal(0.4 * nl + 0.6 * nv)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"doc $id fused reconstructs from norms")
+    }
+  }
+
   test("query analyzer: case-folded terms, dotted and duplicate terms are safe") {
     val lower = Lexical.bm25Scores(spark, sf, Seq("vector"))
       .as[(Long, Double)].collect().toMap
