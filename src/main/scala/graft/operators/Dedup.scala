@@ -360,6 +360,15 @@ object Dedup {
       labels = ckpt.select("node", "lbl")
       round += 1
     }
+    // Partial (unconverged) labels are WRONG clusters — fail loudly rather
+    // than return them silently. Pointer jumping halves the effective
+    // diameter each round (maxRounds=20 covers ~2^19), so tripping this
+    // means an adversarial graph or a bug, not a tuning problem.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupClusters: label propagation did not converge in $maxRounds " +
+          s"rounds ($changed labels still changing); refusing to return " +
+          "partial clusters — raise maxRounds or investigate the edge graph")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
   }
 

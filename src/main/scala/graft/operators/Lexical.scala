@@ -225,7 +225,19 @@ object Lexical {
     val p = new org.apache.hadoop.fs.Path(path)
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val oldP = new org.apache.hadoop.fs.Path(path + "__old")
-    if (!f.exists(p) && f.exists(oldP)) f.rename(oldP, p)
+    if (!f.exists(p) && f.exists(oldP)) mustRename(f, oldP, p)
+  }
+
+  /** Hadoop `FileSystem.rename` reports failure by RETURNING FALSE, not
+    * throwing — and a swallowed false here means the next rename can move
+    * the staging dir INSIDE the live table (HDFS into-existing-dir
+    * semantics) or leave stale data serving silently. Every swap rename
+    * goes through this so a failed step is loud. */
+  private def mustRename(f: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
+    if (!f.rename(src, dst))
+      throw new java.io.IOException(s"swap rename failed: $src -> $dst " +
+        "(FileSystem.rename returned false; index left un-swapped)")
   }
 
   /** Heal both swap-managed index tables — for callers that must decide
@@ -244,7 +256,7 @@ object Lexical {
     healSwap(s, path)
     f.delete(tmpP, true); f.delete(oldP, true)
     write(tmpP.toString)
-    f.rename(p, oldP); f.rename(tmpP, p); f.delete(oldP, true)
+    mustRename(f, p, oldP); mustRename(f, tmpP, p); f.delete(oldP, true)
   }
 
   /** Append a batch of NEW documents (doc_ids disjoint from the indexed
@@ -266,7 +278,8 @@ object Lexical {
     * format's MVCC (Iceberg/Delta); the operator keeps the layout
     * format-agnostic. */
   def appendToIndex(docs: DataFrame, id: Column, text: Column,
-      dir: String, buckets: Int = IndexBuckets): Unit = {
+      dir: String, buckets: Int = IndexBuckets,
+      requireDisjoint: Boolean = true): Unit = {
     val s = docs.sparkSession
     // heal interrupted swaps BEFORE the eager parquet reads below — a
     // crash between a swap's renames would otherwise wedge every retry
@@ -275,6 +288,24 @@ object Lexical {
     val toks = docs.select(id.as("doc_id"), tokens(text).as("toks"))
     val posts = postings(toks, buckets)
       .localCheckpoint() // one computation feeds both the append and the df merge
+    if (requireDisjoint) {
+      // The disjoint-doc_ids contract enforced, not assumed: a violated
+      // contract would silently yield duplicate (doc_id, term) posting
+      // rows — the score pivot's max() picks one arbitrarily and df /
+      // n_docs double-count, i.e. WRONG scores with no failure signal.
+      // Cost = one doc_id-column scan of postings with a broadcast
+      // semi-join probe (batch ids are increment-sized); parquet
+      // row-group min/max stats skip most files when ids are monotonic.
+      // Lake-scale callers that track disjointness upstream (e.g. the
+      // streaming ingest's exactly-once batch ids) may opt out.
+      val clash = s.read.parquet(s"$dir/postings").select("doc_id")
+        .join(broadcast(posts.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        "appendToIndex batch overlaps the indexed corpus (doc_ids must be " +
+          "NEW — an ingest increment); an overlapping append would " +
+          "double-count postings/df and corrupt BM25 scores")
+    }
     posts.write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
     val newDf = posts.groupBy("bucket", "term")
       .agg(count(lit(1)).cast("double").as("df"))

@@ -512,10 +512,16 @@ object Retrieval {
         require(req.terms.nonEmpty, "rrf mode needs non-empty 'terms'")
         Lexical.rrfHybridK(s, d, req.terms, req.k, queryVecId = req.queryImageId)
       case "mmr" => // beyond-reference: diversified top-k
+        // Request-derived pool clamps to the driver-safety ceiling: k and
+        // poolN are caller-controlled at the serving edge, and mmrRerank
+        // collects poolN^2 sim pairs — an uncapped top_k=10^5 request
+        // would be a 10^10-pair driver OOM.
+        require(req.k >= 1 && req.k <= Search.MaxMmrPool,
+          s"mmr mode needs 1 <= k <= ${Search.MaxMmrPool}, got k=${req.k}")
         Search.mmrRerank(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
           Tables.embeddings(s, d).filter(col("vec_id") === req.queryImageId)
             .select(col("embedding").as("qv")),
-          poolN = math.max(2 * req.k, 20), k = req.k)
+          poolN = math.min(math.max(2 * req.k, 20), Search.MaxMmrPool), k = req.k)
       case other => throw new IllegalArgumentException(
         s"unknown search mode '$other' (expected whole|segment|hybrid|tags|lexical|rrf|mmr)")
     }

@@ -20,6 +20,14 @@ import graft.functions.VectorExpressions.fusedCosine
   */
 object Search {
 
+  /** Hard ceiling on [[mmrRerank]]'s candidate pool. The greedy MMR pass
+    * collects the pool's relevance list AND its poolN² pairwise similarity
+    * matrix to the driver; 1000² = 10⁶ pairs is a bounded index-scale
+    * artifact, but an unchecked caller value (e.g. 10⁵ → 10¹⁰ pairs) is a
+    * driver OOM. Servers clamp request-derived pools to this before
+    * calling ([[Retrieval.run]]); direct callers hit the `require`. */
+  val MaxMmrPool = 1000
+
   /** Q1 — brute-force cosine kNN: one narrow corpus scan, fused-codegen
     * scoring, tournament top-k. `offset` reproduces the reference's
     * `cos + 1.0` calibration. */
@@ -55,6 +63,8 @@ object Search {
       // boundary hazard the 6-decimal rounding convention exists to kill
       diversity: Double = 0.3): DataFrame = {
     require(k >= 1 && k <= poolN, s"need 1 <= k <= poolN, got k=$k poolN=$poolN")
+    require(poolN <= MaxMmrPool,
+      s"poolN=$poolN exceeds MaxMmrPool=$MaxMmrPool (poolN^2 sim pairs are driver-collected)")
     val s = corpus.sparkSession
     val pool = corpus.crossJoin(broadcast(query))
       .select(id.as("vec_id"), vec.as("v"),

@@ -452,17 +452,22 @@ object Streams {
     * same batch/stream-parity contract as the rest of this surface.
     *
     * Batch contract: doc_ids are NEW (an ingest increment, the same
-    * contract as appendToIndex). Exactly-once: the checkpoint replays a
-    * failed batch, and a replayed append would double-count postings —
-    * production puts the append under a table format's MVCC commit; the
-    * operator keeps the layout format-agnostic (same caveat as
-    * appendToIndex, stated there). */
+    * contract as appendToIndex). Exactly-once: the standard foreachBatch
+    * idempotence pattern — after a batch's append completes, an empty
+    * `_batch_<id>` marker lands in the index dir, and a replayed batchId
+    * whose marker exists is SKIPPED. This closes the common replay hole
+    * (append durable, streaming checkpoint commit lost → Spark re-runs
+    * the batch). The residual window — a crash between append completion
+    * and marker creation — still replays into a double-append; closing
+    * THAT needs the data write and the commit record under one MVCC
+    * commit (a table format), which the operator deliberately doesn't
+    * require. */
   def indexIngest(docs: DataFrame, indexDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // heal interrupted swaps BEFORE probing: a crash mid stats-swap
           // leaves a COMPLETE index with stats parked at __old, and an
@@ -473,14 +478,21 @@ object Streams {
           // full (re)write of the replayed first batch is the right move.
           graft.operators.Lexical.healIndex(batch.sparkSession, indexDir)
           val statsDir = new org.apache.hadoop.fs.Path(s"$indexDir/stats")
+          val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batch_$batchId")
           val f = statsDir.getFileSystem(
             batch.sparkSession.sparkContext.hadoopConfiguration)
-          if (f.exists(statsDir))
-            graft.operators.Lexical.appendToIndex(
-              batch, col("doc_id"), col("text"), indexDir)
-          else
-            graft.operators.Lexical.writeInvertedIndex(
-              batch, col("doc_id"), col("text"), indexDir)
+          if (!f.exists(marker)) { // replayed-but-applied batch: skip
+            if (f.exists(statsDir))
+              // the marker IS the dedup guard for replays, so the batch
+              // skips appendToIndex's postings-scan disjointness probe
+              graft.operators.Lexical.appendToIndex(
+                batch, col("doc_id"), col("text"), indexDir,
+                requireDisjoint = false)
+            else
+              graft.operators.Lexical.writeInvertedIndex(
+                batch, col("doc_id"), col("text"), indexDir)
+            f.create(marker, true).close() // applied — commit the batch id
+          }
         }
       }
       .start()

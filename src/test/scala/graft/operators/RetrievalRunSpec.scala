@@ -125,6 +125,13 @@ class RetrievalRunSpec extends SparkSpec {
     assert(r.map(_._1) === (1L to 5L), "ranks are 1..k")
   }
 
+  test("mmr mode: request-controlled k beyond the driver-pool ceiling fails fast") {
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.run(spark, d, SearchRequest("mmr", k = 100000, queryImageId = 3L))
+    }
+    assert(e.getMessage.contains("mmr mode needs"))
+  }
+
   test("unknown mode fails fast") {
     intercept[IllegalArgumentException] {
       Retrieval.run(spark, d, SearchRequest("vibes"))

@@ -43,6 +43,14 @@ class SearchSpec extends SparkSpec {
     assert(again === div)
   }
 
+  test("mmrRerank: poolN above MaxMmrPool is rejected before any job runs") {
+    val e = intercept[IllegalArgumentException] {
+      Search.mmrRerank(corpus, $"id", $"vec", query,
+        poolN = Search.MaxMmrPool + 1, k = 4)
+    }
+    assert(e.getMessage.contains("MaxMmrPool"))
+  }
+
   test("knnIvf: probing the right centroid reproduces brute-force top-k") {
     val cents = Seq((0L, v(1, 0.02, 0).map(_.toDouble)), (1L, v(0, 0.02, 1).map(_.toDouble)))
       .toDF("cid", "c")
