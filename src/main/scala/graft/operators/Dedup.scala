@@ -571,9 +571,19 @@ object Dedup {
     * explode of each dup gram's n offsets — ×n amplification on DUP
     * grams only (the rare case by assumption; a sorted interval-sweep
     * kernel is the constant-factor upgrade if a corpus is mostly
-    * boilerplate). */
+    * boilerplate).
+    *
+    * `maxDocFreq > 0` enables the HOT-GRAM GUARD (the [[jaccardPairs]]
+    * df-cap applied to this path): a gram present in m docs explodes
+    * m·n position rows, so one boilerplate run shared by millions of
+    * docs inflates the explode linearly with corpus size. The guard
+    * drops grams hotter than the cap from the dup set — coverage
+    * becomes a LOWER bound (the excluded grams are exactly the ones a
+    * caller usually wants handled by a dedicated boilerplate-strip
+    * pass, not counted per-doc); [[hotGrams]] reports what a given cap
+    * drops. */
   def spanCoverageOn(df: DataFrame, id: Column, text: Column,
-      n: Int = 8): DataFrame = {
+      n: Int = 8, maxDocFreq: Int = 0): DataFrame = {
     val docs = df.select(id.as("doc_id"), tokens(text).as("toks"))
       .filter(size(col("toks")) >= n)
     val grams = docs.select(col("doc_id"),
@@ -583,7 +593,9 @@ object Dedup {
         .as(Seq("pos", "g")))
     val dupG = grams.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= 2).select("g")
+      .filter(col("ndocs") >= 2 &&
+        (if (maxDocFreq > 0) col("ndocs") <= maxDocFreq else lit(true)))
+      .select("g")
     grams.join(dupG, "g")
       .select(col("doc_id"), col("n_toks"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
@@ -598,6 +610,25 @@ object Dedup {
   def spanCoverageQ(s: SparkSession, d: String): DataFrame =
     spanCoverageOn(Tables.documents(s, d), col("doc_id"), col("text"))
 
+  /** The audit face of the span ops' hot-gram guard (the [[hotShingles]]
+    * pattern): every `n`-gram whose document frequency exceeds
+    * `maxDocFreq`, with its df and the position rows it would have
+    * exploded — the drop log a production span-dedup run records next to
+    * its output. */
+  def hotGrams(df: DataFrame, id: Column, text: Column,
+      n: Int = 8, maxDocFreq: Int = 10): DataFrame = {
+    val docs = df.select(id.as("doc_id"), tokens(text).as("toks"))
+      .filter(size(col("toks")) >= n)
+    docs.select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, size(toks) - $n), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $n))))"))
+          .as("g"))
+      .groupBy("g").agg(countDistinct(col("doc_id")).as("ndocs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("ndocs") > maxDocFreq)
+      .withColumn("positions_dropped", (col("n_occurrences") * n).cast("long"))
+  }
+
   /** Span-EXCISION — [[spanCoverageOn]]'s transform face (Lee et al.'s
     * exact-substring dedup policy): every duplicated `n`-token run keeps
     * exactly one copy — in its OWNER, the smallest doc_id containing the
@@ -610,15 +641,27 @@ object Dedup {
     * gram → min(doc_id) is one aggregation, excised positions are the
     * non-owner dup gram offsets, and the rebuild is an ordered
     * per-row reassembly (sort_array over (pos, tok) structs — no window,
-    * no second corpus shuffle beyond the anti-join on (doc, pos)). */
+    * no second corpus shuffle beyond the anti-join on (doc, pos)).
+    *
+    * `maxDocFreq > 0` enables the same hot-gram guard as
+    * [[spanCoverageOn]]: grams hotter than the cap are left IN PLACE
+    * (not excised anywhere) instead of exploding m·n position rows —
+    * corpus-wide boilerplate is a boilerplate-strip pass's job, and the
+    * guard keeps one viral 8-gram from turning the excision's position
+    * explode linear in corpus size. [[hotGrams]] is the audit. */
   def spanExciseOn(df: DataFrame, id: Column, text: Column,
-      n: Int = 8): DataFrame = {
-    // gram MATCHING is case-folded (tokens() lowercases, like every dedup
-    // op here), but the REBUILD keeps the original-case tokens — the two
-    // splits align position-for-position, so "drop-in replacement" means
-    // exactly that: an untouched doc round-trips verbatim
-    val docs = df.select(id.as("doc_id"), tokens(text).as("toks"),
-      split(text, " ").as("raw"))
+      n: Int = 8, maxDocFreq: Int = 0): DataFrame = {
+    // gram MATCHING is case-folded (like every dedup op here), but the
+    // REBUILD keeps the original-case tokens. Both arrays derive from the
+    // ONE split below — `toks` is a per-element lower() of `raw`, which
+    // cannot change array length — so position-for-position alignment is
+    // structural, not a convention the tokenizer must remember: "drop-in
+    // replacement" means an untouched doc round-trips verbatim.
+    // (transform(raw, lower) ≡ tokens(text): lower() maps spaces to
+    // spaces, so splitting before or after folding is the same array —
+    // DedupSpec pins the equivalence on hostile whitespace.)
+    val docs = df.select(id.as("doc_id"), split(text, " ").as("raw"))
+      .withColumn("toks", expr("transform(raw, t -> lower(t))"))
     val grams = docs.filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         posexplode(expr(
@@ -627,7 +670,9 @@ object Dedup {
     val owners = grams.groupBy("g")
       .agg(min(col("doc_id")).as("owner"),
         countDistinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= 2).select("g", "owner")
+      .filter(col("ndocs") >= 2 &&
+        (if (maxDocFreq > 0) col("ndocs") <= maxDocFreq else lit(true)))
+      .select("g", "owner")
     // excised is index-scale (dup positions only) and feeds THREE
     // consumers (the doc probe, the position anti-join, and its own
     // distinct) — materialize once instead of recomputing the gram

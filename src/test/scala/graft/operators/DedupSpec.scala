@@ -51,6 +51,58 @@ class DedupSpec extends SparkSpec {
     assert(r(3L) === ((0L, t3)), "an untouched doc passes through verbatim")
   }
 
+  test("span ops hot-gram guard: a boilerplate block is dropped, the audit reports it") {
+    // 40 docs all pasting the same 8-token boilerplate (one viral gram,
+    // df=40) + one genuine 2-doc dup passage. Guarded at maxDocFreq=10 the
+    // viral gram must vanish from coverage AND stay un-excised, while the
+    // 2-doc passage still dedups — the bounded-explode contract.
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val corpus = ((1L to 40L).map(i =>
+        (i, s"u${i}a u${i}b u${i}c $boiler u${i}d u${i}e u${i}f")) ++
+      Seq((41L, s"w1 w2 w3 $passage w4 w5 w6"),
+          (42L, s"x1 x2 x3 $passage x4 x5 x6"))).toDF("id", "text")
+    val cov = Dedup.spanCoverageOn(corpus, $"id", $"text", maxDocFreq = 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(cov === Seq(41L, 42L),
+      "guarded coverage sees only the genuine dup, not the viral boilerplate")
+    val exc = Dedup.spanExciseOn(corpus, $"id", $"text", maxDocFreq = 10)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    assert((1L to 40L).forall(exc(_) === 0L), "hot gram left in place everywhere")
+    assert(exc(41L) === 0L && exc(42L) === 8L, "genuine dup still excises")
+    val audit = Dedup.hotGrams(corpus, $"id", $"text", maxDocFreq = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(audit.size === 1, "exactly the boilerplate gram is hot")
+    assert(audit.head._2 === 40L && audit.head._4 === 320L,
+      "audit reports df and the position rows the guard saved")
+    // guard OFF (the default) keeps the old semantics: everything dedups
+    val unguarded = Dedup.spanCoverageOn(corpus, $"id", $"text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(unguarded.size === 42, "default (guard off) counts the boilerplate")
+  }
+
+  test("spanExciseOn: raw/tokens alignment survives hostile whitespace and case") {
+    // multi-space runs produce empty-string tokens; both arrays derive
+    // from ONE split, so untouched docs must round-trip VERBATIM and
+    // case-folded matching must excise original-case text
+    // (whitespace hostility sits AWAY from the passage edges — empty
+    // tokens adjacent to the shared run would legitimately extend it)
+    val passage = "P1 p2 P3 p4 p5 p6 P7 p8"
+    val t1 = s"a1  a2 $passage z1 z2 "
+    val t2 = s"b1 b2 b3 ${passage.toLowerCase} y1 y2"
+    val t3 = "c1   c2  c3 c4 "
+    val corpus = Seq((1L, t1), (2L, t2), (3L, t3)).toDF("id", "text")
+    val r = Dedup.spanExciseOn(corpus, $"id", $"text")
+      .select("doc_id", "n_removed", "clean_text")
+      .as[(Long, Long, String)].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r(1L) === ((0L, t1)),
+      "owner round-trips verbatim — double space and trailing space intact")
+    assert(r(2L) === ((8L, "b1 b2 b3 y1 y2")),
+      "case-folded match excises the original-case run exactly")
+    assert(r(3L) === ((0L, t3)), "untouched multi-space doc is byte-identical")
+  }
+
   test("exactDuplicates: dup group sizes") {
     val m = Dedup.exactDuplicates(docs, $"id", $"text")
       .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
