@@ -110,9 +110,40 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** REAL pixel decode end to end (r8 verdict's last simulated
+    * capability): deterministic 24-bit BMP fixtures render per doc_id →
+    * [[graft.sources.JdkImage.JdkImageEncoder]] DECODES them with
+    * `javax.imageio` inside the mapPartitions boundary → per-channel
+    * 16-bin pixel histograms. Raw integer counts + the sparse (doc,
+    * channel, bin) form keep every output value exact, so DuckDB — with
+    * no image codec at all — checks the decode by replaying the fixtures'
+    * pixel FORMULA: BMP is lossless, so a header mis-parse, channel swap,
+    * or row-order bug in the decode path shifts counts and fails the
+    * hash. Dimensions come from the decoded header, not the generator. */
+  def decodeEmbed(s: SparkSession, d: String): DataFrame = {
+    val imgs = graft.sources.JdkImage
+      .renderBmpFixtures(Tables.documents(s, d).select("doc_id"))
+      .toDF("doc_id", "payload")
+    graft.sources.MultimodalStub.decodeAndEmbed(imgs,
+        encoderFactory = Some(() =>
+          new graft.sources.JdkImage.JdkImageEncoder(16, normalize = false)))
+      .toDF()
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        posexplode(col("feature")).as(Seq("idx", "cnt")))
+      .filter(col("cnt") > 0) // sparse: zero bins carry no information
+      .select(col("doc_id"), col("width"), col("height"),
+        expr("CASE WHEN idx < 16 THEN 'r' WHEN idx < 32 THEN 'g' ELSE 'b' END")
+          .as("channel"),
+        (col("idx") % 16).cast("long").as("bin"),
+        col("cnt").cast("long").as("cnt"))
+      .orderBy("doc_id", "channel", "bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> binaryMeta,
     "mm_chunk" -> chunk,
+    "mm_decode_embed" -> decodeEmbed,
     "mm_frame_embed" -> ((s, d) => frameEmbed(s, d,
       encoder = Some(() =>
         new graft.sources.MultimodalStub.ByteHistogramEncoder(16, normalize = false)))))
@@ -134,6 +165,27 @@ object Multimodal {
            CAST(length(substr(text, CAST(chunk_idx * 256 + 1 AS BIGINT), 256)) AS BIGINT) AS chunk_len,
            md5(substr(text, CAST(chunk_idx * 256 + 1 AS BIGINT), 256)) AS chunk_md5
          FROM x ORDER BY doc_id, chunk_idx""",
+    // Decode-free replay of the BMP fixtures' pixel formula (see
+    // JdkImage.renderBmpFixtures — pixels are a pure integer function of
+    // doc_id): DuckDB predicts every pixel value and re-bins; Spark must
+    // arrive at the same counts THROUGH an actual ImageIO decode of the
+    // rendered bytes. Lossless 24-bit BMP is what makes equality exact.
+    "mm_decode_embed" ->
+      """WITH ids AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+           FROM documents),
+         px AS (SELECT doc_id, w, h, unnest(range(w)) AS x, y
+           FROM (SELECT doc_id, w, h, unnest(range(h)) AS y FROM ids)),
+         v AS (SELECT doc_id, w, h,
+             (31*doc_id + 7*x + 13*y) % 256 AS r,
+             (17*doc_id + 11*x + 5*y) % 256 AS g,
+             (23*doc_id + 3*x + 19*y) % 256 AS b
+           FROM px),
+         u AS (SELECT doc_id, w, h, 'r' AS channel, r // 16 AS bin FROM v
+           UNION ALL SELECT doc_id, w, h, 'g', g // 16 FROM v
+           UNION ALL SELECT doc_id, w, h, 'b', b // 16 FROM v)
+         SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           channel, CAST(bin AS BIGINT) AS bin, count(*) AS cnt
+         FROM u GROUP BY 1,2,3,4,5 ORDER BY doc_id, channel, bin""",
     // Exploits two exactness facts: (1) the raw-count histogram of the
     // pooled frames equals the histogram of the CONCATENATION of the
     // sampled (even-index) chunks, so no per-frame grouping is needed;

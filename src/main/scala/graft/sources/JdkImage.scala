@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
+
+import graft.sources.MultimodalStub.{MediaEncoder, MediaFeature}
+
+/** REAL image decode behind the [[MultimodalStub.MediaEncoder]] boundary —
+  * no external dependency: `javax.imageio` ships in the JDK and decodes
+  * JPEG/PNG/GIF/BMP. This closes the one reference capability the stub
+  * layer only simulated (CLIP's decode step,
+  * `/root/reference/SAM/sam_segment_clip_pipeline.py:157-184`,
+  * `search_with_segments.py:59-67`): payloads are decoded to actual
+  * pixels, bounded-downsampled by the reference's max-side rule, and
+  * embedded as a per-channel color histogram — the classic
+  * pre-deep-learning image feature, and the same bytes-in/unit-vector-out
+  * contract a real model implementation would honor.
+  *
+  * Scale shape is inherited from the boundary itself: the encoder is
+  * constructed once per partition ([[MultimodalStub.decodeAndEmbed]]'s
+  * factory), decode runs row-at-a-time inside mapPartitions with no
+  * driver involvement, and the output is a typed columnar Dataset feeding
+  * retrieval directly.
+  */
+object JdkImage {
+
+  /** Decode → bounded downsample → per-channel histogram → (optionally)
+    * L2-normalize.
+    *
+    *  - `bins` per channel; feature = R-hist ++ G-hist ++ B-hist
+    *    (dim = 3·bins). Similar images get similar embeddings — the
+    *    property retrieval needs and the hash stub lacked.
+    *  - `maxSide` reproduces the reference's resize rule (cap the longest
+    *    side, preserve aspect): images over the cap are area-averaged
+    *    down BEFORE histogramming, so a 50 MP scan costs the same
+    *    histogram work as a thumbnail. `width`/`height` report the
+    *    ORIGINAL decoded dimensions (the metadata a catalog wants).
+    *  - `normalize = false` keeps raw integer pixel counts — exact in
+    *    Float up to 2²⁴ — which is what lets a decode-free oracle check
+    *    the whole decode path on lossless fixtures (same trick as
+    *    [[MultimodalStub.ByteHistogramEncoder]] / `mm_frame_embed`).
+    *
+    * Undecodable payloads fail loudly (null from `ImageIO.read` →
+    * IllegalArgumentException): silently emitting a zero vector would
+    * poison downstream retrieval; a production pipeline routes failures
+    * to a quarantine via the same try/filter pattern as the JSON source. */
+  class JdkImageEncoder(bins: Int = 16, maxSide: Int = 800,
+      normalize: Boolean = true) extends MediaEncoder {
+    def encode(id: Long, bytes: Array[Byte]): MediaFeature = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, s"doc $id: payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val scaled =
+        if (math.max(w, h) <= maxSide) img
+        else {
+          val sc = maxSide.toDouble / math.max(w, h)
+          val (nw, nh) = (math.max(1, (w * sc).toInt), math.max(1, (h * sc).toInt))
+          val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+          val g2 = out.createGraphics()
+          g2.drawImage(img.getScaledInstance(nw, nh, java.awt.Image.SCALE_AREA_AVERAGING),
+            0, 0, null)
+          g2.dispose()
+          out
+        }
+      val hist = new Array[Float](3 * bins)
+      var y = 0
+      while (y < scaled.getHeight) {
+        var x = 0
+        while (x < scaled.getWidth) {
+          val rgb = scaled.getRGB(x, y)
+          hist(((rgb >> 16 & 0xFF) * bins) / 256) += 1f
+          hist(bins + ((rgb >> 8 & 0xFF) * bins) / 256) += 1f
+          hist(2 * bins + ((rgb & 0xFF) * bins) / 256) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      if (normalize) {
+        var norm = 0.0
+        var j = 0
+        while (j < hist.length) { norm += hist(j).toDouble * hist(j); j += 1 }
+        val inv = if (norm == 0.0) 0f else (1.0 / math.sqrt(norm)).toFloat
+        j = 0
+        while (j < hist.length) { hist(j) *= inv; j += 1 }
+      }
+      MediaFeature(id, width = w, height = h, feature = hist)
+    }
+  }
+
+  /** Deterministic 24-bit BMP fixtures — REAL image files (ImageIO-encoded,
+    * decodable by any viewer) whose pixels are a pure integer function of
+    * `doc_id`, so an engine with no codec can still predict every pixel:
+    *
+    *   w = 8 + id % 9,  h = 8 + id % 7
+    *   r(x,y) = (31·id +  7·x + 13·y) % 256
+    *   g(x,y) = (17·id + 11·x +  5·y) % 256
+    *   b(x,y) = (23·id +  3·x + 19·y) % 256
+    *
+    * BMP is uncompressed and 24-bit RGB is lossless, so decode must
+    * recover these values EXACTLY — which is what makes `mm_decode_embed`
+    * oracle-checkable: DuckDB replays the formula; Spark renders, encodes,
+    * DECODES with [[JdkImageEncoder]], and histograms actual pixels. Any
+    * header mis-parse, channel swap, or row-order mistake shifts counts
+    * and fails the hash. */
+  def renderBmpFixtures(ids: DataFrame): Dataset[(Long, Array[Byte])] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions(_.map { id =>
+      val w = 8 + (id % 9).toInt
+      val h = 8 + (id % 7).toInt
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((31 * id + 7 * x + 13 * y) % 256).toInt
+          val g = ((17 * id + 11 * x + 5 * y) % 256).toInt
+          val b = ((23 * id + 3 * x + 19 * y) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "bmp", bos)
+      (id, bos.toByteArray)
+    })
+  }
+}

@@ -132,4 +132,65 @@ class MultimodalStubSpec extends SparkSpec {
     val rows = MultimodalStub.decodeAndEmbed(df, dim = 4).collect()
     assert(rows.length === 1 && rows.head.feature.length === 4)
   }
+
+  // renders a w×h PNG with a base color + `noise` per-pixel perturbation
+  private def png(w: Int, h: Int, rgb: (Int, Int, Int), noise: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = ((x * 31 + y * 17) % (2 * noise + 1)) - noise
+      def c(v: Int) = math.max(0, math.min(255, v + d))
+      img.setRGB(x, y, (c(rgb._1) << 16) | (c(rgb._2) << 8) | c(rgb._3))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("JdkImageEncoder: real PNG decode — similar images get similar embeddings") {
+    // two noisy variants of the same green + one red image, through the
+    // SAME mapPartitions boundary as production
+    val df = Seq(
+      (1L, png(40, 30, (20, 200, 40), noise = 8)),
+      (2L, png(40, 30, (20, 200, 40), noise = 12)),
+      (3L, png(40, 30, (220, 30, 30), noise = 8))
+    ).toDF("doc_id", "payload")
+    val feats = MultimodalStub.decodeAndEmbed(df,
+      encoderFactory = Some(() => new JdkImage.JdkImageEncoder(16))).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(1L).width === 40 && feats(1L).height === 30,
+      "decoded header dimensions surface as metadata")
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val near = cos(feats(1L).feature, feats(2L).feature) // unit vectors
+    val far = cos(feats(1L).feature, feats(3L).feature)
+    assert(near > 0.9, s"noisy variants stay close: $near")
+    assert(near > far + 0.3, s"different color is far: near=$near far=$far")
+  }
+
+  test("JdkImageEncoder: max-side downsample bounds histogram work, keeps orig dims") {
+    val big = png(1600, 400, (100, 100, 100))
+    val f = new JdkImage.JdkImageEncoder(16, maxSide = 800, normalize = false)
+      .encode(9L, big)
+    assert(f.width === 1600 && f.height === 400, "metadata = ORIGINAL dims")
+    // raw counts sum to 3 × (scaled pixel count); scaled = 800×200
+    val px = f.feature.map(_.toDouble).sum / 3
+    assert(px === 800.0 * 200.0, s"histogram ran over the downsampled image: $px")
+    val bad = intercept[IllegalArgumentException] {
+      new JdkImage.JdkImageEncoder(16).encode(9L, Array[Byte](1, 2, 3))
+    }
+    assert(bad.getMessage.contains("not a decodable image"))
+  }
+
+  test("renderBmpFixtures round-trip: decode recovers the formula's exact pixels") {
+    val bytes = JdkImage.renderBmpFixtures(Seq(5L).toDF("doc_id")).collect().head._2
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth === 8 + 5 % 9 && img.getHeight === 8 + 5 % 7)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val rgb = img.getRGB(x, y)
+      assert((rgb >> 16 & 0xFF) === (31 * 5 + 7 * x + 13 * y) % 256)
+      assert((rgb >> 8 & 0xFF) === (17 * 5 + 11 * x + 5 * y) % 256)
+      assert((rgb & 0xFF) === (23 * 5 + 3 * x + 19 * y) % 256)
+    }
+  }
 }
