@@ -730,7 +730,10 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash)
 
-  private val shSql =
+  /** DuckDB 3-gram shingle set over `toks` — mirrors
+    * `TextExpressions.shingleHashes(tokens(text), 3)` semantics (whole
+    * text when < 3 tokens). Shared with the `pipeline_curate` oracle. */
+  private[graft] val shSql =
     """CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
        ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
        END"""

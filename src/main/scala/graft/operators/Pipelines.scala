@@ -83,11 +83,23 @@ object Pipelines {
   }
 
   /** Full curation: [[curateExact]] minus near-duplicates, with TRANSITIVE
-    * clustering — ≥0.9-estimated MinHash pairs are closed into connected
-    * components ([[Dedup.dupClusters]]) and exactly one representative
-    * (the smallest doc id) survives per component, so A≈B≈C collapses to
-    * one doc even when A and C never banded together. xxhash64-based →
-    * rows-only check; the spec pins behavior on a corpus with known dups. */
+    * clustering — near-dup pairs are closed into connected components
+    * ([[Dedup.dupClusters]]) and exactly one representative (the smallest
+    * doc id) survives per component, so A≈B≈C collapses to one doc even
+    * when A and C never banded together.
+    *
+    * The near-dup stage is the production-standard TWO-STAGE shape:
+    * MinHash banding PROPOSES candidates ([[Dedup.minhashPairs]], signing
+    * the same 3-gram sets the verifier measures), exact 3-shingle Jaccard
+    * ≥ 0.9 VERIFIES ([[Dedup.verifyJaccard]]). The verify stage is what
+    * makes the whole pipeline oracle-checked: the output is exactly
+    * "survivors minus non-representatives of the ≥0.9-Jaccard closure",
+    * which DuckDB recomputes with an all-in-block-pairs scan + recursive
+    * CTE — no hash function in the answer (the banding config has recall
+    * ≈1 at the verify threshold, see verifyJaccard's doc). An est-only
+    * single-stage config (skip the verify scan) remains available through
+    * [[Dedup.minhashPairs]] directly when the extra pass matters more
+    * than exactness. */
   def curate(s: SparkSession, d: String): DataFrame = {
     // base feeds both the signing input and the final join — materialize
     // once instead of recomputing the quality/langid scan per consumer
@@ -95,14 +107,12 @@ object Pipelines {
     val blk = Tables.documents(s, d)
       .join(base.select("doc_id"), "doc_id") // only survivors are signed
       .withColumn("blk", concat_ws("_", col("lang"), expr("n_chars DIV 100")))
-    // Banding tuned to the 0.9 threshold: 8 bands × 8 rows collide at
-    // ~(1/8)^(1/8) ≈ 0.77, so j=0.9 pairs band with ~99% recall while the
-    // 0.5-similar mass (which 16×4 banding — tuned for a 0.5 threshold —
-    // would surface and then discard) mostly never reaches the scorer. On
-    // a near-dup-heavy corpus that is a ~20× cut in candidate pairs.
-    val pairs = Dedup
+    val cands = Dedup
       .minhashPairs(blk, col("doc_id"), col("text"), col("blk"),
-        bands = 8, rows = 8, minEst = 0.9)
+        uniqTexts = false, shingleN = 3)
+      .select("doc_a", "doc_b")
+    val pairs = Dedup.verifyJaccard(s, blk, cands, minJac = 0.9)
+      .select("doc_a", "doc_b")
     val clusters = Dedup.dupClusters(pairs)
     base.join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
@@ -296,6 +306,40 @@ object Pipelines {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // [[curate]]: exact-dedup survivors minus non-representatives of the
+    // transitive ≥0.9 3-shingle-Jaccard closure. The Spark side proposes
+    // pairs with MinHash banding and VERIFIES with exact Jaccard, so the
+    // oracle needs no hash function — all in-block pairs + recursive
+    // reachability recompute the identical answer.
+    "pipeline_curate" ->
+      s"""WITH RECURSIVE $langGateCtes,
+         r AS (SELECT doc_id, lang_pred, n_tokens,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM g),
+         surv AS (SELECT doc_id, lang_pred, n_tokens FROM r WHERE rn = 1),
+         st AS (SELECT d.doc_id, d.lang || '_' || (d.n_chars // 100) AS blk,
+             string_split(lower(d.text), ' ') AS toks
+           FROM documents d JOIN surv USING (doc_id)),
+         sh AS (SELECT doc_id, blk, list_distinct(${Dedup.shSql}) AS sh FROM st),
+         rawpair AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+             len(a.sh) AS na, len(b.sh) AS nb
+           FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+         pair AS (SELECT doc_a, doc_b FROM rawpair
+           WHERE CAST(inter AS DOUBLE)
+             / nullif(CAST(na + nb - inter AS DOUBLE), 0.0) >= 0.9),
+         edge AS (SELECT doc_a AS a, doc_b AS b FROM pair
+           UNION SELECT doc_b, doc_a FROM pair
+           UNION SELECT doc_a, doc_a FROM pair
+           UNION SELECT doc_b, doc_b FROM pair),
+         reach(a, b) AS (SELECT a, b FROM edge
+           UNION SELECT x.a, e.b FROM reach x JOIN edge e ON x.b = e.a),
+         cl AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a)
+         SELECT s.doc_id, s.lang_pred, s.n_tokens FROM surv s
+         LEFT JOIN cl USING (doc_id)
+         WHERE cl.cluster IS NULL OR cl.cluster = s.doc_id
+         ORDER BY s.doc_id""",
     "pipeline_curate_exact" ->
       s"""WITH $langGateCtes,
          r AS (SELECT doc_id, lang_pred, n_tokens,

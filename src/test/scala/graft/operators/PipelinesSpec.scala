@@ -19,8 +19,13 @@ class PipelinesSpec extends SparkSpec {
         .join(exact.toSeq.toDF("doc_id"), "doc_id")
         .withColumn("blk", org.apache.spark.sql.functions.concat_ws("_",
           $"lang", org.apache.spark.sql.functions.expr("n_chars DIV 100")))
-      val pairs = Dedup.minhashPairs(blk, $"doc_id", $"text", $"blk", minEst = 0.9)
-      val clusters = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+      // same two-stage config as curate: banding proposes, exact verifies
+      val cands = Dedup.minhashPairs(blk, $"doc_id", $"text", $"blk",
+        uniqTexts = false, shingleN = 3).select("doc_a", "doc_b")
+      val pairs = Dedup.verifyJaccard(spark, blk, cands, minJac = 0.9)
+        .select("doc_a", "doc_b")
+      val clusters = Dedup.dupClusters(pairs)
+        .select("doc_id", "cluster").as[(Long, Long)].collect().toMap
       dropped.foreach { id =>
         val rep = clusters.get(id)
         assert(rep.isDefined, s"dropped $id must be in a dup cluster")
