@@ -28,6 +28,15 @@ import graft.sources.MultimodalStub.{MediaEncoder, MediaFeature}
   */
 object JdkImage {
 
+  /** ImageIO's default stream cache is DISK-backed: every read/write on a
+    * non-file stream creates (and deletes) a temp file. For in-memory
+    * byte-array payloads that is pure overhead — two filesystem round
+    * trips per image, which dominated the decode bench (~2× on tiny
+    * images). Memory caching is strictly better for the bounded payloads
+    * this boundary handles (decode is capped by maxSide anyway). */
+  private def disableDiskCache(): Unit = ImageIO.setUseCache(false)
+  disableDiskCache()
+
   /** Decode → bounded downsample → per-channel histogram → (optionally)
     * L2-normalize.
     *
@@ -50,6 +59,9 @@ object JdkImage {
     * to a quarantine via the same try/filter pattern as the JSON source. */
   class JdkImageEncoder(bins: Int = 16, maxSide: Int = 800,
       normalize: Boolean = true) extends MediaEncoder {
+    // constructed once per partition on the EXECUTOR — make sure the
+    // disk-cache opt-out holds in that JVM too, not just the driver's
+    disableDiskCache()
     def encode(id: Long, bytes: Array[Byte]): MediaFeature = {
       val img = ImageIO.read(new ByteArrayInputStream(bytes))
       require(img != null, s"doc $id: payload is not a decodable image")
