@@ -157,6 +157,26 @@ object Search {
       .write.partitionBy("cluster").parquet(path)
   }
 
+  /** Append a batch of vectors into a [[writeIvfIndex]] layout (creating
+    * it if absent): same fused literal-codebook assignment, `Append`
+    * mode — new files land inside their cluster partition dirs and
+    * existing files are never rewritten. Unlike the lexical index (whose
+    * df/stats must be recombined on every append,
+    * [[Lexical.appendToIndex]]), this layout carries NO derived global
+    * state, so append IS the whole maintenance story: a probe's
+    * partition pruning reads old and new files alike, and the codebook
+    * stays frozen between periodic re-trains (the faiss add-vs-train
+    * split). */
+  def appendToIvfIndex(batch: DataFrame, vec: Column,
+      centroids: DataFrame, path: String): Unit = {
+    val s = batch.sparkSession
+    val book = collectCodebook(centroids)
+    batch
+      .withColumn("cluster", graft.functions.VectorExpressions.nearestCentroid(
+        s, vec, book.map(_._1).toSeq, book.map(_._2.toSeq).toSeq))
+      .write.mode("append").partitionBy("cluster").parquet(path)
+  }
+
   /** kNN over a [[writeIvfIndex]] layout: resolve the probe driver-side
     * over the codebook, filter the indexed corpus by probed clusters (a
     * partition filter — file skipping, not row filtering), brute-force

@@ -496,4 +496,56 @@ object Streams {
         }
       }
       .start()
+
+  /** One micro-batch of [[ivfIngest]], exposed so replay idempotence is
+    * directly testable: assign + append the batch into the IVF layout
+    * unless its `_batch_<id>` marker says it already landed. The marker
+    * commits AFTER the append — the same at-least-once window as
+    * [[indexIngest]] (a crash exactly between append and marker replays
+    * the batch), accepted here for the same reason: it is the standard
+    * foreachBatch idempotence trade, and the window is one filesystem
+    * create wide. `_`-prefixed marker files are invisible to parquet
+    * readers, so they can live inside the index dir itself. */
+  def applyIvfBatch(batch: DataFrame, vec: org.apache.spark.sql.Column,
+      centroids: DataFrame, indexDir: String, batchId: Long): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batch_$batchId")
+    val f = marker.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (!f.exists(marker)) {
+      graft.operators.Search.appendToIvfIndex(batch, vec, centroids, indexDir)
+      f.create(marker, true).close()
+    }
+  }
+
+  /** Streaming maintenance of a [[graft.operators.Search.writeIvfIndex]]
+    * layout — the vector-side sibling of [[indexIngest]]: every arriving
+    * micro-batch of vectors is assigned to its nearest centroid (the
+    * same fused literal-codebook argmax the batch writer uses — per-row,
+    * zero shuffle) and appended into the cluster-partitioned parquet, so
+    * a probe's partition pruning serves new vectors as soon as their
+    * batch commits. The codebook is FROZEN for the stream's lifetime:
+    * re-training is a periodic batch job whose output swaps in a new
+    * index, never a per-batch mutation (the faiss add-vs-train split) —
+    * which is also what keeps this simpler than the lexical ingest:
+    * with no df/stats to recombine there is no swap to heal, only
+    * idempotent appends guarded by batch markers. */
+  def ivfIngest(vecs: DataFrame, vec: org.apache.spark.sql.Column,
+      centroids: DataFrame, indexDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // resolve the codebook ONCE at stream start, not per batch — `cents`
+    // is a bounded index artifact and the closure would otherwise re-run
+    // its plan (possibly a full centroid aggregation) every trigger
+    val cents = centroids.select(col("cid").cast("long"), col("c")).collect()
+    val s = vecs.sparkSession
+    import scala.jdk.CollectionConverters._
+    val frozen = s.createDataFrame(
+      cents.toSeq.asJava, centroids.select(col("cid").cast("long"), col("c")).schema)
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) applyIvfBatch(batch, vec, frozen, indexDir, batchId)
+      }
+      .start()
+  }
 }

@@ -468,6 +468,50 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("ivfIngest: streamed IVF index serves identical to a batch build; replays skip") {
+    import graft.operators.Search
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
+    val cents = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0))).toDF("cid", "c")
+    val b1 = Seq((1L, Array(0.9, 0.1)), (2L, Array(0.1, 0.9)))
+    val b2 = Seq((3L, Array(0.8, 0.2)), (4L, Array(0.05, 1.0)))
+    val input = MemoryStream[(Long, Array[Double])]
+    val q = Streams.ivfIngest(input.toDF().toDF("vec_id", "embedding"),
+      $"embedding", cents, s"$dir/idx", s"$dir/ckpt")
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      (b1 ++ b2).toDF("vec_id", "embedding").write.parquet(s"$dir/docs")
+      Search.writeIvfIndex(spark.read.parquet(s"$dir/docs"), $"embedding",
+        cents, s"$dir/full")
+      val query = Seq(Tuple1(Array(1.0, 0.05))).toDF("qv")
+      def served(path: String): Seq[(Long, Long)] =
+        Search.knnIvfIndexed(spark, path, $"embedding", cents, query,
+          nprobe = 1, k = 10, tie = $"vec_id")
+          .select($"vec_id", $"cluster".cast("long"))
+          .as[(Long, Long)].collect().toSeq
+      assert(served(s"$dir/idx") === served(s"$dir/full"),
+        "streamed index must serve exactly what a batch build serves")
+      assert(served(s"$dir/idx").map(_._1) === Seq(1L, 3L),
+        "nprobe=1 probe must prune to the cluster-0 partition")
+      // replay idempotence: re-applying an already-marked batch is a no-op
+      val before = spark.read.parquet(s"$dir/idx").count()
+      Streams.applyIvfBatch(b1.toDF("vec_id", "embedding"), $"embedding",
+        cents, s"$dir/idx", batchId = 0L)
+      assert(spark.read.parquet(s"$dir/idx").count() === before,
+        "a marked batch must not append again")
+      // and an unmarked one appends exactly its rows
+      Streams.applyIvfBatch(Seq((5L, Array(1.0, 0.0))).toDF("vec_id", "embedding"),
+        $"embedding", cents, s"$dir/idx", batchId = 99L)
+      assert(spark.read.parquet(s"$dir/idx").count() === before + 1)
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("fileIngest: streaming file source reads the events shape") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     evs.take(3).toDF().write.parquet(s"$dir/in")
