@@ -208,6 +208,54 @@ object Dedup {
     else scored.distinct()
   }
 
+  /** CROSS-corpus near-dup candidates → (doc_a, doc_b, est_jaccard):
+    * banded MinHash pairs between a LEFT (increment) and RIGHT (existing)
+    * corpus ONLY — never within either side. This is the periodic-
+    * compaction op [[Pipelines.curateIncrementalOn]] explicitly defers:
+    * dedup an arriving increment against the lake without re-pairing the
+    * lake against itself.
+    *
+    * Scale shape: both sides shuffle (band, doc_id, sig) rows exactly as
+    * [[minhashPairs]] does, but the join is left×right — the lake side
+    * never self-pairs, so a day's increment against a 100 TB corpus
+    * costs |increment|-driven fan-out inside shared band buckets, not
+    * lake². At rest the existing side's signatures are a store-once
+    * column of the corpus (signing here is a binding convenience);
+    * `maxBandFreq` is the same hot-bucket guard as the self-join path,
+    * counting occupancy across BOTH sides. */
+  def minhashPairsAcross(left: DataFrame, right: DataFrame,
+      id: Column, text: Column, block: Column,
+      k: Int = 64, bands: Int = 16, rows: Int = 4,
+      minEst: Double = 0.5, maxBandFreq: Int = 0,
+      shingleN: Int = 0): DataFrame = {
+    val s = left.sparkSession
+    def banded(df: DataFrame, side: String): DataFrame = {
+      val sigCol =
+        if (shingleN > 0)
+          TextExpressions.minhashSigFromHashes(s,
+            TextExpressions.shingleHashes(s, tokens(text), shingleN), k)
+        else TextExpressions.minhashSig(s, tokens(text), k)
+      df.select(id.as("doc_id"), block.as("blk"), sigCol.as("sig"))
+        .select(col("doc_id"), col("sig"), col("blk"),
+          explode(TextExpressions.lshBandKeysLong(s, col("sig"), bands, rows)).as("bk"))
+        .select(col("doc_id"), col("sig"),
+          xxhash64(col("blk"), col("bk")).as("band"), lit(side).as("side"))
+    }
+    val all = banded(left, "l").unionByName(banded(right, "r"))
+    val guarded =
+      if (maxBandFreq > 0)
+        all.withColumn("_df", count(lit(1)).over(Window.partitionBy("band")))
+          .filter(col("_df") <= maxBandFreq).drop("_df")
+      else all
+    val l = guarded.filter(col("side") === "l")
+    val r = guarded.filter(col("side") === "r")
+    l.as("x").join(r.as("y"), col("x.band") === col("y.band"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        TextExpressions.minhashAgree(s, col("x.sig"), col("y.sig")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+      .distinct()
+  }
+
   /** SimHash near-dup pairs → (doc_a, doc_b, hamming). 64-bit token
     * SimHash, `bands` equal-width bit-bands as candidate buckets, then
     * exact Hamming distance on candidates. Recall guarantee: a pair with
@@ -482,6 +530,22 @@ object Dedup {
   /** MinHash-LSH near-dup, full two-stage production shape: banded
     * signature join proposes candidates, [[verifyJaccard]] confirms with
     * exact Jaccard ≥ 0.5 — fully oracle-checked (see verifyJaccard doc). */
+  /** Cross-corpus near-dup, full two-stage shape: the increment
+    * (doc_id % 4 = 0, [[Pipelines.curateIncremental]]'s split) banded
+    * against the existing corpus, then [[verifyJaccard]] confirms with
+    * exact 3-shingle Jaccard ≥ 0.5 — the same recall-1-at-verify-
+    * threshold argument as [[minhashLsh]], so fully oracle-checked
+    * (DuckDB recomputes all in-block increment×existing pairs). */
+  def crossNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = blocked(s, d)
+    val cands = minhashPairsAcross(
+      docs.filter(col("doc_id") % 4 === 0),
+      docs.filter(col("doc_id") % 4 =!= 0),
+      col("doc_id"), col("text"), col("blk"), shingleN = 3)
+      .select("doc_a", "doc_b")
+    verifyJaccard(s, docs, cands, minJac = 0.5)
+  }
+
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val docs = blocked(s, d)
     // uniqTexts off: the oracle checks PAIRS, and the signature collapse
@@ -728,7 +792,8 @@ object Dedup {
     "dedup_embedding" -> embeddingNearDup,
     "dedup_embedding_lsh" -> embeddingNearDupLsh,
     "dedup_minhash_lsh" -> minhashLsh,
-    "dedup_simhash" -> simhash)
+    "dedup_simhash" -> simhash,
+    "dedup_cross" -> crossNearDup)
 
   /** DuckDB 3-gram shingle set over `toks` — mirrors
     * `TextExpressions.shingleHashes(tokens(text), 3)` semantics (whole
@@ -823,7 +888,24 @@ object Dedup {
     // exact 3-gram Jaccard ≥ 0.5 within blocks (candidate recall at the
     // threshold is 1 on this corpus — see the Scala-side docs).
     "dedup_minhash_lsh" -> verifiedJaccardSql,
-    "dedup_simhash" -> verifiedJaccardSql)
+    "dedup_simhash" -> verifiedJaccardSql,
+    // cross-corpus: all in-block increment×existing pairs above the
+    // verify threshold (no doc_a < doc_b — the sides are disjoint)
+    "dedup_cross" ->
+      s"""WITH t AS (SELECT doc_id, lang || '_' || (n_chars // 100) AS blk,
+           string_split(lower(text), ' ') AS toks FROM documents),
+         sh AS (SELECT doc_id, blk, list_distinct($shSql) AS sh FROM t),
+         pair AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+             len(a.sh) AS na, len(b.sh) AS nb
+           FROM sh a JOIN sh b ON a.blk = b.blk
+             AND a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0)
+         SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / nullif(CAST(na + nb - inter AS DOUBLE), 0.0) AS jac
+         FROM pair
+         WHERE CAST(inter AS DOUBLE) / nullif(CAST(na + nb - inter AS DOUBLE), 0.0) >= 0.5
+         ORDER BY jac DESC, doc_a, doc_b""")
 
   private lazy val verifiedJaccardSql =
     s"""WITH t AS (SELECT doc_id, lang || '_' || (n_chars // 100) AS blk,

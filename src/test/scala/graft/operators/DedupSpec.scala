@@ -131,6 +131,38 @@ class DedupSpec extends SparkSpec {
     assert(nd.get._3 > 0.3)
   }
 
+  test("minhashPairsAcross: pairs only cross the corpus boundary, never within") {
+    // 30 distinct tokens → 28 3-shingles; one changed token breaks 3 of
+    // them → jac 25/31 ≈ 0.81, inside banding's high-recall regime
+    // (16×4 miss prob ≈ 1e-4), unlike the short `docs` fixture whose
+    // 0.57-jac pair sits where a 16-band miss is ~17% and determinism
+    // freezes the unlucky draw.
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu one two three four"
+    val corpus = Seq(
+      (10L, base),                            // left
+      (11L, base),                            // left, exact dup of 10 — a
+                                              // WITHIN-left pair: must not pair
+      (20L, base.replace("oscar", "ocean")),  // right, near-dup of both
+      (21L, "completely different text about spark catalyst codegen plans")
+    ).toDF("id", "text").withColumn("blk", lit("b"))
+    val left = corpus.filter($"id" < 20L)
+    val right = corpus.filter($"id" >= 20L)
+    val pairs = Dedup.minhashPairsAcross(left, right, $"id", $"text", $"blk",
+      minEst = 0.3, shingleN = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((10L, 20L), (11L, 20L)),
+      s"exactly the two cross near-dups, never the within-left exact dup: $pairs")
+    // the verified binding shape: exact jaccard confirms the estimates
+    val verified = Dedup.verifyJaccard(spark,
+      corpus.select($"id".as("doc_id"), $"text"),
+      pairs.map(p => (p._1, p._2)).toDF("doc_a", "doc_b"), minJac = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(verified.map(p => (p._1, p._2)).toSet === Set((10L, 20L), (11L, 20L)))
+    verified.foreach(p => assert(math.abs(p._3 - 25.0 / 31.0) < 1e-12))
+  }
+
   test("simhashPairs: near-dup within hamming budget, unrelated doc outside") {
     val pairs = Dedup.simhashPairs(docs, $"id", $"text", $"blk", maxHamming = 16)
       .as[(Long, Long, Long)].collect().toSeq
