@@ -54,11 +54,22 @@ object Bench {
     // hygiene benefit and stops perturbing the sub-second majority
     // (~320 forced full GCs/run under `all`), and is the default.
     val gcMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "heavy")
+    // a typo'd policy must not silently measure the wrong thing — `heav`
+    // behaving as `off` (the measured-worst policy) would skew the very
+    // attribution this flag exists for
+    require(Set("all", "heavy", "off")(gcMode),
+      s"SPARK_GRAFT_BENCH_GC must be all|heavy|off, got '$gcMode'")
     // Optional comma-separated query filter — lets a dev (or an A/B
     // attribution run) time a subset without the other ~100 queries'
     // JVM-state footprint in the same process.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, // a typo'd name would record a bogus 0s total
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries

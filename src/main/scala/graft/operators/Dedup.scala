@@ -152,18 +152,51 @@ object Dedup {
     *   between same-block docs is routinely ≥ 0.5 while 3-gram jaccard
     *   is ~0.03, so a 1-gram signature floods a 3-gram verifier with
     *   false candidates (measured 439k candidates vs ~70 at sf0.1). */
+  /** The MinHash signature column — word 1-grams by default, `shingleN`-
+    * gram hashes when signing for an n-gram verifier. ONE definition
+    * shared by the self-join ([[minhashPairs]]) and cross-corpus
+    * ([[minhashPairsAcross]]) paths, so their signature configs cannot
+    * silently drift apart. */
+  private def minhashSigCol(s: SparkSession, text: Column, k: Int,
+      shingleN: Int): Column =
+    if (shingleN > 0)
+      TextExpressions.minhashSigFromHashes(s,
+        TextExpressions.shingleHashes(s, tokens(text), shingleN), k)
+    else TextExpressions.minhashSig(s, tokens(text), k)
+
+  /** Band-key explode shared by both MinHash pair paths: input carries
+    * (blk, sig, …); output replaces blk with the 8-byte `band` key
+    * (native [[TextExpressions.lshBandKeysLong]] folded with the block
+    * via xxhash64 — a long key shuffles/compares several times cheaper
+    * than a concat'd string; a collision merges buckets, never loses a
+    * pair), preserving every other column. */
+  private def withBand(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val s = sigs.sparkSession
+    sigs
+      .withColumn("bk",
+        explode(TextExpressions.lshBandKeysLong(s, col("sig"), bands, rows)))
+      .withColumn("band", xxhash64(col("blk"), col("bk")))
+      .drop("bk", "blk")
+  }
+
+  /** The hot-bucket guard both MinHash pair paths share: drop band rows
+    * whose bucket occupancy exceeds the cap. The count window hashes by
+    * the same band key the pair join shuffles on, so the guard rides the
+    * join's exchange. */
+  private def bandFreqGuard(banded: DataFrame, maxBandFreq: Int): DataFrame =
+    if (maxBandFreq > 0)
+      banded.withColumn("_df", count(lit(1)).over(Window.partitionBy("band")))
+        .filter(col("_df") <= maxBandFreq).drop("_df")
+    else banded
+
   def minhashPairs(df: DataFrame, id: Column, text: Column, block: Column,
       k: Int = 64, bands: Int = 16, rows: Int = 4,
       minEst: Double = 0.5, topK: Int = 0, maxBandFreq: Int = 0,
       uniqTexts: Boolean = true, shingleN: Int = 0): DataFrame = {
     val s = df.sparkSession
-    val sigCol =
-      if (shingleN > 0)
-        TextExpressions.minhashSigFromHashes(s,
-          TextExpressions.shingleHashes(s, tokens(text), shingleN), k)
-      else TextExpressions.minhashSig(s, tokens(text), k)
     val raw = df
-      .select(id.as("doc_id"), block.as("blk"), sigCol.as("sig"))
+      .select(id.as("doc_id"), block.as("blk"),
+        minhashSigCol(s, text, k, shingleN).as("sig"))
     val sigs =
       if (uniqTexts)
         raw.groupBy(col("blk"), col("sig"))
@@ -173,24 +206,8 @@ object Dedup {
     // the identical (scan → sig → explode → shuffle-by-band) subplan, so
     // ReuseExchange computes the signature scan and the band shuffle once.
     // Uniq'ing above bounds the sig payload riding this shuffle to one row
-    // per distinct text. Band keys are 8-byte hashes (native
-    // [[TextExpressions.lshBandKeysLong]] folded with the block via
-    // xxhash64), not concat'd strings — the band exchange is every LSH
-    // pass's dominant shuffle, and a long key shuffles/compares several
-    // times cheaper; a collision merges buckets (extra candidates the
-    // est filter rejects), never loses a pair.
-    val allBanded = sigs
-      .select(col("doc_id"), col("n_docs"), col("sig"), col("blk"),
-        explode(TextExpressions.lshBandKeysLong(s, col("sig"), bands, rows)).as("bk"))
-      .select(col("doc_id"), col("n_docs"), col("sig"),
-        xxhash64(col("blk"), col("bk")).as("band"))
-    // The df-count window hashes by the same band key the self-join
-    // shuffles on — the guard rides the join's exchange.
-    val banded =
-      if (maxBandFreq > 0)
-        allBanded.withColumn("_df", count(lit(1)).over(Window.partitionBy("band")))
-          .filter(col("_df") <= maxBandFreq).drop("_df")
-      else allBanded
+    // per distinct text.
+    val banded = bandFreqGuard(withBand(sigs, bands, rows), maxBandFreq)
     val scored = banded.as("x").join(banded.as("y"), col("x.band") === col("y.band"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       // Score per matching band-row with the codegen'd agreement kernel
@@ -229,27 +246,20 @@ object Dedup {
       minEst: Double = 0.5, maxBandFreq: Int = 0,
       shingleN: Int = 0): DataFrame = {
     val s = left.sparkSession
-    def banded(df: DataFrame, side: String): DataFrame = {
-      val sigCol =
-        if (shingleN > 0)
-          TextExpressions.minhashSigFromHashes(s,
-            TextExpressions.shingleHashes(s, tokens(text), shingleN), k)
-        else TextExpressions.minhashSig(s, tokens(text), k)
-      df.select(id.as("doc_id"), block.as("blk"), sigCol.as("sig"))
-        .select(col("doc_id"), col("sig"), col("blk"),
-          explode(TextExpressions.lshBandKeysLong(s, col("sig"), bands, rows)).as("bk"))
-        .select(col("doc_id"), col("sig"),
-          xxhash64(col("blk"), col("bk")).as("band"), lit(side).as("side"))
-    }
+    def banded(df: DataFrame, side: String): DataFrame =
+      withBand(df.select(id.as("doc_id"), block.as("blk"),
+        minhashSigCol(s, text, k, shingleN).as("sig")), bands, rows)
+        .withColumn("side", lit(side))
     val all = banded(left, "l").unionByName(banded(right, "r"))
-    val guarded =
-      if (maxBandFreq > 0)
-        all.withColumn("_df", count(lit(1)).over(Window.partitionBy("band")))
-          .filter(col("_df") <= maxBandFreq).drop("_df")
-      else all
+    // the guard counts bucket occupancy across BOTH sides
+    val guarded = bandFreqGuard(all, maxBandFreq)
     val l = guarded.filter(col("side") === "l")
     val r = guarded.filter(col("side") === "r")
     l.as("x").join(r.as("y"), col("x.band") === col("y.band"))
+      // the sides are SUPPOSED to be id-disjoint, but a violated contract
+      // must not mark a doc as a near-dup of itself (est 1.0 pairs that
+      // would flow straight into compaction drops) — exclude structurally
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         TextExpressions.minhashAgree(s, col("x.sig"), col("y.sig")).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
@@ -383,9 +393,9 @@ object Dedup {
       .agg(min("v").as("__nbr"))
       .select(col("node"), least(col("node"), col("__nbr")).as("lbl"))
       .localCheckpoint())
-    var changed = 1L
+    var changed = -1L // -1 = no measurement yet (maxRounds=1 runs only the seed)
     var round = 1
-    while (changed > 0 && round < maxRounds) {
+    while (changed != 0 && round < maxRounds) {
       // One round = min over three candidate sources, fused into a single
       // union + map-side-combined min aggregate (the per-node left-join
       // chain this replaces cost two extra shuffles per round): the node's
@@ -527,9 +537,6 @@ object Dedup {
       .orderBy(desc("jac"), asc("doc_a"), asc("doc_b"))
   }
 
-  /** MinHash-LSH near-dup, full two-stage production shape: banded
-    * signature join proposes candidates, [[verifyJaccard]] confirms with
-    * exact Jaccard ≥ 0.5 — fully oracle-checked (see verifyJaccard doc). */
   /** Cross-corpus near-dup, full two-stage shape: the increment
     * (doc_id % 4 = 0, [[Pipelines.curateIncremental]]'s split) banded
     * against the existing corpus, then [[verifyJaccard]] confirms with
@@ -546,6 +553,9 @@ object Dedup {
     verifyJaccard(s, docs, cands, minJac = 0.5)
   }
 
+  /** MinHash-LSH near-dup, full two-stage production shape: banded
+    * signature join proposes candidates, [[verifyJaccard]] confirms with
+    * exact Jaccard ≥ 0.5 — fully oracle-checked (see verifyJaccard doc). */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val docs = blocked(s, d)
     // uniqTexts off: the oracle checks PAIRS, and the signature collapse
@@ -620,6 +630,14 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The positional `n`-gram hash expression every span op shares —
+    * ONE definition because [[hotGrams]] is the audit of the guard
+    * inside [[spanCoverageOn]]/[[spanExciseOn]] and must stay
+    * bit-identical to what they compute: gram i = xxhash64 of the
+    * space-joined n-token slice starting at i over the `toks` column. */
+  private def spanGramSql(n: Int): String =
+    s"transform(sequence(0, size(toks) - $n), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $n))))"
+
   /** Cross-document EXACT-SUBSTRING duplication coverage — the signal
     * behind span-excision dedup (remove the repeated passage, keep the
     * document; whole-doc near-dup scoring misses a boilerplate paragraph
@@ -652,9 +670,7 @@ object Dedup {
       .filter(size(col("toks")) >= n)
     val grams = docs.select(col("doc_id"),
       size(col("toks")).cast("long").as("n_toks"),
-      posexplode(expr(
-        s"transform(sequence(0, size(toks) - $n), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $n))))"))
-        .as(Seq("pos", "g")))
+      posexplode(expr(spanGramSql(n))).as(Seq("pos", "g")))
     val dupG = grams.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 2 &&
@@ -683,10 +699,7 @@ object Dedup {
       n: Int = 8, maxDocFreq: Int = 10): DataFrame = {
     val docs = df.select(id.as("doc_id"), tokens(text).as("toks"))
       .filter(size(col("toks")) >= n)
-    docs.select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(0, size(toks) - $n), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $n))))"))
-          .as("g"))
+    docs.select(col("doc_id"), explode(expr(spanGramSql(n))).as("g"))
       .groupBy("g").agg(countDistinct(col("doc_id")).as("ndocs"),
         count(lit(1)).as("n_occurrences"))
       .filter(col("ndocs") > maxDocFreq)
@@ -728,9 +741,7 @@ object Dedup {
       .withColumn("toks", expr("transform(raw, t -> lower(t))"))
     val grams = docs.filter(size(col("toks")) >= n)
       .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, size(toks) - $n), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $n))))"))
-          .as(Seq("pos", "g")))
+        posexplode(expr(spanGramSql(n))).as(Seq("pos", "g")))
     val owners = grams.groupBy("g")
       .agg(min(col("doc_id")).as("owner"),
         countDistinct(col("doc_id")).as("ndocs"))

@@ -148,13 +148,21 @@ object Search {
     * PartitionFilters + numFiles). */
   def writeIvfIndex(corpus: DataFrame, vec: Column,
       centroids: DataFrame, // (cid: long-castable, c: vector)
-      path: String): Unit = {
+      path: String): Unit =
+    writeIvf(corpus, vec, centroids, path, org.apache.spark.sql.SaveMode.ErrorIfExists)
+
+  /** One writer for both the initial build ([[writeIvfIndex]]) and the
+    * streaming append ([[appendToIvfIndex]]) — the assignment expression
+    * MUST be identical or the batch-built and streamed layouts silently
+    * diverge. */
+  private def writeIvf(corpus: DataFrame, vec: Column, centroids: DataFrame,
+      path: String, mode: org.apache.spark.sql.SaveMode): Unit = {
     val s = corpus.sparkSession
     val book = collectCodebook(centroids)
     corpus
       .withColumn("cluster", graft.functions.VectorExpressions.nearestCentroid(
         s, vec, book.map(_._1).toSeq, book.map(_._2.toSeq).toSeq))
-      .write.partitionBy("cluster").parquet(path)
+      .write.mode(mode).partitionBy("cluster").parquet(path)
   }
 
   /** Append a batch of vectors into a [[writeIvfIndex]] layout (creating
@@ -168,14 +176,8 @@ object Search {
     * stays frozen between periodic re-trains (the faiss add-vs-train
     * split). */
   def appendToIvfIndex(batch: DataFrame, vec: Column,
-      centroids: DataFrame, path: String): Unit = {
-    val s = batch.sparkSession
-    val book = collectCodebook(centroids)
-    batch
-      .withColumn("cluster", graft.functions.VectorExpressions.nearestCentroid(
-        s, vec, book.map(_._1).toSeq, book.map(_._2.toSeq).toSeq))
-      .write.mode("append").partitionBy("cluster").parquet(path)
-  }
+      centroids: DataFrame, path: String): Unit =
+    writeIvf(batch, vec, centroids, path, org.apache.spark.sql.SaveMode.Append)
 
   /** kNN over a [[writeIvfIndex]] layout: resolve the probe driver-side
     * over the codebook, filter the indexed corpus by probed clusters (a

@@ -73,8 +73,14 @@ object JdkImage {
           val (nw, nh) = (math.max(1, (w * sc).toInt), math.max(1, (h * sc).toInt))
           val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
           val g2 = out.createGraphics()
-          g2.drawImage(img.getScaledInstance(nw, nh, java.awt.Image.SCALE_AREA_AVERAGING),
-            0, 0, null)
+          // scale with the synchronous drawImage(src, x, y, w, h, obs)
+          // over the in-memory BufferedImage — getScaledInstance returns
+          // an ASYNC ToolkitImage whose pixels the null-observer draw is
+          // not spec-guaranteed to have delivered before dispose(), i.e.
+          // a potential all-black histogram on a conforming JVM
+          g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(img, 0, 0, nw, nh, null)
           g2.dispose()
           out
         }

@@ -462,8 +462,37 @@ object Streams {
     * THAT needs the data write and the commit record under one MVCC
     * commit (a table format), which the operator deliberately doesn't
     * require. */
+  /** Batch ids restart at 0 under a FRESH checkpoint; if the index dir
+    * still carries `_batch_*` markers from a previous run, the colliding
+    * ids would silently skip every new batch (data loss with no error).
+    * Clearing the markers instead would be just as wrong — a source that
+    * re-delivers old data would then double-apply it. The situation is
+    * genuinely ambiguous, so refuse it loudly at stream start: resume
+    * with the original checkpoint, or point the stream at a fresh index
+    * dir. */
+  private def requireConsistentMarkers(s: SparkSession, indexDir: String,
+      checkpoint: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val offsets = new org.apache.hadoop.fs.Path(s"$checkpoint/offsets")
+    val cf = offsets.getFileSystem(conf)
+    val freshCkpt = !cf.exists(offsets) || cf.listStatus(offsets).isEmpty
+    if (freshCkpt) {
+      val idx = new org.apache.hadoop.fs.Path(indexDir)
+      val xf = idx.getFileSystem(conf)
+      val stale = xf.exists(idx) &&
+        xf.listStatus(idx).exists(_.getPath.getName.startsWith("_batch_"))
+      require(!stale,
+        s"index dir $indexDir carries _batch_* markers from a previous " +
+          s"run but checkpoint $checkpoint is fresh: restarted batch ids " +
+          "would collide with the old markers and new data would be " +
+          "silently skipped. Resume with the original checkpoint, or " +
+          "ingest into a fresh index dir.")
+    }
+  }
+
   def indexIngest(docs: DataFrame, indexDir: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireConsistentMarkers(docs.sparkSession, indexDir, checkpoint)
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -483,11 +512,15 @@ object Streams {
             batch.sparkSession.sparkContext.hadoopConfiguration)
           if (!f.exists(marker)) { // replayed-but-applied batch: skip
             if (f.exists(statsDir))
-              // the marker IS the dedup guard for replays, so the batch
-              // skips appendToIndex's postings-scan disjointness probe
+              // requireDisjoint STAYS ON: the one replay the marker can't
+              // see — a crash between append completing and the marker
+              // create — re-delivers doc_ids the index already holds, and
+              // the disjointness probe is exactly what turns that from
+              // silent df double-counting into a loud failure. The probe
+              // costs one anti-join of the batch's ids against postings
+              // per micro-batch; correctness over throughput here.
               graft.operators.Lexical.appendToIndex(
-                batch, col("doc_id"), col("text"), indexDir,
-                requireDisjoint = false)
+                batch, col("doc_id"), col("text"), indexDir)
             else
               graft.operators.Lexical.writeInvertedIndex(
                 batch, col("doc_id"), col("text"), indexDir)
@@ -496,6 +529,7 @@ object Streams {
         }
       }
       .start()
+  }
 
   /** One micro-batch of [[ivfIngest]], exposed so replay idempotence is
     * directly testable: assign + append the batch into the IVF layout
@@ -532,6 +566,7 @@ object Streams {
   def ivfIngest(vecs: DataFrame, vec: org.apache.spark.sql.Column,
       centroids: DataFrame, indexDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireConsistentMarkers(vecs.sparkSession, indexDir, checkpoint)
     // resolve the codebook ONCE at stream start, not per batch — `cents`
     // is a bounded index artifact and the closure would otherwise re-run
     // its plan (possibly a full centroid aggregation) every trigger
