@@ -90,6 +90,42 @@ object TextAnalysis {
       .orderBy(desc("tf_total"), asc("term")).limit(30)
   }
 
+  /** CCNet-style language-model quality score, the unigram special case:
+    * surprisal(doc) = mean over its tokens of −ln p(token), with p
+    * estimated from the corpus itself (p = tf/total — no smoothing
+    * needed: every scored token occurs, so p > 0). High mean surprisal =
+    * rare/garbled vocabulary (the docs a perplexity gate drops); low =
+    * common fluent text. Production CCNet scores with a 5-gram KenLM; the
+    * unigram variant keeps the identical pipeline SHAPE — train token
+    * scores on the corpus, join them back per token, average per doc —
+    * while staying exact arithmetic end to end (counts in, two ln calls
+    * out), hence the DuckDB oracle.
+    *
+    * Scale shape: one corpus explode; tf is a map-side-partial agg on the
+    * term key; the score join shuffles (doc_id, term) rows against the
+    * VOCABULARY-sized tf table on the key tf is already aggregated by
+    * (not broadcast — vocabulary grows with corpus); the per-doc average
+    * is a second keyed agg. The 1-row total broadcasts ([[vocab]]'s
+    * no-window idiom). */
+  def unigramSurprisal(s: SparkSession, d: String): DataFrame = {
+    val total = Tables.documents(s, d)
+      .agg(sum(size(docToks)).cast("double").as("total_toks"))
+    val tf = Tables.documents(s, d)
+      .select(explode(docToks).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(docToks).as("term"))
+      .join(tf, "term")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        avg(-log(col("tf").cast("double") / col("total_toks")))
+          .as("mean_surprisal"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("mean_surprisal"), 6).as("mean_surprisal"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source distinctive vocabulary — weighted log-odds with an
     * informative Dirichlet prior (Monroe et al.'s "Fightin' Words", the
     * standard corpus-comparison tool curation teams run to characterize
@@ -162,6 +198,7 @@ object TextAnalysis {
     "txt_tokencount" -> tokenCount,
     "txt_fingerprint" -> fingerprint,
     "txt_vocab" -> vocab,
+    "txt_surprisal" -> unigramSurprisal,
     "txt_distinctive" -> distinctiveTerms)
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
@@ -221,6 +258,15 @@ object TextAnalysis {
            CAST(tf_total AS DOUBLE) / total_toks AS token_share
          FROM v CROSS JOIN total
          ORDER BY tf_total DESC, term LIMIT 30""",
+    "txt_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         total AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS total_toks FROM t),
+         e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         tf AS (SELECT term, count(*) AS c FROM e GROUP BY term)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(CAST(c AS DOUBLE) / total_toks)), 6) AS mean_surprisal
+         FROM e JOIN tf USING (term) CROSS JOIN total
+         GROUP BY doc_id ORDER BY doc_id""",
     "txt_distinctive" ->
       """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents),
          e AS (SELECT source, unnest(toks) AS term FROM t),
