@@ -176,6 +176,12 @@ class MultimodalStubSpec extends SparkSpec {
     // raw counts sum to 3 × (scaled pixel count); scaled = 800×200
     val px = f.feature.map(_.toDouble).sum / 3
     assert(px === 800.0 * 200.0, s"histogram ran over the downsampled image: $px")
+    // and the mass must sit in the SOURCE color's bin (100 → bin 6) for
+    // every channel — a draw that never delivered pixels (the async
+    // getScaledInstance hazard) would land everything in bin 0
+    for (ch <- 0 until 3)
+      assert(f.feature(ch * 16 + (100 * 16) / 256) === 800f * 200f,
+        s"channel $ch mass must be in the gray-100 bin, not black")
     val bad = intercept[IllegalArgumentException] {
       new JdkImage.JdkImageEncoder(16).encode(9L, Array[Byte](1, 2, 3))
     }
