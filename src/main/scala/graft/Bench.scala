@@ -29,9 +29,11 @@ object Bench {
     // (CPU boost state, page cache, code-cache layout) that hits all reps
     // of a query equally — more reps can't remove it, so cross-round
     // per-query deltas under ~1.5× on sub-second queries remain
-    // low-signal; the suite total (±15%) and multi-second queries are the
-    // robust comparisons. Reported total = sum of medians (steady-state
-    // suite cost), not the 3× measurement wall-clock.
+    // low-signal. The ±15% suite-total bound holds for SAME-DAY runs;
+    // across days the floor itself has moved up to ~1.4× (r9 attribution
+    // below), so only within-run A/Bs support strong perf claims.
+    // Reported total = sum of medians (steady-state suite cost), not the
+    // 3× measurement wall-clock.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Per-rep GC policy (SPARK_GRAFT_BENCH_GC = all | heavy | off).
     // r9 attribution of the uniform ~1.5× r7→r8 suite slowdown, measured

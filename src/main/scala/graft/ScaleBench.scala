@@ -47,7 +47,22 @@ object ScaleBench {
     // round 8b: exact-substring span ops — the dup-heavy corpus is their
     // WORST case (~every 8-gram is duplicated, so the position explode
     // covers the whole corpus), yet work stays linear in dup occurrences.
-    "dedup_span_coverage", "pipeline_curate_excise")
+    "dedup_span_coverage", "pipeline_curate_excise",
+    // round 9: cross-corpus pairing (the increment side is the %4
+    // replica subset — band buckets shared with a 10× lake must stay
+    // increment-bounded) and the LM gate (vocabulary-keyed score join —
+    // the tf table grows sublinearly, the explode linearly).
+    "dedup_cross", "txt_surprisal",
+    // dedup_clusters as served is ADAPTIVE: at sf0.1 its edge count sits
+    // under the driver fast-path threshold, so its 1×/10× ratio compares
+    // union-find against the distributed loop. This entry forces the
+    // distributed loop at BOTH scales for a like-for-like scaling ratio.
+    "dedup_clusters_dist")
+
+  /** Scale-only bindings that aren't part of the served query surface. */
+  private val Extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("dedup_clusters_dist" ->
+      ((s, d) => graft.operators.Dedup.clustersQOn(s, d, maxDriverEdges = 0L)))
   private val Reps = 10
   private val IdStride = 10000000L
 
@@ -90,7 +105,8 @@ object ScaleBench {
 
     def run(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      Extra.getOrElse(name, SparkEntry.queries(name))(spark, dir)
+        .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       // localCheckpoint blocks (CC loop in pipeline_curate) are released
       // by the async ContextCleaner only when the RDD objects are GC'd;

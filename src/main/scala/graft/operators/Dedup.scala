@@ -620,10 +620,19 @@ object Dedup {
     * pairs→components path — not just the pair stage — is hash-checked
     * against an independent implementation. Chain/diameter behavior is
     * additionally spec-pinned on synthetic graphs (DedupSpec). */
-  def clustersQ(s: SparkSession, d: String): DataFrame = {
+  def clustersQ(s: SparkSession, d: String): DataFrame =
+    clustersQOn(s, d, maxDriverEdges = 2L * 1000 * 1000)
+
+  /** [[clustersQ]] with the driver fast-path threshold exposed:
+    * ScaleBench passes 0 to force the DISTRIBUTED loop at both scales,
+    * because at sf0.1 the 1× side otherwise takes the union-find fast
+    * path and the 1×/10× ratio conflates an algorithm switch with
+    * scaling (the served binding keeps the adaptive default). */
+  private[graft] def clustersQOn(s: SparkSession, d: String,
+      maxDriverEdges: Long): DataFrame = {
     val pairs = jaccardPairs(blocked(s, d), col("doc_id"), col("text"), col("blk"))
       .filter(col("jac") >= 0.35)
-    val cl = dupClusters(pairs)
+    val cl = dupClusters(pairs, maxDriverEdges = maxDriverEdges)
     cl.groupBy("cluster").agg(count(lit(1)).as("comp_size"))
       .join(cl, "cluster")
       .select(col("doc_id"), col("cluster"), col("comp_size"))
