@@ -266,6 +266,119 @@ object Dedup {
       .distinct()
   }
 
+  // =========================================================================
+  // At-rest MinHash signature index — the 100 TB incremental-dedup layout
+  // =========================================================================
+
+  /** Band-bucket directory count for [[writeMinhashIndex]] — the
+    * [[Lexical.IndexBuckets]] sizing rule applied to dedup: serving reads
+    * `|touched|/buckets` of the index via partition pruning, and real
+    * deployments size this so one bucket ≈ one HDFS block per executor
+    * wave. */
+  val SigBuckets = 64
+
+  /** Signature config stored next to the index. Probes read THIS instead
+    * of taking config parameters: a probe signed with a different
+    * (k, bands, rows, shingleN) would silently find nothing (different
+    * band keys), so the config is not a parameter a caller can get wrong
+    * — it travels with the data, like the lexical index's layout. */
+  private case class SigIndexMeta(k: Int, bands: Int, rows: Int,
+      shingleN: Int, buckets: Int)
+
+  private def readSigMeta(s: SparkSession, dir: String): SigIndexMeta = {
+    val r = s.read.parquet(s"$dir/meta")
+      .select("k", "bands", "rows", "shingle_n", "buckets").head()
+    SigIndexMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+  }
+
+  /** The banded-signature relation both index writes and probes share —
+    * ONE derivation (on top of [[minhashSigCol]]/[[withBand]], which the
+    * in-plan paths also use) so the at-rest rows and a probe's rows can
+    * never drift apart: (doc_id, sig, band, bucket = band mod buckets). */
+  private def bandedSigs(docs: DataFrame, id: Column, text: Column,
+      block: Column, k: Int, bands: Int, rows: Int, shingleN: Int,
+      buckets: Int): DataFrame =
+    withBand(docs.select(id.as("doc_id"), block.as("blk"),
+        minhashSigCol(docs.sparkSession, text, k, shingleN).as("sig")),
+        bands, rows)
+      .withColumn("bucket", pmod(col("band"), lit(buckets.toLong)))
+
+  /** Write the at-rest MinHash signature index: one row per (band key,
+    * doc) carrying the full signature payload, hash-partitioned into
+    * `buckets` band-key directories + a one-row config table. This is
+    * the third at-rest serving layout beside the term-bucketed inverted
+    * index ([[Lexical.writeInvertedIndex]]) and the cluster-partitioned
+    * IVF corpus ([[Search.writeIvfIndex]]): sign the lake ONCE at ingest,
+    * and every arriving increment afterwards probes band buckets instead
+    * of re-signing 100 TB ([[probeMinhashIndex]]). */
+  def writeMinhashIndex(docs: DataFrame, id: Column, text: Column,
+      block: Column, dir: String, k: Int = 64, bands: Int = 16,
+      rows: Int = 4, shingleN: Int = 0, buckets: Int = SigBuckets): Unit = {
+    val s = docs.sparkSession
+    bandedSigs(docs, id, text, block, k, bands, rows, shingleN, buckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands")
+    import s.implicits._
+    Seq((k, bands, rows, shingleN, buckets))
+      .toDF("k", "bands", "rows", "shingle_n", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Append an increment's signatures to an existing index. Rows are
+    * per-(band, doc) and new doc_ids touch no existing row, so appending
+    * files IS the merge (the [[Lexical.appendToIndex]] postings argument)
+    * — and unlike the lexical index there are no derived df/stats tables
+    * to recombine, so the append is a single atomic-enough parquet job:
+    * a crash mid-append leaves only uncommitted temp files, never a
+    * half-merged table. Config comes from the index's own meta, so an
+    * append can never sign with a drifted config. */
+  def appendToMinhashIndex(docs: DataFrame, id: Column, text: Column,
+      block: Column, dir: String): Unit = {
+    val s = docs.sparkSession
+    val m = readSigMeta(s, dir)
+    bandedSigs(docs, id, text, block, m.k, m.bands, m.rows, m.shingleN, m.buckets)
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/bands")
+  }
+
+  /** Probe the at-rest index with an increment → cross-corpus candidate
+    * pairs (doc_a = increment, doc_b = indexed, est_jaccard) — the
+    * [[minhashPairsAcross]] semantics served from the
+    * [[writeMinhashIndex]] layout (bit-parity spec-pinned). Only the
+    * increment is signed at probe time; the lake side is the at-rest
+    * table, and the increment's ≤`buckets` distinct bucket ids become
+    * PartitionFilters on it (a bounded driver artifact, the
+    * [[Lexical]] `prunedRead` pattern). `maxBandFreq` is the same
+    * hot-bucket guard, counting occupancy across BOTH sides of each
+    * band like the in-plan cross path does. */
+  def probeMinhashIndex(increment: DataFrame, id: Column, text: Column,
+      block: Column, dir: String, minEst: Double = 0.5,
+      maxBandFreq: Int = 0): DataFrame = {
+    val s = increment.sparkSession
+    val m = readSigMeta(s, dir)
+    val probe = bandedSigs(increment, id, text, block,
+        m.k, m.bands, m.rows, m.shingleN, m.buckets)
+      .select("doc_id", "sig", "band", "bucket")
+      .localCheckpoint() // feeds the touched-bucket collect AND the join
+    val touched = probe.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idx = s.read.parquet(s"$dir/bands")
+      .filter(col("bucket").isin(touched: _*))
+      .select("doc_id", "sig", "band")
+    val all = probe.drop("bucket").withColumn("side", lit("l"))
+      .unionByName(idx.withColumn("side", lit("r")))
+    val guarded = bandFreqGuard(all, maxBandFreq)
+    val l = guarded.filter(col("side") === "l")
+    val r = guarded.filter(col("side") === "r")
+    l.as("x").join(r.as("y"), col("x.band") === col("y.band"))
+      // same structural self-pair exclusion as [[minhashPairsAcross]]:
+      // an increment row that was (wrongly) already indexed must not
+      // surface as its own est-1.0 near-dup
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        TextExpressions.minhashAgree(s, col("x.sig"), col("y.sig")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+      .distinct()
+  }
+
   /** SimHash near-dup pairs → (doc_a, doc_b, hamming). 64-bit token
     * SimHash, `bands` equal-width bit-bands as candidate buckets, then
     * exact Hamming distance on candidates. Recall guarantee: a pair with
@@ -553,6 +666,45 @@ object Dedup {
     verifyJaccard(s, docs, cands, minJac = 0.5)
   }
 
+  /** Per-JVM at-rest signature index cache: sfDir → index dir — the
+    * [[graft.operators.Retrieval]] ivfCache pattern: testdata dirs are
+    * immutable, so one build serves every invocation and Bench reps
+    * measure the PROBE path (what production repeats), with scratch dirs
+    * removed on JVM exit. */
+  private val sigIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      sigIdxCache.values.forEach { dir => rm(new java.io.File(dir)) }
+    }))
+  }
+
+  /** [[crossNearDup]] served from the AT-REST signature index — the
+    * 100 TB shape of incremental dedup: the existing corpus
+    * (doc_id % 4 ≠ 0) is signed and band-bucketed ONCE
+    * ([[writeMinhashIndex]], cached per JVM × sfDir), and the arriving
+    * increment probes band buckets ([[probeMinhashIndex]]) without the
+    * lake ever being re-signed. Candidates then pass the same
+    * [[verifyJaccard]] stage, so the output — and the DuckDB oracle —
+    * are identical to the in-plan [[crossNearDup]] (recall-1 at the
+    * verify threshold, see that doc). */
+  def crossNearDupIdx(s: SparkSession, d: String): DataFrame = {
+    val dir = sigIdxCache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sig_idx").toString
+      writeMinhashIndex(blocked(s, d).filter(col("doc_id") % 4 =!= 0),
+        col("doc_id"), col("text"), col("blk"), tmp, shingleN = 3)
+      tmp
+    })
+    val cands = probeMinhashIndex(
+      blocked(s, d).filter(col("doc_id") % 4 === 0),
+      col("doc_id"), col("text"), col("blk"), dir)
+      .select("doc_a", "doc_b")
+    verifyJaccard(s, blocked(s, d), cands, minJac = 0.5)
+  }
+
   /** MinHash-LSH near-dup, full two-stage production shape: banded
     * signature join proposes candidates, [[verifyJaccard]] confirms with
     * exact Jaccard ≥ 0.5 — fully oracle-checked (see verifyJaccard doc). */
@@ -636,6 +788,38 @@ object Dedup {
     cl.groupBy("cluster").agg(count(lit(1)).as("comp_size"))
       .join(cl, "cluster")
       .select(col("doc_id"), col("cluster"), col("comp_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Canonical-document selection per dup cluster — the policy step that
+    * turns clustering into an actual dedup: production pipelines keep the
+    * HIGHEST-QUALITY member of each near-dup cluster (not the arbitrary
+    * min-id), drop the rest. Quality here is the lexical-diversity score
+    * (`distinct_ratio` from the `txt_quality` family — rounded to 6
+    * decimals so the argmax is boundary-stable), doc_id ascending breaks
+    * ties. Output: every clustered doc with its cluster, size, quality
+    * and an `is_keeper` flag (exactly one per cluster).
+    *
+    * Scale shape: cluster membership is an index-scale relation (docs
+    * that appear in near-dup pairs — the minority by assumption), so the
+    * text join computes quality ONLY for clustered docs (the inner join
+    * is the filter; AQE broadcasts the membership side when it is small),
+    * and the keeper window partitions by cluster over that same minority.
+    * The corpus never shuffles. */
+  def keepBestQ(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardPairs(blocked(s, d), col("doc_id"), col("text"), col("blk"))
+      .filter(col("jac") >= 0.35)
+    val cl = dupClusters(pairs)
+    val sizes = cl.groupBy("cluster").agg(count(lit(1)).as("comp_size"))
+    val toks = tokens(col("text"))
+    val q = Tables.documents(s, d).select(col("doc_id"),
+      round(size(array_distinct(toks)).cast("double") /
+        nullif(size(toks).cast("double"), lit(0.0)), 6).as("quality"))
+    val w = Window.partitionBy("cluster").orderBy(desc("quality"), asc("doc_id"))
+    cl.join(sizes, "cluster").join(q, "doc_id")
+      .withColumn("is_keeper", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster"), col("comp_size"),
+        col("quality"), col("is_keeper"))
       .orderBy("doc_id")
   }
 
@@ -813,7 +997,9 @@ object Dedup {
     "dedup_embedding_lsh" -> embeddingNearDupLsh,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
-    "dedup_cross" -> crossNearDup)
+    "dedup_cross" -> crossNearDup,
+    "dedup_cross_idx" -> crossNearDupIdx,
+    "dedup_keep_best" -> keepBestQ)
 
   /** DuckDB 3-gram shingle set over `toks` — mirrors
     * `TextExpressions.shingleHashes(tokens(text), 3)` semantics (whole
@@ -910,9 +1096,44 @@ object Dedup {
     "dedup_minhash_lsh" -> verifiedJaccardSql,
     "dedup_simhash" -> verifiedJaccardSql,
     // cross-corpus: all in-block increment×existing pairs above the
-    // verify threshold (no doc_a < doc_b — the sides are disjoint)
-    "dedup_cross" ->
-      s"""WITH t AS (SELECT doc_id, lang || '_' || (n_chars // 100) AS blk,
+    // verify threshold (no doc_a < doc_b — the sides are disjoint).
+    // The at-rest-index binding shares it: same semantics, served layout.
+    "dedup_cross" -> crossVerifiedSql,
+    "dedup_cross_idx" -> crossVerifiedSql,
+    // keep-best: the clusters oracle extended with the quality argmax —
+    // DuckDB independently replays pairs → reachability → per-cluster
+    // row_number over (quality desc, doc_id), so the POLICY step is
+    // hash-checked, not just the clustering under it
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, lang || '_' || (n_chars // 100) AS blk,
+           string_split(lower(text), ' ') AS toks FROM documents),
+         sh AS (SELECT doc_id, blk, list_distinct($shSql) AS sh FROM t),
+         rawpair AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+             len(a.sh) AS na, len(b.sh) AS nb
+           FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+         pair AS (SELECT doc_a, doc_b FROM rawpair
+           WHERE CAST(inter AS DOUBLE)
+             / nullif(CAST(na + nb - inter AS DOUBLE), 0.0) >= 0.35),
+         edge AS (SELECT doc_a AS a, doc_b AS b FROM pair
+           UNION SELECT doc_b, doc_a FROM pair
+           UNION SELECT doc_a, doc_a FROM pair
+           UNION SELECT doc_b, doc_b FROM pair),
+         reach(a, b) AS (SELECT a, b FROM edge
+           UNION SELECT r.a, e.b FROM reach r JOIN edge e ON r.b = e.a),
+         cl AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster,
+           CAST(count(DISTINCT b) AS BIGINT) AS comp_size
+           FROM reach GROUP BY a),
+         q AS (SELECT doc_id, round(CAST(len(list_distinct(toks)) AS DOUBLE)
+             / nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS quality FROM t)
+         SELECT cl.doc_id, cl.cluster, cl.comp_size, q.quality,
+           (row_number() OVER (PARTITION BY cl.cluster
+              ORDER BY q.quality DESC, cl.doc_id) = 1) AS is_keeper
+         FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id""")
+
+  private lazy val crossVerifiedSql =
+    s"""WITH t AS (SELECT doc_id, lang || '_' || (n_chars // 100) AS blk,
            string_split(lower(text), ' ') AS toks FROM documents),
          sh AS (SELECT doc_id, blk, list_distinct($shSql) AS sh FROM t),
          pair AS (
@@ -925,7 +1146,7 @@ object Dedup {
            CAST(inter AS DOUBLE) / nullif(CAST(na + nb - inter AS DOUBLE), 0.0) AS jac
          FROM pair
          WHERE CAST(inter AS DOUBLE) / nullif(CAST(na + nb - inter AS DOUBLE), 0.0) >= 0.5
-         ORDER BY jac DESC, doc_a, doc_b""")
+         ORDER BY jac DESC, doc_a, doc_b"""
 
   private lazy val verifiedJaccardSql =
     s"""WITH t AS (SELECT doc_id, lang || '_' || (n_chars // 100) AS blk,

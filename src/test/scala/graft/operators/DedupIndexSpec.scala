@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Substantiates the at-rest MinHash signature index's claims (Dedup
+  * scaladoc): a probe through the `writeMinhashIndex` layout is
+  * bit-identical to the in-plan `minhashPairsAcross`, appending an
+  * increment equals rebuilding over the union, and the probe's touched
+  * buckets reach the scan as PartitionFilters — the lake side is read
+  * through pruning, never re-signed.
+  */
+class DedupIndexSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+  private def docs = graft.Tables.documents(spark, d)
+    .withColumn("blk", concat_ws("_", col("lang"), expr("n_chars DIV 100")))
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select("doc_a", "doc_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("probeMinhashIndex ≡ minhashPairsAcross (bit parity, config from meta)") {
+    val inc = docs.filter(col("doc_id") % 4 === 0)
+    val lake = docs.filter(col("doc_id") % 4 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_spec").toString
+    Dedup.writeMinhashIndex(lake, col("doc_id"), col("text"), col("blk"),
+      dir, shingleN = 3)
+    val served = Dedup.probeMinhashIndex(inc, col("doc_id"), col("text"),
+      col("blk"), dir)
+    val inPlan = Dedup.minhashPairsAcross(inc, lake,
+      col("doc_id"), col("text"), col("blk"), shingleN = 3)
+    assert(pairsOf(served) === pairsOf(inPlan))
+    assert(pairsOf(served).nonEmpty, "fixture must exercise the join")
+  }
+
+  test("appendToMinhashIndex ≡ rebuild over the union") {
+    val inc = docs.filter(col("doc_id") % 4 === 0)
+    val first = docs.filter(col("doc_id") % 4 === 1)
+    val second = docs.filter(col("doc_id") % 4 === 2 || col("doc_id") % 4 === 3)
+    val appended = java.nio.file.Files.createTempDirectory("graft_sig_app").toString
+    Dedup.writeMinhashIndex(first, col("doc_id"), col("text"), col("blk"),
+      appended, shingleN = 3)
+    Dedup.appendToMinhashIndex(second, col("doc_id"), col("text"), col("blk"),
+      appended)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_sig_reb").toString
+    Dedup.writeMinhashIndex(first.unionByName(second), col("doc_id"),
+      col("text"), col("blk"), rebuilt, shingleN = 3)
+    def probe(dir: String) = Dedup.probeMinhashIndex(inc, col("doc_id"),
+      col("text"), col("blk"), dir)
+    assert(pairsOf(probe(appended)) === pairsOf(probe(rebuilt)))
+  }
+
+  test("probe reads the lake through PartitionFilters on bucket") {
+    val inc = docs.filter(col("doc_id") % 4 === 0)
+    val lake = docs.filter(col("doc_id") % 4 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_plan").toString
+    Dedup.writeMinhashIndex(lake, col("doc_id"), col("text"), col("blk"),
+      dir, shingleN = 3)
+    val plan = Dedup.probeMinhashIndex(inc, col("doc_id"), col("text"),
+      col("blk"), dir).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("bucket"),
+      s"probe must prune index partitions, not filter rows:\n$plan")
+  }
+
+  test("hot-band guard drops a band shared too widely, across both sides") {
+    import spark.implicits._
+    // 30 identical lake docs + 1 identical increment doc: every band key
+    // they share is occupied 31 times. Guarded at 10, nothing pairs;
+    // unguarded, the increment doc pairs with all 30.
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val lake = (1 to 30).map(i => (i.toLong, text, "b")).toDF("doc_id", "text", "blk")
+    val inc = Seq((1000L, text, "b")).toDF("doc_id", "text", "blk")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_hot").toString
+    Dedup.writeMinhashIndex(lake, col("doc_id"), col("text"), col("blk"), dir)
+    def n(maxBandFreq: Int) = Dedup.probeMinhashIndex(inc, col("doc_id"),
+      col("text"), col("blk"), dir, maxBandFreq = maxBandFreq).count()
+    assert(n(0) === 30L, "unguarded probe pairs the increment with every copy")
+    assert(n(10) === 0L, "guard drops bands occupied beyond the cap")
+  }
+}
