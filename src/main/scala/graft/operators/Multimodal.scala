@@ -140,10 +140,65 @@ object Multimodal {
       .orderBy("doc_id", "channel", "bin")
   }
 
+  /** Pixel-real segment crop end to end (V4 — the reference's mask-apply
+    * + bbox crop + per-segment CLIP, `SAM/sam_segment_clip_pipeline.py:
+    * 187-200`): deterministic BMP fixtures render per doc_id → a derived
+    * segment model assigns each doc 1–3 bounding boxes (a pure integer
+    * function of (doc_id, seg_id) and the image dims, standing in for
+    * mask extents — testdata carries no real masks) →
+    * [[graft.sources.JdkImage.JdkRegionEncoder]] DECODES each image once
+    * with `javax.imageio` and histograms each `getSubimage` crop. Raw
+    * integer counts + the sparse (doc, seg, channel, bin) form keep every
+    * value exact, so DuckDB — with no codec — checks the whole
+    * decode-and-crop path by replaying the fixtures' pixel formula over
+    * each box window: a crop offset bug, channel swap, or off-by-one in
+    * either dimension shifts counts and fails the hash.
+    *
+    * Scale shape: boxes are built by `transform(sequence(...))` per row —
+    * no explode/groupBy shuffle — and the join to payloads is a plain
+    * doc_id equi-join; the encoder decodes once per image regardless of
+    * its segment count ([[graft.sources.MultimodalStub.RegionEncoder]]'s
+    * contract). */
+  def segmentCrop(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.documents(s, d).select("doc_id")
+    val regions = ids
+      .select(col("doc_id"),
+        expr("CAST(8 + doc_id % 9 AS INT)").as("iw"),
+        expr("CAST(8 + doc_id % 7 AS INT)").as("ih"))
+      .withColumn("regions", expr(
+        """transform(sequence(0L, doc_id % 3), s -> named_struct(
+             'seg_id', s,
+             'x0', CAST((5*doc_id + 3*s) % (iw - 2) AS INT),
+             'y0', CAST((7*doc_id + 5*s) % (ih - 2) AS INT),
+             'w', CAST(least(3 + (doc_id + 2*s) % 5,
+                             iw - (5*doc_id + 3*s) % (iw - 2)) AS INT),
+             'h', CAST(least(3 + (doc_id + s) % 4,
+                             ih - (7*doc_id + 5*s) % (ih - 2)) AS INT)))"""))
+      .select("doc_id", "regions")
+    val imgs = graft.sources.JdkImage.renderBmpFixtures(ids)
+      .toDF("doc_id", "payload")
+    graft.sources.MultimodalStub.cropAndEmbed(imgs.join(regions, "doc_id"),
+        () => new graft.sources.JdkImage.JdkRegionEncoder(16, normalize = false))
+      .toDF()
+      .select(col("doc_id"), col("seg_id"),
+        col("x0").cast("long").as("x0"), col("y0").cast("long").as("y0"),
+        col("w").cast("long").as("w"), col("h").cast("long").as("h"),
+        posexplode(col("feature")).as(Seq("idx", "cnt")))
+      .filter(col("cnt") > 0) // sparse: zero bins carry no information
+      .select(col("doc_id"), col("seg_id"), col("x0"), col("y0"),
+        col("w"), col("h"),
+        expr("CASE WHEN idx < 16 THEN 'r' WHEN idx < 32 THEN 'g' ELSE 'b' END")
+          .as("channel"),
+        (col("idx") % 16).cast("long").as("bin"),
+        col("cnt").cast("long").as("cnt"))
+      .orderBy("doc_id", "seg_id", "channel", "bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> binaryMeta,
     "mm_chunk" -> chunk,
     "mm_decode_embed" -> decodeEmbed,
+    "mm_segment_crop" -> segmentCrop,
     "mm_frame_embed" -> ((s, d) => frameEmbed(s, d,
       encoder = Some(() =>
         new graft.sources.MultimodalStub.ByteHistogramEncoder(16, normalize = false)))))
@@ -186,6 +241,39 @@ object Multimodal {
          SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
            channel, CAST(bin AS BIGINT) AS bin, count(*) AS cnt
          FROM u GROUP BY 1,2,3,4,5 ORDER BY doc_id, channel, bin""",
+    // Decode-free replay of the crop: same pixel-formula trick as
+    // mm_decode_embed, restricted to each segment's box window. The box
+    // formulas mirror the Scala transform() exactly; Spark must arrive at
+    // the same counts THROUGH ImageIO decode + getSubimage of real BMPs.
+    "mm_segment_crop" ->
+      """WITH ids AS (SELECT doc_id, 8 + doc_id % 9 AS iw, 8 + doc_id % 7 AS ih
+           FROM documents),
+         segs AS (SELECT doc_id, iw, ih, unnest(range(doc_id % 3 + 1)) AS seg_id
+           FROM ids),
+         box AS (SELECT doc_id, seg_id,
+             (5*doc_id + 3*seg_id) % (iw - 2) AS x0,
+             (7*doc_id + 5*seg_id) % (ih - 2) AS y0,
+             LEAST(3 + (doc_id + 2*seg_id) % 5,
+                   iw - (5*doc_id + 3*seg_id) % (iw - 2)) AS w,
+             LEAST(3 + (doc_id + seg_id) % 4,
+                   ih - (7*doc_id + 5*seg_id) % (ih - 2)) AS h
+           FROM segs),
+         px AS (SELECT doc_id, seg_id, x0, y0, w, h,
+             x0 + unnest(range(w)) AS x, y
+           FROM (SELECT doc_id, seg_id, x0, y0, w, h,
+                   y0 + unnest(range(h)) AS y FROM box)),
+         v AS (SELECT doc_id, seg_id, x0, y0, w, h,
+             (31*doc_id + 7*x + 13*y) % 256 AS r,
+             (17*doc_id + 11*x + 5*y) % 256 AS g,
+             (23*doc_id + 3*x + 19*y) % 256 AS b
+           FROM px),
+         u AS (SELECT doc_id, seg_id, x0, y0, w, h, 'r' AS channel, r // 16 AS bin FROM v
+           UNION ALL SELECT doc_id, seg_id, x0, y0, w, h, 'g', g // 16 FROM v
+           UNION ALL SELECT doc_id, seg_id, x0, y0, w, h, 'b', b // 16 FROM v)
+         SELECT doc_id, seg_id, CAST(x0 AS BIGINT) AS x0, CAST(y0 AS BIGINT) AS y0,
+           CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+           channel, CAST(bin AS BIGINT) AS bin, count(*) AS cnt
+         FROM u GROUP BY 1,2,3,4,5,6,7,8 ORDER BY doc_id, seg_id, channel, bin""",
     // Exploits two exactness facts: (1) the raw-count histogram of the
     // pooled frames equals the histogram of the CONCATENATION of the
     // sampled (even-index) chunks, so no per-frame grouping is needed;

@@ -7,7 +7,7 @@ import javax.imageio.ImageIO
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions.col
 
-import graft.sources.MultimodalStub.{MediaEncoder, MediaFeature}
+import graft.sources.MultimodalStub.{MediaEncoder, MediaFeature, Region, RegionEncoder, RegionFeature}
 
 /** REAL image decode behind the [[MultimodalStub.MediaEncoder]] boundary —
   * no external dependency: `javax.imageio` ships in the JDK and decodes
@@ -84,28 +84,72 @@ object JdkImage {
           g2.dispose()
           out
         }
-      val hist = new Array[Float](3 * bins)
-      var y = 0
-      while (y < scaled.getHeight) {
-        var x = 0
-        while (x < scaled.getWidth) {
-          val rgb = scaled.getRGB(x, y)
-          hist(((rgb >> 16 & 0xFF) * bins) / 256) += 1f
-          hist(bins + ((rgb >> 8 & 0xFF) * bins) / 256) += 1f
-          hist(2 * bins + ((rgb & 0xFF) * bins) / 256) += 1f
-          x += 1
-        }
-        y += 1
+      MediaFeature(id, width = w, height = h,
+        feature = rgbHistogram(scaled, bins, normalize))
+    }
+  }
+
+  /** Per-channel pixel histogram over the WHOLE image (R-hist ++ G-hist
+    * ++ B-hist, `bins` each) — the one feature kernel both the whole-image
+    * and the per-segment encoders share, so a crop's embedding and a full
+    * image's embedding are the same function of their pixels. */
+  private def rgbHistogram(img: BufferedImage, bins: Int,
+      normalize: Boolean): Array[Float] = {
+    val hist = new Array[Float](3 * bins)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        hist(((rgb >> 16 & 0xFF) * bins) / 256) += 1f
+        hist(bins + ((rgb >> 8 & 0xFF) * bins) / 256) += 1f
+        hist(2 * bins + ((rgb & 0xFF) * bins) / 256) += 1f
+        x += 1
       }
-      if (normalize) {
-        var norm = 0.0
-        var j = 0
-        while (j < hist.length) { norm += hist(j).toDouble * hist(j); j += 1 }
-        val inv = if (norm == 0.0) 0f else (1.0 / math.sqrt(norm)).toFloat
-        j = 0
-        while (j < hist.length) { hist(j) *= inv; j += 1 }
+      y += 1
+    }
+    if (normalize) {
+      var norm = 0.0
+      var j = 0
+      while (j < hist.length) { norm += hist(j).toDouble * hist(j); j += 1 }
+      val inv = if (norm == 0.0) 0f else (1.0 / math.sqrt(norm)).toFloat
+      j = 0
+      while (j < hist.length) { hist(j) *= inv; j += 1 }
+    }
+    hist
+  }
+
+  /** REAL pixel segment crop (reference: bbox-from-mask-extent + crop +
+    * CLIP per segment, `SAM/sam_segment_clip_pipeline.py:187-200`,
+    * `SAM/extract_sam_clip_features.py:81-110`): decode the parent image
+    * ONCE, then for each region take the sub-raster view
+    * (`BufferedImage.getSubimage` — a zero-copy window over the decoded
+    * pixels, no per-crop re-decode or buffer copy) and histogram it with
+    * the SAME kernel as the whole-image encoder, so
+    * crop-then-embed ≡ embed-of-cropped-image (`MultimodalStubSpec` pins
+    * that identity against a re-encoded BMP of the crop).
+    *
+    * Out-of-bounds boxes fail loudly against the DECODED header
+    * dimensions — the box usually comes from a segment model that ran on
+    * the same pixels, so a mismatch means the image and its segments
+    * drifted (wrong join key, re-encoded payload) and a silent clamp
+    * would embed the wrong pixels. */
+  class JdkRegionEncoder(bins: Int = 16, normalize: Boolean = true)
+      extends RegionEncoder {
+    disableDiskCache() // executor JVM too, same as JdkImageEncoder
+    def encodeRegions(id: Long, bytes: Array[Byte],
+        regions: Seq[Region]): Seq[RegionFeature] = {
+      if (regions.isEmpty) return Nil // skip the decode entirely
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, s"doc $id: payload is not a decodable image")
+      regions.map { r =>
+        require(r.w > 0 && r.h > 0 && r.x0 >= 0 && r.y0 >= 0 &&
+          r.x0 + r.w <= img.getWidth && r.y0 + r.h <= img.getHeight,
+          s"doc $id seg ${r.seg_id}: box (${r.x0},${r.y0},${r.w},${r.h}) " +
+            s"outside decoded ${img.getWidth}x${img.getHeight}")
+        RegionFeature(id, r.seg_id, r.x0, r.y0, r.w, r.h,
+          rgbHistogram(img.getSubimage(r.x0, r.y0, r.w, r.h), bins, normalize))
       }
-      MediaFeature(id, width = w, height = h, feature = hist)
     }
   }
 

@@ -85,6 +85,52 @@ object MultimodalStub {
     }
   }
 
+  /** A segment's bounding box inside its parent image, in decoded-pixel
+    * coordinates — the engine-side form of the reference's SAM mask
+    * extent (`/root/reference/SAM/extract_sam_clip_features.py:91-99`
+    * derives exactly this x0/y0/w/h box from the mask before cropping). */
+  case class Region(seg_id: Long, x0: Int, y0: Int, w: Int, h: Int)
+
+  /** One cropped segment's feature row: provenance box + embedding. */
+  case class RegionFeature(doc_id: Long, seg_id: Long, x0: Int, y0: Int,
+      w: Int, h: Int, feature: Array[Float])
+
+  /** The bytes+regions → per-segment features boundary — the segment leg
+    * of the pipeline (reference: mask-apply + bbox crop + CLIP per crop,
+    * `SAM/sam_segment_clip_pipeline.py:187-200`). The contract decodes
+    * the parent image ONCE and crops every region from the decoded
+    * pixels: at n segments/image that is 1 decode + n crops, not n
+    * decodes — the shape that matters when decode dominates (it does:
+    * JPEG decode is ~10× the histogram cost). Same factory discipline as
+    * [[MediaEncoder]]: construct once per partition on the executor. */
+  trait RegionEncoder extends Serializable {
+    def encodeRegions(id: Long, bytes: Array[Byte],
+        regions: Seq[Region]): Seq[RegionFeature]
+  }
+
+  /** df must have (doc_id: long, payload: binary, regions:
+    * array<struct<seg_id,x0,y0,w,h>>) — one row per IMAGE carrying all
+    * its segment boxes, so the executor decodes each payload exactly once
+    * and flatMaps its crops ([[RegionEncoder]]'s contract). Getting the
+    * regions pre-grouped is the caller's join shape: segments are
+    * per-image rows upstream, so `groupBy(doc).collect_list(box)` — or,
+    * when boxes are a pure function of the row as in the fixture
+    * bindings, a `transform(sequence(...))` with no shuffle at all. */
+  def cropAndEmbed(df: DataFrame,
+      encoderFactory: () => RegionEncoder): Dataset[RegionFeature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"),
+        col("regions").cast("array<struct<seg_id:bigint,x0:int,y0:int,w:int,h:int>>"))
+      .as[(Long, Array[Byte], Seq[Region])]
+      .mapPartitions { it =>
+        val model = encoderFactory() // once per partition, not per row
+        it.flatMap { case (id, bytes, regs) =>
+          model.encodeRegions(id, bytes, regs)
+        }
+      }
+  }
+
   case class ResizedMedia(doc_id: Long, orig_bytes: Long, new_bytes: Long,
       scale: Double, payload: Array[Byte])
 

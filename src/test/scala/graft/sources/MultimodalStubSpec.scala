@@ -199,4 +199,89 @@ class MultimodalStubSpec extends SparkSpec {
       assert((rgb & 0xFF) === (23 * 5 + 3 * x + 19 * y) % 256)
     }
   }
+
+  test("JdkRegionEncoder: crop-of-region ≡ whole-image encode of the cropped image") {
+    // the identity that makes the segment leg pixel-real: histogramming a
+    // getSubimage window of the decoded parent equals re-encoding the
+    // cropped pixels as their own image and whole-image-encoding THAT
+    val bytes = png(40, 30, (60, 120, 180), noise = 20)
+    val regions = Seq(
+      MultimodalStub.Region(0L, 0, 0, 40, 30),   // full-image box
+      MultimodalStub.Region(1L, 5, 7, 12, 9),    // interior box
+      MultimodalStub.Region(2L, 28, 21, 12, 9))  // flush with the far corner
+    val crops = new JdkImage.JdkRegionEncoder(16, normalize = false)
+      .encodeRegions(3L, bytes, regions)
+    assert(crops.map(_.seg_id) === Seq(0L, 1L, 2L))
+    // seg 0 (whole image as a box) ≡ the whole-image encoder's feature
+    val whole = new JdkImage.JdkImageEncoder(16, normalize = false)
+      .encode(3L, bytes)
+    assert(crops(0).feature.toSeq === whole.feature.toSeq)
+    // segs 1, 2: re-encode the cropped pixels as standalone BMPs and
+    // whole-image encode them — features must match the in-place crop
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (r <- regions.drop(1)) {
+      val sub = new java.awt.image.BufferedImage(r.w, r.h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until r.h; x <- 0 until r.w)
+        sub.setRGB(x, y, img.getRGB(r.x0 + x, r.y0 + y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(sub, "bmp", bos)
+      val standalone = new JdkImage.JdkImageEncoder(16, normalize = false)
+        .encode(r.seg_id, bos.toByteArray)
+      assert(crops(r.seg_id.toInt).feature.toSeq === standalone.feature.toSeq,
+        s"seg ${r.seg_id}: crop-of-region must equal encode-of-cropped-image")
+      assert(crops(r.seg_id.toInt).feature.map(_.toDouble).sum === 3.0 * r.w * r.h,
+        "raw counts cover exactly the box's pixels")
+    }
+    // out-of-bounds box fails loudly against the DECODED dimensions
+    val bad = intercept[IllegalArgumentException] {
+      new JdkImage.JdkRegionEncoder(16).encodeRegions(3L, bytes,
+        Seq(MultimodalStub.Region(9L, 30, 0, 12, 9)))
+    }
+    assert(bad.getMessage.contains("outside decoded"))
+  }
+
+  test("cropAndEmbed: decode-once flatMap boundary over (payload, regions) rows") {
+    val df = Seq(
+      (1L, png(20, 16, (200, 40, 40)), Seq(
+        MultimodalStub.Region(0L, 0, 0, 4, 4),
+        MultimodalStub.Region(1L, 10, 8, 6, 5))),
+      (2L, png(12, 12, (40, 200, 40)), Seq(
+        MultimodalStub.Region(0L, 2, 2, 8, 8))),
+      (3L, png(8, 8, (9, 9, 9)), Seq.empty[MultimodalStub.Region])
+    ).toDF("doc_id", "payload", "regions")
+    val out = MultimodalStub.cropAndEmbed(df,
+      () => new JdkImage.JdkRegionEncoder(16, normalize = false)).collect()
+    // doc 3 contributes nothing (no regions → decode skipped entirely)
+    assert(out.map(r => (r.doc_id, r.seg_id)).sorted.toSeq ===
+      Seq((1L, 0L), (1L, 1L), (2L, 0L)))
+    val byKey = out.map(r => (r.doc_id, r.seg_id) -> r).toMap
+    assert(byKey((1L, 0L)).feature.map(_.toDouble).sum === 3.0 * 4 * 4)
+    assert(byKey((1L, 1L)).feature.map(_.toDouble).sum === 3.0 * 6 * 5)
+    assert(byKey((2L, 0L)).feature.map(_.toDouble).sum === 3.0 * 8 * 8)
+    // provenance box rides along
+    assert(byKey((1L, 1L)).x0 === 10 && byKey((1L, 1L)).y0 === 8)
+  }
+
+  test("mm_segment_crop: boxes stay inside their fixture and cover each pixel once") {
+    val out = graft.operators.Multimodal.segmentCrop(spark, "/root/testdata/sf0.001")
+    val segs = out.select("doc_id", "seg_id", "x0", "y0", "w", "h").distinct()
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(segs.nonEmpty)
+    segs.foreach { case (id, _, x0, y0, w, h) =>
+      val (iw, ih) = (8 + id % 9, 8 + id % 7)
+      assert(x0 >= 0 && y0 >= 0 && w >= 3 && h >= 3 &&
+        x0 + w <= iw && y0 + h <= ih, s"box in bounds for doc $id")
+    }
+    // every doc gets 1 + doc_id % 3 segments
+    val perDoc = segs.groupBy(_._1).view.mapValues(_.length).toMap
+    perDoc.foreach { case (id, n) => assert(n === 1 + (id % 3).toInt) }
+    // raw counts over a box sum to 3·w·h across its three channels
+    val sums = out.groupBy("doc_id", "seg_id", "w", "h")
+      .agg(sum("cnt").as("tot"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    sums.foreach { case (id, sid, w, h, tot) =>
+      assert(tot === 3 * w * h, s"doc $id seg $sid full pixel coverage")
+    }
+  }
 }
