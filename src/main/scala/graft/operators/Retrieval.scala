@@ -321,6 +321,39 @@ object Retrieval {
       .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
 
+  /** Recall instrumentation for the approximate paths — the measured
+    * contract behind every "approximate" label: recall@10 of each ANN
+    * family AT ITS PRODUCTION CONFIG against the exact brute-force
+    * top-10 on the same query. This is the number a 100 TB operator
+    * watches to tune nprobe/bands/refine (faiss publishes exactly this
+    * curve per index type); here it is a named relation so BENCH records
+    * it every round and a config regression shows up as a recall drop,
+    * not a silent quality loss. `lsh` measures [[Search.knnLsh]]'s
+    * production default (8×8 bands), NOT the recall-1 32×2 config the
+    * oracle-checked `knn_lsh` binding pins. Each arm's top-10 ids are
+    * ≤k-row serving-edge collects; the intersection is driver arithmetic
+    * over those bounded artifacts. Deterministic (hash-seeded codebooks,
+    * fixed corpus) but not SQL-expressible (k-means/LSH signatures):
+    * rows-only check; `SearchSpec` asserts the documented floors. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val k = 10
+    val emb = Tables.embeddings(s, d)
+    val exact = Search.knnBrute(emb, col("embedding"), q0(s, d), k,
+        tie = col("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val arms: Seq[(String, DataFrame)] = Seq(
+      ("ivf_nprobe3", knnIvf(s, d).select("vec_id")),
+      ("ivfpq_nprobe3_refine10", knnIvfPqQ(s, d).select("vec_id")),
+      ("lsh_8x8", Search.knnLsh(emb, col("vec_id"), col("embedding"),
+        q0(s, d), k).select(col("id").as("vec_id"))),
+      ("pq_refine10", knnPq(s, d).select("vec_id")))
+    import s.implicits._
+    arms.map { case (m, df) =>
+      val hits = (df.collect().map(_.getLong(0)).toSet & exact).size
+      (m, k.toLong, hits.toLong, hits.toDouble / k)
+    }.toDF("method", "k", "hits", "recall").orderBy("method")
+  }
+
   /** T1/T2/V5 — the reference's mask selection (sort by area desc, keep
     * ≤max_segments, drop tiny areas; `sam_segment_clip_pipeline.py:182,361`,
     * `extract_sam_clip_features.py:65-78`) as a rank window per image.
@@ -567,6 +600,7 @@ object Retrieval {
       Search.mmrRerank(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
         q0(s, d), poolN = 20, k = 10, lambda = 0.7)),
     "knn_lsh" -> knnLsh,
+    "ann_recall" -> annRecall,
     "knn_pq" -> knnPq,
     "knn_ivfpq" -> knnIvfPqQ,
     "knn_ivfpq_exact" -> knnIvfPqExact,

@@ -202,6 +202,118 @@ object Search {
       .drop("qv")
   }
 
+  /** Re-train the IVF codebook on the GROWN corpus and migrate the
+    * at-rest layout to it — the batch half of the faiss add-vs-train
+    * split that [[appendToIvfIndex]]/`Streams.ivfIngest` deliberately
+    * defer: appends freeze the codebook, so after enough growth the
+    * cluster balance drifts and a periodic re-train rebuilds the layout.
+    *
+    * Protocol (the [[graft.sources.Compact.compactParquet]] swap
+    * discipline, extended with a catch-up loop for concurrent appends):
+    *
+    *  1. snapshot the index's data-file listing; train a fresh codebook
+    *     on exactly that snapshot ([[kmeansTrain]] — deterministic, so
+    *     re-train ≡ fresh build on the same rows, `SearchSpec` pins it);
+    *  2. write the re-assigned snapshot to a sibling staging dir
+    *     (durable before anything moves);
+    *  3. CATCH-UP: re-list; any files appended since the snapshot are
+    *     read back, re-assigned under the NEW codebook, and appended to
+    *     staging; repeat until a listing shows no delta;
+    *  4. copy the `_batch_*` replay markers (including ones that arrived
+    *     during catch-up) into staging, so a streaming source's replayed
+    *     batch is still recognized AFTER the migration — caught-up rows
+    *     must not be re-appended by a checkpoint replay ("not doubled");
+    *  5. swap: rename(path → __old) · final catch-up pass over __old
+    *     (an append racing the rename moves WITH the directory, so its
+    *     files surface in __old's listing and are carried over — "not
+    *     lost") · rename(staging → path) · delete(__old). A crash
+    *     between the renames self-heals on the next call, same as
+    *     Compact.
+    *
+    * Residual boundary, stated plainly: an append that STARTS after the
+    * vacate rename finds no table directory and fails — its source
+    * retries the batch after the swap (the marker protocol makes the
+    * retry exact-once), but it will still assign with the codebook it
+    * froze at stream start. Migration therefore pairs with a stream
+    * restart, exactly as faiss pairs re-train with index reload; the
+    * window is two O(1) metadata renames, not the rewrite.
+    *
+    * `onStep` is the same test seam as Compact's: `SearchSpec` injects an
+    * old-codebook append at "staged" and asserts the rows survive the
+    * migration exactly once under the new codebook.
+    *
+    * Returns the new centroids (cid, c) for callers to serve probes with. */
+  def retrainIvfIndex(s: SparkSession, indexPath: String, id: Column,
+      vec: Column, k: Int, iters: Int = 10,
+      onStep: String => Unit = _ => ()): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val pathP = new Path(indexPath)
+    val f = pathP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val oldP = new Path(s"${indexPath}__retrain_old")
+    val tmpP = new Path(s"${indexPath}__retrain_staging")
+    // self-heal a crash between the swap renames (Compact discipline)
+    if (!f.exists(pathP) && f.exists(oldP)) f.rename(oldP, pathP)
+    f.delete(tmpP, true)
+    f.delete(oldP, true)
+    def dataFiles(root: Path): Set[String] = {
+      val qRoot = f.makeQualified(root).toString // listFiles returns qualified URIs
+      val it = f.listFiles(root, true)
+      val out = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+          // store PATH RELATIVE to the root so the same file is
+          // recognized across the path → __old rename
+          out += st.getPath.toString.stripPrefix(qRoot)
+        }
+      }
+      out.toSet
+    }
+    def readFiles(root: Path, rel: Set[String]): DataFrame = {
+      val qRoot = f.makeQualified(root).toString
+      s.read.option("basePath", qRoot)
+        .parquet(rel.toSeq.sorted.map(r => qRoot + r): _*)
+        .drop("cluster") // re-assignment replaces the old partition value
+    }
+    var seen = dataFiles(pathP)
+    val snapshot = readFiles(pathP, seen)
+    val newCents = kmeansTrain(snapshot, id, vec, k, iters)
+      .localCheckpoint() // train ONCE; both writes below reuse the result
+    writeIvf(snapshot, vec, newCents, tmpP.toString,
+      org.apache.spark.sql.SaveMode.ErrorIfExists)
+    onStep("staged")
+    // catch-up loop: appends that landed while we trained/staged
+    def catchUp(root: Path): Unit = {
+      var delta = dataFiles(root) -- seen
+      while (delta.nonEmpty) {
+        writeIvf(readFiles(root, delta), vec, newCents, tmpP.toString,
+          org.apache.spark.sql.SaveMode.Append)
+        seen ++= delta
+        delta = dataFiles(root) -- seen
+      }
+    }
+    catchUp(pathP)
+    // carry the replay markers (empty files, named _batch_<id>) across
+    // the migration — a replayed batch must stay recognized
+    f.listStatus(pathP).filter(_.getPath.getName.startsWith("_batch_"))
+      .foreach { st => f.create(new Path(tmpP, st.getPath.getName), true).close() }
+    onStep("prepared")
+    f.rename(pathP, oldP)
+    onStep("vacated")
+    // final pass: an append racing the vacate rename moved with the dir
+    catchUp(oldP)
+    f.listStatus(oldP).filter(_.getPath.getName.startsWith("_batch_"))
+      .foreach { st =>
+        val m = new Path(tmpP, st.getPath.getName)
+        if (!f.exists(m)) f.create(m, true).close()
+      }
+    f.rename(tmpP, pathP)
+    onStep("swapped")
+    f.delete(oldP, true)
+    newCents
+  }
+
   private def collectCodebook(centroids: DataFrame): Array[(Long, Array[Double])] =
     centroids.select(col("cid").cast("long"), col("c").cast("array<double>"))
       .collect()

@@ -72,6 +72,36 @@ class ServingSpec extends SparkSpec {
     assert((bad \ "error").isInstanceOf[JString])
   }
 
+  test("cacheCorpus: later requests plan against the in-memory corpus, not parquet") {
+    // serving-side corpus reuse: one persist serves every request of a
+    // concurrent-user deployment; without it each handle() re-scans parquet
+    graft.Tables.cacheCorpus(spark, d) // embeddings — the serving-critical table
+    try {
+      val df = Retrieval.run(spark, d, Retrieval.SearchRequest("whole", k = 3))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("InMemoryRelation"),
+        s"cached corpus must plan as an in-memory scan:\n$optimized")
+      // no scan leaf re-reads parquet: every leaf of the request's plan
+      // is the in-memory table (the FileScan inside InMemoryRelation's
+      // stored child is the one-time materialization, not a per-request
+      // read). Logical leaves, not executedPlan — AQE wraps the physical
+      // tree and hides its leaves until execution.
+      val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.nonEmpty && leaves.forall(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+        s"every scan leaf must be the cached corpus:\n${leaves.mkString("\n")}")
+      // the serving boundary returns identical results through the cache
+      val r1 = Serving.handle(spark, d, """{"mode":"whole","top_k":3}""")
+      val r2 = Serving.handle(spark, d, """{"mode":"whole","top_k":3}""")
+      assert(r1 === r2 && r1.contains("\"results\""))
+    } finally graft.Tables.uncacheCorpus(d)
+    // cache dropped: plans read parquet again
+    val after = Retrieval.run(spark, d, Retrieval.SearchRequest("whole", k = 3))
+      .queryExecution.optimizedPlan
+    assert(after.collectLeaves().nonEmpty && after.collectLeaves().forall(
+      !_.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]))
+  }
+
   test("SearchCli.requestJson: flags map onto request fields; --json wins") {
     val json = SearchCli.requestJson(Array(
       "--data", "/x", "--mode", "hybrid", "--top-k", "5",

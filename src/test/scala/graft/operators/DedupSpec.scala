@@ -303,10 +303,10 @@ class DedupSpec extends SparkSpec {
     assert(bruteNd.size >= 60, s"construction sanity: ${bruteNd.size}")
     assert(lshNd === bruteNd, "near-dup regime demands full recall + exact scores")
 
-    // Wide-angle regime on real testdata (max pairwise cos ≈ 0.48):
-    // recall is best-effort by design, but every returned pair must be a
-    // brute pair with the IDENTICAL exact cosine, and candidates must
-    // surface (the named query binds at this threshold).
+    // Wide-angle regime on real testdata (max pairwise cos ≈ 0.48): at
+    // the production 8×8 bands recall is best-effort by design, but
+    // every returned pair must be a brute pair with the IDENTICAL exact
+    // cosine.
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = Dedup.embeddingPairs(e, $"vec_id", $"embedding")
       .filter($"cos" >= 0.35)
@@ -316,6 +316,15 @@ class DedupSpec extends SparkSpec {
     assert(lsh.nonEmpty)
     lsh.foreach { case (k, c) =>
       assert(brute.contains(k) && math.abs(brute(k) - c) < 1e-12, s"$k") }
+
+    // The named binding's recall-1 config (32×2 bands): candidate recall
+    // is FULL even at this wide angle — the property that makes
+    // dedup_embedding_lsh oracle-checkable against the all-pairs join.
+    val lsh32 = Dedup.embeddingPairsLsh(e, $"vec_id", $"embedding",
+        minCos = 0.35, bands = 32)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(lsh32.keySet === brute.keySet,
+      s"recall-1 config must find every exact pair: ${brute.size} vs ${lsh32.size}")
   }
 
   test("embeddingPairs: cosine ground truth on unit vectors") {

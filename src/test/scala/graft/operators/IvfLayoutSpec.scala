@@ -69,4 +69,96 @@ class IvfLayoutSpec extends SparkSpec {
     val top = Search.knnBrute(probed, col("embedding"), q, k = 5, tie = col("vec_id"))
     assert(top.count() === 5)
   }
+
+  // well-separated clusters so centroid argmax assignments are stable
+  // under last-ulp float-sum order differences between layouts
+  private def clusteredCorpus(n: Int) = {
+    def mk(c: Int, i: Int): Seq[Float] = {
+      val base = Array.fill(8)(0.05f * c)
+      base(c % 8) = 1f + 0.01f * (i % 5)
+      base.toSeq
+    }
+    (0 until n).map(i => (i.toLong, mk(i % 4, i))).toDF("vec_id", "embedding")
+  }
+
+  test("retrainIvfIndex: re-train over a grown index equals a fresh build on the union") {
+    val all = clusteredCorpus(80)
+    val a = all.filter(col("vec_id") < 60)
+    val b = all.filter(col("vec_id") >= 60)
+    val centsA = Search.kmeansTrain(a, col("vec_id"), col("embedding"), k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_retrain").toString
+    Search.writeIvfIndex(a, col("embedding"), centsA, s"$dir/idx")
+    Search.appendToIvfIndex(b, col("embedding"), centsA, s"$dir/idx")
+    val newCents = Search.retrainIvfIndex(spark, s"$dir/idx",
+      col("vec_id"), col("embedding"), k = 4)
+    // staging/backup dirs are gone; only the migrated index remains
+    assert(!new java.io.File(s"$dir/idx__retrain_staging").exists())
+    assert(!new java.io.File(s"$dir/idx__retrain_old").exists())
+    // fresh build on the union corpus for comparison
+    val centsF = Search.kmeansTrain(all, col("vec_id"), col("embedding"), k = 4)
+    val freshDir = java.nio.file.Files.createTempDirectory("graft_retrain_f").toString
+    Search.writeIvfIndex(all, col("embedding"), centsF, s"$freshDir/idx")
+    // centroids agree (tolerance: summation order differs between the
+    // index layout and the original corpus layout)
+    val nc = newCents.select(col("cid"), col("c"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val fc = centsF.select(col("cid"), col("c"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(nc.map(_._1).toSeq === fc.map(_._1).toSeq)
+    nc.zip(fc).foreach { case ((_, c1), (_, c2)) =>
+      c1.zip(c2).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+    // per-row cluster assignment identical to the fresh build
+    def assignments(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("cluster").cast("long"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(assignments(s"$dir/idx") === assignments(s"$freshDir/idx"))
+    // and the migrated layout still serves probes with partition pruning
+    val q = all.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val served = Search.knnIvfIndexed(spark, s"$dir/idx", col("embedding"),
+      newCents, q, nprobe = 2, k = 5, tie = col("vec_id"))
+    assert(served.count() === 5)
+  }
+
+  test("retrainIvfIndex: an append straddling the migration is kept exactly once, replay stays exact-once") {
+    val all = clusteredCorpus(90)
+    val a = all.filter(col("vec_id") < 50)
+    val b = all.filter(col("vec_id") >= 50 && col("vec_id") < 70)
+    val late = all.filter(col("vec_id") >= 70)
+    val centsA = Search.kmeansTrain(a, col("vec_id"), col("embedding"), k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_retrain_s").toString
+    Search.writeIvfIndex(a, col("embedding"), centsA, s"$dir/idx")
+    // a streamed batch BEFORE the migration, with its replay marker
+    graft.streaming.Streams.applyIvfBatch(b, col("embedding"),
+      centsA.select(col("cid"), col("c")), s"$dir/idx", batchId = 7L)
+    // inject a straddling append: a streamed batch (OLD frozen codebook)
+    // lands after the snapshot is staged but before the swap
+    var injected = false
+    val newCents = Search.retrainIvfIndex(spark, s"$dir/idx",
+      col("vec_id"), col("embedding"), k = 4,
+      onStep = step => if (step == "staged" && !injected) {
+        injected = true
+        graft.streaming.Streams.applyIvfBatch(late, col("embedding"),
+          centsA.select(col("cid"), col("c")), s"$dir/idx", batchId = 8L)
+      })
+    assert(injected)
+    // not lost, not doubled: every row exactly once
+    val ids = spark.read.parquet(s"$dir/idx").select("vec_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids === (0L until 90L).toSeq)
+    // the caught-up rows were RE-ASSIGNED under the new codebook
+    val book = newCents.select(col("cid"), col("c"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val got = spark.read.parquet(s"$dir/idx")
+      .filter(col("vec_id") >= 70)
+      .withColumn("expect", graft.functions.VectorExpressions.nearestCentroid(
+        spark, col("embedding"), book.map(_._1).toSeq, book.map(_._2).toSeq))
+      .filter(col("cluster").cast("long") =!= col("expect"))
+    assert(got.count() === 0, "straddling rows must carry new-codebook clusters")
+    // replay markers survived the migration: re-delivering batch 8 is a no-op
+    graft.streaming.Streams.applyIvfBatch(late, col("embedding"),
+      centsA.select(col("cid"), col("c")), s"$dir/idx", batchId = 8L)
+    assert(spark.read.parquet(s"$dir/idx").count() === 90L,
+      "a checkpoint replay after migration must not double-append")
+  }
 }

@@ -268,4 +268,23 @@ class SearchSpec extends SparkSpec {
     assert(math.abs(r(1L) - 0.36) < 1e-12, "missing segment → 0.0")
     assert(math.abs(r(2L) - 0.8) < 1e-12)
   }
+
+  test("annRecall: measured recall@10 floors at the production configs") {
+    // The contract behind every "approximate" label. Floors are the
+    // MEASURED values on this fixed corpus (deterministic codebooks and
+    // signatures — a drop means a config/kernel regression, not noise).
+    // Context for the absolute numbers: the synthetic embeddings are
+    // near-random (distance concentration — the knnPq scaladoc's
+    // worst case); clustered-data recovery is pinned by the kmeansTrain
+    // and knnPq tests above.
+    val m = Retrieval.annRecall(spark, "/root/testdata/sf0.001")
+      .select("method", "recall").as[(String, Double)].collect().toMap
+    assert(m.keySet === Set("ivf_nprobe3", "ivfpq_nprobe3_refine10",
+      "lsh_8x8", "pq_refine10"))
+    assert(m.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(m("pq_refine10") >= 0.9, s"pq refine=10 floor: $m")
+    assert(m("ivf_nprobe3") >= 0.5, s"ivf nprobe=3 floor: $m")
+    assert(m("ivfpq_nprobe3_refine10") >= 0.5, s"ivfpq floor: $m")
+    assert(m("lsh_8x8") >= 0.1, s"lsh 8x8-band floor: $m")
+  }
 }
