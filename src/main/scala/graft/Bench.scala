@@ -34,6 +34,18 @@ object Bench {
     // below), so only within-run A/Bs support strong perf claims.
     // Reported total = sum of medians (steady-state suite cost), not the
     // 3× measurement wall-clock.
+    //
+    // r10 attribution of r9's two out-of-band regressions
+    // (pipeline_curate_exact 1.07→1.47s, agg_decade 0.23→0.45s): neither
+    // reproduces. r9 touched neither code path (git: no r9 commit
+    // modified Pipelines/Curation/Analytics), and on the r10 day both an
+    // isolated run (5 reps: 0.99s / 0.33s) and the full suite (0.84s /
+    // 0.16s) sit AT OR BELOW the r8 numbers — so the r9 values were the
+    // documented between-JVM environment drift, not code and not
+    // suite-context. Converse case the same day: knn_whole read 0.89s in
+    // one full-suite run but 0.30s isolated — single-run suite numbers
+    // for sub-second queries carry that spread; only the cross-check
+    // (isolated A/B on the same day) supports a regression claim.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Per-rep GC policy (SPARK_GRAFT_BENCH_GC = all | heavy | off).
     // r9 attribution of the uniform ~1.5× r7→r8 suite slowdown, measured
