@@ -336,6 +336,37 @@ object Dedup {
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/bands")
   }
 
+  /** Takedown: mark docs deleted in a [[writeMinhashIndex]] layout.
+    * O(|ids|) — no band file is rewritten; [[probeMinhashIndex]] stops
+    * pairing (and counting occupancy) against the ids immediately, and
+    * [[compactMinhashIndex]] reclaims the signature rows on schedule.
+    * The dedup-specific point of a takedown here: a recalled document
+    * must stop SUPPRESSING others — after deletion, an increment doc
+    * that near-dups only the recalled one passes clean. */
+  def deleteFromMinhashIndex(ids: DataFrame, idCol: Column, dir: String): Unit =
+    graft.sources.Tombstones.add(ids, idCol, dir)
+
+  /** Apply accumulated tombstones physically: one pruned scan finds the
+    * band buckets holding deleted signature rows (≤ the index's bucket
+    * count — a bounded driver artifact), each rewrites through the
+    * crash-safe swap-with-straddle-carry, then the tombstone store
+    * drops. Idempotent on re-run after a crash (tombstones clear last). */
+  def compactMinhashIndex(s: SparkSession, dir: String,
+      onStep: String => Unit = _ => ()): Unit = {
+    graft.sources.Tombstones.healPartitions(s, s"$dir/bands")
+    graft.sources.Tombstones.ids(s, dir).foreach { tomb =>
+      val touched = s.read.parquet(s"$dir/bands")
+        .join(tomb, col("doc_id") === tomb("id"), "left_semi")
+        .select(col("bucket").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      touched.foreach { b =>
+        graft.sources.Tombstones.rewriteLive(s, s"$dir/bands/bucket=$b",
+          df => df.join(tomb, col("doc_id") === tomb("id"), "left_anti"), onStep)
+      }
+      graft.sources.Tombstones.clear(s, dir)
+    }
+  }
+
   /** Probe the at-rest index with an increment → cross-corpus candidate
     * pairs (doc_a = increment, doc_b = indexed, est_jaccard) — the
     * [[minhashPairsAcross]] semantics served from the
@@ -357,8 +388,14 @@ object Dedup {
       .localCheckpoint() // feeds the touched-bucket collect AND the join
     val touched = probe.select("bucket").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val idx = s.read.parquet(s"$dir/bands")
-      .filter(col("bucket").isin(touched: _*))
+    // takedown tombstones ([[deleteFromMinhashIndex]]) filter the lake
+    // side BEFORE the band-occupancy guard, so a deleted doc neither
+    // pairs nor counts toward hot-bucket occupancy; heal first — a
+    // compaction crash may have left a bucket partition vacated
+    graft.sources.Tombstones.healPartitions(s, s"$dir/bands")
+    val idx = graft.sources.Tombstones.dropDeleted(
+        s.read.parquet(s"$dir/bands").filter(col("bucket").isin(touched: _*)),
+        col("doc_id"), dir)
       .select("doc_id", "sig", "band")
     val all = probe.drop("bucket").withColumn("side", lit("l"))
       .unionByName(idx.withColumn("side", lit("r")))
@@ -670,12 +707,19 @@ object Dedup {
     * removed on JVM exit. */
   private val sigIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A SEPARATE signature index with [[CrossDeletedIds]] tombstoned —
+    * never the shared [[sigIdxCache]] one, whose probes must stay
+    * delete-free for `dedup_cross_idx`. */
+  private val sigDelIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
       }
       sigIdxCache.values.forEach { dir => rm(new java.io.File(dir)) }
+      sigDelIdxCache.values.forEach { dir => rm(new java.io.File(dir)) }
     }))
   }
 
@@ -693,6 +737,37 @@ object Dedup {
       val tmp = java.nio.file.Files.createTempDirectory("graft_sig_idx").toString
       writeMinhashIndex(blocked(s, d).filter(col("doc_id") % 4 =!= 0),
         col("doc_id"), col("text"), col("blk"), tmp, shingleN = 3)
+      tmp
+    })
+    val cands = probeMinhashIndex(
+      blocked(s, d).filter(col("doc_id") % 4 === 0),
+      col("doc_id"), col("text"), col("blk"), dir)
+      .select("doc_a", "doc_b")
+    verifyJaccard(s, blocked(s, d), cands, minJac = 0.5)
+  }
+
+  /** The benchmark takedown set: doc 450 is the lake half of sf0.01's
+    * single cross pair (92, 450), so its recall demonstrates the
+    * dedup-specific consequence of a takedown — the recalled document
+    * stops SUPPRESSING arriving near-dups (doc 92's increment passes
+    * clean where `dedup_cross`/`dedup_cross_idx` still pair it). */
+  val CrossDeletedIds: Seq[Long] = Seq(450L)
+
+  /** [[crossNearDupIdx]] after a takedown of [[CrossDeletedIds]] from
+    * the at-rest signature index ([[deleteFromMinhashIndex]] — O(|ids|),
+    * no band file rewritten): the probe's anti-join drops the recalled
+    * doc's signature rows, so pairs against it vanish immediately. The
+    * oracle replays the exact-Jaccard all-pairs join with the lake side
+    * filtered — at sf0.01 that is provably empty (the only pair involved
+    * doc 450); at larger SFs the surviving pairs hash-check. The
+    * physical half ([[compactMinhashIndex]]) is `DedupIndexSpec`'s. */
+  def crossNearDupIdxDel(s: SparkSession, d: String): DataFrame = {
+    val dir = sigDelIdxCache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sig_del").toString
+      writeMinhashIndex(blocked(s, d).filter(col("doc_id") % 4 =!= 0),
+        col("doc_id"), col("text"), col("blk"), tmp, shingleN = 3)
+      import s.implicits._
+      deleteFromMinhashIndex(CrossDeletedIds.toDF("doc_id"), col("doc_id"), tmp)
       tmp
     })
     val cands = probeMinhashIndex(
@@ -1030,6 +1105,7 @@ object Dedup {
     "dedup_cross" -> crossNearDup,
     "dedup_cross_idx" -> crossNearDupIdx,
     "dedup_cross_idx_build" -> crossIdxBuild,
+    "dedup_cross_idx_del" -> crossNearDupIdxDel,
     "dedup_keep_best" -> keepBestQ)
 
   /** DuckDB 3-gram shingle set over `toks` — mirrors
@@ -1143,6 +1219,8 @@ object Dedup {
     // The at-rest-index binding shares it: same semantics, served layout.
     "dedup_cross" -> crossVerifiedSql,
     "dedup_cross_idx" -> crossVerifiedSql,
+    // takedown: lake side filtered — the recalled doc stops pairing
+    "dedup_cross_idx_del" -> crossDelVerifiedSql,
     // build audit: one row of counting arithmetic over the lake side —
     // every doc signed once per band (16 bands, writeMinhashIndex default)
     "dedup_cross_idx_build" ->
@@ -1180,7 +1258,14 @@ object Dedup {
               ORDER BY q.quality DESC, cl.doc_id) = 1) AS is_keeper
          FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id""")
 
-  private lazy val crossVerifiedSql =
+  private lazy val crossVerifiedSql = crossVerifiedSqlWhere("")
+
+  /** The takedown variant: the LAKE side (doc_b) additionally filtered —
+    * the increment side still probes in full. */
+  private lazy val crossDelVerifiedSql = crossVerifiedSqlWhere(
+    s"AND b.doc_id NOT IN ${CrossDeletedIds.mkString("(", ", ", ")")}")
+
+  private def crossVerifiedSqlWhere(lakeExtra: String): String =
     s"""WITH t AS (SELECT doc_id, lang || '_' || (n_chars // 100) AS blk,
            string_split(lower(text), ' ') AS toks FROM documents),
          sh AS (SELECT doc_id, blk, list_distinct($shSql) AS sh FROM t),
@@ -1189,7 +1274,7 @@ object Dedup {
              len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
              len(a.sh) AS na, len(b.sh) AS nb
            FROM sh a JOIN sh b ON a.blk = b.blk
-             AND a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0)
+             AND a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0 $lakeExtra)
          SELECT doc_a, doc_b,
            CAST(inter AS DOUBLE) / nullif(CAST(na + nb - inter AS DOUBLE), 0.0) AS jac
          FROM pair

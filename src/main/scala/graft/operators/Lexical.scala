@@ -342,12 +342,99 @@ object Lexical {
   private def prunedRead(s: SparkSession, dir: String, table: String,
       terms: Seq[String], buckets: Int): DataFrame = {
     healIndex(s, dir)
+    // heal BEFORE the parquet read snapshots its file listing — a merge
+    // crash may have left a bucket partition vacated, and its rows must
+    // be visible to this very read
+    if (table == "postings")
+      graft.sources.Tombstones.healPartitions(s, s"$dir/postings")
     import s.implicits._
     val bIds = terms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .distinct().as[Long].collect().toSeq
-    s.read.parquet(s"$dir/$table")
+    val read = s.read.parquet(s"$dir/$table")
       .filter(col("bucket").isin(bIds: _*) && col("term").isin(terms: _*))
+    // Lucene liveDocs semantics for takedowns ([[deleteFromIndex]]):
+    // deleted docs' postings are filtered out of EVERY index-served
+    // query (BM25, phrase, proximity, bool) right here at the read, but
+    // df and corpus stats keep counting them until [[mergeIndex]] — the
+    // exact staleness contract Lucene documents for deletes-before-merge
+    // (scores of surviving docs are UNCHANGED by a delete, which is also
+    // what makes the pre-merge state oracle-checkable). The terms/stats
+    // tables carry no doc_id, so only the postings read filters.
+    if (table == "postings")
+      graft.sources.Tombstones.dropDeleted(read, col("doc_id"), dir)
+    else read
+  }
+
+  /** Takedown: mark docs deleted in a [[writeInvertedIndex]] layout.
+    * O(|ids|) — no postings file is rewritten. Serving reflects the
+    * delete immediately ([[prunedRead]] filters postings rows); df and
+    * corpus stats intentionally stay stale until [[mergeIndex]], the
+    * Lucene liveDocs-then-merge split. */
+  def deleteFromIndex(ids: DataFrame, idCol: Column, dir: String): Unit =
+    graft.sources.Tombstones.add(ids, idCol, dir)
+
+  /** Apply accumulated tombstones physically — the Lucene "merge" that
+    * ends the liveDocs staleness window. Every derived artifact is
+    * recomputed from the SURVIVING postings view (anti-join over the
+    * current files), never by delta subtraction, which is what makes a
+    * crashed merge re-runnable: after any partial completion the
+    * surviving view is unchanged, so every step is idempotent.
+    *
+    * Order (tombstones clear LAST, so serving stays correct throughout):
+    *  1. terms: per-(bucket, term) df recomputed from survivors, swapped
+    *     (full recompute — a merge is a whole-index maintenance job, as
+    *     Lucene's is);
+    *  2. stats: every indexed doc owns ≥1 posting row ([[tokens]] maps
+    *     "" to [""], so dl ≥ 1), so distinct (doc_id, dl) over survivors
+    *     enumerates the surviving corpus exactly; counts and dl sums are
+    *     integers-in-doubles → n_docs/avgdl/sum_dl equal a fresh
+    *     [[writeInvertedIndex]] on the filtered corpus BIT FOR BIT.
+    *     (Stated boundary: a doc indexed with NULL text has no postings
+    *     and would drop out of n_docs here where a fresh build counts
+    *     it; the corpus tables have no null text, and production lakes
+    *     gate nulls out before indexing.)
+    *  3. postings: only buckets that contain deleted rows rewrite, each
+    *     through the crash-safe swap-with-straddle-carry.
+    *  4. clear tombstones.
+    * Post-merge serving is bit-identical to a rebuild on the filtered
+    * corpus (spec-pinned). Mid-merge (between 1 and 2) scores transiently
+    * mix new df with old stats — same non-atomicity class as
+    * [[appendToIndex]]'s documented multi-table commit, and the same
+    * production answer (table-format MVCC) applies. Not safe to run
+    * concurrently with [[appendToIndex]] for the SAME reason appends
+    * serialize with each other: both recombine the derived tables. */
+  def mergeIndex(s: SparkSession, dir: String,
+      onStep: String => Unit = _ => ()): Unit = {
+    healIndex(s, dir)
+    graft.sources.Tombstones.healPartitions(s, s"$dir/postings")
+    graft.sources.Tombstones.ids(s, dir).foreach { tomb =>
+      val posts = s.read.parquet(s"$dir/postings")
+      val live = posts.join(tomb, col("doc_id") === tomb("id"), "left_anti")
+      val newTerms = live.groupBy(col("bucket"), col("term"))
+        .agg(count(lit(1)).cast("double").as("df"))
+      swapWrite(s, s"$dir/terms") { tmp =>
+        newTerms.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      }
+      onStep("terms")
+      val newStats = live.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          sum(col("dl")).as("sum_dl"))
+        .select(col("n_docs"), (col("sum_dl") / col("n_docs")).as("avgdl"),
+          col("sum_dl"))
+      swapWrite(s, s"$dir/stats") { tmp =>
+        newStats.write.mode("overwrite").parquet(tmp)
+      }
+      onStep("stats")
+      val touched = posts.join(tomb, col("doc_id") === tomb("id"), "left_semi")
+        .select(col("bucket").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      touched.foreach { b =>
+        graft.sources.Tombstones.rewriteLive(s, s"$dir/postings/bucket=$b",
+          df => df.join(tomb, col("doc_id") === tomb("id"), "left_anti"), onStep)
+      }
+      graft.sources.Tombstones.clear(s, dir)
+    }
   }
 
   def bm25FromIndex(s: SparkSession, dir: String,
@@ -438,14 +525,15 @@ object Lexical {
     * and scratch dirs don't accumulate (one per sfDir, removed on JVM
     * exit). */
   private val idxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val delIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val mergedIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      idxCache.values.forEach { dir =>
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
-        }
-        rm(new java.io.File(dir))
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
       }
+      Seq(idxCache, delIdxCache, mergedIdxCache).foreach(
+        _.values.forEach { dir => rm(new java.io.File(dir)) })
     }))
   }
 
@@ -456,11 +544,56 @@ object Lexical {
       s"$tmp/idx"
     })
 
+  /** The benchmark takedown set — doc_ids inside `search_bm25`'s sf0.01
+    * top-10, so the delete visibly reranks the served list (and the
+    * oracle proves exactly how). */
+  val DeletedDocIds: Seq[Long] = Seq(46L, 478L, 352L)
+
+  /** A SEPARATE index (never the shared [[index]] — tombstones would
+    * leak into `search_bm25_idx`) with [[DeletedDocIds]] tombstoned but
+    * NOT merged: the liveDocs serving state. */
+  private def delIndex(s: SparkSession, d: String): String =
+    delIdxCache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_del").toString
+      writeInvertedIndex(Tables.documents(s, d), col("doc_id"), col("text"), s"$tmp/idx")
+      import s.implicits._
+      deleteFromIndex(DeletedDocIds.toDF("doc_id"), col("doc_id"), s"$tmp/idx")
+      s"$tmp/idx"
+    })
+
+  /** Build → delete → [[mergeIndex]]: the post-merge physical state. */
+  private def mergedIndex(s: SparkSession, d: String): String =
+    mergedIdxCache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_merged").toString
+      writeInvertedIndex(Tables.documents(s, d), col("doc_id"), col("text"), s"$tmp/idx")
+      import s.implicits._
+      deleteFromIndex(DeletedDocIds.toDF("doc_id"), col("doc_id"), s"$tmp/idx")
+      mergeIndex(s, s"$tmp/idx")
+      s"$tmp/idx"
+    })
+
   /** Named query: [[bm25Q]] answered from the at-rest index — shares
     * `search_bm25`'s oracle, so the whole index write/read/serve path is
     * hash-checked against the corpus-scan formulation. */
   def bm25IdxQ(s: SparkSession, d: String): DataFrame =
     bm25FromIndex(s, index(s, d))
+      .orderBy(desc("score"), asc("doc_id")).limit(10)
+
+  /** Named query: BM25 after a takedown, BEFORE the merge — Lucene
+    * liveDocs semantics, oracle-pinned: deleted docs vanish from the
+    * list while surviving docs' scores are computed with the STALE
+    * full-corpus df/stats (the oracle scores the full corpus and
+    * excludes the deleted ids at the end — any df drift would
+    * hash-mismatch). */
+  def bm25DelQ(s: SparkSession, d: String): DataFrame =
+    bm25FromIndex(s, delIndex(s, d))
+      .orderBy(desc("score"), asc("doc_id")).limit(10)
+
+  /** Named query: BM25 AFTER the merge — scores now equal a fresh index
+    * over the filtered corpus (the oracle recomputes df/stats over
+    * `documents` minus the deleted ids), closing the staleness window. */
+  def bm25MergedQ(s: SparkSession, d: String): DataFrame =
+    bm25FromIndex(s, mergedIndex(s, d))
       .orderBy(desc("score"), asc("doc_id")).limit(10)
 
   /** Named query: BM25 top-10 for the benchmark terms. */
@@ -553,6 +686,8 @@ object Lexical {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_bm25" -> bm25Q,
     "search_bm25_idx" -> bm25IdxQ,
+    "search_bm25_del" -> bm25DelQ,
+    "search_bm25_merged" -> bm25MergedQ,
     "search_phrase" -> phraseQ,
     "search_phrase_slop" -> proximityQ,
     "search_bool" -> boolQ,
@@ -565,8 +700,8 @@ object Lexical {
     .mkString(" + ")
 
   /** The BM25 pipeline as oracle SQL (same fixed-order score sum). */
-  private val bm25Sql =
-    s"""t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+  private def bm25Sql(corpusWhere: String = ""): String =
+    s"""t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents $corpusWhere),
        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl FROM t),
        tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, term,
                 CAST(count(*) AS DOUBLE) AS tf
@@ -581,10 +716,24 @@ object Lexical {
 
   val oracleSql: Map[String, String] = Map(
     "search_bm25" ->
-      s"""WITH $bm25Sql
+      s"""WITH ${bm25Sql()}
          SELECT doc_id, score FROM lexs ORDER BY score DESC, doc_id LIMIT 10""",
     "search_bm25_idx" ->
-      s"""WITH $bm25Sql
+      s"""WITH ${bm25Sql()}
+         SELECT doc_id, score FROM lexs ORDER BY score DESC, doc_id LIMIT 10""",
+    // liveDocs semantics: stats/df over the FULL corpus (deleted docs
+    // still count — Lucene's documented pre-merge staleness), exclusion
+    // only at the served list
+    "search_bm25_del" ->
+      s"""WITH ${bm25Sql()}
+         SELECT doc_id, score FROM lexs
+         WHERE doc_id NOT IN ${DeletedDocIds.mkString("(", ", ", ")")}
+         ORDER BY score DESC, doc_id LIMIT 10""",
+    // post-merge: df/stats recomputed over the filtered corpus — the
+    // index must now be indistinguishable from a fresh build without
+    // the deleted docs
+    "search_bm25_merged" ->
+      s"""WITH ${bm25Sql(s"WHERE doc_id NOT IN ${DeletedDocIds.mkString("(", ", ", ")")}")}
          SELECT doc_id, score FROM lexs ORDER BY score DESC, doc_id LIMIT 10""",
     "search_phrase_slop" ->
       // per-anchor proximity count: first term at i, second within slop+1
@@ -631,7 +780,7 @@ object Lexical {
          SELECT doc_id, n_occ FROM m WHERE n_occ > 0 ORDER BY doc_id"""
     },
     "q7_weighted_hybrid" ->
-      s"""WITH $bm25Sql,
+      s"""WITH ${bm25Sql()},
          lexp AS (SELECT * FROM lexs ORDER BY score DESC, doc_id LIMIT $PoolN),
          lexn AS (SELECT doc_id,
              round(CASE WHEN mx > mn THEN (score - mn) / (mx - mn) ELSE 1.0 END, 6) AS nl
@@ -649,7 +798,7 @@ object Lexical {
          FROM lexn FULL OUTER JOIN vn USING (doc_id)
          ORDER BY fused DESC, doc_id LIMIT 10""",
     "q6_rrf_hybrid" ->
-      s"""WITH $bm25Sql,
+      s"""WITH ${bm25Sql()},
          lexr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
                   FROM (SELECT * FROM lexs ORDER BY score DESC, doc_id LIMIT $PoolN)),
          q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

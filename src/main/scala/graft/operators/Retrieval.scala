@@ -183,6 +183,12 @@ object Retrieval {
     * build-once/serve-many rationale as [[ivfPqCache]]). */
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A SEPARATE at-rest IVF index with [[IvfDeletedIds]] tombstoned —
+    * never the shared [[ivfCache]] one, whose probes must stay
+    * delete-free for `knn_ivf_idx`. */
+  private val ivfDelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
@@ -190,6 +196,7 @@ object Retrieval {
       }
       ivfPqCache.values.forEach { case (dir, _) => rm(new java.io.File(dir)) }
       ivfCache.values.forEach { dir => rm(new java.io.File(dir)) }
+      ivfDelCache.values.forEach { dir => rm(new java.io.File(dir)) }
     }))
   }
 
@@ -214,6 +221,37 @@ object Retrieval {
     Search.knnIvfIndexed(s, s"$dir/idx", col("embedding"), cents, q0(s, d),
       nprobe = 3, k = 10, tie = col("vec_id"))
       // partition-column read-back infers int; the oracle types it long
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+  }
+
+  /** The benchmark takedown set — the exact-top-1 (the query vector
+    * itself) and two more of `knn_ivf`'s sf0.01 top-10, so the delete
+    * visibly reranks the served list. */
+  val IvfDeletedIds: Seq[Long] = Seq(0L, 334L, 387L)
+
+  /** Takedown serving on the IVF index — [[knnIvfIdx]] with
+    * [[IvfDeletedIds]] tombstoned ([[Search.deleteFromIvfIndex]]):
+    * O(|deletes|) at delete time, no cluster file rewritten, and the
+    * probe's anti-join excludes the ids immediately. The oracle replays
+    * the full IVF pipeline and drops the ids from the scored set, so
+    * candidate replacement (ranks k+1… surfacing into the top-10) is
+    * hash-checked, not assumed. `IvfLayoutSpec` covers the physical
+    * half ([[Search.compactIvfIndex]]) this binding leaves pending. */
+  def knnIvfDel(s: SparkSession, d: String): DataFrame = {
+    val cents = labelCentroids(s, d).select(col("label").as("cid"), col("c"))
+    val dir = ivfDelCache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+      Search.writeIvfIndex(Tables.embeddings(s, d), col("embedding"), cents,
+        s"$tmp/idx")
+      import s.implicits._
+      Search.deleteFromIvfIndex(IvfDeletedIds.toDF("vec_id"),
+        col("vec_id"), s"$tmp/idx")
+      tmp
+    })
+    Search.knnIvfIndexed(s, s"$dir/idx", col("embedding"), cents, q0(s, d),
+      nprobe = 3, k = 10, tie = col("vec_id"))
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
         round(col("score"), 6).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
@@ -595,6 +633,7 @@ object Retrieval {
     "knn_whole" -> knnWhole,
     "knn_ivf" -> knnIvf,
     "knn_ivf_idx" -> knnIvfIdx,
+    "knn_ivf_del" -> knnIvfDel,
     "knn_batch" -> knnBatchQ,
     "knn_mmr" -> ((s: SparkSession, d: String) =>
       Search.mmrRerank(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
@@ -649,7 +688,9 @@ object Retrieval {
        FROM (SELECT * FROM scored ORDER BY score DESC, vec_id LIMIT 10)
        ORDER BY round(score, 6) DESC, vec_id"""
 
-  private lazy val ivfTop10Sql =
+  private lazy val ivfTop10Sql = ivfTop10SqlWhere("")
+
+  private def ivfTop10SqlWhere(scoredWhere: String): String =
     s"""WITH $centSql, $q0Sql,
        assign AS (
          SELECT vec_id, cluster FROM (
@@ -665,10 +706,17 @@ object Retrieval {
            list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
          FROM embeddings e
          JOIN assign a USING (vec_id)
-         JOIN probe p USING (cluster), q)
+         JOIN probe p USING (cluster), q $scoredWhere)
        SELECT vec_id, cluster, round(score, 6) AS score
        FROM (SELECT * FROM scored ORDER BY score DESC, vec_id LIMIT 10)
        ORDER BY round(score, 6) DESC, vec_id"""
+
+  /** [[ivfTop10Sql]] with the takedown ids dropped from the scored set —
+    * centroids, assignment, and probe order stay those of the full
+    * corpus (the codebook was trained before the delete, exactly as the
+    * Scala side serves it). */
+  private lazy val ivfDelTop10Sql = ivfTop10SqlWhere(
+    s"WHERE e.vec_id NOT IN ${IvfDeletedIds.mkString("(", ", ", ")")}")
 
   val oracleSql: Map[String, String] = Map(
     "vec_kernel" ->
@@ -719,6 +767,8 @@ object Retrieval {
     // same codebook + probe ⇒ provably identical to the in-plan path;
     // only WHERE the cluster assignment ran differs (write time).
     "knn_ivf_idx" -> ivfTop10Sql,
+    // takedown: same pipeline, deleted ids dropped from the scored set
+    "knn_ivf_del" -> ivfDelTop10Sql,
     "knn_batch" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 4),

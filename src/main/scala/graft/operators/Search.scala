@@ -194,12 +194,53 @@ object Search {
     val probed = book.map { case (cid, c) => (cid, cosArr(c, qv)) }
       .sortBy { case (cid, qcos) => (-qcos, cid) }
       .take(nprobe).map(_._1).toSeq
-    s.read.parquet(indexPath)
-      .filter(col("cluster").isin(probed: _*))
+    // a compaction crash may have left a partition vacated — reunite
+    // before reading (cheap listing; no-op in the common case)
+    graft.sources.Tombstones.healPartitions(s, indexPath)
+    // `tie` doubles as the row id (it is in every binding and spec):
+    // takedown tombstones ([[deleteFromIvfIndex]]) key on it, and the
+    // anti-join costs nothing when the index has no deletes
+    graft.sources.Tombstones.dropDeleted(
+        s.read.parquet(indexPath).filter(col("cluster").isin(probed: _*)),
+        tie, indexPath)
       .crossJoin(broadcast(query))
       .withColumn("score", fusedCosine(s, vec, col("qv")))
       .orderBy(desc("score"), tie.asc).limit(k)
       .drop("qv")
+  }
+
+  /** Takedown: mark `idCol` of `ids` deleted in a [[writeIvfIndex]]
+    * layout. O(|ids|) — no cluster file is rewritten; [[knnIvfIndexed]]
+    * excludes the ids immediately and [[compactIvfIndex]] reclaims the
+    * space on schedule (the Lucene liveDocs / Delta deletion-vector
+    * split). Unlike the lexical index there is no derived global state,
+    * so the tombstone IS the whole delete. */
+  def deleteFromIvfIndex(ids: DataFrame, idCol: Column, path: String): Unit =
+    graft.sources.Tombstones.add(ids, idCol, path)
+
+  /** Apply accumulated tombstones physically: rewrite ONLY the cluster
+    * partitions that actually contain deleted rows (one pruned scan
+    * finds them — the touched set is bounded by k clusters, a driver
+    * artifact), each through the crash-safe swap-with-straddle-carry of
+    * [[graft.sources.Tombstones.rewriteLive]], then drop the tombstone
+    * store. Crash anywhere → tombstones remain → probes stay correct and
+    * the re-run is idempotent (anti-join of already-rewritten partitions
+    * removes nothing). `id` must be the column [[deleteFromIvfIndex]]
+    * keyed on. */
+  def compactIvfIndex(s: SparkSession, path: String, id: Column,
+      onStep: String => Unit = _ => ()): Unit = {
+    graft.sources.Tombstones.healPartitions(s, path)
+    graft.sources.Tombstones.ids(s, path).foreach { tomb =>
+      val touched = s.read.parquet(path)
+        .join(tomb, id === tomb("id"), "left_semi")
+        .select(col("cluster").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      touched.foreach { c =>
+        graft.sources.Tombstones.rewriteLive(s, s"$path/cluster=$c",
+          df => df.join(tomb, id === tomb("id"), "left_anti"), onStep)
+      }
+      graft.sources.Tombstones.clear(s, path)
+    }
   }
 
   /** Re-train the IVF codebook on the GROWN corpus and migrate the
@@ -223,6 +264,11 @@ object Search {
     *     during catch-up) into staging, so a streaming source's replayed
     *     batch is still recognized AFTER the migration — caught-up rows
     *     must not be re-appended by a checkpoint replay ("not doubled");
+    *     takedown tombstones split the same way: ids deleted BEFORE the
+    *     snapshot are APPLIED (the rewrite is their compaction, and the
+    *     new codebook must not train on deleted vectors), while
+    *     tombstone files arriving DURING the migration are carried over
+    *     unapplied for a later [[compactIvfIndex]];
     *  5. swap: rename(path → __old) · final catch-up pass over __old
     *     (an append racing the rename moves WITH the directory, so its
     *     files surface in __old's listing and are carried over — "not
@@ -261,12 +307,16 @@ object Search {
       val out = scala.collection.mutable.Set.empty[String]
       while (it.hasNext) {
         val st = it.next()
-        val n = st.getPath.getName
-        if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
-          // store PATH RELATIVE to the root so the same file is
-          // recognized across the path → __old rename
-          out += st.getPath.toString.stripPrefix(qRoot)
-        }
+        // store PATH RELATIVE to the root so the same file is
+        // recognized across the path → __old rename; skip a file when
+        // ANY component is underscore/dot-prefixed — Spark's own listing
+        // hides those directories (e.g. `_tombstones/part-*.parquet`
+        // holds deleted ids, not vectors), and a recursive listFiles
+        // descends into them where listStatus would not
+        val rel = st.getPath.toString.stripPrefix(qRoot)
+        val hidden = rel.split('/').exists(c =>
+          c.startsWith("_") || c.startsWith("."))
+        if (st.isFile && !hidden) out += rel
       }
       out.toSet
     }
@@ -276,8 +326,31 @@ object Search {
         .parquet(rel.toSeq.sorted.map(r => qRoot + r): _*)
         .drop("cluster") // re-assignment replaces the old partition value
     }
+    // Tombstone split: ids deleted BEFORE the snapshot are APPLIED here —
+    // the re-train rewrite is their natural compaction (and the new
+    // codebook must not learn deleted vectors); tombstone FILES that
+    // arrive during the migration are CARRIED into the new layout
+    // unapplied (probes keep filtering them; a later compactIvfIndex
+    // reclaims), exactly mirroring how data appends are caught up.
+    val tombRoot = new Path(graft.sources.Tombstones.dir(indexPath))
+    def tombFiles(base: Path): Set[String] = {
+      val d = new Path(base, graft.sources.Tombstones.DirName)
+      if (!f.exists(d)) Set.empty
+      else f.listStatus(d).filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+        .map(_.getPath.getName).toSet
+    }
+    val tomb0 = tombFiles(pathP)
+    val applied: Option[DataFrame] =
+      if (tomb0.isEmpty) None
+      else Some(s.read.parquet(tomb0.toSeq.sorted
+        .map(n => s"${tombRoot}/$n"): _*).distinct())
+    def dropApplied(df: DataFrame): DataFrame = applied match {
+      case Some(t) => df.join(t, id === t("id"), "left_anti")
+      case None => df
+    }
     var seen = dataFiles(pathP)
-    val snapshot = readFiles(pathP, seen)
+    val snapshot = dropApplied(readFiles(pathP, seen))
     val newCents = kmeansTrain(snapshot, id, vec, k, iters)
       .localCheckpoint() // train ONCE; both writes below reuse the result
     writeIvf(snapshot, vec, newCents, tmpP.toString,
@@ -298,6 +371,18 @@ object Search {
     // the migration — a replayed batch must stay recognized
     f.listStatus(pathP).filter(_.getPath.getName.startsWith("_batch_"))
       .foreach { st => f.create(new Path(tmpP, st.getPath.getName), true).close() }
+    // carry tombstone files that arrived AFTER the applied snapshot —
+    // a takedown racing the migration must not be lost (real copy:
+    // parquet parts, content matters, and the source dir still serves)
+    def carryTombs(base: Path): Unit =
+      (tombFiles(base) -- tomb0).foreach { n =>
+        val dst = new Path(new Path(tmpP, graft.sources.Tombstones.DirName), n)
+        if (!f.exists(dst))
+          org.apache.hadoop.fs.FileUtil.copy(f,
+            new Path(new Path(base, graft.sources.Tombstones.DirName), n),
+            f, dst, false, s.sparkContext.hadoopConfiguration)
+      }
+    carryTombs(pathP)
     onStep("prepared")
     f.rename(pathP, oldP)
     onStep("vacated")
@@ -308,6 +393,7 @@ object Search {
         val m = new Path(tmpP, st.getPath.getName)
         if (!f.exists(m)) f.create(m, true).close()
       }
+    carryTombs(oldP)
     f.rename(tmpP, pathP)
     onStep("swapped")
     f.delete(oldP, true)

@@ -64,6 +64,41 @@ class DedupIndexSpec extends SparkSpec {
       s"probe must prune index partitions, not filter rows:\n$plan")
   }
 
+  test("takedown: a recalled lake doc stops pairing (and stops counting occupancy); compaction applies physically") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "completely different tokens populate this lake document body"
+    val lake = Seq((1L, text, "b"), (2L, text, "b"), (3L, text, "b"),
+      (4L, other, "b")).toDF("doc_id", "text", "blk")
+    val inc = Seq((1000L, text, "b")).toDF("doc_id", "text", "blk")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_td").toString
+    Dedup.writeMinhashIndex(lake, col("doc_id"), col("text"), col("blk"), dir)
+    def probe() = Dedup.probeMinhashIndex(inc, col("doc_id"), col("text"),
+      col("blk"), dir)
+    val pre = pairsOf(probe())
+    assert(pre.map(_._2) === Set(1L, 2L, 3L))
+    Dedup.deleteFromMinhashIndex(Seq(2L).toDF("doc_id"), col("doc_id"), dir)
+    // the recalled doc vanishes; the survivors' estimates are untouched
+    val post = pairsOf(probe())
+    assert(post === pre.filter(_._2 != 2L))
+    // deleted rows no longer count toward the hot-band occupancy guard:
+    // 3 identical docs occupy their shared bands 4× with the increment —
+    // a cap of 3 drops everything pre-delete, but passes post-delete
+    // (occupancy is now 3)
+    assert(Dedup.probeMinhashIndex(inc, col("doc_id"), col("text"),
+      col("blk"), dir, maxBandFreq = 3).count() === 2L,
+      "post-delete occupancy must reflect only live signature rows")
+    // compaction: signature rows physically gone, tombstones cleared,
+    // serving unchanged; re-run is a no-op
+    Dedup.compactMinhashIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/bands")
+      .filter(col("doc_id") === 2L).count() === 0L)
+    assert(!new java.io.File(s"$dir/_tombstones").exists())
+    assert(pairsOf(probe()) === post)
+    Dedup.compactMinhashIndex(spark, dir)
+    assert(pairsOf(probe()) === post)
+  }
+
   test("hot-band guard drops a band shared too widely, across both sides") {
     import spark.implicits._
     // 30 identical lake docs + 1 identical increment doc: every band key

@@ -120,6 +120,144 @@ class IvfLayoutSpec extends SparkSpec {
     assert(served.count() === 5)
   }
 
+  test("IVF takedown: tombstones filter the probe; compaction applies physically, touching only deleted clusters") {
+    val all = clusteredCorpus(80)
+    val cents = Search.kmeansTrain(all, col("vec_id"), col("embedding"), k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_td").toString
+    Search.writeIvfIndex(all, col("embedding"), cents, s"$dir/idx")
+    val q = all.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    def serve() = Search.knnIvfIndexed(spark, s"$dir/idx", col("embedding"),
+      cents, q, nprobe = 2, k = 10, tie = col("vec_id"))
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    val pre = serve()
+    val deleted = pre.take(3).map(_._1)
+    Search.deleteFromIvfIndex(deleted.toDF("vec_id"), col("vec_id"), s"$dir/idx")
+    // serving reflects the delete immediately: equals an index freshly
+    // built WITHOUT the deleted rows (same codebook), with ranks k+1…
+    // replacing the removed entries — not just pre minus deleted
+    val post = serve()
+    assert(deleted.forall(id => !post.exists(_._1 == id)) && post.size == 10)
+    val freshDir = java.nio.file.Files.createTempDirectory("graft_ivf_td_f").toString
+    Search.writeIvfIndex(all.filter(!col("vec_id").isin(deleted: _*)),
+      col("embedding"), cents, s"$freshDir/idx")
+    assert(post === Search.knnIvfIndexed(spark, s"$freshDir/idx",
+      col("embedding"), cents, q, nprobe = 2, k = 10, tie = col("vec_id"))
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq)
+    // compaction: deleted rows physically gone, only their clusters rewrote
+    def clusterFiles(): Map[String, Set[String]] =
+      new java.io.File(s"$dir/idx").listFiles().filter(_.isDirectory)
+        .filter(_.getName.startsWith("cluster="))
+        .map(f => f.getName -> f.listFiles().map(_.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet).toMap
+    val before = clusterFiles()
+    val touched = spark.read.parquet(s"$dir/idx")
+      .filter(col("vec_id").isin(deleted: _*))
+      .select(col("cluster").cast("long")).distinct().as[Long].collect()
+      .map(c => s"cluster=$c").toSet
+    Search.compactIvfIndex(spark, s"$dir/idx", col("vec_id"))
+    val after = clusterFiles()
+    assert(spark.read.parquet(s"$dir/idx")
+      .filter(col("vec_id").isin(deleted: _*)).count() === 0L)
+    assert(!new java.io.File(s"$dir/idx/_tombstones").exists())
+    (before.keySet -- touched).foreach { c =>
+      assert(after(c) === before(c), s"untouched $c must not rewrite") }
+    assert(serve() === post, "serving unchanged by the physical apply")
+    // idempotent: nothing left to do, nothing moves
+    Search.compactIvfIndex(spark, s"$dir/idx", col("vec_id"))
+    assert(clusterFiles() === after)
+  }
+
+  test("IVF compaction: crash at every swap step self-heals; straddling append survives; all-deleted cluster dir goes") {
+    val all = clusteredCorpus(40)
+    val cents = Search.kmeansTrain(all, col("vec_id"), col("embedding"), k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_crash").toString
+    Search.writeIvfIndex(all, col("embedding"), cents, s"$dir/idx")
+    val someCluster = spark.read.parquet(s"$dir/idx")
+      .select(col("vec_id"), col("cluster").cast("long")).as[(Long, Long)]
+      .collect().groupBy(_._2).maxBy(_._2.length)
+    val (victimCluster, members) = (someCluster._1, someCluster._2.map(_._1).toSeq)
+    // crash injection at each step, then a clean retry completes
+    // (fresh ids per step — the previous step's retry already compacted
+    // its own away, and an empty touched set would skip the injection)
+    Seq("staged", "vacated").zipWithIndex.foreach { case (step, i) =>
+      val ids = Seq(members(4 + 2 * i), members(5 + 2 * i))
+      Search.deleteFromIvfIndex(ids.toDF("vec_id"), col("vec_id"), s"$dir/idx")
+      intercept[RuntimeException] {
+        Search.compactIvfIndex(spark, s"$dir/idx", col("vec_id"),
+          onStep = l => if (l.endsWith(s":$step")) throw new RuntimeException(s"boom at $l"))
+      }
+      Search.compactIvfIndex(spark, s"$dir/idx", col("vec_id"))
+      assert(spark.read.parquet(s"$dir/idx")
+        .filter(col("vec_id").isin(ids: _*)).count() === 0L, s"after crash at $step")
+      assert(!new java.io.File(s"$dir/idx/_tombstones").exists())
+    }
+    // straddling append: lands in the victim cluster AFTER its rewrite
+    // staged — the carry moves it into the new layout verbatim
+    val straddler = all.filter(col("vec_id") === members(2))
+      .withColumn("vec_id", col("vec_id") + 1000)
+    var injected = false
+    Search.deleteFromIvfIndex(Seq(members(2)).toDF("vec_id"), col("vec_id"), s"$dir/idx")
+    Search.compactIvfIndex(spark, s"$dir/idx", col("vec_id"),
+      onStep = l => if (l.endsWith(":staged") && !injected) {
+        injected = true
+        Search.appendToIvfIndex(straddler, col("embedding"), cents, s"$dir/idx")
+      })
+    assert(injected)
+    val ids = spark.read.parquet(s"$dir/idx").select("vec_id").as[Long].collect()
+    assert(ids.count(_ == members(2) + 1000) === 1, "straddler exactly once")
+    assert(!ids.contains(members(2)), "deleted row gone")
+    // all-deleted cluster: its partition directory disappears entirely
+    val rest = spark.read.parquet(s"$dir/idx")
+      .filter(col("cluster").cast("long") === victimCluster)
+      .select("vec_id").as[Long].collect().toSeq
+    Search.deleteFromIvfIndex(rest.toDF("vec_id"), col("vec_id"), s"$dir/idx")
+    Search.compactIvfIndex(spark, s"$dir/idx", col("vec_id"))
+    assert(!new java.io.File(s"$dir/idx/cluster=$victimCluster").exists(),
+      "an all-deleted partition directory is removed, not left empty")
+  }
+
+  test("retrainIvfIndex: pre-snapshot tombstones are applied, mid-migration ones carried") {
+    val all = clusteredCorpus(60)
+    val cents0 = Search.kmeansTrain(all, col("vec_id"), col("embedding"), k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_retrain_td").toString
+    Search.writeIvfIndex(all, col("embedding"), cents0, s"$dir/idx")
+    val deleted = Seq(5L, 17L, 33L)
+    Search.deleteFromIvfIndex(deleted.toDF("vec_id"), col("vec_id"), s"$dir/idx")
+    var injected = false
+    val newCents = Search.retrainIvfIndex(spark, s"$dir/idx",
+      col("vec_id"), col("embedding"), k = 4,
+      onStep = step => if (step == "staged" && !injected) {
+        injected = true
+        Search.deleteFromIvfIndex(Seq(41L).toDF("vec_id"), col("vec_id"), s"$dir/idx")
+      })
+    assert(injected)
+    // applied: pre-snapshot deletes are gone from the migrated layout,
+    // and the new codebook equals a fresh train on the SURVIVING corpus
+    val ids = spark.read.parquet(s"$dir/idx").select("vec_id").as[Long].collect().toSeq
+    assert(deleted.forall(!ids.contains(_)), "pre-snapshot tombstones applied")
+    val centsF = Search.kmeansTrain(all.filter(!col("vec_id").isin(deleted: _*)),
+      col("vec_id"), col("embedding"), k = 4)
+    val nc = newCents.select(col("cid"), col("c")).as[(Long, Seq[Double])]
+      .collect().sortBy(_._1)
+    val fc = centsF.select(col("cid"), col("c")).as[(Long, Seq[Double])]
+      .collect().sortBy(_._1)
+    nc.zip(fc).foreach { case ((_, c1), (_, c2)) =>
+      c1.zip(c2).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) } }
+    // carried: the mid-migration tombstone survives the swap unapplied —
+    // its row is still in the data but every probe filters it
+    assert(ids.contains(41L), "mid-migration tombstone not applied yet")
+    assert(new java.io.File(s"$dir/idx/_tombstones").exists())
+    val q = all.filter(col("vec_id") === 41L).select(col("embedding").as("qv"))
+    val served = Search.knnIvfIndexed(spark, s"$dir/idx", col("embedding"),
+      newCents, q, nprobe = 4, k = 60, tie = col("vec_id"))
+      .select("vec_id").as[Long].collect()
+    assert(!served.contains(41L), "carried tombstone keeps filtering probes")
+    // and a later compaction applies it
+    Search.compactIvfIndex(spark, s"$dir/idx", col("vec_id"))
+    assert(!spark.read.parquet(s"$dir/idx").select("vec_id").as[Long]
+      .collect().contains(41L))
+  }
+
   test("retrainIvfIndex: an append straddling the migration is kept exactly once, replay stays exact-once") {
     val all = clusteredCorpus(90)
     val a = all.filter(col("vec_id") < 50)

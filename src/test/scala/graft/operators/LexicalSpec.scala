@@ -267,6 +267,67 @@ class LexicalSpec extends SparkSpec {
     }
   }
 
+  test("takedown liveDocs: deleted docs leave every served query; surviving scores stay bit-identical (stale df)") {
+    val dir = java.nio.file.Files.createTempDirectory("lex_td").toString
+    Lexical.writeInvertedIndex(
+      graft.Tables.documents(spark, sf), $"doc_id", $"text", s"$dir/idx")
+    val pre = Lexical.bm25FromIndex(spark, s"$dir/idx")
+      .as[(Long, Double)].collect().toMap
+    val phrasePre = Lexical.phraseFromIndex(spark, s"$dir/idx")
+      .as[(Long, Long)].collect().toMap
+    val del = pre.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(2).map(_._1)
+    val delPhrase = phrasePre.keys.head
+    Lexical.deleteFromIndex((del :+ delPhrase).toDF("doc_id"), $"doc_id", s"$dir/idx")
+    val post = Lexical.bm25FromIndex(spark, s"$dir/idx")
+      .as[(Long, Double)].collect().toMap
+    // Lucene's documented pre-merge contract, exactly: the deleted docs
+    // vanish, and every surviving score is UNCHANGED because df and
+    // corpus stats still count the deleted docs until the merge
+    assert(post === (pre -- del - delPhrase))
+    assert(!Lexical.phraseFromIndex(spark, s"$dir/idx")
+      .as[(Long, Long)].collect().toMap.contains(delPhrase))
+  }
+
+  test("mergeIndex: post-merge index is bit-identical to a fresh build on the filtered corpus; crash-interrupted merge re-runs to the same state") {
+    val docs = graft.Tables.documents(spark, sf)
+    val pre = Lexical.bm25FromIndex(spark, {
+      val tmp = java.nio.file.Files.createTempDirectory("lex_mg_pre").toString
+      Lexical.writeInvertedIndex(docs, $"doc_id", $"text", s"$tmp/idx"); s"$tmp/idx"
+    }).as[(Long, Double)].collect().toMap
+    val del = pre.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(3).map(_._1)
+    // fresh build on the filtered corpus = the merge's target state
+    val freshDir = java.nio.file.Files.createTempDirectory("lex_mg_fresh").toString
+    Lexical.writeInvertedIndex(docs.filter(!$"doc_id".isin(del: _*)),
+      $"doc_id", $"text", s"$freshDir/idx")
+    def tableRows(dir: String, t: String): Set[String] =
+      spark.read.parquet(s"$dir/$t").collect()
+        .map(r => r.toSeq.map {
+          case a: scala.collection.Seq[_] => a.mkString("[", ",", "]")
+          case x => String.valueOf(x)
+        }.mkString("|")).toSet
+    // a merge interrupted after the terms swap re-runs to completion
+    val dir = java.nio.file.Files.createTempDirectory("lex_mg").toString
+    Lexical.writeInvertedIndex(docs, $"doc_id", $"text", s"$dir/idx")
+    Lexical.deleteFromIndex(del.toDF("doc_id"), $"doc_id", s"$dir/idx")
+    intercept[RuntimeException] {
+      Lexical.mergeIndex(spark, s"$dir/idx",
+        onStep = l => if (l == "stats") throw new RuntimeException("boom"))
+    }
+    // mid-merge, serving is still correct (tombstones filter postings)
+    assert(!Lexical.bm25FromIndex(spark, s"$dir/idx")
+      .as[(Long, Double)].collect().toMap.keySet.exists(del.contains))
+    Lexical.mergeIndex(spark, s"$dir/idx")
+    // every derived table now equals the fresh filtered build, bit for bit
+    for (t <- Seq("postings", "terms", "stats"))
+      assert(tableRows(s"$dir/idx", t) === tableRows(s"$freshDir/idx", t),
+        s"merged $t must equal a fresh build on the filtered corpus")
+    assert(!new java.io.File(s"$dir/idx/_tombstones").exists())
+    val served = Lexical.bm25FromIndex(spark, s"$dir/idx")
+      .as[(Long, Double)].collect().toMap
+    assert(served === Lexical.bm25FromIndex(spark, s"$freshDir/idx")
+      .as[(Long, Double)].collect().toMap)
+  }
+
   test("clustersQ matches an in-test union-find over the same pairs") {
     val pairs = Dedup.jaccardPairs(
         graft.Tables.documents(spark, sf)
