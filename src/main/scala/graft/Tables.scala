@@ -66,15 +66,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader rejects;
-    * read it as long nanos (legacy conf) and convert to a micros timestamp
-    * via integer division — `ts DIV 1000`, not `/`, because epoch-nanos
-    * (~1.7e18) exceeds double's 2^53 integer range. */
+  /** `events.ts` drifts with the testdata generator: some rounds write
+    * TIMESTAMP(NANOS) (which Spark's reader rejects — read as long nanos
+    * via the legacy conf and divide to micros; `DIV 1000`, not `/`,
+    * because epoch-nanos ~1.7e18 exceeds double's 2^53 integer range),
+    * others plain timestamp[us] (arrives as TIMESTAMP_NTZ). Normalize
+    * both to a session-TZ TimestampType column — sessions run UTC
+    * (`Verify`/`SparkSpec`), so the NTZ cast is value-preserving and
+    * matches DuckDB's naive read of the same file. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = table(s, d, "events")
+    val f = org.apache.spark.sql.functions
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", f.timestamp_micros(f.expr("ts DIV 1000")))
+      case _ =>
+        raw.withColumn("ts",
+          f.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
