@@ -635,6 +635,59 @@ object Dedup {
       .filter(col("cos") >= minCos)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * partition the corpus into semantic clusters, then run the pairwise
+    * cosine test ONLY within each cluster — the cluster assignment turns
+    * the O(N²) pair join into Σ|cluster|², the published recipe for
+    * embedding-level dedup at LAION/web scale. Cross-cluster near-dups
+    * are invisible by design; that recall trade (tuned via cluster count
+    * k ≈ N/expected-cluster-size) is what makes the cost linear-ish.
+    *
+    * `centroids` (cid, c) is a driver-held codebook — the same artifact
+    * every IVF path uses ([[Search.writeIvfIndex]]); assignment is the
+    * fused literal-codebook argmax, zero shuffle. The dup rule is
+    * deterministic keep-first: a row is a duplicate iff SOME lower-id
+    * cluster-mate has cos ≥ `minCos` (whether or not that mate is itself
+    * kept) — `dup_of` reports the smallest such witness. Output: one row
+    * per input id — (id, cluster, is_dup, dup_of).
+    *
+    * `maxClusterN` is the hot-cluster guard, same role as `maxBandFreq`
+    * above: a cluster of m rows joins m² pairs, so a degenerate codebook
+    * (k too small for N) must fail loudly, not melt the shuffle. The
+    * cluster-key join has only k distinct keys — correct sizing keeps
+    * clusters bounded (k grows with N), which the guard enforces. */
+  def semanticDedup(df: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, // (cid, c)
+      minCos: Double, maxClusterN: Long = 100000): DataFrame = {
+    val s = df.sparkSession
+    val book = centroids.select(col("cid").cast("long"),
+        col("c").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val assigned = df.select(id.as("__vid"), vec.as("__v"))
+      .withColumn("cluster", graft.functions.VectorExpressions.nearestCentroid(
+        s, col("__v"), book.map(_._1).toSeq, book.map(_._2).toSeq))
+    // guard FIRST: a cheap (cluster, count) agg — one narrow scan — before
+    // any m² pair join is wired against a degenerate assignment
+    val worst = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    require(worst <= maxClusterN,
+      s"semanticDedup: largest cluster has $worst rows > maxClusterN=" +
+        s"$maxClusterN — the codebook is too coarse for this corpus " +
+        "(raise k / retrain centroids, or raise the guard deliberately)")
+    val dups = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.__vid") < col("b.__vid"))
+      .select(col("b.__vid").as("__vid"),
+        fusedCosine(s, col("a.__v"), col("b.__v")).as("cos"),
+        col("a.__vid").as("wit"))
+      .filter(col("cos") >= minCos)
+      .groupBy("__vid").agg(min("wit").as("dup_of"))
+    assigned.join(dups, Seq("__vid"), "left")
+      .select(col("__vid"), col("cluster"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
+
   // =========================================================================
   // Oracle-checked bindings on the documents/embeddings tables
   // =========================================================================
@@ -870,6 +923,22 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_a"), asc("vec_b")).limit(50)
 
+  /** [[semanticDedup]] on the embeddings table with the label-centroid
+    * codebook (the SAME artifact every IVF path serves from) at
+    * cos ≥ 0.4 — fully oracle-checked: DuckDB replays centroid training,
+    * argmax assignment, the within-cluster pair test, and the keep-first
+    * witness. The threshold sits in the near-dup tail of this corpus
+    * (cf. [[embeddingNearDupLsh]]'s 0.45), so both outcomes — dups found
+    * within clusters AND near-dups hidden across cluster boundaries (the
+    * SemDeDup recall trade) — appear in the checked output. */
+  def semanticDedupQ(s: SparkSession, d: String): DataFrame =
+    semanticDedup(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+      Retrieval.labelCentroids(s, d).select(col("label").as("cid"), col("c")),
+      minCos = 0.4)
+      .select(col("__vid").as("vec_id"), col("cluster"), col("is_dup"),
+        col("dup_of"))
+      .orderBy("vec_id")
+
   /** Oracle-checked face of [[dupClusters]]: exact-Jaccard near-dup pairs
     * at ≥ 0.35 → connected components → (doc_id, cluster = component min
     * id, comp_size). DuckDB replays the clustering with a recursive CTE
@@ -1100,6 +1169,7 @@ object Dedup {
     "dedup_span_excise" -> spanExciseQ,
     "dedup_embedding" -> embeddingNearDup,
     "dedup_embedding_lsh" -> embeddingNearDupLsh,
+    "dedup_semantic" -> semanticDedupQ,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
     "dedup_cross" -> crossNearDup,
@@ -1197,6 +1267,30 @@ object Dedup {
          SELECT vec_a, vec_b, round(cos, 6) AS cos
          FROM (SELECT * FROM pair ORDER BY cos DESC, vec_a, vec_b LIMIT 20)
          ORDER BY round(cos, 6) DESC, vec_a, vec_b""",
+    // SemDeDup replay: centroid training (per-label mean), argmax
+    // assignment (ties → smallest label, matching the fused expression's
+    // id-ascending strict-> scan), within-cluster pair test, keep-first
+    // witness — the same cent/assign CTEs knn_ivf's oracle proves parity
+    // for, so assignment near-ties are a solved risk
+    "dedup_semantic" ->
+      """WITH cent AS (SELECT label, list(v ORDER BY i) AS c FROM (
+           SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS v
+           FROM embeddings, range(1, 65) t(i) GROUP BY label, i)
+           GROUP BY label),
+         assign AS (SELECT vec_id, v, cluster FROM (
+           SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             CAST(c.label AS BIGINT) AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.label) AS rn
+           FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         dups AS (SELECT b.vec_id, min(a.vec_id) AS dup_of
+           FROM assign a JOIN assign b
+             ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+           GROUP BY b.vec_id)
+         SELECT s.vec_id, s.cluster, d.dup_of IS NOT NULL AS is_dup, d.dup_of
+         FROM assign s LEFT JOIN dups d ON s.vec_id = d.vec_id
+         ORDER BY s.vec_id""",
     // the banded path at its recall-1 config equals the all-pairs join
     // at the same threshold (measured 271/271 at sf0.01, 4137/4137 at
     // sf0.1) — scores are exact cosine on candidates, so the whole

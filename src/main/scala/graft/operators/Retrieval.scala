@@ -210,14 +210,17 @@ object Retrieval {
     * in-plan per query. Identical results for the same codebook, so it
     * shares `knn_ivf`'s oracle; the benched number is the probe path
     * production actually repeats. */
-  def knnIvfIdx(s: SparkSession, d: String): DataFrame = {
-    val cents = labelCentroids(s, d).select(col("label").as("cid"), col("c"))
-    val dir = ivfCache.computeIfAbsent(d, _ => {
+  private def ivfIdxDir(s: SparkSession, d: String, cents: DataFrame): String =
+    ivfCache.computeIfAbsent(d, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_q").toString
       Search.writeIvfIndex(Tables.embeddings(s, d), col("embedding"), cents,
         s"$tmp/idx")
       tmp
     })
+
+  def knnIvfIdx(s: SparkSession, d: String): DataFrame = {
+    val cents = labelCentroids(s, d).select(col("label").as("cid"), col("c"))
+    val dir = ivfIdxDir(s, d, cents)
     Search.knnIvfIndexed(s, s"$dir/idx", col("embedding"), cents, q0(s, d),
       nprobe = 3, k = 10, tie = col("vec_id"))
       // partition-column read-back infers int; the oracle types it long
@@ -225,6 +228,44 @@ object Retrieval {
         round(col("score"), 6).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
   }
+
+  /** The metadata predicate `knn_ivf_filtered` serves: reference Q1/Q4
+    * compose a tag pre-filter with vector search
+    * (`app.py:296-321` mode dispatch + `search_with_segments.py` tag
+    * filtering); at lake scale that predicate must reach the INDEX scan,
+    * not a post-hoc result filter. */
+  val IvfFilterLabel = 2
+
+  /** Filtered ANN through the SAME at-rest IVF layout as [[knnIvfIdx]]:
+    * the probe prunes cluster partitions (file skipping), the `label`
+    * predicate pushes into the parquet scan of the probed partitions
+    * (row-group skipping), and only survivors are scored. The oracle
+    * replays the full IVF pipeline with the predicate on the scored set —
+    * standard post-filter ANN semantics (probe set chosen by the query
+    * alone), so selective filters tune `nprobe` up, which `ann_recall`
+    * instruments. */
+  def knnIvfFiltered(s: SparkSession, d: String): DataFrame = {
+    val cents = labelCentroids(s, d).select(col("label").as("cid"), col("c"))
+    val dir = ivfIdxDir(s, d, cents)
+    Search.knnIvfIndexed(s, s"$dir/idx", col("embedding"), cents, q0(s, d),
+      nprobe = 3, k = 10, tie = col("vec_id"),
+      filter = Some(col("label") === IvfFilterLabel))
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+  }
+
+  /** Late-interaction retrieval ([[Search.maxSim]]) with image 0's
+    * segment bag as the multi-vector query: score(image) =
+    * Σ_qseg max_seg cos — the ColBERT MaxSim calibration of the same
+    * (query-segment × db-segment) grid [[q2Segment]] averages. */
+  def knnMaxsim(s: SparkSession, d: String): DataFrame =
+    Search.maxSim(segs(s, d), col("image_id"), col("embedding"),
+      segs(s, d).filter(col("image_id") === 0)
+        .select(col("seg_id").as("qid"), col("embedding").as("qv")),
+      k = 10)
+      .select(col("doc_id").as("image_id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("image_id"))
 
   /** The benchmark takedown set — the exact-top-1 (the query vector
     * itself) and two more of `knn_ivf`'s sf0.01 top-10, so the delete
@@ -633,7 +674,9 @@ object Retrieval {
     "knn_whole" -> knnWhole,
     "knn_ivf" -> knnIvf,
     "knn_ivf_idx" -> knnIvfIdx,
+    "knn_ivf_filtered" -> knnIvfFiltered,
     "knn_ivf_del" -> knnIvfDel,
+    "knn_maxsim" -> knnMaxsim,
     "knn_batch" -> knnBatchQ,
     "knn_mmr" -> ((s: SparkSession, d: String) =>
       Search.mmrRerank(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
@@ -767,6 +810,25 @@ object Retrieval {
     // same codebook + probe ⇒ provably identical to the in-plan path;
     // only WHERE the cluster assignment ran differs (write time).
     "knn_ivf_idx" -> ivfTop10Sql,
+    // filtered ANN: same pipeline, the metadata predicate on the scored
+    // set — post-filter semantics (probe chosen by the query alone)
+    "knn_ivf_filtered" -> ivfTop10SqlWhere(s"WHERE e.label = $IvfFilterLabel"),
+    // MaxSim: per (image, query-seg) max, then an ascending-qid LEFT FOLD
+    // for the Σ (list_reduce here, `aggregate` on the Spark side — FP
+    // addition is not associative, so both sides fix the order; the
+    // seeded fold (0+b0) ≡ DuckDB's unseeded b0 start exactly)
+    "knn_maxsim" ->
+      s"""WITH $segsSql,
+         qsegs AS (SELECT seg_id AS qid, v AS qv FROM segs WHERE image_id = 0),
+         best AS (
+           SELECT s.image_id, q.qid, max(list_cosine_similarity(s.v, q.qv)) AS best
+           FROM segs s CROSS JOIN qsegs q GROUP BY s.image_id, q.qid),
+         sc AS (
+           SELECT image_id, list_reduce(list(best ORDER BY qid), (a, b) -> a + b) AS score
+           FROM best GROUP BY image_id)
+         SELECT image_id, round(score, 6) AS score
+         FROM (SELECT * FROM sc ORDER BY score DESC, image_id LIMIT 10)
+         ORDER BY round(score, 6) DESC, image_id""",
     // takedown: same pipeline, deleted ids dropped from the scored set
     "knn_ivf_del" -> ivfDelTop10Sql,
     "knn_batch" ->

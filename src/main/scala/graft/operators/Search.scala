@@ -187,7 +187,7 @@ object Search {
     * in-plan). */
   def knnIvfIndexed(s: SparkSession, indexPath: String, vec: Column,
       centroids: DataFrame, query: DataFrame, nprobe: Int, k: Int,
-      tie: Column): DataFrame = {
+      tie: Column, filter: Option[Column] = None): DataFrame = {
     val book = collectCodebook(centroids)
     val qv = query.select(col("qv").cast("array<double>"))
       .head().getSeq[Double](0).toArray
@@ -197,12 +197,20 @@ object Search {
     // a compaction crash may have left a partition vacated — reunite
     // before reading (cheap listing; no-op in the common case)
     graft.sources.Tombstones.healPartitions(s, indexPath)
+    // Filtered ANN: a metadata predicate composes with the probe by
+    // landing directly on the pruned scan — the partition filter skips
+    // unprobed clusters' FILES, the pushed parquet predicate skips
+    // non-matching ROW GROUPS inside the probed ones, and only survivors
+    // are scored (`IvfLayoutSpec` asserts both reach the scan). The
+    // probe set is chosen by the query alone (standard post-filter ANN
+    // semantics): a highly selective predicate wants a larger `nprobe`,
+    // which `annRecall`-style instrumentation tunes.
+    val scan = s.read.parquet(indexPath).filter(col("cluster").isin(probed: _*))
     // `tie` doubles as the row id (it is in every binding and spec):
     // takedown tombstones ([[deleteFromIvfIndex]]) key on it, and the
     // anti-join costs nothing when the index has no deletes
     graft.sources.Tombstones.dropDeleted(
-        s.read.parquet(indexPath).filter(col("cluster").isin(probed: _*)),
-        tie, indexPath)
+        filter.foldLeft(scan)(_.filter(_)), tie, indexPath)
       .crossJoin(broadcast(query))
       .withColumn("score", fusedCosine(s, vec, col("qv")))
       .orderBy(desc("score"), tie.asc).limit(k)
@@ -648,6 +656,37 @@ object Search {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("__vid").as("id"), col("score"), col("rank"))
+  }
+
+  /** Late-interaction retrieval (ColBERT-style MaxSim): query and doc are
+    * both BAGS of vectors and score(doc) = Σ_q max_s cos(q, s) — each
+    * query vector picks its best-matching doc vector, contributions sum.
+    * The multi-vector upgrade of [[knnBrute]] and the sum-calibrated
+    * sibling of [[segmentScores]]'s avg/max (reference Q2 semantics,
+    * `search_with_segments.py`): MaxSim rewards docs that cover ALL query
+    * aspects rather than docs with one strong match.
+    *
+    * Scale shape: one corpus scan regardless of query-bag size (the bag
+    * broadcasts), fused-codegen scoring, two hash aggregations that both
+    * partial map-side (the (doc,qid) grid then per-doc fold), top-k via
+    * TakeOrderedAndProject. The per-doc Σ folds in ascending-qid order
+    * through an explicit `aggregate` — FP addition is not associative, so
+    * an unordered SUM would leak partial-aggregation grouping order into
+    * scores the oracle hash-checks. */
+  def maxSim(docVecs: DataFrame, // one row per (doc, vector)
+      docId: Column, vec: Column,
+      queryVecs: DataFrame, // (qid, qv) — the query's token/segment bag
+      k: Int): DataFrame = {
+    val s = docVecs.sparkSession
+    docVecs.select(docId.as("__doc"), vec.as("__v"))
+      .crossJoin(broadcast(queryVecs))
+      .withColumn("cos", fusedCosine(s, col("__v"), col("qv")))
+      .groupBy(col("__doc"), col("qid")).agg(max("cos").as("best"))
+      .groupBy(col("__doc"))
+      .agg(expr("aggregate(sort_array(collect_list(struct(qid, best))), " +
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x.best)").as("score"))
+      .orderBy(desc("score"), col("__doc").asc).limit(k)
+      .select(col("__doc").as("doc_id"), col("score"))
   }
 
   /** Q2 scoring core — for each query segment find the best-cosine db

@@ -372,4 +372,42 @@ class DedupSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { Dedup.dupClusters(pairs) }
     assert(e.getMessage.contains("integral"))
   }
+
+  test("semanticDedup: within-cluster dups flagged, cross-cluster near-dups invisible by design") {
+    def v(x: Double, y: Double, z: Double) =
+      Seq(x.toFloat, y.toFloat, z.toFloat)
+    val corpus = Seq(
+      (1L, v(1, 0.01, 0)),     // cluster 0
+      (2L, v(1, 0.011, 0)),    // near-dup of 1, same cluster → flagged
+      (3L, v(0, 0.01, 1)),     // cluster 1, unique
+      // cos(4,5) ≈ 0.9997 but the boundary splits them — the SemDeDup
+      // recall trade: cross-cluster near-dups are not tested
+      (4L, v(0.71, 0, 0.70)),  // cluster 0 (barely)
+      (5L, v(0.70, 0, 0.71))   // cluster 1 (barely)
+    ).toDF("id", "vec")
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 0.0, 1.0)))
+      .toDF("cid", "c")
+    val r = Dedup.semanticDedup(corpus, $"id", $"vec", cents, minCos = 0.95)
+      .select($"__vid", $"cluster", $"is_dup", $"dup_of")
+      .as[(Long, Long, Boolean, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(r.map(t => (t._1, t._2)) ===
+      Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 0L), (5L, 1L)),
+      s"argmax-centroid assignment: $r")
+    assert(r.filter(_._3).map(_._1) === Seq(2L), s"only 2 is a dup: $r")
+    assert(r.find(_._1 == 2L).get._4 === Some(1L), "witness = smallest lower id")
+    // 4 and 5 are nearer each other than anything else, yet unflagged —
+    // the documented cluster-boundary blindness
+    assert(!r.find(_._1 == 4L).get._3 && !r.find(_._1 == 5L).get._3)
+  }
+
+  test("semanticDedup: hot-cluster guard fails loudly on a degenerate codebook") {
+    def v(x: Double) = Seq(x.toFloat, 0f, 0f)
+    val corpus = (1L to 10L).map(i => (i, v(1.0))).toDF("id", "vec")
+    val oneCent = Seq((0L, Seq(1.0, 0.0, 0.0))).toDF("cid", "c")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(corpus, $"id", $"vec", oneCent,
+        minCos = 0.9, maxClusterN = 5)
+    }
+    assert(e.getMessage.contains("maxClusterN"))
+  }
 }

@@ -70,6 +70,40 @@ class IvfLayoutSpec extends SparkSpec {
     assert(top.count() === 5)
   }
 
+  test("knnIvfIndexed with filter: predicate pushes to the pruned scan; post-filter semantics") {
+    val d = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(spark, d)
+    val cents = Retrieval.labelCentroids(spark, d)
+      .select(col("label").cast("long").as("cid"), col("c"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_fil").toString
+    Search.writeIvfIndex(e, col("embedding"), cents, s"$dir/idx")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val filtered = Search.knnIvfIndexed(spark, s"$dir/idx", col("embedding"),
+      cents, q, nprobe = 3, k = 10, tie = col("vec_id"),
+      filter = Some(col("label") === 2))
+    // BOTH pruning layers reach the scan: the probe as a PartitionFilter
+    // (file skipping) and the metadata predicate as a PushedFilter
+    // (row-group skipping inside probed partitions)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("cluster"),
+      s"probe must prune partitions:\n$plan")
+    assert(plan.contains("PushedFilters:") &&
+      plan.replaceAll("\\s", "").contains("EqualTo(label,2)"),
+      s"label predicate must push into the parquet scan:\n$plan")
+    // post-filter semantics: same probe set as the unfiltered query, the
+    // predicate restricts the CANDIDATES — equal to filtering the full
+    // probed candidate list and re-taking top-k
+    val expect = Search.knnIvfIndexed(spark, s"$dir/idx", col("embedding"),
+        cents, q, nprobe = 3, k = Int.MaxValue, tie = col("vec_id"))
+      .collect().filter(_.getAs[Int]("label") == 2)
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+      .sortBy { case (id, s) => (-s, id) }.take(10).toSeq
+    val got = filtered.select("vec_id", "score").as[(Long, Double)]
+      .collect().toSeq
+    assert(got === expect)
+    assert(got.nonEmpty, "the filter must leave a non-trivial result set")
+  }
+
   // well-separated clusters so centroid argmax assignments are stable
   // under last-ulp float-sum order differences between layouts
   private def clusteredCorpus(n: Int) = {

@@ -232,6 +232,42 @@ class SearchSpec extends SparkSpec {
     assert(batch === singles)
   }
 
+  test("maxSim: coverage of ALL query aspects beats one strong match") {
+    // docA covers both query axes with one vector each; docB matches the
+    // first axis twice (redundantly); docC matches only obliquely.
+    val docVecs = Seq(
+      (1L, v(1, 0, 0)), (1L, v(0, 1, 0)),  // docA: covers q0 AND q1
+      (2L, v(1, 0, 0)), (2L, v(1, 0.01, 0)), // docB: q0 twice, q1 ~0
+      (3L, v(0.7, 0.7, 0))                  // docC: half match to both
+    ).toDF("doc", "dv")
+    val qbag = Seq((0L, v(1, 0, 0)), (1L, v(0, 1, 0))).toDF("qid", "qv")
+    val r = Search.maxSim(docVecs, $"doc", $"dv", qbag, k = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(r.map(_._1) === Seq(1L, 3L, 2L),
+      s"MaxSim must rank coverage over redundancy: $r")
+    assert(math.abs(r.head._2 - 2.0) < 1e-9, "docA: cos 1 on both aspects")
+    // each query vector contributes its BEST doc-vector match: docB's
+    // score is 1 (q0) + cos(q1, [1,.01,0]) ≈ 0.01, not 2
+    assert(r.find(_._1 == 2L).get._2 < 1.1)
+  }
+
+  test("maxSim: single-vector query degenerates to per-doc best-match ranking") {
+    val docVecs = Seq(
+      (1L, v(1, 0, 0)), (1L, v(0, 1, 0)),
+      (2L, v(0.9, 0.1, 0)), (3L, v(0, 0, 1))).toDF("doc", "dv")
+    val one = Seq((0L, v(1, 0, 0))).toDF("qid", "qv")
+    val r = Search.maxSim(docVecs, $"doc", $"dv", one, k = 3)
+      .as[(Long, Double)].collect().toSeq
+    // doc 1's best is exactly 1.0 (its second vector is orthogonal and
+    // must not dilute — this is max, not avg), doc 2 next, doc 3 last
+    assert(r.map(_._1) === Seq(1L, 2L, 3L))
+    assert(math.abs(r.head._2 - 1.0) < 1e-9)
+    // deterministic across runs (the Σ folds in fixed qid order)
+    val again = Search.maxSim(docVecs, $"doc", $"dv", one, k = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(r === again)
+  }
+
   test("tagSearch: per-object conjunction and max-confidence score") {
     val segTable = Seq(
       (10L, "sky", 0.9), (10L, "tree", 0.05), // sky matches; tree below conf
