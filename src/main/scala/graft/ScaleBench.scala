@@ -57,12 +57,28 @@ object ScaleBench {
     // under the driver fast-path threshold, so its 1×/10× ratio compares
     // union-find against the distributed loop. This entry forces the
     // distributed loop at BOTH scales for a like-for-like scaling ratio.
-    "dedup_clusters_dist")
+    "dedup_clusters_dist",
+    // round 10: MaxSim late interaction (corpus × 8-vector query grid —
+    // strictly linear in corpus rows) and SemDeDup under its OWN scaling
+    // rule: the served binding's fixed 10-label codebook would go
+    // quadratic at 10× (clusters grow 10×, pairs 100× — the degenerate
+    // regime the hot-cluster guard rejects), so the scale entry trains
+    // k ∝ N centroids, holding per-cluster size ~constant — the
+    // published SemDeDup recipe for why Σ|cluster|² stays ~linear.
+    "knn_maxsim", "dedup_semantic_scaled")
 
   /** Scale-only bindings that aren't part of the served query surface. */
   private val Extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
     Map("dedup_clusters_dist" ->
-      ((s, d) => graft.operators.Dedup.clustersQOn(s, d, maxDriverEdges = 0L)))
+      ((s, d) => graft.operators.Dedup.clustersQOn(s, d, maxDriverEdges = 0L)),
+      "dedup_semantic_scaled" -> ((s, d) => {
+        val e = Tables.embeddings(s, d)
+        val k = math.max(10, (e.count() / 50L).toInt)
+        val cents = graft.operators.Search.kmeansTrain(
+          e, col("vec_id"), col("embedding"), k)
+        graft.operators.Dedup.semanticDedup(e, col("vec_id"),
+          col("embedding"), cents, minCos = 0.4)
+      }))
   private val Reps = 10
   private val IdStride = 10000000L
 

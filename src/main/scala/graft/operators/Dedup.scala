@@ -688,6 +688,86 @@ object Dedup {
         col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
   }
 
+  /** Argmax-codebook assignment shared by the incremental semantic-dedup
+    * paths: (id, vec) → (__vid, __v, cluster). */
+  private def semanticAssign(df: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val book = centroids.select(col("cid").cast("long"),
+        col("c").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    df.select(id.as("__vid"), vec.as("__v"))
+      .withColumn("cluster", graft.functions.VectorExpressions.nearestCentroid(
+        s, col("__v"), book.map(_._1).toSeq, book.map(_._2).toSeq))
+  }
+
+  /** Shared dup test of the incremental paths: every (increment ×
+    * same-cluster lake) pair with cos ≥ `minCos` flags the increment row;
+    * `dup_of` = the smallest lake witness. One row per increment id. */
+  private def semanticIncrOut(assignedInc: DataFrame, assignedLake: DataFrame,
+      minCos: Double): DataFrame = {
+    val s = assignedInc.sparkSession
+    val dups = assignedInc.as("i").join(assignedLake.as("l"),
+        col("i.cluster") === col("l.cluster"))
+      .select(col("i.__vid").as("__vid"),
+        fusedCosine(s, col("i.__v"), col("l.__v")).as("cos"),
+        col("l.__vid").as("wit"))
+      .filter(col("cos") >= minCos)
+      .groupBy("__vid").agg(min("wit").as("dup_of"))
+    assignedInc.join(dups, Seq("__vid"), "left")
+      .select(col("__vid"), col("cluster"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
+
+  /** Incremental [[semanticDedup]]: test an arriving `increment` against
+    * an existing `lake` only — both sides assign to the SAME frozen
+    * codebook and pairs form within shared clusters, so the work is
+    * |increment| × (touched-cluster lake rows), never lake². The
+    * embedding-family analog of [[crossNearDup]], and the batch face of
+    * the shape [[semanticDedupIncrementIdx]] serves from the at-rest
+    * index. `maxClusterN` guards the LAKE side (the m in the increment×m
+    * fan-out). */
+  def semanticDedupIncrement(increment: DataFrame, lake: DataFrame,
+      id: Column, vec: Column, centroids: DataFrame,
+      minCos: Double, maxClusterN: Long = 100000): DataFrame = {
+    val assignedLake = semanticAssign(lake, id, vec, centroids)
+    val worst = assignedLake.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    require(worst <= maxClusterN,
+      s"semanticDedupIncrement: largest lake cluster has $worst rows > " +
+        s"maxClusterN=$maxClusterN — retrain a finer codebook")
+    semanticIncrOut(semanticAssign(increment, id, vec, centroids),
+      assignedLake, minCos)
+  }
+
+  /** [[semanticDedupIncrement]] served from an AT-REST
+    * [[Search.writeIvfIndex]] layout of the lake — the 100 TB shape of
+    * incremental embedding dedup: the lake is assigned and
+    * cluster-partitioned ONCE at write time; per increment, ONLY the
+    * increment is assigned in-plan, its ≤k distinct touched clusters are
+    * collected (a bounded index-scale artifact, same rule as the IVF
+    * probe), and the index scan partition-prunes to those clusters —
+    * untouched clusters' files never open. Takedown tombstones on the
+    * index are honored ([[Search.deleteFromIvfIndex]]): a recalled
+    * vector stops suppressing arriving near-dups immediately. Identical
+    * output to the in-plan path for the same codebook, so they share an
+    * oracle. */
+  def semanticDedupIncrementIdx(s: SparkSession, indexPath: String,
+      increment: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, minCos: Double): DataFrame = {
+    val assignedInc = semanticAssign(increment, id, vec, centroids)
+    val touched = assignedInc.select("cluster").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    graft.sources.Tombstones.healPartitions(s, indexPath)
+    val lake = graft.sources.Tombstones.dropDeleted(
+        s.read.parquet(indexPath).filter(col("cluster").isin(touched: _*)),
+        id, indexPath)
+      .select(id.as("__vid"), vec.as("__v"),
+        col("cluster").cast("long").as("cluster"))
+    semanticIncrOut(assignedInc, lake, minCos)
+  }
+
   // =========================================================================
   // Oracle-checked bindings on the documents/embeddings tables
   // =========================================================================
@@ -939,6 +1019,61 @@ object Dedup {
         col("dup_of"))
       .orderBy("vec_id")
 
+  /** Per-JVM at-rest lake-IVF index for `dedup_semantic_incr_idx` (the
+    * [[sigIdxCache]] rationale: testdata dirs are immutable; one build,
+    * probe-path measurements). */
+  private val semIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      semIdxCache.values.forEach { dir => rm(new java.io.File(dir)) }
+    }))
+  }
+
+  /** The `vec_id % 4` increment/lake split — same convention as
+    * [[crossNearDup]]'s doc split, so the two incremental families probe
+    * comparable shapes. */
+  private def incEmb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
+  private def lakeEmb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") % 4 =!= 0)
+
+  /** In-plan incremental semantic dedup on the embeddings table:
+    * arriving vectors (vec_id % 4 = 0) against the lake (the rest),
+    * shared label-centroid codebook, cos ≥ 0.4. */
+  def semanticIncr(s: SparkSession, d: String): DataFrame =
+    semanticDedupIncrement(incEmb(s, d), lakeEmb(s, d),
+      col("vec_id"), col("embedding"),
+      Retrieval.labelCentroids(s, d).select(col("label").as("cid"), col("c")),
+      minCos = 0.4)
+      .select(col("__vid").as("vec_id"), col("cluster"), col("is_dup"),
+        col("dup_of"))
+      .orderBy("vec_id")
+
+  /** [[semanticIncr]] served from the at-rest lake IVF index: the lake is
+    * cluster-partitioned once ([[Search.writeIvfIndex]], cached per
+    * JVM × sfDir); the probe assigns ONLY the increment and
+    * partition-prunes the index to its touched clusters. Output ≡
+    * [[semanticIncr]] (same codebook ⇒ same assignment either side of
+    * the write), so both share one oracle. */
+  def semanticIncrIdx(s: SparkSession, d: String): DataFrame = {
+    val cents = Retrieval.labelCentroids(s, d)
+      .select(col("label").as("cid"), col("c"))
+    val dir = semIdxCache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sem_idx").toString
+      Search.writeIvfIndex(lakeEmb(s, d), col("embedding"), cents, s"$tmp/idx")
+      tmp
+    })
+    semanticDedupIncrementIdx(s, s"$dir/idx", incEmb(s, d),
+      col("vec_id"), col("embedding"), cents, minCos = 0.4)
+      .select(col("__vid").as("vec_id"), col("cluster"), col("is_dup"),
+        col("dup_of"))
+      .orderBy("vec_id")
+  }
+
   /** Oracle-checked face of [[dupClusters]]: exact-Jaccard near-dup pairs
     * at ≥ 0.35 → connected components → (doc_id, cluster = component min
     * id, comp_size). DuckDB replays the clustering with a recursive CTE
@@ -1170,6 +1305,8 @@ object Dedup {
     "dedup_embedding" -> embeddingNearDup,
     "dedup_embedding_lsh" -> embeddingNearDupLsh,
     "dedup_semantic" -> semanticDedupQ,
+    "dedup_semantic_incr" -> semanticIncr,
+    "dedup_semantic_incr_idx" -> semanticIncrIdx,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
     "dedup_cross" -> crossNearDup,
@@ -1177,6 +1314,35 @@ object Dedup {
     "dedup_cross_idx_build" -> crossIdxBuild,
     "dedup_cross_idx_del" -> crossNearDupIdxDel,
     "dedup_keep_best" -> keepBestQ)
+
+  /** Shared SemDeDup oracle prefix: per-label centroid training + argmax
+    * cluster assignment (the cent/assign CTEs `knn_ivf`'s oracle proves
+    * Spark-parity for). */
+  private val semAssignSql =
+    """cent AS (SELECT label, list(v ORDER BY i) AS c FROM (
+       SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS v
+       FROM embeddings, range(1, 65) t(i) GROUP BY label, i)
+       GROUP BY label),
+     assign AS (SELECT vec_id, v, cluster FROM (
+       SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         CAST(c.label AS BIGINT) AS cluster,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.label) AS rn
+       FROM embeddings e CROSS JOIN cent c) WHERE rn = 1)"""
+
+  /** Incremental SemDeDup oracle (shared by the in-plan and at-rest-index
+    * bindings): increment × same-cluster LAKE pairs only. */
+  private val semIncrSql =
+    s"""WITH $semAssignSql,
+       inc AS (SELECT * FROM assign WHERE vec_id % 4 = 0),
+       lake AS (SELECT * FROM assign WHERE vec_id % 4 <> 0),
+       dups AS (SELECT i.vec_id, min(l.vec_id) AS dup_of
+         FROM inc i JOIN lake l ON i.cluster = l.cluster
+         WHERE list_cosine_similarity(i.v, l.v) >= 0.4
+         GROUP BY i.vec_id)
+       SELECT i.vec_id, i.cluster, d.dup_of IS NOT NULL AS is_dup, d.dup_of
+       FROM inc i LEFT JOIN dups d ON i.vec_id = d.vec_id
+       ORDER BY i.vec_id"""
 
   /** DuckDB 3-gram shingle set over `toks` — mirrors
     * `TextExpressions.shingleHashes(tokens(text), 3)` semantics (whole
@@ -1273,16 +1439,7 @@ object Dedup {
     // witness — the same cent/assign CTEs knn_ivf's oracle proves parity
     // for, so assignment near-ties are a solved risk
     "dedup_semantic" ->
-      """WITH cent AS (SELECT label, list(v ORDER BY i) AS c FROM (
-           SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS v
-           FROM embeddings, range(1, 65) t(i) GROUP BY label, i)
-           GROUP BY label),
-         assign AS (SELECT vec_id, v, cluster FROM (
-           SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
-             CAST(c.label AS BIGINT) AS cluster,
-             row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.label) AS rn
-           FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+      s"""WITH $semAssignSql,
          dups AS (SELECT b.vec_id, min(a.vec_id) AS dup_of
            FROM assign a JOIN assign b
              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
@@ -1291,6 +1448,12 @@ object Dedup {
          SELECT s.vec_id, s.cluster, d.dup_of IS NOT NULL AS is_dup, d.dup_of
          FROM assign s LEFT JOIN dups d ON s.vec_id = d.vec_id
          ORDER BY s.vec_id""",
+    // incremental SemDeDup: arriving (vec_id % 4 = 0) against the lake
+    // only — increment×increment pairs must NOT appear; the idx variant
+    // shares this oracle (same codebook ⇒ same assignment either side of
+    // the index write)
+    "dedup_semantic_incr" -> semIncrSql,
+    "dedup_semantic_incr_idx" -> semIncrSql,
     // the banded path at its recall-1 config equals the all-pairs join
     // at the same threshold (measured 271/271 at sf0.01, 4137/4137 at
     // sf0.1) — scores are exact cosine on candidates, so the whole

@@ -664,8 +664,16 @@ object Retrieval {
           Tables.embeddings(s, d).filter(col("vec_id") === req.queryImageId)
             .select(col("embedding").as("qv")),
           poolN = math.min(math.max(2 * req.k, 20), Search.MaxMmrPool), k = req.k)
+      case "maxsim" => // beyond-reference: ColBERT-style late interaction
+        // the query's segment bag (area-top maxSegments, same as segment
+        // mode) scores via sum-of-best-match — coverage of ALL query
+        // aspects, where segment mode's avg dilutes by bag size
+        Search.maxSim(others.select("image_id", "embedding"), col("image_id"),
+            col("embedding"), qSegs.select(col("qseg").as("qid"), col("qv")),
+            req.k)
+          .withColumnRenamed("doc_id", "image_id")
       case other => throw new IllegalArgumentException(
-        s"unknown search mode '$other' (expected whole|segment|hybrid|tags|lexical|rrf|mmr)")
+        s"unknown search mode '$other' (expected whole|segment|hybrid|tags|lexical|rrf|mmr|maxsim)")
     }
   }
 

@@ -400,6 +400,40 @@ class DedupSpec extends SparkSpec {
     assert(!r.find(_._1 == 4L).get._3 && !r.find(_._1 == 5L).get._3)
   }
 
+  test("semanticDedupIncrement: increment pairs against the lake only") {
+    def v(x: Double, y: Double, z: Double) =
+      Seq(x.toFloat, y.toFloat, z.toFloat)
+    val lake = Seq(
+      (10L, v(1, 0.01, 0)),   // cluster 0
+      (11L, v(0, 0.01, 1))    // cluster 1
+    ).toDF("id", "vec")
+    val inc = Seq(
+      (20L, v(1, 0.011, 0)),  // near-dup of lake 10 → flagged, witness 10
+      (21L, v(0, 0.5, 1)),    // cluster 1 but far from lake 11 → clean
+      (22L, v(0, 0.49, 1))    // near-dup of INCREMENT 21 only → clean
+    ).toDF("id", "vec")
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 0.0, 1.0)))
+      .toDF("cid", "c")
+    val r = Dedup.semanticDedupIncrement(inc, lake, $"id", $"vec", cents,
+        minCos = 0.95)
+      .select($"__vid", $"is_dup", $"dup_of")
+      .as[(Long, Boolean, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(r.map(_._1) === Seq(20L, 21L, 22L), "one row per increment id only")
+    assert(r === Seq((20L, true, Some(10L)), (21L, false, None),
+      (22L, false, None)),
+      s"only lake witnesses count — increment×increment must not pair: $r")
+  }
+
+  test("dedup_semantic_incr_idx: at-rest probe equals in-plan, scan prunes to touched clusters") {
+    val d = "/root/testdata/sf0.001"
+    val idx = Dedup.semanticIncrIdx(spark, d)
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("cluster"),
+      s"lake scan must prune untouched cluster partitions:\n$plan")
+    assert(idx.collect().toSeq === Dedup.semanticIncr(spark, d).collect().toSeq,
+      "index-served output ≡ in-plan output (same codebook)")
+  }
+
   test("semanticDedup: hot-cluster guard fails loudly on a degenerate codebook") {
     def v(x: Double) = Seq(x.toFloat, 0f, 0f)
     val corpus = (1L to 10L).map(i => (i, v(1.0))).toDF("id", "vec")

@@ -125,6 +125,20 @@ class RetrievalRunSpec extends SparkSpec {
     assert(r.map(_._1) === (1L to 5L), "ranks are 1..k")
   }
 
+  test("maxsim mode: k honored, query image excluded, equals the named-query scoring") {
+    val r = Retrieval.run(spark, d, SearchRequest("maxsim", k = 5))
+      .as[(Long, Double)].collect().toSeq
+    assert(r.length === 5)
+    assert(!r.map(_._1).contains(0L), "query image must not match itself")
+    assert(r.sortBy(-_._2).toSeq === r, "score-descending order")
+    // same scoring as the named query (which keeps the self-match and is
+    // rounded): mode result ≡ knn_maxsim minus image 0, re-topped at k
+    val named = Retrieval.knnMaxsim(spark, d)
+      .as[(Long, Double)].collect().filter(_._1 != 0L).take(5)
+      .map(_._1).toSeq
+    assert(r.map(_._1) === named)
+  }
+
   test("mmr mode: request-controlled k beyond the driver-pool ceiling fails fast") {
     val e = intercept[IllegalArgumentException] {
       Retrieval.run(spark, d, SearchRequest("mmr", k = 100000, queryImageId = 3L))
