@@ -1024,12 +1024,18 @@ object Dedup {
     * probe-path measurements). */
   private val semIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A SEPARATE lake index with [[SemDeletedIds]] tombstoned — never the
+    * shared [[semIdxCache]] one, whose probes must stay delete-free. */
+  private val semDelIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
       }
       semIdxCache.values.forEach { dir => rm(new java.io.File(dir)) }
+      semDelIdxCache.values.forEach { dir => rm(new java.io.File(dir)) }
     }))
   }
 
@@ -1065,6 +1071,36 @@ object Dedup {
     val dir = semIdxCache.computeIfAbsent(d, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_sem_idx").toString
       Search.writeIvfIndex(lakeEmb(s, d), col("embedding"), cents, s"$tmp/idx")
+      tmp
+    })
+    semanticDedupIncrementIdx(s, s"$dir/idx", incEmb(s, d),
+      col("vec_id"), col("embedding"), cents, minCos = 0.4)
+      .select(col("__vid").as("vec_id"), col("cluster"), col("is_dup"),
+        col("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  /** The benchmark takedown set for the semantic family: lake vec 301 is
+    * the sole witness of increment vec 44's sf0.01 near-dup pair, so its
+    * recall demonstrates the dedup-specific takedown consequence — the
+    * recalled vector stops SUPPRESSING arriving near-dups (44 passes
+    * clean where `dedup_semantic_incr`/`_idx` still flag it). */
+  val SemDeletedIds: Seq[Long] = Seq(301L)
+
+  /** [[semanticIncrIdx]] after a takedown of [[SemDeletedIds]] from the
+    * at-rest lake index ([[Search.deleteFromIvfIndex]] — O(|ids|), no
+    * cluster file rewritten): the probe's anti-join drops the recalled
+    * vector before pairing, so the oracle replays the pipeline with the
+    * lake side filtered. */
+  def semanticIncrIdxDel(s: SparkSession, d: String): DataFrame = {
+    val cents = Retrieval.labelCentroids(s, d)
+      .select(col("label").as("cid"), col("c"))
+    val dir = semDelIdxCache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sem_del").toString
+      Search.writeIvfIndex(lakeEmb(s, d), col("embedding"), cents, s"$tmp/idx")
+      import s.implicits._
+      Search.deleteFromIvfIndex(SemDeletedIds.toDF("vec_id"),
+        col("vec_id"), s"$tmp/idx")
       tmp
     })
     semanticDedupIncrementIdx(s, s"$dir/idx", incEmb(s, d),
@@ -1307,6 +1343,7 @@ object Dedup {
     "dedup_semantic" -> semanticDedupQ,
     "dedup_semantic_incr" -> semanticIncr,
     "dedup_semantic_incr_idx" -> semanticIncrIdx,
+    "dedup_semantic_incr_del" -> semanticIncrIdxDel,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
     "dedup_cross" -> crossNearDup,
@@ -1331,11 +1368,12 @@ object Dedup {
        FROM embeddings e CROSS JOIN cent c) WHERE rn = 1)"""
 
   /** Incremental SemDeDup oracle (shared by the in-plan and at-rest-index
-    * bindings): increment × same-cluster LAKE pairs only. */
-  private val semIncrSql =
+    * bindings): increment × same-cluster LAKE pairs only. `lakeExtra`
+    * narrows the lake (the takedown replay filters the recalled ids). */
+  private def semIncrSqlWhere(lakeExtra: String) =
     s"""WITH $semAssignSql,
        inc AS (SELECT * FROM assign WHERE vec_id % 4 = 0),
-       lake AS (SELECT * FROM assign WHERE vec_id % 4 <> 0),
+       lake AS (SELECT * FROM assign WHERE vec_id % 4 <> 0$lakeExtra),
        dups AS (SELECT i.vec_id, min(l.vec_id) AS dup_of
          FROM inc i JOIN lake l ON i.cluster = l.cluster
          WHERE list_cosine_similarity(i.v, l.v) >= 0.4
@@ -1343,6 +1381,7 @@ object Dedup {
        SELECT i.vec_id, i.cluster, d.dup_of IS NOT NULL AS is_dup, d.dup_of
        FROM inc i LEFT JOIN dups d ON i.vec_id = d.vec_id
        ORDER BY i.vec_id"""
+  private val semIncrSql = semIncrSqlWhere("")
 
   /** DuckDB 3-gram shingle set over `toks` — mirrors
     * `TextExpressions.shingleHashes(tokens(text), 3)` semantics (whole
@@ -1454,6 +1493,10 @@ object Dedup {
     // the index write)
     "dedup_semantic_incr" -> semIncrSql,
     "dedup_semantic_incr_idx" -> semIncrSql,
+    // takedown: the recalled lake vector leaves the pairing immediately —
+    // its suppressed increment passes clean, everything else unchanged
+    "dedup_semantic_incr_del" -> semIncrSqlWhere(
+      s" AND vec_id NOT IN ${SemDeletedIds.mkString("(", ", ", ")")}"),
     // the banded path at its recall-1 config equals the all-pairs join
     // at the same threshold (measured 271/271 at sf0.01, 4137/4137 at
     // sf0.1) — scores are exact cosine on candidates, so the whole

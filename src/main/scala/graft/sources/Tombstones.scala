@@ -61,7 +61,12 @@ object Tombstones {
     * for its deletion vectors' fallback path. */
   def dropDeleted(df: DataFrame, idCol: Column, indexDir: String): DataFrame =
     ids(df.sparkSession, indexDir) match {
-      case Some(t) => df.join(t, idCol === t("id"), "left_anti")
+      // reserved alias: with the store's own `id` name, a corpus whose id
+      // column is ALSO literally `id` would make idCol ambiguous between
+      // the two join sides
+      case Some(t) =>
+        df.join(t.select(t("id").as("__graft_tomb_id")),
+          idCol === col("__graft_tomb_id"), "left_anti")
       case None => df
     }
 

@@ -434,6 +434,25 @@ class DedupSpec extends SparkSpec {
       "index-served output ≡ in-plan output (same codebook)")
   }
 
+  test("semanticDedupIncrementIdx takedown: recalling the sole witness flips the increment to clean") {
+    def v(x: Double, y: Double, z: Double) =
+      Seq(x.toFloat, y.toFloat, z.toFloat)
+    val lake = Seq((10L, v(1, 0.01, 0)), (11L, v(0, 0.01, 1))).toDF("id", "vec")
+    val inc = Seq((20L, v(1, 0.011, 0))).toDF("id", "vec")
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 0.0, 1.0)))
+      .toDF("cid", "c")
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdel").toString
+    Search.writeIvfIndex(lake, $"vec", cents, s"$dir/idx")
+    def probe() = Dedup.semanticDedupIncrementIdx(spark, s"$dir/idx", inc,
+        $"id", $"vec", cents, minCos = 0.95)
+      .select($"is_dup", $"dup_of").as[(Boolean, Option[Long])]
+      .collect().toSeq
+    assert(probe() === Seq((true, Some(10L))), "lake 10 is the witness")
+    Search.deleteFromIvfIndex(Seq(10L).toDF("id"), $"id", s"$dir/idx")
+    assert(probe() === Seq((false, None)),
+      "the recalled vector stops suppressing the arriving near-dup")
+  }
+
   test("semanticDedup: hot-cluster guard fails loudly on a degenerate codebook") {
     def v(x: Double) = Seq(x.toFloat, 0f, 0f)
     val corpus = (1L to 10L).map(i => (i, v(1.0))).toDF("id", "vec")
