@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sketch-propose / exact-dispose operators — the pattern every
+  * approximate family in this repo follows (LSH bands propose → exact
+  * verify; here: a frequency sketch proposes → an exact count certifies).
+  *
+  * At 100 TB a full `groupBy(term).count()` for "what are the top 20
+  * tokens" shuffles the ENTIRE token stream keyed by term (billions of
+  * distinct keys, every occurrence through the exchange). The
+  * Misra-Gries pass replaces that with one narrow scan emitting ≤
+  * `capacity` counters per partition (a bounded, mergeable summary —
+  * the classic frequent-items sketch), and only the surviving candidate
+  * set — not the corpus — is exactly counted. */
+object Sketches {
+
+  /** Exact top-N frequent values of `key`, computed at sketch cost.
+    *
+    * Pass 1 (propose): per-partition Misra-Gries with `capacity`
+    * counters — on overflow every counter decrements (the MG step), so a
+    * key with in-partition frequency > rows/capacity PROVABLY survives
+    * its partition, and the union of partials (≤ partitions × capacity
+    * rows, vs the corpus' full distinct-key cardinality) is a guaranteed
+    * superset of every key with global frequency > total/capacity.
+    *
+    * Pass 2 (dispose): exact `count` restricted to the candidates via a
+    * broadcast semi-join — the only per-occurrence shuffle is keyed by
+    * the bounded candidate set.
+    *
+    * Certification: the result is the PROVABLY exact top-N iff the N-th
+    * exact candidate count exceeds total/capacity (no non-candidate can
+    * reach it). This method `require`s that bound — an under-sized
+    * sketch fails loudly with the capacity to raise, never silently
+    * returns approximate ranks. The jobs run at call time (the returned
+    * frame is a certified local artifact of ≤ `topN` rows, same rule as
+    * the MMR pool / serving edge). */
+  def heavyHitters(df: DataFrame, key: Column, topN: Int,
+      capacity: Int): DataFrame = {
+    require(topN >= 1 && capacity > topN,
+      s"heavyHitters: need capacity > topN >= 1, got topN=$topN capacity=$capacity")
+    val s = df.sparkSession
+    import s.implicits._
+    val keys = df.select(key.cast("string").as("k")).as[String]
+    // pass 1: ≤ capacity counters + one row-count marker per partition
+    val partials = keys.mapPartitions { it =>
+      val m = new scala.collection.mutable.HashMap[String, Long]()
+      var rows = 0L
+      while (it.hasNext) {
+        val k = it.next()
+        rows += 1
+        m.get(k) match {
+          case Some(c) => m.update(k, c + 1)
+          case None =>
+            if (m.size < capacity) m.update(k, 1L)
+            else {
+              val dead = List.newBuilder[String]
+              m.foreach { case (kk, cc) =>
+                if (cc == 1L) dead += kk else m.update(kk, cc - 1L)
+              }
+              dead.result().foreach(m.remove)
+            }
+        }
+      }
+      m.iterator.map { case (k, c) => (k, c, false) } ++
+        Iterator(("", rows, true))
+    }.toDF("k", "c", "marker")
+    val total = partials.filter(col("marker"))
+      .agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+    val cands = partials.filter(!col("marker")).select("k").distinct()
+    // pass 2: exact counts of candidates only
+    val top = keys.toDF("k").join(broadcast(cands), Seq("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("k")).limit(topN)
+      .collect()
+    val floor = total.toDouble / capacity
+    val nth = if (top.isEmpty) 0L else top.last.getLong(1)
+    // fewer candidates than topN = the whole candidate set is exact
+    // (every absent key was decremented to 0 by keys that ARE present)
+    require(top.length < topN || nth > floor,
+      s"heavyHitters: cannot certify exactness — the #$topN candidate " +
+        s"count ($nth) does not exceed total/capacity = $floor; raise " +
+        s"capacity (now $capacity) above total/count@N")
+    s.createDataFrame(
+      java.util.Arrays.asList(top.map(r => Row(r.getString(0), r.getLong(1))): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Exact top-20 corpus tokens at sketch cost: the per-occurrence
+    * shuffle of `txt_vocab`'s full vocabulary groupBy is replaced by
+    * ≤ 1024 counters/partition + a candidate-only exact count. Same
+    * tokenizer as the `txt_*` family, so the oracle is the plain
+    * explode-count SQL — certification makes "sketch" and "exact"
+    * coincide by construction. */
+  def heavyTokens(s: SparkSession, d: String): DataFrame =
+    heavyHitters(
+      Tables.documents(s, d)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term")),
+      col("term"), topN = 20, capacity = 1024)
+      .select(col("k").as("term"), col("cnt"))
+      .orderBy(desc("cnt"), asc("term"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_heavyhitters" -> heavyTokens)
+
+  val oracleSql: Map[String, String] = Map(
+    "txt_heavyhitters" ->
+      """WITH e AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+           FROM documents)
+         SELECT term, count(*) AS cnt FROM e
+         GROUP BY term ORDER BY cnt DESC, term LIMIT 20""")
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Misra-Gries heavy hitters: the sketch PROPOSES under real counter
+  * pressure (distinct keys ≫ capacity), the exact pass DISPOSES, and the
+  * certification bound separates provably-exact from refuse-to-answer. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("heavyHitters: exact top-N under counter pressure, any partitioning") {
+    // 2 heavy keys + 600 singleton tail keys; capacity 16 ≪ 602 distinct
+    val rows = Seq.fill(500)("h1") ++ Seq.fill(300)("h2") ++
+      (1 to 600).map(i => s"t$i")
+    val df = rows.toDF("k")
+    for (parts <- Seq(1, 7)) {
+      val r = Sketches.heavyHitters(df.repartition(parts), $"k",
+          topN = 2, capacity = 16)
+        .as[(String, Long)].collect().toSeq
+      assert(r === Seq(("h1", 500L), ("h2", 300L)),
+        s"exact counts at $parts partitions: $r")
+    }
+  }
+
+  test("heavyHitters: matches a full groupBy count when certifiable") {
+    val rows = (1 to 2000).map(i => s"k${i % 37}") // zipf-free but skewed mod
+    val df = rows.toDF("k")
+    val expect = df.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("k")).limit(10)
+      .as[(String, Long)].collect().toSeq
+    val got = Sketches.heavyHitters(df, $"k", topN = 10, capacity = 64)
+      .as[(String, Long)].collect().toSeq
+    assert(got === expect)
+  }
+
+  test("heavyHitters: refuses to answer when the bound cannot certify") {
+    // near-uniform: 400 keys × 5 occurrences; capacity 8 → floor = 250,
+    // no count reaches it — approximate ranks must not be returned
+    val df = (1 to 2000).map(i => s"u${i % 400}").toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(df, $"k", topN = 3, capacity = 8)
+    }
+    assert(e.getMessage.contains("cannot certify"))
+  }
+
+  test("heavyHitters: candidate set smaller than topN is exact by construction") {
+    val df = Seq("a", "a", "b").toDF("k")
+    val r = Sketches.heavyHitters(df, $"k", topN = 10, capacity = 16)
+      .as[(String, Long)].collect().toSeq
+    assert(r === Seq(("a", 2L), ("b", 1L)))
+  }
+}

@@ -512,6 +512,44 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("ivfIngest-maintained lake serves incremental semantic dedup ≡ in-plan") {
+    import graft.operators.{Dedup, Search}
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_stream").toString
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "c")
+    // the lake arrives as two micro-batches into the cluster-partitioned
+    // index — the SAME layout the semantic probe partition-prunes, so
+    // streaming maintenance and incremental dedup compose with no glue
+    val b1 = Seq((10L, Array(0.9, 0.1)), (11L, Array(0.1, 0.9)))
+    val b2 = Seq((12L, Array(0.95, 0.05)))
+    val input = MemoryStream[(Long, Array[Double])]
+    val q = Streams.ivfIngest(input.toDF().toDF("vec_id", "embedding"),
+      $"embedding", cents, s"$dir/idx", s"$dir/ckpt")
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val inc = Seq((20L, Array(0.92, 0.08)), (21L, Array(0.0, 1.0)))
+        .toDF("vec_id", "embedding")
+      val served = Dedup.semanticDedupIncrementIdx(spark, s"$dir/idx", inc,
+          $"vec_id", $"embedding", cents, minCos = 0.99)
+        .select($"__vid", $"is_dup", $"dup_of")
+        .as[(Long, Boolean, Option[Long])].collect().sortBy(_._1).toSeq
+      val inPlan = Dedup.semanticDedupIncrement(inc,
+          (b1 ++ b2).toDF("vec_id", "embedding"),
+          $"vec_id", $"embedding", cents, minCos = 0.99)
+        .select($"__vid", $"is_dup", $"dup_of")
+        .as[(Long, Boolean, Option[Long])].collect().sortBy(_._1).toSeq
+      assert(served === inPlan, "streamed lake ≡ in-plan lake")
+      assert(served === Seq((20L, true, Some(10L)), (21L, true, Some(11L))),
+        s"both arrivals find their smallest streamed witness: $served")
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("fileIngest: streaming file source reads the events shape") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     evs.take(3).toDF().write.parquet(s"$dir/in")
