@@ -46,6 +46,21 @@ object Bench {
     // one full-suite run but 0.30s isolated — single-run suite numbers
     // for sub-second queries carry that spread; only the cross-check
     // (isolated A/B on the same day) supports a regression claim.
+    // r10 attribution (same-day isolated A/B, 5 reps, vs the full-suite
+    // run minutes earlier): every apparent shared-query regression
+    // >1.3× in the r10 full suite is SUITE-CONTEXT, not code —
+    // isolated: dedup_cross_idx 1.01s (3.17 in-suite; r9 1.67),
+    // dedup_cross_idx_del 1.20 (2.69), zs_tags 0.42 (0.81; r9 0.37),
+    // agg_quantiles 0.67 (1.53; r9 0.71), etl_cell_cleanse 0.19 (0.56;
+    // r9 0.21), knn_pq 0.39 (0.67; r9 0.41). The suite grew 112→126
+    // queries and gained four more per-JVM index-build caches, so
+    // late-running queries see a heavier JVM (code cache, page cache,
+    // heap shape). Cross-round full-suite deltas on sub-second queries
+    // remain low-signal; the isolated numbers above are the
+    // steady-state claims. dedup_embedding_lsh's 0.39→4.7s is the ONE
+    // deliberate change: r10 moved it from the production 8×8-band
+    // config to recall-1 32×2 bands for full oracle checking — the
+    // wide-band cost is documented at its definition (Dedup.scala).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Per-rep GC policy (SPARK_GRAFT_BENCH_GC = all | heavy | off).
     // r9 attribution of the uniform ~1.5× r7→r8 suite slowdown, measured
