@@ -420,16 +420,28 @@ object Retrieval {
     val exact = Search.knnBrute(emb, col("embedding"), q0(s, d), k,
         tie = col("vec_id"))
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    val arms: Seq[(String, DataFrame)] = Seq(
-      ("ivf_nprobe3", knnIvf(s, d).select("vec_id")),
-      ("ivfpq_nprobe3_refine10", knnIvfPqQ(s, d).select("vec_id")),
-      ("lsh_8x8", Search.knnLsh(emb, col("vec_id"), col("embedding"),
+    // the filtered arm's truth set is the brute-force top-k UNDER THE
+    // FILTER — post-filter ANN loses recall when the probe set (chosen by
+    // the query alone) misses clusters holding filtered survivors; this
+    // row is the signal that says "raise nprobe for selective filters"
+    val exactFiltered = Search.knnBrute(
+        emb.filter(col("label") === IvfFilterLabel), col("embedding"),
+        q0(s, d), k, tie = col("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val arms: Seq[(String, Set[Long], DataFrame)] = Seq(
+      ("ivf_nprobe3", exact, knnIvf(s, d).select("vec_id")),
+      ("ivf_filtered_nprobe3", exactFiltered,
+        knnIvfFiltered(s, d).select("vec_id")),
+      ("ivfpq_nprobe3_refine10", exact, knnIvfPqQ(s, d).select("vec_id")),
+      ("lsh_8x8", exact, Search.knnLsh(emb, col("vec_id"), col("embedding"),
         q0(s, d), k).select(col("id").as("vec_id"))),
-      ("pq_refine10", knnPq(s, d).select("vec_id")))
+      ("pq_refine10", exact, knnPq(s, d).select("vec_id")))
     import s.implicits._
-    arms.map { case (m, df) =>
-      val hits = (df.collect().map(_.getLong(0)).toSet & exact).size
-      (m, k.toLong, hits.toLong, hits.toDouble / k)
+    arms.map { case (m, truth, df) =>
+      val denom = math.min(k, truth.size)
+      val hits = (df.collect().map(_.getLong(0)).toSet & truth).size
+      (m, denom.toLong, hits.toLong,
+        if (denom == 0) 1.0 else hits.toDouble / denom)
     }.toDF("method", "k", "hits", "recall").orderBy("method")
   }
 

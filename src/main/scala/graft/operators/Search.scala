@@ -658,8 +658,9 @@ object Search {
       .select(col("qid"), col("__vid").as("id"), col("score"), col("rank"))
   }
 
-  /** Late-interaction retrieval (ColBERT-style MaxSim): query and doc are
-    * both BAGS of vectors and score(doc) = Σ_q max_s cos(q, s) — each
+  /** Late-interaction retrieval (MaxSim, the ColBERT scoring rule —
+    * Khattab & Zaharia, SIGIR 2020): query and doc are both BAGS of
+    * vectors and score(doc) = Σ_q max_s cos(q, s) — each
     * query vector picks its best-matching doc vector, contributions sum.
     * The multi-vector upgrade of [[knnBrute]] and the sum-calibrated
     * sibling of [[segmentScores]]'s avg/max (reference Q2 semantics,
