@@ -583,4 +583,70 @@ object Streams {
       }
       .start()
   }
+
+  /** One micro-batch of [[semanticIngest]], exposed for direct replay
+    * testing: within-batch keep-first semantic dedup
+    * ([[graft.operators.Dedup.semanticDedup]]), then the lake probe
+    * ([[graft.operators.Dedup.semanticDedupIncrementIdx]] — partition-
+    * pruned to the batch's touched clusters, tombstone-aware), and ONLY
+    * the survivors append into the lake's own cluster-partitioned
+    * layout. The lake the NEXT batch probes therefore already contains
+    * this batch's kept rows — the self-maintaining dedup-ingest loop. */
+  def applySemanticBatch(batch: DataFrame, id: org.apache.spark.sql.Column,
+      vec: org.apache.spark.sql.Column, centroids: DataFrame,
+      indexDir: String, batchId: Long, minCos: Double): Unit = {
+    val s = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batch_$batchId")
+    val f = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(marker)) return // replayed-but-applied batch: skip
+    val inBatch = graft.operators.Dedup.semanticDedup(
+      batch, id, vec, centroids, minCos)
+    val batchKept = batch.join(
+      inBatch.filter(!col("is_dup")).select("__vid"),
+      id === col("__vid")).drop("__vid")
+    // "lake exists" = a cluster partition dir exists — markers and
+    // checkpoint files may populate indexDir before any data lands, and
+    // reading a data-less dir as parquet would fail, not mean "empty"
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val hasData = f.exists(root) && f.listStatus(root)
+      .exists(_.getPath.getName.startsWith("cluster="))
+    val clean =
+      if (!hasData) batchKept
+      else batchKept.join(
+        graft.operators.Dedup.semanticDedupIncrementIdx(
+            s, indexDir, batchKept, id, vec, centroids, minCos)
+          .filter(!col("is_dup")).select("__vid"),
+        id === col("__vid")).drop("__vid")
+    graft.operators.Search.appendToIvfIndex(clean, vec, centroids, indexDir)
+    f.create(marker, true).close() // applied — commit the batch id
+  }
+
+  /** Streaming semantic-dedup ingest — the embedding-side analog of the
+    * text pipeline's gate→dedup→upsert loop: every arriving micro-batch
+    * is (1) deduped within itself (keep-first), (2) probed against the
+    * at-rest lake index it is about to join, and (3) appended clean into
+    * that same cluster-partitioned layout, so later batches
+    * automatically dedup against earlier ones. Codebook frozen for the
+    * stream's lifetime (the faiss add-vs-train split; re-train is
+    * [[graft.operators.Search.retrainIvfIndex]]); batch markers make
+    * replays idempotent. */
+  def semanticIngest(vecs: DataFrame, id: org.apache.spark.sql.Column,
+      vec: org.apache.spark.sql.Column, centroids: DataFrame,
+      indexDir: String, checkpoint: String, minCos: Double)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireConsistentMarkers(vecs.sparkSession, indexDir, checkpoint)
+    val cents = centroids.select(col("cid").cast("long"), col("c")).collect()
+    val s = vecs.sparkSession
+    import scala.jdk.CollectionConverters._
+    val frozen = s.createDataFrame(
+      cents.toSeq.asJava, centroids.select(col("cid").cast("long"), col("c")).schema)
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          applySemanticBatch(batch, id, vec, frozen, indexDir, batchId, minCos)
+      }
+      .start()
+  }
 }

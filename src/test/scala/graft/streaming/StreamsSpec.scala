@@ -550,6 +550,46 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("semanticIngest: arriving near-dups are dropped against batch AND lake; replay idempotent") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_ingest").toString
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "c")
+    val b1 = Seq((10L, Array(0.9, 0.1)), (11L, Array(0.1, 0.9)))
+    // 12 ~ lake 10 (cross-batch dup), 13 new, 14 ~ 13 (within-batch dup)
+    val b2 = Seq((12L, Array(0.91, 0.09)), (13L, Array(0.5, 0.86)),
+      (14L, Array(0.52, 0.85)))
+    val input = MemoryStream[(Long, Array[Double])]
+    val q = Streams.semanticIngest(input.toDF().toDF("vec_id", "embedding"),
+      $"vec_id", $"embedding", cents, s"$dir/idx", s"$dir/ckpt", minCos = 0.99)
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      def lakeIds = spark.read.parquet(s"$dir/idx")
+        .select("vec_id").as[Long].collect().toSeq.sorted
+      assert(lakeIds === Seq(10L, 11L, 13L),
+        "cross-batch dup 12 and within-batch dup 14 must not land")
+      // replay idempotence: re-applying a marked batch is a no-op
+      Streams.applySemanticBatch(b2.toDF("vec_id", "embedding"),
+        $"vec_id", $"embedding", cents, s"$dir/idx", batchId = 1L,
+        minCos = 0.99)
+      assert(lakeIds === Seq(10L, 11L, 13L))
+      // the maintained lake serves the probe directly: a new arrival
+      // near 13 is flagged with the streamed witness
+      val probe = Dedup.semanticDedupIncrementIdx(spark, s"$dir/idx",
+          Seq((20L, Array(0.51, 0.86))).toDF("vec_id", "embedding"),
+          $"vec_id", $"embedding", cents, minCos = 0.99)
+        .select($"is_dup", $"dup_of").as[(Boolean, Option[Long])]
+        .collect().toSeq
+      assert(probe === Seq((true, Some(13L))))
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("fileIngest: streaming file source reads the events shape") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     evs.take(3).toDF().write.parquet(s"$dir/in")
