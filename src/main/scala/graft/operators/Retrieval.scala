@@ -255,6 +255,20 @@ object Retrieval {
       .orderBy(desc("score"), asc("vec_id"))
   }
 
+  /** Cluster-blocked k-NN graph over the embeddings table
+    * ([[Search.knnGraph]]): top-3 same-cluster neighbors per vector with
+    * the shared label-centroid codebook — the neighbor lists graph
+    * curation (components, cluster growing) consumes. Fully
+    * oracle-checked: DuckDB replays assignment, the within-cluster pair
+    * space, and the per-source rank window. */
+  def knnGraphQ(s: SparkSession, d: String): DataFrame =
+    Search.knnGraph(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+      labelCentroids(s, d).select(col("label").as("cid"), col("c")),
+      k = 3)
+      .select(col("__vid").as("vec_id"), col("nbr_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy("vec_id", "rank")
+
   /** Late-interaction retrieval ([[Search.maxSim]]) with image 0's
     * segment bag as the multi-vector query: score(image) =
     * Σ_qseg max_seg cos — the ColBERT MaxSim calibration of the same
@@ -697,6 +711,7 @@ object Retrieval {
     "knn_ivf_filtered" -> knnIvfFiltered,
     "knn_ivf_del" -> knnIvfDel,
     "knn_maxsim" -> knnMaxsim,
+    "knn_graph" -> knnGraphQ,
     "knn_batch" -> knnBatchQ,
     "knn_mmr" -> ((s: SparkSession, d: String) =>
       Search.mmrRerank(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
@@ -833,6 +848,25 @@ object Retrieval {
     // filtered ANN: same pipeline, the metadata predicate on the scored
     // set — post-filter semantics (probe chosen by the query alone)
     "knn_ivf_filtered" -> ivfTop10SqlWhere(s"WHERE e.label = $IvfFilterLabel"),
+    // kNN graph: assignment + within-cluster pair space + per-source rank
+    // window, all replayed (same cent/assign parity as knn_ivf's oracle)
+    "knn_graph" ->
+      s"""WITH $centSql,
+         assign AS (SELECT vec_id, v, cluster FROM (
+           SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             CAST(c.label AS BIGINT) AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.label) AS rn
+           FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         p AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+             list_cosine_similarity(a.v, b.v) AS cos
+           FROM assign a JOIN assign b
+             ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+         r AS (SELECT vec_id, nbr_id, cos,
+             CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS INTEGER) AS rank
+           FROM p)
+         SELECT vec_id, nbr_id, round(cos, 6) AS cos, rank
+         FROM r WHERE rank <= 3 ORDER BY vec_id, rank""",
     // MaxSim: per (image, query-seg) max, then an ascending-qid LEFT FOLD
     // for the Σ (list_reduce here, `aggregate` on the Spark side — FP
     // addition is not associative, so both sides fix the order; the

@@ -690,6 +690,45 @@ object Search {
       .select(col("__doc").as("doc_id"), col("score"))
   }
 
+  /** Cluster-blocked k-NN graph: every vector's top-`k` neighbors WITHIN
+    * its codebook cluster — the all-corpus self-kNN that graph-based
+    * curation builds on (neighbor lists feed connected components,
+    * cluster growing, graph dedup). The blocking is the same trade every
+    * IVF path makes: neighbors in other clusters are invisible
+    * (recall follows the codebook's resolution), and in exchange the
+    * pair space is Σ|cluster|² instead of N² — with k ∝ N cluster
+    * sizing this is the linear-ish kNN-graph recipe (NN-Descent and
+    * friends refine it; the blocked pass is the scalable seed).
+    *
+    * Shape: one assignment scan (fused literal-codebook argmax, zero
+    * shuffle), one cluster-keyed self-join, one per-source rank window —
+    * vectors never ride the candidate shuffle twice. */
+  def knnGraph(corpus: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, // (cid, c)
+      k: Int, maxClusterN: Long = 100000): DataFrame = {
+    val s = corpus.sparkSession
+    val book = centroids.select(col("cid").cast("long"),
+        col("c").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val assigned = corpus.select(id.as("__vid"), vec.as("__v"))
+      .withColumn("cluster", graft.functions.VectorExpressions.nearestCentroid(
+        s, col("__v"), book.map(_._1).toSeq, book.map(_._2).toSeq))
+    val worst = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    require(worst <= maxClusterN,
+      s"knnGraph: largest cluster has $worst rows > maxClusterN=" +
+        s"$maxClusterN — retrain a finer codebook (k should grow with N)")
+    val w = Window.partitionBy("__vid").orderBy(desc("cos"), col("nbr_id").asc)
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.__vid") =!= col("b.__vid"))
+      .select(col("a.__vid").as("__vid"), col("b.__vid").as("nbr_id"),
+        fusedCosine(s, col("a.__v"), col("b.__v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Q2 scoring core — for each query segment find the best-cosine db
     * segment per image (A13 argmax), then avg/max across query segments
     * per image (A12). `qSegs` carries one vector per query segment in

@@ -268,6 +268,27 @@ class SearchSpec extends SparkSpec {
     assert(r === again)
   }
 
+  test("knnGraph: within-cluster neighbor lists, rank order, guard") {
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 0.0, 1.0)))
+      .toDF("cid", "c")
+    // corpus has two natural clusters (the 1..3 / 4..6 split above):
+    // every neighbor list must stay inside its own cluster
+    val g = Search.knnGraph(corpus, $"id", $"vec", cents, k = 2)
+      .select($"__vid", $"nbr_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(t => (t._1, t._3))
+    assert(g.size === 12, "3 members × 2 neighbors × 2 clusters")
+    val a = Set(1L, 2L, 3L); val b = Set(4L, 5L, 6L)
+    assert(g.forall { case (v, n, _) =>
+      (a(v) && a(n)) || (b(v) && b(n)) },
+      s"neighbors never cross the cluster boundary: $g")
+    // 1=(1,.01,0): 2=(1,.02,0) is nearer than 3=(1,.03,0)
+    assert(g.filter(_._1 == 1L).map(_._2) === Seq(2L, 3L))
+    val e = intercept[IllegalArgumentException] {
+      Search.knnGraph(corpus, $"id", $"vec", cents, k = 2, maxClusterN = 2)
+    }
+    assert(e.getMessage.contains("maxClusterN"))
+  }
+
   test("tagSearch: per-object conjunction and max-confidence score") {
     val segTable = Seq(
       (10L, "sky", 0.9), (10L, "tree", 0.05), // sky matches; tree below conf
