@@ -1080,6 +1080,30 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** Semantic components: [[Search.knnGraph]] edges at cos ≥ 0.35 →
+    * [[dupClusters]] connected components — the graph face of
+    * [[semanticDedup]] (pairwise-threshold dedup is not transitive;
+    * components ARE, and production keeps one representative per
+    * component). Edges are undirected (either direction's top-k
+    * membership connects the pair); nodes with no qualifying edge don't
+    * appear, the same contract as `dedup_clusters`. Fully oracle-checked:
+    * DuckDB replays the kNN graph AND the transitive closure
+    * (recursive CTE). */
+  def semanticClustersQ(s: SparkSession, d: String): DataFrame = {
+    val g = Search.knnGraph(Tables.embeddings(s, d), col("vec_id"),
+      col("embedding"),
+      Retrieval.labelCentroids(s, d).select(col("label").as("cid"), col("c")),
+      k = 3)
+      .filter(col("cos") >= 0.35)
+    val und = g.select(least(col("__vid"), col("nbr_id")).as("doc_a"),
+      greatest(col("__vid"), col("nbr_id")).as("doc_b")).distinct()
+    val cl = dupClusters(und)
+    cl.groupBy("cluster").agg(count(lit(1)).as("comp_size"))
+      .join(cl, "cluster")
+      .select(col("doc_id").as("vec_id"), col("cluster"), col("comp_size"))
+      .orderBy("vec_id")
+  }
+
   /** The benchmark takedown set for the semantic family: lake vec 301 is
     * the sole witness of increment vec 44's sf0.01 near-dup pair, so its
     * recall demonstrates the dedup-specific takedown consequence — the
@@ -1344,6 +1368,7 @@ object Dedup {
     "dedup_semantic_incr" -> semanticIncr,
     "dedup_semantic_incr_idx" -> semanticIncrIdx,
     "dedup_semantic_incr_del" -> semanticIncrIdxDel,
+    "dedup_semantic_clusters" -> semanticClustersQ,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
     "dedup_cross" -> crossNearDup,
@@ -1497,6 +1522,29 @@ object Dedup {
     // its suppressed increment passes clean, everything else unchanged
     "dedup_semantic_incr_del" -> semIncrSqlWhere(
       s" AND vec_id NOT IN ${SemDeletedIds.mkString("(", ", ", ")")}"),
+    // kNN-graph edges → transitive closure, both replayed (the recursive
+    // CTE pattern dedup_clusters established)
+    "dedup_semantic_clusters" ->
+      s"""WITH RECURSIVE $semAssignSql,
+         p AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+             list_cosine_similarity(a.v, b.v) AS cos
+           FROM assign a JOIN assign b
+             ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+         r AS (SELECT vec_id, nbr_id, cos,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rank
+           FROM p),
+         g AS (SELECT vec_id, nbr_id FROM r WHERE rank <= 3 AND cos >= 0.35),
+         und AS (SELECT DISTINCT least(vec_id, nbr_id) AS doc_a,
+             greatest(vec_id, nbr_id) AS doc_b FROM g),
+         edge AS (SELECT doc_a AS a, doc_b AS b FROM und
+           UNION SELECT doc_b, doc_a FROM und
+           UNION SELECT doc_a, doc_a FROM und
+           UNION SELECT doc_b, doc_b FROM und),
+         reach(a, b) AS (SELECT a, b FROM edge
+           UNION SELECT x.a, e.b FROM reach x JOIN edge e ON x.b = e.a)
+         SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS cluster,
+           CAST(count(DISTINCT b) AS BIGINT) AS comp_size
+         FROM reach GROUP BY a ORDER BY vec_id""",
     // the banded path at its recall-1 config equals the all-pairs join
     // at the same threshold (measured 271/271 at sf0.01, 4137/4137 at
     // sf0.1) — scores are exact cosine on candidates, so the whole
