@@ -65,7 +65,10 @@ object ScaleBench {
     // regime the hot-cluster guard rejects), so the scale entry trains
     // k ∝ N centroids, holding per-cluster size ~constant — the
     // published SemDeDup recipe for why Σ|cluster|² stays ~linear.
-    "knn_maxsim", "dedup_semantic_scaled")
+    "knn_maxsim", "dedup_semantic_scaled",
+    // the sketch claim: one narrow scan + a bounded-candidate shuffle —
+    // time must track rows, and certification must still hold at 10×
+    "txt_heavyhitters")
 
   /** Scale-only bindings that aren't part of the served query surface. */
   private val Extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =

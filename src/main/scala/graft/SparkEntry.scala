@@ -41,7 +41,7 @@ object SparkEntry {
     Tables.registerTables(spark, sfDir)
     // per-view isolation: one binding failing to CONSTRUCT (e.g. an
     // eager index build hitting an unwritable scratch dir) must not
-    // abort registration of the other ~90 views
+    // abort registration of the other ~125 views
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).createOrReplaceTempView(name)
       catch { case e: Exception =>
