@@ -255,6 +255,27 @@ object Retrieval {
       .orderBy(desc("score"), asc("vec_id"))
   }
 
+  /** [[knnMaxsim]] served from the SAME at-rest IVF index as
+    * [[knnIvfIdx]] ([[Search.maxSimIndexed]]): each of image 0's segment
+    * vectors probes its own nprobe=3 clusters, the scan prunes to the
+    * union, and MaxSim scores only surviving segments — late interaction
+    * with candidate generation. The oracle replays the per-query-vector
+    * probe (rank window over the codebook), the pruned candidate set,
+    * and the ordered fold, so the recall trade is hash-checked, not
+    * assumed. */
+  def knnMaxsimIdx(s: SparkSession, d: String): DataFrame = {
+    val cents = labelCentroids(s, d).select(col("label").as("cid"), col("c"))
+    val dir = ivfIdxDir(s, d, cents)
+    Search.maxSimIndexed(s, s"$dir/idx",
+      expr(s"vec_id DIV $SegsPerImage").as("image_id"), col("embedding"),
+      cents,
+      segs(s, d).filter(col("image_id") === 0)
+        .select(col("seg_id").as("qid"), col("embedding").as("qv")),
+      nprobe = 3, k = 10, tie = col("vec_id"))
+      .select(col("doc_id").as("image_id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("image_id"))
+  }
+
   /** Cluster-blocked k-NN graph over the embeddings table
     * ([[Search.knnGraph]]): top-3 same-cluster neighbors per vector with
     * the shared label-centroid codebook — the neighbor lists graph
@@ -711,6 +732,7 @@ object Retrieval {
     "knn_ivf_filtered" -> knnIvfFiltered,
     "knn_ivf_del" -> knnIvfDel,
     "knn_maxsim" -> knnMaxsim,
+    "knn_maxsim_idx" -> knnMaxsimIdx,
     "knn_graph" -> knnGraphQ,
     "knn_batch" -> knnBatchQ,
     "knn_mmr" -> ((s: SparkSession, d: String) =>
@@ -848,6 +870,32 @@ object Retrieval {
     // filtered ANN: same pipeline, the metadata predicate on the scored
     // set — post-filter semantics (probe chosen by the query alone)
     "knn_ivf_filtered" -> ivfTop10SqlWhere(s"WHERE e.label = $IvfFilterLabel"),
+    // indexed MaxSim: per-query-vector probe (rank window over the
+    // codebook), union-pruned candidate set, then the same ordered fold —
+    // the recall trade of candidate generation is replayed, not assumed
+    "knn_maxsim_idx" ->
+      s"""WITH $segsSql, $centSql,
+         assign AS (SELECT vec_id, cluster FROM (
+           SELECT e.vec_id, CAST(c.label AS BIGINT) AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.label) AS rn
+           FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         qsegs AS (SELECT seg_id AS qid, v AS qv FROM segs WHERE image_id = 0),
+         probe AS (SELECT DISTINCT cluster FROM (
+           SELECT q.qid, CAST(c.label AS BIGINT) AS cluster,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(c.c, q.qv) DESC, c.label) AS rn
+           FROM cent c CROSS JOIN qsegs q) WHERE rn <= 3),
+         cand AS (SELECT s.image_id, s.vec_id, s.v FROM segs s
+           JOIN assign a ON s.vec_id = a.vec_id
+           JOIN probe p ON a.cluster = p.cluster),
+         best AS (SELECT s.image_id, q.qid, max(list_cosine_similarity(s.v, q.qv)) AS best
+           FROM cand s CROSS JOIN qsegs q GROUP BY s.image_id, q.qid),
+         sc AS (SELECT image_id, list_reduce(list(best ORDER BY qid), (a, b) -> a + b) AS score
+           FROM best GROUP BY image_id)
+         SELECT image_id, round(score, 6) AS score
+         FROM (SELECT * FROM sc ORDER BY score DESC, image_id LIMIT 10)
+         ORDER BY round(score, 6) DESC, image_id""",
     // kNN graph: assignment + within-cluster pair space + per-source rank
     // window, all replayed (same cent/assign parity as knn_ivf's oracle)
     "knn_graph" ->

@@ -690,6 +690,35 @@ object Search {
       .select(col("__doc").as("doc_id"), col("score"))
   }
 
+  /** [[maxSim]] over a [[writeIvfIndex]] layout — late interaction with
+    * candidate generation, the ColBERT serving split: each query vector
+    * resolves its own `nprobe` nearest clusters driver-side (the
+    * codebook is the bounded artifact), the index scan partition-prunes
+    * to the UNION of probed clusters, and only surviving doc vectors
+    * enter the (doc, qid) MaxSim grid. A query vector whose best match
+    * lives in an unprobed cluster contributes its best SURVIVING match
+    * instead — the standard recall trade `nprobe` tunes. Tombstones on
+    * the index are honored before scoring. */
+  def maxSimIndexed(s: SparkSession, indexPath: String,
+      docId: Column, vec: Column,
+      centroids: DataFrame, // (cid, c)
+      queryVecs: DataFrame, // (qid, qv)
+      nprobe: Int, k: Int, tie: Column): DataFrame = {
+    val book = collectCodebook(centroids)
+    val probed = queryVecs.select(col("qid"), col("qv").cast("array<double>"))
+      .collect().flatMap { r =>
+        val qv = r.getSeq[Double](1).toArray
+        book.map { case (cid, c) => (cid, cosArr(c, qv)) }
+          .sortBy { case (cid, qcos) => (-qcos, cid) }
+          .take(nprobe).map(_._1)
+      }.distinct.toSeq
+    graft.sources.Tombstones.healPartitions(s, indexPath)
+    val scan = graft.sources.Tombstones.dropDeleted(
+      s.read.parquet(indexPath).filter(col("cluster").isin(probed: _*)),
+      tie, indexPath)
+    maxSim(scan, docId, vec, queryVecs, k)
+  }
+
   /** Cluster-blocked k-NN graph: every vector's top-`k` neighbors WITHIN
     * its codebook cluster — the all-corpus self-kNN that graph-based
     * curation builds on (neighbor lists feed connected components,

@@ -104,6 +104,35 @@ class IvfLayoutSpec extends SparkSpec {
     assert(got.nonEmpty, "the filter must leave a non-trivial result set")
   }
 
+  test("maxSimIndexed: full probe equals in-plan maxSim; partial probe prunes the scan") {
+    val d = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(spark, d)
+    val cents = Retrieval.labelCentroids(spark, d)
+      .select(col("label").cast("long").as("cid"), col("c"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_ms").toString
+    Search.writeIvfIndex(e, col("embedding"), cents, s"$dir/idx")
+    val qbag = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // nprobe = all clusters ⇒ candidate set is the whole corpus ⇒ the
+    // indexed path must reproduce the in-plan MaxSim exactly
+    val full = Search.maxSim(e.withColumn("img", expr("vec_id DIV 8")),
+        col("img"), col("embedding"), qbag, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    val idxFull = Search.maxSimIndexed(spark, s"$dir/idx",
+        expr("vec_id DIV 8").as("img"), col("embedding"), cents, qbag,
+        nprobe = 10, k = 5, tie = col("vec_id"))
+      .as[(Long, Double)].collect().toSeq
+    assert(idxFull === full)
+    // partial probe: the scan carries a cluster PartitionFilter
+    val pruned = Search.maxSimIndexed(spark, s"$dir/idx",
+      expr("vec_id DIV 8").as("img"), col("embedding"), cents, qbag,
+      nprobe = 1, k = 5, tie = col("vec_id"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("cluster"),
+      s"probe must prune cluster partitions:\n$plan")
+    assert(pruned.count() > 0)
+  }
+
   // well-separated clusters so centroid argmax assignments are stable
   // under last-ulp float-sum order differences between layouts
   private def clusteredCorpus(n: Int) = {
