@@ -276,6 +276,23 @@ object Retrieval {
       .orderBy(desc("score"), asc("image_id"))
   }
 
+  /** Matryoshka-truncated retrieval (MRL, Kusupati et al. 2022,
+    * arXiv:2205.13147): rank by cosine over the FIRST 16 of 64 dims —
+    * the 4×-smaller prefix a matryoshka-trained embedding store serves
+    * coarse search from (full dims rerank the shortlist). Pure
+    * `slice` + the same fused kernel, so the 100 TB win is bytes
+    * scanned, not a new operator; `ann_recall`'s `mrl16_trunc` arm
+    * measures what the truncation costs against the full-dim truth. */
+  def knnMrl(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("mrl", slice(col("embedding"), 1, 16))
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(slice(col("embedding"), 1, 16).as("qv"))
+    Search.knnBrute(emb, col("mrl"), q, k = 10, tie = col("vec_id"))
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+  }
+
   /** Cluster-blocked k-NN graph over the embeddings table
     * ([[Search.knnGraph]]): top-3 same-cluster neighbors per vector with
     * the shared label-centroid codebook — the neighbor lists graph
@@ -470,6 +487,7 @@ object Retrieval {
       ("ivfpq_nprobe3_refine10", exact, knnIvfPqQ(s, d).select("vec_id")),
       ("lsh_8x8", exact, Search.knnLsh(emb, col("vec_id"), col("embedding"),
         q0(s, d), k).select(col("id").as("vec_id"))),
+      ("mrl16_trunc", exact, knnMrl(s, d).select("vec_id")),
       ("pq_refine10", exact, knnPq(s, d).select("vec_id")))
     import s.implicits._
     arms.map { case (m, truth, df) =>
@@ -734,6 +752,7 @@ object Retrieval {
     "knn_maxsim" -> knnMaxsim,
     "knn_maxsim_idx" -> knnMaxsimIdx,
     "knn_graph" -> knnGraphQ,
+    "knn_mrl" -> knnMrl,
     "knn_batch" -> knnBatchQ,
     "knn_mmr" -> ((s: SparkSession, d: String) =>
       Search.mmrRerank(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
@@ -863,6 +882,17 @@ object Retrieval {
     // top-k over the full corpus — one shared oracle shape.
     "knn_lsh" -> bruteTop10Sql,
     "knn_ivfpq_exact" -> bruteTop10Sql,
+    // MRL: the same brute ranking under the 16-dim prefix metric
+    "knn_mrl" ->
+      """WITH q AS (SELECT CAST(embedding[1:16] AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         scored AS (
+           SELECT vec_id,
+             list_cosine_similarity(CAST(embedding[1:16] AS DOUBLE[]), q.qv) AS score
+           FROM embeddings, q)
+         SELECT vec_id, round(score, 6) AS score
+         FROM (SELECT * FROM scored ORDER BY score DESC, vec_id LIMIT 10)
+         ORDER BY round(score, 6) DESC, vec_id""",
     "knn_ivf" -> ivfTop10Sql,
     // same codebook + probe ⇒ provably identical to the in-plan path;
     // only WHERE the cluster assignment ran differs (write time).

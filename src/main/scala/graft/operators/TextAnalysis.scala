@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -50,6 +50,43 @@ object TextAnalysis {
           .cast("long").as("n_punct_clusters"),
         tokenCountEstimate(col("text")).cast("long").as("token_estimate"))
       .orderBy("doc_id")
+
+  /** Token-window document chunking — the transform that turns long
+    * documents into trainer-ready windows: fixed `window` tokens per
+    * chunk, `stride` tokens between chunk starts (overlap =
+    * window − stride), chunk starts stop as soon as one covers the tail
+    * (no degenerate all-overlap tail chunk; the final chunk may be
+    * short). Pure per-row HOF arithmetic — sequence + slice + join
+    * inside one codegen'd projection, zero shuffle, so at 100 TB this is
+    * scan-speed. Lineage (doc_id, chunk_id) is preserved for
+    * provenance/decontamination joins downstream. */
+  def chunkOn(df: DataFrame, id: Column, text: Column,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= stride && stride >= 1,
+      s"chunkOn: need window >= stride >= 1, got window=$window stride=$stride")
+    df.select(id.as("doc_id"), tokens(text).as("toks"))
+      .withColumn("n_doc_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n_doc_tokens") <= window, lit(1L))
+          .otherwise(ceil((col("n_doc_tokens") - window)
+            .cast("double") / stride).cast("long") + 1))
+      .select(col("doc_id"), col("n_doc_tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"),
+        col("toks"))
+      .withColumn("ct",
+        slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"), lit(window)))
+      .select(col("doc_id"), col("chunk_id"), col("n_doc_tokens"),
+        size(col("ct")).cast("long").as("n_chunk_tokens"),
+        array_join(col("ct"), " ").as("chunk_text"))
+  }
+
+  /** `txt_chunk`: window 16 / stride 12 over the documents table (sized
+    * to this corpus' 10–99-token docs so multi-chunk docs dominate;
+    * production uses e.g. 2048/1536 — same plan). */
+  def chunk(s: SparkSession, d: String): DataFrame =
+    chunkOn(Tables.documents(s, d), col("doc_id"), col("text"),
+      window = 16, stride = 12)
+      .orderBy("doc_id", "chunk_id")
 
   /** Document fingerprints: exact (md5), bag-of-words (order/multiplicity
     * invariant), and the 3-shingle count feeding MinHash. */
@@ -196,6 +233,7 @@ object TextAnalysis {
     "txt_bigram_merge" -> bigramMerge,
     "txt_langid" -> langId,
     "txt_tokencount" -> tokenCount,
+    "txt_chunk" -> chunk,
     "txt_fingerprint" -> fingerprint,
     "txt_vocab" -> vocab,
     "txt_surprisal" -> unigramSurprisal,
@@ -241,6 +279,22 @@ object TextAnalysis {
            CAST(n_pc AS BIGINT) AS n_punct_clusters,
            CAST(n_ws + n_pc AS BIGINT) AS token_estimate
          FROM t ORDER BY doc_id""",
+    // chunking: window 16 / stride 12; starts stop once a chunk covers
+    // the tail, the final chunk may be short — replayed exactly
+    "txt_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_doc_tokens,
+           CASE WHEN len(toks) <= 16 THEN 1
+             ELSE CAST(ceil(CAST(len(toks) - 16 AS DOUBLE) / 12) AS BIGINT) + 1
+           END AS n_chunks FROM t),
+         e AS (SELECT doc_id, n_doc_tokens, toks,
+             CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_id FROM d),
+         c AS (SELECT doc_id, chunk_id, n_doc_tokens,
+             toks[chunk_id*12 + 1 : chunk_id*12 + 16] AS ct FROM e)
+         SELECT doc_id, chunk_id, n_doc_tokens,
+           CAST(len(ct) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(ct, ' ') AS chunk_text
+         FROM c ORDER BY doc_id, chunk_id""",
     "txt_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
          SELECT doc_id,

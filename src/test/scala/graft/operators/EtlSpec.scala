@@ -37,4 +37,24 @@ class EtlSpec extends SparkSpec {
       .orderBy("id").select("global_idx").as[Long].collect()
     assert(same === Array(0L, 1L, 2L, 3L, 4L))
   }
+
+  test("chunkOn: window/stride coverage, short-doc and tail edges") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // n=10 > W=4: tail
+      (2L, "a b c"),                                  // n=3 <= W: 1 chunk
+      (3L, "")                                        // split("") = [""] — 1 token
+    ).toDF("id", "text")
+    val r = TextAnalysis.chunkOn(docs, $"id", $"text", window = 4, stride = 3)
+      .select($"doc_id", $"chunk_id", $"n_chunk_tokens", $"chunk_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(t => (t._1, t._2)).toSeq
+    // doc 1: starts 0,3,6 — ceil((10-4)/3)+1 = 3 chunks; last is full [7..10]
+    assert(r.filter(_._1 == 1L).map(_._4) === Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    // consecutive chunks overlap by window - stride = 1 token
+    assert(r.filter(_._1 == 2L) === Seq((2L, 0L, 3L, "a b c")))
+    assert(r.filter(_._1 == 3L) === Seq((3L, 0L, 1L, "")))
+    // every token of doc 1 is covered by some chunk
+    val covered = r.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered === (1 to 10).map(i => s"w$i").toSet)
+  }
 }
