@@ -9,9 +9,9 @@ import graft.sources.Compact
   * the end-to-end a reference user runs daily, stage outputs feeding the
   * next stage with assertions at every boundary:
   *
-  *   documents → full curation chain → sequence packing → parquet table
-  *   → small-file compaction → (embeddings) k-means codebook → at-rest
-  *   IVFADC index → probe-pruned search.
+  *   documents → full curation chain → token-window chunking → sequence
+  *   packing → parquet table → small-file compaction → (embeddings)
+  *   k-means codebook → at-rest IVFADC index → probe-pruned search.
   */
 class GoldenPathSpec extends SparkSpec {
   import spark.implicits._
@@ -29,21 +29,30 @@ class GoldenPathSpec extends SparkSpec {
     val nKept = kept.count()
     assert(nKept > 0 && nKept < nDocs, s"curation keeps a strict subset: $nKept/$nDocs")
 
-    // 2. pack the survivors into fixed 512-token training windows
+    // 2. chunk the survivors into trainer windows (r10: lineage-keeping
+    //    token-window chunking), then pack the CHUNKS into 512-token
+    //    sequences — the documents→trainer-sequences flow
+    val chunks = operators.TextAnalysis.chunkOn(
+        docs.join(kept, "doc_id"), $"doc_id", $"text",
+        window = 64, stride = 48)
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val nChunks = chunks.count()
+    assert(nChunks >= nKept, "every kept doc yields at least one chunk")
+    assert(chunks.agg(max("n_chunk_tokens")).as[Long].head() <= 64L)
     val packed = Curation.packSequences(
-      docs.join(kept, "doc_id")
-        .withColumn("n_tokens", size(split(lower($"text"), " ")).cast("long")),
-      $"source", $"doc_id", $"n_tokens", budget = 512L)
-    assert(packed.count() === nKept, "packing is row-preserving")
+      chunks.withColumn("chunk_key", $"doc_id" * 10 + $"chunk_id"),
+      $"source", $"chunk_key", $"n_chunk_tokens", budget = 512L)
+    assert(packed.count() === nChunks, "packing is row-preserving")
     assert(packed.agg(max("pack_offset")).as[Long].head() < 512L)
 
     // 3. land the curated+packed table deliberately fragmented, then compact
-    packed.select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
+    packed.select("doc_id", "chunk_id", "source", "n_chunk_tokens",
+        "pack_id", "pack_offset")
       .repartition(16).write.parquet(s"$dir/corpus")
     val stats = Compact.compactParquet(spark, s"$dir/corpus", targetBytes = Long.MaxValue)
     assert(stats.filesBefore === 16 && stats.filesAfter === 1L)
     val landed = spark.read.parquet(s"$dir/corpus")
-    assert(landed.count() === nKept, "compaction preserves every row")
+    assert(landed.count() === nChunks, "compaction preserves every row")
 
     // 4. train an IVF codebook on the embeddings and lay the index at rest
     val emb = Tables.embeddings(spark, d)
