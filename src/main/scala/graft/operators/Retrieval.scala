@@ -276,6 +276,45 @@ object Retrieval {
       .orderBy(desc("score"), asc("image_id"))
   }
 
+  /** Retrieval-quality evaluation — the metrics harness a retrieval
+    * platform runs on every index/config change: rank the corpus for the
+    * query (self excluded), mark relevance (here: shares the query's
+    * label — the testdata's ground-truth proxy), and report
+    * precision@10, MRR, and nDCG@10 as ONE exact-arithmetic row. Binary
+    * relevance keeps every term a ratio of counts and log2 calls, so the
+    * whole computation — including the ideal-DCG normalizer — is
+    * replayed by the oracle (what `ann_recall` does for candidate
+    * recall, this does for RANKING quality). */
+  def evalRetrieval(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val relLabel = emb.filter(col("vec_id") === 0)
+      .select(col("label").cast("long")).head().getLong(0)
+    val nRel = emb.filter(col("vec_id") =!= 0 &&
+      col("label").cast("long") === relLabel).count()
+    val idealN = math.min(10L, nRel)
+    val ranked = Search.knnBrute(emb.filter(col("vec_id") =!= 0),
+        col("embedding"), q0(s, d), k = 10, tie = col("vec_id"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("score"), asc("vec_id"))))
+      .withColumn("rel",
+        (col("label").cast("long") === relLabel).cast("int"))
+    ranked.agg(
+        (sum("rel") / lit(10.0)).as("p"),
+        coalesce(max(when(col("rel") === 1,
+          lit(1.0) / col("rank"))), lit(0.0)).as("mrr"),
+        coalesce(sum(when(col("rel") === 1,
+          lit(1.0) / log2(col("rank") + 1))), lit(0.0)).as("dcg"))
+      // ideal DCG computed by the same in-plan fold the oracle replays —
+      // a driver-side scala.math version could differ in the last ulp
+      .withColumn("idcg", expr(
+        s"aggregate(sequence(1L, ${idealN}L), CAST(0 AS DOUBLE), " +
+          "(a, x) -> a + 1D / log2(CAST(x AS DOUBLE) + 1D))"))
+      .select(round(col("p"), 6).as("precision_at_10"),
+        round(col("mrr"), 6).as("mrr"),
+        round(col("dcg"), 6).as("dcg_at_10"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg_at_10"))
+  }
+
   /** Matryoshka-truncated retrieval (MRL, Kusupati et al. 2022,
     * arXiv:2205.13147): rank by cosine over the FIRST 16 of 64 dims —
     * the 4×-smaller prefix a matryoshka-trained embedding store serves
@@ -753,6 +792,7 @@ object Retrieval {
     "knn_maxsim_idx" -> knnMaxsimIdx,
     "knn_graph" -> knnGraphQ,
     "knn_mrl" -> knnMrl,
+    "eval_retrieval" -> evalRetrieval,
     "knn_batch" -> knnBatchQ,
     "knn_mmr" -> ((s: SparkSession, d: String) =>
       Search.mmrRerank(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
@@ -882,6 +922,30 @@ object Retrieval {
     // top-k over the full corpus — one shared oracle shape.
     "knn_lsh" -> bruteTop10Sql,
     "knn_ivfpq_exact" -> bruteTop10Sql,
+    // ranking-quality metrics: rank replay + binary relevance keeps every
+    // term a ratio of counts and log2 calls; round(6) absorbs libm ulps
+    "eval_retrieval" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv,
+           CAST(label AS BIGINT) AS qlabel FROM embeddings WHERE vec_id = 0),
+         allranked AS (SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+             row_number() OVER (ORDER BY
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+               e.vec_id) AS rank
+           FROM embeddings e, q WHERE e.vec_id <> 0),
+         ranked AS (SELECT * FROM allranked WHERE rank <= 10),
+         nrel AS (SELECT count(*) AS n FROM embeddings e, q
+           WHERE e.vec_id <> 0 AND CAST(e.label AS BIGINT) = q.qlabel),
+         m AS (SELECT
+             sum(CASE WHEN r.label = q.qlabel THEN 1 ELSE 0 END) / 10.0 AS p,
+             coalesce(max(CASE WHEN r.label = q.qlabel THEN 1.0 / r.rank END), 0.0) AS mrr,
+             coalesce(sum(CASE WHEN r.label = q.qlabel THEN 1.0 / log2(r.rank + 1) END), 0.0) AS dcg
+           FROM ranked r, q),
+         ideal AS (SELECT sum(1.0 / log2(CAST(t.x AS DOUBLE) + 1)) AS idcg
+           FROM range(1, 11) t(x), nrel WHERE t.x <= least(10, nrel.n))
+         SELECT round(m.p, 6) AS precision_at_10, round(m.mrr, 6) AS mrr,
+           round(m.dcg, 6) AS dcg_at_10,
+           round(m.dcg / ideal.idcg, 6) AS ndcg_at_10
+         FROM m, ideal""",
     // MRL: the same brute ranking under the 16-dim prefix metric
     "knn_mrl" ->
       """WITH q AS (SELECT CAST(embedding[1:16] AS DOUBLE[]) AS qv
