@@ -660,13 +660,7 @@ object Dedup {
       centroids: DataFrame, // (cid, c)
       minCos: Double, maxClusterN: Long = 100000): DataFrame = {
     val s = df.sparkSession
-    val book = centroids.select(col("cid").cast("long"),
-        col("c").cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
-    val assigned = df.select(id.as("__vid"), vec.as("__v"))
-      .withColumn("cluster", graft.functions.VectorExpressions.nearestCentroid(
-        s, col("__v"), book.map(_._1).toSeq, book.map(_._2).toSeq))
+    val assigned = semanticAssign(df, id, vec, centroids)
     // guard FIRST: a cheap (cluster, count) agg — one narrow scan — before
     // any m² pair join is wired against a degenerate assignment
     val worst = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))

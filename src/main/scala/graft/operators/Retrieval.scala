@@ -291,7 +291,10 @@ object Retrieval {
       .select(col("label").cast("long")).head().getLong(0)
     val nRel = emb.filter(col("vec_id") =!= 0 &&
       col("label").cast("long") === relLabel).count()
-    val idealN = math.min(10L, nRel)
+    // floor of 1: with zero relevant docs ndcg is defined as 0 (dcg is 0)
+    // rather than 0/0 — and Spark's sequence(1, 0) would otherwise emit
+    // a DESCENDING [1, 0] whose log2(0+1) term divides by zero
+    val idealN = math.max(1L, math.min(10L, nRel))
     val ranked = Search.knnBrute(emb.filter(col("vec_id") =!= 0),
         col("embedding"), q0(s, d), k = 10, tie = col("vec_id"))
       .withColumn("rank", row_number().over(
@@ -941,7 +944,8 @@ object Retrieval {
              coalesce(sum(CASE WHEN r.label = q.qlabel THEN 1.0 / log2(r.rank + 1) END), 0.0) AS dcg
            FROM ranked r, q),
          ideal AS (SELECT sum(1.0 / log2(CAST(t.x AS DOUBLE) + 1)) AS idcg
-           FROM range(1, 11) t(x), nrel WHERE t.x <= least(10, nrel.n))
+           FROM range(1, 11) t(x), nrel
+           WHERE t.x <= greatest(1, least(10, nrel.n)))
          SELECT round(m.p, 6) AS precision_at_10, round(m.mrr, 6) AS mrr,
            round(m.dcg, 6) AS dcg_at_10,
            round(m.dcg / ideal.idcg, 6) AS ndcg_at_10

@@ -736,13 +736,10 @@ object Search {
       centroids: DataFrame, // (cid, c)
       k: Int, maxClusterN: Long = 100000): DataFrame = {
     val s = corpus.sparkSession
-    val book = centroids.select(col("cid").cast("long"),
-        col("c").cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
+    val book = collectCodebook(centroids)
     val assigned = corpus.select(id.as("__vid"), vec.as("__v"))
       .withColumn("cluster", graft.functions.VectorExpressions.nearestCentroid(
-        s, col("__v"), book.map(_._1).toSeq, book.map(_._2).toSeq))
+        s, col("__v"), book.map(_._1).toSeq, book.map(_._2.toSeq).toSeq))
     val worst = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
       .agg(max("n")).head().getLong(0)
     require(worst <= maxClusterN,

@@ -45,10 +45,13 @@ object Sketches {
     val s = df.sparkSession
     import s.implicits._
     val keys = df.select(key.cast("string").as("k")).as[String]
-    // pass 1: ≤ capacity counters + one row-count marker per partition
+    // pass 1: ≤ capacity counters + one (row-count, evicted?) marker per
+    // partition. The eviction flag feeds certification: a sketch that
+    // never decremented holds EXACT per-partition counts for EVERY key.
     val partials = keys.mapPartitions { it =>
       val m = new scala.collection.mutable.HashMap[String, Long]()
       var rows = 0L
+      var evicted = false
       while (it.hasNext) {
         val k = it.next()
         rows += 1
@@ -57,6 +60,7 @@ object Sketches {
           case None =>
             if (m.size < capacity) m.update(k, 1L)
             else {
+              evicted = true
               val dead = List.newBuilder[String]
               m.foreach { case (kk, cc) =>
                 if (cc == 1L) dead += kk else m.update(kk, cc - 1L)
@@ -65,32 +69,49 @@ object Sketches {
             }
         }
       }
-      m.iterator.map { case (k, c) => (k, c, false) } ++
-        Iterator(("", rows, true))
-    }.toDF("k", "c", "marker")
-    val total = partials.filter(col("marker"))
-      .agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
-    val cands = partials.filter(!col("marker")).select("k").distinct()
-    // pass 2: exact counts of candidates only
-    val top = keys.toDF("k").join(broadcast(cands), Seq("k"))
-      .groupBy("k").agg(count(lit(1)).as("cnt"))
-      .orderBy(desc("cnt"), asc("k")).limit(topN)
-      .collect()
-    val floor = total.toDouble / capacity
-    val nth = if (top.isEmpty) 0L else top.last.getLong(1)
-    // fewer candidates than topN = the whole candidate set is exact
-    // (every absent key was decremented to 0 by keys that ARE present)
-    require(top.length < topN || nth > floor,
-      s"heavyHitters: cannot certify exactness — the #$topN candidate " +
-        s"count ($nth) does not exceed total/capacity = $floor; raise " +
-        s"capacity (now $capacity) above total/count@N")
-    s.createDataFrame(
-      java.util.Arrays.asList(top.map(r => Row(r.getString(0), r.getLong(1))): _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("k",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("cnt",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+      m.iterator.map { case (k, c) => (k, c, false, false) } ++
+        Iterator(("", rows, true, evicted))
+    }.toDF("k", "c", "marker", "evicted")
+      // partials feed three consumers (total, candidates, certification) —
+      // bounded at partitions × capacity rows; persist or the corpus-wide
+      // sketch pass re-runs per consumer
+      .persist()
+    try {
+      val mk = partials.filter(col("marker"))
+        .agg(coalesce(sum("c"), lit(0L)), coalesce(max("evicted"), lit(false)))
+        .head()
+      val total = mk.getLong(0)
+      val anyEvicted = mk.getBoolean(1)
+      val cands = partials.filter(!col("marker")).select("k").distinct()
+      // pass 2: exact counts of candidates only (null-safe join — a null
+      // key is a legitimate heavy hitter and must not vanish in pass 2)
+      val top = keys.toDF("k").as("l")
+        .join(broadcast(cands.as("r")), col("l.k") <=> col("r.k"))
+        .groupBy(col("l.k").as("k")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("k")).limit(topN)
+        .collect()
+      val floor = total.toDouble / capacity
+      val nth = if (top.isEmpty) 0L else top.last.getLong(1)
+      // Sound certification, two cases:
+      //  - no partition ever decremented ⇒ the sketch held exact counts
+      //    for EVERY key ⇒ candidates are the full key set ⇒ exact, even
+      //    with fewer than topN rows.
+      //  - decrements happened ⇒ absent keys may have been evicted BY
+      //    EACH OTHER (not only by candidates), so a short candidate list
+      //    proves nothing — demand a full topN whose floor bound holds.
+      require(!anyEvicted || (top.length == topN && nth > floor),
+        s"heavyHitters: cannot certify exactness — sketch evicted and " +
+          s"the #$topN candidate count ($nth over ${top.length} " +
+          s"candidates) does not exceed total/capacity = $floor; raise " +
+          s"capacity (now $capacity)")
+      s.createDataFrame(
+        java.util.Arrays.asList(top.map(r => Row(r.getString(0), r.getLong(1))): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType, nullable = true),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    } finally partials.unpersist(blocking = false)
   }
 
   /** Exact top-20 corpus tokens at sketch cost: the per-occurrence

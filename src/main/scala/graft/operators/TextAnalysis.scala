@@ -64,7 +64,10 @@ object TextAnalysis {
       window: Int, stride: Int): DataFrame = {
     require(window >= stride && stride >= 1,
       s"chunkOn: need window >= stride >= 1, got window=$window stride=$stride")
-    df.select(id.as("doc_id"), tokens(text).as("toks"))
+    // null text = empty text (both sides of the oracle agree); without
+    // the coalesce, size(null) = -1 fabricates a garbage chunk row where
+    // the SQL replay drops the doc
+    df.select(id.as("doc_id"), tokens(coalesce(text, lit(""))).as("toks"))
       .withColumn("n_doc_tokens", size(col("toks")).cast("long"))
       .withColumn("n_chunks",
         when(col("n_doc_tokens") <= window, lit(1L))
@@ -282,7 +285,8 @@ object TextAnalysis {
     // chunking: window 16 / stride 12; starts stop once a chunk covers
     // the tail, the final chunk may be short — replayed exactly
     "txt_chunk" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id,
+           string_split(lower(coalesce(text, '')), ' ') AS toks FROM documents),
          d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_doc_tokens,
            CASE WHEN len(toks) <= 16 THEN 1
              ELSE CAST(ceil(CAST(len(toks) - 16 AS DOUBLE) / 12) AS BIGINT) + 1

@@ -25,7 +25,7 @@ class IvfLayoutSpec extends SparkSpec {
       cents, q, nprobe = 3, k = 10, tie = col("vec_id"))
     // the probe's cluster filter reaches the scan as a partition filter
     val planStr = indexed.queryExecution.executedPlan.toString
-    assert(planStr.contains("PartitionFilters:") && planStr.contains("cluster"),
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(planStr).isDefined,
       s"probe must prune partitions, not filter rows:\n$planStr")
     // and the at-rest path answers exactly like the in-plan path
     val a = indexed.select("vec_id", "score").as[(Long, Double)].collect().toSeq
@@ -46,7 +46,7 @@ class IvfLayoutSpec extends SparkSpec {
     val lake = spark.read.parquet(s"$dir/emb")
     val probed = lake.filter(col("cluster").isin(1L, 2L, 3L))
     val plan = probed.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters:") && plan.contains("cluster"),
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).isDefined,
       s"cluster filter must be a partition filter:\n$plan")
     // pruning is real: the probed scan reads fewer files than the full scan.
     // Metrics must be read from the SAME plan instance that executed, with
@@ -81,11 +81,12 @@ class IvfLayoutSpec extends SparkSpec {
     val filtered = Search.knnIvfIndexed(spark, s"$dir/idx", col("embedding"),
       cents, q, nprobe = 3, k = 10, tie = col("vec_id"),
       filter = Some(col("label") === 2))
-    // BOTH pruning layers reach the scan: the probe as a PartitionFilter
-    // (file skipping) and the metadata predicate as a PushedFilter
-    // (row-group skipping inside probed partitions)
+    // BOTH pruning layers reach the scan: the probe as a NON-EMPTY
+    // PartitionFilter (file skipping — the bare header prints on every
+    // scan) and the metadata predicate as a PushedFilter (row-group
+    // skipping inside probed partitions)
     val plan = filtered.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters:") && plan.contains("cluster"),
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).isDefined,
       s"probe must prune partitions:\n$plan")
     assert(plan.contains("PushedFilters:") &&
       plan.replaceAll("\\s", "").contains("EqualTo(label,2)"),
@@ -128,7 +129,7 @@ class IvfLayoutSpec extends SparkSpec {
       expr("vec_id DIV 8").as("img"), col("embedding"), cents, qbag,
       nprobe = 1, k = 5, tie = col("vec_id"))
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters:") && plan.contains("cluster"),
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).isDefined,
       s"probe must prune cluster partitions:\n$plan")
     assert(pruned.count() > 0)
   }

@@ -51,4 +51,28 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(r === Seq(("a", 2L), ("b", 1L)))
   }
+
+  test("heavyHitters: mutual eviction cannot fake an exact short answer") {
+    // 'a b c d' repeated: with capacity 3 every arrival of d wipes
+    // {a,b,c} — the sketch ends (nearly) empty even though a,b,c,d each
+    // occur 100 times. The unsound shortcut would return the short
+    // candidate list as a certified exact top-2; the eviction flag must
+    // force a refusal instead.
+    val df = Seq.fill(100)(Seq("a", "b", "c", "d")).flatten.toDF("k")
+      .coalesce(1)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(df, $"k", topN = 2, capacity = 3)
+    }
+    assert(e.getMessage.contains("cannot certify"))
+  }
+
+  test("heavyHitters: a null key is a real heavy hitter, not dropped in pass 2") {
+    val df = (Seq.fill(50)(Option.empty[String]) ++
+      Seq.fill(10)(Option("x")) ++ Seq.fill(3)(Option("y")))
+      .toDF("k")
+    val r = Sketches.heavyHitters(df, $"k", topN = 2, capacity = 16)
+      .as[(Option[String], Long)].collect().toSeq
+    assert(r === Seq((None, 50L), (Some("x"), 10L)),
+      s"null must survive the candidate equi-join: $r")
+  }
 }
