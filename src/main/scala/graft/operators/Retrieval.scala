@@ -318,6 +318,57 @@ object Retrieval {
         round(col("dcg") / col("idcg"), 6).as("ndcg_at_10"))
   }
 
+  /** [[evalRetrieval]] as a COMPARISON TABLE — the same metric suite
+    * over three rankings of the same corpus and relevance set: full-dim
+    * exact, the MRL 16-dim prefix, and SQ8 int8 codes. This is what the
+    * harness exists for operationally: a config change (quantize, trim
+    * dims) lands as a measured metrics delta, not a hunch. One row per
+    * method, every term exact arithmetic, fully oracle-replayed. */
+  def evalMethods(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val relLabel = emb.filter(col("vec_id") === 0)
+      .select(col("label").cast("long")).head().getLong(0)
+    val nRel = emb.filter(col("vec_id") =!= 0 &&
+      col("label").cast("long") === relLabel).count()
+    val idealN = math.max(1L, math.min(10L, nRel))
+    val others = emb.filter(col("vec_id") =!= 0)
+    def metricsOf(topTen: DataFrame, method: String): DataFrame =
+      topTen.withColumn("rank", row_number().over(
+          Window.orderBy(desc("score"), asc("vec_id"))))
+        .withColumn("rel", (col("label").cast("long") === relLabel).cast("int"))
+        .agg((sum("rel") / lit(10.0)).as("p"),
+          coalesce(max(when(col("rel") === 1,
+            lit(1.0) / col("rank"))), lit(0.0)).as("mrr"),
+          coalesce(sum(when(col("rel") === 1,
+            lit(1.0) / log2(col("rank") + 1))), lit(0.0)).as("dcg"))
+        .withColumn("idcg", expr(
+          s"aggregate(sequence(1L, ${idealN}L), CAST(0 AS DOUBLE), " +
+            "(a, x) -> a + 1D / log2(CAST(x AS DOUBLE) + 1D))"))
+        .select(lit(method).as("method"),
+          round(col("p"), 6).as("precision_at_10"),
+          round(col("mrr"), 6).as("mrr"),
+          round(col("dcg"), 6).as("dcg_at_10"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg_at_10"))
+    val exact = Search.knnBrute(others, col("embedding"), q0(s, d),
+      k = 10, tie = col("vec_id"))
+    val mrlQ = emb.filter(col("vec_id") === 0)
+      .select(slice(col("embedding"), 1, 16).as("qv"))
+    val mrl = Search.knnBrute(
+      others.withColumn("mrl", slice(col("embedding"), 1, 16)),
+      col("mrl"), mrlQ, k = 10, tie = col("vec_id"))
+    import graft.functions.VectorFunctions.{sq8Codes, sq8MaxAbs}
+    val enc = others.withColumn("__v", col("embedding").cast("array<double>"))
+      .withColumn("__ma", sq8MaxAbs(col("__v")))
+      .withColumn("codes", sq8Codes(col("__v"), col("__ma")).cast("array<double>"))
+    val sq8 = Search.knnBrute(enc, col("codes"),
+      q0(s, d).select(col("qv").cast("array<double>").as("qv")),
+      k = 10, tie = col("vec_id"))
+    metricsOf(exact, "exact")
+      .unionByName(metricsOf(mrl, "mrl16"))
+      .unionByName(metricsOf(sq8, "sq8"))
+      .orderBy("method")
+  }
+
   /** Matryoshka-truncated retrieval (MRL, Kusupati et al. 2022,
     * arXiv:2205.13147): rank by cosine over the FIRST 16 of 64 dims —
     * the 4×-smaller prefix a matryoshka-trained embedding store serves
@@ -796,6 +847,7 @@ object Retrieval {
     "knn_graph" -> knnGraphQ,
     "knn_mrl" -> knnMrl,
     "eval_retrieval" -> evalRetrieval,
+    "eval_methods" -> evalMethods,
     "knn_batch" -> knnBatchQ,
     "knn_mmr" -> ((s: SparkSession, d: String) =>
       Search.mmrRerank(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
@@ -950,6 +1002,56 @@ object Retrieval {
            round(m.dcg, 6) AS dcg_at_10,
            round(m.dcg / ideal.idcg, 6) AS ndcg_at_10
          FROM m, ideal""",
+    // method-comparison metrics: three rankings (full-dim, MRL prefix,
+    // SQ8 codes) through the identical exact-arithmetic metric template
+    "eval_methods" -> {
+      def m(name: String) =
+        s"""m_$name AS (SELECT '$name' AS method,
+           sum(CASE WHEN r.label = q.qlabel THEN 1 ELSE 0 END) / 10.0 AS p,
+           coalesce(max(CASE WHEN r.label = q.qlabel THEN 1.0 / r.rank END), 0.0) AS mrr,
+           coalesce(sum(CASE WHEN r.label = q.qlabel THEN 1.0 / log2(r.rank + 1) END), 0.0) AS dcg
+           FROM r_$name r, q)"""
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv,
+           CAST(embedding[1:16] AS DOUBLE[]) AS qv16,
+           CAST(label AS BIGINT) AS qlabel FROM embeddings WHERE vec_id = 0),
+         nrel AS (SELECT count(*) AS n FROM embeddings e, q
+           WHERE e.vec_id <> 0 AND CAST(e.label AS BIGINT) = q.qlabel),
+         ideal AS (SELECT sum(1.0 / log2(CAST(t.x AS DOUBLE) + 1)) AS idcg
+           FROM range(1, 11) t(x), nrel
+           WHERE t.x <= greatest(1, least(10, nrel.n))),
+         r_exact AS (SELECT label, rank FROM (
+           SELECT CAST(e.label AS BIGINT) AS label,
+             row_number() OVER (ORDER BY
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+               e.vec_id) AS rank
+           FROM embeddings e, q WHERE e.vec_id <> 0) WHERE rank <= 10),
+         r_mrl16 AS (SELECT label, rank FROM (
+           SELECT CAST(e.label AS BIGINT) AS label,
+             row_number() OVER (ORDER BY
+               list_cosine_similarity(CAST(e.embedding[1:16] AS DOUBLE[]), q.qv16) DESC,
+               e.vec_id) AS rank
+           FROM embeddings e, q WHERE e.vec_id <> 0) WHERE rank <= 10),
+         enc AS (SELECT vec_id, label, v,
+             list_max(list_transform(v, x -> abs(x))) AS maxabs
+           FROM (SELECT vec_id, CAST(label AS BIGINT) AS label,
+             CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0)),
+         codes AS (SELECT vec_id, label,
+             CASE WHEN maxabs = 0 THEN NULL
+               ELSE list_transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS DOUBLE))
+             END AS c FROM enc),
+         r_sq8 AS (SELECT label, rank FROM (
+           SELECT c2.label,
+             row_number() OVER (ORDER BY
+               list_cosine_similarity(c2.c, q.qv) DESC, c2.vec_id) AS rank
+           FROM codes c2, q) WHERE rank <= 10),
+         ${m("exact")}, ${m("mrl16")}, ${m("sq8")}
+         SELECT m.method, round(m.p, 6) AS precision_at_10,
+           round(m.mrr, 6) AS mrr, round(m.dcg, 6) AS dcg_at_10,
+           round(m.dcg / ideal.idcg, 6) AS ndcg_at_10
+         FROM (SELECT * FROM m_exact UNION ALL SELECT * FROM m_mrl16
+           UNION ALL SELECT * FROM m_sq8) m, ideal
+         ORDER BY m.method"""
+    },
     // MRL: the same brute ranking under the 16-dim prefix metric
     "knn_mrl" ->
       """WITH q AS (SELECT CAST(embedding[1:16] AS DOUBLE[]) AS qv
