@@ -109,14 +109,19 @@ object Retrieval {
     * kernel runs directly on the int codes and ranks exactly as the
     * dequantized vectors would. Quantization noise is deterministic, so
     * this stays oracle-checked (vs the rows-only PQ path). */
-  def knnSq8(s: SparkSession, d: String): DataFrame = {
+  /** Append double-typed SQ8 `codes` to an embeddings frame — the one
+    * encoding definition `knn_sq8` and `eval_methods` both rank with. */
+  private def sq8Coded(df: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.{sq8Codes, sq8MaxAbs}
-    val enc = Tables.embeddings(s, d)
-      .withColumn("__v", col("embedding").cast("array<double>"))
+    df.withColumn("__v", col("embedding").cast("array<double>"))
       .withColumn("__ma", sq8MaxAbs(col("__v")))
       .withColumn("codes", sq8Codes(col("__v"), col("__ma")).cast("array<double>"))
+  }
+
+  def knnSq8(s: SparkSession, d: String): DataFrame = {
     val q = q0(s, d).select(col("qv").cast("array<double>").as("qv"))
-    Search.knnBrute(enc, col("codes"), q, k = 10, tie = col("vec_id"))
+    Search.knnBrute(sq8Coded(Tables.embeddings(s, d)), col("codes"), q,
+        k = 10, tie = col("vec_id"))
       .select(col("vec_id"), round(col("score"), 6).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
   }
@@ -285,30 +290,34 @@ object Retrieval {
     * whole computation — including the ideal-DCG normalizer — is
     * replayed by the oracle (what `ann_recall` does for candidate
     * recall, this does for RANKING quality). */
-  def evalRetrieval(s: SparkSession, d: String): DataFrame = {
+  /** Shared relevance frame for the eval harness: (query label, clamped
+    * ideal-DCG length). Floor of 1: with zero relevant docs ndcg is
+    * defined as 0 (dcg is 0) rather than 0/0 — and Spark's
+    * sequence(1, 0) would otherwise emit a DESCENDING [1, 0] whose
+    * log2(0+1) term divides by zero. */
+  private def labelRelevance(s: SparkSession, d: String): (Long, Long) = {
     val emb = Tables.embeddings(s, d)
     val relLabel = emb.filter(col("vec_id") === 0)
       .select(col("label").cast("long")).head().getLong(0)
     val nRel = emb.filter(col("vec_id") =!= 0 &&
       col("label").cast("long") === relLabel).count()
-    // floor of 1: with zero relevant docs ndcg is defined as 0 (dcg is 0)
-    // rather than 0/0 — and Spark's sequence(1, 0) would otherwise emit
-    // a DESCENDING [1, 0] whose log2(0+1) term divides by zero
-    val idealN = math.max(1L, math.min(10L, nRel))
-    val ranked = Search.knnBrute(emb.filter(col("vec_id") =!= 0),
-        col("embedding"), q0(s, d), k = 10, tie = col("vec_id"))
-      .withColumn("rank", row_number().over(
+    (relLabel, math.max(1L, math.min(10L, nRel)))
+  }
+
+  /** ONE metric template for the eval harness — precision@10 / MRR /
+    * nDCG@10 of a top-10 (vec_id, score, label) ranking. The ideal DCG
+    * is computed by the same in-plan fold the oracle replays — a
+    * driver-side scala.math version could differ in the last ulp. */
+  private def rankingMetrics(topTen: DataFrame, relLabel: Long,
+      idealN: Long): DataFrame =
+    topTen.withColumn("rank", row_number().over(
         Window.orderBy(desc("score"), asc("vec_id"))))
-      .withColumn("rel",
-        (col("label").cast("long") === relLabel).cast("int"))
-    ranked.agg(
-        (sum("rel") / lit(10.0)).as("p"),
+      .withColumn("rel", (col("label").cast("long") === relLabel).cast("int"))
+      .agg((sum("rel") / lit(10.0)).as("p"),
         coalesce(max(when(col("rel") === 1,
           lit(1.0) / col("rank"))), lit(0.0)).as("mrr"),
         coalesce(sum(when(col("rel") === 1,
           lit(1.0) / log2(col("rank") + 1))), lit(0.0)).as("dcg"))
-      // ideal DCG computed by the same in-plan fold the oracle replays —
-      // a driver-side scala.math version could differ in the last ulp
       .withColumn("idcg", expr(
         s"aggregate(sequence(1L, ${idealN}L), CAST(0 AS DOUBLE), " +
           "(a, x) -> a + 1D / log2(CAST(x AS DOUBLE) + 1D))"))
@@ -316,6 +325,13 @@ object Retrieval {
         round(col("mrr"), 6).as("mrr"),
         round(col("dcg"), 6).as("dcg_at_10"),
         round(col("dcg") / col("idcg"), 6).as("ndcg_at_10"))
+
+  def evalRetrieval(s: SparkSession, d: String): DataFrame = {
+    val (relLabel, idealN) = labelRelevance(s, d)
+    rankingMetrics(
+      Search.knnBrute(Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+        col("embedding"), q0(s, d), k = 10, tie = col("vec_id")),
+      relLabel, idealN)
   }
 
   /** [[evalRetrieval]] as a COMPARISON TABLE — the same metric suite
@@ -326,29 +342,11 @@ object Retrieval {
     * method, every term exact arithmetic, fully oracle-replayed. */
   def evalMethods(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val relLabel = emb.filter(col("vec_id") === 0)
-      .select(col("label").cast("long")).head().getLong(0)
-    val nRel = emb.filter(col("vec_id") =!= 0 &&
-      col("label").cast("long") === relLabel).count()
-    val idealN = math.max(1L, math.min(10L, nRel))
+    val (relLabel, idealN) = labelRelevance(s, d)
     val others = emb.filter(col("vec_id") =!= 0)
     def metricsOf(topTen: DataFrame, method: String): DataFrame =
-      topTen.withColumn("rank", row_number().over(
-          Window.orderBy(desc("score"), asc("vec_id"))))
-        .withColumn("rel", (col("label").cast("long") === relLabel).cast("int"))
-        .agg((sum("rel") / lit(10.0)).as("p"),
-          coalesce(max(when(col("rel") === 1,
-            lit(1.0) / col("rank"))), lit(0.0)).as("mrr"),
-          coalesce(sum(when(col("rel") === 1,
-            lit(1.0) / log2(col("rank") + 1))), lit(0.0)).as("dcg"))
-        .withColumn("idcg", expr(
-          s"aggregate(sequence(1L, ${idealN}L), CAST(0 AS DOUBLE), " +
-            "(a, x) -> a + 1D / log2(CAST(x AS DOUBLE) + 1D))"))
-        .select(lit(method).as("method"),
-          round(col("p"), 6).as("precision_at_10"),
-          round(col("mrr"), 6).as("mrr"),
-          round(col("dcg"), 6).as("dcg_at_10"),
-          round(col("dcg") / col("idcg"), 6).as("ndcg_at_10"))
+      rankingMetrics(topTen, relLabel, idealN)
+        .select(lit(method).as("method"), col("*"))
     val exact = Search.knnBrute(others, col("embedding"), q0(s, d),
       k = 10, tie = col("vec_id"))
     val mrlQ = emb.filter(col("vec_id") === 0)
@@ -356,11 +354,7 @@ object Retrieval {
     val mrl = Search.knnBrute(
       others.withColumn("mrl", slice(col("embedding"), 1, 16)),
       col("mrl"), mrlQ, k = 10, tie = col("vec_id"))
-    import graft.functions.VectorFunctions.{sq8Codes, sq8MaxAbs}
-    val enc = others.withColumn("__v", col("embedding").cast("array<double>"))
-      .withColumn("__ma", sq8MaxAbs(col("__v")))
-      .withColumn("codes", sq8Codes(col("__v"), col("__ma")).cast("array<double>"))
-    val sq8 = Search.knnBrute(enc, col("codes"),
+    val sq8 = Search.knnBrute(sq8Coded(others), col("codes"),
       q0(s, d).select(col("qv").cast("array<double>").as("qv")),
       k = 10, tie = col("vec_id"))
     metricsOf(exact, "exact")

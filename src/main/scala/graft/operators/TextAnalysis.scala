@@ -244,7 +244,12 @@ object TextAnalysis {
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
-  private val toksSql = "string_split(lower(text), ' ')"
+  /** One tokenizer definition for every `txt_*` oracle — `of` lets a
+    * query pre-treat the text expression (txt_chunk's null coalesce)
+    * without forking the tokenizer itself. */
+  private def toksSqlOf(textExpr: String) =
+    s"string_split(lower($textExpr), ' ')"
+  private val toksSql = toksSqlOf("text")
 
   val oracleSql: Map[String, String] = Map(
     "txt_quality" ->
@@ -286,7 +291,7 @@ object TextAnalysis {
     // the tail, the final chunk may be short — replayed exactly
     "txt_chunk" ->
       s"""WITH t AS (SELECT doc_id,
-           string_split(lower(coalesce(text, '')), ' ') AS toks FROM documents),
+           ${toksSqlOf("coalesce(text, '')")} AS toks FROM documents),
          d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_doc_tokens,
            CASE WHEN len(toks) <= 16 THEN 1
              ELSE CAST(ceil(CAST(len(toks) - 16 AS DOUBLE) / 12) AS BIGINT) + 1
