@@ -38,6 +38,43 @@ class EtlSpec extends SparkSpec {
     assert(same === Array(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("chunkOn properties: exact coverage, window bound, lineage — generated docs × configs") {
+    // generated corpus: doc lengths 1..120 across several (window, stride)
+    // configs; for each, every chunk must respect the window bound, carry
+    // contiguous tokens, and the union of chunk spans must cover the doc
+    // exactly (no token lost, no position invented)
+    val rng = new scala.util.Random(7)
+    val docs = (1L to 60L).map { i =>
+      val n = 1 + rng.nextInt(120)
+      (i, (1 to n).map(j => s"t$j").mkString(" "))
+    }.toDF("id", "text")
+    for ((w, st) <- Seq((16, 12), (8, 8), (5, 3), (64, 48))) {
+      val r = TextAnalysis.chunkOn(docs, $"id", $"text", w, st)
+        .select($"doc_id", $"chunk_id", $"n_doc_tokens", $"n_chunk_tokens",
+          $"chunk_text")
+        .as[(Long, Long, Long, Long, String)].collect()
+      r.groupBy(_._1).foreach { case (doc, chunks) =>
+        val n = chunks.head._3
+        assert(chunks.forall(c => c._4 >= 1 && c._4 <= w),
+          s"w=$w st=$st doc=$doc: chunk sizes within (0, window]")
+        // chunk i starts at i*stride and is contiguous
+        chunks.foreach { case (_, cid, _, len, text) =>
+          val expect = ((cid * st + 1) to math.min(cid * st + w, n))
+            .map(j => s"t$j").mkString(" ")
+          assert(text === expect,
+            s"w=$w st=$st doc=$doc chunk=$cid: contiguous slice")
+          assert(len === math.min(cid * st + w, n) - cid * st)
+        }
+        // exact coverage: union of spans = [1, n], and the last chunk is
+        // the FIRST one reaching the tail (no degenerate extra chunk)
+        val last = chunks.map(_._2).max
+        assert(last * st + w >= n, s"tail covered")
+        assert(last == 0 || (last - 1) * st + w < n,
+          s"w=$w st=$st doc=$doc: no redundant tail chunk")
+      }
+    }
+  }
+
   test("chunkOn: window/stride coverage, short-doc and tail edges") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // n=10 > W=4: tail
