@@ -277,13 +277,33 @@ object Pipelines {
       .toDF("stage", "n_rows").orderBy("stage")
   }
 
+  /** Documents → trainer sequences, composed in one lineage: token-window
+    * chunking ([[TextAnalysis.chunkOn]], lineage-keeping) feeding the
+    * hierarchical-prefix-sum packer ([[Curation.packSequences]]) — the
+    * transform a pretraining data loader actually materializes. The
+    * chunk key `doc_id·10 + chunk_id` (chunk counts are < 10 at this
+    * window over ≤120-token docs) keeps the pack order deterministic and
+    * SQL-replayable. */
+  def chunkPack(s: SparkSession, d: String): DataFrame = {
+    val chunks = TextAnalysis.chunkOn(Tables.documents(s, d),
+        col("doc_id"), col("text"), window = 16, stride = 12)
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .withColumn("chunk_key", col("doc_id") * 10 + col("chunk_id"))
+    Curation.packSequences(chunks, col("source"), col("chunk_key"),
+        col("n_chunk_tokens"), budget = 512L)
+      .select(col("doc_id"), col("chunk_id"), col("source"),
+        col("n_chunk_tokens"), col("pack_id"), col("pack_offset"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate_exact" -> curateExact,
     "pipeline_curate_counters" -> curateCountersQ,
     "pipeline_curate" -> curate,
     "pipeline_curate_full" -> curateFull,
     "pipeline_curate_excise" -> curateExcise,
-    "pipeline_curate_incr" -> curateIncremental)
+    "pipeline_curate_incr" -> curateIncremental,
+    "pipeline_chunk_pack" -> chunkPack)
 
   /** Shared DuckDB CTE prefix `t,h,b,lp,g`: tokenize → langid hits →
     * best marker → lang_pred/n_tokens → quality gate (mirrors
@@ -306,6 +326,32 @@ object Pipelines {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // chunk→pack: the txt_chunk window/stride replay feeding the
+    // pack_sequences cumulative window, keyed by the same deterministic
+    // chunk key the Spark side buckets on
+    "pipeline_chunk_pack" ->
+      """WITH t AS (SELECT doc_id,
+           string_split(lower(coalesce(text, '')), ' ') AS toks FROM documents),
+         d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_doc_tokens,
+           CASE WHEN len(toks) <= 16 THEN 1
+             ELSE CAST(ceil(CAST(len(toks) - 16 AS DOUBLE) / 12) AS BIGINT) + 1
+           END AS n_chunks FROM t),
+         e AS (SELECT doc_id, toks,
+             CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_id FROM d),
+         ch AS (SELECT doc_id, chunk_id,
+             CAST(len(toks[chunk_id*12 + 1 : chunk_id*12 + 16]) AS BIGINT) AS n_chunk_tokens
+           FROM e),
+         tc AS (SELECT ch.doc_id, ch.chunk_id, doc.source, ch.n_chunk_tokens,
+             ch.doc_id * 10 + ch.chunk_id AS ck
+           FROM ch JOIN documents doc ON ch.doc_id = doc.doc_id),
+         c AS (SELECT *, COALESCE(SUM(n_chunk_tokens) OVER (
+             PARTITION BY source ORDER BY ck
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM tc)
+         SELECT doc_id, chunk_id, source, n_chunk_tokens,
+           CAST(cum // 512 AS BIGINT) AS pack_id,
+           CAST(cum % 512 AS BIGINT) AS pack_offset
+         FROM c ORDER BY doc_id, chunk_id""",
     // [[curate]]: exact-dedup survivors minus non-representatives of the
     // transitive ≥0.9 3-shingle-Jaccard closure. The Spark side proposes
     // pairs with MinHash banding and VERIFIES with exact Jaccard, so the
