@@ -82,6 +82,17 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", f.timestamp_micros(f.expr("ts DIV 1000")))
       case _ =>
+        // The NTZ→TimestampType cast is value-preserving ONLY under a
+        // UTC session zone; a non-UTC serving session would silently
+        // shift every event relative to DuckDB's naive read of the same
+        // file. Fail loudly instead of shifting.
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        val off = java.time.ZoneId.of(tz).getRules
+          .getOffset(java.time.Instant.EPOCH).getTotalSeconds
+        require(off == 0 && java.time.ZoneId.of(tz).getRules.isFixedOffset,
+          s"Tables.events: session timeZone '$tz' is not UTC — the " +
+            "TIMESTAMP_NTZ normalization would shift values; set " +
+            "spark.sql.session.timeZone=UTC")
         raw.withColumn("ts",
           f.col("ts").cast(org.apache.spark.sql.types.TimestampType))
     }

@@ -662,9 +662,12 @@ object Dedup {
     val s = df.sparkSession
     val assigned = semanticAssign(df, id, vec, centroids)
     // guard FIRST: a cheap (cluster, count) agg — one narrow scan — before
-    // any m² pair join is wired against a degenerate assignment
-    val worst = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
-      .agg(max("n")).head().getLong(0)
+    // any m² pair join is wired against a degenerate assignment.
+    // max(n) over ZERO groups is NULL (empty input) — that's a fine
+    // corpus (nothing to dedup), not an NPE.
+    val mk = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head()
+    val worst = if (mk.isNullAt(0)) 0L else mk.getLong(0)
     require(worst <= maxClusterN,
       s"semanticDedup: largest cluster has $worst rows > maxClusterN=" +
         s"$maxClusterN — the codebook is too coarse for this corpus " +
@@ -726,8 +729,11 @@ object Dedup {
       id: Column, vec: Column, centroids: DataFrame,
       minCos: Double, maxClusterN: Long = 100000): DataFrame = {
     val assignedLake = semanticAssign(lake, id, vec, centroids)
-    val worst = assignedLake.groupBy("cluster").agg(count(lit(1)).as("n"))
-      .agg(max("n")).head().getLong(0)
+    // empty lake → max(n) is NULL → worst 0 (first batch dedups against
+    // nothing), not an NPE
+    val mkL = assignedLake.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head()
+    val worst = if (mkL.isNullAt(0)) 0L else mkL.getLong(0)
     require(worst <= maxClusterN,
       s"semanticDedupIncrement: largest lake cluster has $worst rows > " +
         s"maxClusterN=$maxClusterN — retrain a finer codebook")
@@ -996,6 +1002,50 @@ object Dedup {
       minCos = 0.45, bands = 32)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_a"), asc("vec_b")).limit(50)
+
+  /** [[embeddingPairsLsh]] at the PRODUCTION band config — 8 bands ×
+    * 8 bits, the default a user gets and the one that stays sparse at
+    * lake scale. Split from [[embeddingNearDupLsh]] the way
+    * `dedup_cross_idx_build` split build from probe: the recall-1 32×2
+    * binding is the PROOF row (full oracle equality with the all-pairs
+    * SQL — quadratic-regime banding, honest about its cost), this is
+    * the PRODUCT row a 100 TB user runs, benched on the narrow-band
+    * plan. Candidate recall here is probabilistic in the angle
+    * ((1−θ/π)^8 per band; certainty only as θ→0, the true dedup
+    * regime), so the row is rows-only — [[dedupLshRecallQ]] is the
+    * measured-recall meter that makes that approximation a number
+    * every round instead of a silent quality loss. Scores remain exact
+    * cosine (output ⊆ the brute join's rows, pinned in DedupSpec). */
+  def embeddingNearDupLshProd(s: SparkSession, d: String): DataFrame =
+    embeddingPairsLsh(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+      minCos = 0.45, bands = 8)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_a"), asc("vec_b")).limit(50)
+
+  /** Candidate-recall meter for the embedding-LSH band configs at the
+    * dedup threshold — the `ann_recall` idea applied to pair proposal:
+    * because [[embeddingPairsLsh]] rescores candidates with EXACT
+    * cosine, its output is exactly (proposed ∩ true pairs), so recall
+    * is a count ratio — no set collection, two count jobs per arm.
+    * `recall1_32x2` is the config the oracle row runs (measured 1.0 on
+    * this corpus — the number that LICENSES its oracle check);
+    * `prod_8x8` is the benched production config, whose measured value
+    * here is the honest price of narrow bands at wide angles.
+    * Deterministic (hash-seeded hyperplanes) but signature-dependent →
+    * rows-only; instrumentation, excluded from the timed bench suite. */
+  def dedupLshRecallQ(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val minCos = 0.45
+    val nTrue = embeddingPairs(emb, col("vec_id"), col("embedding"))
+      .filter(col("cos") >= minCos).count()
+    val arms = Seq(("prod_8x8", 8), ("recall1_32x2", 32))
+    import s.implicits._
+    arms.map { case (name, bands) =>
+      val found = embeddingPairsLsh(emb, col("vec_id"), col("embedding"),
+        minCos = minCos, bands = bands).count()
+      (name, nTrue, found, if (nTrue == 0) 1.0 else found.toDouble / nTrue)
+    }.toDF("config", "n_true", "n_found", "recall").orderBy("config")
+  }
 
   /** [[semanticDedup]] on the embeddings table with the label-centroid
     * codebook (the SAME artifact every IVF path serves from) at
@@ -1358,6 +1408,8 @@ object Dedup {
     "dedup_span_excise" -> spanExciseQ,
     "dedup_embedding" -> embeddingNearDup,
     "dedup_embedding_lsh" -> embeddingNearDupLsh,
+    "dedup_embedding_lsh_prod" -> embeddingNearDupLshProd,
+    "dedup_lsh_recall" -> dedupLshRecallQ,
     "dedup_semantic" -> semanticDedupQ,
     "dedup_semantic_incr" -> semanticIncr,
     "dedup_semantic_incr_idx" -> semanticIncrIdx,

@@ -283,12 +283,20 @@ object Pipelines {
     * transform a pretraining data loader actually materializes. The
     * chunk key `doc_id·10 + chunk_id` (chunk counts are < 10 at this
     * window over ≤120-token docs) keeps the pack order deterministic and
-    * SQL-replayable. */
+    * SQL-replayable. The <10 assumption is ENFORCED per-row: a longer
+    * doc would collide keys and make the pack assignment's cumulative
+    * ORDER BY tie-ambiguous, so it must fail loudly (`raise_error`, zero
+    * extra jobs), not silently diverge from the oracle. */
   def chunkPack(s: SparkSession, d: String): DataFrame = {
     val chunks = TextAnalysis.chunkOn(Tables.documents(s, d),
         col("doc_id"), col("text"), window = 16, stride = 12)
       .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
-      .withColumn("chunk_key", col("doc_id") * 10 + col("chunk_id"))
+      .withColumn("chunk_key",
+        when(col("chunk_id") >= 10, raise_error(concat(
+          lit("chunkPack: chunk_id "), col("chunk_id"),
+          lit(" >= 10 for doc_id "), col("doc_id"),
+          lit(" — doc_id*10+chunk_id keys would collide; widen the key"))))
+          .otherwise(col("doc_id") * 10 + col("chunk_id")))
     Curation.packSequences(chunks, col("source"), col("chunk_key"),
         col("n_chunk_tokens"), budget = 512L)
       .select(col("doc_id"), col("chunk_id"), col("source"),

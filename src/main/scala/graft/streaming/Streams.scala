@@ -591,10 +591,22 @@ object Streams {
     * pruned to the batch's touched clusters, tombstone-aware), and ONLY
     * the survivors append into the lake's own cluster-partitioned
     * layout. The lake the NEXT batch probes therefore already contains
-    * this batch's kept rows — the self-maintaining dedup-ingest loop. */
+    * this batch's kept rows — the self-maintaining dedup-ingest loop.
+    *
+    * Idempotence fine print: the `_batch` marker is written AFTER the
+    * append, so a crash between append and marker replays the batch.
+    * That replay is a no-op only because every replayed row SELF-MATCHES
+    * in the lake it just joined (cos(v,v)=1 ≥ minCos) — which holds iff
+    * `minCos ≤ 1.0`. The require below makes that safety condition
+    * explicit: a caller with an exotic threshold (or a future non-cosine
+    * dup rule without reflexive matching) must not inherit
+    * marker-after-append silently. */
   def applySemanticBatch(batch: DataFrame, id: org.apache.spark.sql.Column,
       vec: org.apache.spark.sql.Column, centroids: DataFrame,
       indexDir: String, batchId: Long, minCos: Double): Unit = {
+    require(minCos <= 1.0,
+      s"applySemanticBatch: minCos=$minCos > 1 breaks crash-replay " +
+        "idempotence (replayed rows must self-match: cos(v,v)=1 >= minCos)")
     val s = batch.sparkSession
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batch_$batchId")
     val f = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
