@@ -106,7 +106,7 @@ object Bench {
     // operators, and their cost grows with every arm added. They remain
     // in SparkEntry.queries so Verify still checks them every round;
     // SPARK_GRAFT_BENCH_ONLY can still time them explicitly.
-    val unbenched = Set("ann_recall", "dedup_lsh_recall")
+    val unbenched = Set("ann_recall", "dedup_lsh_recall", "knn_graph_recall")
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries.filter { case (n, _) => !unbenched(n) }

@@ -326,8 +326,9 @@ object Curation {
         ELSE list_transform(range(1, len(toks) - ${n - 2}),
           i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')) END"""
 
-  /** Hex → uint32 for the md5-uniform (DuckDB has no conv()). */
-  private val hexUSql = (1 to 8).map { i =>
+  /** Hex → uint32 for the md5-uniform (DuckDB has no conv()); shared
+    * with the `pipeline_export` oracle's temperature stage. */
+  private[operators] val hexUSql = (1 to 8).map { i =>
     s"(CAST(strpos('0123456789abcdef', substr(h, $i, 1)) AS BIGINT) - 1) * ${1L << (4 * (8 - i))}"
   }.mkString("(", " + ", ")")
 

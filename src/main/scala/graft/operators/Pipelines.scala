@@ -287,16 +287,23 @@ object Pipelines {
     * doc would collide keys and make the pack assignment's cumulative
     * ORDER BY tie-ambiguous, so it must fail loudly (`raise_error`, zero
     * extra jobs), not silently diverge from the oracle. */
+  /** `doc_id·10 + chunk_id` with the <10-chunks assumption enforced
+    * per-row (`raise_error` — zero extra jobs): a colliding key would
+    * make the pack window's ORDER BY tie-ambiguous and the pack
+    * assignment nondeterministic, so a longer-doc corpus must fail
+    * loudly, not silently diverge from the oracle. */
+  private def guardedChunkKey: org.apache.spark.sql.Column =
+    when(col("chunk_id") >= 10, raise_error(concat(
+      lit("chunk key: chunk_id "), col("chunk_id"),
+      lit(" >= 10 for doc_id "), col("doc_id"),
+      lit(" — doc_id*10+chunk_id keys would collide; widen the key"))))
+      .otherwise(col("doc_id") * 10 + col("chunk_id"))
+
   def chunkPack(s: SparkSession, d: String): DataFrame = {
     val chunks = TextAnalysis.chunkOn(Tables.documents(s, d),
         col("doc_id"), col("text"), window = 16, stride = 12)
       .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
-      .withColumn("chunk_key",
-        when(col("chunk_id") >= 10, raise_error(concat(
-          lit("chunkPack: chunk_id "), col("chunk_id"),
-          lit(" >= 10 for doc_id "), col("doc_id"),
-          lit(" — doc_id*10+chunk_id keys would collide; widen the key"))))
-          .otherwise(col("doc_id") * 10 + col("chunk_id")))
+      .withColumn("chunk_key", guardedChunkKey)
     Curation.packSequences(chunks, col("source"), col("chunk_key"),
         col("n_chunk_tokens"), budget = 512L)
       .select(col("doc_id"), col("chunk_id"), col("source"),
@@ -304,7 +311,55 @@ object Pipelines {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** The GOLDEN PATH: raw corpus → training batches in ONE lineage —
+    * the end-to-end export an LLM-data pipeline ultimately materializes,
+    * composed entirely from already-proven stages:
+    *
+    *   1. curate ([[curateExact]]): quality gate + language gate + exact
+    *      dedup keep-first;
+    *   2. mixture controls on the CURATED DOCUMENTS —
+    *      [[Curation.temperatureSample]] (sqrt-flattened language mix
+    *      over `lang_pred`, deterministic md5 membership) then
+    *      [[Curation.capPerGroup]] (≤15 docs per source — bounds any one
+    *      crawl's share);
+    *   3. [[TextAnalysis.chunkOn]] (window 16 / stride 12) over the
+    *      surviving docs' text;
+    *   4. [[Curation.packSequences]] into 512-token training packs,
+    *      per-source shards, deterministic chunk order.
+    *
+    * Mixture controls run at DOC granularity BEFORE chunking — sampling
+    * or capping after packing would drop chunks out of already-assigned
+    * packs (holes in the training batches) and break doc atomicity in
+    * the mix; packing is the last physical-layout pass, as in a real
+    * loader. Every stage is oracle-expressible, so the WHOLE lineage is
+    * hash-checked end to end: the DuckDB replay is the concatenation of
+    * the stage CTE pyramids that already check each piece. One narrow
+    * scan + one fingerprint window + two doc-level window shuffles +
+    * the bucketed pack prefix-sum — nothing corpus×corpus, every
+    * shuffle keyed (fp, lang_pred, source, (source,bucket)). */
+  def exportPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kept = curateExact(s, d)
+    val withSrc = kept.join(docs.select("doc_id", "source"), "doc_id")
+    val sampled = Curation.temperatureSample(
+      withSrc, col("lang_pred"), col("doc_id"), alpha = 0.5)
+    val capped = Curation.capPerGroup(
+      sampled, col("source"), col("doc_id"), n = 15).drop("rn")
+    val chunks = TextAnalysis.chunkOn(
+        docs.join(capped.select("doc_id"), "doc_id"),
+        col("doc_id"), col("text"), window = 16, stride = 12)
+      .join(capped.select("doc_id", "source", "lang_pred"), "doc_id")
+      .withColumn("chunk_key", guardedChunkKey)
+    Curation.packSequences(chunks, col("source"), col("chunk_key"),
+        col("n_chunk_tokens"), budget = 512L)
+      .select(col("doc_id"), col("chunk_id"), col("source"),
+        col("lang_pred"), col("n_chunk_tokens"), col("pack_id"),
+        col("pack_offset"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_export" -> exportPipeline,
     "pipeline_curate_exact" -> curateExact,
     "pipeline_curate_counters" -> curateCountersQ,
     "pipeline_curate" -> curate,
@@ -334,6 +389,53 @@ object Pipelines {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the golden path end to end: the curate-exact pyramid → temperature
+    // sample (md5 uniform) → per-source cap → chunk window/stride replay
+    // → pack cumulative window — each block is the CTE chain that
+    // already checks its stage alone
+    "pipeline_export" ->
+      s"""WITH $langGateCtes,
+         r AS (SELECT doc_id, lang_pred, n_tokens,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM g),
+         surv AS (SELECT r.doc_id, r.lang_pred, d.source
+           FROM r JOIN documents d USING (doc_id) WHERE rn = 1),
+         c AS (SELECT lang_pred, count(*) AS c FROM surv GROUP BY lang_pred),
+         m AS (SELECT min(c) AS cmin FROM c),
+         f AS (SELECT lang_pred,
+             sqrt(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE)) AS f FROM c, m),
+         u AS (SELECT doc_id, lang_pred, source, ${Curation.hexUSql} AS uu
+           FROM (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+                 FROM surv)),
+         samp AS (SELECT u.doc_id, u.lang_pred, u.source
+           FROM u JOIN f USING (lang_pred)
+           WHERE CAST(uu AS DOUBLE) / 4294967296.0 < f),
+         cap AS (SELECT doc_id, lang_pred, source FROM (
+             SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn2
+             FROM samp) WHERE rn2 <= 15),
+         t2 AS (SELECT d.doc_id,
+             string_split(lower(coalesce(d.text, '')), ' ') AS toks
+           FROM documents d JOIN cap USING (doc_id)),
+         d2 AS (SELECT doc_id, toks,
+           CASE WHEN len(toks) <= 16 THEN 1
+             ELSE CAST(ceil(CAST(len(toks) - 16 AS DOUBLE) / 12) AS BIGINT) + 1
+           END AS n_chunks FROM t2),
+         e2 AS (SELECT doc_id, toks,
+             CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_id FROM d2),
+         ch AS (SELECT doc_id, chunk_id,
+             CAST(len(toks[chunk_id*12 + 1 : chunk_id*12 + 16]) AS BIGINT) AS n_chunk_tokens
+           FROM e2),
+         tc2 AS (SELECT ch.doc_id, ch.chunk_id, cap.source, cap.lang_pred,
+             ch.n_chunk_tokens, ch.doc_id * 10 + ch.chunk_id AS ck
+           FROM ch JOIN cap USING (doc_id)),
+         cm AS (SELECT *, COALESCE(SUM(n_chunk_tokens) OVER (
+             PARTITION BY source ORDER BY ck
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM tc2)
+         SELECT doc_id, chunk_id, source, lang_pred, n_chunk_tokens,
+           CAST(cum // 512 AS BIGINT) AS pack_id,
+           CAST(cum % 512 AS BIGINT) AS pack_offset
+         FROM cm ORDER BY doc_id, chunk_id""",
     // chunk→pack: the txt_chunk window/stride replay feeding the
     // pack_sequences cumulative window, keyed by the same deterministic
     // chunk key the Spark side buckets on

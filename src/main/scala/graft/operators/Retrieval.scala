@@ -394,6 +394,73 @@ object Retrieval {
         round(col("cos"), 6).as("cos"), col("rank"))
       .orderBy("vec_id", "rank")
 
+  /** NN-Descent refinement over the blocked seed ([[Search.nnDescend]],
+    * r10 verdict #3): the cluster-blocked graph is closed under
+    * neighbor-of-neighbor expansion, so the seed is its union with the
+    * deterministic md5-ring bootstrap ([[Search.hashRingEdges]] — the
+    * WWW'11 random-init made replayable), then ONE NoN round rescoring
+    * fresh pairs and keeping each node's top-3. Fully oracle-checked:
+    * assignment, ring, round-0 keep-k, undirected closure, NoN
+    * expansion, and the final rank window all replay as SQL.
+    * `knn_graph_recall` is the measured-recall meter; SearchSpec pins
+    * strict improvement over the seed on a cross-cluster corpus. */
+  def knnGraphRefinedQ(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val seed = Search.knnGraph(emb, col("vec_id"), col("embedding"),
+        labelCentroids(s, d).select(col("label").as("cid"), col("c")), k = 3)
+      .select(col("__vid"), col("nbr_id"))
+      .unionByName(Search.hashRingEdges(emb, col("vec_id"), r = 2))
+    Search.nnDescend(emb, col("vec_id"), col("embedding"), seed,
+        k = 3, rounds = 1)
+      .select(col("__vid").as("vec_id"), col("nbr_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Edge-recall meter for the kNN-graph family — the [[annRecall]] idea
+    * at graph granularity: directed top-3 edge recall of each
+    * construction stage against the brute-force all-pairs graph.
+    * `seed_blocked` shows what cluster blocking alone misses,
+    * `round0_union_ring` what the bootstrap union recovers, and the
+    * round arms measure what each NoN round buys — the number that
+    * tunes `rounds` at 100 TB. Deterministic but the brute join is
+    * corpus², so instrumentation: rows-only, excluded from the timed
+    * bench suite. */
+  def knnGraphRecallQ(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val sEdge = Window.partitionBy("__vid")
+      .orderBy(desc("cos"), col("nbr_id").asc)
+    val truth = emb.select(col("vec_id").as("__vid"), col("embedding").as("va"))
+      .join(emb.select(col("vec_id").as("nbr_id"), col("embedding").as("vb")),
+        col("__vid") =!= col("nbr_id"))
+      .select(col("__vid"), col("nbr_id"),
+        fusedCosine(s, col("va"), col("vb")).as("cos"))
+      .withColumn("rank", row_number().over(sEdge)).filter(col("rank") <= 3)
+      .select("__vid", "nbr_id").localCheckpoint()
+    val nTrue = truth.count()
+    val cents = labelCentroids(s, d).select(col("label").as("cid"), col("c"))
+    val blocked = Search.knnGraph(emb, col("vec_id"), col("embedding"),
+      cents, k = 3).select(col("__vid"), col("nbr_id"))
+    val seed = blocked.unionByName(
+      Search.hashRingEdges(emb, col("vec_id"), r = 2))
+    def recallOf(g: DataFrame): Double = {
+      val hits = g.select("__vid", "nbr_id")
+        .join(truth, Seq("__vid", "nbr_id"), "left_semi").count()
+      if (nTrue == 0) 1.0 else hits.toDouble / nTrue
+    }
+    val arms = Seq(
+      ("seed_blocked", recallOf(blocked)),
+      ("round0_union_ring", recallOf(
+        Search.nnDescend(emb, col("vec_id"), col("embedding"), seed, k = 3, rounds = 0))),
+      ("round1", recallOf(
+        Search.nnDescend(emb, col("vec_id"), col("embedding"), seed, k = 3, rounds = 1))),
+      ("round2", recallOf(
+        Search.nnDescend(emb, col("vec_id"), col("embedding"), seed, k = 3, rounds = 2))))
+    import s.implicits._
+    arms.map { case (m, r) => (m, nTrue, r) }
+      .toDF("method", "n_true_edges", "recall").orderBy("method")
+  }
+
   /** Late-interaction retrieval ([[Search.maxSim]]) with image 0's
     * segment bag as the multi-vector query: score(image) =
     * Σ_qseg max_seg cos — the ColBERT MaxSim calibration of the same
@@ -482,6 +549,55 @@ object Retrieval {
     // one count job over the (small-metadata) corpus sizes the pool;
     // refine derives from k so refine·k ≥ N — the exactness invariant —
     // survives a k change
+    val n = Tables.embeddings(s, d).count()
+    val refine = math.max(1, math.ceil(n.toDouble / k).toInt)
+    Search.knnIvfPq(s, s"$dir/idx", col("embedding"), cents, book, ks = 16,
+      q0(s, d), nprobe = Int.MaxValue, k = k, tie = col("vec_id"),
+      refine = refine)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+  }
+
+  /** A SEPARATE IVFADC index with [[IvfDeletedIds]] tombstoned — never
+    * the shared [[ivfPqCache]] one, whose probes must stay delete-free
+    * for `knn_ivfpq`/`knn_ivfpq_exact`. */
+  private val ivfPqDelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[Seq[Double]])]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      ivfPqDelCache.values.forEach { case (dir, _) => rm(new java.io.File(dir)) }
+    }))
+  }
+
+  /** Takedown serving on the COMPRESSED index — the r10 verdict's last
+    * uncovered layout: a recalled vector's PQ codes must stop scoring
+    * immediately, not at the next rebuild. [[Search.writeIvfPqIndex]]
+    * layout with [[IvfDeletedIds]] tombstoned
+    * ([[Search.deleteFromIvfIndex]] — the store is layout-agnostic, the
+    * same `_tombstones` dir all three families share), served at the
+    * EXACT config (all-cluster probe, corpus-sized rerank pool, the
+    * [[knnIvfPqExact]] trick): the result must equal brute-force top-10
+    * MINUS the deleted ids, so the oracle hash-checks the anti-join's
+    * placement before the ADC pool cut AND candidate replacement (ranks
+    * 11… surfacing), even though the PQ codebook itself is not
+    * SQL-expressible. `IvfLayoutSpec` covers the physical half
+    * ([[Search.compactIvfIndex]] on this layout) with crash injection. */
+  def knnIvfPqDel(s: SparkSession, d: String): DataFrame = {
+    val cents = labelCentroids(s, d).select(col("label").as("cid"), col("c"))
+    val (dir, book) = ivfPqDelCache.computeIfAbsent(d, _ => {
+      val emb = Tables.embeddings(s, d)
+      val b = Search.pqTrain(emb, col("vec_id"), col("embedding"), m = 16, ks = 16)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_del").toString
+      Search.writeIvfPqIndex(emb, col("embedding"), cents, b, ks = 16, s"$tmp/idx")
+      import s.implicits._
+      Search.deleteFromIvfIndex(IvfDeletedIds.toDF("vec_id"),
+        col("vec_id"), s"$tmp/idx")
+      (tmp, b)
+    })
+    val k = 10
     val n = Tables.embeddings(s, d).count()
     val refine = math.max(1, math.ceil(n.toDouble / k).toInt)
     Search.knnIvfPq(s, s"$dir/idx", col("embedding"), cents, book, ks = 16,
@@ -839,6 +955,8 @@ object Retrieval {
     "knn_maxsim" -> knnMaxsim,
     "knn_maxsim_idx" -> knnMaxsimIdx,
     "knn_graph" -> knnGraphQ,
+    "knn_graph_refined" -> knnGraphRefinedQ,
+    "knn_graph_recall" -> knnGraphRecallQ,
     "knn_mrl" -> knnMrl,
     "eval_retrieval" -> evalRetrieval,
     "eval_methods" -> evalMethods,
@@ -851,6 +969,7 @@ object Retrieval {
     "knn_pq" -> knnPq,
     "knn_ivfpq" -> knnIvfPqQ,
     "knn_ivfpq_exact" -> knnIvfPqExact,
+    "knn_ivfpq_del" -> knnIvfPqDel,
     "vec_sq8" -> vecSq8,
     "knn_sq8" -> knnSq8,
     "vec_kmeans" -> vecKmeans,
@@ -887,14 +1006,21 @@ object Retrieval {
        FROM embeddings, range(1, 65) t(i) GROUP BY label, i)
        GROUP BY label)"""
 
-  private lazy val bruteTop10Sql =
+  private def bruteTop10SqlWhere(where: String): String =
     s"""WITH $q0Sql,
        scored AS (
          SELECT vec_id, list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) AS score
-         FROM embeddings, q)
+         FROM embeddings, q $where)
        SELECT vec_id, round(score, 6) AS score
        FROM (SELECT * FROM scored ORDER BY score DESC, vec_id LIMIT 10)
        ORDER BY round(score, 6) DESC, vec_id"""
+
+  private lazy val bruteTop10Sql = bruteTop10SqlWhere("")
+
+  /** Brute top-10 minus the takedown set — what the exact-config IVFADC
+    * serve must equal after the tombstone anti-join. */
+  private lazy val bruteDelTop10Sql = bruteTop10SqlWhere(
+    s"WHERE vec_id NOT IN ${IvfDeletedIds.mkString("(", ", ", ")")}")
 
   private lazy val ivfTop10Sql = ivfTop10SqlWhere("")
 
@@ -971,6 +1097,7 @@ object Retrieval {
     // top-k over the full corpus — one shared oracle shape.
     "knn_lsh" -> bruteTop10Sql,
     "knn_ivfpq_exact" -> bruteTop10Sql,
+    "knn_ivfpq_del" -> bruteDelTop10Sql,
     // ranking-quality metrics: rank replay + binary relevance keeps every
     // term a ratio of counts and log2 calls; round(6) absorbs libm ulps
     "eval_retrieval" ->
@@ -1109,6 +1236,64 @@ object Retrieval {
            FROM p)
          SELECT vec_id, nbr_id, round(cos, 6) AS cos, rank
          FROM r WHERE rank <= 3 ORDER BY vec_id, rank""",
+    // NN-Descent round over the blocked seed ∪ md5-ring bootstrap: every
+    // stage is deterministic relational algebra, so the WHOLE refinement
+    // replays — assignment (as knn_graph), ring (md5 order + modular
+    // successor), round-0 keep-k, undirected closure, NoN self-join,
+    // final rank window
+    "knn_graph_refined" ->
+      s"""WITH $centSql,
+         assign AS (SELECT vec_id, v, cluster FROM (
+           SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             CAST(c.label AS BIGINT) AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.label) AS rn
+           FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         bp AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+             list_cosine_similarity(a.v, b.v) AS cos
+           FROM assign a JOIN assign b
+             ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+         seedb AS (SELECT vec_id, nbr_id FROM (
+             SELECT vec_id, nbr_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rn
+             FROM bp) WHERE rn <= 3),
+         hh AS (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings),
+         hb AS (SELECT vec_id, h,
+             (CAST(strpos('0123456789abcdef', substr(h, 1, 1)) AS BIGINT) - 1) % 16 AS bkt
+           FROM hh),
+         ix AS (SELECT vec_id, bkt, h,
+             CAST(row_number() OVER (PARTITION BY bkt ORDER BY h) AS BIGINT) AS i
+           FROM hb),
+         bn AS (SELECT bkt, count(*) AS n FROM ix GROUP BY bkt),
+         ring AS (SELECT x.vec_id, y.vec_id AS nbr_id
+           FROM ix x JOIN bn USING (bkt)
+           CROSS JOIN (SELECT unnest([1, 2]) AS j) js
+           JOIN ix y ON y.bkt = x.bkt AND y.i = ((x.i - 1 + js.j) % bn.n) + 1
+           WHERE js.j <= bn.n - 1 AND x.vec_id <> y.vec_id),
+         seed AS (SELECT * FROM seedb UNION SELECT * FROM ring),
+         vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         g0 AS (SELECT vec_id, nbr_id, cos FROM (
+             SELECT s.vec_id, s.nbr_id,
+               list_cosine_similarity(va.v, vb.v) AS cos,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY list_cosine_similarity(va.v, vb.v) DESC, s.nbr_id) AS rn
+             FROM seed s JOIN vv va ON s.vec_id = va.vec_id
+               JOIN vv vb ON s.nbr_id = vb.vec_id)
+           WHERE rn <= 3),
+         und AS (SELECT vec_id AS src, nbr_id AS dst FROM g0
+           UNION SELECT nbr_id, vec_id FROM g0),
+         non AS (SELECT DISTINCT x.src AS vec_id, y.dst AS nbr_id
+           FROM und x JOIN und y ON x.dst = y.src WHERE x.src <> y.dst),
+         allp AS (SELECT vec_id, nbr_id FROM non
+           UNION SELECT vec_id, nbr_id FROM g0)
+         SELECT vec_id, nbr_id, round(cos, 6) AS cos, rank FROM (
+             SELECT p.vec_id, p.nbr_id,
+               list_cosine_similarity(va.v, vb.v) AS cos,
+               CAST(row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY list_cosine_similarity(va.v, vb.v) DESC, p.nbr_id) AS INTEGER) AS rank
+             FROM allp p JOIN vv va ON p.vec_id = va.vec_id
+               JOIN vv vb ON p.nbr_id = vb.vec_id)
+         WHERE rank <= 3 ORDER BY vec_id, rank""",
     // MaxSim: per (image, query-seg) max, then an ascending-qid LEFT FOLD
     // for the Σ (list_reduce here, `aggregate` on the Spark side — FP
     // addition is not associative, so both sides fix the order; the

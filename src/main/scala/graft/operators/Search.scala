@@ -627,8 +627,16 @@ object Search {
     val m = book.length / ks
     val lut = graft.functions.PqExpressions
       .adcLut(qv, book.map(_.toArray).toArray, m, ks)
-    s.read.parquet(indexPath)
-      .filter(col("cluster").isin(probed: _*)) // partition pruning, not row filtering
+    // same takedown posture as [[knnIvfIndexed]]: heal any interrupted
+    // compaction swap, then anti-join the tombstone store keyed on `tie`
+    // — a recalled vector must stop scoring IMMEDIATELY, not at the next
+    // rebuild, and must be excluded BEFORE the ADC top-pool cut (a
+    // deleted near-match would otherwise eat a rerank slot)
+    graft.sources.Tombstones.healPartitions(s, indexPath)
+    graft.sources.Tombstones.dropDeleted(
+        s.read.parquet(indexPath)
+          .filter(col("cluster").isin(probed: _*)), // partition pruning, not row filtering
+        tie, indexPath)
       .withColumn("adc",
         graft.functions.PqExpressions.pqAdc(s, col("codes"), lut.toSeq, ks))
       .orderBy(desc("adc"), tie.asc).limit(math.max(refine * k, k))
@@ -753,6 +761,98 @@ object Search {
         fusedCosine(s, col("a.__v"), col("b.__v")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Deterministic bootstrap edges for [[nnDescend]] — the "random
+    * initial graph" of NN-Descent (Dong, Moses & Li, WWW 2011) made
+    * reproducible and oracle-replayable: nodes sort by `md5(id)` within
+    * `buckets` hash buckets (first hex char scales this to however many
+    * parallel rings a corpus needs) and each node links to its next `r`
+    * ring successors (wrapping). md5 order is uncorrelated with vector
+    * geometry, so these edges CROSS cluster boundaries by construction —
+    * exactly the seed diversity the cluster-blocked [[knnGraph]] lacks:
+    * that graph is CLOSED under neighbor-of-neighbor expansion (a
+    * same-cluster neighbor's neighbors are same-cluster again), so
+    * refinement over it alone can never surface a cross-cluster edge.
+    * One window shuffle keyed by bucket; no vectors ride the exchange. */
+  def hashRingEdges(corpus: DataFrame, id: Column, r: Int = 2,
+      buckets: Int = 16): DataFrame = {
+    require(r >= 1 && buckets >= 1 && buckets <= 16,
+      s"hashRingEdges: need r >= 1, 1 <= buckets <= 16 (one hex char), got r=$r buckets=$buckets")
+    val h = corpus.select(id.as("__vid"), md5(id.cast("string")).as("__h"))
+      // first hex char mod `buckets` — buckets=1 collapses to one global
+      // ring (small corpora / tests), 16 gives full single-char spread
+      .withColumn("__bkt",
+        (conv(substring(col("__h"), 1, 1), 16, 10).cast("long") % buckets))
+    val w = Window.partitionBy("__bkt").orderBy("__h")
+    val idx = h.withColumn("__i", row_number().over(w).cast("long"))
+    val cnt = idx.groupBy("__bkt").agg(count(lit(1)).as("__n"))
+    val src = idx.join(broadcast(cnt), "__bkt")
+      .withColumn("__j", explode(sequence(lit(1L), least(lit(r.toLong), col("__n") - 1))))
+      // sequence(1, 0) DESCENDS in Spark ([1, 0]) — a singleton bucket
+      // would fabricate self-edges without this guard
+      .filter(col("__j") >= 1 && col("__j") <= col("__n") - 1)
+      .withColumn("__ti", ((col("__i") - 1 + col("__j")) % col("__n")) + 1)
+    src.join(idx.select(col("__bkt"), col("__i").as("__ti"),
+        col("__vid").as("nbr_id")), Seq("__bkt", "__ti"))
+      .filter(col("__vid") =!= col("nbr_id"))
+      .select(col("__vid"), col("nbr_id"))
+  }
+
+  /** NN-Descent-style refinement of a kNN-graph seed (Dong et al., WWW
+    * 2011): each round proposes every node's neighbors-of-neighbors
+    * (over the UNDIRECTED closure of the current graph — reverse edges
+    * carry information too), scores only the fresh pairs with exact
+    * cosine, and a rank window keeps each node's best `k`. The classic
+    * convergence argument: if b is near a and c is near b, c is likely
+    * near a — each round effectively squares the graph's reach, so a few
+    * rounds recover most true edges from a cheap seed.
+    *
+    * `seed` is (\_\_vid, nbr_id) PAIRS — typically [[knnGraph]]'s
+    * cluster-blocked lists UNIONed with [[hashRingEdges]] (see its doc
+    * for why the blocked seed alone cannot improve). Scale shape per
+    * round: the undirected closure is 2·N·k edge rows (ids only), the
+    * NoN self-join is keyed on the shared middle node (≤ 4k² candidates
+    * per node, never corpus×corpus), fresh-pair scoring joins vectors
+    * back by id, and the keep-k window shuffles by node — every stage is
+    * bounded by N·k², the published NN-Descent cost. Deterministic
+    * (cos-desc, id-asc tie), so the whole refinement is oracle-replayable
+    * SQL. Output: (\_\_vid, nbr_id, cos, rank). */
+  def nnDescend(corpus: DataFrame, id: Column, vec: Column,
+      seed: DataFrame, // (__vid, nbr_id)
+      k: Int, rounds: Int = 1): DataFrame = {
+    val s = corpus.sparkSession
+    val base = corpus.select(id.as("__nid"), vec.as("__nv"))
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(base.select(col("__nid").as("__vid"), col("__nv").as("__va")), "__vid")
+      .join(base.select(col("__nid").as("nbr_id"), col("__nv").as("__vb")), "nbr_id")
+      .select(col("__vid"), col("nbr_id"),
+        fusedCosine(s, col("__va"), col("__vb")).as("cos"))
+    val w = Window.partitionBy("__vid").orderBy(desc("cos"), col("nbr_id").asc)
+    def keepK(scored: DataFrame): DataFrame = scored
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    var g = keepK(score(seed.select(col("__vid"), col("nbr_id")).distinct()))
+    for (round <- 1 to rounds) {
+      val und = g.select(col("__vid").as("src"), col("nbr_id").as("dst"))
+        .unionByName(g.select(col("nbr_id").as("src"), col("__vid").as("dst")))
+        .distinct()
+      val non = und.as("x").join(und.as("y"), col("x.dst") === col("y.src"))
+        .filter(col("x.src") =!= col("y.dst"))
+        .select(col("x.src").as("__vid"), col("y.dst").as("nbr_id"))
+        .distinct()
+      // score only pairs the graph hasn't already scored — known edges
+      // carry their cos forward
+      val fresh = non.join(g.select(col("__vid"), col("nbr_id")),
+        Seq("__vid", "nbr_id"), "left_anti")
+      g = keepK(g.select(col("__vid"), col("nbr_id"), col("cos"))
+        .unionByName(score(fresh)))
+      // bound the lineage between rounds: each round stacks joins/windows
+      // on the last — checkpointing keeps the plan round-local (same
+      // discipline as dupClusters' pointer jumping). Not after the final
+      // round: the caller consumes that plan directly.
+      if (round < rounds) g = g.localCheckpoint()
+    }
+    g
   }
 
   /** Q2 scoring core — for each query segment find the best-cosine db

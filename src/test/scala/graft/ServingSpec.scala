@@ -102,6 +102,48 @@ class ServingSpec extends SparkSpec {
       !_.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]))
   }
 
+  test("concurrent serving: parallel handle() calls share ONE cached corpus and all answer correctly") {
+    // SRS §5 targets 1,000 concurrent users; the engine-side contract
+    // behind that is (a) SparkSession.handle is thread-safe, (b) the
+    // corpus cache admits exactly one persisted copy no matter how many
+    // requests race the cold start, (c) concurrent responses are
+    // byte-identical to sequential ones. 16 threads here exercise the
+    // races; beyond that concurrency is the wrapper's thread pool.
+    val d = "/root/testdata/sf0.001"
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val c0 = spark.sparkContext.getPersistentRDDs.size
+      // cold cache hammered from many threads: computeIfAbsent must
+      // admit exactly one persisted corpus, not one per request
+      Await.result(Future.sequence((1 to 16).map(_ => Future {
+        graft.Tables.cacheCorpus(spark, d)
+      })), 120.seconds)
+      val reqs = (0 until 16).map { i =>
+        val mode = Seq("whole", "hybrid")(i % 2)
+        s"""{"mode":"$mode","top_k":5,"query_image_id":${i % 3}}"""
+      }
+      val sequential = reqs.map(r => Serving.handle(spark, d, r))
+      sequential.foreach(r => assert(!r.contains("\"error\""), r))
+      val concurrent = Await.result(
+        Future.sequence(reqs.map(r => Future { Serving.handle(spark, d, r) })),
+        300.seconds)
+      assert(concurrent === sequential,
+        "concurrent responses must be byte-identical to sequential ones")
+      // persist() is lazy — the cached corpus materializes during the
+      // requests above; exactly ONE persisted RDD may have appeared no
+      // matter how many requests raced the cold start (computeIfAbsent
+      // admits one value; a duplicate persist would show up here)
+      assert(spark.sparkContext.getPersistentRDDs.size === c0 + 1,
+        "exactly one cached corpus load under request concurrency")
+    } finally {
+      graft.Tables.uncacheCorpus(d)
+      pool.shutdown()
+    }
+  }
+
   test("SearchCli.requestJson: flags map onto request fields; --json wins") {
     val json = SearchCli.requestJson(Array(
       "--data", "/x", "--mode", "hybrid", "--top-k", "5",

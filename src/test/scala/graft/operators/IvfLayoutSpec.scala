@@ -363,4 +363,60 @@ class IvfLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/idx").count() === 90L,
       "a checkpoint replay after migration must not double-append")
   }
+
+  test("IVFADC takedown: tombstones exclude PQ codes from serving immediately; compaction + crash injection parity with IVF") {
+    val all = clusteredCorpus(80)
+    val cents = Search.kmeansTrain(all, col("vec_id"), col("embedding"), k = 4)
+    val book = Search.pqTrain(all, col("vec_id"), col("embedding"), m = 4, ks = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_td").toString
+    Search.writeIvfPqIndex(all, col("embedding"), cents, book, ks = 8, s"$dir/idx")
+    val q = all.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    // exact config (all clusters probed, corpus-sized rerank pool): the
+    // layout must reproduce brute force, so the delete's effect is
+    // checkable as brute-minus-deleted with rank k+1 replacement
+    def serve(path: String) = Search.knnIvfPq(spark, path, col("embedding"),
+        cents, book, ks = 8, q, nprobe = Int.MaxValue, k = 10,
+        tie = col("vec_id"), refine = 8)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    val pre = serve(s"$dir/idx")
+    val deleted = pre.take(3).map(_._1)
+    Search.deleteFromIvfIndex(deleted.toDF("vec_id"), col("vec_id"), s"$dir/idx")
+    val post = serve(s"$dir/idx")
+    assert(deleted.forall(id => !post.exists(_._1 == id)) && post.size == 10,
+      "recalled PQ codes must stop scoring immediately")
+    // equals a fresh IVFADC build (same codebooks) without the deleted rows
+    val freshDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_td_f").toString
+    Search.writeIvfPqIndex(all.filter(!col("vec_id").isin(deleted: _*)),
+      col("embedding"), cents, book, ks = 8, s"$freshDir/idx")
+    assert(post === serve(s"$freshDir/idx"))
+    // compactIvfIndex is layout-agnostic (cluster partitions + id): the
+    // physical apply removes the rows, drops the store, serving unchanged
+    Search.compactIvfIndex(spark, s"$dir/idx", col("vec_id"))
+    assert(spark.read.parquet(s"$dir/idx")
+      .filter(col("vec_id").isin(deleted: _*)).count() === 0L)
+    assert(!new java.io.File(s"$dir/idx/_tombstones").exists())
+    assert(serve(s"$dir/idx") === post, "serving unchanged by the physical apply")
+    // crash injection at each swap step, then a clean retry completes —
+    // the same discipline the IVF layout pins
+    import spark.implicits._
+    val members = spark.read.parquet(s"$dir/idx")
+      .select(col("vec_id")).as[Long].collect().sorted.toSeq
+    Seq("staged", "vacated").zipWithIndex.foreach { case (step, i) =>
+      val ids = Seq(members(20 + 2 * i), members(21 + 2 * i))
+      Search.deleteFromIvfIndex(ids.toDF("vec_id"), col("vec_id"), s"$dir/idx")
+      assert(ids.forall(id => !serve(s"$dir/idx").exists(_._1 == id)))
+      intercept[RuntimeException] {
+        Search.compactIvfIndex(spark, s"$dir/idx", col("vec_id"),
+          onStep = l => if (l.endsWith(s":$step")) throw new RuntimeException(s"boom at $l"))
+      }
+      // serving stays correct between the crash and the retry (heal runs
+      // inside the probe path)
+      assert(ids.forall(id => !serve(s"$dir/idx").exists(_._1 == id)),
+        s"mid-crash($step) serving must still exclude deleted ids")
+      Search.compactIvfIndex(spark, s"$dir/idx", col("vec_id"))
+      assert(spark.read.parquet(s"$dir/idx")
+        .filter(col("vec_id").isin(ids: _*)).count() === 0L, s"after crash at $step")
+      assert(!new java.io.File(s"$dir/idx/_tombstones").exists())
+    }
+  }
 }

@@ -351,4 +351,71 @@ class SearchSpec extends SparkSpec {
     // value IS the point of the row
     assert(m("mrl16_trunc") >= 0.1, s"mrl16 floor: $m")
   }
+
+  test("nnDescend: strict per-round recall gains from the ring bootstrap; blocked seed is a NoN fixed point; union seed beats blocked") {
+    import spark.implicits._
+    // circle corpus: true neighbors are arc-adjacent, the md5 ring is
+    // pseudo-random chords — the textbook NN-Descent setting (random
+    // init, local metric structure)
+    val n = 30
+    val pts = (0 until n).map { i =>
+      val th = math.toRadians(5.0 * i)
+      (i.toLong, Seq(math.cos(th).toFloat, math.sin(th).toFloat))
+    }
+    val corpus = pts.toDF("vec_id", "embedding")
+    def truthOf(c: org.apache.spark.sql.DataFrame, k: Int) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__vid").orderBy(desc("cos"), col("nbr_id").asc)
+      c.select(col("vec_id").as("__vid"), col("embedding").as("va"))
+        .join(c.select(col("vec_id").as("nbr_id"), col("embedding").as("vb")),
+          col("__vid") =!= col("nbr_id"))
+        .select(col("__vid"), col("nbr_id"),
+          graft.functions.VectorExpressions.fusedCosine(spark, col("va"), col("vb")).as("cos"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select("__vid", "nbr_id").localCheckpoint()
+    }
+    val truth = truthOf(corpus, 2)
+    val nTrue = truth.count().toDouble
+    def rec(g: org.apache.spark.sql.DataFrame, t: org.apache.spark.sql.DataFrame,
+        nT: Double) =
+      g.select("__vid", "nbr_id").join(t, Seq("__vid", "nbr_id"), "left_semi")
+        .count() / nT
+    val ring = Search.hashRingEdges(corpus, col("vec_id"), r = 2, buckets = 1)
+    val byRound = (0 to 4).map(i => rec(Search.nnDescend(corpus,
+      col("vec_id"), col("embedding"), ring, k = 2, rounds = i), truth, nTrue))
+    // measured on this fixed corpus: 0.067 → 0.283 → 0.45 → 0.53 → 0.67 —
+    // each NoN round strictly improves until the k=2 plateau
+    (1 to 4).foreach { i =>
+      assert(byRound(i) > byRound(i - 1),
+        s"round $i must strictly improve: ${byRound.mkString(", ")}")
+    }
+    // the cluster-blocked graph is CLOSED under NoN expansion: refining
+    // it alone returns exactly the same edge set (the documented reason
+    // hashRingEdges exists)
+    val cents = Search.kmeansTrain(corpus, col("vec_id"), col("embedding"), k = 3)
+    val blocked = Search.knnGraph(corpus, col("vec_id"), col("embedding"),
+      cents, k = 2).select(col("__vid"), col("nbr_id"))
+    val refinedBlockedOnly = Search.nnDescend(corpus, col("vec_id"),
+      col("embedding"), blocked, k = 2, rounds = 2)
+      .select("__vid", "nbr_id").as[(Long, Long)].collect().toSet
+    assert(refinedBlockedOnly === blocked.as[(Long, Long)].collect().toSet,
+      "NoN over the blocked seed alone must be a fixed point")
+    // real embeddings (near-random → most true neighbors cross-cluster):
+    // the union seed refines strictly past the blocked graph
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, d)
+    val truthE = truthOf(emb, 3)
+    val nTrueE = truthE.count().toDouble
+    val centsE = Retrieval.labelCentroids(spark, d)
+      .select(col("label").as("cid"), col("c"))
+    val blockedE = Search.knnGraph(emb, col("vec_id"), col("embedding"),
+      centsE, k = 3).select(col("__vid"), col("nbr_id"))
+    val seedE = blockedE.unionByName(
+      Search.hashRingEdges(emb, col("vec_id"), r = 2))
+    val recBlocked = rec(blockedE, truthE, nTrueE)
+    val recRefined = rec(Search.nnDescend(emb, col("vec_id"),
+      col("embedding"), seedE, k = 3, rounds = 2), truthE, nTrueE)
+    assert(recRefined > recBlocked,
+      s"refined union seed must beat the blocked graph: $recRefined vs $recBlocked")
+  }
 }
