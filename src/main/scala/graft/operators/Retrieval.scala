@@ -607,15 +607,24 @@ object Retrieval {
       .orderBy(desc("score"), asc("vec_id"))
   }
 
-  /** Codebook training + assignment end to end: spherical k-means over
-    * the embeddings ([[Search.kmeansTrain]] — VERDICT r4's "missing
-    * half" of the IVF path), then every vector labeled with its trained
-    * cluster. Deterministic (hash-ordered init, no RNG). No DuckDB
-    * oracle (iterative k-means); rows-only check, structure pinned in
-    * `SearchSpec` (cluster recovery, determinism, knnIvf integration). */
+  /** Codebook training + assignment end to end ([[Search.kmeansTrain]] —
+    * VERDICT r4's "missing half" of the IVF path), at a PINNED one-step
+    * config that retires the row from no_oracle (r10 verdict #8): init =
+    * the 10 vectors with smallest `md5(vec_id)` (DuckDB computes the
+    * same ordering; the default xxhash64 init has no SQL counterpart),
+    * ONE Lloyd iteration (cosine-argmax assign with smallest-cid
+    * tie-break → per-cluster element-wise mean, empty clusters keep
+    * their init centroid), then the final assignment relation. Every
+    * stage replays in SQL — the same argmax trick `knn_ivf`'s oracle
+    * proves, plus an avg-per-dimension step — so training arithmetic,
+    * not just assignment, is hash-checked. Full-convergence training
+    * stays pinned in `SearchSpec` (cluster recovery, determinism,
+    * retrain parity). */
   def vecKmeans(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val cents = Search.kmeansTrain(emb, col("vec_id"), col("embedding"), k = 10)
+    val cents = Search.kmeansTrain(emb, col("vec_id"), col("embedding"),
+        k = 10, iters = 1,
+        initOrd = Some(md5(col("vec_id").cast("string"))))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     emb.withColumn("cluster", graft.functions.VectorExpressions.nearestCentroid(
         s, col("embedding"), cents.map(_._1).toSeq, cents.map(_._2).toSeq))
@@ -1236,6 +1245,30 @@ object Retrieval {
            FROM p)
          SELECT vec_id, nbr_id, round(cos, 6) AS cos, rank
          FROM r WHERE rank <= 3 ORDER BY vec_id, rank""",
+    // one pinned Lloyd step end to end: md5-ordered init sample, cosine
+    // argmax with smallest-cid tie-break, per-cluster per-dimension mean
+    // (zipped unnests), empty-cluster carry, final assignment
+    "vec_kmeans" ->
+      """WITH init AS (SELECT rn - 1 AS cid, v AS c FROM (
+           SELECT CAST(embedding AS DOUBLE[]) AS v,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           FROM embeddings) WHERE rn <= 10),
+         a1 AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, i.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), i.c) DESC, i.cid) AS rn
+           FROM embeddings e CROSS JOIN init i) WHERE rn = 1),
+         dd AS (SELECT cid, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x FROM a1),
+         cm AS (SELECT cid, i, avg(x) AS m FROM dd GROUP BY cid, i),
+         c1 AS (SELECT cid, list(m ORDER BY i) AS c FROM cm GROUP BY cid),
+         c2 AS (SELECT i.cid, coalesce(c1.c, i.c) AS c
+           FROM init i LEFT JOIN c1 USING (cid))
+         SELECT vec_id, cid AS cluster FROM (
+           SELECT e.vec_id, c2.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c2.c) DESC, c2.cid) AS rn
+           FROM embeddings e CROSS JOIN c2) WHERE rn = 1
+         ORDER BY vec_id""",
     // NN-Descent round over the blocked seed ∪ md5-ring bootstrap: every
     // stage is deterministic relational algebra, so the WHOLE refinement
     // replays — assignment (as knn_graph), ring (md5 order + modular

@@ -483,10 +483,15 @@ object Search {
     * falls below `tol`. Returns (cid, c) ready to feed [[knnIvf]] /
     * [[writeIvfIndex]]. */
   def kmeansTrain(corpus: DataFrame, id: Column, vec: Column, k: Int,
-      iters: Int = 10, tol: Double = 1e-9): DataFrame = {
+      iters: Int = 10, tol: Double = 1e-9,
+      // init sample order: xxhash64(id) by default (pseudo-random,
+      // reproducible). `vec_kmeans` overrides with md5(id) — the same
+      // ordering DuckDB can compute — so its one-step config replays as
+      // SQL end to end (xxhash64 has no DuckDB counterpart).
+      initOrd: Option[Column] = None): DataFrame = {
     val s = corpus.sparkSession
     var book: Array[Array[Double]] = corpus
-      .orderBy(xxhash64(id).asc, id.asc).limit(k)
+      .orderBy(initOrd.getOrElse(xxhash64(id)).asc, id.asc).limit(k)
       .select(vec.cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
     val cids = book.indices.map(_.toLong)
