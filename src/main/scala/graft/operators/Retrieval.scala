@@ -404,18 +404,42 @@ object Retrieval {
     * expansion, and the final rank window all replay as SQL.
     * `knn_graph_recall` is the measured-recall meter; SearchSpec pins
     * strict improvement over the seed on a cross-cluster corpus. */
-  def knnGraphRefinedQ(s: SparkSession, d: String): DataFrame = {
+  def knnGraphRefinedQ(s: SparkSession, d: String): DataFrame =
+    refinedGraphEdges(s, d)
+      .select(col("__vid").as("vec_id"), col("nbr_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy("vec_id", "rank")
+
+  /** The refined graph's edge set (blocked seed ∪ md5 ring, one
+    * NN-Descent round, keep-3) — shared by [[knnGraphRefinedQ]] (which
+    * checks its construction) and [[knnGraphSearchQ]] (which SERVES
+    * queries from it). */
+  private def refinedGraphEdges(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val seed = Search.knnGraph(emb, col("vec_id"), col("embedding"),
         labelCentroids(s, d).select(col("label").as("cid"), col("c")), k = 3)
       .select(col("__vid"), col("nbr_id"))
       .unionByName(Search.hashRingEdges(emb, col("vec_id"), r = 2))
     Search.nnDescend(emb, col("vec_id"), col("embedding"), seed,
-        k = 3, rounds = 1)
-      .select(col("__vid").as("vec_id"), col("nbr_id"),
-        round(col("cos"), 6).as("cos"), col("rank"))
-      .orderBy("vec_id", "rank")
+      k = 3, rounds = 1)
   }
+
+  /** Graph-SERVED ANN ([[Search.graphSearch]]): deterministic HNSW-style
+    * beam search over [[refinedGraphEdges]] — md5 entry ring (64), beam
+    * 32, 3 hops, exact rescoring of visited nodes only (~350 scores per
+    * query regardless of corpus size; measured recall@10 0.8 at
+    * sf0.001 vs 0.1 for the 16/8 latency config — the k=3 graph on
+    * near-random embeddings needs the wider beam). The whole search
+    * (entry selection, per-hop frontier, beam re-selection, final
+    * top-10) replays as an unrolled CTE pyramid, so ranking AND scores
+    * are hash-checked; the `graph_beam_h3` arm of [[annRecall]] measures
+    * its recall against the brute-force top-10. */
+  def knnGraphSearchQ(s: SparkSession, d: String): DataFrame =
+    Search.graphSearch(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), refinedGraphEdges(s, d).select("__vid", "nbr_id"),
+        q0(s, d), k = 10, entriesN = 64, beam = 32, hops = 3)
+      .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
 
   /** Edge-recall meter for the kNN-graph family — the [[annRecall]] idea
     * at graph granularity: directed top-3 edge recall of each
@@ -700,7 +724,8 @@ object Retrieval {
       ("lsh_8x8", exact, Search.knnLsh(emb, col("vec_id"), col("embedding"),
         q0(s, d), k).select(col("id").as("vec_id"))),
       ("mrl16_trunc", exact, knnMrl(s, d).select("vec_id")),
-      ("pq_refine10", exact, knnPq(s, d).select("vec_id")))
+      ("pq_refine10", exact, knnPq(s, d).select("vec_id")),
+      ("graph_beam_h3", exact, knnGraphSearchQ(s, d).select("vec_id")))
     import s.implicits._
     arms.map { case (m, truth, df) =>
       val denom = math.min(k, truth.size)
@@ -965,6 +990,7 @@ object Retrieval {
     "knn_maxsim_idx" -> knnMaxsimIdx,
     "knn_graph" -> knnGraphQ,
     "knn_graph_refined" -> knnGraphRefinedQ,
+    "knn_graph_search" -> knnGraphSearchQ,
     "knn_graph_recall" -> knnGraphRecallQ,
     "knn_mrl" -> knnMrl,
     "eval_retrieval" -> evalRetrieval,
@@ -1014,6 +1040,96 @@ object Retrieval {
        SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS v
        FROM embeddings, range(1, 65) t(i) GROUP BY label, i)
        GROUP BY label)"""
+
+  /** The [[refinedGraphEdges]] pyramid as shared CTEs ending in
+    * `gref (vec_id, nbr_id, cos, rank<=3)` and `vv (vec_id, v)` — every
+    * stage is deterministic relational algebra, so the WHOLE refinement
+    * replays: assignment (as knn_graph), ring (md5 order + modular
+    * successor), round-0 keep-k, undirected closure, NoN self-join,
+    * final rank window. Consumed by `knn_graph_refined` (construction
+    * check) and `knn_graph_search` (serving check). */
+  private lazy val refinedGraphCtes: String =
+    s"""$centSql,
+       assign AS (SELECT vec_id, v, cluster FROM (
+         SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+           CAST(c.label AS BIGINT) AS cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.label) AS rn
+         FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+       bp AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+           list_cosine_similarity(a.v, b.v) AS cos
+         FROM assign a JOIN assign b
+           ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+       seedb AS (SELECT vec_id, nbr_id FROM (
+           SELECT vec_id, nbr_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rn
+           FROM bp) WHERE rn <= 3),
+       hh AS (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings),
+       hb AS (SELECT vec_id, h,
+           (CAST(strpos('0123456789abcdef', substr(h, 1, 1)) AS BIGINT) - 1) % 16 AS bkt
+         FROM hh),
+       ix AS (SELECT vec_id, bkt, h,
+           CAST(row_number() OVER (PARTITION BY bkt ORDER BY h) AS BIGINT) AS i
+         FROM hb),
+       bn AS (SELECT bkt, count(*) AS n FROM ix GROUP BY bkt),
+       ring AS (SELECT x.vec_id, y.vec_id AS nbr_id
+         FROM ix x JOIN bn USING (bkt)
+         CROSS JOIN (SELECT unnest([1, 2]) AS j) js
+         JOIN ix y ON y.bkt = x.bkt AND y.i = ((x.i - 1 + js.j) % bn.n) + 1
+         WHERE js.j <= bn.n - 1 AND x.vec_id <> y.vec_id),
+       seed AS (SELECT * FROM seedb UNION SELECT * FROM ring),
+       vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       g0 AS (SELECT vec_id, nbr_id, cos FROM (
+           SELECT s.vec_id, s.nbr_id,
+             list_cosine_similarity(va.v, vb.v) AS cos,
+             row_number() OVER (PARTITION BY s.vec_id
+               ORDER BY list_cosine_similarity(va.v, vb.v) DESC, s.nbr_id) AS rn
+           FROM seed s JOIN vv va ON s.vec_id = va.vec_id
+             JOIN vv vb ON s.nbr_id = vb.vec_id)
+         WHERE rn <= 3),
+       und AS (SELECT vec_id AS src, nbr_id AS dst FROM g0
+         UNION SELECT nbr_id, vec_id FROM g0),
+       non AS (SELECT DISTINCT x.src AS vec_id, y.dst AS nbr_id
+         FROM und x JOIN und y ON x.dst = y.src WHERE x.src <> y.dst),
+       allp AS (SELECT vec_id, nbr_id FROM non
+         UNION SELECT vec_id, nbr_id FROM g0),
+       gref AS (SELECT vec_id, nbr_id, cos, rank FROM (
+           SELECT p.vec_id, p.nbr_id,
+             list_cosine_similarity(va.v, vb.v) AS cos,
+             CAST(row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY list_cosine_similarity(va.v, vb.v) DESC, p.nbr_id) AS INTEGER) AS rank
+           FROM allp p JOIN vv va ON p.vec_id = va.vec_id
+             JOIN vv vb ON p.nbr_id = vb.vec_id)
+         WHERE rank <= 3)"""
+
+  /** [[Search.graphSearch]]'s unrolled beam loop as a CTE pyramid over
+    * `gref`/`vv`/`q`: `v{h}` = visited-and-scored after hop h, `b{h}` =
+    * the beam re-selected from it, `f{h+1}` = the next frontier's fresh
+    * nodes. Fixed hops ⇒ no recursion needed. */
+  private def graphSearchSql(entriesN: Int, beam: Int, hops: Int,
+      k: Int): String = {
+    val hopCtes = (1 to hops).map { h =>
+      s"""b${h - 1} AS (SELECT vec_id FROM (SELECT vec_id,
+           row_number() OVER (ORDER BY score DESC, vec_id) AS rn
+           FROM v${h - 1}) WHERE rn <= $beam),
+         f$h AS (SELECT DISTINCT g.nbr_id AS vec_id
+           FROM b${h - 1} b JOIN gref g ON g.vec_id = b.vec_id
+           WHERE g.nbr_id NOT IN (SELECT vec_id FROM v${h - 1})),
+         v$h AS (SELECT * FROM v${h - 1} UNION ALL
+           SELECT f.vec_id, list_cosine_similarity(vv.v, q.qv) AS score
+           FROM f$h f JOIN vv ON vv.vec_id = f.vec_id CROSS JOIN q)"""
+    }.mkString(",\n         ")
+    s"""WITH $refinedGraphCtes, $q0Sql,
+       ent AS (SELECT vec_id FROM (SELECT vec_id,
+           md5(CAST(vec_id AS VARCHAR)) AS h
+           FROM embeddings ORDER BY h LIMIT $entriesN)),
+       v0 AS (SELECT e.vec_id, list_cosine_similarity(vv.v, q.qv) AS score
+         FROM ent e JOIN vv ON vv.vec_id = e.vec_id CROSS JOIN q),
+       $hopCtes
+       SELECT vec_id, round(score, 6) AS score
+       FROM (SELECT * FROM v$hops ORDER BY score DESC, vec_id LIMIT $k)
+       ORDER BY round(score, 6) DESC, vec_id"""
+  }
 
   private def bruteTop10SqlWhere(where: String): String =
     s"""WITH $q0Sql,
@@ -1275,58 +1391,14 @@ object Retrieval {
     // successor), round-0 keep-k, undirected closure, NoN self-join,
     // final rank window
     "knn_graph_refined" ->
-      s"""WITH $centSql,
-         assign AS (SELECT vec_id, v, cluster FROM (
-           SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
-             CAST(c.label AS BIGINT) AS cluster,
-             row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.label) AS rn
-           FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
-         bp AS (SELECT a.vec_id, b.vec_id AS nbr_id,
-             list_cosine_similarity(a.v, b.v) AS cos
-           FROM assign a JOIN assign b
-             ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
-         seedb AS (SELECT vec_id, nbr_id FROM (
-             SELECT vec_id, nbr_id,
-               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rn
-             FROM bp) WHERE rn <= 3),
-         hh AS (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings),
-         hb AS (SELECT vec_id, h,
-             (CAST(strpos('0123456789abcdef', substr(h, 1, 1)) AS BIGINT) - 1) % 16 AS bkt
-           FROM hh),
-         ix AS (SELECT vec_id, bkt, h,
-             CAST(row_number() OVER (PARTITION BY bkt ORDER BY h) AS BIGINT) AS i
-           FROM hb),
-         bn AS (SELECT bkt, count(*) AS n FROM ix GROUP BY bkt),
-         ring AS (SELECT x.vec_id, y.vec_id AS nbr_id
-           FROM ix x JOIN bn USING (bkt)
-           CROSS JOIN (SELECT unnest([1, 2]) AS j) js
-           JOIN ix y ON y.bkt = x.bkt AND y.i = ((x.i - 1 + js.j) % bn.n) + 1
-           WHERE js.j <= bn.n - 1 AND x.vec_id <> y.vec_id),
-         seed AS (SELECT * FROM seedb UNION SELECT * FROM ring),
-         vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         g0 AS (SELECT vec_id, nbr_id, cos FROM (
-             SELECT s.vec_id, s.nbr_id,
-               list_cosine_similarity(va.v, vb.v) AS cos,
-               row_number() OVER (PARTITION BY s.vec_id
-                 ORDER BY list_cosine_similarity(va.v, vb.v) DESC, s.nbr_id) AS rn
-             FROM seed s JOIN vv va ON s.vec_id = va.vec_id
-               JOIN vv vb ON s.nbr_id = vb.vec_id)
-           WHERE rn <= 3),
-         und AS (SELECT vec_id AS src, nbr_id AS dst FROM g0
-           UNION SELECT nbr_id, vec_id FROM g0),
-         non AS (SELECT DISTINCT x.src AS vec_id, y.dst AS nbr_id
-           FROM und x JOIN und y ON x.dst = y.src WHERE x.src <> y.dst),
-         allp AS (SELECT vec_id, nbr_id FROM non
-           UNION SELECT vec_id, nbr_id FROM g0)
-         SELECT vec_id, nbr_id, round(cos, 6) AS cos, rank FROM (
-             SELECT p.vec_id, p.nbr_id,
-               list_cosine_similarity(va.v, vb.v) AS cos,
-               CAST(row_number() OVER (PARTITION BY p.vec_id
-                 ORDER BY list_cosine_similarity(va.v, vb.v) DESC, p.nbr_id) AS INTEGER) AS rank
-             FROM allp p JOIN vv va ON p.vec_id = va.vec_id
-               JOIN vv vb ON p.nbr_id = vb.vec_id)
-         WHERE rank <= 3 ORDER BY vec_id, rank""",
+      s"""WITH $refinedGraphCtes
+         SELECT vec_id, nbr_id, round(cos, 6) AS cos, rank FROM gref
+         ORDER BY vec_id, rank""",
+    // graph SERVING: the same refined-graph pyramid, then the beam
+    // search unrolled hop by hop (entries by md5 order, per-hop fresh
+    // frontier, global beam re-selection, final top-k)
+    "knn_graph_search" -> graphSearchSql(entriesN = 64, beam = 32,
+      hops = 3, k = 10),
     // MaxSim: per (image, query-seg) max, then an ascending-qid LEFT FOLD
     // for the Σ (list_reduce here, `aggregate` on the Spark side — FP
     // addition is not associative, so both sides fix the order; the

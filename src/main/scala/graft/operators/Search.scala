@@ -860,6 +860,71 @@ object Search {
     g
   }
 
+  /** Graph-served ANN — the HNSW layer-0 / DiskANN search shape over a
+    * prebuilt kNN graph ([[knnGraph]] seed refined by [[nnDescend]]),
+    * made deterministic and therefore oracle-replayable.
+    *
+    * Entry points: the `entriesN` nodes with the smallest `md5(id)` — a
+    * fixed, query-independent "entry ring" standing in for HNSW's upper
+    * layers (at rest it is a tiny cached table; here it is a top-N scan,
+    * `TakeOrderedAndProject`). The ring is scored exactly and the best
+    * `beam` seed the frontier. Each of the `hops` rounds expands the
+    * beam's out-edges, scores only UNSEEN nodes, and re-selects the
+    * global top-`beam` of everything visited — greedy best-first with
+    * backtracking, HNSW's ef-search loop unrolled a fixed number of
+    * rounds (fixed rounds keep the search a bounded SQL pyramid the
+    * oracle replays; the adaptive "stop when the beam is stable" rule
+    * reaches the same fixed point, just data-dependently).
+    *
+    * Scale shape: the beam is ≤ `beam` id rows and is BROADCAST into the
+    * edge join, so each hop reads the edge table once (id-bucketed at
+    * rest ⇒ the join prunes to the beam's buckets) and joins the corpus
+    * only for the fresh candidates (an id-keyed layout makes that a
+    * point lookup). Per-query work is `entriesN + hops·beam·outdeg`
+    * exact scores — independent of corpus size, which is why graph
+    * serving is the lowest-latency ANN family at 100 TB. The visited set
+    * (≤ entriesN + hops·beam·outdeg rows) is a bounded artifact;
+    * `localCheckpoint` keeps the per-hop lineage flat exactly as
+    * [[nnDescend]] does between rounds. Deterministic everywhere
+    * (score desc, id asc) ⇒ the whole search hash-checks against a
+    * recursive-free CTE replay. Recall is measured, not assumed: the
+    * `graph_beam_h3` arm of `ann_recall` scores this routine against the
+    * brute-force top-k ([[graft.operators.Retrieval.annRecall]]).
+    *
+    * `edges`: directed adjacency (`__vid`, `nbr_id`); `query`: one row,
+    * column `qv`. Returns (`id`, `score`), the top-`k` of the visited
+    * set. */
+  def graphSearch(corpus: DataFrame, id: Column, vec: Column,
+      edges: DataFrame, query: DataFrame,
+      k: Int, entriesN: Int = 16, beam: Int = 8, hops: Int = 3): DataFrame = {
+    require(k >= 1 && entriesN >= 1 && beam >= 1 && hops >= 0,
+      s"graphSearch: need k,entriesN,beam >= 1 and hops >= 0, " +
+        s"got k=$k entriesN=$entriesN beam=$beam hops=$hops")
+    val s = corpus.sparkSession
+    val base = corpus.select(id.as("__nid"), vec.as("__nv"))
+    def score(ids: DataFrame): DataFrame = ids
+      .join(base, "__nid")
+      .crossJoin(broadcast(query))
+      .select(col("__nid"), fusedCosine(s, col("__nv"), col("qv")).as("score"))
+    def top(df: DataFrame, n: Int): DataFrame =
+      df.orderBy(desc("score"), col("__nid").asc).limit(n)
+    val entries = base
+      .select(col("__nid"), md5(col("__nid").cast("string")).as("__h"))
+      .orderBy("__h").limit(entriesN).select("__nid")
+    var visited = score(entries)
+    var beamIds = top(visited, beam).select("__nid")
+    for (h <- 1 to hops) {
+      val frontier = broadcast(beamIds.withColumnRenamed("__nid", "__vid"))
+        .join(edges.select(col("__vid"), col("nbr_id")), "__vid")
+        .select(col("nbr_id").as("__nid")).distinct()
+      val fresh = frontier.join(visited.select("__nid"), Seq("__nid"), "left_anti")
+      visited = visited.unionByName(score(fresh))
+      if (h < hops) visited = visited.localCheckpoint()
+      beamIds = top(visited, beam).select("__nid")
+    }
+    top(visited, k).select(col("__nid").as("id"), col("score"))
+  }
+
   /** Q2 scoring core — for each query segment find the best-cosine db
     * segment per image (A13 argmax), then avg/max across query segments
     * per image (A12). `qSegs` carries one vector per query segment in

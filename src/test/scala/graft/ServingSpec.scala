@@ -115,7 +115,11 @@ class ServingSpec extends SparkSpec {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val c0 = spark.sparkContext.getPersistentRDDs.size
+      // ids, not a count: in a shared session the ContextCleaner
+      // asynchronously unpersists earlier suites' localCheckpoint RDDs,
+      // so a size delta flakes — but cleanup only ever REMOVES ids, so
+      // "exactly one NEW id appeared" is race-free
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       // cold cache hammered from many threads: computeIfAbsent must
       // admit exactly one persisted corpus, not one per request
       Await.result(Future.sequence((1 to 16).map(_ => Future {
@@ -136,8 +140,9 @@ class ServingSpec extends SparkSpec {
       // requests above; exactly ONE persisted RDD may have appeared no
       // matter how many requests raced the cold start (computeIfAbsent
       // admits one value; a duplicate persist would show up here)
-      assert(spark.sparkContext.getPersistentRDDs.size === c0 + 1,
-        "exactly one cached corpus load under request concurrency")
+      val newIds = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(newIds.size === 1,
+        s"exactly one cached corpus load under request concurrency, got new RDD ids $newIds")
     } finally {
       graft.Tables.uncacheCorpus(d)
       pool.shutdown()

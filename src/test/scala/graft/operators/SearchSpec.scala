@@ -337,7 +337,13 @@ class SearchSpec extends SparkSpec {
     val m = Retrieval.annRecall(spark, "/root/testdata/sf0.001")
       .select("method", "recall").as[(String, Double)].collect().toMap
     assert(m.keySet === Set("ivf_nprobe3", "ivf_filtered_nprobe3",
-      "ivfpq_nprobe3_refine10", "lsh_8x8", "mrl16_trunc", "pq_refine10"))
+      "ivfpq_nprobe3_refine10", "lsh_8x8", "mrl16_trunc", "pq_refine10",
+      "graph_beam_h3"))
+    // beam search over the refined graph at the named 64/32/h3 config:
+    // measured 0.8 on this fixed corpus (the 16/8 latency config reads
+    // 0.1 — the k=3 graph on near-random embeddings needs the wider
+    // beam; the delta is the tuning signal this row exists for)
+    assert(m("graph_beam_h3") >= 0.8, s"graph beam floor: $m")
     assert(m.values.forall(v => v >= 0.0 && v <= 1.0))
     assert(m("pq_refine10") >= 0.9, s"pq refine=10 floor: $m")
     assert(m("ivf_nprobe3") >= 0.5, s"ivf nprobe=3 floor: $m")
@@ -417,5 +423,56 @@ class SearchSpec extends SparkSpec {
       col("embedding"), seedE, k = 3, rounds = 2), truthE, nTrueE)
     assert(recRefined > recBlocked,
       s"refined union seed must beat the blocked graph: $recRefined vs $recBlocked")
+  }
+
+  test("graphSearch: full graph + wide beam equals brute force; deterministic") {
+    import spark.implicits._
+    // every ordered pair is an edge — one hop from any entry visits the
+    // whole corpus, so the served top-k MUST equal the exact top-k
+    val edges = corpus.select(col("id").as("__vid"))
+      .crossJoin(corpus.select(col("id").as("nbr_id")))
+      .filter(col("__vid") =!= col("nbr_id"))
+    def serve() = Search.graphSearch(corpus, $"id", $"vec", edges, query,
+      k = 3, entriesN = 2, beam = 6, hops = 1)
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    val got = serve()
+    val brute = Search.knnBrute(corpus, $"vec", query, k = 3, tie = $"id")
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    assert(got === brute, s"full-graph beam search must be exact: $got vs $brute")
+    assert(serve() === got, "graphSearch must be deterministic")
+  }
+
+  test("graphSearch: hops walk the graph toward the query; recall@k is monotone in hops") {
+    import spark.implicits._
+    // circle corpus with arc-adjacency edges (i ↔ i±1, i±2): the md5
+    // entry ring starts far from most query neighborhoods, so serving
+    // quality is pure graph traversal
+    val n = 30
+    val pts = (0 until n).map { i =>
+      val th = math.toRadians(12.0 * i)
+      (i.toLong, Seq(math.cos(th).toFloat, math.sin(th).toFloat))
+    }
+    val circle = pts.toDF("vec_id", "embedding")
+    val edges = (0 until n).flatMap { i =>
+      Seq(1, 2, n - 1, n - 2).map(d => (i.toLong, ((i + d) % n).toLong))
+    }.toDF("__vid", "nbr_id")
+    val q = Seq(Tuple1(pts(17)._2)).toDF("qv")
+    val brute = Search.knnBrute(circle, $"embedding", q, k = 3, tie = $"vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    def served(hops: Int) = Search.graphSearch(circle, $"vec_id",
+        $"embedding", edges, q, k = 3, entriesN = 1, beam = 3, hops = hops)
+      .select("id").as[Long].collect().toSet
+    // a single entry with no hops can never fill k=3
+    assert(served(0).size < 3, "hops=0 sees only the entry ring")
+    // visited only grows with hops, and anything outscoring a true
+    // top-k member is itself a true top-k member — so recall@k vs the
+    // exact top-k is monotone in hops
+    val recalls = (0 to 10).map(h => (served(h) & brute).size)
+    recalls.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a, s"recall must be monotone in hops: $recalls")
+    }
+    assert(recalls.last === 3,
+      s"enough hops must walk the arc to the exact top-3: $recalls")
+    assert(recalls.head < 3, s"the entry ring alone must not already be exact: $recalls")
   }
 }
