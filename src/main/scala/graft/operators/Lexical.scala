@@ -167,6 +167,132 @@ object Lexical {
       should = Seq("vector", "merge"), mustNot = Seq("slow"))
       .orderBy(desc("score"), asc("doc_id")).limit(10)
 
+  // --- Fuzzy matching (ES `fuzziness: 1`, made deterministic) ---------------
+
+  /** ES caps fuzzy expansion at 50 terms; same idea, smaller default —
+    * the cap picks by (df DESC, term ASC), ES's "most frequent first". */
+  val MaxFuzzyExpansions = 5
+
+  /** Query-side guard: each delete-1 neighborhood is `len+1` strings; a
+    * pathological kilobyte "term" would explode the broadcast for a
+    * query that can't match a real token anyway. */
+  val MaxFuzzyTermLen = 64
+
+  /** All delete-one-character variants of `t`, plus `t` itself — the
+    * SymSpell candidate key set for edit distance 1 (Garbe's
+    * symmetric-delete algorithm, public): two strings within Levenshtein
+    * distance 1 ALWAYS share a key (deletion/insertion: one side's
+    * delete equals the other; substitution: deleting the differing
+    * position from both sides collides), so joining on keys proposes a
+    * SUPERSET of the true matches and an exact `levenshtein` verify
+    * disposes — the same propose/verify shape as the MinHash dedup. */
+  private def delVariants(t: String): Seq[String] =
+    t +: (0 until t.length).map(i => t.substring(0, i) + t.substring(i + 1))
+
+  /** Column form of [[delVariants]] for the vocabulary side (codegen'd
+    * HOF, no UDF): term plus its `len` delete-1 strings. */
+  private def delVariantsCol(term: Column): Column =
+    array_union(array(term),
+      transform(sequence(lit(0), length(term) - 1), i =>
+        concat(term.substr(lit(1), i), term.substr(i + lit(2), length(term)))))
+
+  /** Fuzzy term expansion: for each query term, the vocabulary terms
+    * within Levenshtein distance 1, capped at `maxExpansions` by
+    * (df DESC, term ASC).
+    *
+    * Scale shape: the corpus never appears — only `vocab` (term, df),
+    * which is vocabulary-sized (millions of SHORT strings at 100 TB, not
+    * billions of documents). The vocab side explodes into delete-1 keys
+    * (≤ avg_len+1 each) after pruning terms longer than `max(|q|)+1`
+    * (Levenshtein ≥ length difference, so nothing longer can match);
+    * the query side is a broadcast of |Q|·(len+1) keys. Candidates =
+    * key-equality join, verified by exact `levenshtein` — no all-pairs
+    * distance join anywhere. */
+  def fuzzyExpansions(vocab: DataFrame, // (term, df)
+      rawTerms: Seq[String],
+      maxExpansions: Int = MaxFuzzyExpansions): DataFrame = {
+    val s = vocab.sparkSession
+    import s.implicits._
+    val terms = analyze(rawTerms)
+    require(terms.nonEmpty, "fuzzy expansion needs at least one term")
+    require(terms.forall(_.length <= MaxFuzzyTermLen),
+      s"fuzzy query terms are capped at $MaxFuzzyTermLen chars")
+    val qvar = terms.flatMap(t => delVariants(t).map(v => (t, v)))
+      .toDF("q_term", "__var")
+    val maxQLen = terms.map(_.length).max
+    val cands = vocab
+      .filter(length(col("term")) <= maxQLen + 1)
+      .select(col("term"), col("df"),
+        explode(delVariantsCol(col("term"))).as("__var"))
+      .join(broadcast(qvar), "__var")
+      .select("q_term", "term", "df").distinct()
+      .filter(levenshtein(col("q_term"), col("term")) <= 1)
+    val w = Window.partitionBy("q_term").orderBy(desc("df"), col("term").asc)
+    cands.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxExpansions).drop("__rn")
+  }
+
+  /** Fuzzy BM25 (ES `match` with `fuzziness: 1`): each query term
+    * expands to its ≤[[MaxFuzzyExpansions]] nearest vocabulary terms
+    * ([[fuzzyExpansions]]); a document's score for a query term is the
+    * BEST BM25 score among that term's expansions present in the doc
+    * (each expansion scored with its OWN df — ES's default fuzzy
+    * scoring), summed over query terms in declaration order. A term
+    * within distance 1 of several query terms scores each of them.
+    *
+    * Same scale shape as [[bm25Scores]] plus the vocabulary pass: one
+    * distinct-token aggregate (vocab df), the key-join expansion, then
+    * the standard postings pipeline restricted to the ≤|Q|·cap expanded
+    * terms (a bounded driver artifact, like the probe lists every index
+    * family collects). */
+  def bm25FuzzyScores(s: SparkSession, d: String,
+      rawTerms: Seq[String],
+      maxExpansions: Int = MaxFuzzyExpansions): DataFrame = {
+    val terms = analyze(rawTerms)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val vocab = docs
+      .select(explode(array_distinct(col("toks"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val exp = fuzzyExpansions(vocab, terms, maxExpansions)
+      .select("q_term", "term").localCheckpoint() // bounded: ≤ |Q|·cap rows
+    val expTerms = exp.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (expTerms.isEmpty) {
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
+    }
+    val qarr = array(expTerms.map(lit): _*)
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("toks"))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(filter(col("toks"), t => array_contains(qarr, t))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val pivots = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("q_term") === t, col("s"))).as(s"s_$i")
+    }
+    scoredPostings(tf, dfreq, stats)
+      .join(broadcast(exp), "term")
+      .groupBy("doc_id")
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("doc_id"), round(pivotTotal(terms), 6).as("score"))
+  }
+
+  /** Named query: fuzzy search with three typo'd terms — "vektor" →
+    * vector (substitution), "streem" → stream (substitution), "sow" →
+    * {slow (insertion), row (substitution)} — the last exercising the
+    * best-of-several-expansions max. */
+  val FuzzyTerms: Seq[String] = Seq("vektor", "streem", "sow")
+
+  def fuzzyQ(s: SparkSession, d: String): DataFrame =
+    bm25FuzzyScores(s, d, FuzzyTerms)
+      .orderBy(desc("score"), asc("doc_id")).limit(10)
+
   // --- At-rest inverted index — the 100 TB serving path ---------------------
 
   /** Postings-list bucket count. Serving reads `|Q|/buckets` of the index
@@ -691,6 +817,7 @@ object Lexical {
     "search_phrase" -> phraseQ,
     "search_phrase_slop" -> proximityQ,
     "search_bool" -> boolQ,
+    "search_fuzzy" -> fuzzyQ,
     "q6_rrf_hybrid" -> rrfHybrid,
     "q7_weighted_hybrid" -> ((s: SparkSession, d: String) => weightedHybrid(s, d)))
 
@@ -714,7 +841,46 @@ object Lexical {
               FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
        lexs AS (SELECT doc_id, round($pivotSum, 6) AS score FROM sc GROUP BY doc_id)"""
 
+  /** Fuzzy oracle: the DELETION-NEIGHBORHOOD trick is only a candidate
+    * filter — the SEMANTICS are "vocab terms within levenshtein ≤ 1",
+    * which DuckDB states directly; the verified Spark candidates are a
+    * proven superset (see [[delVariants]]), so both sides compute the
+    * same expansion set, then the same capped rank, postings, and
+    * fixed-order best-expansion sum. */
+  private def fuzzySql: String = {
+    val qIn = FuzzyTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+    val qSum = FuzzyTerms
+      .map(t => s"coalesce(max(CASE WHEN q_term = '$t' THEN s END), 0.0)")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       vocab AS (SELECT term, CAST(count(*) AS DOUBLE) AS vdf
+         FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t)
+         GROUP BY term),
+       qt AS (SELECT unnest($qIn) AS q_term),
+       exp AS (SELECT q_term, term FROM (
+           SELECT q.q_term, v.term,
+             row_number() OVER (PARTITION BY q.q_term
+               ORDER BY v.vdf DESC, v.term) AS rn
+           FROM qt q JOIN vocab v ON levenshtein(q.q_term, v.term) <= 1)
+         WHERE rn <= $MaxFuzzyExpansions),
+       stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl FROM t),
+       tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, term,
+                CAST(count(*) AS DOUBLE) AS tf
+              FROM (SELECT doc_id, toks, unnest(toks) AS term FROM t)
+              WHERE term IN (SELECT term FROM exp) GROUP BY doc_id, dl, term),
+       dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+       sc AS (SELECT doc_id, term,
+                ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ${K1 + 1.0}
+                  / (tf + $K1 * (${1.0 - B} + $B * dl / avgdl)) AS s
+              FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+       m AS (SELECT doc_id, q_term, s FROM sc JOIN exp USING (term))
+       SELECT doc_id, score FROM (
+         SELECT doc_id, round($qSum, 6) AS score FROM m GROUP BY doc_id)
+       ORDER BY score DESC, doc_id LIMIT 10"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "search_fuzzy" -> fuzzySql,
     "search_bm25" ->
       s"""WITH ${bm25Sql()}
          SELECT doc_id, score FROM lexs ORDER BY score DESC, doc_id LIMIT 10""",

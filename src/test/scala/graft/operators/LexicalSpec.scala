@@ -328,6 +328,95 @@ class LexicalSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap)
   }
 
+  test("fuzzyExpansions: deletion-neighborhood candidates are a proven superset of levenshtein<=1; cap picks by df") {
+    import spark.implicits._
+    // real vocabulary from testdata: every (q, vocab-term) pair within
+    // edit distance 1 must be proposed by the delete-1 key join — the
+    // SymSpell completeness property the oracle relies on
+    val docs = graft.Tables.documents(spark, sf)
+      .select(graft.functions.TextFunctions.tokens($"text").as("toks"))
+    val vocab = docs.select(explode(array_distinct($"toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val vocabTerms = vocab.select("term").as[String].collect().toSeq
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val qs = Seq("vektor", "streem", "sow", "haash", "nomatchxyz", "key")
+    val got = Lexical.fuzzyExpansions(vocab, qs, maxExpansions = 1000)
+      .select("q_term", "term").as[(String, String)].collect().toSet
+    val want = (for (q <- qs; t <- vocabTerms if lev(q, t) <= 1) yield (q, t)).toSet
+    assert(got === want,
+      s"expansion must equal the brute levenshtein join: missing=${want -- got} extra=${got -- want}")
+    // "key" is itself in the vocab: exact matches ride the same path
+    assert(got.contains(("key", "key")))
+    assert(!got.exists(_._1 == "nomatchxyz"), "no expansion for a far term")
+    // cap: with maxExpansions=1 "sow" keeps only the higher-df of
+    // {slow, row}
+    val capped = Lexical.fuzzyExpansions(vocab, Seq("sow"), maxExpansions = 1)
+      .select("term").as[String].collect().toSeq
+    val dfOf = vocab.as[(String, Double)].collect().toMap
+    val best = Seq("slow", "row").maxBy(t => (dfOf(t), t.hashCode))
+    assert(capped === Seq(if (dfOf("slow") == dfOf("row")) Seq("row", "slow").min else best))
+  }
+
+  test("bm25FuzzyScores: best-expansion max per query term, summed in order; a term can score two query terms") {
+    import spark.implicits._
+    // hand corpus: "vector" and "victor" are both distance 1 from query
+    // "vcctor"… use controlled words instead:
+    //   q1="cat" → {cart, cap}; q2="dog" → {dig}
+    //   "bat" is distance 1 from BOTH "cat"-like q "bat"? keep simple:
+    //   doc1 has cart+dig, doc2 has cap only, doc3 unrelated
+    val docs = Seq(
+      (1L, "cart dig x y"),
+      (2L, "cap z z z"),
+      (3L, "unrelated words only here"),
+      (4L, "cart cap dig q")).toDF("doc_id", "text")
+    val saved = docs.cache()
+    // local stand-in for Tables.documents: call the generic pieces
+    val toks = saved.select($"doc_id",
+      graft.functions.TextFunctions.tokens($"text").as("toks"))
+    val vocab = toks.select(explode(array_distinct($"toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val exp = Lexical.fuzzyExpansions(vocab, Seq("cat", "dog"))
+      .select("q_term", "term").as[(String, String)].collect().toSet
+    assert(exp === Set(("cat", "cart"), ("cat", "cap"), ("dog", "dig")),
+      s"got $exp")
+    // scoring semantics via the public scorer on a written corpus
+    val dir = java.nio.file.Files.createTempDirectory("lex_fuzzy").toString
+    saved.write.parquet(s"$dir/documents.parquet")
+    val scored = Lexical.bm25FuzzyScores(spark, dir, Seq("cat", "dog"))
+      .as[(Long, Double)].collect().toMap
+    // doc3 matches nothing → absent
+    assert(!scored.contains(3L))
+    // per-q_term components (each the MAX over that term's expansions)
+    // must ADD across query terms: reconstruct from single-term queries
+    val catOnly = Lexical.bm25FuzzyScores(spark, dir, Seq("cat"))
+      .as[(Long, Double)].collect().toMap
+    val dogOnly = Lexical.bm25FuzzyScores(spark, dir, Seq("dog"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(scored(4L) - (catOnly(4L) + dogOnly(4L))) < 2e-6,
+      s"per-q_term components must add: ${scored(4L)} vs ${catOnly(4L)} + ${dogOnly(4L)}")
+    assert(scored(1L) > 0 && scored(2L) > 0)
+    // max-not-sum within a query term: doc4 holds BOTH cat-expansions;
+    // its "cat" component must equal the better single-term BM25 score
+    // (exact-term scorer, same formula/df), not their sum
+    val sCart = Lexical.bm25Scores(spark, dir, Seq("cart"))
+      .as[(Long, Double)].collect().toMap
+    val sCap = Lexical.bm25Scores(spark, dir, Seq("cap"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(catOnly(4L) - math.max(sCart(4L), sCap(4L))) < 2e-6,
+      s"cat component must be the best expansion: ${catOnly(4L)} vs max(${sCart(4L)}, ${sCap(4L)})")
+    assert(catOnly(4L) < sCart(4L) + sCap(4L) - 1e-6,
+      "expansions within one query term must not sum")
+    saved.unpersist()
+  }
+
   test("clustersQ matches an in-test union-find over the same pairs") {
     val pairs = Dedup.jaccardPairs(
         graft.Tables.documents(spark, sf)
