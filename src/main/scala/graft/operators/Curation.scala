@@ -271,6 +271,76 @@ object Curation {
       .select("doc_id", "source", "rn")
       .orderBy("doc_id")
 
+  /** Training-shard layout: assign pack rows to fixed-size output shards
+    * in a reproducible pseudo-random order — the last leg of the export
+    * pipeline (trainers want (a) shards of uniform size for even data
+    * loading, (b) a GLOBAL shuffle of the pack order so one shard never
+    * holds one source's contiguous run, (c) byte-reproducibility so a
+    * re-export is the same dataset).
+    *
+    * Order = `md5(key)` (ties by key) — a deterministic permutation, the
+    * same trick [[temperatureSample]] and `hashSample` use instead of a
+    * PRNG. The exact global rank is computed WITHOUT the single-task
+    * `row_number() OVER (ORDER BY …)` bottleneck: the first two hex
+    * chars of the hash cut the order into 256 PREFIX-MONOTONE buckets
+    * (lexicographic bucket order == hash order), row_number runs per
+    * bucket, and the 256 per-bucket counts get an exclusive prefix sum
+    * broadcast back as starting offsets — [[Etl.globalRowIndex]]'s
+    * decomposition, keyed on a hash prefix instead of a numeric range
+    * (md5 is uniform, so the buckets are balanced by construction, not
+    * by hope). `shard_id = rank div packsPerShard`,
+    * `pos_in_shard = rank mod packsPerShard`: every shard except the
+    * last is exactly full. */
+  def shardPacks(packs: DataFrame, key: Column,
+      packsPerShard: Long): DataFrame = {
+    require(packsPerShard >= 1, s"shardPacks: packsPerShard >= 1, got $packsPerShard")
+    val in = packs.withColumn("__k", key.cast("string"))
+      .withColumn("__h", md5(col("__k")))
+      .withColumn("__bkt", substring(col("__h"), 1, 2))
+    val wLoc = Window.partitionBy("__bkt").orderBy(col("__h"), col("__k"))
+    // ≤ 256 rows flow through this partition-less window — bounded.
+    val wOff = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = in.groupBy("__bkt").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(wOff), lit(0L)))
+      .select("__bkt", "__off")
+    in.withColumn("__ln", row_number().over(wLoc).cast("long"))
+      .join(broadcast(offsets), "__bkt")
+      .withColumn("__rank", col("__off") + col("__ln") - 1L)
+      .withColumn("shard_id", expr(s"__rank DIV ${packsPerShard}L"))
+      .withColumn("pos_in_shard", col("__rank") % lit(packsPerShard))
+      .drop("__k", "__h", "__bkt", "__ln", "__off", "__rank")
+  }
+
+  /** Materialize [[shardPacks]] output as the at-rest training layout:
+    * one directory per shard, ONE file per shard (rows hash-repartition
+    * on the shard id, so a shard's rows land in a single task and the
+    * `partitionBy` writer emits a single contiguous file for it — shard
+    * count, not row count, sets the write parallelism, exactly how an
+    * export of 10⁵ shards from a 1000-executor cluster wants it). */
+  def writeTrainingShards(sharded: DataFrame, dir: String): Unit =
+    sharded.repartition(col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(dir)
+
+  /** Named query: the pack→shard leg — [[packSequencesQ]]'s packs rolled
+    * up to pack granularity (n_docs, token total per pack), then
+    * [[shardPacks]] at 8 packs/shard. Every stage is exact integer /
+    * hash arithmetic, so the oracle replays the whole lineage including
+    * the md5 permutation and the rank decomposition. */
+  def exportShardsQ(s: SparkSession, d: String): DataFrame = {
+    val packed = packSequences(
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("long")),
+      col("source"), col("doc_id"), col("n_tokens"), budget = 512L)
+    val packs = packed.groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+    shardPacks(packs,
+        concat(col("source"), lit("#"), col("pack_id").cast("string")),
+        packsPerShard = 8L)
+      .select("source", "pack_id", "n_docs", "pack_tokens",
+        "shard_id", "pos_in_shard")
+      .orderBy("source", "pack_id")
+  }
+
   /** Corpus-level hygiene report in ONE scan — the aggregate face of the
     * reference's per-stage "removed N rows" logs (`clean_and_fill_na.py`
     * prints counts after every rule): how many docs each gate of
@@ -314,6 +384,7 @@ object Curation {
     "curate_decontam" -> curateDecontam,
     "mix_temperature" -> mixTemperature,
     "pack_sequences" -> packSequencesQ,
+    "export_shards" -> exportShardsQ,
     "mix_source_cap" -> mixSourceCap,
     "curate_report" -> curateReport)
 
@@ -394,6 +465,29 @@ object Curation {
            CAST(cum // 512 AS BIGINT) AS pack_id,
            CAST(cum % 512 AS BIGINT) AS pack_offset
          FROM c ORDER BY doc_id""",
+    // pack rollup → md5-permutation global rank → div/mod shard cut; the
+    // oracle may use the flat OVER (ORDER BY …) window the Spark side
+    // decomposes into 256 prefix buckets — identical output
+    "export_shards" ->
+      """WITH t AS (SELECT doc_id, source,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM t),
+         p AS (SELECT source, CAST(cum // 512 AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+           FROM c GROUP BY source, pack_id),
+         r AS (SELECT *, CAST(row_number() OVER (
+             ORDER BY md5(source || '#' || CAST(pack_id AS VARCHAR)),
+               source || '#' || CAST(pack_id AS VARCHAR)) AS BIGINT) - 1 AS rk
+           FROM p)
+         SELECT source, pack_id, n_docs, pack_tokens,
+           CAST(rk // 8 AS BIGINT) AS shard_id,
+           CAST(rk % 8 AS BIGINT) AS pos_in_shard
+         FROM r ORDER BY source, pack_id""",
     "mix_source_cap" ->
       """SELECT doc_id, source, rn FROM (
            SELECT doc_id, source,

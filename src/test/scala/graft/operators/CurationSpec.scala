@@ -175,6 +175,65 @@ class CurationSpec extends SparkSpec {
     assert(nBuckets === 8L)
   }
 
+  test("shardPacks: exact md5-permutation rank, full shards, deterministic") {
+    import spark.implicits._
+    val n = 533 // deliberately NOT a multiple of packsPerShard
+    val packs = (0 until n).map(i => (s"src${i % 3}", i.toLong)).toDF("source", "pack_id")
+    val key = concat($"source", lit("#"), $"pack_id".cast("string"))
+    val got = Curation.shardPacks(packs, key, packsPerShard = 8L)
+      .select("source", "pack_id", "shard_id", "pos_in_shard")
+      .as[(String, Long, Long, Long)].collect()
+    // reference: flat global rank by (md5(key), key) computed driver-side
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (0 until n).map { i =>
+      val k = s"src${i % 3}#$i"
+      (s"src${i % 3}", i.toLong, md5hex(k), k)
+    }.sortBy(t => (t._3, t._4)).zipWithIndex.map { case ((s0, p, _, _), rk) =>
+      (s0, p) -> (rk.toLong / 8, rk.toLong % 8)
+    }.toMap
+    got.foreach { case (s0, p, sh, pos) =>
+      assert((sh, pos) === expected((s0, p)),
+        s"($s0,$p): got shard=$sh pos=$pos want ${expected((s0, p))}")
+    }
+    // every shard full except the highest
+    val sizes = got.groupBy(_._3).view.mapValues(_.length).toMap
+    val lastShard = sizes.keys.max
+    assert(sizes.filterKeys(_ != lastShard).values.forall(_ == 8))
+    assert(sizes(lastShard) == n % 8 || sizes(lastShard) == 8)
+    // deterministic
+    val again = Curation.shardPacks(packs, key, packsPerShard = 8L)
+      .select("source", "pack_id", "shard_id", "pos_in_shard")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.sortBy(t => (t._1, t._2)).toSeq === again.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
+  test("writeTrainingShards: one file per shard, round-trip content") {
+    import spark.implicits._
+    val packs = (0 until 64).map(i => (i.toLong, s"payload_$i")).toDF("pack_id", "body")
+    val sharded = Curation.shardPacks(packs, $"pack_id".cast("string"), packsPerShard = 8L)
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    Curation.writeTrainingShards(sharded, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 64)
+    // shard dirs exist and each holds exactly one data file — the write
+    // parallelism contract (shard-contiguous files)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+    assert(shardDirs.length === 8, shardDirs.map(_.getName).mkString(","))
+    shardDirs.foreach { sd =>
+      val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${sd.getName}: ${files.length} files")
+    }
+    // content round-trips (shard_id comes back as a partition column)
+    val want = sharded.select("pack_id", "body", "shard_id", "pos_in_shard")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val gotB = back.select($"pack_id", $"body", $"shard_id".cast("long"), $"pos_in_shard")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(gotB === want)
+  }
+
   test("capPerGroup: boundary inclusive, order respected") {
     val df = (1L to 10L).map(i => (i, "g")).toDF("id", "grp")
     val kept = Curation.capPerGroup(df, $"grp", $"id", n = 3)
