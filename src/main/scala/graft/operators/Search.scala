@@ -925,6 +925,140 @@ object Search {
     top(visited, k).select(col("__nid").as("id"), col("score"))
   }
 
+  // --- At-rest graph serving layout (the 4th index family) ------------------
+
+  /** Materialize a kNN graph as a SERVING layout — the DiskANN/Vamana
+    * at-rest shape:
+    *
+    *   - `nodes/bkt=…`   (id, vec), hash-bucketed `id mod buckets`;
+    *   - `edges/bkt=…`   (__vid, nbr_id), bucketed on the SOURCE id;
+    *   - `entries/`      the `entriesN` smallest-md5 ids, frozen at
+    *     build time (HNSW's upper layers as a tiny cached table).
+    *
+    * Every [[graphSearchIndexed]] hop resolves its probe ids
+    * driver-side (beam-sized artifacts) and lands them as partition
+    * filters + pushed id predicates, so a hop reads `≤ beam` buckets of
+    * edges and `≤ beam·outdeg` bucket files of nodes — never the
+    * corpus. The same tombstone store every other index family uses
+    * ([[graft.sources.Tombstones]], one `_tombstones` dir at `path`)
+    * gives O(|deletes|) right-to-be-forgotten: entries, scored nodes,
+    * and edge TARGETS all anti-join it (a deleted node can never enter
+    * the beam, so its out-edges are unreachable without rewriting
+    * anything); [[compactGraphIndex]] reclaims the space through the
+    * shared crash-safe swap. The entry ring stays FROZEN under takedown
+    * (minus deleted members) until a compaction/rebuild refreshes it —
+    * the same documented staleness Lucene's liveDocs model accepts. */
+  def writeGraphIndex(corpus: DataFrame, id: Column, vec: Column,
+      edges: DataFrame, // (__vid, nbr_id)
+      path: String, entriesN: Int = 64, buckets: Int = 32): Unit = {
+    require(entriesN >= 1 && buckets >= 1,
+      s"writeGraphIndex: need entriesN, buckets >= 1, got $entriesN, $buckets")
+    corpus.select(id.cast("long").as("id"), vec.as("vec"))
+      .withColumn("bkt", pmod(col("id"), lit(buckets.toLong)).cast("int"))
+      .write.partitionBy("bkt").parquet(s"$path/nodes")
+    edges.select(col("__vid").cast("long").as("__vid"),
+        col("nbr_id").cast("long").as("nbr_id"))
+      .withColumn("bkt", pmod(col("__vid"), lit(buckets.toLong)).cast("int"))
+      .write.partitionBy("bkt").parquet(s"$path/edges")
+    corpus.select(id.cast("long").as("id"))
+      .withColumn("__h", md5(col("id").cast("string")))
+      .orderBy("__h").limit(entriesN).select("id")
+      .write.parquet(s"$path/entries")
+  }
+
+  /** [[graphSearch]] served from a [[writeGraphIndex]] layout: identical
+    * semantics (same beam loop, same tie-breaks — `IvfLayoutSpec` pins
+    * bit parity with the in-plan search), but every read is a
+    * partition-pruned point lookup. Per-hop driver state is the beam id
+    * list (≤ `beam` longs) and the frontier (≤ `beam·outdeg`) — bounded
+    * artifacts, the same contract as every probe list in the IVF and
+    * MinHash families. Tombstone-aware at all three tables. */
+  def graphSearchIndexed(s: SparkSession, path: String, query: DataFrame,
+      k: Int, beam: Int = 32, hops: Int = 3, buckets: Int = 32): DataFrame = {
+    import graft.sources.Tombstones
+    Tombstones.healPartitions(s, s"$path/nodes")
+    Tombstones.healPartitions(s, s"$path/edges")
+    def bktOf(ids: Seq[Long]): Seq[Long] =
+      ids.map(i => java.lang.Math.floorMod(i, buckets.toLong)).distinct
+    val entryIds = Tombstones.dropDeleted(
+        s.read.parquet(s"$path/entries"), col("id"), path)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    def score(ids: Seq[Long]): DataFrame = Tombstones.dropDeleted(
+        s.read.parquet(s"$path/nodes")
+          .filter(col("bkt").isin(bktOf(ids): _*) && col("id").isin(ids: _*)),
+        col("id"), path)
+      .crossJoin(broadcast(query))
+      .select(col("id"), fusedCosine(s, col("vec"), col("qv")).as("score"))
+    def topIds(v: DataFrame, n: Int): Seq[Long] =
+      v.orderBy(desc("score"), col("id").asc).limit(n)
+        .select("id").collect().map(_.getLong(0)).toSeq
+    var visited = score(entryIds).localCheckpoint()
+    var seen = entryIds.toSet
+    var beamIds = topIds(visited, beam)
+    for (_ <- 1 to hops if beamIds.nonEmpty) {
+      val fresh = Tombstones.dropDeleted(
+          s.read.parquet(s"$path/edges")
+            .filter(col("bkt").isin(bktOf(beamIds): _*) &&
+              col("__vid").isin(beamIds: _*)),
+          col("nbr_id"), path)
+        .select("nbr_id").distinct()
+        .collect().map(_.getLong(0)).toSeq.filterNot(seen)
+      if (fresh.nonEmpty) {
+        visited = visited.unionByName(score(fresh)).localCheckpoint()
+        seen ++= fresh
+      }
+      beamIds = topIds(visited, beam)
+    }
+    visited.orderBy(desc("score"), col("id").asc).limit(k)
+  }
+
+  /** O(|ids|) takedown on the graph layout — serving excludes the ids
+    * immediately (see [[writeGraphIndex]]); [[compactGraphIndex]]
+    * reclaims. */
+  def deleteFromGraphIndex(ids: DataFrame, idCol: Column, path: String): Unit =
+    graft.sources.Tombstones.add(ids, idCol, path)
+
+  /** Physically apply graph tombstones: rewrite the node buckets holding
+    * deleted ids, every edge bucket holding an edge that TOUCHES a
+    * deleted id (either endpoint — a target-deleted edge lives in its
+    * source's bucket, so the touched set comes from one index scan, as
+    * compaction may), and the entry ring; then drop the store. Each leaf
+    * goes through [[graft.sources.Tombstones.rewriteLive]]'s crash-safe
+    * swap — crash anywhere leaves tombstones in place and the re-run
+    * idempotent. */
+  def compactGraphIndex(s: SparkSession, path: String,
+      onStep: String => Unit = _ => ()): Unit = {
+    import graft.sources.Tombstones
+    Tombstones.healPartitions(s, s"$path/nodes")
+    Tombstones.healPartitions(s, s"$path/edges")
+    Tombstones.ids(s, path).foreach { t =>
+      val tomb = t.select(t("id").as("__t")) // avoid id-vs-id ambiguity
+      val nodeBkts = s.read.parquet(s"$path/nodes")
+        .join(tomb, col("id") === col("__t"), "left_semi")
+        .select(col("bkt").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      nodeBkts.foreach { b =>
+        Tombstones.rewriteLive(s, s"$path/nodes/bkt=$b",
+          df => df.join(tomb, col("id") === col("__t"), "left_anti"), onStep)
+      }
+      val edgeBkts = s.read.parquet(s"$path/edges")
+        .join(tomb,
+          col("__vid") === col("__t") || col("nbr_id") === col("__t"),
+          "left_semi")
+        .select(col("bkt").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      edgeBkts.foreach { b =>
+        Tombstones.rewriteLive(s, s"$path/edges/bkt=$b",
+          df => df.join(tomb,
+              col("__vid") === col("__t") || col("nbr_id") === col("__t"),
+              "left_anti"), onStep)
+      }
+      Tombstones.rewriteLive(s, s"$path/entries",
+        df => df.join(tomb, col("id") === col("__t"), "left_anti"), onStep)
+      Tombstones.clear(s, path)
+    }
+  }
+
   /** Q2 scoring core — for each query segment find the best-cosine db
     * segment per image (A13 argmax), then avg/max across query segments
     * per image (A12). `qSegs` carries one vector per query segment in

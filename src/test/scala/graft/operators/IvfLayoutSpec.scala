@@ -280,6 +280,103 @@ class IvfLayoutSpec extends SparkSpec {
       "an all-deleted partition directory is removed, not left empty")
   }
 
+  test("writeGraphIndex + graphSearchIndexed: bit parity with in-plan graphSearch; bucket probe prunes the scans") {
+    val corpus = clusteredCorpus(40)
+    val cents = Search.kmeansTrain(corpus, col("vec_id"), col("embedding"), k = 4)
+    val edges = Search.knnGraph(corpus, col("vec_id"), col("embedding"),
+      cents, k = 3).select("__vid", "nbr_id").localCheckpoint()
+    val query = Seq(Tuple1(Seq(1f, 0.4f, 0f, 0f, 0f, 0f, 0f, 0f))).toDF("qv")
+    val dir = java.nio.file.Files.createTempDirectory("graft_graph_idx").toString
+    Search.writeGraphIndex(corpus, col("vec_id"), col("embedding"), edges,
+      s"$dir/idx", entriesN = 8, buckets = 4)
+    val inPlan = Search.graphSearch(corpus, col("vec_id"), col("embedding"),
+        edges, query, k = 5, entriesN = 8, beam = 4, hops = 2)
+      .select(col("id"), col("score")).as[(Long, Double)].collect().toSeq
+    val served = Search.graphSearchIndexed(spark, s"$dir/idx", query,
+        k = 5, beam = 4, hops = 2, buckets = 4)
+      .select(col("id"), col("score")).as[(Long, Double)].collect().toSeq
+    assert(served === inPlan, s"at-rest serving must be bit-identical:\n$served\n$inPlan")
+    // the layout contract: the id-bucket filter each hop issues reaches
+    // the scan as a PartitionFilter (file skipping), the id predicate
+    // pushes into the read
+    val probe = spark.read.parquet(s"$dir/idx/edges")
+      .filter(col("bkt").isin(1L, 2L) && col("__vid").isin(5L, 6L))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bkt".r.findFirstIn(plan).isDefined,
+      s"bucket probe must prune partitions:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("__vid"),
+      s"id predicate must push into the pruned scan:\n$plan")
+  }
+
+  test("graph takedown: deleted relay nodes REROUTE the walk (reachability, not just filtering); entry deletion shrinks the frozen ring; compaction + crash injection") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // 6 nodes; roles assigned by md5 order so the entry ring is under
+    // our control: E (smallest md5) and E2 are the ring, then relay a,
+    // decoy c, target t (cos 1 with the query), spare
+    val order = (0L to 5L).sortBy(i => md5hex(i.toString))
+    val Seq(e, e2, a, c, t, spare) = order
+    def v(x: Double, y: Double, z: Double) = Seq(x.toFloat, y.toFloat, z.toFloat)
+    val vecs = Map(
+      e -> v(0.1, 1, 0), e2 -> v(0.05, 1, 0.1), a -> v(0.4, 1, 0),
+      c -> v(0.5, 1, 0), t -> v(1, 0, 0), spare -> v(0, 0, 1))
+    val corpus = vecs.toSeq.map { case (i, vv) => (i, vv) }.toDF("vec_id", "embedding")
+    // the ONLY path to the target runs through relay a
+    val edges = Seq((e, a), (a, t), (e, c), (e2, c), (c, spare))
+      .toDF("__vid", "nbr_id")
+    val query = Seq(Tuple1(v(1, 0, 0))).toDF("qv")
+    val dir = java.nio.file.Files.createTempDirectory("graft_graph_del").toString
+    Search.writeGraphIndex(corpus, col("vec_id"), col("embedding"), edges,
+      s"$dir/idx", entriesN = 2, buckets = 2)
+    def serve() = Search.graphSearchIndexed(spark, s"$dir/idx", query,
+      k = 6, beam = 3, hops = 3, buckets = 2)
+      .select("id").as[Long].collect().toSeq
+    assert(serve().head === t, "with the relay alive the walk reaches the target")
+    // tombstone the relay: the target now scores NOWHERE even though it
+    // is alive and the best match — its only in-edge is unreachable
+    Search.deleteFromGraphIndex(Seq(a).toDF("vec_id"), col("vec_id"), s"$dir/idx")
+    val rerouted = serve()
+    assert(!rerouted.contains(a), "deleted id never appears")
+    assert(!rerouted.contains(t),
+      s"target must be UNREACHABLE once its relay is deleted: $rerouted")
+    // entry deletion: the frozen ring shrinks (E2 leaves, no refill)
+    Search.deleteFromGraphIndex(Seq(e2).toDF("vec_id"), col("vec_id"), s"$dir/idx")
+    val afterEntryDel = serve()
+    assert(!afterEntryDel.contains(e2))
+    // compaction with crash injection at each swap step: serving stays
+    // correct mid-crash (tombstones still present), retry converges
+    Seq("staged", "vacated").foreach { step =>
+      val freshDir = java.nio.file.Files.createTempDirectory(s"graft_gc_$step").toString
+      Search.writeGraphIndex(corpus, col("vec_id"), col("embedding"), edges,
+        s"$freshDir/idx", entriesN = 2, buckets = 2)
+      Search.deleteFromGraphIndex(Seq(a, e2).toDF("vec_id"), col("vec_id"), s"$freshDir/idx")
+      val before = Search.graphSearchIndexed(spark, s"$freshDir/idx", query,
+        k = 6, beam = 3, hops = 3, buckets = 2).select("id").as[Long].collect().toSeq
+      intercept[RuntimeException] {
+        Search.compactGraphIndex(spark, s"$freshDir/idx",
+          onStep = l => if (l.endsWith(s":$step")) throw new RuntimeException(s"boom at $l"))
+      }
+      val midCrash = Search.graphSearchIndexed(spark, s"$freshDir/idx", query,
+        k = 6, beam = 3, hops = 3, buckets = 2).select("id").as[Long].collect().toSeq
+      assert(midCrash === before, s"mid-crash($step) serving must be unchanged")
+      Search.compactGraphIndex(spark, s"$freshDir/idx")
+      val after = Search.graphSearchIndexed(spark, s"$freshDir/idx", query,
+        k = 6, beam = 3, hops = 3, buckets = 2).select("id").as[Long].collect().toSeq
+      assert(after === before, s"compaction must not change serving ($step)")
+      // physically gone: no node row, no edge touching a deleted id, no
+      // ring member, no tombstone store
+      assert(spark.read.parquet(s"$freshDir/idx/nodes")
+        .filter(col("id").isin(a, e2)).count() === 0L)
+      assert(spark.read.parquet(s"$freshDir/idx/edges")
+        .filter(col("__vid").isin(a, e2) || col("nbr_id").isin(a, e2))
+        .count() === 0L)
+      assert(spark.read.parquet(s"$freshDir/idx/entries")
+        .filter(col("id").isin(a, e2)).count() === 0L)
+      assert(!new java.io.File(s"$freshDir/idx/_tombstones").exists())
+    }
+  }
+
   test("retrainIvfIndex: pre-snapshot tombstones are applied, mid-migration ones carried") {
     val all = clusteredCorpus(60)
     val cents0 = Search.kmeansTrain(all, col("vec_id"), col("embedding"), k = 4)
