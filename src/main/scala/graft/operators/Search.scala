@@ -1018,6 +1018,49 @@ object Search {
   def deleteFromGraphIndex(ids: DataFrame, idCol: Column, path: String): Unit =
     graft.sources.Tombstones.add(ids, idCol, path)
 
+  /** HNSW-style incremental insert into a [[writeGraphIndex]] layout:
+    * each new row (in ascending-id order — deterministic) (1) beam-
+    * searches its top-`linkK` live neighbors on the CURRENT index
+    * ([[graphSearchIndexed]] — so earlier rows of the same batch are
+    * already linkable), (2) appends its (id, vec) into its node bucket,
+    * (3) appends forward (new→nbr) and REVERSE (nbr→new) edges into the
+    * respective source buckets — the undirected linking HNSW does, which
+    * is what keeps a new node reachable. Existing k-lists are not
+    * re-pruned at insert time (degree grows by appends until the
+    * periodic rebuild — the add-vs-train split every index family here
+    * uses), and the FROZEN entry ring does not admit new members until
+    * that rebuild.
+    *
+    * Cost: one bounded beam search (`entries + hops·beam·outdeg` scores)
+    * plus three bucket appends PER ROW, independent of corpus size — the
+    * published per-insert cost of graph ANN, which is why the batch is
+    * collected to the driver and walked sequentially (micro-batch-sized
+    * by the ingest contract; a bulk load belongs in the batch builder,
+    * not here). */
+  def appendToGraphIndex(rows: DataFrame, id: Column, vec: Column,
+      path: String, linkK: Int = 3, beam: Int = 8, hops: Int = 3,
+      buckets: Int = 32): Unit = {
+    val s = rows.sparkSession
+    val batch = rows.select(id.cast("long").as("id"), vec.as("vec"))
+      .localCheckpoint()
+    val ids = batch.select("id").collect().map(_.getLong(0)).sorted
+    ids.foreach { nid =>
+      val one = batch.filter(col("id") === nid)
+      val nbrs = graphSearchIndexed(s, path,
+          one.select(col("vec").as("qv")), k = linkK, beam, hops, buckets)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      one.withColumn("bkt", pmod(col("id"), lit(buckets.toLong)).cast("int"))
+        .write.mode("append").partitionBy("bkt").parquet(s"$path/nodes")
+      if (nbrs.nonEmpty) {
+        import s.implicits._
+        (nbrs.map(nb => (nid, nb)) ++ nbrs.map(nb => (nb, nid)))
+          .toDF("__vid", "nbr_id")
+          .withColumn("bkt", pmod(col("__vid"), lit(buckets.toLong)).cast("int"))
+          .write.mode("append").partitionBy("bkt").parquet(s"$path/edges")
+      }
+    }
+  }
+
   /** Physically apply graph tombstones: rewrite the node buckets holding
     * deleted ids, every edge bucket holding an edge that TOUCHES a
     * deleted id (either endpoint — a target-deleted edge lives in its

@@ -661,4 +661,50 @@ object Streams {
       }
       .start()
   }
+
+  /** Apply one micro-batch of graph inserts
+    * ([[graft.operators.Search.appendToGraphIndex]]) unless its
+    * `_batch_<id>` marker says it already landed. Same
+    * marker-after-append at-least-once window as [[applyIvfBatch]] —
+    * accepted for the same reason (one filesystem create wide); a replay
+    * inside that window would re-append the batch's nodes/edges, which
+    * the periodic rebuild dedups along with its degree re-prune. */
+  def applyGraphBatch(batch: DataFrame, id: org.apache.spark.sql.Column,
+      vec: org.apache.spark.sql.Column, indexDir: String, batchId: Long,
+      linkK: Int, beam: Int, hops: Int, buckets: Int): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batch_$batchId")
+    val f = marker.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (!f.exists(marker)) {
+      graft.operators.Search.appendToGraphIndex(batch, id, vec, indexDir,
+        linkK, beam, hops, buckets)
+      f.create(marker, true).close()
+    }
+  }
+
+  /** Streaming maintenance of a
+    * [[graft.operators.Search.writeGraphIndex]] layout — the graph-ANN
+    * sibling of [[ivfIngest]]: every arriving vector is inserted with
+    * the HNSW per-row discipline (beam-search its neighbors on the
+    * index as it exists NOW, append node + undirected links), so a new
+    * vector is reachable by the very next query — and by the REST OF
+    * ITS OWN BATCH, since inserts walk in ascending-id order over the
+    * live index. The entry ring and existing k-lists stay frozen until
+    * the periodic batch rebuild (add-vs-train split); batch markers
+    * make replays no-ops. */
+  def graphIngest(vecs: DataFrame, id: org.apache.spark.sql.Column,
+      vec: org.apache.spark.sql.Column, indexDir: String, checkpoint: String,
+      linkK: Int = 3, beam: Int = 8, hops: Int = 3, buckets: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireConsistentMarkers(vecs.sparkSession, indexDir, checkpoint)
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          applyGraphBatch(batch, id, vec, indexDir, batchId,
+            linkK, beam, hops, buckets)
+      }
+      .start()
+  }
 }

@@ -590,6 +590,60 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("graphIngest: streamed inserts are reachable (incl. within-batch links); replays skip") {
+    import graft.operators.Search
+    val dir = java.nio.file.Files.createTempDirectory("graft_graph_stream").toString
+    // base corpus: 8 points fanned over the upper half-plane, ring edges
+    def ang(deg: Double) = Array(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val base = (0 until 8).map(i => (i.toLong, ang(30 + i * 15)))
+    val ring = (0 until 8).flatMap(i =>
+      Seq((i.toLong, ((i + 1) % 8).toLong), (i.toLong, ((i + 7) % 8).toLong)))
+    Search.writeGraphIndex(base.toDF("vec_id", "embedding"),
+      $"vec_id", $"embedding", ring.toDF("__vid", "nbr_id"),
+      s"$dir/idx", entriesN = 4, buckets = 4)
+    val query = Seq(Tuple1(ang(0))).toDF("qv")
+    def serve(k: Int) = Search.graphSearchIndexed(spark, s"$dir/idx", query,
+      k = k, beam = 4, hops = 4, buckets = 4).select("id").as[Long].collect().toSeq
+    assert(!serve(3).contains(100L))
+    // batch 1: two NEW vectors near angle 0 — far from the ring's span;
+    // id 100 links into the old graph, id 101 (inserted second) can link
+    // to 100 within the same batch; both must be reachable afterwards
+    // through the REVERSE edges their insert appended
+    val input = MemoryStream[(Long, Array[Double])]
+    val q = Streams.graphIngest(input.toDF().toDF("vec_id", "embedding"),
+      $"vec_id", $"embedding", s"$dir/idx", s"$dir/ckpt",
+      linkK = 2, beam = 4, hops = 4, buckets = 4)
+    try {
+      input.addData(Seq((100L, ang(2)), (101L, ang(-2)))); q.processAllAvailable()
+      val got = serve(3)
+      assert(got.take(2).toSet === Set(100L, 101L),
+        s"streamed vectors must be the served best matches: $got")
+      // batch 2 arrives later and is immediately reachable too
+      input.addData(Seq((102L, ang(1)))); q.processAllAvailable()
+      assert(serve(3).contains(102L))
+      // replay idempotence: a marked batch is a no-op
+      val nodesBefore = spark.read.parquet(s"$dir/idx/nodes").count()
+      val edgesBefore = spark.read.parquet(s"$dir/idx/edges").count()
+      Streams.applyGraphBatch(Seq((100L, ang(2))).toDF("vec_id", "embedding"),
+        $"vec_id", $"embedding", s"$dir/idx", batchId = 0L,
+        linkK = 2, beam = 4, hops = 4, buckets = 4)
+      assert(spark.read.parquet(s"$dir/idx/nodes").count() === nodesBefore)
+      assert(spark.read.parquet(s"$dir/idx/edges").count() === edgesBefore)
+      // an unmarked batch appends its node and its fwd+rev links
+      Streams.applyGraphBatch(Seq((103L, ang(3))).toDF("vec_id", "embedding"),
+        $"vec_id", $"embedding", s"$dir/idx", batchId = 99L,
+        linkK = 2, beam = 4, hops = 4, buckets = 4)
+      assert(spark.read.parquet(s"$dir/idx/nodes").count() === nodesBefore + 1)
+      assert(spark.read.parquet(s"$dir/idx/edges").count() === edgesBefore + 4)
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("fileIngest: streaming file source reads the events shape") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     evs.take(3).toDF().write.parquet(s"$dir/in")
