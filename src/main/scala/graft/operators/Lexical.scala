@@ -232,31 +232,28 @@ object Lexical {
       .filter(col("__rn") <= maxExpansions).drop("__rn")
   }
 
-  /** Fuzzy BM25 (ES `match` with `fuzziness: 1`): each query term
-    * expands to its ≤[[MaxFuzzyExpansions]] nearest vocabulary terms
-    * ([[fuzzyExpansions]]); a document's score for a query term is the
-    * BEST BM25 score among that term's expansions present in the doc
-    * (each expansion scored with its OWN df — ES's default fuzzy
-    * scoring), summed over query terms in declaration order. A term
-    * within distance 1 of several query terms scores each of them.
-    *
-    * Same scale shape as [[bm25Scores]] plus the vocabulary pass: one
-    * distinct-token aggregate (vocab df), the key-join expansion, then
-    * the standard postings pipeline restricted to the ≤|Q|·cap expanded
-    * terms (a bounded driver artifact, like the probe lists every index
-    * family collects). */
-  def bm25FuzzyScores(s: SparkSession, d: String,
-      rawTerms: Seq[String],
-      maxExpansions: Int = MaxFuzzyExpansions): DataFrame = {
-    val terms = analyze(rawTerms)
+  /** The corpus tokenization + vocabulary df pair every expanded query
+    * starts from. */
+  private def docsAndVocab(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val vocab = docs
       .select(explode(array_distinct(col("toks"))).as("term"))
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val exp = fuzzyExpansions(vocab, terms, maxExpansions)
-      .select("q_term", "term").localCheckpoint() // bounded: ≤ |Q|·cap rows
-    val expTerms = exp.select("term").distinct()
+    (docs, vocab)
+  }
+
+  /** Shared scorer for EXPANDED queries ([[bm25FuzzyScores]],
+    * [[bm25PrefixScores]]): postings restricted to the union of
+    * expansions (a bounded driver artifact — ≤ |labels|·cap terms, like
+    * the probe lists every index family collects), each expansion scored
+    * with its OWN df, a document's component per query label = the MAX
+    * over that label's expansions present in it (ES's fuzzy/prefix
+    * rewrite scoring), summed across labels in declaration order. */
+  private def bm25BestExpansionScores(docs: DataFrame, labels: Seq[String],
+      exp: DataFrame /* (q_term, term) */): DataFrame = {
+    val expC = exp.select("q_term", "term").localCheckpoint()
+    val expTerms = expC.select("term").distinct()
       .collect().map(_.getString(0)).toSeq
     if (expTerms.isEmpty) {
       return docs.sparkSession.emptyDataFrame
@@ -273,14 +270,87 @@ object Lexical {
       .agg(count(lit(1)).cast("double").as("tf"))
     val dfreq = tf.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
-    val pivots = terms.zipWithIndex.map { case (t, i) =>
+    val pivots = labels.zipWithIndex.map { case (t, i) =>
       max(when(col("q_term") === t, col("s"))).as(s"s_$i")
     }
     scoredPostings(tf, dfreq, stats)
-      .join(broadcast(exp), "term")
+      .join(broadcast(expC), "term")
       .groupBy("doc_id")
       .agg(pivots.head, pivots.tail: _*)
-      .select(col("doc_id"), round(pivotTotal(terms), 6).as("score"))
+      .select(col("doc_id"), round(pivotTotal(labels), 6).as("score"))
+  }
+
+  /** Fuzzy BM25 (ES `match` with `fuzziness: 1`): each query term
+    * expands to its ≤[[MaxFuzzyExpansions]] nearest vocabulary terms
+    * ([[fuzzyExpansions]]), then [[bm25BestExpansionScores]] — a
+    * document's score for a query term is the BEST BM25 score among that
+    * term's expansions present in it. A term within distance 1 of
+    * several query terms scores each of them. Same scale shape as
+    * [[bm25Scores]] plus the vocabulary pass. */
+  def bm25FuzzyScores(s: SparkSession, d: String,
+      rawTerms: Seq[String],
+      maxExpansions: Int = MaxFuzzyExpansions): DataFrame = {
+    val terms = analyze(rawTerms)
+    val (docs, vocab) = docsAndVocab(s, d)
+    bm25BestExpansionScores(docs, terms,
+      fuzzyExpansions(vocab, terms, maxExpansions))
+  }
+
+  /** Prefix expansion (ES `match_phrase_prefix`'s last-term rewrite /
+    * `prefix` query): vocabulary terms starting with each query prefix,
+    * capped like [[fuzzyExpansions]]. Vocabulary-sized work, corpus never
+    * scanned. */
+  def prefixExpansions(vocab: DataFrame, rawPrefixes: Seq[String],
+      maxExpansions: Int = MaxFuzzyExpansions): DataFrame = {
+    val s = vocab.sparkSession
+    import s.implicits._
+    val prefixes = analyze(rawPrefixes)
+    require(prefixes.nonEmpty, "prefix expansion needs at least one prefix")
+    val qp = prefixes.toDF("q_term")
+    val cands = vocab.join(broadcast(qp), col("term").startsWith(col("q_term")))
+      .select("q_term", "term", "df")
+    val w = Window.partitionBy("q_term").orderBy(desc("df"), col("term").asc)
+    cands.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxExpansions).drop("__rn")
+  }
+
+  /** Prefix BM25 (ES `prefix` with `rewrite: top_terms_N`): each prefix
+    * expands to its top-df completions, scored like the fuzzy path —
+    * best completion per prefix, summed across prefixes. */
+  def bm25PrefixScores(s: SparkSession, d: String,
+      rawPrefixes: Seq[String],
+      maxExpansions: Int = MaxFuzzyExpansions): DataFrame = {
+    val prefixes = analyze(rawPrefixes)
+    val (docs, vocab) = docsAndVocab(s, d)
+    bm25BestExpansionScores(docs, prefixes,
+      prefixExpansions(vocab, prefixes, maxExpansions))
+  }
+
+  /** More-like-this (ES `more_like_this`, single-doc form): rank the
+    * source document's distinct terms by tf·idf (the same BM25 idf), keep
+    * the top `maxQueryTerms` (ties by term — ES's `max_query_terms`
+    * selection), then run plain [[bm25Scores]] with them — in ASCENDING
+    * term order, so the oracle can replay the FP sum as an ordered fold
+    * over data-derived terms — excluding the source document itself.
+    * The selected term list is a bounded driver artifact
+    * (`maxQueryTerms` strings). */
+  def moreLikeThis(s: SparkSession, d: String, docId: Long,
+      maxQueryTerms: Int = 5): DataFrame = {
+    val (docs, vocab) = docsAndVocab(s, d)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val srcTf = docs.filter(col("doc_id") === docId)
+      .select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("tf"))
+    val selected = srcTf.join(vocab, "term").crossJoin(nDocs)
+      .withColumn("__mlt", col("tf") *
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .orderBy(desc("__mlt"), col("term").asc).limit(maxQueryTerms)
+      .select("term").collect().map(_.getString(0)).toSeq.sorted
+    if (selected.isEmpty) {
+      return s.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
+    }
+    bm25Scores(s, d, selected).filter(col("doc_id") =!= docId)
   }
 
   /** Named query: fuzzy search with three typo'd terms — "vektor" →
@@ -291,6 +361,21 @@ object Lexical {
 
   def fuzzyQ(s: SparkSession, d: String): DataFrame =
     bm25FuzzyScores(s, d, FuzzyTerms)
+      .orderBy(desc("score"), asc("doc_id")).limit(10)
+
+  /** Named query: "s" completes to six vocabulary terms (exercising the
+    * top-df expansion cap at 5), "co" to two. */
+  val PrefixTerms: Seq[String] = Seq("s", "co")
+
+  def prefixQ(s: SparkSession, d: String): DataFrame =
+    bm25PrefixScores(s, d, PrefixTerms)
+      .orderBy(desc("score"), asc("doc_id")).limit(10)
+
+  /** Named query: documents most like document 42. */
+  val MltDocId = 42L
+
+  def mltQ(s: SparkSession, d: String): DataFrame =
+    moreLikeThis(s, d, MltDocId)
       .orderBy(desc("score"), asc("doc_id")).limit(10)
 
   // --- At-rest inverted index — the 100 TB serving path ---------------------
@@ -818,6 +903,8 @@ object Lexical {
     "search_phrase_slop" -> proximityQ,
     "search_bool" -> boolQ,
     "search_fuzzy" -> fuzzyQ,
+    "search_prefix" -> prefixQ,
+    "search_mlt" -> mltQ,
     "q6_rrf_hybrid" -> rrfHybrid,
     "q7_weighted_hybrid" -> ((s: SparkSession, d: String) => weightedHybrid(s, d)))
 
@@ -841,15 +928,14 @@ object Lexical {
               FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
        lexs AS (SELECT doc_id, round($pivotSum, 6) AS score FROM sc GROUP BY doc_id)"""
 
-  /** Fuzzy oracle: the DELETION-NEIGHBORHOOD trick is only a candidate
-    * filter — the SEMANTICS are "vocab terms within levenshtein ≤ 1",
-    * which DuckDB states directly; the verified Spark candidates are a
-    * proven superset (see [[delVariants]]), so both sides compute the
-    * same expansion set, then the same capped rank, postings, and
-    * fixed-order best-expansion sum. */
-  private def fuzzySql: String = {
-    val qIn = FuzzyTerms.map(t => s"'$t'").mkString("[", ", ", "]")
-    val qSum = FuzzyTerms
+  /** Expanded-query oracle shared by fuzzy and prefix: `matchCond`
+    * states the expansion SEMANTICS directly over the vocabulary CTE
+    * (the Spark side's deletion-neighborhood / startsWith candidates are
+    * proven equivalent), then both sides compute the same capped rank,
+    * postings, and fixed-order best-expansion sum. */
+  private def expansionSql(labels: Seq[String], matchCond: String): String = {
+    val qIn = labels.map(t => s"'$t'").mkString("[", ", ", "]")
+    val qSum = labels
       .map(t => s"coalesce(max(CASE WHEN q_term = '$t' THEN s END), 0.0)")
       .mkString(" + ")
     s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
@@ -861,7 +947,7 @@ object Lexical {
            SELECT q.q_term, v.term,
              row_number() OVER (PARTITION BY q.q_term
                ORDER BY v.vdf DESC, v.term) AS rn
-           FROM qt q JOIN vocab v ON levenshtein(q.q_term, v.term) <= 1)
+           FROM qt q JOIN vocab v ON $matchCond)
          WHERE rn <= $MaxFuzzyExpansions),
        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl FROM t),
        tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, term,
@@ -879,8 +965,52 @@ object Lexical {
        ORDER BY score DESC, doc_id LIMIT 10"""
   }
 
+  private def fuzzySql: String =
+    expansionSql(FuzzyTerms, "levenshtein(q.q_term, v.term) <= 1")
+
+  private def prefixSql: String =
+    expansionSql(PrefixTerms, "v.term LIKE q.q_term || '%'")
+
+  /** MLT oracle: tf·idf term selection from the source doc replayed,
+    * then the BM25 sum as an ORDERED fold by term (the Spark side scores
+    * the selected terms in ascending order, and folding only the
+    * PRESENT terms equals the full coalesce-0 pivot sum exactly —
+    * x + 0.0 == x for the positive scores here). */
+  private def mltSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       vocab AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+         FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t)
+         GROUP BY term),
+       stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl FROM t),
+       src AS (SELECT term, CAST(count(*) AS DOUBLE) AS tf
+         FROM (SELECT unnest(toks) AS term FROM t WHERE doc_id = $MltDocId)
+         GROUP BY term),
+       sel AS (SELECT term FROM (
+           SELECT s.term, row_number() OVER (ORDER BY
+               s.tf * ln(1.0 + (n_docs - v.df + 0.5) / (v.df + 0.5)) DESC,
+               s.term) AS rn
+           FROM src s JOIN vocab v USING (term) CROSS JOIN stats)
+         WHERE rn <= 5),
+       tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, term,
+                CAST(count(*) AS DOUBLE) AS tf
+              FROM (SELECT doc_id, toks, unnest(toks) AS term FROM t)
+              WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, dl, term),
+       dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+       sc AS (SELECT doc_id, term,
+                ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ${K1 + 1.0}
+                  / (tf + $K1 * (${1.0 - B} + $B * dl / avgdl)) AS s
+              FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+       SELECT doc_id, score FROM (
+         SELECT doc_id,
+           round(list_reduce(list(s ORDER BY term), (a, b) -> a + b), 6) AS score
+         FROM sc GROUP BY doc_id)
+       WHERE doc_id <> $MltDocId
+       ORDER BY score DESC, doc_id LIMIT 10"""
+
   val oracleSql: Map[String, String] = Map(
     "search_fuzzy" -> fuzzySql,
+    "search_prefix" -> prefixSql,
+    "search_mlt" -> mltSql,
     "search_bm25" ->
       s"""WITH ${bm25Sql()}
          SELECT doc_id, score FROM lexs ORDER BY score DESC, doc_id LIMIT 10""",

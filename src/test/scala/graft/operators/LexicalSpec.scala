@@ -417,6 +417,56 @@ class LexicalSpec extends SparkSpec {
     saved.unpersist()
   }
 
+  test("prefixExpansions: completions capped by df; bm25PrefixScores keeps the best completion") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("toks"))
+    val vocab = docs.select(explode(array_distinct($"toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val dfOf = vocab.as[(String, Double)].collect().toMap
+    // "s" matches 6 vocabulary terms — the cap must keep the 5 highest-df
+    val sTerms = dfOf.keys.filter(_.startsWith("s")).toSeq
+    assert(sTerms.size === 6, s"fixture drift: $sTerms")
+    val expected = sTerms.sortBy(t => (-dfOf(t), t)).take(5).toSet
+    val got = Lexical.prefixExpansions(vocab, Seq("s", "co"))
+      .select("q_term", "term").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got("s") === expected, s"got ${got("s")} want $expected")
+    assert(got("co") === dfOf.keys.filter(_.startsWith("co")).toSet)
+    // scoring reuses the verified expansion scorer — spot-check topology:
+    // every scored doc contains at least one expansion term
+    val scored = Lexical.bm25PrefixScores(spark, sf, Seq("co"))
+      .as[(Long, Double)].collect().toMap
+    val withCo = docs.filter(exists($"toks",
+        t => t.startsWith("co"))).select("doc_id").as[Long].collect().toSet
+    assert(scored.keySet.subsetOf(withCo) && scored.values.forall(_ > 0))
+  }
+
+  test("moreLikeThis: tf-idf term selection, source excluded, equals plain BM25 on the selected terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana cherry date"),
+      (3L, "unrelated words entirely here"),
+      (4L, "banana only here today")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lex_mlt").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = Lexical.moreLikeThis(spark, dir, 1L, maxQueryTerms = 2)
+      .as[(Long, Double)].collect().toMap
+    // tf is 1 for every doc-1 term; df(banana)=3 (doc 4 too) while
+    // df(apple)=df(cherry)=2 ⇒ banana's idf is lowest — the tf·idf
+    // selection keeps {apple, cherry} (tie between them broken by term
+    // asc doesn't matter at cap 2), proving selection is idf-driven,
+    // not positional
+    val expected = Lexical.bm25Scores(spark, dir, Seq("apple", "cherry"))
+      .as[(Long, Double)].collect().toMap - 1L
+    assert(got === expected,
+      s"MLT must equal BM25 on the selected terms minus the source: $got vs $expected")
+    assert(!got.contains(1L), "source doc excluded")
+    assert(!got.contains(3L) && !got.contains(4L),
+      "docs sharing no selected term are absent (banana was not selected)")
+  }
+
   test("clustersQ matches an in-test union-find over the same pairs") {
     val pairs = Dedup.jaccardPairs(
         graft.Tables.documents(spark, sf)
