@@ -974,7 +974,7 @@ object Retrieval {
     * of the same engines. `queryImageId` selects which image supplies the
     * query vectors (the "uploaded image" analog). */
   case class SearchRequest(
-      mode: String, // "whole" | "segment" | "hybrid" | "tags" | "lexical" | "rrf" | "mmr"
+      mode: String, // whole|segment|hybrid|tags|lexical|rrf|mmr|maxsim|fuzzy|mlt|graph
       k: Int = 10,
       queryImageId: Long = 0L,
       tags: Seq[String] = Nil,
@@ -1046,8 +1046,23 @@ object Retrieval {
             col("embedding"), qSegs.select(col("qseg").as("qid"), col("qv")),
             req.k)
           .withColumnRenamed("doc_id", "image_id")
+      case "fuzzy" => // beyond-reference: typo-tolerant lexical (ES fuzziness:1)
+        require(req.terms.nonEmpty, "fuzzy mode needs non-empty 'terms'")
+        Lexical.bm25FuzzyScores(s, d, req.terms)
+          .orderBy(desc("score"), asc("doc_id")).limit(req.k)
+      case "mlt" => // beyond-reference: more-like-this (query_image_id = source doc)
+        Lexical.moreLikeThis(s, d, req.queryImageId)
+          .orderBy(desc("score"), asc("doc_id")).limit(req.k)
+      case "graph" => // beyond-reference: graph-served ANN over the at-rest index
+        Search.graphSearchIndexed(s, s"${graphIdxDir(s, d)}/idx",
+            Tables.embeddings(s, d)
+              .filter(col("vec_id") === req.queryImageId)
+              .select(col("embedding").as("qv")),
+            k = req.k, beam = 32, hops = 3, buckets = 32)
+          .select(col("id").as("vec_id"), col("score"))
       case other => throw new IllegalArgumentException(
-        s"unknown search mode '$other' (expected whole|segment|hybrid|tags|lexical|rrf|mmr|maxsim)")
+        s"unknown search mode '$other' (expected whole|segment|hybrid|tags|" +
+          "lexical|rrf|mmr|maxsim|fuzzy|mlt|graph)")
     }
   }
 

@@ -151,4 +151,43 @@ class RetrievalRunSpec extends SparkSpec {
       Retrieval.run(spark, d, SearchRequest("vibes"))
     }
   }
+
+  test("fuzzy mode: terms live, equals the direct fuzzy call; empty terms fail fast") {
+    val got = Retrieval.run(spark, d,
+        SearchRequest("fuzzy", k = 5, terms = Seq("vektor", "streem")))
+      .as[(Long, Double)].collect().toSeq
+    val want = Lexical.bm25FuzzyScores(spark, d, Seq("vektor", "streem"))
+      .orderBy(desc("score"), asc("doc_id")).limit(5)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === want && got.size === 5)
+    intercept[IllegalArgumentException] {
+      Retrieval.run(spark, d, SearchRequest("fuzzy", k = 5))
+    }
+  }
+
+  test("mlt mode: query_image_id selects the source doc; source never returned") {
+    val got = Retrieval.run(spark, d,
+        SearchRequest("mlt", k = 5, queryImageId = 42L))
+      .as[(Long, Double)].collect().toSeq
+    assert(got.size === 5 && !got.map(_._1).contains(42L))
+    val other = Retrieval.run(spark, d,
+        SearchRequest("mlt", k = 5, queryImageId = 7L))
+      .as[(Long, Double)].collect().toSeq
+    assert(other !== got, "the source-doc knob is live")
+  }
+
+  test("graph mode: serves from the at-rest index, equals the named query for the default query vector") {
+    val got = Retrieval.run(spark, d,
+        SearchRequest("graph", k = 10, queryImageId = 0L))
+      .withColumn("score", round(col("score"), 6))
+      .as[(Long, Double)].collect().toSeq
+    val want = Retrieval.knnGraphIdx(spark, d)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === want)
+    // a different query vector re-routes the walk
+    val other = Retrieval.run(spark, d,
+        SearchRequest("graph", k = 10, queryImageId = 250L))
+      .as[(Long, Double)].collect().toSeq
+    assert(other.map(_._1) !== got.map(_._1), "the query-vector knob is live")
+  }
 }
