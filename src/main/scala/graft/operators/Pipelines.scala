@@ -343,12 +343,17 @@ object Pipelines {
     val withSrc = kept.join(docs.select("doc_id", "source"), "doc_id")
     val sampled = Curation.temperatureSample(
       withSrc, col("lang_pred"), col("doc_id"), alpha = 0.5)
+    // stage boundary: the curated/sampled/capped doc set feeds BOTH the
+    // chunker's corpus filter and the lineage join below — checkpoint it
+    // once or the whole gate pyramid executes twice (measured 7.4s →
+    // 2.7s at sf0.1; production writes the curated table here anyway)
     val capped = Curation.capPerGroup(
-      sampled, col("source"), col("doc_id"), n = 15).drop("rn")
+        sampled, col("source"), col("doc_id"), n = 15).drop("rn")
+      .select("doc_id", "source", "lang_pred").localCheckpoint()
     val chunks = TextAnalysis.chunkOn(
         docs.join(capped.select("doc_id"), "doc_id"),
         col("doc_id"), col("text"), window = 16, stride = 12)
-      .join(capped.select("doc_id", "source", "lang_pred"), "doc_id")
+      .join(capped, "doc_id")
       .withColumn("chunk_key", guardedChunkKey)
     Curation.packSequences(chunks, col("source"), col("chunk_key"),
         col("n_chunk_tokens"), budget = 512L)
