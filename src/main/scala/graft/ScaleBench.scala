@@ -68,7 +68,13 @@ object ScaleBench {
     "knn_maxsim", "dedup_semantic_scaled",
     // the sketch claim: one narrow scan + a bounded-candidate shuffle —
     // time must track rows, and certification must still hold at 10×
-    "txt_heavyhitters")
+    "txt_heavyhitters",
+    // round 11: the graph family end to end under its OWN scaling rule —
+    // like SemDeDup, the served binding's fixed 10-label codebook would
+    // go quadratic at 10× (cluster-blocked seed pairs grow 100×), so the
+    // scale entry trains k ∝ N centroids, holding per-cluster size
+    // ~constant: seed ~linear, NN-Descent N·k², beam search constant.
+    "knn_graph_scaled")
 
   /** Scale-only bindings that aren't part of the served query surface. */
   private val Extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
@@ -81,6 +87,20 @@ object ScaleBench {
           e, col("vec_id"), col("embedding"), k)
         graft.operators.Dedup.semanticDedup(e, col("vec_id"),
           col("embedding"), cents, minCos = 0.4)
+      }),
+      "knn_graph_scaled" -> ((s, d) => {
+        import graft.operators.Search
+        val e = Tables.embeddings(s, d)
+        val k = math.max(10, (e.count() / 50L).toInt)
+        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
+        val seed = Search.knnGraph(e, col("vec_id"), col("embedding"),
+            cents, k = 3).select(col("__vid"), col("nbr_id"))
+          .unionByName(Search.hashRingEdges(e, col("vec_id"), r = 2))
+        val edges = Search.nnDescend(e, col("vec_id"), col("embedding"),
+          seed, k = 3, rounds = 1).select("__vid", "nbr_id").localCheckpoint()
+        Search.graphSearch(e, col("vec_id"), col("embedding"), edges,
+          e.filter(col("vec_id") === 0).select(col("embedding").as("qv")),
+          k = 10, entriesN = 64, beam = 32, hops = 3)
       }))
   private val Reps = 10
   private val IdStride = 10000000L

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -120,6 +121,50 @@ object Multimodal {
     * pixel FORMULA: BMP is lossless, so a header mis-parse, channel swap,
     * or row-order bug in the decode path shifts counts and fails the
     * hash. Dimensions come from the decoded header, not the generator. */
+  /** Video/GIF keyframe dedup — the pre-captioning frame-pruning pass a
+    * multimodal training pipeline runs so near-identical consecutive
+    * frames don't each cost an encoder call: every [[ChunkBytes]]-sized
+    * "frame" of the payload (stride 1 — dedup wants the FULL sequence,
+    * unlike the stride-2 SAMPLER [[frameEmbed]]) is embedded with the
+    * raw-count byte histogram, and a frame whose cosine to its
+    * PREDECESSOR reaches `minCos` is flagged a near-dup (adjacent-pair
+    * rule: declarative — one lag window — where keep-last-keyframe
+    * chaining would be a sequential scan). Integer counts keep every
+    * number exact, so the oracle replays the embeddings AND the cosines;
+    * the dup flag compares the ROUNDED cosine on both sides, so the
+    * threshold can't straddle an FP boundary. One scan + one per-doc
+    * window — frames of one doc co-locate, nothing corpus×corpus. */
+  def frameDedup(s: SparkSession, d: String,
+      minCos: Double = 0.995): DataFrame = {
+    import graft.functions.VectorExpressions.fusedCosine
+    val frames = Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_chunks",
+        ceil(length(col("payload")) / lit(ChunkBytes.toDouble)).cast("long"))
+      .filter(col("n_chunks") > 0)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"substring(payload, frame_idx * $ChunkBytes + 1, $ChunkBytes)").as("frame"))
+    val perFrame = graft.sources.MultimodalStub
+      .decodeAndEmbed(frames.select(
+        (col("doc_id") * 1000000 + col("frame_idx")).as("doc_id"),
+        col("frame").as("payload")), dim = 16,
+        encoderFactory = Some(() =>
+          new graft.sources.MultimodalStub.ByteHistogramEncoder(16, normalize = false)))
+      .toDF()
+      .select((col("doc_id") / 1000000).cast("long").as("doc_id"),
+        (col("doc_id") % 1000000).as("frame_idx"), col("feature"))
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    perFrame
+      .withColumn("prev", lag(col("feature"), 1).over(w))
+      .withColumn("cos_prev", when(col("prev").isNotNull,
+        round(fusedCosine(s, col("feature"), col("prev")), 6)))
+      .withColumn("is_dup", coalesce(col("cos_prev") >= minCos, lit(false)))
+      .select("doc_id", "frame_idx", "cos_prev", "is_dup")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   def decodeEmbed(s: SparkSession, d: String): DataFrame = {
     val imgs = graft.sources.JdkImage
       .renderBmpFixtures(Tables.documents(s, d).select("doc_id"))
@@ -199,6 +244,7 @@ object Multimodal {
     "mm_chunk" -> chunk,
     "mm_decode_embed" -> decodeEmbed,
     "mm_segment_crop" -> segmentCrop,
+    "mm_frame_dedup" -> ((s, d) => frameDedup(s, d)),
     "mm_frame_embed" -> ((s, d) => frameEmbed(s, d,
       encoder = Some(() =>
         new graft.sources.MultimodalStub.ByteHistogramEncoder(16, normalize = false)))))
@@ -279,6 +325,29 @@ object Multimodal {
     // sampled (even-index) chunks, so no per-frame grouping is needed;
     // (2) the text is ASCII (asserted by byte_len = char_len in
     // mm_binary_meta), so ascii(char) IS the byte value.
+    // frame dedup: DuckDB rebuilds every frame's DENSE 16-bin histogram
+    // (absent bins must be 0 — the cosine sees the whole vector) and the
+    // adjacent-frame cosines; both sides flag dups on the ROUNDED value
+    "mm_frame_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+         p AS (SELECT doc_id, unnest(range(1, length(text) + 1)) AS pos, text FROM d),
+         b AS (SELECT doc_id, CAST((pos - 1) // 256 AS BIGINT) AS fidx,
+             ascii(substr(text, CAST(pos AS INT), 1)) // 16 AS bin
+           FROM p),
+         h AS (SELECT doc_id, fidx, bin, CAST(count(*) AS DOUBLE) AS c
+           FROM b GROUP BY 1, 2, 3),
+         dense AS (SELECT g.doc_id, g.fidx, g.bin, coalesce(h.c, 0.0) AS c
+           FROM (SELECT DISTINCT doc_id, fidx, unnest(range(16)) AS bin FROM h) g
+           LEFT JOIN h ON h.doc_id = g.doc_id AND h.fidx = g.fidx AND h.bin = g.bin),
+         v AS (SELECT doc_id, fidx, list(c ORDER BY bin) AS vec
+           FROM dense GROUP BY doc_id, fidx),
+         cp AS (SELECT a.doc_id, a.fidx,
+             round(list_cosine_similarity(a.vec, pb.vec), 6) AS cos_prev
+           FROM v a LEFT JOIN v pb
+             ON pb.doc_id = a.doc_id AND pb.fidx = a.fidx - 1)
+         SELECT doc_id, fidx AS frame_idx, cos_prev,
+           coalesce(cos_prev >= 0.995, FALSE) AS is_dup
+         FROM cp ORDER BY doc_id, frame_idx""",
     "mm_frame_embed" ->
       """WITH d AS (SELECT doc_id, text,
            CAST(CEIL(length(text) / 256.0) AS BIGINT) AS nc FROM documents),

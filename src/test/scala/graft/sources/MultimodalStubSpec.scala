@@ -147,6 +147,22 @@ class MultimodalStubSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("frameDedup: adjacent identical frames flagged, disjoint ones kept, first frame null") {
+    // frame 0 = frame 1 = 256×'a' (cos 1 → dup), frame 2 = 256×'Q'
+    // (disjoint histogram bin → cos 0 → kept); doc 2 is sub-frame-sized
+    val text = "a" * 256 + "a" * 256 + "Q" * 256
+    val docs = Seq((1L, text), (2L, "short")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mm_fd").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Multimodal.frameDedup(spark, dir)
+      .as[(Long, Long, Option[Double], Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, None, false),
+      (1L, 1L, Some(1.0), true),
+      (1L, 2L, Some(0.0), false),
+      (2L, 0L, None, false)), s"got $got")
+  }
+
   test("JdkImageEncoder: real PNG decode — similar images get similar embeddings") {
     // two noisy variants of the same green + one red image, through the
     // SAME mapPartitions boundary as production
