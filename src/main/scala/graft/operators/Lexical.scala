@@ -378,6 +378,51 @@ object Lexical {
     moreLikeThis(s, d, MltDocId)
       .orderBy(desc("score"), asc("doc_id")).limit(10)
 
+  /** Faceted search (ES `aggs` alongside `query`): the metadata
+    * breakdown of the MATCHED TOP-K — each facet dimension's value
+    * counts over the result page. The facet aggregation runs on the
+    * bounded top-k artifact joined back to the corpus by id (at lake
+    * scale: k point lookups), never on the corpus. */
+  def searchFacets(s: SparkSession, d: String,
+      terms: Seq[String] = QueryTerms, k: Int = 10): DataFrame = {
+    val top = bm25Scores(s, d, terms)
+      .orderBy(desc("score"), asc("doc_id")).limit(k)
+    val meta = Tables.documents(s, d).select("doc_id", "source", "lang")
+      .join(broadcast(top.select("doc_id")), "doc_id")
+    meta.groupBy(col("source").as("value")).agg(count(lit(1)).as("n"))
+      .withColumn("facet", lit("source"))
+      .unionByName(meta.groupBy(col("lang").as("value"))
+        .agg(count(lit(1)).as("n")).withColumn("facet", lit("lang")))
+      .select("facet", "value", "n")
+      .orderBy("facet", "value")
+  }
+
+  /** Hit highlighting (ES `highlight`): for each top-k document, the
+    * total query-term occurrence count and a snippet around the FIRST
+    * occurrence (three tokens of context each side). Pure token-array
+    * HOFs on the k result rows — no extra corpus pass beyond the id
+    * join. Deterministic: the first occurrence of the EARLIEST-matching
+    * position across all query terms anchors the snippet. */
+  def searchHighlight(s: SparkSession, d: String,
+      rawTerms: Seq[String] = QueryTerms, k: Int = 10): DataFrame = {
+    val terms = analyze(rawTerms)
+    val qarr = array(terms.map(lit): _*)
+    val top = bm25Scores(s, d, terms)
+      .orderBy(desc("score"), asc("doc_id")).limit(k)
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .join(broadcast(top), "doc_id")
+      .withColumn("pos", filter(
+        sequence(lit(1), size(col("toks"))),
+        i => array_contains(qarr, element_at(col("toks"), i))))
+      .withColumn("n_occ", size(col("pos")).cast("long"))
+      .withColumn("first", element_at(col("pos"), 1))
+      .withColumn("snippet", array_join(
+        slice(col("toks"), greatest(col("first") - 3, lit(1)), lit(7)), " "))
+      .select(col("doc_id"), col("score"), col("n_occ"), col("snippet"))
+      .orderBy(desc("score"), asc("doc_id"))
+  }
+
   // --- At-rest inverted index — the 100 TB serving path ---------------------
 
   /** Postings-list bucket count. Serving reads `|Q|/buckets` of the index
@@ -905,6 +950,8 @@ object Lexical {
     "search_fuzzy" -> fuzzyQ,
     "search_prefix" -> prefixQ,
     "search_mlt" -> mltQ,
+    "search_facets" -> ((s: SparkSession, d: String) => searchFacets(s, d)),
+    "search_highlight" -> ((s: SparkSession, d: String) => searchHighlight(s, d)),
     "q6_rrf_hybrid" -> rrfHybrid,
     "q7_weighted_hybrid" -> ((s: SparkSession, d: String) => weightedHybrid(s, d)))
 
@@ -1011,6 +1058,33 @@ object Lexical {
     "search_fuzzy" -> fuzzySql,
     "search_prefix" -> prefixSql,
     "search_mlt" -> mltSql,
+    "search_facets" ->
+      s"""WITH ${bm25Sql()},
+         top AS (SELECT doc_id FROM lexs ORDER BY score DESC, doc_id LIMIT 10),
+         meta AS (SELECT d.doc_id, d.source, d.lang
+           FROM documents d JOIN top USING (doc_id))
+         SELECT facet, value, n FROM (
+           SELECT 'source' AS facet, source AS value,
+             CAST(count(*) AS BIGINT) AS n FROM meta GROUP BY source
+           UNION ALL
+           SELECT 'lang', lang, CAST(count(*) AS BIGINT) FROM meta GROUP BY lang)
+         ORDER BY facet, value""",
+    // snippet window mirrors Spark's slice(start, 7): elements
+    // start..start+6 with start = max(first-3, 1) — the DuckDB end bound
+    // must be start+6, NOT first+3 (they differ when first <= 3)
+    "search_highlight" -> {
+      val qList = QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH ${bm25Sql()},
+         top AS (SELECT doc_id, score FROM lexs ORDER BY score DESC, doc_id LIMIT 10),
+         m AS (SELECT t.doc_id, top.score, t.toks,
+             list_filter(range(1, len(toks) + 1),
+               i -> list_contains($qList, toks[i])) AS pos
+           FROM t JOIN top ON t.doc_id = top.doc_id)
+         SELECT doc_id, score, CAST(len(pos) AS BIGINT) AS n_occ,
+           array_to_string(list_slice(toks,
+             greatest(pos[1] - 3, 1), greatest(pos[1] - 3, 1) + 6), ' ') AS snippet
+         FROM m ORDER BY score DESC, doc_id"""
+    },
     "search_bm25" ->
       s"""WITH ${bm25Sql()}
          SELECT doc_id, score FROM lexs ORDER BY score DESC, doc_id LIMIT 10""",

@@ -467,6 +467,30 @@ class LexicalSpec extends SparkSpec {
       "docs sharing no selected term are absent (banana was not selected)")
   }
 
+  test("searchHighlight: snippet window clamps at doc start, counts every occurrence; searchFacets covers the page") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash x y z a b c d", "en", "web"),
+      (2L, "a b c d e hash f g h i", "en", "book"),
+      (3L, "hash q hash", "fr", "web"),
+      (4L, "nothing matching here", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("lex_hl").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val hl = Lexical.searchHighlight(spark, dir, Seq("hash"), k = 10)
+      .select("doc_id", "n_occ", "snippet")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(hl(1L) === ((1L, "hash x y z a b c")), "start-clamped 7-token window")
+    assert(hl(2L) === ((1L, "c d e hash f g h")), "centered window")
+    assert(hl(3L) === ((2L, "hash q hash")), "all occurrences counted, short doc clamps")
+    assert(!hl.contains(4L), "non-matching docs absent")
+    val facets = Lexical.searchFacets(spark, dir, Seq("hash"), k = 10)
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    assert(facets("source") === Map("web" -> 2L, "book" -> 1L))
+    assert(facets("lang") === Map("en" -> 2L, "fr" -> 1L))
+  }
+
   test("clustersQ matches an in-test union-find over the same pairs") {
     val pairs = Dedup.jaccardPairs(
         graft.Tables.documents(spark, sf)
