@@ -457,6 +457,21 @@ object Retrieval {
       .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
 
+  /** Filtered graph ANN — [[knnGraphSearchQ]] with the same `label`
+    * predicate `knn_ivf_filtered` serves, post-filter semantics: the
+    * walk is unfiltered (off-label nodes relay), the served top-10 is
+    * on-label only. Oracle replays the whole walk plus the final
+    * restriction; the `graph_beam_filtered` arm of [[annRecall]]
+    * measures recall against the FILTERED truth set. */
+  def knnGraphFiltered(s: SparkSession, d: String): DataFrame =
+    Search.graphSearch(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"),
+        refinedGraphEdges(s, d).select("__vid", "nbr_id").localCheckpoint(),
+        q0(s, d), k = 10, entriesN = 64, beam = 32, hops = 3,
+        filter = Some(col("label") === IvfFilterLabel))
+      .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+
   /** Build the at-rest graph layout ([[Search.writeGraphIndex]]) once
     * per JVM × sfDir from [[refinedGraphEdges]]. */
   private def graphIdxDir(s: SparkSession, d: String): String =
@@ -797,7 +812,9 @@ object Retrieval {
         q0(s, d), k).select(col("id").as("vec_id"))),
       ("mrl16_trunc", exact, knnMrl(s, d).select("vec_id")),
       ("pq_refine10", exact, knnPq(s, d).select("vec_id")),
-      ("graph_beam_h3", exact, knnGraphSearchQ(s, d).select("vec_id")))
+      ("graph_beam_h3", exact, knnGraphSearchQ(s, d).select("vec_id")),
+      ("graph_beam_filtered", exactFiltered,
+        knnGraphFiltered(s, d).select("vec_id")))
     import s.implicits._
     arms.map { case (m, truth, df) =>
       val denom = math.min(k, truth.size)
@@ -1080,6 +1097,7 @@ object Retrieval {
     "knn_graph_search" -> knnGraphSearchQ,
     "knn_graph_idx" -> knnGraphIdx,
     "knn_graph_del" -> knnGraphDel,
+    "knn_graph_filtered" -> knnGraphFiltered,
     "knn_graph_recall" -> knnGraphRecallQ,
     "knn_mrl" -> knnMrl,
     "eval_retrieval" -> evalRetrieval,
@@ -1196,7 +1214,7 @@ object Retrieval {
     * the beam re-selected from it, `f{h+1}` = the next frontier's fresh
     * nodes. Fixed hops ⇒ no recursion needed. */
   private def graphSearchSql(entriesN: Int, beam: Int, hops: Int,
-      k: Int, del: Seq[Long] = Nil): String = {
+      k: Int, del: Seq[Long] = Nil, finalWhere: String = ""): String = {
     // takedown replay: deleted ids leave the FROZEN entry ring (filter
     // AFTER the limit — the ring does not refill until rebuild) and are
     // skipped at frontier expansion, so the walk reroutes around them
@@ -1220,9 +1238,10 @@ object Retrieval {
            FROM embeddings ORDER BY h LIMIT $entriesN)$entDel),
        v0 AS (SELECT e.vec_id, list_cosine_similarity(vv.v, q.qv) AS score
          FROM ent e JOIN vv ON vv.vec_id = e.vec_id CROSS JOIN q),
-       $hopCtes
+       $hopCtes,
+       fin AS (SELECT * FROM v$hops $finalWhere)
        SELECT vec_id, round(score, 6) AS score
-       FROM (SELECT * FROM v$hops ORDER BY score DESC, vec_id LIMIT $k)
+       FROM (SELECT * FROM fin ORDER BY score DESC, vec_id LIMIT $k)
        ORDER BY round(score, 6) DESC, vec_id"""
   }
 
@@ -1501,6 +1520,10 @@ object Retrieval {
     // result filtering
     "knn_graph_del" -> graphSearchSql(entriesN = 64, beam = 32,
       hops = 3, k = 10, del = GraphDeletedIds),
+    // post-filter: full walk, label-restricted final page only
+    "knn_graph_filtered" -> graphSearchSql(entriesN = 64, beam = 32,
+      hops = 3, k = 10, finalWhere =
+        s"WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE label = $IvfFilterLabel)"),
     // MaxSim: per (image, query-seg) max, then an ascending-qid LEFT FOLD
     // for the Σ (list_reduce here, `aggregate` on the Spark side — FP
     // addition is not associative, so both sides fix the order; the

@@ -896,7 +896,8 @@ object Search {
     * set. */
   def graphSearch(corpus: DataFrame, id: Column, vec: Column,
       edges: DataFrame, query: DataFrame,
-      k: Int, entriesN: Int = 16, beam: Int = 8, hops: Int = 3): DataFrame = {
+      k: Int, entriesN: Int = 16, beam: Int = 8, hops: Int = 3,
+      filter: Option[Column] = None): DataFrame = {
     require(k >= 1 && entriesN >= 1 && beam >= 1 && hops >= 0,
       s"graphSearch: need k,entriesN,beam >= 1 and hops >= 0, " +
         s"got k=$k entriesN=$entriesN beam=$beam hops=$hops")
@@ -922,7 +923,19 @@ object Search {
       if (h < hops) visited = visited.localCheckpoint()
       beamIds = top(visited, beam).select("__nid")
     }
-    top(visited, k).select(col("__nid").as("id"), col("score"))
+    // Filtered graph ANN (post-filter, the DiskANN-filtered shape): the
+    // WALK is unfiltered — filtered-out nodes still relay, or a
+    // selective predicate would disconnect the graph — and only the
+    // final top-k is restricted. The semi-join probes the corpus with
+    // the predicate pushed to its scan; the left side is the bounded
+    // visited set. Selective filters want a wider beam, which the
+    // `graph_beam_filtered` arm of `ann_recall` measures.
+    val eligible = filter match {
+      case Some(p) => visited.join(
+        corpus.filter(p).select(id.as("__nid")), Seq("__nid"), "left_semi")
+      case None => visited
+    }
+    top(eligible, k).select(col("__nid").as("id"), col("score"))
   }
 
   // --- At-rest graph serving layout (the 4th index family) ------------------

@@ -338,12 +338,15 @@ class SearchSpec extends SparkSpec {
       .select("method", "recall").as[(String, Double)].collect().toMap
     assert(m.keySet === Set("ivf_nprobe3", "ivf_filtered_nprobe3",
       "ivfpq_nprobe3_refine10", "lsh_8x8", "mrl16_trunc", "pq_refine10",
-      "graph_beam_h3"))
+      "graph_beam_h3", "graph_beam_filtered"))
     // beam search over the refined graph at the named 64/32/h3 config:
     // measured 0.8 on this fixed corpus (the 16/8 latency config reads
     // 0.1 — the k=3 graph on near-random embeddings needs the wider
     // beam; the delta is the tuning signal this row exists for)
     assert(m("graph_beam_h3") >= 0.8, s"graph beam floor: $m")
+    // post-filter vs the FILTERED truth: off-label relays keep the walk
+    // alive, measured 0.7 — and it beats ivf's filtered arm (0.6) here
+    assert(m("graph_beam_filtered") >= 0.7, s"filtered graph beam floor: $m")
     assert(m.values.forall(v => v >= 0.0 && v <= 1.0))
     assert(m("pq_refine10") >= 0.9, s"pq refine=10 floor: $m")
     assert(m("ivf_nprobe3") >= 0.5, s"ivf nprobe=3 floor: $m")
