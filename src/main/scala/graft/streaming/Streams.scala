@@ -707,4 +707,30 @@ object Streams {
       }
       .start()
   }
+
+  /** Streaming right-to-be-forgotten: takedown requests arrive as a
+    * stream of ids and land in every target index's shared tombstone
+    * store ([[graft.sources.Tombstones.add]] — an O(|batch|) append, no
+    * index file touched), so each family's NEXT probe already excludes
+    * them; compaction reclaims space on its own schedule. One stream can
+    * fan a single GDPR queue out to all four index families (IVF,
+    * IVFADC, lexical, MinHash, graph all read the same store format).
+    * No `_batch` marker is needed: the store is read through
+    * `distinct()`, so a replayed or crash-duplicated batch is naturally
+    * a no-op — takedown is idempotent by definition. */
+  def takedownIngest(ids: DataFrame, id: org.apache.spark.sql.Column,
+      indexDirs: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(indexDirs.nonEmpty, "takedownIngest needs at least one index dir")
+    ids.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint() // one materialization, N stores
+          indexDirs.foreach(dir => graft.sources.Tombstones.add(b, id, dir))
+        }
+      }
+      .start()
+  }
 }

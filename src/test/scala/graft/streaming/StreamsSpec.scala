@@ -644,6 +644,52 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("takedownIngest: one deletion stream fans out to multiple index families; replay harmless") {
+    import graft.operators.Search
+    val dir = java.nio.file.Files.createTempDirectory("graft_takedown").toString
+    def ang(deg: Double) = Array(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val base = (0 until 8).map(i => (i.toLong, ang(i * 40)))
+    // family 1: IVF layout; family 2: graph layout — same id space
+    val cents = Seq((0L, Array(1.0, 0.0)), (1L, Array(-1.0, 0.0))).toDF("cid", "c")
+    Search.writeIvfIndex(base.toDF("vec_id", "embedding"), $"embedding",
+      cents, s"$dir/ivf")
+    val ring = (0 until 8).flatMap(i =>
+      Seq((i.toLong, ((i + 1) % 8).toLong), (i.toLong, ((i + 7) % 8).toLong)))
+    Search.writeGraphIndex(base.toDF("vec_id", "embedding"),
+      $"vec_id", $"embedding", ring.toDF("__vid", "nbr_id"),
+      s"$dir/graph", entriesN = 4, buckets = 4)
+    val query = Seq(Tuple1(ang(0))).toDF("qv")
+    def servedIvf() = Search.knnIvfIndexed(spark, s"$dir/ivf", $"embedding",
+      cents, query, nprobe = 2, k = 8, tie = $"vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    def servedGraph() = Search.graphSearchIndexed(spark, s"$dir/graph",
+      query, k = 8, beam = 4, hops = 4, buckets = 4)
+      .select("id").as[Long].collect().toSet
+    assert(servedIvf().contains(0L) && servedGraph().contains(0L))
+    val input = MemoryStream[Long]
+    val q = Streams.takedownIngest(input.toDF().toDF("vec_id"), $"vec_id",
+      Seq(s"$dir/ivf", s"$dir/graph"), s"$dir/ckpt")
+    try {
+      input.addData(Seq(0L, 3L)); q.processAllAvailable()
+      assert((servedIvf() & Set(0L, 3L)).isEmpty, "ivf excludes after batch 1")
+      assert((servedGraph() & Set(0L, 3L)).isEmpty, "graph excludes after batch 1")
+      input.addData(Seq(5L)); q.processAllAvailable()
+      assert((servedIvf() & Set(0L, 3L, 5L)).isEmpty)
+      assert((servedGraph() & Set(0L, 3L, 5L)).isEmpty)
+      // replayed/duplicated takedown rows are a no-op (distinct read)
+      val before = (servedIvf(), servedGraph())
+      graft.sources.Tombstones.add(Seq(0L, 5L).toDF("vec_id"), $"vec_id", s"$dir/ivf")
+      graft.sources.Tombstones.add(Seq(0L, 5L).toDF("vec_id"), $"vec_id", s"$dir/graph")
+      assert((servedIvf(), servedGraph()) === before)
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("fileIngest: streaming file source reads the events shape") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     evs.take(3).toDF().write.parquet(s"$dir/in")
