@@ -1115,6 +1115,126 @@ object Search {
     }
   }
 
+  /** Periodic batch rebuild of a [[writeGraphIndex]] layout — the
+    * "train" half of the graph family's add-vs-train split, closing the
+    * staleness every other graph operation defers to ("frozen until the
+    * periodic rebuild"): re-trains a k-means codebook on the LIVE nodes
+    * (pre-snapshot tombstones applied — deleted vectors neither train
+    * nor survive), re-derives the edge set (blocked seed ∪ md5 ring, one
+    * NN-Descent pass — so append-era nodes get their reverse links
+    * re-pruned and cross-cluster edges recovered), and REFRESHES the
+    * entry ring (deleted members replaced, appended nodes eligible).
+    *
+    * Migration discipline = [[retrainIvfIndex]]'s: stage the whole new
+    * tree, CATCH UP nodes appended while building by re-inserting them
+    * into the staged graph ([[appendToGraphIndex]] — re-linking in the
+    * NEW topology is the semantically right carry for a graph, their old
+    * edge appends are obsolete), carry `_batch_*` replay markers and
+    * mid-migration tombstone files unapplied, then vacate/swap. Crash
+    * anywhere: the function-start heal renames the old tree back and a
+    * re-run converges; pre-swap states leave the old tree serving with
+    * its tombstones intact. Caller picks `kmeansK` ∝ N (the
+    * [[knnGraph]] hot-cluster guard rejects a degenerate codebook). */
+  def rebuildGraphIndex(s: SparkSession, indexPath: String,
+      kmeansK: Int, linkK: Int = 3, ringR: Int = 2, rounds: Int = 1,
+      entriesN: Int = 64, buckets: Int = 32,
+      onStep: String => Unit = _ => ()): Unit = {
+    import org.apache.hadoop.fs.Path
+    val pathP = new Path(indexPath)
+    val f = pathP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val oldP = new Path(s"${indexPath}__rebuild_old")
+    val tmpP = new Path(s"${indexPath}__rebuild_staging")
+    if (!f.exists(pathP) && f.exists(oldP)) f.rename(oldP, pathP)
+    f.delete(tmpP, true)
+    f.delete(oldP, true)
+    def nodeFiles(base: Path): Set[String] = {
+      val root = new Path(base, "nodes")
+      if (!f.exists(root)) return Set.empty
+      val qRoot = f.makeQualified(root).toString
+      val it = f.listFiles(root, true)
+      val out = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toString.stripPrefix(qRoot)
+        val hidden = rel.split('/').exists(c =>
+          c.startsWith("_") || c.startsWith("."))
+        if (st.isFile && !hidden) out += rel
+      }
+      out.toSet
+    }
+    def readNodeFiles(base: Path, rel: Set[String]): DataFrame = {
+      val qRoot = f.makeQualified(new Path(base, "nodes")).toString
+      s.read.option("basePath", qRoot)
+        .parquet(rel.toSeq.sorted.map(r => qRoot + r): _*)
+        .select("id", "vec")
+    }
+    def tombFiles(base: Path): Set[String] = {
+      val d = new Path(base, graft.sources.Tombstones.DirName)
+      if (!f.exists(d)) Set.empty
+      else f.listStatus(d).filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+        .map(_.getPath.getName).toSet
+    }
+    val tomb0 = tombFiles(pathP)
+    val applied: Option[DataFrame] =
+      if (tomb0.isEmpty) None
+      else Some(s.read.parquet(tomb0.toSeq.sorted
+        .map(n => s"${graft.sources.Tombstones.dir(indexPath)}/$n"): _*)
+        .select(col("id").as("__t")).distinct())
+    var seen = nodeFiles(pathP)
+    val snapshot0 = readNodeFiles(pathP, seen)
+    val snapshot = (applied match {
+      case Some(t) => snapshot0.join(t, col("id") === col("__t"), "left_anti")
+      case None => snapshot0
+      // a replay inside appendToGraphIndex's marker window can duplicate
+      // a node row; the rebuild is where those dups die
+    }).dropDuplicates("id").localCheckpoint()
+    val cents = kmeansTrain(snapshot, col("id"), col("vec"), kmeansK)
+    val seed = knnGraph(snapshot, col("id"), col("vec"), cents, linkK)
+      .select(col("__vid"), col("nbr_id"))
+      .unionByName(hashRingEdges(snapshot, col("id"), r = ringR))
+    val edges = nnDescend(snapshot, col("id"), col("vec"), seed,
+      linkK, rounds).select("__vid", "nbr_id")
+    writeGraphIndex(snapshot, col("id"), col("vec"), edges, tmpP.toString,
+      entriesN, buckets)
+    onStep("staged")
+    def catchUp(base: Path): Unit = {
+      var delta = nodeFiles(base) -- seen
+      while (delta.nonEmpty) {
+        appendToGraphIndex(readNodeFiles(base, delta), col("id"), col("vec"),
+          tmpP.toString, linkK, buckets = buckets)
+        seen ++= delta
+        delta = nodeFiles(base) -- seen
+      }
+    }
+    catchUp(pathP)
+    def carryMarkers(base: Path): Unit =
+      f.listStatus(base).filter(_.getPath.getName.startsWith("_batch_"))
+        .foreach { st =>
+          val m = new Path(tmpP, st.getPath.getName)
+          if (!f.exists(m)) f.create(m, true).close()
+        }
+    def carryTombs(base: Path): Unit =
+      (tombFiles(base) -- tomb0).foreach { n =>
+        val dst = new Path(new Path(tmpP, graft.sources.Tombstones.DirName), n)
+        if (!f.exists(dst))
+          org.apache.hadoop.fs.FileUtil.copy(f,
+            new Path(new Path(base, graft.sources.Tombstones.DirName), n),
+            f, dst, false, s.sparkContext.hadoopConfiguration)
+      }
+    carryMarkers(pathP)
+    carryTombs(pathP)
+    onStep("prepared")
+    f.rename(pathP, oldP)
+    onStep("vacated")
+    catchUp(oldP)
+    carryMarkers(oldP)
+    carryTombs(oldP)
+    f.rename(tmpP, pathP)
+    onStep("swapped")
+    f.delete(oldP, true)
+  }
+
   /** Q2 scoring core — for each query segment find the best-cosine db
     * segment per image (A13 argmax), then avg/max across query segments
     * per image (A12). `qSegs` carries one vector per query segment in

@@ -377,6 +377,96 @@ class IvfLayoutSpec extends SparkSpec {
     }
   }
 
+  test("rebuildGraphIndex: deletes applied + appends re-linked equals a fresh build on the live set; ring refreshed; crash injection; straddler exactly once") {
+    import org.apache.spark.sql.DataFrame
+    val corpus = clusteredCorpus(40)
+    def recipe(nodes: DataFrame, path: String): Unit = {
+      val cents = Search.kmeansTrain(nodes, col("id"), col("vec"), k = 4)
+      val seed = Search.knnGraph(nodes, col("id"), col("vec"), cents, k = 2)
+        .select(col("__vid"), col("nbr_id"))
+        .unionByName(Search.hashRingEdges(nodes, col("id"), r = 2))
+      val edges = Search.nnDescend(nodes, col("id"), col("vec"), seed,
+        k = 2, rounds = 1).select("__vid", "nbr_id")
+      Search.writeGraphIndex(nodes, col("id"), col("vec"), edges, path,
+        entriesN = 8, buckets = 4)
+    }
+    def nodesOf(c: DataFrame) = c.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_grebuild").toString
+    recipe(nodesOf(corpus), s"$dir/idx")
+    // entry ring member to delete: smallest md5 of 0..39
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ringMember = (0L to 39L).minBy(i => md5hex(i.toString))
+    val del = Seq(ringMember, 7L, 13L)
+    Search.deleteFromGraphIndex(del.toDF("id"), col("id"), s"$dir/idx")
+    val appended = Seq((100L, Seq(1f, 0.5f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (101L, Seq(0f, 1f, 0.5f, 0f, 0f, 0f, 0f, 0f)))
+    Search.appendToGraphIndex(appended.toDF("id", "vec"), col("id"),
+      col("vec"), s"$dir/idx", linkK = 2, buckets = 4)
+    Search.rebuildGraphIndex(spark, s"$dir/idx", kmeansK = 4, linkK = 2,
+      ringR = 2, rounds = 1, entriesN = 8, buckets = 4)
+    // the fresh reference: the same recipe on the live node set
+    val live = nodesOf(corpus.filter(!col("vec_id").isin(del: _*)))
+      .unionByName(appended.toDF("id", "vec"))
+    recipe(live, s"$dir/fresh")
+    def table(p: String, cols: Seq[String]) = spark.read.parquet(p)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(table(s"$dir/idx/nodes", Seq("id")) === table(s"$dir/fresh/nodes", Seq("id")))
+    assert(table(s"$dir/idx/edges", Seq("__vid", "nbr_id")) ===
+      table(s"$dir/fresh/edges", Seq("__vid", "nbr_id")),
+      "rebuilt edge set must equal the fresh build's (appends re-linked, deletes gone)")
+    assert(table(s"$dir/idx/entries", Seq("id")) === table(s"$dir/fresh/entries", Seq("id")))
+    // ring refreshed: the deleted member replaced, ring back at full size
+    val ring = spark.read.parquet(s"$dir/idx/entries").select("id").as[Long].collect().toSet
+    assert(ring.size === 8 && !ring.contains(ringMember),
+      s"refreshed ring must replace the deleted member: $ring")
+    // tombstones consumed (pre-snapshot ones applied, none carried)
+    assert(!new java.io.File(s"$dir/idx/_tombstones").exists())
+    val query = Seq(Tuple1(Seq(1f, 0.45f, 0f, 0f, 0f, 0f, 0f, 0f))).toDF("qv")
+    def serve(p: String) = Search.graphSearchIndexed(spark, p, query,
+      k = 5, beam = 4, hops = 3, buckets = 4)
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    assert(serve(s"$dir/idx") === serve(s"$dir/fresh"))
+    // crash injection: boom at each step, re-run converges to the same state
+    Seq("staged", "prepared", "vacated").foreach { step =>
+      val cdir = java.nio.file.Files.createTempDirectory(s"graft_grb_$step").toString
+      recipe(nodesOf(corpus), s"$cdir/idx")
+      Search.deleteFromGraphIndex(Seq(7L).toDF("id"), col("id"), s"$cdir/idx")
+      intercept[RuntimeException] {
+        Search.rebuildGraphIndex(spark, s"$cdir/idx", kmeansK = 4, linkK = 2,
+          ringR = 2, rounds = 1, entriesN = 8, buckets = 4,
+          onStep = l => if (l == step) throw new RuntimeException(s"boom at $l"))
+      }
+      Search.rebuildGraphIndex(spark, s"$cdir/idx", kmeansK = 4, linkK = 2,
+        ringR = 2, rounds = 1, entriesN = 8, buckets = 4)
+      recipe(nodesOf(corpus.filter(col("vec_id") =!= 7L)), s"$cdir/fresh")
+      assert(serve(s"$cdir/idx") === serve(s"$cdir/fresh"), s"after crash at $step")
+      assert(table(s"$cdir/idx/edges", Seq("__vid", "nbr_id")) ===
+        table(s"$cdir/fresh/edges", Seq("__vid", "nbr_id")), s"after crash at $step")
+    }
+    // straddling append during the rebuild: caught up into the staged
+    // graph exactly once and reachable afterwards
+    val sdir = java.nio.file.Files.createTempDirectory("graft_grb_straddle").toString
+    recipe(nodesOf(corpus), s"$sdir/idx")
+    var injected = false
+    Search.rebuildGraphIndex(spark, s"$sdir/idx", kmeansK = 4, linkK = 2,
+      ringR = 2, rounds = 1, entriesN = 8, buckets = 4,
+      onStep = l => if (l == "staged" && !injected) {
+        injected = true
+        Search.appendToGraphIndex(
+          Seq((200L, Seq(0f, 0f, 0f, 0f, 0f, 0f, 0.5f, 1f))).toDF("id", "vec"),
+          col("id"), col("vec"), s"$sdir/idx", linkK = 2, buckets = 4)
+      })
+    assert(injected)
+    val ids = spark.read.parquet(s"$sdir/idx/nodes").select("id").as[Long].collect()
+    assert(ids.count(_ == 200L) === 1, "straddler exactly once")
+    val q200 = Seq(Tuple1(Seq(0f, 0f, 0f, 0f, 0f, 0f, 0.5f, 1f))).toDF("qv")
+    assert(Search.graphSearchIndexed(spark, s"$sdir/idx", q200,
+        k = 1, beam = 4, hops = 4, buckets = 4)
+      .select("id").as[Long].head() === 200L,
+      "straddler reachable through its re-derived links")
+  }
+
   test("retrainIvfIndex: pre-snapshot tombstones are applied, mid-migration ones carried") {
     val all = clusteredCorpus(60)
     val cents0 = Search.kmeansTrain(all, col("vec_id"), col("embedding"), k = 4)
