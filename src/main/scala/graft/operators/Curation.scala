@@ -271,6 +271,32 @@ object Curation {
       .select("doc_id", "source", "rn")
       .orderBy("doc_id")
 
+  def mixTokenBudget(s: SparkSession, d: String): DataFrame =
+    capTokensPerGroup(
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("long")),
+      col("source"), col("doc_id"), col("n_tokens"), budget = 1000L)
+      .select("doc_id", "source", "n_tokens", "cum_before")
+      .orderBy("doc_id")
+
+  /** Token-budget source capping — the mixture knob trainers actually
+    * express ("at most B tokens of source X"), where [[capPerGroup]]
+    * counts DOCS: within each group, in deterministic `order`, a row
+    * survives while the running token total BEFORE it is under `budget`
+    * — so a group always contributes at least its first document and the
+    * boundary document that crosses the budget is the last one kept
+    * (standard trainer semantics: budgets are met by the pack cut, not
+    * by splitting a document here). One per-group window shuffle, no
+    * corpus-wide state. */
+  def capTokensPerGroup(df: DataFrame, group: Column, order: Column,
+      nTok: Column, budget: Long): DataFrame = {
+    require(budget >= 1, s"capTokensPerGroup: budget >= 1, got $budget")
+    val w = Window.partitionBy(group).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("cum_before", coalesce(sum(nTok).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+  }
+
   /** Training-shard layout: assign pack rows to fixed-size output shards
     * in a reproducible pseudo-random order — the last leg of the export
     * pipeline (trainers want (a) shards of uniform size for even data
@@ -386,6 +412,7 @@ object Curation {
     "pack_sequences" -> packSequencesQ,
     "export_shards" -> exportShardsQ,
     "mix_source_cap" -> mixSourceCap,
+    "mix_token_budget" -> mixTokenBudget,
     "curate_report" -> curateReport)
 
   private val toksSql = "string_split(lower(text), ' ')"
@@ -488,6 +515,16 @@ object Curation {
            CAST(rk // 8 AS BIGINT) AS shard_id,
            CAST(rk % 8 AS BIGINT) AS pos_in_shard
          FROM r ORDER BY source, pack_id""",
+    "mix_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM t)
+         SELECT doc_id, source, n_tokens, cum_before
+         FROM c WHERE cum_before < 1000 ORDER BY doc_id""",
     "mix_source_cap" ->
       """SELECT doc_id, source, rn FROM (
            SELECT doc_id, source,

@@ -860,6 +860,42 @@ object Search {
     g
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * anchor, the `k` HIGHEST-cosine vectors with a DIFFERENT label (the
+    * near-misses an embedding model trains against). Candidates are
+    * restricted to the anchor's cluster, which here is semantically
+    * right, not just the scale trick: hard negatives are by definition
+    * the confusable NEARBY points, and those share the anchor's cluster
+    * — same assignment scan, cluster-keyed self-join, and hot-cluster
+    * guard as [[knnGraph]], with the label-differs predicate riding the
+    * join. Σ|cluster|² work, never corpus²; deterministic (cos desc, id
+    * asc) ⇒ fully oracle-replayable. Output: (`__vid`, `neg_id`, `cos`,
+    * `rank`). */
+  def mineHardNegatives(corpus: DataFrame, id: Column, vec: Column,
+      label: Column, centroids: DataFrame, k: Int = 1,
+      maxClusterN: Long = 100000): DataFrame = {
+    val s = corpus.sparkSession
+    val book = collectCodebook(centroids)
+    val assigned = corpus.select(id.as("__vid"), vec.as("__v"),
+        label.as("__lbl"))
+      .withColumn("cluster", graft.functions.VectorExpressions.nearestCentroid(
+        s, col("__v"), book.map(_._1).toSeq, book.map(_._2.toSeq).toSeq))
+    val worst = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    require(worst <= maxClusterN,
+      s"mineHardNegatives: largest cluster has $worst rows > maxClusterN=" +
+        s"$maxClusterN — retrain a finer codebook (k should grow with N)")
+    val w = Window.partitionBy("__vid").orderBy(desc("cos"), col("neg_id").asc)
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.__vid") =!= col("b.__vid") &&
+          col("a.__lbl") =!= col("b.__lbl"))
+      .select(col("a.__vid").as("__vid"), col("b.__vid").as("neg_id"),
+        fusedCosine(s, col("a.__v"), col("b.__v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Graph-served ANN — the HNSW layer-0 / DiskANN search shape over a
     * prebuilt kNN graph ([[knnGraph]] seed refined by [[nnDescend]]),
     * made deterministic and therefore oracle-replayable.

@@ -234,6 +234,22 @@ class CurationSpec extends SparkSpec {
     assert(gotB === want)
   }
 
+  test("capTokensPerGroup: budget boundary kept, oversized first doc survives, groups independent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 400L), (2L, "a", 500L), (3L, "a", 300L), (4L, "a", 1L),
+      (5L, "b", 9999L), (6L, "b", 1L),
+      (7L, "c", 10L)).toDF("id", "grp", "n")
+    val kept = Curation.capTokensPerGroup(df, $"grp", $"id", $"n", budget = 1000L)
+      .select("id", "cum_before").as[(Long, Long)].collect().toMap
+    // a: 400 (cum 0) + 500 (cum 400) + 300 (cum 900 < 1000, boundary doc
+    // kept) — then id 4 at cum 1200 dropped
+    assert(kept.keySet === Set(1L, 2L, 3L, 5L, 7L), s"got $kept")
+    assert(kept(3L) === 900L, "boundary doc crosses the budget but is kept")
+    // an oversized FIRST doc still represents its group
+    assert(kept(5L) === 0L)
+  }
+
   test("capPerGroup: boundary inclusive, order respected") {
     val df = (1L to 10L).map(i => (i, "g")).toDF("id", "grp")
     val kept = Curation.capPerGroup(df, $"grp", $"id", n = 3)

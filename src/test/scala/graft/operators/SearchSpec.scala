@@ -428,6 +428,30 @@ class SearchSpec extends SparkSpec {
       s"refined union seed must beat the blocked graph: $recRefined vs $recBlocked")
   }
 
+  test("mineHardNegatives: nearest DIFFERENT-label neighbor within the cluster; guard fires on a degenerate codebook") {
+    import spark.implicits._
+    // one tight cluster holding two labels: anchors must skip their
+    // same-label twins (closer!) and pick the cross-label near-miss
+    val pts = Seq(
+      (1L, v(1, 0.01, 0), 0L), (2L, v(1, 0.02, 0), 0L), // label 0
+      (3L, v(1, 0.03, 0), 1L), (4L, v(1, 0.04, 0), 1L), // label 1, same cluster
+      (5L, v(0, 0, 1), 2L) // its own cluster, alone → no negative emitted
+    ).toDF("id", "vec", "lbl")
+    val cents = Seq((0L, Seq(1.0, 0.02, 0.0)), (1L, Seq(0.0, 0.0, 1.0)))
+      .toDF("cid", "c")
+    val got = Search.mineHardNegatives(pts, $"id", $"vec", $"lbl", cents, k = 1)
+      .select("__vid", "neg_id").as[(Long, Long)].collect().toMap
+    // 2's nearest overall is 1 (same label) — the mined negative is 3
+    assert(got(2L) === 3L, s"same-label twin must be skipped: $got")
+    assert(got(3L) === 2L, "3's nearest label-0 point is 2")
+    assert(got(4L) === 2L, "4's candidates are label 0 only; 2 is angularly closest")
+    assert(!got.contains(5L), "an anchor with no cross-label neighbor in its cluster emits nothing")
+    intercept[IllegalArgumentException] {
+      Search.mineHardNegatives(pts, $"id", $"vec", $"lbl", cents, k = 1,
+        maxClusterN = 1).collect()
+    }
+  }
+
   test("graphSearch: full graph + wide beam equals brute force; deterministic") {
     import spark.implicits._
     // every ordered pair is an edge — one hop from any entry visits the
