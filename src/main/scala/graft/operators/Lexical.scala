@@ -353,6 +353,45 @@ object Lexical {
     bm25Scores(s, d, selected).filter(col("doc_id") =!= docId)
   }
 
+  /** Fuzzy search SERVED from the at-rest index ([[writeInvertedIndex]]):
+    * the vocabulary IS the index's own `terms` table (vocabulary-sized —
+    * the artifact a SymSpell deployment keeps hot), expansion via
+    * [[fuzzyExpansions]], then the standard scoring tail over the PRUNED
+    * postings buckets of the expanded terms — the corpus is never read
+    * at query time. df comes from the index (the documented pre-merge
+    * staleness contract, same as [[bm25FromIndex]]); results are
+    * bit-identical to the ad-hoc [[bm25FuzzyScores]] on a fresh index,
+    * so the named binding shares its oracle. */
+  def fuzzyFromIndex(s: SparkSession, dir: String, rawTerms: Seq[String],
+      maxExpansions: Int = MaxFuzzyExpansions,
+      buckets: Int = IndexBuckets): DataFrame = {
+    val terms = analyze(rawTerms)
+    require(terms.nonEmpty, "fuzzy search needs at least one term")
+    healIndex(s, dir)
+    val vocab = s.read.parquet(s"$dir/terms").select("term", "df")
+    val exp = fuzzyExpansions(vocab, terms, maxExpansions)
+      .select("q_term", "term").localCheckpoint() // bounded: ≤ |Q|·cap
+    val expTerms = exp.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (expTerms.isEmpty) {
+      return s.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
+    }
+    val posts = prunedRead(s, dir, "postings", expTerms, buckets)
+      .select("doc_id", "dl", "term", "tf")
+    val dfreq = prunedRead(s, dir, "terms", expTerms, buckets)
+      .select("term", "df")
+    val stats = s.read.parquet(s"$dir/stats")
+    val pivots = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("q_term") === t, col("s"))).as(s"s_$i")
+    }
+    scoredPostings(posts, dfreq, stats)
+      .join(broadcast(exp), "term")
+      .groupBy("doc_id")
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("doc_id"), round(pivotTotal(terms), 6).as("score"))
+  }
+
   /** Named query: fuzzy search with three typo'd terms — "vektor" →
     * vector (substitution), "streem" → stream (substitution), "sow" →
     * {slow (insertion), row (substitution)} — the last exercising the
@@ -361,6 +400,10 @@ object Lexical {
 
   def fuzzyQ(s: SparkSession, d: String): DataFrame =
     bm25FuzzyScores(s, d, FuzzyTerms)
+      .orderBy(desc("score"), asc("doc_id")).limit(10)
+
+  def fuzzyIdxQ(s: SparkSession, d: String): DataFrame =
+    fuzzyFromIndex(s, index(s, d), FuzzyTerms)
       .orderBy(desc("score"), asc("doc_id")).limit(10)
 
   /** Named query: "s" completes to six vocabulary terms (exercising the
@@ -948,6 +991,7 @@ object Lexical {
     "search_phrase_slop" -> proximityQ,
     "search_bool" -> boolQ,
     "search_fuzzy" -> fuzzyQ,
+    "search_fuzzy_idx" -> fuzzyIdxQ,
     "search_prefix" -> prefixQ,
     "search_mlt" -> mltQ,
     "search_facets" -> ((s: SparkSession, d: String) => searchFacets(s, d)),
@@ -1056,6 +1100,8 @@ object Lexical {
 
   val oracleSql: Map[String, String] = Map(
     "search_fuzzy" -> fuzzySql,
+    // index serving is bit-identical to the corpus scan — same oracle
+    "search_fuzzy_idx" -> fuzzySql,
     "search_prefix" -> prefixSql,
     "search_mlt" -> mltSql,
     "search_facets" ->

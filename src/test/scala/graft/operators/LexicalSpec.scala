@@ -467,6 +467,26 @@ class LexicalSpec extends SparkSpec {
       "docs sharing no selected term are absent (banana was not selected)")
   }
 
+  test("fuzzyFromIndex: bit-identical to the corpus scan; takedown filters the served hits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lex_fuzzy_idx").toString
+    Lexical.writeInvertedIndex(graft.Tables.documents(spark, sf),
+      col("doc_id"), col("text"), dir)
+    val scan = Lexical.bm25FuzzyScores(spark, sf, Seq("vektor", "sow"))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val served = Lexical.fuzzyFromIndex(spark, dir, Seq("vektor", "sow"))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(served === scan, "index-served fuzzy must be bit-identical to the scan")
+    // liveDocs: a deleted doc leaves the fuzzy results immediately,
+    // surviving scores unchanged (stale-df contract)
+    val victim = scan.maxBy(_._2)._1
+    Lexical.deleteFromIndex(Seq(victim).toDF("doc_id"), col("doc_id"), dir)
+    val after = Lexical.fuzzyFromIndex(spark, dir, Seq("vektor", "sow"))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(after === scan.filterNot(_._1 == victim),
+      "takedown removes the doc, everything else bit-identical")
+  }
+
   test("searchHighlight: snippet window clamps at doc start, counts every occurrence; searchFacets covers the page") {
     import spark.implicits._
     val docs = Seq(
