@@ -227,9 +227,47 @@ object Lexical {
       .join(broadcast(qvar), "__var")
       .select("q_term", "term", "df").distinct()
       .filter(levenshtein(col("q_term"), col("term")) <= 1)
+    capExpansions(cands, maxExpansions)
+  }
+
+  /** Cap helper shared by the expansion flavors: keep each query label's
+    * `maxExpansions` best candidates by (df DESC, term ASC). */
+  private def capExpansions(cands: DataFrame, maxExpansions: Int): DataFrame = {
     val w = Window.partitionBy("q_term").orderBy(desc("df"), col("term").asc)
     cands.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxExpansions).drop("__rn")
+  }
+
+  /** Synonym expansion (ES's query-time synonym token filter): each
+    * query term expands to itself plus its synonym-set members — kept
+    * only when they EXIST in the vocabulary (a synonym with no postings
+    * scores nothing anyway), capped like the other flavors. ES's synonym
+    * graph scores alternatives at one position — best-match, not sum —
+    * which is exactly [[bm25BestExpansionScores]]'s rule. */
+  def synonymExpansions(vocab: DataFrame, rawTerms: Seq[String],
+      synonyms: Map[String, Seq[String]],
+      maxExpansions: Int = MaxFuzzyExpansions): DataFrame = {
+    val s = vocab.sparkSession
+    import s.implicits._
+    val terms = analyze(rawTerms)
+    require(terms.nonEmpty, "synonym expansion needs at least one term")
+    val pairs = terms.flatMap { t =>
+      (t +: synonyms.getOrElse(t, Nil).map(_.trim.toLowerCase))
+        .distinct.map(v => (t, v))
+    }
+    capExpansions(
+      pairs.toDF("q_term", "term").join(vocab, "term")
+        .select("q_term", "term", "df"),
+      maxExpansions)
+  }
+
+  def bm25SynonymScores(s: SparkSession, d: String, rawTerms: Seq[String],
+      synonyms: Map[String, Seq[String]],
+      maxExpansions: Int = MaxFuzzyExpansions): DataFrame = {
+    val terms = analyze(rawTerms)
+    val (docs, vocab) = docsAndVocab(s, d)
+    bm25BestExpansionScores(docs, terms,
+      synonymExpansions(vocab, terms, synonyms, maxExpansions))
   }
 
   /** The corpus tokenization + vocabulary df pair every expanded query
@@ -307,11 +345,10 @@ object Lexical {
     val prefixes = analyze(rawPrefixes)
     require(prefixes.nonEmpty, "prefix expansion needs at least one prefix")
     val qp = prefixes.toDF("q_term")
-    val cands = vocab.join(broadcast(qp), col("term").startsWith(col("q_term")))
-      .select("q_term", "term", "df")
-    val w = Window.partitionBy("q_term").orderBy(desc("df"), col("term").asc)
-    cands.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxExpansions).drop("__rn")
+    capExpansions(
+      vocab.join(broadcast(qp), col("term").startsWith(col("q_term")))
+        .select("q_term", "term", "df"),
+      maxExpansions)
   }
 
   /** Prefix BM25 (ES `prefix` with `rewrite: top_terms_N`): each prefix
@@ -409,6 +446,17 @@ object Lexical {
   /** Named query: "s" completes to six vocabulary terms (exercising the
     * top-df expansion cap at 5), "co" to two. */
   val PrefixTerms: Seq[String] = Seq("s", "co")
+
+  /** Named query: "rapid" is NOT a corpus term — only its synonym "fast"
+    * reaches postings ("quick" isn't in the vocabulary either and drops
+    * out); "row" matches itself AND its synonym "line". */
+  val SynonymTerms: Seq[String] = Seq("rapid", "row")
+  val Synonyms: Map[String, Seq[String]] = Map(
+    "rapid" -> Seq("fast", "quick"), "row" -> Seq("line"))
+
+  def synonymQ(s: SparkSession, d: String): DataFrame =
+    bm25SynonymScores(s, d, SynonymTerms, Synonyms)
+      .orderBy(desc("score"), asc("doc_id")).limit(10)
 
   def prefixQ(s: SparkSession, d: String): DataFrame =
     bm25PrefixScores(s, d, PrefixTerms)
@@ -993,6 +1041,7 @@ object Lexical {
     "search_fuzzy" -> fuzzyQ,
     "search_fuzzy_idx" -> fuzzyIdxQ,
     "search_prefix" -> prefixQ,
+    "search_synonyms" -> synonymQ,
     "search_mlt" -> mltQ,
     "search_facets" -> ((s: SparkSession, d: String) => searchFacets(s, d)),
     "search_highlight" -> ((s: SparkSession, d: String) => searchHighlight(s, d)),
@@ -1062,6 +1111,15 @@ object Lexical {
   private def prefixSql: String =
     expansionSql(PrefixTerms, "v.term LIKE q.q_term || '%'")
 
+  private def synonymSql: String = {
+    val cond = SynonymTerms.map { t =>
+      val set = (t +: Synonyms.getOrElse(t, Nil)).distinct
+        .map(x => s"'$x'").mkString("(", ", ", ")")
+      s"(q.q_term = '$t' AND v.term IN $set)"
+    }.mkString(" OR ")
+    expansionSql(SynonymTerms, cond)
+  }
+
   /** MLT oracle: tf·idf term selection from the source doc replayed,
     * then the BM25 sum as an ORDERED fold by term (the Spark side scores
     * the selected terms in ascending order, and folding only the
@@ -1103,6 +1161,7 @@ object Lexical {
     // index serving is bit-identical to the corpus scan — same oracle
     "search_fuzzy_idx" -> fuzzySql,
     "search_prefix" -> prefixSql,
+    "search_synonyms" -> synonymSql,
     "search_mlt" -> mltSql,
     "search_facets" ->
       s"""WITH ${bm25Sql()},

@@ -467,6 +467,26 @@ class LexicalSpec extends SparkSpec {
       "docs sharing no selected term are absent (banana was not selected)")
   }
 
+  test("synonymExpansions: identity + vocab-present synonyms only; absent query terms resolve through synonyms") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .select(graft.functions.TextFunctions.tokens($"text").as("toks"))
+    val vocab = docs.select(explode(array_distinct($"toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val exp = Lexical.synonymExpansions(vocab, Seq("rapid", "row"),
+        Lexical.Synonyms)
+      .select("q_term", "term").as[(String, String)].collect().toSet
+    // "rapid" and "quick" are not corpus terms — only "fast" survives;
+    // "row" keeps itself plus "line"
+    assert(exp === Set(("rapid", "fast"), ("row", "row"), ("row", "line")),
+      s"got $exp")
+    // the scored result equals best-expansion semantics: a doc with only
+    // "line" still scores the "row" component
+    val scored = Lexical.bm25SynonymScores(spark, sf, Seq("rapid", "row"),
+      Lexical.Synonyms).as[(Long, Double)].collect().toMap
+    assert(scored.nonEmpty && scored.values.forall(_ > 0))
+  }
+
   test("fuzzyFromIndex: bit-identical to the corpus scan; takedown filters the served hits") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("lex_fuzzy_idx").toString
