@@ -183,7 +183,28 @@ object Curation {
     * range-bucketed). Two scans of the input (prefix pass + totals pass)
     * buy unbounded scale-out — the classic scan/offset decomposition. */
   def packSequences(df: DataFrame, part: Column, id: Column, nTok: Column,
-      budget: Long, buckets: Int = 64): DataFrame = {
+      budget: Long, buckets: Int = 64): DataFrame =
+    packSequencesFrom(df, part, id, nTok, budget, buckets, None)
+
+  /** Incremental packing — the daily-increment face: the arriving rows
+    * (which must sort AFTER the already-packed corpus in `id` order —
+    * the ingest contract that also orders every append-only id space
+    * here) continue each shard's running token sum from `watermarks`
+    * (`__pp`, `__wm` = tokens already packed per shard, an integer the
+    * lake keeps as one row per shard). The result is EXACTLY the rows
+    * the full-corpus [[packSequences]] would have produced for them —
+    * prefix sums are left-composable — so yesterday's packs never move
+    * and the oracle can replay the full packing and restrict it. */
+  def packSequencesIncremental(increment: DataFrame, part: Column,
+      id: Column, nTok: Column, budget: Long,
+      watermarks: DataFrame, // (__pp, __wm)
+      buckets: Int = 64): DataFrame =
+    packSequencesFrom(increment, part, id, nTok, budget, buckets,
+      Some(watermarks))
+
+  private def packSequencesFrom(df: DataFrame, part: Column, id: Column,
+      nTok: Column, budget: Long, buckets: Int,
+      watermarks: Option[DataFrame]): DataFrame = {
     val in = df.withColumn("__pp", part)
       .withColumn("__pid", id.cast("double"))
       .withColumn("__pn", nTok.cast("long"))
@@ -203,10 +224,19 @@ object Curation {
       .agg(sum("__pn").as("__tot"))
       .withColumn("__off", coalesce(sum("__tot").over(wOff), lit(0L)))
       .select("__pp", "__bkt", "__off")
-    bucketed
+    val withCum = bucketed
       .withColumn("__loc", coalesce(sum(col("__pn")).over(wLoc), lit(0L)))
       .join(broadcast(offsets), Seq("__pp", "__bkt"))
       .withColumn("__cum", col("__loc") + col("__off"))
+    val based = watermarks match {
+      case Some(wm) => withCum
+        .join(broadcast(wm.select(col("__pp"), col("__wm").cast("long"))),
+          Seq("__pp"), "left")
+        .withColumn("__cum", col("__cum") + coalesce(col("__wm"), lit(0L)))
+        .drop("__wm")
+      case None => withCum
+    }
+    based
       .withColumn("pack_id", expr(s"__cum DIV ${budget}L"))
       .withColumn("pack_offset", col("__cum") % lit(budget))
       .drop("__pp", "__pid", "__pn", "__bkt", "__loc", "__off", "__cum")
@@ -265,6 +295,26 @@ object Curation {
       col("source"), col("doc_id"), col("n_tokens"), budget = 512L)
       .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
       .orderBy("doc_id")
+
+  /** Named query: the top fifth of doc ids (per the append-ordered id
+    * space) arrives as an increment; its packing must continue each
+    * source's token watermark so it lands exactly where the full-corpus
+    * packing would put it — the oracle replays the FULL packing and
+    * restricts to the increment, which only passes if the composition
+    * property holds bit for bit. */
+  def packSequencesIncr(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+    val cut = docs.agg(expr("max(doc_id) * 4 DIV 5").as("c"))
+      .head().getLong(0)
+    val wm = docs.filter(col("doc_id") <= cut)
+      .groupBy(col("source").as("__pp"))
+      .agg(sum("n_tokens").as("__wm"))
+    packSequencesIncremental(docs.filter(col("doc_id") > cut),
+        col("source"), col("doc_id"), col("n_tokens"), budget = 512L, wm)
+      .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
+      .orderBy("doc_id")
+  }
 
   def mixSourceCap(s: SparkSession, d: String): DataFrame =
     capPerGroup(Tables.documents(s, d), col("source"), col("doc_id"), n = 15)
@@ -410,6 +460,7 @@ object Curation {
     "curate_decontam" -> curateDecontam,
     "mix_temperature" -> mixTemperature,
     "pack_sequences" -> packSequencesQ,
+    "pack_sequences_incr" -> packSequencesIncr,
     "export_shards" -> exportShardsQ,
     "mix_source_cap" -> mixSourceCap,
     "mix_token_budget" -> mixTokenBudget,
@@ -492,6 +543,21 @@ object Curation {
            CAST(cum // 512 AS BIGINT) AS pack_id,
            CAST(cum % 512 AS BIGINT) AS pack_offset
          FROM c ORDER BY doc_id""",
+    // composition property: the incremental run must equal the FULL
+    // packing restricted to the increment rows
+    "pack_sequences_incr" ->
+      """WITH t AS (SELECT doc_id, source,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM t)
+         SELECT doc_id, source, n_tokens,
+           CAST(cum // 512 AS BIGINT) AS pack_id,
+           CAST(cum % 512 AS BIGINT) AS pack_offset
+         FROM c WHERE doc_id > (SELECT max(doc_id) * 4 // 5 FROM t)
+         ORDER BY doc_id""",
     // pack rollup → md5-permutation global rank → div/mod shard cut; the
     // oracle may use the flat OVER (ORDER BY …) window the Spark side
     // decomposes into 256 prefix buckets — identical output

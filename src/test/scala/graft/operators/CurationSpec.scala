@@ -175,6 +175,28 @@ class CurationSpec extends SparkSpec {
     assert(nBuckets === 8L)
   }
 
+  test("packSequencesIncremental: composes exactly with the full packing; brand-new shards start at zero") {
+    import spark.implicits._
+    val all = Seq(
+      (1L, "a", 300L), (2L, "a", 300L), (3L, "a", 100L),
+      (4L, "b", 500L), (5L, "b", 200L),
+      (6L, "a", 400L), (7L, "b", 50L), (8L, "c", 120L)) // ids 6-8 arrive later
+      .toDF("id", "grp", "n")
+    val full = Curation.packSequences(all, $"grp", $"id", $"n", budget = 512L)
+      .select("id", "pack_id", "pack_offset").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val existing = all.filter($"id" <= 5L)
+    val wm = existing.groupBy($"grp".as("__pp")).agg(sum($"n").as("__wm"))
+    val incr = Curation.packSequencesIncremental(all.filter($"id" > 5L),
+        $"grp", $"id", $"n", budget = 512L, wm)
+      .select("id", "pack_id", "pack_offset").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(incr === full.filter(_._1 > 5L),
+      s"incremental must equal the full packing restricted to the increment:\n$incr\n${full.filter(_._1 > 5L)}")
+    // group "c" has no watermark row — its packing starts at zero
+    assert(incr.find(_._1 == 8L).get._3 === 0L)
+  }
+
   test("shardPacks: exact md5-permutation rank, full shards, deterministic") {
     import spark.implicits._
     val n = 533 // deliberately NOT a multiple of packsPerShard
