@@ -130,6 +130,36 @@ object Lexical {
     score(tf, dfreq, stats, terms)
   }
 
+  /** ES `dis_max` over per-term BM25 subqueries: a document scores its
+    * BEST term plus `tieBreaker` × the remaining terms — the "best match
+    * wins, others only break ties" shape that plain `bool` summing
+    * over-rewards keyword stuffing on. Same single postings pass as
+    * [[bm25Scores]]: the per-term pivots already carry every component,
+    * so dis-max is pure per-row arithmetic after the aggregation
+    * (best = greatest(pivots), score = best + tb·(sum − best), both in
+    * the fixed pivot order ⇒ bit-replayable). */
+  def bm25DisMax(s: SparkSession, d: String,
+      rawTerms: Seq[String] = QueryTerms,
+      tieBreaker: Double = 0.3): DataFrame = {
+    val terms = analyze(rawTerms)
+    require(terms.nonEmpty, "dis_max needs at least one term")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      s"tie_breaker in [0,1], got $tieBreaker")
+    val (tf, dfreq, stats) = termStats(s, d, terms)
+    val pivots = scorePivots(terms)
+    val comps = terms.indices.map(i => coalesce(col(s"s_$i"), lit(0.0)))
+    val best = comps.reduceLeft((a, b) => greatest(a, b))
+    scoredPostings(tf, dfreq, stats).groupBy("doc_id")
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("doc_id"),
+        round(best + lit(tieBreaker) * (pivotTotal(terms) - best), 6)
+          .as("score"))
+  }
+
+  def disMaxQ(s: SparkSession, d: String): DataFrame =
+    bm25DisMax(s, d)
+      .orderBy(desc("score"), asc("doc_id")).limit(10)
+
   /** ES `bool` query semantics, made deterministic: a document matches
     * when it contains EVERY `must` term and NO `mustNot` term; its score
     * is the BM25 sum over the `must` and `should` terms it matches (must
@@ -1038,6 +1068,7 @@ object Lexical {
     "search_phrase" -> phraseQ,
     "search_phrase_slop" -> proximityQ,
     "search_bool" -> boolQ,
+    "search_dismax" -> disMaxQ,
     "search_fuzzy" -> fuzzyQ,
     "search_fuzzy_idx" -> fuzzyIdxQ,
     "search_prefix" -> prefixQ,
@@ -1162,6 +1193,20 @@ object Lexical {
     "search_fuzzy_idx" -> fuzzySql,
     "search_prefix" -> prefixSql,
     "search_synonyms" -> synonymSql,
+    // dis-max: per-term components from the same pivot CASEs, then
+    // best + tb*(sum - best) — the greatest() fold mirrors the Spark
+    // reduceLeft order
+    "search_dismax" -> {
+      val comps = QueryTerms
+        .map(t => s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0)")
+      val best = comps.tail.foldLeft(comps.head)((a, b) => s"greatest($a, $b)")
+      val total = comps.mkString(" + ")
+      s"""WITH ${bm25Sql()}
+         SELECT doc_id, score FROM (
+           SELECT doc_id, round($best + 0.3 * (($total) - ($best)), 6) AS score
+           FROM sc GROUP BY doc_id)
+         ORDER BY score DESC, doc_id LIMIT 10"""
+    },
     "search_mlt" -> mltSql,
     "search_facets" ->
       s"""WITH ${bm25Sql()},

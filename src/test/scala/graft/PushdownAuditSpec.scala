@@ -52,4 +52,23 @@ class PushdownAuditSpec extends SparkSpec {
     assert(docScans.forall(l => !l.matches(".*ReadSchema.*(lang|source|n_chars).*")),
       s"BM25 needs doc_id+text only:\n${docScans.mkString("\n")}")
   }
+
+  test("fuzzyFromIndex: expanded-term postings reads prune to buckets and push the term set; corpus never scanned") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("lex_fz_push").toString
+    graft.operators.Lexical.writeInvertedIndex(
+      graft.Tables.documents(spark, d), col("doc_id"), col("text"), s"$dir/idx")
+    val df = graft.operators.Lexical.fuzzyFromIndex(spark, s"$dir/idx",
+      Seq("vektor", "sow"))
+    val s = scans(df)
+    val postScans = s.filter(_.contains("postings"))
+    assert(postScans.nonEmpty, s"expected a postings scan:\n${s.mkString("\n")}")
+    assert(postScans.forall(l =>
+        l.contains("PartitionFilters") && l.contains("bucket")),
+      s"postings read must prune to the expanded terms' buckets:\n${postScans.mkString("\n")}")
+    assert(postScans.exists(_.contains("In(term")),
+      s"expanded term set must push into the postings scan:\n${postScans.mkString("\n")}")
+    assert(!s.exists(_.contains("documents.parquet")),
+      s"index serving must not scan the corpus:\n${s.mkString("\n")}")
+  }
 }

@@ -467,6 +467,32 @@ class LexicalSpec extends SparkSpec {
       "docs sharing no selected term are absent (banana was not selected)")
   }
 
+  test("bm25DisMax: best term dominates, tie_breaker extremes reduce to max and to the plain sum") {
+    import spark.implicits._
+    val terms = Seq("hash", "vector")
+    // components from the verified per-term scorer
+    val h = Lexical.bm25Scores(spark, sf, Seq("hash")).as[(Long, Double)].collect().toMap
+    val v = Lexical.bm25Scores(spark, sf, Seq("vector")).as[(Long, Double)].collect().toMap
+    val both = (h.keySet ++ v.keySet).map { id =>
+      id -> (h.getOrElse(id, 0.0), v.getOrElse(id, 0.0))
+    }.toMap
+    // tb = 0 → pure max
+    val dm0 = Lexical.bm25DisMax(spark, sf, terms, tieBreaker = 0.0)
+      .as[(Long, Double)].collect().toMap
+    dm0.foreach { case (id, s) =>
+      assert(math.abs(s - math.max(both(id)._1, both(id)._2)) < 2e-6, s"id $id")
+    }
+    // tb = 1 → plain bool-style sum (bm25Scores on both terms)
+    val dm1 = Lexical.bm25DisMax(spark, sf, terms, tieBreaker = 1.0)
+      .as[(Long, Double)].collect().toMap
+    val sum2 = Lexical.bm25Scores(spark, sf, terms).as[(Long, Double)].collect().toMap
+    dm1.foreach { case (id, s) =>
+      assert(math.abs(s - sum2(id)) < 2e-6, s"id $id: $s vs ${sum2(id)}") }
+    intercept[IllegalArgumentException] {
+      Lexical.bm25DisMax(spark, sf, terms, tieBreaker = 1.5)
+    }
+  }
+
   test("synonymExpansions: identity + vocab-present synonyms only; absent query terms resolve through synonyms") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sf)
