@@ -103,5 +103,47 @@ class GoldenPathSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(allLex === matchable,
       "the incremental index must retrieve exactly the matchable curated docs")
+
+    // 7. the GRAPH leg (r11): build the kNN graph over the embeddings,
+    //    refine it, lay it at rest, stream one more vector in, take one
+    //    down, rebuild — and serving stays coherent at every step
+    val seed = Search.knnGraph(emb, $"vec_id", $"embedding", cents, k = 3)
+      .select($"__vid", $"nbr_id")
+      .unionByName(Search.hashRingEdges(emb, $"vec_id", r = 2))
+    val edges = Search.nnDescend(emb, $"vec_id", $"embedding", seed,
+      k = 3, rounds = 1).select("__vid", "nbr_id")
+    Search.writeGraphIndex(emb, $"vec_id", $"embedding", edges,
+      s"$dir/graph", entriesN = 16, buckets = 8)
+    def gServe(qdf: org.apache.spark.sql.DataFrame) =
+      Search.graphSearchIndexed(spark, s"$dir/graph", qdf,
+        k = 5, beam = 8, hops = 3, buckets = 8)
+        .select("id").as[Long].collect().toSeq
+    val g0 = gServe(q)
+    assert(g0.nonEmpty)
+    // stream in a new vector near the query: it becomes the best match
+    val qvArr = emb.filter($"vec_id" === 0)
+      .select($"embedding").as[Seq[Float]].head()
+    Search.appendToGraphIndex(
+      Seq((99999L, qvArr)).toDF("id", "vec"), $"id", $"vec",
+      s"$dir/graph", linkK = 3, buckets = 8)
+    assert(gServe(q).contains(99999L), "streamed vector immediately reachable")
+    // take it down: gone at the next probe, nothing rewritten
+    Search.deleteFromGraphIndex(Seq(99999L).toDF("id"), $"id", s"$dir/graph")
+    assert(!gServe(q).contains(99999L), "takedown excludes immediately")
+    // periodic rebuild consumes the tombstone and re-links everything
+    Search.rebuildGraphIndex(spark, s"$dir/graph", kmeansK = 8, linkK = 3,
+      entriesN = 16, buckets = 8)
+    val g3 = gServe(q)
+    assert(!g3.contains(99999L) && g3.nonEmpty)
+    assert(!new java.io.File(s"$dir/graph/_tombstones").exists(),
+      "rebuild consumes the tombstones")
+
+    // 8. the serving envelope answers all three families over this data
+    val fz = Serving.handle(spark, d,
+      """{"mode":"fuzzy","terms":"vektor","top_k":3}""")
+    assert(fz.contains("\"results\"") && !fz.contains("\"error\""))
+    val gr = Serving.handle(spark, d,
+      """{"mode":"graph","top_k":3,"query_image_id":0}""")
+    assert(gr.contains("\"results\"") && !gr.contains("\"error\""))
   }
 }
