@@ -144,10 +144,14 @@ object Bench {
     // slowest-first queries (3-decimal) as fit a ~1.3 KB budget, plus
     // the pointer to the full file. The full line still prints first for
     // complete logs.
-    try {
-      val w = new java.io.PrintWriter("BENCH_FULL.json")
-      try w.println(fullJson) finally w.close()
-    } catch { case _: Throwable => () } // bench must report even if cwd is read-only
+    // SUBSET runs (SPARK_GRAFT_BENCH_ONLY dev loops) must not clobber
+    // the committed full artifact the stdout pointer advertises
+    if (only.isEmpty) {
+      try {
+        val w = new java.io.PrintWriter("BENCH_FULL.json")
+        try w.println(fullJson) finally w.close()
+      } catch { case _: Throwable => () } // bench must report even if cwd is read-only
+    }
     println(fullJson)
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     val compactQs = new StringBuilder

@@ -282,7 +282,10 @@ object Lexical {
     val terms = analyze(rawTerms)
     require(terms.nonEmpty, "synonym expansion needs at least one term")
     val pairs = terms.flatMap { t =>
-      (t +: synonyms.getOrElse(t, Nil).map(_.trim.toLowerCase))
+      // the synonym list goes through the SAME analyzer as query terms —
+      // one normalization rule, and a whitespace-only synonym drops out
+      // instead of normalizing to "" and matching empty-string tokens
+      (t +: analyze(synonyms.getOrElse(t, Nil)))
         .distinct.map(v => (t, v))
     }
     capExpansions(

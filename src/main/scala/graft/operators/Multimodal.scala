@@ -146,6 +146,15 @@ object Multimodal {
         explode(sequence(lit(0L), col("n_chunks") - 1)).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
         expr(s"substring(payload, frame_idx * $ChunkBytes + 1, $ChunkBytes)").as("frame"))
+      // the composite frame key assumes < 10^6 frames/doc (a ≥256 MB
+      // payload breaks it) and doc_id * 10^6 within 2^53 (the decode
+      // divides); silent collisions would mis-attribute adjacency — fail
+      // loudly instead (same discipline as Pipelines.guardedChunkKey)
+      .withColumn("frame_idx",
+        when(col("frame_idx") >= 1000000L || col("doc_id") > 9000000000L,
+          raise_error(concat(lit("frameDedup: composite key overflow for doc "),
+            col("doc_id"), lit(" frame "), col("frame_idx"))))
+          .otherwise(col("frame_idx")))
     val perFrame = graft.sources.MultimodalStub
       .decodeAndEmbed(frames.select(
         (col("doc_id") * 1000000 + col("frame_idx")).as("doc_id"),

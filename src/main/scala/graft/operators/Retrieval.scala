@@ -522,6 +522,19 @@ object Retrieval {
     * too. */
   val GraphDeletedIds: Seq[Long] = Seq(464L, 498L, 3L)
 
+  /** Local-FS recursive copy for the per-JVM scratch caches: a takedown
+    * variant's layout is bit-identical to the clean one UNTIL the
+    * tombstone lands, so copying the already-built dir replaces a full
+    * index re-derivation (for the graph family: the whole kmeans-seed +
+    * NN-Descent pipeline again). */
+  private def copyDir(src: java.io.File, dst: java.io.File): Unit =
+    if (src.isDirectory) {
+      dst.mkdirs()
+      src.listFiles().foreach(f => copyDir(f, new java.io.File(dst, f.getName)))
+    } else {
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+
   /** Takedown on the graph layout — [[knnGraphIdx]] with
     * [[GraphDeletedIds]] tombstoned ([[Search.deleteFromGraphIndex]]):
     * deleted ids leave the entry ring, are never scored, and their
@@ -532,10 +545,9 @@ object Retrieval {
     * just result filtering) is hash-checked. */
   def knnGraphDel(s: SparkSession, d: String): DataFrame = {
     val dir = graphDelCache.computeIfAbsent(d, _ => {
+      val clean = graphIdxDir(s, d) // build (or reuse) the clean layout once
       val tmp = java.nio.file.Files.createTempDirectory("graft_graph_del").toString
-      Search.writeGraphIndex(Tables.embeddings(s, d), col("vec_id"),
-        col("embedding"), refinedGraphEdges(s, d).select("__vid", "nbr_id"),
-        s"$tmp/idx", entriesN = 64, buckets = 32)
+      copyDir(new java.io.File(s"$clean/idx"), new java.io.File(s"$tmp/idx"))
       import s.implicits._
       Search.deleteFromGraphIndex(GraphDeletedIds.toDF("vec_id"),
         col("vec_id"), s"$tmp/idx")
@@ -619,9 +631,9 @@ object Retrieval {
   def knnIvfDel(s: SparkSession, d: String): DataFrame = {
     val cents = labelCentroids(s, d).select(col("label").as("cid"), col("c"))
     val dir = ivfDelCache.computeIfAbsent(d, _ => {
+      val clean = ivfIdxDir(s, d, cents) // reuse the clean layout
       val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
-      Search.writeIvfIndex(Tables.embeddings(s, d), col("embedding"), cents,
-        s"$tmp/idx")
+      copyDir(new java.io.File(s"$clean/idx"), new java.io.File(s"$tmp/idx"))
       import s.implicits._
       Search.deleteFromIvfIndex(IvfDeletedIds.toDF("vec_id"),
         col("vec_id"), s"$tmp/idx")
@@ -718,10 +730,9 @@ object Retrieval {
   def knnIvfPqDel(s: SparkSession, d: String): DataFrame = {
     val cents = labelCentroids(s, d).select(col("label").as("cid"), col("c"))
     val (dir, book) = ivfPqDelCache.computeIfAbsent(d, _ => {
-      val emb = Tables.embeddings(s, d)
-      val b = Search.pqTrain(emb, col("vec_id"), col("embedding"), m = 16, ks = 16)
+      val (clean, b) = ivfPqIndex(s, d) // reuse the trained clean layout
       val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_del").toString
-      Search.writeIvfPqIndex(emb, col("embedding"), cents, b, ks = 16, s"$tmp/idx")
+      copyDir(new java.io.File(s"$clean/idx"), new java.io.File(s"$tmp/idx"))
       import s.implicits._
       Search.deleteFromIvfIndex(IvfDeletedIds.toDF("vec_id"),
         col("vec_id"), s"$tmp/idx")

@@ -880,8 +880,11 @@ object Search {
         label.as("__lbl"))
       .withColumn("cluster", graft.functions.VectorExpressions.nearestCentroid(
         s, col("__v"), book.map(_._1).toSeq, book.map(_._2.toSeq).toSeq))
-    val worst = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
-      .agg(max("n")).head().getLong(0)
+    // empty corpus → max(n) is NULL: an empty result, not an NPE (same
+    // guard as Dedup.semanticDedup)
+    val mk = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head()
+    val worst = if (mk.isNullAt(0)) 0L else mk.getLong(0)
     require(worst <= maxClusterN,
       s"mineHardNegatives: largest cluster has $worst rows > maxClusterN=" +
         s"$maxClusterN — retrain a finer codebook (k should grow with N)")
@@ -997,11 +1000,39 @@ object Search {
     * shared crash-safe swap. The entry ring stays FROZEN under takedown
     * (minus deleted members) until a compaction/rebuild refreshes it —
     * the same documented staleness Lucene's liveDocs model accepts. */
+  /** The layout's bucket modulus is LOAD-BEARING (every probe computes
+    * `pmod(id, buckets)` to prune partitions) — a build/serve mismatch
+    * would silently miss most rows, so the writer persists it and every
+    * reader validates against it. Underscore-prefixed: invisible to
+    * parquet listings. */
+  private def writeBucketsMeta(s: SparkSession, path: String, buckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_buckets_$buckets")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p, true).close()
+  }
+
+  private def requireBucketsMeta(s: SparkSession, path: String, buckets: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) return // missing index fails at the read, loudly
+    val metas = f.listStatus(root)
+      .map(_.getPath.getName).filter(_.startsWith("_graft_buckets_"))
+    // pre-meta layouts (or hand-built test trees) stay readable — the
+    // guard only fires when the stored modulus CONTRADICTS the caller's
+    metas.headOption.foreach { m =>
+      val stored = m.stripPrefix("_graft_buckets_").toInt
+      require(stored == buckets,
+        s"graph index at $path was built with buckets=$stored but is " +
+          s"being read with buckets=$buckets — the probe's pmod would " +
+          "silently miss rows")
+    }
+  }
+
   def writeGraphIndex(corpus: DataFrame, id: Column, vec: Column,
       edges: DataFrame, // (__vid, nbr_id)
       path: String, entriesN: Int = 64, buckets: Int = 32): Unit = {
     require(entriesN >= 1 && buckets >= 1,
       s"writeGraphIndex: need entriesN, buckets >= 1, got $entriesN, $buckets")
+    writeBucketsMeta(corpus.sparkSession, path, buckets)
     corpus.select(id.cast("long").as("id"), vec.as("vec"))
       .withColumn("bkt", pmod(col("id"), lit(buckets.toLong)).cast("int"))
       .write.partitionBy("bkt").parquet(s"$path/nodes")
@@ -1025,6 +1056,7 @@ object Search {
   def graphSearchIndexed(s: SparkSession, path: String, query: DataFrame,
       k: Int, beam: Int = 32, hops: Int = 3, buckets: Int = 32): DataFrame = {
     import graft.sources.Tombstones
+    requireBucketsMeta(s, path, buckets)
     Tombstones.healPartitions(s, s"$path/nodes")
     Tombstones.healPartitions(s, s"$path/edges")
     def bktOf(ids: Seq[Long]): Seq[Long] =
@@ -1090,6 +1122,7 @@ object Search {
       path: String, linkK: Int = 3, beam: Int = 8, hops: Int = 3,
       buckets: Int = 32): Unit = {
     val s = rows.sparkSession
+    requireBucketsMeta(s, path, buckets)
     val batch = rows.select(id.cast("long").as("id"), vec.as("vec"))
       .localCheckpoint()
     val ids = batch.select("id").collect().map(_.getLong(0)).sorted

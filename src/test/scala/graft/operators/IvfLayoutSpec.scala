@@ -308,6 +308,30 @@ class IvfLayoutSpec extends SparkSpec {
       s"id predicate must push into the pruned scan:\n$plan")
   }
 
+  test("graph layout: a build/serve bucket-modulus mismatch fails loudly instead of silently missing rows") {
+    val corpus = clusteredCorpus(12)
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("__vid", "nbr_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bktguard").toString
+    Search.writeGraphIndex(corpus.select(col("vec_id"), col("embedding")),
+      col("vec_id"), col("embedding"), edges, s"$dir/idx",
+      entriesN = 4, buckets = 8)
+    val q = Seq(Tuple1(Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))).toDF("qv")
+    // matching modulus serves; a different one is the silent-wrong-results
+    // config the persisted meta exists to reject
+    assert(Search.graphSearchIndexed(spark, s"$dir/idx", q,
+      k = 3, beam = 4, hops = 2, buckets = 8).count() > 0)
+    val e = intercept[IllegalArgumentException] {
+      Search.graphSearchIndexed(spark, s"$dir/idx", q,
+        k = 3, beam = 4, hops = 2, buckets = 4)
+    }
+    assert(e.getMessage.contains("buckets=8"))
+    intercept[IllegalArgumentException] {
+      Search.appendToGraphIndex(Seq((99L, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+        .toDF("id", "vec"), col("id"), col("vec"), s"$dir/idx",
+        linkK = 2, buckets = 16)
+    }
+  }
+
   test("graph takedown: deleted relay nodes REROUTE the walk (reachability, not just filtering); entry deletion shrinks the frozen ring; compaction + crash injection") {
     def md5hex(x: String): String =
       java.security.MessageDigest.getInstance("MD5")
