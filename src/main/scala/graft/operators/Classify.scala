@@ -1,0 +1,307 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions.{shingles, tokens}
+
+/** Model-based data selection — the two standard ML-driven curation
+  * stages of an LLM training-data pipeline, beyond the heuristic gates
+  * in [[Curation]]/[[Pipelines]]:
+  *
+  *  - '''Quality classification''' ([[qualityNb]]): a multinomial
+  *    Naive-Bayes token model trained on a weakly-labeled split and
+  *    applied to every document — the distributed shape of
+  *    fastText-style quality filters (as used by CCNet / DCLM /
+  *    FineWeb-Edu): linear bag-of-words scoring, which NB is.
+  *  - '''Importance resampling''' ([[dsirSelect]]): DSIR (Xie et al.,
+  *    NeurIPS 2023) — hashed-n-gram importance weights between a target
+  *    and the raw distribution, Gumbel-top-k selection.
+  *
+  * Both are END-TO-END relational: training IS an aggregation (class ×
+  * token counts), scoring IS a join + sum, so the whole train→apply
+  * lineage runs as one Catalyst plan — no driver-side model state, no
+  * UDFs — and replays exactly in the DuckDB oracle.
+  *
+  * Determinism discipline: every per-document score is a sum of
+  * FIXED-POINT log-ratios (`round(llr · 10⁶)` as long). Integer sums are
+  * associative/commutative, so the result is independent of partitioning
+  * and aggregation order — bit-exact across Spark plan changes AND
+  * against the oracle — where a double sum would drift per run. The
+  * model's smoothed log-ratios live at 1e-6 resolution, far below any
+  * decision margin that matters.
+  *
+  * Scale: token/bucket count tables are vocabulary-sized (≪ corpus);
+  * the score join shuffles on the term key and AQE broadcast-converts
+  * it when the model fits — at 100 TB a 100M-term model stays a
+  * shuffle join, everything else is map-side. No driver collect
+  * anywhere.
+  */
+object Classify {
+
+  /** Deterministic holdout membership: first hex char of md5(id) in
+    * 0..7 → the stable "train half". Membership is a pure function of
+    * the document id, so it survives corpus growth, repartitioning, and
+    * re-runs — the property a PRNG split lacks (SURVEY §7.4). */
+  private[operators] def isTrain(id: Column): Column =
+    substring(md5(id.cast("string")), 1, 1) < "8"
+
+  /** round(x · 10⁶) as long — the fixed-point quantizer shared by every
+    * score path in this file (and the oracle's
+    * `CAST(round(x * 1000000) AS BIGINT)`). */
+  private def fx(c: Column): Column = round(c * lit(1e6)).cast("long")
+
+  // --- multinomial Naive Bayes --------------------------------------------
+
+  /** Train: per-term fixed-point log-likelihood ratios with Laplace
+    * add-1 smoothing, plus the model scalars (unseen-term ratio, class
+    * prior) as a one-row frame. `isPos` is the weak label (heuristic
+    * labels → generalizing classifier, the standard bootstrap).
+    *
+    * Returns (llr: (term, llr_fx), scalars: (__ufx, __pfx)). */
+  def nbModel(train: DataFrame, text: Column, isPos: Column)
+      : (DataFrame, DataFrame) = {
+    val tok = train.select(isPos.as("__pos"), explode(tokens(text)).as("term"))
+    val counts = tok.groupBy("term").agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("__cp"),
+      sum(when(!col("__pos"), 1L).otherwise(0L)).as("__cn"))
+    val docsN = train.agg(
+      sum(when(isPos, 1L).otherwise(0L)).as("__np"),
+      sum(when(!isPos, 1L).otherwise(0L)).as("__nn"))
+    // totals: class token masses + vocabulary size V (distinct train
+    // terms) — the smoothing denominators
+    val totals = counts
+      .agg(sum("__cp").as("__tp"), sum("__cn").as("__tn"),
+        count(lit(1)).as("__v"))
+      .crossJoin(docsN)
+    def smoothed(c: Column, t: Column): Column =
+      log((c + lit(1L)).cast("double") / (t + col("__v")).cast("double"))
+    val llr = counts.crossJoin(broadcast(totals)).select(col("term"),
+      fx(smoothed(col("__cp"), col("__tp"))
+        - smoothed(col("__cn"), col("__tn"))).as("llr_fx"))
+    val scalars = totals.select(
+      fx(log(lit(1.0) / (col("__tp") + col("__v")).cast("double"))
+        - log(lit(1.0) / (col("__tn") + col("__v")).cast("double"))).as("__ufx"),
+      fx(log(col("__np").cast("double"))
+        - log(col("__nn").cast("double"))).as("__pfx"))
+    (llr, scalars)
+  }
+
+  /** Apply: per-document margin = prior + Σ llr(term) over the token
+    * MULTISET (multiplicity counts, as multinomial NB demands); terms
+    * outside the train vocabulary score the smoothed-unseen constant.
+    * One explode + one term-keyed join + one integer-sum aggregate. */
+  def nbScore(docs: DataFrame, id: Column, text: Column,
+      llr: DataFrame, scalars: DataFrame): DataFrame =
+    docs.select(id.as("doc_id"), explode(tokens(text)).as("term"))
+      .join(llr, Seq("term"), "left") // AQE broadcast-converts small models
+      .crossJoin(broadcast(scalars))
+      .groupBy("doc_id")
+      .agg((sum(coalesce(col("llr_fx"), col("__ufx"))) + max(col("__pfx")))
+          .as("__mfx"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("__mfx").cast("double") / lit(1e6)).as("nb_margin"),
+        (col("__mfx") > 0L).as("pred_pos"))
+
+  /** Named query: train on the md5-half with `lang = 'en'` as the weak
+    * positive label, score EVERY document (train rows included — the
+    * filter consumes the margin, not the split). */
+  def qualityNbQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (llr, scalars) = nbModel(docs.filter(isTrain(col("doc_id"))),
+      col("text"), col("lang") === "en")
+    nbScore(docs, col("doc_id"), col("text"), llr, scalars)
+      .orderBy("doc_id")
+  }
+
+  /** Named query: model inspection — the 20 terms with the largest
+    * |llr| (the classifier's most decisive features either way),
+    * deterministic tie-break on the term. */
+  def qualityNbModelQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (llr, _) = nbModel(docs.filter(isTrain(col("doc_id"))),
+      col("text"), col("lang") === "en")
+    llr.select(col("term"), col("llr_fx"),
+        (col("llr_fx").cast("double") / lit(1e6)).as("llr"))
+      .orderBy(abs(col("llr_fx")).desc, col("term").asc)
+      .limit(20)
+  }
+
+  // --- DSIR importance resampling ------------------------------------------
+
+  /** DSIR (Data Selection via Importance Resampling): estimate hashed
+    * n-gram bag-of-buckets distributions for the TARGET subset and the
+    * RAW corpus, weight each document by its log importance ratio
+    * Σ ln(p_target(bucket)/p_raw(bucket)), and Gumbel-top-k select — the
+    * exp(log w)-proportional sample without normalizing constants, made
+    * deterministic by drawing the Gumbel noise from the document-id
+    * hash (same md5-uniform every sampler here uses).
+    *
+    * Features are unigrams ∪ bigrams hashed into `buckets` buckets
+    * (the paper's hashed n-gram reduction): model size is O(buckets),
+    * so both distributions broadcast no matter the corpus size. */
+  def dsirSelect(docs: DataFrame, id: Column, text: Column,
+      isTarget: Column, buckets: Int = 256, n: Int = 100): DataFrame = {
+    require(buckets >= 2, s"dsirSelect: buckets >= 2, got $buckets")
+    require(n >= 1, s"dsirSelect: n >= 1, got $n")
+    val toks = tokens(text)
+    val gb = docs
+      .select(id.as("doc_id"), isTarget.as("__tgt"),
+        explode(concat(toks, shingles(toks, 2))).as("__g"))
+      .withColumn("__b",
+        conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long")
+          % lit(buckets.toLong))
+    val raw = gb.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val tgt = gb.filter(col("__tgt")).groupBy("__b")
+      .agg(count(lit(1)).as("__ct"))
+    val tots = gb.agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tt"),
+      count(lit(1)).as("__tr"))
+    // per-bucket fixed-point log ratio, add-1 smoothed over all buckets;
+    // raw covers every bucket any document touches, so the left join's
+    // null side is only the target
+    val lr = raw.join(tgt, Seq("__b"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("__b"),
+        fx(log((coalesce(col("__ct"), lit(0L)) + lit(1L)).cast("double")
+            / (col("__tt") + lit(buckets.toLong)).cast("double"))
+          - log((col("__cr") + lit(1L)).cast("double")
+            / (col("__tr") + lit(buckets.toLong)).cast("double"))).as("__lrfx"))
+    val dw = gb.join(lr, Seq("__b")) // bucket table is tiny — AQE broadcasts
+      .groupBy("doc_id").agg(sum("__lrfx").as("__wfx"))
+    // Gumbel key: u ∈ (0,1) from the id hash (+0.5 keeps u off both
+    // endpoints exactly), g = -ln(-ln(u))
+    val u = (conv(substring(md5(concat(lit("g"), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val scored = dw.withColumn("score",
+      round(col("__wfx").cast("double") / lit(1e6) + (-log(-log(u))), 6))
+    // top-n is orderBy+limit (TakeOrderedAndProject — per-partition
+    // heaps, no global sort); the rank window then runs over ≤ n rows
+    val top = scored.orderBy(desc("score"), asc("doc_id")).limit(n)
+    import org.apache.spark.sql.expressions.Window
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
+      .select("doc_id", "score", "rank")
+  }
+
+  /** Named query: resample toward the English subset as the target
+    * distribution (the reference curation targets a "clean" slice; any
+    * predicate works), 256 hashed-n-gram buckets, keep 100. */
+  def curateDsirQ(s: SparkSession, d: String): DataFrame =
+    dsirSelect(Tables.documents(s, d), col("doc_id"), col("text"),
+      col("lang") === "en")
+      .orderBy("rank")
+
+  // --- deterministic holdout split -----------------------------------------
+
+  /** Named query: 80/10/10 train/val/test assignment from the id hash —
+    * stateless, shuffle-free, and STABLE: a document's split never
+    * changes as the corpus grows (the property a rank- or PRNG-based
+    * split lacks), so no eval example ever migrates into training. */
+  def holdoutSplit(id: Column): Column = {
+    val u = conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+  }
+
+  def splitHoldoutQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        holdoutSplit(col("doc_id")).as("split"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_nb" -> qualityNbQ,
+    "quality_nb_model" -> qualityNbModelQ,
+    "curate_dsir" -> curateDsirQ,
+    "split_holdout" -> splitHoldoutQ)
+
+  private val toksSql = "string_split(lower(text), ' ')"
+
+  /** The NB lineage as shared CTEs: split → class×token counts →
+    * smoothed fixed-point llr → per-doc integer sum. */
+  private def nbSql = s"""
+    WITH t AS (SELECT doc_id, lang, $toksSql AS toks,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS tr
+         FROM documents),
+    tok AS (SELECT doc_id, lang = 'en' AS pos, tr, unnest(toks) AS term FROM t),
+    cnt AS (SELECT term,
+            sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+            sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cn
+          FROM tok WHERE tr GROUP BY term),
+    tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM cnt),
+    nd AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+            sum(CASE WHEN NOT (lang = 'en') THEN 1 ELSE 0 END) AS nn
+          FROM t WHERE tr),
+    llr AS (SELECT term,
+            CAST(round((ln(CAST(cp + 1 AS DOUBLE) / CAST(tp + v AS DOUBLE))
+              - ln(CAST(cn + 1 AS DOUBLE) / CAST(tn + v AS DOUBLE)))
+              * 1000000) AS BIGINT) AS llr_fx
+          FROM cnt CROSS JOIN tot),
+    sc AS (SELECT
+            CAST(round((ln(1.0 / CAST(tp + v AS DOUBLE))
+              - ln(1.0 / CAST(tn + v AS DOUBLE))) * 1000000) AS BIGINT) AS ufx,
+            CAST(round((ln(CAST(np AS DOUBLE)) - ln(CAST(nn AS DOUBLE)))
+              * 1000000) AS BIGINT) AS pfx
+          FROM tot CROSS JOIN nd)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "quality_nb" -> s"""$nbSql,
+      ds AS (SELECT doc_id, unnest(toks) AS term FROM t),
+      agg AS (SELECT doc_id,
+              CAST(sum(COALESCE(llr_fx, ufx)) + max(pfx) AS BIGINT) AS mfx,
+              count(*) AS n_tokens
+            FROM ds LEFT JOIN llr USING (term) CROSS JOIN sc GROUP BY doc_id)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(mfx AS DOUBLE) / 1000000.0 AS nb_margin,
+        mfx > 0 AS pred_pos
+      FROM agg ORDER BY doc_id""",
+    "quality_nb_model" -> s"""$nbSql
+      SELECT term, llr_fx, CAST(llr_fx AS DOUBLE) / 1000000.0 AS llr
+      FROM llr ORDER BY abs(llr_fx) DESC, term LIMIT 20""",
+    "curate_dsir" -> s"""
+      WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+      g0 AS (SELECT doc_id, lang,
+             list_concat(toks, ${Curation.shinglesSql(2)}) AS grams FROM t),
+      gb AS (SELECT doc_id, lang, ${Curation.hexUSql} % 256 AS b
+            FROM (SELECT doc_id, lang, substr(md5(g), 1, 8) AS h
+                  FROM (SELECT doc_id, lang, unnest(grams) AS g FROM g0))),
+      raw AS (SELECT b, count(*) AS cr FROM gb GROUP BY b),
+      tgt AS (SELECT b, count(*) AS ct FROM gb WHERE lang = 'en' GROUP BY b),
+      tots AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt,
+              count(*) AS tr2 FROM gb),
+      lr AS (SELECT raw.b,
+             CAST(round((ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                 / CAST(tt + 256 AS DOUBLE))
+               - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr2 + 256 AS DOUBLE)))
+               * 1000000) AS BIGINT) AS lrfx
+           FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tots),
+      dw AS (SELECT doc_id, CAST(sum(lrfx) AS BIGINT) AS wfx
+            FROM gb JOIN lr ON gb.b = lr.b GROUP BY doc_id),
+      gu AS (SELECT doc_id, ($hexUSqlG + 0.5) / 4294967296.0 AS u
+            FROM (SELECT doc_id,
+                    substr(md5('g' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+                  FROM t)),
+      fin AS (SELECT dw.doc_id,
+             round(CAST(wfx AS DOUBLE) / 1000000.0 + (-ln(-ln(u))), 6) AS score
+           FROM dw JOIN gu ON dw.doc_id = gu.doc_id)
+      SELECT doc_id, score,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      FROM fin ORDER BY score DESC, doc_id LIMIT 100""",
+    "split_holdout" -> s"""
+      WITH u AS (SELECT doc_id, lang,
+             CAST(${Curation.hexUSql} AS DOUBLE) / 4294967296.0 AS uu
+           FROM (SELECT doc_id, lang,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+                 FROM documents))
+      SELECT doc_id, lang,
+        CASE WHEN uu < 0.8 THEN 'train' WHEN uu < 0.9 THEN 'val'
+          ELSE 'test' END AS split
+      FROM u ORDER BY doc_id""")
+
+  /** [[Curation.hexUSql]] emits an un-parenthesized sum-of-terms; this
+    * alias keeps the `(expr + 0.5)` composition readable above. */
+  private def hexUSqlG = s"CAST(${Curation.hexUSql} AS DOUBLE)"
+}

@@ -305,8 +305,10 @@ object Curation {
   def packSequencesIncr(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
-    val cut = docs.agg(expr("max(doc_id) * 4 DIV 5").as("c"))
-      .head().getLong(0)
+    val cutRow = docs.agg(expr("max(doc_id) * 4 DIV 5").as("c")).head()
+    // empty corpus → no increment (same empty-corpus guard class as
+    // mineHardNegatives' isNullAt check)
+    val cut = if (cutRow.isNullAt(0)) -1L else cutRow.getLong(0)
     val wm = docs.filter(col("doc_id") <= cut)
       .groupBy(col("source").as("__pp"))
       .agg(sum("n_tokens").as("__wm"))
@@ -470,7 +472,7 @@ object Curation {
 
   /** DuckDB 5-shingle expression mirroring [[TextFunctions.shingles]]
     * (docs shorter than n collapse to one whole-text shingle). */
-  private def shinglesSql(n: Int) =
+  private[operators] def shinglesSql(n: Int) =
     s"""CASE WHEN len(toks) < $n THEN [array_to_string(toks, ' ')]
         ELSE list_transform(range(1, len(toks) - ${n - 2}),
           i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')) END"""
@@ -589,7 +591,7 @@ object Curation {
            COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
            FROM t)
-         SELECT doc_id, source, n_tokens, cum_before
+         SELECT doc_id, source, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
          FROM c WHERE cum_before < 1000 ORDER BY doc_id""",
     "mix_source_cap" ->
       """SELECT doc_id, source, rn FROM (

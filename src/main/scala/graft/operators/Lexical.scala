@@ -271,9 +271,13 @@ object Lexical {
   /** Synonym expansion (ES's query-time synonym token filter): each
     * query term expands to itself plus its synonym-set members — kept
     * only when they EXIST in the vocabulary (a synonym with no postings
-    * scores nothing anyway), capped like the other flavors. ES's synonym
-    * graph scores alternatives at one position — best-match, not sum —
-    * which is exactly [[bm25BestExpansionScores]]'s rule. */
+    * scores nothing anyway). The IDENTITY pair is always retained (ES's
+    * synonym filter never drops the original token); only the
+    * synonym-derived candidates go through the df-ranked cap — a term
+    * with `maxExpansions` higher-df synonyms must not evict ITSELF.
+    * ES's synonym graph scores alternatives at one position —
+    * best-match, not sum — which is exactly
+    * [[bm25BestExpansionScores]]'s rule. */
   def synonymExpansions(vocab: DataFrame, rawTerms: Seq[String],
       synonyms: Map[String, Seq[String]],
       maxExpansions: Int = MaxFuzzyExpansions): DataFrame = {
@@ -288,10 +292,10 @@ object Lexical {
       (t +: analyze(synonyms.getOrElse(t, Nil)))
         .distinct.map(v => (t, v))
     }
-    capExpansions(
-      pairs.toDF("q_term", "term").join(vocab, "term")
-        .select("q_term", "term", "df"),
-      maxExpansions)
+    val cands = pairs.toDF("q_term", "term").join(vocab, "term")
+      .select("q_term", "term", "df")
+    capExpansions(cands.filter(col("q_term") =!= col("term")), maxExpansions)
+      .unionByName(cands.filter(col("q_term") === col("term")))
   }
 
   def bm25SynonymScores(s: SparkSession, d: String, rawTerms: Seq[String],
@@ -1082,9 +1086,14 @@ object Lexical {
     "q6_rrf_hybrid" -> rrfHybrid,
     "q7_weighted_hybrid" -> ((s: SparkSession, d: String) => weightedHybrid(s, d)))
 
-  private def termIn = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+  /** SQL string literal with embedded single quotes escaped — the
+    * expansion helpers take arbitrary Seq[String], so a term containing
+    * a quote must not break the oracle replay. */
+  private def sqlLit(t: String): String = "'" + t.replace("'", "''") + "'"
+
+  private def termIn = QueryTerms.map(sqlLit).mkString("(", ", ", ")")
   private def pivotSum = QueryTerms
-    .map(t => s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0)")
+    .map(t => s"coalesce(max(CASE WHEN term = ${sqlLit(t)} THEN s END), 0.0)")
     .mkString(" + ")
 
   /** The BM25 pipeline as oracle SQL (same fixed-order score sum). */
@@ -1107,10 +1116,11 @@ object Lexical {
     * (the Spark side's deletion-neighborhood / startsWith candidates are
     * proven equivalent), then both sides compute the same capped rank,
     * postings, and fixed-order best-expansion sum. */
-  private def expansionSql(labels: Seq[String], matchCond: String): String = {
-    val qIn = labels.map(t => s"'$t'").mkString("[", ", ", "]")
+  private def expansionSql(labels: Seq[String], matchCond: String,
+      keepIdentity: Boolean = false): String = {
+    val qIn = labels.map(sqlLit).mkString("[", ", ", "]")
     val qSum = labels
-      .map(t => s"coalesce(max(CASE WHEN q_term = '$t' THEN s END), 0.0)")
+      .map(t => s"coalesce(max(CASE WHEN q_term = ${sqlLit(t)} THEN s END), 0.0)")
       .mkString(" + ")
     s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
        vocab AS (SELECT term, CAST(count(*) AS DOUBLE) AS vdf
@@ -1119,7 +1129,12 @@ object Lexical {
        qt AS (SELECT unnest($qIn) AS q_term),
        exp AS (SELECT q_term, term FROM (
            SELECT q.q_term, v.term,
-             row_number() OVER (PARTITION BY q.q_term
+             row_number() OVER (PARTITION BY q.q_term${
+               // identity retention: the (t, t) pair ranks in its own
+               // partition (always rn=1 ≤ cap); only synonym-derived
+               // candidates compete for the df-ranked slots — mirrors
+               // synonymExpansions' identity/cap split exactly
+               if (keepIdentity) ", (v.term = q.q_term)" else ""}
                ORDER BY v.vdf DESC, v.term) AS rn
            FROM qt q JOIN vocab v ON $matchCond)
          WHERE rn <= $MaxFuzzyExpansions),
@@ -1148,10 +1163,10 @@ object Lexical {
   private def synonymSql: String = {
     val cond = SynonymTerms.map { t =>
       val set = (t +: Synonyms.getOrElse(t, Nil)).distinct
-        .map(x => s"'$x'").mkString("(", ", ", ")")
-      s"(q.q_term = '$t' AND v.term IN $set)"
+        .map(sqlLit).mkString("(", ", ", ")")
+      s"(q.q_term = ${sqlLit(t)} AND v.term IN $set)"
     }.mkString(" OR ")
-    expansionSql(SynonymTerms, cond)
+    expansionSql(SynonymTerms, cond, keepIdentity = true)
   }
 
   /** MLT oracle: tf·idf term selection from the source doc replayed,
@@ -1201,7 +1216,7 @@ object Lexical {
     // reduceLeft order
     "search_dismax" -> {
       val comps = QueryTerms
-        .map(t => s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0)")
+        .map(t => s"coalesce(max(CASE WHEN term = ${sqlLit(t)} THEN s END), 0.0)")
       val best = comps.tail.foldLeft(comps.head)((a, b) => s"greatest($a, $b)")
       val total = comps.mkString(" + ")
       s"""WITH ${bm25Sql()}
@@ -1226,7 +1241,7 @@ object Lexical {
     // start..start+6 with start = max(first-3, 1) — the DuckDB end bound
     // must be start+6, NOT first+3 (they differ when first <= 3)
     "search_highlight" -> {
-      val qList = QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+      val qList = QueryTerms.map(sqlLit).mkString("[", ", ", "]")
       s"""WITH ${bm25Sql()},
          top AS (SELECT doc_id, score FROM lexs ORDER BY score DESC, doc_id LIMIT 10),
          m AS (SELECT t.doc_id, top.score, t.toks,
@@ -1268,14 +1283,14 @@ object Lexical {
          SELECT doc_id, n_occ FROM m WHERE n_occ > 0 ORDER BY doc_id""",
     "search_bool" -> {
       val must = Seq("hash"); val should = Seq("vector", "merge"); val not = Seq("slow")
-      val allIn = (must ++ should ++ not).map(t => s"'$t'").mkString("(", ", ", ")")
+      val allIn = (must ++ should ++ not).map(sqlLit).mkString("(", ", ", ")")
       val sum = (must ++ should)
-        .map(t => s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0)")
+        .map(t => s"coalesce(max(CASE WHEN term = ${sqlLit(t)} THEN s END), 0.0)")
         .mkString(" + ")
       val mustF = must.map(t =>
-        s"max(CASE WHEN term = '$t' THEN 1 ELSE 0 END) = 1").mkString(" AND ")
+        s"max(CASE WHEN term = ${sqlLit(t)} THEN 1 ELSE 0 END) = 1").mkString(" AND ")
       val notF = not.map(t =>
-        s"max(CASE WHEN term = '$t' THEN 1 ELSE 0 END) = 0").mkString(" AND ")
+        s"max(CASE WHEN term = ${sqlLit(t)} THEN 1 ELSE 0 END) = 0").mkString(" AND ")
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
          stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl FROM t),
          tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, term,
@@ -1295,7 +1310,7 @@ object Lexical {
       // adjacency check straight off the token array (1-based lists):
       // i is a candidate start, term j must sit at i+j
       val adj = Phrase.zipWithIndex
-        .map { case (t, j) => s"toks[i + $j] = '$t'" }.mkString(" AND ")
+        .map { case (t, j) => s"toks[i + $j] = ${sqlLit(t)}" }.mkString(" AND ")
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
          m AS (SELECT doc_id,
            CAST(len(list_filter(range(1, len(toks) - ${Phrase.size - 2}),

@@ -162,7 +162,9 @@ object Multimodal {
         encoderFactory = Some(() =>
           new graft.sources.MultimodalStub.ByteHistogramEncoder(16, normalize = false)))
       .toDF()
-      .select((col("doc_id") / 1000000).cast("long").as("doc_id"),
+      // exact integer decode — `div` keeps the key arithmetic out of
+      // floating point entirely (no coupling to the guard's 2^53 margin)
+      .select(expr("doc_id div 1000000").as("doc_id"),
         (col("doc_id") % 1000000).as("frame_idx"), col("feature"))
     val w = Window.partitionBy("doc_id").orderBy("frame_idx")
     perFrame

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Model-based selection on hand-built corpora with hand-computable
+  * models: the NB fixed-point arithmetic is checked EXACTLY (the whole
+  * point of quantizing log-ratios is that the answer is one specific
+  * integer), DSIR ordering against a constructed target skew, and the
+  * holdout split's growth-stability contract. */
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  // ln quantized the way Classify.fx does
+  private def fx(x: Double): Long = math.round(x * 1e6)
+
+  test("nbModel/nbScore: exact fixed-point margins on a 4-doc corpus") {
+    // pos docs: {good nice} ×2; neg docs: {bad ugly} ×2
+    // tp = tn = 4, V = 4, priors equal → prior term 0
+    // llr(good) = ln(3/8) − ln(1/8) = ln 3; unseen = 0 by symmetry
+    val docs = Seq(
+      (1L, "good nice", true), (2L, "good nice", true),
+      (3L, "bad ugly", false), (4L, "bad ugly", false)
+    ).toDF("id", "text", "pos")
+    val (llr, scalars) = Classify.nbModel(docs, $"text", $"pos")
+    val m = llr.as[(String, Long)].collect().toMap
+    assert(m("good") === fx(math.log(3.0 / 8.0) - math.log(1.0 / 8.0)))
+    assert(m("bad") === -m("good")) // symmetric corpus
+    val (ufx, pfx) = scalars.as[(Long, Long)].head()
+    assert(ufx === 0L && pfx === 0L)
+
+    val score = Classify.nbScore(
+      Seq((10L, "good good"), (11L, "ugly zzz"), (12L, "zzz zzz"))
+        .toDF("id", "text"),
+      $"id", $"text", llr, scalars)
+      .select("doc_id", "n_tokens", "nb_margin", "pred_pos")
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(m("good") === fx(math.log(3.0)))
+    assert(score(10L) === ((10L, 2L, 2 * m("good") / 1e6, true)))
+    // one neg token + one unseen (scores ufx = 0) → pure ugly margin
+    assert(score(11L) === ((11L, 2L, -m("good") / 1e6, false)))
+    // all-unseen doc sits exactly at the prior (= 0 here), pred false
+    assert(score(12L) === ((12L, 2L, 0.0, false)))
+  }
+
+  test("nbModel: asymmetric prior and unseen constant are the smoothed formulas") {
+    // 2 pos docs (3 tokens total), 1 neg doc (1 token) → V = 3
+    val docs = Seq(
+      (1L, "a b", true), (2L, "a", true), (3L, "c", false)
+    ).toDF("id", "text", "pos")
+    val (_, scalars) = Classify.nbModel(docs, $"text", $"pos")
+    val (ufx, pfx) = scalars.as[(Long, Long)].head()
+    assert(ufx === fx(math.log(1.0 / (3 + 3)) - math.log(1.0 / (1 + 3))))
+    assert(pfx === fx(math.log(2.0) - math.log(1.0)))
+  }
+
+  test("nbScore is partitioning-invariant (integer-sum determinism)") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"tok${i % 7} tok${i % 3} tok${i % 11} filler$i"))
+      .toDF("id", "text")
+    val (llr, scalars) =
+      Classify.nbModel(docs, $"text", col("id") % 2 === 0)
+    def run(parts: Int) =
+      Classify.nbScore(docs.repartition(parts), $"id", $"text", llr, scalars)
+        .select("doc_id", "nb_margin").as[(Long, Double)].collect().toMap
+    assert(run(1) === run(13))
+  }
+
+  test("qualityNb on testdata separates the weak label better than chance") {
+    val d = "/root/testdata/sf0.001"
+    val scored = Classify.qualityNbQ(spark, d)
+      .join(graft.Tables.documents(spark, d), "doc_id")
+      .select($"pred_pos", ($"lang" === "en").as("is_en"))
+      .as[(Boolean, Boolean)].collect()
+    val acc = scored.count(r => r._1 == r._2).toDouble / scored.length
+    assert(acc > 0.6, s"NB accuracy vs weak label: $acc") // chance ≈ 0.5
+  }
+
+  test("dsirSelect ranks target-like documents above off-target ones") {
+    // target docs are saturated with 'alpha beta' grams; junk docs share
+    // nothing with the target distribution — importance log-ratios must
+    // dominate the O(1) Gumbel noise given this much mass
+    val target = (0L until 20L).map(i => (i, ("alpha beta " * 10).trim, true))
+    val like = (100L until 110L).map(i => (i, ("alpha beta " * 10).trim, false))
+    val junk = (200L until 210L).map(i =>
+      (i, Seq.fill(20)(s"junk${i}x").mkString(" "), false))
+    val docs = (target ++ like ++ junk).toDF("id", "text", "tgt")
+    val sel = Classify.dsirSelect(docs, $"id", $"text", $"tgt", n = 25)
+      .select("doc_id").as[Long].collect().toSet
+    // all 25 slots go to target-distribution docs (30 exist), none to junk
+    assert(sel.forall(_ < 200L), s"junk selected: ${sel.filter(_ >= 200L)}")
+    assert(like.map(_._1).count(sel) > 0) // target-LIKE non-target docs score in
+  }
+
+  test("dsirSelect: ranks are 1..n and deterministic across runs") {
+    val docs = (0L until 50L)
+      .map(i => (i, s"w${i % 5} w${i % 9} w${i % 2}")).toDF("id", "text")
+    def run() = Classify.dsirSelect(docs, $"id", $"text",
+        col("id") % 3 === 0, n = 10)
+      .select("doc_id", "rank").as[(Long, Long)].collect().toSeq
+    val a = run()
+    assert(a.map(_._2).sorted === (1L to 10L))
+    assert(a === run())
+  }
+
+  test("holdoutSplit is stable under corpus growth (membership is id-pure)") {
+    val small = (0L until 100L).toDF("id")
+      .select($"id", Classify.holdoutSplit($"id").as("s"))
+    val grown = (0L until 1000L).toDF("id")
+      .select($"id", Classify.holdoutSplit($"id").as("s2"))
+    val moved = small.join(grown, "id").filter($"s" =!= $"s2").count()
+    assert(moved === 0L)
+    val frac = grown.filter($"s2" === "train").count() / 1000.0
+    assert(frac > 0.72 && frac < 0.88, s"train fraction: $frac")
+  }
+}
