@@ -563,6 +563,86 @@ case class PiiScrubExpr(child: Expression, emailRe: String, ipRe: String,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Hashed-n-gram feature buckets for DSIR-style importance weighting:
+  * per document, the md5 bucket id of every unigram AND every 2-shingle,
+  * in one pass — bucket = (first 4 md5-digest bytes as uint32) mod
+  * `buckets`, BIT-IDENTICAL to the SQL formulation
+  * `conv(substring(md5(g), 1, 8), 16, 10) % buckets` the DuckDB oracle
+  * replays (the hex prefix of a digest IS its leading bytes). The HOF
+  * version (`explode(concat(toks, shingles(toks, 2)))` + per-gram
+  * `md5`/`conv` Columns) built every bigram STRING through interpreted
+  * `transform`/`slice`/`concat_ws` lambdas at ~µs each — ~2 s of the
+  * benched query at sf0.1, and the dominant per-row cost of a 100 TB
+  * featurization scan. Here the bigram digest is fed token-bytes + ' '
+  * + token-bytes directly (no intermediate string), ~40 ns/gram.
+  *
+  * Parity rules mirrored from [[TextFunctions.shingles]]: fewer than 2
+  * tokens → the single whole-text shingle (so a 1-token doc emits its
+  * token twice: unigram + degenerate bigram); null elements are skipped
+  * in joins and as unigrams. */
+case class GramBucketsExpr(child: Expression, buckets: Int) extends TokenArrayExpression {
+  require(buckets >= 2, "gram bucket count must be >= 2")
+  override def prettyName: String = "graft_gram_buckets"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val md =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private def bucketOf(d: java.security.MessageDigest): Long = {
+    val dig = d.digest()
+    val u = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+      ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+    u % buckets
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val d = md.get()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](2 * n + 1)
+    var i = 0
+    while (i < n) { // unigrams
+      if (!arr.isNullAt(i)) {
+        d.reset()
+        d.update(arr.getUTF8String(i).getBytes)
+        out += bucketOf(d)
+      }
+      i += 1
+    }
+    if (n < 2) { // degenerate whole-text shingle (concat_ws of ≤1 token)
+      d.reset()
+      i = 0
+      var first = true
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          if (!first) d.update(' '.toByte)
+          d.update(arr.getUTF8String(i).getBytes)
+          first = false
+        }
+        i += 1
+      }
+      out += bucketOf(d)
+    } else {
+      i = 0
+      while (i < n - 1) { // 2-shingles, concat_ws(" ", slice) semantics
+        d.reset()
+        val aNull = arr.isNullAt(i); val bNull = arr.isNullAt(i + 1)
+        if (!aNull) d.update(arr.getUTF8String(i).getBytes)
+        if (!aNull && !bNull) d.update(' '.toByte)
+        if (!bNull) d.update(arr.getUTF8String(i + 1).getBytes)
+        out += bucketOf(d)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   private def litStr(e: Expression): String =
     e.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
@@ -596,6 +676,9 @@ object TextExpressions {
           es(2).eval().asInstanceOf[Number].intValue()), "built-in")
       reg.createOrReplaceTempFunction("graft_intersect_count",
         es => ArrayLongIntersectCountExpr(es(0), es(1)), "built-in")
+      reg.createOrReplaceTempFunction("graft_gram_buckets",
+        es => GramBucketsExpr(es(0),
+          es(1).eval().asInstanceOf[Number].intValue()), "built-in")
     }
   }
 
@@ -623,6 +706,9 @@ object TextExpressions {
   }
   def shingleHashes(spark: SparkSession, toks: Column, n: Int): Column = {
     register(spark); call_function("graft_shingle_hashes", toks, lit(n))
+  }
+  def gramBuckets(spark: SparkSession, toks: Column, buckets: Int): Column = {
+    register(spark); call_function("graft_gram_buckets", toks, lit(buckets))
   }
   def hyperplaneSig(spark: SparkSession, vec: Column, nbits: Int): Column = {
     register(spark); call_function("graft_hyperplane_sig", vec, lit(nbits))

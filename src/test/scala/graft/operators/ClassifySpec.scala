@@ -104,6 +104,26 @@ class ClassifySpec extends SparkSpec {
     assert(a === run())
   }
 
+  test("gramBuckets ≡ HOF shingles+md5+conv formulation (bucket parity)") {
+    import graft.functions.TextFunctions.{shingles, tokens}
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "solo"), (3L, ""), (4L, "x y"),
+      (5L, (0 until 40).map(i => s"w$i").mkString(" "))
+    ).toDF("id", "text")
+    val toks = tokens($"text")
+    val hof = docs.select($"id",
+        explode(concat(toks, shingles(toks, 2))).as("g"))
+      .select($"id",
+        (conv(substring(md5($"g"), 1, 8), 16, 10).cast("long") % 256L).as("b"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val fused = docs.select($"id",
+        explode(graft.functions.TextExpressions
+          .gramBuckets(spark, toks, 256)).as("b"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(fused === hof)
+  }
+
   test("holdoutSplit is stable under corpus growth (membership is id-pure)") {
     val small = (0L until 100L).toDF("id")
       .select($"id", Classify.holdoutSplit($"id").as("s"))
