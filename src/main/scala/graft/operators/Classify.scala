@@ -62,6 +62,18 @@ object Classify {
     * Returns (llr: (term, llr_fx), scalars: (__ufx, __pfx)). */
   def nbModel(train: DataFrame, text: Column, isPos: Column)
       : (DataFrame, DataFrame) = {
+    val (counts, docsN) = nbCounts(train, text, isPos)
+    nbModelFromCounts(counts, docsN)
+  }
+
+  /** The model's SUFFICIENT STATISTICS: per-term class counts
+    * (term, __cp, __cn) and class doc counts (__np, __nn). Pure sums →
+    * ADDITIVE: counts of a union = per-key sums of per-part counts,
+    * which is what makes the model incrementally maintainable
+    * ([[nbCountsMerge]]) — the add-vs-train split costs nothing here
+    * because NB "training" IS aggregation. */
+  def nbCounts(train: DataFrame, text: Column, isPos: Column)
+      : (DataFrame, DataFrame) = {
     val tok = train.select(isPos.as("__pos"), explode(tokens(text)).as("term"))
     val counts = tok.groupBy("term").agg(
       sum(when(col("__pos"), 1L).otherwise(0L)).as("__cp"),
@@ -69,6 +81,31 @@ object Classify {
     val docsN = train.agg(
       sum(when(isPos, 1L).otherwise(0L)).as("__np"),
       sum(when(!isPos, 1L).otherwise(0L)).as("__nn"))
+    (counts, docsN)
+  }
+
+  /** Merge two count states (full outer on term; doc counts add) —
+    * exactly the merge a streaming ingest applies per micro-batch. */
+  def nbCountsMerge(a: (DataFrame, DataFrame), b: (DataFrame, DataFrame))
+      : (DataFrame, DataFrame) = {
+    def z(c: Column) = coalesce(c, lit(0L))
+    val counts = a._1.withColumnRenamed("__cp", "__ap")
+      .withColumnRenamed("__cn", "__an")
+      .join(b._1.withColumnRenamed("__cp", "__bp")
+        .withColumnRenamed("__cn", "__bn"), Seq("term"), "full_outer")
+      .select(col("term"), (z(col("__ap")) + z(col("__bp"))).as("__cp"),
+        (z(col("__an")) + z(col("__bn"))).as("__cn"))
+    val docsN = a._2.crossJoin(
+        b._2.withColumnRenamed("__np", "__np2").withColumnRenamed("__nn", "__nn2"))
+      .select((col("__np") + col("__np2")).as("__np"),
+        (col("__nn") + col("__nn2")).as("__nn"))
+    (counts, docsN)
+  }
+
+  /** Counts → smoothed fixed-point model (the deterministic "finalize"
+    * step, shared by fresh train and incremental refresh). */
+  def nbModelFromCounts(counts: DataFrame, docsN: DataFrame)
+      : (DataFrame, DataFrame) = {
     // totals: class token masses + vocabulary size V (distinct train
     // terms) — the smoothing denominators
     val totals = counts
@@ -127,6 +164,52 @@ object Classify {
         (col("llr_fx").cast("double") / lit(1e6)).as("llr"))
       .orderBy(abs(col("llr_fx")).desc, col("term").asc)
       .limit(20)
+  }
+
+  /** Named query: INCREMENTAL model refresh — the train half arrives in
+    * two batches (doc_id ≤ cut, then the rest); the increment's counts
+    * merge into the base state and the model finalizes from the merged
+    * counts. Scores must equal [[qualityNbQ]] bit for bit (it shares
+    * that query's oracle), which holds only if count-merge ≡ full
+    * retrain — the composition property a daily model-refresh job
+    * relies on (only the increment is ever tokenized again). */
+  def qualityNbIncrQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(isTrain(col("doc_id")))
+    val cutRow = docs.agg(expr("max(doc_id) * 4 DIV 5").as("c")).head()
+    val cut = if (cutRow.isNullAt(0)) -1L else cutRow.getLong(0)
+    val isPos = col("lang") === "en"
+    val base = nbCounts(train.filter(col("doc_id") <= cut), col("text"), isPos)
+    val incr = nbCounts(train.filter(col("doc_id") > cut), col("text"), isPos)
+    val (counts, docsN) = nbCountsMerge(base, incr)
+    val (llr, scalars) = nbModelFromCounts(counts, docsN)
+    nbScore(docs, col("doc_id"), col("text"), llr, scalars)
+      .orderBy("doc_id")
+  }
+
+  /** Named query: held-out evaluation — confusion counts + accuracy of
+    * the trained model on the NON-train half only (the split the model
+    * never saw). Integer counts ⇒ bit-exact oracle; the measured
+    * contract behind shipping the filter (same discipline as
+    * `ann_recall` for the ANN arms — a classifier row without an eval
+    * row is half a feature). */
+  def qualityNbEvalQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (llr, scalars) = nbModel(docs.filter(isTrain(col("doc_id"))),
+      col("text"), col("lang") === "en")
+    val held = docs.filter(!isTrain(col("doc_id")))
+    nbScore(held, col("doc_id"), col("text"), llr, scalars)
+      .join(held.select(col("doc_id"), (col("lang") === "en").as("__y")),
+        "doc_id")
+      .agg(
+        sum(when(col("pred_pos") && col("__y"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred_pos") && !col("__y"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred_pos") && !col("__y"), 1L).otherwise(0L)).as("tn"),
+        sum(when(!col("pred_pos") && col("__y"), 1L).otherwise(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"),
+        ((col("tp") + col("tn")).cast("double")
+          / (col("tp") + col("fp") + col("tn") + col("fn")).cast("double"))
+          .as("accuracy"))
   }
 
   // --- DSIR importance resampling ------------------------------------------
@@ -220,6 +303,8 @@ object Classify {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_nb" -> qualityNbQ,
     "quality_nb_model" -> qualityNbModelQ,
+    "quality_nb_incr" -> qualityNbIncrQ,
+    "quality_nb_eval" -> qualityNbEvalQ,
     "curate_dsir" -> curateDsirQ,
     "split_holdout" -> splitHoldoutQ)
 
@@ -266,6 +351,32 @@ object Classify {
     "quality_nb_model" -> s"""$nbSql
       SELECT term, llr_fx, CAST(llr_fx AS DOUBLE) / 1000000.0 AS llr
       FROM llr ORDER BY abs(llr_fx) DESC, term LIMIT 20""",
+    // count-merge ≡ full retrain: the incremental run must reproduce the
+    // FULL training replay exactly (this is quality_nb's oracle verbatim)
+    "quality_nb_incr" -> s"""$nbSql,
+      ds AS (SELECT doc_id, unnest(toks) AS term FROM t),
+      agg AS (SELECT doc_id,
+              CAST(sum(COALESCE(llr_fx, ufx)) + max(pfx) AS BIGINT) AS mfx,
+              count(*) AS n_tokens
+            FROM ds LEFT JOIN llr USING (term) CROSS JOIN sc GROUP BY doc_id)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(mfx AS DOUBLE) / 1000000.0 AS nb_margin,
+        mfx > 0 AS pred_pos
+      FROM agg ORDER BY doc_id""",
+    "quality_nb_eval" -> s"""$nbSql,
+      ds AS (SELECT doc_id, lang = 'en' AS y, unnest(toks) AS term
+             FROM t WHERE NOT tr),
+      agg AS (SELECT doc_id, max(y) AS y,
+              CAST(sum(COALESCE(llr_fx, ufx)) + max(pfx) AS BIGINT) AS mfx
+            FROM ds LEFT JOIN llr USING (term) CROSS JOIN sc GROUP BY doc_id)
+      SELECT
+        CAST(sum(CASE WHEN mfx > 0 AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN mfx > 0 AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN mfx <= 0 AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        CAST(sum(CASE WHEN mfx <= 0 AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(sum(CASE WHEN (mfx > 0) = y THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) AS accuracy
+      FROM agg""",
     "curate_dsir" -> s"""
       WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
       g0 AS (SELECT doc_id, lang,

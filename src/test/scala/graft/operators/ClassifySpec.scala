@@ -67,6 +67,23 @@ class ClassifySpec extends SparkSpec {
     assert(run(1) === run(13))
   }
 
+  test("nbCountsMerge ≡ retrain-from-scratch (count additivity)") {
+    val docs = (0L until 120L)
+      .map(i => (i, s"t${i % 13} t${i % 5} u$i", i % 3 == 0))
+      .toDF("id", "text", "pos")
+    val full = Classify.nbModel(docs, $"text", $"pos")
+    val merged = {
+      val a = Classify.nbCounts(docs.filter($"id" < 40), $"text", $"pos")
+      val b = Classify.nbCounts(docs.filter($"id" >= 40), $"text", $"pos")
+      val (c, n) = Classify.nbCountsMerge(a, b)
+      Classify.nbModelFromCounts(c, n)
+    }
+    def llrMap(m: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) =
+      m._1.as[(String, Long)].collect().toMap
+    assert(llrMap(merged) === llrMap(full))
+    assert(merged._2.as[(Long, Long)].head() === full._2.as[(Long, Long)].head())
+  }
+
   test("qualityNb on testdata separates the weak label better than chance") {
     val d = "/root/testdata/sf0.001"
     val scored = Classify.qualityNbQ(spark, d)
