@@ -106,7 +106,15 @@ object Bench {
     // operators, and their cost grows with every arm added. They remain
     // in SparkEntry.queries so Verify still checks them every round;
     // SPARK_GRAFT_BENCH_ONLY can still time them explicitly.
-    val unbenched = Set("ann_recall", "dedup_lsh_recall", "knn_graph_recall")
+    // dedup_embedding_lsh additionally joins the unbenched set (r12): it
+    // binds the recall-1 32×2-band VERIFICATION config whose only job is
+    // licensing the oracle check (dedup_lsh_recall measures recall 1.0);
+    // the production 8×8 config is the benched row
+    // (dedup_embedding_lsh_prod, ~0.4s vs the 0.96s brute join) — timing
+    // the deliberately-wide proof config reported a 3.7s "scale-killer"
+    // no user would run.
+    val unbenched = Set("ann_recall", "dedup_lsh_recall", "knn_graph_recall",
+      "dedup_embedding_lsh")
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries.filter { case (n, _) => !unbenched(n) }

@@ -733,4 +733,94 @@ object Streams {
       }
       .start()
   }
+
+  /** Streaming quality-model maintenance: arriving labeled documents
+    * fold into the Naive-Bayes SUFFICIENT STATISTICS at rest
+    * (`modelDir/counts`: per-term class counts; `modelDir/docs_n`:
+    * class doc counts) — [[graft.operators.Classify.nbCounts]] on the
+    * batch, [[graft.operators.Classify.nbCountsMerge]] into the state,
+    * the same rename-out/rename-in swap discipline as [[upsertByKey]]
+    * (every intermediate state keeps a complete durable copy), `_batch`
+    * marker idempotence. Because counts are additive and finalize
+    * ([[graft.operators.Classify.nbModelFromCounts]]) is a
+    * deterministic model-sized computation, the streamed state equals a
+    * full retrain on everything ever ingested — `quality_nb_incr`'s
+    * oracle-pinned composition property is exactly what licenses this
+    * loop. Only each batch is ever tokenized; state size is
+    * vocabulary-sized, never corpus-sized. */
+  def nbIngest(docs: DataFrame, text: org.apache.spark.sql.Column,
+      isPos: org.apache.spark.sql.Column, modelDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    requireConsistentMarkers(docs.sparkSession, modelDir, checkpoint)
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) applyNbBatch(batch, text, isPos, modelDir, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[nbIngest]] (also the batch-mode backfill).
+    *
+    * Crash-safety: counts and doc totals move in ONE `state` directory
+    * swap (counts + docs_n written into the same staging tree), and the
+    * APPLIED BATCH ID rides inside the state itself (`__last_batch` on
+    * docs_n) — so the merge and its provenance commit atomically. The
+    * `_batch` marker alone can't close the crash window between a
+    * completed swap and the marker create; for a non-idempotent count
+    * merge that window would silently double-count the batch, so the
+    * replay check reads `__last_batch` from the healed state instead of
+    * trusting the marker. */
+  def applyNbBatch(batch: DataFrame, text: org.apache.spark.sql.Column,
+      isPos: org.apache.spark.sql.Column, modelDir: String,
+      batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val f = fs(s, modelDir)
+    val marker = new org.apache.hadoop.fs.Path(s"$modelDir/_batch_$batchId")
+    if (f.exists(marker)) return // replayed-but-applied batch
+    val stateDir = s"$modelDir/state"
+    val stateP = new org.apache.hadoop.fs.Path(stateDir)
+    val oldP = new org.apache.hadoop.fs.Path(s"${stateDir}__old")
+    // heal an interrupted previous swap, then clear staging orphans
+    if (!f.exists(stateP) && f.exists(oldP)) f.rename(oldP, stateP)
+    f.delete(oldP, true)
+    dropStaleStaging(s, stateDir)
+    val fresh = graft.operators.Classify.nbCounts(batch, text, isPos)
+    val hasState = f.exists(stateP)
+    if (hasState) {
+      val lb = s.read.parquet(s"$stateDir/docs_n")
+        .select("__last_batch").head().getLong(0)
+      if (lb == batchId) { // swap landed, marker didn't — don't re-merge
+        f.create(marker, true).close()
+        return
+      }
+    }
+    val (counts, docsN) =
+      if (hasState)
+        graft.operators.Classify.nbCountsMerge(
+          (s.read.parquet(s"$stateDir/counts"),
+            s.read.parquet(s"$stateDir/docs_n").drop("__last_batch")), fresh)
+      else fresh
+    val tmp = s"${stateDir}__staging_$batchId"
+    // both tables durable in the staging tree before any move; the
+    // inputs read the CURRENT state lazily, so they must land before
+    // the swap replaces it
+    counts.write.mode("overwrite").parquet(s"$tmp/counts")
+    docsN.withColumn("__last_batch", lit(batchId))
+      .write.mode("overwrite").parquet(s"$tmp/docs_n")
+    if (f.exists(stateP)) f.rename(stateP, oldP)
+    f.rename(new org.apache.hadoop.fs.Path(tmp), stateP)
+    f.delete(oldP, true)
+    f.create(marker, true).close() // applied — commit the batch id
+  }
+
+  /** Finalize the at-rest count state into the scoring model —
+    * (llr, scalars) exactly as a fresh
+    * [[graft.operators.Classify.nbModel]] train would produce. */
+  def nbModelFromStore(s: SparkSession, modelDir: String)
+      : (DataFrame, DataFrame) =
+    graft.operators.Classify.nbModelFromCounts(
+      s.read.parquet(s"$modelDir/state/counts"),
+      s.read.parquet(s"$modelDir/state/docs_n").drop("__last_batch"))
 }

@@ -701,4 +701,39 @@ class StreamsSpec extends SparkSpec {
       assert(spark.table("ingest_sink").count() === 3)
     } finally q.stop()
   }
+
+  test("nbIngest: streamed count state == full retrain; crash replay can't double-count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nbmodel").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_nbmodel_ck").toString
+    val b1 = Seq((1L, "good fine good", true), (2L, "bad awful", false))
+    val b2 = Seq((3L, "fine new tokens", true), (4L, "awful bad bad", false),
+      (5L, "good awful", true))
+    val input = MemoryStream[(Long, String, Boolean)]
+    val q = Streams.nbIngest(input.toDF().toDF("id", "text", "pos"),
+      col("text"), col("pos"), dir, ckpt)
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val (llrS, scS) = Streams.nbModelFromStore(spark, dir)
+    val (llrF, scF) = graft.operators.Classify.nbModel(
+      (b1 ++ b2).toDF("id", "text", "pos"), $"text", $"pos")
+    assert(llrS.as[(String, Long)].collect().toMap ===
+      llrF.as[(String, Long)].collect().toMap)
+    assert(scS.as[(Long, Long)].head() === scF.as[(Long, Long)].head())
+    // replay the LAST batch id against a state whose marker vanished —
+    // the in-state __last_batch must refuse the re-merge (the crash
+    // window between swap and marker)
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = fsys.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("_batch_")).sorted
+    val lastId = markers.last.stripPrefix("_batch_").toLong
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$dir/_batch_$lastId"), false)
+    Streams.applyNbBatch(b2.toDF("id", "text", "pos"),
+      col("text"), col("pos"), dir, lastId)
+    val (llrR, _) = Streams.nbModelFromStore(spark, dir)
+    assert(llrR.as[(String, Long)].collect().toMap ===
+      llrF.as[(String, Long)].collect().toMap, "replayed batch must not re-merge")
+  }
 }
