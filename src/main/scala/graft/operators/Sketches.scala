@@ -128,13 +128,69 @@ object Sketches {
       .select(col("k").as("term"), col("cnt"))
       .orderBy(desc("cnt"), asc("term"))
 
+  /** KMV (k-minimum-values) distinct-count sketch — the cardinality
+    * sibling of the frequency sketch above, with the same honesty rule:
+    * the result row carries the EXACT count and the relative error
+    * beside the estimate, so the meter grades itself.
+    *
+    * Estimator (Bar-Yossef et al. 2002): hash every value to a uniform
+    * u ∈ (0,1); if the k-th smallest distinct hash is u₍ₖ₎, the distinct
+    * count ≈ (k−1)/u₍ₖ₎. Fewer than k distinct values → the sketch IS
+    * the exact set. The hash is the repo's md5-uniform — deterministic
+    * and SQL-replayable, so unlike `approx_count_distinct`'s HLL this
+    * sketch is fully oracle-checkable (and collision-consistent on both
+    * sides by construction).
+    *
+    * Scale shape: per-partition top-k ascending (TakeOrderedAndProject
+    * heaps) — the only data leaving a partition is ≤ k hashes, the
+    * mergeable-summary property that lets 1000 executors summarize a
+    * 100 TB column with one k-row reduce. The estimate/exact/error calc
+    * then runs on the bounded artifact. */
+  def kmvDistinct(df: DataFrame, key: Column, k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmvDistinct: k >= 2, got $k")
+    val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val mins = df.select(u.as("__u")).distinct()
+      .orderBy("__u").limit(k)
+    val est = mins.agg(count(lit(1)).as("__m"), max("__u").as("__uk"))
+      .select(lit(k).as("k"), col("__m"),
+        when(col("__m") < k, col("__m").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("__uk")).as("estimate"))
+    val exact = df.select(key.as("__v")).distinct()
+      .agg(count(lit(1)).as("exact"))
+    est.crossJoin(exact)
+      .select(col("k"), col("estimate"), col("exact"),
+        (abs(col("estimate") - col("exact").cast("double"))
+          / col("exact").cast("double")).as("rel_err"))
+  }
+
+  /** Named query: distinct-order cardinality of lineitem through the
+    * sketch, self-graded against the exact count. */
+  def kmvOrders(s: SparkSession, d: String): DataFrame =
+    kmvDistinct(Tables.lineitem(s, d), col("l_orderkey"), k = 256)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "txt_heavyhitters" -> heavyTokens)
+    "txt_heavyhitters" -> heavyTokens,
+    "agg_distinct_kmv" -> kmvOrders)
 
   val oracleSql: Map[String, String] = Map(
     "txt_heavyhitters" ->
       """WITH e AS (SELECT unnest(string_split(lower(text), ' ')) AS term
            FROM documents)
          SELECT term, count(*) AS cnt FROM e
-         GROUP BY term ORDER BY cnt DESC, term LIMIT 20""")
+         GROUP BY term ORDER BY cnt DESC, term LIMIT 20""",
+    "agg_distinct_kmv" -> {
+      val hexU = Curation.hexUSql
+      s"""WITH u AS (SELECT DISTINCT (CAST($hexU AS DOUBLE) + 0.5) / 4294967296.0 AS u
+             FROM (SELECT substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS h
+                   FROM lineitem)),
+         mins AS (SELECT u FROM u ORDER BY u LIMIT 256),
+         est AS (SELECT CAST(256 AS INT) AS k, count(*) AS m, max(u) AS uk FROM mins),
+         ex AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact FROM lineitem)
+         SELECT k, CASE WHEN m < 256 THEN CAST(m AS DOUBLE)
+             ELSE 255.0 / uk END AS estimate, exact,
+           abs((CASE WHEN m < 256 THEN CAST(m AS DOUBLE) ELSE 255.0 / uk END)
+             - CAST(exact AS DOUBLE)) / CAST(exact AS DOUBLE) AS rel_err
+         FROM est CROSS JOIN ex"""
+    })
 }

@@ -147,6 +147,61 @@ object TextAnalysis {
     * (not broadcast — vocabulary grows with corpus); the per-doc average
     * is a second keyed agg. The 1-row total broadcasts ([[vocab]]'s
     * no-window idiom). */
+  /** Interpolated bigram-LM surprisal — one Markov order closer to the
+    * CCNet KenLM gate than [[unigramSurprisal]]:
+    * p(tᵢ | tᵢ₋₁) = λ·c₂(tᵢ₋₁,tᵢ)/c₁(tᵢ₋₁) + (1−λ)·p_uni(tᵢ), the first
+    * token scored by the unigram alone. In-corpus scoring, so every pair
+    * a document contains is in the count tables by construction — no
+    * unseen-mass term needed.
+    *
+    * Determinism discipline: each token's −ln p is quantized to
+    * fixed-point (×10⁶) and the per-doc mean is an INTEGER sum divided
+    * by n·10⁶ — partitioning-independent and bit-exact vs the oracle
+    * (the [[Classify]] rule applied to a 3-term probability, where
+    * `avg(double)`'s order sensitivity has more room to bite than the
+    * unigram's single ratio).
+    *
+    * Scale shape: the (prev, cur) pair column is built with
+    * slice/arrays_zip — codegen'd array ops, NO interpreted lambda per
+    * token (the lesson `GramBucketsExpr` encodes) — so pair extraction
+    * rides the corpus scan; c₂ is a map-side-partial agg on the pair
+    * key; c₁ derives from c₂ (bigram-vocabulary-sized, never re-scans);
+    * the score join shuffles on the pair key against those tables. */
+  def bigramSurprisal(s: SparkSession, d: String, lambda: Double = 0.7)
+      : DataFrame = {
+    val docs = Tables.documents(s, d)
+    val total = docs.agg(sum(size(docToks)).cast("double").as("total_toks"))
+    val tf = docs.select(explode(docToks).as("cur"))
+      .groupBy("cur").agg(count(lit(1)).as("tf"))
+    // prev(i) = toks(i-1), null for the first token; slice(…, 1, n-1)
+    // with greatest(…, 0) keeps the single-token doc at a [null] prefix
+    val pairsCol = arrays_zip(
+      concat(array(lit(null).cast("string")),
+        slice(docToks, lit(1), greatest(size(docToks) - 1, lit(0)))).as("prev"),
+      docToks.as("cur"))
+    val pairs = docs.select(col("doc_id"), explode(pairsCol).as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val c2 = pairs.filter(col("prev").isNotNull)
+      .groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("prev").agg(sum("c2").as("c1"))
+    val pUni = col("tf").cast("double") / col("total_toks")
+    val p = when(col("prev").isNull, pUni)
+      .otherwise(lit(lambda) * (col("c2").cast("double") / col("c1").cast("double"))
+        + lit(1.0 - lambda) * pUni)
+    pairs
+      .join(tf, Seq("cur"))
+      .join(c2, Seq("prev", "cur"), "left") // null rows only for prev=null
+      .join(c1, Seq("prev"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), round(-log(p) * lit(1e6)).cast("long").as("__sfx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("__sfx").as("__s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("__s").cast("double")
+          / (col("n_tokens").cast("double") * lit(1e6))).as("mean_surprisal2"))
+      .orderBy("doc_id")
+  }
+
   def unigramSurprisal(s: SparkSession, d: String): DataFrame = {
     val total = Tables.documents(s, d)
       .agg(sum(size(docToks)).cast("double").as("total_toks"))
@@ -240,6 +295,8 @@ object TextAnalysis {
     "txt_fingerprint" -> fingerprint,
     "txt_vocab" -> vocab,
     "txt_surprisal" -> unigramSurprisal,
+    "txt_surprisal_bigram" -> ((s: SparkSession, d: String) =>
+      bigramSurprisal(s, d)),
     "txt_distinctive" -> distinctiveTerms)
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
@@ -330,6 +387,33 @@ object TextAnalysis {
            round(avg(-ln(CAST(c AS DOUBLE) / total_toks)), 6) AS mean_surprisal
          FROM e JOIN tf USING (term) CROSS JOIN total
          GROUP BY doc_id ORDER BY doc_id""",
+    // mirrors bigramSurprisal's exact double expression (0.7/0.3
+    // interpolation, same parenthesization) and its fixed-point mean
+    "txt_surprisal_bigram" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         total AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS total_toks FROM t),
+         e AS (SELECT doc_id, toks[i] AS cur,
+                 CASE WHEN i = 1 THEN NULL ELSE toks[i - 1] END AS prev
+               FROM (SELECT doc_id, toks,
+                       unnest(range(1, len(toks) + 1)) AS i FROM t)),
+         tf AS (SELECT cur, count(*) AS tf FROM e GROUP BY cur),
+         c2 AS (SELECT prev, cur, count(*) AS c2 FROM e
+                WHERE prev IS NOT NULL GROUP BY prev, cur),
+         c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY prev),
+         sc AS (SELECT doc_id,
+                 CAST(round(-ln(CASE WHEN e.prev IS NULL
+                     THEN CAST(tf AS DOUBLE) / total_toks
+                     ELSE 0.7 * (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                       + 0.3 * (CAST(tf AS DOUBLE) / total_toks) END)
+                   * 1000000) AS BIGINT) AS sfx
+               FROM e JOIN tf USING (cur)
+                 LEFT JOIN c2 ON e.prev = c2.prev AND e.cur = c2.cur
+                 LEFT JOIN c1 ON e.prev = c1.prev
+                 CROSS JOIN total)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(CAST(sum(sfx) AS BIGINT) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_surprisal2
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "txt_distinctive" ->
       """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents),
          e AS (SELECT source, unnest(toks) AS term FROM t),

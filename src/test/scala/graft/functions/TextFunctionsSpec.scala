@@ -254,4 +254,36 @@ class TextFunctionsSpec extends SparkSpec {
     assert(m("x") === m("y"))
     assert(m("x") !== m("z"))
   }
+
+  test("bigramSurprisal: hand-checked interpolated probabilities on sf0.001-free corpus") {
+    // corpus: doc1 = "a b", doc2 = "a b", doc3 = "a c" → total 6 tokens
+    // tf: a=3, b=2, c=1; c2: (a,b)=2, (a,c)=1; c1(a)=3
+    // doc1: p(a)=3/6; p(b|a)=0.7*(2/3)+0.3*(2/6)
+    val d = java.nio.file.Files.createTempDirectory("graft_bigram").toString
+    Seq((1L, "a b", "en", "s", 3L), (2L, "a b", "en", "s", 3L),
+      (3L, "a c", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val m = graft.operators.TextAnalysis.bigramSurprisal(spark, d)
+      .select("doc_id", "n_tokens", "mean_surprisal2")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def fx(x: Double) = math.round(-math.log(x) * 1e6)
+    val pA = 3.0 / 6.0
+    val d1 = (fx(pA) + fx(0.7 * (2.0 / 3.0) + 0.3 * (2.0 / 6.0))) / (2 * 1e6)
+    val d3 = (fx(pA) + fx(0.7 * (1.0 / 3.0) + 0.3 * (1.0 / 6.0))) / (2 * 1e6)
+    assert(m(1L) === ((1L, 2L, d1)))
+    assert(m(2L) === ((2L, 2L, d1)))
+    assert(m(3L) === ((3L, 2L, d3)))
+  }
+
+  test("bigramSurprisal ranks a common-pattern doc below a rare-pattern doc") {
+    val d = java.nio.file.Files.createTempDirectory("graft_bigram2").toString
+    val common = (1L to 20L).map(i => (i, "the cat sat on the mat", "en", "s", 22L))
+    val rare = Seq((99L, "zyx qwv jkl pqr mno stu", "en", "s", 23L))
+    (common ++ rare).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val m = graft.operators.TextAnalysis.bigramSurprisal(spark, d)
+      .select("doc_id", "mean_surprisal2").as[(Long, Double)].collect().toMap
+    assert(m(1L) < m(99L), s"common ${m(1L)} must score below rare ${m(99L)}")
+  }
 }

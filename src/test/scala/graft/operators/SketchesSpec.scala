@@ -75,4 +75,35 @@ class SketchesSpec extends SparkSpec {
     assert(r === Seq((None, 50L), (Some("x"), 10L)),
       s"null must survive the candidate equi-join: $r")
   }
+
+  test("kmvDistinct: exact below k, estimate within the KMV error bound above k") {
+    // below k: the sketch IS the set — estimate exact, rel_err 0
+    val small = (0L until 100L).toDF("v")
+    val r1 = Sketches.kmvDistinct(small, $"v", k = 256)
+      .select("estimate", "exact", "rel_err")
+      .as[(Double, Long, Double)].head()
+    assert(r1 === ((100.0, 100L, 0.0)))
+    // above k: standard error ~ 1/sqrt(k-2) ≈ 6.3% at k=256; allow 4σ
+    val big = (0L until 20000L).toDF("v")
+    val r2 = Sketches.kmvDistinct(big, $"v", k = 256)
+      .select("exact", "rel_err").as[(Long, Double)].head()
+    assert(r2._1 === 20000L)
+    assert(r2._2 < 0.25, s"rel_err ${r2._2} beyond 4 sigma")
+  }
+
+  test("kmvDistinct: duplicates don't move the estimate (cardinality, not frequency)") {
+    val base = (0L until 5000L).toDF("v")
+    val dup = ((0L until 5000L) ++ (0L until 5000L) ++ Seq.fill(1000)(7L)).toDF("v")
+    val a = Sketches.kmvDistinct(base, $"v").select("estimate").as[Double].head()
+    val b = Sketches.kmvDistinct(dup, $"v").select("estimate").as[Double].head()
+    assert(a === b)
+  }
+
+  test("kmvDistinct: partitioning-invariant (mergeable-summary property)") {
+    val vals = (0L until 10000L).map(i => i * 37L % 9973L)
+    def run(parts: Int) = Sketches.kmvDistinct(
+      vals.toDF("v").repartition(parts), $"v")
+      .select("estimate").as[Double].head()
+    assert(run(1) === run(16))
+  }
 }
