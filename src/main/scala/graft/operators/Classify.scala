@@ -212,6 +212,30 @@ object Classify {
           .as("accuracy"))
   }
 
+  /** Named query: the MODEL-GATED mixing pipeline (the DCLM shape:
+    * classifier gate → distribution rebalance → budget cap) as one
+    * lineage — documents the trained filter admits
+    * ([[nbScore]].pred_pos) flow through
+    * [[Curation.temperatureSample]] (α = 0.5 language rebalance over
+    * the ADMITTED set — the counts the sampler sees are post-gate, the
+    * composition the oracle must replay) and then
+    * [[Curation.capTokensPerGroup]] (2,000-token budget per source).
+    * Train, gate, rebalance, and cap are a single Catalyst plan. */
+  def pipelineQualityMixQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (llr, scalars) = nbModel(docs.filter(isTrain(col("doc_id"))),
+      col("text"), col("lang") === "en")
+    val kept = nbScore(docs, col("doc_id"), col("text"), llr, scalars)
+      .filter(col("pred_pos"))
+      .join(docs.select("doc_id", "lang", "source"), "doc_id")
+    val sampled = Curation.temperatureSample(kept, col("lang"),
+      col("doc_id"), alpha = 0.5)
+    Curation.capTokensPerGroup(sampled, col("source"), col("doc_id"),
+        col("n_tokens"), budget = 2000L)
+      .select("doc_id", "lang", "source", "n_tokens", "cum_before")
+      .orderBy("doc_id")
+  }
+
   // --- DSIR importance resampling ------------------------------------------
 
   /** DSIR (Data Selection via Importance Resampling): estimate hashed
@@ -305,6 +329,7 @@ object Classify {
     "quality_nb_model" -> qualityNbModelQ,
     "quality_nb_incr" -> qualityNbIncrQ,
     "quality_nb_eval" -> qualityNbEvalQ,
+    "pipeline_quality_mix" -> pipelineQualityMixQ,
     "curate_dsir" -> curateDsirQ,
     "split_holdout" -> splitHoldoutQ)
 
@@ -363,6 +388,35 @@ object Classify {
         CAST(mfx AS DOUBLE) / 1000000.0 AS nb_margin,
         mfx > 0 AS pred_pos
       FROM agg ORDER BY doc_id""",
+    // gate → temperature (α=0.5 over the ADMITTED set) → token budget;
+    // every stage reuses an already-proven CTE shape
+    "pipeline_quality_mix" -> s"""$nbSql,
+      ds AS (SELECT doc_id, unnest(toks) AS term FROM t),
+      agg AS (SELECT doc_id,
+              CAST(sum(COALESCE(llr_fx, ufx)) + max(pfx) AS BIGINT) AS mfx,
+              count(*) AS n_tokens
+            FROM ds LEFT JOIN llr USING (term) CROSS JOIN sc GROUP BY doc_id),
+      kept AS (SELECT a.doc_id, CAST(a.n_tokens AS BIGINT) AS n_tokens,
+              d.lang, d.source
+            FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+            WHERE a.mfx > 0),
+      c AS (SELECT lang, count(*) AS c FROM kept GROUP BY lang),
+      m AS (SELECT min(c) AS cmin FROM c),
+      fr AS (SELECT lang, sqrt(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE)) AS f
+            FROM c, m),
+      u AS (SELECT doc_id, lang, source, n_tokens, ${Curation.hexUSql} AS uu
+            FROM (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+                  FROM kept)),
+      samp AS (SELECT u.doc_id, u.lang, u.source, u.n_tokens
+            FROM u JOIN fr USING (lang)
+            WHERE CAST(uu AS DOUBLE) / 4294967296.0 < f),
+      w AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+            FROM samp)
+      SELECT doc_id, lang, source, n_tokens,
+        CAST(cum_before AS BIGINT) AS cum_before
+      FROM w WHERE cum_before < 2000 ORDER BY doc_id""",
     "quality_nb_eval" -> s"""$nbSql,
       ds AS (SELECT doc_id, lang = 'en' AS y, unnest(toks) AS term
              FROM t WHERE NOT tr),
