@@ -71,4 +71,41 @@ class PushdownAuditSpec extends SparkSpec {
     assert(!s.exists(_.contains("documents.parquet")),
       s"index serving must not scan the corpus:\n${s.mkString("\n")}")
   }
+
+  test("quality_nb: document scans prune to the referenced columns only") {
+    // train leg reads (doc_id, text, lang); score leg (doc_id, text) —
+    // n_chars and source must never be decoded
+    val s = scans(operators.Classify.qualityNbQ(spark, d))
+    val docScans = s.filter(_.contains("documents.parquet"))
+    assert(docScans.nonEmpty)
+    assert(docScans.forall(l => !l.matches(".*ReadSchema.*(n_chars|source).*")),
+      s"NB legs must not decode n_chars/source:\n${docScans.mkString("\n")}")
+  }
+
+  test("curate_dsir: the bucket log-ratio table joins by broadcast, grams never shuffle") {
+    // the per-doc weight sum joins the 256-row lr table — broadcast hash
+    // join; the only exchanges are the bucket/doc aggregates' partial
+    // sums, so no exchange may carry the gram/bucket row stream unreduced
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try operators.Classify.curateDsirQ(spark, d).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+    val bcasts = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.exists(_.leftKeys.map(_.sql).exists(_.contains("__b")) ||
+        bcasts.exists(_.rightKeys.map(_.sql).exists(_.contains("__b")))),
+      s"lr join must be a broadcast hash join on __b:\n$plan")
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the raw gram stream is (doc_id, __tgt, __b); both aggregates fold
+    // __tgt into conditional sums BEFORE their exchange, so any shuffle
+    // still carrying __tgt would be the unreduced per-gram stream
+    shuffles.foreach { e =>
+      assert(!e.output.exists(_.name == "__tgt"),
+        s"exchange carries the raw gram stream: ${e.output.map(_.name)}")
+    }
+  }
 }
