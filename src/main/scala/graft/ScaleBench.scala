@@ -74,7 +74,12 @@ object ScaleBench {
     // go quadratic at 10× (cluster-blocked seed pairs grow 100×), so the
     // scale entry trains k ∝ N centroids, holding per-cluster size
     // ~constant: seed ~linear, NN-Descent N·k², beam search constant.
-    "knn_graph_scaled")
+    "knn_graph_scaled",
+    // round 12: model-based selection — NB train+score (explode linear,
+    // vocab-keyed score join sublinear in the tf table; dup-heavy
+    // replicas barely grow the vocabulary, the realistic crawl shape)
+    // and DSIR (one fused gram pass, O(256) model — strictly linear).
+    "quality_nb", "curate_dsir")
 
   /** Scale-only bindings that aren't part of the served query surface. */
   private val Extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =

@@ -563,6 +563,52 @@ case class PiiScrubExpr(child: Expression, emailRe: String, ipRe: String,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** POSITIONAL n-gram hashes: [[ShingleHashSetExpr]]'s one-string-hash-
+  * per-token kernel WITHOUT the dedup — slot i is the hash of the gram
+  * starting at token i, so `posexplode` recovers (position, gram-hash)
+  * pairs. Replaces the interpreted
+  * `transform(sequence, i -> xxhash64(concat_ws(slice)))` spelling the
+  * span-dedup family used (per-position slice + string build + string
+  * hash through interpreted lambdas — the same ~µs/gram the fused
+  * shingle expressions exist to avoid), with identical grouping
+  * semantics: gram equality ⇔ hash equality w.h.p. (values are join
+  * keys only — the oracles replay on string grams). Fewer than n
+  * non-null tokens → one whole-span hash; null elements skipped. */
+case class ShingleHashSeqExpr(child: Expression, n: Int) extends TokenArrayExpression {
+  require(n > 0, "shingle width must be positive")
+  override def prettyName: String = "graft_shingle_hash_seq"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val th = new Array[Long](m)
+    var cnt = 0
+    var t = 0
+    while (t < m) {
+      if (!arr.isNullAt(t)) {
+        th(cnt) = XXH64.hashUTF8String(arr.getUTF8String(t), 42L)
+        cnt += 1
+      }
+      t += 1
+    }
+    val nSh = if (cnt < n) 1 else cnt - n + 1
+    val width = if (cnt < n) cnt else n
+    val out = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      var acc = 42L
+      var j = 0
+      while (j < width) { acc = XXH64.hashLong(th(i + j), acc); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Hashed-n-gram feature buckets for DSIR-style importance weighting:
   * per document, the md5 bucket id of every unigram AND every 2-shingle,
   * in one pass — bucket = (first 4 md5-digest bytes as uint32) mod
@@ -679,6 +725,9 @@ object TextExpressions {
       reg.createOrReplaceTempFunction("graft_gram_buckets",
         es => GramBucketsExpr(es(0),
           es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+      reg.createOrReplaceTempFunction("graft_shingle_hash_seq",
+        es => ShingleHashSeqExpr(es(0),
+          es(1).eval().asInstanceOf[Number].intValue()), "built-in")
     }
   }
 
@@ -709,6 +758,9 @@ object TextExpressions {
   }
   def gramBuckets(spark: SparkSession, toks: Column, buckets: Int): Column = {
     register(spark); call_function("graft_gram_buckets", toks, lit(buckets))
+  }
+  def shingleHashSeq(spark: SparkSession, toks: Column, n: Int): Column = {
+    register(spark); call_function("graft_shingle_hash_seq", toks, lit(n))
   }
   def hyperplaneSig(spark: SparkSession, vec: Column, nbits: Int): Column = {
     register(spark); call_function("graft_hyperplane_sig", vec, lit(nbits))

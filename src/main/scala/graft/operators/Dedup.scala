@@ -1241,8 +1241,16 @@ object Dedup {
     * inside [[spanCoverageOn]]/[[spanExciseOn]] and must stay
     * bit-identical to what they compute: gram i = xxhash64 of the
     * space-joined n-token slice starting at i over the `toks` column. */
-  private def spanGramSql(n: Int): String =
-    s"transform(sequence(0, size(toks) - $n), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $n))))"
+  /** Positional n-gram hashes over the `toks` column — the fused
+    * [[graft.functions.ShingleHashSeqExpr]] kernel (one string hash per
+    * token, ordered windows) replacing the interpreted
+    * `transform(sequence, i -> xxhash64(concat_ws(slice)))` spelling:
+    * same grouping semantics (hash equality ⇔ gram equality w.h.p.,
+    * values are join keys only — the span oracles replay on string
+    * grams), ~µs/gram less per-row cost, and the span family evaluates
+    * this sub-tree twice per query. */
+  private def spanGrams(s: SparkSession, n: Int): Column =
+    graft.functions.TextExpressions.shingleHashSeq(s, col("toks"), n)
 
   /** Cross-document EXACT-SUBSTRING duplication coverage — the signal
     * behind span-excision dedup (remove the repeated passage, keep the
@@ -1276,7 +1284,7 @@ object Dedup {
       .filter(size(col("toks")) >= n)
     val grams = docs.select(col("doc_id"),
       size(col("toks")).cast("long").as("n_toks"),
-      posexplode(expr(spanGramSql(n))).as(Seq("pos", "g")))
+      posexplode(spanGrams(df.sparkSession, n)).as(Seq("pos", "g")))
     val dupG = grams.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 2 &&
@@ -1305,7 +1313,7 @@ object Dedup {
       n: Int = 8, maxDocFreq: Int = 10): DataFrame = {
     val docs = df.select(id.as("doc_id"), tokens(text).as("toks"))
       .filter(size(col("toks")) >= n)
-    docs.select(col("doc_id"), explode(expr(spanGramSql(n))).as("g"))
+    docs.select(col("doc_id"), explode(spanGrams(df.sparkSession, n)).as("g"))
       .groupBy("g").agg(countDistinct(col("doc_id")).as("ndocs"),
         count(lit(1)).as("n_occurrences"))
       .filter(col("ndocs") > maxDocFreq)
@@ -1347,7 +1355,7 @@ object Dedup {
       .withColumn("toks", expr("transform(raw, t -> lower(t))"))
     val grams = docs.filter(size(col("toks")) >= n)
       .select(col("doc_id"),
-        posexplode(expr(spanGramSql(n))).as(Seq("pos", "g")))
+        posexplode(spanGrams(df.sparkSession, n)).as(Seq("pos", "g")))
     val owners = grams.groupBy("g")
       .agg(min(col("doc_id")).as("owner"),
         countDistinct(col("doc_id")).as("ndocs"))
