@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Curation, Pipelines, Search}
 import graft.sources.Compact
+import graft.streaming.Streams
 
 /** The whole library composed as ONE production flow over real testdata —
   * the end-to-end a reference user runs daily, stage outputs feeding the
@@ -145,5 +146,49 @@ class GoldenPathSpec extends SparkSpec {
     val gr = Serving.handle(spark, d,
       """{"mode":"graph","top_k":3,"query_image_id":0}""")
     assert(gr.contains("\"results\"") && !gr.contains("\"error\""))
+  }
+
+  test("label → train → stream-refresh → eval → gate → mix: the model-based selection flow") {
+    // the r12 classify leg composed end to end on real testdata: weak
+    // labels, batch train on the base, STREAM the increment into the
+    // at-rest count state, assert the refreshed model is bit-identical
+    // to a full retrain, then gate + rebalance + budget the corpus with
+    // the refreshed model and check every funnel boundary.
+    val docs = Tables.documents(spark, d)
+    val isPos = col("lang") === "en"
+    val cut = docs.agg(expr("max(doc_id) * 4 DIV 5")).head().getLong(0)
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_gold_nb").toString
+
+    // batch backfill + "daily" increment through the SAME batch applier
+    Streams.applyNbBatch(docs.filter($"doc_id" <= cut), $"text", isPos, modelDir, 0L)
+    Streams.applyNbBatch(docs.filter($"doc_id" > cut), $"text", isPos, modelDir, 1L)
+    val (llrS, scS) = Streams.nbModelFromStore(spark, modelDir)
+    val (llrF, scF) = operators.Classify.nbModel(docs, $"text", isPos)
+    assert(llrS.as[(String, Long)].collect().toMap ===
+      llrF.as[(String, Long)].collect().toMap,
+      "streamed count state must equal the full retrain")
+    assert(scS.as[(Long, Long)].head() === scF.as[(Long, Long)].head())
+
+    // gate the corpus with the refreshed model
+    val scored = operators.Classify.nbScore(docs, $"doc_id", $"text", llrS, scS)
+    val admitted = scored.filter($"pred_pos")
+    val nAdm = admitted.count()
+    assert(nAdm > 0 && nAdm < docs.count(), s"gate admits a strict subset: $nAdm")
+
+    // the admitted set skews toward the weak-positive label it was
+    // trained on (better than the corpus base rate)
+    val joined = admitted.join(docs.select($"doc_id", isPos.as("y")), "doc_id")
+    val prec = joined.filter($"y").count().toDouble / nAdm
+    val base = docs.filter(isPos).count().toDouble / docs.count()
+    assert(prec > base, s"gate precision $prec must beat base rate $base")
+
+    // rebalance + token budget on the admitted set — funnel monotone,
+    // budget respected per source
+    val withMeta = admitted.join(docs.select("doc_id", "lang", "source"), "doc_id")
+    val sampled = Curation.temperatureSample(withMeta, $"lang", $"doc_id", alpha = 0.5)
+    val mixed = Curation.capTokensPerGroup(sampled, $"source", $"doc_id",
+      $"n_tokens", budget = 500L)
+    assert(mixed.count() <= sampled.count() && sampled.count() <= nAdm)
+    assert(mixed.agg(max("cum_before")).as[Long].head() < 500L)
   }
 }
