@@ -192,7 +192,15 @@ object Classify {
     * never saw). Integer counts ⇒ bit-exact oracle; the measured
     * contract behind shipping the filter (same discipline as
     * `ann_recall` for the ANN arms — a classifier row without an eval
-    * row is half a feature). */
+    * row is half a feature).
+    *
+    * On THIS testdata the row honestly reads ~chance: the synthetic
+    * corpus draws one shared vocabulary for every `lang`, so no token
+    * carries label signal (measured ≈0.55 across every candidate weak
+    * label). That is a property of the data, not the operator —
+    * ClassifySpec proves >0.95 held-out accuracy on a corpus whose
+    * labels ARE expressed in its tokens. The eval row exists precisely
+    * so a user sees that number BEFORE trusting the gate. */
   def qualityNbEvalQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val (llr, scalars) = nbModel(docs.filter(isTrain(col("doc_id"))),

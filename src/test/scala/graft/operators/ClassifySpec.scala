@@ -84,14 +84,39 @@ class ClassifySpec extends SparkSpec {
     assert(merged._2.as[(Long, Long)].head() === full._2.as[(Long, Long)].head())
   }
 
-  test("qualityNb on testdata separates the weak label better than chance") {
+  test("nb generalizes: held-out accuracy on a corpus with real token-label signal") {
+    // the synthetic testdata's labels carry NO token signal (TESTDATA:
+    // every lang draws the same English-ish vocabulary — held-out NB
+    // accuracy sits at chance there, measured; quality_nb_eval reports
+    // that honestly). Learning is proven here on a corpus where the
+    // label IS expressed in the tokens: class vocabularies + shared
+    // noise, disjoint train/held-out docs.
+    val rnd = new scala.util.Random(7)
+    val posV = Vector("good", "clear", "useful", "clean", "nice")
+    val negV = Vector("bad", "spam", "junk", "noise", "broken")
+    val noise = Vector("the", "a", "data", "row", "x", "y")
+    def doc(v: Vector[String]) = Seq.fill(12)(
+      if (rnd.nextBoolean()) v(rnd.nextInt(v.size)) else noise(rnd.nextInt(noise.size)))
+      .mkString(" ")
+    val docs = (0L until 400L)
+      .map(i => (i, doc(if (i % 2 == 0) posV else negV), i % 2 == 0))
+      .toDF("id", "text", "pos")
+    val (llr, sc) = Classify.nbModel(docs.filter($"id" < 200), $"text", $"pos")
+    val held = Classify.nbScore(docs.filter($"id" >= 200), $"id", $"text", llr, sc)
+      .join(docs.select($"id".as("doc_id"), $"pos"), "doc_id")
+      .select($"pred_pos", $"pos").as[(Boolean, Boolean)].collect()
+    val acc = held.count(r => r._1 == r._2).toDouble / held.length
+    assert(acc > 0.95, s"held-out accuracy on separable classes: $acc")
+  }
+
+  test("qualityNb on testdata: deterministic margins, full coverage") {
     val d = "/root/testdata/sf0.001"
-    val scored = Classify.qualityNbQ(spark, d)
-      .join(graft.Tables.documents(spark, d), "doc_id")
-      .select($"pred_pos", ($"lang" === "en").as("is_en"))
-      .as[(Boolean, Boolean)].collect()
-    val acc = scored.count(r => r._1 == r._2).toDouble / scored.length
-    assert(acc > 0.6, s"NB accuracy vs weak label: $acc") // chance ≈ 0.5
+    val a = Classify.qualityNbQ(spark, d)
+      .select("doc_id", "nb_margin").as[(Long, Double)].collect().toMap
+    val b = Classify.qualityNbQ(spark, d)
+      .select("doc_id", "nb_margin").as[(Long, Double)].collect().toMap
+    assert(a === b)
+    assert(a.size === graft.Tables.documents(spark, d).count())
   }
 
   test("dsirSelect ranks target-like documents above off-target ones") {
