@@ -283,6 +283,40 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Contamination REPORT — the measured face of [[decontaminate]]:
+    * per-source document counts, contaminated counts, and the rate. A
+    * pipeline that silently strips overlap hides WHERE the leakage
+    * concentrates; the report is what decides whether a source is
+    * salvageable or drops wholesale. Same shingle probe as the strip
+    * pass (one extra per-source aggregate, integer-exact oracle). */
+  def decontamReport(train: DataFrame, test: DataFrame, id: Column,
+      group: Column, text: Column, n: Int = 5): DataFrame = {
+    val s = train.sparkSession
+    def sh(c: Column) = graft.functions.TextExpressions.shingleHashes(s, tokens(c), n)
+    val testSh = test.select(explode(sh(text)).as("sh")).distinct()
+    val contaminated = train
+      .select(id.as("doc_id"), explode(sh(text)).as("sh"))
+      .join(broadcast(testSh), Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("__hit", lit(1L))
+    train.select(id.as("doc_id"), group.as("source"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_docs").cast("double"))
+          .as("contamination_rate"))
+      .orderBy("source")
+  }
+
+  def curateDecontamReport(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    decontamReport(docs.filter(!isTest), docs.filter(isTest),
+      col("doc_id"), col("source"), col("text"), n = 5)
+  }
+
   def mixTemperature(s: SparkSession, d: String): DataFrame =
     temperatureSample(Tables.documents(s, d), col("lang"), col("doc_id"), alpha = 0.5)
       .select("doc_id", "lang")
@@ -419,6 +453,36 @@ object Curation {
       .orderBy("source", "pack_id")
   }
 
+  /** Dataset MANIFEST for the shard export — the reproducibility
+    * receipt: per shard, its pack/doc/token totals and a content hash
+    * over the pack keys in shard order. [[shardPacks]] promises
+    * byte-reproducibility; this row is how a re-export PROVES it
+    * (manifests equal ⇔ same packs in the same slots) without diffing
+    * shard files — and how a trainer pins the exact dataset a run
+    * consumed. The hash folds keys in `pos_in_shard` order via an
+    * explicit sort of the collected ≤packsPerShard struct list, so it
+    * is partitioning-independent. */
+  def exportManifestQ(s: SparkSession, d: String): DataFrame = {
+    val packed = packSequences(
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("long")),
+      col("source"), col("doc_id"), col("n_tokens"), budget = 512L)
+    val packs = packed.groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+    val key = concat(col("source"), lit("#"), col("pack_id").cast("string"))
+    shardPacks(packs, key, packsPerShard = 8L)
+      .select(col("shard_id"), col("n_docs"), col("pack_tokens"),
+        col("pos_in_shard"), key.as("__k"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_packs"),
+        sum("n_docs").as("n_docs"),
+        sum("pack_tokens").as("shard_tokens"),
+        md5(concat_ws("|", transform(
+          sort_array(collect_list(struct(col("pos_in_shard"), col("__k")))),
+          e => e.getField("__k")))).as("content_hash"))
+      .orderBy("shard_id")
+  }
+
   /** Corpus-level hygiene report in ONE scan — the aggregate face of the
     * reference's per-stage "removed N rows" logs (`clean_and_fill_na.py`
     * prints counts after every rule): how many docs each gate of
@@ -460,6 +524,8 @@ object Curation {
     "txt_repetition" -> txtRepetition,
     "txt_pii_redact" -> txtPiiRedact,
     "curate_decontam" -> curateDecontam,
+    "curate_decontam_report" -> curateDecontamReport,
+    "export_manifest" -> exportManifestQ,
     "mix_temperature" -> mixTemperature,
     "pack_sequences" -> packSequencesQ,
     "pack_sequences_incr" -> packSequencesIncr,
@@ -523,6 +589,44 @@ object Curation {
          SELECT doc_id FROM t
          WHERE NOT is_test AND doc_id NOT IN (SELECT doc_id FROM bad)
          ORDER BY doc_id""",
+    "curate_decontam_report" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_test
+           FROM documents),
+         e AS (SELECT doc_id, source, is_test, unnest(${shinglesSql(5)}) AS sh FROM t),
+         bad AS (SELECT DISTINCT e.doc_id FROM e
+                 JOIN (SELECT DISTINCT sh FROM e WHERE is_test) ts ON e.sh = ts.sh
+                 WHERE NOT e.is_test)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM bad)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM bad)
+             THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS contamination_rate
+         FROM t WHERE NOT is_test GROUP BY source ORDER BY source""",
+    "export_manifest" ->
+      """WITH t AS (SELECT doc_id, source,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM t),
+         p AS (SELECT source, CAST(cum // 512 AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+           FROM c GROUP BY source, pack_id),
+         r AS (SELECT *, source || '#' || CAST(pack_id AS VARCHAR) AS k,
+             CAST(row_number() OVER (
+               ORDER BY md5(source || '#' || CAST(pack_id AS VARCHAR)),
+                 source || '#' || CAST(pack_id AS VARCHAR)) AS BIGINT) - 1 AS rk
+           FROM p)
+         SELECT CAST(rk // 8 AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(pack_tokens) AS BIGINT) AS shard_tokens,
+           md5(string_agg(k, '|' ORDER BY rk % 8)) AS content_hash
+         FROM r GROUP BY 1 ORDER BY shard_id""",
     "mix_temperature" ->
       s"""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
          m AS (SELECT min(c) AS cmin FROM c),
