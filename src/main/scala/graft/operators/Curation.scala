@@ -483,6 +483,51 @@ object Curation {
       .orderBy("shard_id")
   }
 
+  /** Curriculum-phase export: each pack gets a DIFFICULTY (token-
+    * weighted mean unigram surprisal of its documents, the established
+    * LM-gate signal) and a phase 1..3 cut at the global difficulty
+    * terciles — the easy-first ordering curriculum-learning trainers
+    * consume, attached to the SAME pack keys the shard export uses.
+    *
+    * Determinism: per-doc surprisal is the fixed-point integer sum
+    * (txt_surprisal's quantization discipline), pack difficulty one
+    * exact division, and the tercile thresholds come from `percentile`
+    * — whose DuckDB `quantile_cont` parity `agg_quantiles` already
+    * proves — broadcast as a one-row frame. No global window anywhere:
+    * phase assignment is a CASE against two broadcast scalars, so the
+    * 200M-pack corpus never single-partitions. */
+  def exportCurriculumQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+    val total = docs.agg(sum("n_tokens").cast("double").as("total_toks"))
+    val tf = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+    val sfx = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .join(tf, "term").crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum(round(-log(col("tf").cast("double") / col("total_toks"))
+        * lit(1e6)).cast("long")).as("__sfx"))
+    val packs = packSequences(docs, col("source"), col("doc_id"),
+        col("n_tokens"), budget = 512L)
+      .join(sfx, "doc_id")
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"),
+        sum("__sfx").as("__psfx"))
+      .withColumn("difficulty", col("__psfx").cast("double")
+        / (col("pack_tokens").cast("double") * lit(1e6)))
+    val q = packs
+      .agg(expr("percentile(difficulty, array(1.0D/3, 2.0D/3))").as("q"))
+      .select(col("q")(0).as("__q1"), col("q")(1).as("__q2"))
+    packs.crossJoin(broadcast(q))
+      .withColumn("phase",
+        when(col("difficulty") <= col("__q1"), 1L)
+          .when(col("difficulty") <= col("__q2"), 2L).otherwise(3L))
+      .select(col("source"), col("pack_id"), col("n_docs"),
+        col("pack_tokens"), round(col("difficulty"), 6).as("difficulty"),
+        col("phase"))
+      .orderBy("source", "pack_id")
+  }
+
   /** Corpus-level hygiene report in ONE scan — the aggregate face of the
     * reference's per-stage "removed N rows" logs (`clean_and_fill_na.py`
     * prints counts after every rule): how many docs each gate of
@@ -526,6 +571,7 @@ object Curation {
     "curate_decontam" -> curateDecontam,
     "curate_decontam_report" -> curateDecontamReport,
     "export_manifest" -> exportManifestQ,
+    "export_curriculum" -> exportCurriculumQ,
     "mix_temperature" -> mixTemperature,
     "pack_sequences" -> packSequencesQ,
     "pack_sequences_incr" -> packSequencesIncr,
@@ -627,6 +673,37 @@ object Curation {
            CAST(sum(pack_tokens) AS BIGINT) AS shard_tokens,
            md5(string_agg(k, '|' ORDER BY rk % 8)) AS content_hash
          FROM r GROUP BY 1 ORDER BY shard_id""",
+    // mirrors exportCurriculumQ: fixed-point surprisal, exact division,
+    // quantile_cont terciles (the percentile parity agg_quantiles pins)
+    "export_curriculum" ->
+      """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS toks,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         total AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_toks FROM t),
+         e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         tf AS (SELECT term, count(*) AS tf FROM e GROUP BY term),
+         sfx AS (SELECT doc_id,
+             CAST(sum(CAST(round(-ln(CAST(tf AS DOUBLE) / total_toks)
+               * 1000000) AS BIGINT)) AS BIGINT) AS sfx
+           FROM e JOIN tf USING (term) CROSS JOIN total GROUP BY doc_id),
+         c AS (SELECT doc_id, source, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM t),
+         p AS (SELECT source, CAST(cum // 512 AS BIGINT) AS pack_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+             CAST(sum(sfx) AS BIGINT) AS psfx
+           FROM c JOIN sfx USING (doc_id) GROUP BY source, pack_id),
+         p2 AS (SELECT *, CAST(psfx AS DOUBLE)
+             / (CAST(pack_tokens AS DOUBLE) * 1000000.0) AS difficulty FROM p),
+         q AS (SELECT quantile_cont(difficulty, 1.0/3) AS q1,
+             quantile_cont(difficulty, 2.0/3) AS q2 FROM p2)
+         SELECT source, pack_id, n_docs, pack_tokens,
+           round(difficulty, 6) AS difficulty,
+           CAST(CASE WHEN difficulty <= q1 THEN 1
+             WHEN difficulty <= q2 THEN 2 ELSE 3 END AS BIGINT) AS phase
+         FROM p2 CROSS JOIN q ORDER BY source, pack_id""",
     "mix_temperature" ->
       s"""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
          m AS (SELECT min(c) AS cmin FROM c),
