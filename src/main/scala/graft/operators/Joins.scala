@@ -120,9 +120,51 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Interval-OVERLAP join (no equi key): every (a, b) pair whose closed
+    * intervals intersect — `aStart ≤ bEnd AND bStart ≤ aEnd`.
+    *
+    * Same banding as [[rangeJoin]], but BOTH sides explode to their
+    * covered buckets, so an overlapping pair meets in every shared
+    * bucket. Instead of a distinct-shuffle dedup, each pair is kept only
+    * in its FIRST common bucket — `bin == floor(max(aStart, bStart) /
+    * width)`, an O(1) predicate on columns already in hand — so output
+    * rows are emitted exactly once and nothing re-shuffles. Shuffle
+    * volume is O(Σ interval-spans / binWidth), never |a|×|b|. */
+  def intervalOverlap(a: DataFrame, aStart: String, aEnd: String,
+      b: DataFrame, bStart: String, bEnd: String,
+      binWidthSec: Long = 3600L): DataFrame = {
+    def bins(df: DataFrame, s: String, e: String) =
+      df.withColumn("_bin", explode(sequence(
+        floor(unix_timestamp(col(s)) / binWidthSec),
+        floor(unix_timestamp(col(e)) / binWidthSec))))
+    bins(a, aStart, aEnd).join(bins(b, bStart, bEnd), Seq("_bin"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col("_bin") === floor(
+        greatest(unix_timestamp(col(aStart)), unix_timestamp(col(bStart)))
+          / binWidthSec))
+      .drop("_bin")
+  }
+
+  /** Oracle-checked binding for [[intervalOverlap]]: each user's click
+    * window (first click + 2h) against every user's error window (first
+    * error + 2h) — the "whose incidents co-occur with whose activity"
+    * correlation, a genuine interval×interval join with no equi key. */
+  def intervalClickErrorOverlap(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def win(t: String, pfx: String) = ev.filter(col("event_type") === t)
+      .groupBy(col("user_id").as(s"${pfx}_user"))
+      .agg(min("ts").as(s"${pfx}_start"))
+      .withColumn(s"${pfx}_end", col(s"${pfx}_start") + expr("INTERVAL 2 HOURS"))
+    intervalOverlap(win("click", "c"), "c_start", "c_end",
+        win("error", "e"), "e_start", "e_end")
+      .select("c_user", "e_user")
+      .orderBy("c_user", "e_user")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof" -> asofClickError,
-    "join_range" -> rangeEventWindows)
+    "join_range" -> rangeEventWindows,
+    "join_interval" -> intervalClickErrorOverlap)
 
   val oracleSql: Map[String, String] = Map(
     "join_asof" ->
@@ -134,6 +176,18 @@ object Joins {
          FROM c LEFT JOIN e ON e.user_id = c.user_id AND e.ets <= c.ts
          GROUP BY c.event_id, c.user_id
          ORDER BY c.event_id""",
+    // the oracle states overlap directly as the theta join the banded
+    // plan avoids
+    "join_interval" ->
+      """WITH c AS (SELECT user_id AS c_user, min(ts) AS c_start,
+             min(ts) + INTERVAL 2 HOUR AS c_end
+           FROM events WHERE event_type = 'click' GROUP BY user_id),
+         e AS (SELECT user_id AS e_user, min(ts) AS e_start,
+             min(ts) + INTERVAL 2 HOUR AS e_end
+           FROM events WHERE event_type = 'error' GROUP BY user_id)
+         SELECT c_user, e_user FROM c JOIN e
+           ON c_start <= e_end AND e_start <= c_end
+         ORDER BY c_user, e_user""",
     "join_range" ->
       """WITH w AS (
            SELECT user_id, min(ts) AS w_start, min(ts) + INTERVAL 2 HOUR AS w_end

@@ -82,4 +82,20 @@ class JoinsSpec extends SparkSpec {
       assert(lastErr === prior.sortBy(_._3.getTime).lastOption.map(_._3), s"event $eid")
     }
   }
+
+  test("intervalOverlap: exact-once emission across shared buckets, closed boundaries") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    // a1 spans 5 hours (6 buckets); b1 overlaps it across 4 shared
+    // buckets — the pair must come back exactly ONCE. b2 touches a1 at a
+    // single instant (closed-interval boundary). b3 is disjoint.
+    val a = Seq((1L, ts(0), ts(300))).toDF("a_id", "a_start", "a_end")
+    val b = Seq(
+      (10L, ts(60), ts(290)), (11L, ts(300), ts(400)), (12L, ts(301), ts(400))
+    ).toDF("b_id", "b_start", "b_end")
+    val out = Joins.intervalOverlap(a, "a_start", "a_end", b, "b_start", "b_end")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(out === Seq((1L, 10L), (1L, 11L)),
+      s"multi-bucket pair once, touch kept, disjoint dropped: $out")
+  }
 }
