@@ -117,7 +117,17 @@ object Classify {
     val llr = counts.crossJoin(broadcast(totals)).select(col("term"),
       fx(smoothed(col("__cp"), col("__tp"))
         - smoothed(col("__cn"), col("__tn"))).as("llr_fx"))
-    val scalars = totals.select(
+    // single-class (or empty) training data has no likelihood ratio to
+    // learn — Spark's log(0) would return NULL and every margin would
+    // silently null out; fail loudly instead (the Sketches certification
+    // discipline)
+    val guarded = totals.select(col("__tp"), col("__tn"), col("__v"),
+      when(col("__np").isNull || col("__np") === 0L || col("__nn") === 0L,
+        raise_error(concat(lit("nbModel: training data must contain both"
+          + " classes; got np="), col("__np"), lit(" nn="), col("__nn"))))
+        .otherwise(col("__np")).as("__np"),
+      col("__nn"))
+    val scalars = guarded.select(
       fx(log(lit(1.0) / (col("__tp") + col("__v")).cast("double"))
         - log(lit(1.0) / (col("__tn") + col("__v")).cast("double"))).as("__ufx"),
       fx(log(col("__np").cast("double"))

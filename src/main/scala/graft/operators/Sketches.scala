@@ -160,8 +160,11 @@ object Sketches {
       .agg(count(lit(1)).as("exact"))
     est.crossJoin(exact)
       .select(col("k"), col("estimate"), col("exact"),
-        (abs(col("estimate") - col("exact").cast("double"))
-          / col("exact").cast("double")).as("rel_err"))
+        // empty input: estimate and exact are both 0 — report 0 error
+        // instead of 0/0
+        when(col("exact") === 0L, lit(0.0))
+          .otherwise(abs(col("estimate") - col("exact").cast("double"))
+            / col("exact").cast("double")).as("rel_err"))
   }
 
   /** Named query: distinct-order cardinality of lineitem through the

@@ -176,4 +176,12 @@ class ClassifySpec extends SparkSpec {
     val frac = grown.filter($"s2" === "train").count() / 1000.0
     assert(frac > 0.72 && frac < 0.88, s"train fraction: $frac")
   }
+
+  test("nbModel refuses single-class training data loudly") {
+    val docs = Seq((1L, "a b", true), (2L, "c", true)).toDF("id", "text", "pos")
+    val (llr, scalars) = Classify.nbModel(docs, $"text", $"pos")
+    val e = intercept[Exception] { scalars.collect() }
+    assert(e.getMessage != null && e.getMessage.contains("both"),
+      s"single-class must fail loudly, not null out margins: ${e.getMessage}")
+  }
 }

@@ -106,4 +106,11 @@ class SketchesSpec extends SparkSpec {
       .select("estimate").as[Double].head()
     assert(run(1) === run(16))
   }
+
+  test("kmvDistinct: empty input reports 0/0/0, not NaN") {
+    val r = Sketches.kmvDistinct(Seq.empty[Long].toDF("v"), $"v")
+      .select("estimate", "exact", "rel_err")
+      .as[(Double, Long, Double)].head()
+    assert(r === ((0.0, 0L, 0.0)))
+  }
 }
