@@ -161,11 +161,35 @@ object ScaleBench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       sec
     }
+    // Optional subset filter for same-day A/B attribution runs (the
+    // Bench discipline: a cross-run regression claim needs an isolated
+    // re-measure before it's believed). Subset runs PRINT their JSON but
+    // never overwrite the committed full artifact.
+    //
+    // r12 attribution: a second same-day full run read search_bm25_idx
+    // at 17.4×, pipeline_curate_full at 15.5×, dedup_clusters at 10.7×
+    // — on code untouched since the healthy first run (2.45× / 2.58× /
+    // 5.16×). Isolated same-day re-measures via this filter: 1.95× /
+    // 1.77× / 4.01× — the inflated numbers were late-suite JVM state at
+    // the 10× scale (the same suite-context drift Bench.scala documents
+    // per-query), not code. The committed artifact is the healthy run.
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- Queries.toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SCALE_ONLY names not in ScaleBench.Queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
+    val selected = only match {
+      case Some(names) => Queries.filter(names)
+      case None => Queries
+    }
     // JIT/footer warmup at the smallest scale so 1× timings aren't
     // absorbing JVM startup (same policy as Bench).
-    Queries.foreach(run("/root/testdata/sf0.01", _))
-    val oneX = Queries.map(n => n -> run(base, n)).toMap
-    val tenX = Queries.map(n => n -> run(scratch, n)).toMap
+    selected.foreach(run("/root/testdata/sf0.01", _))
+    val oneX = selected.map(n => n -> run(base, n)).toMap
+    val tenX = selected.map(n => n -> run(scratch, n)).toMap
     // UNTIMED second pass: result-row counts give the time ratio its
     // denominator — on the dup-heavy replicas a dedup query's OUTPUT
     // grows far faster than its input (10 replicas ⇒ ~45 pairs per
@@ -178,10 +202,10 @@ object ScaleBench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       n
     }
-    val rows1 = Queries.map(n => n -> rows(base, n)).toMap
-    val rows10 = Queries.map(n => n -> rows(scratch, n)).toMap
+    val rows1 = selected.map(n => n -> rows(base, n)).toMap
+    val rows10 = selected.map(n => n -> rows(scratch, n)).toMap
 
-    val qJson = Queries.map { n =>
+    val qJson = selected.map { n =>
       val r = tenX(n) / oneX(n)
       f"""    "$n": {"sec_1x": ${oneX(n)}%.3f, "sec_10x": ${tenX(n)}%.3f, "time_ratio": $r%.2f, "rows_1x": ${rows1(n)}, "rows_10x": ${rows10(n)}}"""
     }.mkString(",\n")
@@ -194,8 +218,11 @@ object ScaleBench {
          |$qJson
          |  }
          |}""".stripMargin
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // subset (attribution) runs must not clobber the committed full
+    // artifact — same rule as Bench's SPARK_GRAFT_BENCH_ONLY
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
     spark.stop()
   }
