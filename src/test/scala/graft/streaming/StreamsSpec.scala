@@ -736,4 +736,31 @@ class StreamsSpec extends SparkSpec {
     assert(llrR.as[(String, Long)].collect().toMap ===
       llrF.as[(String, Long)].collect().toMap, "replayed batch must not re-merge")
   }
+
+  test("applyNbBatch: crash-interrupted state swap heals before the next batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nbheal").toString
+    val b1 = Seq((1L, "good fine", true), (2L, "bad poor", false))
+    val b2 = Seq((3L, "fine good good", true), (4L, "poor", false))
+    Streams.applyNbBatch(b1.toDF("id", "text", "pos"), col("text"), col("pos"), dir, 0L)
+    // simulate a crash mid-swap of batch 1: state renamed out to __old,
+    // staging never renamed in, marker never written — the on-disk shape
+    // between the two renames
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.rename(new org.apache.hadoop.fs.Path(s"$dir/state"),
+      new org.apache.hadoop.fs.Path(s"$dir/state__old"))
+    // orphaned staging from the doomed attempt
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/state__staging_1/counts"))
+    // replayed batch 1 must heal (restore __old), drop the orphan, and
+    // apply cleanly — end state == applying b1 then b2 on a clean store
+    Streams.applyNbBatch(b2.toDF("id", "text", "pos"), col("text"), col("pos"), dir, 1L)
+    val (llrS, scS) = Streams.nbModelFromStore(spark, dir)
+    val (llrF, scF) = graft.operators.Classify.nbModel(
+      (b1 ++ b2).toDF("id", "text", "pos"), $"text", $"pos")
+    assert(llrS.as[(String, Long)].collect().toMap ===
+      llrF.as[(String, Long)].collect().toMap)
+    assert(scS.as[(Long, Long)].head() === scF.as[(Long, Long)].head())
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/state__old")))
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/state__staging_1")))
+  }
 }
