@@ -61,6 +61,18 @@ object Bench {
     // deliberate change: r10 moved it from the production 8×8-band
     // config to recall-1 32×2 bands for full oracle checking — the
     // wide-band cost is documented at its definition (Dedup.scala).
+    // r12 attribution (vs the r11 artifact): suite total 133.1s/154 →
+    // 104.4s/166 queries. Deliberate improvements: knn_graph_search
+    // 0.13× (serves the at-rest edges instead of re-paying the
+    // NN-Descent build the suite charges to knn_graph_refined),
+    // dedup_span_coverage 0.27× / dedup_span_excise 0.54× (fused
+    // positional gram kernel), plus a broad ~0.5× tide (healthier JVM
+    // than the r11 run — the documented between-run floor moving DOWN
+    // for once). The only >1.35× rows are sub-second: search_synonyms
+    // 0.72→1.07s is CODE — the r12 identity-retention fix scores the
+    // query term's own postings alongside its synonyms (an extra term
+    // per query by design); etl_label_chain/agg_salted_count/zs_tags
+    // (1.37-1.44×) are inside the documented sub-second drift band.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Per-rep GC policy (SPARK_GRAFT_BENCH_GC = all | heavy | off).
     // r9 attribution of the uniform ~1.5× r7→r8 suite slowdown, measured
