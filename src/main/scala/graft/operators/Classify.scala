@@ -324,6 +324,27 @@ object Classify {
       col("lang") === "en")
       .orderBy("rank")
 
+  /** Named query: temperature mixing over LATENT domains — when the
+    * corpus has no trustworthy domain column, balance over semantic
+    * clusters instead: each document's embedding is argmax-assigned to
+    * the shared centroid codebook (the proven SemDeDup assignment) and
+    * [[Curation.temperatureSample]] rebalances over CLUSTER sizes
+    * exactly as `mix_temperature` does over `lang` — cluster-based data
+    * balancing, the standard recipe when domains are implicit. One
+    * assignment scan + the broadcast count table; no new machinery. */
+  def mixSemanticQ(s: SparkSession, d: String): DataFrame = {
+    val assigned = Dedup.semanticAssign(Tables.embeddings(s, d),
+      col("vec_id"), col("embedding"),
+      Retrieval.labelCentroids(s, d).select(col("label").as("cid"), col("c")))
+    val docs = Tables.documents(s, d)
+      .join(assigned.select(col("__vid").as("doc_id"), col("cluster")),
+        "doc_id")
+    Curation.temperatureSample(docs, col("cluster"), col("doc_id"),
+        alpha = 0.5)
+      .select("doc_id", "cluster", "source")
+      .orderBy("doc_id")
+  }
+
   // --- deterministic holdout split -----------------------------------------
 
   /** Named query: 80/10/10 train/val/test assignment from the id hash —
@@ -349,6 +370,7 @@ object Classify {
     "quality_nb_eval" -> qualityNbEvalQ,
     "pipeline_quality_mix" -> pipelineQualityMixQ,
     "curate_dsir" -> curateDsirQ,
+    "mix_semantic" -> mixSemanticQ,
     "split_holdout" -> splitHoldoutQ)
 
   private val toksSql = "string_split(lower(text), ' ')"
@@ -478,6 +500,21 @@ object Classify {
       SELECT doc_id, score,
         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
       FROM fin ORDER BY score DESC, doc_id LIMIT 100""",
+    // SemDeDup's proven assignment pyramid + mix_temperature's sampler,
+    // keyed on the latent cluster
+    "mix_semantic" -> s"""
+      WITH ${Dedup.semAssignSql},
+      c AS (SELECT cluster, count(*) AS c FROM assign GROUP BY cluster),
+      m AS (SELECT min(c) AS cmin FROM c),
+      f AS (SELECT cluster, sqrt(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE)) AS f
+            FROM c, m),
+      u AS (SELECT d.doc_id, a.cluster, d.source, ${Curation.hexUSql} AS uu
+            FROM (SELECT doc_id, source,
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+                  FROM documents) d
+            JOIN assign a ON d.doc_id = a.vec_id)
+      SELECT u.doc_id, u.cluster, u.source FROM u JOIN f USING (cluster)
+      WHERE CAST(uu AS DOUBLE) / 4294967296.0 < f ORDER BY doc_id""",
     "split_holdout" -> s"""
       WITH u AS (SELECT doc_id, lang,
              CAST(${Curation.hexUSql} AS DOUBLE) / 4294967296.0 AS uu

@@ -687,7 +687,7 @@ object Dedup {
 
   /** Argmax-codebook assignment shared by the incremental semantic-dedup
     * paths: (id, vec) → (__vid, __v, cluster). */
-  private def semanticAssign(df: DataFrame, id: Column, vec: Column,
+  private[operators] def semanticAssign(df: DataFrame, id: Column, vec: Column,
       centroids: DataFrame): DataFrame = {
     val s = df.sparkSession
     val book = centroids.select(col("cid").cast("long"),
@@ -1434,7 +1434,7 @@ object Dedup {
   /** Shared SemDeDup oracle prefix: per-label centroid training + argmax
     * cluster assignment (the cent/assign CTEs `knn_ivf`'s oracle proves
     * Spark-parity for). */
-  private val semAssignSql =
+  private[operators] val semAssignSql =
     """cent AS (SELECT label, list(v ORDER BY i) AS c FROM (
        SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS v
        FROM embeddings, range(1, 65) t(i) GROUP BY label, i)
