@@ -1252,6 +1252,41 @@ object Dedup {
   private def spanGrams(s: SparkSession, n: Int): Column =
     graft.functions.TextExpressions.shingleHashSeq(s, col("toks"), n)
 
+  /** Memorization check (the eval-side face of span dedup): for each
+    * PROBE document, the fraction of its `n`-gram windows that occur
+    * verbatim anywhere in the REFERENCE corpus — the standard verbatim-
+    * overlap audit run on model outputs (or a held-out split) against
+    * the training lake before trusting an eval number. Reference grams
+    * reduce to a distinct hash set ONCE (lake-sized aggregate, never a
+    * pair join); each probe gram is one semi-join hit test. */
+  def memorizationRate(probe: DataFrame, reference: DataFrame,
+      id: Column, text: Column, n: Int = 8): DataFrame = {
+    val ref = reference.select(tokens(text).as("toks"))
+      .filter(size(col("toks")) >= n)
+    val refGrams = ref.select(
+      explode(spanGrams(ref.sparkSession, n)).as("g")).distinct()
+    val pr = probe.select(id.as("doc_id"), tokens(text).as("toks"))
+      .filter(size(col("toks")) >= n)
+    pr.select(col("doc_id"), explode(spanGrams(pr.sparkSession, n)).as("g"))
+      .join(refGrams.withColumn("__hit", lit(1L)), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_memorized"))
+      .select(col("doc_id"), col("n_grams"), col("n_memorized"),
+        (col("n_memorized").cast("double") / col("n_grams").cast("double"))
+          .as("memorization_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** Named query: the md5-'0' held-out split (curate_decontam's test
+    * set) audited against the rest of the corpus as the training lake. */
+  def evalMemorizationQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    memorizationRate(docs.filter(isTest), docs.filter(!isTest),
+      col("doc_id"), col("text"), n = 8)
+  }
+
   /** Cross-document EXACT-SUBSTRING duplication coverage — the signal
     * behind span-excision dedup (remove the repeated passage, keep the
     * document; whole-doc near-dup scoring misses a boilerplate paragraph
@@ -1413,6 +1448,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_clusters" -> clustersQ,
     "dedup_span_coverage" -> spanCoverageQ,
+    "eval_memorization" -> evalMemorizationQ,
     "dedup_span_excise" -> spanExciseQ,
     "dedup_embedding" -> embeddingNearDup,
     "dedup_embedding_lsh" -> embeddingNearDupLsh,
@@ -1523,6 +1559,25 @@ object Dedup {
            CAST(count(DISTINCT p) AS BIGINT) AS n_covered,
            CAST(count(DISTINCT p) AS DOUBLE) / n_toks AS dup_coverage
          FROM e GROUP BY doc_id, n_toks ORDER BY doc_id""",
+    // probe = md5-'0' split, reference = the rest; string grams replay
+    // the hashed membership test exactly (collision odds ~2^-64)
+    "eval_memorization" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_test
+           FROM documents),
+         rg AS (SELECT DISTINCT array_to_string(toks[pos:pos+7], ' ') AS gram
+               FROM (SELECT toks, unnest(range(1, len(toks) - 6)) AS pos
+                     FROM t WHERE NOT is_test AND len(toks) >= 8)),
+         pg AS (SELECT doc_id, array_to_string(toks[pos:pos+7], ' ') AS gram
+               FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos
+                     FROM t WHERE is_test AND len(toks) >= 8))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN gram IN (SELECT gram FROM rg)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_memorized,
+           CAST(sum(CASE WHEN gram IN (SELECT gram FROM rg)
+             THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS memorization_rate
+         FROM pg GROUP BY doc_id ORDER BY doc_id""",
     "dedup_span_excise" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks,
              string_split(text, ' ') AS raw FROM documents),
