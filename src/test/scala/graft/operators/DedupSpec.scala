@@ -465,4 +465,24 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxClusterN"))
   }
+
+  test("memorizationRate: contained, partial, novel, and short-probe cases") {
+    val ref = Seq(
+      (100L, "a b c d e f g h i j"), // grams of this doc are "in the lake"
+      (101L, "q r s t u v w x y z")
+    ).toDF("id", "text")
+    val probe = Seq(
+      (1L, "a b c d e f g h"),     // exactly one 8-gram, verbatim in ref -> 1.0
+      (2L, "n o p a b c d e f g h i"), // 5 grams, 2 memorized (windows 4,5)
+      (3L, "m1 m2 m3 m4 m5 m6 m7 m8"), // novel single gram -> 0.0
+      (4L, "too short")             // < 8 tokens: dropped entirely
+    ).toDF("id", "text")
+    val m = Dedup.memorizationRate(probe, ref, $"id", $"text", n = 8)
+      .select("doc_id", "n_grams", "n_memorized")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(m(1L) === ((1L, 1L, 1L)))
+    assert(m(2L) === ((2L, 5L, 2L)))
+    assert(m(3L) === ((3L, 1L, 0L)))
+    assert(!m.contains(4L))
+  }
 }
