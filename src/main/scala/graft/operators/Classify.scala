@@ -45,7 +45,7 @@ object Classify {
     * the document id, so it survives corpus growth, repartitioning, and
     * re-runs — the property a PRNG split lacks (SURVEY §7.4). */
   private[operators] def isTrain(id: Column): Column =
-    substring(md5(id.cast("string")), 1, 1) < "8"
+    graft.functions.HashFunctions.md5Bucket16(id) < "8"
 
   /** round(x · 10⁶) as long — the fixed-point quantizer shared by every
     * score path in this file (and the oracle's
@@ -95,10 +95,14 @@ object Classify {
         .withColumnRenamed("__cn", "__bn"), Seq("term"), "full_outer")
       .select(col("term"), (z(col("__ap")) + z(col("__bp"))).as("__cp"),
         (z(col("__an")) + z(col("__bn"))).as("__cn"))
+    // an EMPTY side's doc counts are NULL (sum over zero rows), and
+    // NULL + n = NULL would poison the merged state durably (the
+    // at-rest store then raise_errors forever) — coalesce BOTH sides,
+    // exactly like the term-count merge above
     val docsN = a._2.crossJoin(
         b._2.withColumnRenamed("__np", "__np2").withColumnRenamed("__nn", "__nn2"))
-      .select((col("__np") + col("__np2")).as("__np"),
-        (col("__nn") + col("__nn2")).as("__nn"))
+      .select((z(col("__np")) + z(col("__np2"))).as("__np"),
+        (z(col("__nn")) + z(col("__nn2"))).as("__nn"))
     (counts, docsN)
   }
 
@@ -303,8 +307,8 @@ object Classify {
       .groupBy("doc_id").agg(sum("__lrfx").as("__wfx"))
     // Gumbel key: u ∈ (0,1) from the id hash (+0.5 keeps u off both
     // endpoints exactly), g = -ln(-ln(u))
-    val u = (conv(substring(md5(concat(lit("g"), col("doc_id").cast("string"))),
-      1, 8), 16, 10).cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val u = graft.functions.HashFunctions.md5UniformOpen(
+      concat(lit("g"), col("doc_id").cast("string")))
     val scored = dw.withColumn("score",
       round(col("__wfx").cast("double") / lit(1e6) + (-log(-log(u))), 6))
     // top-n is orderBy+limit (TakeOrderedAndProject — per-partition
@@ -352,8 +356,7 @@ object Classify {
     * changes as the corpus grows (the property a rank- or PRNG-based
     * split lacks), so no eval example ever migrates into training. */
   def holdoutSplit(id: Column): Column = {
-    val u = conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
-      .cast("long").cast("double") / lit(4294967296.0)
+    val u = graft.functions.HashFunctions.md5Uniform(id)
     when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
   }
 
@@ -504,15 +507,18 @@ object Classify {
     // keyed on the latent cluster
     "mix_semantic" -> s"""
       WITH ${Dedup.semAssignSql},
-      c AS (SELECT cluster, count(*) AS c FROM assign GROUP BY cluster),
-      m AS (SELECT min(c) AS cmin FROM c),
-      f AS (SELECT cluster, sqrt(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE)) AS f
-            FROM c, m),
       u AS (SELECT d.doc_id, a.cluster, d.source, ${Curation.hexUSql} AS uu
             FROM (SELECT doc_id, source,
                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
                   FROM documents) d
-            JOIN assign a ON d.doc_id = a.vec_id)
+            JOIN assign a ON d.doc_id = a.vec_id),
+      -- counts over the JOINED (document ∩ assignment) set — the
+      -- population the sampler balances — matching temperatureSample's
+      -- counting base exactly, not the raw embedding assignments
+      c AS (SELECT cluster, count(*) AS c FROM u GROUP BY cluster),
+      m AS (SELECT min(c) AS cmin FROM c),
+      f AS (SELECT cluster, sqrt(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE)) AS f
+            FROM c, m)
       SELECT u.doc_id, u.cluster, u.source FROM u JOIN f USING (cluster)
       WHERE CAST(uu AS DOUBLE) / 4294967296.0 < f ORDER BY doc_id""",
     "split_holdout" -> s"""

@@ -109,7 +109,19 @@ object Curation {
     * proves it); only the physical join strategy moves. */
   def decontaminate(train: DataFrame, test: DataFrame, id: Column,
       text: Column, n: Int = 5,
-      maxBroadcastRows: Long = 10L * 1000 * 1000): DataFrame = {
+      maxBroadcastRows: Long = 10L * 1000 * 1000): DataFrame =
+    train.select(id.as("doc_id"))
+      .join(contaminatedIds(train, test, id, text, n, maxBroadcastRows),
+        Seq("doc_id"), "left_anti")
+
+  /** The shared shingle probe behind [[decontaminate]] (strip) and
+    * [[decontamReport]] (measure): training doc ids sharing any
+    * `n`-shingle with the held-out set. The test side broadcasts only
+    * under `maxBroadcastRows` — beyond it, the shuffle-hash fallback
+    * (a lake-scale held-out set must not OOM the driver). */
+  private def contaminatedIds(train: DataFrame, test: DataFrame,
+      id: Column, text: Column, n: Int,
+      maxBroadcastRows: Long): DataFrame = {
     val s = train.sparkSession
     def sh(c: Column) = graft.functions.TextExpressions.shingleHashes(s, tokens(c), n)
     val testSh = test.select(explode(sh(text)).as("sh")).distinct()
@@ -117,12 +129,10 @@ object Curation {
     val probeSide =
       if (test.count() <= maxBroadcastRows) broadcast(testSh)
       else testSh.hint("shuffle_hash")
-    val contaminated = train
+    train
       .select(id.as("doc_id"), explode(sh(text)).as("sh"))
       .join(probeSide, Seq("sh"), "left_semi")
       .select("doc_id").distinct()
-    train.select(id.as("doc_id"))
-      .join(contaminated, Seq("doc_id"), "left_anti")
   }
 
   // --- temperature-based language mixing -----------------------------------
@@ -147,8 +157,7 @@ object Curation {
     val ratio = col("__cmin").cast("double") / col("__c").cast("double")
     val keepF = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
     val fracs = cnts.crossJoin(broadcast(cmin)).withColumn("__f", keepF)
-    val u = conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
-      .cast("long").cast("double") / lit(4294967296.0)
+    val u = graft.functions.HashFunctions.md5Uniform(idCol)
     df.join(broadcast(fracs), langCol === col("__lang"))
       .filter(u < col("__f"))
       .drop("__lang", "__c", "__cmin", "__f")
@@ -277,7 +286,7 @@ object Curation {
     * corpus); survivors = the rest minus anything sharing a 5-shingle. */
   def curateDecontam(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    val isTest = graft.functions.HashFunctions.md5Bucket16(col("doc_id")) === "0"
     decontaminate(docs.filter(!isTest), docs.filter(isTest),
       col("doc_id"), col("text"), n = 5)
       .orderBy("doc_id")
@@ -290,15 +299,11 @@ object Curation {
     * salvageable or drops wholesale. Same shingle probe as the strip
     * pass (one extra per-source aggregate, integer-exact oracle). */
   def decontamReport(train: DataFrame, test: DataFrame, id: Column,
-      group: Column, text: Column, n: Int = 5): DataFrame = {
-    val s = train.sparkSession
-    def sh(c: Column) = graft.functions.TextExpressions.shingleHashes(s, tokens(c), n)
-    val testSh = test.select(explode(sh(text)).as("sh")).distinct()
-    val contaminated = train
-      .select(id.as("doc_id"), explode(sh(text)).as("sh"))
-      .join(broadcast(testSh), Seq("sh"), "left_semi")
-      .select("doc_id").distinct()
-      .withColumn("__hit", lit(1L))
+      group: Column, text: Column, n: Int = 5,
+      maxBroadcastRows: Long = 10L * 1000 * 1000): DataFrame = {
+    val contaminated =
+      contaminatedIds(train, test, id, text, n, maxBroadcastRows)
+        .withColumn("__hit", lit(1L))
     train.select(id.as("doc_id"), group.as("source"))
       .join(contaminated, Seq("doc_id"), "left")
       .groupBy("source")
@@ -312,7 +317,7 @@ object Curation {
 
   def curateDecontamReport(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    val isTest = graft.functions.HashFunctions.md5Bucket16(col("doc_id")) === "0"
     decontamReport(docs.filter(!isTest), docs.filter(isTest),
       col("doc_id"), col("source"), col("text"), n = 5)
   }

@@ -1282,7 +1282,7 @@ object Dedup {
     * set) audited against the rest of the corpus as the training lake. */
   def evalMemorizationQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    val isTest = graft.functions.HashFunctions.md5Bucket16(col("doc_id")) === "0"
     memorizationRate(docs.filter(isTest), docs.filter(!isTest),
       col("doc_id"), col("text"), n = 8)
   }

@@ -148,15 +148,19 @@ object Sketches {
     * then runs on the bounded artifact. */
   def kmvDistinct(df: DataFrame, key: Column, k: Int = 256): DataFrame = {
     require(k >= 2, s"kmvDistinct: k >= 2, got $k")
-    val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
-    val mins = df.select(u.as("__u")).distinct()
+    // NULL keys are excluded on BOTH legs — SQL's count(DISTINCT)
+    // semantics, and what the oracle computes (a null hash would
+    // otherwise sort first in Spark and consume a k-minimum slot while
+    // DuckDB sorts NULLS LAST — a silent estimator divergence)
+    val in = df.filter(key.isNotNull)
+    val u = graft.functions.HashFunctions.md5UniformOpen(key)
+    val mins = in.select(u.as("__u")).distinct()
       .orderBy("__u").limit(k)
     val est = mins.agg(count(lit(1)).as("__m"), max("__u").as("__uk"))
       .select(lit(k).as("k"), col("__m"),
         when(col("__m") < k, col("__m").cast("double"))
           .otherwise(lit((k - 1).toDouble) / col("__uk")).as("estimate"))
-    val exact = df.select(key.as("__v")).distinct()
+    val exact = in.select(key.as("__v")).distinct()
       .agg(count(lit(1)).as("exact"))
     est.crossJoin(exact)
       .select(col("k"), col("estimate"), col("exact"),

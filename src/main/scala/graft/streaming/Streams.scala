@@ -775,6 +775,7 @@ object Streams {
   def applyNbBatch(batch: DataFrame, text: org.apache.spark.sql.Column,
       isPos: org.apache.spark.sql.Column, modelDir: String,
       batchId: Long): Unit = {
+    if (batch.isEmpty) return // backfill callers get nbIngest's guard too
     val s = batch.sparkSession
     val f = fs(s, modelDir)
     val marker = new org.apache.hadoop.fs.Path(s"$modelDir/_batch_$batchId")
