@@ -118,24 +118,31 @@ object Classify {
       .crossJoin(docsN)
     def smoothed(c: Column, t: Column): Column =
       log((c + lit(1L)).cast("double") / (t + col("__v")).cast("double"))
-    val llr = counts.crossJoin(broadcast(totals)).select(col("term"),
-      fx(smoothed(col("__cp"), col("__tp"))
-        - smoothed(col("__cn"), col("__tn"))).as("llr_fx"))
     // single-class (or empty) training data has no likelihood ratio to
     // learn — Spark's log(0) would return NULL and every margin would
     // silently null out; fail loudly instead (the Sketches certification
-    // discipline)
-    val guarded = totals.select(col("__tp"), col("__tn"), col("__v"),
-      when(col("__np").isNull || col("__np") === 0L || col("__nn") === 0L,
+    // discipline). The guard must sit INSIDE each output expression, not
+    // on a side column: Catalyst prunes unreferenced columns, so a guard
+    // carried next to llr_fx would be optimized away and llr-only
+    // consumers (qualityNbModelQ) would silently get a degenerate model.
+    val oneClass =
+      col("__np").isNull || col("__np") === 0L || col("__nn") === 0L
+    def bothClassesOr(v: Column): Column =
+      when(oneClass,
         raise_error(concat(lit("nbModel: training data must contain both"
-          + " classes; got np="), col("__np"), lit(" nn="), col("__nn"))))
-        .otherwise(col("__np")).as("__np"),
-      col("__nn"))
-    val scalars = guarded.select(
-      fx(log(lit(1.0) / (col("__tp") + col("__v")).cast("double"))
-        - log(lit(1.0) / (col("__tn") + col("__v")).cast("double"))).as("__ufx"),
-      fx(log(col("__np").cast("double"))
-        - log(col("__nn").cast("double"))).as("__pfx"))
+          + " classes; got np="), col("__np"), lit(" nn="), col("__nn")))
+          .cast("long"))
+        .otherwise(v)
+    val llr = counts.crossJoin(broadcast(totals)).select(col("term"),
+      bothClassesOr(fx(smoothed(col("__cp"), col("__tp"))
+        - smoothed(col("__cn"), col("__tn")))).as("llr_fx"))
+    val scalars = totals.select(
+      bothClassesOr(
+        fx(log(lit(1.0) / (col("__tp") + col("__v")).cast("double"))
+          - log(lit(1.0) / (col("__tn") + col("__v")).cast("double")))).as("__ufx"),
+      bothClassesOr(
+        fx(log(col("__np").cast("double"))
+          - log(col("__nn").cast("double")))).as("__pfx"))
     (llr, scalars)
   }
 

@@ -97,7 +97,11 @@ object Multimodal {
         (col("doc_id") * 1000000 + col("chunk_idx")).as("doc_id"),
         col("frame").as("payload")), dim = 16, encoderFactory = encoder)
       .toDF()
-      .select((col("doc_id") / 1000000).cast("long").as("doc_id"),
+      // integer `div`, not float `/`+cast: a double quotient of a ~1e15
+      // composite key sits half-an-ulp from the true value and the
+      // truncating cast would mis-decode once doc_id outgrows the guard
+      // (same spelling as [[frameDedup]])
+      .select(expr("doc_id div 1000000").as("doc_id"),
         col("feature"))
     // Double-precision pooling: integer-valued features sum exactly, one
     // IEEE division per element — no float cast between encode and norm.

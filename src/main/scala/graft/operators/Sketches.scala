@@ -190,7 +190,7 @@ object Sketches {
       val hexU = Curation.hexUSql
       s"""WITH u AS (SELECT DISTINCT (CAST($hexU AS DOUBLE) + 0.5) / 4294967296.0 AS u
              FROM (SELECT substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS h
-                   FROM lineitem)),
+                   FROM lineitem WHERE l_orderkey IS NOT NULL)),
          mins AS (SELECT u FROM u ORDER BY u LIMIT 256),
          est AS (SELECT CAST(256 AS INT) AS k, count(*) AS m, max(u) AS uk FROM mins),
          ex AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact FROM lineitem)

@@ -35,6 +35,15 @@ object Compact {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** HDFS-semantics rename reports failure by returning false; an
+    * unchecked swap rename would fall through to `delete(old)` and
+    * destroy the only durable table copy — abort instead (the staging
+    * tree survives; the next run self-heals). */
+  private def renameOrDie(f: org.apache.hadoop.fs.FileSystem,
+      src: Path, dst: Path): Unit =
+    if (!f.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
   /** Data files under `path` (non-recursive; parquet leaf dir), ignoring
     * _SUCCESS/._* bookkeeping. */
   private def dataFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
@@ -68,7 +77,7 @@ object Compact {
     val tmpP = new Path(s"${path}__compact_staging")
     // self-heal a crash between the swap renames: the previous table is
     // intact at __old — put it back before touching anything else
-    if (!f.exists(pathP) && f.exists(oldP)) f.rename(oldP, pathP)
+    if (!f.exists(pathP) && f.exists(oldP)) renameOrDie(f, oldP, pathP)
     f.delete(tmpP, true) // leftover staging from an interrupted run
     f.delete(oldP, true) // leftover __old from a crash after the swap
     val before = dataFiles(spark, path)
@@ -79,9 +88,9 @@ object Compact {
     spark.read.parquet(path).repartition(nOut)
       .write.mode("overwrite").parquet(tmpP.toString) // durable before any move
     onStep("staged")
-    f.rename(pathP, oldP)
+    renameOrDie(f, pathP, oldP)
     onStep("vacated")
-    f.rename(tmpP, pathP)
+    renameOrDie(f, tmpP, pathP)
     onStep("swapped")
     f.delete(oldP, true)
     val after = dataFiles(spark, path)

@@ -300,6 +300,17 @@ object Streams {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** HDFS-semantics `rename` reports failure by returning false, not by
+    * throwing. A swap step that ignores that and falls through to
+    * `delete(old)` would destroy the only durable copy of the state and
+    * commit a batch that never merged — so every swap/heal rename in this
+    * file goes through this and aborts the batch on false (Structured
+    * Streaming retries it; the staging tree is intact). */
+  private def renameOrDie(f: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    if (!f.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
   /** Delete stale `${target}__staging_*` leftovers from crashed earlier
     * batches. Batch ids move forward across retries, so a crash between
     * staging and swap would otherwise leak one orphan dir per attempt
@@ -341,7 +352,7 @@ object Streams {
     // previous table is intact at __old — put it back first; then clear
     // any staging leftovers a pre-swap crash stranded (their batch never
     // committed, so they are rebuilt from the stream on retry)
-    if (!f.exists(targetP) && f.exists(oldP)) f.rename(oldP, targetP)
+    if (!f.exists(targetP) && f.exists(oldP)) renameOrDie(f, oldP, targetP)
     f.delete(oldP, true)
     dropStaleStaging(spark, target)
     val fresh = batch.dropDuplicates(key)
@@ -354,8 +365,8 @@ object Streams {
       merged.write.mode("overwrite").parquet(tmp) // durable before any move
       // rename-out/rename-in/delete-old: every intermediate state keeps a
       // complete durable copy (see Compact.compactParquet's swap notes)
-      f.rename(targetP, oldP)
-      f.rename(tmpP, targetP)
+      renameOrDie(f, targetP, oldP)
+      renameOrDie(f, tmpP, targetP)
       f.delete(oldP, true)
     } else fresh.write.mode("overwrite").parquet(target)
   }
@@ -784,7 +795,7 @@ object Streams {
     val stateP = new org.apache.hadoop.fs.Path(stateDir)
     val oldP = new org.apache.hadoop.fs.Path(s"${stateDir}__old")
     // heal an interrupted previous swap, then clear staging orphans
-    if (!f.exists(stateP) && f.exists(oldP)) f.rename(oldP, stateP)
+    if (!f.exists(stateP) && f.exists(oldP)) renameOrDie(f, oldP, stateP)
     f.delete(oldP, true)
     dropStaleStaging(s, stateDir)
     val fresh = graft.operators.Classify.nbCounts(batch, text, isPos)
@@ -810,8 +821,8 @@ object Streams {
     counts.write.mode("overwrite").parquet(s"$tmp/counts")
     docsN.withColumn("__last_batch", lit(batchId))
       .write.mode("overwrite").parquet(s"$tmp/docs_n")
-    if (f.exists(stateP)) f.rename(stateP, oldP)
-    f.rename(new org.apache.hadoop.fs.Path(tmp), stateP)
+    if (f.exists(stateP)) renameOrDie(f, stateP, oldP)
+    renameOrDie(f, new org.apache.hadoop.fs.Path(tmp), stateP)
     f.delete(oldP, true)
     f.create(marker, true).close() // applied — commit the batch id
   }

@@ -183,5 +183,11 @@ class ClassifySpec extends SparkSpec {
     val e = intercept[Exception] { scalars.collect() }
     assert(e.getMessage != null && e.getMessage.contains("both"),
       s"single-class must fail loudly, not null out margins: ${e.getMessage}")
+    // the llr-only path (qualityNbModelQ inspects top features without
+    // ever touching scalars) must trip the same guard — r12 advice: llr
+    // derived from unguarded totals silently returned a degenerate model
+    val e2 = intercept[Exception] { llr.collect() }
+    assert(e2.getMessage != null && e2.getMessage.contains("both"),
+      s"llr-only consumers must trip the guard too: ${e2.getMessage}")
   }
 }

@@ -120,4 +120,21 @@ class EdgeCasesSpec extends SparkSpec {
     // reference requires at least one tag in tags mode)
     assert(Search.tagSearch(segs, Nil, 0.5, 5).count() === 0)
   }
+
+  test("composite frame key decode is exact at the guard boundary") {
+    // doc_id 9e9 with frame_idx 999999 is the largest composite the
+    // frameDedup guard admits: 9e9·10⁶ + 999999 ≈ 9.000000001e15. A
+    // float `/ 1000000` + truncating cast sits half-an-ulp (1.0 at this
+    // magnitude) from the true quotient; the integer `div` spelling both
+    // frameEmbed and frameDedup now use must round-trip it exactly.
+    val df = Seq((9000000000L, 999999L), (9000000000L, 0L), (1L, 999999L))
+      .toDF("doc_id", "frame_idx")
+      .select((col("doc_id") * 1000000L + col("frame_idx")).as("k"),
+        col("doc_id").as("exp_doc"), col("frame_idx").as("exp_frame"))
+      .select(expr("k div 1000000").as("got_doc"),
+        (col("k") % 1000000L).as("got_frame"),
+        col("exp_doc"), col("exp_frame"))
+    assert(df.filter(col("got_doc") =!= col("exp_doc") ||
+      col("got_frame") =!= col("exp_frame")).count() === 0)
+  }
 }
