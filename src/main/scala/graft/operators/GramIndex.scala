@@ -1,0 +1,339 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+import graft.functions.TextExpressions
+
+/** At-rest DISTINCT-GRAM index — the 5th at-rest index family (after
+  * IVF, kNN-graph, MinHash signatures and the inverted index), serving
+  * the verbatim-overlap audits: memorization
+  * ([[Dedup.memorizationRate]]) and benchmark decontamination
+  * ([[Curation.decontaminate]]).
+  *
+  * Why it exists: both audits reduce the LAKE side to a gram-hash
+  * membership set and probe it with a (benchmark-sized) held-out set.
+  * Computed in-plan, that reduction — tokenize, hash, explode, dedup
+  * 100 TB of text — is the entire cost, and it is paid again on EVERY
+  * audit run (audits run per eval, per takedown, per release). This
+  * index pays it once at ingest and serves every probe after from
+  * bucket-pruned parquet, the same economics as
+  * [[Lexical.writeInvertedIndex]] (reference anchor: the incremental
+  * merge discipline of `upload_features_to_elasticsearch.py`
+  * generalized to the eval face — tokenize once, serve forever).
+  *
+  * Layout under `dir/`:
+  *  - `grams/bucket=<b>/` — rows `(doc_id, g)`: per-doc-DISTINCT
+  *    xxhash64 gram-chain hashes ([[TextExpressions.shingleHashes]],
+  *    width `n`), hash-partitioned by `bucket = pmod(g, buckets)` so a
+  *    probe's grams map to partition directories (PartitionFilters —
+  *    `GramIndexSpec` asserts the pruned scan). Rows carry `doc_id`
+  *    (posting-style, not a bare distinct set) for two reasons: the
+  *    decontam probe NEEDS the contaminated doc ids back, and takedowns
+  *    need doc attribution to delete ([[Tombstones]] anti-join; a bare
+  *    gram set cannot forget a document without refcounts).
+  *  - `stats/` — one row `(n, buckets, n_docs)`, swap-managed, written
+  *    LAST so its presence means "build completed" (the
+  *    [[graft.streaming.Streams.indexIngest]] rebuild-vs-append probe
+  *    discipline).
+  *  - `_tombstones/` — shared takedown store.
+  *
+  * Gram semantics are [[graft.functions.TextFunctions.shingles]]'s:
+  * every doc contributes, docs shorter than `n` tokens contribute their
+  * single whole-span gram. That makes the index EXACTLY the membership
+  * relation [[Curation.decontaminate]] explodes in-plan. The
+  * memorization probe filters its probe docs to ≥ n tokens (as
+  * [[Dedup.memorizationRate]] does), so every probe gram is width-n and
+  * a lake-side degenerate (width < n) gram can only match it by a
+  * 64-bit chain collision (~2⁻⁶⁴ per pair — the same w.h.p. contract
+  * every hashed-gram query in this repo carries; the string-gram oracle
+  * replay confirms it at sf0.01).
+  *
+  * 100 TB shape: the build is one corpus scan → fused per-row hash
+  * kernel → bucket-partitioned write (no joins, map-side distinct per
+  * doc); a probe reads ≤ min(|probe grams|, buckets) partition dirs and
+  * never touches corpus text; appends are file drops into bucket dirs
+  * plus one swap of the one-row stats; takedowns are O(|deletes|)
+  * tombstones applied at probe time and compacted bucket-wise by
+  * [[merge]].
+  */
+object GramIndex {
+
+  val DefaultBuckets = 64
+  val DefaultN = 8
+
+  // --- swap plumbing (the Lexical/Compact crash-safe rewrite discipline;
+  // rename results CHECKED — HDFS reports failure by returning false) ----
+
+  private def fsOf(s: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def mustRename(f: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    if (!f.rename(src, dst))
+      throw new java.io.IOException(s"swap rename failed: $src -> $dst")
+
+  private def healSwap(s: SparkSession, path: String): Unit = {
+    val f = fsOf(s, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val oldP = new org.apache.hadoop.fs.Path(path + "__old")
+    if (!f.exists(p) && f.exists(oldP)) mustRename(f, oldP, p)
+  }
+
+  private def swapWrite(s: SparkSession, path: String)(write: String => Unit): Unit = {
+    val f = fsOf(s, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val oldP = new org.apache.hadoop.fs.Path(path + "__old")
+    val tmpP = new org.apache.hadoop.fs.Path(path + "__staging")
+    healSwap(s, path)
+    f.delete(tmpP, true); f.delete(oldP, true)
+    write(tmpP.toString)
+    mustRename(f, p, oldP); mustRename(f, tmpP, p); f.delete(oldP, true)
+  }
+
+  /** Heal interrupted stats swaps — entry point for callers that must
+    * decide "does this index exist?" before an eager parquet read (the
+    * streaming ingest's rebuild-vs-append probe). */
+  private[graft] def healIndex(s: SparkSession, dir: String): Unit =
+    healSwap(s, s"$dir/stats")
+
+  // --- build / append / delete / compact ---------------------------------
+
+  /** The row derivation shared by full build and append — ONE definition
+    * so a layout change can never silently break append-equals-rebuild
+    * parity. Per-doc-distinct gram hashes via the fused set kernel (one
+    * string-hash per token, open-addressed dedup — no gram strings). */
+  private def gramRows(docs: DataFrame, id: Column, text: Column,
+      n: Int, buckets: Int): DataFrame = {
+    val s = docs.sparkSession
+    val toks = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+    toks.select(col("doc_id"),
+        explode(TextExpressions.shingleHashes(s, col("toks"), n)).as("g"))
+      .withColumn("bucket", pmod(col("g"), lit(buckets.toLong)))
+  }
+
+  def write(docs: DataFrame, id: Column, text: Column, dir: String,
+      n: Int = DefaultN, buckets: Int = DefaultBuckets): Unit = {
+    require(n >= 1 && buckets >= 1)
+    val s = docs.sparkSession
+    gramRows(docs, id, text, n, buckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/grams")
+    // stats LAST: presence = completed build
+    docs.agg(count(lit(1)).as("n_docs"))
+      .select(lit(n.toLong).as("n"), lit(buckets.toLong).as("buckets"),
+        col("n_docs"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** `(n, buckets)` the index was built with — probes and appends MUST
+    * use the same, so they read it rather than trusting a parameter. */
+  private def readStats(s: SparkSession, dir: String): (Int, Int) = {
+    healIndex(s, dir)
+    val r = s.read.parquet(s"$dir/stats").select("n", "buckets").head()
+    (r.getLong(0).toInt, r.getLong(1).toInt)
+  }
+
+  /** Append NEW documents (ids disjoint from the indexed corpus — the
+    * ingest-increment contract, enforced like [[Lexical.appendToIndex]]):
+    * gram rows drop into their bucket dirs (new doc_ids touch no
+    * existing row, so appending files IS the merge); the one-row stats
+    * recombine behind a crash-safe swap. Probe results from an appended
+    * index are identical to a full rebuild on the union (spec-pinned) —
+    * membership is a set union and doc attribution is row-disjoint. */
+  def append(docs: DataFrame, id: Column, text: Column, dir: String,
+      requireDisjoint: Boolean = true): Unit = {
+    val s = docs.sparkSession
+    val (n, buckets) = readStats(s, dir)
+    val rows = gramRows(docs, id, text, n, buckets).localCheckpoint()
+    if (requireDisjoint) {
+      val clash = s.read.parquet(s"$dir/grams").select("doc_id")
+        .join(broadcast(rows.select("doc_id").distinct()),
+          Seq("doc_id"), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        "GramIndex.append batch overlaps the indexed corpus (doc_ids " +
+          "must be NEW); an overlapping append would double-count a " +
+          "doc's grams and mis-attribute contamination")
+    }
+    rows.write.mode("append").partitionBy("bucket").parquet(s"$dir/grams")
+    val nNew = docs.agg(count(lit(1))).head().getLong(0)
+    val merged = s.read.parquet(s"$dir/stats")
+      .select(col("n"), col("buckets"), (col("n_docs") + lit(nNew)).as("n_docs"))
+    swapWrite(s, s"$dir/stats") { tmp =>
+      merged.write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  /** Takedown: O(|ids|) tombstones; every probe drops the docs' rows
+    * immediately, [[merge]] reclaims the space later. */
+  def delete(ids: DataFrame, idCol: Column, dir: String): Unit =
+    graft.sources.Tombstones.add(ids, idCol, dir)
+
+  /** Scheduled compaction: apply tombstones physically, rewriting ONLY
+    * the bucket dirs that hold a deleted doc's rows (crash-safe
+    * per-bucket swaps via [[graft.sources.Tombstones.rewriteLive]]),
+    * refresh `n_docs`, clear the tombstones. */
+  def merge(s: SparkSession, dir: String): Unit = {
+    healIndex(s, dir)
+    graft.sources.Tombstones.healPartitions(s, s"$dir/grams")
+    graft.sources.Tombstones.ids(s, dir).foreach { tomb =>
+      val grams = s.read.parquet(s"$dir/grams")
+      val touched = grams.join(tomb, col("doc_id") === tomb("id"), "left_semi")
+        .select(col("bucket").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val nDead = grams.select("doc_id").distinct()
+        .join(tomb, col("doc_id") === tomb("id"), "left_semi").count()
+      touched.foreach { b =>
+        graft.sources.Tombstones.rewriteLive(s, s"$dir/grams/bucket=$b",
+          df => df.join(tomb, col("doc_id") === tomb("id"), "left_anti"))
+      }
+      val merged = s.read.parquet(s"$dir/stats")
+        .select(col("n"), col("buckets"), (col("n_docs") - lit(nDead)).as("n_docs"))
+      swapWrite(s, s"$dir/stats") { tmp =>
+        merged.write.mode("overwrite").parquet(tmp)
+      }
+      graft.sources.Tombstones.clear(s, dir)
+    }
+  }
+
+  // --- probes -------------------------------------------------------------
+
+  /** Shared probe preamble: heal, read the gram table with the probe's
+    * bucket ids as PartitionFilters (≤ buckets values — collected from a
+    * probe-bounded distinct, never the lake), tombstones dropped. */
+  private def prunedLive(s: SparkSession, dir: String, probeGrams: DataFrame,
+      buckets: Int): DataFrame = {
+    graft.sources.Tombstones.healPartitions(s, s"$dir/grams")
+    val bIds = probeGrams
+      .select(pmod(col("g"), lit(buckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0))
+    val read = s.read.parquet(s"$dir/grams")
+    val pruned =
+      if (bIds.length < buckets) read.filter(col("bucket").isin(bIds.map(Long.box): _*))
+      else read
+    graft.sources.Tombstones.dropDeleted(pruned, col("doc_id"), dir)
+  }
+
+  /** [[Dedup.memorizationRate]] answered from the index: per probe doc,
+    * the fraction of its positional width-n gram windows present
+    * anywhere in the indexed lake. Same output schema/ordering; shares
+    * `eval_memorization`'s oracle. The lake-side distinct reduction the
+    * in-plan operator pays per audit is replaced by a bucket-pruned
+    * index read; the only aggregates are probe-bounded (matched grams ⊆
+    * probe grams → broadcast back over the probe's positions). */
+  def memorizationRateFromIndex(probe: DataFrame, id: Column, text: Column,
+      dir: String): DataFrame = {
+    val s = probe.sparkSession
+    val (n, buckets) = readStats(s, dir)
+    val pr = probe.select(id.as("doc_id"), tokens(text).as("toks"))
+      .filter(size(col("toks")) >= n)
+    // positional grams — each window is one trial, duplicates count
+    val prG = pr.select(col("doc_id"),
+      explode(TextExpressions.shingleHashSeq(s, col("toks"), n)).as("g"))
+    val probeSet = prG.select("g").distinct()
+    // lake scan (pruned) probed BY the broadcast probe set — the lake is
+    // never aggregated; matched ⊆ probe set, so it broadcasts back
+    val matched = prunedLive(s, dir, probeSet, buckets)
+      .join(broadcast(probeSet), Seq("g"), "left_semi")
+      .select("g").distinct()
+      .withColumn("__hit", lit(1L))
+    prG.join(broadcast(matched), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_memorized"))
+      .select(col("doc_id"), col("n_grams"), col("n_memorized"),
+        (col("n_memorized").cast("double") / col("n_grams").cast("double"))
+          .as("memorization_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** Indexed-lake doc ids sharing ANY width-n gram with the held-out
+    * set — [[Curation.decontaminate]]'s membership probe served from the
+    * index (train corpus never re-tokenized). */
+  def contaminatedIdsFromIndex(test: DataFrame, text: Column,
+      dir: String): DataFrame = {
+    val s = test.sparkSession
+    val (n, buckets) = readStats(s, dir)
+    val testSh = test
+      .select(explode(TextExpressions.shingleHashes(s, tokens(text), n)).as("g"))
+      .distinct()
+    prunedLive(s, dir, testSh, buckets)
+      .join(broadcast(testSh), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
+  /** The strip face over an indexed lake: live indexed doc ids minus the
+    * contaminated — equals [[Curation.decontaminate]] on the same corpus
+    * split (shares `curate_decontam`'s oracle). `train` supplies the
+    * id universe (the survivors relation is over the lake TABLE, not the
+    * index — the index only decides membership). */
+  def decontaminateFromIndex(train: DataFrame, test: DataFrame, id: Column,
+      text: Column, dir: String): DataFrame =
+    train.select(id.as("doc_id"))
+      .join(contaminatedIdsFromIndex(test, text, dir), Seq("doc_id"), "left_anti")
+
+  // --- named queries -------------------------------------------------------
+
+  /** Per-JVM cached index builds over the immutable testdata dirs (the
+    * [[Lexical]] idxCache pattern) — the benched number is the SERVING
+    * path, and scratch dirs are removed on JVM exit. */
+  private val memIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val decIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      Seq(memIdxCache, decIdxCache).foreach(
+        _.values.forEach { dir => rm(new java.io.File(dir)) })
+    }))
+  }
+
+  private def isTest: Column =
+    graft.functions.HashFunctions.md5Bucket16(col("doc_id")) === "0"
+
+  private def memIdx(s: SparkSession, d: String): String =
+    memIdxCache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_gram_mem").toString
+      write(Tables.documents(s, d).filter(!isTest), col("doc_id"), col("text"),
+        s"$tmp/idx", n = 8)
+      s"$tmp/idx"
+    })
+
+  private def decIdx(s: SparkSession, d: String): String =
+    decIdxCache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_gram_dec").toString
+      write(Tables.documents(s, d).filter(!isTest), col("doc_id"), col("text"),
+        s"$tmp/idx", n = 5)
+      s"$tmp/idx"
+    })
+
+  /** [[Dedup.evalMemorizationQ]] served from the at-rest gram index —
+    * SAME oracle, so the whole build/append/probe path is hash-checked
+    * against the in-plan formulation. */
+  def evalMemorizationIdxQ(s: SparkSession, d: String): DataFrame =
+    memorizationRateFromIndex(Tables.documents(s, d).filter(isTest),
+      col("doc_id"), col("text"), memIdx(s, d))
+
+  /** [[Curation.curateDecontam]] served from the at-rest gram index —
+    * same oracle. */
+  def curateDecontamIdxQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    decontaminateFromIndex(docs.filter(!isTest), docs.filter(isTest),
+      col("doc_id"), col("text"), decIdx(s, d))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_memorization_idx" -> evalMemorizationIdxQ,
+    "curate_decontam_idx" -> curateDecontamIdxQ)
+
+  /** Oracle SQL SHARED with the in-plan formulations — bit-for-bit the
+    * same strings, the `search_bm25_idx` pattern. */
+  val oracleSql: Map[String, String] = Map(
+    "eval_memorization_idx" -> Dedup.oracleSql("eval_memorization"),
+    "curate_decontam_idx" -> Curation.oracleSql("curate_decontam"))
+}

@@ -542,6 +542,46 @@ object Streams {
       .start()
   }
 
+  /** Maintain the at-rest distinct-gram index
+    * ([[graft.operators.GramIndex]]) from a document stream: first
+    * micro-batch writes the index, later ones append into their bucket
+    * dirs — so newly landed lake docs are IMMEDIATELY visible to the
+    * memorization/decontam audits without any lake re-scan. Same
+    * exactly-once discipline as [[indexIngest]]: `_batch_<id>` marker
+    * committed after the apply, fresh-checkpoint-vs-stale-marker
+    * collisions refused at start, heal-before-probe so a crash mid
+    * stats-swap can't read a COMPLETE index as "absent" and clobber it. */
+  def gramIngest(docs: DataFrame, indexDir: String, checkpoint: String,
+      n: Int = graft.operators.GramIndex.DefaultN)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireConsistentMarkers(docs.sparkSession, indexDir, checkpoint)
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.GramIndex.healIndex(batch.sparkSession, indexDir)
+          val statsDir = new org.apache.hadoop.fs.Path(s"$indexDir/stats")
+          val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batch_$batchId")
+          val f = statsDir.getFileSystem(
+            batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (!f.exists(marker)) { // replayed-but-applied batch: skip
+            if (f.exists(statsDir))
+              // requireDisjoint stays on — the append-done/marker-lost
+              // replay window turns into a loud failure, not silent
+              // double-attribution (the indexIngest rationale)
+              graft.operators.GramIndex.append(
+                batch, col("doc_id"), col("text"), indexDir)
+            else
+              graft.operators.GramIndex.write(
+                batch, col("doc_id"), col("text"), indexDir, n = n)
+            f.create(marker, true).close() // applied — commit the batch id
+          }
+        }
+      }
+      .start()
+  }
+
   /** One micro-batch of [[ivfIngest]], exposed so replay idempotence is
     * directly testable: assign + append the batch into the IVF layout
     * unless its `_batch_<id>` marker says it already landed. The marker

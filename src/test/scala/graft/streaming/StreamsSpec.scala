@@ -468,6 +468,47 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("gramIngest: appended lake docs are immediately audit-visible; equals batch audit on the union") {
+    import graft.operators.{Dedup, GramIndex}
+    val dir = java.nio.file.Files.createTempDirectory("graft_gram_stream").toString
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "completely different content with no shared runs at all okay"))
+    val b2 = Seq( // adds the probe's SECOND window (…theta novel) to the lake
+      (3L, "beta gamma delta epsilon zeta eta theta novel more words"))
+    val probe = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta novel suffix"),
+      (101L, "nothing in this probe matches any lake window of eight tokens"))
+      .toDF("doc_id", "text")
+    def audit() = GramIndex.memorizationRateFromIndex(
+      probe, $"doc_id", $"text", s"$dir/idx")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.gramIngest(
+      input.toDF().toDF("doc_id", "text"), s"$dir/idx", s"$dir/ckpt")
+    try {
+      input.addData(b1); q.processAllAvailable()
+      val after1 = audit()
+      input.addData(b2); q.processAllAvailable()
+      val after2 = audit()
+      // batch analog on each prefix — the streamed index IS the audit state
+      val p1 = Dedup.memorizationRate(probe, b1.toDF("doc_id", "text"),
+        $"doc_id", $"text", n = 8).as[(Long, Long, Long, Double)].collect().toSeq
+      val p2 = Dedup.memorizationRate(probe, (b1 ++ b2).toDF("doc_id", "text"),
+        $"doc_id", $"text", n = 8).as[(Long, Long, Long, Double)].collect().toSeq
+      assert(after1 === p1, "audit after batch 1 = batch audit on prefix 1")
+      assert(after2 === p2, "audit after batch 2 = batch audit on the union")
+      assert(after1 !== after2,
+        "batch 2's appended doc must actually change the probe's rate")
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("ivfIngest: streamed IVF index serves identical to a batch build; replays skip") {
     import graft.operators.Search
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
