@@ -73,6 +73,15 @@ object Bench {
     // query term's own postings alongside its synonyms (an extra term
     // per query by design); etl_label_chain/agg_salted_count/zs_tags
     // (1.37-1.44×) are inside the documented sub-second drift band.
+    // r13 attribution: txt_bigram_merge's pair build moved from the
+    // interpreted HOF (`transform(sequence, i -> concat(...))`) to the
+    // fused AdjacentPairsExpr byte-concat kernel — same-day isolated A/B
+    // at sf0.1 (spark-shell, local[32], cached token column, 2 timed
+    // reps after warmup): HOF 0.51/0.42s vs fused 0.30/0.27s ≈ 0.62×,
+    // and 1.84s vs 0.47s on the cold first run. The new txt_bpe_train
+    // rides the same kernel family (struct pairs + BpeMergeExpr) ×3
+    // rounds + 4 localCheckpoints, so its absolute time is
+    // materialization-dominated by design.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Per-rep GC policy (SPARK_GRAFT_BENCH_GC = all | heavy | off).
     // r9 attribution of the uniform ~1.5× r7→r8 suite slowdown, measured

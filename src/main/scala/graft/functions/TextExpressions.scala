@@ -689,6 +689,82 @@ case class GramBucketsExpr(child: Expression, buckets: Int) extends TokenArrayEx
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Adjacent token pairs as strings — `["a b", "b c", …]` for
+  * `[a, b, c]` — the per-round statistic a BPE/WordPiece trainer counts.
+  * Fuses the interpreted HOF spelling
+  * `transform(sequence(0, size-2), i -> concat(toks[i], ' ', toks[i+1]))`
+  * (one lambda invocation + intermediate Column eval per pair, ~µs each
+  * — the DSIR trap [[GramBucketsExpr]] removed) into one primitive loop
+  * with direct byte-level concat (`UTF8String.concat`). Semantics match
+  * the HOF exactly (parity spec-pinned): < 2 elements → empty array; a
+  * null element null-propagates through `concat`, so its two pairs are
+  * null elements. */
+case class AdjacentPairsExpr(child: Expression) extends TokenArrayExpression {
+  override def prettyName: String = "graft_adjacent_pairs"
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var prev: org.apache.spark.unsafe.types.UTF8String =
+      if (arr.isNullAt(0)) null else arr.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      out(i - 1) =
+        if (prev == null || cur == null) null
+        else org.apache.spark.unsafe.types.UTF8String.concat(prev, space, cur)
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** One BPE merge round applied to a token array: greedy LEFTMOST
+  * non-overlapping replacement of the adjacent pair (a, b) with the
+  * merged symbol "a b" — the re-tokenize step of a BPE trainer
+  * ([[graft.operators.TextAnalysis.bpeTrain]] iterates it with the
+  * round's winning pair). Greedy-leftmost is the standard rule and the
+  * one that makes the a = b case deterministic: in a run of equal
+  * tokens, positions 0, 2, 4… of the run merge ("a a a" → ["a a", "a"]).
+  * Null elements never match (they stay as-is). */
+case class BpeMergeExpr(child: Expression, a: String, b: String)
+    extends TokenArrayExpression {
+  override def prettyName: String = "graft_bpe_merge"
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  private val ua = org.apache.spark.unsafe.types.UTF8String.fromString(a)
+  private val ub = org.apache.spark.unsafe.types.UTF8String.fromString(b)
+  private val merged =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s"$a $b")
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[Any](n)
+    var i = 0
+    while (i < n) {
+      val cur = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      if (cur != null && i + 1 < n && !arr.isNullAt(i + 1) &&
+          cur.equals(ua) && arr.getUTF8String(i + 1).equals(ub)) {
+        out.add(merged); i += 2
+      } else {
+        out.add(cur); i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   private def litStr(e: Expression): String =
     e.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
@@ -728,6 +804,10 @@ object TextExpressions {
       reg.createOrReplaceTempFunction("graft_shingle_hash_seq",
         es => ShingleHashSeqExpr(es(0),
           es(1).eval().asInstanceOf[Number].intValue()), "built-in")
+      reg.createOrReplaceTempFunction("graft_adjacent_pairs",
+        es => AdjacentPairsExpr(es.head), "built-in")
+      reg.createOrReplaceTempFunction("graft_bpe_merge",
+        es => BpeMergeExpr(es(0), litStr(es(1)), litStr(es(2))), "built-in")
     }
   }
 
@@ -761,6 +841,12 @@ object TextExpressions {
   }
   def shingleHashSeq(spark: SparkSession, toks: Column, n: Int): Column = {
     register(spark); call_function("graft_shingle_hash_seq", toks, lit(n))
+  }
+  def adjacentPairs(spark: SparkSession, toks: Column): Column = {
+    register(spark); call_function("graft_adjacent_pairs", toks)
+  }
+  def bpeMerge(spark: SparkSession, toks: Column, a: String, b: String): Column = {
+    register(spark); call_function("graft_bpe_merge", toks, lit(a), lit(b))
   }
   def hyperplaneSig(spark: SparkSession, vec: Column, nbits: Int): Column = {
     register(spark); call_function("graft_hyperplane_sig", vec, lit(nbits))

@@ -279,16 +279,81 @@ object TextAnalysis {
     Tables.documents(s, d)
       .withColumn("toks", docToks)
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
-        .as("pair"))
+      // fused [[graft.functions.AdjacentPairsExpr]] kernel (direct byte
+      // concat) replacing the interpreted
+      // `transform(sequence, i -> concat(toks[i],' ',toks[i+1]))` HOF —
+      // one lambda eval per pair, the DSIR trap; fused ≡ HOF parity is
+      // spec-pinned and the oracle is unchanged
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.adjacentPairs(s, col("toks")))
+          .as("pair"))
       .groupBy("pair")
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(desc("n"), asc("pair")).limit(20)
 
+  /** BPE trainer loop — the operator a tokenizer-training pipeline
+    * actually runs over the word stream: R rounds of (count adjacent
+    * symbol pairs → take the most frequent → merge it corpus-wide),
+    * [[bigramMerge]] iterated with the re-tokenize applied between
+    * rounds. The driver holds ONLY the ≤R-row merge table (the
+    * [[Search.kmeansTrain]] codebook pattern); each round is one
+    * pair-keyed partial aggregation plus one narrow map over the token
+    * column, with `localCheckpoint` bounding lineage so round r never
+    * re-evaluates rounds 1..r-1 (the standard iterative-algorithm trade,
+    * as in NN-Descent).
+    *
+    * Pairs are counted as (a, b) STRUCTS, not concat strings — merged
+    * symbols contain spaces, so the winning pair must stay split to
+    * parameterize the next round's [[graft.functions.BpeMergeExpr]]
+    * (greedy-leftmost replace; in a run of equal symbols positions
+    * 0, 2, 4… of the run merge). Ties break on the concatenated pair
+    * string ascending, exactly what the CTE-replay oracle computes.
+    * Stops early if a round finds no pair (degenerate corpora).
+    *
+    * Returns (round, pair, n): the merge table with each winner's count
+    * at selection time — non-increasing in `round` (a merge can only
+    * remove occurrences of existing pairs and introduce new pairs with
+    * at most its own count; ScalaCheck-pinned). */
+  def bpeTrain(docs: DataFrame, text: Column, rounds: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(rounds >= 1, s"bpeTrain: rounds >= 1, got $rounds")
+    var toks = docs.select(tokens(text).as("toks")).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = toks.filter(size(col("toks")) >= 2)
+        .select(explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1).as("a"),
+          slice(col("toks"), lit(2), size(col("toks")) - 1).as("b"))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc,
+          concat(col("a"), lit(" "), col("b")).asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        val n = top(0).getLong(2)
+        merges += ((r, s"$a $b", n))
+        toks = toks.select(graft.functions.TextExpressions
+          .bpeMerge(s, col("toks"), a, b).as("toks")).localCheckpoint()
+      }
+      r += 1
+    }
+    merges.toSeq.toDF("round", "pair", "n").orderBy("round")
+  }
+
+  /** Named query: 3 BPE rounds over the corpus word stream. */
+  def bpeTrainQ(s: SparkSession, d: String): DataFrame =
+    bpeTrain(Tables.documents(s, d), col("text"), rounds = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_quality" -> quality,
     "txt_bigram_merge" -> bigramMerge,
+    "txt_bpe_train" -> bpeTrainQ,
     "txt_langid" -> langId,
     "txt_tokencount" -> tokenCount,
     "txt_chunk" -> chunk,
@@ -307,6 +372,40 @@ object TextAnalysis {
   private def toksSqlOf(textExpr: String) =
     s"string_split(lower($textExpr), ' ')"
   private val toksSql = toksSqlOf("text")
+
+  /** One BPE round replayed in SQL: count pairs over `t{r-1}`, pick the
+    * winner (`w$r`), then rebuild the token arrays (`t$r`) with the
+    * greedy-leftmost merge expressed as gaps-and-islands — in each
+    * maximal run of consecutive matching positions the 1st, 3rd, 5th…
+    * merge (`rp % 2 = 1`), a position is consumed iff its predecessor
+    * was selected. Exactly [[graft.functions.BpeMergeExpr]]'s rule. */
+  private def bpeRoundSql(r: Int): String = {
+    val prev = s"t${r - 1}"
+    s"""p$r AS (SELECT toks[i] AS a, toks[i + 1] AS b, count(*) AS n
+            FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                  FROM $prev WHERE len(toks) >= 2)
+            GROUP BY a, b),
+       w$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a || ' ' || b LIMIT 1),
+       m$r AS (SELECT d.doc_id, d.i, d.toks[d.i] AS tok,
+                 COALESCE(d.toks[d.i] = w.a AND d.toks[d.i + 1] = w.b, FALSE) AS hit
+               FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+                     FROM $prev) d CROSS JOIN w$r w),
+       h$r AS (SELECT doc_id, i,
+                 i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+               FROM m$r WHERE hit),
+       sel$r AS (SELECT doc_id, i FROM
+                  (SELECT doc_id, i,
+                     row_number() OVER (PARTITION BY doc_id, isl ORDER BY i) AS rp
+                   FROM h$r) WHERE rp % 2 = 1),
+       t$r AS (SELECT m.doc_id,
+                 list(CASE WHEN s.i IS NOT NULL THEN w.a || ' ' || w.b
+                      ELSE m.tok END ORDER BY m.i) AS toks
+               FROM m$r m CROSS JOIN w$r w
+               LEFT JOIN sel$r s ON m.doc_id = s.doc_id AND m.i = s.i
+               LEFT JOIN sel$r c ON m.doc_id = c.doc_id AND m.i = c.i + 1
+               WHERE c.i IS NULL
+               GROUP BY m.doc_id)"""
+  }
 
   val oracleSql: Map[String, String] = Map(
     "txt_quality" ->
@@ -437,5 +536,17 @@ object TextAnalysis {
                  i -> toks[i] || ' ' || toks[i + 1])) AS pair
                FROM t WHERE len(toks) >= 2)
          SELECT pair, count(*) AS n, count(DISTINCT doc_id) AS n_docs
-         FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")
+         FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+    "txt_bpe_train" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         ${bpeRoundSql(1)},
+         ${bpeRoundSql(2)},
+         ${bpeRoundSql(3)}
+         SELECT * FROM (
+           SELECT 1 AS round, a || ' ' || b AS pair, CAST(n AS BIGINT) AS n FROM w1
+           UNION ALL
+           SELECT 2 AS round, a || ' ' || b AS pair, CAST(n AS BIGINT) AS n FROM w2
+           UNION ALL
+           SELECT 3 AS round, a || ' ' || b AS pair, CAST(n AS BIGINT) AS n FROM w3)
+         ORDER BY round""")
 }

@@ -286,4 +286,64 @@ class TextFunctionsSpec extends SparkSpec {
       .select("doc_id", "mean_surprisal2").as[(Long, Double)].collect().toMap
     assert(m(1L) < m(99L), s"common ${m(1L)} must score below rare ${m(99L)}")
   }
+
+  test("AdjacentPairsExpr: exact parity with the HOF transform spelling") {
+    val docs = Seq("a b c d e", "a a a", "x y", "solo", "", "p q p q p")
+    val df = docs.toDF("t").withColumn("toks", tokens($"t"))
+    val hof = df.select(expr(
+      "CASE WHEN size(toks) < 2 THEN array() ELSE transform(" +
+        "sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1])) END"))
+      .as[Seq[String]].collect()
+    val fused = df.select(
+      graft.functions.TextExpressions.adjacentPairs(spark, $"toks"))
+      .as[Seq[String]].collect()
+    assert(fused.toSeq === hof.toSeq)
+    // null elements null-propagate like concat
+    val withNull = Seq(Tuple1(Seq("a", null, "b"))).toDF("toks")
+      .select(graft.functions.TextExpressions.adjacentPairs(spark, $"toks"))
+      .as[Seq[Option[String]]].collect().head
+    assert(withNull === Seq(None, None))
+  }
+
+  test("BpeMergeExpr: greedy-leftmost merge incl. equal-symbol runs") {
+    import graft.functions.TextExpressions.bpeMerge
+    def run(toks: Seq[String], a: String, b: String): Seq[String] =
+      Seq(Tuple1(toks)).toDF("toks")
+        .select(bpeMerge(spark, $"toks", a, b)).as[Seq[String]].collect().head
+    assert(run(Seq("x", "a", "b", "y"), "a", "b") === Seq("x", "a b", "y"))
+    assert(run(Seq("a", "b", "a", "b"), "a", "b") === Seq("a b", "a b"))
+    // greedy on a run of equal symbols: positions 0, 2 of the run merge
+    assert(run(Seq("a", "a", "a"), "a", "a") === Seq("a a", "a"))
+    assert(run(Seq("x", "a", "a", "a", "a"), "a", "a")
+      === Seq("x", "a a", "a a"))
+    // merged symbols carry spaces and match as whole symbols only
+    assert(run(Seq("a b", "c"), "a b", "c") === Seq("a b c"))
+    assert(run(Seq("a", "b c"), "a", "b") === Seq("a", "b c"))
+    assert(run(Seq("q"), "a", "b") === Seq("q"))
+    assert(run(Seq.empty[String], "a", "b") === Seq.empty[String])
+  }
+
+  test("bpeTrain: merge counts are non-increasing across rounds (property)") {
+    import org.scalacheck.{Gen, rng}
+    // small vocab + short docs → merges genuinely repeat and cascade
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.chooseNum(2, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val corpusGen = Gen.chooseNum(3, 10).flatMap(n => Gen.listOfN(n, doc))
+    (0 until 8).foreach { seed =>
+      val corpus = corpusGen(Gen.Parameters.default, rng.Seed(seed.toLong)).get
+      val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val rounds = graft.operators.TextAnalysis
+        .bpeTrain(df, $"text", rounds = 4)
+        .as[(Int, String, Long)].collect().toSeq
+      assert(rounds.nonEmpty)
+      rounds.sliding(2).foreach {
+        case Seq((_, _, n1), (_, _, n2)) =>
+          assert(n2 <= n1,
+            s"merge counts must be non-increasing, got $rounds (seed $seed)")
+        case _ => ()
+      }
+    }
+  }
 }
