@@ -111,6 +111,123 @@ object Serving {
     JsonMethods.compact(JsonMethods.render(JString(v)))
 }
 
+/** Bundled HTTP listener over [[Serving.handle]]/[[Serving.health]] —
+  * the last surface of the reference's `app.py` (routes `/health`,
+  * `/search/<mode>`, `/api/search`; 16 MB request cap with the 413
+  * envelope of `app.py:324-327`; 500 envelope of `app.py:329-331`) on a
+  * real socket, using the JDK's `com.sun.net.httpserver` so the library
+  * stays zero-dependency. The engine boundary is unchanged: every route
+  * is a thin status-code mapping around the SAME pure functions the
+  * specs and CLI drive, so "HTTP response body" ≡ "[[Serving.handle]]
+  * return value" by construction (ServingHttpSpec asserts it over the
+  * wire).
+  *
+  * Serving-scale note: one Spark driver serves all requests; the JDK
+  * server's default executor runs handlers on the caller thread pool and
+  * Spark schedules concurrent collect()s fairly. This is the reference's
+  * deployment shape (one Flask process in front of one engine), not a
+  * fleet story.
+  */
+object ServingHttp {
+
+  val MaxBody: Long = 16L * 1024 * 1024 // app.py:27 MAX_CONTENT_LENGTH
+  val Modes = Set("whole", "segment", "hybrid", "tags")
+
+  /** Start the listener; `port = 0` picks an ephemeral port (tests).
+    * Returns the running server — callers own `stop()`. */
+  def start(s: SparkSession, d: String, port: Int): com.sun.net.httpserver.HttpServer = {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(port), 0)
+    srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try route(s, d, ex)
+      catch { // app.py:329-331 envelope — a handler bug must answer JSON
+        case scala.util.control.NonFatal(e) =>
+          respond(ex, 500,
+            s"""{"error":"Internal server error","details":${jstr(
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}}""")
+      }
+    })
+    srv.start()
+    srv
+  }
+
+  private def route(s: SparkSession, d: String,
+      ex: com.sun.net.httpserver.HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    (ex.getRequestMethod, path) match {
+      case ("GET", "/health") => respond(ex, 200, Serving.health(s, d))
+      case ("POST", p) if p.startsWith("/search/") =>
+        val mode = p.stripPrefix("/search/")
+        if (!Modes(mode)) respond(ex, 404, """{"error":"Not found"}""")
+        else readBody(ex).fold(tooLarge(ex)) { body =>
+          // the path names the mode (app.py's per-mode routes): inject
+          // it over whatever the body carries
+          dispatch(s, d, ex, withMode(body, mode))
+        }
+      case ("POST", "/api/search") =>
+        readBody(ex).fold(tooLarge(ex)) { body =>
+          val mode = scala.util.Try(JsonMethods.parse(
+              if (body.isEmpty) "{}" else body) \ "mode").toOption match {
+            case Some(JString(m)) => m.toLowerCase
+            case _ => ""
+          }
+          if (!Modes(mode)) // app.py:311's exact envelope
+            respond(ex, 400,
+              """{"error":"Invalid mode. Use: whole, segment, hybrid, or tags"}""")
+          else dispatch(s, d, ex, withMode(body, mode))
+        }
+      case _ => respond(ex, 404, """{"error":"Not found"}""")
+    }
+  }
+
+  private def dispatch(s: SparkSession, d: String,
+      ex: com.sun.net.httpserver.HttpExchange, requestJson: String): Unit = {
+    val out = Serving.handle(s, d, requestJson)
+    // handle's error envelope = a request the engine rejected → 400
+    // (parse errors, unknown fields); success envelopes carry "mode"
+    respond(ex, if (out.startsWith("""{"error":""")) 400 else 200, out)
+  }
+
+  /** Body up to [[MaxBody]]; None = over the cap (413 path). */
+  private def readBody(ex: com.sun.net.httpserver.HttpExchange): Option[String] = {
+    val in = ex.getRequestBody
+    val buf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](64 * 1024)
+    var n = in.read(chunk)
+    while (n >= 0 && buf.size() <= MaxBody) {
+      buf.write(chunk, 0, n)
+      n = in.read(chunk)
+    }
+    if (buf.size() > MaxBody) None
+    else Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def tooLarge(ex: com.sun.net.httpserver.HttpExchange): Unit =
+    respond(ex, 413, """{"error":"File too large. Max size: 16MB"}""") // app.py:326
+
+  private def withMode(body: String, mode: String): String = {
+    val base = scala.util.Try(JsonMethods.parse(
+      if (body.trim.isEmpty) "{}" else body)).getOrElse(JObject())
+    val merged = base match {
+      case JObject(fs) => JObject(fs.filterNot(_._1 == "mode") :+ ("mode" -> JString(mode)))
+      case _ => JObject(List("mode" -> JString(mode)))
+    }
+    JsonMethods.compact(JsonMethods.render(merged))
+  }
+
+  private def respond(ex: com.sun.net.httpserver.HttpExchange,
+      status: Int, json: String): Unit = {
+    val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def jstr(v: String): String =
+    JsonMethods.compact(JsonMethods.render(JString(v)))
+}
+
 /** Terminal wrapper over [[Serving.handle]] — the reference's CLI
   * surface (`search_with_segments.py:628-709`: mode + per-mode knobs as
   * flags). Either pass the request as one JSON blob or as flags:
@@ -158,7 +275,15 @@ object SearchCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(Serving.handle(spark, data, requestJson(args)))
-    spark.stop()
+    kv.get("--serve") match {
+      case Some(port) => // long-running listener mode (app.py's role)
+        val srv = ServingHttp.start(spark, data, port.toInt)
+        println(s"graft serving on port ${srv.getAddress.getPort} " +
+          "(GET /health, POST /search/<mode>, POST /api/search)")
+        Thread.currentThread().join() // serve until killed
+      case None =>
+        println(Serving.handle(spark, data, requestJson(args)))
+        spark.stop()
+    }
   }
 }

@@ -1,0 +1,106 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+
+import graft.SparkSpec
+
+/** Drives [[ServingHttp]] over REAL sockets: every route's body must be
+  * byte-identical to the pure function it wraps, and the status-code /
+  * error-envelope mapping must match the reference's `app.py`. */
+class ServingHttpSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def withServer(f: Int => Unit): Unit = {
+    val srv = ServingHttp.start(spark, d, 0) // ephemeral port
+    try f(srv.getAddress.getPort)
+    finally srv.stop(0)
+  }
+
+  private def req(port: Int, method: String, path: String,
+      body: Option[Array[Byte]] = None): (Int, String) = {
+    val c = new URI(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    c.setRequestMethod(method)
+    body.foreach { b =>
+      c.setDoOutput(true)
+      val os = c.getOutputStream
+      try os.write(b) finally os.close()
+    }
+    val status = c.getResponseCode
+    val in = if (status >= 400) c.getErrorStream else c.getInputStream
+    val out = new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    in.close()
+    (status, out)
+  }
+
+  private def post(port: Int, path: String, json: String): (Int, String) =
+    req(port, "POST", path,
+      Some(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  test("GET /health answers Serving.health verbatim with 200") {
+    withServer { port =>
+      val (status, body) = req(port, "GET", "/health")
+      assert(status === 200)
+      assert(body === Serving.health(spark, d))
+      assert(body.contains("\"status\":\"healthy\""))
+    }
+  }
+
+  test("POST /api/search: body = Serving.handle for the same request") {
+    withServer { port =>
+      val json = """{"mode":"whole","top_k":3,"query_image_id":1}"""
+      val (status, body) = post(port, "/api/search", json)
+      assert(status === 200)
+      assert(body === Serving.handle(spark, d, json))
+      assert(body.contains("\"mode\":\"whole\"") && body.contains("\"results\":["))
+    }
+  }
+
+  test("POST /search/<mode>: path mode overrides/injects into the body") {
+    withServer { port =>
+      val (status, body) =
+        post(port, "/search/tags", """{"tags":"lbl_2,lbl_4","top_k":4}""")
+      assert(status === 200)
+      assert(body === Serving.handle(spark, d,
+        """{"tags":"lbl_2,lbl_4","top_k":4,"mode":"tags"}"""))
+      // empty body is a valid mode-only request on the path routes
+      val (s2, b2) = post(port, "/search/whole", "")
+      assert(s2 === 200 && b2.contains("\"mode\":\"whole\""))
+      // unknown mode path → 404, not a 500
+      val (s3, _) = post(port, "/search/nonsense", "{}")
+      assert(s3 === 404)
+    }
+  }
+
+  test("invalid mode on /api/search → 400 with app.py's exact envelope") {
+    withServer { port =>
+      val (status, body) = post(port, "/api/search", """{"mode":"sideways"}""")
+      assert(status === 400)
+      assert(body ===
+        """{"error":"Invalid mode. Use: whole, segment, hybrid, or tags"}""")
+      val (s2, b2) = post(port, "/api/search", """{"top_k":3}""")
+      assert(s2 === 400 && b2 === body, "missing mode takes the same envelope")
+    }
+  }
+
+  test("engine-rejected request → 400 with handle's error JSON") {
+    withServer { port =>
+      val (status, body) =
+        post(port, "/api/search", """{"mode":"tags","top_k":"three"}""")
+      assert(status === 400)
+      assert(body.startsWith("""{"error":"""))
+    }
+  }
+
+  test("body over 16MB → 413 with app.py's exact envelope") {
+    withServer { port =>
+      val big = new Array[Byte]((ServingHttp.MaxBody + 2).toInt)
+      java.util.Arrays.fill(big, 'x'.toByte)
+      val (status, body) = req(port, "POST", "/api/search", Some(big))
+      assert(status === 413)
+      assert(body === """{"error":"File too large. Max size: 16MB"}""")
+    }
+  }
+}
