@@ -435,6 +435,81 @@ object Streams {
     startUpsertStream(curated, target, checkpoint, partCol = Some(partCol))
   }
 
+  /** [[ingestPipeline]] with the continuously-trained quality model in
+    * the admission gate — the production DCLM loop closed: a labeled
+    * stream maintains the NB count store via [[nbIngest]], and THIS
+    * stream scores every arriving (hygiene-passed, deduped, redacted)
+    * document against whatever that store holds at its micro-batch —
+    * docs the CURRENT model rejects never land. Model freshness is
+    * per-batch by construction (the store is re-read inside
+    * `foreachBatch`), so as the model stream learns, the gate flips —
+    * without restarting this query (StreamsSpec pins exactly that flip,
+    * and per-phase parity with the batch [[graft.operators.Classify.nbScore]]
+    * gate under the same store state).
+    *
+    * Cold-start rule, stated honestly: until the store exists AND has
+    * seen both classes, scoring would either crash (no state) or
+    * raise_error (single class — the nbModel guard), so the gate admits
+    * on the heuristic stages alone. That is the right production
+    * behavior — a quality model that has not yet seen a negative example
+    * has no opinion — and the moment the threshold is crossed the next
+    * batch scores. The check costs one read of the 1-row docs_n table.
+    *
+    * Scale shape per batch: model finalize is O(vocab) over the count
+    * store (AQE broadcasts it into the score join), scoring is one
+    * explode + term join over the BATCH (not the lake), and the landing
+    * upsert rewrites only touched partitions. */
+  def modelGatedIngest(df: DataFrame, textCol: String, keyCol: String,
+      tsCol: String, partCol: String, target: String, checkpoint: String,
+      modelDir: String, dedupWatermark: String = "1 hour")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = df.sparkSession
+    val gated = hygieneGated(df, textCol)
+    val deduped = dedupedByContent(gated, textCol,
+      watermark = Some(tsCol -> dedupWatermark))
+    val curated = deduped
+      .drop(textCol)
+      .withColumnRenamed("redacted", textCol)
+      .withColumnRenamed(keyCol, "event_id")
+    val sink = upsertByKeyPartitioned(spark, target, "event_id", partCol) _
+    curated.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val admitted =
+            if (nbStoreReady(s, modelDir)) {
+              val (llr, scalars) = nbModelFromStore(s, modelDir)
+              val scores = graft.operators.Classify.nbScore(
+                batch, col("event_id"), col(textCol), llr, scalars)
+              batch.join(
+                scores.filter(col("pred_pos"))
+                  .select(col("doc_id").as("event_id")),
+                Seq("event_id"), "left_semi")
+            } else batch // cold start: heuristic gates only (see above)
+          sink(admitted, batchId)
+        }
+      }
+      .start()
+  }
+
+  /** True once the NB count store exists and holds BOTH classes — the
+    * score-vs-heuristics switch of [[modelGatedIngest]]. Heals an
+    * interrupted swap first so a mid-swap crash can't read a live store
+    * as absent. */
+  def nbStoreReady(s: SparkSession, modelDir: String): Boolean = {
+    val stateDir = s"$modelDir/state"
+    val stateP = new org.apache.hadoop.fs.Path(stateDir)
+    val oldP = new org.apache.hadoop.fs.Path(s"${stateDir}__old")
+    val f = fs(s, stateDir)
+    if (!f.exists(stateP) && f.exists(oldP)) renameOrDie(f, oldP, stateP)
+    f.exists(stateP) && {
+      val r = s.read.parquet(s"$stateDir/docs_n").select("__np", "__nn").head()
+      !r.isNullAt(0) && !r.isNullAt(1) && r.getLong(0) > 0L && r.getLong(1) > 0L
+    }
+  }
+
   /** Wire a streaming DataFrame into the upsert sink. With `partCol` set
     * (the documented default for anything table-sized) each micro-batch
     * routes through [[upsertByKeyPartitioned]] and rewrites only the

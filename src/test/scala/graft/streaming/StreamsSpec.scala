@@ -406,6 +406,57 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("modelGatedIngest: gate flips as the streamed NB model learns; per-phase parity with the batch gate") {
+    import graft.operators.Classify
+    val dir = java.nio.file.Files.createTempDirectory("graft_model_gate").toString
+    val modelDir = s"$dir/model"
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val q = Streams.modelGatedIngest(
+      input.toDF().toDF("id", "ts", "day", "text"),
+      textCol = "text", keyCol = "id", tsCol = "ts", partCol = "day",
+      target = s"$dir/t", checkpoint = s"$dir/ckpt", modelDir = modelDir)
+    def landed(): Set[Long] = spark.read.parquet(s"$dir/t")
+      .select("event_id").as[Long].collect().toSet
+    try {
+      // phase 1 — COLD START: no model store yet → heuristics only, both
+      // hygiene-passing docs land regardless of vocabulary
+      input.addData(Seq(
+        (1L, ts(0), "d1", "an excellent fluent quality document about the brown fox and prose"),
+        (2L, ts(1), "d1", "the spam junk garbage collection with refuse words and some debris here")))
+      q.processAllAvailable()
+      assert(landed() === Set(1L, 2L), "cold start admits on heuristics alone")
+      // phase 2 — the model stream learns (batch face of nbIngest):
+      // positives carry the quality vocabulary, negatives the junk one
+      val labeled = Seq(
+        (101L, "the quick brown fox is excellent quality writing and fluent prose", true),
+        (102L, "excellent fluent prose with quality words about the brown fox", true),
+        (103L, "spam junk garbage refuse debris pile with more spam and junk", false),
+        (104L, "the garbage refuse debris and spam junk words keep piling up", false))
+        .toDF("doc_id", "text", "pos")
+      Streams.applyNbBatch(labeled, $"text", $"pos", modelDir, batchId = 0L)
+      assert(Streams.nbStoreReady(spark, modelDir))
+      // phase 3 — SAME running query, next batch: the junk-vocab doc is
+      // now rejected by the model, the quality-vocab doc still lands
+      input.addData(Seq(
+        (3L, ts(2), "d2", "a fluent and excellent new document of real quality about prose"),
+        (4L, ts(3), "d2", "more spam junk and garbage debris refuse piling into this text")))
+      q.processAllAvailable()
+      assert(landed() === Set(1L, 2L, 3L),
+        s"model must now reject the junk doc: ${landed()}")
+      // per-phase parity with the batch gate: scoring phase 3's docs
+      // against the SAME store replays the admission decision exactly
+      val (llr, scalars) = Streams.nbModelFromStore(spark, modelDir)
+      val preds = Classify.nbScore(
+        Seq((3L, "a fluent and excellent new document of real quality about prose"),
+          (4L, "more spam junk and garbage debris refuse piling into this text"))
+          .toDF("doc_id", "text"),
+        $"doc_id", $"text", llr, scalars)
+        .select("doc_id", "pred_pos").as[(Long, Boolean)].collect().toMap
+      assert(preds === Map(3L -> true, 4L -> false),
+        "batch nbScore under the store state = the streamed admission")
+    } finally q.stop()
+  }
+
   test("streaming similarity scoring: fused cosine + broadcast vocab on a stream") {
     // the SRS ingest flow (upload → auto-tag/suggest): incoming embeddings
     // scored against a static centroid table with the same kernels the
