@@ -79,7 +79,13 @@ object ScaleBench {
     // vocab-keyed score join sublinear in the tf table; dup-heavy
     // replicas barely grow the vocabulary, the realistic crawl shape)
     // and DSIR (one fused gram pass, O(256) model — strictly linear).
-    "quality_nb", "curate_dsir")
+    "quality_nb", "curate_dsir",
+    // round 13: the full model-gated mixing chain (NB gate → temperature
+    // resample → token cap) — the one r12 Classify composition with no
+    // 10× row: its shuffles are the Zipf-skewed term-keyed score join
+    // (AQE skew-split territory at 100 TB) plus two broadcast-bounded
+    // resampling stages, so time must track the explode (~rows).
+    "pipeline_quality_mix")
 
   /** Scale-only bindings that aren't part of the served query surface. */
   private val Extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
@@ -173,6 +179,26 @@ object ScaleBench {
     // 1.77× / 4.01× — the inflated numbers were late-suite JVM state at
     // the 10× scale (the same suite-context drift Bench.scala documents
     // per-query), not code. The committed artifact is the healthy run.
+    //
+    // r13 attribution (the r12-advice follow-up): the r12 artifact's own
+    // inflated rows, isolated same-day re-measures on untouched code:
+    //   dedup_minhash_lsh    14.75× → 3.47× (r11 artifact: 3.81×)
+    //   pipeline_curate      13.78× → 1.86× (r11: 1.84×)
+    //   pack_sequences        6.61× → 1.08× (r11: 0.94×)
+    //   pipeline_curate_excise 0.79× (sec_1x 17.9 > sec_10x 14.1,
+    //     physically implausible) → 4.17× with a sane 4.54 s 1× — the
+    //     committed 1× was the inflated leg, not the 10×.
+    // All four converge back to their r11 values ⇒ the r12 rows were the
+    // same late-suite JVM-state drift as above, and the r13 artifact was
+    // re-frozen from a clean full run the same day. pipeline_curate's
+    // intermediate TRANSITIVE-NEAR-DUP pair set is the denominator its
+    // ratio is judged against (the jaccard stage consumes the banded
+    // candidate pairs — 77 verified pairs at 1× vs 223,919 at 10×, the
+    // dedup_minhash_lsh output above — so even the stray 13.8× reading
+    // was far below that 2,908× work-driver; at 1.86× it is strongly
+    // sublinear in candidates).
+    // pipeline_quality_mix (added r13): 1.27× — the NB gate's term-keyed
+    // score join + two broadcast resampling stages track the explode.
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
