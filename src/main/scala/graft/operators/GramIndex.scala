@@ -275,6 +275,25 @@ object GramIndex {
     train.select(id.as("doc_id"))
       .join(contaminatedIdsFromIndex(test, text, dir), Seq("doc_id"), "left_anti")
 
+  /** The measured face ([[Curation.decontamReport]]) from the index:
+    * per-source doc counts, contaminated counts, rate — same output,
+    * same oracle, train corpus re-read only for its (id, group) columns
+    * (column-pruned scan), never re-tokenized. */
+  def decontamReportFromIndex(train: DataFrame, test: DataFrame, id: Column,
+      group: Column, text: Column, dir: String): DataFrame = {
+    val contaminated = contaminatedIdsFromIndex(test, text, dir)
+      .withColumn("__hit", lit(1L))
+    train.select(id.as("doc_id"), group.as("source"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_docs").cast("double"))
+          .as("contamination_rate"))
+      .orderBy("source")
+  }
+
   // --- named queries -------------------------------------------------------
 
   /** Per-JVM cached index builds over the immutable testdata dirs (the
@@ -327,13 +346,23 @@ object GramIndex {
       .orderBy("doc_id")
   }
 
+  /** [[Curation.curateDecontamReport]] served from the index — same
+    * oracle (and the same cached n=5 index as the strip face). */
+  def curateDecontamReportIdxQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    decontamReportFromIndex(docs.filter(!isTest), docs.filter(isTest),
+      col("doc_id"), col("source"), col("text"), decIdx(s, d))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_memorization_idx" -> evalMemorizationIdxQ,
-    "curate_decontam_idx" -> curateDecontamIdxQ)
+    "curate_decontam_idx" -> curateDecontamIdxQ,
+    "curate_decontam_report_idx" -> curateDecontamReportIdxQ)
 
   /** Oracle SQL SHARED with the in-plan formulations — bit-for-bit the
     * same strings, the `search_bm25_idx` pattern. */
   val oracleSql: Map[String, String] = Map(
     "eval_memorization_idx" -> Dedup.oracleSql("eval_memorization"),
-    "curate_decontam_idx" -> Curation.oracleSql("curate_decontam"))
+    "curate_decontam_idx" -> Curation.oracleSql("curate_decontam"),
+    "curate_decontam_report_idx" -> Curation.oracleSql("curate_decontam_report"))
 }

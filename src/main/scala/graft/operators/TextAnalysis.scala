@@ -317,8 +317,20 @@ object TextAnalysis {
   def bpeTrain(docs: DataFrame, text: Column, rounds: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    bpeTrainState(docs, lit(0L), text, rounds)._1
+      .toDF("round", "pair", "n").orderBy("round")
+  }
+
+  /** The trainer loop's full state: the merge table AND the final
+    * re-tokenized corpus (doc_id, toks) — shared by [[bpeTrain]] (reads
+    * the merges) and [[bpeEncodeQ]] (reads the encoded corpus), so the
+    * two faces can never drift. */
+  def bpeTrainState(docs: DataFrame, id: Column, text: Column, rounds: Int)
+      : (Seq[(Int, String, Long)], DataFrame) = {
+    val s = docs.sparkSession
     require(rounds >= 1, s"bpeTrain: rounds >= 1, got $rounds")
-    var toks = docs.select(tokens(text).as("toks")).localCheckpoint()
+    var toks = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var r = 1
     var exhausted = false
@@ -338,22 +350,40 @@ object TextAnalysis {
         val b = top(0).getString(1)
         val n = top(0).getLong(2)
         merges += ((r, s"$a $b", n))
-        toks = toks.select(graft.functions.TextExpressions
+        toks = toks.select(col("doc_id"), graft.functions.TextExpressions
           .bpeMerge(s, col("toks"), a, b).as("toks")).localCheckpoint()
       }
       r += 1
     }
-    merges.toSeq.toDF("round", "pair", "n").orderBy("round")
+    (merges.toSeq, toks)
   }
 
   /** Named query: 3 BPE rounds over the corpus word stream. */
   def bpeTrainQ(s: SparkSession, d: String): DataFrame =
     bpeTrain(Tables.documents(s, d), col("text"), rounds = 3)
 
+  /** Named query: APPLY the 3 trained merges corpus-wide — the encode
+    * face a tokenizer pipeline runs after training (and the fertility
+    * statistic it reports): per doc, symbols before vs after, and the
+    * compression ratio (one IEEE division of two exact longs). */
+  def bpeEncodeQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (_, encoded) = bpeTrainState(docs, col("doc_id"), col("text"), rounds = 3)
+    val before = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_before"))
+    encoded.select(col("doc_id"), size(col("toks")).cast("long").as("n_after"))
+      .join(before, "doc_id")
+      .select(col("doc_id"), col("n_before"), col("n_after"),
+        (col("n_after").cast("double") / col("n_before").cast("double"))
+          .as("compression"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_quality" -> quality,
     "txt_bigram_merge" -> bigramMerge,
     "txt_bpe_train" -> bpeTrainQ,
+    "txt_bpe_encode" -> bpeEncodeQ,
     "txt_langid" -> langId,
     "txt_tokencount" -> tokenCount,
     "txt_chunk" -> chunk,
@@ -548,5 +578,15 @@ object TextAnalysis {
            SELECT 2 AS round, a || ' ' || b AS pair, CAST(n AS BIGINT) AS n FROM w2
            UNION ALL
            SELECT 3 AS round, a || ' ' || b AS pair, CAST(n AS BIGINT) AS n FROM w3)
-         ORDER BY round""")
+         ORDER BY round""",
+    "txt_bpe_encode" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         ${bpeRoundSql(1)},
+         ${bpeRoundSql(2)},
+         ${bpeRoundSql(3)}
+         SELECT t0.doc_id, CAST(len(t0.toks) AS BIGINT) AS n_before,
+           CAST(len(t3.toks) AS BIGINT) AS n_after,
+           CAST(len(t3.toks) AS DOUBLE) / CAST(len(t0.toks) AS DOUBLE)
+             AS compression
+         FROM t0 JOIN t3 ON t0.doc_id = t3.doc_id ORDER BY t0.doc_id""")
 }

@@ -323,6 +323,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(run(Seq.empty[String], "a", "b") === Seq.empty[String])
   }
 
+  test("bpeTrainState: encode face consistent with the merge table") {
+    val docs = Seq(
+      (1L, "a b a b a b c"), (2L, "a b c d a b"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val (merges, encoded) = graft.operators.TextAnalysis
+      .bpeTrainState(docs, $"doc_id", $"text", rounds = 2)
+    assert(merges.head._2 === "a b" && merges.head._3 === 5L,
+      s"top pair of round 1: $merges")
+    val m = encoded.as[(Long, Seq[String])].collect().toMap
+    // round 1 merges (a,b) everywhere; round 2's winner then applies
+    assert(m(1L).count(_ == "a b") + m(1L).count(_.startsWith("a b ")) >= 1)
+    assert(m(3L) === Seq("x", "y", "z"), "untouched doc passes through")
+    // n_after <= n_before for every doc, and strictly < where merges hit
+    val sizes = docs.select($"doc_id",
+        size(tokens($"text")).as("before")).as[(Long, Int)].collect().toMap
+    m.foreach { case (id, toks) => assert(toks.size <= sizes(id)) }
+    assert(m(1L).size < sizes(1L))
+  }
+
   test("bpeTrain: merge counts are non-increasing across rounds (property)") {
     import org.scalacheck.{Gen, rng}
     // small vocab + short docs → merges genuinely repeat and cascade

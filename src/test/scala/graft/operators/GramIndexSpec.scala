@@ -65,6 +65,15 @@ class GramIndexSpec extends SparkSpec {
     assert(!idx.contains(30L) && !idx.contains(31L),
       "short-doc whole-span shingle must decide membership like shingles()")
     assert(idx.contains(40L), "disjoint doc survives")
+    // the report face rides the same probe — parity with Curation
+    val grp = train.withColumn("src", concat(lit("s"), $"doc_id" % 2))
+    val repIdx = GramIndex.decontamReportFromIndex(grp, test5,
+        $"doc_id", $"src", $"text", s"$dir/idx")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val repPlan = Curation.decontamReport(grp, test5,
+        $"doc_id", $"src", $"text", n = 5)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(repIdx === repPlan)
   }
 
   test("probe prunes the gram scan to the probe's buckets (PartitionFilters)") {
