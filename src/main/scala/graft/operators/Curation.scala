@@ -109,19 +109,27 @@ object Curation {
     * proves it); only the physical join strategy moves. */
   def decontaminate(train: DataFrame, test: DataFrame, id: Column,
       text: Column, n: Int = 5,
-      maxBroadcastRows: Long = 10L * 1000 * 1000): DataFrame =
+      maxBroadcastRows: Long = 10L * 1000 * 1000,
+      minOverlap: Long = 1L): DataFrame =
     train.select(id.as("doc_id"))
-      .join(contaminatedIds(train, test, id, text, n, maxBroadcastRows),
-        Seq("doc_id"), "left_anti")
+      .join(contaminatedIds(train, test, id, text, n, maxBroadcastRows,
+        minOverlap), Seq("doc_id"), "left_anti")
 
   /** The shared shingle probe behind [[decontaminate]] (strip) and
-    * [[decontamReport]] (measure): training doc ids sharing any
-    * `n`-shingle with the held-out set. The test side broadcasts only
-    * under `maxBroadcastRows` — beyond it, the shuffle-hash fallback
-    * (a lake-scale held-out set must not OOM the driver). */
+    * [[decontamReport]] (measure): training doc ids sharing at least
+    * `minOverlap` distinct `n`-shingles with the held-out set
+    * (`minOverlap = 1` — the default "any shared shingle" rule — keeps
+    * the pure semi-join shape; above 1 it is the thresholded rule
+    * production decontam actually tunes, via one doc-keyed count over
+    * the matched shingles: [[graft.functions.TextExpressions.shingleHashes]]
+    * is per-doc-deduped, so `count(*)` IS the distinct-overlap count).
+    * The test side broadcasts only under `maxBroadcastRows` — beyond it,
+    * the shuffle-hash fallback (a lake-scale held-out set must not OOM
+    * the driver). */
   private def contaminatedIds(train: DataFrame, test: DataFrame,
       id: Column, text: Column, n: Int,
-      maxBroadcastRows: Long): DataFrame = {
+      maxBroadcastRows: Long, minOverlap: Long = 1L): DataFrame = {
+    require(minOverlap >= 1L, s"minOverlap >= 1, got $minOverlap")
     val s = train.sparkSession
     def sh(c: Column) = graft.functions.TextExpressions.shingleHashes(s, tokens(c), n)
     val testSh = test.select(explode(sh(text)).as("sh")).distinct()
@@ -129,10 +137,14 @@ object Curation {
     val probeSide =
       if (test.count() <= maxBroadcastRows) broadcast(testSh)
       else testSh.hint("shuffle_hash")
-    train
+    val matched = train
       .select(id.as("doc_id"), explode(sh(text)).as("sh"))
       .join(probeSide, Seq("sh"), "left_semi")
-      .select("doc_id").distinct()
+    if (minOverlap == 1L) matched.select("doc_id").distinct()
+    else matched.groupBy("doc_id")
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") >= minOverlap)
+      .select("doc_id")
   }
 
   // --- temperature-based language mixing -----------------------------------
@@ -313,6 +325,17 @@ object Curation {
         (col("n_contaminated").cast("double") / col("n_docs").cast("double"))
           .as("contamination_rate"))
       .orderBy("source")
+  }
+
+  /** Thresholded strip: contaminated only at ≥ 2 distinct shared
+    * shingles — the overlap-count knob (a single incidental shingle is
+    * often a idiom, two is a passage) production decontam tunes. */
+  def curateDecontamK(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isTest = graft.functions.HashFunctions.md5Bucket16(col("doc_id")) === "0"
+    decontaminate(docs.filter(!isTest), docs.filter(isTest),
+      col("doc_id"), col("text"), n = 5, minOverlap = 2L)
+      .orderBy("doc_id")
   }
 
   def curateDecontamReport(s: SparkSession, d: String): DataFrame = {
@@ -574,6 +597,7 @@ object Curation {
     "txt_repetition" -> txtRepetition,
     "txt_pii_redact" -> txtPiiRedact,
     "curate_decontam" -> curateDecontam,
+    "curate_decontam_k" -> curateDecontamK,
     "curate_decontam_report" -> curateDecontamReport,
     "export_manifest" -> exportManifestQ,
     "export_curriculum" -> exportCurriculumQ,
@@ -637,6 +661,18 @@ object Curation {
          bad AS (SELECT DISTINCT e.doc_id FROM e
                  JOIN (SELECT DISTINCT sh FROM e WHERE is_test) ts ON e.sh = ts.sh
                  WHERE NOT e.is_test)
+         SELECT doc_id FROM t
+         WHERE NOT is_test AND doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
+    "curate_decontam_k" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_test
+           FROM documents),
+         e AS (SELECT doc_id, is_test, unnest(${shinglesSql(5)}) AS sh FROM t),
+         bad AS (SELECT e.doc_id FROM e
+                 JOIN (SELECT DISTINCT sh FROM e WHERE is_test) ts ON e.sh = ts.sh
+                 WHERE NOT e.is_test
+                 GROUP BY e.doc_id HAVING count(DISTINCT e.sh) >= 2)
          SELECT doc_id FROM t
          WHERE NOT is_test AND doc_id NOT IN (SELECT doc_id FROM bad)
          ORDER BY doc_id""",

@@ -250,19 +250,51 @@ object GramIndex {
       .orderBy("doc_id")
   }
 
-  /** Indexed-lake doc ids sharing ANY width-n gram with the held-out
-    * set — [[Curation.decontaminate]]'s membership probe served from the
-    * index (train corpus never re-tokenized). */
+  /** Indexed-lake doc ids sharing ≥ `minOverlap` distinct width-n grams
+    * with the held-out set — [[Curation.decontaminate]]'s membership
+    * probe served from the index (train corpus never re-tokenized).
+    * Index rows are per-doc-distinct, so `count(*)` over matched rows IS
+    * the distinct-overlap count, same as the in-plan probe. */
   def contaminatedIdsFromIndex(test: DataFrame, text: Column,
-      dir: String): DataFrame = {
+      dir: String, minOverlap: Long = 1L): DataFrame = {
+    require(minOverlap >= 1L, s"minOverlap >= 1, got $minOverlap")
     val s = test.sparkSession
     val (n, buckets) = readStats(s, dir)
     val testSh = test
       .select(explode(TextExpressions.shingleHashes(s, tokens(text), n)).as("g"))
       .distinct()
-    prunedLive(s, dir, testSh, buckets)
+    val matched = prunedLive(s, dir, testSh, buckets)
       .join(broadcast(testSh), Seq("g"), "left_semi")
-      .select("doc_id").distinct()
+    if (minOverlap == 1L) matched.select("doc_id").distinct()
+    else matched.groupBy("doc_id")
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") >= minOverlap)
+      .select("doc_id")
+  }
+
+  /** The REVERSED probe direction: which of `docs` (an arriving ingest
+    * batch) share ≥ `minOverlap` distinct grams with the INDEXED corpus
+    * (a benchmark/eval set indexed once at its publication) — the
+    * never-train-on-eval admission gate. Returns `docs` minus the
+    * contaminated. The benchmark side is eval-sized by nature, so its
+    * live gram set broadcasts; the batch is exploded once. */
+  def decontamGateFromIndex(docs: DataFrame, id: Column, text: Column,
+      benchmarkDir: String, minOverlap: Long = 1L): DataFrame = {
+    require(minOverlap >= 1L, s"minOverlap >= 1, got $minOverlap")
+    val s = docs.sparkSession
+    val (n, _) = readStats(s, benchmarkDir)
+    graft.sources.Tombstones.healPartitions(s, s"$benchmarkDir/grams")
+    val bench = graft.sources.Tombstones.dropDeleted(
+        s.read.parquet(s"$benchmarkDir/grams"), col("doc_id"), benchmarkDir)
+      .select("g").distinct()
+    val docSh = docs.select(id.as("__gid"),
+      explode(TextExpressions.shingleHashes(s, tokens(text), n)).as("g"))
+    val contaminated = docSh
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .groupBy("__gid").agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") >= minOverlap)
+      .select("__gid")
+    docs.join(contaminated, id === col("__gid"), "left_anti")
   }
 
   /** The strip face over an indexed lake: live indexed doc ids minus the
@@ -354,9 +386,20 @@ object GramIndex {
       col("doc_id"), col("source"), col("text"), decIdx(s, d))
   }
 
+  /** [[Curation.curateDecontamK]] (≥2-shared-shingles threshold) served
+    * from the same cached n=5 index — same oracle. */
+  def curateDecontamKIdxQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.filter(!isTest).select(col("doc_id"))
+      .join(contaminatedIdsFromIndex(docs.filter(isTest), col("text"),
+        decIdx(s, d), minOverlap = 2L), Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_memorization_idx" -> evalMemorizationIdxQ,
     "curate_decontam_idx" -> curateDecontamIdxQ,
+    "curate_decontam_k_idx" -> curateDecontamKIdxQ,
     "curate_decontam_report_idx" -> curateDecontamReportIdxQ)
 
   /** Oracle SQL SHARED with the in-plan formulations — bit-for-bit the
@@ -364,5 +407,6 @@ object GramIndex {
   val oracleSql: Map[String, String] = Map(
     "eval_memorization_idx" -> Dedup.oracleSql("eval_memorization"),
     "curate_decontam_idx" -> Curation.oracleSql("curate_decontam"),
+    "curate_decontam_k_idx" -> Curation.oracleSql("curate_decontam_k"),
     "curate_decontam_report_idx" -> Curation.oracleSql("curate_decontam_report"))
 }

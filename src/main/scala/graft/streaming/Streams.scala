@@ -461,7 +461,8 @@ object Streams {
     * upsert rewrites only touched partitions. */
   def modelGatedIngest(df: DataFrame, textCol: String, keyCol: String,
       tsCol: String, partCol: String, target: String, checkpoint: String,
-      modelDir: String, dedupWatermark: String = "1 hour")
+      modelDir: String, dedupWatermark: String = "1 hour",
+      benchmarkDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = df.sparkSession
     val gated = hygieneGated(df, textCol)
@@ -478,16 +479,26 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
+          // never-train-on-eval gate FIRST (when a benchmark gram index
+          // is configured): arriving docs sharing a shingle with the
+          // indexed eval set are dropped before any scoring — a doc the
+          // benchmark contaminates must not land even if the quality
+          // model loves it
+          val clean = benchmarkDir match {
+            case Some(b) => graft.operators.GramIndex.decontamGateFromIndex(
+              batch, col("event_id"), col(textCol), b)
+            case None => batch
+          }
           val admitted =
             if (nbStoreReady(s, modelDir)) {
               val (llr, scalars) = nbModelFromStore(s, modelDir)
               val scores = graft.operators.Classify.nbScore(
-                batch, col("event_id"), col(textCol), llr, scalars)
-              batch.join(
+                clean, col("event_id"), col(textCol), llr, scalars)
+              clean.join(
                 scores.filter(col("pred_pos"))
                   .select(col("doc_id").as("event_id")),
                 Seq("event_id"), "left_semi")
-            } else batch // cold start: heuristic gates only (see above)
+            } else clean // cold start: heuristic gates only (see above)
           sink(admitted, batchId)
         }
       }

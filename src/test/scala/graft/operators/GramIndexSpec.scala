@@ -111,6 +111,34 @@ class GramIndexSpec extends SparkSpec {
       "re-appending indexed doc_ids must fail loudly")
   }
 
+  test("threshold probe (minOverlap) and reversed benchmark gate: parity with Curation") {
+    val dir = tmp("gram_thresh")
+    GramIndex.write(corpus, $"doc_id", $"text", s"$dir/idx", n = 5)
+    // ≥2-distinct-shingles threshold: same survivors as the in-plan rule
+    val idx2 = corpus.select($"doc_id")
+      .join(GramIndex.contaminatedIdsFromIndex(probe, $"text", s"$dir/idx",
+        minOverlap = 2L), Seq("doc_id"), "left_anti")
+      .as[Long].collect().sorted.toSeq
+    val plan2 = Curation.decontaminate(corpus, probe, $"doc_id", $"text",
+        n = 5, minOverlap = 2L)
+      .as[Long].collect().sorted.toSeq
+    assert(idx2 === plan2)
+    // thresholding is strictly weaker: every minOverlap=2 contamination
+    // is also a minOverlap=1 contamination
+    val plan1 = Curation.decontaminate(corpus, probe, $"doc_id", $"text", n = 5)
+      .as[Long].collect().toSet
+    assert(plan1.subsetOf(idx2.toSet))
+    assert(idx2.size > plan1.size, "the fixture must exercise the gap")
+    // reversed direction: the PROBE set indexed as the benchmark, the
+    // corpus gated against it — must equal in-plan decontaminate
+    val bdir = tmp("gram_bench")
+    GramIndex.write(probe, $"doc_id", $"text", s"$bdir/idx", n = 5)
+    val gated = GramIndex.decontamGateFromIndex(corpus, $"doc_id", $"text",
+        s"$bdir/idx")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(gated === plan1.toSeq.sorted)
+  }
+
   test("takedown: tombstoned docs leave the audit immediately; merge applies physically") {
     val dir = tmp("gram_del")
     GramIndex.write(corpus, $"doc_id", $"text", s"$dir/idx", n = 8)

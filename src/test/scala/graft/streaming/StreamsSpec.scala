@@ -457,6 +457,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("modelGatedIngest benchmark gate: eval-contaminated docs never land") {
+    import graft.operators.{Curation, GramIndex}
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_gate").toString
+    // the benchmark set, indexed once at publication (n=5 shingles)
+    val bench = Seq(
+      (900L, "the secret held out evaluation passage nobody may train on"))
+      .toDF("doc_id", "text")
+    GramIndex.write(bench, $"doc_id", $"text", s"$dir/bench", n = 5)
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val q = Streams.modelGatedIngest(
+      input.toDF().toDF("id", "ts", "day", "text"),
+      textCol = "text", keyCol = "id", tsCol = "ts", partCol = "day",
+      target = s"$dir/t", checkpoint = s"$dir/ckpt",
+      modelDir = s"$dir/model", benchmarkDir = Some(s"$dir/bench"))
+    try {
+      val contaminated = // carries a verbatim 5-gram run from the benchmark
+        "my crawl found the secret held out evaluation passage and copied it"
+      val clean =
+        "a perfectly ordinary document about the weather and some other things"
+      input.addData(Seq(
+        (1L, ts(0), "d1", contaminated), (2L, ts(1), "d1", clean)))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(s"$dir/t")
+        .select("event_id").as[Long].collect().toSet
+      assert(landed === Set(2L),
+        s"benchmark-contaminated doc must never land (no model yet): $landed")
+      // the decision replays as the batch operator against the same set
+      val batchKept = Curation.decontaminate(
+        Seq((1L, contaminated), (2L, clean)).toDF("doc_id", "text"),
+        bench, $"doc_id", $"text", n = 5).as[Long].collect().toSet
+      assert(batchKept === Set(2L))
+    } finally q.stop()
+  }
+
   test("streaming similarity scoring: fused cosine + broadcast vocab on a stream") {
     // the SRS ingest flow (upload → auto-tag/suggest): incoming embeddings
     // scored against a static centroid table with the same kernels the
