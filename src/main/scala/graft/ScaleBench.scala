@@ -85,7 +85,15 @@ object ScaleBench {
     // 10× row: its shuffles are the Zipf-skewed term-keyed score join
     // (AQE skew-split territory at 100 TB) plus two broadcast-bounded
     // resampling stages, so time must track the explode (~rows).
-    "pipeline_quality_mix")
+    "pipeline_quality_mix",
+    // round 13b: the 5th at-rest index family (distinct-gram audits).
+    // Like search_bm25_idx, the per-sfDir cache sees each scale once, so
+    // the timing is build-dominated (one corpus scan → fused gram kernel
+    // → bucket-partitioned write — must stay ~linear in rows); the probe
+    // side is benchmark-sized at both scales. Dup-heavy replicas barely
+    // grow the DISTINCT gram set (rotations reuse the same windows up to
+    // boundary effects) — the realistic crawl shape for this index.
+    "eval_memorization_idx")
 
   /** Scale-only bindings that aren't part of the served query surface. */
   private val Extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
@@ -199,6 +207,10 @@ object ScaleBench {
     // sublinear in candidates).
     // pipeline_quality_mix (added r13): 1.27× — the NB gate's term-keyed
     // score join + two broadcast resampling stages track the explode.
+    // eval_memorization_idx (added r13b): isolated same-day 1.28×
+    // (3.27 s → 4.20 s) — build-dominated like search_bm25_idx; the
+    // dup-heavy replicas reuse the same gram windows, so the distinct
+    // set (and the bucketed write) grows far slower than rows.
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>

@@ -332,19 +332,26 @@ object GramIndex {
     * [[Lexical]] idxCache pattern) — the benched number is the SERVING
     * path, and scratch dirs are removed on JVM exit. */
   private val memIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val memDelIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val decIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
       }
-      Seq(memIdxCache, decIdxCache).foreach(
+      Seq(memIdxCache, memDelIdxCache, decIdxCache).foreach(
         _.values.forEach { dir => rm(new java.io.File(dir)) })
     }))
   }
 
   private def isTest: Column =
     graft.functions.HashFunctions.md5Bucket16(col("doc_id")) === "0"
+
+  /** The takedown set for `eval_memorization_idx_del` — the two lake
+    * docs contributing the MOST memorized windows at sf0.01 (86 and 76
+    * probe-gram hits), so the delete visibly moves the audited rates
+    * while four other contributing docs keep the result non-trivial. */
+  val MemDeletedDocIds: Seq[Long] = Seq(301L, 8L)
 
   private def memIdx(s: SparkSession, d: String): String =
     memIdxCache.computeIfAbsent(d, _ => {
@@ -362,12 +369,33 @@ object GramIndex {
       s"$tmp/idx"
     })
 
+  /** A SEPARATE index (never the shared [[memIdx]] — tombstones would
+    * leak into `eval_memorization_idx`) with [[MemDeletedDocIds]]
+    * tombstoned but not merged: the liveDocs serving state. */
+  private def memDelIdx(s: SparkSession, d: String): String =
+    memDelIdxCache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_gram_memdel").toString
+      write(Tables.documents(s, d).filter(!isTest), col("doc_id"), col("text"),
+        s"$tmp/idx", n = 8)
+      import s.implicits._
+      delete(MemDeletedDocIds.toDF("doc_id"), col("doc_id"), s"$tmp/idx")
+      s"$tmp/idx"
+    })
+
   /** [[Dedup.evalMemorizationQ]] served from the at-rest gram index —
     * SAME oracle, so the whole build/append/probe path is hash-checked
     * against the in-plan formulation. */
   def evalMemorizationIdxQ(s: SparkSession, d: String): DataFrame =
     memorizationRateFromIndex(Tables.documents(s, d).filter(isTest),
       col("doc_id"), col("text"), memIdx(s, d))
+
+  /** The audit AFTER a takedown, tombstones un-merged: deleted lake
+    * docs' grams stop counting as memorized immediately (the oracle
+    * recomputes the reference gram set over the lake MINUS the deleted
+    * ids — any residue of their rows would hash-mismatch). */
+  def evalMemorizationIdxDelQ(s: SparkSession, d: String): DataFrame =
+    memorizationRateFromIndex(Tables.documents(s, d).filter(isTest),
+      col("doc_id"), col("text"), memDelIdx(s, d))
 
   /** [[Curation.curateDecontam]] served from the at-rest gram index —
     * same oracle. */
@@ -398,14 +426,34 @@ object GramIndex {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_memorization_idx" -> evalMemorizationIdxQ,
+    "eval_memorization_idx_del" -> evalMemorizationIdxDelQ,
     "curate_decontam_idx" -> curateDecontamIdxQ,
     "curate_decontam_k_idx" -> curateDecontamKIdxQ,
     "curate_decontam_report_idx" -> curateDecontamReportIdxQ)
 
   /** Oracle SQL SHARED with the in-plan formulations — bit-for-bit the
-    * same strings, the `search_bm25_idx` pattern. */
+    * same strings, the `search_bm25_idx` pattern. The `_del` oracle is
+    * the same audit with the takedown ids excluded from the lake side. */
   val oracleSql: Map[String, String] = Map(
     "eval_memorization_idx" -> Dedup.oracleSql("eval_memorization"),
+    "eval_memorization_idx_del" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_test
+           FROM documents),
+         rg AS (SELECT DISTINCT array_to_string(toks[pos:pos+7], ' ') AS gram
+               FROM (SELECT toks, unnest(range(1, len(toks) - 6)) AS pos
+                     FROM t WHERE NOT is_test AND len(toks) >= 8
+                       AND doc_id NOT IN (${MemDeletedDocIds.mkString(", ")}))),
+         pg AS (SELECT doc_id, array_to_string(toks[pos:pos+7], ' ') AS gram
+               FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos
+                     FROM t WHERE is_test AND len(toks) >= 8))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN gram IN (SELECT gram FROM rg)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_memorized,
+           CAST(sum(CASE WHEN gram IN (SELECT gram FROM rg)
+             THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS memorization_rate
+         FROM pg GROUP BY doc_id ORDER BY doc_id""",
     "curate_decontam_idx" -> Curation.oracleSql("curate_decontam"),
     "curate_decontam_k_idx" -> Curation.oracleSql("curate_decontam_k"),
     "curate_decontam_report_idx" -> Curation.oracleSql("curate_decontam_report"))

@@ -87,6 +87,12 @@ class GramIndexSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
       s"probe must prune gram partitions, got:\n$plan")
+    // the index scan decodes only what the probe needs — a scan pulling
+    // extra columns would defeat the at-rest economics at 100 TB
+    val gramScan = plan.linesIterator
+      .filter(_.contains("gram_prune")).mkString("\n")
+    assert(!gramScan.contains("text"),
+      s"the lake's text must never reach the probe plan:\n$gramScan")
   }
 
   test("append equals rebuild; disjoint-append contract enforced loudly") {
