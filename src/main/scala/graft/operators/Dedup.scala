@@ -1287,6 +1287,43 @@ object Dedup {
       col("doc_id"), col("text"), n = 8)
   }
 
+  /** Cross-SOURCE verbatim-overlap matrix: for every pair of sources,
+    * how many distinct `n`-token runs occur verbatim in BOTH — the
+    * leakage audit a curation team reads before trusting per-source
+    * mixing weights (a "distinct" source that copies half its content
+    * from another is not a distinct source; it also tells you where
+    * span-excision budget should go). Diagonal included: a source's own
+    * distinct-gram count is the denominator for overlap fractions.
+    *
+    * Scale shape: one corpus scan → per-doc-distinct gram hashes →
+    * (gram, source) DISTINCT (gram-keyed aggregation — the map-side
+    * combine collapses per-source repeats), then a per-gram self-join
+    * that is bounded by |sources|² per gram REGARDLESS of how many docs
+    * share the gram — the doc-level hot-gram problem cannot occur
+    * because docs collapsed into sources first. Output is |sources|²
+    * rows. */
+  def sourceOverlapOn(df: DataFrame, group: Column, text: Column,
+      n: Int = 8): DataFrame = {
+    val s = df.sparkSession
+    val toks = df.select(group.as("source"), tokens(text).as("toks"))
+      .filter(size(col("toks")) >= n)
+    val gs = toks.select(col("source"),
+        explode(graft.functions.TextExpressions.shingleHashes(
+          s, col("toks"), n)).as("g"))
+      .distinct()
+    val a = gs.withColumnRenamed("source", "source_a")
+    val b = gs.withColumnRenamed("source", "source_b")
+    a.join(b, Seq("g"))
+      .filter(col("source_a") <= col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_grams"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Named query: the 8-gram source-overlap matrix over `documents`. */
+  def auditSourceOverlapQ(s: SparkSession, d: String): DataFrame =
+    sourceOverlapOn(Tables.documents(s, d), col("source"), col("text"), n = 8)
+
   /** Cross-document EXACT-SUBSTRING duplication coverage — the signal
     * behind span-excision dedup (remove the repeated passage, keep the
     * document; whole-doc near-dup scoring misses a boilerplate paragraph
@@ -1449,6 +1486,7 @@ object Dedup {
     "dedup_clusters" -> clustersQ,
     "dedup_span_coverage" -> spanCoverageQ,
     "eval_memorization" -> evalMemorizationQ,
+    "audit_source_overlap" -> auditSourceOverlapQ,
     "dedup_span_excise" -> spanExciseQ,
     "dedup_embedding" -> embeddingNearDup,
     "dedup_embedding_lsh" -> embeddingNearDupLsh,
@@ -1578,6 +1616,19 @@ object Dedup {
              THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
              AS memorization_rate
          FROM pg GROUP BY doc_id ORDER BY doc_id""",
+    // distinct string grams per (source, gram) replay the hashed
+    // distinct exactly (collision odds ~2^-64)
+    "audit_source_overlap" ->
+      """WITH t AS (SELECT source, string_split(lower(text), ' ') AS toks
+             FROM documents),
+         gs AS (SELECT DISTINCT source,
+                  array_to_string(toks[pos:pos+7], ' ') AS gram
+               FROM (SELECT source, toks, unnest(range(1, len(toks) - 6)) AS pos
+                     FROM t WHERE len(toks) >= 8))
+         SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_grams
+         FROM gs a JOIN gs b ON a.gram = b.gram AND a.source <= b.source
+         GROUP BY a.source, b.source ORDER BY source_a, source_b""",
     "dedup_span_excise" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks,
              string_split(text, ' ') AS raw FROM documents),

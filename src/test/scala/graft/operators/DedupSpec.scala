@@ -485,4 +485,25 @@ class DedupSpec extends SparkSpec {
     assert(m(3L) === ((3L, 1L, 0L)))
     assert(!m.contains(4L))
   }
+
+  test("sourceOverlapOn: exact shared-gram counts; diagonal dominates every row") {
+    val docs = Seq(
+      ("s1", "a b c d e f g h i"),        // grams: abc..h, bcd..i
+      ("s1", "a b c d e f g h i"),        // duplicate doc — distinct collapses
+      ("s2", "x a b c d e f g h tail"),   // shares gram a..h with s1
+      ("s3", "p q r s t u v w")           // disjoint
+    ).toDF("source", "text")
+    val m = Dedup.sourceOverlapOn(docs, $"source", $"text", n = 8)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(m(("s1", "s1")) === 2L, s"s1 has two distinct 8-grams: $m")
+    assert(m(("s1", "s2")) === 1L, "the verbatim a..h run is shared")
+    assert(!m.contains(("s1", "s3")) && !m.contains(("s2", "s3")),
+      "disjoint sources produce no row")
+    // diagonal dominance: shared(a,b) <= min(|grams a|, |grams b|)
+    m.foreach { case ((a, b), n) if a != b =>
+      assert(n <= m((a, a)) && n <= m((b, b)))
+    case _ => ()
+    }
+  }
 }
