@@ -184,14 +184,20 @@ object GramIndex {
       val touched = grams.join(tomb, col("doc_id") === tomb("id"), "left_semi")
         .select(col("bucket").cast("long")).distinct()
         .collect().map(_.getLong(0)).sorted
-      val nDead = grams.select("doc_id").distinct()
-        .join(tomb, col("doc_id") === tomb("id"), "left_semi").count()
       touched.foreach { b =>
         graft.sources.Tombstones.rewriteLive(s, s"$dir/grams/bucket=$b",
           df => df.join(tomb, col("doc_id") === tomb("id"), "left_anti"))
       }
+      // n_docs RECOMPUTED from the rewritten data, not decremented from a
+      // pre-rewrite count: a crash mid-rewrite re-runs merge, and a
+      // delta computed then would miss docs whose buckets already
+      // rewrote — recomputation is idempotent (the Lexical.mergeIndex
+      // discipline). Every doc carries ≥1 gram (a 0-token doc tokenizes
+      // to [""]), so distinct doc_id IS the doc count.
+      val nLive = s.read.parquet(s"$dir/grams")
+        .select("doc_id").distinct().count()
       val merged = s.read.parquet(s"$dir/stats")
-        .select(col("n"), col("buckets"), (col("n_docs") - lit(nDead)).as("n_docs"))
+        .select(col("n"), col("buckets"), lit(nLive).as("n_docs"))
       swapWrite(s, s"$dir/stats") { tmp =>
         merged.write.mode("overwrite").parquet(tmp)
       }
