@@ -115,6 +115,14 @@ object GramIndex {
       .withColumn("bucket", pmod(col("g"), lit(buckets.toLong)))
   }
 
+  /** Every read of the gram table carries the EXPLICIT schema: a
+    * bucket-partitioned write of an EMPTY frame (an empty lake slice, a
+    * filtered-out increment) leaves no part file to infer from, and an
+    * audit over that index must answer "nothing memorized", not throw
+    * UNABLE_TO_INFER_SCHEMA. */
+  private def readGrams(s: SparkSession, dir: String): DataFrame =
+    s.read.schema("doc_id LONG, g LONG, bucket LONG").parquet(s"$dir/grams")
+
   def write(docs: DataFrame, id: Column, text: Column, dir: String,
       n: Int = DefaultN, buckets: Int = DefaultBuckets): Unit = {
     require(n >= 1 && buckets >= 1)
@@ -149,7 +157,7 @@ object GramIndex {
     val (n, buckets) = readStats(s, dir)
     val rows = gramRows(docs, id, text, n, buckets).localCheckpoint()
     if (requireDisjoint) {
-      val clash = s.read.parquet(s"$dir/grams").select("doc_id")
+      val clash = readGrams(s, dir).select("doc_id")
         .join(broadcast(rows.select("doc_id").distinct()),
           Seq("doc_id"), "left_semi")
         .limit(1).count()
@@ -180,7 +188,7 @@ object GramIndex {
     healIndex(s, dir)
     graft.sources.Tombstones.healPartitions(s, s"$dir/grams")
     graft.sources.Tombstones.ids(s, dir).foreach { tomb =>
-      val grams = s.read.parquet(s"$dir/grams")
+      val grams = readGrams(s, dir)
       val touched = grams.join(tomb, col("doc_id") === tomb("id"), "left_semi")
         .select(col("bucket").cast("long")).distinct()
         .collect().map(_.getLong(0)).sorted
@@ -194,8 +202,7 @@ object GramIndex {
       // rewrote — recomputation is idempotent (the Lexical.mergeIndex
       // discipline). Every doc carries ≥1 gram (a 0-token doc tokenizes
       // to [""]), so distinct doc_id IS the doc count.
-      val nLive = s.read.parquet(s"$dir/grams")
-        .select("doc_id").distinct().count()
+      val nLive = readGrams(s, dir).select("doc_id").distinct().count()
       val merged = s.read.parquet(s"$dir/stats")
         .select(col("n"), col("buckets"), lit(nLive).as("n_docs"))
       swapWrite(s, s"$dir/stats") { tmp =>
@@ -216,7 +223,7 @@ object GramIndex {
     val bIds = probeGrams
       .select(pmod(col("g"), lit(buckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0))
-    val read = s.read.parquet(s"$dir/grams")
+    val read = readGrams(s, dir)
     val pruned =
       if (bIds.length < buckets) read.filter(col("bucket").isin(bIds.map(Long.box): _*))
       else read
@@ -291,7 +298,7 @@ object GramIndex {
     val (n, _) = readStats(s, benchmarkDir)
     graft.sources.Tombstones.healPartitions(s, s"$benchmarkDir/grams")
     val bench = graft.sources.Tombstones.dropDeleted(
-        s.read.parquet(s"$benchmarkDir/grams"), col("doc_id"), benchmarkDir)
+        readGrams(s, benchmarkDir), col("doc_id"), benchmarkDir)
       .select("g").distinct()
     val docSh = docs.select(id.as("__gid"),
       explode(TextExpressions.shingleHashes(s, tokens(text), n)).as("g"))

@@ -121,6 +121,29 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Search.tagSearch(segs, Nil, 0.5, 5).count() === 0)
   }
 
+  test("gram index: empty lake and empty probe both flow through") {
+    val dir = java.nio.file.Files.createTempDirectory("gram_edge").toString
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    GramIndex.write(docs, $"doc_id", $"text", s"$dir/idx", n = 8)
+    val probe = Seq((1L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    // empty lake: every probe window is novel, nothing throws
+    val m = GramIndex.memorizationRateFromIndex(
+      probe, $"doc_id", $"text", s"$dir/idx")
+      .select("doc_id", "n_memorized").as[(Long, Long)].collect().toMap
+    assert(m === Map(1L -> 0L))
+    assert(GramIndex.contaminatedIdsFromIndex(probe, $"text", s"$dir/idx")
+      .count() === 0)
+    // empty probe against a real index: empty result, no error
+    val dir2 = java.nio.file.Files.createTempDirectory("gram_edge2").toString
+    GramIndex.write(probe, $"doc_id", $"text", s"$dir2/idx", n = 8)
+    assert(GramIndex.memorizationRateFromIndex(
+      docs, $"doc_id", $"text", s"$dir2/idx").count() === 0)
+    // empty-benchmark gate admits everything
+    assert(GramIndex.decontamGateFromIndex(
+      probe, $"doc_id", $"text", s"$dir/idx").count() === 1)
+  }
+
   test("composite frame key decode is exact at the guard boundary") {
     // doc_id 9e9 with frame_idx 999999 is the largest composite the
     // frameDedup guard admits: 9e9·10⁶ + 999999 ≈ 9.000000001e15. A
