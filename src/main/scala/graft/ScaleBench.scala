@@ -198,19 +198,27 @@ object ScaleBench {
     //     committed 1× was the inflated leg, not the 10×.
     // All four converge back to their r11 values ⇒ the r12 rows were the
     // same late-suite JVM-state drift as above, and the r13 artifact was
-    // re-frozen from a clean full run the same day. pipeline_curate's
-    // intermediate TRANSITIVE-NEAR-DUP pair set is the denominator its
-    // ratio is judged against (the jaccard stage consumes the banded
-    // candidate pairs — 77 verified pairs at 1× vs 223,919 at 10×, the
-    // dedup_minhash_lsh output above — so even the stray 13.8× reading
-    // was far below that 2,908× work-driver; at 1.86× it is strongly
-    // sublinear in candidates).
-    // pipeline_quality_mix (added r13): 1.27× — the NB gate's term-keyed
-    // score join + two broadcast resampling stages track the explode.
-    // eval_memorization_idx (added r13b): isolated same-day 1.28×
-    // (3.27 s → 4.20 s) — build-dominated like search_bm25_idx; the
-    // dup-heavy replicas reuse the same gram windows, so the distinct
-    // set (and the bucketed write) grows far slower than rows.
+    // re-frozen from a clean full run the same day.
+    //
+    // THE COMMITTED r13 ARTIFACT (one clean full run, 28 rows) is the
+    // record; its rows for the re-measured set — dedup_minhash_lsh
+    // 3.24×, pipeline_curate 1.56×, pack_sequences 1.10×,
+    // pipeline_curate_excise 6.79× (3.68 s 1×, both legs sane) — sit
+    // within the documented full-run-vs-isolated noise band of the A/Bs
+    // above, and every ratio is ≤ the 10× rows factor.
+    // pipeline_curate's intermediate TRANSITIVE-NEAR-DUP pair set is the
+    // denominator its ratio is judged against (the jaccard stage
+    // consumes the banded candidate pairs — 77 verified pairs at 1× vs
+    // 223,919 at 10×, the dedup_minhash_lsh output above — so at 1.56×
+    // it is strongly sublinear in candidates).
+    // pipeline_quality_mix (added r13): committed 1.44× (isolated A/B
+    // read 1.27×) — the NB gate's term-keyed score join + two broadcast
+    // resampling stages track the explode.
+    // eval_memorization_idx (added r13b): committed 1.68× (isolated
+    // same-day 1.28×, 3.27 s → 4.20 s) — build-dominated like
+    // search_bm25_idx; the dup-heavy replicas reuse the same gram
+    // windows, so the distinct set (and the bucketed write) grows far
+    // slower than rows.
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>

@@ -84,16 +84,44 @@ object Serving {
   /** One request, one JSON response: parse → [[Retrieval.run]] →
     * `{"mode": …, "top_k": …, "results": [row, …]}`. Row objects come
     * from Spark's own row→JSON encoder (`Dataset.toJSON`), so column
-    * names and values match the named-query surface exactly. */
+    * names and values match the named-query surface exactly. Total
+    * (never throws) — the body of [[handleWithStatus]] for callers that
+    * only want the JSON. */
   def handle(s: SparkSession, d: String, requestJson: String): String =
-    try {
-      val req = parseRequest(requestJson)
-      val rows = Retrieval.run(s, d, req).toJSON.collect()
-      s"""{"mode":${quote(req.mode)},"top_k":${req.k},"results":[${rows.mkString(",")}]}"""
-    } catch {
-      case NonFatal(e) =>
-        s"""{"error":${quote(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}}"""
+    handleWithStatus(s, d, requestJson)._2
+
+  /** [[handle]] plus the HTTP status an `app.py`-shaped wrapper must
+    * send, distinguishing the two error classes the reference's routes
+    * distinguish: a request the engine REJECTED (JSON parse failures,
+    * bad field types, unknown mode, out-of-range knobs — everything
+    * request-derived raises `IllegalArgumentException`) → 400 with the
+    * `{"error": …}` payload; an engine FAULT on a valid request (data
+    * dir gone, executor failure mid-collect) → 500 with `app.py:329-331`'s
+    * `{"error":"Internal server error","details": …}` envelope — a
+    * monitor must never be told a server fault was the client's. */
+  def handleWithStatus(s: SparkSession, d: String, requestJson: String)
+      : (Int, String) = {
+    val req =
+      try Right(parseRequest(requestJson))
+      catch { case NonFatal(e) => Left(errMsg(e)) }
+    req match {
+      case Left(msg) => (400, s"""{"error":${quote(msg)}}""")
+      case Right(r) =>
+        try {
+          val rows = Retrieval.run(s, d, r).toJSON.collect()
+          (200,
+            s"""{"mode":${quote(r.mode)},"top_k":${r.k},"results":[${rows.mkString(",")}]}""")
+        } catch {
+          case e: IllegalArgumentException => // request-derived: run()'s requires
+            (400, s"""{"error":${quote(errMsg(e))}}""")
+          case NonFatal(e) =>
+            (500, s"""{"error":"Internal server error","details":${quote(errMsg(e))}}""")
+        }
     }
+  }
+
+  private def errMsg(e: Throwable): String =
+    Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
 
   /** The reference's `GET /health` (`app.py:72-80`) as a pure function:
     * liveness plus the engine-meaningful part — do the data directory's
@@ -122,11 +150,12 @@ object Serving {
   * return value" by construction (ServingHttpSpec asserts it over the
   * wire).
   *
-  * Serving-scale note: one Spark driver serves all requests; the JDK
-  * server's default executor runs handlers on the caller thread pool and
-  * Spark schedules concurrent collect()s fairly. This is the reference's
-  * deployment shape (one Flask process in front of one engine), not a
-  * fleet story.
+  * Serving-scale note: one Spark driver serves all requests; the server
+  * gets an explicit cached thread pool (a NULL executor would run every
+  * handler on the single dispatcher thread — one slow collect() would
+  * then stall `/health` past any liveness probe) and Spark schedules the
+  * concurrent collect()s fairly. This is the reference's deployment
+  * shape (one Flask process in front of one engine), not a fleet story.
   */
 object ServingHttp {
 
@@ -147,6 +176,10 @@ object ServingHttp {
               Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}}""")
       }
     })
+    // daemon threads: the server must not outlive the JVM that owns the
+    // SparkSession it serves from
+    srv.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t }))
     srv.start()
     srv
   }
@@ -161,20 +194,31 @@ object ServingHttp {
         if (!Modes(mode)) respond(ex, 404, """{"error":"Not found"}""")
         else readBody(ex).fold(tooLarge(ex)) { body =>
           // the path names the mode (app.py's per-mode routes): inject
-          // it over whatever the body carries
-          dispatch(s, d, ex, withMode(body, mode))
+          // it over whatever the body carries; a body that is present
+          // but NOT a JSON object is the client's error — refusing
+          // beats silently discarding its parameters and answering 200
+          withMode(body, mode) match {
+            case Right(merged) => dispatch(s, d, ex, merged)
+            case Left(err) => respond(ex, 400, s"""{"error":${jstr(err)}}""")
+          }
         }
       case ("POST", "/api/search") =>
         readBody(ex).fold(tooLarge(ex)) { body =>
-          val mode = scala.util.Try(JsonMethods.parse(
-              if (body.isEmpty) "{}" else body) \ "mode").toOption match {
-            case Some(JString(m)) => m.toLowerCase
-            case _ => ""
+          parseObject(body) match {
+            case Left(err) => respond(ex, 400, s"""{"error":${jstr(err)}}""")
+            case Right(JObject(fs)) =>
+              val mode = fs.toMap.get("mode") match {
+                case Some(JString(m)) => m.toLowerCase
+                case _ => ""
+              }
+              if (!Modes(mode)) // app.py:311's exact envelope
+                respond(ex, 400,
+                  """{"error":"Invalid mode. Use: whole, segment, hybrid, or tags"}""")
+              else withMode(body, mode) match {
+                case Right(merged) => dispatch(s, d, ex, merged)
+                case Left(err) => respond(ex, 400, s"""{"error":${jstr(err)}}""")
+              }
           }
-          if (!Modes(mode)) // app.py:311's exact envelope
-            respond(ex, 400,
-              """{"error":"Invalid mode. Use: whole, segment, hybrid, or tags"}""")
-          else dispatch(s, d, ex, withMode(body, mode))
         }
       case _ => respond(ex, 404, """{"error":"Not found"}""")
     }
@@ -182,10 +226,11 @@ object ServingHttp {
 
   private def dispatch(s: SparkSession, d: String,
       ex: com.sun.net.httpserver.HttpExchange, requestJson: String): Unit = {
-    val out = Serving.handle(s, d, requestJson)
-    // handle's error envelope = a request the engine rejected → 400
-    // (parse errors, unknown fields); success envelopes carry "mode"
-    respond(ex, if (out.startsWith("""{"error":""")) 400 else 200, out)
+    // 200 success / 400 engine-rejected request / 500 engine fault —
+    // the classification lives with the engine boundary, not in string
+    // inspection here
+    val (status, out) = Serving.handleWithStatus(s, d, requestJson)
+    respond(ex, status, out)
   }
 
   /** Body up to [[MaxBody]]; None = over the cap (413 path). */
@@ -205,15 +250,26 @@ object ServingHttp {
   private def tooLarge(ex: com.sun.net.httpserver.HttpExchange): Unit =
     respond(ex, 413, """{"error":"File too large. Max size: 16MB"}""") // app.py:326
 
-  private def withMode(body: String, mode: String): String = {
-    val base = scala.util.Try(JsonMethods.parse(
-      if (body.trim.isEmpty) "{}" else body)).getOrElse(JObject())
-    val merged = base match {
-      case JObject(fs) => JObject(fs.filterNot(_._1 == "mode") :+ ("mode" -> JString(mode)))
-      case _ => JObject(List("mode" -> JString(mode)))
+  /** Parse a request body as a JSON object; an EMPTY body means "all
+    * defaults" (the reference's no-form-fields POST), but a body that is
+    * present and malformed — truncated JSON, an array, a bare string —
+    * is a Left: discarding it would answer 200 with default-parameter
+    * results and the client would never learn its parameters were
+    * dropped. */
+  private def parseObject(body: String): Either[String, JObject] =
+    if (body.trim.isEmpty) Right(JObject())
+    else scala.util.Try(JsonMethods.parse(body)) match {
+      case scala.util.Success(o: JObject) => Right(o)
+      case scala.util.Success(other) =>
+        Left(s"request body must be a JSON object, got ${other.getClass.getSimpleName}")
+      case scala.util.Failure(_) => Left("request body is not valid JSON")
     }
-    JsonMethods.compact(JsonMethods.render(merged))
-  }
+
+  private def withMode(body: String, mode: String): Either[String, String] =
+    parseObject(body).map { case JObject(fs) =>
+      JsonMethods.compact(JsonMethods.render(
+        JObject(fs.filterNot(_._1 == "mode") :+ ("mode" -> JString(mode)))))
+    }
 
   private def respond(ex: com.sun.net.httpserver.HttpExchange,
       status: Int, json: String): Unit = {

@@ -34,6 +34,10 @@ import graft.functions.TextExpressions
   *    decontam probe NEEDS the contaminated doc ids back, and takedowns
   *    need doc attribution to delete ([[Tombstones]] anti-join; a bare
   *    gram set cannot forget a document without refcounts).
+  *  - `docids/` — one row per indexed doc id: the O(n_docs) membership
+  *    set the append disjointness contract is checked against (probing
+  *    the gram table itself would re-scan ~|tokens| rows per ingest
+  *    micro-batch) and the ground truth `n_docs` counts.
   *  - `stats/` — one row `(n, buckets, n_docs)`, swap-managed, written
   *    LAST so its presence means "build completed" (the
   *    [[graft.streaming.Streams.indexIngest]] rebuild-vs-append probe
@@ -55,7 +59,8 @@ import graft.functions.TextExpressions
   * kernel → bucket-partitioned write (no joins, map-side distinct per
   * doc); a probe reads ≤ min(|probe grams|, buckets) partition dirs and
   * never touches corpus text; appends are file drops into bucket dirs
-  * plus one swap of the one-row stats; takedowns are O(|deletes|)
+  * plus an O(n_docs) disjointness semi-join against the docids sidecar
+  * and one swap of the one-row stats; takedowns are O(|deletes|)
   * tombstones applied at probe time and compacted bucket-wise by
   * [[merge]].
   */
@@ -105,11 +110,15 @@ object GramIndex {
   /** The row derivation shared by full build and append — ONE definition
     * so a layout change can never silently break append-equals-rebuild
     * parity. Per-doc-distinct gram hashes via the fused set kernel (one
-    * string-hash per token, open-addressed dedup — no gram strings). */
+    * string-hash per token, open-addressed dedup — no gram strings).
+    * `id` is cast to long HERE (the [[graft.sources.Tombstones.add]]
+    * discipline): [[readGrams]] pins `doc_id LONG`, and an index written
+    * with a caller's int id column would otherwise build fine and then
+    * throw on every vectorized read. */
   private def gramRows(docs: DataFrame, id: Column, text: Column,
       n: Int, buckets: Int): DataFrame = {
     val s = docs.sparkSession
-    val toks = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+    val toks = docs.select(id.cast("long").as("doc_id"), tokens(text).as("toks"))
     toks.select(col("doc_id"),
         explode(TextExpressions.shingleHashes(s, col("toks"), n)).as("g"))
       .withColumn("bucket", pmod(col("g"), lit(buckets.toLong)))
@@ -123,14 +132,36 @@ object GramIndex {
   private def readGrams(s: SparkSession, dir: String): DataFrame =
     s.read.schema("doc_id LONG, g LONG, bucket LONG").parquet(s"$dir/grams")
 
+  /** The `docids/` sidecar: one distinct `doc_id` row per indexed doc —
+    * the membership set [[append]]'s disjointness probe semi-joins
+    * (O(n_docs), NOT a scan of the gram table, which is ~|tokens|-sized)
+    * and the ground truth `n_docs` is counted from. Every doc appears
+    * here, including docs whose text tokenizes to no gram (NULL text) —
+    * the doc-count and the id-disjointness contract are about DOCS, not
+    * about gram rows. Same explicit-schema rule as [[readGrams]]. */
+  private def readDocIds(s: SparkSession, dir: String): DataFrame = {
+    // a takedown of EVERY indexed doc removes the dir outright
+    // (rewriteLive's all-rows-deleted branch) — that index is validly
+    // empty, not corrupt
+    val p = new org.apache.hadoop.fs.Path(s"$dir/docids")
+    if (fsOf(s, s"$dir/docids").exists(p))
+      s.read.schema("doc_id LONG").parquet(s"$dir/docids")
+    else s.range(0).select(col("id").as("doc_id"))
+  }
+
+  private def docIdRows(docs: DataFrame, id: Column): DataFrame =
+    docs.select(id.cast("long").as("doc_id")).distinct()
+
   def write(docs: DataFrame, id: Column, text: Column, dir: String,
       n: Int = DefaultN, buckets: Int = DefaultBuckets): Unit = {
     require(n >= 1 && buckets >= 1)
     val s = docs.sparkSession
     gramRows(docs, id, text, n, buckets)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/grams")
-    // stats LAST: presence = completed build
-    docs.agg(count(lit(1)).as("n_docs"))
+    docIdRows(docs, id).write.mode("overwrite").parquet(s"$dir/docids")
+    // stats LAST: presence = completed build; n_docs counted from the
+    // just-written sidecar so write/append/merge share one definition
+    readDocIds(s, dir).agg(count(lit(1)).as("n_docs"))
       .select(lit(n.toLong).as("n"), lit(buckets.toLong).as("buckets"),
         col("n_docs"))
       .write.mode("overwrite").parquet(s"$dir/stats")
@@ -155,19 +186,31 @@ object GramIndex {
       requireDisjoint: Boolean = true): Unit = {
     val s = docs.sparkSession
     val (n, buckets) = readStats(s, dir)
-    val rows = gramRows(docs, id, text, n, buckets).localCheckpoint()
+    // a crash mid-[[merge]] can leave the docids dir vacated — reunite
+    // it before the disjointness probe reads it (one listing when clean)
+    graft.sources.Tombstones.healPartitions(s, dir)
+    val newIds = docIdRows(docs, id).localCheckpoint()
     if (requireDisjoint) {
-      val clash = readGrams(s, dir).select("doc_id")
-        .join(broadcast(rows.select("doc_id").distinct()),
-          Seq("doc_id"), "left_semi")
+      // probe the docids SIDECAR, never the gram table: the sidecar is
+      // one row per doc, so the per-micro-batch cost of the contract
+      // check is O(n_docs), not a full scan of the ~|tokens|-sized index
+      // (gramIngest pays this on every batch)
+      val clash = readDocIds(s, dir)
+        .join(broadcast(newIds), Seq("doc_id"), "left_semi")
         .limit(1).count()
       require(clash == 0L,
         "GramIndex.append batch overlaps the indexed corpus (doc_ids " +
           "must be NEW); an overlapping append would double-count a " +
           "doc's grams and mis-attribute contamination")
     }
-    rows.write.mode("append").partitionBy("bucket").parquet(s"$dir/grams")
-    val nNew = docs.agg(count(lit(1))).head().getLong(0)
+    // docids land FIRST: a crash anywhere after this line makes a replay
+    // of the same batch trip the disjointness check LOUDLY (the operator
+    // resolves the partial append), never silently double-append grams —
+    // the same detect-on-retry contract the old gram-table probe gave
+    newIds.write.mode("append").parquet(s"$dir/docids")
+    gramRows(docs, id, text, n, buckets)
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/grams")
+    val nNew = newIds.count()
     val merged = s.read.parquet(s"$dir/stats")
       .select(col("n"), col("buckets"), (col("n_docs") + lit(nNew)).as("n_docs"))
     swapWrite(s, s"$dir/stats") { tmp =>
@@ -196,13 +239,18 @@ object GramIndex {
         graft.sources.Tombstones.rewriteLive(s, s"$dir/grams/bucket=$b",
           df => df.join(tomb, col("doc_id") === tomb("id"), "left_anti"))
       }
-      // n_docs RECOMPUTED from the rewritten data, not decremented from a
-      // pre-rewrite count: a crash mid-rewrite re-runs merge, and a
-      // delta computed then would miss docs whose buckets already
+      // the docids sidecar forgets the docs too — it is the disjointness
+      // membership set, and a taken-down id must become re-appendable
+      graft.sources.Tombstones.rewriteLive(s, s"$dir/docids",
+        df => df.join(tomb, col("doc_id") === tomb("id"), "left_anti"))
+      // n_docs RECOMPUTED from the rewritten sidecar, not decremented
+      // from a pre-rewrite count: a crash mid-rewrite re-runs merge, and
+      // a delta computed then would miss docs whose buckets already
       // rewrote — recomputation is idempotent (the Lexical.mergeIndex
-      // discipline). Every doc carries ≥1 gram (a 0-token doc tokenizes
-      // to [""]), so distinct doc_id IS the doc count.
-      val nLive = readGrams(s, dir).select("doc_id").distinct().count()
+      // discipline). Counting docids (not distinct gram doc_ids) keeps
+      // the write/append/merge definitions identical: a doc whose text
+      // tokenizes to no gram row (NULL text) is still an indexed doc.
+      val nLive = readDocIds(s, dir).distinct().count()
       val merged = s.read.parquet(s"$dir/stats")
         .select(col("n"), col("buckets"), lit(nLive).as("n_docs"))
       swapWrite(s, s"$dir/stats") { tmp =>

@@ -306,9 +306,13 @@ object TextAnalysis {
     * symbols contain spaces, so the winning pair must stay split to
     * parameterize the next round's [[graft.functions.BpeMergeExpr]]
     * (greedy-leftmost replace; in a run of equal symbols positions
-    * 0, 2, 4… of the run merge). Ties break on the concatenated pair
-    * string ascending, exactly what the CTE-replay oracle computes.
-    * Stops early if a round finds no pair (degenerate corpora).
+    * 0, 2, 4… of the run merge). Ties break on (a, b) ascending —
+    * componentwise, NOT on the concatenated string: once merged symbols
+    * contain spaces, concat is not injective (('x y','z') and
+    * ('x','y z') both concat to "x y z"), so a concat tie-break would
+    * leave the winner engine/oracle-nondeterministic. The CTE-replay
+    * oracle orders by the same (n DESC, a, b). Stops early if a round
+    * finds no pair (degenerate corpora).
     *
     * Returns (round, pair, n): the merge table with each winner's count
     * at selection time — non-increasing in `round` (a merge can only
@@ -341,8 +345,7 @@ object TextAnalysis {
           slice(col("toks"), lit(2), size(col("toks")) - 1).as("b"))).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc,
-          concat(col("a"), lit(" "), col("b")).asc)
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {
@@ -408,18 +411,25 @@ object TextAnalysis {
     * greedy-leftmost merge expressed as gaps-and-islands — in each
     * maximal run of consecutive matching positions the 1st, 3rd, 5th…
     * merge (`rp % 2 = 1`), a position is consumed iff its predecessor
-    * was selected. Exactly [[graft.functions.BpeMergeExpr]]'s rule. */
+    * was selected. Exactly [[graft.functions.BpeMergeExpr]]'s rule.
+    * Winner ties break on (n DESC, a, b) — the engine's componentwise
+    * order, never the ambiguous concat. The winner joins in via
+    * `LEFT JOIN … ON TRUE`, NOT a cross join: a round with no pairs
+    * left (every doc merged to one symbol) has an EMPTY `w$r`, and a
+    * cross join there would vaporize the whole corpus out of `t$r` —
+    * the left join carries it forward unchanged, matching the trainer
+    * loop's early stop. */
   private def bpeRoundSql(r: Int): String = {
     val prev = s"t${r - 1}"
     s"""p$r AS (SELECT toks[i] AS a, toks[i + 1] AS b, count(*) AS n
             FROM (SELECT toks, unnest(range(1, len(toks))) AS i
                   FROM $prev WHERE len(toks) >= 2)
             GROUP BY a, b),
-       w$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a || ' ' || b LIMIT 1),
+       w$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
        m$r AS (SELECT d.doc_id, d.i, d.toks[d.i] AS tok,
                  COALESCE(d.toks[d.i] = w.a AND d.toks[d.i + 1] = w.b, FALSE) AS hit
                FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
-                     FROM $prev) d CROSS JOIN w$r w),
+                     FROM $prev) d LEFT JOIN w$r w ON TRUE),
        h$r AS (SELECT doc_id, i,
                  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl
                FROM m$r WHERE hit),
@@ -430,7 +440,7 @@ object TextAnalysis {
        t$r AS (SELECT m.doc_id,
                  list(CASE WHEN s.i IS NOT NULL THEN w.a || ' ' || w.b
                       ELSE m.tok END ORDER BY m.i) AS toks
-               FROM m$r m CROSS JOIN w$r w
+               FROM m$r m LEFT JOIN w$r w ON TRUE
                LEFT JOIN sel$r s ON m.doc_id = s.doc_id AND m.i = s.i
                LEFT JOIN sel$r c ON m.doc_id = c.doc_id AND m.i = c.i + 1
                WHERE c.i IS NULL

@@ -505,21 +505,51 @@ object Streams {
       .start()
   }
 
-  /** True once the NB count store exists and holds BOTH classes — the
-    * score-vs-heuristics switch of [[modelGatedIngest]]. Heals an
-    * interrupted swap first so a mid-swap crash can't read a live store
-    * as absent. */
-  def nbStoreReady(s: SparkSession, modelDir: String): Boolean = {
+  /** Resolve a READABLE complete copy of the NB state without mutating
+    * anything: the live `state` dir, or — mid-[[applyNbBatch]] swap or
+    * after a writer crash — the vacated `state__old` copy (which is
+    * complete by the swap discipline; it holds the pre-batch model,
+    * exactly what a reader scoring "against whatever the store holds"
+    * should see). Readers must NEVER heal: the gate stream runs
+    * concurrently with the model stream, and a reader renaming
+    * `__old → state` mid-swap would both abort the writer's rename-in
+    * and resurrect stale state (healing belongs to the single writer —
+    * [[applyNbBatch]]). */
+  private def resolveNbState(s: SparkSession, modelDir: String): Option[String] = {
     val stateDir = s"$modelDir/state"
-    val stateP = new org.apache.hadoop.fs.Path(stateDir)
-    val oldP = new org.apache.hadoop.fs.Path(s"${stateDir}__old")
     val f = fs(s, stateDir)
-    if (!f.exists(stateP) && f.exists(oldP)) renameOrDie(f, oldP, stateP)
-    f.exists(stateP) && {
-      val r = s.read.parquet(s"$stateDir/docs_n").select("__np", "__nn").head()
-      !r.isNullAt(0) && !r.isNullAt(1) && r.getLong(0) > 0L && r.getLong(1) > 0L
-    }
+    if (f.exists(new org.apache.hadoop.fs.Path(stateDir))) Some(stateDir)
+    else if (f.exists(new org.apache.hadoop.fs.Path(s"${stateDir}__old")))
+      Some(s"${stateDir}__old")
+    else None
   }
+
+  /** Retry a read that can race the writer's two-rename swap window: the
+    * state dir can vanish between resolve and the parquet action. The
+    * window is two renames wide, so a couple of re-resolves always land
+    * on a complete copy. */
+  private def nbReadRetry[T](body: => T): T = {
+    var last: Throwable = null
+    var i = 0
+    while (i < 3) {
+      try return body
+      catch { case scala.util.control.NonFatal(e) => last = e; Thread.sleep(50L * (i + 1)) }
+      i += 1
+    }
+    throw last
+  }
+
+  /** True once the NB count store exists and holds BOTH classes — the
+    * score-vs-heuristics switch of [[modelGatedIngest]]. Read-only (see
+    * [[resolveNbState]]): a mid-swap state is read from its complete
+    * `__old` copy, never healed from the reader side. */
+  def nbStoreReady(s: SparkSession, modelDir: String): Boolean =
+    nbReadRetry {
+      resolveNbState(s, modelDir).exists { dir =>
+        val r = s.read.parquet(s"$dir/docs_n").select("__np", "__nn").head()
+        !r.isNullAt(0) && !r.isNullAt(1) && r.getLong(0) > 0L && r.getLong(1) > 0L
+      }
+    }
 
   /** Wire a streaming DataFrame into the upsert sink. With `partCol` set
     * (the documented default for anything table-sized) each micro-batch
@@ -955,10 +985,21 @@ object Streams {
 
   /** Finalize the at-rest count state into the scoring model —
     * (llr, scalars) exactly as a fresh
-    * [[graft.operators.Classify.nbModel]] train would produce. */
+    * [[graft.operators.Classify.nbModel]] train would produce.
+    *
+    * Read-only and SNAPSHOTTED: the state resolves via
+    * [[resolveNbState]] (mid-swap reads land on the complete `__old`
+    * copy) and both tables are eagerly `localCheckpoint`ed — they are
+    * vocabulary-sized by construction — so a concurrent
+    * [[applyNbBatch]] swap deleting the old copy mid-batch cannot yank
+    * files out from under the gate stream's score join. */
   def nbModelFromStore(s: SparkSession, modelDir: String)
       : (DataFrame, DataFrame) =
-    graft.operators.Classify.nbModelFromCounts(
-      s.read.parquet(s"$modelDir/state/counts"),
-      s.read.parquet(s"$modelDir/state/docs_n").drop("__last_batch"))
+    nbReadRetry {
+      val dir = resolveNbState(s, modelDir).getOrElse(throw new IllegalStateException(
+        s"no NB count state under $modelDir (train or stream a batch first)"))
+      graft.operators.Classify.nbModelFromCounts(
+        s.read.parquet(s"$dir/counts").localCheckpoint(),
+        s.read.parquet(s"$dir/docs_n").drop("__last_batch").localCheckpoint())
+    }
 }

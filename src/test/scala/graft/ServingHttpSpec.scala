@@ -94,6 +94,34 @@ class ServingHttpSpec extends SparkSpec {
     }
   }
 
+  test("malformed body → 400, never 200 with silently-defaulted parameters") {
+    withServer { port =>
+      // truncated JSON on a path route: discarding it would answer 200
+      // with default top_k and the client never learns
+      val (s1, b1) = post(port, "/search/whole", """{"top_k": 3""")
+      assert(s1 === 400 && b1.startsWith("""{"error":"""), b1)
+      // a JSON array is not a request object — on either route
+      val (s2, b2) = post(port, "/api/search", """[1,2,3]""")
+      assert(s2 === 400 && b2.startsWith("""{"error":"""), b2)
+      val (s3, b3) = post(port, "/search/tags", """"just a string"""")
+      assert(s3 === 400 && b3.startsWith("""{"error":"""), b3)
+    }
+  }
+
+  test("engine fault on a valid request → 500 internal-error envelope, not 400") {
+    // a server whose data directory vanished after startup: the request
+    // is well-formed, the engine faults — a monitor must never be told
+    // the client was at fault (app.py:329-331's envelope)
+    val gone = java.nio.file.Files.createTempDirectory("graft_gone").toString
+    val srv = ServingHttp.start(spark, gone, 0)
+    try {
+      val (status, body) = post(srv.getAddress.getPort, "/api/search",
+        """{"mode":"whole","top_k":3,"query_image_id":1}""")
+      assert(status === 500, body)
+      assert(body.startsWith("""{"error":"Internal server error","details":"""), body)
+    } finally srv.stop(0)
+  }
+
   test("body over 16MB → 413 with app.py's exact envelope") {
     withServer { port =>
       val big = new Array[Byte]((ServingHttp.MaxBody + 2).toInt)

@@ -145,6 +145,54 @@ class GramIndexSpec extends SparkSpec {
     assert(gated === plan1.toSeq.sorted)
   }
 
+  test("int-typed id builds a readable index; docids sidecar drives the disjointness probe") {
+    val dir = tmp("gram_int")
+    // readGrams pins `doc_id LONG`; without the write-side cast this
+    // index would build fine and then throw on every vectorized read
+    val intCorpus = corpus.withColumn("doc_id", $"doc_id".cast("int"))
+    GramIndex.write(intCorpus, $"doc_id", $"text", s"$dir/idx", n = 8)
+    val idx = memRows(GramIndex.memorizationRateFromIndex(
+      probe, $"doc_id", $"text", s"$dir/idx"))
+    val plan = memRows(Dedup.memorizationRate(
+      probe, corpus, $"doc_id", $"text", n = 8))
+    assert(idx === plan)
+    // the sidecar: one long-typed row per indexed doc — the O(n_docs)
+    // membership set appends probe instead of scanning the gram table
+    val ids = spark.read.parquet(s"$dir/idx/docids")
+    assert(ids.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(ids.as[Long].collect().sorted.toSeq ===
+      corpus.select($"doc_id").as[Long].collect().sorted.toSeq)
+    // an int-typed overlapping append still trips the contract
+    val e = intercept[IllegalArgumentException] {
+      GramIndex.append(intCorpus.limit(1), $"doc_id", $"text", s"$dir/idx")
+    }
+    assert(e.getMessage.contains("overlaps"))
+  }
+
+  test("takedown of EVERY doc leaves a validly-empty index; ids become re-appendable") {
+    val dir = tmp("gram_all_del")
+    GramIndex.write(corpus, $"doc_id", $"text", s"$dir/idx", n = 8)
+    GramIndex.delete(corpus.select($"doc_id"), $"doc_id", s"$dir/idx")
+    GramIndex.merge(spark, s"$dir/idx")
+    def nDocs = spark.read.parquet(s"$dir/idx/stats")
+      .select("n_docs").head().getLong(0)
+    assert(nDocs === 0L, "all docs taken down → zero, not a crash")
+    val served = memRows(GramIndex.memorizationRateFromIndex(
+      probe, $"doc_id", $"text", s"$dir/idx"))
+    assert(served.nonEmpty && served.forall(_._3 === 0L),
+      "an empty lake memorizes nothing")
+    // a taken-down id is legitimately re-appendable: the docids sidecar
+    // forgot it with the gram rows
+    GramIndex.append(corpus.filter($"doc_id" === 10L), $"doc_id", $"text",
+      s"$dir/idx")
+    assert(nDocs === 1L)
+    val again = memRows(GramIndex.memorizationRateFromIndex(
+      probe, $"doc_id", $"text", s"$dir/idx"))
+    assert(again.find(_._1 === 100L).get._3 > 0L,
+      "re-appended doc's grams serve again")
+  }
+
   test("takedown: tombstoned docs leave the audit immediately; merge applies physically") {
     val dir = tmp("gram_del")
     GramIndex.write(corpus, $"doc_id", $"text", s"$dir/idx", n = 8)

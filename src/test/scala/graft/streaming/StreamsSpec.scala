@@ -863,6 +863,35 @@ class StreamsSpec extends SparkSpec {
       llrF.as[(String, Long)].collect().toMap, "replayed batch must not re-merge")
   }
 
+  test("nbStoreReady/nbModelFromStore: mid-swap readers use the __old copy, never heal") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nbro").toString
+    val b1 = Seq((1L, "good fine", true), (2L, "bad poor", false))
+    Streams.applyNbBatch(b1.toDF("id", "text", "pos"), col("text"), col("pos"), dir, 0L)
+    // the exact between-renames shape of a LIVE applyNbBatch swap: state
+    // vacated to __old, staging not yet renamed in
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stateP = new org.apache.hadoop.fs.Path(s"$dir/state")
+    val oldP = new org.apache.hadoop.fs.Path(s"$dir/state__old")
+    fsys.rename(stateP, oldP)
+    // the gate stream's readiness check must answer from the complete
+    // __old copy — a reader that healed here would rename under the
+    // writer's feet, aborting its rename-in and resurrecting stale state
+    assert(Streams.nbStoreReady(spark, dir),
+      "mid-swap store reads as ready from the __old copy")
+    assert(!fsys.exists(stateP) && fsys.exists(oldP),
+      "readiness check must not mutate the store (healing is writer-only)")
+    val (llrS, scS) = Streams.nbModelFromStore(spark, dir)
+    val (llrF, scF) = graft.operators.Classify.nbModel(
+      b1.toDF("id", "text", "pos"), $"text", $"pos")
+    assert(llrS.as[(String, Long)].collect().toMap ===
+      llrF.as[(String, Long)].collect().toMap,
+      "__old copy serves the pre-batch model")
+    assert(scS.as[(Long, Long)].head() === scF.as[(Long, Long)].head())
+    assert(!fsys.exists(stateP) && fsys.exists(oldP),
+      "model read must not mutate the store either")
+  }
+
   test("applyNbBatch: crash-interrupted state swap heals before the next batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_nbheal").toString
     val b1 = Seq((1L, "good fine", true), (2L, "bad poor", false))
