@@ -765,6 +765,130 @@ case class BpeMergeExpr(child: Expression, a: String, b: String)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass per-document repetition/quality statistics — the integer
+  * cores of the Gopher quality rules (Rae et al. 2021, "Scaling Language
+  * Models", Appendix A1.1: word-count bounds, mean word length,
+  * alphabetic-word ratio, most-frequent-n-gram character fraction,
+  * duplicated-n-gram character coverage). The published filter is the
+  * standard pre-training admission gate; computing its statistics
+  * relationally takes five n-gram explode→groupBy aggregations PER
+  * DOCUMENT STREAM — this kernel computes all of them in one traversal of
+  * the token array with zero shuffles, the shape a 100 TB quality pass
+  * needs (a pure map over the corpus scan).
+  *
+  * Returns a struct of EXACT LONGS — every published fraction is derived
+  * downstream as one IEEE division of two of these (bit-reproducible
+  * engine/oracle, the fixed-point discipline every txt_* oracle rides):
+  *  - `n_words`, `word_chars` (Σ token length, separators excluded),
+  *    `n_alpha` (tokens containing an ASCII letter);
+  *  - `top2_chars`/`top3_chars`/`top4_chars`: max over positional
+  *    n-grams of count·length(gram) with the n−1 joining spaces counted
+  *    (ties need no break — the max is over the product);
+  *  - `cov5`/`cov10`: token POSITIONS covered by at least one occurrence
+  *    of an n-gram appearing ≥2× in the doc (overlap counted once — true
+  *    coverage, not the Σcount·len upper bound reimplementations use).
+  *
+  * Gram identity is the exact space-joined token string (equals DuckDB's
+  * `array_to_string(toks[i:i+n-1], ' ')` grouping — no hashing, no
+  * collision caveat). Null elements read as "" (`string_split` never
+  * yields null elements; defensive only). Null array → null. */
+case class GopherStatsExpr(child: Expression) extends TokenArrayExpression {
+  override def prettyName: String = "graft_gopher_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("word_chars", LongType, nullable = false),
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("top2_chars", LongType, nullable = false),
+    StructField("top3_chars", LongType, nullable = false),
+    StructField("top4_chars", LongType, nullable = false),
+    StructField("cov5", LongType, nullable = false),
+    StructField("cov10", LongType, nullable = false)))
+
+  private val TopNs = Array(2, 3, 4)
+  private val CovNs = Array(5, 10)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var wordChars = 0L
+    var nAlpha = 0L
+    var t = 0
+    while (t < n) {
+      val s = if (arr.isNullAt(t)) "" else arr.getUTF8String(t).toString
+      toks(t) = s
+      wordChars += s.length
+      var hasAlpha = false
+      var c = 0
+      while (c < s.length && !hasAlpha) {
+        val ch = s.charAt(c)
+        if ((ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z')) hasAlpha = true
+        c += 1
+      }
+      if (hasAlpha) nAlpha += 1
+      t += 1
+    }
+    def gramAt(i: Int, g: Int): String = {
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < i + g) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      sb.toString
+    }
+    // most-frequent-n-gram char mass: max over grams of count·len
+    val tops = TopNs.map { g =>
+      if (n < g) 0L
+      else {
+        val counts = new java.util.HashMap[String, Long]()
+        var i = 0
+        while (i <= n - g) {
+          counts.merge(gramAt(i, g), 1L, (a, b) => a + b)
+          i += 1
+        }
+        var best = 0L
+        counts.forEach { (k, c) =>
+          val mass = c * k.length
+          if (mass > best) best = mass
+        }
+        best
+      }
+    }
+    // duplicated-n-gram coverage: positions under ≥1 occurrence of a
+    // gram seen ≥2×, overlaps counted once (two passes: count, mark)
+    val covs = CovNs.map { g =>
+      if (n < g) 0L
+      else {
+        val counts = new java.util.HashMap[String, Int]()
+        var i = 0
+        while (i <= n - g) {
+          counts.merge(gramAt(i, g), 1, (a, b) => a + b)
+          i += 1
+        }
+        val covered = new Array[Boolean](n)
+        i = 0
+        while (i <= n - g) {
+          if (counts.get(gramAt(i, g)) >= 2) {
+            var p = i
+            while (p < i + g) { covered(p) = true; p += 1 }
+          }
+          i += 1
+        }
+        var cov = 0L
+        var p = 0
+        while (p < n) { if (covered(p)) cov += 1; p += 1 }
+        cov
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      n.toLong, wordChars, nAlpha, tops(0), tops(1), tops(2), covs(0), covs(1))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   private def litStr(e: Expression): String =
     e.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
@@ -808,6 +932,8 @@ object TextExpressions {
         es => AdjacentPairsExpr(es.head), "built-in")
       reg.createOrReplaceTempFunction("graft_bpe_merge",
         es => BpeMergeExpr(es(0), litStr(es(1)), litStr(es(2))), "built-in")
+      reg.createOrReplaceTempFunction("graft_gopher_stats",
+        es => GopherStatsExpr(es.head), "built-in")
     }
   }
 
@@ -847,6 +973,9 @@ object TextExpressions {
   }
   def bpeMerge(spark: SparkSession, toks: Column, a: String, b: String): Column = {
     register(spark); call_function("graft_bpe_merge", toks, lit(a), lit(b))
+  }
+  def gopherStats(spark: SparkSession, toks: Column): Column = {
+    register(spark); call_function("graft_gopher_stats", toks)
   }
   def hyperplaneSig(spark: SparkSession, vec: Column, nbits: Int): Column = {
     register(spark); call_function("graft_hyperplane_sig", vec, lit(nbits))

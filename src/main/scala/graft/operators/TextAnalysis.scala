@@ -31,6 +31,89 @@ object TextAnalysis {
         punctRatio(col("text")).as("punct_ratio"))
       .orderBy("doc_id")
 
+  /** The Gopher rules' stopword presence list (Rae et al. 2021 A1.1:
+    * a document must contain ≥2 of these 8). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality rules (Rae et al. 2021, Appendix A1.1) — the
+    * standard pre-training quality/repetition admission gate, per doc:
+    * word-count bounds [50, 100k], mean word length [3, 10], ≥2 distinct
+    * stopwords, >80% alphabetic words, most-frequent-{2,3,4}-gram char
+    * fraction ≤ {0.20, 0.18, 0.16}, duplicated-{5,10}-gram coverage
+    * ≤ {0.15, 0.10}, plus the combined `passes` verdict.
+    *
+    * All integer cores come from ONE traversal of the token array
+    * ([[graft.functions.GopherStatsExpr]] — computing them relationally
+    * is five explode→groupBy aggregations over the corpus token stream);
+    * every fraction is a single IEEE division of two exact longs, so the
+    * relational DuckDB replay hash-matches bit-for-bit. Zero shuffles:
+    * the whole gate is a map over the corpus scan, the only shape that
+    * holds at 100 TB (line/paragraph-based rules are omitted — the
+    * tokenizer boundary here is the word stream; they would ride the
+    * same kernel over a line split). */
+  def gopherQualityOn(df: DataFrame, id: Column, text: Column,
+      stopwords: Seq[String] = GopherStopwords): DataFrame = {
+    val s = df.sparkSession
+    val metrics = df
+      .select(id.as("doc_id"), tokens(text).as("toks"))
+      .withColumn("g", graft.functions.TextExpressions.gopherStats(s, col("toks")))
+      .withColumn("n_stop", size(array_intersect(array_distinct(col("toks")),
+        lit(stopwords.toArray))).cast("long"))
+      // the n−1 joining spaces count toward the doc's char mass, same as
+      // the oracle's array_to_string denominator
+      .withColumn("joined_chars",
+        col("g.word_chars") + greatest(col("g.n_words") - 1L, lit(0L)))
+      .select(
+        col("doc_id"),
+        col("g.n_words").as("n_words"),
+        (col("g.word_chars").cast("double") /
+          nullif(col("g.n_words"), lit(0L)).cast("double")).as("mean_word_len"),
+        col("n_stop"),
+        (col("g.n_alpha").cast("double") /
+          nullif(col("g.n_words"), lit(0L)).cast("double")).as("alpha_ratio"),
+        (col("g.top2_chars").cast("double") /
+          nullif(col("joined_chars"), lit(0L)).cast("double")).as("top2_frac"),
+        (col("g.top3_chars").cast("double") /
+          nullif(col("joined_chars"), lit(0L)).cast("double")).as("top3_frac"),
+        (col("g.top4_chars").cast("double") /
+          nullif(col("joined_chars"), lit(0L)).cast("double")).as("top4_frac"),
+        (col("g.cov5").cast("double") /
+          nullif(col("g.n_words"), lit(0L)).cast("double")).as("dup5_frac"),
+        (col("g.cov10").cast("double") /
+          nullif(col("g.n_words"), lit(0L)).cast("double")).as("dup10_frac"))
+    metrics.withColumn("passes", coalesce(
+      col("n_words").between(50L, 100000L) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        (col("n_stop") >= 2L) &&
+        (col("alpha_ratio") > 0.8) &&
+        (col("top2_frac") <= 0.20) &&
+        (col("top3_frac") <= 0.18) &&
+        (col("top4_frac") <= 0.16) &&
+        (col("dup5_frac") <= 0.15) &&
+        (col("dup10_frac") <= 0.10), lit(false)))
+  }
+
+  /** Named query: the per-doc Gopher rule metrics and verdict. The
+    * stopword-presence rule is inventory-parameterized (the published 8
+    * are English-prose function words; a corpus in another register
+    * supplies its own, the [[graft.functions.TextFunctions.LangMarkers]]
+    * precedent) — the named binding uses the library's
+    * [[graft.functions.TextFunctions.EnglishStopwords]], shared with
+    * `txt_quality`, under which the testdata corpus splits on the
+    * word-count and repetition gates rather than failing vacuously on
+    * words its synthetic vocabulary never contains. */
+  def gopherQuality(s: SparkSession, d: String): DataFrame =
+    gopherQualityOn(Tables.documents(s, d), col("doc_id"), col("text"),
+      stopwords = EnglishStopwords)
+      .orderBy("doc_id")
+
+  /** The strip face: doc ids the gates admit. */
+  def gopherFilter(s: SparkSession, d: String): DataFrame =
+    gopherQualityOn(Tables.documents(s, d), col("doc_id"), col("text"),
+      stopwords = EnglishStopwords)
+      .filter(col("passes")).select("doc_id").orderBy("doc_id")
+
   /** n-gram/stopword-marker language ID (argmax over per-language hit
     * counts; deterministic tie rule = LangMarkers declaration order). */
   def langId(s: SparkSession, d: String): DataFrame =
@@ -384,6 +467,8 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_quality" -> quality,
+    "txt_gopher_quality" -> gopherQuality,
+    "txt_gopher_filter" -> gopherFilter,
     "txt_bigram_merge" -> bigramMerge,
     "txt_bpe_train" -> bpeTrainQ,
     "txt_bpe_encode" -> bpeEncodeQ,
@@ -398,6 +483,63 @@ object TextAnalysis {
     "txt_distinctive" -> distinctiveTerms)
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** The Gopher metrics relationally: per-n positional-gram CTEs replay
+    * the kernel's counts (gram identity = the same space-joined string),
+    * coverage = DISTINCT positions under duplicated grams (overlap once),
+    * every fraction the same two-long division as the engine column. */
+  private def gopherSql: String = {
+    def topCte(n: Int) =
+      s"""o$n AS (SELECT doc_id, array_to_string(toks[i:i + ${n - 1}], ' ') AS g
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - ${n - 2})) AS i
+                    FROM t WHERE len(toks) >= $n)),
+         t$n AS (SELECT doc_id, max(cnt * length(g)) AS chars
+               FROM (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+                     FROM o$n GROUP BY doc_id, g) GROUP BY doc_id)"""
+    def covCte(n: Int) =
+      s"""p$n AS (SELECT doc_id, i, array_to_string(toks[i:i + ${n - 1}], ' ') AS g
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - ${n - 2})) AS i
+                    FROM t WHERE len(toks) >= $n)),
+         d$n AS (SELECT doc_id, g FROM p$n GROUP BY doc_id, g HAVING count(*) >= 2),
+         c$n AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS cov
+               FROM (SELECT o.doc_id, unnest(range(o.i, o.i + $n)) AS p
+                     FROM p$n o JOIN d$n d USING (doc_id, g))
+               GROUP BY doc_id)"""
+    val meanE = "CAST(b.word_chars AS DOUBLE) / CAST(nullif(b.n_words, 0) AS DOUBLE)"
+    val alphaE = "CAST(b.n_alpha AS DOUBLE) / CAST(nullif(b.n_words, 0) AS DOUBLE)"
+    def topE(n: Int) =
+      s"CAST(coalesce(t$n.chars, 0) AS DOUBLE) / CAST(nullif(b.word_chars + greatest(b.n_words - 1, 0), 0) AS DOUBLE)"
+    def covE(n: Int) =
+      s"CAST(coalesce(c$n.cov, 0) AS DOUBLE) / CAST(nullif(b.n_words, 0) AS DOUBLE)"
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS word_chars,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_intersect(list_distinct(toks), ${sqlList(EnglishStopwords)})) AS BIGINT) AS n_stop
+           FROM t),
+       ${topCte(2)}, ${topCte(3)}, ${topCte(4)}, ${covCte(5)}, ${covCte(10)}
+       SELECT b.doc_id, b.n_words,
+         $meanE AS mean_word_len,
+         b.n_stop,
+         $alphaE AS alpha_ratio,
+         ${topE(2)} AS top2_frac,
+         ${topE(3)} AS top3_frac,
+         ${topE(4)} AS top4_frac,
+         ${covE(5)} AS dup5_frac,
+         ${covE(10)} AS dup10_frac,
+         COALESCE(b.n_words BETWEEN 50 AND 100000
+           AND ($meanE) BETWEEN 3 AND 10
+           AND b.n_stop >= 2
+           AND ($alphaE) > 0.8
+           AND (${topE(2)}) <= 0.20
+           AND (${topE(3)}) <= 0.18
+           AND (${topE(4)}) <= 0.16
+           AND (${covE(5)}) <= 0.15
+           AND (${covE(10)}) <= 0.10, FALSE) AS passes
+       FROM b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+         LEFT JOIN t4 USING (doc_id) LEFT JOIN c5 USING (doc_id)
+         LEFT JOIN c10 USING (doc_id)"""
+  }
 
   /** One tokenizer definition for every `txt_*` oracle — `of` lets a
     * query pre-treat the text expression (txt_chunk's null coalesce)
@@ -460,6 +602,9 @@ object TextAnalysis {
            CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
              / greatest(length(text), 1) AS punct_ratio
          FROM t ORDER BY doc_id""",
+    "txt_gopher_quality" -> s"$gopherSql ORDER BY doc_id",
+    "txt_gopher_filter" ->
+      s"SELECT doc_id FROM ($gopherSql) WHERE passes ORDER BY doc_id",
     "txt_langid" -> {
       val hits = LangMarkers.map { case (l, m) =>
         s"len(list_filter(list_distinct(toks), x -> list_contains(${sqlList(m)}, x))) AS h_$l"

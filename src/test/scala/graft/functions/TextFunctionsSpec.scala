@@ -342,6 +342,58 @@ class TextFunctionsSpec extends SparkSpec {
     assert(m(1L).size < sizes(1L))
   }
 
+  test("GopherStatsExpr: parity with a reference implementation; coverage counts overlap once") {
+    // independent reference for every field of the fused kernel
+    def ref(toks: Seq[String]): (Long, Long, Long, Long, Long, Long, Long, Long) = {
+      val n = toks.size
+      val wordChars = toks.map(_.length.toLong).sum
+      val nAlpha = toks.count(_.exists(c => c.isLetter && c <= 'z')).toLong
+      def grams(g: Int): Seq[String] =
+        if (n < g) Nil else (0 to n - g).map(i => toks.slice(i, i + g).mkString(" "))
+      def top(g: Int): Long = {
+        val counts = grams(g).groupBy(identity).view.mapValues(_.size.toLong)
+        if (counts.isEmpty) 0L
+        else counts.map { case (k, c) => c * k.length }.max
+      }
+      def cov(g: Int): Long = {
+        val occ = grams(g).zipWithIndex
+        val dup = occ.groupBy(_._1).filter(_._2.size >= 2).keySet
+        occ.filter(o => dup(o._1)).flatMap(o => o._2 until o._2 + g)
+          .toSet.size.toLong
+      }
+      (n.toLong, wordChars, nAlpha, top(2), top(3), top(4), cov(5), cov(10))
+    }
+    val docs = Seq(
+      // overlap-once: every position sits under a duplicated 5-gram, but
+      // coverage is 10, never the Σcount·len upper bound (30)
+      "a b a b a b a b a b",
+      "x y x y x y z", // repeated 2-gram, no 5-gram dups
+      "unique tokens only here now never repeating anything at all",
+      "a", "a b c d", "", // shorter than every gram width
+      "t t t t t t t t t t t t t t t" // one-symbol run: all grams dup
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = docs
+      .select($"doc_id", graft.functions.TextExpressions
+        .gopherStats(spark, tokens($"text")).as("g"))
+      .select($"doc_id", $"g.n_words", $"g.word_chars", $"g.n_alpha",
+        $"g.top2_chars", $"g.top3_chars", $"g.top4_chars", $"g.cov5", $"g.cov10")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .sortBy(_._1).zip(got).foreach { case ((id, text), g) =>
+        val e = ref(text.toLowerCase.split(" ", -1).toSeq)
+        assert((g._2, g._3, g._4, g._5, g._6, g._7, g._8, g._9) === e,
+          s"doc $id '$text'")
+      }
+    // the overlap-once doc, explicitly: 10 covered positions, not 30
+    assert(got.find(_._1 === 0L).get._8 === 10L)
+    // null text → null struct (nullSafeEval)
+    val nulls = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(graft.functions.TextExpressions
+        .gopherStats(spark, tokens($"text")).as("g"))
+    assert(nulls.filter($"g".isNull).count() === 1L)
+  }
+
   test("bpeTrain: merge counts are non-increasing across rounds (property)") {
     import org.scalacheck.{Gen, rng}
     // small vocab + short docs → merges genuinely repeat and cascade
