@@ -262,6 +262,35 @@ object Pipelines {
         .select(exactFingerprint(col("text")).as("fp")))
   }
 
+  /** Gopher-gated curation — the published pipeline's own order (the
+    * Gopher/MassiveText flow: quality+repetition RULES first, exact
+    * dedup over the admitted set): the
+    * [[TextAnalysis.gopherQualityOn]] verdict is the admission stage
+    * (one fused-kernel map over the corpus scan — no shuffle), then
+    * keep-first md5 dedup among survivors. The rules gate BEFORE the
+    * dedup shuffle on purpose: at crawl scale most of the corpus fails
+    * the rules, so the fingerprint exchange moves only the admitted
+    * minority — the same stage-ordering argument [[curateFullOn]]
+    * documents for its cheap gates. Survivors carry the headline rule
+    * metrics for downstream mixing/audit. */
+  def curateGopherOn(docs: DataFrame): DataFrame = {
+    val admitted = TextAnalysis.gopherQualityOn(docs, col("doc_id"), col("text"),
+        stopwords = graft.functions.TextFunctions.EnglishStopwords)
+      .filter(col("passes"))
+      .select("doc_id", "n_words", "top2_frac", "dup5_frac")
+    val w = Window.partitionBy("fp").orderBy(asc("doc_id"))
+    docs.select(col("doc_id"), col("text"))
+      .join(admitted, "doc_id")
+      .withColumn("fp", exactFingerprint(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "n_words", "top2_frac", "dup5_frac")
+      .orderBy("doc_id")
+  }
+
+  def curateGopher(s: SparkSession, d: String): DataFrame =
+    curateGopherOn(Tables.documents(s, d))
+
   /** A14 — the per-stage RUNNING COUNTERS surfaced as an oracle-checked
     * relation: run ONE action over [[curateExactObserved]]'s plan, read
     * the Observation accumulators (which folded into that same job —
@@ -371,6 +400,7 @@ object Pipelines {
     "pipeline_curate_full" -> curateFull,
     "pipeline_curate_excise" -> curateExcise,
     "pipeline_curate_incr" -> curateIncremental,
+    "pipeline_gopher" -> curateGopher,
     "pipeline_chunk_pack" -> chunkPack)
 
   /** Shared DuckDB CTE prefix `t,h,b,lp,g`: tokenize → langid hits →
@@ -394,6 +424,17 @@ object Pipelines {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Gopher rules (TextAnalysis.gopherSql — the same CTE pyramid that
+    // checks txt_gopher_quality alone) → keep-first md5 dedup
+    "pipeline_gopher" ->
+      s"""WITH q AS (${TextAnalysis.gopherSql}),
+         f AS (SELECT doc_id FROM (
+             SELECT d.doc_id, row_number() OVER (
+               PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn
+             FROM documents d JOIN q ON d.doc_id = q.doc_id AND q.passes)
+           WHERE rn = 1)
+         SELECT q.doc_id, q.n_words, q.top2_frac, q.dup5_frac
+         FROM q JOIN f USING (doc_id) ORDER BY q.doc_id""",
     // the golden path end to end: the curate-exact pyramid → temperature
     // sample (md5 uniform) → per-source cap → chunk window/stride replay
     // → pack cumulative window — each block is the CTE chain that

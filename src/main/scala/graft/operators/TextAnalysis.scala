@@ -488,7 +488,7 @@ object TextAnalysis {
     * the kernel's counts (gram identity = the same space-joined string),
     * coverage = DISTINCT positions under duplicated grams (overlap once),
     * every fraction the same two-long division as the engine column. */
-  private def gopherSql: String = {
+  private[operators] def gopherSql: String = {
     def topCte(n: Int) =
       s"""o$n AS (SELECT doc_id, array_to_string(toks[i:i + ${n - 1}], ' ') AS g
               FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - ${n - 2})) AS i

@@ -35,6 +35,25 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("curateGopher: rules admit, keep-first dedup among survivors, metrics carried") {
+    // 60 distinct 4-char words + 2 stopwords: passes every published
+    // gate (n_words 60, mean len ~3.9, no repeated grams)
+    val good = "the a " + (1 to 58).map(i => f"w$i%03d").mkString(" ")
+    val good2 = "the a " + (1 to 58).map(i => f"v$i%03d").mkString(" ")
+    val docs = Seq(
+      (10L, good), (20L, good), // exact duplicates, both admissible
+      (30L, "short doc only"), // fails the word-count gate
+      (40L, good2)
+    ).toDF("doc_id", "text")
+    val out = Pipelines.curateGopherOn(docs)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) === Seq(10L, 40L),
+      s"gate drops 30, keep-first dedup keeps 10 of {10,20}; got $out")
+    assert(out.forall(_._2 === 60L), "n_words metric carried through")
+    assert(out.forall(r => r._3 <= 0.2 && r._4 <= 0.15),
+      "repetition metrics carried through")
+  }
+
   test("curateExactObserved: per-stage funnel metrics match independent counts") {
     val d = "/root/testdata/sf0.001"
     val (out, obs) = Pipelines.curateExactObserved(spark, d)
