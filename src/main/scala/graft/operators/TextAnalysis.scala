@@ -52,47 +52,66 @@ object TextAnalysis {
     * holds at 100 TB (line/paragraph-based rules are omitted — the
     * tokenizer boundary here is the word stream; they would ride the
     * same kernel over a line split). */
-  def gopherQualityOn(df: DataFrame, id: Column, text: Column,
+  /** The names [[withGopherMetrics]] appends, in output order. */
+  val GopherMetricCols: Seq[String] = Seq("n_words", "mean_word_len",
+    "n_stop", "alpha_ratio", "top2_frac", "top3_frac", "top4_frac",
+    "dup5_frac", "dup10_frac", "passes")
+
+  /** Append the Gopher metric + verdict columns to `df` WITHOUT touching
+    * its row shape — the composable face: batch quality reporting
+    * ([[gopherQualityOn]]) selects the metrics out, streaming admission
+    * ([[graft.streaming.Streams.gopherGated]]) filters on `passes` and
+    * drops them. Stateless per-row computation, so it runs unchanged on
+    * a streaming DataFrame. The kernel struct is materialized ONCE in
+    * its own projection (a CodegenFallback expression referenced per
+    * field would otherwise re-run the whole traversal per metric). */
+  def withGopherMetrics(df: DataFrame, text: Column,
       stopwords: Seq[String] = GopherStopwords): DataFrame = {
     val s = df.sparkSession
-    val metrics = df
-      .select(id.as("doc_id"), tokens(text).as("toks"))
-      .withColumn("g", graft.functions.TextExpressions.gopherStats(s, col("toks")))
-      .withColumn("n_stop", size(array_intersect(array_distinct(col("toks")),
+    val clash = df.columns.toSet.intersect(GopherMetricCols.toSet)
+    require(clash.isEmpty,
+      s"withGopherMetrics would clobber input columns: ${clash.toSeq.sorted.mkString(", ")}")
+    df.withColumn("__toks", tokens(text))
+      .withColumn("__g", graft.functions.TextExpressions.gopherStats(s, col("__toks")))
+      .withColumn("n_stop", size(array_intersect(array_distinct(col("__toks")),
         lit(stopwords.toArray))).cast("long"))
       // the n−1 joining spaces count toward the doc's char mass, same as
       // the oracle's array_to_string denominator
-      .withColumn("joined_chars",
-        col("g.word_chars") + greatest(col("g.n_words") - 1L, lit(0L)))
-      .select(
-        col("doc_id"),
-        col("g.n_words").as("n_words"),
-        (col("g.word_chars").cast("double") /
-          nullif(col("g.n_words"), lit(0L)).cast("double")).as("mean_word_len"),
-        col("n_stop"),
-        (col("g.n_alpha").cast("double") /
-          nullif(col("g.n_words"), lit(0L)).cast("double")).as("alpha_ratio"),
-        (col("g.top2_chars").cast("double") /
-          nullif(col("joined_chars"), lit(0L)).cast("double")).as("top2_frac"),
-        (col("g.top3_chars").cast("double") /
-          nullif(col("joined_chars"), lit(0L)).cast("double")).as("top3_frac"),
-        (col("g.top4_chars").cast("double") /
-          nullif(col("joined_chars"), lit(0L)).cast("double")).as("top4_frac"),
-        (col("g.cov5").cast("double") /
-          nullif(col("g.n_words"), lit(0L)).cast("double")).as("dup5_frac"),
-        (col("g.cov10").cast("double") /
-          nullif(col("g.n_words"), lit(0L)).cast("double")).as("dup10_frac"))
-    metrics.withColumn("passes", coalesce(
-      col("n_words").between(50L, 100000L) &&
-        col("mean_word_len").between(3.0, 10.0) &&
-        (col("n_stop") >= 2L) &&
-        (col("alpha_ratio") > 0.8) &&
-        (col("top2_frac") <= 0.20) &&
-        (col("top3_frac") <= 0.18) &&
-        (col("top4_frac") <= 0.16) &&
-        (col("dup5_frac") <= 0.15) &&
-        (col("dup10_frac") <= 0.10), lit(false)))
+      .withColumn("__joined",
+        col("__g.word_chars") + greatest(col("__g.n_words") - 1L, lit(0L)))
+      .withColumn("n_words", col("__g.n_words"))
+      .withColumn("mean_word_len", col("__g.word_chars").cast("double") /
+        nullif(col("__g.n_words"), lit(0L)).cast("double"))
+      .withColumn("alpha_ratio", col("__g.n_alpha").cast("double") /
+        nullif(col("__g.n_words"), lit(0L)).cast("double"))
+      .withColumn("top2_frac", col("__g.top2_chars").cast("double") /
+        nullif(col("__joined"), lit(0L)).cast("double"))
+      .withColumn("top3_frac", col("__g.top3_chars").cast("double") /
+        nullif(col("__joined"), lit(0L)).cast("double"))
+      .withColumn("top4_frac", col("__g.top4_chars").cast("double") /
+        nullif(col("__joined"), lit(0L)).cast("double"))
+      .withColumn("dup5_frac", col("__g.cov5").cast("double") /
+        nullif(col("__g.n_words"), lit(0L)).cast("double"))
+      .withColumn("dup10_frac", col("__g.cov10").cast("double") /
+        nullif(col("__g.n_words"), lit(0L)).cast("double"))
+      .withColumn("passes", coalesce(
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          (col("n_stop") >= 2L) &&
+          (col("alpha_ratio") > 0.8) &&
+          (col("top2_frac") <= 0.20) &&
+          (col("top3_frac") <= 0.18) &&
+          (col("top4_frac") <= 0.16) &&
+          (col("dup5_frac") <= 0.15) &&
+          (col("dup10_frac") <= 0.10), lit(false)))
+      .drop("__toks", "__g", "__joined")
   }
+
+  def gopherQualityOn(df: DataFrame, id: Column, text: Column,
+      stopwords: Seq[String] = GopherStopwords): DataFrame =
+    withGopherMetrics(df.select(id.as("doc_id"), text.as("__text")),
+        col("__text"), stopwords)
+      .select((col("doc_id") +: GopherMetricCols.map(col)): _*)
 
   /** Named query: the per-doc Gopher rule metrics and verdict. The
     * stopword-presence rule is inventory-parameterized (the published 8

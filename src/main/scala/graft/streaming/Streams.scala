@@ -133,6 +133,21 @@ object Streams {
     graft.operators.Curation.piiRedact(gated, col(textCol)).drop("__toks")
   }
 
+  /** Gopher-rules admission gate for a document stream — the published
+    * quality/repetition rule set ([[graft.operators.TextAnalysis
+    * .withGopherMetrics]]) as a STATELESS per-row filter: one fused-
+    * kernel map, no state store, no watermark, row shape preserved — so
+    * it composes anywhere in an ingest chain exactly like
+    * [[hygieneGated]] (batch/stream parity is definitional: the same
+    * Column tree evaluates per row in both modes; spec-pinned anyway). */
+  def gopherGated(df: DataFrame, textCol: String,
+      stopwords: Seq[String] =
+        graft.functions.TextFunctions.EnglishStopwords): DataFrame =
+    graft.operators.TextAnalysis
+      .withGopherMetrics(df, col(textCol), stopwords)
+      .filter(col("passes"))
+      .drop(graft.operators.TextAnalysis.GopherMetricCols: _*)
+
   /** Internal row shape for [[nearDupPairsStream]]'s band posting list.
     * `ts` keeps the WATERMARK-TAGGED timestamp column alive into the
     * grouped Dataset — event-time timeout requires it downstream. (Not

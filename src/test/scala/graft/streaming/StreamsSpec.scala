@@ -306,6 +306,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gopherGated: identical survivors in batch and streaming, row shape preserved") {
+    val good = "the a " + (1 to 58).map(i => f"w$i%03d").mkString(" ")
+    // 4-word unit × 30: clears length/stopword gates (mean len 3.0),
+    // fails on repetition (top-2-gram mass and dup-gram coverage)
+    val repetitive = Seq.fill(30)("the a wxyz qrst").mkString(" ")
+    val docs = Seq(
+      (1L, good),
+      (2L, "too short for the word count gate"),
+      (3L, repetitive),
+      (4L, "the a " + (1 to 58).map(i => f"v$i%03d").mkString(" ")))
+    val batch = Streams.gopherGated(docs.toDF("id", "text"), "text")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(batch === Seq(1L, 4L), "gates fire: word count drops 2, repetition drops 3")
+
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.gopherGated(input.toDF().toDF("id", "text"), "text")
+      .writeStream.format("memory").queryName("gopher_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs.take(2))
+      q.processAllAvailable()
+      input.addData(docs.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("gopher_sink").orderBy("id")
+        .as[(Long, String)].collect().toSeq
+      assert(streamed.map(_._1) === batch, "batch and streaming must agree")
+      // row shape preserved: the original columns, no metric residue
+      assert(spark.table("gopher_sink").columns.toSeq === Seq("id", "text"))
+      assert(streamed.head._2 === good, "text passes through untouched")
+    } finally q.stop()
+  }
+
   test("startUpsertStream with partCol routes through the partitioned upsert") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upstream_part").toString
     val input = MemoryStream[Ev]
