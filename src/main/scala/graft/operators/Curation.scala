@@ -304,6 +304,50 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** [[decontaminate]] with a Bloom-prefiltered probe — the join-sizing
+    * regime BETWEEN its two strategies. The broadcast semi-join needs an
+    * exact hash map (~16+ B/key: a 1e9-shingle benchmark union is a
+    * ≥16 GB broadcast — undeliverable); the shuffle-hash fallback
+    * exchanges the ENTIRE corpus gram stream. A ~1.2 B/key Bloom
+    * ([[graft.functions.BloomFilters]]) broadcasts where the hash map
+    * cannot, and the corpus-side `graft_bloom_contains` filter rides
+    * the scan's codegen span, so only true matches + fpp·non-matches
+    * (≈0.1% of the stream at fpp=1e-3) reach the exchange for the exact
+    * semi-join that disposes of the false positives. Bloom filters have
+    * NO false negatives, so survivors are IDENTICAL to [[decontaminate]]
+    * — same oracle, different (much smaller) shuffle. Construction runs
+    * two bounded jobs eagerly (count + bit-set reduce over the TEST
+    * side only — metadata-scale next to the corpus scan they shrink). */
+  def decontaminateBloom(train: DataFrame, test: DataFrame, id: Column,
+      text: Column, n: Int = 5, fpp: Double = 0.001): DataFrame = {
+    val s = train.sparkSession
+    def sh(c: Column) = graft.functions.TextExpressions.shingleHashes(s, tokens(c), n)
+    val testSh = test.select(explode(sh(text)).as("sh")).distinct()
+    val handle = graft.functions.BloomFilters.build(testSh, col("sh"), fpp)
+    val candidates = train
+      .select(id.as("doc_id"), explode(sh(text)).as("sh"))
+      .filter(graft.functions.BloomFilters.mightContain(s, handle, col("sh")))
+    // exact disposal: candidates ⋉ testSh — both sides exchange on the
+    // 8-byte key, but the left leg is the PREFILTERED trickle, not the
+    // corpus stream (and the right leg must not broadcast: being too
+    // big for a hash map is this regime's premise)
+    val bad = candidates
+      .join(testSh.hint("shuffle_hash"), Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+    train.select(id.as("doc_id")).join(bad, Seq("doc_id"), "left_anti")
+  }
+
+  /** [[curateDecontam]] through the Bloom-prefiltered probe — survivors
+    * bit-identical by the no-false-negative argument, so it shares that
+    * query's oracle verbatim. */
+  def curateDecontamBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isTest = graft.functions.HashFunctions.md5Bucket16(col("doc_id")) === "0"
+    decontaminateBloom(docs.filter(!isTest), docs.filter(isTest),
+      col("doc_id"), col("text"), n = 5)
+      .orderBy("doc_id")
+  }
+
   /** Contamination REPORT — the measured face of [[decontaminate]]:
     * per-source document counts, contaminated counts, and the rate. A
     * pipeline that silently strips overlap hides WHERE the leakage
@@ -597,6 +641,7 @@ object Curation {
     "txt_repetition" -> txtRepetition,
     "txt_pii_redact" -> txtPiiRedact,
     "curate_decontam" -> curateDecontam,
+    "curate_decontam_bloom" -> curateDecontamBloom,
     "curate_decontam_k" -> curateDecontamK,
     "curate_decontam_report" -> curateDecontamReport,
     "export_manifest" -> exportManifestQ,
@@ -617,6 +662,19 @@ object Curation {
     s"""CASE WHEN len(toks) < $n THEN [array_to_string(toks, ' ')]
         ELSE list_transform(range(1, len(toks) - ${n - 2}),
           i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')) END"""
+
+  /** Shared by `curate_decontam` and its Bloom-prefiltered twin. */
+  private val decontamSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_test
+         FROM documents),
+       e AS (SELECT doc_id, is_test, unnest(${shinglesSql(5)}) AS sh FROM t),
+       bad AS (SELECT DISTINCT e.doc_id FROM e
+               JOIN (SELECT DISTINCT sh FROM e WHERE is_test) ts ON e.sh = ts.sh
+               WHERE NOT e.is_test)
+       SELECT doc_id FROM t
+       WHERE NOT is_test AND doc_id NOT IN (SELECT doc_id FROM bad)
+       ORDER BY doc_id"""
 
   /** Hex → uint32 for the md5-uniform (DuckDB has no conv()); shared
     * with the `pipeline_export` oracle's temperature stage. */
@@ -653,17 +711,11 @@ object Curation {
              '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
              '$PhoneRe', '<PHONE>', 'g') AS redacted
          FROM a ORDER BY doc_id""",
-    "curate_decontam" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks,
-             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_test
-           FROM documents),
-         e AS (SELECT doc_id, is_test, unnest(${shinglesSql(5)}) AS sh FROM t),
-         bad AS (SELECT DISTINCT e.doc_id FROM e
-                 JOIN (SELECT DISTINCT sh FROM e WHERE is_test) ts ON e.sh = ts.sh
-                 WHERE NOT e.is_test)
-         SELECT doc_id FROM t
-         WHERE NOT is_test AND doc_id NOT IN (SELECT doc_id FROM bad)
-         ORDER BY doc_id""",
+    "curate_decontam" -> decontamSql,
+    // bit-identical by the Bloom no-false-negative argument — the exact
+    // semi-join disposes of every false positive, so the SAME oracle
+    // checks the prefiltered path end to end
+    "curate_decontam_bloom" -> decontamSql,
     "curate_decontam_k" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks,
              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_test

@@ -176,9 +176,74 @@ object Sketches {
   def kmvOrders(s: SparkSession, d: String): DataFrame =
     kmvDistinct(Tables.lineitem(s, d), col("l_orderkey"), k = 256)
 
+  /** Mergeable quantile sketch — bottom-k-by-hash uniform row sample,
+    * the quantile sibling of [[kmvDistinct]] with the same honesty rule:
+    * each output row carries the EXACT quantile and the relative error
+    * beside the estimate, so the meter grades itself.
+    *
+    * Sample rule: every ROW draws a deterministic uniform u from the
+    * md5 of its `rowKey` (a row-unique identity — hashing the VALUE
+    * would collapse duplicates and bias every quantile of a skewed
+    * column); the sample is the k rows with the smallest u. Bottom-k by
+    * a fixed hash is a MERGEABLE uniform sample — bottom-k of a union
+    * is the bottom-k of the parts' bottom-ks — which is exactly the
+    * property that lets 1000 executors summarize a 100 TB column with
+    * per-partition heaps (`TakeOrderedAndProject`) and one ≤k-row
+    * reduce; no corpus-sized sort, no single-task window. Ties in u
+    * (32-bit hash prefix ⇒ real at corpus scale) break by value: any
+    * boundary tie is then value-identical, so the selected MULTISET
+    * of values — and every quantile of it — is deterministic.
+    *
+    * Estimator: interpolated (type-7) quantiles over the sample via
+    * Spark's exact `percentile`, mirrored by DuckDB `quantile_cont` on
+    * the replayed sample (the `agg_quantiles` parity). Expected sample
+    * quantile error is O(1/√k) — self-reported per row, never trusted.
+    * Fewer than k rows ⇒ the sample IS the column and estimate ≡ exact.
+    *
+    * The exact companion (`percentile` over the full column) rides the
+    * same scan and exists to GRADE the sketch at test scale; at 100 TB
+    * a caller keeps only the sample leg. */
+  def quantileSketch(df: DataFrame, rowKey: Column, value: Column,
+      probs: Seq[Double], k: Int = 512): DataFrame = {
+    require(k >= 2, s"quantileSketch: k >= 2, got $k")
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantileSketch: probs must be within [0,1], got $probs")
+    val in = df.filter(rowKey.isNotNull && value.isNotNull)
+    val u = graft.functions.HashFunctions.md5UniformOpen(rowKey)
+    val sample = in.select(u.as("__u"), value.cast("double").as("__v"))
+      .orderBy("__u", "__v").limit(k)
+    val ps = probs.mkString("array(", ", ", ")")
+    def quantRow(src: DataFrame, as: String) = src
+      .agg(expr(s"percentile(__v, $ps)").as("__qs"))
+      .select(posexplode(col("__qs")).as(Seq("__i", as)))
+    val est = quantRow(sample, "estimate")
+    val exact = quantRow(in.select(value.cast("double").as("__v")), "exact")
+    est.join(exact, Seq("__i"))
+      .select(element_at(lit(probs.toArray), col("__i") + 1).as("q"),
+        col("estimate"), col("exact"),
+        when(col("exact") === 0.0, lit(0.0))
+          .otherwise(abs(col("estimate") - col("exact")) / abs(col("exact")))
+          .as("rel_err"))
+      .orderBy("q")
+  }
+
+  /** Named query: lineitem extended-price quartiles through the sample
+    * sketch (row identity = orderkey·linenumber composite), self-graded
+    * against the exact interpolated quantiles. */
+  def quantilePrices(s: SparkSession, d: String): DataFrame =
+    // null-propagating concat (NOT concat_ws, which silently skips null
+    // parts): a null key component must null the rowKey so the
+    // isNotNull guard excludes the row on BOTH legs — the [[kmvDistinct]]
+    // oracle-invariant lesson applied to the composite key
+    quantileSketch(Tables.lineitem(s, d),
+      concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")),
+      col("l_extendedprice"), probs = Seq(0.25, 0.5, 0.75), k = 512)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_heavyhitters" -> heavyTokens,
-    "agg_distinct_kmv" -> kmvOrders)
+    "agg_distinct_kmv" -> kmvOrders,
+    "agg_quantile_kmv" -> quantilePrices)
 
   val oracleSql: Map[String, String] = Map(
     "txt_heavyhitters" ->
@@ -199,5 +264,37 @@ object Sketches {
            abs((CASE WHEN m < 256 THEN CAST(m AS DOUBLE) ELSE 255.0 / uk END)
              - CAST(exact AS DOUBLE)) / CAST(exact AS DOUBLE) AS rel_err
          FROM est CROSS JOIN ex"""
+    },
+    "agg_quantile_kmv" -> {
+      val hexU = Curation.hexUSql
+      s"""WITH smp AS (
+           SELECT v FROM (
+             SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+                    (CAST($hexU AS DOUBLE) + 0.5) / 4294967296.0 AS u
+             FROM (SELECT l_extendedprice,
+                     substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                       || CAST(l_linenumber AS VARCHAR)), 1, 8) AS h
+                   FROM lineitem
+                   WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+                     AND l_extendedprice IS NOT NULL))
+           ORDER BY u, v LIMIT 512),
+         est AS (
+           SELECT 0.25 AS q, quantile_cont(v, 0.25) AS estimate FROM smp
+           UNION ALL SELECT 0.5, quantile_cont(v, 0.5) FROM smp
+           UNION ALL SELECT 0.75, quantile_cont(v, 0.75) FROM smp),
+         pop AS (
+           -- the exact companion grades the sketch over the SAME
+           -- population it samples: rows with a non-null identity+value
+           SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+             AND l_extendedprice IS NOT NULL),
+         ex AS (
+           SELECT 0.25 AS q, quantile_cont(v, 0.25) AS exact FROM pop
+           UNION ALL SELECT 0.5, quantile_cont(v, 0.5) FROM pop
+           UNION ALL SELECT 0.75, quantile_cont(v, 0.75) FROM pop)
+         SELECT CAST(est.q AS DOUBLE) AS q, estimate, exact,
+           CASE WHEN exact = 0.0 THEN 0.0
+                ELSE abs(estimate - exact) / abs(exact) END AS rel_err
+         FROM est JOIN ex ON est.q = ex.q ORDER BY q"""
     })
 }

@@ -112,6 +112,32 @@ class CurationSpec extends SparkSpec {
     assert(Curation.decontaminate(train, test, $"id", $"text").count() === 1L)
   }
 
+  test("decontaminateBloom: survivors identical to the exact path; probe is prefiltered") {
+    // enough docs that the bloom has real work: 120 train docs, 40 of
+    // which verbatim-share 5-grams with the 30-doc held-out set
+    val train = (1L to 120L).map { i =>
+      val body = if (i % 3 == 0) s"shared passage number ${i / 3} appears in eval too"
+        else s"clean train document $i about topic ${i % 11} body text"
+      (i, body)
+    }.toDF("id", "text")
+    val test = (1L to 30L).map(j =>
+      (1000L + j, s"shared passage number $j appears in eval too")).toDF("id", "text")
+    val exactKept = Curation.decontaminate(train, test, $"id", $"text")
+      .as[Long].collect().sorted
+    val bloom = Curation.decontaminateBloom(train, test, $"id", $"text")
+    assert(bloom.as[Long].collect().sorted === exactKept,
+      "bloom prefilter must be result-invariant (no false negatives)")
+    // plan shape: the corpus gram stream passes a graft_bloom_contains
+    // filter, and the exact disposal join is the shuffled-hash semi —
+    // never a corpus-side broadcast of the held-out grams
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_contains"),
+      "bloom probe missing from the physical plan")
+    val semis = plan.linesIterator.filter(_.contains("LeftSemi")).toSeq
+    assert(semis.exists(_.contains("ShuffledHashJoin")),
+      s"exact disposal must be the shuffle-hash semi:\n${semis.mkString("\n")}")
+  }
+
   test("temperatureSample: keeps all of the rarest language, downsamples the rest") {
     val df = (1L to 400L).map(i => (i, if (i <= 40) "rare" else "big")).toDF("id", "lang")
     val kept = Curation.temperatureSample(df, $"lang", $"id", alpha = 0.5)

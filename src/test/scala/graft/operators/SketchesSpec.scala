@@ -113,4 +113,47 @@ class SketchesSpec extends SparkSpec {
       .as[(Double, Long, Double)].head()
     assert(r === ((0.0, 0L, 0.0)))
   }
+
+  test("quantileSketch: sample = column below k, so estimate ≡ exact") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val r = Sketches.quantileSketch(df, $"id", $"v",
+        probs = Seq(0.25, 0.5, 0.75), k = 512)
+      .as[(Double, Double, Double, Double)].collect().toSeq
+    assert(r.map(_._1) === Seq(0.25, 0.5, 0.75))
+    r.foreach { case (q, est, exact, err) =>
+      assert(est === exact, s"below k the sample IS the column (q=$q)")
+      assert(err === 0.0)
+    }
+  }
+
+  test("quantileSketch: O(1/sqrt(k)) sample error on a skewed column") {
+    // lognormal-ish skew via i^2 — the shape where a biased sampler shows
+    val df = (1 to 20000).map(i => (i.toLong, (i.toDouble / 100) * (i / 100)))
+      .toDF("id", "v")
+    val r = Sketches.quantileSketch(df, $"id", $"v",
+        probs = Seq(0.5), k = 512)
+      .as[(Double, Double, Double, Double)].head()
+    // p50 sample std err ≈ 0.5/sqrt(512) ≈ 2.2% in rank terms; 25% in
+    // VALUE terms is a very loose ceiling even through the x² warp
+    assert(r._4 < 0.25, s"median rel_err ${r._4} way outside sampling error")
+  }
+
+  test("quantileSketch: partitioning-invariant (bottom-k sample is mergeable)") {
+    val rows = (1 to 5000).map(i => (i.toLong, (i % 997).toDouble))
+    def run(parts: Int) = Sketches.quantileSketch(
+        rows.toDF("id", "v").repartition(parts), $"id", $"v",
+        probs = Seq(0.25, 0.5, 0.75, 0.9), k = 128)
+      .select("estimate").as[Double].collect().toSeq
+    assert(run(1) === run(16))
+  }
+
+  test("quantileSketch: null identity or value rows are outside the population") {
+    val df = Seq((Some(1L), Some(10.0)), (None, Some(99999.0)),
+      (Some(2L), None), (Some(3L), Some(20.0)), (Some(4L), Some(30.0)))
+      .toDF("id", "v")
+    val r = Sketches.quantileSketch(df, $"id", $"v", probs = Seq(0.5), k = 8)
+      .as[(Double, Double, Double, Double)].head()
+    assert(r._2 === 20.0 && r._3 === 20.0,
+      "null-key and null-value rows must not reach sample OR exact leg")
+  }
 }
