@@ -1017,4 +1017,122 @@ object Streams {
         s.read.parquet(s"$dir/counts").localCheckpoint(),
         s.read.parquet(s"$dir/docs_n").drop("__last_batch").localCheckpoint())
     }
+
+  // --- streaming sketch maintenance ---------------------------------------
+
+  /** Continuously-maintained bottom-k sketch state — the streaming face
+    * of [[graft.operators.Sketches]] (the one operator family that had
+    * no streaming arm). The mergeable-summary property that lets the
+    * batch sketches summarize 100 TB with one ≤k-row reduce is exactly
+    * what makes them streamable: bottom-k(state ∪ batch) IS the sketch
+    * of everything ever seen, state stays ≤ k rows forever, and each
+    * micro-batch's work is one ≤(k + batch)-row sort — independent of
+    * the stream's lifetime volume.
+    *
+    * Unified state shape (`__id` row/value identity, `__u` md5-uniform,
+    * `__v` payload): [[kmvSketchIngest]] keys `__id` by the VALUE
+    * (dedup = distinct-count semantics, `__v` unused);
+    * [[quantileSketchIngest]] keys it by the ROW identity (`__v` = the
+    * sampled value). The `dropDuplicates("__id")` in the merge makes
+    * replaying a batch a NO-OP — rows re-entering the union collapse
+    * onto themselves — so unlike [[applyNbBatch]]'s non-idempotent
+    * count merge, the `_batch` marker here is an optimization, not the
+    * correctness boundary; any duplicate `__id` carries an identical
+    * (`__u`, `__v`) by construction (both derive from the id), so which
+    * copy survives is immaterial. Crash-safety is the same
+    * staging-swap / heal discipline as every state dir in this file. */
+  def applySketchBatch(prepared: DataFrame, stateDir: String,
+      batchId: Long, k: Int): Unit = {
+    require(k >= 2, s"applySketchBatch: k >= 2, got $k")
+    val s = prepared.sparkSession
+    val f = fs(s, stateDir)
+    val marker = new org.apache.hadoop.fs.Path(s"${stateDir}__batch_$batchId")
+    if (f.exists(marker)) return
+    val stateP = new org.apache.hadoop.fs.Path(stateDir)
+    val oldP = new org.apache.hadoop.fs.Path(s"${stateDir}__old")
+    if (!f.exists(stateP) && f.exists(oldP)) renameOrDie(f, oldP, stateP)
+    f.delete(oldP, true)
+    dropStaleStaging(s, stateDir)
+    val merged = (if (f.exists(stateP))
+        s.read.parquet(stateDir).unionByName(prepared)
+      else prepared)
+      .dropDuplicates("__id")
+      .orderBy("__u", "__v").limit(k)
+    val tmp = s"${stateDir}__staging_$batchId"
+    merged.write.mode("overwrite").parquet(tmp)
+    if (f.exists(stateP)) renameOrDie(f, stateP, oldP)
+    renameOrDie(f, new org.apache.hadoop.fs.Path(tmp), stateP)
+    f.delete(oldP, true)
+    f.create(marker, true).close()
+  }
+
+  /** KMV distinct-count state over a stream: `__id` = the value string,
+    * so the union-dedup IS set semantics and the state converges to the
+    * k minimum distinct hashes — [[kmvFromSketchStore]] then applies the
+    * same (k−1)/u₍ₖ₎ estimator as the batch
+    * [[graft.operators.Sketches.kmvDistinct]]. */
+  def kmvSketchIngest(rows: DataFrame, key: org.apache.spark.sql.Column,
+      stateDir: String, checkpoint: String, k: Int = 256)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prepared = batch.filter(key.isNotNull)
+          .select(key.cast("string").as("__id"))
+          .withColumn("__u", graft.functions.HashFunctions.md5UniformOpen(col("__id")))
+          .withColumn("__v", lit(null).cast("double"))
+        if (!prepared.isEmpty) applySketchBatch(prepared, stateDir, batchId, k)
+      }
+      .start()
+
+  /** Quantile sample state over a stream: `__id` = the row identity the
+    * batch [[graft.operators.Sketches.quantileSketch]] hashes, so the
+    * maintained sample equals the batch sample over everything ingested
+    * (batch ≡ stream parity, pinned by spec). */
+  def quantileSketchIngest(rows: DataFrame,
+      rowKey: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column,
+      stateDir: String, checkpoint: String, k: Int = 512)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prepared = batch.filter(rowKey.isNotNull && value.isNotNull)
+          .select(rowKey.cast("string").as("__id"),
+            value.cast("double").as("__v"))
+          .withColumn("__u", graft.functions.HashFunctions.md5UniformOpen(col("__id")))
+          .select("__id", "__u", "__v")
+        if (!prepared.isEmpty) applySketchBatch(prepared, stateDir, batchId, k)
+      }
+      .start()
+
+  /** Distinct-count estimate from a [[kmvSketchIngest]] state dir —
+    * the serving read: k rows in, one row out. The batch estimator's
+    * m<k exactness carries over (below k the state IS the distinct
+    * value set). */
+  def kmvFromSketchStore(s: SparkSession, stateDir: String, k: Int = 256)
+      : DataFrame =
+    s.read.parquet(stateDir)
+      .agg(count(lit(1)).as("__m"), max("__u").as("__uk"))
+      .select(lit(k).as("k"), col("__m"),
+        when(col("__m") < k, col("__m").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("__uk")).as("estimate"))
+
+  /** Quantile estimates from a [[quantileSketchIngest]] state dir:
+    * interpolated quantiles over the maintained ≤k-row sample — the
+    * sample leg of [[graft.operators.Sketches.quantileSketch]] with the
+    * corpus-side exact companion (by design) unavailable on a stream. */
+  def quantileFromSketchStore(s: SparkSession, stateDir: String,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty, "quantileFromSketchStore: probs must be non-empty")
+    val ps = probs.mkString("array(", ", ", ")")
+    s.read.parquet(stateDir)
+      .agg(expr(s"percentile(__v, $ps)").as("__qs"))
+      .select(posexplode(col("__qs")).as(Seq("__i", "estimate")))
+      .select(element_at(lit(probs.toArray), col("__i") + 1).as("q"),
+        col("estimate"))
+      .orderBy("q")
+  }
 }

@@ -950,4 +950,59 @@ class StreamsSpec extends SparkSpec {
     assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/state__old")))
     assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/state__staging_1")))
   }
+
+  test("quantileSketchIngest: streamed sample == batch quantileSketch over the union") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qsketch").toString + "/state"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qsketch_ck").toString
+    val b1 = (1L to 400L).map(i => (i, (i % 97).toDouble))
+    val b2 = (401L to 900L).map(i => (i, (i % 89).toDouble))
+    val input = MemoryStream[(Long, Double)]
+    val q = Streams.quantileSketchIngest(input.toDF().toDF("id", "v"),
+      col("id"), col("v"), dir, ckpt, k = 64)
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Streams.quantileFromSketchStore(spark, dir,
+      probs = Seq(0.25, 0.5, 0.75)).as[(Double, Double)].collect().toSeq
+    val batch = graft.operators.Sketches.quantileSketch(
+      (b1 ++ b2).toDF("id", "v"), $"id", $"v",
+      probs = Seq(0.25, 0.5, 0.75), k = 64)
+      .select($"q", $"estimate").as[(Double, Double)].collect().toSeq
+    assert(streamed === batch,
+      "mergeable bottom-k: stream-maintained sample must equal the batch sketch")
+    // state never exceeds k rows — the bounded-state property
+    assert(spark.read.parquet(dir).count() <= 64L)
+  }
+
+  test("kmvSketchIngest: streamed estimate == batch kmvDistinct; replay is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv").toString + "/state"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kmv_ck").toString
+    val b1 = (1L to 300L).map(i => i % 213) // duplicates on purpose
+    val b2 = (1L to 500L).map(i => i % 377)
+    val input = MemoryStream[Long]
+    val q = Streams.kmvSketchIngest(input.toDF().toDF("v"),
+      col("v"), dir, ckpt, k = 128)
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Streams.kmvFromSketchStore(spark, dir, k = 128)
+      .select($"estimate").as[Double].head()
+    val batch = graft.operators.Sketches.kmvDistinct(
+      (b1 ++ b2).toDF("v"), $"v", k = 128)
+      .select($"estimate").as[Double].head()
+    assert(streamed === batch)
+    // replay the SAME rows under a fresh batch id, markers out of the
+    // way: the __id dedup makes the merge idempotent — state unchanged
+    val before = spark.read.parquet(dir).orderBy("__u")
+      .as[(String, Double, Option[Double])].collect().toSeq
+    val replay = b1.toDF("v").select(col("v").cast("string").as("__id"))
+      .withColumn("__u", graft.functions.HashFunctions.md5UniformOpen(col("__id")))
+      .withColumn("__v", lit(null).cast("double"))
+    Streams.applySketchBatch(replay, dir, batchId = 999L, k = 128)
+    val after = spark.read.parquet(dir).orderBy("__u")
+      .as[(String, Double, Option[Double])].collect().toSeq
+    assert(after === before, "re-merging already-seen values must not move the state")
+  }
 }
