@@ -240,9 +240,54 @@ object Sketches {
         col("l_linenumber").cast("string")),
       col("l_extendedprice"), probs = Seq(0.25, 0.5, 0.75), k = 512)
 
+  /** Per-GROUP KMV distinct-count — the grouped face of [[kmvDistinct]],
+    * with the same self-grading row. The whole-relation sketch rides
+    * `TakeOrderedAndProject`; per group that shape is gone, so the
+    * bottom-k set moves into a typed Aggregator
+    * ([[graft.functions.BottomKAgg]]) and Spark's planner supplies the
+    * map-side partials: ≤k-element buffers per (group, partition) —
+    * never the occurrence stream — cross the wire. The `countDistinct`
+    * exact companion rides the same grouped pass (it is the expensive
+    * leg the sketch replaces; at 100 TB a caller keeps only the sketch
+    * column, the same grading-only role as [[quantileSketch]]'s). */
+  def groupKmv(df: DataFrame, group: Column, value: Column, k: Int = 256)
+      : DataFrame = {
+    require(k >= 2, s"groupKmv: k >= 2, got $k")
+    val in = df.filter(value.isNotNull)
+      .select(group.as("grp"),
+        graft.functions.HashFunctions.md5UniformOpen(value).as("__u"),
+        value.as("__v"))
+    in.groupBy("grp")
+      .agg(graft.functions.BottomKAgg.bottomKDistinct(k)(col("__u")).as("__mins"),
+        countDistinct(col("__v")).as("exact"))
+      .select(col("grp"), lit(k).as("k"),
+        size(col("__mins")).cast("long").as("m"),
+        when(size(col("__mins")) < k, size(col("__mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) / array_max(col("__mins")))
+          .as("estimate"),
+        col("exact"),
+        when(col("exact") === 0L, lit(0.0))
+          .otherwise(abs(
+            when(size(col("__mins")) < k, size(col("__mins")).cast("double"))
+              .otherwise(lit((k - 1).toDouble) / array_max(col("__mins")))
+            - col("exact").cast("double")) / col("exact").cast("double"))
+          .as("rel_err"))
+  }
+
+  /** Named query: distinct-token cardinality per document source —
+    * the per-source vocabulary size a mixing/curation pass reads. */
+  def groupKmvTokens(s: SparkSession, d: String): DataFrame =
+    groupKmv(
+      Tables.documents(s, d).select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term")),
+      col("source"), col("term"), k = 256)
+      .withColumnRenamed("grp", "source")
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_heavyhitters" -> heavyTokens,
     "agg_distinct_kmv" -> kmvOrders,
+    "agg_group_kmv" -> groupKmvTokens,
     "agg_quantile_kmv" -> quantilePrices)
 
   val oracleSql: Map[String, String] = Map(
@@ -264,6 +309,28 @@ object Sketches {
            abs((CASE WHEN m < 256 THEN CAST(m AS DOUBLE) ELSE 255.0 / uk END)
              - CAST(exact AS DOUBLE)) / CAST(exact AS DOUBLE) AS rel_err
          FROM est CROSS JOIN ex"""
+    },
+    "agg_group_kmv" -> {
+      val hexU = Curation.hexUSql
+      s"""WITH e AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term
+             FROM documents),
+         u AS (SELECT DISTINCT source,
+               (CAST($hexU AS DOUBLE) + 0.5) / 4294967296.0 AS u
+             FROM (SELECT source, substr(md5(term), 1, 8) AS h FROM e)),
+         r AS (SELECT source, u,
+               row_number() OVER (PARTITION BY source ORDER BY u) AS rn FROM u),
+         est AS (SELECT source, CAST(count(*) AS BIGINT) AS m, max(u) AS uk
+             FROM r WHERE rn <= 256 GROUP BY source),
+         ex AS (SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS exact
+             FROM e GROUP BY source)
+         SELECT est.source AS source, CAST(256 AS INT) AS k, m,
+           CASE WHEN m < 256 THEN CAST(m AS DOUBLE) ELSE 255.0 / uk END AS estimate,
+           exact,
+           CASE WHEN exact = 0 THEN 0.0
+             ELSE abs((CASE WHEN m < 256 THEN CAST(m AS DOUBLE)
+               ELSE 255.0 / uk END) - CAST(exact AS DOUBLE))
+               / CAST(exact AS DOUBLE) END AS rel_err
+         FROM est JOIN ex ON est.source = ex.source ORDER BY source"""
     },
     "agg_quantile_kmv" -> {
       val hexU = Curation.hexUSql

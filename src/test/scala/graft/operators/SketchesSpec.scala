@@ -114,6 +114,35 @@ class SketchesSpec extends SparkSpec {
     assert(r === ((0.0, 0L, 0.0)))
   }
 
+  test("groupKmv: exact below k per group, frequency-blind, partitioning-invariant") {
+    // group a: 50 distinct values, each repeated 1..40× (frequency noise);
+    // group b: 3000 distinct (over k) — estimator path
+    val rows = (1 to 50).flatMap(i => Seq.fill(1 + i % 40)(("a", i.toLong))) ++
+      (1 to 3000).map(i => ("b", i.toLong))
+    for (parts <- Seq(1, 13)) {
+      val r = Sketches.groupKmv(rows.toDF("g", "v").repartition(parts),
+          $"g", $"v", k = 256)
+        .orderBy("grp")
+        .as[(String, Int, Long, Double, Long, Double)].collect().toSeq
+      val a = r.head; val b = r(1)
+      assert(a._1 === "a" && a._3 === 50L && a._4 === 50.0 && a._5 === 50L
+        && a._6 === 0.0, s"below-k group must be exact: $a")
+      assert(b._1 === "b" && b._3 === 256L && b._5 === 3000L)
+      assert(b._6 < 0.2, s"KMV error bound blown at parts=$parts: $b")
+    }
+  }
+
+  test("groupKmv single group agrees with the whole-relation kmvDistinct") {
+    val vals = (1L to 2000L)
+    val grouped = Sketches.groupKmv(
+        vals.map(v => ("only", v)).toDF("g", "v"), $"g", $"v", k = 128)
+      .select("estimate").as[Double].head()
+    val whole = Sketches.kmvDistinct(vals.toDF("v"), $"v", k = 128)
+      .select("estimate").as[Double].head()
+    assert(grouped === whole,
+      "same hash, same k, same set → the two spellings are one estimator")
+  }
+
   test("quantileSketch: sample = column below k, so estimate ≡ exact") {
     val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
     val r = Sketches.quantileSketch(df, $"id", $"v",
