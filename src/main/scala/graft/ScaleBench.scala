@@ -93,12 +93,32 @@ object ScaleBench {
     // side is benchmark-sized at both scales. Dup-heavy replicas barely
     // grow the DISTINCT gram set (rotations reuse the same windows up to
     // boundary effects) — the realistic crawl shape for this index.
-    "eval_memorization_idx")
+    "eval_memorization_idx",
+    // round 13c: the Bloom-prefiltered decontam A/B — BOTH spellings at
+    // both scales. The held-out side is is_test = 1/16 of docs, so it
+    // grows 10× with the corpus; the exact path's probe exchange grows
+    // with the corpus gram stream, the bloom path's with (matches +
+    // fpp·stream). Survivor sets are identical by construction, so
+    // rows_1x/rows_10x must agree between the two rows — a built-in
+    // cross-check the other arms don't have.
+    "curate_decontam", "curate_decontam_bloom",
+    // round 13c: grouped KMV (typed-Aggregator partials — the shuffle
+    // carries ≤k-element buffers per group per partition, so time must
+    // track the explode) and the bottom-k quantile sample
+    // (TakeOrderedAndProject heaps + an exact-percentile grading leg —
+    // both single-scan, ~linear; rebound onto documents in Extra because
+    // the 10× scratch dir replicates only documents/embeddings).
+    "agg_group_kmv", "agg_quantile_scaled")
 
   /** Scale-only bindings that aren't part of the served query surface. */
   private val Extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
     Map("dedup_clusters_dist" ->
       ((s, d) => graft.operators.Dedup.clustersQOn(s, d, maxDriverEdges = 0L)),
+      // the served agg_quantile_kmv samples lineitem, which the scratch
+      // dir doesn't replicate — same sketch, documents-shaped binding
+      "agg_quantile_scaled" -> ((s, d) =>
+        graft.operators.Sketches.quantileSketch(Tables.documents(s, d),
+          col("doc_id"), col("n_chars"), probs = Seq(0.25, 0.5, 0.75), k = 512)),
       "dedup_semantic_scaled" -> ((s, d) => {
         val e = Tables.embeddings(s, d)
         val k = math.max(10, (e.count() / 50L).toInt)
@@ -219,6 +239,16 @@ object ScaleBench {
     // search_bm25_idx; the dup-heavy replicas reuse the same gram
     // windows, so the distinct set (and the bucketed write) grows far
     // slower than rows.
+    // curate_decontam vs curate_decontam_bloom (added r13c): at sf0.1
+    // the bloom leg is the SLOWER spelling (isolated A/B 1.0 s/1.3 s at
+    // 1×, ratios 1.70×/2.99×) — expected: here the held-out gram set
+    // still broadcasts as an exact hash map, so the bloom's two extra
+    // construction jobs (count + bit-set reduce, both growing with the
+    // 10× test side) are pure overhead. The bloom exists for the regime
+    // where that broadcast is IMPOSSIBLE (≥1e9-gram held-out sets); the
+    // scale row's job is to show its construction+probe stays ~linear
+    // (it does) and that rows_1x/rows_10x match the exact path's
+    // bit-for-bit (they do — the no-false-negative invariant measured).
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
