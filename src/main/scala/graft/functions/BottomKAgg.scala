@@ -77,10 +77,87 @@ class BottomKDistinct(k: Int) extends Aggregator[Double, BottomKBuffer, Seq[Doub
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
 
+/** Payload-carrying sibling of [[BottomKDistinct]]: keep the ids of the
+  * k rows with the smallest (u, id) per group — the mergeable form of
+  * "N deterministic example rows per group". The window spelling
+  * (`row_number() OVER (PARTITION BY g ORDER BY u) <= N`) sorts every
+  * group's FULL occurrence stream; this buffer reduces each partition
+  * to ≤k (u, id) pairs per group before anything shuffles. Ordering is
+  * total ((u, id) — id breaks 32-bit hash-prefix ties), so the sample
+  * is partitioning- and encounter-order-independent. */
+case class BottomKPairsBuffer(var us: Array[Double], var ids: Array[Long])
+
+class BottomKPairs(k: Int)
+    extends Aggregator[(Double, Long), BottomKPairsBuffer, Seq[Long]]
+    with Serializable {
+  require(k >= 1, s"BottomKPairs: k >= 1, got $k")
+
+  override def zero: BottomKPairsBuffer =
+    BottomKPairsBuffer(Array.empty, Array.empty)
+
+  /** (u, id) lexicographic compare. */
+  private def lt(u1: Double, i1: Long, u2: Double, i2: Long): Boolean =
+    u1 < u2 || (u1 == u2 && i1 < i2)
+
+  override def reduce(b: BottomKPairsBuffer, row: (Double, Long)): BottomKPairsBuffer = {
+    val (u, id) = row
+    val n = b.us.length
+    if (n == k && !lt(u, id, b.us(k - 1), b.ids(k - 1))) return b
+    // insertion position by (u, id); duplicates (same row replayed into
+    // one buffer can't happen in an aggregation) need no special case
+    var ins = 0
+    while (ins < n && lt(b.us(ins), b.ids(ins), u, id)) ins += 1
+    val m = math.min(k, n + 1)
+    val us = new Array[Double](m); val ids = new Array[Long](m)
+    System.arraycopy(b.us, 0, us, 0, ins)
+    System.arraycopy(b.ids, 0, ids, 0, ins)
+    us(ins) = u; ids(ins) = id
+    val tail = m - ins - 1
+    System.arraycopy(b.us, ins, us, ins + 1, tail)
+    System.arraycopy(b.ids, ins, ids, ins + 1, tail)
+    b.us = us; b.ids = ids
+    b
+  }
+
+  override def merge(x: BottomKPairsBuffer, y: BottomKPairsBuffer): BottomKPairsBuffer = {
+    if (x.us.isEmpty) return y
+    if (y.us.isEmpty) return x
+    val m = math.min(k, x.us.length + y.us.length)
+    val us = new Array[Double](m); val ids = new Array[Long](m)
+    var i = 0; var j = 0; var n = 0
+    while (n < m) {
+      val takeX = j >= y.us.length ||
+        (i < x.us.length && lt(x.us(i), x.ids(i), y.us(j), y.ids(j)))
+      if (takeX) { us(n) = x.us(i); ids(n) = x.ids(i); i += 1 }
+      else { us(n) = y.us(j); ids(n) = y.ids(j); j += 1 }
+      n += 1
+    }
+    x.us = us; x.ids = ids
+    x
+  }
+
+  override def finish(r: BottomKPairsBuffer): Seq[Long] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(r.ids)
+
+  override def bufferEncoder: Encoder[BottomKPairsBuffer] =
+    Encoders.product[BottomKPairsBuffer]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 object BottomKAgg {
   /** `df.groupBy(g).agg(bottomKDistinct(k)($"u"))` → sorted ≤k distinct
     * minima per group (cache one udaf per k — they're stateless). */
   private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Column => Column]()
   def bottomKDistinct(k: Int): Column => Column =
     cache.computeIfAbsent(k, kk => { val u = udaf(new BottomKDistinct(kk)); c => u(c) })
+
+  /** `df.groupBy(g).agg(bottomKIds(k)($"u", $"id"))` → the ids of the k
+    * (u, id)-smallest rows per group, ascending. */
+  private val pairCache = new java.util.concurrent.ConcurrentHashMap[Int, (Column, Column) => Column]()
+  def bottomKIds(k: Int): (Column, Column) => Column =
+    pairCache.computeIfAbsent(k, kk => {
+      val u = udaf(new BottomKPairs(kk), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+      (c1, c2) => u(c1, c2)
+    })
 }

@@ -152,6 +152,16 @@ object Classify {
     * One explode + one term-keyed join + one integer-sum aggregate. */
   def nbScore(docs: DataFrame, id: Column, text: Column,
       llr: DataFrame, scalars: DataFrame): DataFrame =
+    nbScoreRaw(docs, id, text, llr, scalars)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("__mfx").cast("double") / lit(1e6)).as("nb_margin"),
+        (col("__mfx") > 0L).as("pred_pos"))
+
+  /** [[nbScore]] keeping the fixed-point margin — the integer-exact form
+    * calibration bucketing needs (`__mfx` bucket arithmetic must stay in
+    * longs to replay bit-for-bit). */
+  private[operators] def nbScoreRaw(docs: DataFrame, id: Column,
+      text: Column, llr: DataFrame, scalars: DataFrame): DataFrame =
     docs.select(id.as("doc_id"), explode(tokens(text)).as("term"))
       .join(llr, Seq("term"), "left") // AQE broadcast-converts small models
       .crossJoin(broadcast(scalars))
@@ -159,9 +169,43 @@ object Classify {
       .agg((sum(coalesce(col("llr_fx"), col("__ufx"))) + max(col("__pfx")))
           .as("__mfx"),
         count(lit(1)).as("n_tokens"))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("__mfx").cast("double") / lit(1e6)).as("nb_margin"),
-        (col("__mfx") > 0L).as("pred_pos"))
+
+  /** Calibration / reliability table over the held-out split — the eval
+    * face a threshold-picker actually reads: margins bucketed into 8
+    * equal-width bins (integer fixed-point arithmetic end to end, so
+    * the binning replays bit-for-bit), observed positive rate and mean
+    * margin per bin. A well-calibrated gate shows pos_rate rising
+    * monotonically with the margin bin; a flat table means the margin
+    * carries no signal and the threshold is arbitrary.
+    *
+    * Scale shape: min/max extremes are a 1-row broadcast (the
+    * [[graft.operators.Etl.globalRowIndex]] decomposition), bucketing
+    * is a pure projection, the table is one 8-row grouped aggregate —
+    * no global sort, no ntile window. */
+  def qualityNbCalibrationQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (llr, scalars) = nbModel(docs.filter(isTrain(col("doc_id"))),
+      col("text"), col("lang") === "en")
+    val held = docs.filter(!isTrain(col("doc_id")))
+    val scored = nbScoreRaw(held, col("doc_id"), col("text"), llr, scalars)
+      .join(held.select(col("doc_id"), (col("lang") === "en").as("__y")),
+        "doc_id")
+    val ext = scored.agg(min("__mfx").as("__mn"), max("__mfx").as("__mx"))
+    scored.crossJoin(broadcast(ext))
+      // long `div` (not `/`, which is double division): non-negative
+      // operands, so truncation == floor and DuckDB's `//` agrees
+      .withColumn("bucket",
+        expr("((__mfx - __mn) * 8) div (__mx - __mn + 1)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__mfx")).as("__smfx"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"),
+        ((col("__smfx").cast("double") / col("n").cast("double")) / lit(1e6))
+          .as("mean_margin"))
+      .orderBy("bucket")
+  }
 
   /** Named query: train on the md5-half with `lang = 'en'` as the weak
     * positive label, score EVERY document (train rows included — the
@@ -378,6 +422,7 @@ object Classify {
     "quality_nb_model" -> qualityNbModelQ,
     "quality_nb_incr" -> qualityNbIncrQ,
     "quality_nb_eval" -> qualityNbEvalQ,
+    "quality_nb_calibration" -> qualityNbCalibrationQ,
     "pipeline_quality_mix" -> pipelineQualityMixQ,
     "curate_dsir" -> curateDsirQ,
     "mix_semantic" -> mixSemanticQ,
@@ -467,6 +512,22 @@ object Classify {
       SELECT doc_id, lang, source, n_tokens,
         CAST(cum_before AS BIGINT) AS cum_before
       FROM w WHERE cum_before < 2000 ORDER BY doc_id""",
+    "quality_nb_calibration" -> s"""$nbSql,
+      ds AS (SELECT doc_id, lang = 'en' AS y, unnest(toks) AS term
+             FROM t WHERE NOT tr),
+      agg AS (SELECT doc_id, max(y) AS y,
+              CAST(sum(COALESCE(llr_fx, ufx)) + max(pfx) AS BIGINT) AS mfx
+            FROM ds LEFT JOIN llr USING (term) CROSS JOIN sc GROUP BY doc_id),
+      ext AS (SELECT min(mfx) AS mn, max(mfx) AS mx FROM agg),
+      b AS (SELECT CAST(((mfx - mn) * 8) // (mx - mn + 1) AS BIGINT) AS bucket,
+              y, mfx FROM agg CROSS JOIN ext)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) AS pos_rate,
+        (CAST(sum(mfx) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1000000.0
+          AS mean_margin
+      FROM b GROUP BY bucket ORDER BY bucket""",
     "quality_nb_eval" -> s"""$nbSql,
       ds AS (SELECT doc_id, lang = 'en' AS y, unnest(toks) AS term
              FROM t WHERE NOT tr),

@@ -80,6 +80,37 @@ object Etl {
       .orderBy("doc_id")
   }
 
+  /** R1 extension — N deterministic example rows per group ("show me 3
+    * docs per source", the spot-check every curation review starts
+    * with). Fraction samplers ([[hashSample]]/[[stratifiedSample]])
+    * can't pin a COUNT; the window spelling (`row_number() OVER
+    * (PARTITION BY g ORDER BY u) <= N`) sorts each group's full stream.
+    * [[graft.functions.BottomKAgg.bottomKIds]] keeps the N (u, id)-
+    * smallest per group in a mergeable Aggregator buffer — map-side
+    * partials, ≤N pairs per (group, partition) shuffle — and the md5
+    * uniform makes the pick reproducible run-to-run and engine-to-
+    * engine; the id tiebreak makes it total-ordered, so the sample is
+    * partitioning-independent even across 32-bit hash-prefix ties. */
+  def groupSample(df: DataFrame, group: Column, id: Column, n: Int)
+      : DataFrame = {
+    require(n >= 1, s"groupSample: n >= 1, got $n")
+    df.filter(id.isNotNull)
+      .select(group.as("grp"),
+        graft.functions.HashFunctions.md5UniformOpen(id).as("__u"),
+        id.cast("long").as("__id"))
+      .groupBy("grp")
+      .agg(graft.functions.BottomKAgg.bottomKIds(n)(col("__u"), col("__id"))
+        .as("__ids"))
+      .select(col("grp"), posexplode(col("__ids")).as(Seq("pos", "doc_id")))
+      .select(col("grp"), (col("pos") + 1).as("rank"), col("doc_id"))
+  }
+
+  /** Named query: 3 reproducible sample docs per source. */
+  def groupSampleQ(s: SparkSession, d: String): DataFrame =
+    groupSample(Tables.documents(s, d), col("source"), col("doc_id"), n = 3)
+      .withColumnRenamed("grp", "source")
+      .orderBy("source", "rank")
+
   /** R2 — contiguous global row index over a total order, WITHOUT the
     * single-task `row_number().over(Window.orderBy(id))` bottleneck: the
     * id span is cut into order-preserving range buckets (`width_bucket`
@@ -233,6 +264,7 @@ object Etl {
     "etl_safe_cast" -> safeCast,
     "etl_hash_sample" -> hashSample,
     "etl_stratified_sample" -> stratifiedSample,
+    "etl_group_sample" -> groupSampleQ,
     "etl_row_range" -> rowRange,
     "etl_url_filename" -> urlFilename,
     "etl_regex_year" -> regexYear,
@@ -287,6 +319,19 @@ object Etl {
          SELECT doc_id, lang, CAST(bkt AS INT) AS bkt FROM b
          WHERE CASE WHEN lang = 'en' THEN bkt < 8 ELSE bkt < 4 END
          ORDER BY doc_id""",
+    "etl_group_sample" -> {
+      val hexU = Curation.hexUSql
+      s"""WITH u AS (SELECT source, doc_id,
+             (CAST($hexU AS DOUBLE) + 0.5) / 4294967296.0 AS u
+           FROM (SELECT source, doc_id,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+                 FROM documents WHERE doc_id IS NOT NULL)),
+         r AS (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+           FROM u)
+         SELECT source, CAST(rn AS INT) AS rank, doc_id FROM r
+         WHERE rn <= 3 ORDER BY source, rank"""
+    },
     "etl_row_range" ->
       """SELECT doc_id, global_idx FROM (
            SELECT doc_id,

@@ -240,6 +240,72 @@ object Sketches {
         col("l_linenumber").cast("string")),
       col("l_extendedprice"), probs = Seq(0.25, 0.5, 0.75), k = 512)
 
+  /** KMV set algebra — Jaccard / intersection-size estimates for TWO
+    * sets from their bottom-k sketches (Beyer et al., SIGMOD 2007): the
+    * corpus-overlap question ("how much vocabulary do src A and src B
+    * share?") answered from two ≤k-row summaries instead of a distinct
+    * join of two corpora.
+    *
+    * Estimator: K = bottom-k of (sketchA ∪ sketchB); with c = |K ∩ A ∩
+    * B| and m = |K|, Jaccard ≈ c/m, |A∪B| ≈ (k−1)/u₍ₖ₎ (the KMV
+    * estimator on K, which IS a valid KMV sketch of A∪B — the closure
+    * property that makes sketch algebra work), and |A∩B| ≈ J·|A∪B|.
+    * Below k the sketches are the exact distinct-hash sets and every
+    * estimate is exact modulo 32-bit collisions. Same honesty rule as
+    * the rest of the family: exact companions + rel_err in the row.
+    *
+    * Scale shape: each sketch is a `TakeOrderedAndProject` over its
+    * corpus scan; everything after operates on ≤k-row frames
+    * (localCheckpoint'ed — bounded artifacts by construction, the
+    * codebook rule — so the union and the two membership probes don't
+    * re-scan a corpus). The exact companions are the grading legs. */
+  def kmvOverlap(a: DataFrame, keyA: Column, b: DataFrame, keyB: Column,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmvOverlap: k >= 2, got $k")
+    def distinctKeys(df: DataFrame, key: Column) =
+      df.filter(key.isNotNull).select(key.cast("string").as("__v"))
+    def sketch(df: DataFrame, key: Column) =
+      df.filter(key.isNotNull)
+        .select(graft.functions.HashFunctions.md5UniformOpen(key).as("__u"))
+        .distinct().orderBy("__u").limit(k).localCheckpoint()
+    val skA = sketch(a, keyA)
+    val skB = sketch(b, keyB)
+    val kk = skA.unionByName(skB).distinct().orderBy("__u").limit(k)
+      .localCheckpoint()
+    val st = kk.agg(count(lit(1)).as("m"), max("__u").as("__uk"))
+    val both = kk.join(skA, Seq("__u"), "left_semi")
+      .join(skB, Seq("__u"), "left_semi")
+      .agg(count(lit(1)).as("c"))
+    val exactUnion = distinctKeys(a, keyA).unionByName(distinctKeys(b, keyB))
+      .agg(count_distinct(col("__v")).as("union_exact"))
+    val exactInter = distinctKeys(a, keyA).distinct()
+      .join(distinctKeys(b, keyB).distinct(), Seq("__v"), "left_semi")
+      .agg(count(lit(1)).as("inter_exact"))
+    val jEst = col("c").cast("double") / col("m").cast("double")
+    val uEst = when(col("m") < k, col("m").cast("double"))
+      .otherwise(lit((k - 1).toDouble) / col("__uk"))
+    st.crossJoin(both).crossJoin(exactUnion).crossJoin(exactInter)
+      .select(lit(k).as("k"), col("m"), col("c"),
+        jEst.as("jaccard_est"),
+        when(col("union_exact") === 0L, lit(0.0))
+          .otherwise(col("inter_exact").cast("double")
+            / col("union_exact").cast("double")).as("jaccard_exact"),
+        (jEst * uEst).as("inter_est"),
+        col("inter_exact"),
+        when(col("inter_exact") === 0L, lit(0.0))
+          .otherwise(abs(jEst * uEst - col("inter_exact").cast("double"))
+            / col("inter_exact").cast("double")).as("rel_err"))
+  }
+
+  /** Named query: shared vocabulary between sources src0 and src1 —
+    * the sketch-cost face of `audit_source_overlap`'s exact matrix. */
+  def kmvOverlapSources(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def terms(src: String) = docs.filter(col("source") === src)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+    kmvOverlap(terms("src0"), col("term"), terms("src1"), col("term"), k = 256)
+  }
+
   /** Per-GROUP KMV distinct-count — the grouped face of [[kmvDistinct]],
     * with the same self-grading row. The whole-relation sketch rides
     * `TakeOrderedAndProject`; per group that shape is gone, so the
@@ -288,7 +354,8 @@ object Sketches {
     "txt_heavyhitters" -> heavyTokens,
     "agg_distinct_kmv" -> kmvOrders,
     "agg_group_kmv" -> groupKmvTokens,
-    "agg_quantile_kmv" -> quantilePrices)
+    "agg_quantile_kmv" -> quantilePrices,
+    "audit_overlap_kmv" -> kmvOverlapSources)
 
   val oracleSql: Map[String, String] = Map(
     "txt_heavyhitters" ->
@@ -309,6 +376,45 @@ object Sketches {
            abs((CASE WHEN m < 256 THEN CAST(m AS DOUBLE) ELSE 255.0 / uk END)
              - CAST(exact AS DOUBLE)) / CAST(exact AS DOUBLE) AS rel_err
          FROM est CROSS JOIN ex"""
+    },
+    "audit_overlap_kmv" -> {
+      val hexU = Curation.hexUSql
+      s"""WITH ta AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+             FROM documents WHERE source = 'src0'),
+         tb AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+             FROM documents WHERE source = 'src1'),
+         ua AS (SELECT DISTINCT (CAST($hexU AS DOUBLE) + 0.5) / 4294967296.0 AS u
+             FROM (SELECT substr(md5(term), 1, 8) AS h FROM ta)),
+         ub AS (SELECT DISTINCT (CAST($hexU AS DOUBLE) + 0.5) / 4294967296.0 AS u
+             FROM (SELECT substr(md5(term), 1, 8) AS h FROM tb)),
+         ska AS (SELECT u FROM ua ORDER BY u LIMIT 256),
+         skb AS (SELECT u FROM ub ORDER BY u LIMIT 256),
+         kk AS (SELECT u FROM (SELECT DISTINCT u FROM
+               (SELECT u FROM ska UNION ALL SELECT u FROM skb))
+             ORDER BY u LIMIT 256),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS m, max(u) AS uk FROM kk),
+         cc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM kk
+             WHERE u IN (SELECT u FROM ska) AND u IN (SELECT u FROM skb)),
+         exu AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS union_exact
+             FROM (SELECT term FROM ta UNION ALL SELECT term FROM tb)),
+         exi AS (SELECT CAST(count(*) AS BIGINT) AS inter_exact
+             FROM (SELECT DISTINCT term FROM ta) x
+             WHERE term IN (SELECT term FROM tb))
+         SELECT CAST(256 AS INT) AS k, m, c,
+           CAST(c AS DOUBLE) / CAST(m AS DOUBLE) AS jaccard_est,
+           CASE WHEN union_exact = 0 THEN 0.0
+             ELSE CAST(inter_exact AS DOUBLE) / CAST(union_exact AS DOUBLE)
+             END AS jaccard_exact,
+           (CAST(c AS DOUBLE) / CAST(m AS DOUBLE))
+             * (CASE WHEN m < 256 THEN CAST(m AS DOUBLE) ELSE 255.0 / uk END)
+             AS inter_est,
+           inter_exact,
+           CASE WHEN inter_exact = 0 THEN 0.0
+             ELSE abs((CAST(c AS DOUBLE) / CAST(m AS DOUBLE))
+               * (CASE WHEN m < 256 THEN CAST(m AS DOUBLE) ELSE 255.0 / uk END)
+               - CAST(inter_exact AS DOUBLE)) / CAST(inter_exact AS DOUBLE)
+             END AS rel_err
+         FROM st CROSS JOIN cc CROSS JOIN exu CROSS JOIN exi"""
     },
     "agg_group_kmv" -> {
       val hexU = Curation.hexUSql

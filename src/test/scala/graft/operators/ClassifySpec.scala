@@ -190,4 +190,30 @@ class ClassifySpec extends SparkSpec {
     assert(e2.getMessage != null && e2.getMessage.contains("both"),
       s"llr-only consumers must trip the guard too: ${e2.getMessage}")
   }
+
+  test("qualityNbCalibration: partitions the held-out set, rates bounded, signal present") {
+    val d = "/root/testdata/sf0.001"
+    val r = Classify.qualityNbCalibrationQ(spark, d)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(r.nonEmpty && r.map(_._1).forall(b => b >= 0 && b <= 7))
+    assert(r.map(_._1) === r.map(_._1).sorted, "ordered by bucket")
+    // buckets partition the held-out scored set exactly
+    val docs = graft.Tables.documents(spark, d)
+    val heldScored = Classify.qualityNbEvalQ(spark, d)
+      .select($"tp" + $"fp" + $"tn" + $"fn").as[Long].head()
+    assert(r.map(_._2).sum === heldScored)
+    r.foreach { case (_, n, nPos, rate, _) =>
+      assert(nPos >= 0 && nPos <= n)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // calibration signal: the top margin bucket must be at least as
+    // positive-dense as the bottom one (NB beats chance on this data —
+    // pinned by the eval spec — so the reliability table cannot invert)
+    assert(r.last._4 >= r.head._4,
+      s"reliability inverted: ${r.head} vs ${r.last}")
+    // mean margins strictly increase with the bucket index (equal-width
+    // binning on the margin itself makes this structural)
+    val margins = r.map(_._5)
+    assert(margins === margins.sorted)
+  }
 }

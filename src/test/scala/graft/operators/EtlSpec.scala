@@ -94,4 +94,25 @@ class EtlSpec extends SparkSpec {
     val covered = r.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
     assert(covered === (1 to 10).map(i => s"w$i").toSet)
   }
+
+  test("groupSample: exactly n per big group, whole group when smaller, partitioning-invariant") {
+    val rows = Seq((1L, "a"), (2L, "a")) ++ (10L to 109L).map(i => (i, "b"))
+    def run(parts: Int) = Etl.groupSample(
+        rows.toDF("id", "g").repartition(parts), $"g", $"id", n = 3)
+      .as[(String, Int, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val r = run(1)
+    assert(r.count(_._1 == "a") === 2, "small group yields its whole membership")
+    assert(r.count(_._1 == "b") === 3)
+    assert(r.map(_._2).take(2) === Seq(1, 2), "ranks are 1-based and contiguous")
+    assert(run(11) === r, "mergeable buffer ⇒ partitioning-invariant sample")
+    // agrees with the window reference spelling
+    val u = graft.functions.HashFunctions.md5UniformOpen($"id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"__u", $"id")
+    val ref = rows.toDF("id", "g").withColumn("__u", u)
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .select($"g", $"rn", $"id")
+      .as[(String, Int, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(r === ref)
+  }
 }

@@ -143,6 +143,31 @@ class SketchesSpec extends SparkSpec {
       "same hash, same k, same set → the two spellings are one estimator")
   }
 
+  test("kmvOverlap: identical, disjoint, and below-k sets grade themselves exactly") {
+    val a = (1L to 150L).toDF("v")
+    // identical sets, below k → everything exact: J=1, intersection=150
+    val same = Sketches.kmvOverlap(a, $"v", a, $"v", k = 256)
+      .select("jaccard_est", "jaccard_exact", "inter_est", "rel_err")
+      .as[(Double, Double, Double, Double)].head()
+    assert(same === ((1.0, 1.0, 150.0, 0.0)))
+    // disjoint sets → c = 0 → both jaccards and the intersection are 0
+    val b = (1000L to 1149L).toDF("v")
+    val disj = Sketches.kmvOverlap(a, $"v", b, $"v", k = 256)
+      .select("c", "jaccard_est", "jaccard_exact", "inter_est")
+      .as[(Long, Double, Double, Double)].head()
+    assert(disj === ((0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("kmvOverlap: estimator lands near truth above k, duplicate-blind") {
+    // |A|=4000, |B|=3000, |A∩B|=1000 (J = 1/6); duplicates added to A
+    val a = ((1L to 4000L) ++ (1L to 500L)).toDF("v") // dups must not matter
+    val b = (3001L to 6000L).toDF("v")
+    val r = Sketches.kmvOverlap(a, $"v", b, $"v", k = 512)
+      .select("inter_exact", "rel_err").as[(Long, Double)].head()
+    assert(r._1 === 1000L)
+    assert(r._2 < 0.35, s"k=512 overlap estimate should land near truth: $r")
+  }
+
   test("quantileSketch: sample = column below k, so estimate ≡ exact") {
     val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
     val r = Sketches.quantileSketch(df, $"id", $"v",
