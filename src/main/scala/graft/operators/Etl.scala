@@ -111,6 +111,40 @@ object Etl {
       .withColumnRenamed("grp", "source")
       .orderBy("source", "rank")
 
+  /** WEIGHTED [[groupSample]] — Efraimidis-Spirakis (2006) reservoir
+    * keys on the deterministic uniform: drawing N without replacement
+    * with probability ∝ weight is exactly "take the N largest
+    * u^(1/w)", i.e. the N smallest `−ln(u)/w` — a pure key transform,
+    * so the SAME mergeable bottom-k machinery (and the same
+    * partitioning-independence argument) carries the weighted case.
+    * The curation face: "sample docs proportional to length/quality
+    * score" without a global sort or an RNG. Zero/negative weights are
+    * excluded (a zero-weight row has sampling probability 0; E-S keys
+    * would divide by it). */
+  def weightedGroupSample(df: DataFrame, group: Column, id: Column,
+      weight: Column, n: Int): DataFrame = {
+    require(n >= 1, s"weightedGroupSample: n >= 1, got $n")
+    df.filter(id.isNotNull && weight.isNotNull && weight > 0)
+      .select(group.as("grp"),
+        (-log(graft.functions.HashFunctions.md5UniformOpen(id))
+          / weight.cast("double")).as("__key"),
+        id.cast("long").as("__id"))
+      .groupBy("grp")
+      .agg(graft.functions.BottomKAgg.bottomKIds(n)(col("__key"), col("__id"))
+        .as("__ids"))
+      .select(col("grp"), posexplode(col("__ids")).as(Seq("pos", "doc_id")))
+      .select(col("grp"), (col("pos") + 1).as("rank"), col("doc_id"))
+  }
+
+  /** Named query: 3 length-weighted sample docs per source (longer docs
+    * proportionally likelier — the shape a token-budgeted reviewer
+    * samples by). */
+  def weightedSampleQ(s: SparkSession, d: String): DataFrame =
+    weightedGroupSample(Tables.documents(s, d), col("source"),
+      col("doc_id"), col("n_chars"), n = 3)
+      .withColumnRenamed("grp", "source")
+      .orderBy("source", "rank")
+
   /** R2 — contiguous global row index over a total order, WITHOUT the
     * single-task `row_number().over(Window.orderBy(id))` bottleneck: the
     * id span is cut into order-preserving range buckets (`width_bucket`
@@ -265,6 +299,7 @@ object Etl {
     "etl_hash_sample" -> hashSample,
     "etl_stratified_sample" -> stratifiedSample,
     "etl_group_sample" -> groupSampleQ,
+    "etl_weighted_sample" -> weightedSampleQ,
     "etl_row_range" -> rowRange,
     "etl_url_filename" -> urlFilename,
     "etl_regex_year" -> regexYear,
@@ -328,6 +363,22 @@ object Etl {
                  FROM documents WHERE doc_id IS NOT NULL)),
          r AS (SELECT source, doc_id,
              row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+           FROM u)
+         SELECT source, CAST(rn AS INT) AS rank, doc_id FROM r
+         WHERE rn <= 3 ORDER BY source, rank"""
+    },
+    "etl_weighted_sample" -> {
+      val hexU = Curation.hexUSql
+      s"""WITH u AS (SELECT source, doc_id,
+             -ln((CAST($hexU AS DOUBLE) + 0.5) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) AS key
+           FROM (SELECT source, doc_id, n_chars,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+                 FROM documents
+                 WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                   AND n_chars > 0)),
+         r AS (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
            FROM u)
          SELECT source, CAST(rn AS INT) AS rank, doc_id FROM r
          WHERE rn <= 3 ORDER BY source, rank"""

@@ -115,4 +115,32 @@ class EtlSpec extends SparkSpec {
       .as[(String, Int, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
     assert(r === ref)
   }
+
+  test("weightedGroupSample: weight ∝ selection odds, zero-weight excluded, deterministic") {
+    // 200 groups, each: one heavy row (w=50) + 9 light rows (w=1). P(heavy
+    // sampled at n=1) = 50/59 ≈ 0.85 — across 200 independent groups the
+    // heavy-row hit count concentrates hard around 170.
+    val rows = (0L until 200L).flatMap { g =>
+      (0L until 10L).map { i =>
+        val id = g * 100 + i
+        (id, s"g$g", if (i == 0) 50.0 else 1.0)
+      }
+    }
+    val df = rows.toDF("id", "g", "w")
+    val picked = Etl.weightedGroupSample(df, $"g", $"id", $"w", n = 1)
+      .as[(String, Int, Long)].collect().toSeq
+    assert(picked.size === 200)
+    val heavyHits = picked.count(_._3 % 100 == 0)
+    assert(heavyHits > 140 && heavyHits <= 200,
+      s"heavy rows should dominate ~85% of picks, got $heavyHits/200")
+    // deterministic + partitioning-invariant
+    val again = Etl.weightedGroupSample(df.repartition(17), $"g", $"id", $"w", n = 1)
+      .as[(String, Int, Long)].collect().toSeq
+    assert(again.sortBy(_._1) === picked.sortBy(_._1))
+    // zero/negative weights never sampled
+    val withZero = df.withColumn("w", when($"id" % 100 === 0L, lit(0.0)).otherwise($"w"))
+    val noHeavy = Etl.weightedGroupSample(withZero, $"g", $"id", $"w", n = 1)
+      .as[(String, Int, Long)].collect().toSeq
+    assert(noHeavy.forall(_._3 % 100 != 0), "zero-weight rows must be unsampleable")
+  }
 }
