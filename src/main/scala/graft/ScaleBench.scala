@@ -249,6 +249,13 @@ object ScaleBench {
     // scale row's job is to show its construction+probe stays ~linear
     // (it does) and that rows_1x/rows_10x match the exact path's
     // bit-for-bit (they do — the no-false-negative invariant measured).
+    // Machine-readable query list for tools/scalebench_isolated.sh (the
+    // per-query-JVM freeze loop) — print and exit before any Spark job.
+    if (sys.env.get("SPARK_GRAFT_SCALE_LIST").contains("1")) {
+      Queries.foreach(println)
+      spark.stop()
+      return
+    }
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
@@ -281,22 +288,52 @@ object ScaleBench {
     val rows1 = selected.map(n => n -> rows(base, n)).toMap
     val rows10 = selected.map(n => n -> rows(scratch, n)).toMap
 
-    val qJson = selected.map { n =>
+    def rowBody(n: String): String = {
       val r = tenX(n) / oneX(n)
-      f"""    "$n": {"sec_1x": ${oneX(n)}%.3f, "sec_10x": ${tenX(n)}%.3f, "time_ratio": $r%.2f, "rows_1x": ${rows1(n)}, "rows_10x": ${rows10(n)}}"""
-    }.mkString(",\n")
-    val json =
+      f"""{"sec_1x": ${oneX(n)}%.3f, "sec_10x": ${tenX(n)}%.3f, "time_ratio": $r%.2f, "rows_1x": ${rows1(n)}, "rows_10x": ${rows10(n)}}"""
+    }
+    val note = "10x replication is dup-heavy by design (rotated + suffixed " +
+      "replicas); pass = time_ratio <= ~max(rows_factor, output growth): " +
+      "rows_1x/rows_10x are the result-row counts — dedup outputs grow ~45 " +
+      "pairs per source doc here, so their time ratios are judged against " +
+      "output, not input. Rows are frozen ONE QUERY PER JVM " +
+      "(tools/scalebench_isolated.sh → SPARK_GRAFT_SCALE_MERGE), so no row " +
+      "inherits another query's JIT/GC/block-manager state — the late-suite " +
+      "drift that needed per-round attribution through r12 is gone by " +
+      "construction."
+    def render(rows: Map[String, String]): String = {
+      val qJson = Queries.filter(rows.contains)
+        .map(n => s"""    "$n": ${rows(n)}""").mkString(",\n")
       s"""{
          |  "rows_factor": $Reps,
          |  "base": "$base",
-         |  "note": "10x replication is dup-heavy by design (rotated + suffixed replicas); pass = time_ratio <= ~max(rows_factor, output growth): rows_1x/rows_10x are the result-row counts — dedup outputs grow ~45 pairs per source doc here, so their time ratios are judged against output, not input",
+         |  "note": "$note",
          |  "queries": {
          |$qJson
          |  }
          |}""".stripMargin
-    // subset (attribution) runs must not clobber the committed full
-    // artifact — same rule as Bench's SPARK_GRAFT_BENCH_ONLY
-    if (only.isEmpty)
+    }
+    val fresh = selected.map(n => n -> rowBody(n)).toMap
+    val merge = sys.env.get("SPARK_GRAFT_SCALE_MERGE").contains("1")
+    val json =
+      if (only.isEmpty) render(fresh)
+      else if (merge) {
+        // isolated per-query freeze: fold this JVM's rows into the
+        // artifact (our own writer emits one row per line, so a line
+        // regex is a full parser for it)
+        val rowRe = """^\s*"([A-Za-z0-9_]+)": (\{.*\}),?$""".r
+        val f = new java.io.File(out)
+        val existing: Map[String, String] =
+          if (f.exists()) {
+            val src = scala.io.Source.fromFile(f)
+            try src.getLines().collect { case rowRe(n, body) => n -> body }.toMap
+            finally src.close()
+          } else Map.empty
+        render(existing ++ fresh)
+      } else render(fresh)
+    // subset (attribution) runs without SPARK_GRAFT_SCALE_MERGE must not
+    // clobber the committed artifact — same rule as SPARK_GRAFT_BENCH_ONLY
+    if (only.isEmpty || merge)
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

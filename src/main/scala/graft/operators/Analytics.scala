@@ -257,6 +257,46 @@ object Analytics {
       .orderBy("h")
   }
 
+  /** Ordered conversion funnel view → click → purchase: per user, the
+    * first view, the first click AFTER it, and the first purchase after
+    * THAT — both follow-ups inside a 24 h window from the first view
+    * (the product-analytics query every event warehouse serves).
+    *
+    * Shape at scale: three aggregations + two joins, ALL keyed on
+    * `user_id` — co-partitioned, so after the first exchange the rest
+    * reuse the partitioning; each stage's `event_type` filter is pushed
+    * to the parquet scan, so the corpus is read as three narrow
+    * type-pruned passes, never shuffled whole. No window-over-user sort
+    * (the naive spelling) and no per-user event-list collect (unbounded
+    * state at 100 TB). */
+  def evtFunnel(s: SparkSession, d: String): DataFrame =
+    funnel(Tables.events(s, d), "view", "click", "purchase",
+      "INTERVAL 24 HOURS")
+
+  /** The funnel operator behind [[evtFunnel]], parameterized on the three
+    * ordered step types and the completion window (anchored at step 1). */
+  def funnel(e: DataFrame, step1: String, step2: String, step3: String,
+      winExpr: String): DataFrame = {
+    val win = expr(winExpr)
+    val t1 = e.filter(col("event_type") === step1)
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = e.filter(col("event_type") === step2)
+      .join(t1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+      .groupBy("user_id").agg(min("ts").as("t2"), min("t1").as("t1"))
+    val t3 = e.filter(col("event_type") === step3)
+      .join(t2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t1") + win)
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    t1.agg(count(lit(1)).as("users"))
+      .select(lit(1).as("step"), lit(step1).as("stage"), col("users"))
+      .unionByName(t2.agg(count(lit(1)).as("users"))
+        .select(lit(2).as("step"), lit(step2).as("stage"), col("users")))
+      .unionByName(t3.agg(count(lit(1)).as("users"))
+        .select(lit(3).as("step"), lit(step3).as("stage"), col("users")))
+      .orderBy("step")
+  }
+
   /** Tumbling-window counts + exact sums per (hour, type) — the batch
     * equivalent of the streaming ingest rollup (SRS §4.6 digests). */
   def evtTumbling(s: SparkSession, d: String): DataFrame =
@@ -413,6 +453,7 @@ object Analytics {
     "evt_sliding" -> evtSliding,
     "win_ntile" -> winNtile,
     "evt_retention" -> evtRetention,
+    "evt_funnel" -> evtFunnel,
     "evt_session" -> evtSession,
     "evt_json" -> evtJson)
 
@@ -563,6 +604,26 @@ object Analytics {
          FROM hrs a JOIN hrs b
            ON a.user_id = b.user_id AND b.h = a.h + INTERVAL 1 HOUR
          GROUP BY a.h ORDER BY a.h""",
+    "evt_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+         t2 AS (SELECT e.user_id, min(e.ts) AS t2, min(t1.t1) AS t1
+             FROM events e JOIN t1 ON e.user_id = t1.user_id
+             WHERE e.event_type = 'click' AND e.ts > t1.t1
+               AND e.ts <= t1.t1 + INTERVAL 24 HOUR
+             GROUP BY e.user_id),
+         t3 AS (SELECT e.user_id, min(e.ts) AS t3
+             FROM events e JOIN t2 ON e.user_id = t2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+               AND e.ts <= t2.t1 + INTERVAL 24 HOUR
+             GROUP BY e.user_id)
+         SELECT * FROM (
+           SELECT CAST(1 AS INT) AS step, 'view' AS stage, count(*) AS users FROM t1
+           UNION ALL
+           SELECT CAST(2 AS INT), 'click', count(*) FROM t2
+           UNION ALL
+           SELECT CAST(3 AS INT), 'purchase', count(*) FROM t3)
+         ORDER BY step""",
     "evt_sliding" ->
       """WITH sw AS (
            SELECT event_type,

@@ -126,6 +126,70 @@ object Retrieval {
       .orderBy(desc("score"), asc("vec_id"))
   }
 
+  // --- RP — Johnson-Lindenstrauss random projection (dim reduction) ---------
+
+  /** The deterministic ±1/√m JL sign matrix (Achlioptas 2003: a dense
+    * Rademacher matrix satisfies the JL lemma — no training, unlike PQ
+    * codebooks or MRL, so it applies to embeddings from ANY encoder).
+    * Signs come from the [[graft.functions.HashFunctions.md5Bucket16]]
+    * convention (first md5 hex char of `rp_<j>_<i>` < '8' ⇒ +1), so the
+    * DuckDB oracle replays the matrix with the same md5 spelling. Pure
+    * driver-side arithmetic: m·d = 1024 signs — a codebook-sized
+    * constant (the `kmeansTrain` pattern), baked into the plan as
+    * literals so the projection is ONE whole-stage-codegen span. */
+  private[operators] def rpSigns(m: Int, dIn: Int): Array[Array[Double]] = {
+    val scale = 1.0 / math.sqrt(m.toDouble)
+    Array.tabulate(m, dIn) { (j0, i0) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"rp_${j0 + 1}_${i0 + 1}".getBytes("UTF-8"))
+      if (((hex(0) >> 4) & 0xf) < 8) scale else -scale
+    }
+  }
+
+  /** Append the 16-d JL sketch of `embedding` as `rp`: 16 fused-codegen
+    * dot products against literal sign rows — a pure per-row map (no
+    * shuffle, no state), the dimension-reduction transform a 100 TB
+    * corpus pays once at ingest and serves from thereafter. */
+  private[operators] def rpProjected(s: SparkSession, df: DataFrame): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    df.withColumn("rp", array(rpSigns(16, 64).map(row =>
+      fusedDot(s, v, lit(row)): Column).toIndexedSeq: _*))
+  }
+
+  /** V-family: the JL projection audited per vector — fixed-point
+    * coordinates (half-up at 1e-6, the `vec_sq8` discipline: integer
+    * strings sidestep double-formatting divergence) plus the sketch
+    * norm. Distance preservation itself is measured by [[knnRp]]. */
+  def vecRpProject(s: SparkSession, d: String): DataFrame =
+    rpProjected(s, Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        array_join(transform(col("rp"),
+          x => floor(x * lit(1e6) + lit(0.5)).cast("long")), ",").as("rp_fx"),
+        round(fusedL2Norm(s, col("rp")), 6).as("rp_norm"))
+      .orderBy("vec_id")
+
+  /** kNN through the JL sketch: stage 1 ranks the corpus by cosine in
+    * 16-d (4× less data touched per row than full-width scoring; both
+    * stages are TakeOrderedAndProject — per-partition heaps, no sort
+    * shuffle), stage 2 re-scores only the 200-row pool with the exact
+    * 64-d cosine. Unlike [[knnMrl]] (prefix truncation — needs
+    * matryoshka-trained embeddings) this serves ANY embedding table, and
+    * the whole pipeline stays oracle-checked because the projection is
+    * deterministic. */
+  def knnRp(s: SparkSession, d: String): DataFrame = {
+    val emb = rpProjected(s, Tables.embeddings(s, d))
+    val q = rpProjected(s, Tables.embeddings(s, d).filter(col("vec_id") === 0))
+      .select(col("rp").as("qrp"), col("embedding").cast("array<double>").as("qv"))
+    emb.crossJoin(broadcast(q))
+      .withColumn("rp_cos", fusedCosine(s, col("rp"), col("qrp")))
+      .orderBy(desc("rp_cos"), asc("vec_id")).limit(200)
+      .withColumn("score",
+        fusedCosine(s, col("embedding").cast("array<double>"), col("qv")))
+      .orderBy(desc("score"), asc("vec_id")).limit(10)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+  }
+
   // --- Q1 — whole-image brute-force kNN -------------------------------------
 
   /** Q1 (`search_with_segments.py:148-185`): score every row
@@ -1148,6 +1212,8 @@ object Retrieval {
     "knn_ivfpq_del" -> knnIvfPqDel,
     "vec_sq8" -> vecSq8,
     "knn_sq8" -> knnSq8,
+    "vec_rp_project" -> vecRpProject,
+    "knn_rp" -> knnRp,
     "vec_kmeans" -> vecKmeans,
     "q2_segment" -> q2Segment,
     "q3_hybrid" -> q3Hybrid,
@@ -1168,6 +1234,13 @@ object Retrieval {
        FROM embeddings)"""
   private val q0Sql =
     "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)"
+  // the JL sign matrix, same md5 spelling as [[rpSigns]] (±1/√16 = ±0.25
+  // — a power of two, so the scale factor is exact in double)
+  private val rpSignsSql =
+    """sm AS (SELECT j, list(CASE
+           WHEN substr(md5('rp_' || j || '_' || i), 1, 1) < '8'
+           THEN 0.25 ELSE -0.25 END ORDER BY i) AS sv
+         FROM range(1, 17) tj(j), range(1, 65) ti(i) GROUP BY j)"""
   private val imageVecsSql =
     s"""iv AS (SELECT image_id, list(v ORDER BY i) AS wv FROM (
        SELECT vec_id // $SegsPerImage AS image_id, i,
@@ -1355,6 +1428,33 @@ object Retrieval {
          s AS (SELECT c.vec_id, list_cosine_similarity(c.codes, q.qv) AS cos FROM c, q)
          SELECT vec_id, round(cos, 6) AS score
          FROM (SELECT * FROM s ORDER BY cos DESC, vec_id LIMIT 10)
+         ORDER BY score DESC, vec_id""",
+    "vec_rp_project" ->
+      s"""WITH $rpSignsSql,
+         t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT t.vec_id,
+             list(list_dot_product(t.v, sm.sv) ORDER BY sm.j) AS rp
+           FROM t, sm GROUP BY t.vec_id)
+         SELECT vec_id,
+           array_to_string(list_transform(rp,
+             x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)), ',') AS rp_fx,
+           round(sqrt(list_dot_product(rp, rp)), 6) AS rp_norm
+         FROM p ORDER BY vec_id""",
+    "knn_rp" ->
+      s"""WITH $rpSignsSql,
+         t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT t.vec_id,
+             list(list_dot_product(t.v, sm.sv) ORDER BY sm.j) AS rp
+           FROM t, sm GROUP BY t.vec_id),
+         q AS (SELECT p.rp AS qrp, t.v AS qv
+           FROM p, t WHERE p.vec_id = 0 AND t.vec_id = 0),
+         pool AS (SELECT p.vec_id, list_cosine_similarity(p.rp, q.qrp) AS rc
+           FROM p, q ORDER BY rc DESC, p.vec_id LIMIT 200),
+         rescored AS (SELECT pool.vec_id,
+             list_cosine_similarity(t.v, q.qv) AS cos
+           FROM pool JOIN t USING (vec_id), q)
+         SELECT vec_id, round(cos, 6) AS score
+         FROM (SELECT * FROM rescored ORDER BY cos DESC, vec_id LIMIT 10)
          ORDER BY score DESC, vec_id""",
     "knn_whole" ->
       s"""WITH $q0Sql,

@@ -350,11 +350,64 @@ object Sketches {
       .withColumnRenamed("grp", "source")
       .orderBy("source")
 
+  /** Per-GROUP quantile estimates from a per-group bottom-k uniform row
+    * sample — completes the sketch matrix ([[quantileSketch]] ×
+    * [[groupKmv]]). The whole-relation sample rides
+    * `TakeOrderedAndProject`, but per group that spelling becomes a
+    * window sort of every group's full stream; instead the SAME
+    * mergeable [[graft.functions.BottomKAgg.bottomKIds]] buffer picks
+    * each group's k (u, id)-smallest row IDS (map-side partials — only
+    * ≤k pairs per group per partition cross the wire), and the sampled
+    * rows' values come back via one broadcast join on (group, id): the
+    * exploded id list is bounded by #groups·k by construction, the size
+    * class every codebook in this engine broadcasts under. Estimate and
+    * exact companion are both type-7 interpolated (`percentile` ⇔
+    * DuckDB `quantile_cont`, the [[quantileSketch]] parity); at 100 TB a
+    * caller keeps the sample and drops the exact grading leg. */
+  def groupQuantile(df: DataFrame, group: Column, rowKey: Column,
+      value: Column, probs: Seq[Double], k: Int = 256): DataFrame = {
+    require(k >= 2, s"groupQuantile: k >= 2, got $k")
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"groupQuantile: probs must be within [0,1], got $probs")
+    val in = df.filter(group.isNotNull && rowKey.isNotNull && value.isNotNull)
+      .select(group.as("grp"), rowKey.cast("long").as("__id"),
+        graft.functions.HashFunctions.md5UniformOpen(rowKey).as("__u"),
+        value.cast("double").as("__v"))
+    val ids = in.groupBy("grp")
+      .agg(graft.functions.BottomKAgg.bottomKIds(k)(col("__u"), col("__id"))
+        .as("__ids"))
+      .select(col("grp"), explode(col("__ids")).as("__id"))
+    val ps = probs.mkString("array(", ", ", ")")
+    val est = in.join(broadcast(ids), Seq("grp", "__id"))
+      .groupBy("grp").agg(expr(s"percentile(__v, $ps)").as("__qs"))
+      .select(col("grp"), posexplode(col("__qs")).as(Seq("__i", "estimate")))
+    val exact = in.groupBy("grp")
+      .agg(expr(s"percentile(__v, $ps)").as("__qs"))
+      .select(col("grp"), posexplode(col("__qs")).as(Seq("__i", "exact")))
+    est.join(exact, Seq("grp", "__i"))
+      .select(col("grp"),
+        element_at(lit(probs.toArray), col("__i") + 1).as("q"),
+        col("estimate"), col("exact"),
+        when(col("exact") === 0.0, lit(0.0))
+          .otherwise(abs(col("estimate") - col("exact")) / abs(col("exact")))
+          .as("rel_err"))
+  }
+
+  /** Named query: per-source n_chars quartiles from a 16-row sample per
+    * source (k deliberately below the sf0.01 group size so the sketch
+    * path is exercised, not the exact-below-k fast path). */
+  def groupQuantileChars(s: SparkSession, d: String): DataFrame =
+    groupQuantile(Tables.documents(s, d), col("source"), col("doc_id"),
+      col("n_chars"), probs = Seq(0.25, 0.5, 0.75), k = 16)
+      .withColumnRenamed("grp", "source")
+      .orderBy("source", "q")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_heavyhitters" -> heavyTokens,
     "agg_distinct_kmv" -> kmvOrders,
     "agg_group_kmv" -> groupKmvTokens,
     "agg_quantile_kmv" -> quantilePrices,
+    "agg_group_quantile" -> groupQuantileChars,
     "audit_overlap_kmv" -> kmvOverlapSources)
 
   val oracleSql: Map[String, String] = Map(
@@ -469,5 +522,33 @@ object Sketches {
            CASE WHEN exact = 0.0 THEN 0.0
                 ELSE abs(estimate - exact) / abs(exact) END AS rel_err
          FROM est JOIN ex ON est.q = ex.q ORDER BY q"""
+    },
+    "agg_group_quantile" -> {
+      val hexU = Curation.hexUSql
+      s"""WITH pop AS (
+           SELECT grp, doc_id, v,
+             (CAST($hexU AS DOUBLE) + 0.5) / 4294967296.0 AS u
+           FROM (SELECT source AS grp, doc_id, CAST(n_chars AS DOUBLE) AS v,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+                 FROM documents
+                 WHERE source IS NOT NULL AND doc_id IS NOT NULL
+                   AND n_chars IS NOT NULL)),
+         r AS (SELECT grp, v,
+             row_number() OVER (PARTITION BY grp ORDER BY u, doc_id) AS rn
+           FROM pop),
+         smp AS (SELECT grp, v FROM r WHERE rn <= 16),
+         est AS (
+           SELECT grp, 0.25 AS q, quantile_cont(v, 0.25) AS estimate FROM smp GROUP BY grp
+           UNION ALL SELECT grp, 0.5, quantile_cont(v, 0.5) FROM smp GROUP BY grp
+           UNION ALL SELECT grp, 0.75, quantile_cont(v, 0.75) FROM smp GROUP BY grp),
+         ex AS (
+           SELECT grp, 0.25 AS q, quantile_cont(v, 0.25) AS exact FROM pop GROUP BY grp
+           UNION ALL SELECT grp, 0.5, quantile_cont(v, 0.5) FROM pop GROUP BY grp
+           UNION ALL SELECT grp, 0.75, quantile_cont(v, 0.75) FROM pop GROUP BY grp)
+         SELECT est.grp AS source, CAST(est.q AS DOUBLE) AS q, estimate, exact,
+           CASE WHEN exact = 0.0 THEN 0.0
+                ELSE abs(estimate - exact) / abs(exact) END AS rel_err
+         FROM est JOIN ex ON est.grp = ex.grp AND est.q = ex.q
+         ORDER BY source, q"""
     })
 }

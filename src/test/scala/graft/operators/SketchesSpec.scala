@@ -201,6 +201,31 @@ class SketchesSpec extends SparkSpec {
     assert(run(1) === run(16))
   }
 
+  test("groupQuantile: below-k groups are exact, estimates bounded, partitioning-invariant") {
+    // two groups: 'small' (10 rows < k=16 ⇒ sample is the whole group,
+    // estimate ≡ exact) and 'big' (2000 rows ⇒ genuine 16-row sample)
+    val rows = (1 to 10).map(i => (i.toLong, "small", i.toDouble)) ++
+      (100 to 2099).map(i => (i.toLong, "big", (i % 500).toDouble))
+    val df = rows.toDF("id", "g", "v")
+    val r = Sketches.groupQuantile(df, $"g", $"id", $"v",
+        probs = Seq(0.25, 0.5, 0.75), k = 16)
+      .as[(String, Double, Double, Double, Double)].collect().toSeq
+    assert(r.length === 6)
+    val small = r.filter(_._1 == "small")
+    small.foreach { case (_, q, est, exact, err) =>
+      assert(est === exact, s"below-k group must be exact (q=$q)")
+      assert(err === 0.0)
+    }
+    // a 16-row sample of a 0..499-uniform column: loose but real bound
+    r.filter(_._1 == "big").foreach { case (_, q, est, exact, err) =>
+      assert(err < 0.8, s"big-group q=$q rel_err $err not sampling-plausible")
+    }
+    val again = Sketches.groupQuantile(df.repartition(13), $"g", $"id", $"v",
+        probs = Seq(0.25, 0.5, 0.75), k = 16)
+      .as[(String, Double, Double, Double, Double)].collect().toSeq
+    assert(again.sortBy(x => (x._1, x._2)) === r.sortBy(x => (x._1, x._2)))
+  }
+
   test("quantileSketch: null identity or value rows are outside the population") {
     val df = Seq((Some(1L), Some(10.0)), (None, Some(99999.0)),
       (Some(2L), None), (Some(3L), Some(20.0)), (Some(4L), Some(30.0)))
