@@ -108,7 +108,13 @@ object ScaleBench {
     // (TakeOrderedAndProject heaps + an exact-percentile grading leg —
     // both single-scan, ~linear; rebound onto documents in Extra because
     // the 10× scratch dir replicates only documents/embeddings).
-    "agg_group_kmv", "agg_quantile_scaled")
+    "agg_group_kmv", "agg_quantile_scaled",
+    // round 13f: the JL-sketch kNN (16-d scan + 200-row exact rescore —
+    // both stages TakeOrderedAndProject, so time must track rows with a
+    // ~4× lighter constant than full-width scoring) and the per-group
+    // quantile sample (bottom-k-ids Aggregator + a broadcast join-back;
+    // the exact grading leg is the only corpus-sized aggregation).
+    "knn_rp", "agg_group_quantile")
 
   /** Scale-only bindings that aren't part of the served query surface. */
   private val Extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
@@ -325,7 +331,9 @@ object ScaleBench {
         val f = new java.io.File(out)
         val existing: Map[String, String] =
           if (f.exists()) {
-            val src = scala.io.Source.fromFile(f)
+            // explicit charset: the plain-java launcher's default may not
+            // be UTF-8, and the note contains multi-byte punctuation
+            val src = scala.io.Source.fromFile(f, "UTF-8")
             try src.getLines().collect { case rowRe(n, body) => n -> body }.toMap
             finally src.close()
           } else Map.empty

@@ -273,10 +273,13 @@ object Analytics {
     funnel(Tables.events(s, d), "view", "click", "purchase",
       "INTERVAL 24 HOURS")
 
-  /** The funnel operator behind [[evtFunnel]], parameterized on the three
-    * ordered step types and the completion window (anchored at step 1). */
-  def funnel(e: DataFrame, step1: String, step2: String, step3: String,
-      winExpr: String): DataFrame = {
+  /** Per-user stage times behind [[funnel]]: (user_id, t1, t2, t3) with
+    * t2/t3 null where the user never reached the step. Exposed so the
+    * streaming arm ([[graft.streaming.Streams.funnelIngest]]) can
+    * recompute stages over its retained-event state with the SAME
+    * definition the batch query uses. */
+  def funnelStages(e: DataFrame, step1: String, step2: String,
+      step3: String, winExpr: String): DataFrame = {
     val win = expr(winExpr)
     val t1 = e.filter(col("event_type") === step1)
       .groupBy("user_id").agg(min("ts").as("t1"))
@@ -288,14 +291,20 @@ object Analytics {
       .join(t2, "user_id")
       .filter(col("ts") > col("t2") && col("ts") <= col("t1") + win)
       .groupBy("user_id").agg(min("ts").as("t3"))
-    t1.agg(count(lit(1)).as("users"))
-      .select(lit(1).as("step"), lit(step1).as("stage"), col("users"))
-      .unionByName(t2.agg(count(lit(1)).as("users"))
-        .select(lit(2).as("step"), lit(step2).as("stage"), col("users")))
-      .unionByName(t3.agg(count(lit(1)).as("users"))
-        .select(lit(3).as("step"), lit(step3).as("stage"), col("users")))
-      .orderBy("step")
+    t1.join(t2.select("user_id", "t2"), Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select("user_id", "t1", "t2", "t3")
   }
+
+  /** The funnel operator behind [[evtFunnel]], parameterized on the three
+    * ordered step types and the completion window (anchored at step 1). */
+  def funnel(e: DataFrame, step1: String, step2: String, step3: String,
+      winExpr: String): DataFrame =
+    funnelStages(e, step1, step2, step3, winExpr)
+      .agg(count("t1").as("c1"), count("t2").as("c2"), count("t3").as("c3"))
+      .select(expr(s"stack(3, 1, '$step1', c1, 2, '$step2', c2, " +
+        s"3, '$step3', c3) AS (step, stage, users)"))
+      .orderBy("step")
 
   /** Tumbling-window counts + exact sums per (hour, type) — the batch
     * equivalent of the streaming ingest rollup (SRS §4.6 digests). */

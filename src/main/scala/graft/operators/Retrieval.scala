@@ -409,8 +409,9 @@ object Retrieval {
   }
 
   /** [[evalRetrieval]] as a COMPARISON TABLE — the same metric suite
-    * over three rankings of the same corpus and relevance set: full-dim
-    * exact, the MRL 16-dim prefix, and SQ8 int8 codes. This is what the
+    * over four rankings of the same corpus and relevance set: full-dim
+    * exact, the MRL 16-dim prefix, SQ8 int8 codes, and the JL
+    * random-projection pool→rescore pipeline. This is what the
     * harness exists for operationally: a config change (quantize, trim
     * dims) lands as a measured metrics delta, not a hunch. One row per
     * method, every term exact arithmetic, fully oracle-replayed. */
@@ -431,9 +432,20 @@ object Retrieval {
     val sq8 = Search.knnBrute(sq8Coded(others), col("codes"),
       q0(s, d).select(col("qv").cast("array<double>").as("qv")),
       k = 10, tie = col("vec_id"))
+    // the training-free compression leg: JL 16-d pool → exact rescore
+    // (the [[knnRp]] pipeline over the query-excluded corpus)
+    val rpQ = rpProjected(s, emb.filter(col("vec_id") === 0))
+      .select(col("rp").as("qrp"), col("embedding").cast("array<double>").as("qv2"))
+    val rp = rpProjected(s, others).crossJoin(broadcast(rpQ))
+      .withColumn("rp_cos", fusedCosine(s, col("rp"), col("qrp")))
+      .orderBy(desc("rp_cos"), asc("vec_id")).limit(200)
+      .withColumn("score",
+        fusedCosine(s, col("embedding").cast("array<double>"), col("qv2")))
+      .orderBy(desc("score"), asc("vec_id")).limit(10)
     metricsOf(exact, "exact")
       .unionByName(metricsOf(mrl, "mrl16"))
       .unionByName(metricsOf(sq8, "sq8"))
+      .unionByName(metricsOf(rp, "rp16"))
       .orderBy("method")
   }
 
@@ -908,6 +920,7 @@ object Retrieval {
       ("lsh_8x8", exact, Search.knnLsh(emb, col("vec_id"), col("embedding"),
         q0(s, d), k).select(col("id").as("vec_id"))),
       ("mrl16_trunc", exact, knnMrl(s, d).select("vec_id")),
+      ("rp16_pool200", exact, knnRp(s, d).select("vec_id")),
       ("pq_refine10", exact, knnPq(s, d).select("vec_id")),
       ("graph_beam_h3", exact, knnGraphSearchQ(s, d).select("vec_id")),
       ("graph_beam_filtered", exactFiltered,
@@ -1538,12 +1551,32 @@ object Retrieval {
              row_number() OVER (ORDER BY
                list_cosine_similarity(c2.c, q.qv) DESC, c2.vec_id) AS rank
            FROM codes c2, q) WHERE rank <= 10),
-         ${m("exact")}, ${m("mrl16")}, ${m("sq8")}
+         $rpSignsSql,
+         p_rp AS (SELECT t.vec_id, any_value(t.label) AS label,
+             any_value(t.v) AS v,
+             list(list_dot_product(t.v, sm.sv) ORDER BY sm.j) AS rp
+           FROM (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id <> 0) t, sm
+           GROUP BY t.vec_id),
+         q_rp AS (SELECT list(list_dot_product(q.qv, sm.sv) ORDER BY sm.j) AS qrp
+           FROM q, sm),
+         pool_rp AS (SELECT vec_id, label, v FROM (
+           SELECT p.vec_id, p.label, p.v,
+             row_number() OVER (ORDER BY
+               list_cosine_similarity(p.rp, qr.qrp) DESC, p.vec_id) AS prank
+           FROM p_rp p, q_rp qr) WHERE prank <= 200),
+         r_rp16 AS (SELECT label, rank FROM (
+           SELECT pl.label,
+             row_number() OVER (ORDER BY
+               list_cosine_similarity(pl.v, q.qv) DESC, pl.vec_id) AS rank
+           FROM pool_rp pl, q) WHERE rank <= 10),
+         ${m("exact")}, ${m("mrl16")}, ${m("sq8")}, ${m("rp16")}
          SELECT m.method, round(m.p, 6) AS precision_at_10,
            round(m.mrr, 6) AS mrr, round(m.dcg, 6) AS dcg_at_10,
            round(m.dcg / ideal.idcg, 6) AS ndcg_at_10
          FROM (SELECT * FROM m_exact UNION ALL SELECT * FROM m_mrl16
-           UNION ALL SELECT * FROM m_sq8) m, ideal
+           UNION ALL SELECT * FROM m_sq8 UNION ALL SELECT * FROM m_rp16) m, ideal
          ORDER BY m.method"""
     },
     // MRL: the same brute ranking under the 16-dim prefix metric

@@ -304,6 +304,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document token-distribution stats — the zero-model repetition /
+    * diversity gate (low entropy = repetitive text; complements the
+    * Gopher coverage rules and the LM surprisal gates with a signal that
+    * needs NO corpus-side state): H = ln n − (Σ_t c_t·ln c_t)/n over the
+    * doc's OWN token multiset, type-token ratio alongside. The Σ runs
+    * over per-(doc, token) counts as FIXED-POINT longs, so FP addition
+    * order can't leak into the result (the [[bigramSurprisal]]
+    * discipline); the final ln/÷ are single deterministic double ops
+    * both engines spell identically. One explode → one (doc, term)
+    * count → one doc aggregation; no joins, no model state — scan-speed
+    * at any corpus size. */
+  def tokenEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(docToks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("__c"))
+      .groupBy("doc_id")
+      .agg(sum("__c").as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(floor(col("__c").cast("double") * log(col("__c").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long")).as("__sfx"))
+      .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+        round(col("distinct_tokens").cast("double")
+          / col("n_tokens").cast("double"), 6).as("ttr"),
+        round(log(col("n_tokens").cast("double"))
+          - col("__sfx").cast("double") / lit(1e6)
+            / col("n_tokens").cast("double"), 6).as("token_entropy"))
+      .orderBy("doc_id")
+
   def unigramSurprisal(s: SparkSession, d: String): DataFrame = {
     val total = Tables.documents(s, d)
       .agg(sum(size(docToks)).cast("double").as("total_toks"))
@@ -497,6 +525,7 @@ object TextAnalysis {
     "txt_fingerprint" -> fingerprint,
     "txt_vocab" -> vocab,
     "txt_surprisal" -> unigramSurprisal,
+    "txt_entropy" -> tokenEntropy,
     "txt_surprisal_bigram" -> ((s: SparkSession, d: String) =>
       bigramSurprisal(s, d)),
     "txt_distinctive" -> distinctiveTerms)
@@ -690,6 +719,21 @@ object TextAnalysis {
            round(avg(-ln(CAST(c AS DOUBLE) / total_toks)), 6) AS mean_surprisal
          FROM e JOIN tf USING (term) CROSS JOIN total
          GROUP BY doc_id ORDER BY doc_id""",
+    "txt_entropy" ->
+      s"""WITH e AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         c AS (SELECT doc_id, count(*) AS c FROM e GROUP BY doc_id, term),
+         a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS distinct_tokens,
+             CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sfx
+           FROM c GROUP BY doc_id)
+         SELECT doc_id, n_tokens, distinct_tokens,
+           round(CAST(distinct_tokens AS DOUBLE)
+             / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+           round(ln(CAST(n_tokens AS DOUBLE))
+             - CAST(sfx AS DOUBLE) / 1000000.0
+               / CAST(n_tokens AS DOUBLE), 6) AS token_entropy
+         FROM a ORDER BY doc_id""",
     // mirrors bigramSurprisal's exact double expression (0.7/0.3
     // interpolation, same parenthesization) and its fixed-point mean
     "txt_surprisal_bigram" ->

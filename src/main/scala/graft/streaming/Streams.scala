@@ -1135,4 +1135,140 @@ object Streams {
         col("estimate"))
       .orderBy("q")
   }
+
+  /** Weight-proportional sample state over a stream
+    * (Efraimidis-Spirakis, the streaming face of
+    * [[graft.operators.Etl.weightedGroupSample]]): the n rows with the
+    * smallest −ln(u)/w ARE a without-replacement sample ∝ weight of
+    * everything ever seen, and the key is a pure per-row function of
+    * (id, weight) — so the identical bottom-k state merge carries the
+    * weighted case; state stays ≤ n rows forever. The
+    * [[applySketchBatch]] duplicate-`__id` contract ("the survivor's
+    * (`__u`, `__v`) is the same whichever copy wins") extends here only
+    * if the weight is a stable function of the id — true for replayed
+    * deliveries of the same record, the case the marker-free idempotence
+    * argument needs. Zero/negative weights are excluded exactly as in
+    * the batch sampler (P(pick) = 0, and the key would divide by w). */
+  def weightedSampleIngest(rows: DataFrame,
+      key: org.apache.spark.sql.Column,
+      weight: org.apache.spark.sql.Column,
+      stateDir: String, checkpoint: String, n: Int = 256)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prepared = batch
+          .filter(key.isNotNull && weight.isNotNull && weight > 0)
+          .select(key.cast("string").as("__id"),
+            weight.cast("double").as("__v"))
+          .withColumn("__u",
+            -log(graft.functions.HashFunctions.md5UniformOpen(col("__id")))
+              / col("__v"))
+          .select("__id", "__u", "__v")
+        if (!prepared.isEmpty) applySketchBatch(prepared, stateDir, batchId, n)
+      }
+      .start()
+
+  /** The maintained weighted sample from a [[weightedSampleIngest]]
+    * state dir, rank order = ascending E-S key (rank 1 = the draw the
+    * batch sampler would emit first). */
+  def weightedSampleFromStore(s: SparkSession, stateDir: String): DataFrame =
+    s.read.parquet(stateDir)
+      .select(col("__id").as("id"), col("__v").as("weight"), col("__u").as("key"))
+      .orderBy("key", "id")
+
+  // --- streaming conversion funnel -----------------------------------------
+
+  /** Merge one micro-batch of events into funnel state
+    * ([[funnelIngest]]). State = the retained per-user EVENT set, from
+    * which [[funnelFromStore]] recomputes stages with the exact batch
+    * definition ([[graft.operators.Analytics.funnelStages]]) — no
+    * incremental stage math to drift from it. Retention is what makes
+    * that exact AND bounded: an event survives compaction iff
+    *  - it is the step-1 winner (the min-ts step-1 event; later step-1
+    *    events can never matter — only the min enters the definition), or
+    *  - it lies in the step-1 window (t1, t1+W] — the superset of every
+    *    ts the stage recompute can read for this user, since the t2 and
+    *    t3 windows nest inside it, or
+    *  - it is ABOVE THE WATERMARK (max seen ts − horizon): not yet
+    *    final, so a late-but-allowed earlier step-1 arrival can still
+    *    shift the window onto it. Below the watermark the contract says
+    *    no earlier event can arrive, so out-of-window events are final
+    *    junk and are dropped.
+    * With horizon ≥ the stream's allowed lateness, the maintained state
+    * replays the batch funnel exactly; per-user state is bounded by the
+    * W-window's event count plus the not-yet-final horizon slice.
+    * Replay-idempotent WITHOUT markers: events dedup on
+    * (user_id, event_type, ts), so re-merging a delivered batch is a
+    * no-op (the [[applySketchBatch]] argument). Crash-safety is the
+    * shared staging-swap / heal discipline. */
+  def applyFunnelBatch(batch: DataFrame, stateDir: String, batchId: Long,
+      step1: String, step2: String, step3: String,
+      winExpr: String, horizonExpr: String): Unit = {
+    val s = batch.sparkSession
+    val f = fs(s, stateDir)
+    val stateP = new org.apache.hadoop.fs.Path(stateDir)
+    val oldP = new org.apache.hadoop.fs.Path(s"${stateDir}__old")
+    if (!f.exists(stateP) && f.exists(oldP)) renameOrDie(f, oldP, stateP)
+    f.delete(oldP, true)
+    dropStaleStaging(s, stateDir)
+    val steps = Seq(step1, step2, step3)
+    val incoming = batch
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isin(steps: _*))
+      .select("user_id", "event_type", "ts")
+    val all = (if (f.exists(stateP))
+        s.read.parquet(stateDir).unionByName(incoming)
+      else incoming)
+      .dropDuplicates("user_id", "event_type", "ts")
+    val t1 = all.filter(col("event_type") === step1)
+      .groupBy("user_id").agg(min("ts").as("__t1"))
+    val compacted = all
+      .join(t1, Seq("user_id"), "left")
+      .crossJoin(broadcast(all.agg(max("ts").as("__mx"))))
+      .filter(
+        (col("event_type") === step1 && col("ts") === col("__t1")) ||
+        (col("__t1").isNotNull && col("ts") > col("__t1") &&
+          col("ts") <= col("__t1") + expr(winExpr)) ||
+        col("ts") > col("__mx") - expr(horizonExpr))
+      .select("user_id", "event_type", "ts")
+    val tmp = s"${stateDir}__staging_$batchId"
+    compacted.write.mode("overwrite").parquet(tmp)
+    if (f.exists(stateP)) renameOrDie(f, stateP, oldP)
+    renameOrDie(f, new org.apache.hadoop.fs.Path(tmp), stateP)
+    f.delete(oldP, true)
+  }
+
+  /** Continuously-maintained conversion funnel over an event stream —
+    * the streaming face of [[graft.operators.Analytics.evtFunnel]].
+    * `horizonExpr` is the allowed lateness (events arriving more than
+    * that behind the max seen ts may be dropped, the standard watermark
+    * contract); within it, [[funnelFromStore]] ≡ the batch funnel over
+    * everything ever ingested. */
+  def funnelIngest(rows: DataFrame, stateDir: String, checkpoint: String,
+      step1: String = "view", step2: String = "click",
+      step3: String = "purchase",
+      winExpr: String = "INTERVAL 24 HOURS",
+      horizonExpr: String = "INTERVAL 7 DAYS")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          applyFunnelBatch(batch, stateDir, batchId,
+            step1, step2, step3, winExpr, horizonExpr)
+      }
+      .start()
+
+  /** Serve the funnel from a [[funnelIngest]] state dir: the retained
+    * events run through the BATCH stage definition, so the two faces
+    * cannot disagree by construction. */
+  def funnelFromStore(s: SparkSession, stateDir: String,
+      step1: String = "view", step2: String = "click",
+      step3: String = "purchase",
+      winExpr: String = "INTERVAL 24 HOURS"): DataFrame =
+    graft.operators.Analytics.funnel(
+      s.read.parquet(stateDir), step1, step2, step3, winExpr)
 }

@@ -338,7 +338,11 @@ class SearchSpec extends SparkSpec {
       .select("method", "recall").as[(String, Double)].collect().toMap
     assert(m.keySet === Set("ivf_nprobe3", "ivf_filtered_nprobe3",
       "ivfpq_nprobe3_refine10", "lsh_8x8", "mrl16_trunc", "pq_refine10",
-      "graph_beam_h3", "graph_beam_filtered"))
+      "graph_beam_h3", "graph_beam_filtered", "rp16_pool200"))
+    // JL 16-d pool→exact-rescore: at this corpus size the 200-row pool
+    // covers most of the corpus, so recall is limited only by what the
+    // 16-d sketch ranks OUT of the pool — measured high and pinned
+    assert(m("rp16_pool200") >= 0.8, s"rp16 pool floor: $m")
     // beam search over the refined graph at the named 64/32/h3 config:
     // measured 0.8 on this fixed corpus (the 16/8 latency config reads
     // 0.1 — the k=3 graph on near-random embeddings needs the wider

@@ -975,6 +975,78 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() <= 64L)
   }
 
+  test("funnelIngest: stream ≡ batch funnel incl. out-of-order step 1; junk evicted below watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString + "/state"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_funnel_ck").toString
+    def h(hh: Double): Timestamp = new Timestamp(1700000000000L + (hh * 3600000L).toLong)
+    // u1 completes; u2's first view arrives LATE (batch 2) and must
+    // re-validate the click that preceded it in arrival order; u3's
+    // click misses the window; u4 never views (junk, evictable)
+    val b1 = Seq((1L, "view", h(0)), (1L, "click", h(1)),
+      (2L, "click", h(0.5)), (4L, "click", h(0.3)))
+    val b2 = Seq((2L, "view", h(0.2)), (1L, "purchase", h(1.5)),
+      (2L, "purchase", h(3.0)))
+    val b3 = Seq((3L, "view", h(10)), (3L, "click", h(13)),
+      (1L, "click", h(1))) // duplicate delivery
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.funnelIngest(
+      input.toDF().toDF("user_id", "event_type", "ts"), dir, ckpt,
+      winExpr = "INTERVAL 2 HOURS", horizonExpr = "INTERVAL 6 HOURS")
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Streams.funnelFromStore(spark, dir,
+        winExpr = "INTERVAL 2 HOURS")
+      .as[(Int, String, Long)].collect().toSeq
+    val batch = graft.operators.Analytics.funnel(
+      (b1 ++ b2 ++ b3).toDF("user_id", "event_type", "ts"),
+      "view", "click", "purchase", "INTERVAL 2 HOURS")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(streamed === batch, "retained state must replay the batch funnel")
+    assert(streamed === Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+    // compaction: u4's orphan click sits below the watermark (max 13 h −
+    // 6 h) with no step-1 window to live in — gone; u1's in-window
+    // events and u3's above-watermark click survive
+    val state = spark.read.parquet(dir)
+      .as[(Long, String, Timestamp)].collect().toSeq
+    assert(!state.exists(_._1 == 4L), "finalized junk must be evicted")
+    assert(state.exists(r => r._1 == 1L && r._2 == "purchase"))
+    assert(state.exists(r => r._1 == 3L && r._2 == "click"))
+  }
+
+  test("weightedSampleIngest: streamed sample == batch weightedGroupSample over the union") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wsample").toString + "/state"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_wsample_ck").toString
+    // heavy ids (w=50) sprinkled among light ones (w=1), split across
+    // batches so the merge has to displace earlier light winners
+    val b1 = (1L to 300L).map(i => (i, if (i % 50 == 0) 50.0 else 1.0))
+    val b2 = (301L to 700L).map(i => (i, if (i % 50 == 0) 50.0 else 1.0)) ++
+      Seq((900L, 0.0), (901L, -3.0)) // excluded: zero/negative weight
+    val input = MemoryStream[(Long, Double)]
+    val q = Streams.weightedSampleIngest(input.toDF().toDF("id", "w"),
+      col("id"), col("w"), dir, ckpt, n = 32)
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Streams.weightedSampleFromStore(spark, dir)
+      .select("id").as[String].collect().toSeq
+    assert(streamed.length === 32)
+    // batch face over the union (single group): same ids, same order
+    val batch = graft.operators.Etl.weightedGroupSample(
+      (b1 ++ b2).toDF("id", "w"), lit(1), $"id", $"w", n = 32)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(streamed.map(_.toLong) === batch,
+      "stream-maintained E-S bottom-k must equal the batch weighted sample")
+    // weight proportionality survives the merge: the 14 heavy ids carry
+    // ~half the total weight mass, so nearly all belong in the sample
+    val heavy = streamed.map(_.toLong).count(_ % 50 == 0)
+    assert(heavy >= 11, s"expected most of the 14 heavy ids sampled, got $heavy")
+    assert(!streamed.exists(id => id == "900" || id == "901"))
+  }
+
   test("kmvSketchIngest: streamed estimate == batch kmvDistinct; replay is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kmv").toString + "/state"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_kmv_ck").toString
