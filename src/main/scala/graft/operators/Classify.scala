@@ -207,6 +207,80 @@ object Classify {
       .orderBy("bucket")
   }
 
+  /** Exact ROC-AUC of a score column against a boolean label — the
+    * threshold-free companion to [[qualityNbCalibrationQ]] (which grades
+    * calibration at ONE binning) and [[qualityNbEvalQ]] (ONE threshold):
+    * AUC is the probability a random positive outranks a random
+    * negative, i.e. the rank-sum / Mann-Whitney U statistic, and it is
+    * computable EXACTLY here because the margins are fixed-point longs:
+    *
+    *   2U = Σ over tie-groups m of  pos(m) · (2·negBelow(m) + neg(m))
+    *
+    * (ties contribute ½ each — doubling keeps everything in integer
+    * arithmetic until the final division). The per-tie-group negative
+    * prefix sum is the [[graft.operators.Etl.globalRowIndex]]
+    * decomposition — width-bucket the score range, per-bucket windows in
+    * parallel, ≤`buckets` bucket offsets through the one partition-less
+    * window — so there is NO global sort: the shape survives a corpus
+    * where the score column has billions of distinct values. The double
+    * cast used for bucketing is monotone non-decreasing in the long
+    * score, which is all a partitioner needs; ordering WITHIN a bucket
+    * stays on the exact long. Degenerate inputs (single-class labels)
+    * yield a NULL auc rather than a NaN — the caller can't mistake "no
+    * pairs to rank" for a score. */
+  def aucExact(scored: DataFrame, score: Column, label: Column,
+      buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored.select(score.as("__s"), label.as("__y"))
+      .groupBy("__s")
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__n"))
+    val span = g.agg(min("__s").as("__lo"), max("__s").as("__hi"))
+    val bucketed = g.crossJoin(broadcast(span))
+      .withColumn("__bkt", width_bucket(col("__s").cast("double"),
+        col("__lo").cast("double"), col("__hi").cast("double") + 1,
+        lit(buckets)))
+      .drop("__lo", "__hi")
+    val wOff = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ `buckets` rows flow through the partition-less window — fine.
+    val offs = bucketed.groupBy("__bkt").agg(sum("__n").as("__bn"))
+      .withColumn("__boff", coalesce(sum("__bn").over(wOff), lit(0L)))
+      .select("__bkt", "__boff")
+    val wLoc = Window.partitionBy("__bkt").orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("__lnb", coalesce(sum("__n").over(wLoc), lit(0L)))
+      .join(broadcast(offs), "__bkt")
+      .agg(sum("__p").as("n_pos"), sum("__n").as("n_neg"),
+        sum(col("__p") * (lit(2L) * (col("__boff") + col("__lnb"))
+          + col("__n"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
+          .otherwise(round(col("u2").cast("double")
+            / (lit(2.0) * col("n_pos").cast("double")
+              * col("n_neg").cast("double")), 6))
+          .cast("double").as("auc"))
+  }
+
+  /** Named query: held-out ROC-AUC of the NB quality gate — the single
+    * number a filter-strength comparison reads (DCLM's headline metric
+    * for ranking quality classifiers). Integer rank-sum ⇒ bit-exact
+    * oracle; on THIS testdata it honestly reads ≈0.5 for the reason
+    * documented on [[qualityNbEvalQ]] (the synthetic corpus carries no
+    * token↔label signal — ClassifySpec proves >0.95 on a corpus that
+    * does). */
+  def qualityNbAucQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (llr, scalars) = nbModel(docs.filter(isTrain(col("doc_id"))),
+      col("text"), col("lang") === "en")
+    val held = docs.filter(!isTrain(col("doc_id")))
+    val scored = nbScoreRaw(held, col("doc_id"), col("text"), llr, scalars)
+      .join(held.select(col("doc_id"), (col("lang") === "en").as("__y")),
+        "doc_id")
+    aucExact(scored, col("__mfx"), col("__y"))
+  }
+
   /** Named query: train on the md5-half with `lang = 'en'` as the weak
     * positive label, score EVERY document (train rows included — the
     * filter consumes the margin, not the split). */
@@ -417,16 +491,40 @@ object Classify {
         holdoutSplit(col("doc_id")).as("split"))
       .orderBy("doc_id")
 
+  /** Named query: LEAKAGE-SAFE holdout — the id-hash split with one
+    * amendment: near-duplicate documents land in the SAME split. A plain
+    * per-id split leaks whenever train and test hold near-copies of the
+    * same document (the classic eval inflation The Pile / C4 dedup
+    * papers warn about); hashing the near-dup CLUSTER id instead of the
+    * doc id makes every cluster atomic, and because the cluster label is
+    * the component MIN doc id, a singleton's key equals its own id — so
+    * this query is [[splitHoldoutQ]] exactly, except on docs that have a
+    * ≥0.35 near-dup partner. Composition: the [[Dedup.dupClusters]]
+    * lineage yields (doc, cluster) for clustered docs only (index-scale,
+    * the near-dup minority); one LEFT join + coalesce extends it to the
+    * corpus, and membership stays stable as the corpus grows unless the
+    * cluster itself changes (the same stability argument as
+    * [[holdoutSplit]], now at cluster granularity). */
+  def splitLeakageSafeQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select("doc_id")
+      .join(Dedup.clusterAssignments(s, d), Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster"), col("doc_id")))
+      .select(col("doc_id"), col("split_key"),
+        holdoutSplit(col("split_key")).as("split"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_nb" -> qualityNbQ,
     "quality_nb_model" -> qualityNbModelQ,
     "quality_nb_incr" -> qualityNbIncrQ,
     "quality_nb_eval" -> qualityNbEvalQ,
     "quality_nb_calibration" -> qualityNbCalibrationQ,
+    "quality_nb_auc" -> qualityNbAucQ,
     "pipeline_quality_mix" -> pipelineQualityMixQ,
     "curate_dsir" -> curateDsirQ,
     "mix_semantic" -> mixSemanticQ,
-    "split_holdout" -> splitHoldoutQ)
+    "split_holdout" -> splitHoldoutQ,
+    "split_leakage_safe" -> splitLeakageSafeQ)
 
   private val toksSql = "string_split(lower(text), ' ')"
 
@@ -528,6 +626,33 @@ object Classify {
         (CAST(sum(mfx) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1000000.0
           AS mean_margin
       FROM b GROUP BY bucket ORDER BY bucket""",
+    // exact rank-sum AUC: the oracle spells the DIRECT definition (one
+    // window over ordered tie-groups — fine in DuckDB), the Spark side
+    // the bucketed prefix-sum decomposition; equal integers either way
+    "quality_nb_auc" -> s"""$nbSql,
+      ds AS (SELECT doc_id, lang = 'en' AS y, unnest(toks) AS term
+             FROM t WHERE NOT tr),
+      agg AS (SELECT doc_id, max(y) AS y,
+              CAST(sum(COALESCE(llr_fx, ufx)) + max(pfx) AS BIGINT) AS mfx
+            FROM ds LEFT JOIN llr USING (term) CROSS JOIN sc GROUP BY doc_id),
+      g AS (SELECT mfx AS s,
+              CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+              CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n
+            FROM agg GROUP BY mfx),
+      w AS (SELECT p, n, COALESCE(SUM(n) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS neg_below
+            FROM g),
+      u AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+              CAST(sum(n) AS BIGINT) AS n_neg,
+              CAST(sum(p * (2 * neg_below + n)) AS BIGINT) AS u2
+            FROM w)
+      SELECT n_pos, n_neg, u2,
+        CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+          ELSE round(CAST(u2 AS DOUBLE)
+            / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+        END AS auc
+      FROM u""",
     "quality_nb_eval" -> s"""$nbSql,
       ds AS (SELECT doc_id, lang = 'en' AS y, unnest(toks) AS term
              FROM t WHERE NOT tr),
@@ -596,6 +721,42 @@ object Classify {
                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
                  FROM documents))
       SELECT doc_id, lang,
+        CASE WHEN uu < 0.8 THEN 'train' WHEN uu < 0.9 THEN 'val'
+          ELSE 'test' END AS split
+      FROM u ORDER BY doc_id""",
+    // the dedup_clusters recursive-CTE lineage (same blocking, same
+    // ≥0.35 exact-Jaccard edges) feeding the split-hash on the cluster
+    // key — the oracle replays clustering AND assignment end to end
+    "split_leakage_safe" -> s"""
+      WITH RECURSIVE t AS (SELECT doc_id,
+           lang || '_' || (n_chars // 100) AS blk,
+           string_split(lower(text), ' ') AS toks FROM documents),
+      sh AS (SELECT doc_id, blk, list_distinct(${Dedup.shSql}) AS sh FROM t),
+      rawpair AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+          len(a.sh) AS na, len(b.sh) AS nb
+        FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+      pair AS (SELECT doc_a, doc_b FROM rawpair
+        WHERE CAST(inter AS DOUBLE)
+          / nullif(CAST(na + nb - inter AS DOUBLE), 0.0) >= 0.35),
+      edge AS (SELECT doc_a AS a, doc_b AS b FROM pair
+        UNION SELECT doc_b, doc_a FROM pair
+        UNION SELECT doc_a, doc_a FROM pair
+        UNION SELECT doc_b, doc_b FROM pair),
+      reach(a, b) AS (SELECT a, b FROM edge
+        UNION SELECT r.a, e.b FROM reach r JOIN edge e ON r.b = e.a),
+      cl AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster
+        FROM reach GROUP BY a),
+      k AS (SELECT d.doc_id,
+          CAST(COALESCE(cl.cluster, d.doc_id) AS BIGINT) AS split_key
+        FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+      u AS (SELECT doc_id, split_key,
+          CAST(${Curation.hexUSql} AS DOUBLE) / 4294967296.0 AS uu
+        FROM (SELECT doc_id, split_key,
+                substr(md5(CAST(split_key AS VARCHAR)), 1, 8) AS h
+              FROM k))
+      SELECT doc_id, split_key,
         CASE WHEN uu < 0.8 THEN 'train' WHEN uu < 0.9 THEN 'val'
           ELSE 'test' END AS split
       FROM u ORDER BY doc_id""")

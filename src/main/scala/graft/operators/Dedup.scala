@@ -1188,6 +1188,16 @@ object Dedup {
   def clustersQ(s: SparkSession, d: String): DataFrame =
     clustersQOn(s, d, maxDriverEdges = 2L * 1000 * 1000)
 
+  /** Raw (doc_id, cluster) assignments from the [[clustersQ]] lineage —
+    * no comp_size join, no ordering — for composition into downstream
+    * policies (e.g. [[graft.operators.Classify.splitLeakageSafeQ]]'s
+    * cluster-atomic holdout). Only docs that appear in a ≥0.35 near-dup
+    * pair have a row; singletons are implicitly their own cluster. */
+  def clusterAssignments(s: SparkSession, d: String): DataFrame =
+    dupClusters(jaccardPairs(blocked(s, d), col("doc_id"), col("text"),
+      col("blk")).filter(col("jac") >= 0.35))
+      .select("doc_id", "cluster")
+
   /** [[clustersQ]] with the driver fast-path threshold exposed:
     * ScaleBench passes 0 to force the DISTRIBUTED loop at both scales,
     * because at sf0.1 the 1× side otherwise takes the union-find fast

@@ -216,4 +216,81 @@ class ClassifySpec extends SparkSpec {
     val margins = r.map(_._5)
     assert(margins === margins.sorted)
   }
+
+  test("aucExact: hand-computed rank-sum with ties; perfect/reversed/degenerate edges") {
+    // pos scores {3, 2, 2}, neg {2, 1}: U = 2 (pos=3 beats both) +
+    // 2·(0.5 tie + 1 over neg=1) = 5 → 2U = 10, AUC = 5/6
+    val df = Seq((3L, true), (2L, true), (2L, true), (2L, false), (1L, false))
+      .toDF("s", "y")
+    val (np, nn, u2, auc) = Classify.aucExact(df, $"s", $"y")
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert((np, nn, u2) === ((3L, 2L, 10L)))
+    assert(auc.contains(math.round(5.0 / 6.0 * 1e6) / 1e6))
+    // perfect separation → 1, reversed → 0
+    val sep = Seq((5L, true), (4L, true), (1L, false)).toDF("s", "y")
+    assert(Classify.aucExact(sep, $"s", $"y")
+      .as[(Long, Long, Long, Option[Double])].head()._4.contains(1.0))
+    assert(Classify.aucExact(sep, $"s", !$"y")
+      .as[(Long, Long, Long, Option[Double])].head()._4.contains(0.0))
+    // single-class input → NULL auc, not NaN
+    val one = Seq((5L, true), (4L, true)).toDF("s", "y")
+    assert(Classify.aucExact(one, $"s", $"y")
+      .as[(Long, Long, Long, Option[Double])].head()._4.isEmpty)
+  }
+
+  test("aucExact: equals the window-rank reference and is partitioning-independent") {
+    // 200 rows, many ties (scores mod 7), deterministic labels
+    val rows = (1 to 200).map(i => ((i * 31 % 7).toLong, i % 3 == 0))
+    val df = rows.toDF("s", "y")
+    // reference: average-rank Mann-Whitney over a straight sort
+    val byScore = rows.sortBy(_._1)
+    val ranks = byScore.zipWithIndex
+      .groupBy(_._1._1)
+      .map { case (s, g) => s -> g.map(_._2 + 1.0).sum / g.size } // avg rank
+    val nPos = rows.count(_._2).toLong
+    val nNeg = rows.size - nPos
+    val rankSum = rows.filter(_._2).map(r => ranks(r._1)).sum
+    val aucRef = (rankSum - nPos * (nPos + 1) / 2.0) / (nPos * nNeg)
+    val (p, n, u2, auc) = Classify.aucExact(df, $"s", $"y")
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert((p, n) === ((nPos, nNeg)))
+    assert(auc.contains(math.round(aucRef * 1e6) / 1e6))
+    // exact integer u2 is partitioning-independent (1 vs 32 partitions)
+    val (_, _, u2b, _) = Classify.aucExact(df.repartition(32), $"s", $"y")
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(u2 === u2b)
+    // and independent of the bucket count (degenerate buckets=2)
+    val (_, _, u2c, _) = Classify.aucExact(df, $"s", $"y", buckets = 2)
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(u2 === u2c)
+  }
+
+  test("splitLeakageSafe: clusters are split-atomic; singletons match the id split") {
+    val d = "/root/testdata/sf0.001"
+    val r = Classify.splitLeakageSafeQ(spark, d)
+      .select("doc_id", "split_key", "split")
+      .as[(Long, Long, String)].collect()
+    val docs = graft.Tables.documents(spark, d).select("doc_id")
+      .as[Long].collect().toSet
+    assert(r.map(_._1).toSet === docs, "one row per document")
+    // atomicity: every split_key maps to exactly one split
+    assert(r.groupBy(_._2).values.forall(g => g.map(_._3).distinct.size == 1))
+    // near-dup partners never straddle a split boundary
+    val cl = Dedup.clusterAssignments(spark, d)
+      .as[(Long, Long)].collect().toMap
+    val splitOf = r.map(t => t._1 -> t._3).toMap
+    cl.foreach { case (doc, c) =>
+      assert(splitOf(doc) === splitOf(c),
+        s"doc $doc split ${splitOf(doc)} != cluster rep $c ${splitOf(c)}")
+    }
+    // singletons (no cluster row) carry the plain id-hash assignment
+    val plain = Classify.splitHoldoutQ(spark, d)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    r.filter(t => !cl.contains(t._1)).foreach { t =>
+      assert(t._2 === t._1 && t._3 === plain(t._1))
+    }
+    // and at least one real cluster exists on this corpus, else the
+    // test is vacuous
+    assert(cl.nonEmpty)
+  }
 }
