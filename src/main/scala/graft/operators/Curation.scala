@@ -304,6 +304,47 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** FUZZY decontamination — the near-duplicate face of
+    * [[curateDecontam]]: exact shingle overlap misses a benchmark doc
+    * that was lightly paraphrased or re-wrapped before landing in the
+    * training crawl (the contamination mode DCLM/Dolma actually hunt
+    * with MinHash), so this pass strips training docs that are
+    * NEAR-copies of held-out docs. Two-stage, the
+    * [[Dedup.minhashLsh]] discipline: cross-corpus banding proposes
+    * ([[Dedup.minhashPairsAcross]] — train signatures never self-pair,
+    * band-bucket joins only, hot-bucket guard available), exact
+    * 3-shingle Jaccard ≥ 0.5 disposes ([[Dedup.verifyJaccard]] — the
+    * recall-1-at-verify-threshold argument makes the whole pass
+    * oracle-checkable against all-pairs SQL). Output shape matches
+    * [[curateDecontam]]: the surviving train ids. At 100 TB the
+    * banding side is the only corpus-scale shuffle; the verify join
+    * touches candidate pairs only. */
+  def decontaminateFuzzy(train: DataFrame, test: DataFrame,
+      id: Column, text: Column, block: Column,
+      minJac: Double = 0.5): DataFrame = {
+    val s = train.sparkSession
+    val cands = Dedup.minhashPairsAcross(train, test,
+      id, text, block, shingleN = 3)
+      .select("doc_a", "doc_b")
+    // verifyJaccard needs one (doc_id, text) relation covering both
+    // sides; doc_a is always the train side by minhashPairsAcross's
+    // left/right orientation
+    val docs = train.select(id.as("doc_id"), text.as("text"))
+      .unionByName(test.select(id.as("doc_id"), text.as("text")))
+    val contaminated = Dedup.verifyJaccard(s, docs, cands, minJac)
+      .select(col("doc_a").as("doc_id")).distinct()
+    train.select(id.as("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  def curateDecontamFuzzy(s: SparkSession, d: String): DataFrame = {
+    val docs = Dedup.blocked(s, d)
+    val isTest = graft.functions.HashFunctions.md5Bucket16(col("doc_id")) === "0"
+    decontaminateFuzzy(docs.filter(!isTest), docs.filter(isTest),
+      col("doc_id"), col("text"), col("blk"))
+      .orderBy("doc_id")
+  }
+
   /** [[decontaminate]] with a Bloom-prefiltered probe — the join-sizing
     * regime BETWEEN its two strategies. The broadcast semi-join needs an
     * exact hash map (~16+ B/key: a 1e9-shingle benchmark union is a
@@ -641,6 +682,7 @@ object Curation {
     "txt_repetition" -> txtRepetition,
     "txt_pii_redact" -> txtPiiRedact,
     "curate_decontam" -> curateDecontam,
+    "curate_decontam_fuzzy" -> curateDecontamFuzzy,
     "curate_decontam_bloom" -> curateDecontamBloom,
     "curate_decontam_k" -> curateDecontamK,
     "curate_decontam_report" -> curateDecontamReport,
@@ -716,6 +758,28 @@ object Curation {
     // semi-join disposes of every false positive, so the SAME oracle
     // checks the prefiltered path end to end
     "curate_decontam_bloom" -> decontamSql,
+    // the near-dup strip replayed as ALL-PAIRS exact Jaccard (train ×
+    // test within block) — valid against the banded implementation by
+    // the recall-1-at-verify-threshold argument (Dedup.verifyJaccard)
+    "curate_decontam_fuzzy" ->
+      s"""WITH t AS (SELECT doc_id, lang || '_' || (n_chars // 100) AS blk,
+             string_split(lower(text), ' ') AS toks,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_test
+           FROM documents),
+         sh AS (SELECT doc_id, blk, is_test,
+             list_distinct(${Dedup.shSql}) AS sh FROM t),
+         pair AS (
+           SELECT a.doc_id AS doc_a,
+             len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+             len(a.sh) AS na, len(b.sh) AS nb
+           FROM sh a JOIN sh b ON a.blk = b.blk
+             AND NOT a.is_test AND b.is_test),
+         bad AS (SELECT DISTINCT doc_a AS doc_id FROM pair
+           WHERE CAST(inter AS DOUBLE)
+             / nullif(CAST(na + nb - inter AS DOUBLE), 0.0) >= 0.5)
+         SELECT doc_id FROM t
+         WHERE NOT is_test AND doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
     "curate_decontam_k" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks,
              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_test

@@ -775,7 +775,7 @@ object Dedup {
   /** Cheap blocking key: same language, same 100-char length bucket.
     * Near-dups almost always agree on both; the quadratic pair step then
     * runs per block instead of per corpus. */
-  private def blocked(s: SparkSession, d: String): DataFrame =
+  private[operators] def blocked(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("blk", concat_ws("_", col("lang"), expr("n_chars DIV 100")))
 

@@ -298,6 +298,34 @@ class CurationSpec extends SparkSpec {
     assert(kept(5L) === 0L)
   }
 
+  test("decontaminateFuzzy: strips near-copies, keeps low-jaccard idiom sharers the exact pass would strip") {
+    // test doc 100 vs: doc 1 a one-word paraphrase (high jaccard → fuzzy
+    // strips); doc 2 unrelated (both passes keep); doc 3 shares one
+    // 5-token phrase but is otherwise different (exact 5-shingle
+    // decontam strips it, the fuzzy pass KEEPS it — the precision the
+    // near-dup rule buys)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val para = base.replace("sigma", "sigmaX")
+    val idiom = "alpha beta gamma delta epsilon " + // one shared 5-gram
+      "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen"
+    val train = Seq((1L, para), (2L, "totally different words entirely here"),
+      (3L, idiom)).toDF("id", "text").withColumn("blk", lit("b"))
+    val test_ = Seq((100L, base)).toDF("id", "text").withColumn("blk", lit("b"))
+    val fuzzy = Curation.decontaminateFuzzy(train, test_,
+      $"id", $"text", $"blk").as[Long].collect().toSet
+    assert(fuzzy === Set(2L, 3L), s"fuzzy survivors: $fuzzy")
+    val exact = Curation.decontaminate(train, test_, $"id", $"text", n = 5)
+      .as[Long].collect().toSet
+    assert(exact === Set(2L), s"exact survivors: $exact")
+    // no test docs → nothing stripped
+    val none = Curation.decontaminateFuzzy(train,
+      test_.filter($"id" < 0L), $"id", $"text", $"blk")
+      .as[Long].collect().toSet
+    assert(none === Set(1L, 2L, 3L))
+  }
+
   test("capPerGroup: boundary inclusive, order respected") {
     val df = (1L to 10L).map(i => (i, "g")).toDF("id", "grp")
     val kept = Curation.capPerGroup(df, $"grp", $"id", n = 3)
