@@ -263,6 +263,68 @@ object Classify {
           .cast("double").as("auc"))
   }
 
+  /** PER-GROUP [[aucExact]] — the same integer rank-sum, every stage
+    * additionally keyed by the group: tie-groups are (group, score),
+    * span extremes one row per group (joined back, AQE-broadcast at any
+    * realistic group count), and both prefix-sum windows are PARTITIONED
+    * (by group for the ≤`buckets`-row offset table, by (group, bucket)
+    * for the within-bucket sums) — so unlike the whole-relation form
+    * there is no partition-less window at all. This is the report a
+    * per-source gate review reads: WHERE does the classifier rank well,
+    * not just whether it does on average. */
+  def aucExactBy(scored: DataFrame, group: Column, score: Column,
+      label: Column, buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored.select(group.as("grp"), score.as("__s"), label.as("__y"))
+      .groupBy("grp", "__s")
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__n"))
+    val span = g.groupBy("grp")
+      .agg(min("__s").as("__lo"), max("__s").as("__hi"))
+    val bucketed = g.join(span, "grp")
+      .withColumn("__bkt", width_bucket(col("__s").cast("double"),
+        col("__lo").cast("double"), col("__hi").cast("double") + 1,
+        lit(buckets)))
+      .drop("__lo", "__hi")
+    val wOff = Window.partitionBy("grp").orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy("grp", "__bkt").agg(sum("__n").as("__bn"))
+      .withColumn("__boff", coalesce(sum("__bn").over(wOff), lit(0L)))
+      .select("grp", "__bkt", "__boff")
+    val wLoc = Window.partitionBy("grp", "__bkt").orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("__lnb", coalesce(sum("__n").over(wLoc), lit(0L)))
+      .join(offs, Seq("grp", "__bkt"))
+      .groupBy("grp")
+      .agg(sum("__p").as("n_pos"), sum("__n").as("n_neg"),
+        sum(col("__p") * (lit(2L) * (col("__boff") + col("__lnb"))
+          + col("__n"))).as("u2"))
+      .select(col("grp"), col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
+          .otherwise(round(col("u2").cast("double")
+            / (lit(2.0) * col("n_pos").cast("double")
+              * col("n_neg").cast("double")), 6))
+          .cast("double").as("auc"))
+  }
+
+  /** Named query: held-out ROC-AUC of the NB gate PER SOURCE — groups
+    * with a single-class held-out slice read NULL (no rankable pairs),
+    * which is itself the finding: that source can't be graded from this
+    * split. */
+  def qualityNbAucBySourceQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (llr, scalars) = nbModel(docs.filter(isTrain(col("doc_id"))),
+      col("text"), col("lang") === "en")
+    val held = docs.filter(!isTrain(col("doc_id")))
+    val scored = nbScoreRaw(held, col("doc_id"), col("text"), llr, scalars)
+      .join(held.select(col("doc_id"), col("source"),
+        (col("lang") === "en").as("__y")), "doc_id")
+    aucExactBy(scored, col("source"), col("__mfx"), col("__y"))
+      .withColumnRenamed("grp", "source")
+      .orderBy("source")
+  }
+
   /** Named query: held-out ROC-AUC of the NB quality gate — the single
     * number a filter-strength comparison reads (DCLM's headline metric
     * for ranking quality classifiers). Integer rank-sum ⇒ bit-exact
@@ -520,6 +582,7 @@ object Classify {
     "quality_nb_eval" -> qualityNbEvalQ,
     "quality_nb_calibration" -> qualityNbCalibrationQ,
     "quality_nb_auc" -> qualityNbAucQ,
+    "quality_nb_auc_src" -> qualityNbAucBySourceQ,
     "pipeline_quality_mix" -> pipelineQualityMixQ,
     "curate_dsir" -> curateDsirQ,
     "mix_semantic" -> mixSemanticQ,
@@ -653,6 +716,33 @@ object Classify {
             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
         END AS auc
       FROM u""",
+    // per-source AUC: same direct window spelling, PARTITION BY source
+    "quality_nb_auc_src" -> s"""$nbSql,
+      ds AS (SELECT doc_id, lang = 'en' AS y, unnest(toks) AS term
+             FROM t WHERE NOT tr),
+      agg AS (SELECT doc_id, max(y) AS y,
+              CAST(sum(COALESCE(llr_fx, ufx)) + max(pfx) AS BIGINT) AS mfx
+            FROM ds LEFT JOIN llr USING (term) CROSS JOIN sc GROUP BY doc_id),
+      ag AS (SELECT a.doc_id, d.source, a.y, a.mfx
+            FROM agg a JOIN documents d ON a.doc_id = d.doc_id),
+      g AS (SELECT source, mfx AS s,
+              CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+              CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n
+            FROM ag GROUP BY source, mfx),
+      w AS (SELECT source, p, n, COALESCE(SUM(n) OVER (PARTITION BY source
+              ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS neg_below
+            FROM g),
+      u AS (SELECT source, CAST(sum(p) AS BIGINT) AS n_pos,
+              CAST(sum(n) AS BIGINT) AS n_neg,
+              CAST(sum(p * (2 * neg_below + n)) AS BIGINT) AS u2
+            FROM w GROUP BY source)
+      SELECT source, n_pos, n_neg, u2,
+        CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+          ELSE round(CAST(u2 AS DOUBLE)
+            / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+        END AS auc
+      FROM u ORDER BY source""",
     "quality_nb_eval" -> s"""$nbSql,
       ds AS (SELECT doc_id, lang = 'en' AS y, unnest(toks) AS term
              FROM t WHERE NOT tr),

@@ -265,6 +265,26 @@ class ClassifySpec extends SparkSpec {
     assert(u2 === u2c)
   }
 
+  test("aucExactBy: per-group == whole-relation aucExact per slice; single-class group reads NULL") {
+    val rows = (1 to 300).map { i =>
+      (s"g${i % 3}", (i * 17 % 11).toLong, i % (2 + i % 2) == 0)
+    }
+    // make g2 single-class
+    val df = rows.map { case (g, s, y) => (g, s, if (g == "g2") true else y) }
+      .toDF("g", "s", "y")
+    val by = Classify.aucExactBy(df, $"g", $"s", $"y")
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    Seq("g0", "g1").foreach { g =>
+      val whole = Classify.aucExact(df.filter($"g" === g), $"s", $"y")
+        .as[(Long, Long, Long, Option[Double])].head()
+      assert((by(g)._2, by(g)._3, by(g)._4, by(g)._5) === whole,
+        s"group $g disagrees with the sliced whole-relation form")
+    }
+    assert(by("g2")._5.isEmpty, "single-class group must read NULL")
+    assert(by.keySet === Set("g0", "g1", "g2"))
+  }
+
   test("splitLeakageSafe: clusters are split-atomic; singletons match the id split") {
     val d = "/root/testdata/sf0.001"
     val r = Classify.splitLeakageSafeQ(spark, d)
