@@ -114,7 +114,15 @@ object ScaleBench {
     // ~4× lighter constant than full-width scoring) and the per-group
     // quantile sample (bottom-k-ids Aggregator + a broadcast join-back;
     // the exact grading leg is the only corpus-sized aggregation).
-    "knn_rp", "agg_group_quantile")
+    "knn_rp", "agg_group_quantile",
+    // round 13g: exact rank-sum AUC (one corpus-keyed tie-group reduce →
+    // width-bucketed PARTITIONED prefix windows — time must track the
+    // score explode ~rows; distinct fixed-point margins are what the
+    // windows see, and the dup-heavy replicas grow them sub-linearly)
+    // and the fuzzy decontam strip (the dedup_cross banding shape plus a
+    // corpus anti-join: candidates grow with true near-dup mass, so the
+    // ratio is judged against the dedup family's output-driven rule).
+    "quality_nb_auc", "curate_decontam_fuzzy")
 
   /** Scale-only bindings that aren't part of the served query surface. */
   private val Extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
