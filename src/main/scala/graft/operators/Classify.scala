@@ -575,6 +575,62 @@ object Classify {
         holdoutSplit(col("split_key")).as("split"))
       .orderBy("doc_id")
 
+  /** TOP-FRACTION selection by score — the step production classifier
+    * gates actually run (DCLM / FineWeb-Edu keep the top ~10% BY RANK,
+    * not everything above margin 0: a fixed threshold drifts as the
+    * corpus mix shifts, a fraction doesn't). Admit every document whose
+    * strict-above count is < k = max(1, ⌊frac·N⌋) — ties at the cut
+    * admit WHOLESALE (deterministic; a tie-broken cut would depend on an
+    * arbitrary secondary order). NO global sort: tie-group counts →
+    * the [[aucExact]] width-bucket prefix decomposition gives each
+    * score's strictly-above mass, and docs join back on their score.
+    * At 100 TB the only corpus-scale shuffles are the tie-group reduce
+    * and the admit join — both score-keyed. */
+  def topFractionByScore(scored: DataFrame, id: Column, score: Column,
+      frac: Double, buckets: Int = 64): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac in (0,1], got $frac")
+    import org.apache.spark.sql.expressions.Window
+    val rows = scored.select(id.as("doc_id"), score.as("__s"))
+    val t = rows.groupBy("__s").agg(count(lit(1)).as("__c"))
+    val span = t.agg(min("__s").as("__lo"), max("__s").as("__hi"))
+    val bucketed = t.crossJoin(broadcast(span))
+      .withColumn("__bkt", width_bucket(col("__s").cast("double"),
+        col("__lo").cast("double"), col("__hi").cast("double") + 1,
+        lit(buckets)))
+      .drop("__lo", "__hi")
+    val wOff = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy("__bkt").agg(sum("__c").as("__bn"))
+      .withColumn("__boff", coalesce(sum("__bn").over(wOff), lit(0L)))
+      .select("__bkt", "__boff")
+    val wLoc = Window.partitionBy("__bkt").orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val n = broadcast(t.agg(sum("__c").as("__N")))
+    val admitted = bucketed
+      .withColumn("__lnb", coalesce(sum("__c").over(wLoc), lit(0L)))
+      .join(broadcast(offs), "__bkt")
+      .crossJoin(n)
+      // strictly-above mass = N − (strictly-below + own count)
+      .filter(col("__N") - (col("__boff") + col("__lnb")) - col("__c") <
+        greatest(lit(1L), floor(lit(frac) * col("__N")).cast("long")))
+      .select("__s")
+    rows.join(admitted, "__s").select("doc_id", "__s")
+  }
+
+  /** Named query: keep the top 10% of the corpus by NB margin (ties at
+    * the cut admitted wholesale — row count can exceed ⌊N/10⌋, which is
+    * the honest semantics). */
+  def curateTopFractionQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (llr, scalars) = nbModel(docs.filter(isTrain(col("doc_id"))),
+      col("text"), col("lang") === "en")
+    val scored = nbScoreRaw(docs, col("doc_id"), col("text"), llr, scalars)
+    topFractionByScore(scored, col("doc_id"), col("__mfx"), frac = 0.1)
+      .select(col("doc_id"),
+        (col("__s").cast("double") / lit(1e6)).as("nb_margin"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_nb" -> qualityNbQ,
     "quality_nb_model" -> qualityNbModelQ,
@@ -583,6 +639,7 @@ object Classify {
     "quality_nb_calibration" -> qualityNbCalibrationQ,
     "quality_nb_auc" -> qualityNbAucQ,
     "quality_nb_auc_src" -> qualityNbAucBySourceQ,
+    "curate_top_fraction" -> curateTopFractionQ,
     "pipeline_quality_mix" -> pipelineQualityMixQ,
     "curate_dsir" -> curateDsirQ,
     "mix_semantic" -> mixSemanticQ,
@@ -716,6 +773,22 @@ object Classify {
             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
         END AS auc
       FROM u""",
+    // top-fraction: the oracle spells the direct window (cum count over
+    // mfx DESC); ties at the cut admitted wholesale on both sides
+    "curate_top_fraction" -> s"""$nbSql,
+      ds AS (SELECT doc_id, unnest(toks) AS term FROM t),
+      agg AS (SELECT doc_id,
+              CAST(sum(COALESCE(llr_fx, ufx)) + max(pfx) AS BIGINT) AS mfx
+            FROM ds LEFT JOIN llr USING (term) CROSS JOIN sc GROUP BY doc_id),
+      tg AS (SELECT mfx, count(*) AS c FROM agg GROUP BY mfx),
+      n AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM tg),
+      w AS (SELECT mfx, c, COALESCE(SUM(c) OVER (ORDER BY mfx DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+            FROM tg),
+      adm AS (SELECT mfx FROM w, n
+            WHERE above < greatest(1, CAST(floor(0.1 * N) AS BIGINT)))
+      SELECT a.doc_id, CAST(a.mfx AS DOUBLE) / 1000000.0 AS nb_margin
+      FROM agg a JOIN adm USING (mfx) ORDER BY a.doc_id""",
     // per-source AUC: same direct window spelling, PARTITION BY source
     "quality_nb_auc_src" -> s"""$nbSql,
       ds AS (SELECT doc_id, lang = 'en' AS y, unnest(toks) AS term

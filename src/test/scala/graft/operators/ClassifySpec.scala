@@ -285,6 +285,25 @@ class ClassifySpec extends SparkSpec {
     assert(by.keySet === Set("g0", "g1", "g2"))
   }
 
+  test("topFractionByScore: exact cut, wholesale ties, frac=1 identity, partition-independent") {
+    // scores: one 9, three 5s, six 1s. k = floor(0.2*10) = 2 → the 9
+    // (above=0) and ALL three 5s (above=1 < 2) — ties admit wholesale
+    val df = (Seq((1L, 9L)) ++ (2L to 4L).map(i => (i, 5L))
+      ++ (5L to 10L).map(i => (i, 1L))).toDF("id", "s")
+    val top = Classify.topFractionByScore(df, $"id", $"s", frac = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top === Set(1L, 2L, 3L, 4L))
+    // frac = 1.0 keeps everything; tiny frac keeps the max tie-group
+    assert(Classify.topFractionByScore(df, $"id", $"s", frac = 1.0)
+      .count() === 10L)
+    assert(Classify.topFractionByScore(df, $"id", $"s", frac = 0.01)
+      .select("doc_id").as[Long].collect().toSet === Set(1L))
+    // partitioning-independent (integer counts all the way down)
+    val rep = Classify.topFractionByScore(df.repartition(32), $"id", $"s",
+      frac = 0.2).select("doc_id").as[Long].collect().toSet
+    assert(rep === top)
+  }
+
   test("splitLeakageSafe: clusters are split-atomic; singletons match the id split") {
     val d = "/root/testdata/sf0.001"
     val r = Classify.splitLeakageSafeQ(spark, d)
