@@ -520,6 +520,82 @@ object Streams {
       .start()
   }
 
+  /** [[modelGatedIngest]] with the RANK-BASED admission rule production
+    * gates actually run (the streaming face of
+    * [[graft.operators.Classify.topFractionByScore]]): a document lands
+    * iff its NB margin reaches the (1−frac) quantile of the margin
+    * distribution seen SO FAR, estimated from a continuously-maintained
+    * bottom-k quantile sample ([[applySketchBatch]] state over the
+    * scored margins — this stream maintains it itself, no second query).
+    * A fixed `pred_pos` threshold drifts as the corpus mix shifts; the
+    * fraction rule self-calibrates. Ordering per batch is
+    * GATE-THEN-LEARN: the batch is judged by the PAST distribution (its
+    * own margins join the sample only after admission), so a replayed
+    * batch re-derives the identical decision — the landing upsert and
+    * the marker-guarded sketch merge are both idempotent, so the
+    * composition is crash-replayable with no cross-state transaction.
+    * Below k total scored docs the sample IS the full margin history and
+    * the gate is the EXACT historical percentile (spec-pinned); above k
+    * it is the bounded-error sample estimate, the honest 100 TB trade.
+    * Cold starts admit on heuristics alone: no model store (the
+    * [[modelGatedIngest]] rule) or no margin history yet (an empty
+    * distribution has no quantile — the first scored batch seeds it). */
+  def fractionGatedIngest(df: DataFrame, textCol: String, keyCol: String,
+      tsCol: String, partCol: String, target: String, checkpoint: String,
+      modelDir: String, sketchDir: String, frac: Double = 0.1,
+      k: Int = 512, dedupWatermark: String = "1 hour")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(frac > 0.0 && frac <= 1.0, s"frac in (0,1], got $frac")
+    val spark = df.sparkSession
+    val gated = hygieneGated(df, textCol)
+    val deduped = dedupedByContent(gated, textCol,
+      watermark = Some(tsCol -> dedupWatermark))
+    val curated = deduped
+      .drop(textCol)
+      .withColumnRenamed("redacted", textCol)
+      .withColumnRenamed(keyCol, "event_id")
+    val sink = upsertByKeyPartitioned(spark, target, "event_id", partCol) _
+    curated.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          if (nbStoreReady(s, modelDir)) {
+            val (llr, scalars) = nbModelFromStore(s, modelDir)
+            val scores = graft.operators.Classify.nbScore(
+                batch, col("event_id"), col(textCol), llr, scalars)
+              .select(col("doc_id").as("event_id"), col("nb_margin"))
+              .localCheckpoint() // read twice: gate join + sketch merge
+            val f = fs(s, sketchDir)
+            val admitted =
+              if (f.exists(new org.apache.hadoop.fs.Path(sketchDir))) {
+                val thr = s.read.parquet(sketchDir)
+                  .agg(expr(s"percentile(__v, ${1.0 - frac})").as("t")).head()
+                if (thr.isNullAt(0)) batch
+                else batch.join(
+                  scores.filter(col("nb_margin") >= thr.getDouble(0))
+                    .select("event_id"),
+                  Seq("event_id"), "left_semi")
+              } else batch // no margin history yet — seed batch admits
+            sink(admitted, batchId)
+            // learn AFTER gating: this batch's margins join the sample
+            // (nb_margin = mfx/1e6 is exact — mfx magnitudes sit far
+            // inside double's 2^53 integer range)
+            val prepared = scores
+              .select(col("event_id").cast("string").as("__id"),
+                col("nb_margin").as("__v"))
+              .withColumn("__u",
+                graft.functions.HashFunctions.md5UniformOpen(col("__id")))
+              .select("__id", "__u", "__v")
+            if (!prepared.isEmpty)
+              applySketchBatch(prepared, sketchDir, batchId, k)
+          } else sink(batch, batchId) // model cold start: heuristics only
+        }
+      }
+      .start()
+  }
+
   /** Resolve a READABLE complete copy of the NB state without mutating
     * anything: the live `state` dir, or — mid-[[applyNbBatch]] swap or
     * after a writer crash — the vacated `state__old` copy (which is

@@ -489,6 +489,63 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fractionGatedIngest: below-k gate is the exact historical percentile; gate-then-learn; seed admits") {
+    import graft.operators.Classify
+    val dir = java.nio.file.Files.createTempDirectory("graft_frac_gate").toString
+    val modelDir = s"$dir/model"
+    val sketchDir = s"$dir/sketch"
+    // model store first (both classes) — no cold-start phase here, the
+    // modelGatedIngest spec owns that path
+    val labeled = Seq(
+      (101L, "the quick brown fox is excellent quality writing and fluent prose", true),
+      (102L, "excellent fluent prose with quality words about the brown fox", true),
+      (103L, "spam junk garbage refuse debris pile with more spam and junk", false),
+      (104L, "the garbage refuse debris and spam junk words keep piling up", false))
+      .toDF("doc_id", "text", "pos")
+    Streams.applyNbBatch(labeled, $"text", $"pos", modelDir, batchId = 0L)
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val q = Streams.fractionGatedIngest(
+      input.toDF().toDF("id", "ts", "day", "text"),
+      textCol = "text", keyCol = "id", tsCol = "ts", partCol = "day",
+      target = s"$dir/t", checkpoint = s"$dir/ckpt",
+      modelDir = modelDir, sketchDir = sketchDir, frac = 0.5)
+    def landed(): Set[Long] = spark.read.parquet(s"$dir/t")
+      .select("event_id").as[Long].collect().toSet
+    try {
+      // phase 1 — margin history empty: the seed batch admits wholesale
+      // AND seeds the distribution (one quality doc, one junk doc)
+      val t1 = "an excellent fluent quality document about the brown fox and prose"
+      val t2 = "the spam junk garbage collection with refuse words and some debris here"
+      input.addData(Seq((1L, ts(0), "d1", t1), (2L, ts(1), "d1", t2)))
+      q.processAllAvailable()
+      assert(landed() === Set(1L, 2L), "empty history admits the seed batch")
+      // the state now holds exactly phase 1's margins (below k = full
+      // history) — the phase-2 gate threshold is their EXACT median
+      val hist = spark.read.parquet(sketchDir).select("__v").as[Double].collect()
+      assert(hist.length === 2)
+      val thr = (hist.min + hist.max) / 2.0 // percentile(0.5) interpolation
+      // phase 2 — judged against phase 1's distribution: quality above
+      // the median lands, junk below it does not
+      val t3 = "a fluent and excellent new document of real quality about prose"
+      val t4 = "more spam junk and garbage debris refuse piling into this text"
+      input.addData(Seq((3L, ts(2), "d2", t3), (4L, ts(3), "d2", t4)))
+      q.processAllAvailable()
+      assert(landed() === Set(1L, 2L, 3L),
+        s"median gate must reject the junk doc: ${landed()}")
+      // replay the decision with the batch faces: nbScore under the same
+      // store, threshold = the exact historical percentile
+      val (llr, scalars) = Streams.nbModelFromStore(spark, modelDir)
+      val m = Classify.nbScore(Seq((3L, t3), (4L, t4)).toDF("doc_id", "text"),
+        $"doc_id", $"text", llr, scalars)
+        .select("doc_id", "nb_margin").as[(Long, Double)].collect().toMap
+      assert(m(3L) >= thr && m(4L) < thr,
+        s"streamed gate ≡ exact-percentile batch rule: $m vs $thr")
+      // gate-then-learn: phase 2's margins joined the sample AFTER the
+      // decision — state now holds all 4
+      assert(spark.read.parquet(sketchDir).count() === 4L)
+    } finally q.stop()
+  }
+
   test("modelGatedIngest benchmark gate: eval-contaminated docs never land") {
     import graft.operators.{Curation, GramIndex}
     val dir = java.nio.file.Files.createTempDirectory("graft_bench_gate").toString
