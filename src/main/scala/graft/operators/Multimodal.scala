@@ -254,7 +254,65 @@ object Multimodal {
       .orderBy("doc_id", "seg_id", "channel", "bin")
   }
 
+  /** IMAGE near-duplicate detection by PERCEPTUAL HASH (average-hash,
+    * the pHash family's integer-exact member) over REAL decoded pixels —
+    * the image-side analog of the text MinHash pass: re-encoded, resized
+    * or lightly-edited copies of an image survive byte-level dedup
+    * ([[frameDedup]] hashes payload bytes) but collapse under a hash of
+    * the pixel CONTENT. Pipeline: BMP fixtures decode through
+    * [[graft.sources.JdkImage.GrayGridEncoder]] (ImageIO, 4×4 gray-cell
+    * sums + counts) → bit i = cell i brighter than the image mean, in
+    * PURE LONG arithmetic (`sum_i·npix > total·n_i` — no division, no
+    * FP) → 16-bit hash → 4 nibble bands propose candidate pairs
+    * (pigeonhole: Hamming < 4 ⟹ some band agrees — the
+    * [[graft.operators.Dedup.simhashPairs]] guarantee) → exact
+    * `bit_count(xor)` ≤ 3 disposes. Verified-candidates ≡
+    * all-pairs-at-Hamming≤3 is a THEOREM here, not a corpus property,
+    * so the oracle replays brute-force all-pairs from the fixture pixel
+    * formula. Scale: banding keys the only corpus-scale shuffle; a
+    * hot band (monochrome crawls) takes the simhash `maxBandFreq`-style
+    * occupancy guard if needed. The 4×4 grid (16-bit hash) matches the
+    * ≤16×14-pixel fixtures — at production image sizes the same encoder
+    * runs grid=8 (64-bit hash, 4×16-bit bands), which is what keeps the
+    * h≤3 pair mass sparse on a billion-image corpus. */
+  def phashDedup(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      s"phashDedup: pigeonhole recall guarantee needs maxHamming < bands (4), got $maxHamming")
+    val imgs = graft.sources.JdkImage
+      .renderBmpFixtures(Tables.documents(s, d).select("doc_id"))
+      .toDF("doc_id", "payload")
+    val feats = graft.sources.MultimodalStub.decodeAndEmbed(imgs,
+        encoderFactory = Some(() => new graft.sources.JdkImage.GrayGridEncoder(4)))
+      .toDF()
+    def cellAt(i: Int) = element_at(col("feature"), i).cast("long")
+    val total = (1 to 16).map(cellAt).reduce(_ + _)
+    val npix = (17 to 32).map(cellAt).reduce(_ + _)
+    val withTotals = feats.select(col("doc_id"), col("feature"),
+      total.as("__t"), npix.as("__n"))
+    val phash = (0 until 16).map { i =>
+      when(cellAt(i + 1) * col("__n") > col("__t") * cellAt(i + 17),
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val hashed = withTotals.select(col("doc_id"), phash.as("phash"))
+    val banded = hashed.select(col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("phash"), 4 * b).bitwiseAND(lit(15L)).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_dedup" -> ((s, d) => phashDedup(s, d)),
     "mm_binary_meta" -> binaryMeta,
     "mm_chunk" -> chunk,
     "mm_decode_embed" -> decodeEmbed,
@@ -265,6 +323,36 @@ object Multimodal {
         new graft.sources.MultimodalStub.ByteHistogramEncoder(16, normalize = false)))))
 
   val oracleSql: Map[String, String] = Map(
+    // brute-force all-pairs from the pixel FORMULA (decode-free): cell
+    // sums → mean-threshold bits in integer arithmetic → xor/bit_count.
+    // Valid vs the banded implementation by pigeonhole (h ≤ 3 < 4 bands
+    // ⟹ always proposed), so the equivalence is structural.
+    "mm_phash_dedup" ->
+      """WITH ids AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+           FROM documents),
+         px AS (SELECT doc_id, w, h, unnest(range(w)) AS x, y
+           FROM (SELECT doc_id, w, h, unnest(range(h)) AS y FROM ids)),
+         v AS (SELECT doc_id,
+             (y * 4 // h) * 4 + (x * 4 // w) AS cell,
+             ((31*doc_id + 7*x + 13*y) % 256)
+               + ((17*doc_id + 11*x + 5*y) % 256)
+               + ((23*doc_id + 3*x + 19*y) % 256) AS gray
+           FROM px),
+         c AS (SELECT doc_id, cell, CAST(sum(gray) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+           FROM v GROUP BY doc_id, cell),
+         t AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS total,
+             CAST(sum(n) AS BIGINT) AS npix
+           FROM c GROUP BY doc_id),
+         hb AS (SELECT c.doc_id,
+             CAST(sum(CASE WHEN c.s * t.npix > t.total * c.n
+               THEN 1 << c.cell ELSE 0 END) AS BIGINT) AS phash
+           FROM c JOIN t USING (doc_id) GROUP BY c.doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         FROM hb a JOIN hb b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         ORDER BY doc_a, doc_b""",
     "mm_binary_meta" ->
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -119,6 +119,44 @@ object JdkImage {
     hist
   }
 
+  /** Gray-grid feature for PERCEPTUAL HASHING ([[graft.operators.Multimodal]]
+    * average-hash dedup): the image is partitioned into a `grid`×`grid`
+    * cell lattice (cell of pixel (x,y) = (x·grid div W, y·grid div H) —
+    * integer division, replayable in SQL on the fixture pixel formula),
+    * and the feature carries each cell's GRAY SUM (gray = r+g+b, no /3 —
+    * integer exact) followed by each cell's PIXEL COUNT:
+    * `feature = [sum_0..sum_{g²−1}, n_0..n_{g²−1}]`, row-major cells.
+    * Everything integer-valued (≤ 765·|cell| ≪ 2²⁴, exact in Float), so
+    * the downstream bit rule `sum_i·Σn > Σsum·n_i` runs in pure long
+    * arithmetic on both engines. Decode is the same ImageIO path as
+    * [[JdkImageEncoder]]; no resize (hash inputs are already bounded
+    * upstream; a production variant would downsample first — the hash is
+    * resolution-robust by construction because cells average). */
+  class GrayGridEncoder(grid: Int = 4) extends MediaEncoder {
+    disableDiskCache()
+    def encode(id: Long, bytes: Array[Byte]): MediaFeature = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, s"doc $id: payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Float](grid * grid)
+      val counts = new Array[Float](grid * grid)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val gray = (rgb >> 16 & 0xFF) + (rgb >> 8 & 0xFF) + (rgb & 0xFF)
+          val cell = (y * grid / h) * grid + (x * grid / w)
+          sums(cell) += gray.toFloat
+          counts(cell) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeature(id, width = w, height = h, feature = sums ++ counts)
+    }
+  }
+
   /** REAL pixel segment crop (reference: bbox-from-mask-extent + crop +
     * CLIP per segment, `SAM/sam_segment_clip_pipeline.py:187-200`,
     * `SAM/extract_sam_clip_features.py:81-110`): decode the parent image

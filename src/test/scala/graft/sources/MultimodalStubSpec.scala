@@ -216,6 +216,38 @@ class MultimodalStubSpec extends SparkSpec {
     }
   }
 
+  test("phashDedup: banded pairs ≡ brute-force all-pairs from the pixel formula; hashes decode-exact") {
+    val d = "/root/testdata/sf0.001"
+    // brute-force reference: recompute every 16-bit average-hash straight
+    // from the fixture pixel FORMULA (no decode), then all-pairs Hamming
+    val ids = graft.Tables.documents(spark, d).select("doc_id")
+      .as[Long].collect().sorted
+    def hashOf(id: Long): Int = {
+      val w = 8 + (id % 9).toInt; val h = 8 + (id % 7).toInt
+      val s = new Array[Long](16); val n = new Array[Long](16)
+      for (y <- 0 until h; x <- 0 until w) {
+        val gray = ((31 * id + 7 * x + 13 * y) % 256) +
+          ((17 * id + 11 * x + 5 * y) % 256) +
+          ((23 * id + 3 * x + 19 * y) % 256)
+        val cell = (y * 4 / h) * 4 + (x * 4 / w)
+        s(cell) += gray; n(cell) += 1
+      }
+      val total = s.sum; val npix = n.sum
+      (0 until 16).map(i => if (s(i) * npix > total * n(i)) 1 << i else 0).sum
+    }
+    val hs = ids.map(id => id -> hashOf(id)).toMap
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      ham = Integer.bitCount(hs(i) ^ hs(j)) if ham <= 3
+    } yield (i, j, ham.toLong)).toSet
+    assert(expected.nonEmpty, "fixture corpus must yield near-dup pairs")
+    val got = graft.operators.Multimodal.phashDedup(spark, d)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected,
+      s"banded+verified pairs must equal brute force (pigeonhole): " +
+        s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("JdkRegionEncoder: crop-of-region ≡ whole-image encode of the cropped image") {
     // the identity that makes the segment leg pixel-real: histogramming a
     // getSubimage window of the decoded parent equals re-encoding the
