@@ -530,16 +530,43 @@ object Streams {
     * A fixed `pred_pos` threshold drifts as the corpus mix shifts; the
     * fraction rule self-calibrates. Ordering per batch is
     * GATE-THEN-LEARN: the batch is judged by the PAST distribution (its
-    * own margins join the sample only after admission), so a replayed
-    * batch re-derives the identical decision — the landing upsert and
-    * the marker-guarded sketch merge are both idempotent, so the
-    * composition is crash-replayable with no cross-state transaction.
+    * own margins join the sample only after admission).
+    *
+    * Crash-replay contract, stated precisely: gate-then-learn alone is
+    * NOT enough for replay determinism, because a crash after the
+    * sketch merge but before checkpoint commit replays the batch
+    * against a distribution that already absorbed its margins — the
+    * `__batch` marker prevents double-LEARN, not gate drift, and the
+    * landing sink is key-idempotent, not batch-skipping, so a drifted
+    * threshold would upsert a DIFFERENT admitted set. The gate decision
+    * is therefore made DURABLE: the computed threshold (or the seed
+    * verdict) is written to a `__gate_<ckpt-tag>_<batchId>` sidecar —
+    * tmp-write + atomic rename, BEFORE the sink runs — and a replayed
+    * batch reuses the recorded decision instead of recomputing it
+    * (tagged by checkpoint because batch ids are per-checkpoint: a bare
+    * batchId key would alias across queries sharing the sketch). The sketch state
+    * itself is resolved through the same `__old`-healing read the NB
+    * store uses ([[resolveNbState]]'s discipline): a crash inside
+    * [[applySketchBatch]]'s two-rename swap window parks the complete
+    * pre-batch sample at `__old`, and a raw `exists(stateDir)` check
+    * there would wrongly conclude "no history" and admit the whole
+    * batch, silently bypassing the gate.
+    *
     * Below k total scored docs the sample IS the full margin history and
     * the gate is the EXACT historical percentile (spec-pinned); above k
     * it is the bounded-error sample estimate, the honest 100 TB trade.
     * Cold starts admit on heuristics alone: no model store (the
     * [[modelGatedIngest]] rule) or no margin history yet (an empty
-    * distribution has no quantile — the first scored batch seeds it). */
+    * distribution has no quantile — the first scored batch seeds it).
+    *
+    * Unscorable docs (text that tokenizes to zero terms — possible only
+    * post-redaction, since [[hygieneGated]] demands ≥5 raw tokens): once
+    * the model is ready, ONLY SCORABLE DOCS LAND, uniformly in both the
+    * seed and the gated branch — a quality gate has no evidence for a
+    * termless doc, and admitting it in one branch but not the other
+    * (the pre-r14 behavior) made admission depend on arrival order.
+    * Before the model exists the stream is in the declared
+    * heuristics-only regime and the rule does not apply. */
   def fractionGatedIngest(df: DataFrame, textCol: String, keyCol: String,
       tsCol: String, partCol: String, target: String, checkpoint: String,
       modelDir: String, sketchDir: String, frac: Double = 0.1,
@@ -555,6 +582,15 @@ object Streams {
       .withColumnRenamed("redacted", textCol)
       .withColumnRenamed(keyCol, "event_id")
     val sink = upsertByKeyPartitioned(spark, target, "event_id", partCol) _
+    // Gate sidecars are keyed by (checkpoint, batchId) — the true replay
+    // identity. Batch ids are PER-CHECKPOINT, so a bare batchId key
+    // would alias across queries sharing a sketch dir (or across a
+    // checkpoint reset) and silently replay another query's verdict.
+    val gateTag = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(checkpoint.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+    }
     curated.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
@@ -568,16 +604,46 @@ object Streams {
               .select(col("doc_id").as("event_id"), col("nb_margin"))
               .localCheckpoint() // read twice: gate join + sketch merge
             val f = fs(s, sketchDir)
-            val admitted =
-              if (f.exists(new org.apache.hadoop.fs.Path(sketchDir))) {
-                val thr = s.read.parquet(sketchDir)
-                  .agg(expr(s"percentile(__v, ${1.0 - frac})").as("t")).head()
-                if (thr.isNullAt(0)) batch
-                else batch.join(
-                  scores.filter(col("nb_margin") >= thr.getDouble(0))
-                    .select("event_id"),
-                  Seq("event_id"), "left_semi")
-              } else batch // no margin history yet — seed batch admits
+            // durable per-batch gate decision (see the replay contract
+            // in the doc above): reuse the recorded verdict on replay;
+            // otherwise compute it from the PAST distribution — resolved
+            // through the __old-healing read, never a bare exists — and
+            // persist it BEFORE the sink runs. Double.toString/parse is
+            // an exact round-trip, so the replayed threshold is
+            // bit-identical.
+            val gateP = new org.apache.hadoop.fs.Path(
+              s"${sketchDir}__gate_${gateTag}_$batchId")
+            val decision: String =
+              if (f.exists(gateP)) {
+                val in = f.open(gateP)
+                try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+              } else {
+                val d = resolveSketchState(s, sketchDir) match {
+                  case Some(stateP) =>
+                    val thr = s.read.parquet(stateP)
+                      .agg(expr(s"percentile(__v, ${1.0 - frac})").as("t"))
+                      .head()
+                    if (thr.isNullAt(0)) "seed" else thr.getDouble(0).toString
+                  case None => "seed" // no margin history yet
+                }
+                val tmpP = new org.apache.hadoop.fs.Path(
+                  s"${sketchDir}__gate_tmp_${gateTag}_$batchId")
+                val out = f.create(tmpP, true)
+                try out.write(d.getBytes("UTF-8")) finally out.close()
+                renameOrDie(f, tmpP, gateP)
+                d
+              }
+            // once the model scores, only scorable docs land (uniform
+            // seed/gated policy — see the unscorable-doc rule above)
+            val admitted = decision match {
+              case "seed" => batch.join(scores.select("event_id"),
+                Seq("event_id"), "left_semi")
+              case t => batch.join(
+                scores.filter(col("nb_margin") >= t.toDouble)
+                  .select("event_id"),
+                Seq("event_id"), "left_semi")
+            }
             sink(admitted, batchId)
             // learn AFTER gating: this batch's margins join the sample
             // (nb_margin = mfx/1e6 is exact — mfx magnitudes sit far
@@ -594,6 +660,21 @@ object Streams {
         }
       }
       .start()
+  }
+
+  /** Resolve a READABLE complete copy of a sketch state dir without
+    * mutating anything — the live dir, or (mid-[[applySketchBatch]]
+    * swap / after a writer crash) the vacated `__old` copy, which holds
+    * the complete pre-batch sample. Same reader discipline as
+    * [[resolveNbState]]: readers never heal — the swap self-repair
+    * belongs to the writer ([[applySketchBatch]] itself). */
+  private def resolveSketchState(s: SparkSession, stateDir: String)
+      : Option[String] = {
+    val f = fs(s, stateDir)
+    if (f.exists(new org.apache.hadoop.fs.Path(stateDir))) Some(stateDir)
+    else if (f.exists(new org.apache.hadoop.fs.Path(s"${stateDir}__old")))
+      Some(s"${stateDir}__old")
+    else None
   }
 
   /** Resolve a READABLE complete copy of the NB state without mutating

@@ -543,7 +543,83 @@ class StreamsSpec extends SparkSpec {
       // gate-then-learn: phase 2's margins joined the sample AFTER the
       // decision — state now holds all 4
       assert(spark.read.parquet(sketchDir).count() === 4L)
+      // r14: the gate decision is DURABLE. Phase 2's sidecar holds the
+      // PRE-learn threshold (phase 1's exact median), not anything
+      // derived from the post-learn 4-margin state — so a crash-replay
+      // of that batch reuses the original verdict even though the
+      // sketch has already absorbed phase 2's margins (the drift the
+      // sidecar exists to prevent). The first sidecar records the seed
+      // verdict. Sidecar names carry a checkpoint tag + batchId; batch
+      // ids are assigned by the engine (empty batches consume ids), so
+      // locate them by name order rather than hardcoding ids.
+      val gates = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("sketch__gate_") &&
+          !f.getName.contains("tmp") && !f.getName.endsWith(".crc"))
+        .sortBy(f => f.getName.substring(f.getName.lastIndexOf('_') + 1).toLong)
+        .map { f =>
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          try src.mkString.trim finally src.close()
+        }
+      assert(gates.length === 2, s"one sidecar per non-empty batch: ${gates.toSeq}")
+      assert(gates(0) === "seed")
+      assert(gates(1).toDouble === thr,
+        "recorded threshold = the pre-learn phase-1 median")
     } finally q.stop()
+  }
+
+  test("fractionGatedIngest: mid-swap crash state (__old) still gates — no wholesale admission") {
+    // Simulates a crash inside applySketchBatch's two-rename swap
+    // window: the live sketch dir is absent, the complete pre-batch
+    // sample is parked at __old. A raw exists(sketchDir) check would
+    // conclude "no history" and admit the whole batch (the pre-r14
+    // bug); the healed read must find the history and keep gating.
+    import graft.operators.Classify
+    val dir = java.nio.file.Files.createTempDirectory("graft_frac_heal").toString
+    val modelDir = s"$dir/model"
+    val sketchDir = s"$dir/sketch"
+    val labeled = Seq(
+      (101L, "the quick brown fox is excellent quality writing and fluent prose", true),
+      (102L, "excellent fluent prose with quality words about the brown fox", true),
+      (103L, "spam junk garbage refuse debris pile with more spam and junk", false),
+      (104L, "the garbage refuse debris and spam junk words keep piling up", false))
+      .toDF("doc_id", "text", "pos")
+    Streams.applyNbBatch(labeled, $"text", $"pos", modelDir, batchId = 0L)
+    // seed the margin history via the stream, then stop it
+    val seedIn = MemoryStream[(Long, Timestamp, String, String)]
+    val q1 = Streams.fractionGatedIngest(
+      seedIn.toDF().toDF("id", "ts", "day", "text"),
+      textCol = "text", keyCol = "id", tsCol = "ts", partCol = "day",
+      target = s"$dir/t1", checkpoint = s"$dir/ckpt1",
+      modelDir = modelDir, sketchDir = sketchDir, frac = 0.5)
+    try {
+      seedIn.addData(Seq(
+        (1L, ts(0), "d1", "an excellent fluent quality document about the brown fox and prose"),
+        (2L, ts(1), "d1", "the spam junk garbage collection with refuse words and some debris here")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // crash simulation: live dir vacated to __old (the exact state a
+    // crash between applySketchBatch's two renames leaves behind)
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(f.rename(new org.apache.hadoop.fs.Path(sketchDir),
+      new org.apache.hadoop.fs.Path(s"${sketchDir}__old")))
+    // a fresh gate stream over the crashed state must still gate
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val q2 = Streams.fractionGatedIngest(
+      input.toDF().toDF("id", "ts", "day", "text"),
+      target = s"$dir/t2", checkpoint = s"$dir/ckpt2",
+      textCol = "text", keyCol = "id", tsCol = "ts", partCol = "day",
+      modelDir = modelDir, sketchDir = sketchDir, frac = 0.5)
+    try {
+      input.addData(Seq(
+        (3L, ts(2), "d2", "a fluent and excellent new document of real quality about prose"),
+        (4L, ts(3), "d2", "more spam junk and garbage debris refuse piling into this text")))
+      q2.processAllAvailable()
+      val landed = spark.read.parquet(s"$dir/t2")
+        .select("event_id").as[Long].collect().toSet
+      assert(landed === Set(3L),
+        s"healed read must keep gating over __old history: $landed")
+    } finally q2.stop()
   }
 
   test("modelGatedIngest benchmark gate: eval-contaminated docs never land") {
