@@ -131,6 +131,21 @@ object BloomFilters {
     handle
   }
 
+  /** Release a [[build]]-ed filter: drop the driver registry entry and
+    * destroy the TorrentBroadcast, freeing the executor block-manager
+    * copies. Without this every build leaks its bits for the JVM's
+    * lifetime (registry + block manager) — a long-lived service that
+    * rebuilds a benchmark filter per request would accumulate GBs.
+    * Call AFTER every plan probing the handle has EXECUTED: the probe
+    * expression resolves the broadcast at analysis time, but executors
+    * fetch blocks lazily at task run, so destroying under a pending
+    * plan fails its tasks. Unknown handles no-op (idempotent — safe in
+    * finally blocks and on double-release). */
+  def destroy(handle: String): Unit = {
+    val b = registry.remove(handle)
+    if (b != null) b.destroy()
+  }
+
   /** Membership probe column for a previously [[build]]-ed filter. */
   def mightContain(spark: SparkSession, handle: String, hash: Column): Column = {
     register(spark)

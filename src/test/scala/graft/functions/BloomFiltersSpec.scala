@@ -63,4 +63,20 @@ class BloomFiltersSpec extends SparkSpec {
     val db = probes.filter(BloomFilters.mightContain(spark, b, col("sh"))).count()
     assert(da === db)
   }
+
+  test("bloom: destroy releases the handle (resolve fails; double-destroy no-ops)") {
+    val in = hashes(1, 100)
+    val handle = BloomFilters.build(in, col("sh"), fpp = 0.01)
+    // usable before destroy
+    assert(in.filter(BloomFilters.mightContain(spark, handle, col("sh")))
+      .count() === 100L)
+    BloomFilters.destroy(handle)
+    // registry entry gone — a later plan must fail loudly, not serve
+    // destroyed bits
+    val e = intercept[Exception] {
+      in.filter(BloomFilters.mightContain(spark, handle, col("sh"))).count()
+    }
+    assert(e.getMessage.contains("unknown bloom handle"))
+    BloomFilters.destroy(handle) // idempotent
+  }
 }
