@@ -218,43 +218,32 @@ object Classify {
     *
     * (ties contribute ½ each — doubling keeps everything in integer
     * arithmetic until the final division). The per-tie-group negative
-    * prefix sum is the [[graft.operators.Etl.globalRowIndex]]
-    * decomposition — width-bucket the score range, per-bucket windows in
-    * parallel, ≤`buckets` bucket offsets through the one partition-less
-    * window — so there is NO global sort: the shape survives a corpus
-    * where the score column has billions of distinct values. The double
-    * cast used for bucketing is monotone non-decreasing in the long
-    * score, which is all a partitioner needs; ordering WITHIN a bucket
-    * stays on the exact long. Degenerate inputs (single-class labels)
+    * prefix sum is [[graft.operators.Etl.rangePrefixSum]]'s TWO-LEVEL
+    * width-bucket decomposition — b1·b2 = 4096 within-cell windows in
+    * parallel, cell offsets folded per-bucket (≤ b2 rows each) and the
+    * one partition-less window over ≤ b1 bucket totals — so there is NO
+    * global sort AND no N/64-rows-in-one-task cap: the shape survives a
+    * corpus where the score column has billions of distinct values. The
+    * double cast used for bucketing is monotone non-decreasing in the
+    * long score, which is all a partitioner needs; ordering WITHIN a
+    * cell stays on the exact long. `u2` aggregates as decimal(38,0):
+    * it approaches 2·n_pos·n_neg, which overflows int64 past ~2.1e9
+    * positives × 2.1e9 negatives — precisely the billions-of-docs
+    * regime this shape exists for (exact to 38 digits, i.e. any corpus
+    * with n_pos·n_neg < 5e37). Degenerate inputs (single-class labels)
     * yield a NULL auc rather than a NaN — the caller can't mistake "no
     * pairs to rank" for a score. */
   def aucExact(scored: DataFrame, score: Column, label: Column,
       buckets: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g = scored.select(score.as("__s"), label.as("__y"))
       .groupBy("__s")
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("__n"))
-    val span = g.agg(min("__s").as("__lo"), max("__s").as("__hi"))
-    val bucketed = g.crossJoin(broadcast(span))
-      .withColumn("__bkt", width_bucket(col("__s").cast("double"),
-        col("__lo").cast("double"), col("__hi").cast("double") + 1,
-        lit(buckets)))
-      .drop("__lo", "__hi")
-    val wOff = Window.orderBy("__bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // ≤ `buckets` rows flow through the partition-less window — fine.
-    val offs = bucketed.groupBy("__bkt").agg(sum("__n").as("__bn"))
-      .withColumn("__boff", coalesce(sum("__bn").over(wOff), lit(0L)))
-      .select("__bkt", "__boff")
-    val wLoc = Window.partitionBy("__bkt").orderBy("__s")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed
-      .withColumn("__lnb", coalesce(sum("__n").over(wLoc), lit(0L)))
-      .join(broadcast(offs), "__bkt")
+    Etl.rangePrefixSum(g, "__s", "__n", "__nb", b1 = buckets, b2 = buckets)
       .agg(sum("__p").as("n_pos"), sum("__n").as("n_neg"),
-        sum(col("__p") * (lit(2L) * (col("__boff") + col("__lnb"))
-          + col("__n"))).as("u2"))
+        sum(col("__p").cast("decimal(38,0)")
+          * (lit(2L) * col("__nb") + col("__n")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("u2"))
       .select(col("n_pos"), col("n_neg"), col("u2"),
         when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
           .otherwise(round(col("u2").cast("double")
@@ -263,43 +252,29 @@ object Classify {
           .cast("double").as("auc"))
   }
 
-  /** PER-GROUP [[aucExact]] — the same integer rank-sum, every stage
-    * additionally keyed by the group: tie-groups are (group, score),
-    * span extremes one row per group (joined back, AQE-broadcast at any
-    * realistic group count), and both prefix-sum windows are PARTITIONED
-    * (by group for the ≤`buckets`-row offset table, by (group, bucket)
-    * for the within-bucket sums) — so unlike the whole-relation form
-    * there is no partition-less window at all. This is the report a
-    * per-source gate review reads: WHERE does the classifier rank well,
-    * not just whether it does on average. */
+  /** PER-GROUP [[aucExact]] — the same integer rank-sum with every
+    * [[graft.operators.Etl.rangePrefixSum]] stage additionally keyed by
+    * the group: tie-groups are (group, score), span extremes one row
+    * per group (joined back, AQE-broadcast at any realistic group
+    * count), and even the level-1 bucket fold is partitioned by group —
+    * no partition-less window at all, and within-group parallelism is
+    * b1·b2 cells (not capped at `buckets`). `u2` is decimal(38,0) for
+    * the same int64-overflow reason as the whole-relation form. This is
+    * the report a per-source gate review reads: WHERE does the
+    * classifier rank well, not just whether it does on average. */
   def aucExactBy(scored: DataFrame, group: Column, score: Column,
       label: Column, buckets: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g = scored.select(group.as("grp"), score.as("__s"), label.as("__y"))
       .groupBy("grp", "__s")
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("__n"))
-    val span = g.groupBy("grp")
-      .agg(min("__s").as("__lo"), max("__s").as("__hi"))
-    val bucketed = g.join(span, "grp")
-      .withColumn("__bkt", width_bucket(col("__s").cast("double"),
-        col("__lo").cast("double"), col("__hi").cast("double") + 1,
-        lit(buckets)))
-      .drop("__lo", "__hi")
-    val wOff = Window.partitionBy("grp").orderBy("__bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = bucketed.groupBy("grp", "__bkt").agg(sum("__n").as("__bn"))
-      .withColumn("__boff", coalesce(sum("__bn").over(wOff), lit(0L)))
-      .select("grp", "__bkt", "__boff")
-    val wLoc = Window.partitionBy("grp", "__bkt").orderBy("__s")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed
-      .withColumn("__lnb", coalesce(sum("__n").over(wLoc), lit(0L)))
-      .join(offs, Seq("grp", "__bkt"))
+    Etl.rangePrefixSum(g, "__s", "__n", "__nb", grp = Seq("grp"),
+        b1 = buckets, b2 = buckets)
       .groupBy("grp")
       .agg(sum("__p").as("n_pos"), sum("__n").as("n_neg"),
-        sum(col("__p") * (lit(2L) * (col("__boff") + col("__lnb"))
-          + col("__n"))).as("u2"))
+        sum(col("__p").cast("decimal(38,0)")
+          * (lit(2L) * col("__nb") + col("__n")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("u2"))
       .select(col("grp"), col("n_pos"), col("n_neg"), col("u2"),
         when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
           .otherwise(round(col("u2").cast("double")
@@ -582,38 +557,26 @@ object Classify {
     * strict-above count is < k = max(1, ⌊frac·N⌋) — ties at the cut
     * admit WHOLESALE (deterministic; a tie-broken cut would depend on an
     * arbitrary secondary order). NO global sort: tie-group counts →
-    * the [[aucExact]] width-bucket prefix decomposition gives each
-    * score's strictly-above mass, and docs join back on their score.
+    * [[graft.operators.Etl.rangePrefixSum]]'s two-level width-bucket
+    * decomposition gives each score's strictly-above mass (b1·b2-way
+    * parallel, no N/buckets single-task cap), and docs join back on
+    * their score.
     * At 100 TB the only corpus-scale shuffles are the tie-group reduce
     * and the admit join — both score-keyed. */
   def topFractionByScore(scored: DataFrame, id: Column, score: Column,
       frac: Double, buckets: Int = 64): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"frac in (0,1], got $frac")
-    import org.apache.spark.sql.expressions.Window
     val rows = scored.select(id.as("doc_id"), score.as("__s"))
     val t = rows.groupBy("__s").agg(count(lit(1)).as("__c"))
-    val span = t.agg(min("__s").as("__lo"), max("__s").as("__hi"))
-    val bucketed = t.crossJoin(broadcast(span))
-      .withColumn("__bkt", width_bucket(col("__s").cast("double"),
-        col("__lo").cast("double"), col("__hi").cast("double") + 1,
-        lit(buckets)))
-      .drop("__lo", "__hi")
-    val wOff = Window.orderBy("__bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = bucketed.groupBy("__bkt").agg(sum("__c").as("__bn"))
-      .withColumn("__boff", coalesce(sum("__bn").over(wOff), lit(0L)))
-      .select("__bkt", "__boff")
-    val wLoc = Window.partitionBy("__bkt").orderBy("__s")
-      .rowsBetween(Window.unboundedPreceding, -1)
     val n = broadcast(t.agg(sum("__c").as("__N")))
-    val admitted = bucketed
-      .withColumn("__lnb", coalesce(sum("__c").over(wLoc), lit(0L)))
-      .join(broadcast(offs), "__bkt")
-      .crossJoin(n)
-      // strictly-above mass = N − (strictly-below + own count)
-      .filter(col("__N") - (col("__boff") + col("__lnb")) - col("__c") <
-        greatest(lit(1L), floor(lit(frac) * col("__N")).cast("long")))
-      .select("__s")
+    val admitted =
+      Etl.rangePrefixSum(t, "__s", "__c", "__below",
+          b1 = buckets, b2 = buckets)
+        .crossJoin(n)
+        // strictly-above mass = N − (strictly-below + own count)
+        .filter(col("__N") - col("__below") - col("__c") <
+          greatest(lit(1L), floor(lit(frac) * col("__N")).cast("long")))
+        .select("__s")
     rows.join(admitted, "__s").select("doc_id", "__s")
   }
 
@@ -765,7 +728,7 @@ object Classify {
             FROM g),
       u AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
               CAST(sum(n) AS BIGINT) AS n_neg,
-              CAST(sum(p * (2 * neg_below + n)) AS BIGINT) AS u2
+              CAST(sum(p * (2 * neg_below + n)) AS DECIMAL(38,0)) AS u2
             FROM w)
       SELECT n_pos, n_neg, u2,
         CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
@@ -808,7 +771,7 @@ object Classify {
             FROM g),
       u AS (SELECT source, CAST(sum(p) AS BIGINT) AS n_pos,
               CAST(sum(n) AS BIGINT) AS n_neg,
-              CAST(sum(p * (2 * neg_below + n)) AS BIGINT) AS u2
+              CAST(sum(p * (2 * neg_below + n)) AS DECIMAL(38,0)) AS u2
             FROM w GROUP BY source)
       SELECT source, n_pos, n_neg, u2,
         CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL

@@ -175,6 +175,83 @@ object Etl {
       .drop("__gid", "__bkt", "__ln", "__off")
   }
 
+  /** Exclusive prefix sum of `valCol` in `sCol`-order over tie-group
+    * rows, WITHOUT a global sort and WITHOUT the single-level cap of
+    * [[globalRowIndex]]'s shape (parallelism = buckets, i.e. N/64 rows
+    * sorting in one task when scores are near-unique at corpus scale).
+    * TWO-LEVEL width-bucket decomposition instead:
+    *
+    *  - the value span is cut into `b1·b2` order-preserving CELLS
+    *    (width_bucket over the monotone double cast; ordering within a
+    *    cell stays on the exact original column);
+    *  - the within-cell prefix windows partition by cell —
+    *    parallelism = b1·b2 (4096 at the defaults), each task holding
+    *    ~N/(b1·b2) tie-groups;
+    *  - cell offsets fold hierarchically: per-bucket windows over ≤ b2
+    *    cell rows each (partitioned by the level-1 bucket), then ONE
+    *    partition-less window over ≤ b1 bucket totals — never over the
+    *    full cell table.
+    *
+    * Sizing rule: parallelism = b1·b2; the only partition-less fold
+    * sees ≤ b1 rows; every partitioned offset window sees ≤ b2 rows.
+    * Raise b1/b2 together for bigger clusters — cost is the two
+    * metadata-scale offset tables, both ≤ b1·b2 rows.
+    *
+    * `grp` adds per-group semantics: spans, offsets and prefixes are
+    * all additionally keyed by the group columns (the [[
+    * graft.operators.Classify.aucExactBy]] face). Output = `t`'s
+    * columns + `out` (the exclusive prefix, 0 for each (group-)minimum
+    * tie-group). */
+  private[operators] def rangePrefixSum(t: DataFrame, sCol: String,
+      valCol: String, out: String, grp: Seq[String] = Nil,
+      b1: Int = 64, b2: Int = 64): DataFrame = {
+    require(b1 >= 1 && b2 >= 1, s"rangePrefixSum: b1,b2 >= 1, got $b1,$b2")
+    val gCols = grp.map(col)
+    val span =
+      if (grp.isEmpty)
+        t.agg(min(sCol).as("__lo"), max(sCol).as("__hi"))
+      else t.groupBy(gCols: _*)
+        .agg(min(sCol).as("__lo"), max(sCol).as("__hi"))
+    val spanned =
+      if (grp.isEmpty) t.crossJoin(broadcast(span))
+      else t.join(span, grp) // AQE broadcasts the per-group extremes
+    val cells = spanned
+      .withColumn("__cell", width_bucket(col(sCol).cast("double"),
+        col("__lo").cast("double"), col("__hi").cast("double") + 1,
+        lit(b1 * b2)))
+      .drop("__lo", "__hi")
+      .withColumn("__b1", ((col("__cell") - 1L) / lit(b2.toLong)).cast("long"))
+    val keyB1 = grp :+ "__b1"
+    val keyCell = grp :+ "__cell"
+    // level-2: per-cell totals, offset within the level-1 bucket
+    // (≤ b2 rows per window partition)
+    val cellTot = cells.groupBy((keyB1 :+ "__cell").map(col): _*)
+      .agg(sum(valCol).as("__cn"))
+    val wCell = Window.partitionBy(keyB1.map(col): _*).orderBy("__cell")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cellOff = cellTot
+      .withColumn("__coff", coalesce(sum("__cn").over(wCell), lit(0L)))
+      .select((keyCell :+ "__coff").map(col): _*)
+    // level-1: bucket totals, global (per-group) exclusive offsets —
+    // the ONLY partition-less fold, over ≤ b1 rows
+    val wB =
+      (if (grp.isEmpty) Window.orderBy("__b1")
+       else Window.partitionBy(gCols: _*).orderBy("__b1"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    val bOff = cellTot.groupBy(keyB1.map(col): _*).agg(sum("__cn").as("__bn"))
+      .withColumn("__boff", coalesce(sum("__bn").over(wB), lit(0L)))
+      .select((keyB1 :+ "__boff").map(col): _*)
+    // within-cell exclusive prefix — parallelism = b1·b2 cells
+    val wLoc = Window.partitionBy(keyCell.map(col): _*).orderBy(sCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("__lnb", coalesce(sum(valCol).over(wLoc), lit(0L)))
+      .join(if (grp.isEmpty) broadcast(cellOff) else cellOff, keyCell)
+      .join(if (grp.isEmpty) broadcast(bOff) else bOff, keyB1)
+      .withColumn(out, col("__boff") + col("__coff") + col("__lnb"))
+      .drop("__cell", "__b1", "__coff", "__boff", "__lnb")
+  }
+
   /** R2 — the reference's `--row-range "9001-9593"` manual shard slice
     * (`sam_segment_clip_pipeline.py:117-154,299-309`) as one declarative
     * op: global index (see [[globalRowIndex]]) then an index-range

@@ -223,19 +223,23 @@ class ClassifySpec extends SparkSpec {
     val df = Seq((3L, true), (2L, true), (2L, true), (2L, false), (1L, false))
       .toDF("s", "y")
     val (np, nn, u2, auc) = Classify.aucExact(df, $"s", $"y")
-      .as[(Long, Long, Long, Option[Double])].head()
-    assert((np, nn, u2) === ((3L, 2L, 10L)))
+      .as[(Long, Long, java.math.BigDecimal, Option[Double])].head()
+    assert((np, nn, u2.longValueExact) === ((3L, 2L, 10L)))
     assert(auc.contains(math.round(5.0 / 6.0 * 1e6) / 1e6))
+    // u2 is decimal(38,0): int64 saturates at ~2.1e9 pos × 2.1e9 neg —
+    // the billions-of-docs regime the no-global-sort shape exists for
+    assert(Classify.aucExact(df, $"s", $"y").schema("u2").dataType ===
+      org.apache.spark.sql.types.DecimalType(38, 0))
     // perfect separation → 1, reversed → 0
     val sep = Seq((5L, true), (4L, true), (1L, false)).toDF("s", "y")
     assert(Classify.aucExact(sep, $"s", $"y")
-      .as[(Long, Long, Long, Option[Double])].head()._4.contains(1.0))
+      .select("auc").as[Option[Double]].head().contains(1.0))
     assert(Classify.aucExact(sep, $"s", !$"y")
-      .as[(Long, Long, Long, Option[Double])].head()._4.contains(0.0))
+      .select("auc").as[Option[Double]].head().contains(0.0))
     // single-class input → NULL auc, not NaN
     val one = Seq((5L, true), (4L, true)).toDF("s", "y")
     assert(Classify.aucExact(one, $"s", $"y")
-      .as[(Long, Long, Long, Option[Double])].head()._4.isEmpty)
+      .select("auc").as[Option[Double]].head().isEmpty)
   }
 
   test("aucExact: equals the window-rank reference and is partitioning-independent") {
@@ -252,17 +256,56 @@ class ClassifySpec extends SparkSpec {
     val rankSum = rows.filter(_._2).map(r => ranks(r._1)).sum
     val aucRef = (rankSum - nPos * (nPos + 1) / 2.0) / (nPos * nNeg)
     val (p, n, u2, auc) = Classify.aucExact(df, $"s", $"y")
-      .as[(Long, Long, Long, Option[Double])].head()
+      .as[(Long, Long, java.math.BigDecimal, Option[Double])].head()
     assert((p, n) === ((nPos, nNeg)))
     assert(auc.contains(math.round(aucRef * 1e6) / 1e6))
     // exact integer u2 is partitioning-independent (1 vs 32 partitions)
     val (_, _, u2b, _) = Classify.aucExact(df.repartition(32), $"s", $"y")
-      .as[(Long, Long, Long, Option[Double])].head()
+      .as[(Long, Long, java.math.BigDecimal, Option[Double])].head()
     assert(u2 === u2b)
     // and independent of the bucket count (degenerate buckets=2)
     val (_, _, u2c, _) = Classify.aucExact(df, $"s", $"y", buckets = 2)
-      .as[(Long, Long, Long, Option[Double])].head()
+      .as[(Long, Long, java.math.BigDecimal, Option[Double])].head()
     assert(u2 === u2c)
+  }
+
+  test("aucExact/topFraction: near-unique scores spread over more cells than `buckets` — no N/buckets single-task sort") {
+    // 4000 near-unique scores (two tie-pairs per 1000): the r13
+    // single-level shape would sort N/buckets = 500 tie-groups in each
+    // of 8 window tasks; the two-level shape must spread them over
+    // b1·b2 = 64 cells. Pin BOTH the data-level parallelism (distinct
+    // cells the local window partitions by, recomputed here with the
+    // same monotone bucketing the operator uses) AND result exactness.
+    val rows = (1 to 4000).map(i => (i.toLong * 7L, i % 5 == 0))
+    val df = rows.toDF("s", "y")
+    val b = 8
+    val cellCount = df.select($"s".cast("double").as("d"))
+      .agg(min("d").as("lo"), max("d").as("hi")).collect().head match {
+        case org.apache.spark.sql.Row(lo: Double, hi: Double) =>
+          df.select(width_bucket($"s".cast("double"), lit(lo), lit(hi + 1),
+            lit(b * b)).as("c")).distinct().count()
+      }
+    assert(cellCount > b,
+      s"two-level bucketing must engage > $b cells, got $cellCount")
+    assert(cellCount === (b * b).toLong,
+      "uniform near-unique scores fill every cell")
+    // exactness at this shape vs the straight rank-sum reference
+    val nPos = rows.count(_._2).toLong
+    val nNeg = rows.size - nPos
+    val sorted = rows.sortBy(_._1)
+    val ranks = sorted.zipWithIndex.groupBy(_._1._1)
+      .map { case (s, g) => s -> g.map(_._2 + 1.0).sum / g.size }
+    val rankSum = rows.filter(_._2).map(r => ranks(r._1)).sum
+    val aucRef = (rankSum - nPos * (nPos + 1) / 2.0) / (nPos * nNeg)
+    val auc = Classify.aucExact(df, $"s", $"y", buckets = b)
+      .select("auc").as[Option[Double]].head()
+    assert(auc.contains(math.round(aucRef * 1e6) / 1e6))
+    // topFractionByScore rides the same decomposition: top 10% of 4000
+    // near-unique scores = the 400 largest (no ties at the cut here)
+    val ids = (1 to 4000).map(i => (i.toLong, i.toLong * 7L)).toDF("id", "s")
+    val top = Classify.topFractionByScore(ids, $"id", $"s", frac = 0.1,
+      buckets = b).select("doc_id").as[Long].collect().toSet
+    assert(top === (3601 to 4000).map(_.toLong).toSet)
   }
 
   test("aucExactBy: per-group == whole-relation aucExact per slice; single-class group reads NULL") {
@@ -273,11 +316,11 @@ class ClassifySpec extends SparkSpec {
     val df = rows.map { case (g, s, y) => (g, s, if (g == "g2") true else y) }
       .toDF("g", "s", "y")
     val by = Classify.aucExactBy(df, $"g", $"s", $"y")
-      .as[(String, Long, Long, Long, Option[Double])].collect()
-      .map(r => r._1 -> r).toMap
+      .as[(String, Long, Long, java.math.BigDecimal, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
     Seq("g0", "g1").foreach { g =>
       val whole = Classify.aucExact(df.filter($"g" === g), $"s", $"y")
-        .as[(Long, Long, Long, Option[Double])].head()
+        .as[(Long, Long, java.math.BigDecimal, Option[Double])].head()
       assert((by(g)._2, by(g)._3, by(g)._4, by(g)._5) === whole,
         s"group $g disagrees with the sliced whole-relation form")
     }
