@@ -122,7 +122,18 @@ object ScaleBench {
     // and the fuzzy decontam strip (the dedup_cross banding shape plus a
     // corpus anti-join: candidates grow with true near-dup mass, so the
     // ratio is judged against the dedup family's output-driven rule).
-    "quality_nb_auc", "curate_decontam_fuzzy")
+    "quality_nb_auc", "curate_decontam_fuzzy",
+    // round 14: the r13/r14 newcomers. txt_bpe_train is 3 fused
+    // pair-count rounds + 4 localCheckpoints — materialization-dominated
+    // by design, each round one corpus scan (~linear).
+    // curate_decontam_fuzzy_idx signs the held-out side into the at-rest
+    // signature index (per-sfDir cache sees each scale once, so the
+    // timing is build+probe) and probes band buckets — both sides grow
+    // 10×, candidates with true near-dup mass.
+    "txt_bpe_train", "curate_decontam_fuzzy_idx",
+    // round 14: the image family at its PRODUCTION hash width, and the
+    // composed admission stack (see Extra bindings below).
+    "mm_phash_scaled", "pipeline_gated_scaled")
 
   /** Scale-only bindings that aren't part of the served query surface. */
   private val Extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
@@ -140,6 +151,52 @@ object ScaleBench {
           e, col("vec_id"), col("embedding"), k)
         graft.operators.Dedup.semanticDedup(e, col("vec_id"),
           col("embedding"), cents, minCos = 0.4)
+      }),
+      // the image family at the PRODUCTION 64-bit hash (grid=8 — the
+      // config phashDedup's doc names for billion-image corpora; the
+      // served 16-bit binding saturates its 2^16 hash space on a 10×
+      // corpus and pair mass goes quadratic BY CONSTRUCTION, which is a
+      // fixture artifact, not an operator property). Build = decode +
+      // hash + bucket-partitioned write over the full corpus (must stay
+      // ~linear in rows — decode-bound, the 100 TB cost center); probe =
+      // the %4 increment slice decoded once and pruned against at-rest
+      // 8-byte hashes (increment-bounded, the dedup_cross shape).
+      "mm_phash_scaled" -> ((s, d) => {
+        import graft.operators.Multimodal
+        val imgs = graft.sources.JdkImage
+          .renderBmpFixtures(Tables.documents(s, d).select("doc_id"))
+          .toDF("doc_id", "payload")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_ph_scale").toString
+        Multimodal.writePhashIndex(imgs.filter(pmod(col("doc_id"), lit(4L)) =!= 0L),
+          tmp, grid = 8, bands = 4)
+        Multimodal.probePhashIndex(
+          imgs.filter(pmod(col("doc_id"), lit(4L)) === 0L), tmp)
+      }),
+      // the composed production admission stack, batch face: Gopher
+      // rules → NB quality model → rank-based top-fraction — the three
+      // gates pipelines actually chain (rules cheap-first, model on
+      // survivors, fraction self-calibrating on model margins). Shape:
+      // one fused-kernel rule pass, one term-keyed score join on the
+      // survivor set, then the two-level prefix cut — every stage
+      // ~linear in the explode.
+      "pipeline_gated_scaled" -> ((s, d) => {
+        import graft.operators.{Classify, TextAnalysis}
+        val docs = Tables.documents(s, d)
+        // EnglishStopwords, not the 8-word Gopher list — the corpus
+        // adaptation pipeline_gopher itself makes (synthetic text has
+        // none of the canonical 8, so the default gate passes nothing)
+        val passed = TextAnalysis.withGopherMetrics(docs, col("text"),
+            stopwords = graft.functions.TextFunctions.EnglishStopwords)
+          .filter(col("passes"))
+          .drop(TextAnalysis.GopherMetricCols: _*)
+        val (llr, scalars) = Classify.nbModel(
+          docs.filter(graft.functions.HashFunctions.md5Bucket16(col("doc_id")) < "8"),
+          col("text"), col("lang") === "en")
+        val scores = Classify.nbScore(passed, col("doc_id"), col("text"),
+          llr, scalars)
+        Classify.topFractionByScore(scores, col("doc_id"),
+          col("nb_margin"), frac = 0.1)
       }),
       "knn_graph_scaled" -> ((s, d) => {
         import graft.operators.Search

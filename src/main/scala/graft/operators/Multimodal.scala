@@ -278,28 +278,9 @@ object Multimodal {
   def phashDedup(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4,
       s"phashDedup: pigeonhole recall guarantee needs maxHamming < bands (4), got $maxHamming")
-    val imgs = graft.sources.JdkImage
-      .renderBmpFixtures(Tables.documents(s, d).select("doc_id"))
-      .toDF("doc_id", "payload")
-    val feats = graft.sources.MultimodalStub.decodeAndEmbed(imgs,
-        encoderFactory = Some(() => new graft.sources.JdkImage.GrayGridEncoder(4)))
-      .toDF()
-    def cellAt(i: Int) = element_at(col("feature"), i).cast("long")
-    val total = (1 to 16).map(cellAt).reduce(_ + _)
-    val npix = (17 to 32).map(cellAt).reduce(_ + _)
-    val withTotals = feats.select(col("doc_id"), col("feature"),
-      total.as("__t"), npix.as("__n"))
-    val phash = (0 until 16).map { i =>
-      when(cellAt(i + 1) * col("__n") > col("__t") * cellAt(i + 17),
-        lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val hashed = withTotals.select(col("doc_id"), phash.as("phash"))
-    val banded = hashed.select(col("doc_id"), col("phash"),
-      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright(col("phash"), 4 * b).bitwiseAND(lit(15L)).as("key"))): _*))
-        .as("bk"))
-      .select(col("doc_id"), col("phash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    val hashed = phashOf(corpusImgs(s, d), grid = 4)
+    val banded = bandedPhash(hashed, bands = 4, grid = 4,
+      buckets = PhashBuckets)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -311,8 +292,289 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The corpus's image payloads — deterministic BMP fixtures rendered
+    * from doc ids (this container ships no image corpus; the DECODE side
+    * is real ImageIO work either way). */
+  private def corpusImgs(s: SparkSession, d: String): DataFrame =
+    graft.sources.JdkImage
+      .renderBmpFixtures(Tables.documents(s, d).select("doc_id"))
+      .toDF("doc_id", "payload")
+
+  /** Shared perceptual-hash derivation — (doc_id, phash) from
+    * (doc_id, payload): real ImageIO decode through
+    * [[graft.sources.JdkImage.GrayGridEncoder]] (grid×grid gray-cell
+    * sums + pixel counts), then bit i = cell i brighter than the image
+    * mean in PURE LONG arithmetic (`sum_i·npix > total·n_i` — no
+    * division, no FP). ONE derivation shared by the in-plan
+    * [[phashDedup]], the at-rest [[writePhashIndex]] and every probe,
+    * so stored hashes and probe hashes can never drift. */
+  private[operators] def phashOf(imgs: DataFrame, grid: Int): DataFrame = {
+    val cells = grid * grid
+    // 64 bits exactly fill a long; bit 63 lands in the sign bit, which
+    // the xor/bit_count/unsigned-shift algebra downstream never
+    // interprets as a sign (summing distinct powers of two never
+    // carries, so the bit pattern is exact even when the long reads
+    // negative)
+    require(cells <= 64, s"phashOf: grid*grid must fit a long, got $cells bits")
+    val feats = graft.sources.MultimodalStub.decodeAndEmbed(imgs,
+        encoderFactory = Some(() => new graft.sources.JdkImage.GrayGridEncoder(grid)))
+      .toDF()
+    def cellAt(i: Int) = element_at(col("feature"), i).cast("long")
+    val total = (1 to cells).map(cellAt).reduce(_ + _)
+    val npix = ((cells + 1) to 2 * cells).map(cellAt).reduce(_ + _)
+    val withTotals = feats.select(col("doc_id"), col("feature"),
+      total.as("__t"), npix.as("__n"))
+    val phash = (0 until cells).map { i =>
+      when(cellAt(i + 1) * col("__n") > col("__t") * cellAt(i + cells + 1),
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withTotals.select(col("doc_id"), phash.as("phash"))
+  }
+
+  /** The banded-hash relation index writes, index probes and the in-plan
+    * join all share: (doc_id, phash, band, key, bucket) — `bands`
+    * equal-width bit-bands of the grid²-bit hash, bucket =
+    * xxhash64(band, key) mod `buckets` (the partition-pruning key; at
+    * grid=4 the 64 (band, key) combos map near-1:1, at production
+    * grid=8 the 2¹⁸ combos fold uniformly). */
+  private def bandedPhash(hashed: DataFrame, bands: Int, grid: Int,
+      buckets: Int): DataFrame = {
+    val width = (grid * grid) / bands
+    require(width * bands == grid * grid,
+      s"bandedPhash: bands ($bands) must divide grid² (${grid * grid})")
+    val mask = (1L << width) - 1L
+    hashed.select(col("doc_id"), col("phash"),
+      // UNSIGNED shift: at grid=8 bit 63 is populated and a signed shift
+      // would sign-extend the top band's key out of its mask range
+      explode(array((0 until bands).map(b => struct(lit(b.toLong).as("band"),
+        shiftrightunsigned(col("phash"), width * b).bitwiseAND(lit(mask))
+          .as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .withColumn("bucket", pmod(xxhash64(col("band"), col("key")),
+        lit(buckets.toLong)))
+  }
+
+  // =========================================================================
+  // At-rest perceptual-hash index — the image-dedup serving layout
+  // =========================================================================
+
+  /** Bucket-directory count for [[writePhashIndex]] — the
+    * [[Dedup.SigBuckets]] sizing rule applied to the image family:
+    * probes read `|touched|/buckets` of the index via partition
+    * pruning. */
+  val PhashBuckets = 64
+
+  /** Read the config stored next to the index — probes and appends take
+    * THEIR parameters from here, never from the caller: an increment
+    * hashed at a different (grid, bands) would silently band-miss
+    * everything (the [[Dedup]] signature-index meta discipline). */
+  private def readPhashMeta(s: SparkSession, dir: String): (Int, Int, Int) = {
+    val r = s.read.parquet(s"$dir/meta")
+      .select("grid", "bands", "buckets").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Write the at-rest perceptual-hash index: one row per (band, doc)
+    * carrying the full hash payload, hash-partitioned into `buckets`
+    * band-key directories + a one-row config table — the image-side
+    * sibling of [[Dedup.writeMinhashIndex]] (6th at-rest family). The
+    * 100 TB point is DECODE amortization: `mm_phash_dedup` re-decodes
+    * the whole frame corpus every audit, and at lake scale the ImageIO
+    * decode IS the cost — this layout pays it once at ingest, and every
+    * later audit/takedown/probe is metadata-scale parquet work against
+    * 8-byte hashes (ref: the incremental-merge discipline of
+    * `SAM/update_elasticsearch_with_segments.py:165-268` applied to the
+    * image-dedup face). */
+  def writePhashIndex(imgs: DataFrame, dir: String, grid: Int = 4,
+      bands: Int = 4, buckets: Int = PhashBuckets): Unit = {
+    val s = imgs.sparkSession
+    bandedPhash(phashOf(imgs, grid), bands, grid, buckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/hashes")
+    import s.implicits._
+    Seq((grid, bands, buckets)).toDF("grid", "bands", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Append an increment's hashes to an existing index. Rows are
+    * per-(band, doc) and new doc_ids touch no existing row, so appending
+    * files IS the merge — one parquet job, no derived tables to
+    * recombine (the [[Dedup.appendToMinhashIndex]] argument). Config
+    * comes from the index's own meta. */
+  def appendToPhashIndex(imgs: DataFrame, dir: String): Unit = {
+    val s = imgs.sparkSession
+    val (grid, bands, buckets) = readPhashMeta(s, dir)
+    bandedPhash(phashOf(imgs, grid), bands, grid, buckets)
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/hashes")
+  }
+
+  /** Takedown: mark image docs deleted — O(|ids|), no bucket file
+    * rewritten; [[probePhashIndex]] stops pairing against them
+    * immediately, [[compactPhashIndex]] reclaims rows on schedule. The
+    * image-specific point: a recalled image must stop SUPPRESSING
+    * others — after deletion, an arriving near-dup of only the recalled
+    * frame passes clean. */
+  def deleteFromPhashIndex(ids: DataFrame, idCol: org.apache.spark.sql.Column,
+      dir: String): Unit =
+    graft.sources.Tombstones.add(ids, idCol, dir)
+
+  /** Apply accumulated tombstones physically: one pruned scan finds the
+    * buckets holding deleted rows (≤ the index's bucket count), each
+    * rewrites through the crash-safe swap-with-straddle-carry, then the
+    * tombstone store drops. Idempotent on re-run after a crash
+    * (tombstones clear last) — the [[Dedup.compactMinhashIndex]]
+    * lifecycle verbatim. */
+  def compactPhashIndex(s: SparkSession, dir: String,
+      onStep: String => Unit = _ => ()): Unit = {
+    graft.sources.Tombstones.healPartitions(s, s"$dir/hashes")
+    graft.sources.Tombstones.ids(s, dir).foreach { tomb =>
+      val touched = s.read.parquet(s"$dir/hashes")
+        .join(tomb, col("doc_id") === tomb("id"), "left_semi")
+        .select(col("bucket").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      touched.foreach { b =>
+        graft.sources.Tombstones.rewriteLive(s, s"$dir/hashes/bucket=$b",
+          df => df.join(tomb, col("doc_id") === tomb("id"), "left_anti"), onStep)
+      }
+      graft.sources.Tombstones.clear(s, dir)
+    }
+  }
+
+  /** Probe the at-rest index with an increment of images → cross-corpus
+    * near-dup pairs (doc_a = increment, doc_b = indexed, hamming ≤
+    * `maxHamming`). Only the INCREMENT is decoded at probe time — the
+    * lake side is 8-byte at-rest hashes — and the increment's ≤`buckets`
+    * distinct bucket ids become PartitionFilters on the index (the
+    * [[Dedup.probeMinhashIndex]] pruning pattern). Pigeonhole recall:
+    * maxHamming < bands ⟹ every qualifying pair shares a clean band and
+    * is always proposed; exact bit_count disposes — proposal is banded,
+    * disposal exact, same as every dedup family here. */
+  def probePhashIndex(increment: DataFrame, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val s = increment.sparkSession
+    val (grid, bands, buckets) = readPhashMeta(s, dir)
+    require(maxHamming < bands,
+      s"probePhashIndex: pigeonhole recall needs maxHamming < bands ($bands), got $maxHamming")
+    val probe = bandedPhash(phashOf(increment, grid), bands, grid, buckets)
+      .localCheckpoint() // feeds the touched-bucket collect AND the join
+    val touched = probe.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    // tombstones filter the lake side before pairing; heal first — a
+    // compaction crash may have left a bucket partition vacated
+    graft.sources.Tombstones.healPartitions(s, s"$dir/hashes")
+    val idx = graft.sources.Tombstones.dropDeleted(
+        s.read.parquet(s"$dir/hashes").filter(col("bucket").isin(touched: _*)),
+        col("doc_id"), dir)
+      .select("doc_id", "phash", "band", "key")
+    probe.as("x").join(idx.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      // an increment row that was (wrongly) already indexed must not
+      // surface as its own hamming-0 near-dup
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Per-JVM at-rest phash index caches (the [[Dedup]] sigIdxCache
+    * pattern): testdata dirs are immutable, so one build serves every
+    * invocation and Bench reps measure the PROBE path — production
+    * signs the frame lake once at ingest and probes forever after. The
+    * del cache is a SEPARATE physical index (tombstoned) so
+    * `mm_phash_dedup_idx`'s probes stay delete-free. */
+  private val phashIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val phashDelIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      phashIdxCache.values.forEach { dir => rm(new java.io.File(dir)) }
+      phashDelIdxCache.values.forEach { dir => rm(new java.io.File(dir)) }
+    }))
+  }
+
+  /** [[phashDedup]] served from the AT-REST hash index: the corpus is
+    * decoded + hashed ONCE ([[writePhashIndex]], cached per JVM×sfDir)
+    * and the probe pairs against 8-byte at-rest hashes. doc_a < doc_b
+    * normalization makes the output — and therefore the DuckDB oracle —
+    * IDENTICAL to the in-plan pass: the banded join proposes the same
+    * (band, key) collisions from the same shared hash derivation, and
+    * the exact bit_count disposes identically (a theorem via pigeonhole,
+    * not a corpus property — same as [[phashDedup]]'s own oracle
+    * argument). At this bench both sides of the join hash the same
+    * corpus, so the decode saving is nil BY CONSTRUCTION; production
+    * probes an increment that is ≪ the lake, which is where the at-rest
+    * layout pays (the decode is the cost at 100 TB). */
+  def phashDedupIdx(s: SparkSession, d: String): DataFrame = {
+    val dir = phashIdxCache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ph_idx").toString
+      writePhashIndex(corpusImgs(s, d), tmp)
+      tmp
+    })
+    probePhashIndex(corpusImgs(s, d), dir)
+      .filter(col("doc_a") < col("doc_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The takedown set for [[phashDedupIdxDel]] — a deterministic slice
+    * (doc_id ≡ 3 mod 7) large enough to strike real pairs at every SF,
+    * spelled identically in the oracle's WHERE. */
+  private def phashDeletedPred = pmod(col("doc_id"), lit(7L)) === 3L
+
+  /** [[phashDedupIdx]] after a takedown ([[deleteFromPhashIndex]] —
+    * O(|ids|), no bucket rewritten): recalled images neither pair nor
+    * probe (a removed doc is gone from BOTH sides of the audit), so the
+    * oracle is the brute all-pairs SQL with the takedown slice filtered
+    * out. The physical half ([[compactPhashIndex]]) is spec-pinned. */
+  def phashDedupIdxDel(s: SparkSession, d: String): DataFrame = {
+    val dir = phashDelIdxCache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ph_del").toString
+      writePhashIndex(corpusImgs(s, d), tmp)
+      deleteFromPhashIndex(
+        Tables.documents(s, d).filter(phashDeletedPred).select("doc_id"),
+        col("doc_id"), tmp)
+      tmp
+    })
+    probePhashIndex(
+        corpusImgs(s, d).filter(!phashDeletedPred), dir)
+      .filter(col("doc_a") < col("doc_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The INDEX BUILD cost of [[phashDedupIdx]], benched as its own row
+    * (the `dedup_cross_idx_build` split): every invocation decodes +
+    * hashes + bucket-partitions FRESH into scratch, so each bench rep
+    * times a real build — at 100 TB this is the scheduled
+    * decode-amortization job, not a per-query cost. Output is the
+    * build's audit summary read back FROM the written layout (docs
+    * hashed, band rows), oracle-checked as counting arithmetic
+    * (band_rows = docs × 4 bands — every doc signed exactly once per
+    * band). */
+  def phashIdxBuild(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ph_build").toString
+    writePhashIndex(corpusImgs(s, d), tmp)
+    val r = s.read.parquet(s"$tmp/hashes")
+      .agg(countDistinct(col("doc_id")).as("docs_signed"),
+        count(lit(1)).as("band_rows")).head()
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(tmp))
+    import s.implicits._
+    Seq((r.getLong(0), r.getLong(1))).toDF("docs_signed", "band_rows")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_phash_dedup" -> ((s, d) => phashDedup(s, d)),
+    "mm_phash_dedup_idx" -> phashDedupIdx,
+    "mm_phash_dedup_idx_del" -> phashDedupIdxDel,
+    "mm_phash_idx_build" -> phashIdxBuild,
     "mm_binary_meta" -> binaryMeta,
     "mm_chunk" -> chunk,
     "mm_decode_embed" -> decodeEmbed,
@@ -353,6 +615,67 @@ object Multimodal {
          FROM hb a JOIN hb b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.phash, b.phash)) <= 3
          ORDER BY doc_a, doc_b""",
+    // identical semantics served from the at-rest index — the oracle is
+    // mm_phash_dedup's verbatim (same shared hash derivation, same
+    // pigeonhole-guaranteed proposal, same exact disposal)
+    "mm_phash_dedup_idx" ->
+      """WITH ids AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+           FROM documents),
+         px AS (SELECT doc_id, w, h, unnest(range(w)) AS x, y
+           FROM (SELECT doc_id, w, h, unnest(range(h)) AS y FROM ids)),
+         v AS (SELECT doc_id,
+             (y * 4 // h) * 4 + (x * 4 // w) AS cell,
+             ((31*doc_id + 7*x + 13*y) % 256)
+               + ((17*doc_id + 11*x + 5*y) % 256)
+               + ((23*doc_id + 3*x + 19*y) % 256) AS gray
+           FROM px),
+         c AS (SELECT doc_id, cell, CAST(sum(gray) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+           FROM v GROUP BY doc_id, cell),
+         t AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS total,
+             CAST(sum(n) AS BIGINT) AS npix
+           FROM c GROUP BY doc_id),
+         hb AS (SELECT c.doc_id,
+             CAST(sum(CASE WHEN c.s * t.npix > t.total * c.n
+               THEN 1 << c.cell ELSE 0 END) AS BIGINT) AS phash
+           FROM c JOIN t USING (doc_id) GROUP BY c.doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         FROM hb a JOIN hb b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         ORDER BY doc_a, doc_b""",
+    // after takedown: the doc_id % 7 = 3 slice is gone from both sides
+    "mm_phash_dedup_idx_del" ->
+      """WITH ids AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+           FROM documents WHERE doc_id % 7 != 3),
+         px AS (SELECT doc_id, w, h, unnest(range(w)) AS x, y
+           FROM (SELECT doc_id, w, h, unnest(range(h)) AS y FROM ids)),
+         v AS (SELECT doc_id,
+             (y * 4 // h) * 4 + (x * 4 // w) AS cell,
+             ((31*doc_id + 7*x + 13*y) % 256)
+               + ((17*doc_id + 11*x + 5*y) % 256)
+               + ((23*doc_id + 3*x + 19*y) % 256) AS gray
+           FROM px),
+         c AS (SELECT doc_id, cell, CAST(sum(gray) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+           FROM v GROUP BY doc_id, cell),
+         t AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS total,
+             CAST(sum(n) AS BIGINT) AS npix
+           FROM c GROUP BY doc_id),
+         hb AS (SELECT c.doc_id,
+             CAST(sum(CASE WHEN c.s * t.npix > t.total * c.n
+               THEN 1 << c.cell ELSE 0 END) AS BIGINT) AS phash
+           FROM c JOIN t USING (doc_id) GROUP BY c.doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         FROM hb a JOIN hb b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         ORDER BY doc_a, doc_b""",
+    // build audit: every doc signed exactly once per band (4 bands)
+    "mm_phash_idx_build" ->
+      """SELECT CAST(count(*) AS BIGINT) AS docs_signed,
+           CAST(4 * count(*) AS BIGINT) AS band_rows
+         FROM documents""",
     "mm_binary_meta" ->
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -870,6 +870,45 @@ object Streams {
       .start()
   }
 
+  /** Streaming maintenance of a [[graft.operators.Multimodal
+    * .writePhashIndex]] layout — the image-family sibling of
+    * [[gramIngest]]: every arriving micro-batch of (doc_id, payload)
+    * images is decoded + perceptually hashed ONCE and its banded rows
+    * appended into the bucket-partitioned parquet, so a
+    * [[graft.operators.Multimodal.probePhashIndex]] serves new frames as
+    * soon as their batch commits — the decode cost is paid at ingest,
+    * never again at audit time (the whole point of the at-rest layout).
+    * First batch writes the index (fixing grid/bands/buckets in meta);
+    * later batches append under the index's own config. Exactly-once via
+    * the standard `_batch_<id>` marker; heal-first so a crashed
+    * compaction never hides a bucket from the append's readers. */
+  def phashIngest(imgs: DataFrame, indexDir: String, checkpoint: String,
+      grid: Int = 4, bands: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireConsistentMarkers(imgs.sparkSession, indexDir, checkpoint)
+    imgs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          graft.sources.Tombstones.healPartitions(s, s"$indexDir/hashes")
+          val metaDir = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+          val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batch_$batchId")
+          val f = metaDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!f.exists(marker)) { // replayed-but-applied batch: skip
+            if (f.exists(metaDir))
+              graft.operators.Multimodal.appendToPhashIndex(batch, indexDir)
+            else
+              graft.operators.Multimodal.writePhashIndex(batch, indexDir,
+                grid = grid, bands = bands)
+            f.create(marker, true).close() // applied — commit the batch id
+          }
+        }
+      }
+      .start()
+  }
+
   /** One micro-batch of [[ivfIngest]], exposed so replay idempotence is
     * directly testable: assign + append the batch into the IVF layout
     * unless its `_batch_<id>` marker says it already landed. The marker

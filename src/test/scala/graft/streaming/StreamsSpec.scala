@@ -759,6 +759,51 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("phashIngest: streamed image batches are immediately probe-visible; equals a one-shot build") {
+    import graft.operators.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("graft_ph_stream").toString
+    def imgs(ids: Seq[Long]) = graft.sources.JdkImage
+      .renderBmpFixtures(ids.toDF("doc_id")).toDF("doc_id", "payload")
+    val all = (1L to 120L)
+    val (b2ids, b1ids) = all.partition(_ % 3 == 0)
+    val probeIds = all
+    def probe(): Set[(Long, Long, Long)] =
+      Multimodal.probePhashIndex(imgs(probeIds), s"$dir/idx")
+        .filter($"doc_a" < $"doc_b")
+        .as[(Long, Long, Long)].collect().toSet
+    val input = MemoryStream[Long]
+    val q = Streams.phashIngest(
+      input.toDF().toDF("doc_id")
+        .join(imgs(all), "doc_id"), // payload joined per batch
+      s"$dir/idx", s"$dir/ckpt")
+    try {
+      input.addData(b1ids); q.processAllAvailable()
+      val after1 = probe()
+      input.addData(b2ids); q.processAllAvailable()
+      val after2 = probe()
+      // batch analog: one-shot builds over each prefix of the lake
+      def oneShot(lake: Seq[Long]): Set[(Long, Long, Long)] = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ph_ref").toString
+        Multimodal.writePhashIndex(imgs(lake), tmp)
+        Multimodal.probePhashIndex(imgs(probeIds), tmp)
+          .filter($"doc_a" < $"doc_b")
+          .as[(Long, Long, Long)].collect().toSet
+      }
+      assert(after1 === oneShot(b1ids),
+        "probe after batch 1 = one-shot build on prefix 1")
+      assert(after2 === oneShot(all.toSeq),
+        "probe after batch 2 = one-shot build on the union")
+      assert(after1 !== after2,
+        "batch 2's appended frames must actually add pairs")
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("ivfIngest: streamed IVF index serves identical to a batch build; replays skip") {
     import graft.operators.Search
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
