@@ -313,9 +313,16 @@ object Curation {
     * [[Dedup.minhashLsh]] discipline: cross-corpus banding proposes
     * ([[Dedup.minhashPairsAcross]] — train signatures never self-pair,
     * band-bucket joins only, hot-bucket guard available), exact
-    * 3-shingle Jaccard ≥ 0.5 disposes ([[Dedup.verifyJaccard]] — the
-    * recall-1-at-verify-threshold argument makes the whole pass
-    * oracle-checkable against all-pairs SQL). Output shape matches
+    * 3-shingle Jaccard ≥ 0.5 disposes ([[Dedup.verifyJaccard]]). The
+    * all-pairs-SQL oracle equality is CORPUS-VERIFIED, not structural:
+    * unlike the Bloom leg (no false negatives by construction) and the
+    * phash leg (pigeonhole), a true J ≥ 0.5 pair CAN miss every band
+    * with nonzero probability — it is ~1e-13 here only because the
+    * pinned corpus's qualifying pairs sit at J ≥ 0.95 (a 16×4 banding
+    * misses a J = 0.5 pair with probability (1−0.5⁴)¹⁶ ≈ 0.36). On
+    * another corpus, size (bands, rows) to the J distribution actually
+    * present, or a benchmark near-copy at the threshold edge can slip
+    * the strip. Output shape matches
     * [[curateDecontam]]: the surviving train ids. At 100 TB the
     * banding side is the only corpus-scale shuffle; the verify join
     * touches candidate pairs only. */
@@ -368,8 +375,10 @@ object Curation {
     * itself and probes band buckets by partition pruning
     * ([[Dedup.probeMinhashIndex]] — touched-bucket pushdown, tombstone
     * heal, hot-bucket guard). Survivors are identical to the in-plan
-    * pass by the same recall-1-at-verify-threshold argument, so it
-    * SHARES `curate_decontam_fuzzy`'s oracle bit for bit. */
+    * pass (same signatures, same band keys, same verify stage), so it
+    * SHARES `curate_decontam_fuzzy`'s oracle bit for bit — with that
+    * oracle's corpus-verified (not structural) recall caveat, see
+    * [[decontaminateFuzzy]]. */
   def curateDecontamFuzzyIdx(s: SparkSession, d: String): DataFrame = {
     val docs = Dedup.blocked(s, d)
     val isTest = graft.functions.HashFunctions.md5Bucket16(col("doc_id")) === "0"

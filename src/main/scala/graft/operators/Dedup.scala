@@ -635,6 +635,92 @@ object Dedup {
       .filter(col("cos") >= minCos)
   }
 
+  // =========================================================================
+  // At-rest hyperplane-signature index — the embedding-LSH serving layout
+  // =========================================================================
+
+  /** Bucket-directory count for [[writeHyperplaneIndex]] — the
+    * [[SigBuckets]] sizing rule applied to the embedding family. */
+  val HplBuckets = 64
+
+  private def readHplMeta(s: SparkSession, dir: String): (Int, Int, Int) = {
+    val r = s.read.parquet(s"$dir/meta")
+      .select("nbits", "bands", "buckets").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** The banded hyperplane-signature relation index writes and probes
+    * share — the same derivation [[embeddingPairsLsh]] bands in-plan
+    * ([[TextExpressions.hyperplaneSig]] + [[packedBandKeys]]), so
+    * at-rest rows and probe rows can never drift. */
+  private def bandedHpl(df: DataFrame, id: Column, vec: Column,
+      nbits: Int, bands: Int, buckets: Int): DataFrame =
+    df.select(id.as("vec_id"),
+        TextExpressions.hyperplaneSig(df.sparkSession, vec, nbits).as("sig"))
+      .select(col("vec_id"),
+        explode(array(packedBandKeys(col("sig"), bands, nbits / bands): _*))
+          .as("band"))
+      .withColumn("bucket", pmod(xxhash64(col("band")), lit(buckets.toLong)))
+
+  /** Write the at-rest hyperplane-signature index: one (vec_id, band)
+    * row per band, hash-partitioned into `buckets` dirs + a one-row
+    * config table — [[writeMinhashIndex]]'s lifecycle for the EMBEDDING
+    * near-dup family. The 100 TB point: sign the vector lake once, and
+    * every arriving increment probes band buckets by partition pruning
+    * instead of re-signing (and re-reading) the lake; candidate pairs
+    * then rescore with exact cosine against the lake table, so banding
+    * only ever decides the exchange volume, never a score. */
+  def writeHyperplaneIndex(df: DataFrame, id: Column, vec: Column,
+      dir: String, nbits: Int = 64, bands: Int = 32,
+      buckets: Int = HplBuckets): Unit = {
+    val s = df.sparkSession
+    bandedHpl(df, id, vec, nbits, bands, buckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands")
+    import s.implicits._
+    Seq((nbits, bands, buckets)).toDF("nbits", "bands", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Append an increment's signatures — files ARE the merge (per-band
+    * rows, no derived tables); config from the index's own meta. */
+  def appendToHyperplaneIndex(df: DataFrame, id: Column, vec: Column,
+      dir: String): Unit = {
+    val s = df.sparkSession
+    val (nbits, bands, buckets) = readHplMeta(s, dir)
+    bandedHpl(df, id, vec, nbits, bands, buckets)
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/bands")
+  }
+
+  /** Takedown: O(|ids|) tombstone — probes stop pairing immediately;
+    * physical reclaim on schedule via the shared Tombstones rewrite. */
+  def deleteFromHyperplaneIndex(ids: DataFrame, idCol: Column,
+      dir: String): Unit =
+    graft.sources.Tombstones.add(ids, idCol, dir)
+
+  /** Probe the at-rest index with an increment of vectors → candidate
+    * pairs (vec_a = increment, vec_b = indexed). Only the increment is
+    * signed; its ≤`buckets` distinct bucket ids prune the index read.
+    * Callers rescore with exact cosine against the vector lake (the
+    * [[verifyJaccard]]-style sketch-proposes / exact-disposes split). */
+  def probeHyperplaneIndex(increment: DataFrame, id: Column, vec: Column,
+      dir: String): DataFrame = {
+    val s = increment.sparkSession
+    val (nbits, bands, buckets) = readHplMeta(s, dir)
+    val probe = bandedHpl(increment, id, vec, nbits, bands, buckets)
+      .localCheckpoint() // feeds the touched-bucket collect AND the join
+    val touched = probe.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    graft.sources.Tombstones.healPartitions(s, s"$dir/bands")
+    val idx = graft.sources.Tombstones.dropDeleted(
+        s.read.parquet(s"$dir/bands").filter(col("bucket").isin(touched: _*)),
+        col("vec_id"), dir)
+      .select(col("vec_id"), col("band"))
+    probe.as("x").join(idx.as("y"), col("x.band") === col("y.band"))
+      .filter(col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * partition the corpus into semantic clusters, then run the pairwise
     * cosine test ONLY within each cluster — the cluster assignment turns
@@ -1002,6 +1088,51 @@ object Dedup {
       minCos = 0.45, bands = 32)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_a"), asc("vec_b")).limit(50)
+
+  /** Per-JVM at-rest hyperplane index cache ([[sigIdxCache]] rationale:
+    * immutable testdata dirs; one build, probe-path measurements). */
+  private val hplIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      hplIdxCache.values.forEach { dir => rm(new java.io.File(dir)) }
+    }))
+  }
+
+  /** [[embeddingNearDupLsh]] served from the AT-REST hyperplane index
+    * at the same recall-1 32×2 band config — the r13-verdict ask: the
+    * embedding family's meter (`dedup_embedding_lsh_prod`) now has an
+    * index-served oracle row beside the in-plan one. The vector lake is
+    * signed once ([[writeHyperplaneIndex]], cached per JVM×sfDir);
+    * probes prune band buckets; candidates rescore with EXACT cosine
+    * against the lake table, so output ≡ [[embeddingNearDupLsh]] and it
+    * SHARES that query's all-pairs oracle (same corpus-verified
+    * recall-1 license — [[dedupLshRecallQ]] measures 1.0 for this
+    * config). The prod 8×8 row stays the benched config + recall
+    * meter. */
+  def embeddingNearDupLshIdx(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dir = hplIdxCache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hpl_idx").toString
+      writeHyperplaneIndex(emb, col("vec_id"), col("embedding"), tmp,
+        nbits = 64, bands = 32)
+      tmp
+    })
+    val cands = probeHyperplaneIndex(emb, col("vec_id"), col("embedding"), dir)
+      .filter(col("vec_a") < col("vec_b"))
+    val base = emb.select(col("vec_id"), col("embedding").as("__v"))
+    cands
+      .join(base.select(col("vec_id").as("vec_a"), col("__v").as("va")), "vec_a")
+      .join(base.select(col("vec_id").as("vec_b"), col("__v").as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        fusedCosine(s, col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_a"), asc("vec_b")).limit(50)
+  }
 
   /** [[embeddingPairsLsh]] at the PRODUCTION band config — 8 bands ×
     * 8 bits, the default a user gets and the one that stays sparse at
@@ -1500,6 +1631,7 @@ object Dedup {
     "dedup_span_excise" -> spanExciseQ,
     "dedup_embedding" -> embeddingNearDup,
     "dedup_embedding_lsh" -> embeddingNearDupLsh,
+    "dedup_embedding_lsh_idx" -> embeddingNearDupLshIdx,
     "dedup_embedding_lsh_prod" -> embeddingNearDupLshProd,
     "dedup_lsh_recall" -> dedupLshRecallQ,
     "dedup_semantic" -> semanticDedupQ,
@@ -1720,6 +1852,16 @@ object Dedup {
     // sf0.1) — scores are exact cosine on candidates, so the whole
     // propose/rescore pipeline is hash-checked against brute force
     "dedup_embedding_lsh" ->
+      """WITH pair AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         SELECT vec_a, vec_b, round(cos, 6) AS cos
+         FROM pair WHERE cos >= 0.45
+         ORDER BY round(cos, 6) DESC, vec_a, vec_b LIMIT 50""",
+    // index-served at the same recall-1 config + exact rescore ⇒ shares
+    // the all-pairs oracle verbatim (corpus-verified recall license)
+    "dedup_embedding_lsh_idx" ->
       """WITH pair AS (
            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos

@@ -114,4 +114,46 @@ class DedupIndexSpec extends SparkSpec {
     assert(n(0) === 30L, "unguarded probe pairs the increment with every copy")
     assert(n(10) === 0L, "guard drops bands occupied beyond the cap")
   }
+
+  test("hyperplane index: probe+rescore ≡ in-plan embeddingPairsLsh; append ≡ rebuild; takedown drops pairs") {
+    import graft.functions.VectorExpressions.fusedCosine
+    val emb = graft.Tables.embeddings(spark, d)
+    def rescored(cands: org.apache.spark.sql.DataFrame) = {
+      val base = emb.select(col("vec_id"), col("embedding").as("__v"))
+      cands.filter(col("vec_a") < col("vec_b"))
+        .join(base.select(col("vec_id").as("vec_a"), col("__v").as("va")), "vec_a")
+        .join(base.select(col("vec_id").as("vec_b"), col("__v").as("vb")), "vec_b")
+        .select(col("vec_a"), col("vec_b"),
+          round(fusedCosine(spark, col("va"), col("vb")), 6).as("cos"))
+        .filter(col("cos") >= 0.45)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val inPlan = Dedup.embeddingPairsLsh(emb, col("vec_id"), col("embedding"),
+        minCos = 0.45, bands = 32)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // one-shot build + whole-corpus probe = the in-plan banded join
+    val dir = java.nio.file.Files.createTempDirectory("graft_hpl_spec").toString
+    Dedup.writeHyperplaneIndex(emb, col("vec_id"), col("embedding"), dir,
+      bands = 32)
+    val served = rescored(
+      Dedup.probeHyperplaneIndex(emb, col("vec_id"), col("embedding"), dir))
+    assert(inPlan.nonEmpty && served === inPlan)
+    // append ≡ rebuild over the union
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_hpl_app").toString
+    Dedup.writeHyperplaneIndex(emb.filter(col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"), dir2, bands = 32)
+    Dedup.appendToHyperplaneIndex(emb.filter(col("vec_id") % 2 =!= 0),
+      col("vec_id"), col("embedding"), dir2)
+    assert(rescored(Dedup.probeHyperplaneIndex(emb, col("vec_id"),
+      col("embedding"), dir2)) === inPlan)
+    // takedown: the recalled vector stops pairing at once
+    import spark.implicits._
+    val victim = inPlan.head._1
+    Dedup.deleteFromHyperplaneIndex(Seq(victim).toDF("vec_id"),
+      col("vec_id"), dir)
+    val afterDel = rescored(Dedup.probeHyperplaneIndex(
+      emb.filter(col("vec_id") =!= victim), col("vec_id"), col("embedding"), dir))
+    assert(afterDel === inPlan.filter(p => p._1 != victim && p._2 != victim))
+  }
 }
