@@ -131,4 +131,47 @@ class ServingHttpSpec extends SparkSpec {
       assert(body === """{"error":"File too large. Max size: 16MB"}""")
     }
   }
+
+  test("concurrent searches don't stall /health; parallel responses ≡ the pure function") {
+    // Substantiates the cached-pool rationale at ServingHttp.start: with
+    // a NULL executor every handler would run on the single dispatcher
+    // thread, so a burst of slow collect()-backed searches would queue
+    // /health behind them past any liveness probe. Shape: launch N
+    // searches concurrently, then (while they are in flight) demand
+    // /health — it must answer BEFORE the search burst drains, and
+    // every search must still return the exact pure-function body.
+    withServer { port =>
+      val json = """{"mode":"whole","top_k":3,"query_image_id":1}"""
+      val want = Serving.handle(spark, d, json)
+      val n = 6
+      val results = new java.util.concurrent.ConcurrentHashMap[Int, (Int, String)]()
+      val done = new java.util.concurrent.CountDownLatch(n)
+      val lastSearchDone = new java.util.concurrent.atomic.AtomicLong(0L)
+      (0 until n).foreach { i =>
+        new Thread(() => {
+          try results.put(i, post(port, "/search/whole", json))
+          finally {
+            lastSearchDone.set(System.nanoTime()); done.countDown()
+          }
+        }, s"burst-$i").start()
+      }
+      Thread.sleep(50) // let the burst reach the server first
+      val (hs, hb) = req(port, "GET", "/health")
+      val healthDone = System.nanoTime()
+      assert(hs === 200 && hb.contains("\"status\":\"healthy\""))
+      val stillInFlight = done.getCount > 0
+      assert(done.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "search burst must drain")
+      // health either answered while searches were still in flight, or
+      // (if the burst happened to drain first) strictly before the last
+      // search finished — both prove it was not queued behind the burst
+      assert(stillInFlight || healthDone < lastSearchDone.get,
+        "/health must not be serialized behind the search burst")
+      (0 until n).foreach { i =>
+        val (st, body) = results.get(i)
+        assert(st === 200, s"burst request $i: status $st")
+        assert(body === want, s"burst request $i drifted from the pure function")
+      }
+    }
+  }
 }

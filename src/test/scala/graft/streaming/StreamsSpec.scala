@@ -567,6 +567,93 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed admission stack: gopherGated → fractionGatedIngest ≡ batch rules→model→fraction") {
+    // The production chain is rules → model → fraction in ONE ingest;
+    // the stages were spec'd separately until r14. Each phase-2 doc
+    // isolates one gate: gShort passes hygiene (≥5 tokens) but fails
+    // Gopher (<50 words); gJunk passes Gopher but sits below the
+    // fraction cut; gGood passes everything. Batch replay: the Gopher
+    // verdicts come from the batch operator, the threshold from the
+    // phase-1 sketch state, the margins from nbScore under the store.
+    import graft.operators.{Classify, TextAnalysis}
+    import graft.functions.TextFunctions
+    val dir = java.nio.file.Files.createTempDirectory("graft_stack").toString
+    val modelDir = s"$dir/model"
+    val sketchDir = s"$dir/sketch"
+    // disjoint alphabetic filler per doc (content dedup must not collapse
+    // docs; all-letters keeps the Gopher alpha ratio at 1.0)
+    def filler(tag: String): Seq[String] =
+      for (a <- Seq("ba", "de", "fi", "go", "lu", "ma", "ne", "po", "ra", "su");
+           b <- Seq("ton", "ver", "mel", "dor", "kin")) yield tag + a + b
+    def doc(tag: String, signal: String): String = {
+      val f = filler(tag) // 50 distinct words
+      (f.take(12) ++ Seq("the") ++ f.slice(12, 24) ++ Seq("and", "of") ++
+        f.slice(24, 36) ++ Seq("that", "have", "with") ++ f.slice(36, 50) ++
+        signal.split(" ")).mkString(" ")
+    }
+    val quality = "excellent fluent quality prose writing"
+    val junk = "spam junk garbage debris refuse"
+    val labeled = Seq(
+      (101L, doc("qa", quality), true), (102L, doc("qb", quality), true),
+      (103L, doc("ja", junk), false), (104L, doc("jb", junk), false))
+      .toDF("doc_id", "text", "pos")
+    Streams.applyNbBatch(labeled, $"text", $"pos", modelDir, batchId = 0L)
+    val p1 = Seq((1L, ts(0), "d1", doc("pa", quality)),
+      (2L, ts(1), "d1", doc("pb", junk)))
+    val gShort = (filler("sa").take(15) ++ Seq("the", "and", "of") ++
+      quality.split(" ")).mkString(" ") // 23 words: hygiene-pass, Gopher-fail
+    val p2 = Seq(
+      (3L, ts(2), "d2", gShort),
+      (4L, ts(3), "d2", doc("pc", junk)),
+      (5L, ts(4), "d2", doc("pd", quality)))
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val q = Streams.fractionGatedIngest(
+      Streams.gopherGated(input.toDF().toDF("id", "ts", "day", "text"),
+        "text", stopwords = TextFunctions.EnglishStopwords),
+      textCol = "text", keyCol = "id", tsCol = "ts", partCol = "day",
+      target = s"$dir/t", checkpoint = s"$dir/ckpt",
+      modelDir = modelDir, sketchDir = sketchDir, frac = 0.5)
+    def landed(): Set[Long] = spark.read.parquet(s"$dir/t")
+      .select("event_id").as[Long].collect().toSet
+    try {
+      input.addData(p1); q.processAllAvailable()
+      assert(landed() === Set(1L, 2L), "seed: both Gopher-passed docs land")
+      input.addData(p2); q.processAllAvailable()
+      assert(landed() === Set(1L, 2L, 5L),
+        s"stack: Gopher drops 3, fraction drops 4, 5 lands: ${landed()}")
+      // batch replay of each stage's verdict —
+      // (1) Gopher: the batch operator agrees doc 3 fails, 4 and 5 pass
+      val gopherPass = TextAnalysis.withGopherMetrics(
+          p2.toDF("id", "ts", "day", "text"), $"text",
+          stopwords = TextFunctions.EnglishStopwords)
+        .filter($"passes").select("id").as[Long].collect().toSet
+      assert(gopherPass === Set(4L, 5L))
+      // (2) fraction: the durable sidecar recorded phase 2's threshold
+      // (the pre-learn phase-1 median); margins from the batch scorer
+      // under the same store. The sketch itself has already absorbed
+      // phase 2's margins — exactly why the sidecar, not a recompute,
+      // is the replayable record.
+      val gates = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("sketch__gate_") &&
+          !f.getName.contains("tmp") && !f.getName.endsWith(".crc"))
+        .sortBy(f => f.getName.substring(f.getName.lastIndexOf('_') + 1).toLong)
+        .map { f =>
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          try src.mkString.trim finally src.close()
+        }
+      assert(gates.head === "seed" && gates.length === 2)
+      val thr = gates.last.toDouble
+      val (llr, scalars) = Streams.nbModelFromStore(spark, modelDir)
+      val m = Classify.nbScore(
+        Seq((4L, doc("pc", junk)), (5L, doc("pd", quality)))
+          .toDF("doc_id", "text"),
+        $"doc_id", $"text", llr, scalars)
+        .select("doc_id", "nb_margin").as[(Long, Double)].collect().toMap
+      assert(m(5L) >= thr && m(4L) < thr,
+        s"streamed gate ≡ batch rule on the Gopher survivors: $m vs $thr")
+    } finally q.stop()
+  }
+
   test("fractionGatedIngest: mid-swap crash state (__old) still gates — no wholesale admission") {
     // Simulates a crash inside applySketchBatch's two-rename swap
     // window: the live sketch dir is absent, the complete pre-batch
