@@ -308,6 +308,20 @@ class ClassifySpec extends SparkSpec {
     assert(top === (3601 to 4000).map(_.toLong).toSet)
   }
 
+  test("aucExactBy plans NO partition-less window (every fold is group-keyed)") {
+    // The docstring claims even the level-1 bucket fold partitions by
+    // group — assert it on the optimized plan, not by reading the code.
+    val df = (1 to 100).map(i => (s"g${i % 3}", (i * 7).toLong, i % 2 == 0))
+      .toDF("g", "s", "y")
+    val wins = Classify.aucExactBy(df, $"g", $"s", $"y")
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(wins.nonEmpty, "the prefix decomposition must plan windows")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"found a partition-less window in aucExactBy's plan")
+  }
+
   test("aucExactBy: per-group == whole-relation aucExact per slice; single-class group reads NULL") {
     val rows = (1 to 300).map { i =>
       (s"g${i % 3}", (i * 17 % 11).toLong, i % (2 + i % 2) == 0)
