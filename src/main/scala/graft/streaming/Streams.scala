@@ -909,6 +909,45 @@ object Streams {
       .start()
   }
 
+  /** Streaming maintenance of a [[graft.operators.Dedup
+    * .writeHyperplaneIndex]] layout — the embedding-LSH sibling of
+    * [[phashIngest]]: arriving (vec_id, embedding) batches are signed
+    * once and their banded rows appended into the bucket-partitioned
+    * parquet, so a [[graft.operators.Dedup.probeHyperplaneIndex]] pairs
+    * against new vectors as soon as their batch commits. First batch
+    * writes (fixing nbits/bands/buckets in meta); later batches append
+    * under the index's own config; `_batch_<id>` markers make replays
+    * skip. */
+  def hplIngest(vecs: DataFrame, vec: org.apache.spark.sql.Column,
+      indexDir: String, checkpoint: String,
+      nbits: Int = 64, bands: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireConsistentMarkers(vecs.sparkSession, indexDir, checkpoint)
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          graft.sources.Tombstones.healPartitions(s, s"$indexDir/bands")
+          val metaDir = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+          val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batch_$batchId")
+          val f = metaDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!f.exists(marker)) {
+            if (f.exists(metaDir))
+              graft.operators.Dedup.appendToHyperplaneIndex(
+                batch, col("vec_id"), vec, indexDir)
+            else
+              graft.operators.Dedup.writeHyperplaneIndex(
+                batch, col("vec_id"), vec, indexDir,
+                nbits = nbits, bands = bands)
+            f.create(marker, true).close()
+          }
+        }
+      }
+      .start()
+  }
+
   /** One micro-batch of [[ivfIngest]], exposed so replay idempotence is
     * directly testable: assign + append the batch into the IVF layout
     * unless its `_batch_<id>` marker says it already landed. The marker

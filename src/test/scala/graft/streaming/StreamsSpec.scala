@@ -891,6 +891,40 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("hplIngest: streamed hyperplane index pairs identical to a one-shot build") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_hpl_stream").toString
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toSeq
+    val (b2, b1) = emb.partition(_._1 % 3 == 0)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Streams.hplIngest(input.toDF().toDF("vec_id", "embedding"),
+      $"embedding", s"$dir/idx", s"$dir/ckpt")
+    def probe(path: String): Set[(Long, Long)] = {
+      val all = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      Dedup.probeHyperplaneIndex(all, $"vec_id", $"embedding", path)
+        .filter($"vec_a" < $"vec_b")
+        .as[(Long, Long)].collect().toSet
+    }
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val streamed = probe(s"$dir/idx")
+      Dedup.writeHyperplaneIndex(
+        graft.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+        $"vec_id", $"embedding", s"$dir/full")
+      assert(streamed === probe(s"$dir/full"),
+        "streamed index must pair exactly what a one-shot build pairs")
+      assert(streamed.nonEmpty, "fixture corpus must propose candidates")
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("ivfIngest: streamed IVF index serves identical to a batch build; replays skip") {
     import graft.operators.Search
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
