@@ -697,6 +697,26 @@ object Dedup {
       dir: String): Unit =
     graft.sources.Tombstones.add(ids, idCol, dir)
 
+  /** Apply accumulated hyperplane-index tombstones physically — the
+    * [[compactMinhashIndex]] lifecycle: pruned scan finds touched
+    * buckets, each rewrites through the crash-safe swap, tombstones
+    * clear last (idempotent on re-run after a crash). */
+  def compactHyperplaneIndex(s: SparkSession, dir: String,
+      onStep: String => Unit = _ => ()): Unit = {
+    graft.sources.Tombstones.healPartitions(s, s"$dir/bands")
+    graft.sources.Tombstones.ids(s, dir).foreach { tomb =>
+      val touched = s.read.parquet(s"$dir/bands")
+        .join(tomb, col("vec_id") === tomb("id"), "left_semi")
+        .select(col("bucket").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      touched.foreach { b =>
+        graft.sources.Tombstones.rewriteLive(s, s"$dir/bands/bucket=$b",
+          df => df.join(tomb, col("vec_id") === tomb("id"), "left_anti"), onStep)
+      }
+      graft.sources.Tombstones.clear(s, dir)
+    }
+  }
+
   /** Probe the at-rest index with an increment of vectors → candidate
     * pairs (vec_a = increment, vec_b = indexed). Only the increment is
     * signed; its ≤`buckets` distinct bucket ids prune the index read.

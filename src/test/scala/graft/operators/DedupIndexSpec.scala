@@ -155,5 +155,14 @@ class DedupIndexSpec extends SparkSpec {
     val afterDel = rescored(Dedup.probeHyperplaneIndex(
       emb.filter(col("vec_id") =!= victim), col("vec_id"), col("embedding"), dir))
     assert(afterDel === inPlan.filter(p => p._1 != victim && p._2 != victim))
+    // physical reclaim: rows gone from the at-rest table, probe unchanged,
+    // re-run a no-op
+    Dedup.compactHyperplaneIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/bands")
+      .filter(col("vec_id") === victim).count() === 0L)
+    Dedup.compactHyperplaneIndex(spark, dir)
+    assert(rescored(Dedup.probeHyperplaneIndex(
+      emb.filter(col("vec_id") =!= victim), col("vec_id"), col("embedding"), dir))
+      === afterDel)
   }
 }
