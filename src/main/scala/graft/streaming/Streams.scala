@@ -559,6 +559,12 @@ object Streams {
     * [[modelGatedIngest]] rule) or no margin history yet (an empty
     * distribution has no quantile — the first scored batch seeds it).
     *
+    * Marker retention: sidecars and sketch batch markers are pruned
+    * once they fall `markerRetention` batches behind (the engine
+    * replays at most the last uncommitted batch per checkpoint, so
+    * older markers are provably dead) — without this the gate writes
+    * one tiny file per batch for the stream's lifetime.
+    *
     * Unscorable docs (text that tokenizes to zero terms — possible only
     * post-redaction, since [[hygieneGated]] demands ≥5 raw tokens): once
     * the model is ready, ONLY SCORABLE DOCS LAND, uniformly in both the
@@ -570,9 +576,12 @@ object Streams {
   def fractionGatedIngest(df: DataFrame, textCol: String, keyCol: String,
       tsCol: String, partCol: String, target: String, checkpoint: String,
       modelDir: String, sketchDir: String, frac: Double = 0.1,
-      k: Int = 512, dedupWatermark: String = "1 hour")
+      k: Int = 512, dedupWatermark: String = "1 hour",
+      markerRetention: Long = 100L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(frac > 0.0 && frac <= 1.0, s"frac in (0,1], got $frac")
+    require(markerRetention >= 2,
+      s"markerRetention must cover the replay window, got $markerRetention")
     val spark = df.sparkSession
     val gated = hygieneGated(df, textCol)
     val deduped = dedupedByContent(gated, textCol,
@@ -656,10 +665,42 @@ object Streams {
               .select("__id", "__u", "__v")
             if (!prepared.isEmpty)
               applySketchBatch(prepared, sketchDir, batchId, k)
+            // bounded marker retention: gate sidecars and sketch batch
+            // markers otherwise accumulate one tiny file per batch for
+            // the stream's lifetime (FS-metadata bloat at 100 TB
+            // horizons). Structured Streaming replays at most the last
+            // uncommitted batch per checkpoint, so markers more than
+            // `markerRetention` batches old are provably dead for this
+            // checkpoint; only OUR tag's sidecars are pruned (another
+            // checkpoint's id sequence is not ours to judge).
+            pruneMarkers(f, sketchDir, s"__gate_${gateTag}_",
+              batchId - markerRetention)
+            pruneMarkers(f, sketchDir, "__batch_", batchId - markerRetention)
           } else sink(batch, batchId) // model cold start: heuristics only
         }
       }
       .start()
+  }
+
+  /** Delete `<stateDir><prefix><id>` sibling files with id < `beforeId`
+    * — the bounded-retention cleaner for per-batch marker families.
+    * Non-numeric suffixes (tmp files, other tags) are never touched. */
+  private def pruneMarkers(f: org.apache.hadoop.fs.FileSystem,
+      stateDir: String, prefix: String, beforeId: Long): Unit = {
+    if (beforeId <= 0) return
+    val state = new org.apache.hadoop.fs.Path(stateDir)
+    val parent = state.getParent
+    val full = state.getName + prefix
+    if (parent != null && f.exists(parent))
+      f.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(full)) {
+          val suffix = n.substring(full.length)
+          if (suffix.nonEmpty && suffix.forall(_.isDigit) &&
+              suffix.toLong < beforeId)
+            f.delete(st.getPath, false)
+        }
+      }
   }
 
   /** Resolve a READABLE complete copy of a sketch state dir without

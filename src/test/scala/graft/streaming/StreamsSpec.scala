@@ -654,6 +654,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fractionGatedIngest: marker retention prunes dead sidecars, keeps the replay window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_frac_prune").toString
+    val labeled = Seq(
+      (101L, "the quick brown fox is excellent quality writing and fluent prose", true),
+      (102L, "excellent fluent prose with quality words about the brown fox", true),
+      (103L, "spam junk garbage refuse debris pile with more spam and junk", false),
+      (104L, "the garbage refuse debris and spam junk words keep piling up", false))
+      .toDF("doc_id", "text", "pos")
+    Streams.applyNbBatch(labeled, $"text", $"pos", s"$dir/model", batchId = 0L)
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val q = Streams.fractionGatedIngest(
+      input.toDF().toDF("id", "ts", "day", "text"),
+      textCol = "text", keyCol = "id", tsCol = "ts", partCol = "day",
+      target = s"$dir/t", checkpoint = s"$dir/ckpt",
+      modelDir = s"$dir/model", sketchDir = s"$dir/sketch", frac = 0.5,
+      markerRetention = 2L)
+    def markers(): Set[String] = new java.io.File(dir).listFiles()
+      .map(_.getName)
+      .filter(n => (n.contains("__gate_") || n.contains("__batch_")) &&
+        !n.contains("tmp") && !n.endsWith(".crc"))
+      .toSet
+    try {
+      // three non-empty phases land batch ids 0, 2, 4 (empty batches
+      // consume the odd ids)
+      (0 to 2).foreach { i =>
+        input.addData(Seq((10L + i, ts(i), "d1",
+          s"an excellent fluent quality document number ${('a' + i).toChar} about the brown fox")))
+        q.processAllAvailable()
+      }
+      val m = markers()
+      // retention 2 at batch 4 prunes ids < 2: batch-0 markers gone,
+      // the replay window (ids 2 and 4) intact
+      assert(!m.exists(_.endsWith("_0")), s"dead id-0 markers must prune: $m")
+      assert(m.exists(_.endsWith("_2")) && m.exists(_.endsWith("_4")),
+        s"replay-window markers must survive: $m")
+    } finally q.stop()
+  }
+
   test("fractionGatedIngest: mid-swap crash state (__old) still gates — no wholesale admission") {
     // Simulates a crash inside applySketchBatch's two-rename swap
     // window: the live sketch dir is absent, the complete pre-batch
