@@ -107,6 +107,69 @@ object TextAnalysis {
       .drop("__toks", "__g", "__joined")
   }
 
+  /** The names [[withGopherLineMetrics]] appends, in output order. */
+  val GopherLineMetricCols: Seq[String] = Seq("n_lines", "bullet_frac",
+    "ellipsis_frac", "dup_line_frac", "dup_line_char_frac", "passes_lines")
+
+  /** Gopher LINE-level rules (Rae et al. 2021 A1.1, the half
+    * [[withGopherMetrics]]'s word-stream kernel deliberately left to a
+    * line split — this closes that documented omission), per doc over
+    * the non-empty (post-trim) lines of `text`:
+    *  - bullet fraction ≤ 0.90 (trimmed line starts "- ", "* " or "•"),
+    *  - ellipsis fraction ≤ 0.30 (trimmed line ends "..." or "…"),
+    *  - duplicate-line fraction ≤ 0.30 — EXCESS occurrences over
+    *    distinct lines, (n − n_distinct)/n,
+    *  - duplicate-line CHAR fraction ≤ 0.20 — chars across ALL
+    *    occurrences of any line appearing ≥ 2 times, over total line
+    *    chars (the Gopher "fraction of characters in duplicated lines"
+    *    reading).
+    * Definitions stated exactly because two integer-exact numerators
+    * exist for "duplication"; the oracle replays these spellings.
+    *
+    * Shape: pure per-row HOFs over the line array — zero shuffles, a
+    * map over the corpus scan like the word kernel. The dup-char term
+    * is O(distinct × lines) per doc, bounded by the document's own
+    * size, never by the corpus. A doc with no non-empty lines passes
+    * with zero fractions (nothing to object to). Row shape preserved —
+    * composes like [[withGopherMetrics]]. */
+  def withGopherLineMetrics(df: DataFrame, text: Column): DataFrame = {
+    val clash = df.columns.toSet.intersect(GopherLineMetricCols.toSet)
+    require(clash.isEmpty,
+      s"withGopherLineMetrics would clobber input columns: ${clash.toSeq.sorted.mkString(", ")}")
+    val isBullet = (x: Column) => startswith(trim(x), lit("- ")) ||
+      startswith(trim(x), lit("* ")) || startswith(trim(x), lit("•"))
+    val isEllipsis = (x: Column) => endswith(trim(x), lit("...")) ||
+      endswith(trim(x), lit("…"))
+    def frac(n: Column) =
+      coalesce(n.cast("double") /
+        nullif(col("n_lines"), lit(0L)).cast("double"), lit(0.0))
+    df.withColumn("__ls",
+        filter(split(text, "\n"), x => length(trim(x)) > 0))
+      .withColumn("n_lines", size(col("__ls")).cast("long"))
+      .withColumn("bullet_frac",
+        frac(size(filter(col("__ls"), isBullet)).cast("long")))
+      .withColumn("ellipsis_frac",
+        frac(size(filter(col("__ls"), isEllipsis)).cast("long")))
+      .withColumn("dup_line_frac",
+        frac((col("n_lines") - size(array_distinct(col("__ls"))).cast("long"))))
+      .withColumn("__dupchars", aggregate(
+        transform(array_distinct(col("__ls")), d =>
+          when(size(filter(col("__ls"), y => y === d)) > 1,
+            size(filter(col("__ls"), y => y === d)).cast("long") * length(d).cast("long"))
+            .otherwise(lit(0L))),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("__chars", aggregate(
+        transform(col("__ls"), x => length(x).cast("long")),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("dup_line_char_frac",
+        coalesce(col("__dupchars").cast("double") /
+          nullif(col("__chars"), lit(0L)).cast("double"), lit(0.0)))
+      .withColumn("passes_lines",
+        col("bullet_frac") <= 0.90 && col("ellipsis_frac") <= 0.30 &&
+          col("dup_line_frac") <= 0.30 && col("dup_line_char_frac") <= 0.20)
+      .drop("__ls", "__dupchars", "__chars")
+  }
+
   def gopherQualityOn(df: DataFrame, id: Column, text: Column,
       stopwords: Seq[String] = GopherStopwords): DataFrame =
     withGopherMetrics(df.select(id.as("doc_id"), text.as("__text")),
@@ -132,6 +195,31 @@ object TextAnalysis {
     gopherQualityOn(Tables.documents(s, d), col("doc_id"), col("text"),
       stopwords = EnglishStopwords)
       .filter(col("passes")).select("doc_id").orderBy("doc_id")
+
+  /** Named query: [[withGopherLineMetrics]] over a deterministic
+    * multi-line REFLOW of the documents table — the testdata corpus is
+    * single-line, so running the line rules on it directly would be a
+    * vacuous oracle (every fraction 0). The reflow builds real line
+    * structure from the text + doc_id alone (5-token lines; every
+    * (doc_id+i)≡0 mod 4 line is a fixed repeated literal, mod 7 gets a
+    * bullet prefix, mod 11 an ellipsis suffix — the fixture-from-formula
+    * idiom the mm_* queries use), so every rule has nonzero mass and
+    * the DuckDB oracle replays construction AND metrics end to end. */
+  def gopherLinesQ(s: SparkSession, d: String): DataFrame = {
+    val reflow = expr("""array_join(
+      transform(sequence(0, cast(ceil(size(split(text, ' ')) / 5.0) as int) - 1),
+        i -> CASE WHEN (doc_id + i) % 4 = 0
+               THEN 'repeat repeat repeat repeat repeat'
+               ELSE concat(
+                 CASE WHEN (doc_id + i) % 7 = 0 THEN '- ' ELSE '' END,
+                 array_join(slice(split(text, ' '), cast(i * 5 + 1 as int), 5), ' '),
+                 CASE WHEN (doc_id + i) % 11 = 0 THEN '...' ELSE '' END) END),
+      '\n')""")
+    withGopherLineMetrics(
+        Tables.documents(s, d).withColumn("__text2", reflow), col("__text2"))
+      .select((col("doc_id") +: GopherLineMetricCols.map(col)): _*)
+      .orderBy("doc_id")
+  }
 
   /** n-gram/stopword-marker language ID (argmax over per-language hit
     * counts; deterministic tie rule = LangMarkers declaration order). */
@@ -516,6 +604,7 @@ object TextAnalysis {
     "txt_quality" -> quality,
     "txt_gopher_quality" -> gopherQuality,
     "txt_gopher_filter" -> gopherFilter,
+    "txt_gopher_lines" -> gopherLinesQ,
     "txt_bigram_merge" -> bigramMerge,
     "txt_bpe_train" -> bpeTrainQ,
     "txt_bpe_encode" -> bpeEncodeQ,
@@ -651,6 +740,39 @@ object TextAnalysis {
              / greatest(length(text), 1) AS punct_ratio
          FROM t ORDER BY doc_id""",
     "txt_gopher_quality" -> s"$gopherSql ORDER BY doc_id",
+    // line rules over the deterministic reflow — construction AND
+    // metrics replayed (see gopherLinesQ for why the corpus reflows)
+    "txt_gopher_lines" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         l0 AS (SELECT doc_id,
+           [CASE WHEN (doc_id + i) % 4 = 0 THEN 'repeat repeat repeat repeat repeat'
+                 ELSE concat(
+                   CASE WHEN (doc_id + i) % 7 = 0 THEN '- ' ELSE '' END,
+                   array_to_string(list_slice(toks, CAST(i*5+1 AS INT), CAST(i*5+5 AS INT)), ' '),
+                   CASE WHEN (doc_id + i) % 11 = 0 THEN '...' ELSE '' END) END
+            FOR i IN range(0, CAST(ceil(len(toks)/5.0) AS INT))] AS ls0
+           FROM t),
+         l AS (SELECT doc_id, list_filter(ls0, x -> trim(x) != '') AS ls FROM l0),
+         m AS (SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(ls, x -> starts_with(trim(x), '- ') OR starts_with(trim(x), '* ') OR starts_with(trim(x), '•'))) AS BIGINT) AS n_bullet,
+           CAST(len(list_filter(ls, x -> ends_with(trim(x), '...') OR ends_with(trim(x), '…'))) AS BIGINT) AS n_ell,
+           CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup,
+           CAST(COALESCE(list_sum(list_transform(list_distinct(ls), d ->
+             CASE WHEN len(list_filter(ls, y -> y = d)) > 1
+               THEN len(list_filter(ls, y -> y = d)) * length(d) ELSE 0 END)), 0) AS BIGINT) AS dup_chars,
+           CAST(COALESCE(list_sum(list_transform(ls, x -> length(x))), 0) AS BIGINT) AS chars
+           FROM l)
+         SELECT doc_id, n_lines,
+           CASE WHEN n_lines = 0 THEN 0.0 ELSE CAST(n_bullet AS DOUBLE)/n_lines END AS bullet_frac,
+           CASE WHEN n_lines = 0 THEN 0.0 ELSE CAST(n_ell AS DOUBLE)/n_lines END AS ellipsis_frac,
+           CASE WHEN n_lines = 0 THEN 0.0 ELSE CAST(n_dup AS DOUBLE)/n_lines END AS dup_line_frac,
+           CASE WHEN chars = 0 THEN 0.0 ELSE CAST(dup_chars AS DOUBLE)/chars END AS dup_line_char_frac,
+           ((CASE WHEN n_lines = 0 THEN 0.0 ELSE CAST(n_bullet AS DOUBLE)/n_lines END) <= 0.90
+             AND (CASE WHEN n_lines = 0 THEN 0.0 ELSE CAST(n_ell AS DOUBLE)/n_lines END) <= 0.30
+             AND (CASE WHEN n_lines = 0 THEN 0.0 ELSE CAST(n_dup AS DOUBLE)/n_lines END) <= 0.30
+             AND (CASE WHEN chars = 0 THEN 0.0 ELSE CAST(dup_chars AS DOUBLE)/chars END) <= 0.20) AS passes_lines
+         FROM m ORDER BY doc_id""",
     "txt_gopher_filter" ->
       s"SELECT doc_id FROM ($gopherSql) WHERE passes ORDER BY doc_id",
     "txt_langid" -> {

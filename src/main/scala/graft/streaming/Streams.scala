@@ -148,6 +148,16 @@ object Streams {
       .filter(col("passes"))
       .drop(graft.operators.TextAnalysis.GopherMetricCols: _*)
 
+  /** Gopher LINE-rule admission gate ([[graft.operators.TextAnalysis
+    * .withGopherLineMetrics]]) as the same stateless per-row filter as
+    * [[gopherGated]] — rules → line rules → model → fraction composes
+    * in any order because every gate preserves row shape. */
+  def gopherLineGated(df: DataFrame, textCol: String): DataFrame =
+    graft.operators.TextAnalysis
+      .withGopherLineMetrics(df, col(textCol))
+      .filter(col("passes_lines"))
+      .drop(graft.operators.TextAnalysis.GopherLineMetricCols: _*)
+
   /** Internal row shape for [[nearDupPairsStream]]'s band posting list.
     * `ts` keeps the WATERMARK-TAGGED timestamp column alive into the
     * grouped Dataset — event-time timeout requires it downstream. (Not
