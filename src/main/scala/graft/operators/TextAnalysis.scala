@@ -205,8 +205,68 @@ object TextAnalysis {
     * bullet prefix, mod 11 an ellipsis suffix — the fixture-from-formula
     * idiom the mm_* queries use), so every rule has nonzero mass and
     * the DuckDB oracle replays construction AND metrics end to end. */
-  def gopherLinesQ(s: SparkSession, d: String): DataFrame = {
-    val reflow = expr("""array_join(
+  def gopherLinesQ(s: SparkSession, d: String): DataFrame =
+    withGopherLineMetrics(
+        Tables.documents(s, d).withColumn("__text2", reflowExpr), col("__text2"))
+      .select((col("doc_id") +: GopherLineMetricCols.map(col)): _*)
+      .orderBy("doc_id")
+
+  /** CCNet-style cross-corpus LINE dedup (Wenzek et al. 2020 §3.1 —
+    * the boilerplate-removal pass CommonCrawl pipelines run BEFORE
+    * doc-level dedup): a line that occurs more than `maxOcc` times
+    * across the WHOLE corpus (nav bars, cookie banners, license
+    * headers) is excised from every document; rarer lines keep their
+    * positions, so the doc's remaining structure survives. Output: one
+    * row per input doc — (doc_id, text_clean, n_lines, n_removed); a
+    * doc whose every line is boilerplate stays in the relation with
+    * empty text (the caller decides whether empty docs drop — this
+    * operator's contract is the transform, not the gate).
+    *
+    * Shape at 100 TB: posexplode → line-keyed count (map-side combine
+    * collapses per-partition repeats of hot boilerplate before the
+    * exchange) → count join back (line-keyed; a viral line is exactly
+    * the AQE skew-split case) → per-doc reassembly whose state is
+    * bounded by the DOCUMENT's own line count (array_sort over the
+    * collected (idx, line) structs — deterministic despite
+    * collect_list's arrival order). Line identity is the raw string —
+    * exact match, the CCNet rule; near-dup lines are [[graft.operators
+    * .Dedup]]'s job, not this pass's. */
+  def dedupLinesAcross(df: DataFrame, id: Column, text: Column,
+      maxOcc: Long): DataFrame = {
+    require(maxOcc >= 1, s"dedupLinesAcross: maxOcc >= 1, got $maxOcc")
+    val base = df.select(id.as("doc_id"),
+      filter(split(text, "\n"), x => length(trim(x)) > 0).as("__ls"))
+    val lines = base.select(col("doc_id"),
+      posexplode(col("__ls")).as(Seq("__idx", "__line")))
+    val counts = lines.groupBy("__line").agg(count(lit(1)).as("__n"))
+    val kept = lines.join(counts, Seq("__line"))
+      .filter(col("__n") <= maxOcc)
+      .groupBy("doc_id")
+      .agg(array_join(
+          transform(array_sort(collect_list(struct(col("__idx"), col("__line")))),
+            s => s.getField("__line")), "\n").as("text_clean"),
+        count(lit(1)).as("__kept"))
+    base.select(col("doc_id"), size(col("__ls")).cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Named query: [[dedupLinesAcross]] over the same deterministic
+    * reflow corpus as [[gopherLinesQ]] (single-line testdata would make
+    * the pass vacuous) — the planted `repeat …` literal occurs in ~¼ of
+    * all lines corpus-wide, so it excises everywhere, while ordinary
+    * 5-token slices stay under the cap. */
+  def lineDedupQ(s: SparkSession, d: String): DataFrame =
+    dedupLinesAcross(
+      Tables.documents(s, d).withColumn("__text2", reflowExpr),
+      col("doc_id"), col("__text2"), maxOcc = 10L)
+      .orderBy("doc_id")
+
+  /** The shared multi-line reflow (see [[gopherLinesQ]] for the why). */
+  private def reflowExpr = expr("""array_join(
       transform(sequence(0, cast(ceil(size(split(text, ' ')) / 5.0) as int) - 1),
         i -> CASE WHEN (doc_id + i) % 4 = 0
                THEN 'repeat repeat repeat repeat repeat'
@@ -215,11 +275,6 @@ object TextAnalysis {
                  array_join(slice(split(text, ' '), cast(i * 5 + 1 as int), 5), ' '),
                  CASE WHEN (doc_id + i) % 11 = 0 THEN '...' ELSE '' END) END),
       '\n')""")
-    withGopherLineMetrics(
-        Tables.documents(s, d).withColumn("__text2", reflow), col("__text2"))
-      .select((col("doc_id") +: GopherLineMetricCols.map(col)): _*)
-      .orderBy("doc_id")
-  }
 
   /** n-gram/stopword-marker language ID (argmax over per-language hit
     * counts; deterministic tie rule = LangMarkers declaration order). */
@@ -605,6 +660,7 @@ object TextAnalysis {
     "txt_gopher_quality" -> gopherQuality,
     "txt_gopher_filter" -> gopherFilter,
     "txt_gopher_lines" -> gopherLinesQ,
+    "txt_line_dedup" -> lineDedupQ,
     "txt_bigram_merge" -> bigramMerge,
     "txt_bpe_train" -> bpeTrainQ,
     "txt_bpe_encode" -> bpeEncodeQ,
@@ -773,6 +829,32 @@ object TextAnalysis {
              AND (CASE WHEN n_lines = 0 THEN 0.0 ELSE CAST(n_dup AS DOUBLE)/n_lines END) <= 0.30
              AND (CASE WHEN chars = 0 THEN 0.0 ELSE CAST(dup_chars AS DOUBLE)/chars END) <= 0.20) AS passes_lines
          FROM m ORDER BY doc_id""",
+    // CCNet line dedup over the same reflow: the planted repeat-literal
+    // excises everywhere, rare lines keep their positions
+    "txt_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         l0 AS (SELECT doc_id,
+           [CASE WHEN (doc_id + i) % 4 = 0 THEN 'repeat repeat repeat repeat repeat'
+                 ELSE concat(
+                   CASE WHEN (doc_id + i) % 7 = 0 THEN '- ' ELSE '' END,
+                   array_to_string(list_slice(toks, CAST(i*5+1 AS INT), CAST(i*5+5 AS INT)), ' '),
+                   CASE WHEN (doc_id + i) % 11 = 0 THEN '...' ELSE '' END) END
+            FOR i IN range(0, CAST(ceil(len(toks)/5.0) AS INT))] AS ls0
+           FROM t),
+         l AS (SELECT doc_id, list_filter(ls0, x -> trim(x) != '') AS ls FROM l0),
+         lines AS (SELECT doc_id, u.idx AS idx, u.line AS line
+           FROM l, unnest([struct_pack(idx := i, line := ls[i+1]) FOR i IN range(0, len(ls))]) AS r(u)),
+         c AS (SELECT line, CAST(count(*) AS BIGINT) AS n FROM lines GROUP BY line),
+         kept AS (SELECT doc_id,
+             array_to_string(list(line ORDER BY idx), chr(10)) AS text_clean,
+             CAST(count(*) AS BIGINT) AS n_kept
+           FROM lines JOIN c USING (line) WHERE c.n <= 10 GROUP BY doc_id)
+         SELECT l.doc_id AS doc_id,
+           COALESCE(k.text_clean, '') AS text_clean,
+           CAST(len(l.ls) AS BIGINT) AS n_lines,
+           CAST(len(l.ls) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+         FROM l LEFT JOIN kept k ON l.doc_id = k.doc_id
+         ORDER BY l.doc_id""",
     "txt_gopher_filter" ->
       s"SELECT doc_id FROM ($gopherSql) WHERE passes ORDER BY doc_id",
     "txt_langid" -> {

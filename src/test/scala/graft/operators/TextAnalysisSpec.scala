@@ -54,6 +54,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(empty === ((0L, 0.0, 0.0, 0.0, 0.0, true)))
   }
 
+  test("dedupLinesAcross: corpus-frequent lines excise everywhere, rare lines keep positions, emptied docs survive") {
+    val boiler = "accept cookies to continue"
+    val docs = Seq(
+      (1L, s"$boiler\nreal content one\nmore real text"),
+      (2L, s"unique opening\n$boiler\nclosing words"),
+      (3L, s"$boiler\n$boiler"), // all boilerplate → emptied, not dropped
+      (4L, "entirely original document here"))
+      .toDF("doc_id", "text")
+    // maxOcc = 2: boiler occurs 4× corpus-wide → excised; everything
+    // else occurs once → kept in original order
+    val got = TextAnalysis.dedupLinesAcross(docs, $"doc_id", $"text", maxOcc = 2L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "real content one\nmore real text", 3L, 1L),
+      (2L, "unique opening\nclosing words", 3L, 1L),
+      (3L, "", 2L, 2L),
+      (4L, "entirely original document here", 1L, 0L)))
+    // at maxOcc = 4 the boilerplate sits exactly at the cap → kept
+    assert(TextAnalysis.dedupLinesAcross(docs, $"doc_id", $"text", maxOcc = 4L)
+      .agg(sum("n_removed")).as[Long].head() === 0L)
+  }
+
   test("line rules: row shape preserved and clobber guard fires") {
     val df = Seq((1L, "a line\nb line", "keep")).toDF("doc_id", "text", "extra")
     val out = TextAnalysis.withGopherLineMetrics(df, $"text")
