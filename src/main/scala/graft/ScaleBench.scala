@@ -133,7 +133,13 @@ object ScaleBench {
     "txt_bpe_train", "curate_decontam_fuzzy_idx",
     // round 14: the image family at its PRODUCTION hash width, and the
     // composed admission stack (see Extra bindings below).
-    "mm_phash_scaled", "pipeline_gated_scaled")
+    "mm_phash_scaled", "pipeline_gated_scaled",
+    // round 14b: CCNet line dedup — the corpus-wide line-count exchange
+    // plus the skew-prone count join-back (the planted repeat literal is
+    // the viral-boilerplate case: ~¼ of ALL lines share one key); the
+    // reassembly state is bounded per doc, so time must track the line
+    // explode (~rows).
+    "txt_line_dedup")
 
   /** Scale-only bindings that aren't part of the served query surface. */
   private val Extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
