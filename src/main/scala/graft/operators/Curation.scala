@@ -294,6 +294,87 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Registrable host from a URL — scheme://HOST[:port]/… → host,
+    * lowercased (URL authority is case-insensitive; paths are not,
+    * which is why only the host folds). */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+
+  /** The host's DNS suffix chain — `a.b.example.org` →
+    * [`a.b.example.org`, `b.example.org`, `example.org`, `org`] — the
+    * expansion that turns "block this domain AND its subdomains" into an
+    * EQUI-join: a blocklist entry matches iff it equals some chain
+    * element, so no per-row regex over the blocklist and no LIKE join
+    * (both are cartesian-shaped at lake scale). ≤ label-count elements
+    * per host (hostnames cap at 127 labels; real ones run 3–5). */
+  def hostSuffixChain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(0), size(labels) - 1),
+      i => array_join(slice(labels, i + 1, size(labels)), "."))
+  }
+
+  /** URL blocklist gate — the stage-1 URL filter crawl pipelines run
+    * BEFORE any content look (RefinedWeb §3.1's URL filtering, CCNet's
+    * domain blacklists): a document drops iff its url's host has ANY
+    * blocklist entry on its suffix chain, so `example.org` blocks
+    * `img.cdn.example.org` without regexes. Returns the SURVIVORS'
+    * (doc_id, host) — the gate face; [[urlBlocklistReport]] is the
+    * measured face.
+    *
+    * Scale shape: suffix-chain explode (≤ labels per doc) → semi-join
+    * the blocklist → anti-join back on doc id. The blocklist (even the
+    * ~5M-entry public ones ≈ 100 MB) broadcasts; a bigger one degrades
+    * to a shuffle-hash equi-join on the chain element — never a scan
+    * of rows × entries. */
+  def urlBlocklistGate(df: DataFrame, id: Column, url: Column,
+      blocklist: DataFrame): DataFrame = {
+    val hosts = df.select(id.as("doc_id"), urlHost(url).as("host"))
+    val blockedIds = hosts
+      .select(col("doc_id"), explode(hostSuffixChain(col("host"))).as("__sfx"))
+      .join(broadcast(blocklist.select(lower(col("domain")).as("__sfx"))),
+        Seq("__sfx"), "left_semi")
+      .select("doc_id").distinct()
+    hosts.join(blockedIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Per-blocked-domain hit counts — WHERE the blocklist bites (the
+    * review that decides whether an entry is stale or load-bearing).
+    * One row per blocklist entry with ≥1 hit. */
+  def urlBlocklistReport(df: DataFrame, id: Column, url: Column,
+      blocklist: DataFrame): DataFrame =
+    df.select(id.as("doc_id"), explode(hostSuffixChain(urlHost(url))).as("__sfx"))
+      .join(broadcast(blocklist.select(lower(col("domain")).as("__sfx"))),
+        Seq("__sfx"), "left_semi")
+      .select(col("__sfx").as("domain"), col("doc_id")).distinct()
+      .groupBy("domain").agg(count(lit(1)).as("n_blocked"))
+
+  /** Named query: fixture URLs with the source in the HOST
+    * (`https://[cdn.]{source}.archive.example.org/photos/img_{doc_id}
+    * .jpg` — the P6 formula moved into the authority so the gate has
+    * real structure) against a two-entry blocklist exercising both
+    * match modes: `src3.…` hits its apex host EXACTLY, while `src5.…`
+    * hits `cdn.src5.…` only via the SUFFIX-chain walk (src5/src6
+    * publish under a cdn subdomain in the fixture). src6 shares the cdn
+    * shape but is unblocked — the control that proves the chain walk
+    * matches the entry, not the shape. */
+  def curateUrlBlocklistQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // sources src5 and src6 publish under a cdn SUBDOMAIN; the rest on
+    // their apex — the two match modes the gate must distinguish
+    val url = concat(lit("https://"),
+      when(col("source").isin("src5", "src6"), lit("cdn.")).otherwise(lit("")),
+      col("source"), lit(".archive.example.org/photos/img_"),
+      col("doc_id"), lit(".jpg"))
+    import s.implicits._
+    val blocklist = Seq(
+      "src3.archive.example.org", // exact apex hit
+      "src5.archive.example.org"  // suffix hit: blocks cdn.src5.…
+    ).toDF("domain")
+    urlBlocklistGate(docs.withColumn("__url", url),
+        col("doc_id"), col("__url"), blocklist)
+      .orderBy("doc_id")
+  }
+
   /** Held-out set = docs whose md5(doc_id) starts with '0' (~1/16 of the
     * corpus); survivors = the rest minus anything sharing a 5-shingle. */
   def curateDecontam(s: SparkSession, d: String): DataFrame = {
@@ -779,6 +860,7 @@ object Curation {
     "txt_repetition" -> txtRepetition,
     "txt_pii_redact" -> txtPiiRedact,
     "curate_decontam" -> curateDecontam,
+    "curate_url_blocklist" -> curateUrlBlocklistQ,
     "curate_decontam_fuzzy" -> curateDecontamFuzzy,
     "curate_decontam_fuzzy_idx" -> curateDecontamFuzzyIdx,
     "curate_decontam_bloom" -> curateDecontamBloom,
@@ -872,6 +954,21 @@ object Curation {
              '$PhoneRe', '<PHONE>', 'g') AS redacted
          FROM a ORDER BY doc_id""",
     "curate_decontam" -> decontamSql,
+    // suffix-chain blocklist: the chain walk replayed as a suffix test
+    // (h = entry, or h ends with '.'+entry — exactly what chain
+    // membership means)
+    "curate_url_blocklist" ->
+      """WITH u AS (SELECT doc_id,
+           lower(concat(CASE WHEN source IN ('src5','src6') THEN 'cdn.' ELSE '' END,
+             source, '.archive.example.org')) AS host
+           FROM documents),
+         b AS (SELECT unnest(['src3.archive.example.org',
+                              'src5.archive.example.org']) AS domain),
+         blocked AS (SELECT DISTINCT u.doc_id FROM u JOIN b
+           ON u.host = b.domain OR ends_with(u.host, '.' || b.domain))
+         SELECT doc_id, host FROM u
+         WHERE doc_id NOT IN (SELECT doc_id FROM blocked)
+         ORDER BY doc_id""",
     // bit-identical by the Bloom no-false-negative argument — the exact
     // semi-join disposes of every false positive, so the SAME oracle
     // checks the prefiltered path end to end

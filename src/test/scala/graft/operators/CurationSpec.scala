@@ -332,4 +332,30 @@ class CurationSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted
     assert(kept === Array(1L, 2L, 3L))
   }
+
+  test("urlBlocklistGate: suffix chain blocks subdomains, never cousins; case-folded host; report counts hits") {
+    val docs = Seq(
+      (1L, "https://evil.example.com/a"),        // exact entry
+      (2L, "https://cdn.evil.example.com/b"),    // subdomain of entry
+      (3L, "https://EVIL.EXAMPLE.COM:8080/c"),   // case + port folded
+      (4L, "https://notevil.example.com/d"),     // cousin: suffix of the
+                                                 // STRING but not of the
+                                                 // label chain — must pass
+      (5L, "https://good.example.org/e"),
+      (6L, "ftp://files.badhost.net/f"))         // second entry, other scheme
+      .toDF("doc_id", "url")
+    val blocklist = Seq("evil.example.com", "badhost.net").toDF("domain")
+    val kept = Curation.urlBlocklistGate(docs, $"doc_id", $"url", blocklist)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(4L, 5L))
+    // chain semantics directly: the cousin's chain never contains the entry
+    val chain = docs.filter($"doc_id" === 4L)
+      .select(Curation.hostSuffixChain(Curation.urlHost($"url")))
+      .as[Seq[String]].head()
+    assert(chain === Seq("notevil.example.com", "example.com", "com"))
+    // measured face: per-entry hit counts (distinct docs)
+    val report = Curation.urlBlocklistReport(docs, $"doc_id", $"url", blocklist)
+      .as[(String, Long)].collect().toMap
+    assert(report === Map("evil.example.com" -> 3L, "badhost.net" -> 1L))
+  }
 }
