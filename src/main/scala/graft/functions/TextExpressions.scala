@@ -563,6 +563,58 @@ case class PiiScrubExpr(child: Expression, emailRe: String, ipRe: String,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Dedup-key text normalization (the CCNet §3.2 canonicalization run
+  * BEFORE hashing/shingling): NFC unicode normalization → lowercase →
+  * ASCII digits fold to '0' → runs of [ \t\n\r\f] collapse to one
+  * space → trim, all in ONE character pass after the NFC step (no
+  * regex engine in the hot path). The output is a DEDUP KEY — two
+  * byte-different renderings of the same content (composed vs
+  * decomposed accents, case, counters, ragged whitespace) collapse to
+  * one key — so the contract is DETERMINISM, not linguistic fidelity:
+  * Java's ROOT-locale full case mapping and the oracle's simple
+  * folding agree on ASCII/Latin-1 (spec-pinned) and may differ on
+  * exotic case edges (İ, ﬁ), which only means those rare keys split,
+  * never that dedup corrupts content (the original text is untouched).
+  * Whitespace class is the explicit [ \t\n\r\f] — the intersection
+  * Java and RE2 spell identically — so the DuckDB replay cannot drift
+  * on \\s semantics. */
+case class NormalizeTextExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def prettyName: String = "graft_normalize_text"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s0 = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val s1 = java.text.Normalizer.normalize(s0, java.text.Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(s1.length)
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < s1.length) {
+      val c = s1.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f')
+        pendingSpace = true
+      else {
+        if (pendingSpace && started) sb.append(' ')
+        pendingSpace = false
+        started = true
+        sb.append(if (c >= '0' && c <= '9') '0' else c)
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** POSITIONAL n-gram hashes: [[ShingleHashSetExpr]]'s one-string-hash-
   * per-token kernel WITHOUT the dedup — slot i is the hash of the gram
   * starting at token i, so `posexplode` recovers (position, gram-hash)
@@ -934,6 +986,8 @@ object TextExpressions {
         es => BpeMergeExpr(es(0), litStr(es(1)), litStr(es(2))), "built-in")
       reg.createOrReplaceTempFunction("graft_gopher_stats",
         es => GopherStatsExpr(es.head), "built-in")
+      reg.createOrReplaceTempFunction("graft_normalize_text",
+        es => NormalizeTextExpr(es.head), "built-in")
     }
   }
 
@@ -984,5 +1038,8 @@ object TextExpressions {
       ipRe: String, phoneRe: String): Column = {
     register(spark)
     call_function("graft_pii_scrub", text, lit(emailRe), lit(ipRe), lit(phoneRe))
+  }
+  def normalizeText(spark: SparkSession, text: Column): Column = {
+    register(spark); call_function("graft_normalize_text", text)
   }
 }

@@ -276,6 +276,32 @@ object TextAnalysis {
                  CASE WHEN (doc_id + i) % 11 = 0 THEN '...' ELSE '' END) END),
       '\n')""")
 
+  /** Named query: dedup-key normalization
+    * ([[graft.functions.TextExpressions.normalizeText]] — NFC →
+    * lowercase → digit-fold → whitespace collapse → trim) over a
+    * deterministically PERTURBED rendering of each doc (upper-cased
+    * head, ragged whitespace, a numeric counter suffix — the byte
+    * variations re-crawls actually produce; the clean synthetic corpus
+    * would normalize to itself and prove nothing). The invariant the
+    * oracle checks end to end: every perturbed doc's normalized key
+    * equals `md5` of the normalization DuckDB computes from the same
+    * perturbation — and the key equals the normalization of the
+    * ORIGINAL text, i.e. the perturbation is invisible to dedup. */
+  def normalizeQ(s: SparkSession, d: String): DataFrame = {
+    val perturbed = concat(
+      upper(substring(col("text"), 1, 12)), substring(col("text"), 13, 1 << 24),
+      lit("   crawl\tid "), col("doc_id"), lit(" \n"))
+    val norm = graft.functions.TextExpressions.normalizeText(s, perturbed)
+    val normOrig =
+      graft.functions.TextExpressions.normalizeText(s, col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), norm.as("norm_key"), md5(norm).as("fp"),
+        (norm === concat(normOrig, lit(" crawl id "),
+          repeat(lit("0"), length(col("doc_id").cast("string")))))
+          .as("perturb_invisible"))
+      .orderBy("doc_id")
+  }
+
   /** n-gram/stopword-marker language ID (argmax over per-language hit
     * counts; deterministic tie rule = LangMarkers declaration order). */
   def langId(s: SparkSession, d: String): DataFrame =
@@ -661,6 +687,7 @@ object TextAnalysis {
     "txt_gopher_filter" -> gopherFilter,
     "txt_gopher_lines" -> gopherLinesQ,
     "txt_line_dedup" -> lineDedupQ,
+    "txt_normalize" -> normalizeQ,
     "txt_bigram_merge" -> bigramMerge,
     "txt_bpe_train" -> bpeTrainQ,
     "txt_bpe_encode" -> bpeEncodeQ,
@@ -855,6 +882,24 @@ object TextAnalysis {
            CAST(len(l.ls) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
          FROM l LEFT JOIN kept k ON l.doc_id = k.doc_id
          ORDER BY l.doc_id""",
+    // dedup-key normalization: perturbation + NFC/lower/digit-fold/
+    // whitespace-collapse replayed (nfc_normalize is DuckDB's UAX#15
+    // NFC, same algorithm as java.text.Normalizer's)
+    "txt_normalize" ->
+      """WITH p AS (SELECT doc_id,
+           concat(upper(substr(text, 1, 12)), substr(text, 13),
+                  '   crawl', chr(9), 'id ', CAST(doc_id AS VARCHAR), ' ', chr(10)) AS pt,
+           text FROM documents),
+         n AS (SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(nfc_normalize(pt)), '[0-9]', '0', 'g'),
+             '[ \t\n\r\f]+', ' ', 'g')) AS norm_key,
+           trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)), '[0-9]', '0', 'g'),
+             '[ \t\n\r\f]+', ' ', 'g')) AS norm_orig
+           FROM p)
+         SELECT doc_id, norm_key, md5(norm_key) AS fp,
+           norm_key = concat(norm_orig, ' crawl id ',
+             repeat('0', length(CAST(doc_id AS VARCHAR)))) AS perturb_invisible
+         FROM n ORDER BY doc_id""",
     "txt_gopher_filter" ->
       s"SELECT doc_id FROM ($gopherSql) WHERE passes ORDER BY doc_id",
     "txt_langid" -> {

@@ -417,4 +417,24 @@ class TextFunctionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("normalizeText: NFC-composes, folds case/digits/whitespace, trims; idempotent; null-safe") {
+    def norm(t: String): String =
+      Seq(Tuple1(t)).toDF("t")
+        .select(graft.functions.TextExpressions.normalizeText(spark, $"t"))
+        .as[String].head()
+    // composed vs decomposed accent -> the SAME dedup key
+    val composed = "caf\u00e9 menu"          // é as one code point
+    val decomposed = "cafe\u0301 menu"        // e + combining acute
+    assert(norm(composed) === norm(decomposed))
+    // case, digit and whitespace folds + trim, in one pass
+    assert(norm("  Order\t42\n of  99 Items ") === "order 00 of 00 items")
+    // idempotence: normalizing a normalized key is the identity
+    val once = norm("  Mixed\tCASE 123  text\n")
+    assert(norm(once) === once)
+    // null in, null out (nullSafeEval)
+    assert(Seq(Tuple1(null: String)).toDF("t")
+      .select(graft.functions.TextExpressions.normalizeText(spark, $"t").as("n"))
+      .filter($"n".isNull).count() === 1L)
+  }
 }
