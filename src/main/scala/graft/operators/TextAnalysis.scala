@@ -254,6 +254,158 @@ object TextAnalysis {
         (col("n_lines") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
   }
 
+  // =========================================================================
+  // At-rest line-count index — incremental boilerplate excision
+  // =========================================================================
+
+  /** Bucket count for [[writeLineCountIndex]] — the index-family sizing
+    * rule ([[Dedup.SigBuckets]]); excision probes read
+    * `|touched|/buckets` of the store via partition pruning. */
+  val LineBuckets = 64
+
+  /** The (line, n, bucket) relation writes, merges and probes share —
+    * counts over the non-empty (post-trim) lines, bucket =
+    * xxhash64(line) mod buckets. */
+  private def lineCountsOf(df: DataFrame, text: Column,
+      buckets: Int): DataFrame =
+    df.select(explode(filter(split(text, "\n"),
+        x => length(trim(x)) > 0)).as("line"))
+      .groupBy("line").agg(count(lit(1)).as("n"))
+      .withColumn("bucket", pmod(xxhash64(col("line")), lit(buckets.toLong)))
+
+  /** Write the at-rest LINE-COUNT index: corpus-wide per-line occurrence
+    * counts, hash-partitioned into bucket dirs + a one-row config table
+    * — what makes [[dedupLinesAcross]] INCREMENTAL: production can't
+    * recount 100 TB of lines per arriving batch, so the counts live at
+    * rest, each micro-batch folds its own counts in additively
+    * ([[applyLineCountBatch]]), and excision serves from the
+    * accumulated history ([[exciseFromLineIndex]]). Counts are additive
+    * sufficient statistics (the [[graft.streaming.Streams.nbIngest]]
+    * argument), so the merged store equals a from-scratch count over
+    * everything ever ingested. */
+  def writeLineCountIndex(df: DataFrame, text: Column, dir: String,
+      buckets: Int = LineBuckets): Unit = {
+    val s = df.sparkSession
+    lineCountsOf(df, text, buckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/counts")
+    import s.implicits._
+    Seq(Tuple1(buckets)).toDF("buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def readLineMeta(s: SparkSession, dir: String): Int =
+    s.read.parquet(s"$dir/meta").select("buckets").head().getInt(0)
+
+  /** Fold one batch's line counts into the store ADDITIVELY — unlike
+    * the per-(band, doc) index appends, a count merge is NOT idempotent,
+    * so the batch commits per bucket: each touched bucket rewrites
+    * through the crash-safe [[graft.sources.Tombstones.rewriteLive]]
+    * swap under its own `_batch_<id>_b<bucket>` marker, and the batch's
+    * `_batch_<id>` marker lands only after every bucket committed — a
+    * crash mid-batch replays ONLY the buckets whose markers are
+    * missing, never double-counting a committed one. Bucket markers
+    * prune after the batch marker is durable (a stale leftover is a
+    * tiny file, never a correctness input). */
+  def applyLineCountBatch(batch: DataFrame, text: Column, dir: String,
+      batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    val done = new org.apache.hadoop.fs.Path(s"$dir/_batch_$batchId")
+    val f = done.getFileSystem(conf)
+    if (f.exists(done)) return
+    graft.sources.Tombstones.healPartitions(s, s"$dir/counts")
+    val buckets = readLineMeta(s, dir)
+    val bc = lineCountsOf(batch, text, buckets)
+      .localCheckpoint() // touched-bucket collect + one read per bucket
+    val touched = bc.select("bucket").distinct()
+      .collect().map(_.getLong(0)).sorted
+    touched.foreach { b =>
+      val bMark = new org.apache.hadoop.fs.Path(s"$dir/_batch_${batchId}_b$b")
+      if (!f.exists(bMark)) {
+        val rows = bc.filter(col("bucket") === b).select("line", "n")
+        val leaf = s"$dir/counts/bucket=$b"
+        if (f.exists(new org.apache.hadoop.fs.Path(leaf)))
+          graft.sources.Tombstones.rewriteLive(s, leaf, live =>
+            live.select("line", "n").unionByName(rows)
+              .groupBy("line").agg(sum("n").as("n")))
+        else rows.write.mode("overwrite").parquet(leaf)
+        f.create(bMark, true).close()
+      }
+    }
+    f.create(done, true).close()
+    touched.foreach { b =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/_batch_${batchId}_b$b"), false)
+    }
+  }
+
+  /** [[dedupLinesAcross]] SERVED from the at-rest store: only the
+    * arriving docs' lines are hashed, their ≤`buckets` distinct bucket
+    * ids prune the store read, and a line the store has never seen
+    * counts 0 (kept — a brand-new line is not boilerplate yet). With
+    * the store built over exactly the probe corpus this is bit-equal to
+    * the in-plan pass (same counts, same cut), which is what lets
+    * `txt_line_dedup_idx` share its oracle. */
+  def exciseFromLineIndex(df: DataFrame, id: Column, text: Column,
+      dir: String, maxOcc: Long): DataFrame = {
+    require(maxOcc >= 1, s"exciseFromLineIndex: maxOcc >= 1, got $maxOcc")
+    val s = df.sparkSession
+    val buckets = readLineMeta(s, dir)
+    val base = df.select(id.as("doc_id"),
+      filter(split(text, "\n"), x => length(trim(x)) > 0).as("__ls"))
+    val lines = base.select(col("doc_id"),
+        posexplode(col("__ls")).as(Seq("__idx", "__line")))
+      .withColumn("__bkt", pmod(xxhash64(col("__line")), lit(buckets.toLong)))
+      .localCheckpoint() // touched-bucket collect + the count join
+    val touched = lines.select("__bkt").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    graft.sources.Tombstones.healPartitions(s, s"$dir/counts")
+    val counts = s.read.parquet(s"$dir/counts")
+      .filter(col("bucket").isin(touched: _*))
+      .select(col("line").as("__line"), col("n").as("__n"))
+    val kept = lines
+      .join(counts, Seq("__line"), "left")
+      .filter(coalesce(col("__n"), lit(0L)) <= maxOcc)
+      .groupBy("doc_id")
+      .agg(array_join(
+          transform(array_sort(collect_list(struct(col("__idx"), col("__line")))),
+            v => v.getField("__line")), "\n").as("text_clean"),
+        count(lit(1)).as("__kept"))
+    base.select(col("doc_id"), size(col("__ls")).cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Per-JVM line-count index cache over the reflow corpus (the
+    * [[Dedup]] sigIdxCache rationale: immutable testdata, one build,
+    * probe-path bench). */
+  private val lineIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      lineIdxCache.values.forEach { dir => rm(new java.io.File(dir)) }
+    }))
+  }
+
+  /** Named query: [[exciseFromLineIndex]] with the store built once over
+    * the same reflow corpus — bit-equal to [[lineDedupQ]], so it SHARES
+    * `txt_line_dedup`'s oracle. */
+  def lineDedupIdxQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).withColumn("__text2", reflowExpr)
+    val dir = lineIdxCache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_line_idx").toString
+      writeLineCountIndex(docs, col("__text2"), tmp)
+      tmp
+    })
+    exciseFromLineIndex(docs, col("doc_id"), col("__text2"), dir, maxOcc = 10L)
+      .orderBy("doc_id")
+  }
+
   /** Named query: [[dedupLinesAcross]] over the same deterministic
     * reflow corpus as [[gopherLinesQ]] (single-line testdata would make
     * the pass vacuous) — the planted `repeat …` literal occurs in ~¼ of
@@ -687,6 +839,7 @@ object TextAnalysis {
     "txt_gopher_filter" -> gopherFilter,
     "txt_gopher_lines" -> gopherLinesQ,
     "txt_line_dedup" -> lineDedupQ,
+    "txt_line_dedup_idx" -> lineDedupIdxQ,
     "txt_normalize" -> normalizeQ,
     "txt_bigram_merge" -> bigramMerge,
     "txt_bpe_train" -> bpeTrainQ,
@@ -701,6 +854,34 @@ object TextAnalysis {
     "txt_surprisal_bigram" -> ((s: SparkSession, d: String) =>
       bigramSurprisal(s, d)),
     "txt_distinctive" -> distinctiveTerms)
+
+  /** CCNet line dedup over the reflow corpus — shared by the in-plan
+    * and index-served spellings (same counts, same cut, same
+    * reassembly). */
+  private val lineDedupSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       l0 AS (SELECT doc_id,
+         [CASE WHEN (doc_id + i) % 4 = 0 THEN 'repeat repeat repeat repeat repeat'
+               ELSE concat(
+                 CASE WHEN (doc_id + i) % 7 = 0 THEN '- ' ELSE '' END,
+                 array_to_string(list_slice(toks, CAST(i*5+1 AS INT), CAST(i*5+5 AS INT)), ' '),
+                 CASE WHEN (doc_id + i) % 11 = 0 THEN '...' ELSE '' END) END
+          FOR i IN range(0, CAST(ceil(len(toks)/5.0) AS INT))] AS ls0
+         FROM t),
+       l AS (SELECT doc_id, list_filter(ls0, x -> trim(x) != '') AS ls FROM l0),
+       lines AS (SELECT doc_id, u.idx AS idx, u.line AS line
+         FROM l, unnest([struct_pack(idx := i, line := ls[i+1]) FOR i IN range(0, len(ls))]) AS r(u)),
+       c AS (SELECT line, CAST(count(*) AS BIGINT) AS n FROM lines GROUP BY line),
+       kept AS (SELECT doc_id,
+           array_to_string(list(line ORDER BY idx), chr(10)) AS text_clean,
+           CAST(count(*) AS BIGINT) AS n_kept
+         FROM lines JOIN c USING (line) WHERE c.n <= 10 GROUP BY doc_id)
+       SELECT l.doc_id AS doc_id,
+         COALESCE(k.text_clean, '') AS text_clean,
+         CAST(len(l.ls) AS BIGINT) AS n_lines,
+         CAST(len(l.ls) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+       FROM l LEFT JOIN kept k ON l.doc_id = k.doc_id
+       ORDER BY l.doc_id"""
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
@@ -857,31 +1038,11 @@ object TextAnalysis {
              AND (CASE WHEN chars = 0 THEN 0.0 ELSE CAST(dup_chars AS DOUBLE)/chars END) <= 0.20) AS passes_lines
          FROM m ORDER BY doc_id""",
     // CCNet line dedup over the same reflow: the planted repeat-literal
-    // excises everywhere, rare lines keep their positions
-    "txt_line_dedup" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         l0 AS (SELECT doc_id,
-           [CASE WHEN (doc_id + i) % 4 = 0 THEN 'repeat repeat repeat repeat repeat'
-                 ELSE concat(
-                   CASE WHEN (doc_id + i) % 7 = 0 THEN '- ' ELSE '' END,
-                   array_to_string(list_slice(toks, CAST(i*5+1 AS INT), CAST(i*5+5 AS INT)), ' '),
-                   CASE WHEN (doc_id + i) % 11 = 0 THEN '...' ELSE '' END) END
-            FOR i IN range(0, CAST(ceil(len(toks)/5.0) AS INT))] AS ls0
-           FROM t),
-         l AS (SELECT doc_id, list_filter(ls0, x -> trim(x) != '') AS ls FROM l0),
-         lines AS (SELECT doc_id, u.idx AS idx, u.line AS line
-           FROM l, unnest([struct_pack(idx := i, line := ls[i+1]) FOR i IN range(0, len(ls))]) AS r(u)),
-         c AS (SELECT line, CAST(count(*) AS BIGINT) AS n FROM lines GROUP BY line),
-         kept AS (SELECT doc_id,
-             array_to_string(list(line ORDER BY idx), chr(10)) AS text_clean,
-             CAST(count(*) AS BIGINT) AS n_kept
-           FROM lines JOIN c USING (line) WHERE c.n <= 10 GROUP BY doc_id)
-         SELECT l.doc_id AS doc_id,
-           COALESCE(k.text_clean, '') AS text_clean,
-           CAST(len(l.ls) AS BIGINT) AS n_lines,
-           CAST(len(l.ls) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
-         FROM l LEFT JOIN kept k ON l.doc_id = k.doc_id
-         ORDER BY l.doc_id""",
+    // excises everywhere, rare lines keep their positions. The
+    // index-served spelling shares it (store over the same corpus ⇒
+    // identical counts ⇒ identical cut).
+    "txt_line_dedup" -> lineDedupSql,
+    "txt_line_dedup_idx" -> lineDedupSql,
     // dedup-key normalization: perturbation + NFC/lower/digit-fold/
     // whitespace-collapse replayed (nfc_normalize is DuckDB's UAX#15
     // NFC, same algorithm as java.text.Normalizer's)

@@ -960,6 +960,41 @@ object Streams {
       .start()
   }
 
+  /** Streaming maintenance of a [[graft.operators.TextAnalysis
+    * .writeLineCountIndex]] store — arriving docs' line counts fold in
+    * additively per micro-batch, so [[graft.operators.TextAnalysis
+    * .exciseFromLineIndex]] serves boilerplate excision against
+    * everything ever ingested. Additive counts are NOT replay-
+    * idempotent, so the apply commits per bucket under per-(batch,
+    * bucket) markers (see applyLineCountBatch) — the same reason
+    * [[nbIngest]] is marker-guarded while the per-(band, doc) index
+    * appends get away with plain files. First batch writes the store. */
+  def lineCountIngest(docs: DataFrame, textCol: String, indexDir: String,
+      checkpoint: String, buckets: Int = graft.operators.TextAnalysis.LineBuckets)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireConsistentMarkers(docs.sparkSession, indexDir, checkpoint)
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val metaDir = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+          val f = metaDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (f.exists(metaDir))
+            graft.operators.TextAnalysis.applyLineCountBatch(
+              batch, col(textCol), indexDir, batchId)
+          else {
+            graft.operators.TextAnalysis.writeLineCountIndex(
+              batch, col(textCol), indexDir, buckets = buckets)
+            f.create(new org.apache.hadoop.fs.Path(
+              s"$indexDir/_batch_$batchId"), true).close()
+          }
+        }
+      }
+      .start()
+  }
+
   /** Streaming maintenance of a [[graft.operators.Dedup
     * .writeHyperplaneIndex]] layout — the embedding-LSH sibling of
     * [[phashIngest]]: arriving (vec_id, embedding) batches are signed

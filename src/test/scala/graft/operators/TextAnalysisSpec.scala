@@ -77,6 +77,55 @@ class TextAnalysisSpec extends SparkSpec {
       .agg(sum("n_removed")).as[Long].head() === 0L)
   }
 
+  test("line-count index: incremental merge ≡ one-shot; replayed batches and buckets never double-count") {
+    val boiler = "accept cookies to continue"
+    val half1 = Seq(
+      (1L, s"$boiler\nreal content one"),
+      (2L, s"unique opening\n$boiler"))
+    val half2 = Seq(
+      (3L, s"$boiler\nclosing thoughts"),
+      (4L, "entirely original document"))
+    val all = (half1 ++ half2).toDF("doc_id", "text")
+    def excised(dir: String): Seq[(Long, String, Long, Long)] =
+      TextAnalysis.exciseFromLineIndex(all, $"doc_id", $"text", dir, maxOcc = 2L)
+        .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    // one-shot reference
+    val ref = java.nio.file.Files.createTempDirectory("graft_lc_ref").toString
+    TextAnalysis.writeLineCountIndex(all, $"text", ref)
+    val want = excised(ref)
+    assert(want.map(_._4).sum === 3L, s"boiler (3 occurrences > 2) excises: $want")
+    // incremental: write half 1, fold half 2 in as a batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_lc_inc").toString
+    TextAnalysis.writeLineCountIndex(half1.toDF("doc_id", "text"), $"text", dir)
+    TextAnalysis.applyLineCountBatch(half2.toDF("doc_id", "text"), $"text", dir,
+      batchId = 1L)
+    assert(excised(dir) === want)
+    // replaying the WHOLE batch is a no-op (the _batch marker)
+    TextAnalysis.applyLineCountBatch(half2.toDF("doc_id", "text"), $"text", dir,
+      batchId = 1L)
+    assert(excised(dir) === want)
+    // bucket-level replay: simulate a crash that committed some buckets
+    // (their b-markers present) but not the batch marker — re-running
+    // must merge ONLY the unmarked buckets. Recreate the state by hand:
+    // plant a bucket marker for one touched bucket of a NEW batch, then
+    // apply; the marked bucket's line must count ONCE despite the marker
+    // lying about a merge that never happened — i.e. the marker is the
+    // commit record, so the line's count stays at the pre-batch value.
+    val probeLine = "entirely original document"
+    val bkt = spark.range(1).select(
+      pmod(xxhash64(lit(probeLine)), lit(TextAnalysis.LineBuckets.toLong)))
+      .as[Long].head()
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    f.create(new org.apache.hadoop.fs.Path(s"$dir/_batch_2_b$bkt"), true).close()
+    TextAnalysis.applyLineCountBatch(
+      Seq((9L, probeLine)).toDF("doc_id", "text"), $"text", dir, batchId = 2L)
+    val n = spark.read.parquet(s"$dir/counts")
+      .filter($"line" === probeLine).select("n").as[Long].collect().toSeq
+    assert(n === Seq(1L),
+      s"a bucket whose marker says committed must not merge again: $n")
+  }
+
   test("line rules: row shape preserved and clobber guard fires") {
     val df = Seq((1L, "a line\nb line", "keep")).toDF("doc_id", "text", "extra")
     val out = TextAnalysis.withGopherLineMetrics(df, $"text")

@@ -929,6 +929,41 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("lineCountIngest: streamed line counts serve excision identical to a one-shot count") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("graft_lc_stream").toString
+    val boiler = "subscribe to our newsletter"
+    val b1 = Seq((1L, s"$boiler\nfirst article body"),
+      (2L, s"second piece\n$boiler"))
+    val b2 = Seq((3L, s"$boiler\nthird text"), (4L, "clean doc"))
+    val probe = (b1 ++ b2).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.lineCountIngest(input.toDF().toDF("doc_id", "text"),
+      "text", s"$dir/idx", s"$dir/ckpt")
+    def served(path: String): Seq[(Long, String, Long, Long)] =
+      TextAnalysis.exciseFromLineIndex(probe, $"doc_id", $"text", path,
+        maxOcc = 2L).orderBy("doc_id")
+        .as[(Long, String, Long, Long)].collect().toSeq
+    try {
+      input.addData(b1); q.processAllAvailable()
+      // after batch 1 the boiler count is 2 (≤ cap) — nothing excises
+      assert(served(s"$dir/idx").map(_._4).sum === 0L)
+      input.addData(b2); q.processAllAvailable()
+      // after batch 2 the accumulated count is 3 — excises everywhere,
+      // exactly like a one-shot count over the union
+      val ref = java.nio.file.Files.createTempDirectory("graft_lc_sref").toString
+      TextAnalysis.writeLineCountIndex(probe, $"text", ref)
+      assert(served(s"$dir/idx") === served(ref))
+      assert(served(s"$dir/idx").map(_._4).sum === 3L)
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("hplIngest: streamed hyperplane index pairs identical to a one-shot build") {
     import graft.operators.Dedup
     val dir = java.nio.file.Files.createTempDirectory("graft_hpl_stream").toString
