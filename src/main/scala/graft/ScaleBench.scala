@@ -139,7 +139,11 @@ object ScaleBench {
     // the viral-boilerplate case: ~¼ of ALL lines share one key); the
     // reassembly state is bounded per doc, so time must track the line
     // explode (~rows).
-    "txt_line_dedup")
+    "txt_line_dedup",
+    // round 14c: the index-served spelling — per-JVM cache sees each
+    // scale once, so the timing is store build (bucket-partitioned
+    // count write) + pruned excise; both ~linear in the line stream.
+    "txt_line_dedup_idx")
 
   /** Scale-only bindings that aren't part of the served query surface. */
   private val Extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
