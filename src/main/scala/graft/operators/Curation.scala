@@ -337,6 +337,23 @@ object Curation {
     hosts.join(blockedIds, Seq("doc_id"), "left_anti")
   }
 
+  /** [[urlBlocklistGate]] as a PURE PER-ROW predicate for a
+    * CONFIG-SIZED blocklist (the hand-curated hundreds-of-domains case
+    * every crawler config ships): the entries inline as an array
+    * literal and membership is one `array_intersect` over the suffix
+    * chain — no join, no state, row shape preserved, so it composes
+    * into a streaming ingest exactly like the Gopher gates. For the
+    * millions-of-entries public blocklists use [[urlBlocklistGate]]
+    * (broadcast join) — a 5M-entry plan literal would bloat every task
+    * binary. */
+  def urlBlocklistGated(df: DataFrame, url: Column,
+      blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "urlBlocklistGated: empty blocklist")
+    df.filter(size(array_intersect(
+      hostSuffixChain(urlHost(url)),
+      lit(blocked.map(_.toLowerCase).toArray))) === 0)
+  }
+
   /** Per-blocked-domain hit counts — WHERE the blocklist bites (the
     * review that decides whether an entry is stale or load-bearing).
     * One row per blocklist entry with ≥1 hit. */

@@ -378,6 +378,28 @@ object TextAnalysis {
         (col("n_lines") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Bound the store: drop lines with n < `floor` — the CCNet trade
+    * that keeps a line-count store sub-corpus-sized (boilerplate is by
+    * definition FREQUENT; the long tail of once-seen lines is most of
+    * the rows and none of the signal). Stated error bound: a pruned
+    * line restarts its count, so a line that ever fell below the floor
+    * gates LATE by at most `floor − 1` occurrences — choose
+    * floor ≪ maxOcc and the gate's behavior on actual boilerplate is
+    * unchanged. Per-bucket crash-safe rewrites (the compaction
+    * discipline every at-rest family here uses); idempotent. */
+  def pruneLineCountIndex(s: SparkSession, dir: String, floor: Long,
+      onStep: String => Unit = _ => ()): Unit = {
+    require(floor >= 2, s"pruneLineCountIndex: floor >= 2, got $floor")
+    graft.sources.Tombstones.healPartitions(s, s"$dir/counts")
+    val root = new org.apache.hadoop.fs.Path(s"$dir/counts")
+    val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) return
+    f.listStatus(root).filter(_.getPath.getName.startsWith("bucket=")).foreach { st =>
+      graft.sources.Tombstones.rewriteLive(s, st.getPath.toString,
+        live => live.filter(col("n") >= floor), onStep)
+    }
+  }
+
   /** Per-JVM line-count index cache over the reflow corpus (the
     * [[Dedup]] sigIdxCache rationale: immutable testdata, one build,
     * probe-path bench). */

@@ -357,5 +357,10 @@ class CurationSpec extends SparkSpec {
     val report = Curation.urlBlocklistReport(docs, $"doc_id", $"url", blocklist)
       .as[(String, Long)].collect().toMap
     assert(report === Map("evil.example.com" -> 3L, "badhost.net" -> 1L))
+    // the per-row (config-sized, literal) spelling agrees with the join
+    val keptLit = Curation.urlBlocklistGated(docs, $"url",
+        Seq("EVIL.example.com", "badhost.net")) // case-folds entries too
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptLit === kept)
   }
 }

@@ -126,6 +126,27 @@ class TextAnalysisSpec extends SparkSpec {
       s"a bucket whose marker says committed must not merge again: $n")
   }
 
+  test("line-count index: floor pruning bounds the store, keeps the boilerplate gate, is idempotent") {
+    val boiler = "accept cookies to continue"
+    val docs = ((1L to 5L).map(i => (i, s"$boiler\nunique line number $i")) :+
+      (6L, "another singleton document")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lc_prune").toString
+    TextAnalysis.writeLineCountIndex(docs, $"text", dir)
+    val before = spark.read.parquet(s"$dir/counts").count()
+    TextAnalysis.pruneLineCountIndex(spark, dir, floor = 2L)
+    // only the frequent line survives — the once-seen tail (most rows,
+    // none of the signal) is gone
+    val after = spark.read.parquet(s"$dir/counts")
+      .select("line", "n").as[(String, Long)].collect().toSeq
+    assert(before === 7L && after === Seq((boiler, 5L)))
+    // the gate on actual boilerplate is unchanged by the prune
+    val excised = TextAnalysis.exciseFromLineIndex(docs, $"doc_id", $"text",
+      dir, maxOcc = 2L).agg(sum("n_removed")).as[Long].head()
+    assert(excised === 5L)
+    TextAnalysis.pruneLineCountIndex(spark, dir, floor = 2L) // idempotent
+    assert(spark.read.parquet(s"$dir/counts").count() === 1L)
+  }
+
   test("line rules: row shape preserved and clobber guard fires") {
     val df = Seq((1L, "a line\nb line", "keep")).toDF("doc_id", "text", "extra")
     val out = TextAnalysis.withGopherLineMetrics(df, $"text")
