@@ -308,6 +308,16 @@ class ClassifySpec extends SparkSpec {
     assert(top === (3601 to 4000).map(_.toLong).toSet)
   }
 
+  test("aucExact: all-tied scores (degenerate single cell, lo == hi) read exactly 0.5") {
+    // one tie-group: 2U = p·(0 + n) ⇒ AUC = 1/2 — and the two-level
+    // bucketing must survive a zero-width span (width_bucket over
+    // lo == hi)
+    val df = (1 to 40).map(i => (7L, i % 3 == 0)).toDF("s", "y")
+    val auc = Classify.aucExact(df, $"s", $"y")
+      .select("auc").as[Option[Double]].head()
+    assert(auc.contains(0.5))
+  }
+
   test("aucExactBy plans NO partition-less window (every fold is group-keyed)") {
     // The docstring claims even the level-1 bucket fold partitions by
     // group — assert it on the optimized plan, not by reading the code.
