@@ -145,6 +145,19 @@ object ScaleBench {
     // count write) + pruned excise; both ~linear in the line stream.
     "txt_line_dedup_idx")
 
+  /** Scratch dirs created by scale-only bindings whose output DataFrame
+    * reads them lazily — reclaimed at JVM exit. */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      scratchDirs.forEach(dir => rm(new java.io.File(dir)))
+    }))
+  }
+
   /** Scale-only bindings that aren't part of the served query surface. */
   private val Extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
     Map("dedup_clusters_dist" ->
@@ -178,6 +191,11 @@ object ScaleBench {
           .toDF("doc_id", "payload")
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_ph_scale").toString
+        // the probe DataFrame reads the index lazily, so the dir can't
+        // delete inline — the shutdown hook reclaims it (the idx-cache
+        // cleanup discipline; at the 10× arm this is the full index
+        // footprint per rep otherwise)
+        scratchDirs.add(tmp)
         Multimodal.writePhashIndex(imgs.filter(pmod(col("doc_id"), lit(4L)) =!= 0L),
           tmp, grid = 8, bands = 4)
         Multimodal.probePhashIndex(

@@ -152,12 +152,16 @@ object TextAnalysis {
         frac(size(filter(col("__ls"), isEllipsis)).cast("long")))
       .withColumn("dup_line_frac",
         frac((col("n_lines") - size(array_distinct(col("__ls"))).cast("long"))))
+      // per-distinct occurrence counts materialize ONCE (a struct per
+      // distinct line), so the dup-char term costs one filter pass per
+      // distinct line, not two
       .withColumn("__dupchars", aggregate(
         transform(array_distinct(col("__ls")), d =>
-          when(size(filter(col("__ls"), y => y === d)) > 1,
-            size(filter(col("__ls"), y => y === d)).cast("long") * length(d).cast("long"))
-            .otherwise(lit(0L))),
-        lit(0L), (acc, v) => acc + v))
+          struct(size(filter(col("__ls"), y => y === d)).cast("long").as("c"),
+            length(d).cast("long").as("w"))),
+        lit(0L), (acc, v) =>
+          acc + when(v.getField("c") > 1L, v.getField("c") * v.getField("w"))
+            .otherwise(lit(0L))))
       .withColumn("__chars", aggregate(
         transform(col("__ls"), x => length(x).cast("long")),
         lit(0L), (acc, v) => acc + v))
@@ -296,16 +300,36 @@ object TextAnalysis {
   private def readLineMeta(s: SparkSession, dir: String): Int =
     s.read.parquet(s"$dir/meta").select("buckets").head().getInt(0)
 
+  /** Create an EMPTY store (meta only) — the streaming bootstrap:
+    * writing meta is IDEMPOTENT (fixed content for fixed `buckets`), so
+    * a replayed first batch can re-run it and then fold its counts
+    * through the stamped [[applyLineCountBatch]] path like every other
+    * batch. Routing the first batch through [[writeLineCountIndex]]
+    * instead would reopen the window this design closes: a crash
+    * between its counts write and any marker replays the batch down
+    * the ADDITIVE path against a store that already holds it. */
+  def initLineCountIndex(s: SparkSession, dir: String,
+      buckets: Int = LineBuckets): Unit = {
+    import s.implicits._
+    Seq(Tuple1(buckets)).toDF("buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
   /** Fold one batch's line counts into the store ADDITIVELY — unlike
-    * the per-(band, doc) index appends, a count merge is NOT idempotent,
-    * so the batch commits per bucket: each touched bucket rewrites
-    * through the crash-safe [[graft.sources.Tombstones.rewriteLive]]
-    * swap under its own `_batch_<id>_b<bucket>` marker, and the batch's
-    * `_batch_<id>` marker lands only after every bucket committed — a
-    * crash mid-batch replays ONLY the buckets whose markers are
-    * missing, never double-counting a committed one. Bucket markers
-    * prune after the batch marker is durable (a stale leftover is a
-    * tiny file, never a correctness input). */
+    * the per-(band, doc) index appends, a count merge is NOT
+    * idempotent, so each bucket's commit record must land ATOMICALLY
+    * with its data: the merge stages through
+    * [[graft.sources.Tombstones.rewriteLive]] with an in-leaf
+    * `_applied_<batchId>` stamp planted in the staging dir BEFORE the
+    * swap (new buckets stage + stamp + rename the same way), so there
+    * is no marker-vs-data window — a replay that finds the stamp knows
+    * this exact merge swapped in; one that doesn't knows it didn't.
+    * The batch's `_batch_<id>` marker lands only after every bucket
+    * committed: a crash mid-batch replays ONLY the unstamped buckets,
+    * never double-counting a committed one. Stale stamps from older
+    * batches die with each leaf's next rewrite (staging carries fresh
+    * files only) and are never read — the skip check names the current
+    * batch id. */
   def applyLineCountBatch(batch: DataFrame, text: Column, dir: String,
       batchId: Long): Unit = {
     val s = batch.sparkSession
@@ -315,27 +339,36 @@ object TextAnalysis {
     if (f.exists(done)) return
     graft.sources.Tombstones.healPartitions(s, s"$dir/counts")
     val buckets = readLineMeta(s, dir)
+    val stamp = s"_applied_$batchId"
     val bc = lineCountsOf(batch, text, buckets)
       .localCheckpoint() // touched-bucket collect + one read per bucket
     val touched = bc.select("bucket").distinct()
       .collect().map(_.getLong(0)).sorted
     touched.foreach { b =>
-      val bMark = new org.apache.hadoop.fs.Path(s"$dir/_batch_${batchId}_b$b")
-      if (!f.exists(bMark)) {
+      val leaf = s"$dir/counts/bucket=$b"
+      val leafP = new org.apache.hadoop.fs.Path(leaf)
+      if (!f.exists(new org.apache.hadoop.fs.Path(leafP, stamp))) {
         val rows = bc.filter(col("bucket") === b).select("line", "n")
-        val leaf = s"$dir/counts/bucket=$b"
-        if (f.exists(new org.apache.hadoop.fs.Path(leaf)))
+        if (f.exists(leafP))
           graft.sources.Tombstones.rewriteLive(s, leaf, live =>
             live.select("line", "n").unionByName(rows)
-              .groupBy("line").agg(sum("n").as("n")))
-        else rows.write.mode("overwrite").parquet(leaf)
-        f.create(bMark, true).close()
+              .groupBy("line").agg(sum("n").as("n")),
+            stampFile = Some(stamp))
+        else {
+          // new bucket: stage + stamp + one atomic rename (a bare write
+          // then stamp would reopen the marker-vs-data window)
+          val tmpP = new org.apache.hadoop.fs.Path(
+            leafP.getParent, s".bucket=${b}__new")
+          f.delete(tmpP, true) // a crashed earlier attempt is rebuilt
+          rows.write.mode("overwrite").parquet(tmpP.toString)
+          f.create(new org.apache.hadoop.fs.Path(tmpP, stamp), true).close()
+          if (!f.rename(tmpP, leafP))
+            throw new java.io.IOException(
+              s"line-count bucket commit rename failed: $tmpP -> $leafP")
+        }
       }
     }
     f.create(done, true).close()
-    touched.foreach { b =>
-      f.delete(new org.apache.hadoop.fs.Path(s"$dir/_batch_${batchId}_b$b"), false)
-    }
   }
 
   /** [[dedupLinesAcross]] SERVED from the at-rest store: only the

@@ -174,10 +174,22 @@ object Tombstones {
     *  5. delete the old copy, drop the marker.
     *
     * Every intermediate state keeps a complete durable copy; `onStep`
-    * is the crash-injection seam (labels prefixed with the dir name). */
+    * is the crash-injection seam (labels prefixed with the dir name).
+    *
+    * `stampFile`: an empty `_`-prefixed file created INSIDE the staged
+    * dir before the swap, so it becomes visible ATOMICALLY with the
+    * rewritten data — the commit-record hook for callers whose rewrite
+    * is not idempotent (additive count merges): a replay that finds the
+    * stamp in the live dir knows this exact rewrite already swapped in,
+    * with no marker-vs-data race window. Underscore names are invisible
+    * to parquet readers and excluded from [[dataFiles]], so stamps are
+    * never snapshotted, carried, or counted as rows; a leaf's NEXT
+    * rewrite stages fresh files only, so old stamps die with the old
+    * copy. */
   def rewriteLive(s: SparkSession, leafDir: String,
       rewrite: DataFrame => DataFrame,
-      onStep: String => Unit = _ => ()): Unit = {
+      onStep: String => Unit = _ => (),
+      stampFile: Option[String] = None): Unit = {
     val p = new Path(leafDir)
     val f = fs(s, p)
     val oldP = oldPath(p)
@@ -188,6 +200,11 @@ object Tombstones {
     if (snapshot.isEmpty) return
     rewrite(s.read.parquet(snapshot.map(n => s"$leafDir/$n"): _*))
       .write.mode("overwrite").parquet(tmpP.toString)
+    stampFile.foreach { n =>
+      require(n.startsWith("_"),
+        s"rewriteLive stampFile must be _-prefixed (parquet-invisible), got $n")
+      f.create(new Path(tmpP, n), true).close()
+    }
     onStep(s"${p.getName}:staged")
     mustRename(f, p, oldP, "vacate")
     onStep(s"${p.getName}:vacated")

@@ -568,6 +568,12 @@ object Streams {
     * Cold starts admit on heuristics alone: no model store (the
     * [[modelGatedIngest]] rule) or no margin history yet (an empty
     * distribution has no quantile — the first scored batch seeds it).
+    * The model-cold-start verdict is itself recorded in the sidecar —
+    * "is the store ready" is part of the decision, so a replay that
+    * straddles the store becoming ready still honors the wholesale
+    * admission that actually landed (the sink can't retract rows).
+    * A fresh checkpoint is refused when its tag still has sidecars on
+    * disk (the [[requireConsistentMarkers]] rule for this family).
     *
     * Marker retention: sidecars and sketch batch markers are pruned
     * once they fall `markerRetention` batches behind (the engine
@@ -610,49 +616,83 @@ object Streams {
       md.digest(checkpoint.getBytes("UTF-8"))
         .take(4).map("%02x".format(_)).mkString
     }
+    // checkpoint-reset guard — the [[requireConsistentMarkers]]
+    // discipline for the sidecar family: a FRESH checkpoint at a path
+    // whose tag still has surviving sidecars would silently replay the
+    // previous run's admission verdicts for new, unrelated batch ids
+    // (batch ids restart at 0 on reset). Refuse loudly instead.
+    locally {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val offsets = new org.apache.hadoop.fs.Path(s"$checkpoint/offsets")
+      val cf = offsets.getFileSystem(conf)
+      val freshCkpt = !cf.exists(offsets) || cf.listStatus(offsets).isEmpty
+      if (freshCkpt) {
+        val state = new org.apache.hadoop.fs.Path(sketchDir)
+        val sf = state.getFileSystem(conf)
+        val parent = state.getParent
+        val prefix = state.getName + s"__gate_${gateTag}_"
+        val stale = parent != null && sf.exists(parent) &&
+          sf.listStatus(parent).exists(_.getPath.getName.startsWith(prefix))
+        require(!stale,
+          s"sketch dir $sketchDir carries __gate sidecars for checkpoint " +
+            s"$checkpoint but that checkpoint is fresh: restarted batch " +
+            "ids would silently reuse the previous run's admission " +
+            "verdicts. Resume with the original checkpoint, or pair a " +
+            "fresh checkpoint with a fresh sketch dir.")
+      }
+    }
     curated.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          if (nbStoreReady(s, modelDir)) {
-            val (llr, scalars) = nbModelFromStore(s, modelDir)
-            val scores = graft.operators.Classify.nbScore(
-                batch, col("event_id"), col(textCol), llr, scalars)
-              .select(col("doc_id").as("event_id"), col("nb_margin"))
-              .localCheckpoint() // read twice: gate join + sketch merge
-            val f = fs(s, sketchDir)
-            // durable per-batch gate decision (see the replay contract
-            // in the doc above): reuse the recorded verdict on replay;
-            // otherwise compute it from the PAST distribution — resolved
-            // through the __old-healing read, never a bare exists — and
-            // persist it BEFORE the sink runs. Double.toString/parse is
-            // an exact round-trip, so the replayed threshold is
-            // bit-identical.
-            val gateP = new org.apache.hadoop.fs.Path(
-              s"${sketchDir}__gate_${gateTag}_$batchId")
-            val decision: String =
-              if (f.exists(gateP)) {
-                val in = f.open(gateP)
-                try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                finally in.close()
-              } else {
-                val d = resolveSketchState(s, sketchDir) match {
+          val f = fs(s, sketchDir)
+          // durable per-batch gate decision (see the replay contract in
+          // the doc above): reuse the recorded verdict on replay;
+          // otherwise compute it — INCLUDING the model-cold-start
+          // verdict: "is the store ready" is part of the decision, and
+          // a crash-replay straddling the store becoming ready must not
+          // re-gate a batch that originally landed whole on heuristics
+          // (the key-idempotent sink cannot retract rows). Threshold
+          // resolution goes through the __old-healing read, never a
+          // bare exists; Double.toString/parse round-trips exactly.
+          val gateP = new org.apache.hadoop.fs.Path(
+            s"${sketchDir}__gate_${gateTag}_$batchId")
+          val decision: String =
+            if (f.exists(gateP)) {
+              val in = f.open(gateP)
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+            } else {
+              val d =
+                if (!nbStoreReady(s, modelDir)) "cold"
+                else resolveSketchState(s, sketchDir) match {
                   case Some(stateP) =>
                     val thr = s.read.parquet(stateP)
                       .agg(expr(s"percentile(__v, ${1.0 - frac})").as("t"))
                       .head()
                     if (thr.isNullAt(0)) "seed" else thr.getDouble(0).toString
-                  case None => "seed" // no margin history yet
+                  case None => "seed" // model ready, no margin history yet
                 }
-                val tmpP = new org.apache.hadoop.fs.Path(
-                  s"${sketchDir}__gate_tmp_${gateTag}_$batchId")
-                val out = f.create(tmpP, true)
-                try out.write(d.getBytes("UTF-8")) finally out.close()
-                renameOrDie(f, tmpP, gateP)
-                d
-              }
+              val tmpP = new org.apache.hadoop.fs.Path(
+                s"${sketchDir}__gate_tmp_${gateTag}_$batchId")
+              val out = f.create(tmpP, true)
+              try out.write(d.getBytes("UTF-8")) finally out.close()
+              renameOrDie(f, tmpP, gateP)
+              d
+            }
+          if (decision == "cold") {
+            // heuristics-only regime: no scoring, no margin learning —
+            // the model has no opinion yet (or didn't when this batch
+            // FIRST ran, which replay must honor)
+            sink(batch, batchId)
+          } else {
+            val (llr, scalars) = nbModelFromStore(s, modelDir)
+            val scores = graft.operators.Classify.nbScore(
+                batch, col("event_id"), col(textCol), llr, scalars)
+              .select(col("doc_id").as("event_id"), col("nb_margin"))
+              .localCheckpoint() // read twice: gate join + sketch merge
             // once the model scores, only scorable docs land (uniform
             // seed/gated policy — see the unscorable-doc rule above)
             val admitted = decision match {
@@ -675,18 +715,18 @@ object Streams {
               .select("__id", "__u", "__v")
             if (!prepared.isEmpty)
               applySketchBatch(prepared, sketchDir, batchId, k)
-            // bounded marker retention: gate sidecars and sketch batch
-            // markers otherwise accumulate one tiny file per batch for
-            // the stream's lifetime (FS-metadata bloat at 100 TB
-            // horizons). Structured Streaming replays at most the last
-            // uncommitted batch per checkpoint, so markers more than
-            // `markerRetention` batches old are provably dead for this
-            // checkpoint; only OUR tag's sidecars are pruned (another
-            // checkpoint's id sequence is not ours to judge).
-            pruneMarkers(f, sketchDir, s"__gate_${gateTag}_",
-              batchId - markerRetention)
-            pruneMarkers(f, sketchDir, "__batch_", batchId - markerRetention)
-          } else sink(batch, batchId) // model cold start: heuristics only
+          }
+          // bounded marker retention: gate sidecars and sketch batch
+          // markers otherwise accumulate one tiny file per batch for
+          // the stream's lifetime (FS-metadata bloat at 100 TB
+          // horizons). Structured Streaming replays at most the last
+          // uncommitted batch per checkpoint, so markers more than
+          // `markerRetention` batches old are provably dead for this
+          // checkpoint; only OUR tag's sidecars are pruned (another
+          // checkpoint's id sequence is not ours to judge).
+          pruneMarkers(f, sketchDir, s"__gate_${gateTag}_",
+            batchId - markerRetention)
+          pruneMarkers(f, sketchDir, "__batch_", batchId - markerRetention)
         }
       }
       .start()
@@ -968,7 +1008,11 @@ object Streams {
     * idempotent, so the apply commits per bucket under per-(batch,
     * bucket) markers (see applyLineCountBatch) — the same reason
     * [[nbIngest]] is marker-guarded while the per-(band, doc) index
-    * appends get away with plain files. First batch writes the store. */
+    * appends get away with plain files. EVERY batch — including the
+    * first — folds through the stamped apply path: the bootstrap only
+    * writes the (idempotent, fixed-content) meta, so a crash anywhere
+    * around the first batch replays into the same per-bucket commit
+    * protocol instead of double-counting through a one-shot build. */
   def lineCountIngest(docs: DataFrame, textCol: String, indexDir: String,
       checkpoint: String, buckets: Int = graft.operators.TextAnalysis.LineBuckets)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -981,15 +1025,11 @@ object Streams {
           val s = batch.sparkSession
           val metaDir = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
           val f = metaDir.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (f.exists(metaDir))
-            graft.operators.TextAnalysis.applyLineCountBatch(
-              batch, col(textCol), indexDir, batchId)
-          else {
-            graft.operators.TextAnalysis.writeLineCountIndex(
-              batch, col(textCol), indexDir, buckets = buckets)
-            f.create(new org.apache.hadoop.fs.Path(
-              s"$indexDir/_batch_$batchId"), true).close()
-          }
+          if (!f.exists(metaDir))
+            graft.operators.TextAnalysis.initLineCountIndex(
+              s, indexDir, buckets = buckets)
+          graft.operators.TextAnalysis.applyLineCountBatch(
+            batch, col(textCol), indexDir, batchId)
         }
       }
       .start()

@@ -60,7 +60,10 @@ class DedupIndexSpec extends SparkSpec {
       dir, shingleN = 3)
     val plan = Dedup.probeMinhashIndex(inc, col("doc_id"), col("text"),
       col("blk"), dir).queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters:") && plan.contains("bucket"),
+    // the bucket predicate must sit INSIDE the PartitionFilters bracket
+    // — a bare contains() pair passes even on 'PartitionFilters: []'
+    // with 'bucket' elsewhere in the scan's schema
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
       s"probe must prune index partitions, not filter rows:\n$plan")
   }
 

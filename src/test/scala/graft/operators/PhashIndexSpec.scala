@@ -89,6 +89,18 @@ class PhashIndexSpec extends SparkSpec {
       .filter(col("doc_a") < col("doc_b")).count() === wantDel.size.toLong)
   }
 
+  test("phash index: probe reads the lake through PartitionFilters on bucket") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ph_plan").toString
+    Multimodal.writePhashIndex(imgsOf(ids), dir)
+    val plan = Multimodal.probePhashIndex(imgsOf(ids.take(3)), dir)
+      .queryExecution.executedPlan.toString
+    // the bucket predicate must sit INSIDE the PartitionFilters bracket
+    // — a bare contains() pair passes even on 'PartitionFilters: []'
+    // with 'bucket' elsewhere in the scan's schema
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"probe must prune index partitions, not filter rows:\n$plan")
+  }
+
   test("phash index: probe takes its config from the index meta, not the caller") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ph_meta").toString
     // widen the radius guard: bands from META must bound maxHamming

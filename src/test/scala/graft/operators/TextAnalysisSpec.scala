@@ -104,26 +104,43 @@ class TextAnalysisSpec extends SparkSpec {
     TextAnalysis.applyLineCountBatch(half2.toDF("doc_id", "text"), $"text", dir,
       batchId = 1L)
     assert(excised(dir) === want)
-    // bucket-level replay: simulate a crash that committed some buckets
-    // (their b-markers present) but not the batch marker — re-running
-    // must merge ONLY the unmarked buckets. Recreate the state by hand:
-    // plant a bucket marker for one touched bucket of a NEW batch, then
-    // apply; the marked bucket's line must count ONCE despite the marker
-    // lying about a merge that never happened — i.e. the marker is the
-    // commit record, so the line's count stays at the pre-batch value.
+    // bucket-level replay: the commit record is the IN-LEAF
+    // `_applied_<batchId>` stamp, which swaps in atomically with the
+    // merged data — plant one by hand for a NEW batch and apply: the
+    // stamped bucket must be skipped (its line keeps the pre-batch
+    // count), because the stamp IS the evidence the merge swapped in.
     val probeLine = "entirely original document"
     val bkt = spark.range(1).select(
       pmod(xxhash64(lit(probeLine)), lit(TextAnalysis.LineBuckets.toLong)))
       .as[Long].head()
     val f = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
-    f.create(new org.apache.hadoop.fs.Path(s"$dir/_batch_2_b$bkt"), true).close()
+    f.create(new org.apache.hadoop.fs.Path(
+      s"$dir/counts/bucket=$bkt/_applied_2"), true).close()
     TextAnalysis.applyLineCountBatch(
       Seq((9L, probeLine)).toDF("doc_id", "text"), $"text", dir, batchId = 2L)
     val n = spark.read.parquet(s"$dir/counts")
       .filter($"line" === probeLine).select("n").as[Long].collect().toSeq
     assert(n === Seq(1L),
-      s"a bucket whose marker says committed must not merge again: $n")
+      s"a bucket whose stamp says committed must not merge again: $n")
+    // and a batch into a bucket that does NOT yet exist commits through
+    // the staged-rename path: the stamp arrives WITH the data
+    val fresh = "a line the store has never seen before"
+    TextAnalysis.applyLineCountBatch(
+      Seq((10L, fresh)).toDF("doc_id", "text"), $"text", dir, batchId = 3L)
+    val fb = spark.range(1).select(
+      pmod(xxhash64(lit(fresh)), lit(TextAnalysis.LineBuckets.toLong)))
+      .as[Long].head()
+    assert(f.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/counts/bucket=$fb/_applied_3")),
+      "new-bucket commits must carry their stamp atomically")
+    // replaying batch 3 with its _batch marker removed still skips the
+    // stamped bucket — no double count
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/_batch_3"), false)
+    TextAnalysis.applyLineCountBatch(
+      Seq((10L, fresh)).toDF("doc_id", "text"), $"text", dir, batchId = 3L)
+    assert(spark.read.parquet(s"$dir/counts")
+      .filter($"line" === fresh).select("n").as[Long].head() === 1L)
   }
 
   test("line-count index: floor pruning bounds the store, keeps the boilerplate gate, is idempotent") {

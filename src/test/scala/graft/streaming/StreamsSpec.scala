@@ -692,6 +692,53 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fractionGatedIngest: the cold-start verdict is durable; a fresh checkpoint over stale sidecars is refused") {
+    import graft.functions.TextFunctions
+    val dir = java.nio.file.Files.createTempDirectory("graft_frac_cold").toString
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val ckpt = s"$dir/ckpt"
+    // NO model store yet: batch 0 must land whole AND record the fact
+    val q = Streams.fractionGatedIngest(
+      input.toDF().toDF("id", "ts", "day", "text"),
+      textCol = "text", keyCol = "id", tsCol = "ts", partCol = "day",
+      target = s"$dir/t", checkpoint = ckpt,
+      modelDir = s"$dir/model", sketchDir = s"$dir/sketch", frac = 0.5)
+    try {
+      input.addData(Seq(
+        (1L, ts(0), "d1", "an excellent fluent quality document about the brown fox and prose"),
+        (2L, ts(1), "d1", "the spam junk garbage collection with refuse words and some debris here")))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/t").count() === 2L)
+      // the sidecar records "cold" — the verdict a crash-replay that
+      // straddles the store becoming ready must honor (re-gating can't
+      // retract rows the first attempt landed)
+      val gates = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("sketch__gate_") &&
+          !f.getName.contains("tmp") && !f.getName.endsWith(".crc"))
+      assert(gates.length === 1)
+      val src = scala.io.Source.fromFile(gates.head, "UTF-8")
+      val verdict = try src.mkString.trim finally src.close()
+      assert(verdict === "cold")
+      // and no margin ever joined the sketch on the cold path
+      assert(!new java.io.File(s"$dir/sketch").exists())
+    } finally q.stop()
+    // reset guard: a FRESH checkpoint at the same path with that
+    // sidecar still on disk must refuse loudly, not replay old verdicts
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(ckpt))
+    val e = intercept[IllegalArgumentException] {
+      Streams.fractionGatedIngest(
+        MemoryStream[(Long, Timestamp, String, String)].toDF()
+          .toDF("id", "ts", "day", "text"),
+        textCol = "text", keyCol = "id", tsCol = "ts", partCol = "day",
+        target = s"$dir/t", checkpoint = ckpt,
+        modelDir = s"$dir/model", sketchDir = s"$dir/sketch", frac = 0.5)
+    }
+    assert(e.getMessage.contains("sidecars"))
+  }
+
   test("fractionGatedIngest: mid-swap crash state (__old) still gates — no wholesale admission") {
     // Simulates a crash inside applySketchBatch's two-rename swap
     // window: the live sketch dir is absent, the complete pre-batch
