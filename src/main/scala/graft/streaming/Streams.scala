@@ -970,9 +970,12 @@ object Streams {
     * soon as their batch commits — the decode cost is paid at ingest,
     * never again at audit time (the whole point of the at-rest layout).
     * First batch writes the index (fixing grid/bands/buckets in meta);
-    * later batches append under the index's own config. Exactly-once via
-    * the standard `_batch_<id>` marker; heal-first so a crashed
-    * compaction never hides a bucket from the append's readers. */
+    * later batches append under the standard `_batch_<id>` marker —
+    * the one-filesystem-create replay window this leaves (append done,
+    * marker lost) is BENIGN here: duplicate (band, doc) rows collapse
+    * in the probe's `distinct()` and carry identical hashes, the same
+    * argument as [[applyIvfBatch]]. Heal-first so a crashed compaction
+    * never hides a bucket from the append's readers. */
   def phashIngest(imgs: DataFrame, indexDir: String, checkpoint: String,
       grid: Int = 4, bands: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -1043,7 +1046,8 @@ object Streams {
     * against new vectors as soon as their batch commits. First batch
     * writes (fixing nbits/bands/buckets in meta); later batches append
     * under the index's own config; `_batch_<id>` markers make replays
-    * skip. */
+    * skip — the append-done/marker-lost window is benign for the same
+    * duplicate-row-collapse reason as [[phashIngest]]. */
   def hplIngest(vecs: DataFrame, vec: org.apache.spark.sql.Column,
       indexDir: String, checkpoint: String,
       nbits: Int = 64, bands: Int = 32)

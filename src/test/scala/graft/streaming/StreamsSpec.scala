@@ -976,6 +976,32 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("urlBlocklistGated composes into a streaming ingest (stateless per-row gate)") {
+    import graft.operators.Curation
+    val dir = java.nio.file.Files.createTempDirectory("graft_url_stream").toString
+    val input = MemoryStream[(Long, Timestamp, String, String, String)]
+    // the blocklist gate FIRST (stage-1: cheapest, before any content
+    // look), then the standard hygiene chain and upsert sink
+    val gated = Curation.urlBlocklistGated(
+      input.toDF().toDF("id", "ts", "day", "url", "text"),
+      $"url", Seq("evil.example.com"))
+    val q = Streams.ingestPipeline(gated,
+      textCol = "text", keyCol = "id", tsCol = "ts", partCol = "day",
+      target = s"$dir/t", checkpoint = s"$dir/ckpt")
+    try {
+      val body = "a perfectly ordinary document with the usual words and some more of them here"
+      input.addData(Seq(
+        (1L, ts(0), "d1", "https://good.example.org/a", body),
+        (2L, ts(1), "d1", "https://cdn.evil.example.com/b", body + " varied"),
+        (3L, ts(2), "d1", "https://notevil.example.com/c", body + " again differently")))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(s"$dir/t")
+        .select("event_id").as[Long].collect().toSet
+      assert(landed === Set(1L, 3L),
+        s"the blocked subdomain must never reach the hygiene chain: $landed")
+    } finally q.stop()
+  }
+
   test("lineCountIngest: streamed line counts serve excision identical to a one-shot count") {
     import graft.operators.TextAnalysis
     val dir = java.nio.file.Files.createTempDirectory("graft_lc_stream").toString
