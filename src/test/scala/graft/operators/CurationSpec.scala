@@ -362,5 +362,15 @@ class CurationSpec extends SparkSpec {
         Seq("EVIL.example.com", "badhost.net")) // case-folds entries too
       .select("doc_id").as[Long].collect().toSet
     assert(keptLit === kept)
+    // schemeless/malformed urls extract an empty host → empty chain
+    // element only → never match a real entry → the doc PASSES (a gate
+    // must not drop rows it cannot parse; unparseable-url policy is the
+    // caller's, not a silent side effect of regex failure)
+    val weird = Seq((7L, "not a url at all"), (8L, "evil.example.com/no-scheme"))
+      .toDF("doc_id", "url")
+    assert(Curation.urlBlocklistGate(weird, $"doc_id", $"url", blocklist)
+      .count() === 2L)
+    assert(Curation.urlBlocklistGated(weird, $"url", Seq("evil.example.com"))
+      .count() === 2L)
   }
 }
