@@ -286,7 +286,12 @@ object Classify {
   /** Named query: held-out ROC-AUC of the NB gate PER SOURCE — groups
     * with a single-class held-out slice read NULL (no rankable pairs),
     * which is itself the finding: that source can't be graded from this
-    * split. */
+    * split. `u2` is rendered as its exact integer TEXT (not the
+    * decimal(38,0) [[aucExactBy]] computes with): parquet decimal128
+    * surfaces as a boxed Decimal in Arrow readers while SQL engines
+    * widen it to a float, so a decimal output column value-compares
+    * unstably across consumers even when bit-equal — text is the one
+    * rendering exact to all 38 digits everywhere. */
   def qualityNbAucBySourceQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val (llr, scalars) = nbModel(docs.filter(isTrain(col("doc_id"))),
@@ -297,6 +302,7 @@ object Classify {
         (col("lang") === "en").as("__y")), "doc_id")
     aucExactBy(scored, col("source"), col("__mfx"), col("__y"))
       .withColumnRenamed("grp", "source")
+      .withColumn("u2", col("u2").cast("string"))
       .orderBy("source")
   }
 
@@ -306,7 +312,9 @@ object Classify {
     * oracle; on THIS testdata it honestly reads ≈0.5 for the reason
     * documented on [[qualityNbEvalQ]] (the synthetic corpus carries no
     * token↔label signal — ClassifySpec proves >0.95 on a corpus that
-    * does). */
+    * does). `u2` is exact-integer TEXT in the output for the reason on
+    * [[qualityNbAucBySourceQ]] (decimal columns value-compare unstably
+    * across Arrow/SQL consumers). */
   def qualityNbAucQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val (llr, scalars) = nbModel(docs.filter(isTrain(col("doc_id"))),
@@ -316,6 +324,7 @@ object Classify {
       .join(held.select(col("doc_id"), (col("lang") === "en").as("__y")),
         "doc_id")
     aucExact(scored, col("__mfx"), col("__y"))
+      .withColumn("u2", col("u2").cast("string"))
   }
 
   /** Named query: train on the md5-half with `lang = 'en'` as the weak
@@ -730,7 +739,7 @@ object Classify {
               CAST(sum(n) AS BIGINT) AS n_neg,
               CAST(sum(p * (2 * neg_below + n)) AS DECIMAL(38,0)) AS u2
             FROM w)
-      SELECT n_pos, n_neg, u2,
+      SELECT n_pos, n_neg, CAST(u2 AS VARCHAR) AS u2,
         CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
           ELSE round(CAST(u2 AS DOUBLE)
             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
@@ -773,7 +782,7 @@ object Classify {
               CAST(sum(n) AS BIGINT) AS n_neg,
               CAST(sum(p * (2 * neg_below + n)) AS DECIMAL(38,0)) AS u2
             FROM w GROUP BY source)
-      SELECT source, n_pos, n_neg, u2,
+      SELECT source, n_pos, n_neg, CAST(u2 AS VARCHAR) AS u2,
         CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
           ELSE round(CAST(u2 AS DOUBLE)
             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
