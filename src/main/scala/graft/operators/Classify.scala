@@ -232,7 +232,11 @@ object Classify {
     * regime this shape exists for (exact to 38 digits, i.e. any corpus
     * with n_pos·n_neg < 5e37). Degenerate inputs (single-class labels)
     * yield a NULL auc rather than a NaN — the caller can't mistake "no
-    * pairs to rank" for a score. */
+    * pairs to rank" for a score. NULL-score rows are EXCLUDED from
+    * n_pos/n_neg/u2 (a null score has no rank — [[
+    * graft.operators.Etl.rangePrefixSum]]'s declared policy); the NB
+    * margin here is non-null by construction, and a caller with
+    * nullable scores decides its own imputation before ranking. */
   def aucExact(scored: DataFrame, score: Column, label: Column,
       buckets: Int = 64): DataFrame = {
     val g = scored.select(score.as("__s"), label.as("__y"))

@@ -322,16 +322,19 @@ object Curation {
     * measured face.
     *
     * Scale shape: suffix-chain explode (≤ labels per doc) → semi-join
-    * the blocklist → anti-join back on doc id. The blocklist (even the
-    * ~5M-entry public ones ≈ 100 MB) broadcasts; a bigger one degrades
-    * to a shuffle-hash equi-join on the chain element — never a scan
-    * of rows × entries. */
+    * the blocklist → anti-join back on doc id. The blocklist carries NO
+    * broadcast hint on purpose: the planner broadcasts it from its
+    * measured size when it fits (the ~5M-entry public lists ≈ 100 MB
+    * do under a production threshold), and a genuinely huge one
+    * degrades to a shuffle-hash equi-join on the chain element instead
+    * of being forced through the driver — never a scan of
+    * rows × entries either way. */
   def urlBlocklistGate(df: DataFrame, id: Column, url: Column,
       blocklist: DataFrame): DataFrame = {
     val hosts = df.select(id.as("doc_id"), urlHost(url).as("host"))
     val blockedIds = hosts
       .select(col("doc_id"), explode(hostSuffixChain(col("host"))).as("__sfx"))
-      .join(broadcast(blocklist.select(lower(col("domain")).as("__sfx"))),
+      .join(blocklist.select(lower(col("domain")).as("__sfx")),
         Seq("__sfx"), "left_semi")
       .select("doc_id").distinct()
     hosts.join(blockedIds, Seq("doc_id"), "left_anti")
@@ -356,11 +359,12 @@ object Curation {
 
   /** Per-blocked-domain hit counts — WHERE the blocklist bites (the
     * review that decides whether an entry is stale or load-bearing).
-    * One row per blocklist entry with ≥1 hit. */
+    * One row per blocklist entry with ≥1 hit. Unhinted join for the
+    * same reason as [[urlBlocklistGate]]. */
   def urlBlocklistReport(df: DataFrame, id: Column, url: Column,
       blocklist: DataFrame): DataFrame =
     df.select(id.as("doc_id"), explode(hostSuffixChain(urlHost(url))).as("__sfx"))
-      .join(broadcast(blocklist.select(lower(col("domain")).as("__sfx"))),
+      .join(blocklist.select(lower(col("domain")).as("__sfx")),
         Seq("__sfx"), "left_semi")
       .select(col("__sfx").as("domain"), col("doc_id")).distinct()
       .groupBy("domain").agg(count(lit(1)).as("n_blocked"))

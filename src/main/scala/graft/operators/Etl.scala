@@ -201,11 +201,20 @@ object Etl {
     * all additionally keyed by the group columns (the [[
     * graft.operators.Classify.aucExactBy]] face). Output = `t`'s
     * columns + `out` (the exclusive prefix, 0 for each (group-)minimum
-    * tie-group). */
-  private[operators] def rangePrefixSum(t: DataFrame, sCol: String,
+    * tie-group).
+    *
+    * NULL-`sCol` rows are EXCLUDED — declared up front by the explicit
+    * filter below, not left to the cell joins (width_bucket of NULL is
+    * a NULL cell, which the inner joins would drop silently): a null
+    * score has no rank, so it contributes to no prefix and to no
+    * caller total. Callers whose totals must cover null-scored rows
+    * (e.g. [[graft.operators.Classify.aucExact]]'s n_pos/n_neg) count
+    * them separately or guarantee non-null scores by construction. */
+  private[operators] def rangePrefixSum(t0: DataFrame, sCol: String,
       valCol: String, out: String, grp: Seq[String] = Nil,
       b1: Int = 64, b2: Int = 64): DataFrame = {
     require(b1 >= 1 && b2 >= 1, s"rangePrefixSum: b1,b2 >= 1, got $b1,$b2")
+    val t = t0.filter(col(sCol).isNotNull)
     val gCols = grp.map(col)
     val span =
       if (grp.isEmpty)

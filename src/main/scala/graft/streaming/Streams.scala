@@ -370,22 +370,23 @@ object Streams {
     * rewrites only the partitions a batch touches. */
   def upsertByKey(spark: SparkSession, target: String, key: String)(
       batch: DataFrame, batchId: Long): Unit = {
-    val f = fs(spark, target)
-    val targetP = new org.apache.hadoop.fs.Path(target)
-    val oldP = new org.apache.hadoop.fs.Path(s"${target}__old")
+    val tgt = normDir(target) // __old/__staging_ are sibling concats
+    val f = fs(spark, tgt)
+    val targetP = new org.apache.hadoop.fs.Path(tgt)
+    val oldP = new org.apache.hadoop.fs.Path(s"${tgt}__old")
     // self-heal a crash between the swap renames of a previous batch: the
     // previous table is intact at __old — put it back first; then clear
     // any staging leftovers a pre-swap crash stranded (their batch never
     // committed, so they are rebuilt from the stream on retry)
     if (!f.exists(targetP) && f.exists(oldP)) renameOrDie(f, oldP, targetP)
     f.delete(oldP, true)
-    dropStaleStaging(spark, target)
+    dropStaleStaging(spark, tgt)
     val fresh = batch.dropDuplicates(key)
-    if (scala.util.Try(spark.read.parquet(target).schema).isSuccess) {
-      val old = spark.read.parquet(target)
+    if (scala.util.Try(spark.read.parquet(tgt).schema).isSuccess) {
+      val old = spark.read.parquet(tgt)
       val merged = old.join(fresh, old(key) === fresh(key), "left_anti")
         .unionByName(fresh)
-      val tmp = s"${target}__staging_$batchId"
+      val tmp = s"${tgt}__staging_$batchId"
       val tmpP = new org.apache.hadoop.fs.Path(tmp)
       merged.write.mode("overwrite").parquet(tmp) // durable before any move
       // rename-out/rename-in/delete-old: every intermediate state keeps a
@@ -393,7 +394,7 @@ object Streams {
       renameOrDie(f, targetP, oldP)
       renameOrDie(f, tmpP, targetP)
       f.delete(oldP, true)
-    } else fresh.write.mode("overwrite").parquet(target)
+    } else fresh.write.mode("overwrite").parquet(tgt)
   }
 
   /** Partition-bounded upsert: the target is laid out `partitionBy(
@@ -412,25 +413,26 @@ object Streams {
     * `StreamsSpec`). */
   def upsertByKeyPartitioned(spark: SparkSession, target: String, key: String,
       partCol: String)(batch: DataFrame, batchId: Long): Unit = {
-    dropStaleStaging(spark, target)
+    val tgt = normDir(target) // __staging_ is a sibling concat
+    dropStaleStaging(spark, tgt)
     val fresh = batch.dropDuplicates(key)
-    if (scala.util.Try(spark.read.parquet(target).schema).isSuccess) {
+    if (scala.util.Try(spark.read.parquet(tgt).schema).isSuccess) {
       val touched = fresh.select(partCol).distinct().collect().map(_.get(0)).toSeq
-      val old = spark.read.parquet(target).filter(col(partCol).isin(touched: _*))
+      val old = spark.read.parquet(tgt).filter(col(partCol).isin(touched: _*))
       val merged = old.join(fresh, old(key) === fresh(key), "left_anti")
         .unionByName(fresh)
-      val tmp = s"${target}__staging_$batchId"
+      val tmp = s"${tgt}__staging_$batchId"
       merged.write.mode("overwrite").parquet(tmp) // durable before touching target
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try spark.read.parquet(tmp)
-        .write.partitionBy(partCol).mode("overwrite").parquet(target)
+        .write.partitionBy(partCol).mode("overwrite").parquet(tgt)
       finally prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
-      fs(spark, target).delete(new org.apache.hadoop.fs.Path(tmp), true)
-    } else fresh.write.partitionBy(partCol).mode("overwrite").parquet(target)
+      fs(spark, tgt).delete(new org.apache.hadoop.fs.Path(tmp), true)
+    } else fresh.write.partitionBy(partCol).mode("overwrite").parquet(tgt)
   }
 
   /** The COMPLETE streaming ingest flow as one callable — the SRS
@@ -598,6 +600,8 @@ object Streams {
     require(frac > 0.0 && frac <= 1.0, s"frac in (0,1], got $frac")
     require(markerRetention >= 2,
       s"markerRetention must cover the replay window, got $markerRetention")
+    // the sidecars below are SIBLINGS built by string concat — see normDir
+    val sketch = normDir(sketchDir)
     val spark = df.sparkSession
     val gated = hygieneGated(df, textCol)
     val deduped = dedupedByContent(gated, textCol,
@@ -627,14 +631,14 @@ object Streams {
       val cf = offsets.getFileSystem(conf)
       val freshCkpt = !cf.exists(offsets) || cf.listStatus(offsets).isEmpty
       if (freshCkpt) {
-        val state = new org.apache.hadoop.fs.Path(sketchDir)
+        val state = new org.apache.hadoop.fs.Path(sketch)
         val sf = state.getFileSystem(conf)
         val parent = state.getParent
         val prefix = state.getName + s"__gate_${gateTag}_"
         val stale = parent != null && sf.exists(parent) &&
           sf.listStatus(parent).exists(_.getPath.getName.startsWith(prefix))
         require(!stale,
-          s"sketch dir $sketchDir carries __gate sidecars for checkpoint " +
+          s"sketch dir $sketch carries __gate sidecars for checkpoint " +
             s"$checkpoint but that checkpoint is fresh: restarted batch " +
             "ids would silently reuse the previous run's admission " +
             "verdicts. Resume with the original checkpoint, or pair a " +
@@ -647,7 +651,7 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          val f = fs(s, sketchDir)
+          val f = fs(s, sketch)
           // durable per-batch gate decision (see the replay contract in
           // the doc above): reuse the recorded verdict on replay;
           // otherwise compute it — INCLUDING the model-cold-start
@@ -658,7 +662,7 @@ object Streams {
           // resolution goes through the __old-healing read, never a
           // bare exists; Double.toString/parse round-trips exactly.
           val gateP = new org.apache.hadoop.fs.Path(
-            s"${sketchDir}__gate_${gateTag}_$batchId")
+            s"${sketch}__gate_${gateTag}_$batchId")
           val decision: String =
             if (f.exists(gateP)) {
               val in = f.open(gateP)
@@ -667,7 +671,7 @@ object Streams {
             } else {
               val d =
                 if (!nbStoreReady(s, modelDir)) "cold"
-                else resolveSketchState(s, sketchDir) match {
+                else resolveSketchState(s, sketch) match {
                   case Some(stateP) =>
                     val thr = s.read.parquet(stateP)
                       .agg(expr(s"percentile(__v, ${1.0 - frac})").as("t"))
@@ -676,7 +680,7 @@ object Streams {
                   case None => "seed" // model ready, no margin history yet
                 }
               val tmpP = new org.apache.hadoop.fs.Path(
-                s"${sketchDir}__gate_tmp_${gateTag}_$batchId")
+                s"${sketch}__gate_tmp_${gateTag}_$batchId")
               val out = f.create(tmpP, true)
               try out.write(d.getBytes("UTF-8")) finally out.close()
               renameOrDie(f, tmpP, gateP)
@@ -714,7 +718,7 @@ object Streams {
                 graft.functions.HashFunctions.md5UniformOpen(col("__id")))
               .select("__id", "__u", "__v")
             if (!prepared.isEmpty)
-              applySketchBatch(prepared, sketchDir, batchId, k)
+              applySketchBatch(prepared, sketch, batchId, k)
           }
           // bounded marker retention: gate sidecars and sketch batch
           // markers otherwise accumulate one tiny file per batch for
@@ -724,12 +728,50 @@ object Streams {
           // `markerRetention` batches old are provably dead for this
           // checkpoint; only OUR tag's sidecars are pruned (another
           // checkpoint's id sequence is not ours to judge).
-          pruneMarkers(f, sketchDir, s"__gate_${gateTag}_",
+          pruneMarkers(f, sketch, s"__gate_${gateTag}_",
             batchId - markerRetention)
-          pruneMarkers(f, sketchDir, "__batch_", batchId - markerRetention)
+          pruneMarkers(f, sketch, "__batch_", batchId - markerRetention)
         }
       }
       .start()
+  }
+
+  /** Strip trailing slashes from a user-supplied state/target dir.
+    * Sibling artifacts (`__old`, `__staging_*`, `__gate_*`, `__batch_*`)
+    * are built by STRING concatenation onto these dirs, so a trailing
+    * slash would silently place them INSIDE the dir — where the
+    * rename-swap discards them and the `Path.getName`-based cleaners
+    * and fresh-checkpoint guards (which normalize) never see them.
+    * Normalizing once at every sibling-concatenating entry keeps the
+    * writers and the readers of those artifacts on the same path. */
+  private def normDir(dir: String): String = {
+    val trimmed = dir.replaceAll("/+$", "")
+    if (trimmed.isEmpty) dir else trimmed
+  }
+
+  /** Delete `<dir>/_batch_<id>` IN-DIR markers with id < `beforeId` —
+    * the bounded-retention cleaner for the index-family ingests (whose
+    * `_`-prefixed markers live inside the index dir, invisible to
+    * parquet readers). Structured Streaming replays at most the last
+    * uncommitted batch per checkpoint, so markers `markerRetention`
+    * batches old are provably dead; without pruning a long-lived stream
+    * writes one tiny file per batch forever (FS-metadata bloat at
+    * 100 TB horizons). Recent markers always survive, so the
+    * fresh-checkpoint-vs-stale-marker guard keeps firing. */
+  private def pruneBatchMarkers(f: org.apache.hadoop.fs.FileSystem,
+      dir: String, beforeId: Long): Unit = {
+    if (beforeId <= 0) return
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (f.exists(root))
+      f.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_batch_")) {
+          val suffix = n.substring("_batch_".length)
+          if (suffix.nonEmpty && suffix.forall(_.isDigit) &&
+              suffix.toLong < beforeId)
+            f.delete(st.getPath, false)
+        }
+      }
   }
 
   /** Delete `<stateDir><prefix><id>` sibling files with id < `beforeId`
@@ -761,10 +803,11 @@ object Streams {
     * belongs to the writer ([[applySketchBatch]] itself). */
   private def resolveSketchState(s: SparkSession, stateDir: String)
       : Option[String] = {
-    val f = fs(s, stateDir)
-    if (f.exists(new org.apache.hadoop.fs.Path(stateDir))) Some(stateDir)
-    else if (f.exists(new org.apache.hadoop.fs.Path(s"${stateDir}__old")))
-      Some(s"${stateDir}__old")
+    val dir = normDir(stateDir)
+    val f = fs(s, dir)
+    if (f.exists(new org.apache.hadoop.fs.Path(dir))) Some(dir)
+    else if (f.exists(new org.apache.hadoop.fs.Path(s"${dir}__old")))
+      Some(s"${dir}__old")
     else None
   }
 
@@ -880,8 +923,11 @@ object Streams {
     }
   }
 
-  def indexIngest(docs: DataFrame, indexDir: String, checkpoint: String)
+  def indexIngest(docs: DataFrame, indexDir: String, checkpoint: String,
+      markerRetention: Long = 100L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(markerRetention >= 2,
+      s"markerRetention must cover the replay window, got $markerRetention")
     requireConsistentMarkers(docs.sparkSession, indexDir, checkpoint)
     docs.writeStream
       .outputMode(OutputMode.Append())
@@ -916,6 +962,7 @@ object Streams {
                 batch, col("doc_id"), col("text"), indexDir)
             f.create(marker, true).close() // applied — commit the batch id
           }
+          pruneBatchMarkers(f, indexDir, batchId - markerRetention)
         }
       }
       .start()
@@ -931,8 +978,11 @@ object Streams {
     * collisions refused at start, heal-before-probe so a crash mid
     * stats-swap can't read a COMPLETE index as "absent" and clobber it. */
   def gramIngest(docs: DataFrame, indexDir: String, checkpoint: String,
-      n: Int = graft.operators.GramIndex.DefaultN)
+      n: Int = graft.operators.GramIndex.DefaultN,
+      markerRetention: Long = 100L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(markerRetention >= 2,
+      s"markerRetention must cover the replay window, got $markerRetention")
     requireConsistentMarkers(docs.sparkSession, indexDir, checkpoint)
     docs.writeStream
       .outputMode(OutputMode.Append())
@@ -956,6 +1006,7 @@ object Streams {
                 batch, col("doc_id"), col("text"), indexDir, n = n)
             f.create(marker, true).close() // applied — commit the batch id
           }
+          pruneBatchMarkers(f, indexDir, batchId - markerRetention)
         }
       }
       .start()
@@ -977,8 +1028,10 @@ object Streams {
     * argument as [[applyIvfBatch]]. Heal-first so a crashed compaction
     * never hides a bucket from the append's readers. */
   def phashIngest(imgs: DataFrame, indexDir: String, checkpoint: String,
-      grid: Int = 4, bands: Int = 4)
+      grid: Int = 4, bands: Int = 4, markerRetention: Long = 100L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(markerRetention >= 2,
+      s"markerRetention must cover the replay window, got $markerRetention")
     requireConsistentMarkers(imgs.sparkSession, indexDir, checkpoint)
     imgs.writeStream
       .outputMode(OutputMode.Append())
@@ -998,6 +1051,7 @@ object Streams {
                 grid = grid, bands = bands)
             f.create(marker, true).close() // applied — commit the batch id
           }
+          pruneBatchMarkers(f, indexDir, batchId - markerRetention)
         }
       }
       .start()
@@ -1017,8 +1071,11 @@ object Streams {
     * around the first batch replays into the same per-bucket commit
     * protocol instead of double-counting through a one-shot build. */
   def lineCountIngest(docs: DataFrame, textCol: String, indexDir: String,
-      checkpoint: String, buckets: Int = graft.operators.TextAnalysis.LineBuckets)
+      checkpoint: String, buckets: Int = graft.operators.TextAnalysis.LineBuckets,
+      markerRetention: Long = 100L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(markerRetention >= 2,
+      s"markerRetention must cover the replay window, got $markerRetention")
     requireConsistentMarkers(docs.sparkSession, indexDir, checkpoint)
     docs.writeStream
       .outputMode(OutputMode.Append())
@@ -1033,6 +1090,7 @@ object Streams {
               s, indexDir, buckets = buckets)
           graft.operators.TextAnalysis.applyLineCountBatch(
             batch, col(textCol), indexDir, batchId)
+          pruneBatchMarkers(f, indexDir, batchId - markerRetention)
         }
       }
       .start()
@@ -1050,8 +1108,10 @@ object Streams {
     * duplicate-row-collapse reason as [[phashIngest]]. */
   def hplIngest(vecs: DataFrame, vec: org.apache.spark.sql.Column,
       indexDir: String, checkpoint: String,
-      nbits: Int = 64, bands: Int = 32)
+      nbits: Int = 64, bands: Int = 32, markerRetention: Long = 100L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(markerRetention >= 2,
+      s"markerRetention must cover the replay window, got $markerRetention")
     requireConsistentMarkers(vecs.sparkSession, indexDir, checkpoint)
     vecs.writeStream
       .outputMode(OutputMode.Append())
@@ -1073,6 +1133,7 @@ object Streams {
                 nbits = nbits, bands = bands)
             f.create(marker, true).close()
           }
+          pruneBatchMarkers(f, indexDir, batchId - markerRetention)
         }
       }
       .start()
@@ -1111,8 +1172,11 @@ object Streams {
     * with no df/stats to recombine there is no swap to heal, only
     * idempotent appends guarded by batch markers. */
   def ivfIngest(vecs: DataFrame, vec: org.apache.spark.sql.Column,
-      centroids: DataFrame, indexDir: String, checkpoint: String)
+      centroids: DataFrame, indexDir: String, checkpoint: String,
+      markerRetention: Long = 100L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(markerRetention >= 2,
+      s"markerRetention must cover the replay window, got $markerRetention")
     requireConsistentMarkers(vecs.sparkSession, indexDir, checkpoint)
     // resolve the codebook ONCE at stream start, not per batch — `cents`
     // is a bounded index artifact and the closure would otherwise re-run
@@ -1126,7 +1190,11 @@ object Streams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) applyIvfBatch(batch, vec, frozen, indexDir, batchId)
+        if (!batch.isEmpty) {
+          applyIvfBatch(batch, vec, frozen, indexDir, batchId)
+          pruneBatchMarkers(fs(batch.sparkSession, indexDir), indexDir,
+            batchId - markerRetention)
+        }
       }
       .start()
   }
@@ -1191,8 +1259,11 @@ object Streams {
     * replays idempotent. */
   def semanticIngest(vecs: DataFrame, id: org.apache.spark.sql.Column,
       vec: org.apache.spark.sql.Column, centroids: DataFrame,
-      indexDir: String, checkpoint: String, minCos: Double)
+      indexDir: String, checkpoint: String, minCos: Double,
+      markerRetention: Long = 100L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(markerRetention >= 2,
+      s"markerRetention must cover the replay window, got $markerRetention")
     requireConsistentMarkers(vecs.sparkSession, indexDir, checkpoint)
     val cents = centroids.select(col("cid").cast("long"), col("c")).collect()
     val s = vecs.sparkSession
@@ -1203,8 +1274,11 @@ object Streams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           applySemanticBatch(batch, id, vec, frozen, indexDir, batchId, minCos)
+          pruneBatchMarkers(fs(batch.sparkSession, indexDir), indexDir,
+            batchId - markerRetention)
+        }
       }
       .start()
   }
@@ -1241,16 +1315,22 @@ object Streams {
     * make replays no-ops. */
   def graphIngest(vecs: DataFrame, id: org.apache.spark.sql.Column,
       vec: org.apache.spark.sql.Column, indexDir: String, checkpoint: String,
-      linkK: Int = 3, beam: Int = 8, hops: Int = 3, buckets: Int = 32)
+      linkK: Int = 3, beam: Int = 8, hops: Int = 3, buckets: Int = 32,
+      markerRetention: Long = 100L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(markerRetention >= 2,
+      s"markerRetention must cover the replay window, got $markerRetention")
     requireConsistentMarkers(vecs.sparkSession, indexDir, checkpoint)
     vecs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           applyGraphBatch(batch, id, vec, indexDir, batchId,
             linkK, beam, hops, buckets)
+          pruneBatchMarkers(fs(batch.sparkSession, indexDir), indexDir,
+            batchId - markerRetention)
+        }
       }
       .start()
   }
@@ -1297,13 +1377,20 @@ object Streams {
     * vocabulary-sized, never corpus-sized. */
   def nbIngest(docs: DataFrame, text: org.apache.spark.sql.Column,
       isPos: org.apache.spark.sql.Column, modelDir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: String, markerRetention: Long = 100L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(markerRetention >= 2,
+      s"markerRetention must cover the replay window, got $markerRetention")
     requireConsistentMarkers(docs.sparkSession, modelDir, checkpoint)
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) applyNbBatch(batch, text, isPos, modelDir, batchId)
+        if (!batch.isEmpty) {
+          applyNbBatch(batch, text, isPos, modelDir, batchId)
+          pruneBatchMarkers(fs(batch.sparkSession, modelDir), modelDir,
+            batchId - markerRetention)
+        }
       }
       .start()
   }
@@ -1410,20 +1497,21 @@ object Streams {
       batchId: Long, k: Int): Unit = {
     require(k >= 2, s"applySketchBatch: k >= 2, got $k")
     val s = prepared.sparkSession
-    val f = fs(s, stateDir)
-    val marker = new org.apache.hadoop.fs.Path(s"${stateDir}__batch_$batchId")
+    val dir = normDir(stateDir) // __batch_/__old/__staging_ sibling concats
+    val f = fs(s, dir)
+    val marker = new org.apache.hadoop.fs.Path(s"${dir}__batch_$batchId")
     if (f.exists(marker)) return
-    val stateP = new org.apache.hadoop.fs.Path(stateDir)
-    val oldP = new org.apache.hadoop.fs.Path(s"${stateDir}__old")
+    val stateP = new org.apache.hadoop.fs.Path(dir)
+    val oldP = new org.apache.hadoop.fs.Path(s"${dir}__old")
     if (!f.exists(stateP) && f.exists(oldP)) renameOrDie(f, oldP, stateP)
     f.delete(oldP, true)
-    dropStaleStaging(s, stateDir)
+    dropStaleStaging(s, dir)
     val merged = (if (f.exists(stateP))
-        s.read.parquet(stateDir).unionByName(prepared)
+        s.read.parquet(dir).unionByName(prepared)
       else prepared)
       .dropDuplicates("__id")
       .orderBy("__u", "__v").limit(k)
-    val tmp = s"${stateDir}__staging_$batchId"
+    val tmp = s"${dir}__staging_$batchId"
     merged.write.mode("overwrite").parquet(tmp)
     if (f.exists(stateP)) renameOrDie(f, stateP, oldP)
     renameOrDie(f, new org.apache.hadoop.fs.Path(tmp), stateP)
@@ -1572,19 +1660,20 @@ object Streams {
       step1: String, step2: String, step3: String,
       winExpr: String, horizonExpr: String): Unit = {
     val s = batch.sparkSession
-    val f = fs(s, stateDir)
-    val stateP = new org.apache.hadoop.fs.Path(stateDir)
-    val oldP = new org.apache.hadoop.fs.Path(s"${stateDir}__old")
+    val dir = normDir(stateDir) // __old/__staging_ sibling concats
+    val f = fs(s, dir)
+    val stateP = new org.apache.hadoop.fs.Path(dir)
+    val oldP = new org.apache.hadoop.fs.Path(s"${dir}__old")
     if (!f.exists(stateP) && f.exists(oldP)) renameOrDie(f, oldP, stateP)
     f.delete(oldP, true)
-    dropStaleStaging(s, stateDir)
+    dropStaleStaging(s, dir)
     val steps = Seq(step1, step2, step3)
     val incoming = batch
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
         col("event_type").isin(steps: _*))
       .select("user_id", "event_type", "ts")
     val all = (if (f.exists(stateP))
-        s.read.parquet(stateDir).unionByName(incoming)
+        s.read.parquet(dir).unionByName(incoming)
       else incoming)
       .dropDuplicates("user_id", "event_type", "ts")
     val t1 = all.filter(col("event_type") === step1)
@@ -1598,7 +1687,7 @@ object Streams {
           col("ts") <= col("__t1") + expr(winExpr)) ||
         col("ts") > col("__mx") - expr(horizonExpr))
       .select("user_id", "event_type", "ts")
-    val tmp = s"${stateDir}__staging_$batchId"
+    val tmp = s"${dir}__staging_$batchId"
     compacted.write.mode("overwrite").parquet(tmp)
     if (f.exists(stateP)) renameOrDie(f, stateP, oldP)
     renameOrDie(f, new org.apache.hadoop.fs.Path(tmp), stateP)

@@ -240,6 +240,18 @@ class ClassifySpec extends SparkSpec {
     val one = Seq((5L, true), (4L, true)).toDF("s", "y")
     assert(Classify.aucExact(one, $"s", $"y")
       .select("auc").as[Option[Double]].head().isEmpty)
+    // NULL scores are EXCLUDED from the totals — the declared
+    // rangePrefixSum policy (a null score has no rank), pinned here so
+    // it can never regress back into a silent cell-join drop with
+    // different counts on different code paths
+    val withNull = Seq((Some(3L), true), (Some(2L), true), (None, true),
+      (Some(2L), false), (Some(1L), false), (None, false))
+      .toDF("s", "y")
+    val (np2, nn2, _, auc2) = Classify.aucExact(withNull, $"s", $"y")
+      .as[(Long, Long, java.math.BigDecimal, Option[Double])].head()
+    assert((np2, nn2) === ((2L, 2L))) // the two null-scored rows are out
+    // pos {3,2} vs neg {2,1}: U = 1 + 1 + 0.5(tie) + 1 = 3.5 → 3.5/4
+    assert(auc2.contains(math.round(3.5 / 4.0 * 1e6) / 1e6))
   }
 
   test("aucExact: equals the window-rank reference and is partitioning-independent") {

@@ -345,8 +345,14 @@ class CurationSpec extends SparkSpec {
       (6L, "ftp://files.badhost.net/f"))         // second entry, other scheme
       .toDF("doc_id", "url")
     val blocklist = Seq("evil.example.com", "badhost.net").toDF("domain")
-    val kept = Curation.urlBlocklistGate(docs, $"doc_id", $"url", blocklist)
-      .select("doc_id").as[Long].collect().toSet
+    val gated = Curation.urlBlocklistGate(docs, $"doc_id", $"url", blocklist)
+    // the blocklist join is deliberately UNHINTED: a config-sized list
+    // must still broadcast from its measured size (no hint needed), so
+    // a multi-GB list can degrade to shuffle-hash instead of being
+    // forced through the driver
+    assert(gated.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    val kept = gated.select("doc_id").as[Long].collect().toSet
     assert(kept === Set(4L, 5L))
     // chain semantics directly: the cousin's chain never contains the entry
     val chain = docs.filter($"doc_id" === 4L)

@@ -157,6 +157,33 @@ class StreamsSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/other__staging_1").exists())
   }
 
+  test("trailing-slash state dirs: sibling artifacts land beside the dir, not inside it") {
+    // sibling artifacts (__old/__staging_/__batch_/__gate_) are built by
+    // string concatenation, so an unnormalized "dir/" would nest them
+    // INSIDE the state dir — where the rename-swap silently discards
+    // them and the Path.getName-based cleaners never look. Pin that the
+    // slash spelling is exactly the no-slash spelling.
+    val dir = java.nio.file.Files.createTempDirectory("graft_slash").toString
+    val b1 = Seq(Ev(1L, ts(0), 10L, "view", 1.0)).toDF()
+    Streams.upsertByKey(spark, s"$dir/target/", "event_id")(b1, 0L)
+    val b2 = Seq(Ev(1L, ts(1), 10L, "click", 2.0)).toDF()
+    Streams.upsertByKey(spark, s"$dir/target/", "event_id")(b2, 1L)
+    assert(spark.read.parquet(s"$dir/target")
+      .select("event_type").as[String].collect().toSeq === Seq("click"))
+    assert(!new java.io.File(s"$dir/target").list().exists(_.contains("__")),
+      "no sibling artifact may nest inside the target")
+    // sketch state: the __batch_ marker must be a SIBLING (visible to
+    // the gate's pruner and replay check), the state dir pure parquet
+    val prep = Seq(("a", 0.1, 1.0), ("b", 0.2, 2.0))
+      .toDF("__id", "__u", "__v")
+    Streams.applySketchBatch(prep, s"$dir/sketch/", batchId = 0L, k = 8)
+    assert(new java.io.File(s"$dir/sketch__batch_0").exists(),
+      "marker must land as a sibling of the normalized dir")
+    assert(!new java.io.File(s"$dir/sketch").list().exists(_.contains("__batch")),
+      "no marker may nest inside the state dir")
+    assert(spark.read.parquet(s"$dir/sketch").count() === 2L)
+  }
+
   test("upsertByKeyPartitioned: only touched partitions are rewritten") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_part").toString
     val target = s"$dir/target"
@@ -947,7 +974,7 @@ class StreamsSpec extends SparkSpec {
     val q = Streams.phashIngest(
       input.toDF().toDF("doc_id")
         .join(imgs(all), "doc_id"), // payload joined per batch
-      s"$dir/idx", s"$dir/ckpt")
+      s"$dir/idx", s"$dir/ckpt", markerRetention = 2L)
     try {
       input.addData(b1ids); q.processAllAvailable()
       val after1 = probe()
@@ -967,6 +994,19 @@ class StreamsSpec extends SparkSpec {
         "probe after batch 2 = one-shot build on the union")
       assert(after1 !== after2,
         "batch 2's appended frames must actually add pairs")
+      // marker retention: this stateless stream lands consecutive ids
+      // (0, 1 so far); two more batches reach id 3, where retention 2
+      // prunes the dead id-0 marker and keeps the replay window — the
+      // long-lived-stream FS-metadata bound the index family shares
+      // with the fraction gate's sidecars
+      input.addData(Seq(1L)); q.processAllAvailable() // benign dup append
+      input.addData(Seq(2L)); q.processAllAvailable()
+      val markers = new java.io.File(s"$dir/idx").listFiles()
+        .map(_.getName)
+        .filter(n => n.startsWith("_batch_") && !n.endsWith(".crc"))
+        .toSet
+      assert(markers === Set("_batch_1", "_batch_2", "_batch_3"),
+        s"dead markers must prune, replay window must survive: $markers")
     } finally {
       q.stop()
       def rm(f: java.io.File): Unit = {
