@@ -22,13 +22,15 @@ object SparkEntry {
     Etl.queries ++ Analytics.queries ++ Retrieval.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Multimodal.queries ++
       Skew.queries ++ Joins.queries ++ Pipelines.queries ++ Curation.queries ++
-      Lexical.queries ++ Sketches.queries ++ Classify.queries ++ GramIndex.queries
+      Lexical.queries ++ Sketches.queries ++ Classify.queries ++ GramIndex.queries ++
+      GraphAnalytics.queries
 
   def oracleSql: Map[String, String] =
     Etl.oracleSql ++ Analytics.oracleSql ++ Retrieval.oracleSql ++
       TextAnalysis.oracleSql ++ Dedup.oracleSql ++ Multimodal.oracleSql ++
       Skew.oracleSql ++ Joins.oracleSql ++ Pipelines.oracleSql ++ Curation.oracleSql ++
-      Lexical.oracleSql ++ Sketches.oracleSql ++ Classify.oracleSql ++ GramIndex.oracleSql
+      Lexical.oracleSql ++ Sketches.oracleSql ++ Classify.oracleSql ++ GramIndex.oracleSql ++
+      GraphAnalytics.oracleSql
 
   /** Register every named query as a temp view over `sfDir`, alongside the
     * base tables — the complete engine surface from pure SQL:

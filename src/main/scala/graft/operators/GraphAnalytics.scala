@@ -1,0 +1,340 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over the corpus kNN graph — the two iterative
+  * propagation primitives large-corpus curation leans on once a
+  * neighbor graph exists ([[Search.knnGraph]] / the NN-Descent refined
+  * edge set):
+  *
+  *   - '''PageRank''' (Brin & Page 1998): stationary-mass centrality.
+  *     On a document/domain graph this is the classic crawl-quality
+  *     signal (CommonCrawl publishes harmonic/PageRank centrality per
+  *     host and web-corpus curation filters on it); on a kNN graph it
+  *     scores how "central" a document is to the corpus distribution —
+  *     a density proxy that needs no labels.
+  *   - '''Label propagation''' (Zhu & Ghahramani 2002, the hard-label
+  *     variant): spread sparse trusted labels (quality ratings, topic
+  *     tags) over the similarity graph by iterated neighbor majority
+  *     vote with clamped seeds — the cheap semi-supervised labeler a
+  *     training-data pipeline uses when only a sliver of the corpus is
+  *     human-rated.
+  *
+  * Reference anchor: the reference's retrieval pipeline stops at
+  * neighbor lists (`search_similar_images.py:52-95` — per-query kNN);
+  * these operators are the corpus-level extension of that same
+  * similarity structure (SURVEY §2.7/§2.9 beyond-reference mandate).
+  *
+  * Scale/determinism contract shared by both:
+  *   - Iterative dataflow, NOT driver iteration over rows: each round
+  *     is joins + aggregations keyed by node id, so every stage
+  *     shuffles by id and is bounded by |E| = N·k rows of (id, id,
+  *     double) — vectors never enter the loop.
+  *   - Fixed iteration count (the caller picks it), deterministic
+  *     tie-breaks everywhere → the whole computation replays as an
+  *     unrolled-CTE DuckDB oracle, the same discipline as the BPE
+  *     trainer and NN-Descent rounds.
+  *   - Float sums are ORDERED two-level folds ([[orderedSumByKey]]):
+  *     bit-stable across partitionings AND engines (Spark `aggregate`
+  *     over a sorted collect ≡ DuckDB `list_reduce(list(… ORDER BY …))`
+  *     — the established maxSim/BM25 oracle idiom), with per-task
+  *     collect bounded by max(indegree/subBuckets, subBuckets) instead
+  *     of raw indegree, so a hot node (viral doc, hub domain) cannot
+  *     concentrate its whole in-edge list in one task.
+  *   - Lineage is cut every `checkpointEvery` rounds (localCheckpoint,
+  *     the [[Search.nnDescend]] / pointer-jumping discipline) so deep
+  *     iteration counts do not stack a mile-high plan.
+  */
+object GraphAnalytics {
+
+  /** Deterministic two-level ordered float sum per key: level 1 folds
+    * each (key, ord % subBuckets) slice in `ord` order, level 2 folds
+    * the slice sums in bucket order. Bit-identical to a single global
+    * ordered fold... NO — deliberately NOT: it is its own published
+    * order (slice-major), chosen because it bounds per-task state; the
+    * DuckDB oracle replays the SAME two-level shape, so both engines
+    * agree bit-for-bit. `df` must carry `key`/`ord`/`value` columns
+    * (ord: long, distinct within key; value: double). Output: (key,
+    * sum). */
+  def orderedSumByKey(df: DataFrame, key: String, ord: String,
+      value: String, subBuckets: Int = 16): DataFrame = {
+    require(subBuckets >= 1, s"orderedSumByKey: subBuckets >= 1, got $subBuckets")
+    df.select(col(key).as("__k"), col(ord).as("__o"),
+        col(value).as("__x"))
+      .groupBy(col("__k"), pmod(col("__o"), lit(subBuckets.toLong)).as("__b"))
+      .agg(expr("aggregate(sort_array(collect_list(struct(__o, __x))), " +
+        "CAST(0 AS DOUBLE), (acc, e) -> acc + e.__x)").as("__s1"))
+      .groupBy("__k")
+      .agg(expr("aggregate(sort_array(collect_list(struct(__b, __s1))), " +
+        "CAST(0 AS DOUBLE), (acc, e) -> acc + e.__s1)").as("__sum"))
+      .select(col("__k").as(key), col("__sum").as("sum"))
+  }
+
+  /** PageRank with uniform teleport and dangling-mass redistribution,
+    * `iters` fixed power iterations at damping `d`:
+    *
+    *   pr'(v) = (1-d)/N + d · (Σ_dangling pr(u)/N + Σ_{u→v} pr(u)/outdeg(u))
+    *
+    * `nodes` = (id) distinct, `edges` = (src, dst) distinct directed
+    * pairs over those ids. Mass is conserved every round (Σ pr = 1 up
+    * to float error), so ranks are comparable across corpora of equal
+    * N. All three sums are ordered folds (see the object doc); the
+    * dangling total reuses [[orderedSumByKey]] keyed by a constant with
+    * id-hash sub-buckets, so even a corpus that is MOSTLY dangling
+    * (e.g. ranking a heavily-tombstoned graph) never folds more than
+    * max(N/subBuckets, subBuckets) values in one task. The one count()
+    * job up front (N) is the only driver materialization. */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
+      damping: Double = 0.85, subBuckets: Int = 16,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, s"pageRank: iters >= 1, got $iters")
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty node set")
+    val nD = n.toDouble
+    val ids = nodes.select(col("id").cast("long").as("id"))
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    // outdegree + the dangling id set are loop-invariant: derive once.
+    val od = e.groupBy("src").agg(count(lit(1)).as("__od"))
+    val dangling = ids.join(od.select(col("src").as("id")), Seq("id"), "left_anti")
+    var pr = ids.select(col("id"), (lit(1.0) / lit(nD)).as("pr"))
+    for (t <- 1 to iters) {
+      // Σ pr over dangling nodes → one broadcastable row. groupBy().agg
+      // on an EMPTY input still yields one row (global agg), whose
+      // collect_list is [] and whose fold is 0.0 — no special case.
+      val dm = pr.join(dangling, "id")
+        .groupBy(pmod(col("id"), lit(subBuckets.toLong)).as("__b"))
+        .agg(expr("aggregate(sort_array(collect_list(struct(id, pr))), " +
+          "CAST(0 AS DOUBLE), (acc, e) -> acc + e.pr)").as("__s1"))
+        .agg(expr("aggregate(sort_array(collect_list(struct(__b, __s1))), " +
+          "CAST(0 AS DOUBLE), (acc, e) -> acc + e.__s1)").as("__dm"))
+      val contribs = e.join(od, "src")
+        .join(pr.select(col("id").as("src"), col("pr").as("__p")), "src")
+        .select(col("dst"), col("src"), (col("__p") / col("__od")).as("__c"))
+      val sums = orderedSumByKey(contribs, "dst", "src", "__c", subBuckets)
+      pr = ids
+        .join(sums.select(col("dst").as("id"), col("sum").as("__s")), Seq("id"), "left")
+        .crossJoin(broadcast(dm))
+        .select(col("id"),
+          (lit(1.0 - damping) / lit(nD) + lit(damping) *
+            (col("__dm") / lit(nD) + coalesce(col("__s"), lit(0.0)))).as("pr"))
+      if (checkpointEvery > 0 && t % checkpointEvery == 0 && t < iters)
+        pr = pr.localCheckpoint()
+    }
+    pr
+  }
+
+  /** Hard label propagation with clamped seeds, `iters` fixed rounds:
+    * each round every node adopts the majority label among its labeled
+    * in-neighbors (count desc, label asc tie-break — pure INTEGER
+    * arithmetic, so the replay is exact with no float discipline
+    * needed); nodes with no labeled neighbor keep their current label;
+    * seed nodes never change. Pass the undirected closure of a kNN
+    * edge list for the usual symmetric variant.
+    *
+    * `nodes` = (id, seed) with seed null for unlabeled; `edges` =
+    * (src, dst): src votes on dst. Per round: one join by src (label
+    * lookup), one (dst, label) count, one per-dst argmax window — every
+    * stage keyed and bounded by |E|. Output: (id, label) with label
+    * null only where no label ever reached the node. */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, s"labelPropagation: iters >= 1, got $iters")
+    val base = nodes.select(col("id").cast("long").as("id"), col("seed"))
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    var lbl = base.select(col("id"), col("seed").as("lbl"))
+    val w = Window.partitionBy("dst").orderBy(desc("__c"), asc("__vl"))
+    for (t <- 1 to iters) {
+      val cand = e
+        .join(lbl.select(col("id").as("src"), col("lbl").as("__vl")), "src")
+        .filter(col("__vl").isNotNull)
+        .groupBy("dst", "__vl").agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("dst").as("id"), col("__vl").as("__cand"))
+      lbl = base
+        .join(lbl.select(col("id"), col("lbl").as("__prev")), Seq("id"), "left")
+        .join(cand, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("seed"), col("__cand"), col("__prev")).as("lbl"))
+      if (checkpointEvery > 0 && t % checkpointEvery == 0 && t < iters)
+        lbl = lbl.localCheckpoint()
+    }
+    lbl
+  }
+
+  // ---------------------------------------------------------------- //
+  // Named queries over the embeddings table's cluster-blocked kNN     //
+  // graph (k=3 — the same deterministic edge set `knn_graph` checks). //
+  // ---------------------------------------------------------------- //
+
+  private val Iters = 3
+  private val SeedMod = 5 // vec_id % 5 == 0 → seed (20% trusted labels)
+
+  /** The `knn_graph` edge set as (src, dst) — Spark side. */
+  private def knnEdges(s: SparkSession, d: String): DataFrame =
+    Search.knnGraph(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+        Retrieval.labelCentroids(s, d).select(col("label").as("cid"), col("c")),
+        k = 3)
+      .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+
+  /** PageRank over the directed kNN graph: corpus-centrality per
+    * document, the label-free density/quality signal. 3 iterations,
+    * d = 0.85. The pr column is bit-exact vs the oracle (integer-
+    * derived doubles through ordered folds); round(9) is cosmetic. */
+  def pageRankQ(s: SparkSession, d: String): DataFrame =
+    pageRank(Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        knnEdges(s, d), iters = Iters)
+      .select(col("id").as("vec_id"), round(col("pr"), 9).as("pr"))
+      .orderBy("vec_id")
+
+  /** Label propagation over the UNDIRECTED closure of the kNN graph
+    * from 20% clamped seeds (vec_id % 5 == 0 keeps its true label):
+    * the semi-supervised labeler. Output is every node's final label
+    * (null = unreachable from any seed) plus its seed flag. */
+  def labelPropQ(s: SparkSession, d: String): DataFrame = {
+    val e = knnEdges(s, d)
+    val und = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+      when(col("vec_id") % SeedMod === 0, col("label")).as("seed"))
+    labelPropagation(nodes, und, iters = Iters)
+      .select(col("id").as("vec_id"), col("lbl").as("label"),
+        (col("id") % SeedMod === 0).as("is_seed"))
+      .orderBy("vec_id")
+  }
+
+  /** Propagation-quality meter — and itself a fully oracle-checked
+    * relation (all-integer): how often the propagated label agrees
+    * with the held-out truth on non-seed nodes. The blocked kNN graph
+    * is label-centroid-clustered, so high agreement is the expected
+    * read; the row guards regressions in the propagation semantics. */
+  def labelPropAccQ(s: SparkSession, d: String): DataFrame = {
+    val truth = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").as("truth"))
+    labelPropQ(s, d).join(truth, "vec_id")
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(when(col("is_seed"), 1L).otherwise(0L)).as("n_seed"),
+        sum(when(!col("is_seed") && col("label").isNotNull, 1L)
+          .otherwise(0L)).as("n_pred"),
+        sum(when(!col("is_seed") && col("label") === col("truth"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .select(col("n_nodes"), col("n_seed"), col("n_pred"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_pred"), 6).as("acc"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> pageRankQ,
+    "graph_label_prop" -> labelPropQ,
+    "graph_label_prop_acc" -> labelPropAccQ,
+  )
+
+  // ------------------------------ oracles ------------------------- //
+
+  /** `knn_graph`'s own oracle pyramid (assignment → blocked pairs →
+    * keep-3) renamed into an edge list `gedges (src, dst)`. */
+  private lazy val edgeCtes: String =
+    s"""${Retrieval.centSql},
+       gassign AS (SELECT vec_id, v, cluster FROM (
+         SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+           CAST(c.label AS BIGINT) AS cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.label) AS rn
+         FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+       gpairs AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+           list_cosine_similarity(a.v, b.v) AS cos
+         FROM gassign a JOIN gassign b
+           ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+       gedges AS (SELECT vec_id AS src, nbr_id AS dst FROM (
+           SELECT vec_id, nbr_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rn
+           FROM gpairs) WHERE rn <= 3)"""
+
+  /** One unrolled PageRank round: dangling fold, contribution folds
+    * (the SAME two-level slice-major order as [[orderedSumByKey]]),
+    * update. `p` = previous rank CTE name, `i` = round index. */
+  private def prRoundSql(i: Int, p: String, b: Int = 16): String =
+    s"""dgl$i AS (SELECT r.id, r.pr FROM $p r LEFT JOIN od ON od.src = r.id
+         WHERE od.src IS NULL),
+       dmb$i AS (SELECT id % $b AS bk,
+           list_reduce(list(pr ORDER BY id), (acc, x) -> acc + x) AS s
+         FROM dgl$i GROUP BY id % $b),
+       dm$i AS (SELECT coalesce((SELECT list_reduce(list(s ORDER BY bk),
+           (acc, x) -> acc + x) FROM dmb$i), CAST(0 AS DOUBLE)) AS dm),
+       ct$i AS (SELECT e.dst, e.src, r.pr / od.odeg AS c
+         FROM gedges e JOIN od ON od.src = e.src JOIN $p r ON r.id = e.src),
+       sb$i AS (SELECT dst, src % $b AS bk,
+           list_reduce(list(c ORDER BY src), (acc, x) -> acc + x) AS s
+         FROM ct$i GROUP BY dst, src % $b),
+       ss$i AS (SELECT dst, list_reduce(list(s ORDER BY bk),
+           (acc, x) -> acc + x) AS s
+         FROM sb$i GROUP BY dst),
+       r$i AS (SELECT t.id,
+           (1 - CAST(0.85 AS DOUBLE)) / nn.n + CAST(0.85 AS DOUBLE) *
+             (dm$i.dm / nn.n + coalesce(ss$i.s, CAST(0 AS DOUBLE))) AS pr
+         FROM nodes_t t CROSS JOIN nn CROSS JOIN dm$i
+         LEFT JOIN ss$i ON ss$i.dst = t.id)"""
+
+  private lazy val pageRankSql: String = {
+    val rounds = (1 to Iters).map(i => prRoundSql(i, if (i == 1) "r0" else s"r${i - 1}"))
+      .mkString(",\n")
+    s"""WITH $edgeCtes,
+       nodes_t AS (SELECT vec_id AS id FROM embeddings),
+       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes_t),
+       od AS (SELECT src, count(*) AS odeg FROM gedges GROUP BY src),
+       r0 AS (SELECT id, CAST(1 AS DOUBLE) / nn.n AS pr
+         FROM nodes_t CROSS JOIN nn),
+       $rounds
+       SELECT id AS vec_id, round(pr, 9) AS pr FROM r$Iters ORDER BY vec_id"""
+  }
+
+  /** One unrolled label-prop round: labeled-neighbor votes, (count
+    * desc, label asc) argmax, clamped update. */
+  private def lpRoundSql(i: Int, p: String): String =
+    s"""v$i AS (SELECT u.dst, l.lbl AS vl, count(*) AS c
+         FROM und u JOIN $p l ON l.id = u.src WHERE l.lbl IS NOT NULL
+         GROUP BY u.dst, l.lbl),
+       c$i AS (SELECT dst AS id, vl FROM (
+           SELECT dst, vl, row_number() OVER (PARTITION BY dst
+             ORDER BY c DESC, vl) AS rn FROM v$i) WHERE rn = 1),
+       l$i AS (SELECT n.id, coalesce(n.seed, c$i.vl, $p.lbl) AS lbl
+         FROM nodes_t n LEFT JOIN c$i USING (id) LEFT JOIN $p ON $p.id = n.id)"""
+
+  private lazy val labelPropCtes: String = {
+    val rounds = (1 to Iters).map(i => lpRoundSql(i, if (i == 1) "l0" else s"l${i - 1}"))
+      .mkString(",\n")
+    s"""$edgeCtes,
+       und AS (SELECT src, dst FROM gedges
+         UNION SELECT dst, src FROM gedges),
+       nodes_t AS (SELECT vec_id AS id,
+           CASE WHEN vec_id % $SeedMod = 0 THEN label END AS seed
+         FROM embeddings),
+       l0 AS (SELECT id, seed AS lbl FROM nodes_t),
+       $rounds"""
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "graph_pagerank" -> pageRankSql,
+    "graph_label_prop" ->
+      s"""WITH $labelPropCtes
+         SELECT id AS vec_id, lbl AS label, (id % $SeedMod = 0) AS is_seed
+         FROM l$Iters ORDER BY vec_id""",
+    "graph_label_prop_acc" ->
+      s"""WITH $labelPropCtes,
+         fin AS (SELECT l.id, l.lbl, (l.id % $SeedMod = 0) AS is_seed,
+             e.label AS truth
+           FROM l$Iters l JOIN embeddings e ON e.vec_id = l.id)
+         SELECT count(*) AS n_nodes,
+           CAST(sum(CASE WHEN is_seed THEN 1 ELSE 0 END) AS BIGINT) AS n_seed,
+           CAST(sum(CASE WHEN NOT is_seed AND lbl IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+           CAST(sum(CASE WHEN NOT is_seed AND lbl = truth THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN NOT is_seed AND lbl = truth THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(CASE WHEN NOT is_seed AND lbl IS NOT NULL THEN 1 ELSE 0 END), 6) AS acc
+         FROM fin""",
+  )
+}

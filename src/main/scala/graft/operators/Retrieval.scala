@@ -1262,7 +1262,9 @@ object Retrieval {
        GROUP BY image_id)"""
   private val qWholeSql =
     "qw AS (SELECT wv AS qwv FROM iv WHERE image_id = 0)"
-  private val centSql =
+  // shared with GraphAnalytics' oracle replays (its edge set is this
+  // module's cluster-blocked kNN graph)
+  private[operators] val centSql =
     """cent AS (SELECT label, list(v ORDER BY i) AS c FROM (
        SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS v
        FROM embeddings, range(1, 65) t(i) GROUP BY label, i)

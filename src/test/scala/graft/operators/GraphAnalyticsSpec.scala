@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val D = 0.85
+
+  test("pageRank: 3-cycle stays uniform (the stationary point)") {
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val pr = GraphAnalytics.pageRank(nodes, edges, iters = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(pr.keySet === Set(0L, 1L, 2L))
+    pr.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
+  test("pageRank: star with dangling hub matches the hand-computed rounds") {
+    // 1,2,3 → 0; node 0 has no out-edges (dangling).
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    // Replay the published recurrence by hand for 2 rounds (N=4):
+    //   round 1 from pr=0.25 each: dm=0.25
+    //     leaf = 0.0375 + 0.85*(0.0625 + 0)      = 0.0903125
+    //     hub  = 0.0375 + 0.85*(0.0625 + 0.75)   = 0.728125
+    //   round 2: dm = hub1
+    var leaf = 1.0 / 4; var hub = 1.0 / 4
+    for (_ <- 1 to 2) {
+      val dm = hub
+      val nl = (1 - D) / 4 + D * (dm / 4 + 0.0)
+      val nh = (1 - D) / 4 + D * (dm / 4 + (leaf + leaf + leaf))
+      leaf = nl; hub = nh
+    }
+    val pr = GraphAnalytics.pageRank(nodes, edges, iters = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(pr(0L) - hub) < 1e-15, s"hub ${pr(0L)} vs $hub")
+    Seq(1L, 2L, 3L).foreach(i =>
+      assert(math.abs(pr(i) - leaf) < 1e-15, s"leaf ${pr(i)} vs $leaf"))
+  }
+
+  test("pageRank: mass is conserved with dangling redistribution") {
+    val nodes = (0L to 9L).toDF("id")
+    // sparse asymmetric graph incl. two dangling nodes (8, 9)
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 4L),
+      (4L, 5L), (5L, 3L), (6L, 8L), (7L, 9L)).toDF("src", "dst")
+    val total = GraphAnalytics.pageRank(nodes, edges, iters = 5)
+      .agg(sum("pr")).as[Double].head()
+    assert(math.abs(total - 1.0) < 1e-9, s"mass $total")
+  }
+
+  test("pageRank: in-degree concentration ranks the hub highest; deterministic reruns") {
+    val nodes = (0L to 5L).toDF("id")
+    val edges = ((1L to 5L).map(i => (i, 0L)) ++ Seq((0L, 1L))).toDF("src", "dst")
+    val a = GraphAnalytics.pageRank(nodes, edges, iters = 3, subBuckets = 2)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val b = GraphAnalytics.pageRank(nodes, edges, iters = 3, subBuckets = 2)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a === b) // bit-identical, not approximately
+    assert(a.maxBy(_._2)._1 === 0L)
+  }
+
+  test("pageRank: checkpointEvery cuts lineage without changing values") {
+    val nodes = (0L to 5L).toDF("id")
+    val edges = ((1L to 5L).map(i => (i, 0L)) ++ Seq((0L, 1L))).toDF("src", "dst")
+    val plain = GraphAnalytics.pageRank(nodes, edges, iters = 4)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val ck = GraphAnalytics.pageRank(nodes, edges, iters = 4, checkpointEvery = 2)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(plain === ck)
+  }
+
+  test("orderedSumByKey: bit-equal across sub-bucket counts on exact-representable values") {
+    // powers of two sum exactly in any order — the assert is about the
+    // CONTRACT (same total per key from any subBuckets), not FP luck
+    val df = (0L until 64L).map(i => (i % 4, i, math.pow(2.0, -(i % 50).toInt)))
+      .toDF("k", "o", "x")
+    val s1 = GraphAnalytics.orderedSumByKey(df, "k", "o", "x", subBuckets = 1)
+      .as[(Long, Double)].collect().toMap
+    val s16 = GraphAnalytics.orderedSumByKey(df, "k", "o", "x", subBuckets = 16)
+      .as[(Long, Double)].collect().toMap
+    assert(s1 === s16)
+  }
+
+  test("labelProp: path propagates from clamped ends; majority + min-label tiebreak") {
+    // path 0-1-2-3-4 (undirected), seeds: 0→lbl 1, 4→lbl 2.
+    val nodes = Seq((0L, Some(1)), (1L, None), (2L, None), (3L, None),
+      (4L, Some(2))).toDF("id", "seed")
+    val dir = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val und = dir.unionByName(dir.select($"dst".as("src"), $"src".as("dst")))
+    val r1 = GraphAnalytics.labelPropagation(nodes, und, iters = 1)
+      .as[(Long, Option[Int])].collect().toMap
+    // after 1 round only the seed-adjacent nodes are labeled
+    assert(r1 === Map(0L -> Some(1), 1L -> Some(1), 2L -> None,
+      3L -> Some(2), 4L -> Some(2)))
+    val r2 = GraphAnalytics.labelPropagation(nodes, und, iters = 2)
+      .as[(Long, Option[Int])].collect().toMap
+    // node 2 now sees one vote of each label → tie → min label wins
+    assert(r2(2L) === Some(1))
+    // seeds never drift even once surrounded by the other label
+    assert(r2(0L) === Some(1) && r2(4L) === Some(2))
+  }
+
+  test("labelProp: no labeled neighbor keeps the current label; isolates stay null") {
+    val nodes = Seq((0L, Some(7)), (1L, None), (2L, None)).toDF("id", "seed")
+    val edges = Seq((0L, 1L)).toDF("src", "dst") // node 2 is isolated
+    val out = GraphAnalytics.labelPropagation(nodes, edges, iters = 3)
+      .as[(Long, Option[Int])].collect().toMap
+    assert(out === Map(0L -> Some(7), 1L -> Some(7), 2L -> None))
+  }
+
+  test("labelProp meter query: seeds are exact and accuracy is high on the blocked graph") {
+    val acc = GraphAnalytics.labelPropAccQ(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Double)].head()
+    val (nNodes, nSeed, nPred, nCorrect, a) = acc
+    assert(nSeed === nNodes / 5)
+    assert(nPred > 0 && nCorrect <= nPred)
+    // the testdata embeddings are only weakly label-correlated (the same
+    // reason the ANN recall meters sit well below 1.0), so the pin is
+    // "clearly above the 1-in-20 chance floor", not a high absolute:
+    // measured 0.156 at sf0.001 ≈ 3x chance
+    assert(a > 0.1, s"acc $a")
+  }
+
+  test("pageRank query: full relation over sf0.001, mass ≈ 1, all nodes present") {
+    val df = GraphAnalytics.pageRankQ(spark, "/root/testdata/sf0.001")
+    val rows = df.as[(Long, Double)].collect()
+    val n = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert(rows.length.toLong === n)
+    val total = rows.map(_._2).sum
+    assert(math.abs(total - 1.0) < 1e-6, s"mass $total") // round(9) per row
+  }
+}
