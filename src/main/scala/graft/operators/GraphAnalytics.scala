@@ -74,34 +74,30 @@ object GraphAnalytics {
       .select(col("__k").as(key), col("__sum").as("sum"))
   }
 
-  /** PageRank with uniform teleport and dangling-mass redistribution,
-    * `iters` fixed power iterations at damping `d`:
+  /** The shared power-iteration loop over a teleport vector `tvec` =
+    * (id, __t) with Σ __t = 1:
     *
-    *   pr'(v) = (1-d)/N + d · (Σ_dangling pr(u)/N + Σ_{u→v} pr(u)/outdeg(u))
+    *   pr'(v) = (1-d)·t(v) + d · (dm·t(v) + Σ_{u→v} pr(u)/outdeg(u)),
+    *   dm = Σ_dangling pr(u),  pr₀ = t
     *
-    * `nodes` = (id) distinct, `edges` = (src, dst) distinct directed
-    * pairs over those ids. Mass is conserved every round (Σ pr = 1 up
-    * to float error), so ranks are comparable across corpora of equal
-    * N. All three sums are ordered folds (see the object doc); the
-    * dangling total reuses [[orderedSumByKey]] keyed by a constant with
-    * id-hash sub-buckets, so even a corpus that is MOSTLY dangling
-    * (e.g. ranking a heavily-tombstoned graph) never folds more than
-    * max(N/subBuckets, subBuckets) values in one task. The one count()
-    * job up front (N) is the only driver materialization. */
-  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
-      damping: Double = 0.85, subBuckets: Int = 16,
-      checkpointEvery: Int = 0): DataFrame = {
+    * Uniform t = 1/N is classic PageRank; t concentrated on a seed set
+    * is personalized PageRank. Dangling mass re-enters THROUGH the
+    * teleport vector (the standard formulation), so mass is conserved
+    * every round in both variants. All float sums are ordered folds
+    * (see the object doc); the dangling total folds with id-hash
+    * sub-buckets, so even a corpus that is MOSTLY dangling (e.g. a
+    * heavily-tombstoned graph) never folds more than
+    * max(N/subBuckets, subBuckets) values in one task. */
+  private def prIterate(tvec: DataFrame, edges: DataFrame, iters: Int,
+      damping: Double, subBuckets: Int, checkpointEvery: Int): DataFrame = {
     require(iters >= 1, s"pageRank: iters >= 1, got $iters")
-    val n = nodes.count()
-    require(n > 0, "pageRank: empty node set")
-    val nD = n.toDouble
-    val ids = nodes.select(col("id").cast("long").as("id"))
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     // outdegree + the dangling id set are loop-invariant: derive once.
     val od = e.groupBy("src").agg(count(lit(1)).as("__od"))
-    val dangling = ids.join(od.select(col("src").as("id")), Seq("id"), "left_anti")
-    var pr = ids.select(col("id"), (lit(1.0) / lit(nD)).as("pr"))
+    val dangling = tvec.select("id")
+      .join(od.select(col("src").as("id")), Seq("id"), "left_anti")
+    var pr = tvec.select(col("id"), col("__t").as("pr"))
     for (t <- 1 to iters) {
       // Σ pr over dangling nodes → one broadcastable row. groupBy().agg
       // on an EMPTY input still yields one row (global agg), whose
@@ -116,16 +112,53 @@ object GraphAnalytics {
         .join(pr.select(col("id").as("src"), col("pr").as("__p")), "src")
         .select(col("dst"), col("src"), (col("__p") / col("__od")).as("__c"))
       val sums = orderedSumByKey(contribs, "dst", "src", "__c", subBuckets)
-      pr = ids
+      pr = tvec
         .join(sums.select(col("dst").as("id"), col("sum").as("__s")), Seq("id"), "left")
         .crossJoin(broadcast(dm))
         .select(col("id"),
-          (lit(1.0 - damping) / lit(nD) + lit(damping) *
-            (col("__dm") / lit(nD) + coalesce(col("__s"), lit(0.0)))).as("pr"))
+          (lit(1.0 - damping) * col("__t") + lit(damping) *
+            (col("__dm") * col("__t") + coalesce(col("__s"), lit(0.0)))).as("pr"))
       if (checkpointEvery > 0 && t % checkpointEvery == 0 && t < iters)
         pr = pr.localCheckpoint()
     }
     pr
+  }
+
+  /** PageRank with uniform teleport ([[prIterate]] at t = 1/N).
+    * `nodes` = (id) distinct, `edges` = (src, dst) distinct directed
+    * pairs over those ids. Mass is conserved every round (Σ pr = 1 up
+    * to float error), so ranks are comparable across corpora of equal
+    * N. The one count() job up front (N) is the only driver
+    * materialization. */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
+      damping: Double = 0.85, subBuckets: Int = 16,
+      checkpointEvery: Int = 0): DataFrame = {
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty node set")
+    val nD = n.toDouble
+    prIterate(
+      nodes.select(col("id").cast("long").as("id"),
+        (lit(1.0) / lit(nD)).as("__t")),
+      edges, iters, damping, subBuckets, checkpointEvery)
+  }
+
+  /** Personalized PageRank ([[prIterate]] with teleport mass uniform
+    * over the seed rows of `nodes` = (id, seed: boolean)): graph
+    * proximity to a trusted seed set — the seed-expansion selection
+    * signal (rank the corpus by similarity-graph closeness to a
+    * curated sample, keep the top slice). Dangling mass teleports BACK
+    * to the seeds, so scores still sum to 1 and rankings stay
+    * comparable across seed sets. */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
+      damping: Double = 0.85, subBuckets: Int = 16,
+      checkpointEvery: Int = 0): DataFrame = {
+    val nSeed = nodes.filter(col("seed")).count()
+    require(nSeed > 0, "personalizedPageRank: empty seed set")
+    val sD = nSeed.toDouble
+    prIterate(
+      nodes.select(col("id").cast("long").as("id"),
+        when(col("seed"), lit(1.0) / lit(sD)).otherwise(lit(0.0)).as("__t")),
+      edges, iters, damping, subBuckets, checkpointEvery)
   }
 
   /** Hard label propagation with clamped seeds, `iters` fixed rounds:
@@ -174,6 +207,7 @@ object GraphAnalytics {
 
   private val Iters = 3
   private val SeedMod = 5 // vec_id % 5 == 0 → seed (20% trusted labels)
+  private val PprSeedLabel = 3 // the "curated sample": all label-3 docs
 
   /** The `knn_graph` edge set as (src, dst) — Spark side. */
   private def knnEdges(s: SparkSession, d: String): DataFrame =
@@ -228,8 +262,37 @@ object GraphAnalytics {
         round(col("n_correct").cast("double") / col("n_pred"), 6).as("acc"))
   }
 
+  /** PPR ranks from the label-[[PprSeedLabel]] trusted set, joined
+    * back to the seed flag — shared by [[pprQ]] / [[pprExpandQ]]. */
+  private def pprRanks(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+      (col("label") === PprSeedLabel).as("seed"))
+    personalizedPageRank(nodes, knnEdges(s, d), iters = Iters)
+      .join(nodes.select(col("id"), col("seed").as("is_seed")), "id")
+  }
+
+  /** Personalized PageRank from a trusted seed set (all label-3 docs):
+    * every document's similarity-graph proximity to the seeds — the
+    * seed-expansion selection signal, full relation. Bit-exact vs the
+    * oracle like [[pageRankQ]]. */
+  def pprQ(s: SparkSession, d: String): DataFrame =
+    pprRanks(s, d)
+      .select(col("id").as("vec_id"), col("is_seed"),
+        round(col("pr"), 9).as("ppr"))
+      .orderBy("vec_id")
+
+  /** The expansion face: the 20 NON-seed documents closest to the
+    * trusted set by PPR mass — "given this curated sample, which docs
+    * should join the training slice next". */
+  def pprExpandQ(s: SparkSession, d: String): DataFrame =
+    pprRanks(s, d).filter(!col("is_seed"))
+      .orderBy(desc("pr"), asc("id")).limit(20)
+      .select(col("id").as("vec_id"), round(col("pr"), 9).as("ppr"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pageRankQ,
+    "graph_ppr" -> pprQ,
+    "graph_ppr_expand" -> pprExpandQ,
     "graph_label_prop" -> labelPropQ,
     "graph_label_prop_acc" -> labelPropAccQ,
   )
@@ -255,9 +318,11 @@ object GraphAnalytics {
              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rn
            FROM gpairs) WHERE rn <= 3)"""
 
-  /** One unrolled PageRank round: dangling fold, contribution folds
-    * (the SAME two-level slice-major order as [[orderedSumByKey]]),
-    * update. `p` = previous rank CTE name, `i` = round index. */
+  /** One unrolled [[prIterate]] round: dangling fold, contribution
+    * folds (the SAME two-level slice-major order as
+    * [[orderedSumByKey]]), then the generalized teleport update
+    * pr' = (1-d)·t + d·(dm·t + s) against `tvec (id, tp)`. `p` =
+    * previous rank CTE name, `i` = round index. */
   private def prRoundSql(i: Int, p: String, b: Int = 16): String =
     s"""dgl$i AS (SELECT r.id, r.pr FROM $p r LEFT JOIN od ON od.src = r.id
          WHERE od.src IS NULL),
@@ -275,23 +340,37 @@ object GraphAnalytics {
            (acc, x) -> acc + x) AS s
          FROM sb$i GROUP BY dst),
        r$i AS (SELECT t.id,
-           (1 - CAST(0.85 AS DOUBLE)) / nn.n + CAST(0.85 AS DOUBLE) *
-             (dm$i.dm / nn.n + coalesce(ss$i.s, CAST(0 AS DOUBLE))) AS pr
-         FROM nodes_t t CROSS JOIN nn CROSS JOIN dm$i
+           (1 - CAST(0.85 AS DOUBLE)) * t.tp + CAST(0.85 AS DOUBLE) *
+             (dm$i.dm * t.tp + coalesce(ss$i.s, CAST(0 AS DOUBLE))) AS pr
+         FROM tvec t CROSS JOIN dm$i
          LEFT JOIN ss$i ON ss$i.dst = t.id)"""
 
-  private lazy val pageRankSql: String = {
+  /** The full unrolled loop given a `tvec (id, tp)` CTE body. */
+  private def prLoopSql(tvecCte: String): String = {
     val rounds = (1 to Iters).map(i => prRoundSql(i, if (i == 1) "r0" else s"r${i - 1}"))
       .mkString(",\n")
     s"""WITH $edgeCtes,
-       nodes_t AS (SELECT vec_id AS id FROM embeddings),
-       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes_t),
+       $tvecCte,
        od AS (SELECT src, count(*) AS odeg FROM gedges GROUP BY src),
-       r0 AS (SELECT id, CAST(1 AS DOUBLE) / nn.n AS pr
-         FROM nodes_t CROSS JOIN nn),
-       $rounds
-       SELECT id AS vec_id, round(pr, 9) AS pr FROM r$Iters ORDER BY vec_id"""
+       r0 AS (SELECT id, tp AS pr FROM tvec),
+       $rounds"""
   }
+
+  private lazy val pageRankSql: String =
+    s"""${prLoopSql(
+      """nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+       tvec AS (SELECT vec_id AS id, CAST(1 AS DOUBLE) / nn.n AS tp
+         FROM embeddings CROSS JOIN nn)""")}
+       SELECT id AS vec_id, round(pr, 9) AS pr FROM r$Iters ORDER BY vec_id"""
+
+  /** Seed-set teleport over `label = PprSeedLabel` rows. */
+  private lazy val pprLoopSql: String = prLoopSql(
+    s"""ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM embeddings
+         WHERE label = $PprSeedLabel),
+       tvec AS (SELECT vec_id AS id,
+           CASE WHEN label = $PprSeedLabel THEN CAST(1 AS DOUBLE) / ns.s
+             ELSE CAST(0 AS DOUBLE) END AS tp
+         FROM embeddings CROSS JOIN ns)""")
 
   /** One unrolled label-prop round: labeled-neighbor votes, (count
     * desc, label asc) argmax, clamped update. */
@@ -320,6 +399,21 @@ object GraphAnalytics {
 
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql,
+    "graph_ppr" ->
+      s"""$pprLoopSql
+         SELECT t.id AS vec_id, (e.label = $PprSeedLabel) AS is_seed,
+           round(r.pr, 9) AS ppr
+         FROM r$Iters r JOIN tvec t ON t.id = r.id
+         JOIN embeddings e ON e.vec_id = r.id
+         ORDER BY vec_id""",
+    "graph_ppr_expand" ->
+      s"""$pprLoopSql
+         SELECT vec_id, round(pr, 9) AS ppr FROM (
+           SELECT r.id AS vec_id, r.pr
+           FROM r$Iters r JOIN embeddings e ON e.vec_id = r.id
+           WHERE e.label <> $PprSeedLabel
+           ORDER BY r.pr DESC, r.id LIMIT 20)
+         ORDER BY ppr DESC, vec_id""",
     "graph_label_prop" ->
       s"""WITH $labelPropCtes
          SELECT id AS vec_id, lbl AS label, (id % $SeedMod = 0) AS is_seed

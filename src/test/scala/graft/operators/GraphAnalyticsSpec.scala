@@ -84,6 +84,30 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(s1 === s16)
   }
 
+  test("personalizedPageRank: mass stays in the seed component; conserved; dangling returns to seeds") {
+    // two components: {0,1} (0 seeded, 1 dangling) and {2,3} (unseeded cycle)
+    val nodes = Seq((0L, true), (1L, false), (2L, false), (3L, false))
+      .toDF("id", "seed")
+    val edges = Seq((0L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val pr = GraphAnalytics.personalizedPageRank(nodes, edges, iters = 4)
+      .as[(Long, Double)].collect().toMap
+    // the unseeded component can only lose mass (no teleport lands there)
+    assert(pr(2L) === 0.0 && pr(3L) === 0.0)
+    assert(pr(0L) > pr(1L) && pr(1L) > 0.0) // seed holds the teleport mass
+    assert(math.abs(pr.values.sum - 1.0) < 1e-12) // dangling 1 returns via seeds
+  }
+
+  test("personalizedPageRank: hand-computed round on a 2-node seed→leaf edge") {
+    val nodes = Seq((0L, true), (1L, false)).toDF("id", "seed")
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    // t = (1, 0); round 1 from pr = t: dangling = {1} with pr 0 → dm = 0
+    //   pr(0) = 0.15*1 + 0.85*(0*1 + 0)  = 0.15
+    //   pr(1) = 0.15*0 + 0.85*(0*0 + 1)  = 0.85
+    val pr = GraphAnalytics.personalizedPageRank(nodes, edges, iters = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(pr(0L) - (1 - D)) < 1e-15 && math.abs(pr(1L) - D) < 1e-15)
+  }
+
   test("labelProp: path propagates from clamped ends; majority + min-label tiebreak") {
     // path 0-1-2-3-4 (undirected), seeds: 0→lbl 1, 4→lbl 2.
     val nodes = Seq((0L, Some(1)), (1L, None), (2L, None), (3L, None),
