@@ -143,7 +143,14 @@ object ScaleBench {
     // round 14c: the index-served spelling — per-JVM cache sees each
     // scale once, so the timing is store build (bucket-partitioned
     // count write) + pruned excise; both ~linear in the line stream.
-    "txt_line_dedup_idx")
+    "txt_line_dedup_idx",
+    // round 15: the graph-analytics propagation loop — blocked-kNN edge
+    // build under knn_graph_scaled's k ∝ N rule (per-cluster size
+    // ~constant), then 3 PageRank power iterations. Each iteration is
+    // two |E|-bounded joins plus the two-level ordered folds, |E| = 3N,
+    // so time must track rows; the edge set is localCheckpointed once
+    // so the iterations measure the LOOP, not three edge rebuilds.
+    "graph_pagerank_scaled")
 
   /** Scratch dirs created by scale-only bindings whose output DataFrame
     * reads them lazily — reclaimed at JVM exit. */
@@ -239,6 +246,18 @@ object ScaleBench {
         Search.graphSearch(e, col("vec_id"), col("embedding"), edges,
           e.filter(col("vec_id") === 0).select(col("embedding").as("qv")),
           k = 10, entriesN = 64, beam = 32, hops = 3)
+      }),
+      "graph_pagerank_scaled" -> ((s, d) => {
+        import graft.operators.{GraphAnalytics, Search}
+        val e = Tables.embeddings(s, d)
+        val k = math.max(10, (e.count() / 50L).toInt)
+        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
+        val edges = Search.knnGraph(e, col("vec_id"), col("embedding"),
+            cents, k = 3)
+          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+          .localCheckpoint()
+        GraphAnalytics.pageRank(e.select(col("vec_id").as("id")), edges,
+          iters = 3)
       }))
   private val Reps = 10
   private val IdStride = 10000000L
