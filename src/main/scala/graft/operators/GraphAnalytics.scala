@@ -289,8 +289,25 @@ object GraphAnalytics {
       .orderBy(desc("pr"), asc("id")).limit(20)
       .select(col("id").as("vec_id"), round(col("pr"), 9).as("ppr"))
 
+  /** PageRank over the PRODUCTION graph — the NN-Descent refined edge
+    * set read from the at-rest graph index ([[Retrieval.graphIdxDir]]:
+    * built once per JVM × sfDir, bit-identical to the in-plan
+    * derivation, IvfLayoutSpec pins it). The 100 TB shape: centrality
+    * refreshes re-read the stored edge list (ids only, no vectors),
+    * never re-run the kmeans/NN-Descent build. Build attribution lives
+    * in `knn_graph_refined`; this row measures the propagation loop on
+    * the served graph. */
+  def pageRankRefinedQ(s: SparkSession, d: String): DataFrame =
+    pageRank(Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        s.read.parquet(s"${Retrieval.graphIdxDir(s, d)}/idx/edges")
+          .select(col("__vid").as("src"), col("nbr_id").as("dst")),
+        iters = Iters)
+      .select(col("id").as("vec_id"), round(col("pr"), 9).as("pr"))
+      .orderBy("vec_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pageRankQ,
+    "graph_pagerank_refined" -> pageRankRefinedQ,
     "graph_ppr" -> pprQ,
     "graph_ppr_expand" -> pprExpandQ,
     "graph_label_prop" -> labelPropQ,
@@ -345,16 +362,23 @@ object GraphAnalytics {
          FROM tvec t CROSS JOIN dm$i
          LEFT JOIN ss$i ON ss$i.dst = t.id)"""
 
-  /** The full unrolled loop given a `tvec (id, tp)` CTE body. */
-  private def prLoopSql(tvecCte: String): String = {
+  /** The full unrolled loop given a `tvec (id, tp)` CTE body and an
+    * edge pyramid ending in `gedges (src, dst)`. */
+  private def prLoopSql(tvecCte: String, edges: String = edgeCtes): String = {
     val rounds = (1 to Iters).map(i => prRoundSql(i, if (i == 1) "r0" else s"r${i - 1}"))
       .mkString(",\n")
-    s"""WITH $edgeCtes,
+    s"""WITH $edges,
        $tvecCte,
        od AS (SELECT src, count(*) AS odeg FROM gedges GROUP BY src),
        r0 AS (SELECT id, tp AS pr FROM tvec),
        $rounds"""
   }
+
+  /** The NN-Descent refined graph's edge set as `gedges` — the
+    * production graph the at-rest index stores. */
+  private lazy val refinedEdgeCtes: String =
+    s"""${Retrieval.refinedGraphCtes},
+       gedges AS (SELECT vec_id AS src, nbr_id AS dst FROM gref)"""
 
   private lazy val pageRankSql: String =
     s"""${prLoopSql(
@@ -399,6 +423,15 @@ object GraphAnalytics {
 
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql,
+    // the refined-graph pyramid replays (as knn_graph_refined), then the
+    // SAME unrolled loop over its edge list — the at-rest read is
+    // bit-identical to the in-plan derivation (IvfLayoutSpec)
+    "graph_pagerank_refined" ->
+      s"""${prLoopSql(
+        """nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+       tvec AS (SELECT vec_id AS id, CAST(1 AS DOUBLE) / nn.n AS tp
+         FROM embeddings CROSS JOIN nn)""", refinedEdgeCtes)}
+       SELECT id AS vec_id, round(pr, 9) AS pr FROM r$Iters ORDER BY vec_id""",
     "graph_ppr" ->
       s"""$pprLoopSql
          SELECT t.id AS vec_id, (e.label = $PprSeedLabel) AS is_seed,

@@ -572,7 +572,7 @@ object Retrieval {
 
   /** Build the at-rest graph layout ([[Search.writeGraphIndex]]) once
     * per JVM × sfDir from [[refinedGraphEdges]]. */
-  private def graphIdxDir(s: SparkSession, d: String): String =
+  private[operators] def graphIdxDir(s: SparkSession, d: String): String =
     graphCache.computeIfAbsent(d, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_graph_q").toString
       Search.writeGraphIndex(Tables.embeddings(s, d), col("vec_id"),
@@ -1277,7 +1277,7 @@ object Retrieval {
     * successor), round-0 keep-k, undirected closure, NoN self-join,
     * final rank window. Consumed by `knn_graph_refined` (construction
     * check) and `knn_graph_search` (serving check). */
-  private lazy val refinedGraphCtes: String =
+  private[operators] lazy val refinedGraphCtes: String =
     s"""$centSql,
        assign AS (SELECT vec_id, v, cluster FROM (
          SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
