@@ -626,7 +626,7 @@ object Classify {
 
   /** The NB lineage as shared CTEs: split → class×token counts →
     * smoothed fixed-point llr → per-doc integer sum. */
-  private def nbSql = s"""
+  private[operators] def nbSql = s"""
     WITH t AS (SELECT doc_id, lang, $toksSql AS toks,
            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS tr
          FROM documents),

@@ -305,6 +305,63 @@ object GraphAnalytics {
       .select(col("id").as("vec_id"), round(col("pr"), 9).as("pr"))
       .orderBy("vec_id")
 
+  private val QualitySeedMfx = 500000L // |NB margin| ≥ 0.5 → confident seed
+
+  /** Semi-supervised QUALITY spreading — the two families composed:
+    * the NB classifier's CONFIDENT verdicts (|fixed-point margin| ≥
+    * [[QualitySeedMfx]]) become clamped seeds, and their binary quality
+    * label propagates over the similarity graph to the low-confidence
+    * docs the margin alone can't call. Integer end to end (fixed-point
+    * margins in, majority votes through), so the whole composition —
+    * NB training included — replays exactly. Docs without an embedding
+    * row keep their seed verdict (no edges reach them): the honest
+    * semantics when the embedded slice lags the corpus. Returns
+    * (id, lbl, seed, __mfx). */
+  private def qualityPropLabels(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (llr, scalars) = Classify.nbModel(
+      docs.filter(Classify.isTrain(col("doc_id"))),
+      col("text"), col("lang") === "en")
+    val scored = Classify.nbScoreRaw(docs, col("doc_id"), col("text"),
+      llr, scalars)
+    val nodes = scored.select(col("doc_id").as("id"),
+      when(abs(col("__mfx")) >= QualitySeedMfx,
+        when(col("__mfx") > 0L, 1).otherwise(0)).as("seed"))
+    val e = knnEdges(s, d)
+    val und = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    labelPropagation(nodes, und, iters = Iters)
+      .join(nodes, "id")
+      .join(scored.select(col("doc_id").as("id"), col("__mfx")), "id")
+  }
+
+  /** Per-doc propagated quality verdict (1 = en-like by the NB gate's
+    * own confident neighbors), null where neither confidence nor any
+    * labeled neighbor ever reached the doc. */
+  def qualityPropQ(s: SparkSession, d: String): DataFrame =
+    qualityPropLabels(s, d)
+      .select(col("id").as("doc_id"), col("lbl").as("quality"),
+        col("seed").isNotNull.as("is_seed"))
+      .orderBy("doc_id")
+
+  /** Meter: on non-seed docs that received a propagated label, how
+    * often the graph's verdict agrees with the NB margin's own
+    * (low-confidence) sign — high agreement says the graph spreads the
+    * classifier's signal rather than fighting it. */
+  def qualityPropAccQ(s: SparkSession, d: String): DataFrame =
+    qualityPropLabels(s, d)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("seed").isNotNull, 1L).otherwise(0L)).as("n_seed"),
+        sum(when(col("seed").isNull && col("lbl").isNotNull, 1L)
+          .otherwise(0L)).as("n_prop"),
+        sum(when(col("seed").isNull &&
+            col("lbl") === when(col("__mfx") > 0L, 1).otherwise(0), 1L)
+          .otherwise(0L)).as("n_agree"))
+      .select(col("n_docs"), col("n_seed"), col("n_prop"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n_prop"), 6)
+          .as("agree_rate"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pageRankQ,
     "graph_pagerank_refined" -> pageRankRefinedQ,
@@ -312,6 +369,8 @@ object GraphAnalytics {
     "graph_ppr_expand" -> pprExpandQ,
     "graph_label_prop" -> labelPropQ,
     "graph_label_prop_acc" -> labelPropAccQ,
+    "graph_quality_prop" -> qualityPropQ,
+    "graph_quality_prop_acc" -> qualityPropAccQ,
   )
 
   // ------------------------------ oracles ------------------------- //
@@ -408,18 +467,24 @@ object GraphAnalytics {
        l$i AS (SELECT n.id, coalesce(n.seed, c$i.vl, $p.lbl) AS lbl
          FROM nodes_t n LEFT JOIN c$i USING (id) LEFT JOIN $p ON $p.id = n.id)"""
 
-  private lazy val labelPropCtes: String = {
+  /** The full unrolled label-prop loop given a `nodes_t (id, seed)`
+    * CTE body and an edge pyramid ending in `gedges (src, dst)` (the
+    * undirected closure is taken here). */
+  private def lpLoopSql(nodesCte: String, edges: String = edgeCtes): String = {
     val rounds = (1 to Iters).map(i => lpRoundSql(i, if (i == 1) "l0" else s"l${i - 1}"))
       .mkString(",\n")
-    s"""$edgeCtes,
+    s"""$edges,
        und AS (SELECT src, dst FROM gedges
          UNION SELECT dst, src FROM gedges),
-       nodes_t AS (SELECT vec_id AS id,
-           CASE WHEN vec_id % $SeedMod = 0 THEN label END AS seed
-         FROM embeddings),
+       $nodesCte,
        l0 AS (SELECT id, seed AS lbl FROM nodes_t),
        $rounds"""
   }
+
+  private lazy val labelPropCtes: String = lpLoopSql(
+    s"""nodes_t AS (SELECT vec_id AS id,
+           CASE WHEN vec_id % $SeedMod = 0 THEN label END AS seed
+         FROM embeddings)""")
 
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql,
@@ -463,5 +528,42 @@ object GraphAnalytics {
            round(CAST(sum(CASE WHEN NOT is_seed AND lbl = truth THEN 1 ELSE 0 END) AS DOUBLE)
              / sum(CASE WHEN NOT is_seed AND lbl IS NOT NULL THEN 1 ELSE 0 END), 6) AS acc
          FROM fin""",
+    "graph_quality_prop" ->
+      s"""${Classify.nbSql},
+         ${lpLoopSql(qualityNodesCte)}
+         SELECT l.id AS doc_id, l.lbl AS quality,
+           (n.seed IS NOT NULL) AS is_seed
+         FROM l$Iters l JOIN nodes_t n ON n.id = l.id
+         ORDER BY doc_id""",
+    "graph_quality_prop_acc" ->
+      s"""${Classify.nbSql},
+         ${lpLoopSql(qualityNodesCte)},
+         fin AS (SELECT l.id, l.lbl, n.seed, a.mfx
+           FROM l$Iters l JOIN nodes_t n ON n.id = l.id
+           JOIN agg a ON a.doc_id = l.id)
+         SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN seed IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seed,
+           CAST(sum(CASE WHEN seed IS NULL AND lbl IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_prop,
+           CAST(sum(CASE WHEN seed IS NULL AND
+               lbl = (CASE WHEN mfx > 0 THEN 1 ELSE 0 END)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           round(CAST(sum(CASE WHEN seed IS NULL AND
+               lbl = (CASE WHEN mfx > 0 THEN 1 ELSE 0 END)
+             THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(CASE WHEN seed IS NULL AND lbl IS NOT NULL THEN 1 ELSE 0 END), 6) AS agree_rate
+         FROM fin""",
   )
+
+  /** NB fixed-point margins per doc (the `quality_nb` agg replayed)
+    * thresholded into clamped quality seeds. Consumes
+    * [[Classify.nbSql]]'s CTEs (t/llr/sc). */
+  private lazy val qualityNodesCte: String =
+    s"""ds AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       agg AS (SELECT doc_id,
+           CAST(sum(COALESCE(llr_fx, ufx)) + max(pfx) AS BIGINT) AS mfx
+         FROM ds LEFT JOIN llr USING (term) CROSS JOIN sc GROUP BY doc_id),
+       nodes_t AS (SELECT doc_id AS id,
+           CASE WHEN abs(mfx) >= $QualitySeedMfx
+             THEN (CASE WHEN mfx > 0 THEN 1 ELSE 0 END) END AS seed
+         FROM agg)"""
 }

@@ -148,6 +148,24 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(a > 0.1, s"acc $a")
   }
 
+  test("quality propagation: clamped confident seeds, consistent meter, no unlabeled seed") {
+    val d = "/root/testdata/sf0.001"
+    val rows = GraphAnalytics.qualityPropQ(spark, d)
+      .as[(Long, Option[Int], Boolean)].collect()
+    // every seed carries its own verdict; quality is binary where set
+    rows.filter(_._3).foreach { case (id, q, _) =>
+      assert(q.isDefined, s"seed $id lost its label") }
+    rows.flatMap(_._2).foreach(q => assert(q == 0 || q == 1))
+    val (nDocs, nSeed, nProp, nAgree, rate) =
+      GraphAnalytics.qualityPropAccQ(spark, d)
+        .as[(Long, Long, Long, Long, Double)].head()
+    assert(nDocs === rows.length.toLong)
+    assert(nSeed === rows.count(_._3).toLong)
+    assert(nProp <= nDocs - nSeed && nAgree <= nProp)
+    assert(rate >= 0.0 && rate <= 1.0)
+    assert(nProp === rows.count(r => !r._3 && r._2.isDefined).toLong)
+  }
+
   test("pageRank query: full relation over sf0.001, mass ≈ 1, all nodes present") {
     val df = GraphAnalytics.pageRankQ(spark, "/root/testdata/sf0.001")
     val rows = df.as[(Long, Double)].collect()
