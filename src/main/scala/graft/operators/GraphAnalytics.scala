@@ -200,6 +200,50 @@ object GraphAnalytics {
     lbl
   }
 
+  /** [[labelPropagation]] with EDGE-WEIGHTED votes (Zhu & Ghahramani's
+    * weighted form): each labeled in-neighbor contributes its edge
+    * weight instead of 1, per-(node, label) totals fold through
+    * [[orderedSumByKey]]'s slice-major order (bit-stable, hub-safe),
+    * argmax by (weight sum desc, label asc). A near-duplicate neighbor
+    * at cos 0.99 outvotes three marginal cos-0.3 ones — the right call
+    * when edge weight measures trust. `edges` = (src, dst, w). */
+  def weightedLabelPropagation(nodes: DataFrame, edges: DataFrame,
+      iters: Int, subBuckets: Int = 16,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, s"weightedLabelPropagation: iters >= 1, got $iters")
+    val base = nodes.select(col("id").cast("long").as("id"), col("seed"))
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("double").as("w"))
+    var lbl = base.select(col("id"), col("seed").as("lbl"))
+    val rankW = Window.partitionBy("dst").orderBy(desc("__s"), asc("__vl"))
+    for (t <- 1 to iters) {
+      val votes = e
+        .join(lbl.select(col("id").as("src"), col("lbl").as("__vl")), "src")
+        .filter(col("__vl").isNotNull)
+      // the two-level slice-major fold, keyed by the composite
+      // (dst, label) — same published order as [[orderedSumByKey]]
+      val sums = votes
+        .groupBy(col("dst"), col("__vl"),
+          pmod(col("src"), lit(subBuckets.toLong)).as("__b"))
+        .agg(expr("aggregate(sort_array(collect_list(struct(src, w))), " +
+          "CAST(0 AS DOUBLE), (acc, e) -> acc + e.w)").as("__s1"))
+        .groupBy("dst", "__vl")
+        .agg(expr("aggregate(sort_array(collect_list(struct(__b, __s1))), " +
+          "CAST(0 AS DOUBLE), (acc, e) -> acc + e.__s1)").as("__s"))
+      val cand = sums
+        .withColumn("__rn", row_number().over(rankW)).filter(col("__rn") === 1)
+        .select(col("dst").as("id"), col("__vl").as("__cand"))
+      lbl = base
+        .join(lbl.select(col("id"), col("lbl").as("__prev")), Seq("id"), "left")
+        .join(cand, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("seed"), col("__cand"), col("__prev")).as("lbl"))
+      if (checkpointEvery > 0 && t % checkpointEvery == 0 && t < iters)
+        lbl = lbl.localCheckpoint()
+    }
+    lbl
+  }
+
   // ---------------------------------------------------------------- //
   // Named queries over the embeddings table's cluster-blocked kNN     //
   // graph (k=3 — the same deterministic edge set `knn_graph` checks). //
@@ -209,12 +253,16 @@ object GraphAnalytics {
   private val SeedMod = 5 // vec_id % 5 == 0 → seed (20% trusted labels)
   private val PprSeedLabel = 3 // the "curated sample": all label-3 docs
 
-  /** The `knn_graph` edge set as (src, dst) — Spark side. */
-  private def knnEdges(s: SparkSession, d: String): DataFrame =
+  /** The `knn_graph` edge set as (src, dst, cos) — Spark side. */
+  private def knnEdgesCos(s: SparkSession, d: String): DataFrame =
     Search.knnGraph(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
         Retrieval.labelCentroids(s, d).select(col("label").as("cid"), col("c")),
         k = 3)
-      .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+      .select(col("__vid").as("src"), col("nbr_id").as("dst"), col("cos"))
+
+  /** The `knn_graph` edge set as (src, dst) — Spark side. */
+  private def knnEdges(s: SparkSession, d: String): DataFrame =
+    knnEdgesCos(s, d).select("src", "dst")
 
   /** PageRank over the directed kNN graph: corpus-centrality per
     * document, the label-free density/quality signal. 3 iterations,
@@ -305,6 +353,42 @@ object GraphAnalytics {
       .select(col("id").as("vec_id"), round(col("pr"), 9).as("pr"))
       .orderBy("vec_id")
 
+  /** kNN-density profile: each vector's degree and mean cosine to its
+    * blocked top-3 neighbors — the distribution-outlier signal (a doc
+    * whose nearest neighbors are all FAR is junk/noise; one whose
+    * neighbors are near-identical is redundancy the dedup family
+    * handles). The 3-term mean folds in neighbor order, so the value
+    * is bit-exact vs the oracle. Singleton-cluster vectors have no
+    * edges and no row — the honest read (density undefined, the
+    * codebook, not the data, isolated them). */
+  def densityQ(s: SparkSession, d: String): DataFrame =
+    knnEdgesCos(s, d).groupBy(col("src"))
+      .agg(count(lit(1)).as("degree"),
+        expr("aggregate(sort_array(collect_list(struct(dst, cos))), " +
+          "CAST(0 AS DOUBLE), (acc, e) -> acc + e.cos)").as("__sum"))
+      .select(col("src").as("vec_id"), col("degree"),
+        round(col("__sum") / col("degree"), 6).as("mean_cos"))
+      .orderBy("vec_id")
+
+  /** [[labelPropQ]]'s weighted twin — cosine-weighted votes over the
+    * same seeds, graph, and round count, so the two relations diff
+    * directly: rows where they disagree are exactly the nodes whose
+    * majority and weighted-majority verdicts split. */
+  def labelPropWQ(s: SparkSession, d: String): DataFrame = {
+    val e = knnEdgesCos(s, d)
+    val und = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+      .distinct()
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+      when(col("vec_id") % SeedMod === 0, col("label")).as("seed"))
+    weightedLabelPropagation(nodes,
+        und.select(col("src"), col("dst"), col("cos").as("w")),
+        iters = Iters)
+      .select(col("id").as("vec_id"), col("lbl").as("label"),
+        (col("id") % SeedMod === 0).as("is_seed"))
+      .orderBy("vec_id")
+  }
+
   private val QualitySeedMfx = 500000L // |NB margin| ≥ 0.5 → confident seed
 
   /** Semi-supervised QUALITY spreading — the two families composed:
@@ -368,15 +452,18 @@ object GraphAnalytics {
     "graph_ppr" -> pprQ,
     "graph_ppr_expand" -> pprExpandQ,
     "graph_label_prop" -> labelPropQ,
+    "graph_label_prop_w" -> labelPropWQ,
     "graph_label_prop_acc" -> labelPropAccQ,
     "graph_quality_prop" -> qualityPropQ,
     "graph_quality_prop_acc" -> qualityPropAccQ,
+    "graph_density" -> densityQ,
   )
 
   // ------------------------------ oracles ------------------------- //
 
   /** `knn_graph`'s own oracle pyramid (assignment → blocked pairs →
-    * keep-3) renamed into an edge list `gedges (src, dst)`. */
+    * keep-3) renamed into an edge list `ge3 (src, dst, cos)` /
+    * `gedges (src, dst)`. */
   private lazy val edgeCtes: String =
     s"""${Retrieval.centSql},
        gassign AS (SELECT vec_id, v, cluster FROM (
@@ -389,10 +476,11 @@ object GraphAnalytics {
            list_cosine_similarity(a.v, b.v) AS cos
          FROM gassign a JOIN gassign b
            ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
-       gedges AS (SELECT vec_id AS src, nbr_id AS dst FROM (
-           SELECT vec_id, nbr_id,
+       ge3 AS (SELECT vec_id AS src, nbr_id AS dst, cos FROM (
+           SELECT vec_id, nbr_id, cos,
              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rn
-           FROM gpairs) WHERE rn <= 3)"""
+           FROM gpairs) WHERE rn <= 3),
+       gedges AS (SELECT src, dst FROM ge3)"""
 
   /** One unrolled [[prIterate]] round: dangling fold, contribution
     * folds (the SAME two-level slice-major order as
@@ -486,6 +574,36 @@ object GraphAnalytics {
            CASE WHEN vec_id % $SeedMod = 0 THEN label END AS seed
          FROM embeddings)""")
 
+  /** One unrolled WEIGHTED label-prop round: per-(node, label) vote
+    * mass through the same two-level slice-major fold as the PR
+    * contributions, argmax by (mass desc, label asc). */
+  private def wlpRoundSql(i: Int, p: String, b: Int = 16): String =
+    s"""wv$i AS (SELECT u.dst, l.lbl AS vl, u.src % $b AS bk,
+         list_reduce(list(u.w ORDER BY u.src), (acc, x) -> acc + x) AS s1
+       FROM undw u JOIN $p l ON l.id = u.src WHERE l.lbl IS NOT NULL
+       GROUP BY u.dst, l.lbl, u.src % $b),
+       ws$i AS (SELECT dst, vl, list_reduce(list(s1 ORDER BY bk),
+           (acc, x) -> acc + x) AS s
+         FROM wv$i GROUP BY dst, vl),
+       wc$i AS (SELECT dst AS id, vl FROM (
+           SELECT dst, vl, row_number() OVER (PARTITION BY dst
+             ORDER BY s DESC, vl) AS rn FROM ws$i) WHERE rn = 1),
+       l$i AS (SELECT n.id, coalesce(n.seed, wc$i.vl, $p.lbl) AS lbl
+         FROM nodes_t n LEFT JOIN wc$i USING (id) LEFT JOIN $p ON $p.id = n.id)"""
+
+  private lazy val weightedLabelPropCtes: String = {
+    val rounds = (1 to Iters).map(i => wlpRoundSql(i, if (i == 1) "l0" else s"l${i - 1}"))
+      .mkString(",\n")
+    s"""$edgeCtes,
+       undw AS (SELECT src, dst, cos AS w FROM ge3
+         UNION SELECT dst, src, cos FROM ge3),
+       nodes_t AS (SELECT vec_id AS id,
+           CASE WHEN vec_id % $SeedMod = 0 THEN label END AS seed
+         FROM embeddings),
+       l0 AS (SELECT id, seed AS lbl FROM nodes_t),
+       $rounds"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql,
     // the refined-graph pyramid replays (as knn_graph_refined), then the
@@ -516,6 +634,17 @@ object GraphAnalytics {
       s"""WITH $labelPropCtes
          SELECT id AS vec_id, lbl AS label, (id % $SeedMod = 0) AS is_seed
          FROM l$Iters ORDER BY vec_id""",
+    "graph_label_prop_w" ->
+      s"""WITH $weightedLabelPropCtes
+         SELECT id AS vec_id, lbl AS label, (id % $SeedMod = 0) AS is_seed
+         FROM l$Iters ORDER BY vec_id""",
+    "graph_density" ->
+      s"""WITH $edgeCtes,
+         dd AS (SELECT src, count(*) AS degree,
+             list_reduce(list(cos ORDER BY dst), (acc, x) -> acc + x) AS s
+           FROM ge3 GROUP BY src)
+         SELECT src AS vec_id, degree, round(s / degree, 6) AS mean_cos
+         FROM dd ORDER BY vec_id""",
     "graph_label_prop_acc" ->
       s"""WITH $labelPropCtes,
          fin AS (SELECT l.id, l.lbl, (l.id % $SeedMod = 0) AS is_seed,

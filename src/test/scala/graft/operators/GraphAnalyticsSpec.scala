@@ -148,6 +148,40 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(a > 0.1, s"acc $a")
   }
 
+  test("weighted labelProp: one trusted heavy edge outvotes two light ones (diverges from majority)") {
+    // node 0 unlabeled; seeds: 1 (label 1, w .9), 2 and 3 (label 2, w .2)
+    val nodes = Seq((0L, None), (1L, Some(1)), (2L, Some(2)), (3L, Some(2)))
+      .toDF("id", "seed")
+    val ew = Seq((1L, 0L, 0.9), (2L, 0L, 0.2), (3L, 0L, 0.2))
+      .toDF("src", "dst", "w")
+    val weighted = GraphAnalytics.weightedLabelPropagation(nodes, ew, iters = 1)
+      .as[(Long, Option[Int])].collect().toMap
+    val majority = GraphAnalytics.labelPropagation(nodes,
+        ew.select("src", "dst"), iters = 1)
+      .as[(Long, Option[Int])].collect().toMap
+    assert(weighted(0L) === Some(1)) // 0.9 > 0.4
+    assert(majority(0L) === Some(2)) // 2 votes > 1 vote
+  }
+
+  test("weighted labelProp: exact-tie mass falls to the smaller label; clamping holds") {
+    val nodes = Seq((0L, None), (1L, Some(5)), (2L, Some(3))).toDF("id", "seed")
+    val ew = Seq((1L, 0L, 0.25), (2L, 0L, 0.25)).toDF("src", "dst", "w")
+    val out = GraphAnalytics.weightedLabelPropagation(nodes, ew, iters = 2)
+      .as[(Long, Option[Int])].collect().toMap
+    assert(out(0L) === Some(3)) // equal mass → min label
+    assert(out(1L) === Some(5) && out(2L) === Some(3))
+  }
+
+  test("density query: every node has its blocked degree <= 3 and a sane mean cosine") {
+    val rows = GraphAnalytics.densityQ(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, deg, mc) =>
+      assert(deg >= 1 && deg <= 3, s"$id degree $deg")
+      assert(mc >= -1.0 - 1e-9 && mc <= 1.0 + 1e-9, s"$id mean_cos $mc")
+    }
+  }
+
   test("quality propagation: clamped confident seeds, consistent meter, no unlabeled seed") {
     val d = "/root/testdata/sf0.001"
     val rows = GraphAnalytics.qualityPropQ(spark, d)
