@@ -53,11 +53,11 @@ object GraphAnalytics {
 
   /** Deterministic two-level ordered float sum per key: level 1 folds
     * each (key, ord % subBuckets) slice in `ord` order, level 2 folds
-    * the slice sums in bucket order. Bit-identical to a single global
-    * ordered fold... NO — deliberately NOT: it is its own published
-    * order (slice-major), chosen because it bounds per-task state; the
-    * DuckDB oracle replays the SAME two-level shape, so both engines
-    * agree bit-for-bit. `df` must carry `key`/`ord`/`value` columns
+    * the slice sums in bucket order. The result is NOT the single
+    * flat-ordered fold — it is its own PUBLISHED order (slice-major),
+    * chosen because it bounds per-task collect state; the DuckDB
+    * oracle replays the same two-level shape, so both engines agree
+    * bit-for-bit. `df` must carry `key`/`ord`/`value` columns
     * (ord: long, distinct within key; value: double). Output: (key,
     * sum). */
   def orderedSumByKey(df: DataFrame, key: String, ord: String,
@@ -87,7 +87,18 @@ object GraphAnalytics {
     * (see the object doc); the dangling total folds with id-hash
     * sub-buckets, so even a corpus that is MOSTLY dangling (e.g. a
     * heavily-tombstoned graph) never folds more than
-    * max(N/subBuckets, subBuckets) values in one task. */
+    * max(N/subBuckets, subBuckets) values in one task.
+    *
+    * `edges` and `tvec` are referenced by EVERY round, so Catalyst
+    * re-derives their upstream plan per reference. For cheap sources
+    * (a parquet edge table, a projection) that is free and beats
+    * caching — a measured same-day A/B at sf0.1 read the pin-everything
+    * spelling 1.5× SLOWER (InMemoryRelation loses source stats, so the
+    * per-round joins fall off broadcast onto sort-merge). For EXPENSIVE
+    * derivations, materialize first: that is what the at-rest graph
+    * index is for (`graph_pagerank_refined` reads stored edge ids and
+    * measured 1.8× faster than the in-plan blocked build), and
+    * localCheckpoint is the in-JVM equivalent. */
   private def prIterate(tvec: DataFrame, edges: DataFrame, iters: Int,
       damping: Double, subBuckets: Int, checkpointEvery: Int): DataFrame = {
     require(iters >= 1, s"pageRank: iters >= 1, got $iters")
@@ -408,15 +419,19 @@ object GraphAnalytics {
       col("text"), col("lang") === "en")
     val scored = Classify.nbScoreRaw(docs, col("doc_id"), col("text"),
       llr, scalars)
+    // the NB lineage (tokenize → score join → margin agg) is referenced
+    // by every vote round plus the final margin join — cut it once here
+    // (ids + a long per doc; the prIterate doc explains why a checkpoint
+    // beats caching for expensive loop inputs)
     val nodes = scored.select(col("doc_id").as("id"),
       when(abs(col("__mfx")) >= QualitySeedMfx,
-        when(col("__mfx") > 0L, 1).otherwise(0)).as("seed"))
+        when(col("__mfx") > 0L, 1).otherwise(0)).as("seed"),
+      col("__mfx")).localCheckpoint()
     val e = knnEdges(s, d)
     val und = e.unionByName(
       e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-    labelPropagation(nodes, und, iters = Iters)
-      .join(nodes, "id")
-      .join(scored.select(col("doc_id").as("id"), col("__mfx")), "id")
+    labelPropagation(nodes.select("id", "seed"), und, iters = Iters)
+      .join(nodes, "id") // seed + __mfx both ride the checkpointed table
   }
 
   /** Per-doc propagated quality verdict (1 = en-like by the NB gate's
