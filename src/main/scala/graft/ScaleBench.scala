@@ -150,7 +150,12 @@ object ScaleBench {
     // two |E|-bounded joins plus the two-level ordered folds, |E| = 3N,
     // so time must track rows; the edge set is localCheckpointed once
     // so the iterations measure the LOOP, not three edge rebuilds.
-    "graph_pagerank_scaled")
+    "graph_pagerank_scaled",
+    // round 15b: the NB×graph composition — NB train+score (the
+    // quality_nb arm's ~linear shape) feeding clamped seeds into 3
+    // integer vote rounds over the k ∝ N blocked graph; every loop
+    // stage is |E| = 3N-bounded, so time must track rows.
+    "graph_quality_scaled")
 
   /** Scratch dirs created by scale-only bindings whose output DataFrame
     * reads them lazily — reclaimed at JVM exit. */
@@ -258,6 +263,29 @@ object ScaleBench {
           .localCheckpoint()
         GraphAnalytics.pageRank(e.select(col("vec_id").as("id")), edges,
           iters = 3)
+      }),
+      "graph_quality_scaled" -> ((s, d) => {
+        import graft.operators.{Classify, GraphAnalytics, Search}
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        val (llr, scalars) = Classify.nbModel(
+          docs.filter(graft.functions.HashFunctions.md5Bucket16(col("doc_id")) < "8"),
+          col("text"), col("lang") === "en")
+        val nodes = Classify.nbScore(docs, col("doc_id"), col("text"),
+            llr, scalars)
+          .select(col("doc_id").as("id"),
+            when(abs(col("nb_margin")) >= 0.5,
+              when(col("nb_margin") > 0.0, 1).otherwise(0)).as("seed"))
+          .localCheckpoint() // the served query's own NB-lineage cut
+        val k = math.max(10, (emb.count() / 50L).toInt)
+        val cents = Search.kmeansTrain(emb, col("vec_id"), col("embedding"), k)
+        val e = Search.knnGraph(emb, col("vec_id"), col("embedding"),
+            cents, k = 3)
+          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+          .localCheckpoint()
+        val und = e.unionByName(
+          e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        GraphAnalytics.labelPropagation(nodes, und, iters = 3)
       }))
   private val Reps = 10
   private val IdStride = 10000000L

@@ -182,6 +182,49 @@ class GraphAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("pageRank over a streamed at-rest graph: inserts enter the ranking, mass stays 1") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Search
+    import graft.streaming.Streams
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_graph_pr_stream").toString
+    def ang(deg: Double) = Array(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val base = (0 until 8).map(i => (i.toLong, ang(30 + i * 15)))
+    val ring = (0 until 8).flatMap(i =>
+      Seq((i.toLong, ((i + 1) % 8).toLong), (i.toLong, ((i + 7) % 8).toLong)))
+    Search.writeGraphIndex(base.toDF("vec_id", "embedding"),
+      $"vec_id", $"embedding", ring.toDF("__vid", "nbr_id"),
+      s"$dir/idx", entriesN = 4, buckets = 4)
+    def ranks() = GraphAnalytics.pageRank(
+      spark.read.parquet(s"$dir/idx/nodes").select($"id"),
+      spark.read.parquet(s"$dir/idx/edges")
+        .select($"__vid".as("src"), $"nbr_id".as("dst")),
+      iters = 3).as[(Long, Double)].collect().toMap
+    val before = ranks()
+    assert(before.keySet === (0L until 8L).toSet)
+    assert(math.abs(before.values.sum - 1.0) < 1e-12)
+    val input = MemoryStream[(Long, Array[Double])]
+    val q = Streams.graphIngest(input.toDF().toDF("vec_id", "embedding"),
+      $"vec_id", $"embedding", s"$dir/idx", s"$dir/ckpt",
+      linkK = 2, beam = 4, hops = 4, buckets = 4)
+    try {
+      input.addData(Seq((100L, ang(2)), (101L, ang(-2)))); q.processAllAvailable()
+      val after = ranks()
+      // the centrality refresh sees the streamed nodes without any
+      // rebuild — mass re-normalizes over the grown node set
+      assert(after.keySet === before.keySet ++ Set(100L, 101L))
+      assert(after(100L) > 0.0 && after(101L) > 0.0)
+      assert(math.abs(after.values.sum - 1.0) < 1e-12)
+      assert(ranks() === after) // deterministic refresh
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("quality propagation: clamped confident seeds, consistent meter, no unlabeled seed") {
     val d = "/root/testdata/sf0.001"
     val rows = GraphAnalytics.qualityPropQ(spark, d)
