@@ -400,6 +400,32 @@ object GraphAnalytics {
       .orderBy("vec_id")
   }
 
+  /** Takedown-aware centrality refresh — [[pageRankRefinedQ]] over the
+    * TOMBSTONED at-rest layout ([[Retrieval.GraphDeletedIds]]
+    * recalled): deleted docs leave the node set, neither direction of
+    * their edges conducts, and the ranking renormalizes over the
+    * survivors (N shrinks; a survivor that lost its whole out-list
+    * becomes dangling and redistributes through the teleport — the
+    * loop's dangling path exercised by real takedowns, not just
+    * synthetic specs). Tombstones are honored through the shared
+    * store reads, the same liveDocs discipline every index family
+    * serves; the oracle replays the refined pyramid MINUS the ids. */
+  def pageRankDelQ(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Tombstones
+    val dir = s"${Retrieval.graphDelIdxDir(s, d)}/idx"
+    val live = Tombstones.dropDeleted(
+      Tables.embeddings(s, d).select(col("vec_id").as("id")), col("id"), dir)
+    val edges = Tombstones.dropDeleted(
+      Tombstones.dropDeleted(
+        s.read.parquet(s"$dir/edges")
+          .select(col("__vid").as("src"), col("nbr_id").as("dst")),
+        col("src"), dir),
+      col("dst"), dir)
+    pageRank(live, edges, iters = Iters)
+      .select(col("id").as("vec_id"), round(col("pr"), 9).as("pr"))
+      .orderBy("vec_id")
+  }
+
   private val QualitySeedMfx = 500000L // |NB margin| ≥ 0.5 → confident seed
 
   /** Semi-supervised QUALITY spreading — the two families composed:
@@ -464,6 +490,7 @@ object GraphAnalytics {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pageRankQ,
     "graph_pagerank_refined" -> pageRankRefinedQ,
+    "graph_pagerank_del" -> pageRankDelQ,
     "graph_ppr" -> pprQ,
     "graph_ppr_expand" -> pprExpandQ,
     "graph_label_prop" -> labelPropQ,
@@ -541,6 +568,15 @@ object GraphAnalytics {
   private lazy val refinedEdgeCtes: String =
     s"""${Retrieval.refinedGraphCtes},
        gedges AS (SELECT vec_id AS src, nbr_id AS dst FROM gref)"""
+
+  private lazy val delIdsSql: String =
+    Retrieval.GraphDeletedIds.mkString("(", ", ", ")")
+
+  /** The refined edges MINUS the takedown ids on either endpoint. */
+  private lazy val delEdgeCtes: String =
+    s"""${Retrieval.refinedGraphCtes},
+       gedges AS (SELECT vec_id AS src, nbr_id AS dst FROM gref
+         WHERE vec_id NOT IN $delIdsSql AND nbr_id NOT IN $delIdsSql)"""
 
   private lazy val pageRankSql: String =
     s"""${prLoopSql(
@@ -629,6 +665,15 @@ object GraphAnalytics {
         """nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
        tvec AS (SELECT vec_id AS id, CAST(1 AS DOUBLE) / nn.n AS tp
          FROM embeddings CROSS JOIN nn)""", refinedEdgeCtes)}
+       SELECT id AS vec_id, round(pr, 9) AS pr FROM r$Iters ORDER BY vec_id""",
+    // takedown replay: the same pyramid + loop over the LIVE slice only
+    "graph_pagerank_del" ->
+      s"""${prLoopSql(
+        s"""nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+         WHERE vec_id NOT IN $delIdsSql),
+       tvec AS (SELECT vec_id AS id, CAST(1 AS DOUBLE) / nn.n AS tp
+         FROM embeddings CROSS JOIN nn
+         WHERE vec_id NOT IN $delIdsSql)""", delEdgeCtes)}
        SELECT id AS vec_id, round(pr, 9) AS pr FROM r$Iters ORDER BY vec_id""",
     "graph_ppr" ->
       s"""$pprLoopSql

@@ -622,8 +622,19 @@ object Retrieval {
     * documented liveDocs-style staleness until compaction). The oracle
     * replays the whole beam search minus the ids — path REROUTING (not
     * just result filtering) is hash-checked. */
-  def knnGraphDel(s: SparkSession, d: String): DataFrame = {
-    val dir = graphDelCache.computeIfAbsent(d, _ => {
+  def knnGraphDel(s: SparkSession, d: String): DataFrame =
+    Search.graphSearchIndexed(s, s"${graphDelIdxDir(s, d)}/idx", q0(s, d),
+        k = 10, beam = 32, hops = 3, buckets = 32)
+      .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+
+  /** The [[graphIdxDir]] layout with [[GraphDeletedIds]] tombstoned —
+    * built once per JVM × sfDir by copying the clean layout (bit-
+    * identical until the tombstone lands) and landing the takedown.
+    * Shared by [[knnGraphDel]] (serving face) and GraphAnalytics'
+    * takedown-aware centrality refresh. */
+  private[operators] def graphDelIdxDir(s: SparkSession, d: String): String =
+    graphDelCache.computeIfAbsent(d, _ => {
       val clean = graphIdxDir(s, d) // build (or reuse) the clean layout once
       val tmp = java.nio.file.Files.createTempDirectory("graft_graph_del").toString
       copyDir(new java.io.File(s"$clean/idx"), new java.io.File(s"$tmp/idx"))
@@ -632,11 +643,6 @@ object Retrieval {
         col("vec_id"), s"$tmp/idx")
       tmp
     })
-    Search.graphSearchIndexed(s, s"$dir/idx", q0(s, d),
-        k = 10, beam = 32, hops = 3, buckets = 32)
-      .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
-      .orderBy(desc("score"), asc("vec_id"))
-  }
 
   /** Edge-recall meter for the kNN-graph family — the [[annRecall]] idea
     * at graph granularity: directed top-3 edge recall of each

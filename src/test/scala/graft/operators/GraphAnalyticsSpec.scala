@@ -182,6 +182,16 @@ class GraphAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("takedown centrality: recalled ids leave the ranking; mass renormalizes over survivors") {
+    val d = "/root/testdata/sf0.001"
+    val pr = GraphAnalytics.pageRankDelQ(spark, d).as[(Long, Double)].collect()
+    val ids = pr.map(_._1).toSet
+    Retrieval.GraphDeletedIds.foreach(i => assert(!ids.contains(i), s"recalled $i still ranked"))
+    val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+    assert(ids.size.toLong === n - Retrieval.GraphDeletedIds.size)
+    assert(math.abs(pr.map(_._2).sum - 1.0) < 1e-6)
+  }
+
   test("pageRank over a streamed at-rest graph: inserts enter the ranking, mass stays 1") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Search
