@@ -38,7 +38,9 @@ object SparkEntry {
     * until queried — except the few bindings that materialize an index or
     * an Observation during CONSTRUCTION (`knn_ivfpq*` builds/caches the
     * at-rest index, `pipeline_curate_counters` runs the observed job to
-    * read its accumulators). */
+    * read its accumulators, `graph_pagerank_refined`/`graph_pagerank_del`
+    * build/copy the per-JVM graph layout, `graph_quality_prop*` cut the
+    * NB lineage with an eager localCheckpoint). */
   def registerQueryViews(spark: SparkSession, sfDir: String): Unit = {
     Tables.registerTables(spark, sfDir)
     // per-view isolation: one binding failing to CONSTRUCT (e.g. an
