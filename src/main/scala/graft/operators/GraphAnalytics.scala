@@ -426,6 +426,41 @@ object GraphAnalytics {
       .orderBy("vec_id")
   }
 
+  /** Global triangle census of the kNN graph's undirected closure:
+    * unordered edge pairs, wedge count Σ C(deg, 2), triangle count via
+    * the (a<b<c) ordered two-join (each triangle counted exactly once,
+    * candidate space bounded by Σ deg² — the NoN-expansion bound, never
+    * corpus²), and the global clustering coefficient 3·T / W. The
+    * cohesion dial for the graph family: near-random embeddings read
+    * low (neighbors of neighbors are strangers — beam search and label
+    * propagation will struggle), a well-clustered corpus reads high.
+    * Integer end to end until the one final division — exact replay. */
+  def clusteringQ(s: SparkSession, d: String): DataFrame =
+    clusteringOf(knnEdges(s, d))
+
+  /** [[clusteringQ]]'s core over any (src, dst) edge list (direction
+    * and duplicates are erased by the unordered-pair distinct). */
+  def clusteringOf(edges: DataFrame): DataFrame = {
+    val p = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = p.select(col("a").as("v"))
+      .unionByName(p.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val wedges = deg.agg(expr("sum(dg * (dg - 1)) div 2").as("n_wedges"))
+    val tri = p.as("x")
+      .join(p.as("y"), col("x.b") === col("y.a"))
+      .join(p.as("z"),
+        col("z.a") === col("x.a") && col("z.b") === col("y.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    p.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
+      .select(col("n_pairs"), col("n_wedges"), col("n_triangles"),
+        round(lit(3) * col("n_triangles").cast("double") / col("n_wedges"), 6)
+          .as("clustering_coeff"))
+  }
+
   private val QualitySeedMfx = 500000L // |NB margin| ≥ 0.5 → confident seed
 
   /** Semi-supervised QUALITY spreading — the two families composed:
@@ -499,6 +534,7 @@ object GraphAnalytics {
     "graph_quality_prop" -> qualityPropQ,
     "graph_quality_prop_acc" -> qualityPropAccQ,
     "graph_density" -> densityQ,
+    "graph_clustering" -> clusteringQ,
   )
 
   // ------------------------------ oracles ------------------------- //
@@ -705,6 +741,21 @@ object GraphAnalytics {
            FROM ge3 GROUP BY src)
          SELECT src AS vec_id, degree, round(s / degree, 6) AS mean_cos
          FROM dd ORDER BY vec_id""",
+    "graph_clustering" ->
+      s"""WITH $edgeCtes,
+         p AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM gedges WHERE src <> dst),
+         deg AS (SELECT v, count(*) AS dg FROM (
+             SELECT a AS v FROM p UNION ALL SELECT b FROM p) GROUP BY v),
+         w AS (SELECT CAST(sum(dg * (dg - 1)) // 2 AS BIGINT) AS n_wedges FROM deg),
+         t AS (SELECT count(*) AS n_triangles FROM p x
+           JOIN p y ON x.b = y.a
+           JOIN p z ON z.a = x.a AND z.b = y.b),
+         np AS (SELECT count(*) AS n_pairs FROM p)
+         SELECT np.n_pairs, w.n_wedges, t.n_triangles,
+           round(3 * CAST(t.n_triangles AS DOUBLE) / w.n_wedges, 6)
+             AS clustering_coeff
+         FROM np CROSS JOIN w CROSS JOIN t""",
     "graph_label_prop_acc" ->
       s"""WITH $labelPropCtes,
          fin AS (SELECT l.id, l.lbl, (l.id % $SeedMod = 0) AS is_seed,

@@ -182,6 +182,27 @@ class GraphAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("clustering: hand-counted triangle census; direction and dups erased") {
+    // triangle 0-1-2 plus pendant 0-3; edges deliberately mixed-direction
+    // and duplicated — pairs {01,02,12,03}; deg 3/2/2/1 → wedges 3+1+1=5;
+    // one triangle; coeff 3·1/5 = 0.6
+    val e = Seq((0L, 1L), (1L, 0L), (2L, 0L), (1L, 2L), (3L, 0L), (0L, 1L))
+      .toDF("src", "dst")
+    val (nPairs, nWedges, nTri, coeff) = GraphAnalytics.clusteringOf(e)
+      .as[(Long, Long, Long, Double)].head()
+    assert((nPairs, nWedges, nTri) === ((4L, 5L, 1L)))
+    assert(math.abs(coeff - 0.6) < 1e-12)
+  }
+
+  test("clustering query: consistent census on the bound corpus") {
+    val (nPairs, nWedges, nTri, coeff) =
+      GraphAnalytics.clusteringQ(spark, "/root/testdata/sf0.001")
+        .as[(Long, Long, Long, Double)].head()
+    assert(nPairs > 0 && nWedges > 0 && nTri >= 0)
+    assert(coeff >= 0.0 && coeff <= 1.0, s"coeff $coeff")
+    assert(math.abs(coeff - 3.0 * nTri / nWedges) < 1e-6)
+  }
+
   test("takedown centrality: recalled ids leave the ranking; mass renormalizes over survivors") {
     val d = "/root/testdata/sf0.001"
     val pr = GraphAnalytics.pageRankDelQ(spark, d).as[(Long, Double)].collect()
