@@ -108,8 +108,8 @@ object Bench {
     //    199 queries. Isolation removes suite-context but adds
     //    cold-start — when git already proves the code unchanged, the
     //    same-day FULL-SUITE rerun is the controlling measure.
-    // r15 attribution (207→218 queries; the 11 new graph_* rows cost
-    // ~50s of the 227.3s total — they run 3-round iterative loops whose
+    // r15 attribution (207→219 queries; the 12 new graph_* rows cost
+    // ~48s of the 216.4s total — most run 3-round iterative loops whose
     // ~20 stages of fixed per-stage overhead dominate at sf0.1 and
     // amortize at scale; graph_pagerank_refined, the stored-edges
     // spelling production repeats, reads 2.0s vs 3.7s for the in-plan
@@ -118,9 +118,9 @@ object Bench {
     // vs the r14 artifact while agreeing with each other within ±10%
     // (e.g. zs_tags 0.73s in one run, 0.40s in the next, code
     // untouched) — the r9-documented ENVIRONMENT floor moved up again;
-    // the committed artifact is the healthiest complete run (227.3s
-    // with the late-round graph_pagerank_del row; its shared-query
-    // median matches the best earlier run at 0.996×).
+    // the committed artifact is the healthiest complete run (216.4s,
+    // all 12 graph rows included; shared-query medians vs the other
+    // same-day runs sit at 0.98-1.00×).
     // Deliberate r15 CODE deltas, both same-day isolated A/Bs:
     //  - quality-prop composition: localCheckpoint the NB lineage once
     //    (it fed every vote round) — 16.3s→12.2s on the pair, controls
