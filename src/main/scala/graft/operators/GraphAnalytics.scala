@@ -38,13 +38,16 @@ import graft.Tables
   *     tie-breaks everywhere → the whole computation replays as an
   *     unrolled-CTE DuckDB oracle, the same discipline as the BPE
   *     trainer and NN-Descent rounds.
-  *   - Float sums are ORDERED two-level folds ([[orderedSumByKey]]):
-  *     bit-stable across partitionings AND engines (Spark `aggregate`
-  *     over a sorted collect ≡ DuckDB `list_reduce(list(… ORDER BY …))`
-  *     — the established maxSim/BM25 oracle idiom), with per-task
-  *     collect bounded by max(indegree/subBuckets, subBuckets) instead
-  *     of raw indegree, so a hot node (viral doc, hub domain) cannot
-  *     concentrate its whole in-edge list in one task.
+  *   - Float sums are ORDERED two-level folds ([[orderedSumByKey]] /
+  *     [[orderedSumByKeySized]]): bit-stable across partitionings AND
+  *     engines (Spark `aggregate` over a sorted collect ≡ DuckDB
+  *     `list_reduce(list(… ORDER BY …))` — the established maxSim/BM25
+  *     oracle idiom). The bucket count is SIZED FROM THE DATA
+  *     ([[subBucketsFor]]: b = max(floor, ceil(sqrt(N))) as an in-plan
+  *     broadcast scalar), so both fold levels hold ≤ ~sqrt(N) rows per
+  *     task — a mega-hub dst (or a mostly-dangling graph) cannot
+  *     concentrate O(N/16) structs in one collect_list, at ANY corpus
+  *     size and with no knob to mis-set.
   *   - Lineage is cut every `checkpointEvery` rounds (localCheckpoint,
   *     the [[Search.nnDescend]] / pointer-jumping discipline) so deep
   *     iteration counts do not stack a mile-high plan.
@@ -52,26 +55,56 @@ import graft.Tables
 object GraphAnalytics {
 
   /** Deterministic two-level ordered float sum per key: level 1 folds
-    * each (key, ord % subBuckets) slice in `ord` order, level 2 folds
-    * the slice sums in bucket order. The result is NOT the single
-    * flat-ordered fold — it is its own PUBLISHED order (slice-major),
-    * chosen because it bounds per-task collect state; the DuckDB
-    * oracle replays the same two-level shape, so both engines agree
-    * bit-for-bit. `df` must carry `key`/`ord`/`value` columns
-    * (ord: long, distinct within key; value: double). Output: (key,
-    * sum). */
+    * each (key, ord % b) slice in `ord` order, level 2 folds the slice
+    * sums in bucket order. The result is NOT the single flat-ordered
+    * fold — it is its own PUBLISHED order (slice-major), chosen because
+    * it bounds per-task collect state; the DuckDB oracle replays the
+    * same two-level shape, so both engines agree bit-for-bit. `df` must
+    * carry `key`/`ord`/`value` columns (ord: long, distinct within key;
+    * value: double). Output: (key, sum).
+    *
+    * This overload takes a LITERAL bucket count — the generic utility.
+    * Scale callers should size b from the data instead:
+    * [[orderedSumByKeySized]] with [[subBucketsFor]], which is what the
+    * propagation loops here do. */
   def orderedSumByKey(df: DataFrame, key: String, ord: String,
       value: String, subBuckets: Int = 16): DataFrame = {
     require(subBuckets >= 1, s"orderedSumByKey: subBuckets >= 1, got $subBuckets")
+    orderedSumByKeySized(df, key, ord, value,
+      df.sparkSession.range(1).select(lit(subBuckets.toLong).as("__b")))
+  }
+
+  /** [[orderedSumByKey]] with the bucket count read from the one-row
+    * relation `bDf (__b: long)` instead of a literal — the b itself
+    * stays inside the plan (no driver job, no knob), and the published
+    * slice-major order is a pure function of (data, b) that the DuckDB
+    * oracles replay with the same in-SQL b derivation. */
+  def orderedSumByKeySized(df: DataFrame, key: String, ord: String,
+      value: String, bDf: DataFrame): DataFrame =
     df.select(col(key).as("__k"), col(ord).as("__o"),
         col(value).as("__x"))
-      .groupBy(col("__k"), pmod(col("__o"), lit(subBuckets.toLong)).as("__b"))
+      .crossJoin(broadcast(bDf))
+      .groupBy(col("__k"), pmod(col("__o"), col("__b")).as("__bk"))
       .agg(expr("aggregate(sort_array(collect_list(struct(__o, __x))), " +
         "CAST(0 AS DOUBLE), (acc, e) -> acc + e.__x)").as("__s1"))
       .groupBy("__k")
-      .agg(expr("aggregate(sort_array(collect_list(struct(__b, __s1))), " +
+      .agg(expr("aggregate(sort_array(collect_list(struct(__bk, __s1))), " +
         "CAST(0 AS DOUBLE), (acc, e) -> acc + e.__s1)").as("__sum"))
       .select(col("__k").as(key), col("__sum").as("sum"))
+
+  /** One-row `(__b: long)` fold-sizing relation: b = max(floor,
+    * ceil(sqrt(count(of)))). Any per-node fold over a graph of N nodes
+    * has fan-in ≤ N, so with b ≈ sqrt(N) BOTH fold levels hold ≤
+    * ~sqrt(N) rows per task — the hub-degree worst case included.
+    * Derived IN-PLAN (a broadcast one-row agg), so plan construction
+    * runs no Spark job and there is no constant to outgrow; the oracles
+    * replay the identical greatest/ceil/sqrt integer derivation
+    * (IEEE-754 sqrt is correctly rounded, so both engines agree on b
+    * exactly). */
+  def subBucketsFor(of: DataFrame, floor: Int = 16): DataFrame = {
+    require(floor >= 1, s"subBucketsFor: floor >= 1, got $floor")
+    of.agg(greatest(lit(floor.toLong),
+      ceil(sqrt(count(lit(1)).cast("double")))).as("__b"))
   }
 
   /** The shared power-iteration loop over a teleport vector `tvec` =
@@ -83,11 +116,12 @@ object GraphAnalytics {
     * Uniform t = 1/N is classic PageRank; t concentrated on a seed set
     * is personalized PageRank. Dangling mass re-enters THROUGH the
     * teleport vector (the standard formulation), so mass is conserved
-    * every round in both variants. All float sums are ordered folds
-    * (see the object doc); the dangling total folds with id-hash
-    * sub-buckets, so even a corpus that is MOSTLY dangling (e.g. a
-    * heavily-tombstoned graph) never folds more than
-    * max(N/subBuckets, subBuckets) values in one task.
+    * every round in both variants — for ANY edge input, since dst-
+    * outside edges are semi-joined away (see below). All float sums are
+    * ordered folds (see the object doc) with the node-count-derived
+    * bucket sizing of [[subBucketsFor]], so even a corpus that is
+    * MOSTLY dangling (a heavily-tombstoned graph) or a mega-hub dst
+    * never folds more than ~sqrt(N) values in one task.
     *
     * `edges` and `tvec` are referenced by EVERY round, so Catalyst
     * re-derives their upstream plan per reference. For cheap sources
@@ -102,27 +136,42 @@ object GraphAnalytics {
   private def prIterate(tvec: DataFrame, edges: DataFrame, iters: Int,
       damping: Double, subBuckets: Int, checkpointEvery: Int): DataFrame = {
     require(iters >= 1, s"pageRank: iters >= 1, got $iters")
+    // Conservation contract for ANY input: an edge whose dst falls
+    // outside the node set would count in its src's out-degree yet
+    // deliver its mass nowhere (sum(pr) silently < 1, no error) — the
+    // dst semi-join removes it up front, turning a node whose whole
+    // out-list pointed outside into an honest dangling node. Edges with
+    // an outside SRC carry no mass to lose (they drop at the pr join).
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
+        col("dst").cast("long").as("dst"))
+      .join(tvec.select(col("id").as("dst")), Seq("dst"), "left_semi")
     // outdegree + the dangling id set are loop-invariant: derive once.
     val od = e.groupBy("src").agg(count(lit(1)).as("__od"))
     val dangling = tvec.select("id")
       .join(od.select(col("src").as("id")), Seq("id"), "left_anti")
+    // Hub-safe fold sizing, shared by the dangling fold (fan-in ≤ N)
+    // and the per-dst contribution fold (fan-in = in-degree ≤ N):
+    // b = max(subBuckets, ceil(sqrt(N))) as an in-plan broadcast scalar
+    // — loop-invariant, no driver job, bounds every collect_list task
+    // at ~sqrt(N) structs. `subBuckets` is now the FLOOR of that
+    // derivation, not the fixed count.
+    val bDf = subBucketsFor(tvec, subBuckets)
     var pr = tvec.select(col("id"), col("__t").as("pr"))
     for (t <- 1 to iters) {
       // Σ pr over dangling nodes → one broadcastable row. groupBy().agg
       // on an EMPTY input still yields one row (global agg), whose
       // collect_list is [] and whose fold is 0.0 — no special case.
       val dm = pr.join(dangling, "id")
-        .groupBy(pmod(col("id"), lit(subBuckets.toLong)).as("__b"))
+        .crossJoin(broadcast(bDf))
+        .groupBy(pmod(col("id"), col("__b")).as("__bk"))
         .agg(expr("aggregate(sort_array(collect_list(struct(id, pr))), " +
           "CAST(0 AS DOUBLE), (acc, e) -> acc + e.pr)").as("__s1"))
-        .agg(expr("aggregate(sort_array(collect_list(struct(__b, __s1))), " +
+        .agg(expr("aggregate(sort_array(collect_list(struct(__bk, __s1))), " +
           "CAST(0 AS DOUBLE), (acc, e) -> acc + e.__s1)").as("__dm"))
       val contribs = e.join(od, "src")
         .join(pr.select(col("id").as("src"), col("pr").as("__p")), "src")
         .select(col("dst"), col("src"), (col("__p") / col("__od")).as("__c"))
-      val sums = orderedSumByKey(contribs, "dst", "src", "__c", subBuckets)
+      val sums = orderedSumByKeySized(contribs, "dst", "src", "__c", bDf)
       pr = tvec
         .join(sums.select(col("dst").as("id"), col("sum").as("__s")), Seq("id"), "left")
         .crossJoin(broadcast(dm))
@@ -139,18 +188,17 @@ object GraphAnalytics {
     * `nodes` = (id) distinct, `edges` = (src, dst) distinct directed
     * pairs over those ids. Mass is conserved every round (Σ pr = 1 up
     * to float error), so ranks are comparable across corpora of equal
-    * N. The one count() job up front (N) is the only driver
-    * materialization. */
+    * N. Fully lazy: 1/N is an in-plan broadcast scalar (bit-identical
+    * to the driver-side division it replaced), so constructing the plan
+    * — e.g. at view registration — runs NO Spark job. An empty node set
+    * yields an empty result (nothing to rank), not an error. */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
       damping: Double = 0.85, subBuckets: Int = 16,
       checkpointEvery: Int = 0): DataFrame = {
-    val n = nodes.count()
-    require(n > 0, "pageRank: empty node set")
-    val nD = n.toDouble
-    prIterate(
-      nodes.select(col("id").cast("long").as("id"),
-        (lit(1.0) / lit(nD)).as("__t")),
-      edges, iters, damping, subBuckets, checkpointEvery)
+    val ids = nodes.select(col("id").cast("long").as("id"))
+    val inv = broadcast(ids.agg((lit(1.0) / count(lit(1))).as("__t")))
+    prIterate(ids.crossJoin(inv), edges, iters, damping, subBuckets,
+      checkpointEvery)
   }
 
   /** Personalized PageRank ([[prIterate]] with teleport mass uniform
@@ -159,16 +207,18 @@ object GraphAnalytics {
     * signal (rank the corpus by similarity-graph closeness to a
     * curated sample, keep the top slice). Dangling mass teleports BACK
     * to the seeds, so scores still sum to 1 and rankings stay
-    * comparable across seed sets. */
+    * comparable across seed sets. Lazy like [[pageRank]]: 1/|seeds| is
+    * an in-plan broadcast scalar; an empty seed set yields all-zero
+    * mass (there is nowhere for the teleport to land), not an error. */
   def personalizedPageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
       damping: Double = 0.85, subBuckets: Int = 16,
       checkpointEvery: Int = 0): DataFrame = {
-    val nSeed = nodes.filter(col("seed")).count()
-    require(nSeed > 0, "personalizedPageRank: empty seed set")
-    val sD = nSeed.toDouble
+    val base = nodes.select(col("id").cast("long").as("id"), col("seed"))
+    val inv = broadcast(base.agg(
+      (lit(1.0) / sum(when(col("seed"), 1L).otherwise(0L))).as("__is")))
     prIterate(
-      nodes.select(col("id").cast("long").as("id"),
-        when(col("seed"), lit(1.0) / lit(sD)).otherwise(lit(0.0)).as("__t")),
+      base.crossJoin(inv).select(col("id"),
+        when(col("seed"), col("__is")).otherwise(lit(0.0)).as("__t")),
       edges, iters, damping, subBuckets, checkpointEvery)
   }
 
@@ -225,6 +275,9 @@ object GraphAnalytics {
     val base = nodes.select(col("id").cast("long").as("id"), col("seed"))
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("double").as("w"))
+    // per-(dst, label) fan-in ≤ in-degree ≤ N ⇒ the node-count sizing
+    // bounds both fold levels at ~sqrt(N) (see [[subBucketsFor]])
+    val bDf = subBucketsFor(base, subBuckets)
     var lbl = base.select(col("id"), col("seed").as("lbl"))
     val rankW = Window.partitionBy("dst").orderBy(desc("__s"), asc("__vl"))
     for (t <- 1 to iters) {
@@ -232,14 +285,15 @@ object GraphAnalytics {
         .join(lbl.select(col("id").as("src"), col("lbl").as("__vl")), "src")
         .filter(col("__vl").isNotNull)
       // the two-level slice-major fold, keyed by the composite
-      // (dst, label) — same published order as [[orderedSumByKey]]
+      // (dst, label) — same published order as [[orderedSumByKeySized]]
       val sums = votes
+        .crossJoin(broadcast(bDf))
         .groupBy(col("dst"), col("__vl"),
-          pmod(col("src"), lit(subBuckets.toLong)).as("__b"))
+          pmod(col("src"), col("__b")).as("__bk"))
         .agg(expr("aggregate(sort_array(collect_list(struct(src, w))), " +
           "CAST(0 AS DOUBLE), (acc, e) -> acc + e.w)").as("__s1"))
         .groupBy("dst", "__vl")
-        .agg(expr("aggregate(sort_array(collect_list(struct(__b, __s1))), " +
+        .agg(expr("aggregate(sort_array(collect_list(struct(__bk, __s1))), " +
           "CAST(0 AS DOUBLE), (acc, e) -> acc + e.__s1)").as("__s"))
       val cand = sums
         .withColumn("__rn", row_number().over(rankW)).filter(col("__rn") === 1)
@@ -342,11 +396,15 @@ object GraphAnalytics {
 
   /** The expansion face: the 20 NON-seed documents closest to the
     * trusted set by PPR mass — "given this curated sample, which docs
-    * should join the training slice next". */
+    * should join the training slice next". Selection is by raw pr (both
+    * sides), but the SERVED row order re-sorts by the rounded column —
+    * the oracle's outer ORDER BY key — so two raw-distinct, round-equal
+    * ppr values cannot order-diverge under the hash check. */
   def pprExpandQ(s: SparkSession, d: String): DataFrame =
     pprRanks(s, d).filter(!col("is_seed"))
       .orderBy(desc("pr"), asc("id")).limit(20)
       .select(col("id").as("vec_id"), round(col("pr"), 9).as("ppr"))
+      .orderBy(desc("ppr"), asc("vec_id"))
 
   /** PageRank over the PRODUCTION graph — the NN-Descent refined edge
     * set read from the at-rest graph index ([[Retrieval.graphIdxDir]]:
@@ -473,21 +531,34 @@ object GraphAnalytics {
     * row keep their seed verdict (no edges reach them): the honest
     * semantics when the embedded slice lags the corpus. Returns
     * (id, lbl, seed, __mfx). */
+  private val qualityNodesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The checkpointed NB seed table, built once per (JVM, sfDir) and
+    * shared by BOTH quality-prop bindings (verdict + meter) — the NB
+    * train+score pipeline runs once, not per binding. The NB lineage
+    * (tokenize → score join → margin agg) is referenced by every vote
+    * round plus the final margin join, so it is cut here with a
+    * checkpoint (ids + a long per doc; the prIterate doc explains why a
+    * checkpoint beats caching for expensive loop inputs) — a LAZY one
+    * (`eager = false`): plan/view construction runs no job, the first
+    * action materializes, every later action reuses the stored RDD. */
+  private def qualityNodes(s: SparkSession, d: String): DataFrame =
+    qualityNodesCache.computeIfAbsent(d, _ => {
+      val docs = Tables.documents(s, d)
+      val (llr, scalars) = Classify.nbModel(
+        docs.filter(Classify.isTrain(col("doc_id"))),
+        col("text"), col("lang") === "en")
+      val scored = Classify.nbScoreRaw(docs, col("doc_id"), col("text"),
+        llr, scalars)
+      scored.select(col("doc_id").as("id"),
+        when(abs(col("__mfx")) >= QualitySeedMfx,
+          when(col("__mfx") > 0L, 1).otherwise(0)).as("seed"),
+        col("__mfx")).localCheckpoint(eager = false)
+    })
+
   private def qualityPropLabels(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val (llr, scalars) = Classify.nbModel(
-      docs.filter(Classify.isTrain(col("doc_id"))),
-      col("text"), col("lang") === "en")
-    val scored = Classify.nbScoreRaw(docs, col("doc_id"), col("text"),
-      llr, scalars)
-    // the NB lineage (tokenize → score join → margin agg) is referenced
-    // by every vote round plus the final margin join — cut it once here
-    // (ids + a long per doc; the prIterate doc explains why a checkpoint
-    // beats caching for expensive loop inputs)
-    val nodes = scored.select(col("doc_id").as("id"),
-      when(abs(col("__mfx")) >= QualitySeedMfx,
-        when(col("__mfx") > 0L, 1).otherwise(0)).as("seed"),
-      col("__mfx")).localCheckpoint()
+    val nodes = qualityNodes(s, d)
     val e = knnEdges(s, d)
     val und = e.unionByName(
       e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
@@ -562,22 +633,23 @@ object GraphAnalytics {
 
   /** One unrolled [[prIterate]] round: dangling fold, contribution
     * folds (the SAME two-level slice-major order as
-    * [[orderedSumByKey]]), then the generalized teleport update
+    * [[orderedSumByKeySized]], bucket count from the shared `prb`
+    * sizing CTE), then the generalized teleport update
     * pr' = (1-d)·t + d·(dm·t + s) against `tvec (id, tp)`. `p` =
     * previous rank CTE name, `i` = round index. */
-  private def prRoundSql(i: Int, p: String, b: Int = 16): String =
+  private def prRoundSql(i: Int, p: String): String =
     s"""dgl$i AS (SELECT r.id, r.pr FROM $p r LEFT JOIN od ON od.src = r.id
          WHERE od.src IS NULL),
-       dmb$i AS (SELECT id % $b AS bk,
-           list_reduce(list(pr ORDER BY id), (acc, x) -> acc + x) AS s
-         FROM dgl$i GROUP BY id % $b),
+       dmb$i AS (SELECT r.id % prb.b AS bk,
+           list_reduce(list(r.pr ORDER BY r.id), (acc, x) -> acc + x) AS s
+         FROM dgl$i r CROSS JOIN prb GROUP BY r.id % prb.b),
        dm$i AS (SELECT coalesce((SELECT list_reduce(list(s ORDER BY bk),
            (acc, x) -> acc + x) FROM dmb$i), CAST(0 AS DOUBLE)) AS dm),
        ct$i AS (SELECT e.dst, e.src, r.pr / od.odeg AS c
          FROM gedges e JOIN od ON od.src = e.src JOIN $p r ON r.id = e.src),
-       sb$i AS (SELECT dst, src % $b AS bk,
-           list_reduce(list(c ORDER BY src), (acc, x) -> acc + x) AS s
-         FROM ct$i GROUP BY dst, src % $b),
+       sb$i AS (SELECT ct.dst, ct.src % prb.b AS bk,
+           list_reduce(list(ct.c ORDER BY ct.src), (acc, x) -> acc + x) AS s
+         FROM ct$i ct CROSS JOIN prb GROUP BY ct.dst, ct.src % prb.b),
        ss$i AS (SELECT dst, list_reduce(list(s ORDER BY bk),
            (acc, x) -> acc + x) AS s
          FROM sb$i GROUP BY dst),
@@ -588,12 +660,16 @@ object GraphAnalytics {
          LEFT JOIN ss$i ON ss$i.dst = t.id)"""
 
   /** The full unrolled loop given a `tvec (id, tp)` CTE body and an
-    * edge pyramid ending in `gedges (src, dst)`. */
+    * edge pyramid ending in `gedges (src, dst)`. `prb` replays
+    * [[subBucketsFor]]'s node-count sizing (same greatest/ceil/sqrt
+    * integers → same b → same slice-major fold order as Spark). */
   private def prLoopSql(tvecCte: String, edges: String = edgeCtes): String = {
     val rounds = (1 to Iters).map(i => prRoundSql(i, if (i == 1) "r0" else s"r${i - 1}"))
       .mkString(",\n")
     s"""WITH $edges,
        $tvecCte,
+       prb AS (SELECT greatest(16, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)))
+           AS BIGINT)) AS b FROM tvec),
        od AS (SELECT src, count(*) AS odeg FROM gedges GROUP BY src),
        r0 AS (SELECT id, tp AS pr FROM tvec),
        $rounds"""
@@ -663,12 +739,14 @@ object GraphAnalytics {
 
   /** One unrolled WEIGHTED label-prop round: per-(node, label) vote
     * mass through the same two-level slice-major fold as the PR
-    * contributions, argmax by (mass desc, label asc). */
-  private def wlpRoundSql(i: Int, p: String, b: Int = 16): String =
-    s"""wv$i AS (SELECT u.dst, l.lbl AS vl, u.src % $b AS bk,
+    * contributions (bucket count from the `wprb` node-count sizing
+    * CTE), argmax by (mass desc, label asc). */
+  private def wlpRoundSql(i: Int, p: String): String =
+    s"""wv$i AS (SELECT u.dst, l.lbl AS vl, u.src % wprb.b AS bk,
          list_reduce(list(u.w ORDER BY u.src), (acc, x) -> acc + x) AS s1
-       FROM undw u JOIN $p l ON l.id = u.src WHERE l.lbl IS NOT NULL
-       GROUP BY u.dst, l.lbl, u.src % $b),
+       FROM undw u JOIN $p l ON l.id = u.src CROSS JOIN wprb
+       WHERE l.lbl IS NOT NULL
+       GROUP BY u.dst, l.lbl, u.src % wprb.b),
        ws$i AS (SELECT dst, vl, list_reduce(list(s1 ORDER BY bk),
            (acc, x) -> acc + x) AS s
          FROM wv$i GROUP BY dst, vl),
@@ -687,6 +765,8 @@ object GraphAnalytics {
        nodes_t AS (SELECT vec_id AS id,
            CASE WHEN vec_id % $SeedMod = 0 THEN label END AS seed
          FROM embeddings),
+       wprb AS (SELECT greatest(16, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)))
+           AS BIGINT)) AS b FROM nodes_t),
        l0 AS (SELECT id, seed AS lbl FROM nodes_t),
        $rounds"""
   }

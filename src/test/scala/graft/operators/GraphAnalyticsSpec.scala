@@ -84,6 +84,69 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(s1 === s16)
   }
 
+  test("orderedSumByKeySized: in-plan b reproduces the literal fold bit-for-bit") {
+    val df = (0L until 97L).map(i => (i % 3, i, 1.0 / (1L << (i % 40))))
+      .toDF("k", "o", "x")
+    val lit7 = GraphAnalytics.orderedSumByKey(df, "k", "o", "x", subBuckets = 7)
+      .as[(Long, Double)].collect().toMap
+    val sized = GraphAnalytics.orderedSumByKeySized(df, "k", "o", "x",
+        spark.range(1).select(lit(7L).as("__b")))
+      .as[(Long, Double)].collect().toMap
+    assert(lit7 === sized)
+  }
+
+  test("subBucketsFor: b = max(floor, ceil(sqrt(N))), derived with zero driver jobs at plan time") {
+    assert(GraphAnalytics.subBucketsFor((0L until 500L).toDF("id"))
+      .as[Long].head() === 23L) // ceil(sqrt(500)) = 23 > 16
+    assert(GraphAnalytics.subBucketsFor((0L until 100L).toDF("id"))
+      .as[Long].head() === 16L) // floor wins below 256 nodes
+    assert(GraphAnalytics.subBucketsFor((0L until 100L).toDF("id"), floor = 2)
+      .as[Long].head() === 10L)
+  }
+
+  test("mega-hub: a 100k-in-degree dst folds through ~sqrt(N) slices and matches the published order exactly") {
+    // star: leaves 1..n-1 → hub 0; hub dangling. The per-(key, bucket)
+    // collect is bounded by ceil((n-1)/b) ≈ 317 instead of the old
+    // (n-1)/16 = 6250 — and the VALUE must equal the slice-major fold
+    // replayed in plain Scala (same b, same order), not just "a sum".
+    val n = 100001L
+    val nodes = spark.range(n).toDF("id")
+    val edges = spark.range(1L, n).select($"id".as("src"), lit(0L).as("dst"))
+    val b = GraphAnalytics.subBucketsFor(nodes).as[Long].head()
+    assert(b === 317L) // ceil(sqrt(100001))
+    val pr = GraphAnalytics.pageRank(nodes, edges, iters = 1)
+      .as[(Long, Double)].collect().toMap
+    // replay round 1 exactly: dm folds {0 -> 1/n} (single value); the
+    // hub's contribution sum folds (n-1) copies of 1/n in the two-level
+    // slice-major order with the SAME derived b
+    val t = 1.0 / n
+    val sliceSums = (1L until n).groupBy(_ % b).toSeq.sortBy(_._1)
+      .map { case (_, ids) => ids.sorted.foldLeft(0.0)((a, _) => a + t) }
+    val hubSum = sliceSums.foldLeft(0.0)(_ + _)
+    val hubExp = (1 - D) * t + D * (t * t + hubSum)
+    val leafExp = (1 - D) * t + D * (t * t + 0.0)
+    assert(pr(0L) === hubExp) // bit-exact, not approximate
+    assert(pr(1L) === leafExp && pr(n - 1) === leafExp)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+  }
+
+  test("prIterate conserves mass even when edges point outside the node set (dst semi-join)") {
+    // ADVICE r15: an edge to a non-node used to count in od yet deliver
+    // nowhere → sum(pr) < 1 silently. Now it is removed up front and a
+    // node whose WHOLE out-list pointed outside becomes honestly dangling.
+    val nodes = Seq(0L, 1L).toDF("id")
+    val leaky = Seq((0L, 1L), (0L, 99L), (1L, 98L)).toDF("src", "dst")
+    val pr = GraphAnalytics.pageRank(nodes, leaky, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(pr.keySet === Set(0L, 1L))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-12, s"mass ${pr.values.sum}")
+    // node 1's only edge left the graph → it is dangling, and the graph
+    // must equal the explicitly-cleaned spelling bit-for-bit
+    val clean = GraphAnalytics.pageRank(nodes, Seq((0L, 1L)).toDF("src", "dst"),
+      iters = 3).as[(Long, Double)].collect().toMap
+    assert(pr === clean)
+  }
+
   test("personalizedPageRank: mass stays in the seed component; conserved; dangling returns to seeds") {
     // two components: {0,1} (0 seeded, 1 dangling) and {2,3} (unseeded cycle)
     val nodes = Seq((0L, true), (1L, false), (2L, false), (3L, false))
