@@ -34,23 +34,19 @@ object SparkEntry {
 
   /** Register every named query as a temp view over `sfDir`, alongside the
     * base tables — the complete engine surface from pure SQL:
-    * `spark.sql("SELECT * FROM knn_whole")`. Views are lazy — nothing runs
-    * until queried — except the few bindings that materialize an index or
-    * an Observation during CONSTRUCTION (`knn_ivfpq*` builds/caches the
-    * at-rest index, `pipeline_curate_counters` runs the observed job to
-    * read its accumulators, `graph_pagerank_refined`/`graph_pagerank_del`
-    * build/copy the per-JVM graph layout, `graph_quality_prop*` cut the
-    * NB lineage with an eager localCheckpoint). */
+    * `spark.sql("SELECT * FROM knn_whole")`. Every view is DEFERRED
+    * ([[graft.plans.DeferredView]]): registration is a pure catalog
+    * insert — no plan construction, no Spark job, sub-second for the
+    * whole ~220-view surface (RegistrationSpec pins both) — and each
+    * binding's construction (codebook collects, at-rest index builds,
+    * Observations, checkpoints) runs at the FIRST query that resolves
+    * the view, where a failure surfaces to the caller instead of a
+    * stderr line and a silently missing view. Re-registering refreshes
+    * every binding. */
   def registerQueryViews(spark: SparkSession, sfDir: String): Unit = {
     Tables.registerTables(spark, sfDir)
-    // per-view isolation: one binding failing to CONSTRUCT (e.g. an
-    // eager index build hitting an unwritable scratch dir) must not
-    // abort registration of the other ~125 views
     queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).createOrReplaceTempView(name)
-      catch { case e: Exception =>
-        System.err.println(s"[graft] view '$name' not registered: ${e.getMessage}")
-      }
+      graft.plans.DeferredView.register(spark, name)(fn(spark, sfDir))
     }
   }
 }

@@ -54,9 +54,24 @@ object Tables {
     }
   }
 
+  /** Plan-level memo: (sfDir, table) → the resolved scan DataFrame.
+    * `spark.read.parquet` is NOT free — every call re-runs parquet
+    * schema inference (a footer-reading Spark job) and re-lists files,
+    * and the query bindings construct table scans hundreds of times per
+    * session. The tables are immutable testdata/lake paths, so the
+    * resolved relation is reused: inference runs once per (JVM, sfDir,
+    * table) and later constructions — including the whole deferred-view
+    * registration — are job-free. (Relation reuse across queries is
+    * safe: LogicalRelation is a MultiInstanceRelation, the same pattern
+    * [[cacheCorpus]] already relies on.) */
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val hit = corpusCache.get((sfDir, name))
-    if (hit != null) hit else spark.read.parquet(s"$sfDir/$name.parquet")
+    if (hit != null) hit
+    else planCache.computeIfAbsent((sfDir, name),
+      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

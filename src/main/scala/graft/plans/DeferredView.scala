@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Statistics}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+
+/** Deferred named-query views — the lazy-relation machinery behind
+  * [[graft.SparkEntry.registerQueryViews]].
+  *
+  * Registering ~220 query views used to CONSTRUCT every binding's
+  * DataFrame eagerly, and construction is where this engine does its
+  * driver-side work: codebooks collect, at-rest indexes build, beam
+  * searches walk, Observations run. On a cold scratch dir that was
+  * minutes of Spark jobs before the first query — and a failed build
+  * degraded to a stderr line and a silently missing view.
+  *
+  * A [[DeferredViewNode]] instead stores the construction as a thunk
+  * inside a leaf [[LogicalPlan]] whose `output` resolves lazily:
+  * registration is a pure catalog insert (no analysis, no jobs,
+  * sub-second for the whole surface), the first query that references
+  * the view triggers the build (so failures surface exactly where the
+  * user is looking), and every later reference reuses the memoized
+  * DataFrame — the per-(JVM, sfDir) index caches keep the heavy lifting
+  * build-once exactly as before.
+  *
+  * The trade: a deferred view is an optimization BARRIER (a filter on
+  * top of `SELECT * FROM knn_whole` no longer pushes into the
+  * underlying scan). Every named query is a final, ranked, small result
+  * relation — the barrier costs nothing there, and callers who want
+  * composable plans call the library functions directly, which is what
+  * Bench/Verify/Serving do.
+  */
+object DeferredView {
+
+  /** The memoized construction: one instance per registered view, shared
+    * by every copy/transform of the node, so the thunk runs at most once
+    * per registration no matter how many queries reference the view. */
+  final class Body(name: String, mk: () => DataFrame) {
+    lazy val df: DataFrame = mk()
+    lazy val attrs: Seq[Attribute] = df.schema.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable, f.metadata)())
+    override def toString: String = s"DeferredView.Body($name)"
+  }
+
+  /** Register `thunk` as temp view `name`, construction deferred to the
+    * first query that resolves the view. */
+  def register(s: SparkSession, name: String)(thunk: => DataFrame): Unit = {
+    install(s)
+    GraftSqlShim.registerTempView(s, name,
+      DeferredViewNode(name, new Body(name, () => thunk)))
+  }
+
+  /** Idempotently add the planning strategy to the session. */
+  def install(s: SparkSession): Unit = synchronized {
+    val ex = GraftSqlShim.experimental(s)
+    if (!ex.extraStrategies.contains(DeferredViewStrategy))
+      ex.extraStrategies = ex.extraStrategies :+ DeferredViewStrategy
+  }
+}
+
+/** Leaf plan whose schema AND data come from a lazily-built DataFrame.
+  * `attrOverride` carries remapped expression ids for self-join
+  * deduplication ([[MultiInstanceRelation]]). */
+case class DeferredViewNode(name: String, body: DeferredView.Body,
+    attrOverride: Option[Seq[Attribute]] = None)
+    extends LeafNode with MultiInstanceRelation {
+
+  override def output: Seq[Attribute] = attrOverride.getOrElse(body.attrs)
+
+  override def newInstance(): LogicalPlan =
+    copy(attrOverride =
+      Some(output.map(_.newInstance().asInstanceOf[Attribute])))
+
+  /** Deliberately large: the node is opaque until built, so it must
+    * never be auto-broadcast on a guessed size. */
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = BigInt(Long.MaxValue) / 4)
+
+  override def simpleString(maxFields: Int): String = s"DeferredView $name"
+}
+
+/** `body` is @transient: a whole-stage-codegen parent serializes its
+  * entire subtree into the task closure, and the body (a DataFrame +
+  * session) is driver-only state — executors never touch it (doExecute
+  * runs on the driver and hands over the inner plan's RDD). */
+case class DeferredViewExec(output: Seq[Attribute], name: String,
+    @transient body: DeferredView.Body) extends LeafExecNode {
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val got = body.df.schema
+    require(got.length == output.length && got.zip(output).forall {
+        case (f, a) => f.name == a.name && f.dataType == a.dataType },
+      s"deferred view '$name': built schema ${got.simpleString} does not " +
+        s"match resolved output ${output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", ")}")
+    GraftSqlShim.toRdd(body.df)
+  }
+
+  override def simpleString(maxFields: Int): String = s"DeferredViewExec $name"
+}
+
+object DeferredViewStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: DeferredViewNode =>
+      DeferredViewExec(n.output, n.name, n.body) :: Nil
+    case _ => Nil
+  }
+}
