@@ -484,6 +484,47 @@ object GraphAnalytics {
       .orderBy("vec_id")
   }
 
+  /** Label propagation over a (possibly tombstoned) at-rest graph
+    * layout: live nodes only, and NEITHER direction of a deleted node's
+    * edges conducts a vote — the takedown semantics the propagation
+    * family owes (a recalled document must not keep labeling its
+    * neighbors through votes it cast before the takedown). `nodes` =
+    * (id, seed) PRE-takedown; deleted ids are dropped here through the
+    * same [[graft.sources.Tombstones]] store every index family serves. */
+  def labelPropOverLayout(s: SparkSession, nodes: DataFrame, idxDir: String,
+      iters: Int): DataFrame = {
+    import graft.sources.Tombstones
+    val live = Tombstones.dropDeleted(nodes, col("id"), idxDir)
+    val e0 = Tombstones.dropDeleted(
+      Tombstones.dropDeleted(
+        s.read.parquet(s"$idxDir/edges")
+          .select(col("__vid").as("src"), col("nbr_id").as("dst")),
+        col("src"), idxDir),
+      col("dst"), idxDir)
+    val und = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    labelPropagation(live, und, iters)
+  }
+
+  /** Takedown-aware semi-supervised labeling — [[labelPropQ]]'s
+    * semantics over the TOMBSTONED production layout
+    * ([[Retrieval.graphDelIdxDir]], the same store `graph_pagerank_del`
+    * refreshes from): recalled docs leave the node set AND their past
+    * votes stop conducting, so a dependent whose only label source was
+    * a deleted seed honestly reverts to null (or flips to the surviving
+    * majority — GraphAnalyticsSpec pins the flip on a synthetic layout).
+    * The oracle replays the refined pyramid minus the ids, then the
+    * same unrolled vote rounds. */
+  def labelPropDelQ(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+      when(col("vec_id") % SeedMod === 0, col("label")).as("seed"))
+    labelPropOverLayout(s, nodes,
+        s"${Retrieval.graphDelIdxDir(s, d)}/idx", Iters)
+      .select(col("id").as("vec_id"), col("lbl").as("label"),
+        (col("id") % SeedMod === 0).as("is_seed"))
+      .orderBy("vec_id")
+  }
+
   /** Global triangle census of the kNN graph's undirected closure:
     * unordered edge pairs, wedge count Σ C(deg, 2), triangle count via
     * the (a<b<c) ordered two-join (each triangle counted exactly once,
@@ -601,6 +642,7 @@ object GraphAnalytics {
     "graph_ppr_expand" -> pprExpandQ,
     "graph_label_prop" -> labelPropQ,
     "graph_label_prop_w" -> labelPropWQ,
+    "graph_label_prop_del" -> labelPropDelQ,
     "graph_label_prop_acc" -> labelPropAccQ,
     "graph_quality_prop" -> qualityPropQ,
     "graph_quality_prop_acc" -> qualityPropAccQ,
@@ -707,10 +749,11 @@ object GraphAnalytics {
          FROM embeddings CROSS JOIN ns)""")
 
   /** One unrolled label-prop round: labeled-neighbor votes, (count
-    * desc, label asc) argmax, clamped update. */
+    * desc, label asc) argmax, clamped update. (`lund`, not `und` — the
+    * refined-graph pyramid already owns that CTE name.) */
   private def lpRoundSql(i: Int, p: String): String =
     s"""v$i AS (SELECT u.dst, l.lbl AS vl, count(*) AS c
-         FROM und u JOIN $p l ON l.id = u.src WHERE l.lbl IS NOT NULL
+         FROM lund u JOIN $p l ON l.id = u.src WHERE l.lbl IS NOT NULL
          GROUP BY u.dst, l.lbl),
        c$i AS (SELECT dst AS id, vl FROM (
            SELECT dst, vl, row_number() OVER (PARTITION BY dst
@@ -725,7 +768,7 @@ object GraphAnalytics {
     val rounds = (1 to Iters).map(i => lpRoundSql(i, if (i == 1) "l0" else s"l${i - 1}"))
       .mkString(",\n")
     s"""$edges,
-       und AS (SELECT src, dst FROM gedges
+       lund AS (SELECT src, dst FROM gedges
          UNION SELECT dst, src FROM gedges),
        $nodesCte,
        l0 AS (SELECT id, seed AS lbl FROM nodes_t),
@@ -812,6 +855,16 @@ object GraphAnalytics {
          FROM l$Iters ORDER BY vec_id""",
     "graph_label_prop_w" ->
       s"""WITH $weightedLabelPropCtes
+         SELECT id AS vec_id, lbl AS label, (id % $SeedMod = 0) AS is_seed
+         FROM l$Iters ORDER BY vec_id""",
+    // takedown replay: the refined pyramid MINUS the recalled ids (both
+    // endpoints), live nodes only, then the same unrolled vote rounds —
+    // a deleted seed's past votes must not conduct
+    "graph_label_prop_del" ->
+      s"""WITH ${lpLoopSql(
+        s"""nodes_t AS (SELECT vec_id AS id,
+             CASE WHEN vec_id % $SeedMod = 0 THEN label END AS seed
+           FROM embeddings WHERE vec_id NOT IN $delIdsSql)""", delEdgeCtes)}
          SELECT id AS vec_id, lbl AS label, (id % $SeedMod = 0) AS is_seed
          FROM l$Iters ORDER BY vec_id""",
     "graph_density" ->

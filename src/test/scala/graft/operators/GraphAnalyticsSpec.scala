@@ -319,6 +319,51 @@ class GraphAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("takedown label propagation: a deleted seed's past votes stop conducting (dependents flip)") {
+    import graft.operators.Search
+    val dir = java.nio.file.Files.createTempDirectory("graft_lp_del").toString
+    try {
+      // path 0-1-2-3-4; seeds: 0 -> label 1, 4 -> label 2. With both
+      // seeds, node 2 ties at round 2 and takes min label 1; with seed 0
+      // tombstoned, its votes must not conduct: node 2 FLIPS to 2 and
+      // node 1 (whose only label source was the recalled seed) reverts
+      // to null.
+      val nodes = (0L to 4L).map(i => (i, Array(i.toDouble, 1.0)))
+      val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      Search.writeGraphIndex(nodes.toDF("vec_id", "embedding"),
+        $"vec_id", $"embedding", edges.toDF("__vid", "nbr_id"),
+        s"$dir/idx", entriesN = 2, buckets = 2)
+      val seeded = Seq((0L, Some(1)), (1L, None), (2L, None), (3L, None),
+        (4L, Some(2))).toDF("id", "seed")
+      def run() = GraphAnalytics.labelPropOverLayout(spark, seeded,
+        s"$dir/idx", iters = 2).as[(Long, Option[Int])].collect().toMap
+      assert(run() === Map(0L -> Some(1), 1L -> Some(1), 2L -> Some(1),
+        3L -> Some(2), 4L -> Some(2)))
+      Search.deleteFromGraphIndex(Seq(0L).toDF("vec_id"), $"vec_id", s"$dir/idx")
+      assert(run() === Map(1L -> None, 2L -> Some(2), 3L -> Some(2),
+        4L -> Some(2)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("graph_label_prop_del query: recalled ids leave the labeling; seeds among survivors hold") {
+    val d = "/root/testdata/sf0.001"
+    val rows = GraphAnalytics.labelPropDelQ(spark, d)
+      .as[(Long, Option[Int], Boolean)].collect()
+    val ids = rows.map(_._1).toSet
+    Retrieval.GraphDeletedIds.foreach(i =>
+      assert(!ids.contains(i), s"recalled $i still labeled"))
+    val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+    assert(rows.length.toLong === n - Retrieval.GraphDeletedIds.size)
+    rows.filter(_._3).foreach { case (id, l, _) =>
+      assert(l.isDefined, s"surviving seed $id lost its label") }
+  }
+
   test("quality propagation: clamped confident seeds, consistent meter, no unlabeled seed") {
     val d = "/root/testdata/sf0.001"
     val rows = GraphAnalytics.qualityPropQ(spark, d)
