@@ -155,7 +155,15 @@ object ScaleBench {
     // quality_nb arm's ~linear shape) feeding clamped seeds into 3
     // integer vote rounds over the k ∝ N blocked graph; every loop
     // stage is |E| = 3N-bounded, so time must track rows.
-    "graph_quality_scaled")
+    "graph_quality_scaled",
+    // round 16: the triangle census under a PLANTED MEGA-HUB — the
+    // Σdeg² candidate bound of clusteringOf is exactly what degree skew
+    // stresses, and the hub's wedge pairs all route through ONE middle-
+    // vertex join key. The hub degree is held at ~2k (the full 1× node
+    // set) at BOTH scales, so its one-key candidate mass (~2M pairs) is
+    // scale-constant and the ratio isolates the k ∝ N kNN part: time
+    // must track rows.
+    "graph_clustering_scaled")
 
   /** Scratch dirs created by scale-only bindings whose output DataFrame
     * reads them lazily — reclaimed at JVM exit. */
@@ -263,6 +271,24 @@ object ScaleBench {
           .localCheckpoint()
         GraphAnalytics.pageRank(e.select(col("vec_id").as("id")), edges,
           iters = 3)
+      }),
+      "graph_clustering_scaled" -> ((s, d) => {
+        import graft.operators.{GraphAnalytics, Search}
+        val e = Tables.embeddings(s, d)
+        val k = math.max(10, (e.count() / 50L).toInt)
+        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
+        val knn = Search.knnGraph(e, col("vec_id"), col("embedding"),
+            cents, k = 3)
+          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+        // planted mega-hub: node 0 linked to ids 1..1999 (rep-0 slice —
+        // present and identical at both scales, no sort needed), so one
+        // vertex carries degree ~2000 against the kNN graph's 3: the
+        // hub's C(2000,2) wedge candidates all hit one join key at both
+        // scales, and the ratio isolates the linear kNN census
+        val hub = e.select(col("vec_id"))
+          .filter(col("vec_id") > 0 && col("vec_id") < 2000)
+          .select(lit(0L).as("src"), col("vec_id").as("dst"))
+        GraphAnalytics.clusteringOf(knn.unionByName(hub))
       }),
       "graph_quality_scaled" -> ((s, d) => {
         import graft.operators.{Classify, GraphAnalytics, Search}
