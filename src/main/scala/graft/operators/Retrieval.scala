@@ -266,6 +266,8 @@ object Retrieval {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val graphDelCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val graphAppendCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
@@ -276,6 +278,7 @@ object Retrieval {
       ivfDelCache.values.forEach { dir => rm(new java.io.File(dir)) }
       graphCache.values.forEach { dir => rm(new java.io.File(dir)) }
       graphDelCache.values.forEach { dir => rm(new java.io.File(dir)) }
+      graphAppendCache.values.forEach { dir => rm(new java.io.File(dir)) }
     }))
   }
 
@@ -500,10 +503,19 @@ object Retrieval {
     * NN-Descent round, keep-3) — shared by [[knnGraphRefinedQ]] (which
     * checks its construction) and [[knnGraphSearchQ]] (which SERVES
     * queries from it). */
-  private def refinedGraphEdges(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+  private def refinedGraphEdges(s: SparkSession, d: String): DataFrame =
+    refinedEdgesOf(Tables.embeddings(s, d))
+
+  /** [[refinedGraphEdges]] over an arbitrary embedding slice — the
+    * incremental arm ([[knnGraphAppend]]) builds its BASE layout from
+    * the all-but-increment slice, centroids included (a lake's codebook
+    * is trained on what the lake held at build time). */
+  private def refinedEdgesOf(emb: DataFrame): DataFrame = {
+    val cents = emb.groupBy("label")
+      .agg(vectorMeanDouble(col("embedding")).as("c"))
+      .select(col("label").as("cid"), col("c"))
     val seed = Search.knnGraph(emb, col("vec_id"), col("embedding"),
-        labelCentroids(s, d).select(col("label").as("cid"), col("c")), k = 3)
+        cents, k = 3)
       .select(col("__vid"), col("nbr_id"))
       .unionByName(Search.hashRingEdges(emb, col("vec_id"), r = 2))
     Search.nnDescend(emb, col("vec_id"), col("embedding"), seed,
@@ -643,6 +655,51 @@ object Retrieval {
         col("vec_id"), s"$tmp/idx")
       tmp
     })
+
+  /** The increment for the graph-maintenance arm: two vec_ids present
+    * at every sf (ids are dense from 0), disjoint from
+    * [[GraphDeletedIds]], carved OUT of the base build and re-inserted
+    * through [[Search.appendToGraphIndex]]. */
+  val GraphAppendIds: Seq[Long] = Seq(11L, 42L)
+
+  /** Base layout from the all-but-increment slice (refined pyramid,
+    * centroids, ring and entry set all derived from that slice), then
+    * the increment inserted row by row in ascending-id order —
+    * beam-searched links, forward + reverse edges, FROZEN entry ring —
+    * built once per JVM × sfDir. The add half of the graph family's
+    * add-vs-train split, as an at-rest artifact queries can serve
+    * from. */
+  private def graphAppendIdxDir(s: SparkSession, d: String): String =
+    graphAppendCache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_graph_app").toString
+      val base = Tables.embeddings(s, d)
+        .filter(!col("vec_id").isin(GraphAppendIds: _*))
+      Search.writeGraphIndex(base, col("vec_id"), col("embedding"),
+        refinedEdgesOf(base).select("__vid", "nbr_id"), s"$tmp/idx",
+        entriesN = 64, buckets = 32)
+      Search.appendToGraphIndex(
+        Tables.embeddings(s, d)
+          .filter(col("vec_id").isin(GraphAppendIds: _*))
+          .select(col("vec_id"), col("embedding")),
+        col("vec_id"), col("embedding"), s"$tmp/idx",
+        linkK = 3, beam = 8, hops = 3, buckets = 32)
+      tmp
+    })
+
+  /** Graph ANN served from the INCREMENTALLY MAINTAINED layout — the
+    * 100 TB answer to "a batch of new vectors arrived": no NN-Descent
+    * rebuild, each new row pays one bounded beam search plus three
+    * bucket appends, and the serve path is byte-for-byte the
+    * [[knnGraphIdx]] one. Fully oracle-checked: DuckDB replays the
+    * base-slice pyramid, EACH insert's beam walk over the evolving edge
+    * state (earlier inserts linkable, HNSW-style), the forward+reverse
+    * link appends, and the final query walk — so the maintenance math
+    * itself is hash-checked, not just spec-asserted. */
+  def knnGraphAppend(s: SparkSession, d: String): DataFrame =
+    Search.graphSearchIndexed(s, s"${graphAppendIdxDir(s, d)}/idx", q0(s, d),
+        k = 10, beam = 32, hops = 3, buckets = 32)
+      .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
 
   /** Edge-recall meter for the kNN-graph family — the [[annRecall]] idea
     * at graph granularity: directed top-3 edge recall of each
@@ -1213,6 +1270,7 @@ object Retrieval {
     "knn_graph_search" -> knnGraphSearchQ,
     "knn_graph_idx" -> knnGraphIdx,
     "knn_graph_del" -> knnGraphDel,
+    "knn_graph_append" -> knnGraphAppend,
     "knn_graph_filtered" -> knnGraphFiltered,
     "knn_graph_recall" -> knnGraphRecallQ,
     "mine_hard_negatives" -> mineHardNegativesQ,
@@ -1270,11 +1328,13 @@ object Retrieval {
     "qw AS (SELECT wv AS qwv FROM iv WHERE image_id = 0)"
   // shared with GraphAnalytics' oracle replays (its edge set is this
   // module's cluster-blocked kNN graph)
-  private[operators] val centSql =
-    """cent AS (SELECT label, list(v ORDER BY i) AS c FROM (
+  private def centSqlFrom(tbl: String): String =
+    s"""cent AS (SELECT label, list(v ORDER BY i) AS c FROM (
        SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS v
-       FROM embeddings, range(1, 65) t(i) GROUP BY label, i)
+       FROM $tbl, range(1, 65) t(i) GROUP BY label, i)
        GROUP BY label)"""
+
+  private[operators] val centSql = centSqlFrom("embeddings")
 
   /** The [[refinedGraphEdges]] pyramid as shared CTEs ending in
     * `gref (vec_id, nbr_id, cos, rank<=3)` and `vv (vec_id, v)` — every
@@ -1282,15 +1342,17 @@ object Retrieval {
     * replays: assignment (as knn_graph), ring (md5 order + modular
     * successor), round-0 keep-k, undirected closure, NoN self-join,
     * final rank window. Consumed by `knn_graph_refined` (construction
-    * check) and `knn_graph_search` (serving check). */
-  private[operators] lazy val refinedGraphCtes: String =
-    s"""$centSql,
+    * check), `knn_graph_search` (serving check), and — over the base
+    * SLICE via the `tbl` parameter — `knn_graph_append` (incremental
+    * maintenance check). */
+  private[operators] def refinedGraphCtesFrom(tbl: String): String =
+    s"""${centSqlFrom(tbl)},
        assign AS (SELECT vec_id, v, cluster FROM (
          SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
            CAST(c.label AS BIGINT) AS cluster,
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.label) AS rn
-         FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         FROM $tbl e CROSS JOIN cent c) WHERE rn = 1),
        bp AS (SELECT a.vec_id, b.vec_id AS nbr_id,
            list_cosine_similarity(a.v, b.v) AS cos
          FROM assign a JOIN assign b
@@ -1299,7 +1361,7 @@ object Retrieval {
            SELECT vec_id, nbr_id,
              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rn
            FROM bp) WHERE rn <= 3),
-       hh AS (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings),
+       hh AS (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM $tbl),
        hb AS (SELECT vec_id, h,
            (CAST(strpos('0123456789abcdef', substr(h, 1, 1)) AS BIGINT) - 1) % 16 AS bkt
          FROM hh),
@@ -1313,7 +1375,7 @@ object Retrieval {
          JOIN ix y ON y.bkt = x.bkt AND y.i = ((x.i - 1 + js.j) % bn.n) + 1
          WHERE js.j <= bn.n - 1 AND x.vec_id <> y.vec_id),
        seed AS (SELECT * FROM seedb UNION SELECT * FROM ring),
-       vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $tbl),
        g0 AS (SELECT vec_id, nbr_id, cos FROM (
            SELECT s.vec_id, s.nbr_id,
              list_cosine_similarity(va.v, vb.v) AS cos,
@@ -1336,6 +1398,9 @@ object Retrieval {
            FROM allp p JOIN vv va ON p.vec_id = va.vec_id
              JOIN vv vb ON p.nbr_id = vb.vec_id)
          WHERE rank <= 3)"""
+
+  private[operators] lazy val refinedGraphCtes: String =
+    refinedGraphCtesFrom("embeddings")
 
   /** [[Search.graphSearch]]'s unrolled beam loop as a CTE pyramid over
     * `gref`/`vv`/`q`: `v{h}` = visited-and-scored after hop h, `b{h}` =
@@ -1370,6 +1435,75 @@ object Retrieval {
        fin AS (SELECT * FROM v$hops $finalWhere)
        SELECT vec_id, round(score, 6) AS score
        FROM (SELECT * FROM fin ORDER BY score DESC, vec_id LIMIT $k)
+       ORDER BY round(score, 6) DESC, vec_id"""
+  }
+
+  /** One unrolled beam search over ARBITRARY CTE names — the building
+    * block the append replay stacks (one walk per insert over the
+    * evolving edge state, then the final query walk). `edges` must be a
+    * `(src, dst)` CTE, `ent` an id CTE, `q` a `(qv)` CTE; vectors come
+    * from the whole-table `vva`; emitted CTEs are `$p`-prefixed, the
+    * visited set after the last hop is `${p}v$hops`. */
+  private def beamOver(p: String, edges: String, ent: String, q: String,
+      beam: Int, hops: Int): String = {
+    // every visited set is MATERIALIZED: v{h} is referenced three times
+    // by hop h+1 (carry-over union, beam window, NOT-IN guard), so an
+    // inlined 3-hop walk — let alone three STACKED walks — expands
+    // exponentially and DuckDB re-opens the base parquet per inlined
+    // scan (observed as "Too many open files" at sf0.01)
+    val hopCtes = (1 to hops).map { h =>
+      s"""${p}b${h - 1} AS (SELECT vec_id FROM (SELECT vec_id,
+           row_number() OVER (ORDER BY score DESC, vec_id) AS rn
+           FROM ${p}v${h - 1}) WHERE rn <= $beam),
+         ${p}f$h AS (SELECT DISTINCT g.dst AS vec_id
+           FROM ${p}b${h - 1} b JOIN $edges g ON g.src = b.vec_id
+           WHERE g.dst NOT IN (SELECT vec_id FROM ${p}v${h - 1})),
+         ${p}v$h AS MATERIALIZED (SELECT * FROM ${p}v${h - 1} UNION ALL
+           SELECT f.vec_id, list_cosine_similarity(vva.v, q.qv) AS score
+           FROM ${p}f$h f JOIN vva ON vva.vec_id = f.vec_id CROSS JOIN $q q)"""
+    }.mkString(",\n       ")
+    s"""${p}v0 AS MATERIALIZED (SELECT e.vec_id,
+           list_cosine_similarity(vva.v, q.qv) AS score
+         FROM $ent e JOIN vva ON vva.vec_id = e.vec_id CROSS JOIN $q q),
+       $hopCtes"""
+  }
+
+  /** `knn_graph_append` end to end in SQL: the refined pyramid over the
+    * BASE slice (`emb_b` — codebook, ring and entry set all slice-
+    * derived, as the build was), then each increment row's insert walk
+    * in ascending-id order over the edge state the previous inserts
+    * left (`ae0` → `ae1` → …, forward + reverse links appended, earlier
+    * inserts linkable), then the serve-config walk of the query over
+    * the final state. Every stage of the MAINTENANCE math — not just
+    * the served top-10 — feeds the hash check. */
+  private lazy val knnGraphAppendSql: String = {
+    val ids = GraphAppendIds.sorted
+    val appendIn = GraphAppendIds.mkString("(", ", ", ")")
+    val inserts = ids.zipWithIndex.map { case (id, i) =>
+      val n = i + 1
+      s"""iq$n AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           WHERE vec_id = $id),
+         ${beamOver(s"i$n", s"ae$i", "aent", s"iq$n", beam = 8, hops = 3)},
+         an$n AS MATERIALIZED (SELECT vec_id FROM (SELECT vec_id,
+             row_number() OVER (ORDER BY score DESC, vec_id) AS rn
+             FROM i${n}v3) WHERE rn <= 3),
+         ae$n AS MATERIALIZED (SELECT * FROM ae$i
+           UNION ALL SELECT CAST($id AS BIGINT) AS src, vec_id AS dst FROM an$n
+           UNION ALL SELECT vec_id, CAST($id AS BIGINT) FROM an$n)"""
+    }.mkString(",\n       ")
+    s"""WITH emb_b AS MATERIALIZED (SELECT * FROM embeddings
+         WHERE vec_id NOT IN $appendIn),
+       ${refinedGraphCtesFrom("emb_b")},
+       vva AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       aent AS MATERIALIZED (SELECT vec_id FROM (SELECT vec_id,
+           md5(CAST(vec_id AS VARCHAR)) AS h FROM emb_b ORDER BY h LIMIT 64)),
+       ae0 AS MATERIALIZED (SELECT vec_id AS src, nbr_id AS dst FROM gref),
+       $inserts,
+       $q0Sql,
+       ${beamOver("s", s"ae${ids.length}", "aent", "q", beam = 32, hops = 3)}
+       SELECT vec_id, round(score, 6) AS score
+       FROM (SELECT * FROM sv3 ORDER BY score DESC, vec_id LIMIT 10)
        ORDER BY round(score, 6) DESC, vec_id"""
   }
 
@@ -1699,6 +1833,9 @@ object Retrieval {
     "knn_graph_filtered" -> graphSearchSql(entriesN = 64, beam = 32,
       hops = 3, k = 10, finalWhere =
         s"WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE label = $IvfFilterLabel)"),
+    // incremental maintenance: base-slice pyramid + per-insert beam
+    // walks over the evolving edge state + the final serve walk
+    "knn_graph_append" -> knnGraphAppendSql,
     // hard negatives: blocked same-cluster join + label-differs + argmax
     "mine_hard_negatives" ->
       s"""WITH $centSql,

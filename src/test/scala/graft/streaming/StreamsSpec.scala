@@ -1287,6 +1287,49 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("graphIngest ≡ batch appendToGraphIndex: same increment, identical layout and serving") {
+    import graft.operators.Search
+    // the add-vs-train split's parity contract: a micro-batch STREAMED
+    // into the layout must land exactly what the batch append lands —
+    // same nodes, same forward+reverse edge multiset, same served page
+    val root = java.nio.file.Files.createTempDirectory("graft_graph_par").toString
+    def ang(deg: Double) = Array(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val base = (0 until 8).map(i => (i.toLong, ang(30 + i * 15)))
+    val ring = (0 until 8).flatMap(i =>
+      Seq((i.toLong, ((i + 1) % 8).toLong), (i.toLong, ((i + 7) % 8).toLong)))
+    Seq("s", "b").foreach { leg =>
+      Search.writeGraphIndex(base.toDF("vec_id", "embedding"),
+        $"vec_id", $"embedding", ring.toDF("__vid", "nbr_id"),
+        s"$root/$leg/idx", entriesN = 4, buckets = 4)
+    }
+    val inc = Seq((100L, ang(2)), (101L, ang(-2)))
+    val input = MemoryStream[(Long, Array[Double])]
+    val q = Streams.graphIngest(input.toDF().toDF("vec_id", "embedding"),
+      $"vec_id", $"embedding", s"$root/s/idx", s"$root/ckpt",
+      linkK = 2, beam = 4, hops = 4, buckets = 4)
+    try {
+      input.addData(inc); q.processAllAvailable()
+    } finally q.stop()
+    Search.appendToGraphIndex(inc.toDF("vec_id", "embedding"),
+      $"vec_id", $"embedding", s"$root/b/idx",
+      linkK = 2, beam = 4, hops = 4, buckets = 4)
+    def nodes(leg: String) = spark.read.parquet(s"$root/$leg/idx/nodes")
+      .select("id").as[Long].collect().sorted.toSeq
+    def edges(leg: String) = spark.read.parquet(s"$root/$leg/idx/edges")
+      .select("__vid", "nbr_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(nodes("s") === nodes("b"))
+    assert(edges("s") === edges("b"))
+    val query = Seq(Tuple1(ang(0))).toDF("qv")
+    def serve(leg: String) = Search.graphSearchIndexed(spark, s"$root/$leg/idx",
+      query, k = 4, beam = 4, hops = 4, buckets = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(serve("s") === serve("b")) // bit-identical scores and order
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(root))
+  }
+
   test("takedownIngest: one deletion stream fans out to multiple index families; replay harmless") {
     import graft.operators.Search
     val dir = java.nio.file.Files.createTempDirectory("graft_takedown").toString
