@@ -458,6 +458,23 @@ object GraphAnalytics {
       .orderBy("vec_id")
   }
 
+  /** Centrality refresh over the INCREMENTALLY MAINTAINED layout
+    * ([[Retrieval.graphAppendDir]] — base built from the
+    * all-but-increment slice, two rows inserted via beam-searched
+    * forward+reverse links): the appended nodes enter the ranking and
+    * mass renormalizes over the grown set WITHOUT any NN-Descent
+    * rebuild — the companion of `graph_pagerank_refined` for the add
+    * half of the add-vs-train split. The oracle replays the whole
+    * append construction (base pyramid + per-insert walks) and then the
+    * same unrolled power iterations over the appended edge state. */
+  def pageRankAppendQ(s: SparkSession, d: String): DataFrame =
+    pageRank(Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        s.read.parquet(s"${Retrieval.graphAppendDir(s, d)}/idx/edges")
+          .select(col("__vid").as("src"), col("nbr_id").as("dst")),
+        iters = Iters)
+      .select(col("id").as("vec_id"), round(col("pr"), 9).as("pr"))
+      .orderBy("vec_id")
+
   /** Takedown-aware centrality refresh — [[pageRankRefinedQ]] over the
     * TOMBSTONED at-rest layout ([[Retrieval.GraphDeletedIds]]
     * recalled): deleted docs leave the node set, neither direction of
@@ -638,6 +655,7 @@ object GraphAnalytics {
     "graph_pagerank" -> pageRankQ,
     "graph_pagerank_refined" -> pageRankRefinedQ,
     "graph_pagerank_del" -> pageRankDelQ,
+    "graph_pagerank_append" -> pageRankAppendQ,
     "graph_ppr" -> pprQ,
     "graph_ppr_expand" -> pprExpandQ,
     "graph_label_prop" -> labelPropQ,
@@ -824,6 +842,17 @@ object GraphAnalytics {
         """nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
        tvec AS (SELECT vec_id AS id, CAST(1 AS DOUBLE) / nn.n AS tp
          FROM embeddings CROSS JOIN nn)""", refinedEdgeCtes)}
+       SELECT id AS vec_id, round(pr, 9) AS pr FROM r$Iters ORDER BY vec_id""",
+    // incremental maintenance: the append construction replay (base
+    // pyramid + per-insert beam walks), then the SAME unrolled loop
+    // over the appended edge state — new nodes ranked, no rebuild
+    "graph_pagerank_append" ->
+      s"""${prLoopSql(
+        """nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+       tvec AS (SELECT vec_id AS id, CAST(1 AS DOUBLE) / nn.n AS tp
+         FROM embeddings CROSS JOIN nn)""",
+        s"""${Retrieval.appendedEdgeCtes},
+       gedges AS (SELECT src, dst FROM ${Retrieval.appendedEdgesFinal})""")}
        SELECT id AS vec_id, round(pr, 9) AS pr FROM r$Iters ORDER BY vec_id""",
     // takedown replay: the same pyramid + loop over the LIVE slice only
     "graph_pagerank_del" ->

@@ -1468,15 +1468,18 @@ object Retrieval {
        $hopCtes"""
   }
 
-  /** `knn_graph_append` end to end in SQL: the refined pyramid over the
-    * BASE slice (`emb_b` — codebook, ring and entry set all slice-
-    * derived, as the build was), then each increment row's insert walk
-    * in ascending-id order over the edge state the previous inserts
-    * left (`ae0` → `ae1` → …, forward + reverse links appended, earlier
-    * inserts linkable), then the serve-config walk of the query over
-    * the final state. Every stage of the MAINTENANCE math — not just
-    * the served top-10 — feeds the hash check. */
-  private lazy val knnGraphAppendSql: String = {
+  /** The appended layout's construction replay, as a shared CTE
+    * prelude: the refined pyramid over the BASE slice (`emb_b` —
+    * codebook, ring and entry set all slice-derived, as the build was),
+    * then each increment row's insert walk in ascending-id order over
+    * the edge state the previous inserts left (`ae0` → `ae1` → …,
+    * forward + reverse links appended, earlier inserts linkable). Ends
+    * in [[appendedEdgesFinal]] `(src, dst)` — the layout's full edge
+    * state — plus `aent` (the frozen base entry ring) and `vva` (all
+    * vectors). Consumed by `knn_graph_append` (the serve walk) and
+    * GraphAnalytics' `graph_pagerank_append` (centrality refresh over
+    * the same state). */
+  private[operators] lazy val appendedEdgeCtes: String = {
     val ids = GraphAppendIds.sorted
     val appendIn = GraphAppendIds.mkString("(", ", ", ")")
     val inserts = ids.zipWithIndex.map { case (id, i) =>
@@ -1491,7 +1494,7 @@ object Retrieval {
            UNION ALL SELECT CAST($id AS BIGINT) AS src, vec_id AS dst FROM an$n
            UNION ALL SELECT vec_id, CAST($id AS BIGINT) FROM an$n)"""
     }.mkString(",\n       ")
-    s"""WITH emb_b AS MATERIALIZED (SELECT * FROM embeddings
+    s"""emb_b AS MATERIALIZED (SELECT * FROM embeddings
          WHERE vec_id NOT IN $appendIn),
        ${refinedGraphCtesFrom("emb_b")},
        vva AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -1499,13 +1502,28 @@ object Retrieval {
        aent AS MATERIALIZED (SELECT vec_id FROM (SELECT vec_id,
            md5(CAST(vec_id AS VARCHAR)) AS h FROM emb_b ORDER BY h LIMIT 64)),
        ae0 AS MATERIALIZED (SELECT vec_id AS src, nbr_id AS dst FROM gref),
-       $inserts,
+       $inserts"""
+  }
+
+  /** Name of [[appendedEdgeCtes]]'s final edge-state CTE. */
+  private[operators] def appendedEdgesFinal: String = s"ae${GraphAppendIds.length}"
+
+  /** The appended layout directory, shared with GraphAnalytics'
+    * centrality refresh over the same state. */
+  private[operators] def graphAppendDir(s: SparkSession, d: String): String =
+    graphAppendIdxDir(s, d)
+
+  /** `knn_graph_append` end to end in SQL: [[appendedEdgeCtes]], then
+    * the serve-config walk of the query over the final state. Every
+    * stage of the MAINTENANCE math — not just the served top-10 — feeds
+    * the hash check. */
+  private lazy val knnGraphAppendSql: String =
+    s"""WITH $appendedEdgeCtes,
        $q0Sql,
-       ${beamOver("s", s"ae${ids.length}", "aent", "q", beam = 32, hops = 3)}
+       ${beamOver("s", appendedEdgesFinal, "aent", "q", beam = 32, hops = 3)}
        SELECT vec_id, round(score, 6) AS score
        FROM (SELECT * FROM sv3 ORDER BY score DESC, vec_id LIMIT 10)
        ORDER BY round(score, 6) DESC, vec_id"""
-  }
 
   private def bruteTop10SqlWhere(where: String): String =
     s"""WITH $q0Sql,

@@ -364,6 +364,18 @@ class GraphAnalyticsSpec extends SparkSpec {
       assert(l.isDefined, s"surviving seed $id lost its label") }
   }
 
+  test("appended-layout centrality: increment ids enter the ranking without a rebuild; mass stays 1") {
+    val d = "/root/testdata/sf0.001"
+    val pr = GraphAnalytics.pageRankAppendQ(spark, d)
+      .as[(Long, Double)].collect()
+    val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+    assert(pr.length.toLong === n) // base slice + the appended increment
+    val byId = pr.toMap
+    Retrieval.GraphAppendIds.foreach { i =>
+      assert(byId.contains(i) && byId(i) > 0.0, s"appended $i unranked") }
+    assert(math.abs(pr.map(_._2).sum - 1.0) < 1e-6)
+  }
+
   test("quality propagation: clamped confident seeds, consistent meter, no unlabeled seed") {
     val d = "/root/testdata/sf0.001"
     val rows = GraphAnalytics.qualityPropQ(spark, d)
