@@ -163,7 +163,15 @@ object ScaleBench {
     // set) at BOTH scales, so its one-key candidate mass (~2M pairs) is
     // scale-constant and the ratio isolates the k ∝ N kNN part: time
     // must track rows.
-    "graph_clustering_scaled")
+    "graph_clustering_scaled",
+    // round 16b: the propagation loop under a hub whose IN-DEGREE GROWS
+    // WITH N (half the corpus votes into one node) — the contribution
+    // fold's worst case, and the direct 10x evidence for the derived
+    // b = ceil(sqrt(N)) sizing: the hub key folds through ~sqrt(N)-row
+    // slices at both scales where the old fixed-16 split would put N/32
+    // rows in one collect_list. |E| = 3N + N/2 stays linear, so time
+    // must track rows.
+    "graph_pagerank_hub_scaled")
 
   /** Scratch dirs created by scale-only bindings whose output DataFrame
     * reads them lazily — reclaimed at JVM exit. */
@@ -289,6 +297,19 @@ object ScaleBench {
           .filter(col("vec_id") > 0 && col("vec_id") < 2000)
           .select(lit(0L).as("src"), col("vec_id").as("dst"))
         GraphAnalytics.clusteringOf(knn.unionByName(hub))
+      }),
+      "graph_pagerank_hub_scaled" -> ((s, d) => {
+        import graft.operators.{GraphAnalytics, Search}
+        val e = Tables.embeddings(s, d)
+        val k = math.max(10, (e.count() / 50L).toInt)
+        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
+        val knn = Search.knnGraph(e, col("vec_id"), col("embedding"),
+            cents, k = 3)
+          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+        val hub = e.select(col("vec_id")).filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("src"), lit(0L).as("dst"))
+        GraphAnalytics.pageRank(e.select(col("vec_id").as("id")),
+          knn.unionByName(hub).localCheckpoint(), iters = 3)
       }),
       "graph_quality_scaled" -> ((s, d) => {
         import graft.operators.{Classify, GraphAnalytics, Search}

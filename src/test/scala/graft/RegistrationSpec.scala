@@ -51,6 +51,10 @@ class RegistrationSpec extends SparkSpec {
       assert(spark.sql("SELECT * FROM agg_value_counts").count() > 0)
       Thread.sleep(1000)
       assert(jobs.get() > 0, "listener sanity: the first query should run jobs")
+      // and a view whose construction BUILDS an at-rest index (the
+      // heavy case the deferral exists for) builds it at this first
+      // scan on the cold dir and serves
+      assert(spark.sql("SELECT * FROM knn_ivf_idx").count() === 10)
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       SparkEntry.registerQueryViews(spark, "/root/testdata/sf0.001")
