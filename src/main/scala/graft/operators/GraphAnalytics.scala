@@ -134,7 +134,8 @@ object GraphAnalytics {
     * measured 1.8× faster than the in-plan blocked build), and
     * localCheckpoint is the in-JVM equivalent. */
   private def prIterate(tvec: DataFrame, edges: DataFrame, iters: Int,
-      damping: Double, subBuckets: Int, checkpointEvery: Int): DataFrame = {
+      damping: Double, subBuckets: Int, checkpointEvery: Int,
+      weighted: Boolean = false): DataFrame = {
     require(iters >= 1, s"pageRank: iters >= 1, got $iters")
     // Conservation contract for ANY input: an edge whose dst falls
     // outside the node set would count in its src's out-degree yet
@@ -142,20 +143,29 @@ object GraphAnalytics {
     // dst semi-join removes it up front, turning a node whose whole
     // out-list pointed outside into an honest dangling node. Edges with
     // an outside SRC carry no mass to lose (they drop at the pr join).
-    val e = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
+    val cols = Seq(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")) ++
+      (if (weighted) Seq(col("w").cast("double").as("w")) else Nil)
+    val e = edges.select(cols: _*)
       .join(tvec.select(col("id").as("dst")), Seq("dst"), "left_semi")
-    // outdegree + the dangling id set are loop-invariant: derive once.
-    val od = e.groupBy("src").agg(count(lit(1)).as("__od"))
-    val dangling = tvec.select("id")
-      .join(od.select(col("src").as("id")), Seq("id"), "left_anti")
-    // Hub-safe fold sizing, shared by the dangling fold (fan-in ≤ N)
-    // and the per-dst contribution fold (fan-in = in-degree ≤ N):
+    // Hub-safe fold sizing, shared by the dangling fold (fan-in ≤ N),
+    // the per-dst contribution fold (fan-in = in-degree ≤ N) and the
+    // weighted out-mass fold (fan-in = out-degree ≤ N):
     // b = max(subBuckets, ceil(sqrt(N))) as an in-plan broadcast scalar
     // — loop-invariant, no driver job, bounds every collect_list task
     // at ~sqrt(N) structs. `subBuckets` is now the FLOOR of that
     // derivation, not the fixed count.
     val bDf = subBucketsFor(tvec, subBuckets)
+    // out-mass normalizer, loop-invariant: edge COUNT unweighted (the
+    // double cast is bit-neutral — Spark's divide casts the long
+    // operand anyway), ordered per-src weight fold when weighted.
+    val od =
+      if (weighted)
+        orderedSumByKeySized(e, "src", "dst", "w", bDf)
+          .select(col("src"), col("sum").as("__od"))
+      else e.groupBy("src").agg(count(lit(1)).cast("double").as("__od"))
+    val dangling = tvec.select("id")
+      .join(od.select(col("src").as("id")), Seq("id"), "left_anti")
     var pr = tvec.select(col("id"), col("__t").as("pr"))
     for (t <- 1 to iters) {
       // Σ pr over dangling nodes → one broadcastable row. groupBy().agg
@@ -170,7 +180,9 @@ object GraphAnalytics {
           "CAST(0 AS DOUBLE), (acc, e) -> acc + e.__s1)").as("__dm"))
       val contribs = e.join(od, "src")
         .join(pr.select(col("id").as("src"), col("pr").as("__p")), "src")
-        .select(col("dst"), col("src"), (col("__p") / col("__od")).as("__c"))
+        .select(col("dst"), col("src"),
+          (if (weighted) col("__p") * col("w") / col("__od")
+           else col("__p") / col("__od")).as("__c"))
       val sums = orderedSumByKeySized(contribs, "dst", "src", "__c", bDf)
       pr = tvec
         .join(sums.select(col("dst").as("id"), col("sum").as("__s")), Seq("id"), "left")
@@ -199,6 +211,24 @@ object GraphAnalytics {
     val inv = broadcast(ids.agg((lit(1.0) / count(lit(1))).as("__t")))
     prIterate(ids.crossJoin(inv), edges, iters, damping, subBuckets,
       checkpointEvery)
+  }
+
+  /** [[pageRank]] with out-mass split ∝ EDGE WEIGHT instead of
+    * uniformly across out-edges — pr'(v) gains Σ_{u→v} pr(u)·w(u,v)/W(u)
+    * with W(u) = Σ_out w, so mass flows preferentially along TRUSTED
+    * edges (the [[weightedLabelPropagation]] relationship, for
+    * centrality). W folds through the same hub-safe slice-major order
+    * as every float sum here; `edges` = (src, dst, w) with w > 0 the
+    * caller's contract (an all-zero out-weight divides to NaN —
+    * calibrate first, e.g. (cos+1)/2). With equal weights this is
+    * BIT-IDENTICAL to [[pageRank]] (the spec pins it). */
+  def weightedPageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
+      damping: Double = 0.85, subBuckets: Int = 16,
+      checkpointEvery: Int = 0): DataFrame = {
+    val ids = nodes.select(col("id").cast("long").as("id"))
+    val inv = broadcast(ids.agg((lit(1.0) / count(lit(1))).as("__t")))
+    prIterate(ids.crossJoin(inv), edges, iters, damping, subBuckets,
+      checkpointEvery, weighted = true)
   }
 
   /** Personalized PageRank ([[prIterate]] with teleport mass uniform
@@ -458,6 +488,20 @@ object GraphAnalytics {
       .orderBy("vec_id")
   }
 
+  /** Cosine-weighted centrality — [[pageRankQ]]'s weighted twin (the
+    * `graph_label_prop` / `graph_label_prop_w` relationship, for
+    * PageRank): out-mass splits ∝ the calibrated edge weight
+    * (cos+1)/2 ∈ (0, 1], so a near-duplicate neighbor conducts more
+    * rank than a marginal one. Same graph, rounds and damping as
+    * [[pageRankQ]], so the two relations diff directly. */
+  def pageRankWQ(s: SparkSession, d: String): DataFrame =
+    weightedPageRank(Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        knnEdgesCos(s, d).select(col("src"), col("dst"),
+          ((col("cos") + lit(1.0)) / lit(2.0)).as("w")),
+        iters = Iters)
+      .select(col("id").as("vec_id"), round(col("pr"), 9).as("pr"))
+      .orderBy("vec_id")
+
   /** Centrality refresh over the INCREMENTALLY MAINTAINED layout
     * ([[Retrieval.graphAppendDir]] — base built from the
     * all-but-increment slice, two rows inserted via beam-searched
@@ -653,6 +697,7 @@ object GraphAnalytics {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pageRankQ,
+    "graph_pagerank_w" -> pageRankWQ,
     "graph_pagerank_refined" -> pageRankRefinedQ,
     "graph_pagerank_del" -> pageRankDelQ,
     "graph_pagerank_append" -> pageRankAppendQ,
@@ -671,9 +716,8 @@ object GraphAnalytics {
   // ------------------------------ oracles ------------------------- //
 
   /** `knn_graph`'s own oracle pyramid (assignment → blocked pairs →
-    * keep-3) renamed into an edge list `ge3 (src, dst, cos)` /
-    * `gedges (src, dst)`. */
-  private lazy val edgeCtes: String =
+    * keep-3) renamed into an edge list `ge3 (src, dst, cos)`. */
+  private lazy val edgeCtesBase: String =
     s"""${Retrieval.centSql},
        gassign AS (SELECT vec_id, v, cluster FROM (
          SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
@@ -688,8 +732,17 @@ object GraphAnalytics {
        ge3 AS (SELECT vec_id AS src, nbr_id AS dst, cos FROM (
            SELECT vec_id, nbr_id, cos,
              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rn
-           FROM gpairs) WHERE rn <= 3),
+           FROM gpairs) WHERE rn <= 3)"""
+
+  private lazy val edgeCtes: String =
+    s"""$edgeCtesBase,
        gedges AS (SELECT src, dst FROM ge3)"""
+
+  /** The same edge list with the calibrated (cos+1)/2 weight — both
+    * terms exact in double, so Spark and DuckDB agree on w bit-for-bit. */
+  private lazy val wEdgeCtes: String =
+    s"""$edgeCtesBase,
+       gedges AS (SELECT src, dst, (cos + 1) / 2 AS w FROM ge3)"""
 
   /** One unrolled [[prIterate]] round: dangling fold, contribution
     * folds (the SAME two-level slice-major order as
@@ -697,7 +750,9 @@ object GraphAnalytics {
     * sizing CTE), then the generalized teleport update
     * pr' = (1-d)·t + d·(dm·t + s) against `tvec (id, tp)`. `p` =
     * previous rank CTE name, `i` = round index. */
-  private def prRoundSql(i: Int, p: String): String =
+  private def prRoundSql(i: Int, p: String,
+      weighted: Boolean = false): String = {
+    val contrib = if (weighted) "r.pr * e.w / od.odeg" else "r.pr / od.odeg"
     s"""dgl$i AS (SELECT r.id, r.pr FROM $p r LEFT JOIN od ON od.src = r.id
          WHERE od.src IS NULL),
        dmb$i AS (SELECT r.id % prb.b AS bk,
@@ -705,7 +760,7 @@ object GraphAnalytics {
          FROM dgl$i r CROSS JOIN prb GROUP BY r.id % prb.b),
        dm$i AS (SELECT coalesce((SELECT list_reduce(list(s ORDER BY bk),
            (acc, x) -> acc + x) FROM dmb$i), CAST(0 AS DOUBLE)) AS dm),
-       ct$i AS (SELECT e.dst, e.src, r.pr / od.odeg AS c
+       ct$i AS (SELECT e.dst, e.src, $contrib AS c
          FROM gedges e JOIN od ON od.src = e.src JOIN $p r ON r.id = e.src),
        sb$i AS (SELECT ct.dst, ct.src % prb.b AS bk,
            list_reduce(list(ct.c ORDER BY ct.src), (acc, x) -> acc + x) AS s
@@ -718,19 +773,32 @@ object GraphAnalytics {
              (dm$i.dm * t.tp + coalesce(ss$i.s, CAST(0 AS DOUBLE))) AS pr
          FROM tvec t CROSS JOIN dm$i
          LEFT JOIN ss$i ON ss$i.dst = t.id)"""
+  }
 
   /** The full unrolled loop given a `tvec (id, tp)` CTE body and an
-    * edge pyramid ending in `gedges (src, dst)`. `prb` replays
+    * edge pyramid ending in `gedges (src, dst[, w])`. `prb` replays
     * [[subBucketsFor]]'s node-count sizing (same greatest/ceil/sqrt
-    * integers → same b → same slice-major fold order as Spark). */
-  private def prLoopSql(tvecCte: String, edges: String = edgeCtes): String = {
-    val rounds = (1 to Iters).map(i => prRoundSql(i, if (i == 1) "r0" else s"r${i - 1}"))
+    * integers → same b → same slice-major fold order as Spark);
+    * weighted loops replace the out-degree COUNT with the same
+    * slice-major per-src weight fold the Spark side runs. */
+  private def prLoopSql(tvecCte: String, edges: String = edgeCtes,
+      weighted: Boolean = false): String = {
+    val rounds = (1 to Iters).map(i =>
+        prRoundSql(i, if (i == 1) "r0" else s"r${i - 1}", weighted))
       .mkString(",\n")
+    val odCte =
+      if (weighted)
+        s"""odb AS (SELECT e.src, e.dst % prb.b AS bk,
+           list_reduce(list(e.w ORDER BY e.dst), (acc, x) -> acc + x) AS s
+         FROM gedges e CROSS JOIN prb GROUP BY e.src, e.dst % prb.b),
+       od AS (SELECT src, list_reduce(list(s ORDER BY bk),
+           (acc, x) -> acc + x) AS odeg FROM odb GROUP BY src)"""
+      else "od AS (SELECT src, count(*) AS odeg FROM gedges GROUP BY src)"
     s"""WITH $edges,
        $tvecCte,
        prb AS (SELECT greatest(16, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)))
            AS BIGINT)) AS b FROM tvec),
-       od AS (SELECT src, count(*) AS odeg FROM gedges GROUP BY src),
+       $odCte,
        r0 AS (SELECT id, tp AS pr FROM tvec),
        $rounds"""
   }
@@ -834,6 +902,15 @@ object GraphAnalytics {
 
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql,
+    // weighted replay: the same pyramid with the calibrated weight
+    // column, the out-degree COUNT replaced by the per-src weight fold,
+    // and pr·w/W contributions — everything else identical
+    "graph_pagerank_w" ->
+      s"""${prLoopSql(
+        """nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+       tvec AS (SELECT vec_id AS id, CAST(1 AS DOUBLE) / nn.n AS tp
+         FROM embeddings CROSS JOIN nn)""", wEdgeCtes, weighted = true)}
+       SELECT id AS vec_id, round(pr, 9) AS pr FROM r$Iters ORDER BY vec_id""",
     // the refined-graph pyramid replays (as knn_graph_refined), then the
     // SAME unrolled loop over its edge list — the at-rest read is
     // bit-identical to the in-plan derivation (IvfLayoutSpec)

@@ -147,6 +147,35 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(pr === clean)
   }
 
+  test("weightedPageRank: equal weights are BIT-identical to plain pageRank") {
+    val nodes = (0L to 9L).toDF("id")
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 4L),
+      (4L, 5L), (5L, 3L), (6L, 8L), (7L, 9L)).toDF("src", "dst")
+    val plain = GraphAnalytics.pageRank(nodes, edges, iters = 4)
+      .as[(Long, Double)].collect().toMap
+    val w1 = GraphAnalytics.weightedPageRank(nodes,
+        edges.withColumn("w", lit(1.0)), iters = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(plain === w1) // exact: the 1.0-weight fold sums to the count
+  }
+
+  test("weightedPageRank: mass splits in weight proportion and is conserved") {
+    // 0 -> 1 (w .75), 0 -> 2 (w .25); 1 and 2 dangling. Round 1 from
+    // uniform: dm = pr(1)+pr(2) = 2/3 (fold order: id 1 then 2);
+    // W(0) = .75+.25 = 1 exactly.
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    val edges = Seq((0L, 1L, 0.75), (0L, 2L, 0.25)).toDF("src", "dst", "w")
+    val pr = GraphAnalytics.weightedPageRank(nodes, edges, iters = 1)
+      .as[(Long, Double)].collect().toMap
+    val t = 1.0 / 3; val dm = t + t
+    assert(pr(0L) === (1 - D) * t + D * (dm * t + 0.0))
+    assert(pr(1L) === (1 - D) * t + D * (dm * t + t * 0.75 / 1.0))
+    assert(pr(2L) === (1 - D) * t + D * (dm * t + t * 0.25 / 1.0))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-12)
+    // the heavy edge's target outranks the light one's
+    assert(pr(1L) > pr(2L))
+  }
+
   test("personalizedPageRank: mass stays in the seed component; conserved; dangling returns to seeds") {
     // two components: {0,1} (0 seeded, 1 dangling) and {2,3} (unseeded cycle)
     val nodes = Seq((0L, true), (1L, false), (2L, false), (3L, false))
