@@ -130,14 +130,19 @@ object Bench {
     //    joins fall off broadcast onto sort-merge — negative result
     //    recorded on GraphAnalytics.prIterate.
     // r16 freeze methodology (closing the r15 advice): the committed
-    // artifact is the PER-QUERY MEDIAN across three same-day full runs
-    // (totals 216.1 / 205.6 / 230.0s over 222 queries → frozen 206.1s),
+    // artifact is the PER-QUERY MEDIAN across three same-day full runs,
     // not the healthiest single run — one-off per-run spikes
     // (dedup_cross_idx 5.45s in one run vs 1.01/1.46 in the others,
-    // join_interval 1.31 vs 0.49/0.50) no longer bias the baseline.
-    // r16 attribution (219 → 222 queries; +3 graph rows ≈ 7.4s:
-    // graph_label_prop_del ~3.0, graph_pagerank_append ~3.3,
-    // knn_graph_append ~1.6):
+    // join_interval 1.31 vs 0.49/0.50 in the first batch) no longer
+    // bias the baseline. SIX full runs ran on the r16 day: batch A
+    // (216.1/205.6/230.0s over 222 queries, before graph_pagerank_w)
+    // and batch B with the final query set (198.3/199.1/194.3s over
+    // 223 — a ±1.2% spread); the frozen artifact is batch B's
+    // per-query medians, 195.5s, shared-query median ratio 1.00 vs
+    // batch A's medians.
+    // r16 attribution (219 → 223 queries; +4 graph rows ≈ 12.4s:
+    // graph_label_prop_del ~2.7, graph_pagerank_append ~2.9,
+    // knn_graph_append ~1.6, graph_pagerank_w ~5.2):
     //  - the four r15 ENVIRONMENT-flagged rows all came back down on
     //    untouched paths, confirming that attribution: q5_segment_table
     //    0.77→0.57, knn_ivfpq_exact 1.22→0.76, search_bm25_idx
@@ -150,15 +155,15 @@ object Bench {
     //    from Tables.table's plan memo (parquet footer inference no
     //    longer re-runs per construction: evt_json 1.69→0.29,
     //    mm_chunk 0.94→0.14, knn_mrl 0.72→0.14).
-    //  - CODE, deliberate costs: graph_pagerank_refined 2.29→2.78s
-    //    (median; the hub-safe derived-b folds + the conservation
+    //  - CODE, deliberate costs: graph_pagerank_refined 2.29→2.99s
+    //    (final median; the hub-safe derived-b folds + the conservation
     //    dst semi-join add per-round work to a loop whose edges are
     //    otherwise a cheap stored read — the price of the r15-verdict
     //    fold-sizing fix, visible here and diluted to noise in the
     //    build-dominated graph_pagerank row) and graph_ppr/_expand
-    //    ~1.2x for the same reason.
+    //    ~1.1-1.2x for the same reason.
     //  - txt_normalize 0.48→0.82s reads ~1.7x consistently across all
-    //    three runs on code git shows untouched — carried as the one
+    //    six runs on code git shows untouched — carried as the one
     //    unexplained environment row to re-read in r17.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Per-rep GC policy (SPARK_GRAFT_BENCH_GC = all | heavy | off).
