@@ -171,7 +171,16 @@ object ScaleBench {
     // slices at both scales where the old fixed-16 split would put N/32
     // rows in one collect_list. |E| = 3N + N/2 stays linear, so time
     // must track rows.
-    "graph_pagerank_hub_scaled")
+    "graph_pagerank_hub_scaled",
+    // round 16c: connected components over the k ∝ N blocked graph with
+    // the driver union-find fast path DISABLED at both scales (the
+    // dedup_clusters_dist discipline — at these edge counts the served
+    // binding would union-find on the driver, which scales by fiat):
+    // edge build ~linear, then O(log diameter) min-propagation rounds,
+    // each one |E|-keyed aggregate + one label self-join. Component
+    // geometry (per-cluster size, diameter) is scale-constant under the
+    // k ∝ N rule, so the round count is too and time must track rows.
+    "graph_components_scaled")
 
   /** Scratch dirs created by scale-only bindings whose output DataFrame
     * reads them lazily — reclaimed at JVM exit. */
@@ -310,6 +319,18 @@ object ScaleBench {
           .select(col("vec_id").as("src"), lit(0L).as("dst"))
         GraphAnalytics.pageRank(e.select(col("vec_id").as("id")),
           knn.unionByName(hub).localCheckpoint(), iters = 3)
+      }),
+      "graph_components_scaled" -> ((s, d) => {
+        import graft.operators.{GraphAnalytics, Search}
+        val e = Tables.embeddings(s, d)
+        val k = math.max(10, (e.count() / 50L).toInt)
+        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
+        val edges = Search.knnGraph(e, col("vec_id"), col("embedding"),
+            cents, k = 3)
+          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+          .localCheckpoint()
+        GraphAnalytics.connectedComponents(
+          e.select(col("vec_id").as("id")), edges, maxDriverEdges = 0L)
       }),
       "graph_quality_scaled" -> ((s, d) => {
         import graft.operators.{Classify, GraphAnalytics, Search}

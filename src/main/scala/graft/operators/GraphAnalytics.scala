@@ -641,7 +641,8 @@ object GraphAnalytics {
     * and bounded by |E|; min is order-independent integer arithmetic,
     * so no float fold discipline is needed and the result is exact. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20,
+      maxDriverEdges: Long = 2L * 1000 * 1000): DataFrame = {
     val ids = nodes.select(col("id").cast("long").as("id"))
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
@@ -649,7 +650,7 @@ object GraphAnalytics {
       .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
     val cc = Dedup.dupClusters(
       e.select(col("src").as("doc_a"), col("dst").as("doc_b")),
-      maxRounds = maxRounds)
+      maxRounds = maxRounds, maxDriverEdges = maxDriverEdges)
     ids.join(cc.select(col("doc_id").as("id"), col("cluster")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("component"))
@@ -834,6 +835,80 @@ object GraphAnalytics {
     componentsWithSizes(live, edges).orderBy("vec_id")
   }
 
+  /** Components over the INCREMENTALLY MAINTAINED layout
+    * ([[Retrieval.graphAppendDir]] — the store `graph_pagerank_append`
+    * ranks from): the appended nodes join their components through the
+    * beam-searched forward+reverse links written at insert time, with
+    * no NN-Descent rebuild — the structural face of the add half of the
+    * add-vs-train split (`graph_components_del` is the delete half). An
+    * insert whose links all land in one component joins it; links into
+    * two components MERGE them — exactly what reverse edges are for. */
+  def componentsAppendQ(s: SparkSession, d: String): DataFrame =
+    componentsWithSizes(
+        Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        s.read.parquet(s"${Retrieval.graphAppendDir(s, d)}/idx/edges")
+          .select(col("__vid").as("src"), col("nbr_id").as("dst")))
+      .orderBy("vec_id")
+
+  private val HarmonicHops = 3 // the published reach horizon
+
+  /** Bounded-hop harmonic centrality over the undirected closure:
+    * (vec_id, n1, n2, n3, harmonic) with n_h = |{v : dist(u,v) = h}|
+    * and harmonic = Σ_h n_h / h — the truncated form of the
+    * harmonic-centrality signal web-corpus curation filters on
+    * (CommonCrawl publishes per-host harmonic centrality; Boldi &
+    * Vigna 2014 argue it over closeness for disconnected graphs, which
+    * a kNN corpus graph IS — see `graph_components`). Truncation at
+    * [[HarmonicHops]] is the published semantics, not an
+    * approximation of something else: far mass contributes ≤ 1/4 per
+    * node anyway, and the bounded form is exactly replayable.
+    *
+    * Scale: reach sets grow to N · min(k·(k-1)^(h-1)+…, N) rows —
+    * BOUNDED per node by the out-degree cap (k = 3 ⇒ ≤ ~40 members at
+    * h = 3), so the three expansion joins and the distinct are all
+    * ~linear in N at fixed k. (Unbounded-h centrality at web scale
+    * wants the HyperBall register-sketch formulation — out of scope
+    * while every served graph here is degree-capped.) The harmonic sum
+    * is THREE terms in a fixed order (n1 + n2/2 + n3/3, each a single
+    * IEEE-754 op on integer-valued doubles), so no ordered-fold
+    * machinery is needed for bit parity. */
+  def harmonicQ(s: SparkSession, d: String): DataFrame =
+    harmonic3(Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        knnEdges(s, d))
+      .select(col("id").as("vec_id"), col("n1"), col("n2"), col("n3"),
+        col("harmonic"))
+      .orderBy("vec_id")
+
+  /** [[harmonicQ]]'s core over any (id) / (src, dst) pair — the
+    * undirected closure is taken here. Returns (id, n1, n2, n3,
+    * harmonic) for every node (an isolated node reads all-zero). */
+  def harmonic3(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val ids = nodes.select(col("id").cast("long").as("id"))
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    val und = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    // cumulative reach R_h = R_{h-1} ∪ (R_{h-1} ⋈ edges), distinct;
+    // sizes are cumulative counts INCLUDING self (dist 0)
+    var reach = ids.select(col("id"), col("id").as("m"))
+    val sizes = (1 to HarmonicHops).map { h =>
+      reach = reach.unionByName(
+          reach.join(und.select(col("src").as("m"), col("dst")), "m")
+            .select(col("id"), col("dst").as("m")))
+        .distinct()
+      reach.groupBy("id").agg(count(lit(1)).as(s"__s$h"))
+    }
+    sizes.foldLeft(ids)((acc, sz) => acc.join(sz, "id"))
+      .select(col("id"),
+        (col("__s1") - 1L).as("n1"),
+        (col("__s2") - col("__s1")).as("n2"),
+        (col("__s3") - col("__s2")).as("n3"))
+      .withColumn("harmonic", round(
+        col("n1") + col("n2") / lit(2.0) + col("n3") / lit(3.0), 6))
+  }
+
   private val CoreK = 2 // the published core order of graph_kcore
   private val PeelRounds = 4 // fixed peel count (converged at test SFs)
 
@@ -900,7 +975,9 @@ object GraphAnalytics {
     "graph_components" -> componentsQ,
     "graph_components_hist" -> componentsHistQ,
     "graph_components_del" -> componentsDelQ,
+    "graph_components_append" -> componentsAppendQ,
     "graph_kcore" -> kcoreQ,
+    "graph_harmonic" -> harmonicQ,
     "graph_blast_radius" -> blastRadiusQ,
   )
 
@@ -1263,6 +1340,39 @@ object GraphAnalytics {
            delEdgeCtes)}
          SELECT c.vec_id, c.component, s.comp_size
          FROM ccomp c JOIN csz s USING (component)
+         ORDER BY vec_id""",
+    // incremental maintenance: the append construction replay (as
+    // graph_pagerank_append), then the recursive min-reach closure over
+    // the appended edge state — inserted nodes join (or merge)
+    // components through their insert-time links, no rebuild
+    "graph_components_append" ->
+      s"""WITH ${componentsCtes(
+           "SELECT vec_id AS id FROM embeddings",
+           s"""${Retrieval.appendedEdgeCtes},
+       gedges AS (SELECT src, dst FROM ${Retrieval.appendedEdgesFinal})""")}
+         SELECT c.vec_id, c.component, s.comp_size
+         FROM ccomp c JOIN csz s USING (component)
+         ORDER BY vec_id""",
+    // three unrolled cumulative-reach expansions, then the fixed
+    // three-term harmonic sum (bit-parity needs no fold discipline)
+    "graph_harmonic" ->
+      s"""WITH $edgeCtes,
+         hund AS (SELECT src, dst FROM gedges
+           UNION SELECT dst, src FROM gedges),
+         hr0 AS (SELECT vec_id AS id, vec_id AS m FROM embeddings),
+         hr1 AS (SELECT id, m FROM hr0
+           UNION SELECT r.id, e.dst FROM hr0 r JOIN hund e ON e.src = r.m),
+         hr2 AS (SELECT id, m FROM hr1
+           UNION SELECT r.id, e.dst FROM hr1 r JOIN hund e ON e.src = r.m),
+         hr3 AS (SELECT id, m FROM hr2
+           UNION SELECT r.id, e.dst FROM hr2 r JOIN hund e ON e.src = r.m),
+         hs1 AS (SELECT id, count(*) AS s1 FROM hr1 GROUP BY id),
+         hs2 AS (SELECT id, count(*) AS s2 FROM hr2 GROUP BY id),
+         hs3 AS (SELECT id, count(*) AS s3 FROM hr3 GROUP BY id)
+         SELECT id AS vec_id, s1 - 1 AS n1, s2 - s1 AS n2, s3 - s2 AS n3,
+           round((s1 - 1) + (s2 - s1) / 2.0 + (s3 - s2) / 3.0, 6)
+             AS harmonic
+         FROM hs1 JOIN hs2 USING (id) JOIN hs3 USING (id)
          ORDER BY vec_id""",
     "graph_kcore" ->
       s"""WITH $kcoreCtes

@@ -553,6 +553,50 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length === rows.length)
   }
 
+  test("harmonic3: hand-checked path graph distances; isolated node reads zero") {
+    // path 0-1-2-3-4-5 (given directed) plus isolated node 9
+    val nodes = (Seq(9L) ++ (0L to 5L)).toDF("id")
+    val edges = (0L to 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = GraphAnalytics.harmonic3(nodes, edges)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // node 0: d1={1}, d2={2}, d3={3} → 1 + 1/2 + 1/3
+    assert(out(0L) === ((1L, 1L, 1L, 1.833333)))
+    // node 2: d1={1,3}, d2={0,4}, d3={5} → 2 + 1 + 1/3
+    assert(out(2L) === ((2L, 2L, 1L, 3.333333)))
+    // symmetric ends agree; isolated node is all-zero
+    assert(out(5L) === out(0L))
+    assert(out(9L) === ((0L, 0L, 0L, 0.0)))
+    // a hub sees everything at distance 1: star center n1 = N-1
+    val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    val hub = GraphAnalytics.harmonic3((0L to 5L).toDF("id"), star)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(hub(0L) === 5L)
+  }
+
+  test("graph_components_append query: inserted ids join components through their links, no rebuild") {
+    val d = "/root/testdata/sf0.001"
+    val rows = GraphAnalytics.componentsAppendQ(spark, d)
+      .as[(Long, Long, Long)].collect()
+    val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+    assert(rows.length.toLong === n) // base slice + appended increment
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    val e = spark.read.parquet(
+        s"${Retrieval.graphAppendDir(spark, d)}/idx/edges")
+      .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+      .as[(Long, Long)].collect()
+    Retrieval.GraphAppendIds.foreach { i =>
+      // the insert wrote forward links, so an appended id is never a
+      // singleton — and it shares its component with every link target
+      val nbrs = e.collect { case (s0, d0) if s0 == i => d0
+                             case (s0, d0) if d0 == i => s0 }
+      assert(nbrs.nonEmpty, s"appended $i wrote no links")
+      nbrs.foreach(nb => assert(byId(nb) === byId(i),
+        s"appended $i not in its link target $nb's component"))
+    }
+  }
+
   test("pageRank query: full relation over sf0.001, mass ≈ 1, all nodes present") {
     val df = GraphAnalytics.pageRankQ(spark, "/root/testdata/sf0.001")
     val rows = df.as[(Long, Double)].collect()
