@@ -180,7 +180,15 @@ object ScaleBench {
     // each one |E|-keyed aggregate + one label self-join. Component
     // geometry (per-cluster size, diameter) is scale-constant under the
     // k ∝ N rule, so the round count is too and time must track rows.
-    "graph_components_scaled")
+    "graph_components_scaled",
+    // round 16d: the two remaining structure shapes. harmonic = three
+    // cumulative reach expansions + a distinct over (id, member) pairs
+    // — bounded per node by the degree cap (k ∝ N holds per-cluster
+    // size, so reach stays ~40 members at both scales) ⇒ the pair
+    // stream and its distinct must track rows. kcore = four peel
+    // rounds, each a double semi-join + count agg keyed by id ⇒ |E|-
+    // bounded per round, must track rows.
+    "graph_harmonic_scaled", "graph_kcore_scaled")
 
   /** Scratch dirs created by scale-only bindings whose output DataFrame
     * reads them lazily — reclaimed at JVM exit. */
@@ -331,6 +339,29 @@ object ScaleBench {
           .localCheckpoint()
         GraphAnalytics.connectedComponents(
           e.select(col("vec_id").as("id")), edges, maxDriverEdges = 0L)
+      }),
+      "graph_harmonic_scaled" -> ((s, d) => {
+        import graft.operators.{GraphAnalytics, Search}
+        val e = Tables.embeddings(s, d)
+        val k = math.max(10, (e.count() / 50L).toInt)
+        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
+        val edges = Search.knnGraph(e, col("vec_id"), col("embedding"),
+            cents, k = 3)
+          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+          .localCheckpoint()
+        GraphAnalytics.harmonic3(e.select(col("vec_id").as("id")), edges)
+      }),
+      "graph_kcore_scaled" -> ((s, d) => {
+        import graft.operators.{GraphAnalytics, Search}
+        val e = Tables.embeddings(s, d)
+        val k = math.max(10, (e.count() / 50L).toInt)
+        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
+        val edges = Search.knnGraph(e, col("vec_id"), col("embedding"),
+            cents, k = 3)
+          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+          .localCheckpoint()
+        GraphAnalytics.kcorePeel(e.select(col("vec_id").as("id")), edges,
+          k = 2, rounds = 4)
       }),
       "graph_quality_scaled" -> ((s, d) => {
         import graft.operators.{Classify, GraphAnalytics, Search}

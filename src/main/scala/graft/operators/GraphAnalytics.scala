@@ -673,9 +673,17 @@ object GraphAnalytics {
     * Per round: one |E|-bounded double semi-join + one count aggregate
     * per node (map-side combined, no collect_list — a mega-hub degree
     * is a partial-agg sum, never one task's array). Integer end to end
-    * → exact unrolled replay. */
-  def kcorePeel(nodes: DataFrame, edges: DataFrame, k: Int, rounds: Int,
-      checkpointEvery: Int = 0): DataFrame = {
+    * → exact unrolled replay.
+    *
+    * Lineage: each round's survivor set is referenced TWICE by the next
+    * round's degree join (both semi-join sides), so an uncut chain
+    * DOUBLES per round — 2^rounds plan growth, measured 10.5s → 2.5s at
+    * sf0.1 for the named query. Both the closure and the loop-carried
+    * set are therefore cut with LAZY localCheckpoints (`eager = false`:
+    * plan construction runs no job — the deferred-view contract — the
+    * first action materializes, every later reference reuses blocks). */
+  def kcorePeel(nodes: DataFrame, edges: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
     require(k >= 1, s"kcorePeel: k >= 1, got $k")
     require(rounds >= 1, s"kcorePeel: rounds >= 1, got $rounds")
     val ids = nodes.select(col("id").cast("long").as("id"))
@@ -685,16 +693,16 @@ object GraphAnalytics {
       .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
       .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
     val und = e0.unionByName(
-      e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .localCheckpoint(eager = false)
     def degWithin(live: DataFrame): DataFrame = und
       .join(live.select(col("id").as("src")), Seq("src"), "left_semi")
       .join(live.select(col("id").as("dst")), Seq("dst"), "left_semi")
       .groupBy(col("src").as("id")).agg(count(lit(1)).as("__deg"))
     var live = ids
-    for (t <- 1 to rounds) {
+    for (_ <- 1 to rounds) {
       live = degWithin(live).filter(col("__deg") >= k).select("id")
-      if (checkpointEvery > 0 && t % checkpointEvery == 0 && t < rounds)
-        live = live.localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     ids.join(live.select(col("id"), lit(true).as("in_core")), Seq("id"), "left")
       .join(degWithin(live).select(col("id"), col("__deg").as("core_deg")),
@@ -889,15 +897,20 @@ object GraphAnalytics {
       .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
       .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
     val und = e0.unionByName(
-      e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .localCheckpoint(eager = false)
     // cumulative reach R_h = R_{h-1} ∪ (R_{h-1} ⋈ edges), distinct;
-    // sizes are cumulative counts INCLUDING self (dist 0)
+    // sizes are cumulative counts INCLUDING self (dist 0). Each R_h is
+    // referenced three times (union side, expansion side, its own size
+    // count), so the chain is cut per hop with lazy checkpoints — the
+    // kcorePeel lineage note applies verbatim.
     var reach = ids.select(col("id"), col("id").as("m"))
     val sizes = (1 to HarmonicHops).map { h =>
       reach = reach.unionByName(
           reach.join(und.select(col("src").as("m"), col("dst")), "m")
             .select(col("id"), col("dst").as("m")))
         .distinct()
+        .localCheckpoint(eager = false)
       reach.groupBy("id").agg(count(lit(1)).as(s"__s$h"))
     }
     sizes.foldLeft(ids)((acc, sz) => acc.join(sz, "id"))
