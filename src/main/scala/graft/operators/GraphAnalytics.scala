@@ -922,6 +922,52 @@ object GraphAnalytics {
         col("n1") + col("n2") / lit(2.0) + col("n3") / lit(3.0), 6))
   }
 
+  /** Degree assortativity (Newman 2002) of the undirected closure: the
+    * Pearson correlation of endpoint degrees over directed edge stubs,
+    * r = (M·Σxy − Σx·Σy) / (M·Σxx − Σx²) with x, y the endpoint
+    * degrees of each directed stub and M the stub count (the closure
+    * carries both directions, so Σx = Σy and Σxx = Σyy and the usual
+    * two-sided denominator collapses). The degree-MIXING dial next to
+    * `graph_clustering`'s cohesion dial: disassortative (r < 0) is the
+    * normal kNN-graph shape (hubs collect leaves); a strongly
+    * assortative read says redundancy is clumping into hub-hub cores —
+    * the slice the dedup family should look at first.
+    *
+    * Every sum is INTEGER (degrees, their products — longs end to end),
+    * so the one final expression is a fixed sequence of exact-input
+    * IEEE-754 ops and the replay is bit-exact with no fold discipline.
+    * One |E|-bounded degree join per side + one global aggregate; the
+    * long sums bound: M·Σxy ≤ M²·maxdeg² — fine for any degree-capped
+    * graph this engine serves (documented, not guarded). */
+  def assortativityOf(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
+    und
+      .join(deg.select(col("v").as("src"), col("dg").as("__x")), "src")
+      .join(deg.select(col("v").as("dst"), col("dg").as("__y")), "dst")
+      .agg(count(lit(1)).as("m"),
+        sum(col("__x")).as("sx"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__x") * col("__y")).as("sxy"))
+      .select(col("m"), col("sx"), col("sxx"), col("sxy"),
+        // a REGULAR graph has zero degree variance: the denominator is
+        // 0 and mixing is undefined — null, honestly (ANSI divide would
+        // otherwise throw; the guard also keeps the branch short-
+        // circuited so the division never runs on the degenerate case)
+        round(when(col("m") * col("sxx") =!= col("sx") * col("sx"),
+            (col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+              (col("m") * col("sxx") - col("sx") * col("sx")).cast("double")),
+          6).as("assortativity"))
+  }
+
+  /** [[assortativityOf]] over the kNN graph — one exact row. */
+  def assortativityQ(s: SparkSession, d: String): DataFrame =
+    assortativityOf(knnEdges(s, d))
+
   private val CoreK = 2 // the published core order of graph_kcore
   private val PeelRounds = 4 // fixed peel count (converged at test SFs)
 
@@ -991,6 +1037,7 @@ object GraphAnalytics {
     "graph_components_append" -> componentsAppendQ,
     "graph_kcore" -> kcoreQ,
     "graph_harmonic" -> harmonicQ,
+    "graph_assortativity" -> assortativityQ,
     "graph_blast_radius" -> blastRadiusQ,
   )
 
@@ -1387,6 +1434,23 @@ object GraphAnalytics {
              AS harmonic
          FROM hs1 JOIN hs2 USING (id) JOIN hs3 USING (id)
          ORDER BY vec_id""",
+    // degree joins + integer sums, then ONE fixed-order expression —
+    // exact inputs, bit parity for free
+    "graph_assortativity" ->
+      s"""WITH $edgeCtes,
+         aund AS (SELECT src, dst FROM gedges WHERE src <> dst
+           UNION SELECT dst, src FROM gedges WHERE src <> dst),
+         adeg AS (SELECT src AS v, count(*) AS dg FROM aund GROUP BY src),
+         ast AS (SELECT count(*) AS m,
+             CAST(sum(x.dg) AS BIGINT) AS sx,
+             CAST(sum(x.dg * x.dg) AS BIGINT) AS sxx,
+             CAST(sum(x.dg * y.dg) AS BIGINT) AS sxy
+           FROM aund e JOIN adeg x ON x.v = e.src JOIN adeg y ON y.v = e.dst)
+         SELECT m, sx, sxx, sxy,
+           round(CASE WHEN m * sxx <> sx * sx
+             THEN CAST(m * sxy - sx * sx AS DOUBLE)
+               / CAST(m * sxx - sx * sx AS DOUBLE) END, 6) AS assortativity
+         FROM ast""",
     "graph_kcore" ->
       s"""WITH $kcoreCtes
          SELECT n.vec_id, (k.id IS NOT NULL) AS in_core, kcd.core_deg

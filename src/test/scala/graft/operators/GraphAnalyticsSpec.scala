@@ -597,6 +597,23 @@ class GraphAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("assortativityOf: star reads exactly -1, regular ring reads degenerate, hand-checked sums") {
+    // star 0-{1,2,3}: every edge joins deg-3 to deg-1 — perfect
+    // disassortativity. Hand sums over the 6 stubs: m=6, sx=12, sxx=30,
+    // sxy=18 → r = (108-144)/(180-144) = -1.
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val (m, sx, sxx, sxy, r) = GraphAnalytics.assortativityOf(star)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert((m, sx, sxx, sxy) === ((6L, 12L, 30L, 18L)))
+    assert(r === -1.0)
+    // a 2-regular ring has zero degree variance — the denominator is 0
+    // and mixing honestly reads null rather than a fabricated 0
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val rr = GraphAnalytics.assortativityOf(ring)
+      .select("assortativity").as[Option[Double]].head()
+    assert(rr.isEmpty)
+  }
+
   test("pageRank query: full relation over sf0.001, mass ≈ 1, all nodes present") {
     val df = GraphAnalytics.pageRankQ(spark, "/root/testdata/sf0.001")
     val rows = df.as[(Long, Double)].collect()
