@@ -168,6 +168,26 @@ object Bench {
     //    the r15 value, so the in-suite number is suite-context
     //    (223-query JVM state), not code. Closed; the isolated figure
     //    is the steady-state claim.
+    // r16c freeze (the structure-family additions): per-query medians
+    // of three same-day full runs (totals 205.0/227.4/223.2s over 231
+    // queries, ±5% spread) → 211.9s. Decomposition vs the r16 195.5s
+    // freeze: shared-query median ratio 1.017 (flat — 195.5→198.8s on
+    // the 223 shared rows), + 13.1s for the 8 new structure queries
+    // (graph_components 1.29, _hist 1.60, _del 1.76, _append 1.40,
+    // graph_kcore 1.92, graph_harmonic 2.08, graph_assortativity 1.27,
+    // graph_blast_radius 1.74 — each dominated by its in-plan blocked
+    // kNN build or stored-layout read, same as the rest of the family).
+    // graph_kcore/graph_harmonic were 10.5s/4.0s before the loop-
+    // lineage cut (lazy localCheckpoints on the closure + loop-carried
+    // set — the uncut chains doubled per round); the committed numbers
+    // are post-fix. Five shared rows read >1.5×, all sub-2s on code git
+    // shows untouched; the same-day ISOLATED re-measure (5 reps, own
+    // JVM) reads knn_graph_filtered 1.46s / knn_graph 1.38 /
+    // mix_semantic 1.23 / set_intersect 0.43 / join_point_lookup 0.24 —
+    // at (or above, for the point lookup) their in-suite medians, so
+    // today's floor simply sits higher for these sub-2s rows than the
+    // previous freeze's day: ENVIRONMENT, the documented band, nothing
+    // to re-read next round unless they move again ON TOP of this note.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Per-rep GC policy (SPARK_GRAFT_BENCH_GC = all | heavy | off).
     // r9 attribution of the uniform ~1.5× r7→r8 suite slowdown, measured
