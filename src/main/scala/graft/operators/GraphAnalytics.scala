@@ -922,6 +922,81 @@ object GraphAnalytics {
         col("n1") + col("n2") / lit(2.0) + col("n3") / lit(3.0), 6))
   }
 
+  /** Synchronous label-propagation COMMUNITY detection (Raghavan et al.
+    * 2007), `iters` fixed rounds: every node starts as its own label
+    * and each round adopts the (count desc, label asc) argmax over its
+    * in-neighbor labels — UNCLAMPED, unlike [[labelPropagation]]'s
+    * semi-supervised form, so labels coarsen toward dense subgroups.
+    * Communities are the density face of graph structure where
+    * [[connectedComponents]] is the connectivity face: one component
+    * often holds several communities, and curation reads them as the
+    * "topic-ish" grouping that needs no k. Fixed rounds + integer
+    * tie-breaks ⇒ exact unrolled replay (the [[pageRank]] discipline);
+    * a node with no in-neighbors keeps its current label. Per round:
+    * one |E|-keyed join, one (dst, label) count, one per-dst argmax
+    * window; the loop-carried table is cut per round with a lazy
+    * checkpoint (it is referenced twice per round — the [[kcorePeel]]
+    * lineage note). */
+  def communityLabelProp(nodes: DataFrame, edges: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"communityLabelProp: iters >= 1, got $iters")
+    val base = nodes.select(col("id").cast("long").as("id"))
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .join(base.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(base.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .localCheckpoint(eager = false)
+    val w = Window.partitionBy("dst").orderBy(desc("__c"), asc("__vl"))
+    var lbl = base.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to iters) {
+      val cand = e
+        .join(lbl.select(col("id").as("src"), col("lbl").as("__vl")), "src")
+        .groupBy("dst", "__vl").agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("dst").as("id"), col("__vl").as("__cand"))
+      lbl = lbl.join(cand, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__cand"), col("lbl")).as("lbl"))
+        .localCheckpoint(eager = false)
+    }
+    lbl
+  }
+
+  /** Newman modularity of a partition, EXACT RATIONAL form: with
+    * m2 = the undirected stub count, in_c = stubs with both endpoints
+    * in community c and deg_c = stubs with source in c,
+    * Q = Σ_c (in_c·m2 − deg_c²) / m2² — the numerator is a pure INTEGER
+    * sum (order-free), the one division is the only float op, so the
+    * replay is bit-exact with no fold machinery. Long bound: the
+    * numerator terms are ≤ m2², so this holds to ~3·10⁹ stubs —
+    * document-scale graphs beyond that want the double formulation
+    * (documented, not guarded, the [[assortativityOf]] convention).
+    * `communities` = (id, lbl); `edges` = (src, dst), closure taken
+    * here. Output: one row (n_communities, m2, q_num, modularity). */
+  def modularityOf(communities: DataFrame, edges: DataFrame): DataFrame = {
+    val cm = communities.select(col("id").cast("long").as("id"),
+      col("lbl").cast("long").as("__cm"))
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .join(cm.select(col("id").as("src"), col("__cm").as("__ca")), "src")
+      .join(cm.select(col("id").as("dst"), col("__cm").as("__cb")), "dst")
+      .localCheckpoint(eager = false)
+    val m2df = und.agg(count(lit(1)).as("__m2"))
+    val per = und.groupBy(col("__ca").as("__cm"))
+      .agg(count(lit(1)).as("__deg"),
+        sum(when(col("__ca") === col("__cb"), 1L).otherwise(0L)).as("__in"))
+    per.crossJoin(broadcast(m2df))
+      .agg(count(lit(1)).as("n_communities"),
+        max(col("__m2")).as("m2"),
+        sum(col("__in") * col("__m2") - col("__deg") * col("__deg"))
+          .as("q_num"))
+      .select(col("n_communities"), col("m2"), col("q_num"),
+        round(col("q_num").cast("double") /
+          (col("m2") * col("m2")).cast("double"), 6).as("modularity"))
+  }
+
   /** Degree assortativity (Newman 2002) of the undirected closure: the
     * Pearson correlation of endpoint degrees over directed edge stubs,
     * r = (M·Σxy − Σx·Σy) / (M·Σxx − Σx²) with x, y the endpoint
@@ -967,6 +1042,34 @@ object GraphAnalytics {
   /** [[assortativityOf]] over the kNN graph — one exact row. */
   def assortativityQ(s: SparkSession, d: String): DataFrame =
     assortativityOf(knnEdges(s, d))
+
+  /** The kNN graph's community partition — [[communityLabelProp]] over
+    * the undirected closure, [[Iters]] rounds: (vec_id, community,
+    * comm_size). Where `graph_components` answers "can signals reach",
+    * this answers "where do they pool". */
+  def communitiesQ(s: SparkSession, d: String): DataFrame = {
+    val e = knnEdges(s, d)
+    val und = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val cm = communityLabelProp(
+      Tables.embeddings(s, d).select(col("vec_id").as("id")), und, Iters)
+    cm.groupBy("lbl").agg(count(lit(1)).as("comm_size"))
+      .join(cm, "lbl")
+      .select(col("id").as("vec_id"), col("lbl").as("community"),
+        col("comm_size"))
+      .orderBy("vec_id")
+  }
+
+  /** One exact row grading [[communitiesQ]]'s partition:
+    * [[modularityOf]] over the same graph — the standard "did LPA find
+    * real structure" meter (Q ≈ 0 = no better than random mixing). */
+  def modularityQ(s: SparkSession, d: String): DataFrame = {
+    val e = knnEdges(s, d)
+    val und = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    modularityOf(communityLabelProp(
+      Tables.embeddings(s, d).select(col("vec_id").as("id")), und, Iters), e)
+  }
 
   private val CoreK = 2 // the published core order of graph_kcore
   private val PeelRounds = 4 // fixed peel count (converged at test SFs)
@@ -1038,6 +1141,8 @@ object GraphAnalytics {
     "graph_kcore" -> kcoreQ,
     "graph_harmonic" -> harmonicQ,
     "graph_assortativity" -> assortativityQ,
+    "graph_communities" -> communitiesQ,
+    "graph_modularity" -> modularityQ,
     "graph_blast_radius" -> blastRadiusQ,
   )
 
@@ -1283,6 +1388,27 @@ object GraphAnalytics {
          GROUP BY e.src)"""
   }
 
+  /** The unrolled unclamped-LPA rounds: identity labels, per-round
+    * (count desc, label asc) argmax, keep-own on no votes. Ends in
+    * `cm$Iters (id, lbl)` over `cund` (the undirected closure). */
+  private lazy val communityCtes: String = {
+    val rounds = (1 to Iters).map { i =>
+      val p = if (i == 1) "cm0" else s"cm${i - 1}"
+      s"""cv$i AS (SELECT u.dst, l.lbl AS vl, count(*) AS c
+           FROM cund u JOIN $p l ON l.id = u.src GROUP BY u.dst, l.lbl),
+         cc$i AS (SELECT dst AS id, vl FROM (
+             SELECT dst, vl, row_number() OVER (PARTITION BY dst
+               ORDER BY c DESC, vl) AS rn FROM cv$i) WHERE rn = 1),
+         cm$i AS (SELECT p.id, coalesce(cc$i.vl, p.lbl) AS lbl
+           FROM $p p LEFT JOIN cc$i USING (id))"""
+    }.mkString(",\n")
+    s"""$edgeCtes,
+       cund AS (SELECT src, dst FROM gedges
+         UNION SELECT dst, src FROM gedges),
+       cm0 AS (SELECT vec_id AS id, vec_id AS lbl FROM embeddings),
+       $rounds"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql,
     // weighted replay: the same pyramid with the calibrated weight
@@ -1434,6 +1560,30 @@ object GraphAnalytics {
              AS harmonic
          FROM hs1 JOIN hs2 USING (id) JOIN hs3 USING (id)
          ORDER BY vec_id""",
+    // unclamped synchronous LPA, unrolled — identity labels in,
+    // (count desc, label asc) argmax per round, keep-own on no votes
+    "graph_communities" ->
+      s"""WITH $communityCtes,
+         csize AS (SELECT lbl, count(*) AS comm_size FROM cm$Iters GROUP BY lbl)
+         SELECT c.id AS vec_id, c.lbl AS community, s.comm_size
+         FROM cm$Iters c JOIN csize s USING (lbl)
+         ORDER BY vec_id""",
+    // the same rounds, then the exact-rational Newman form: integer
+    // q_num = Σ_c (in_c·m2 − deg_c²), ONE division at the end
+    "graph_modularity" ->
+      s"""WITH $communityCtes,
+         mu AS (SELECT e.src, a.lbl AS ca, b.lbl AS cb
+           FROM cund e JOIN cm$Iters a ON a.id = e.src
+           JOIN cm$Iters b ON b.id = e.dst),
+         mm2 AS (SELECT count(*) AS m2 FROM mu),
+         mper AS (SELECT ca, count(*) AS deg,
+             CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT) AS inn
+           FROM mu GROUP BY ca)
+         SELECT count(*) AS n_communities, max(mm2.m2) AS m2,
+           CAST(sum(inn * mm2.m2 - deg * deg) AS BIGINT) AS q_num,
+           round(CAST(sum(inn * mm2.m2 - deg * deg) AS DOUBLE)
+             / CAST(max(mm2.m2) * max(mm2.m2) AS DOUBLE), 6) AS modularity
+         FROM mper CROSS JOIN mm2""",
     // degree joins + integer sums, then ONE fixed-order expression —
     // exact inputs, bit parity for free
     "graph_assortativity" ->

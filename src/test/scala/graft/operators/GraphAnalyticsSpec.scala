@@ -614,6 +614,38 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(rr.isEmpty)
   }
 
+  test("communityLabelProp: two bridged triangles separate; modularity matches the hand-computed rational") {
+    // triangles {0,1,2} and {3,4,5} bridged by 2-3. Hand-unrolled
+    // synchronous LPA from identity labels over the undirected closure:
+    //   r1 = [1,0,0,2,3,3], r2 = [0,0,0,3,2,2], r3 = [0,0,0,2,2,2]
+    // — the partition is the two triangles (the label VALUE 2 is just a
+    // label; membership is what the partition means).
+    val nodes = (0L to 5L).toDF("id")
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (2L, 3L)).toDF("src", "dst")
+    val und = e.unionByName(e.select($"dst".as("src"), $"src".as("dst")))
+    def run(iters: Int) = GraphAnalytics.communityLabelProp(nodes, und, iters)
+      .as[(Long, Long)].collect().toMap
+    assert(run(1) === Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 2L,
+      4L -> 3L, 5L -> 3L))
+    assert(run(3) === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 2L,
+      4L -> 2L, 5L -> 2L))
+    assert(run(3) === run(3)) // deterministic
+    // modularity of that partition: m2 = 14 stubs, each community has
+    // in = 6 (the bridge stubs cross), deg = 7 → q_num = 2·(84-49) = 70,
+    // Q = 70/196 = 0.357143 (the hand rational)
+    val (nc, m2, qn, q) = GraphAnalytics.modularityOf(
+        run(3).toSeq.toDF("id", "lbl"), e)
+      .as[(Long, Long, Long, Double)].head()
+    assert((nc, m2, qn) === ((2L, 14L, 70L)))
+    assert(q === 0.357143)
+    // the identity partition (every node alone) scores strictly worse
+    val (_, _, _, qIdent) = GraphAnalytics.modularityOf(
+        nodes.select($"id", $"id".as("lbl")), e)
+      .as[(Long, Long, Long, Double)].head()
+    assert(qIdent < q)
+  }
+
   test("pageRank query: full relation over sf0.001, mass ≈ 1, all nodes present") {
     val df = GraphAnalytics.pageRankQ(spark, "/root/testdata/sf0.001")
     val rows = df.as[(Long, Double)].collect()
