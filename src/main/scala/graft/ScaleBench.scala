@@ -188,7 +188,12 @@ object ScaleBench {
     // stream and its distinct must track rows. kcore = four peel
     // rounds, each a double semi-join + count agg keyed by id ⇒ |E|-
     // bounded per round, must track rows.
-    "graph_harmonic_scaled", "graph_kcore_scaled")
+    "graph_harmonic_scaled", "graph_kcore_scaled",
+    // round 16f: the unclamped-LPA community loop — per round one
+    // |E|-keyed label join, one (dst, label) count and one per-dst
+    // argmax window; label diversity shrinks per round but the vote
+    // stream stays |E|-bounded, so time must track rows.
+    "graph_communities_scaled")
 
   /** Scratch dirs created by scale-only bindings whose output DataFrame
     * reads them lazily — reclaimed at JVM exit. */
@@ -339,6 +344,20 @@ object ScaleBench {
           .localCheckpoint()
         GraphAnalytics.connectedComponents(
           e.select(col("vec_id").as("id")), edges, maxDriverEdges = 0L)
+      }),
+      "graph_communities_scaled" -> ((s, d) => {
+        import graft.operators.{GraphAnalytics, Search}
+        val e = Tables.embeddings(s, d)
+        val k = math.max(10, (e.count() / 50L).toInt)
+        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
+        val knn = Search.knnGraph(e, col("vec_id"), col("embedding"),
+            cents, k = 3)
+          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+        val und = knn.unionByName(
+            knn.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+          .localCheckpoint()
+        GraphAnalytics.communityLabelProp(
+          e.select(col("vec_id").as("id")), und, iters = 3)
       }),
       "graph_harmonic_scaled" -> ((s, d) => {
         import graft.operators.{GraphAnalytics, Search}

@@ -305,6 +305,50 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(math.abs(pr.map(_._2).sum - 1.0) < 1e-6)
   }
 
+  test("components over a streamed at-rest graph: inserts join components through their links") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Search
+    import graft.streaming.Streams
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_graph_cc_stream").toString
+    def ang(deg: Double) = Array(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    // TWO disjoint rings in the stored layout (0-3 near 0°, 10-13 near
+    // 180°) — two components before the stream
+    val base = (0 until 4).map(i => (i.toLong, ang(i * 4))) ++
+      (0 until 4).map(i => ((10 + i).toLong, ang(180 + i * 4)))
+    val rings = Seq(0L, 10L).flatMap(b => (0 until 4).flatMap(i =>
+      Seq((b + i, b + (i + 1) % 4), (b + i, b + (i + 3) % 4))))
+    Search.writeGraphIndex(base.toDF("vec_id", "embedding"),
+      $"vec_id", $"embedding", rings.toDF("__vid", "nbr_id"),
+      s"$dir/idx", entriesN = 4, buckets = 4)
+    def comps() = GraphAnalytics.connectedComponents(
+      spark.read.parquet(s"$dir/idx/nodes").select($"id"),
+      spark.read.parquet(s"$dir/idx/edges")
+        .select($"__vid".as("src"), $"nbr_id".as("dst")))
+      .as[(Long, Long)].collect().toMap
+    val before = comps()
+    assert(before.values.toSet === Set(0L, 10L))
+    val input = MemoryStream[(Long, Array[Double])]
+    val q = Streams.graphIngest(input.toDF().toDF("vec_id", "embedding"),
+      $"vec_id", $"embedding", s"$dir/idx", s"$dir/ckpt",
+      linkK = 2, beam = 4, hops = 4, buckets = 4)
+    try {
+      // a streamed insert near the 0° ring joins component 0 through
+      // its insert-time links, with no rebuild
+      input.addData(Seq((100L, ang(6)))); q.processAllAvailable()
+      val after = comps()
+      assert(after(100L) === 0L, s"streamed node landed in ${after(100L)}")
+      assert(after.view.filterKeys(_ != 100L).toMap === before)
+      assert(comps() === after) // deterministic refresh
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("pageRank over a streamed at-rest graph: inserts enter the ranking, mass stays 1") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Search
