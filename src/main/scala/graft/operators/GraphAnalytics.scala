@@ -6,23 +6,33 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Graph analytics over the corpus kNN graph — the two iterative
-  * propagation primitives large-corpus curation leans on once a
-  * neighbor graph exists ([[Search.knnGraph]] / the NN-Descent refined
-  * edge set):
+/** Graph analytics over the corpus kNN graph — the iterative
+  * propagation and structure primitives large-corpus curation leans on
+  * once a neighbor graph exists ([[Search.knnGraph]] / the NN-Descent
+  * refined edge set):
   *
-  *   - '''PageRank''' (Brin & Page 1998): stationary-mass centrality.
-  *     On a document/domain graph this is the classic crawl-quality
-  *     signal (CommonCrawl publishes harmonic/PageRank centrality per
-  *     host and web-corpus curation filters on it); on a kNN graph it
-  *     scores how "central" a document is to the corpus distribution —
-  *     a density proxy that needs no labels.
+  *   - '''PageRank''' (Brin & Page 1998, + weighted and personalized
+  *     forms): stationary-mass centrality. On a document/domain graph
+  *     this is the classic crawl-quality signal (CommonCrawl publishes
+  *     harmonic/PageRank centrality per host and web-corpus curation
+  *     filters on it); on a kNN graph it scores how "central" a
+  *     document is to the corpus distribution — a density proxy that
+  *     needs no labels.
   *   - '''Label propagation''' (Zhu & Ghahramani 2002, the hard-label
-  *     variant): spread sparse trusted labels (quality ratings, topic
-  *     tags) over the similarity graph by iterated neighbor majority
+  *     variant, + the cosine-weighted form): spread sparse trusted
+  *     labels over the similarity graph by iterated neighbor majority
   *     vote with clamped seeds — the cheap semi-supervised labeler a
   *     training-data pipeline uses when only a sliver of the corpus is
-  *     human-rated.
+  *     human-rated. UNCLAMPED from identity labels it becomes
+  *     community detection ([[communityLabelProp]], Raghavan 2007),
+  *     graded by exact-rational modularity ([[modularityOf]]).
+  *   - '''Structure''': [[connectedComponents]] (can signals reach —
+  *     reusing [[Dedup.dupClusters]]' hardened min-label loop),
+  *     [[kcorePeel]] (the mutually-embedded core vs thin periphery),
+  *     [[harmonic3]] (bounded-hop harmonic centrality),
+  *     [[assortativityOf]] (degree mixing), [[clusteringOf]] (triangle
+  *     census), and the takedown faces ([[componentsDelQ]] splits,
+  *     [[blastRadiusQ]] scopes the re-check set).
   *
   * Reference anchor: the reference's retrieval pipeline stops at
   * neighbor lists (`search_similar_images.py:52-95` — per-query kNN);
