@@ -188,6 +188,16 @@ object Bench {
     // today's floor simply sits higher for these sub-2s rows than the
     // previous freeze's day: ENVIRONMENT, the documented band, nothing
     // to re-read next round unless they move again ON TOP of this note.
+    // r16f freeze (the final r16 query set): per-query medians of three
+    // same-day full runs (totals 247.3/218.8/211.9s over 233 queries)
+    // → 220.0s. vs the r16c freeze hours earlier: shared-query median
+    // ratio 1.007 (211.9 → 213.1s on the 231 shared rows), ZERO shared
+    // rows >1.5×, + 6.9s for the two community rows (graph_communities
+    // 2.59s; graph_modularity 4.29s — it re-runs the LPA rounds before
+    // grading them, the graph_label_prop/_acc relationship, each query
+    // standalone by design). The 247.3s first run carried the usual
+    // cold-day spread (its slowest rows are the same graph loops at
+    // ~1.2×); the medians absorb it.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Per-rep GC policy (SPARK_GRAFT_BENCH_GC = all | heavy | off).
     // r9 attribution of the uniform ~1.5× r7→r8 suite slowdown, measured

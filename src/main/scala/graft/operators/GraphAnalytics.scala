@@ -981,7 +981,10 @@ object GraphAnalytics {
     * document-scale graphs beyond that want the double formulation
     * (documented, not guarded, the [[assortativityOf]] convention).
     * `communities` = (id, lbl); `edges` = (src, dst), closure taken
-    * here. Output: one row (n_communities, m2, q_num, modularity). */
+    * here. Output: one row (n_communities, m2, q_num, modularity) —
+    * n_communities counts communities owning ≥ 1 stub (an isolated
+    * node's singleton community has in = deg = 0: a zero term, and
+    * honestly absent from the count). */
   def modularityOf(communities: DataFrame, edges: DataFrame): DataFrame = {
     val cm = communities.select(col("id").cast("long").as("id"),
       col("lbl").cast("long").as("__cm"))
