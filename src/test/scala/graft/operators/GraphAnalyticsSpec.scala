@@ -479,6 +479,26 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(run() === expected) // deterministic rerun
   }
 
+  test("connectedComponents: distributed loop (fast path disabled) handles a mega-hub and matches the fast path") {
+    // star: hub 0 with 5000 leaves, plus a separate pair — the hub's
+    // min-label aggregation is a map-side-combined min, never a
+    // collect_list, so one high-degree key must not change results or
+    // blow a task. Forcing maxDriverEdges = 0 runs the distributed
+    // pointer-jumping loop; the default runs driver union-find — the
+    // two must agree byte for byte (the dupClusters parity contract,
+    // re-pinned here on the graph face).
+    val nodes = ((0L to 5000L) ++ Seq(9001L, 9002L)).toDF("id")
+    val edges = ((1L to 5000L).map(i => (i, 0L)) :+ ((9001L, 9002L)))
+      .toDF("src", "dst")
+    val dist = GraphAnalytics.connectedComponents(nodes, edges,
+      maxDriverEdges = 0L).as[(Long, Long)].collect().toMap
+    val fast = GraphAnalytics.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(dist === fast)
+    assert(dist.view.filterKeys(_ <= 5000L).values.toSet === Set(0L))
+    assert(dist(9001L) === 9001L && dist(9002L) === 9001L)
+  }
+
   test("connectedComponents: an edge endpoint outside the node set neither joins nor becomes a label") {
     // without the double semi-join, edge (1, 10) would conduct the
     // OUTSIDE id 1 into node 10's component as its min label, and edge
