@@ -434,6 +434,28 @@ object GraphAnalytics {
         round(col("pr"), 9).as("ppr"))
       .orderBy("vec_id")
 
+  /** PPR over the PRODUCTION graph — the teleport-variant twin of
+    * [[pageRankRefinedQ]]: the NN-Descent refined edge set read from
+    * the at-rest layout ([[Retrieval.graphIdxDir]]), seed mass on the
+    * label-[[PprSeedLabel]] trusted set. The 100 TB shape for
+    * seed-expansion refreshes: a new curated sample re-ranks the corpus
+    * against the STORED edge list (ids only, no vectors) — the
+    * kmeans/NN-Descent build never re-runs, only the |E|-bounded
+    * propagation loop does. Bit-exact vs the oracle's refined-pyramid
+    * replay like every ranking here. */
+  def pprRefinedQ(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+      (col("label") === PprSeedLabel).as("seed"))
+    personalizedPageRank(nodes,
+        s.read.parquet(s"${Retrieval.graphIdxDir(s, d)}/idx/edges")
+          .select(col("__vid").as("src"), col("nbr_id").as("dst")),
+        iters = Iters)
+      .join(nodes.select(col("id"), col("seed").as("is_seed")), "id")
+      .select(col("id").as("vec_id"), col("is_seed"),
+        round(col("pr"), 9).as("ppr"))
+      .orderBy("vec_id")
+  }
+
   /** The expansion face: the 20 NON-seed documents closest to the
     * trusted set by PPR mass — "given this curated sample, which docs
     * should join the training slice next". Selection is by raw pr (both
@@ -946,7 +968,14 @@ object GraphAnalytics {
     * one |E|-keyed join, one (dst, label) count, one per-dst argmax
     * window; the loop-carried table is cut per round with a lazy
     * checkpoint (it is referenced twice per round — the [[kcorePeel]]
-    * lineage note). */
+    * lineage note).
+    *
+    * PRECONDITION: `edges` must be a SET of (src, dst) pairs — votes
+    * are counted per edge ROW with no distinct here, so a duplicated
+    * row double-weights its vote (multiplicity = vote weight). Every
+    * oracle replay assumes set semantics (the UNION closures), and all
+    * query-path callers pass deduped closures; pass a multigraph only
+    * if weighted voting by multiplicity is what you mean. */
   def communityLabelProp(nodes: DataFrame, edges: DataFrame,
       iters: Int): DataFrame = {
     require(iters >= 1, s"communityLabelProp: iters >= 1, got $iters")
@@ -977,9 +1006,11 @@ object GraphAnalytics {
     * Q = Σ_c (in_c·m2 − deg_c²) / m2² — the numerator is a pure INTEGER
     * sum (order-free), the one division is the only float op, so the
     * replay is bit-exact with no fold machinery. Long bound: the
-    * numerator terms are ≤ m2², so this holds to ~3·10⁹ stubs —
-    * document-scale graphs beyond that want the double formulation
-    * (documented, not guarded, the [[assortativityOf]] convention).
+    * numerator terms are ≤ m2², so this holds to ~3·10⁹ stubs — and the
+    * bound is GUARDED in-plan (`assert_true` on the m2 scalar, the
+    * repo's fail-loudly convention): beyond it Spark's non-ANSI Long
+    * arithmetic would wrap silently and return a wrong Q rather than an
+    * error. Graphs past the bound want the double formulation.
     * `communities` = (id, lbl); `edges` = (src, dst), closure taken
     * here. Output: one row (n_communities, m2, q_num, modularity) —
     * n_communities counts communities owning ≥ 1 stub (an isolated
@@ -996,7 +1027,16 @@ object GraphAnalytics {
       .join(cm.select(col("id").as("src"), col("__cm").as("__ca")), "src")
       .join(cm.select(col("id").as("dst"), col("__cm").as("__cb")), "dst")
       .localCheckpoint(eager = false)
+    // loud Long-overflow guard: in_c·m2 and deg_c² are ≤ m2², so m2 <
+    // 3·10⁹ keeps every numerator term under 2⁶³ with headroom for the
+    // Σ_c sum. assert_true keeps the check IN-PLAN (no job at plan
+    // construction); the filter is identically true below the bound, so
+    // the guarded relation is the unguarded one and the oracle replay
+    // is untouched.
     val m2df = und.agg(count(lit(1)).as("__m2"))
+      .filter(assert_true(col("__m2") < lit(3000000000L),
+        lit("modularityOf: stub count exceeds the exact-Long bound " +
+          "(~3e9); use a double formulation")).isNull)
     val per = und.groupBy(col("__ca").as("__cm"))
       .agg(count(lit(1)).as("__deg"),
         sum(when(col("__ca") === col("__cb"), 1L).otherwise(0L)).as("__in"))
@@ -1040,7 +1080,18 @@ object GraphAnalytics {
       .agg(count(lit(1)).as("m"),
         sum(col("__x")).as("sx"),
         sum(col("__x") * col("__x")).as("sxx"),
-        sum(col("__x") * col("__y")).as("sxy"))
+        sum(col("__x") * col("__y")).as("sxy"),
+        max(col("__x")).as("__mx"))
+      // loud Long-overflow guard (the modularityOf convention): every
+      // term below — the sums AND the final M·Σxy products — is ≤
+      // M²·maxdeg², so M·maxdeg < 2³¹ keeps it under 2⁶²; checked in
+      // double so the guard itself can't wrap. Identically true for any
+      // degree-capped graph this engine serves; in-plan, no job.
+      .filter(assert_true(
+        coalesce(col("m").cast("double") * col("__mx").cast("double"),
+          lit(0.0)) < lit(2147483648.0),
+        lit("assortativityOf: m * maxdeg exceeds the exact-Long bound " +
+          "(2^31); use a double formulation")).isNull)
       .select(col("m"), col("sx"), col("sxx"), col("sxy"),
         // a REGULAR graph has zero degree variance: the denominator is
         // 0 and mixing is undefined — null, honestly (ANSI divide would
@@ -1084,6 +1135,48 @@ object GraphAnalytics {
       Tables.embeddings(s, d).select(col("vec_id").as("id")), und, Iters), e)
   }
 
+  /** Takedown-aware communities — [[communitiesQ]]'s semantics over the
+    * TOMBSTONED production layout ([[Retrieval.graphDelIdxDir]], the
+    * same store `graph_pagerank_del` / `graph_label_prop_del` serve):
+    * recalled docs leave the node set AND their past votes stop
+    * conducting, so the partition re-coarsens without them — a
+    * community whose cohesion ran through a deleted doc honestly SPLITS
+    * (label-prop labels move non-locally; GraphAnalyticsSpec pins a
+    * split on a synthetic layout). Completes the structure family's
+    * takedown symmetry: components and label-prop had del arms,
+    * communities now does too. The oracle replays the refined pyramid
+    * minus the ids, then the same unrolled unclamped-LPA rounds. */
+  def communitiesDelQ(s: SparkSession, d: String): DataFrame =
+    communitiesOverLayout(s,
+        Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        s"${Retrieval.graphDelIdxDir(s, d)}/idx", Iters)
+      .select(col("id").as("vec_id"), col("lbl").as("community"),
+        col("comm_size"))
+      .orderBy("vec_id")
+
+  /** Unclamped-LPA communities over a (possibly tombstoned) at-rest
+    * graph layout: live nodes only, neither direction of a deleted
+    * node's edges conducts a vote — the [[labelPropOverLayout]]
+    * discipline for the community face. Returns (id, lbl, comm_size). */
+  def communitiesOverLayout(s: SparkSession, nodes: DataFrame,
+      idxDir: String, iters: Int): DataFrame = {
+    import graft.sources.Tombstones
+    val live = Tombstones.dropDeleted(
+      nodes.select(col("id").cast("long").as("id")), col("id"), idxDir)
+    val e0 = Tombstones.dropDeleted(
+      Tombstones.dropDeleted(
+        s.read.parquet(s"$idxDir/edges")
+          .select(col("__vid").as("src"), col("nbr_id").as("dst")),
+        col("src"), idxDir),
+      col("dst"), idxDir)
+    val und = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val cm = communityLabelProp(live, und, iters)
+    cm.groupBy("lbl").agg(count(lit(1)).as("comm_size"))
+      .join(cm, "lbl")
+      .select(col("id"), col("lbl"), col("comm_size"))
+  }
+
   private val CoreK = 2 // the published core order of graph_kcore
   private val PeelRounds = 4 // fixed peel count (converged at test SFs)
 
@@ -1093,14 +1186,37 @@ object GraphAnalytics {
     * off, the mutually-embedded core survives; curation reads the core
     * as the "well-supported" slice (every member has ≥ k surviving
     * neighbors to corroborate its graph signals) and the periphery as
-    * the slice whose kNN evidence is thin. GraphAnalyticsSpec pins
-    * convergence at the test SF (a 5th round changes nothing), so the
-    * fixed-round relation here IS the 2-core. */
+    * the slice whose kNN evidence is thin.
+    *
+    * The "relation IS the 2-core" claim is GUARDED in-plan, not just
+    * spec-pinned at the test SFs: round [[PeelRounds]]+1 peels nothing
+    * iff every survivor's within-core degree is already ≥ k, which is
+    * exactly a predicate on the OUTPUT columns (a survivor with
+    * core_deg null or < k would peel next round) — so the convergence
+    * assert costs zero extra joins, and a bigger corpus whose peel
+    * cascade outruns the fixed rounds fails LOUDLY instead of serving
+    * an under-peeled set as the core. */
   def kcoreQ(s: SparkSession, d: String): DataFrame =
-    kcorePeel(Tables.embeddings(s, d).select(col("vec_id").as("id")),
-        knnEdges(s, d), k = CoreK, rounds = PeelRounds)
+    kcoreConverged(
+        kcorePeel(Tables.embeddings(s, d).select(col("vec_id").as("id")),
+          knnEdges(s, d), k = CoreK, rounds = PeelRounds),
+        k = CoreK, rounds = PeelRounds)
       .select(col("id").as("vec_id"), col("in_core"), col("core_deg"))
       .orderBy("vec_id")
+
+  /** In-plan convergence guard for a [[kcorePeel]] relation: one more
+    * round peels nothing iff every survivor's within-core degree is
+    * already ≥ k — a predicate on the OUTPUT columns, so the assert
+    * costs zero extra joins. Identity on a converged relation; an
+    * under-peeled one fails loudly at execution instead of serving a
+    * non-core as the core. */
+  private[operators] def kcoreConverged(peeled: DataFrame, k: Int,
+      rounds: Int): DataFrame =
+    peeled.filter(assert_true(
+      !col("in_core") || coalesce(col("core_deg"), lit(0L)) >= k,
+      lit(s"kcore: peel not converged after $rounds rounds (a survivor " +
+        "still has within-core degree < k); raise the round count for " +
+        "this corpus")).isNull)
 
   /** Takedown blast radius: every doc within 2 undirected hops of a
     * recalled id on the PRODUCTION graph layout ([[Retrieval.graphIdxDir]]
@@ -1115,10 +1231,29 @@ object GraphAnalytics {
   def blastRadiusQ(s: SparkSession, d: String): DataFrame = {
     val e0 = s.read.parquet(s"${Retrieval.graphIdxDir(s, d)}/idx/edges")
       .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+    import s.implicits._
+    // hop 0 is the recalled ids RESTRICTED to the corpus (the oracle's
+    // b0 over embeddings): a recall-list id absent from the corpus is
+    // not a document to re-check, and emitting it unconditionally would
+    // silently diverge from the replay. Semi-join keeps the seed ≤
+    // |recall list| rows — still a broadcast.
+    val h0 = Retrieval.GraphDeletedIds.toDF("id")
+      .join(Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        Seq("id"), "left_semi")
+    blastRadiusOf(e0, h0)
+      .select(col("id").as("vec_id"), col("hops"))
+      .orderBy("vec_id")
+  }
+
+  /** [[blastRadiusQ]]'s core over any (src, dst) edge list and seed set
+    * `h0` = (id): (id, hops) for every node within 2 undirected hops of
+    * a seed (the undirected closure is taken here). Two |E|-bounded
+    * joins from a broadcast seed — never a corpus scan. */
+  def blastRadiusOf(edges: DataFrame, h0: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
     val und = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-    import s.implicits._
-    val h0 = Retrieval.GraphDeletedIds.toDF("id")
     val h1 = und.join(broadcast(h0.select(col("id").as("src"))), "src")
       .select(col("dst").as("id")).distinct()
     val h2 = und.join(broadcast(h1.select(col("id").as("src"))), "src")
@@ -1127,8 +1262,6 @@ object GraphAnalytics {
       .unionByName(h1.select(col("id"), lit(1).as("__h")))
       .unionByName(h2.select(col("id"), lit(2).as("__h")))
       .groupBy("id").agg(min("__h").as("hops"))
-      .select(col("id").as("vec_id"), col("hops"))
-      .orderBy("vec_id")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1138,6 +1271,7 @@ object GraphAnalytics {
     "graph_pagerank_del" -> pageRankDelQ,
     "graph_pagerank_append" -> pageRankAppendQ,
     "graph_ppr" -> pprQ,
+    "graph_ppr_refined" -> pprRefinedQ,
     "graph_ppr_expand" -> pprExpandQ,
     "graph_label_prop" -> labelPropQ,
     "graph_label_prop_w" -> labelPropWQ,
@@ -1155,6 +1289,7 @@ object GraphAnalytics {
     "graph_harmonic" -> harmonicQ,
     "graph_assortativity" -> assortativityQ,
     "graph_communities" -> communitiesQ,
+    "graph_communities_del" -> communitiesDelQ,
     "graph_modularity" -> modularityQ,
     "graph_blast_radius" -> blastRadiusQ,
   )
@@ -1403,8 +1538,9 @@ object GraphAnalytics {
 
   /** The unrolled unclamped-LPA rounds: identity labels, per-round
     * (count desc, label asc) argmax, keep-own on no votes. Ends in
-    * `cm$Iters (id, lbl)` over `cund` (the undirected closure). */
-  private lazy val communityCtes: String = {
+    * `cm$Iters (id, lbl)` over `cund` (the undirected closure of the
+    * `gedges` pyramid restricted to `nodesSql`'s (id) rows). */
+  private def communityCtesOn(nodesSql: String, edges: String): String = {
     val rounds = (1 to Iters).map { i =>
       val p = if (i == 1) "cm0" else s"cm${i - 1}"
       s"""cv$i AS (SELECT u.dst, l.lbl AS vl, count(*) AS c
@@ -1415,12 +1551,20 @@ object GraphAnalytics {
          cm$i AS (SELECT p.id, coalesce(cc$i.vl, p.lbl) AS lbl
            FROM $p p LEFT JOIN cc$i USING (id))"""
     }.mkString(",\n")
-    s"""$edgeCtes,
+    s"""$edges,
+       cnodes AS ($nodesSql),
        cund AS (SELECT src, dst FROM gedges
-         UNION SELECT dst, src FROM gedges),
-       cm0 AS (SELECT vec_id AS id, vec_id AS lbl FROM embeddings),
+           WHERE src IN (SELECT id FROM cnodes)
+             AND dst IN (SELECT id FROM cnodes)
+         UNION SELECT dst, src FROM gedges
+           WHERE src IN (SELECT id FROM cnodes)
+             AND dst IN (SELECT id FROM cnodes)),
+       cm0 AS (SELECT id, id AS lbl FROM cnodes),
        $rounds"""
   }
+
+  private lazy val communityCtes: String =
+    communityCtesOn("SELECT vec_id AS id FROM embeddings", edgeCtes)
 
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql,
@@ -1462,6 +1606,23 @@ object GraphAnalytics {
          FROM embeddings CROSS JOIN nn
          WHERE vec_id NOT IN $delIdsSql)""", delEdgeCtes)}
        SELECT id AS vec_id, round(pr, 9) AS pr FROM r$Iters ORDER BY vec_id""",
+    // the refined-graph pyramid replays (as graph_pagerank_refined),
+    // then the SAME unrolled teleport loop over its edge list — the
+    // stored-edge PPR is bit-identical to an in-plan derivation over
+    // the refined graph
+    "graph_ppr_refined" ->
+      s"""${prLoopSql(
+        s"""ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM embeddings
+         WHERE label = $PprSeedLabel),
+       tvec AS (SELECT vec_id AS id,
+           CASE WHEN label = $PprSeedLabel THEN CAST(1 AS DOUBLE) / ns.s
+             ELSE CAST(0 AS DOUBLE) END AS tp
+         FROM embeddings CROSS JOIN ns)""", refinedEdgeCtes)}
+         SELECT t.id AS vec_id, (e.label = $PprSeedLabel) AS is_seed,
+           round(r.pr, 9) AS ppr
+         FROM r$Iters r JOIN tvec t ON t.id = r.id
+         JOIN embeddings e ON e.vec_id = r.id
+         ORDER BY vec_id""",
     "graph_ppr" ->
       s"""$pprLoopSql
          SELECT t.id AS vec_id, (e.label = $PprSeedLabel) AS is_seed,
@@ -1577,6 +1738,17 @@ object GraphAnalytics {
     // (count desc, label asc) argmax per round, keep-own on no votes
     "graph_communities" ->
       s"""WITH $communityCtes,
+         csize AS (SELECT lbl, count(*) AS comm_size FROM cm$Iters GROUP BY lbl)
+         SELECT c.id AS vec_id, c.lbl AS community, s.comm_size
+         FROM cm$Iters c JOIN csize s USING (lbl)
+         ORDER BY vec_id""",
+    // takedown replay: the refined pyramid MINUS the recalled ids (both
+    // endpoints), live nodes only, then the same unrolled unclamped-LPA
+    // rounds — a community held together through a deleted doc splits
+    "graph_communities_del" ->
+      s"""WITH ${communityCtesOn(
+           s"SELECT vec_id AS id FROM embeddings WHERE vec_id NOT IN $delIdsSql",
+           delEdgeCtes)},
          csize AS (SELECT lbl, count(*) AS comm_size FROM cm$Iters GROUP BY lbl)
          SELECT c.id AS vec_id, c.lbl AS community, s.comm_size
          FROM cm$Iters c JOIN csize s USING (lbl)

@@ -710,6 +710,86 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(qIdent < q)
   }
 
+  test("takedown communities: deleting a doc splits its neighbors' community (labels move non-locally)") {
+    import graft.operators.Search
+    val dir = java.nio.file.Files.createTempDirectory("graft_cm_del").toString
+    try {
+      // barbell: triangle {0,1,2}, triangle {4,5,6}, bridge 2-3-4.
+      // Hand-unrolled sync LPA (identity labels, 3 rounds) over the
+      // undirected closure: r3 = [0,0,0,0,3,3,3] → {0,1,2,3} + {4,5,6}.
+      // Tombstone 4: triangle B loses its center of gravity and the
+      // 5-6 edge left behind is bipartite — sync LPA label-swaps, so 5
+      // and 6 land in DIFFERENT singleton communities: the community
+      // that contained (4,5,6) splits, not just shrinks.
+      val nodes = (0L to 6L).map(i => (i, Array(i.toDouble, 1.0)))
+      val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (4L, 5L), (5L, 6L),
+        (6L, 4L), (2L, 3L), (3L, 4L))
+      Search.writeGraphIndex(nodes.toDF("vec_id", "embedding"),
+        $"vec_id", $"embedding", edges.toDF("__vid", "nbr_id"),
+        s"$dir/idx", entriesN = 2, buckets = 2)
+      def run() = GraphAnalytics.communitiesOverLayout(spark,
+          (0L to 6L).toDF("id"), s"$dir/idx", iters = 3)
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, lbl, sz) => id -> ((lbl, sz)) }.toMap
+      assert(run() === Map(
+        0L -> ((0L, 4L)), 1L -> ((0L, 4L)), 2L -> ((0L, 4L)),
+        3L -> ((0L, 4L)),
+        4L -> ((3L, 3L)), 5L -> ((3L, 3L)), 6L -> ((3L, 3L))))
+      Search.deleteFromGraphIndex(Seq(4L).toDF("vec_id"), $"vec_id", s"$dir/idx")
+      val del = run()
+      assert(!del.contains(4L), "recalled id still in the partition")
+      assert(del(0L) === ((0L, 4L)) && del(3L) === ((0L, 4L)))
+      assert(del(5L)._1 !== del(6L)._1,
+        "5 and 6 should split into different communities after the takedown")
+      assert(del(5L)._2 === 1L && del(6L)._2 === 1L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("graph_communities_del query: recalled ids leave the partition; sizes consistent") {
+    val d = "/root/testdata/sf0.001"
+    val rows = GraphAnalytics.communitiesDelQ(spark, d)
+      .as[(Long, Long, Long)].collect()
+    val ids = rows.map(_._1).toSet
+    Retrieval.GraphDeletedIds.foreach(i =>
+      assert(!ids.contains(i), s"recalled $i still in a community"))
+    val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+    assert(rows.length.toLong === n - Retrieval.GraphDeletedIds.size)
+    rows.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.map(_._3).distinct === Array(members.length.toLong),
+        s"community $lbl size column disagrees with its member count") }
+  }
+
+  test("kcore convergence guard: an under-peeled relation fails loudly; the converged one passes") {
+    // path 0-..-5: the 2-core is EMPTY, but each peel round only strips
+    // the two current endpoints — after 1 round nodes 1..4 still read
+    // in_core with core_deg 1 (node 1's only surviving neighbor is 2).
+    val ids = (0L to 5L).toDF("id")
+    val e = (0L to 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    val under = GraphAnalytics.kcoreConverged(
+      GraphAnalytics.kcorePeel(ids, e, k = 2, rounds = 1), k = 2, rounds = 1)
+    val ex = intercept[Exception] { under.collect() }
+    assert(ex.getMessage.contains("not converged") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not converged")))
+    // 3 rounds reach the (empty-core) fixpoint: the guard is identity
+    val done = GraphAnalytics.kcoreConverged(
+        GraphAnalytics.kcorePeel(ids, e, k = 2, rounds = 3), k = 2, rounds = 3)
+      .as[(Long, Boolean, Option[Long])].collect()
+    assert(done.length === 6 && done.forall(!_._2))
+  }
+
+  test("blastRadiusOf: hop distances from a seed set; an edgeless seed still reads hop 0") {
+    val e = Seq((0L, 1L), (0L, 2L)).toDF("src", "dst")
+    val h0 = Seq(1L, 99L).toDF("id")
+    val got = GraphAnalytics.blastRadiusOf(e, h0)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 99L -> 0, 0L -> 1, 2L -> 2))
+  }
+
   test("pageRank query: full relation over sf0.001, mass ≈ 1, all nodes present") {
     val df = GraphAnalytics.pageRankQ(spark, "/root/testdata/sf0.001")
     val rows = df.as[(Long, Double)].collect()
