@@ -193,7 +193,30 @@ object ScaleBench {
     // |E|-keyed label join, one (dst, label) count and one per-dst
     // argmax window; label diversity shrinks per round but the vote
     // stream stays |E|-bounded, so time must track rows.
-    "graph_communities_scaled")
+    "graph_communities_scaled",
+    // round 17: the KMV-register harmonic sketch next to the exact
+    // reach-set arm above — per hop the state is ≤ k doubles per node
+    // (partial-aggregated, so a hub's fan-in never lands in one task)
+    // and the hop join carries ≤ |E|·k values: row growth is FLAT in N
+    // where harmonic3's reach sets grow with k_deg^h. Time must track
+    // rows with a constant ~k factor.
+    "graph_harmonic_sketch_scaled",
+    // round 17b: the three remaining structure shapes, all integer.
+    // modularity on a FIXED partition (the label column) isolates the
+    // grading pass from the LPA loop graph_communities_scaled already
+    // times: one closure distinct + two label joins + one global agg.
+    // assortativity: one degree count + two |E|-keyed joins + one agg.
+    // blast radius: two |E|-bounded joins from a broadcast 3-row seed —
+    // the seed is scale-constant, so hop rows grow only with degree.
+    "graph_modularity_scaled", "graph_assortativity_scaled",
+    "graph_blast_radius_scaled",
+    // round 17c: the ordered-fold determinism tax, measured — the SAME
+    // loop as graph_pagerank_scaled with orderedFolds = false (plain
+    // partial-aggregated sums, no collect_list, no published order).
+    // The delta vs graph_pagerank_scaled's row is what bit-exact
+    // oracle parity costs per refresh; named queries keep the ordered
+    // default (spec-pinned ≤ 1e-12 relative apart).
+    "graph_pagerank_fast_scaled")
 
   /** Scratch dirs created by scale-only bindings whose output DataFrame
     * reads them lazily — reclaimed at JVM exit. */
@@ -381,6 +404,67 @@ object ScaleBench {
           .localCheckpoint()
         GraphAnalytics.kcorePeel(e.select(col("vec_id").as("id")), edges,
           k = 2, rounds = 4)
+      }),
+      "graph_pagerank_fast_scaled" -> ((s, d) => {
+        import graft.operators.{GraphAnalytics, Search}
+        val e = Tables.embeddings(s, d)
+        val k = math.max(10, (e.count() / 50L).toInt)
+        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
+        val edges = Search.knnGraph(e, col("vec_id"), col("embedding"),
+            cents, k = 3)
+          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+          .localCheckpoint()
+        GraphAnalytics.pageRank(e.select(col("vec_id").as("id")), edges,
+          iters = 3, orderedFolds = false)
+      }),
+      "graph_harmonic_sketch_scaled" -> ((s, d) => {
+        import graft.operators.{GraphAnalytics, Search}
+        val e = Tables.embeddings(s, d)
+        val k = math.max(10, (e.count() / 50L).toInt)
+        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
+        val edges = Search.knnGraph(e, col("vec_id"), col("embedding"),
+            cents, k = 3)
+          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+          .localCheckpoint()
+        GraphAnalytics.harmonicSketch(e.select(col("vec_id").as("id")),
+          edges, k = 16)
+      }),
+      "graph_modularity_scaled" -> ((s, d) => {
+        import graft.operators.{GraphAnalytics, Search}
+        val e = Tables.embeddings(s, d)
+        val k = math.max(10, (e.count() / 50L).toInt)
+        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
+        val edges = Search.knnGraph(e, col("vec_id"), col("embedding"),
+            cents, k = 3)
+          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+          .localCheckpoint()
+        GraphAnalytics.modularityOf(
+          e.select(col("vec_id").as("id"), col("label").as("lbl")), edges)
+      }),
+      "graph_assortativity_scaled" -> ((s, d) => {
+        import graft.operators.{GraphAnalytics, Search}
+        val e = Tables.embeddings(s, d)
+        val k = math.max(10, (e.count() / 50L).toInt)
+        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
+        val edges = Search.knnGraph(e, col("vec_id"), col("embedding"),
+            cents, k = 3)
+          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+          .localCheckpoint()
+        GraphAnalytics.assortativityOf(edges)
+      }),
+      "graph_blast_radius_scaled" -> ((s, d) => {
+        import s.implicits._
+        import graft.operators.{GraphAnalytics, Search}
+        val e = Tables.embeddings(s, d)
+        val k = math.max(10, (e.count() / 50L).toInt)
+        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
+        val edges = Search.knnGraph(e, col("vec_id"), col("embedding"),
+            cents, k = 3)
+          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+          .localCheckpoint()
+        // rep-0 ids — present and identical at both scales
+        GraphAnalytics.blastRadiusOf(edges,
+          graft.operators.Retrieval.GraphDeletedIds.toDF("id"))
       }),
       "graph_quality_scaled" -> ((s, d) => {
         import graft.operators.{Classify, GraphAnalytics, Search}

@@ -133,6 +133,20 @@ object GraphAnalytics {
     * MOSTLY dangling (a heavily-tombstoned graph) or a mega-hub dst
     * never folds more than ~sqrt(N) values in one task.
     *
+    * `orderedFolds = false` is the PRODUCTION FAST PATH: plain
+    * partial-aggregated `sum()` everywhere a float fold runs —
+    * map-side combine, no collect_list, no published order. The values
+    * differ from the ordered spelling only by float association
+    * (GraphAnalyticsSpec pins ≤ 1e-12 relative on the corpus graph),
+    * but they are NOT bit-stable across partitionings, so every
+    * oracle-checked named query keeps the ordered default; the flag
+    * exists for throughput-critical refreshes that tolerate float
+    * noise. The ScaleBench A/B row (`graph_pagerank_fast_scaled` vs
+    * `graph_pagerank_scaled`) measured what it buys: 9.97 → 8.80 s at
+    * the 10× arm (~1.13×) — the edge build dominates the loop, so the
+    * ordered-fold determinism tax is ~12% of the row and below the
+    * 1.3× bar for rewiring any named query.
+    *
     * `edges` and `tvec` are referenced by EVERY round, so Catalyst
     * re-derives their upstream plan per reference. For cheap sources
     * (a parquet edge table, a projection) that is free and beats
@@ -145,7 +159,8 @@ object GraphAnalytics {
     * localCheckpoint is the in-JVM equivalent. */
   private def prIterate(tvec: DataFrame, edges: DataFrame, iters: Int,
       damping: Double, subBuckets: Int, checkpointEvery: Int,
-      weighted: Boolean = false): DataFrame = {
+      weighted: Boolean = false,
+      orderedFolds: Boolean = true): DataFrame = {
     require(iters >= 1, s"pageRank: iters >= 1, got $iters")
     // Conservation contract for ANY input: an edge whose dst falls
     // outside the node set would count in its src's out-degree yet
@@ -170,9 +185,11 @@ object GraphAnalytics {
     // double cast is bit-neutral — Spark's divide casts the long
     // operand anyway), ordered per-src weight fold when weighted.
     val od =
-      if (weighted)
+      if (weighted && orderedFolds)
         orderedSumByKeySized(e, "src", "dst", "w", bDf)
           .select(col("src"), col("sum").as("__od"))
+      else if (weighted)
+        e.groupBy("src").agg(sum(col("w")).as("__od"))
       else e.groupBy("src").agg(count(lit(1)).cast("double").as("__od"))
     val dangling = tvec.select("id")
       .join(od.select(col("src").as("id")), Seq("id"), "left_anti")
@@ -181,19 +198,28 @@ object GraphAnalytics {
       // Σ pr over dangling nodes → one broadcastable row. groupBy().agg
       // on an EMPTY input still yields one row (global agg), whose
       // collect_list is [] and whose fold is 0.0 — no special case.
-      val dm = pr.join(dangling, "id")
-        .crossJoin(broadcast(bDf))
-        .groupBy(pmod(col("id"), col("__b")).as("__bk"))
-        .agg(expr("aggregate(sort_array(collect_list(struct(id, pr))), " +
-          "CAST(0 AS DOUBLE), (acc, e) -> acc + e.pr)").as("__s1"))
-        .agg(expr("aggregate(sort_array(collect_list(struct(__bk, __s1))), " +
-          "CAST(0 AS DOUBLE), (acc, e) -> acc + e.__s1)").as("__dm"))
+      // (Fast path: a plain partial-aggregated sum — coalesce covers
+      // the empty case where sum yields null.)
+      val dm =
+        if (orderedFolds)
+          pr.join(dangling, "id")
+            .crossJoin(broadcast(bDf))
+            .groupBy(pmod(col("id"), col("__b")).as("__bk"))
+            .agg(expr("aggregate(sort_array(collect_list(struct(id, pr))), " +
+              "CAST(0 AS DOUBLE), (acc, e) -> acc + e.pr)").as("__s1"))
+            .agg(expr("aggregate(sort_array(collect_list(struct(__bk, __s1))), " +
+              "CAST(0 AS DOUBLE), (acc, e) -> acc + e.__s1)").as("__dm"))
+        else
+          pr.join(dangling, "id")
+            .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
       val contribs = e.join(od, "src")
         .join(pr.select(col("id").as("src"), col("pr").as("__p")), "src")
         .select(col("dst"), col("src"),
           (if (weighted) col("__p") * col("w") / col("__od")
            else col("__p") / col("__od")).as("__c"))
-      val sums = orderedSumByKeySized(contribs, "dst", "src", "__c", bDf)
+      val sums =
+        if (orderedFolds) orderedSumByKeySized(contribs, "dst", "src", "__c", bDf)
+        else contribs.groupBy("dst").agg(sum(col("__c")).as("sum"))
       pr = tvec
         .join(sums.select(col("dst").as("id"), col("sum").as("__s")), Seq("id"), "left")
         .crossJoin(broadcast(dm))
@@ -216,11 +242,11 @@ object GraphAnalytics {
     * yields an empty result (nothing to rank), not an error. */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
       damping: Double = 0.85, subBuckets: Int = 16,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 0, orderedFolds: Boolean = true): DataFrame = {
     val ids = nodes.select(col("id").cast("long").as("id"))
     val inv = broadcast(ids.agg((lit(1.0) / count(lit(1))).as("__t")))
     prIterate(ids.crossJoin(inv), edges, iters, damping, subBuckets,
-      checkpointEvery)
+      checkpointEvery, orderedFolds = orderedFolds)
   }
 
   /** [[pageRank]] with out-mass split ∝ EDGE WEIGHT instead of
@@ -354,7 +380,7 @@ object GraphAnalytics {
   // graph (k=3 — the same deterministic edge set `knn_graph` checks). //
   // ---------------------------------------------------------------- //
 
-  private val Iters = 3
+  private[operators] val Iters = 3
   private val SeedMod = 5 // vec_id % 5 == 0 → seed (20% trusted labels)
   private val PprSeedLabel = 3 // the "curated sample": all label-3 docs
 
@@ -954,6 +980,88 @@ object GraphAnalytics {
         col("n1") + col("n2") / lit(2.0) + col("n3") / lit(3.0), 6))
   }
 
+  private val SketchK = 16 // graph_harmonic_sketch's published register width
+
+  /** UNBOUNDED-working-set harmonic centrality — the HyperBall
+    * formulation (Boldi & Vigna 2013) of [[harmonic3]], with KMV
+    * bottom-k registers in place of HyperLogLog counters: each node
+    * carries the k smallest md5-uniform hashes of its cumulative reach
+    * set, hop h merges every node's register with its neighbors'
+    * (bottom-k of a union = bottom-k of the parts' bottom-ks — the
+    * [[graft.functions.BottomKAgg]] mergeability), and |R_h| is
+    * estimated as (k−1)/u₍ₖ₎ (Bar-Yossef 2002), EXACT below k where the
+    * register IS the set.
+    *
+    * Why this exists next to the exact form: [[harmonic3]] materializes
+    * cumulative reach SETS — O(N·min(k_deg^h, N)) rows, fine at the
+    * served degree caps (~40/node) but the one structure operator whose
+    * working set explodes on a production k=32 graph (~33k rows/node at
+    * h=3). Here the per-node state is ≤ [[SketchK]] doubles at EVERY
+    * hop and degree: the hop join carries ≤ |E|·k values into map-side
+    * partial buffers (the Aggregator bounds each partial at k — a
+    * mega-hub's fan-in never lands in one task's array), so per-hop row
+    * growth is flat in N — the 100 TB path CommonCrawl-style centrality
+    * actually needs.
+    *
+    * DETERMINISTIC and fully oracle-checked, unlike HLL: the hash is
+    * the repo's md5-uniform and bottom-k-of-a-set is order-free, so
+    * DuckDB replays the registers off the materialized reach sets (tiny
+    * at oracle SF) and every estimate matches bit-for-bit — the
+    * `agg_distinct_kmv` discipline lifted to per-node per-hop state.
+    * Estimates are monotone in h (registers only grow), so the per-ring
+    * differences n̂_h are never negative. Output: (id, n1_est, n2_est,
+    * n3_est, harmonic_est); exact-parity: every node whose true
+    * [[HarmonicHops]]-reach holds < k members reads EXACTLY its
+    * [[harmonic3]] row (the spec pins it at k ≥ corpus reach). */
+  def harmonicSketch(nodes: DataFrame, edges: DataFrame,
+      k: Int = SketchK): DataFrame = {
+    require(k >= 2, s"harmonicSketch: k >= 2, got $k")
+    val ids = nodes.select(col("id").cast("long").as("id"))
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    val und = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .localCheckpoint(eager = false)
+    val bk = graft.functions.BottomKAgg.bottomKDistinct(k)
+    // register state as exploded (id, u) pairs — ≤ k rows per node
+    var pairs = ids.select(col("id"),
+      graft.functions.HashFunctions.md5UniformOpen(col("id")).as("u"))
+    val ests = (1 to HarmonicHops).map { h =>
+      val regs = pairs.unionByName(
+          pairs.select(col("id").as("src"), col("u"))
+            .join(und, "src").select(col("dst").as("id"), col("u")))
+        .groupBy("id").agg(bk(col("u")).as("reg"))
+        .localCheckpoint(eager = false) // referenced by est AND next hop
+      pairs = regs.select(col("id"), explode(col("reg")).as("u"))
+      // m < k ⇒ the register is the whole reach set: exact count.
+      // Saturated ⇒ the KMV estimator off the k-th minimum.
+      regs.select(col("id"),
+        when(size(col("reg")) < k, size(col("reg")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) / element_at(col("reg"), -1))
+          .as(s"__e$h"))
+    }
+    ests.reduceLeft((a, b) => a.join(b, "id"))
+      .select(col("id"),
+        round(col("__e1") - lit(1.0), 6).as("n1_est"),
+        round(col("__e2") - col("__e1"), 6).as("n2_est"),
+        round(col("__e3") - col("__e2"), 6).as("n3_est"),
+        round((col("__e1") - lit(1.0)) + (col("__e2") - col("__e1")) / lit(2.0)
+          + (col("__e3") - col("__e2")) / lit(3.0), 6).as("harmonic_est"))
+  }
+
+  /** [[harmonicQ]]'s sketch twin over the same kNN graph — the same
+    * rings through [[SketchK]]-wide registers, served beside the exact
+    * row so the two relations diff directly (nodes with reach < k match
+    * exactly; saturated nodes carry the self-graded estimator). */
+  def harmonicSketchQ(s: SparkSession, d: String): DataFrame =
+    harmonicSketch(Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        knnEdges(s, d), k = SketchK)
+      .select(col("id").as("vec_id"), col("n1_est"), col("n2_est"),
+        col("n3_est"), col("harmonic_est"))
+      .orderBy("vec_id")
+
   /** Synchronous label-propagation COMMUNITY detection (Raghavan et al.
     * 2007), `iters` fixed rounds: every node starts as its own label
     * and each round adopts the (count desc, label asc) argmax over its
@@ -1177,6 +1285,55 @@ object GraphAnalytics {
       .select(col("id"), col("lbl"), col("comm_size"))
   }
 
+  /** (live nodes, live stored edges) of a (possibly tombstoned) at-rest
+    * graph layout — the shared Tombstones discipline of every `_del`
+    * query: recalled ids leave the node set and NEITHER direction of
+    * their edges conducts. */
+  private def layoutLive(s: SparkSession, nodes: DataFrame,
+      idxDir: String): (DataFrame, DataFrame) = {
+    import graft.sources.Tombstones
+    val live = Tombstones.dropDeleted(
+      nodes.select(col("id").cast("long").as("id")), col("id"), idxDir)
+    val e0 = Tombstones.dropDeleted(
+      Tombstones.dropDeleted(
+        s.read.parquet(s"$idxDir/edges")
+          .select(col("__vid").as("src"), col("nbr_id").as("dst")),
+        col("src"), idxDir),
+      col("dst"), idxDir)
+    (live, e0)
+  }
+
+  /** Takedown-aware k-core — [[kcoreQ]]'s semantics over the TOMBSTONED
+    * layout: a recalled doc stops corroborating its neighbors, so a
+    * node whose ≥ k support ran through it honestly peels out of the
+    * core (the cohesion face of a takedown, next to
+    * [[componentsDelQ]]'s connectivity face and [[communitiesDelQ]]'s
+    * density face). Same convergence guard as the clean query. */
+  def kcoreDelQ(s: SparkSession, d: String): DataFrame = {
+    val (live, e0) = layoutLive(s,
+      Tables.embeddings(s, d).select(col("vec_id").as("id")),
+      s"${Retrieval.graphDelIdxDir(s, d)}/idx")
+    kcoreConverged(kcorePeel(live, e0, k = CoreK, rounds = PeelRounds),
+        k = CoreK, rounds = PeelRounds)
+      .select(col("id").as("vec_id"), col("in_core"), col("core_deg"))
+      .orderBy("vec_id")
+  }
+
+  /** Takedown-aware harmonic centrality — [[harmonicQ]] over the
+    * TOMBSTONED layout: distances through a recalled doc honestly grow
+    * (a ring-2 neighbor reached via the deleted bridge leaves the
+    * ring), so the centrality signal stops counting reach that no
+    * longer exists. */
+  def harmonicDelQ(s: SparkSession, d: String): DataFrame = {
+    val (live, e0) = layoutLive(s,
+      Tables.embeddings(s, d).select(col("vec_id").as("id")),
+      s"${Retrieval.graphDelIdxDir(s, d)}/idx")
+    harmonic3(live, e0)
+      .select(col("id").as("vec_id"), col("n1"), col("n2"), col("n3"),
+        col("harmonic"))
+      .orderBy("vec_id")
+  }
+
   private val CoreK = 2 // the published core order of graph_kcore
   private val PeelRounds = 4 // fixed peel count (converged at test SFs)
 
@@ -1286,7 +1443,10 @@ object GraphAnalytics {
     "graph_components_del" -> componentsDelQ,
     "graph_components_append" -> componentsAppendQ,
     "graph_kcore" -> kcoreQ,
+    "graph_kcore_del" -> kcoreDelQ,
     "graph_harmonic" -> harmonicQ,
+    "graph_harmonic_del" -> harmonicDelQ,
+    "graph_harmonic_sketch" -> harmonicSketchQ,
     "graph_assortativity" -> assortativityQ,
     "graph_communities" -> communitiesQ,
     "graph_communities_del" -> communitiesDelQ,
@@ -1516,8 +1676,10 @@ object GraphAnalytics {
 
   /** The unrolled [[PeelRounds]]-round [[CoreK]]-core peel: per round a
     * degree count within the surviving set and a >= k filter — integer
-    * end to end, the exact loop the Spark side runs. */
-  private lazy val kcoreCtes: String = {
+    * end to end, the exact loop the Spark side runs. `nodesSql` yields
+    * (id); the closure is restricted to it on both endpoints. Ends in
+    * `knodes`, `kc$PeelRounds` (the survivors) and `kcd (id, core_deg)`. */
+  private def kcoreCtesOn(nodesSql: String, edges: String): String = {
     val peels = (1 to PeelRounds).map { i =>
       val p = if (i == 1) "kc0" else s"kc${i - 1}"
       s"""kd$i AS (SELECT e.src AS id, count(*) AS dg FROM kund e
@@ -1525,16 +1687,24 @@ object GraphAnalytics {
            GROUP BY e.src),
          kc$i AS (SELECT id FROM kd$i WHERE dg >= $CoreK)"""
     }.mkString(",\n")
-    s"""$edgeCtes,
+    s"""$edges,
+       knodes AS ($nodesSql),
        kund AS (SELECT src, dst FROM gedges WHERE src <> dst
-         UNION SELECT dst, src FROM gedges WHERE src <> dst),
-       kc0 AS (SELECT vec_id AS id FROM embeddings),
+           AND src IN (SELECT id FROM knodes)
+           AND dst IN (SELECT id FROM knodes)
+         UNION SELECT dst, src FROM gedges WHERE src <> dst
+           AND src IN (SELECT id FROM knodes)
+           AND dst IN (SELECT id FROM knodes)),
+       kc0 AS (SELECT id FROM knodes),
        $peels,
        kcd AS (SELECT e.src AS id, count(*) AS core_deg FROM kund e
          JOIN kc$PeelRounds a ON a.id = e.src
          JOIN kc$PeelRounds b ON b.id = e.dst
          GROUP BY e.src)"""
   }
+
+  private lazy val kcoreCtes: String =
+    kcoreCtesOn("SELECT vec_id AS id FROM embeddings", edgeCtes)
 
   /** The unrolled unclamped-LPA rounds: identity labels, per-round
     * (count desc, label asc) argmax, keep-own on no votes. Ends in
@@ -1565,6 +1735,65 @@ object GraphAnalytics {
 
   private lazy val communityCtes: String =
     communityCtesOn("SELECT vec_id AS id FROM embeddings", edgeCtes)
+
+  /** Three unrolled cumulative-reach expansions over the undirected
+    * closure restricted to `nodesSql`'s (id) rows — ends in `hnodes`,
+    * `hr1..hr3` (the reach sets) and `hs1..hs3` (their sizes). Shared
+    * by the exact, sketch, and takedown harmonic oracles. */
+  private def harmonicCtesOn(nodesSql: String, edges: String): String =
+    s"""$edges,
+       hnodes AS ($nodesSql),
+       hund AS (SELECT src, dst FROM gedges
+           WHERE src IN (SELECT id FROM hnodes)
+             AND dst IN (SELECT id FROM hnodes)
+         UNION SELECT dst, src FROM gedges
+           WHERE src IN (SELECT id FROM hnodes)
+             AND dst IN (SELECT id FROM hnodes)),
+       hr0 AS (SELECT id, id AS m FROM hnodes),
+       hr1 AS (SELECT id, m FROM hr0
+         UNION SELECT r.id, e.dst FROM hr0 r JOIN hund e ON e.src = r.m),
+       hr2 AS (SELECT id, m FROM hr1
+         UNION SELECT r.id, e.dst FROM hr1 r JOIN hund e ON e.src = r.m),
+       hr3 AS (SELECT id, m FROM hr2
+         UNION SELECT r.id, e.dst FROM hr2 r JOIN hund e ON e.src = r.m),
+       hs1 AS (SELECT id, count(*) AS s1 FROM hr1 GROUP BY id),
+       hs2 AS (SELECT id, count(*) AS s2 FROM hr2 GROUP BY id),
+       hs3 AS (SELECT id, count(*) AS s3 FROM hr3 GROUP BY id)"""
+
+  /** The exact three-ring harmonic read off `hs1..hs3`. */
+  private val harmonicSelectSql: String =
+    s"""SELECT id AS vec_id, s1 - 1 AS n1, s2 - s1 AS n2, s3 - s2 AS n3,
+           round((s1 - 1) + (s2 - s1) / 2.0 + (s3 - s2) / 3.0, 6)
+             AS harmonic
+         FROM hs1 JOIN hs2 USING (id) JOIN hs3 USING (id)
+         ORDER BY vec_id"""
+
+  /** The KMV-register estimates off the same reach sets: bottom-k
+    * distinct md5-uniform hashes per (node, hop), then exact-below-k /
+    * (k−1)/u_k — [[harmonicSketch]]'s published estimator. */
+  private def harmonicSketchSelectSql(k: Int): String = {
+    val hexU = Curation.hexUSql
+    val per = (1 to 3).map { h =>
+      s"""hu$h AS (SELECT DISTINCT id,
+             (CAST($hexU AS DOUBLE) + 0.5) / 4294967296.0 AS u
+           FROM (SELECT id, substr(md5(CAST(m AS VARCHAR)), 1, 8) AS h
+                 FROM hr$h)),
+         hk$h AS (SELECT id, count(*) AS m, max(u) AS uk FROM (
+             SELECT id, u, row_number() OVER (PARTITION BY id
+               ORDER BY u) AS rn FROM hu$h) WHERE rn <= $k GROUP BY id),
+         he$h AS (SELECT id, CASE WHEN m < $k THEN CAST(m AS DOUBLE)
+             ELSE ${k - 1}.0 / uk END AS est FROM hk$h)"""
+    }.mkString(",\n")
+    s"""$per
+         SELECT e1.id AS vec_id,
+           round(e1.est - 1.0, 6) AS n1_est,
+           round(e2.est - e1.est, 6) AS n2_est,
+           round(e3.est - e2.est, 6) AS n3_est,
+           round((e1.est - 1.0) + (e2.est - e1.est) / 2.0
+             + (e3.est - e2.est) / 3.0, 6) AS harmonic_est
+         FROM he1 e1 JOIN he2 e2 USING (id) JOIN he3 e3 USING (id)
+         ORDER BY vec_id"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql,
@@ -1716,24 +1945,29 @@ object GraphAnalytics {
     // three unrolled cumulative-reach expansions, then the fixed
     // three-term harmonic sum (bit-parity needs no fold discipline)
     "graph_harmonic" ->
-      s"""WITH $edgeCtes,
-         hund AS (SELECT src, dst FROM gedges
-           UNION SELECT dst, src FROM gedges),
-         hr0 AS (SELECT vec_id AS id, vec_id AS m FROM embeddings),
-         hr1 AS (SELECT id, m FROM hr0
-           UNION SELECT r.id, e.dst FROM hr0 r JOIN hund e ON e.src = r.m),
-         hr2 AS (SELECT id, m FROM hr1
-           UNION SELECT r.id, e.dst FROM hr1 r JOIN hund e ON e.src = r.m),
-         hr3 AS (SELECT id, m FROM hr2
-           UNION SELECT r.id, e.dst FROM hr2 r JOIN hund e ON e.src = r.m),
-         hs1 AS (SELECT id, count(*) AS s1 FROM hr1 GROUP BY id),
-         hs2 AS (SELECT id, count(*) AS s2 FROM hr2 GROUP BY id),
-         hs3 AS (SELECT id, count(*) AS s3 FROM hr3 GROUP BY id)
-         SELECT id AS vec_id, s1 - 1 AS n1, s2 - s1 AS n2, s3 - s2 AS n3,
-           round((s1 - 1) + (s2 - s1) / 2.0 + (s3 - s2) / 3.0, 6)
-             AS harmonic
-         FROM hs1 JOIN hs2 USING (id) JOIN hs3 USING (id)
-         ORDER BY vec_id""",
+      s"""WITH ${harmonicCtesOn(
+           "SELECT vec_id AS id FROM embeddings", edgeCtes)}
+         $harmonicSelectSql""",
+    // takedown replay: the refined pyramid MINUS the recalled ids,
+    // live nodes only — distances through a deleted doc honestly grow
+    // (a ring-2 neighbor via the recalled bridge leaves the ring)
+    "graph_harmonic_del" ->
+      s"""WITH ${harmonicCtesOn(
+           s"SELECT vec_id AS id FROM embeddings WHERE vec_id NOT IN $delIdsSql",
+           delEdgeCtes)}
+         $harmonicSelectSql""",
+    // the sketch replay rides the SAME materialized reach sets as
+    // graph_harmonic (tiny at oracle SF): per (node, hop) the bottom-k
+    // distinct md5-uniform hashes of the reach members — bottom-k of a
+    // union equals bottom-k of the set, so the register DuckDB takes
+    // directly off R_h is exactly what Spark's hop-merged Aggregator
+    // holds — then the same (k-1)/uk-or-exact estimate and the same
+    // fixed-order ring arithmetic. Bit parity with ZERO tolerance: this
+    // sketch is oracle-checked, not a rows-only meter.
+    "graph_harmonic_sketch" ->
+      s"""WITH ${harmonicCtesOn(
+           "SELECT vec_id AS id FROM embeddings", edgeCtes)},
+         ${harmonicSketchSelectSql(SketchK)}""",
     // unclamped synchronous LPA, unrolled — identity labels in,
     // (count desc, label asc) argmax per round, keep-own on no votes
     "graph_communities" ->
@@ -1791,6 +2025,16 @@ object GraphAnalytics {
          SELECT n.vec_id, (k.id IS NOT NULL) AS in_core, kcd.core_deg
          FROM embeddings n LEFT JOIN kc$PeelRounds k ON k.id = n.vec_id
          LEFT JOIN kcd ON kcd.id = n.vec_id
+         ORDER BY vec_id""",
+    // takedown replay: the refined pyramid MINUS the recalled ids, the
+    // same unrolled peel — support through a deleted doc stops counting
+    "graph_kcore_del" ->
+      s"""WITH ${kcoreCtesOn(
+           s"SELECT vec_id AS id FROM embeddings WHERE vec_id NOT IN $delIdsSql",
+           delEdgeCtes)}
+         SELECT n.id AS vec_id, (k.id IS NOT NULL) AS in_core, kcd.core_deg
+         FROM knodes n LEFT JOIN kc$PeelRounds k ON k.id = n.id
+         LEFT JOIN kcd ON kcd.id = n.id
          ORDER BY vec_id""",
     // the refined-layout pyramid (as graph_pagerank_refined), then two
     // unrolled hop expansions from the recalled seed ids

@@ -268,6 +268,8 @@ object Retrieval {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val graphAppendCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val graphStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
@@ -279,6 +281,7 @@ object Retrieval {
       graphCache.values.forEach { dir => rm(new java.io.File(dir)) }
       graphDelCache.values.forEach { dir => rm(new java.io.File(dir)) }
       graphAppendCache.values.forEach { dir => rm(new java.io.File(dir)) }
+      graphStatsCache.values.forEach { dir => rm(new java.io.File(dir)) }
     }))
   }
 
@@ -655,6 +658,52 @@ object Retrieval {
         col("vec_id"), s"$tmp/idx")
       tmp
     })
+
+  /** Buckets of the graph-stats read store — the layout families' 32. */
+  private val GraphStatsBuckets = 32L
+
+  /** Per-JVM at-rest graph-ANALYTICS read store: (id, pr, community,
+    * comm_size) bucket-partitioned by id — PageRank and unclamped-LPA
+    * communities derived ONCE from the clean stored graph layout
+    * ([[graphIdxDir]]'s edges, [[GraphAnalytics.Iters]] rounds, the
+    * exact published loops of `graph_pagerank_refined` /
+    * `graph_communities`), then every serving read is a
+    * partition-pruned point lookup. This is the SRS's "suggest similar
+    * + quality signals" flow closed: search modes serve neighbors, this
+    * store serves the per-doc corpus-position signals (centrality =
+    * label-free quality prior, community = topic-ish grouping) without
+    * re-running a propagation loop per request — the 100 TB shape where
+    * centrality refreshes are batch jobs and reads are index lookups. */
+  private[operators] def graphStatsDir(s: SparkSession, d: String): String =
+    graphStatsCache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_graph_stats").toString
+      val idx = s"${graphIdxDir(s, d)}/idx"
+      val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+      val pr = GraphAnalytics.pageRank(nodes,
+        s.read.parquet(s"$idx/edges")
+          .select(col("__vid").as("src"), col("nbr_id").as("dst")),
+        iters = GraphAnalytics.Iters)
+      val cm = GraphAnalytics.communitiesOverLayout(s, nodes, idx,
+        GraphAnalytics.Iters)
+      pr.join(cm, "id")
+        .select(col("id"), col("pr"), col("lbl").as("community"),
+          col("comm_size"))
+        .withColumn("bkt",
+          pmod(col("id"), lit(GraphStatsBuckets)).cast("int"))
+        .write.partitionBy("bkt").parquet(s"$tmp/stats")
+      tmp
+    })
+
+  /** Point read over [[graphStatsDir]]: one doc's graph signals, the
+    * partition carrying its bucket the only one opened. */
+  private[operators] def graphStatsRead(s: SparkSession, d: String,
+      id: Long): DataFrame =
+    s.read.parquet(s"${graphStatsDir(s, d)}/stats")
+      .filter(col("bkt") ===
+        java.lang.Math.floorMod(id, GraphStatsBuckets).toInt &&
+        col("id") === id)
+      .select(col("id").as("vec_id"), round(col("pr"), 9).as("pr"),
+        col("community"), col("comm_size"))
 
   /** The increment for the graph-maintenance arm: two vec_ids present
     * at every sf (ids are dense from 0), disjoint from
@@ -1164,7 +1213,7 @@ object Retrieval {
     * of the same engines. `queryImageId` selects which image supplies the
     * query vectors (the "uploaded image" analog). */
   case class SearchRequest(
-      mode: String, // whole|segment|hybrid|tags|lexical|rrf|mmr|maxsim|fuzzy|mlt|graph
+      mode: String, // whole|segment|hybrid|tags|lexical|rrf|mmr|maxsim|fuzzy|mlt|graph|centrality
       k: Int = 10,
       queryImageId: Long = 0L,
       tags: Seq[String] = Nil,
@@ -1250,9 +1299,13 @@ object Retrieval {
               .select(col("embedding").as("qv")),
             k = req.k, beam = 32, hops = 3, buckets = 32)
           .select(col("id").as("vec_id"), col("score"))
+      case "centrality" => // beyond-reference: per-doc graph signals read
+        // (point lookup over the at-rest stats store — PageRank +
+        // community of query_image_id, no propagation loop per request)
+        graphStatsRead(s, d, req.queryImageId)
       case other => throw new IllegalArgumentException(
         s"unknown search mode '$other' (expected whole|segment|hybrid|tags|" +
-          "lexical|rrf|mmr|maxsim|fuzzy|mlt|graph)")
+          "lexical|rrf|mmr|maxsim|fuzzy|mlt|graph|centrality)")
     }
   }
 

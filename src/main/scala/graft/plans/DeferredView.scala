@@ -27,11 +27,20 @@ import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
   * DataFrame — the per-(JVM, sfDir) index caches keep the heavy lifting
   * build-once exactly as before.
   *
-  * The trade: a deferred view is an optimization BARRIER (a filter on
-  * top of `SELECT * FROM knn_whole` no longer pushes into the
-  * underlying scan). Every named query is a final, ranked, small result
-  * relation — the barrier costs nothing there, and callers who want
-  * composable plans call the library functions directly, which is what
+  * The trade: an UNBUILT deferred view is an optimization BARRIER (a
+  * filter on top of `SELECT * FROM knn_whole` cannot push into a scan
+  * whose plan does not exist yet). The barrier is TEMPORARY: the
+  * moment a build produces the concrete DataFrame, [[register]]'s
+  * thunk re-registers the view with the BUILT analyzed plan (the same
+  * stored-plan temp-view shape `CREATE VIEW` produces), so every LATER
+  * query composes with the real plan — predicate pushdown, column
+  * pruning and broadcast sizing all come back (RegistrationSpec pins
+  * PushedFilters reaching the parquet scan through a built view). The
+  * query that triggered the build still runs through the opaque leaf —
+  * correct, just unoptimized across the view boundary — and every
+  * named query is a final, ranked, small relation, so that one-query
+  * cost is noise. Callers who want composable plans on the FIRST touch
+  * call the library functions directly, which is what
   * Bench/Verify/Serving do.
   */
 object DeferredView {
@@ -47,11 +56,21 @@ object DeferredView {
   }
 
   /** Register `thunk` as temp view `name`, construction deferred to the
-    * first query that resolves the view. */
+    * first query that resolves the view. On build, the catalog entry is
+    * REPLACED with the built frame's analyzed plan (pass-through): the
+    * resolution that is forcing the build keeps its opaque leaf, every
+    * later resolution composes with the concrete plan and the optimizer
+    * sees through the view again. Re-registering the same name resets
+    * to a fresh deferred node (overrideIfExists) — the rebuild-on-
+    * re-register semantics the per-sfDir caches rely on. */
   def register(s: SparkSession, name: String)(thunk: => DataFrame): Unit = {
     install(s)
     GraftSqlShim.registerTempView(s, name,
-      DeferredViewNode(name, new Body(name, () => thunk)))
+      DeferredViewNode(name, new Body(name, () => {
+        val df = thunk
+        GraftSqlShim.registerTempView(s, name, GraftSqlShim.analyzed(df))
+        df
+      })))
   }
 
   /** Idempotently add the planning strategy to the session. */

@@ -30,6 +30,12 @@ object GraftSqlShim {
   def experimental(s: SparkSession): ExperimentalMethods =
     classicSession(s).experimental
 
+  /** A DataFrame's analyzed logical plan — what a stored-plan temp view
+    * keeps, and what the deferred-view pass-through re-registers once a
+    * build has produced the concrete frame. */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
   /** Register `plan` as a temp view WITHOUT analyzing it (the
     * `createOrReplaceTempView` path analyzes eagerly, which would force
     * a deferred leaf to resolve its schema — and so run its builds — at

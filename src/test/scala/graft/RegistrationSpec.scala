@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions.col
 
 /** Pins the deferred-view registration contract
   * ([[graft.plans.DeferredView]] / [[SparkEntry.registerQueryViews]]):
@@ -79,6 +80,30 @@ class RegistrationSpec extends SparkSpec {
     val r1 = spark.sql("SELECT * FROM knn_whole ORDER BY vec_id").collect().toSeq
     val r2 = spark.sql("SELECT * FROM knn_whole ORDER BY vec_id").collect().toSeq
     assert(r1 === r2)
+  }
+
+  test("built views pass through: a later filter reaches the parquet scan as a pushed filter") {
+    val d = "/root/testdata/sf0.001"
+    SparkEntry.registerQueryViews(spark, d)
+    // first touch builds the view (through the opaque leaf) and
+    // re-registers the concrete analyzed plan under the same name
+    assert(spark.sql("SELECT * FROM etl_prefix_split").count() > 0)
+    // later queries compose with the REAL plan: the predicate must
+    // travel through the view's sort/project into the parquet scan
+    val q = spark.sql("SELECT * FROM etl_prefix_split WHERE doc_id = 42")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(!physical.contains("DeferredView"),
+      "built view still plans through the opaque leaf:\n" + physical)
+    assert(physical.contains("PushedFilters") &&
+      physical.replaceAll("\\s", "").contains("EqualTo(doc_id,42)"),
+      "doc_id = 42 did not reach the scan's PushedFilters:\n" + physical)
+    // and the pass-through plan serves the same rows as the library call
+    val direct = SparkEntry.queries("etl_prefix_split")(spark, d)
+      .filter(col("doc_id") === 42).collect().toSeq
+    assert(q.collect().toSeq === direct)
+    // an UNBUILT sibling still registers lazily and keeps its barrier
+    // (nothing here forced it); re-register for later suites
+    SparkEntry.registerQueryViews(spark, d)
   }
 
   test("a failed construction surfaces at the first query, not as a silently missing view") {

@@ -40,6 +40,21 @@ class ServingSpec extends SparkSpec {
     assert(ids === direct)
   }
 
+  test("handle: centrality mode serves one doc's graph signals through the knobs") {
+    val out = Serving.handle(spark, d,
+      """{"mode":"centrality","query_image_id":42}""")
+    val parsed = JsonMethods.parse(out)
+    assert((parsed \ "mode") === JString("centrality"))
+    val results = (parsed \ "results").asInstanceOf[JArray].arr
+    assert(results.size === 1)
+    assert((results.head \ "vec_id") === JInt(42))
+    val direct = Retrieval.run(spark, d,
+        Retrieval.SearchRequest("centrality", queryImageId = 42L))
+      .toJSON.collect().toList
+    assert(results.map(JsonMethods.compact(_)) ===
+      direct.map(j => JsonMethods.compact(JsonMethods.parse(j))))
+  }
+
   test("handle: tags mode via comma string; errors come back as JSON") {
     val out = Serving.handle(spark, d,
       """{"mode":"tags","tags":"lbl_2","top_k":3,"min_conf":0.0}""")

@@ -764,6 +764,30 @@ class GraphAnalyticsSpec extends SparkSpec {
         s"community $lbl size column disagrees with its member count") }
   }
 
+  test("graph_kcore_del / graph_harmonic_del: recalled ids leave; support and reach stop counting") {
+    val d = "/root/testdata/sf0.001"
+    val kc = GraphAnalytics.kcoreDelQ(spark, d)
+      .as[(Long, Boolean, Option[Long])].collect()
+    val hm = GraphAnalytics.harmonicDelQ(spark, d)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+    Seq(kc.map(_._1), hm.map(_._1)).foreach { ids =>
+      assert(ids.length.toLong === n - Retrieval.GraphDeletedIds.size)
+      Retrieval.GraphDeletedIds.foreach(i =>
+        assert(!ids.contains(i), s"recalled $i still served")) }
+    // the takedown is visible in the signals, not just the row count:
+    // some survivor's harmonic shrinks vs the clean layout (reach
+    // through a recalled doc no longer counts)
+    val clean = GraphAnalytics.harmonic3(
+        spark.read.parquet(s"$d/embeddings.parquet").select($"vec_id".as("id")),
+        spark.read.parquet(s"${Retrieval.graphIdxDir(spark, d)}/idx/edges")
+          .select($"__vid".as("src"), $"nbr_id".as("dst")))
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(hm.exists { case (id, _, _, _, h) => h < clean(id) },
+      "no survivor's centrality changed — the takedown left no trace")
+  }
+
   test("kcore convergence guard: an under-peeled relation fails loudly; the converged one passes") {
     // path 0-..-5: the 2-core is EMPTY, but each peel round only strips
     // the two current endpoints — after 1 round nodes 1..4 still read
@@ -788,6 +812,86 @@ class GraphAnalyticsSpec extends SparkSpec {
     val got = GraphAnalytics.blastRadiusOf(e, h0)
       .as[(Long, Int)].collect().toMap
     assert(got === Map(1L -> 0, 99L -> 0, 0L -> 1, 2L -> 2))
+  }
+
+  test("harmonicSketch: exact parity with harmonic3 below k — synthetic graph and served corpus rows") {
+    // path 0-1-2-3-4-5 with k = 64: no register ever saturates, so the
+    // sketch relation must equal the exact relation column for column
+    val pids = (0L to 5L).toDF("id")
+    val pe = (0L to 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    val exact = GraphAnalytics.harmonic3(pids, pe)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2.toDouble, r._3.toDouble, r._4.toDouble, r._5)))
+      .toMap
+    val sk = GraphAnalytics.harmonicSketch(pids, pe, k = 64)
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(sk === exact)
+    // served query vs served exact query on the corpus graph: every
+    // sf0.001 reach saturates the k = 16 registers (reach ≥ 16
+    // everywhere — the estimator path, not the exact one), so grade the
+    // estimates against the exact relation: KMV at k = 16 carries
+    // ~1/√14 ≈ 27% expected per-ring error; assert the DETERMINISTIC
+    // corpus-mean harmonic error sits well inside it and no node is
+    // wild. (Bit-parity vs DuckDB is the oracle's job; this pins that
+    // the estimates mean what they claim vs ground truth.)
+    val d = "/root/testdata/sf0.001"
+    val ex = GraphAnalytics.harmonicQ(spark, d)
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r._5).toMap
+    val sq = GraphAnalytics.harmonicSketchQ(spark, d)
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    val rel = ex.collect { case (id, h) if h > 0 =>
+      math.abs(sq(id) - h) / h }.toSeq
+    assert(rel.nonEmpty && rel.sum / rel.size < 0.30,
+      f"mean harmonic rel err ${rel.sum / rel.size}%.3f exceeds the KMV envelope")
+    assert(rel.max < 1.5, f"worst-node rel err ${rel.max}%.3f is wild")
+  }
+
+  test("harmonicSketch: saturated registers estimate within the KMV error envelope; deterministic") {
+    // star: hub 0 + 40 leaves — the hub's 1-hop reach is 41 > k = 8,
+    // so its register saturates and the estimate path runs. KMV with
+    // k = 8 has ~1/sqrt(k-2) ≈ 40% expected error; assert a loose 3x
+    // envelope (the estimator is deterministic, so this can't flake).
+    val ids = (0L to 40L).toDF("id")
+    val e = (1L to 40L).map(i => (0L, i)).toDF("src", "dst")
+    val sk = GraphAnalytics.harmonicSketch(ids, e, k = 8)
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(sk(0L) > 40.0 * 0.25 && sk(0L) < 40.0 * 4.0,
+      s"hub n1_est ${sk(0L)} outside the loose KMV envelope around 40")
+    // a leaf's 1-ring is exactly the hub (reach 2 < k): exact path
+    assert(sk(1L) === 1.0)
+    val again = GraphAnalytics.harmonicSketch(ids, e, k = 8)
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(again === sk) // replayable: no RNG, no partitioning dependence
+  }
+
+  test("pageRank fast path (plain sums): ≤ 1e-12 relative vs the ordered folds; mass conserved") {
+    // the production fast path trades the published fold order for
+    // map-side-combined plain sums — same math, float association only
+    val d = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val ids = emb.select($"vec_id".as("id"))
+    // a deterministic synthetic edge mix with dangling nodes: ring
+    // edges + a hub, over the corpus ids
+    val e = ids.filter($"id" % 3 =!= 0)
+      .select($"id".as("src"), (($"id" * 7 + 13) % 500).as("dst"))
+      .unionByName(ids.filter($"id" % 5 === 0)
+        .select($"id".as("src"), lit(0L).as("dst")))
+      .distinct()
+    val slow = GraphAnalytics.pageRank(ids, e, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    val fast = GraphAnalytics.pageRank(ids, e, iters = 3,
+        orderedFolds = false)
+      .as[(Long, Double)].collect().toMap
+    assert(fast.keySet === slow.keySet)
+    fast.foreach { case (id, p) =>
+      val s0 = slow(id)
+      assert(math.abs(p - s0) <= 1e-12 * math.max(math.abs(s0), 1e-300),
+        s"node $id fast $p vs ordered $s0 exceeds 1e-12 relative") }
+    assert(math.abs(fast.values.sum - 1.0) < 1e-9)
   }
 
   test("pageRank query: full relation over sf0.001, mass ≈ 1, all nodes present") {

@@ -176,6 +176,38 @@ class RetrievalRunSpec extends SparkSpec {
     assert(other !== got, "the source-doc knob is live")
   }
 
+  test("centrality mode: point-read equals the oracle-checked refined ranking; partition-pruned; knob live") {
+    val got = Retrieval.run(spark, d,
+        SearchRequest("centrality", queryImageId = 42L))
+      .as[(Long, Double, Long, Long)].collect().toSeq
+    assert(got.size === 1 && got.head._1 === 42L)
+    // pr must equal graph_pagerank_refined's row — same stored edges,
+    // same published loop, same round(9)
+    val wantPr = GraphAnalytics.pageRankRefinedQ(spark, d)
+      .filter(col("vec_id") === 42L).as[(Long, Double)].head()._2
+    assert(got.head._2 === wantPr)
+    // community/size must equal the layout-served partition at the same
+    // rounds, and the size must count its members
+    val cm = GraphAnalytics.communitiesOverLayout(spark,
+        spark.read.parquet(s"$d/embeddings.parquet").select(col("vec_id").as("id")),
+        s"${Retrieval.graphIdxDir(spark, d)}/idx", GraphAnalytics.Iters)
+      .as[(Long, Long, Long)].collect()
+    val want = cm.find(_._1 == 42L).get
+    assert((got.head._3, got.head._4) === ((want._2, want._3)))
+    // the read is a point lookup: only the one bucket's partition scans
+    val scan = Retrieval.run(spark, d,
+      SearchRequest("centrality", queryImageId = 42L))
+    val pf = scan.queryExecution.executedPlan.toString
+    assert(pf.contains("PartitionFilters") && pf.contains("bkt"),
+      "centrality read should partition-prune on the bucket:\n" + pf)
+    // the id knob is live
+    val other = Retrieval.run(spark, d,
+        SearchRequest("centrality", queryImageId = 7L))
+      .as[(Long, Double, Long, Long)].collect().toSeq
+    assert(other.head._1 === 7L)
+    assert(other !== got)
+  }
+
   test("graph mode: serves from the at-rest index, equals the named query for the default query vector") {
     val got = Retrieval.run(spark, d,
         SearchRequest("graph", k = 10, queryImageId = 0L))
