@@ -560,6 +560,23 @@ object GraphAnalytics {
       .select(col("id").as("vec_id"), round(col("pr"), 9).as("pr"))
       .orderBy("vec_id")
 
+  /** Cosine-weighted centrality over the PRODUCTION graph —
+    * [[pageRankWQ]]'s at-rest twin, closing the teleport/weight matrix
+    * over the stored layout (plain/ppr/weighted now all have `_refined`
+    * arms): the NN-Descent edge WEIGHTS ride the layout (the `cos`
+    * column [[Search.writeGraphIndex]] stores when the builder has it),
+    * so the refresh reads (src, dst, cos) — still no vectors, no
+    * kmeans/NN-Descent re-run — and splits out-mass ∝ the calibrated
+    * (cos+1)/2 exactly as the in-plan twin does. */
+  def pageRankWRefinedQ(s: SparkSession, d: String): DataFrame =
+    weightedPageRank(Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        s.read.parquet(s"${Retrieval.graphIdxDir(s, d)}/idx/edges")
+          .select(col("__vid").as("src"), col("nbr_id").as("dst"),
+            ((col("cos") + lit(1.0)) / lit(2.0)).as("w")),
+        iters = Iters)
+      .select(col("id").as("vec_id"), round(col("pr"), 9).as("pr"))
+      .orderBy("vec_id")
+
   /** Centrality refresh over the INCREMENTALLY MAINTAINED layout
     * ([[Retrieval.graphAppendDir]] — base built from the
     * all-but-increment slice, two rows inserted via beam-searched
@@ -1425,6 +1442,7 @@ object GraphAnalytics {
     "graph_pagerank" -> pageRankQ,
     "graph_pagerank_w" -> pageRankWQ,
     "graph_pagerank_refined" -> pageRankRefinedQ,
+    "graph_pagerank_w_refined" -> pageRankWRefinedQ,
     "graph_pagerank_del" -> pageRankDelQ,
     "graph_pagerank_append" -> pageRankAppendQ,
     "graph_ppr" -> pprQ,
@@ -1549,6 +1567,13 @@ object GraphAnalytics {
   private lazy val refinedEdgeCtes: String =
     s"""${Retrieval.refinedGraphCtes},
        gedges AS (SELECT vec_id AS src, nbr_id AS dst FROM gref)"""
+
+  /** The refined edges with the calibrated weight — the stored `cos`
+    * column replayed off the same pyramid. */
+  private lazy val refinedWEdgeCtes: String =
+    s"""${Retrieval.refinedGraphCtes},
+       gedges AS (SELECT vec_id AS src, nbr_id AS dst, (cos + 1) / 2 AS w
+         FROM gref)"""
 
   private lazy val delIdsSql: String =
     Retrieval.GraphDeletedIds.mkString("(", ", ", ")")
@@ -1814,6 +1839,14 @@ object GraphAnalytics {
         """nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
        tvec AS (SELECT vec_id AS id, CAST(1 AS DOUBLE) / nn.n AS tp
          FROM embeddings CROSS JOIN nn)""", refinedEdgeCtes)}
+       SELECT id AS vec_id, round(pr, 9) AS pr FROM r$Iters ORDER BY vec_id""",
+    // the refined pyramid's cos column replayed as the stored weight,
+    // then the weighted loop — the at-rest twin of graph_pagerank_w
+    "graph_pagerank_w_refined" ->
+      s"""${prLoopSql(
+        """nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+       tvec AS (SELECT vec_id AS id, CAST(1 AS DOUBLE) / nn.n AS tp
+         FROM embeddings CROSS JOIN nn)""", refinedWEdgeCtes, weighted = true)}
        SELECT id AS vec_id, round(pr, 9) AS pr FROM r$Iters ORDER BY vec_id""",
     // incremental maintenance: the append construction replay (base
     // pyramid + per-insert beam walks), then the SAME unrolled loop

@@ -590,8 +590,12 @@ object Retrieval {
   private[operators] def graphIdxDir(s: SparkSession, d: String): String =
     graphCache.computeIfAbsent(d, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_graph_q").toString
+      // cos rides into the store (writeGraphIndex's optional weight
+      // column): weighted centrality refreshes read ids + weights with
+      // no vector join; every id-only reader selects its two columns
       Search.writeGraphIndex(Tables.embeddings(s, d), col("vec_id"),
-        col("embedding"), refinedGraphEdges(s, d).select("__vid", "nbr_id"),
+        col("embedding"),
+        refinedGraphEdges(s, d).select("__vid", "nbr_id", "cos"),
         s"$tmp/idx", entriesN = 64, buckets = 32)
       tmp
     })

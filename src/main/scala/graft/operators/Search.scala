@@ -1028,7 +1028,7 @@ object Search {
   }
 
   def writeGraphIndex(corpus: DataFrame, id: Column, vec: Column,
-      edges: DataFrame, // (__vid, nbr_id)
+      edges: DataFrame, // (__vid, nbr_id[, cos])
       path: String, entriesN: Int = 64, buckets: Int = 32): Unit = {
     require(entriesN >= 1 && buckets >= 1,
       s"writeGraphIndex: need entriesN, buckets >= 1, got $entriesN, $buckets")
@@ -1036,8 +1036,15 @@ object Search {
     corpus.select(id.cast("long").as("id"), vec.as("vec"))
       .withColumn("bkt", pmod(col("id"), lit(buckets.toLong)).cast("int"))
       .write.partitionBy("bkt").parquet(s"$path/nodes")
-    edges.select(col("__vid").cast("long").as("__vid"),
-        col("nbr_id").cast("long").as("nbr_id"))
+    // a `cos` column rides along when the caller has it (the NN-Descent
+    // edge weight) — weighted centrality refreshes then read ids +
+    // weights from the store with no vector join; id-only layouts stay
+    // two-column and every id-only reader selects its columns explicitly
+    val ecols = Seq(col("__vid").cast("long").as("__vid"),
+      col("nbr_id").cast("long").as("nbr_id")) ++
+      (if (edges.columns.contains("cos"))
+        Seq(col("cos").cast("double").as("cos")) else Nil)
+    edges.select(ecols: _*)
       .withColumn("bkt", pmod(col("__vid"), lit(buckets.toLong)).cast("int"))
       .write.partitionBy("bkt").parquet(s"$path/edges")
     corpus.select(id.cast("long").as("id"))
@@ -1125,19 +1132,29 @@ object Search {
     requireBucketsMeta(s, path, buckets)
     val batch = rows.select(id.cast("long").as("id"), vec.as("vec"))
       .localCheckpoint()
+    // match the store's edge schema: a cos-carrying layout gets the
+    // insert's exact search score as the new links' weight (symmetric,
+    // so the reverse edge carries the same value); an id-only layout
+    // stays id-only — never mix schemas within one store
+    val withCos = s.read.parquet(s"$path/edges").columns.contains("cos")
     val ids = batch.select("id").collect().map(_.getLong(0)).sorted
     ids.foreach { nid =>
       val one = batch.filter(col("id") === nid)
       val nbrs = graphSearchIndexed(s, path,
           one.select(col("vec").as("qv")), k = linkK, beam, hops, buckets)
-        .select("id").collect().map(_.getLong(0)).toSeq
+        .select("id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
       one.withColumn("bkt", pmod(col("id"), lit(buckets.toLong)).cast("int"))
         .write.mode("append").partitionBy("bkt").parquet(s"$path/nodes")
       if (nbrs.nonEmpty) {
         import s.implicits._
-        (nbrs.map(nb => (nid, nb)) ++ nbrs.map(nb => (nb, nid)))
-          .toDF("__vid", "nbr_id")
-          .withColumn("bkt", pmod(col("__vid"), lit(buckets.toLong)).cast("int"))
+        val links =
+          nbrs.map { case (nb, c) => (nid, nb, c) } ++
+            nbrs.map { case (nb, c) => (nb, nid, c) }
+        val df =
+          if (withCos) links.toDF("__vid", "nbr_id", "cos")
+          else links.map { case (a, b, _) => (a, b) }.toDF("__vid", "nbr_id")
+        df.withColumn("bkt", pmod(col("__vid"), lit(buckets.toLong)).cast("int"))
           .write.mode("append").partitionBy("bkt").parquet(s"$path/edges")
       }
     }
