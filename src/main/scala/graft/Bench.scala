@@ -198,6 +198,24 @@ object Bench {
     // standalone by design). The 247.3s first run carried the usual
     // cold-day spread (its slowest rows are the same graph loops at
     // ~1.2×); the medians absorb it.
+    // r17 freeze: per-query medians of three same-day full runs
+    // (totals 228.2/238.0/224.4s over 239 queries, ±3% spread) →
+    // 227.5s. vs the r16 driver run (BENCH_r16, 233 queries): shared-
+    // query ratio 0.990 — FLAT, so the r17 additions (in-plan
+    // assert_true bound guards, the blast-radius hop-0 semi-join, the
+    // deferred-view post-build re-registration, the cos column in the
+    // graph layout) cost nothing measurable on the served suite. The
+    // +13.8s is the six new rows, each family-typical (dominated by its
+    // blocked-kNN build or layout read, like the rest of graph_*):
+    // graph_pagerank_w_refined 3.08, graph_ppr_refined 2.95,
+    // graph_communities_del 2.01, graph_kcore_del 1.96,
+    // graph_harmonic_sketch 1.93, graph_harmonic_del 1.88. Only two
+    // shared rows read >1.5×, both at the sub-0.25s noise floor
+    // (agg_value_counts 0.10→0.17, etl_group_sample 0.15→0.23) —
+    // ENVIRONMENT per the r16c band note. graph_harmonic_sketch ≈ the
+    // exact row's cost at this SF (reach ~40 ≪ production degree): its
+    // value is the flat N·k state, measured at the 10× arm (1.65× vs
+    // the exact form's 1.72×), not sf0.1 wall time.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Per-rep GC policy (SPARK_GRAFT_BENCH_GC = all | heavy | off).
     // r9 attribution of the uniform ~1.5× r7→r8 suite slowdown, measured

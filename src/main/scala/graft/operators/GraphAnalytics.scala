@@ -29,10 +29,19 @@ import graft.Tables
   *   - '''Structure''': [[connectedComponents]] (can signals reach —
   *     reusing [[Dedup.dupClusters]]' hardened min-label loop),
   *     [[kcorePeel]] (the mutually-embedded core vs thin periphery),
-  *     [[harmonic3]] (bounded-hop harmonic centrality),
-  *     [[assortativityOf]] (degree mixing), [[clusteringOf]] (triangle
-  *     census), and the takedown faces ([[componentsDelQ]] splits,
+  *     [[harmonic3]] (bounded-hop harmonic centrality) and
+  *     [[harmonicSketch]] (its HyperBall-style KMV-register form — the
+  *     flat-state 100 TB path), [[assortativityOf]] (degree mixing),
+  *     [[clusteringOf]] (triangle census), and the takedown faces
+  *     ([[componentsDelQ]] splits, [[communitiesDelQ]] re-coarsens,
+  *     [[kcoreDelQ]]/[[harmonicDelQ]] stop counting recalled support,
   *     [[blastRadiusQ]] scopes the re-check set).
+  *   - '''At-rest refresh + serving''': every propagation variant
+  *     (plain/personalized/weighted PageRank, label-prop, communities,
+  *     components, kcore, harmonic) has an arm over the STORED graph
+  *     layout — ids (+ the stored cos weight) only, never vectors —
+  *     and the derived per-doc signals serve as partition-pruned point
+  *     lookups through [[Retrieval.run]]'s `centrality` mode.
   *
   * Reference anchor: the reference's retrieval pipeline stops at
   * neighbor lists (`search_similar_images.py:52-95` — per-query kNN);
