@@ -231,6 +231,22 @@ object ScaleBench {
     }))
   }
 
+  /** The k ∝ N blocked-kNN edge build every graph_* scale arm shares
+    * (per-cluster size ~constant — the knn_graph_scaled scaling rule):
+    * returns (embeddings, directed (src, dst) edges, NOT checkpointed —
+    * each arm decides its own lineage cut). One definition keeps the
+    * arms' edge builds byte-identical, which is what makes their A/B
+    * ratios (e.g. pagerank vs pagerank_fast) valid tax measurements. */
+  private def scaledKnnEdges(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import graft.operators.Search
+    val e = Tables.embeddings(s, d)
+    val k = math.max(10, (e.count() / 50L).toInt)
+    val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
+    (e, Search.knnGraph(e, col("vec_id"), col("embedding"), cents, k = 3)
+      .select(col("__vid").as("src"), col("nbr_id").as("dst")))
+  }
+
   /** Scale-only bindings that aren't part of the served query surface. */
   private val Extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
     Map("dedup_clusters_dist" ->
@@ -314,25 +330,14 @@ object ScaleBench {
           k = 10, entriesN = 64, beam = 32, hops = 3)
       }),
       "graph_pagerank_scaled" -> ((s, d) => {
-        import graft.operators.{GraphAnalytics, Search}
-        val e = Tables.embeddings(s, d)
-        val k = math.max(10, (e.count() / 50L).toInt)
-        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
-        val edges = Search.knnGraph(e, col("vec_id"), col("embedding"),
-            cents, k = 3)
-          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
-          .localCheckpoint()
-        GraphAnalytics.pageRank(e.select(col("vec_id").as("id")), edges,
-          iters = 3)
+        import graft.operators.GraphAnalytics
+        val (e, knn) = scaledKnnEdges(s, d)
+        GraphAnalytics.pageRank(e.select(col("vec_id").as("id")),
+          knn.localCheckpoint(), iters = 3)
       }),
       "graph_clustering_scaled" -> ((s, d) => {
-        import graft.operators.{GraphAnalytics, Search}
-        val e = Tables.embeddings(s, d)
-        val k = math.max(10, (e.count() / 50L).toInt)
-        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
-        val knn = Search.knnGraph(e, col("vec_id"), col("embedding"),
-            cents, k = 3)
-          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+        import graft.operators.GraphAnalytics
+        val (e, knn) = scaledKnnEdges(s, d)
         // planted mega-hub: node 0 linked to ids 1..1999 (rep-0 slice —
         // present and identical at both scales, no sort needed), so one
         // vertex carries degree ~2000 against the kNN graph's 3: the
@@ -344,38 +349,23 @@ object ScaleBench {
         GraphAnalytics.clusteringOf(knn.unionByName(hub))
       }),
       "graph_pagerank_hub_scaled" -> ((s, d) => {
-        import graft.operators.{GraphAnalytics, Search}
-        val e = Tables.embeddings(s, d)
-        val k = math.max(10, (e.count() / 50L).toInt)
-        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
-        val knn = Search.knnGraph(e, col("vec_id"), col("embedding"),
-            cents, k = 3)
-          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+        import graft.operators.GraphAnalytics
+        val (e, knn) = scaledKnnEdges(s, d)
         val hub = e.select(col("vec_id")).filter(col("vec_id") % 2 === 1)
           .select(col("vec_id").as("src"), lit(0L).as("dst"))
         GraphAnalytics.pageRank(e.select(col("vec_id").as("id")),
           knn.unionByName(hub).localCheckpoint(), iters = 3)
       }),
       "graph_components_scaled" -> ((s, d) => {
-        import graft.operators.{GraphAnalytics, Search}
-        val e = Tables.embeddings(s, d)
-        val k = math.max(10, (e.count() / 50L).toInt)
-        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
-        val edges = Search.knnGraph(e, col("vec_id"), col("embedding"),
-            cents, k = 3)
-          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
-          .localCheckpoint()
+        import graft.operators.GraphAnalytics
+        val (e, knn) = scaledKnnEdges(s, d)
+        val edges = knn.localCheckpoint()
         GraphAnalytics.connectedComponents(
           e.select(col("vec_id").as("id")), edges, maxDriverEdges = 0L)
       }),
       "graph_communities_scaled" -> ((s, d) => {
-        import graft.operators.{GraphAnalytics, Search}
-        val e = Tables.embeddings(s, d)
-        val k = math.max(10, (e.count() / 50L).toInt)
-        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
-        val knn = Search.knnGraph(e, col("vec_id"), col("embedding"),
-            cents, k = 3)
-          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+        import graft.operators.GraphAnalytics
+        val (e, knn) = scaledKnnEdges(s, d)
         val und = knn.unionByName(
             knn.select(col("dst").as("src"), col("src").as("dst"))).distinct()
           .localCheckpoint()
@@ -383,87 +373,46 @@ object ScaleBench {
           e.select(col("vec_id").as("id")), und, iters = 3)
       }),
       "graph_harmonic_scaled" -> ((s, d) => {
-        import graft.operators.{GraphAnalytics, Search}
-        val e = Tables.embeddings(s, d)
-        val k = math.max(10, (e.count() / 50L).toInt)
-        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
-        val edges = Search.knnGraph(e, col("vec_id"), col("embedding"),
-            cents, k = 3)
-          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
-          .localCheckpoint()
+        import graft.operators.GraphAnalytics
+        val (e, knn) = scaledKnnEdges(s, d)
+        val edges = knn.localCheckpoint()
         GraphAnalytics.harmonic3(e.select(col("vec_id").as("id")), edges)
       }),
       "graph_kcore_scaled" -> ((s, d) => {
-        import graft.operators.{GraphAnalytics, Search}
-        val e = Tables.embeddings(s, d)
-        val k = math.max(10, (e.count() / 50L).toInt)
-        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
-        val edges = Search.knnGraph(e, col("vec_id"), col("embedding"),
-            cents, k = 3)
-          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
-          .localCheckpoint()
+        import graft.operators.GraphAnalytics
+        val (e, knn) = scaledKnnEdges(s, d)
+        val edges = knn.localCheckpoint()
         GraphAnalytics.kcorePeel(e.select(col("vec_id").as("id")), edges,
           k = 2, rounds = 4)
       }),
       "graph_pagerank_fast_scaled" -> ((s, d) => {
-        import graft.operators.{GraphAnalytics, Search}
-        val e = Tables.embeddings(s, d)
-        val k = math.max(10, (e.count() / 50L).toInt)
-        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
-        val edges = Search.knnGraph(e, col("vec_id"), col("embedding"),
-            cents, k = 3)
-          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
-          .localCheckpoint()
-        GraphAnalytics.pageRank(e.select(col("vec_id").as("id")), edges,
-          iters = 3, orderedFolds = false)
+        import graft.operators.GraphAnalytics
+        val (e, knn) = scaledKnnEdges(s, d)
+        GraphAnalytics.pageRank(e.select(col("vec_id").as("id")),
+          knn.localCheckpoint(), iters = 3, orderedFolds = false)
       }),
       "graph_harmonic_sketch_scaled" -> ((s, d) => {
-        import graft.operators.{GraphAnalytics, Search}
-        val e = Tables.embeddings(s, d)
-        val k = math.max(10, (e.count() / 50L).toInt)
-        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
-        val edges = Search.knnGraph(e, col("vec_id"), col("embedding"),
-            cents, k = 3)
-          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
-          .localCheckpoint()
+        import graft.operators.GraphAnalytics
+        val (e, knn) = scaledKnnEdges(s, d)
         GraphAnalytics.harmonicSketch(e.select(col("vec_id").as("id")),
-          edges, k = 16)
+          knn.localCheckpoint(), k = 16)
       }),
       "graph_modularity_scaled" -> ((s, d) => {
-        import graft.operators.{GraphAnalytics, Search}
-        val e = Tables.embeddings(s, d)
-        val k = math.max(10, (e.count() / 50L).toInt)
-        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
-        val edges = Search.knnGraph(e, col("vec_id"), col("embedding"),
-            cents, k = 3)
-          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
-          .localCheckpoint()
+        import graft.operators.GraphAnalytics
+        val (e, knn) = scaledKnnEdges(s, d)
         GraphAnalytics.modularityOf(
-          e.select(col("vec_id").as("id"), col("label").as("lbl")), edges)
+          e.select(col("vec_id").as("id"), col("label").as("lbl")),
+          knn.localCheckpoint())
       }),
       "graph_assortativity_scaled" -> ((s, d) => {
-        import graft.operators.{GraphAnalytics, Search}
-        val e = Tables.embeddings(s, d)
-        val k = math.max(10, (e.count() / 50L).toInt)
-        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
-        val edges = Search.knnGraph(e, col("vec_id"), col("embedding"),
-            cents, k = 3)
-          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
-          .localCheckpoint()
-        GraphAnalytics.assortativityOf(edges)
+        import graft.operators.GraphAnalytics
+        GraphAnalytics.assortativityOf(scaledKnnEdges(s, d)._2.localCheckpoint())
       }),
       "graph_blast_radius_scaled" -> ((s, d) => {
         import s.implicits._
-        import graft.operators.{GraphAnalytics, Search}
-        val e = Tables.embeddings(s, d)
-        val k = math.max(10, (e.count() / 50L).toInt)
-        val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
-        val edges = Search.knnGraph(e, col("vec_id"), col("embedding"),
-            cents, k = 3)
-          .select(col("__vid").as("src"), col("nbr_id").as("dst"))
-          .localCheckpoint()
+        import graft.operators.GraphAnalytics
         // rep-0 ids — present and identical at both scales
-        GraphAnalytics.blastRadiusOf(edges,
+        GraphAnalytics.blastRadiusOf(scaledKnnEdges(s, d)._2.localCheckpoint(),
           graft.operators.Retrieval.GraphDeletedIds.toDF("id"))
       }),
       "graph_quality_scaled" -> ((s, d) => {

@@ -1294,15 +1294,7 @@ object GraphAnalytics {
     * discipline for the community face. Returns (id, lbl, comm_size). */
   def communitiesOverLayout(s: SparkSession, nodes: DataFrame,
       idxDir: String, iters: Int): DataFrame = {
-    import graft.sources.Tombstones
-    val live = Tombstones.dropDeleted(
-      nodes.select(col("id").cast("long").as("id")), col("id"), idxDir)
-    val e0 = Tombstones.dropDeleted(
-      Tombstones.dropDeleted(
-        s.read.parquet(s"$idxDir/edges")
-          .select(col("__vid").as("src"), col("nbr_id").as("dst")),
-        col("src"), idxDir),
-      col("dst"), idxDir)
+    val (live, e0) = layoutLive(s, nodes, idxDir)
     val und = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
     val cm = communityLabelProp(live, und, iters)

@@ -1279,8 +1279,16 @@ object Search {
     val seed = knnGraph(snapshot, col("id"), col("vec"), cents, linkK)
       .select(col("__vid"), col("nbr_id"))
       .unionByName(hashRingEdges(snapshot, col("id"), r = ringR))
+    // a rebuild must PRESERVE the store's edge schema: a cos-carrying
+    // layout (writeGraphIndex's optional weight column) keeps its
+    // weights — nnDescend derives them anyway — or a weighted reader
+    // would break after a semantics-preserving periodic rebuild
+    val hadCos = f.exists(new Path(pathP, "edges")) &&
+      s.read.parquet(s"$indexPath/edges").columns.contains("cos")
+    val edgeCols = if (hadCos) Seq("__vid", "nbr_id", "cos")
+      else Seq("__vid", "nbr_id")
     val edges = nnDescend(snapshot, col("id"), col("vec"), seed,
-      linkK, rounds).select("__vid", "nbr_id")
+      linkK, rounds).select(edgeCols.head, edgeCols.tail: _*)
     writeGraphIndex(snapshot, col("id"), col("vec"), edges, tmpP.toString,
       entriesN, buckets)
     onStep("staged")

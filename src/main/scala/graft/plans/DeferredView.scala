@@ -65,12 +65,24 @@ object DeferredView {
     * re-register semantics the per-sfDir caches rely on. */
   def register(s: SparkSession, name: String)(thunk: => DataFrame): Unit = {
     install(s)
-    GraftSqlShim.registerTempView(s, name,
-      DeferredViewNode(name, new Body(name, () => {
+    // self-referential: the thunk checks that the catalog still holds
+    // THIS registration's node before splicing its built plan — a
+    // re-register of the same name while a build is in flight must win
+    // (the stale build otherwise clobbers the fresh binding and every
+    // later query silently serves the old data)
+    lazy val node: DeferredViewNode = DeferredViewNode(name,
+      new Body(name, () => {
         val df = thunk
-        GraftSqlShim.registerTempView(s, name, GraftSqlShim.analyzed(df))
+        val current = GraftSqlShim.tempViewPlan(s, name)
+        val stillOurs = current.exists {
+          case n: DeferredViewNode => n.body eq node.body
+          case _ => false
+        }
+        if (stillOurs)
+          GraftSqlShim.registerTempView(s, name, GraftSqlShim.analyzed(df))
         df
-      })))
+      }))
+    GraftSqlShim.registerTempView(s, name, node)
   }
 
   /** Idempotently add the planning strategy to the session. */

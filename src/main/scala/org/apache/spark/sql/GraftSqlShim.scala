@@ -44,6 +44,15 @@ object GraftSqlShim {
     * is left empty because resolution takes the view's output from the
     * stored plan, not the metadata (the metadata schema only feeds
     * DESCRIBE cosmetics). */
+  /** The logical plan currently stored for temp view `name`, if any —
+    * lets a deferred view's post-build re-registration verify the
+    * catalog still holds ITS node before overwriting (a newer
+    * registration under the same name must win). */
+  def tempViewPlan(s: SparkSession, name: String): Option[LogicalPlan] =
+    classicSession(s).sessionState.catalog.getRawTempView(name).collect {
+      case TemporaryViewRelation(_, Some(plan)) => plan
+    }
+
   def registerTempView(s: SparkSession, name: String,
       plan: LogicalPlan): Unit = {
     val meta = CatalogTable(

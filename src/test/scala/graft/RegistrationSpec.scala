@@ -106,6 +106,28 @@ class RegistrationSpec extends SparkSpec {
     SparkEntry.registerQueryViews(spark, d)
   }
 
+  test("a re-registration racing a build wins: the stale build must not clobber the fresh binding") {
+    import org.apache.spark.sql.functions.lit
+    // thunk1 re-registers the SAME name mid-build — the deterministic
+    // spelling of "register() ran while a build was in flight". The
+    // post-build pass-through must see the catalog no longer holds its
+    // node and skip the splice, so the fresh binding serves.
+    graft.plans.DeferredView.register(spark, "graft_reg_race") {
+      graft.plans.DeferredView.register(spark, "graft_reg_race") {
+        spark.range(1).select(lit("fresh").as("who"))
+      }
+      spark.range(1).select(lit("stale").as("who"))
+    }
+    // the triggering query still runs through its own (stale) leaf —
+    // correct for THAT query's snapshot semantics
+    assert(spark.sql("SELECT who FROM graft_reg_race").head().getString(0)
+      === "stale")
+    // but the catalog now holds the fresh registration, un-clobbered
+    assert(spark.sql("SELECT who FROM graft_reg_race").head().getString(0)
+      === "fresh")
+    spark.catalog.dropTempView("graft_reg_race")
+  }
+
   test("a failed construction surfaces at the first query, not as a silently missing view") {
     // registration must not throw — nothing is constructed yet; the
     // boom fires at the first query that resolves the view, where the

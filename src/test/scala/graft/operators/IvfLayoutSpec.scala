@@ -401,6 +401,31 @@ class IvfLayoutSpec extends SparkSpec {
     }
   }
 
+  test("rebuildGraphIndex preserves a cos-carrying edge schema; id-only stores stay id-only") {
+    val corpus = clusteredCorpus(20)
+    val nodes = corpus.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Search.kmeansTrain(nodes, col("id"), col("vec"), k = 2)
+    val edges = Search.nnDescend(nodes, col("id"), col("vec"),
+      Search.knnGraph(nodes, col("id"), col("vec"), cents, k = 2)
+        .select(col("__vid"), col("nbr_id")), k = 2, rounds = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_grb_cos").toString
+    // cos-carrying store: the weight column must survive a rebuild —
+    // a weighted centrality reader breaks otherwise
+    Search.writeGraphIndex(nodes, col("id"), col("vec"),
+      edges.select("__vid", "nbr_id", "cos"), s"$dir/w", entriesN = 4, buckets = 2)
+    Search.rebuildGraphIndex(spark, s"$dir/w", kmeansK = 2, linkK = 2,
+      ringR = 2, rounds = 1, entriesN = 4, buckets = 2)
+    val wCols = spark.read.parquet(s"$dir/w/edges").columns.toSet
+    assert(wCols.contains("cos"), s"rebuild dropped cos: $wCols")
+    assert(spark.read.parquet(s"$dir/w/edges").filter(col("cos").isNull).count() === 0)
+    // id-only store: the rebuild must NOT add a column
+    Search.writeGraphIndex(nodes, col("id"), col("vec"),
+      edges.select("__vid", "nbr_id"), s"$dir/p", entriesN = 4, buckets = 2)
+    Search.rebuildGraphIndex(spark, s"$dir/p", kmeansK = 2, linkK = 2,
+      ringR = 2, rounds = 1, entriesN = 4, buckets = 2)
+    assert(!spark.read.parquet(s"$dir/p/edges").columns.contains("cos"))
+  }
+
   test("rebuildGraphIndex: deletes applied + appends re-linked equals a fresh build on the live set; ring refreshed; crash injection; straddler exactly once") {
     import org.apache.spark.sql.DataFrame
     val corpus = clusteredCorpus(40)
