@@ -144,6 +144,32 @@ class EdgeCasesSpec extends SparkSpec {
       probe, $"doc_id", $"text", s"$dir/idx").count() === 1)
   }
 
+  test("graph structure ops: empty node set, isolated nodes, minimal k flow through") {
+    import spark.implicits._
+    val none = Seq.empty[Long].toDF("id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    // empty graph: every relation is empty, nothing throws
+    assert(GraphAnalytics.harmonicSketch(none, noEdges, k = 2).count() === 0)
+    assert(GraphAnalytics.harmonic3(none, noEdges).count() === 0)
+    assert(GraphAnalytics.blastRadiusOf(noEdges, none).count() === 0)
+    // isolated nodes (no edges at all): the sketch register is the self
+    // hash — exact path, all rings zero, matching the exact form
+    val ids = Seq(1L, 2L, 3L).toDF("id")
+    val sk = GraphAnalytics.harmonicSketch(ids, noEdges, k = 2)
+      .as[(Long, Double, Double, Double, Double)].collect().toSet
+    assert(sk === Set((1L, 0.0, 0.0, 0.0, 0.0), (2L, 0.0, 0.0, 0.0, 0.0),
+      (3L, 0.0, 0.0, 0.0, 0.0)))
+    // k at its floor (2) on a connected pair: hop-1 registers hold both
+    // hashes (m = 2 = k saturates the register; the estimator runs and
+    // stays deterministic) — nothing throws, differences stay >= 0
+    val pair = Seq((1L, 2L)).toDF("src", "dst")
+    val est = GraphAnalytics.harmonicSketch(Seq(1L, 2L).toDF("id"), pair, k = 2)
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(est.length === 2)
+    est.foreach { case (_, n1, n2, n3, _) =>
+      assert(n1 >= 0.0 && n2 >= 0.0 && n3 >= 0.0) }
+  }
+
   test("composite frame key decode is exact at the guard boundary") {
     // doc_id 9e9 with frame_idx 999999 is the largest composite the
     // frameDedup guard admits: 9e9·10⁶ + 999999 ≈ 9.000000001e15. A
