@@ -216,6 +216,13 @@ object Bench {
     // exact row's cost at this SF (reach ~40 ≪ production degree): its
     // value is the flat N·k state, measured at the 10× arm (1.65× vs
     // the exact form's 1.72×), not sf0.1 wall time.
+    // r17b addendum (231.8s / 241 queries): two late rows folded in as
+    // same-day ISOLATED 3-rep medians (the cleaner measure per the r13
+    // attribution notes): graph_modularity_del 3.71 (re-runs the
+    // takedown LPA rounds before grading them — the graph_modularity
+    // relationship over the tombstoned layout), graph_density_refined
+    // 0.53 (a pure stored-edge (src, dst, cos) aggregate: the cos
+    // column's payoff — no kNN build in the plan at all).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Per-rep GC policy (SPARK_GRAFT_BENCH_GC = all | heavy | off).
     // r9 attribution of the uniform ~1.5× r7→r8 suite slowdown, measured

@@ -528,12 +528,25 @@ object GraphAnalytics {
     * edges and no row — the honest read (density undefined, the
     * codebook, not the data, isolated them). */
   def densityQ(s: SparkSession, d: String): DataFrame =
-    knnEdgesCos(s, d).groupBy(col("src"))
+    densityOf(knnEdgesCos(s, d)).orderBy("vec_id")
+
+  /** [[densityQ]]'s core over any (src, dst, cos) edge list: per-src
+    * degree and neighbor-ordered mean cosine. */
+  def densityOf(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src"))
       .agg(count(lit(1)).as("degree"),
         expr("aggregate(sort_array(collect_list(struct(dst, cos))), " +
           "CAST(0 AS DOUBLE), (acc, e) -> acc + e.cos)").as("__sum"))
       .select(col("src").as("vec_id"), col("degree"),
         round(col("__sum") / col("degree"), 6).as("mean_cos"))
+
+  /** [[densityQ]] over the PRODUCTION graph — the stored cos column's
+    * direct payoff: the junk/outlier signal (a doc whose refined
+    * nearest neighbors are all FAR) refreshes from (src, dst, cos) rows
+    * alone, no vectors and no NN-Descent re-run. */
+  def densityRefinedQ(s: SparkSession, d: String): DataFrame =
+    densityOf(s.read.parquet(s"${Retrieval.graphIdxDir(s, d)}/idx/edges")
+        .select(col("__vid").as("src"), col("nbr_id").as("dst"), col("cos")))
       .orderBy("vec_id")
 
   /** [[labelPropQ]]'s weighted twin — cosine-weighted votes over the
@@ -1269,6 +1282,20 @@ object GraphAnalytics {
       Tables.embeddings(s, d).select(col("vec_id").as("id")), und, Iters), e)
   }
 
+  /** The takedown partition graded — [[modularityOf]] over
+    * [[communitiesDelQ]]'s surviving graph and labels: did the
+    * re-coarsened partition keep real structure after the recall, or
+    * did the deletions break the communities' cohesion (Q collapsing
+    * toward 0 is the signal to re-run detection at more rounds). */
+  def modularityDelQ(s: SparkSession, d: String): DataFrame = {
+    val (live, e0) = layoutLive(s,
+      Tables.embeddings(s, d).select(col("vec_id").as("id")),
+      s"${Retrieval.graphDelIdxDir(s, d)}/idx")
+    val und = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    modularityOf(communityLabelProp(live, und, Iters), e0)
+  }
+
   /** Takedown-aware communities — [[communitiesQ]]'s semantics over the
     * TOMBSTONED production layout ([[Retrieval.graphDelIdxDir]], the
     * same store `graph_pagerank_del` / `graph_label_prop_del` serve):
@@ -1470,6 +1497,8 @@ object GraphAnalytics {
     "graph_communities" -> communitiesQ,
     "graph_communities_del" -> communitiesDelQ,
     "graph_modularity" -> modularityQ,
+    "graph_modularity_del" -> modularityDelQ,
+    "graph_density_refined" -> densityRefinedQ,
     "graph_blast_radius" -> blastRadiusQ,
   )
 
@@ -2037,6 +2066,33 @@ object GraphAnalytics {
            round(CAST(sum(inn * mm2.m2 - deg * deg) AS DOUBLE)
              / CAST(max(mm2.m2) * max(mm2.m2) AS DOUBLE), 6) AS modularity
          FROM mper CROSS JOIN mm2""",
+    // the takedown rounds (as graph_communities_del), then the same
+    // exact-rational Newman grading over the surviving closure
+    "graph_modularity_del" ->
+      s"""WITH ${communityCtesOn(
+           s"SELECT vec_id AS id FROM embeddings WHERE vec_id NOT IN $delIdsSql",
+           delEdgeCtes)},
+         mu AS (SELECT e.src, a.lbl AS ca, b.lbl AS cb
+           FROM cund e JOIN cm$Iters a ON a.id = e.src
+           JOIN cm$Iters b ON b.id = e.dst),
+         mm2 AS (SELECT count(*) AS m2 FROM mu),
+         mper AS (SELECT ca, count(*) AS deg,
+             CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT) AS inn
+           FROM mu GROUP BY ca)
+         SELECT count(*) AS n_communities, max(mm2.m2) AS m2,
+           CAST(sum(inn * mm2.m2 - deg * deg) AS BIGINT) AS q_num,
+           round(CAST(sum(inn * mm2.m2 - deg * deg) AS DOUBLE)
+             / CAST(max(mm2.m2) * max(mm2.m2) AS DOUBLE), 6) AS modularity
+         FROM mper CROSS JOIN mm2""",
+    // the refined pyramid's per-src degree + neighbor-ordered cos mean —
+    // the stored weight column serving the outlier signal
+    "graph_density_refined" ->
+      s"""WITH ${Retrieval.refinedGraphCtes},
+         rdd AS (SELECT vec_id AS src, count(*) AS degree,
+             list_reduce(list(cos ORDER BY nbr_id), (acc, x) -> acc + x) AS s
+           FROM gref GROUP BY vec_id)
+         SELECT src AS vec_id, degree, round(s / degree, 6) AS mean_cos
+         FROM rdd ORDER BY vec_id""",
     // degree joins + integer sums, then ONE fixed-order expression —
     // exact inputs, bit parity for free
     "graph_assortativity" ->
