@@ -1254,16 +1254,53 @@ object GraphAnalytics {
   def assortativityQ(s: SparkSession, d: String): DataFrame =
     assortativityOf(knnEdges(s, d))
 
+  /** The LPA label tables both community faces and their modularity
+    * meters consume, built once per (JVM, sfDir) — the [[qualityNodes]]
+    * memoization discipline: the partition and its grade are two reads
+    * of ONE detection run (exactly how production would grade a
+    * partition it just computed), so the [[Iters]] vote rounds don't
+    * re-run per binding. LAZY localCheckpoint: plan/view construction
+    * runs no job; the first action materializes; both bindings reuse
+    * the stored rows. Values are unchanged — the cached table IS the
+    * same deterministic derivation. */
+  private val communityLabelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  /** Cached in-plan-graph LPA labels (id, lbl). */
+  private def communityLabels(s: SparkSession, d: String): DataFrame =
+    communityLabelCache.computeIfAbsent(("clean", d), _ => {
+      val e = knnEdges(s, d)
+      val und = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      communityLabelProp(
+          Tables.embeddings(s, d).select(col("vec_id").as("id")), und, Iters)
+        .localCheckpoint(eager = false)
+    })
+
+  /** Cached takedown-layout LPA labels (id, lbl) + the live edge set
+    * they were detected on (the modularity meter grades against it). */
+  private def delCommunityLabels(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val labels = communityLabelCache.computeIfAbsent(("del", d), _ => {
+      val (live, e0) = layoutLive(s,
+        Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        s"${Retrieval.graphDelIdxDir(s, d)}/idx")
+      val und = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      communityLabelProp(live, und, Iters).localCheckpoint(eager = false)
+    })
+    val (_, e0) = layoutLive(s,
+      Tables.embeddings(s, d).select(col("vec_id").as("id")),
+      s"${Retrieval.graphDelIdxDir(s, d)}/idx")
+    (labels, e0)
+  }
+
   /** The kNN graph's community partition — [[communityLabelProp]] over
     * the undirected closure, [[Iters]] rounds: (vec_id, community,
     * comm_size). Where `graph_components` answers "can signals reach",
     * this answers "where do they pool". */
   def communitiesQ(s: SparkSession, d: String): DataFrame = {
-    val e = knnEdges(s, d)
-    val und = e.unionByName(
-      e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-    val cm = communityLabelProp(
-      Tables.embeddings(s, d).select(col("vec_id").as("id")), und, Iters)
+    val cm = communityLabels(s, d)
     cm.groupBy("lbl").agg(count(lit(1)).as("comm_size"))
       .join(cm, "lbl")
       .select(col("id").as("vec_id"), col("lbl").as("community"),
@@ -1274,13 +1311,8 @@ object GraphAnalytics {
   /** One exact row grading [[communitiesQ]]'s partition:
     * [[modularityOf]] over the same graph — the standard "did LPA find
     * real structure" meter (Q ≈ 0 = no better than random mixing). */
-  def modularityQ(s: SparkSession, d: String): DataFrame = {
-    val e = knnEdges(s, d)
-    val und = e.unionByName(
-      e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-    modularityOf(communityLabelProp(
-      Tables.embeddings(s, d).select(col("vec_id").as("id")), und, Iters), e)
-  }
+  def modularityQ(s: SparkSession, d: String): DataFrame =
+    modularityOf(communityLabels(s, d), knnEdges(s, d))
 
   /** The takedown partition graded — [[modularityOf]] over
     * [[communitiesDelQ]]'s surviving graph and labels: did the
@@ -1288,12 +1320,8 @@ object GraphAnalytics {
     * did the deletions break the communities' cohesion (Q collapsing
     * toward 0 is the signal to re-run detection at more rounds). */
   def modularityDelQ(s: SparkSession, d: String): DataFrame = {
-    val (live, e0) = layoutLive(s,
-      Tables.embeddings(s, d).select(col("vec_id").as("id")),
-      s"${Retrieval.graphDelIdxDir(s, d)}/idx")
-    val und = e0.unionByName(
-      e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-    modularityOf(communityLabelProp(live, und, Iters), e0)
+    val (labels, e0) = delCommunityLabels(s, d)
+    modularityOf(labels, e0)
   }
 
   /** Takedown-aware communities — [[communitiesQ]]'s semantics over the
@@ -1307,13 +1335,14 @@ object GraphAnalytics {
     * takedown symmetry: components and label-prop had del arms,
     * communities now does too. The oracle replays the refined pyramid
     * minus the ids, then the same unrolled unclamped-LPA rounds. */
-  def communitiesDelQ(s: SparkSession, d: String): DataFrame =
-    communitiesOverLayout(s,
-        Tables.embeddings(s, d).select(col("vec_id").as("id")),
-        s"${Retrieval.graphDelIdxDir(s, d)}/idx", Iters)
+  def communitiesDelQ(s: SparkSession, d: String): DataFrame = {
+    val (cm, _) = delCommunityLabels(s, d)
+    cm.groupBy("lbl").agg(count(lit(1)).as("comm_size"))
+      .join(cm, "lbl")
       .select(col("id").as("vec_id"), col("lbl").as("community"),
         col("comm_size"))
       .orderBy("vec_id")
+  }
 
   /** Unclamped-LPA communities over a (possibly tombstoned) at-rest
     * graph layout: live nodes only, neither direction of a deleted
