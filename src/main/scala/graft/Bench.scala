@@ -232,6 +232,10 @@ object Bench {
     // exactly like every at-rest index family's build). Values
     // unchanged — the cached table is the same deterministic
     // derivation, re-verified against the oracles at sf0.01.
+    // r17d: graph_clustering_local 3.65 (isolated 3-rep median; the
+    // same Σdeg²-bounded triangle join as graph_clustering plus the
+    // three-corner credit union — in-plan kNN build dominated, the
+    // family shape). Artifact total 225.1s / 242 queries.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Per-rep GC policy (SPARK_GRAFT_BENCH_GC = all | heavy | off).
     // r9 attribution of the uniform ~1.5× r7→r8 suite slowdown, measured

@@ -718,6 +718,55 @@ object GraphAnalytics {
           .as("clustering_coeff"))
   }
 
+  /** PER-NODE local clustering coefficient (Watts & Strogatz 1998) —
+    * the per-doc face of [[clusteringOf]]'s global census: c(v) =
+    * 2·T(v) / (deg(v)·(deg(v)−1)) with T(v) = triangles through v. The
+    * per-document cohesion signal curation reads next to
+    * `graph_density`: a doc whose neighbors all know each other sits
+    * inside a redundant clique (the dedup families' slice); one whose
+    * neighbors are mutual strangers is a hub or boundary doc whose
+    * graph signals mix topics. deg < 2 ⇒ undefined — null, honestly.
+    *
+    * Same candidate bound as the census: triangles come from the
+    * (a<b<c) ordered two-join over the unordered-pair set (Σ deg²
+    * wedge candidates, never corpus²), each triangle then credited to
+    * its THREE corners. Integer end to end until the one division —
+    * exact replay. */
+  def localClusteringOf(edges: DataFrame): DataFrame = {
+    val p = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(eager = false) // referenced 4× (3 joins + deg)
+    val deg = p.select(col("a").as("v"))
+      .unionByName(p.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val tri = p.as("x")
+      .join(p.as("y"), col("x.b") === col("y.a"))
+      .join(p.as("z"),
+        col("z.a") === col("x.a") && col("z.b") === col("y.b"))
+      .select(col("x.a").as("v1"), col("x.b").as("v2"), col("y.b").as("v3"))
+    val perNode = tri.select(col("v1").as("v"))
+      .unionByName(tri.select(col("v2").as("v")))
+      .unionByName(tri.select(col("v3").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("__t"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v"), col("deg"),
+        coalesce(col("__t"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2, round(
+          lit(2.0) * coalesce(col("__t"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)).cast("double"), 6))
+          .as("local_coeff"))
+  }
+
+  /** [[localClusteringOf]] over the kNN graph: (vec_id, deg,
+    * n_triangles, local_coeff) for every node with ≥ 1 edge. */
+  def clusteringLocalQ(s: SparkSession, d: String): DataFrame =
+    localClusteringOf(knnEdges(s, d))
+      .select(col("v").as("vec_id"), col("deg"), col("n_triangles"),
+        col("local_coeff"))
+      .orderBy("vec_id")
+
   /** Connected components of the UNDIRECTED closure of `edges`,
     * restricted to `nodes` = (id): (id, component) for EVERY node, with
     * component = the smallest node id in its component (an isolated
@@ -1512,7 +1561,9 @@ object GraphAnalytics {
     "graph_quality_prop" -> qualityPropQ,
     "graph_quality_prop_acc" -> qualityPropAccQ,
     "graph_density" -> densityQ,
+    "graph_density_refined" -> densityRefinedQ,
     "graph_clustering" -> clusteringQ,
+    "graph_clustering_local" -> clusteringLocalQ,
     "graph_components" -> componentsQ,
     "graph_components_hist" -> componentsHistQ,
     "graph_components_del" -> componentsDelQ,
@@ -1527,7 +1578,6 @@ object GraphAnalytics {
     "graph_communities_del" -> communitiesDelQ,
     "graph_modularity" -> modularityQ,
     "graph_modularity_del" -> modularityDelQ,
-    "graph_density_refined" -> densityRefinedQ,
     "graph_blast_radius" -> blastRadiusQ,
   )
 
@@ -1999,6 +2049,27 @@ object GraphAnalytics {
            round(3 * CAST(t.n_triangles AS DOUBLE) / w.n_wedges, 6)
              AS clustering_coeff
          FROM np CROSS JOIN w CROSS JOIN t""",
+    // the same (a<b<c) triangle join credited to all three corners,
+    // then the one Watts-Strogatz division per node
+    "graph_clustering_local" ->
+      s"""WITH $edgeCtes,
+         lp AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM gedges WHERE src <> dst),
+         ldeg AS (SELECT v, count(*) AS deg FROM (
+             SELECT a AS v FROM lp UNION ALL SELECT b FROM lp) GROUP BY v),
+         ltri AS (SELECT x.a AS v1, x.b AS v2, y.b AS v3 FROM lp x
+           JOIN lp y ON x.b = y.a
+           JOIN lp z ON z.a = x.a AND z.b = y.b),
+         lper AS (SELECT v, count(*) AS t FROM (
+             SELECT v1 AS v FROM ltri UNION ALL SELECT v2 FROM ltri
+             UNION ALL SELECT v3 FROM ltri) GROUP BY v)
+         SELECT d.v AS vec_id, d.deg,
+           coalesce(p.t, 0) AS n_triangles,
+           CASE WHEN d.deg >= 2 THEN round(
+             2.0 * coalesce(p.t, 0) / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6)
+           END AS local_coeff
+         FROM ldeg d LEFT JOIN lper p ON p.v = d.v
+         ORDER BY vec_id""",
     // components: the recursive min-reach closure (exact converged
     // semantics, not a round replay) over the same edge pyramid
     "graph_components" ->

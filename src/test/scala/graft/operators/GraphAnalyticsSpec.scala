@@ -710,6 +710,28 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(qIdent < q)
   }
 
+  test("localClusteringOf: hand-checked coefficients; degree-1 reads null; isolates absent") {
+    // kite: triangle {0,1,2} + edge 2-3 + isolated 9 (no edges ⇒ no row).
+    //   c(0)=c(1)= 2·1/(2·1) = 1.0 (their neighbors know each other),
+    //   c(2) = 2·1/(3·2) = 1/3 (one of three neighbor pairs closed),
+    //   c(3): deg 1 ⇒ undefined (null).
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L),
+      (1L, 0L) /* reverse dup — erased by the unordered-pair distinct */)
+      .toDF("src", "dst")
+    val got = GraphAnalytics.localClusteringOf(e)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      0L -> ((2L, 1L, Some(1.0))),
+      1L -> ((2L, 1L, Some(1.0))),
+      2L -> ((3L, 1L, Some(0.333333))),
+      3L -> ((1L, 0L, None))))
+    // consistency with the global census: Σ per-node triangles = 3·T
+    val (_, _, t, _) = GraphAnalytics.clusteringOf(e)
+      .as[(Long, Long, Long, Double)].head()
+    assert(got.values.map(_._2).sum === 3 * t)
+  }
+
   test("takedown communities: deleting a doc splits its neighbors' community (labels move non-locally)") {
     import graft.operators.Search
     val dir = java.nio.file.Files.createTempDirectory("graft_cm_del").toString
