@@ -216,7 +216,13 @@ object ScaleBench {
     // The delta vs graph_pagerank_scaled's row is what bit-exact
     // oracle parity costs per refresh; named queries keep the ordered
     // default (spec-pinned ≤ 1e-12 relative apart).
-    "graph_pagerank_fast_scaled")
+    "graph_pagerank_fast_scaled",
+    // round 17d: the per-node coefficient under the SAME planted
+    // ~2000-degree hub as graph_clustering_scaled — identical Σdeg²
+    // triangle join plus the three-corner credit union (≤ 3·T rows,
+    // linear in triangles); the hub's one-key candidate mass is
+    // scale-constant, so time must track rows like the census arm.
+    "graph_clustering_local_scaled")
 
   /** Scratch dirs created by scale-only bindings whose output DataFrame
     * reads them lazily — reclaimed at JVM exit. */
@@ -384,6 +390,14 @@ object ScaleBench {
         val edges = knn.localCheckpoint()
         GraphAnalytics.kcorePeel(e.select(col("vec_id").as("id")), edges,
           k = 2, rounds = 4)
+      }),
+      "graph_clustering_local_scaled" -> ((s, d) => {
+        import graft.operators.GraphAnalytics
+        val (e, knn) = scaledKnnEdges(s, d)
+        val hub = e.select(col("vec_id"))
+          .filter(col("vec_id") > 0 && col("vec_id") < 2000)
+          .select(lit(0L).as("src"), col("vec_id").as("dst"))
+        GraphAnalytics.localClusteringOf(knn.unionByName(hub))
       }),
       "graph_pagerank_fast_scaled" -> ((s, d) => {
         import graft.operators.GraphAnalytics
