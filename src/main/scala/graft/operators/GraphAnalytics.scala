@@ -549,6 +549,24 @@ object GraphAnalytics {
         .select(col("__vid").as("src"), col("nbr_id").as("dst"), col("cos")))
       .orderBy("vec_id")
 
+  /** [[densityRefinedQ]] with takedowns honored — degree and mean-cos
+    * recomputed over the TOMBSTONED layout's surviving weighted edges:
+    * a doc whose nearest neighbors were recalled honestly reads a
+    * thinner degree (its density evidence shrank), and recalled docs
+    * emit no row. Completes density's in-plan/refined/del triple. */
+  def densityDelQ(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Tombstones
+    val dir = s"${Retrieval.graphDelIdxDir(s, d)}/idx"
+    val e = Tombstones.dropDeleted(
+      Tombstones.dropDeleted(
+        s.read.parquet(s"$dir/edges")
+          .select(col("__vid").as("src"), col("nbr_id").as("dst"),
+            col("cos")),
+        col("src"), dir),
+      col("dst"), dir)
+    densityOf(e).orderBy("vec_id")
+  }
+
   /** [[labelPropQ]]'s weighted twin — cosine-weighted votes over the
     * same seeds, graph, and round count, so the two relations diff
     * directly: rows where they disagree are exactly the nodes whose
@@ -1562,6 +1580,7 @@ object GraphAnalytics {
     "graph_quality_prop_acc" -> qualityPropAccQ,
     "graph_density" -> densityQ,
     "graph_density_refined" -> densityRefinedQ,
+    "graph_density_del" -> densityDelQ,
     "graph_clustering" -> clusteringQ,
     "graph_clustering_local" -> clusteringLocalQ,
     "graph_components" -> componentsQ,
@@ -2191,6 +2210,17 @@ object GraphAnalytics {
          rdd AS (SELECT vec_id AS src, count(*) AS degree,
              list_reduce(list(cos ORDER BY nbr_id), (acc, x) -> acc + x) AS s
            FROM gref GROUP BY vec_id)
+         SELECT src AS vec_id, degree, round(s / degree, 6) AS mean_cos
+         FROM rdd ORDER BY vec_id""",
+    // the same per-src fold over the refined pyramid MINUS the recalled
+    // ids on either endpoint — thinner degrees where evidence was lost
+    "graph_density_del" ->
+      s"""WITH ${Retrieval.refinedGraphCtes},
+         ddel AS (SELECT vec_id, nbr_id, cos FROM gref
+           WHERE vec_id NOT IN $delIdsSql AND nbr_id NOT IN $delIdsSql),
+         rdd AS (SELECT vec_id AS src, count(*) AS degree,
+             list_reduce(list(cos ORDER BY nbr_id), (acc, x) -> acc + x) AS s
+           FROM ddel GROUP BY vec_id)
          SELECT src AS vec_id, degree, round(s / degree, 6) AS mean_cos
          FROM rdd ORDER BY vec_id""",
     // degree joins + integer sums, then ONE fixed-order expression —
