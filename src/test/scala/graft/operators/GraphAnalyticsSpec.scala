@@ -786,6 +786,20 @@ class GraphAnalyticsSpec extends SparkSpec {
         s"community $lbl size column disagrees with its member count") }
   }
 
+  test("graph_density_del: recalled ids emit no row; survivors' degrees only ever thin") {
+    val d = "/root/testdata/sf0.001"
+    val del = GraphAnalytics.densityDelQ(spark, d)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    Retrieval.GraphDeletedIds.foreach(i =>
+      assert(!del.contains(i), s"recalled $i still profiled"))
+    val clean = GraphAnalytics.densityRefinedQ(spark, d)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    del.foreach { case (id, deg) =>
+      assert(deg <= clean(id), s"node $id GAINED degree under a takedown") }
+    assert(del.exists { case (id, deg) => deg < clean(id) },
+      "no survivor lost evidence — the takedown left no trace")
+  }
+
   test("graph_kcore_del / graph_harmonic_del: recalled ids leave; support and reach stop counting") {
     val d = "/root/testdata/sf0.001"
     val kc = GraphAnalytics.kcoreDelQ(spark, d)
