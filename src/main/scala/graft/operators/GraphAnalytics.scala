@@ -1623,13 +1623,13 @@ object GraphAnalytics {
 
   private lazy val edgeCtes: String =
     s"""$edgeCtesBase,
-       gedges AS (SELECT src, dst FROM ge3)"""
+       gedges AS MATERIALIZED (SELECT src, dst FROM ge3)"""
 
   /** The same edge list with the calibrated (cos+1)/2 weight — both
     * terms exact in double, so Spark and DuckDB agree on w bit-for-bit. */
   private lazy val wEdgeCtes: String =
     s"""$edgeCtesBase,
-       gedges AS (SELECT src, dst, (cos + 1) / 2 AS w FROM ge3)"""
+       gedges AS MATERIALIZED (SELECT src, dst, (cos + 1) / 2 AS w FROM ge3)"""
 
   /** One unrolled [[prIterate]] round: dangling fold, contribution
     * folds (the SAME two-level slice-major order as
@@ -1678,9 +1678,9 @@ object GraphAnalytics {
         s"""odb AS (SELECT e.src, e.dst % prb.b AS bk,
            list_reduce(list(e.w ORDER BY e.dst), (acc, x) -> acc + x) AS s
          FROM gedges e CROSS JOIN prb GROUP BY e.src, e.dst % prb.b),
-       od AS (SELECT src, list_reduce(list(s ORDER BY bk),
+       od AS MATERIALIZED (SELECT src, list_reduce(list(s ORDER BY bk),
            (acc, x) -> acc + x) AS odeg FROM odb GROUP BY src)"""
-      else "od AS (SELECT src, count(*) AS odeg FROM gedges GROUP BY src)"
+      else "od AS MATERIALIZED (SELECT src, count(*) AS odeg FROM gedges GROUP BY src)"
     s"""WITH $edges,
        $tvecCte,
        prb AS (SELECT greatest(16, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)))
@@ -1694,22 +1694,35 @@ object GraphAnalytics {
     * production graph the at-rest index stores. */
   private lazy val refinedEdgeCtes: String =
     s"""${Retrieval.refinedGraphCtes},
-       gedges AS (SELECT vec_id AS src, nbr_id AS dst FROM gref)"""
+       gedges AS MATERIALIZED (SELECT vec_id AS src, nbr_id AS dst FROM gref)"""
 
   /** The refined edges with the calibrated weight — the stored `cos`
     * column replayed off the same pyramid. */
   private lazy val refinedWEdgeCtes: String =
     s"""${Retrieval.refinedGraphCtes},
-       gedges AS (SELECT vec_id AS src, nbr_id AS dst, (cos + 1) / 2 AS w
+       gedges AS MATERIALIZED (SELECT vec_id AS src, nbr_id AS dst,
+           (cos + 1) / 2 AS w
          FROM gref)"""
 
   private lazy val delIdsSql: String =
     Retrieval.GraphDeletedIds.mkString("(", ", ", ")")
 
-  /** The refined edges MINUS the takedown ids on either endpoint. */
+  /** The refined edges MINUS the takedown ids on either endpoint.
+    *
+    * ORACLE MEMORY POLICY (applies to every edge pyramid here): any
+    * CTE consumed more than once by downstream SQL is declared
+    * `MATERIALIZED`. DuckDB re-INLINES un-hinted multi-referenced CTEs,
+    * so a consumer like `kcoreCtesOn` (references `kund` ~6×, which
+    * references `gedges` 4×) expands this pyramid combinatorially —
+    * `graph_kcore_del`'s oracle OOM'd at r17 exactly this way (the
+    * `knn_graph_append` visited-CTE lesson, SURVEY §8). Hence `gref`
+    * (the pyramid apex, [[Retrieval.refinedGraphCtesFrom]]), every
+    * `gedges` wrapper, and each undirected closure (`kund`/`cund`/
+    * `hund`/`lund`/`undw`/`aund`/`mu`) carry the hint; semantics are
+    * unchanged, only evaluate-once is forced. */
   private lazy val delEdgeCtes: String =
     s"""${Retrieval.refinedGraphCtes},
-       gedges AS (SELECT vec_id AS src, nbr_id AS dst FROM gref
+       gedges AS MATERIALIZED (SELECT vec_id AS src, nbr_id AS dst FROM gref
          WHERE vec_id NOT IN $delIdsSql AND nbr_id NOT IN $delIdsSql)"""
 
   private lazy val pageRankSql: String =
@@ -1748,7 +1761,7 @@ object GraphAnalytics {
     val rounds = (1 to Iters).map(i => lpRoundSql(i, if (i == 1) "l0" else s"l${i - 1}"))
       .mkString(",\n")
     s"""$edges,
-       lund AS (SELECT src, dst FROM gedges
+       lund AS MATERIALIZED (SELECT src, dst FROM gedges
          UNION SELECT dst, src FROM gedges),
        $nodesCte,
        l0 AS (SELECT id, seed AS lbl FROM nodes_t),
@@ -1783,7 +1796,7 @@ object GraphAnalytics {
     val rounds = (1 to Iters).map(i => wlpRoundSql(i, if (i == 1) "l0" else s"l${i - 1}"))
       .mkString(",\n")
     s"""$edgeCtes,
-       undw AS (SELECT src, dst, cos AS w FROM ge3
+       undw AS MATERIALIZED (SELECT src, dst, cos AS w FROM ge3
          UNION SELECT dst, src, cos FROM ge3),
        nodes_t AS (SELECT vec_id AS id,
            CASE WHEN vec_id % $SeedMod = 0 THEN label END AS seed
@@ -1813,7 +1826,7 @@ object GraphAnalytics {
   private def componentsCtes(nodesSql: String, edges: String): String =
     s"""$edges,
        cn AS ($nodesSql),
-       clund AS (SELECT src, dst FROM gedges
+       clund AS MATERIALIZED (SELECT src, dst FROM gedges
            WHERE src IN (SELECT id FROM cn) AND dst IN (SELECT id FROM cn)
          UNION SELECT dst, src FROM gedges
            WHERE src IN (SELECT id FROM cn) AND dst IN (SELECT id FROM cn)),
@@ -1842,7 +1855,7 @@ object GraphAnalytics {
     }.mkString(",\n")
     s"""$edges,
        knodes AS ($nodesSql),
-       kund AS (SELECT src, dst FROM gedges WHERE src <> dst
+       kund AS MATERIALIZED (SELECT src, dst FROM gedges WHERE src <> dst
            AND src IN (SELECT id FROM knodes)
            AND dst IN (SELECT id FROM knodes)
          UNION SELECT dst, src FROM gedges WHERE src <> dst
@@ -1876,7 +1889,7 @@ object GraphAnalytics {
     }.mkString(",\n")
     s"""$edges,
        cnodes AS ($nodesSql),
-       cund AS (SELECT src, dst FROM gedges
+       cund AS MATERIALIZED (SELECT src, dst FROM gedges
            WHERE src IN (SELECT id FROM cnodes)
              AND dst IN (SELECT id FROM cnodes)
          UNION SELECT dst, src FROM gedges
@@ -1896,7 +1909,7 @@ object GraphAnalytics {
   private def harmonicCtesOn(nodesSql: String, edges: String): String =
     s"""$edges,
        hnodes AS ($nodesSql),
-       hund AS (SELECT src, dst FROM gedges
+       hund AS MATERIALIZED (SELECT src, dst FROM gedges
            WHERE src IN (SELECT id FROM hnodes)
              AND dst IN (SELECT id FROM hnodes)
          UNION SELECT dst, src FROM gedges
@@ -2173,7 +2186,7 @@ object GraphAnalytics {
     // q_num = Σ_c (in_c·m2 − deg_c²), ONE division at the end
     "graph_modularity" ->
       s"""WITH $communityCtes,
-         mu AS (SELECT e.src, a.lbl AS ca, b.lbl AS cb
+         mu AS MATERIALIZED (SELECT e.src, a.lbl AS ca, b.lbl AS cb
            FROM cund e JOIN cm$Iters a ON a.id = e.src
            JOIN cm$Iters b ON b.id = e.dst),
          mm2 AS (SELECT count(*) AS m2 FROM mu),
@@ -2191,7 +2204,7 @@ object GraphAnalytics {
       s"""WITH ${communityCtesOn(
            s"SELECT vec_id AS id FROM embeddings WHERE vec_id NOT IN $delIdsSql",
            delEdgeCtes)},
-         mu AS (SELECT e.src, a.lbl AS ca, b.lbl AS cb
+         mu AS MATERIALIZED (SELECT e.src, a.lbl AS ca, b.lbl AS cb
            FROM cund e JOIN cm$Iters a ON a.id = e.src
            JOIN cm$Iters b ON b.id = e.dst),
          mm2 AS (SELECT count(*) AS m2 FROM mu),
@@ -2227,7 +2240,7 @@ object GraphAnalytics {
     // exact inputs, bit parity for free
     "graph_assortativity" ->
       s"""WITH $edgeCtes,
-         aund AS (SELECT src, dst FROM gedges WHERE src <> dst
+         aund AS MATERIALIZED (SELECT src, dst FROM gedges WHERE src <> dst
            UNION SELECT dst, src FROM gedges WHERE src <> dst),
          adeg AS (SELECT src AS v, count(*) AS dg FROM aund GROUP BY src),
          ast AS (SELECT count(*) AS m,
@@ -2260,7 +2273,7 @@ object GraphAnalytics {
     // unrolled hop expansions from the recalled seed ids
     "graph_blast_radius" ->
       s"""WITH ${Retrieval.refinedGraphCtes},
-         bund AS (SELECT vec_id AS src, nbr_id AS dst FROM gref
+         bund AS MATERIALIZED (SELECT vec_id AS src, nbr_id AS dst FROM gref
            UNION SELECT nbr_id, vec_id FROM gref),
          b0 AS (SELECT vec_id AS id FROM embeddings
            WHERE vec_id IN $delIdsSql),

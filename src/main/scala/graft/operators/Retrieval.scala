@@ -1447,7 +1447,7 @@ object Retrieval {
          FROM und x JOIN und y ON x.dst = y.src WHERE x.src <> y.dst),
        allp AS (SELECT vec_id, nbr_id FROM non
          UNION SELECT vec_id, nbr_id FROM g0),
-       gref AS (SELECT vec_id, nbr_id, cos, rank FROM (
+       gref AS MATERIALIZED (SELECT vec_id, nbr_id, cos, rank FROM (
            SELECT p.vec_id, p.nbr_id,
              list_cosine_similarity(va.v, vb.v) AS cos,
              CAST(row_number() OVER (PARTITION BY p.vec_id
