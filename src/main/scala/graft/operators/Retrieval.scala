@@ -668,24 +668,40 @@ object Retrieval {
 
   /** Per-JVM at-rest graph-ANALYTICS read store: (id, pr, community,
     * comm_size) bucket-partitioned by id — PageRank and unclamped-LPA
-    * communities derived ONCE from the clean stored graph layout
-    * ([[graphIdxDir]]'s edges, [[GraphAnalytics.Iters]] rounds, the
-    * exact published loops of `graph_pagerank_refined` /
+    * communities derived ONCE per graph LAYOUT ([[GraphAnalytics.Iters]]
+    * rounds, the exact published loops of `graph_pagerank_refined` /
     * `graph_communities`), then every serving read is a
     * partition-pruned point lookup. This is the SRS's "suggest similar
     * + quality signals" flow closed: search modes serve neighbors, this
     * store serves the per-doc corpus-position signals (centrality =
     * label-free quality prior, community = topic-ish grouping) without
     * re-running a propagation loop per request — the 100 TB shape where
-    * centrality refreshes are batch jobs and reads are index lookups. */
-  private[operators] def graphStatsDir(s: SparkSession, d: String): String =
-    graphStatsCache.computeIfAbsent(d, _ => {
+    * centrality refreshes are batch jobs and reads are index lookups.
+    *
+    * TAKEDOWN-AWARE like every other at-rest family: the build honors
+    * the layout's [[graft.sources.Tombstones]] store (recalled ids
+    * leave the node set, neither direction of their edges conducts —
+    * the `layoutLive` discipline, so a refresh over a tombstoned layout
+    * computes exactly `graph_pagerank_del`'s oracle-checked survivor
+    * ranks), and [[graphStatsReadFor]] anti-joins the tombstones again
+    * at probe time, so a takedown landing AFTER the refresh blanks the
+    * recalled id immediately (survivor ranks carry the documented
+    * liveDocs-style staleness until the next refresh). */
+  private[operators] def graphStatsDirFor(s: SparkSession, d: String,
+      idx: String): String =
+    graphStatsCache.computeIfAbsent(idx, _ => {
+      import graft.sources.Tombstones
       val tmp = java.nio.file.Files.createTempDirectory("graft_graph_stats").toString
-      val idx = s"${graphIdxDir(s, d)}/idx"
-      val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
-      val pr = GraphAnalytics.pageRank(nodes,
-        s.read.parquet(s"$idx/edges")
-          .select(col("__vid").as("src"), col("nbr_id").as("dst")),
+      val nodes = Tombstones.dropDeleted(
+        Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        col("id"), idx)
+      val edges = Tombstones.dropDeleted(
+        Tombstones.dropDeleted(
+          s.read.parquet(s"$idx/edges")
+            .select(col("__vid").as("src"), col("nbr_id").as("dst")),
+          col("src"), idx),
+        col("dst"), idx)
+      val pr = GraphAnalytics.pageRank(nodes, edges,
         iters = GraphAnalytics.Iters)
       val cm = GraphAnalytics.communitiesOverLayout(s, nodes, idx,
         GraphAnalytics.Iters)
@@ -698,16 +714,31 @@ object Retrieval {
       tmp
     })
 
-  /** Point read over [[graphStatsDir]]: one doc's graph signals, the
-    * partition carrying its bucket the only one opened. */
-  private[operators] def graphStatsRead(s: SparkSession, d: String,
-      id: Long): DataFrame =
-    s.read.parquet(s"${graphStatsDir(s, d)}/stats")
-      .filter(col("bkt") ===
-        java.lang.Math.floorMod(id, GraphStatsBuckets).toInt &&
-        col("id") === id)
+  /** [[graphStatsDirFor]] over the clean production layout — what mode
+    * `centrality` serves. */
+  private[operators] def graphStatsDir(s: SparkSession, d: String): String =
+    graphStatsDirFor(s, d, s"${graphIdxDir(s, d)}/idx")
+
+  /** Point read over the given layout's stats store: one doc's graph
+    * signals, the partition carrying its bucket the only one opened,
+    * tombstones honored at probe time (a recalled id reads EMPTY even
+    * before the next stats refresh — the shared anti-join discipline of
+    * every index family's probe path). */
+  private[operators] def graphStatsReadFor(s: SparkSession, d: String,
+      idx: String, id: Long): DataFrame =
+    graft.sources.Tombstones.dropDeleted(
+      s.read.parquet(s"${graphStatsDirFor(s, d, idx)}/stats")
+        .filter(col("bkt") ===
+          java.lang.Math.floorMod(id, GraphStatsBuckets).toInt &&
+          col("id") === id),
+      col("id"), idx)
       .select(col("id").as("vec_id"), round(col("pr"), 9).as("pr"),
         col("community"), col("comm_size"))
+
+  /** [[graphStatsReadFor]] over the clean production layout. */
+  private[operators] def graphStatsRead(s: SparkSession, d: String,
+      id: Long): DataFrame =
+    graphStatsReadFor(s, d, s"${graphIdxDir(s, d)}/idx", id)
 
   /** The increment for the graph-maintenance arm: two vec_ids present
     * at every sf (ids are dense from 0), disjoint from

@@ -208,6 +208,31 @@ class RetrievalRunSpec extends SparkSpec {
     assert(other !== got)
   }
 
+  test("centrality serving honors takedowns: recalled id reads empty, survivor rank is the del oracle's") {
+    val idx = s"${Retrieval.graphDelIdxDir(spark, d)}/idx"
+    val recalled = Retrieval.GraphDeletedIds.head
+    // the recall is served immediately — probe-time anti-join, no
+    // refresh needed for the id to disappear
+    assert(Retrieval.graphStatsReadFor(spark, d, idx, recalled).isEmpty,
+      s"recalled id $recalled must not be served centrality")
+    // a survivor's refreshed rank is exactly graph_pagerank_del's
+    // oracle-checked row (same live nodes/edges, same loop, same round)
+    val survivor = 42L
+    assert(!Retrieval.GraphDeletedIds.contains(survivor))
+    val got = Retrieval.graphStatsReadFor(spark, d, idx, survivor)
+      .as[(Long, Double, Long, Long)].head()
+    val wantPr = GraphAnalytics.pageRankDelQ(spark, d)
+      .filter(col("vec_id") === survivor).as[(Long, Double)].head()._2
+    assert(got._2 === wantPr)
+    // and its community row matches the tombstoned layout's partition
+    val want = GraphAnalytics.communitiesOverLayout(spark,
+        spark.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id").as("id")),
+        idx, GraphAnalytics.Iters)
+      .as[(Long, Long, Long)].collect().find(_._1 == survivor).get
+    assert((got._3, got._4) === ((want._2, want._3)))
+  }
+
   test("graph mode: serves from the at-rest index, equals the named query for the default query vector") {
     val got = Retrieval.run(spark, d,
         SearchRequest("graph", k = 10, queryImageId = 0L))
