@@ -404,6 +404,14 @@ object GraphAnalytics {
   private def knnEdges(s: SparkSession, d: String): DataFrame =
     knnEdgesCos(s, d).select("src", "dst")
 
+  /** The PRODUCTION graph's stored edge list (src, dst) — the clean
+    * at-rest layout every `_refined` arm reads: no vectors, no
+    * kmeans/NN-Descent re-run, just the (src, dst[, cos]) rows
+    * [[Search.writeGraphIndex]] persisted. */
+  private def storedEdges(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${Retrieval.graphIdxDir(s, d)}/idx/edges")
+      .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+
   /** PageRank over the directed kNN graph: corpus-centrality per
     * document, the label-free density/quality signal. 3 iterations,
     * d = 0.85. The pr column is bit-exact vs the oracle (integer-
@@ -784,6 +792,40 @@ object GraphAnalytics {
       .select(col("v").as("vec_id"), col("deg"), col("n_triangles"),
         col("local_coeff"))
       .orderBy("vec_id")
+
+  /** [[clusteringQ]] over the PRODUCTION graph — the cohesion dial
+    * refreshed from the stored (src, dst) rows alone (the
+    * `graph_density_refined` payoff for the census): no blocked-kNN
+    * build per reading. */
+  def clusteringRefinedQ(s: SparkSession, d: String): DataFrame =
+    clusteringOf(storedEdges(s, d))
+
+  /** Takedown-aware census — [[clusteringQ]] over the TOMBSTONED
+    * layout's surviving edges: a recalled doc's triangles stop
+    * counting (every wedge and triangle through it leaves the census),
+    * closing the takedown matrix for the global cohesion dial. */
+  def clusteringDelQ(s: SparkSession, d: String): DataFrame = {
+    val (_, e0) = layoutLive(s,
+      Tables.embeddings(s, d).select(col("vec_id").as("id")),
+      s"${Retrieval.graphDelIdxDir(s, d)}/idx")
+    clusteringOf(e0)
+  }
+
+  /** Takedown-aware per-node cohesion — [[clusteringLocalQ]] over the
+    * TOMBSTONED layout: a triangle corner whose third corner was
+    * recalled honestly loses that triangle (its coefficient drops, or
+    * nulls if its degree falls under 2), and recalled ids emit no row
+    * (they keep no edges, and [[localClusteringOf]] only speaks for
+    * nodes with ≥ 1 edge). */
+  def clusteringLocalDelQ(s: SparkSession, d: String): DataFrame = {
+    val (_, e0) = layoutLive(s,
+      Tables.embeddings(s, d).select(col("vec_id").as("id")),
+      s"${Retrieval.graphDelIdxDir(s, d)}/idx")
+    localClusteringOf(e0)
+      .select(col("v").as("vec_id"), col("deg"), col("n_triangles"),
+        col("local_coeff"))
+      .orderBy("vec_id")
+  }
 
   /** Connected components of the UNDIRECTED closure of `edges`,
     * restricted to `nodes` = (id): (id, component) for EVERY node, with
@@ -1168,6 +1210,42 @@ object GraphAnalytics {
         col("n3_est"), col("harmonic_est"))
       .orderBy("vec_id")
 
+  /** [[harmonicQ]] over the PRODUCTION graph — the exact three-ring
+    * reach read off the stored (src, dst) rows, no blocked-kNN build
+    * per reading. */
+  def harmonicRefinedQ(s: SparkSession, d: String): DataFrame =
+    harmonic3(Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        storedEdges(s, d))
+      .select(col("id").as("vec_id"), col("n1"), col("n2"), col("n3"),
+        col("harmonic"))
+      .orderBy("vec_id")
+
+  /** [[harmonicSketchQ]] over the PRODUCTION graph — the operator that
+    * exists FOR 100 TB (flat N·k per-hop state where the exact form's
+    * reach sets explode at production degree caps) now serves from the
+    * 100 TB artifact: registers merged along the STORED edges, same
+    * estimator, same bit-exact md5 registers. */
+  def harmonicSketchRefinedQ(s: SparkSession, d: String): DataFrame =
+    harmonicSketch(Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        storedEdges(s, d), k = SketchK)
+      .select(col("id").as("vec_id"), col("n1_est"), col("n2_est"),
+        col("n3_est"), col("harmonic_est"))
+      .orderBy("vec_id")
+
+  /** Takedown-aware sketch centrality — [[harmonicSketchRefinedQ]]
+    * with tombstones honored: recalled ids leave the node set, their
+    * hashes leave every register they'd have seeded, and estimates
+    * shrink where reach ran through them. */
+  def harmonicSketchDelQ(s: SparkSession, d: String): DataFrame = {
+    val (live, e0) = layoutLive(s,
+      Tables.embeddings(s, d).select(col("vec_id").as("id")),
+      s"${Retrieval.graphDelIdxDir(s, d)}/idx")
+    harmonicSketch(live, e0, k = SketchK)
+      .select(col("id").as("vec_id"), col("n1_est"), col("n2_est"),
+        col("n3_est"), col("harmonic_est"))
+      .orderBy("vec_id")
+  }
+
   /** Synchronous label-propagation COMMUNITY detection (Raghavan et al.
     * 2007), `iters` fixed rounds: every node starts as its own label
     * and each round adopts the (count desc, label asc) argmax over its
@@ -1502,6 +1580,19 @@ object GraphAnalytics {
       .select(col("id").as("vec_id"), col("in_core"), col("core_deg"))
       .orderBy("vec_id")
 
+  /** [[kcoreQ]] over the PRODUCTION graph — the core/periphery
+    * partition refreshed from the stored (src, dst) rows alone, no
+    * blocked-kNN build per reading (its del twin already read the
+    * layout; this closes the clean serving face). Same convergence
+    * guard. */
+  def kcoreRefinedQ(s: SparkSession, d: String): DataFrame =
+    kcoreConverged(
+        kcorePeel(Tables.embeddings(s, d).select(col("vec_id").as("id")),
+          storedEdges(s, d), k = CoreK, rounds = PeelRounds),
+        k = CoreK, rounds = PeelRounds)
+      .select(col("id").as("vec_id"), col("in_core"), col("core_deg"))
+      .orderBy("vec_id")
+
   /** In-plan convergence guard for a [[kcorePeel]] relation: one more
     * round peels nothing iff every survivor's within-core degree is
     * already ≥ k — a predicate on the OUTPUT columns, so the assert
@@ -1582,16 +1673,23 @@ object GraphAnalytics {
     "graph_density_refined" -> densityRefinedQ,
     "graph_density_del" -> densityDelQ,
     "graph_clustering" -> clusteringQ,
+    "graph_clustering_refined" -> clusteringRefinedQ,
+    "graph_clustering_del" -> clusteringDelQ,
     "graph_clustering_local" -> clusteringLocalQ,
+    "graph_clustering_local_del" -> clusteringLocalDelQ,
     "graph_components" -> componentsQ,
     "graph_components_hist" -> componentsHistQ,
     "graph_components_del" -> componentsDelQ,
     "graph_components_append" -> componentsAppendQ,
     "graph_kcore" -> kcoreQ,
+    "graph_kcore_refined" -> kcoreRefinedQ,
     "graph_kcore_del" -> kcoreDelQ,
     "graph_harmonic" -> harmonicQ,
+    "graph_harmonic_refined" -> harmonicRefinedQ,
     "graph_harmonic_del" -> harmonicDelQ,
     "graph_harmonic_sketch" -> harmonicSketchQ,
+    "graph_harmonic_sketch_refined" -> harmonicSketchRefinedQ,
+    "graph_harmonic_sketch_del" -> harmonicSketchDelQ,
     "graph_assortativity" -> assortativityQ,
     "graph_communities" -> communitiesQ,
     "graph_communities_del" -> communitiesDelQ,
@@ -1872,6 +1970,52 @@ object GraphAnalytics {
   private lazy val kcoreCtes: String =
     kcoreCtesOn("SELECT vec_id AS id FROM embeddings", edgeCtes)
 
+  /** The global triangle census over a `gedges (src, dst)` pyramid:
+    * unordered pairs, Σ C(deg,2) wedges, the (a<b<c) two-join triangle
+    * count, 3T/W — shared by the clean / refined / takedown arms. `p`
+    * carries the MATERIALIZED hint (the oracle memory policy at
+    * [[delEdgeCtes]]): it is consumed 6×. */
+  private def clusteringSqlOn(edges: String): String =
+    s"""WITH $edges,
+       p AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+           greatest(src, dst) AS b
+         FROM gedges WHERE src <> dst),
+       deg AS (SELECT v, count(*) AS dg FROM (
+           SELECT a AS v FROM p UNION ALL SELECT b FROM p) GROUP BY v),
+       w AS (SELECT CAST(sum(dg * (dg - 1)) // 2 AS BIGINT) AS n_wedges FROM deg),
+       t AS (SELECT count(*) AS n_triangles FROM p x
+         JOIN p y ON x.b = y.a
+         JOIN p z ON z.a = x.a AND z.b = y.b),
+       np AS (SELECT count(*) AS n_pairs FROM p)
+       SELECT np.n_pairs, w.n_wedges, t.n_triangles,
+         round(3 * CAST(t.n_triangles AS DOUBLE) / w.n_wedges, 6)
+           AS clustering_coeff
+       FROM np CROSS JOIN w CROSS JOIN t"""
+
+  /** The per-node Watts-Strogatz replay over a `gedges` pyramid: the
+    * same (a<b<c) triangle join credited to all three corners, then
+    * the one division per node — shared by the clean / takedown arms. */
+  private def clusteringLocalSqlOn(edges: String): String =
+    s"""WITH $edges,
+       lp AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+           greatest(src, dst) AS b
+         FROM gedges WHERE src <> dst),
+       ldeg AS (SELECT v, count(*) AS deg FROM (
+           SELECT a AS v FROM lp UNION ALL SELECT b FROM lp) GROUP BY v),
+       ltri AS (SELECT x.a AS v1, x.b AS v2, y.b AS v3 FROM lp x
+         JOIN lp y ON x.b = y.a
+         JOIN lp z ON z.a = x.a AND z.b = y.b),
+       lper AS (SELECT v, count(*) AS t FROM (
+           SELECT v1 AS v FROM ltri UNION ALL SELECT v2 FROM ltri
+           UNION ALL SELECT v3 FROM ltri) GROUP BY v)
+       SELECT d.v AS vec_id, d.deg,
+         coalesce(p.t, 0) AS n_triangles,
+         CASE WHEN d.deg >= 2 THEN round(
+           2.0 * coalesce(p.t, 0) / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6)
+         END AS local_coeff
+       FROM ldeg d LEFT JOIN lper p ON p.v = d.v
+       ORDER BY vec_id"""
+
   /** The unrolled unclamped-LPA rounds: identity labels, per-round
     * (count desc, label asc) argmax, keep-own on no votes. Ends in
     * `cm$Iters (id, lbl)` over `cund` (the undirected closure of the
@@ -2066,42 +2210,18 @@ object GraphAnalytics {
            FROM ge3 GROUP BY src)
          SELECT src AS vec_id, degree, round(s / degree, 6) AS mean_cos
          FROM dd ORDER BY vec_id""",
-    "graph_clustering" ->
-      s"""WITH $edgeCtes,
-         p AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-           FROM gedges WHERE src <> dst),
-         deg AS (SELECT v, count(*) AS dg FROM (
-             SELECT a AS v FROM p UNION ALL SELECT b FROM p) GROUP BY v),
-         w AS (SELECT CAST(sum(dg * (dg - 1)) // 2 AS BIGINT) AS n_wedges FROM deg),
-         t AS (SELECT count(*) AS n_triangles FROM p x
-           JOIN p y ON x.b = y.a
-           JOIN p z ON z.a = x.a AND z.b = y.b),
-         np AS (SELECT count(*) AS n_pairs FROM p)
-         SELECT np.n_pairs, w.n_wedges, t.n_triangles,
-           round(3 * CAST(t.n_triangles AS DOUBLE) / w.n_wedges, 6)
-             AS clustering_coeff
-         FROM np CROSS JOIN w CROSS JOIN t""",
+    "graph_clustering" -> clusteringSqlOn(edgeCtes),
+    // the census refreshed off the stored production edges
+    "graph_clustering_refined" -> clusteringSqlOn(refinedEdgeCtes),
+    // takedown replay: the refined pyramid MINUS the recalled ids —
+    // every wedge and triangle through them leaves the census
+    "graph_clustering_del" -> clusteringSqlOn(delEdgeCtes),
     // the same (a<b<c) triangle join credited to all three corners,
     // then the one Watts-Strogatz division per node
-    "graph_clustering_local" ->
-      s"""WITH $edgeCtes,
-         lp AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-           FROM gedges WHERE src <> dst),
-         ldeg AS (SELECT v, count(*) AS deg FROM (
-             SELECT a AS v FROM lp UNION ALL SELECT b FROM lp) GROUP BY v),
-         ltri AS (SELECT x.a AS v1, x.b AS v2, y.b AS v3 FROM lp x
-           JOIN lp y ON x.b = y.a
-           JOIN lp z ON z.a = x.a AND z.b = y.b),
-         lper AS (SELECT v, count(*) AS t FROM (
-             SELECT v1 AS v FROM ltri UNION ALL SELECT v2 FROM ltri
-             UNION ALL SELECT v3 FROM ltri) GROUP BY v)
-         SELECT d.v AS vec_id, d.deg,
-           coalesce(p.t, 0) AS n_triangles,
-           CASE WHEN d.deg >= 2 THEN round(
-             2.0 * coalesce(p.t, 0) / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6)
-           END AS local_coeff
-         FROM ldeg d LEFT JOIN lper p ON p.v = d.v
-         ORDER BY vec_id""",
+    "graph_clustering_local" -> clusteringLocalSqlOn(edgeCtes),
+    // the per-corner replay minus the recalled ids — a corner whose
+    // third corner was recalled loses the triangle
+    "graph_clustering_local_del" -> clusteringLocalSqlOn(delEdgeCtes),
     // components: the recursive min-reach closure (exact converged
     // semantics, not a round replay) over the same edge pyramid
     "graph_components" ->
@@ -2143,6 +2263,11 @@ object GraphAnalytics {
       s"""WITH ${harmonicCtesOn(
            "SELECT vec_id AS id FROM embeddings", edgeCtes)}
          $harmonicSelectSql""",
+    // the same three expansions over the stored production edges
+    "graph_harmonic_refined" ->
+      s"""WITH ${harmonicCtesOn(
+           "SELECT vec_id AS id FROM embeddings", refinedEdgeCtes)}
+         $harmonicSelectSql""",
     // takedown replay: the refined pyramid MINUS the recalled ids,
     // live nodes only — distances through a deleted doc honestly grow
     // (a ring-2 neighbor via the recalled bridge leaves the ring)
@@ -2162,6 +2287,19 @@ object GraphAnalytics {
     "graph_harmonic_sketch" ->
       s"""WITH ${harmonicCtesOn(
            "SELECT vec_id AS id FROM embeddings", edgeCtes)},
+         ${harmonicSketchSelectSql(SketchK)}""",
+    // the register replay off the STORED edges' reach sets — the
+    // scale-safe operator serving from the at-rest artifact
+    "graph_harmonic_sketch_refined" ->
+      s"""WITH ${harmonicCtesOn(
+           "SELECT vec_id AS id FROM embeddings", refinedEdgeCtes)},
+         ${harmonicSketchSelectSql(SketchK)}""",
+    // the same registers minus the recalled ids: their hashes leave
+    // every register they'd have seeded
+    "graph_harmonic_sketch_del" ->
+      s"""WITH ${harmonicCtesOn(
+           s"SELECT vec_id AS id FROM embeddings WHERE vec_id NOT IN $delIdsSql",
+           delEdgeCtes)},
          ${harmonicSketchSelectSql(SketchK)}""",
     // unclamped synchronous LPA, unrolled — identity labels in,
     // (count desc, label asc) argmax per round, keep-own on no votes
@@ -2258,6 +2396,14 @@ object GraphAnalytics {
          SELECT n.vec_id, (k.id IS NOT NULL) AS in_core, kcd.core_deg
          FROM embeddings n LEFT JOIN kc$PeelRounds k ON k.id = n.vec_id
          LEFT JOIN kcd ON kcd.id = n.vec_id
+         ORDER BY vec_id""",
+    // the same unrolled peel over the stored production edges
+    "graph_kcore_refined" ->
+      s"""WITH ${kcoreCtesOn(
+           "SELECT vec_id AS id FROM embeddings", refinedEdgeCtes)}
+         SELECT n.id AS vec_id, (k.id IS NOT NULL) AS in_core, kcd.core_deg
+         FROM knodes n LEFT JOIN kc$PeelRounds k ON k.id = n.id
+         LEFT JOIN kcd ON kcd.id = n.id
          ORDER BY vec_id""",
     // takedown replay: the refined pyramid MINUS the recalled ids, the
     // same unrolled peel — support through a deleted doc stops counting

@@ -732,6 +732,26 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum === 3 * t)
   }
 
+  test("takedown clustering: recalling a triangle corner drops the other corners' coefficients") {
+    // same kite; recall node 0 — the {0,1,2} triangle dies:
+    //   c(1): deg 2→1 ⇒ undefined (null),
+    //   c(2): deg 3→2, triangles 1→0 ⇒ 0.0 (neighbors now strangers),
+    //   0 emits no row (its edges left with it).
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L)).toDF("src", "dst")
+    val live = e.filter(col("src") =!= 0L && col("dst") =!= 0L)
+    val got = GraphAnalytics.localClusteringOf(live)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      1L -> ((1L, 0L, None)),
+      2L -> ((2L, 0L, Some(0.0))),
+      3L -> ((1L, 0L, None))))
+    // the global census agrees: no triangles, no wedge closure
+    val (_, w, t, _) = GraphAnalytics.clusteringOf(live)
+      .as[(Long, Long, Long, Double)].head()
+    assert(t === 0L && w === 1L)
+  }
+
   test("takedown communities: deleting a doc splits its neighbors' community (labels move non-locally)") {
     import graft.operators.Search
     val dir = java.nio.file.Files.createTempDirectory("graft_cm_del").toString
