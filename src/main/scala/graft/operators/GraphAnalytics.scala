@@ -1321,7 +1321,11 @@ object GraphAnalytics {
       .localCheckpoint(eager = false)
     // loud Long-overflow guard: in_c·m2 and deg_c² are ≤ m2², so m2 <
     // 3·10⁹ keeps every numerator term under 2⁶³ with headroom for the
-    // Σ_c sum. assert_true keeps the check IN-PLAN (no job at plan
+    // Σ_c sum. NOTE the margin is thin by design — m2² < 9.0·10¹⁸ vs
+    // Long.MaxValue ≈ 9.22·10¹⁸ (~2.4%) — so do NOT loosen the 3e9
+    // constant (or widen any numerator term, e.g. weighted stubs)
+    // without re-deriving the bound. assert_true keeps the check
+    // IN-PLAN (no job at plan
     // construction); the filter is identically true below the bound, so
     // the guarded relation is the unguarded one and the oracle replay
     // is untouched.
@@ -1357,8 +1361,9 @@ object GraphAnalytics {
     * so the one final expression is a fixed sequence of exact-input
     * IEEE-754 ops and the replay is bit-exact with no fold discipline.
     * One |E|-bounded degree join per side + one global aggregate; the
-    * long sums bound: M·Σxy ≤ M²·maxdeg² — fine for any degree-capped
-    * graph this engine serves (documented, not guarded). */
+    * long sums bound: M·Σxy ≤ M²·maxdeg² — GUARDED in-plan below
+    * (assert_true on m·maxdeg < 2³¹, fail-loud), identically true for
+    * any degree-capped graph this engine serves. */
   def assortativityOf(edges: DataFrame): DataFrame = {
     val e0 = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
@@ -1400,8 +1405,11 @@ object GraphAnalytics {
     assortativityOf(knnEdges(s, d))
 
   /** The LPA label tables both community faces and their modularity
-    * meters consume, built once per (JVM, sfDir) — the [[qualityNodes]]
-    * memoization discipline: the partition and its grade are two reads
+    * meters consume, built once per (session, sfDir) — the
+    * [[qualityNodes]] memoization discipline (the SESSION is part of
+    * the key: the cached frames are lazily localCheckpointed and so
+    * bound to the session's SparkContext; a second session in the same
+    * JVM must not receive frames a stopped context owns): the partition and its grade are two reads
     * of ONE detection run (exactly how production would grade a
     * partition it just computed), so the [[Iters]] vote rounds don't
     * re-run per binding. LAZY localCheckpoint: plan/view construction
@@ -1409,11 +1417,12 @@ object GraphAnalytics {
     * the stored rows. Values are unchanged — the cached table IS the
     * same deterministic derivation. */
   private val communityLabelCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
+      DataFrame]()
 
   /** Cached in-plan-graph LPA labels (id, lbl). */
   private def communityLabels(s: SparkSession, d: String): DataFrame =
-    communityLabelCache.computeIfAbsent(("clean", d), _ => {
+    communityLabelCache.computeIfAbsent((s, "clean", d), _ => {
       val e = knnEdges(s, d)
       val und = e.unionByName(
         e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
@@ -1426,7 +1435,7 @@ object GraphAnalytics {
     * they were detected on (the modularity meter grades against it). */
   private def delCommunityLabels(s: SparkSession,
       d: String): (DataFrame, DataFrame) = {
-    val labels = communityLabelCache.computeIfAbsent(("del", d), _ => {
+    val labels = communityLabelCache.computeIfAbsent((s, "del", d), _ => {
       val (live, e0) = layoutLive(s,
         Tables.embeddings(s, d).select(col("vec_id").as("id")),
         s"${Retrieval.graphDelIdxDir(s, d)}/idx")

@@ -63,26 +63,43 @@ object DeferredView {
     * sees through the view again. Re-registering the same name resets
     * to a fresh deferred node (overrideIfExists) — the rebuild-on-
     * re-register semantics the per-sfDir caches rely on. */
+  /** Per-name monitors serializing the stillOurs-check + splice against
+    * a concurrent re-register — without it, a re-register landing
+    * BETWEEN tempViewPlan() and registerTempView() is clobbered by the
+    * stale build's analyzed-plan splice. Registration takes the same
+    * lock, so the check-and-splice pair is atomic w.r.t. every other
+    * register()/build of the same view name. */
+  private val nameLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(name: String): Object =
+    nameLocks.computeIfAbsent(name, _ => new Object)
+
   def register(s: SparkSession, name: String)(thunk: => DataFrame): Unit = {
     install(s)
     // self-referential: the thunk checks that the catalog still holds
     // THIS registration's node before splicing its built plan — a
     // re-register of the same name while a build is in flight must win
     // (the stale build otherwise clobbers the fresh binding and every
-    // later query silently serves the old data)
+    // later query silently serves the old data). The thunk itself runs
+    // OUTSIDE the lock (builds are long; registration must not block
+    // on them) — only the check+splice pair is serialized.
     lazy val node: DeferredViewNode = DeferredViewNode(name,
       new Body(name, () => {
         val df = thunk
-        val current = GraftSqlShim.tempViewPlan(s, name)
-        val stillOurs = current.exists {
-          case n: DeferredViewNode => n.body eq node.body
-          case _ => false
+        lockFor(name).synchronized {
+          val current = GraftSqlShim.tempViewPlan(s, name)
+          val stillOurs = current.exists {
+            case n: DeferredViewNode => n.body eq node.body
+            case _ => false
+          }
+          if (stillOurs)
+            GraftSqlShim.registerTempView(s, name, GraftSqlShim.analyzed(df))
         }
-        if (stillOurs)
-          GraftSqlShim.registerTempView(s, name, GraftSqlShim.analyzed(df))
         df
       }))
-    GraftSqlShim.registerTempView(s, name, node)
+    lockFor(name).synchronized {
+      GraftSqlShim.registerTempView(s, name, node)
+    }
   }
 
   /** Idempotently add the planning strategy to the session. */

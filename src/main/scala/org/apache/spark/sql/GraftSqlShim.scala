@@ -36,14 +36,6 @@ object GraftSqlShim {
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 
-  /** Register `plan` as a temp view WITHOUT analyzing it (the
-    * `createOrReplaceTempView` path analyzes eagerly, which would force
-    * a deferred leaf to resolve its schema — and so run its builds — at
-    * registration time). The stored-analyzed-plan temp-view shape is
-    * what `CreateViewCommand` itself produces; the catalog-table schema
-    * is left empty because resolution takes the view's output from the
-    * stored plan, not the metadata (the metadata schema only feeds
-    * DESCRIBE cosmetics). */
   /** The logical plan currently stored for temp view `name`, if any —
     * lets a deferred view's post-build re-registration verify the
     * catalog still holds ITS node before overwriting (a newer
@@ -53,6 +45,14 @@ object GraftSqlShim {
       case TemporaryViewRelation(_, Some(plan)) => plan
     }
 
+  /** Register `plan` as a temp view WITHOUT analyzing it (the
+    * `createOrReplaceTempView` path analyzes eagerly, which would force
+    * a deferred leaf to resolve its schema — and so run its builds — at
+    * registration time). The stored-analyzed-plan temp-view shape is
+    * what `CreateViewCommand` itself produces; the catalog-table schema
+    * is left empty because resolution takes the view's output from the
+    * stored plan, not the metadata (the metadata schema only feeds
+    * DESCRIBE cosmetics). */
   def registerTempView(s: SparkSession, name: String,
       plan: LogicalPlan): Unit = {
     val meta = CatalogTable(
