@@ -1035,6 +1035,17 @@ object GraphAnalytics {
     * whose only bridge was a deleted doc honestly SPLITS — the
     * structural face of a takedown (`graph_pagerank_del` shows the
     * mass face). Same Tombstones reads as every index family. */
+  /** [[componentsQ]] over the PRODUCTION graph — the fragmentation
+    * profile refreshed from the stored (src, dst) rows alone, no
+    * blocked-kNN build per reading (the structural face of the clean
+    * at-rest serving story; its del and append twins already read
+    * their layouts). */
+  def componentsRefinedQ(s: SparkSession, d: String): DataFrame =
+    componentsWithSizes(
+        Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        storedEdges(s, d))
+      .orderBy("vec_id")
+
   def componentsDelQ(s: SparkSession, d: String): DataFrame = {
     import graft.sources.Tombstones
     val dir = s"${Retrieval.graphDelIdxDir(s, d)}/idx"
@@ -1404,6 +1415,24 @@ object GraphAnalytics {
   def assortativityQ(s: SparkSession, d: String): DataFrame =
     assortativityOf(knnEdges(s, d))
 
+  /** [[assortativityQ]] over the PRODUCTION graph — the degree-mixing
+    * dial refreshed from the stored (src, dst) rows alone. */
+  def assortativityRefinedQ(s: SparkSession, d: String): DataFrame =
+    assortativityOf(storedEdges(s, d))
+
+  /** Takedown-aware degree mixing — [[assortativityQ]] over the
+    * TOMBSTONED layout: a recalled hub's stubs leave both sides of
+    * every degree product, so the mixing verdict regrades over the
+    * surviving graph (a takedown that removes the hub-hub redundancy
+    * core flips an assortative read back toward the normal
+    * disassortative kNN shape). */
+  def assortativityDelQ(s: SparkSession, d: String): DataFrame = {
+    val (_, e0) = layoutLive(s,
+      Tables.embeddings(s, d).select(col("vec_id").as("id")),
+      s"${Retrieval.graphDelIdxDir(s, d)}/idx")
+    assortativityOf(e0)
+  }
+
   /** The LPA label tables both community faces and their modularity
     * meters consume, built once per (session, sfDir) — the
     * [[qualityNodes]] memoization discipline (the SESSION is part of
@@ -1449,6 +1478,22 @@ object GraphAnalytics {
     (labels, e0)
   }
 
+  /** Cached clean-layout LPA labels (id, lbl) + the stored edge set —
+    * [[delCommunityLabels]]'s clean twin (the stats serving store's
+    * derivation, exposed as named queries). */
+  private def refinedCommunityLabels(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val labels = communityLabelCache.computeIfAbsent((s, "refined", d), _ => {
+      val e0 = storedEdges(s, d)
+      val und = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      communityLabelProp(
+          Tables.embeddings(s, d).select(col("vec_id").as("id")), und, Iters)
+        .localCheckpoint(eager = false)
+    })
+    (labels, storedEdges(s, d))
+  }
+
   /** The kNN graph's community partition — [[communityLabelProp]] over
     * the undirected closure, [[Iters]] rounds: (vec_id, community,
     * comm_size). Where `graph_components` answers "can signals reach",
@@ -1462,11 +1507,31 @@ object GraphAnalytics {
       .orderBy("vec_id")
   }
 
+  /** [[communitiesQ]] over the PRODUCTION graph — detection refreshed
+    * from the stored (src, dst) rows (the derivation the centrality
+    * serving store reads, exposed as a named oracle-checked query). */
+  def communitiesRefinedQ(s: SparkSession, d: String): DataFrame = {
+    val (cm, _) = refinedCommunityLabels(s, d)
+    cm.groupBy("lbl").agg(count(lit(1)).as("comm_size"))
+      .join(cm, "lbl")
+      .select(col("id").as("vec_id"), col("lbl").as("community"),
+        col("comm_size"))
+      .orderBy("vec_id")
+  }
+
   /** One exact row grading [[communitiesQ]]'s partition:
     * [[modularityOf]] over the same graph — the standard "did LPA find
     * real structure" meter (Q ≈ 0 = no better than random mixing). */
   def modularityQ(s: SparkSession, d: String): DataFrame =
     modularityOf(communityLabels(s, d), knnEdges(s, d))
+
+  /** [[modularityQ]] grading [[communitiesRefinedQ]]'s partition over
+    * the same stored edges — did detection over the at-rest layout
+    * keep real structure. */
+  def modularityRefinedQ(s: SparkSession, d: String): DataFrame = {
+    val (labels, e0) = refinedCommunityLabels(s, d)
+    modularityOf(labels, e0)
+  }
 
   /** The takedown partition graded — [[modularityOf]] over
     * [[communitiesDelQ]]'s surviving graph and labels: did the
@@ -1687,6 +1752,7 @@ object GraphAnalytics {
     "graph_clustering_local" -> clusteringLocalQ,
     "graph_clustering_local_del" -> clusteringLocalDelQ,
     "graph_components" -> componentsQ,
+    "graph_components_refined" -> componentsRefinedQ,
     "graph_components_hist" -> componentsHistQ,
     "graph_components_del" -> componentsDelQ,
     "graph_components_append" -> componentsAppendQ,
@@ -1700,9 +1766,13 @@ object GraphAnalytics {
     "graph_harmonic_sketch_refined" -> harmonicSketchRefinedQ,
     "graph_harmonic_sketch_del" -> harmonicSketchDelQ,
     "graph_assortativity" -> assortativityQ,
+    "graph_assortativity_refined" -> assortativityRefinedQ,
+    "graph_assortativity_del" -> assortativityDelQ,
     "graph_communities" -> communitiesQ,
+    "graph_communities_refined" -> communitiesRefinedQ,
     "graph_communities_del" -> communitiesDelQ,
     "graph_modularity" -> modularityQ,
+    "graph_modularity_refined" -> modularityRefinedQ,
     "graph_modularity_del" -> modularityDelQ,
     "graph_blast_radius" -> blastRadiusQ,
   )
@@ -2001,6 +2071,25 @@ object GraphAnalytics {
            AS clustering_coeff
        FROM np CROSS JOIN w CROSS JOIN t"""
 
+  /** Newman degree-mixing replay over a `gedges` pyramid: integer
+    * degree joins + CAST-pinned sums, then the one guarded expression —
+    * shared by the clean / refined / takedown arms. */
+  private def assortativitySqlOn(edges: String): String =
+    s"""WITH $edges,
+       aund AS MATERIALIZED (SELECT src, dst FROM gedges WHERE src <> dst
+         UNION SELECT dst, src FROM gedges WHERE src <> dst),
+       adeg AS (SELECT src AS v, count(*) AS dg FROM aund GROUP BY src),
+       ast AS (SELECT count(*) AS m,
+           CAST(sum(x.dg) AS BIGINT) AS sx,
+           CAST(sum(x.dg * x.dg) AS BIGINT) AS sxx,
+           CAST(sum(x.dg * y.dg) AS BIGINT) AS sxy
+         FROM aund e JOIN adeg x ON x.v = e.src JOIN adeg y ON y.v = e.dst)
+       SELECT m, sx, sxx, sxy,
+         round(CASE WHEN m * sxx <> sx * sx
+           THEN CAST(m * sxy - sx * sx AS DOUBLE)
+             / CAST(m * sxx - sx * sx AS DOUBLE) END, 6) AS assortativity
+       FROM ast"""
+
   /** The per-node Watts-Strogatz replay over a `gedges` pyramid: the
     * same (a<b<c) triangle join credited to all three corners, then
     * the one division per node — shared by the clean / takedown arms. */
@@ -2239,6 +2328,13 @@ object GraphAnalytics {
          SELECT c.vec_id, c.component, s.comp_size
          FROM ccomp c JOIN csz s USING (component)
          ORDER BY vec_id""",
+    // the same recursive min-reach closure over the stored edges
+    "graph_components_refined" ->
+      s"""WITH ${componentsCtes(
+           "SELECT vec_id AS id FROM embeddings", refinedEdgeCtes)}
+         SELECT c.vec_id, c.component, s.comp_size
+         FROM ccomp c JOIN csz s USING (component)
+         ORDER BY vec_id""",
     "graph_components_hist" ->
       s"""WITH ${componentsCtes(
            "SELECT vec_id AS id FROM embeddings", edgeCtes)}
@@ -2318,6 +2414,15 @@ object GraphAnalytics {
          SELECT c.id AS vec_id, c.lbl AS community, s.comm_size
          FROM cm$Iters c JOIN csize s USING (lbl)
          ORDER BY vec_id""",
+    // the same unrolled rounds over the stored production edges — the
+    // derivation the centrality serving store reads
+    "graph_communities_refined" ->
+      s"""WITH ${communityCtesOn(
+           "SELECT vec_id AS id FROM embeddings", refinedEdgeCtes)},
+         csize AS (SELECT lbl, count(*) AS comm_size FROM cm$Iters GROUP BY lbl)
+         SELECT c.id AS vec_id, c.lbl AS community, s.comm_size
+         FROM cm$Iters c JOIN csize s USING (lbl)
+         ORDER BY vec_id""",
     // takedown replay: the refined pyramid MINUS the recalled ids (both
     // endpoints), live nodes only, then the same unrolled unclamped-LPA
     // rounds — a community held together through a deleted doc splits
@@ -2333,6 +2438,23 @@ object GraphAnalytics {
     // q_num = Σ_c (in_c·m2 − deg_c²), ONE division at the end
     "graph_modularity" ->
       s"""WITH $communityCtes,
+         mu AS MATERIALIZED (SELECT e.src, a.lbl AS ca, b.lbl AS cb
+           FROM cund e JOIN cm$Iters a ON a.id = e.src
+           JOIN cm$Iters b ON b.id = e.dst),
+         mm2 AS (SELECT count(*) AS m2 FROM mu),
+         mper AS (SELECT ca, count(*) AS deg,
+             CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT) AS inn
+           FROM mu GROUP BY ca)
+         SELECT count(*) AS n_communities, max(mm2.m2) AS m2,
+           CAST(sum(inn * mm2.m2 - deg * deg) AS BIGINT) AS q_num,
+           round(CAST(sum(inn * mm2.m2 - deg * deg) AS DOUBLE)
+             / CAST(max(mm2.m2) * max(mm2.m2) AS DOUBLE), 6) AS modularity
+         FROM mper CROSS JOIN mm2""",
+    // the layout rounds (as graph_communities_refined), then the same
+    // exact-rational Newman grading over the stored closure
+    "graph_modularity_refined" ->
+      s"""WITH ${communityCtesOn(
+           "SELECT vec_id AS id FROM embeddings", refinedEdgeCtes)},
          mu AS MATERIALIZED (SELECT e.src, a.lbl AS ca, b.lbl AS cb
            FROM cund e JOIN cm$Iters a ON a.id = e.src
            JOIN cm$Iters b ON b.id = e.dst),
@@ -2385,21 +2507,12 @@ object GraphAnalytics {
          FROM rdd ORDER BY vec_id""",
     // degree joins + integer sums, then ONE fixed-order expression —
     // exact inputs, bit parity for free
-    "graph_assortativity" ->
-      s"""WITH $edgeCtes,
-         aund AS MATERIALIZED (SELECT src, dst FROM gedges WHERE src <> dst
-           UNION SELECT dst, src FROM gedges WHERE src <> dst),
-         adeg AS (SELECT src AS v, count(*) AS dg FROM aund GROUP BY src),
-         ast AS (SELECT count(*) AS m,
-             CAST(sum(x.dg) AS BIGINT) AS sx,
-             CAST(sum(x.dg * x.dg) AS BIGINT) AS sxx,
-             CAST(sum(x.dg * y.dg) AS BIGINT) AS sxy
-           FROM aund e JOIN adeg x ON x.v = e.src JOIN adeg y ON y.v = e.dst)
-         SELECT m, sx, sxx, sxy,
-           round(CASE WHEN m * sxx <> sx * sx
-             THEN CAST(m * sxy - sx * sx AS DOUBLE)
-               / CAST(m * sxx - sx * sx AS DOUBLE) END, 6) AS assortativity
-         FROM ast""",
+    "graph_assortativity" -> assortativitySqlOn(edgeCtes),
+    // the degree-mixing dial refreshed off the stored edges
+    "graph_assortativity_refined" -> assortativitySqlOn(refinedEdgeCtes),
+    // takedown replay: a recalled hub's stubs leave both sides of
+    // every degree product
+    "graph_assortativity_del" -> assortativitySqlOn(delEdgeCtes),
     "graph_kcore" ->
       s"""WITH $kcoreCtes
          SELECT n.vec_id, (k.id IS NOT NULL) AS in_core, kcd.core_deg
