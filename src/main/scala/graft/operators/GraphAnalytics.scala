@@ -499,6 +499,33 @@ object GraphAnalytics {
       .orderBy("vec_id")
   }
 
+  /** Takedown-aware PPR — [[pprRefinedQ]] over the TOMBSTONED layout:
+    * a recalled doc leaves the node set AND the seed set (its teleport
+    * mass redistributes over the surviving trusted docs — the
+    * normalizer is the LIVE seed count), and neither direction of its
+    * edges conducts. A contaminated doc recalled from the curated
+    * sample must stop pulling its neighborhood into the training
+    * slice — the takedown face of seed expansion. */
+  def pprDelQ(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Tombstones
+    val dir = s"${Retrieval.graphDelIdxDir(s, d)}/idx"
+    val nodes = Tombstones.dropDeleted(
+      Tables.embeddings(s, d).select(col("vec_id").as("id"),
+        (col("label") === PprSeedLabel).as("seed")),
+      col("id"), dir)
+    val edges = Tombstones.dropDeleted(
+      Tombstones.dropDeleted(
+        s.read.parquet(s"$dir/edges")
+          .select(col("__vid").as("src"), col("nbr_id").as("dst")),
+        col("src"), dir),
+      col("dst"), dir)
+    personalizedPageRank(nodes, edges, iters = Iters)
+      .join(nodes.select(col("id"), col("seed").as("is_seed")), "id")
+      .select(col("id").as("vec_id"), col("is_seed"),
+        round(col("pr"), 9).as("ppr"))
+      .orderBy("vec_id")
+  }
+
   /** The expansion face: the 20 NON-seed documents closest to the
     * trusted set by PPR mass — "given this curated sample, which docs
     * should join the training slice next". Selection is by raw pr (both
@@ -586,6 +613,57 @@ object GraphAnalytics {
       .distinct()
     val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"),
       when(col("vec_id") % SeedMod === 0, col("label")).as("seed"))
+    weightedLabelPropagation(nodes,
+        und.select(col("src"), col("dst"), col("cos").as("w")),
+        iters = Iters)
+      .select(col("id").as("vec_id"), col("lbl").as("label"),
+        (col("id") % SeedMod === 0).as("is_seed"))
+      .orderBy("vec_id")
+  }
+
+  /** [[labelPropWQ]] over the PRODUCTION graph — weighted votes
+    * through the STORED cos column (the r17 layout schema): the
+    * trusted-seed spread refreshes from (src, dst, cos) rows alone, no
+    * vector join and no NN-Descent re-run — the weighted half of the
+    * at-rest propagation matrix that `graph_pagerank_w_refined`
+    * opened. */
+  def labelPropWRefinedQ(s: SparkSession, d: String): DataFrame = {
+    val e = s.read.parquet(s"${Retrieval.graphIdxDir(s, d)}/idx/edges")
+      .select(col("__vid").as("src"), col("nbr_id").as("dst"), col("cos"))
+    val und = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+      .distinct()
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+      when(col("vec_id") % SeedMod === 0, col("label")).as("seed"))
+    weightedLabelPropagation(nodes,
+        und.select(col("src"), col("dst"), col("cos").as("w")),
+        iters = Iters)
+      .select(col("id").as("vec_id"), col("lbl").as("label"),
+        (col("id") % SeedMod === 0).as("is_seed"))
+      .orderBy("vec_id")
+  }
+
+  /** Takedown-aware weighted labeling — [[labelPropWRefinedQ]] with
+    * tombstones honored: a recalled seed's weighted votes stop
+    * conducting, live nodes only. Closes the label-prop face of the
+    * takedown matrix (plain del existed; the weighted arm didn't). */
+  def labelPropWDelQ(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Tombstones
+    val dir = s"${Retrieval.graphDelIdxDir(s, d)}/idx"
+    val e = Tombstones.dropDeleted(
+      Tombstones.dropDeleted(
+        s.read.parquet(s"$dir/edges")
+          .select(col("__vid").as("src"), col("nbr_id").as("dst"),
+            col("cos")),
+        col("src"), dir),
+      col("dst"), dir)
+    val und = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+      .distinct()
+    val nodes = Tombstones.dropDeleted(
+      Tables.embeddings(s, d).select(col("vec_id").as("id"),
+        when(col("vec_id") % SeedMod === 0, col("label")).as("seed")),
+      col("id"), dir)
     weightedLabelPropagation(nodes,
         und.select(col("src"), col("dst"), col("cos").as("w")),
         iters = Iters)
@@ -1736,9 +1814,12 @@ object GraphAnalytics {
     "graph_pagerank_append" -> pageRankAppendQ,
     "graph_ppr" -> pprQ,
     "graph_ppr_refined" -> pprRefinedQ,
+    "graph_ppr_del" -> pprDelQ,
     "graph_ppr_expand" -> pprExpandQ,
     "graph_label_prop" -> labelPropQ,
     "graph_label_prop_w" -> labelPropWQ,
+    "graph_label_prop_w_refined" -> labelPropWRefinedQ,
+    "graph_label_prop_w_del" -> labelPropWDelQ,
     "graph_label_prop_del" -> labelPropDelQ,
     "graph_label_prop_acc" -> labelPropAccQ,
     "graph_quality_prop" -> qualityPropQ,
@@ -1969,20 +2050,32 @@ object GraphAnalytics {
        l$i AS (SELECT n.id, coalesce(n.seed, wc$i.vl, $p.lbl) AS lbl
          FROM nodes_t n LEFT JOIN wc$i USING (id) LEFT JOIN $p ON $p.id = n.id)"""
 
-  private lazy val weightedLabelPropCtes: String = {
+  /** The full unrolled weighted-vote loop over a pyramid ending in
+    * `gwedges (src, dst, w)` and a `nodes_t (id, seed)` CTE — shared by
+    * the in-plan / refined / takedown arms (the [[lpLoopSql]]
+    * relationship for the weighted face). */
+  private def wlpLoopSqlOn(nodesCte: String, edges: String): String = {
     val rounds = (1 to Iters).map(i => wlpRoundSql(i, if (i == 1) "l0" else s"l${i - 1}"))
       .mkString(",\n")
-    s"""$edgeCtes,
-       undw AS MATERIALIZED (SELECT src, dst, cos AS w FROM ge3
-         UNION SELECT dst, src, cos FROM ge3),
-       nodes_t AS (SELECT vec_id AS id,
-           CASE WHEN vec_id % $SeedMod = 0 THEN label END AS seed
-         FROM embeddings),
+    s"""$edges,
+       undw AS MATERIALIZED (SELECT src, dst, w FROM gwedges
+         UNION SELECT dst, src, w FROM gwedges),
+       $nodesCte,
        wprb AS (SELECT greatest(16, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)))
            AS BIGINT)) AS b FROM nodes_t),
        l0 AS (SELECT id, seed AS lbl FROM nodes_t),
        $rounds"""
   }
+
+  private lazy val wlpNodesCte: String =
+    s"""nodes_t AS (SELECT vec_id AS id,
+           CASE WHEN vec_id % $SeedMod = 0 THEN label END AS seed
+         FROM embeddings)"""
+
+  private lazy val weightedLabelPropCtes: String =
+    wlpLoopSqlOn(wlpNodesCte,
+      s"""$edgeCtesBase,
+       gwedges AS MATERIALIZED (SELECT src, dst, cos AS w FROM ge3)""")
 
   /** Exact component replay: min REACHABLE id via a recursive closure
     * over the undirected edge list — deliberately independent of the
@@ -2268,6 +2361,24 @@ object GraphAnalytics {
          FROM r$Iters r JOIN tvec t ON t.id = r.id
          JOIN embeddings e ON e.vec_id = r.id
          ORDER BY vec_id""",
+    // takedown replay: live nodes, live seeds (the teleport normalizer
+    // is the SURVIVING trusted-set size), the refined pyramid minus the
+    // recalled ids — a contaminated doc recalled from the curated
+    // sample stops pulling its neighborhood into the training slice
+    "graph_ppr_del" ->
+      s"""${prLoopSql(
+        s"""ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM embeddings
+         WHERE label = $PprSeedLabel AND vec_id NOT IN $delIdsSql),
+       tvec AS (SELECT vec_id AS id,
+           CASE WHEN label = $PprSeedLabel THEN CAST(1 AS DOUBLE) / ns.s
+             ELSE CAST(0 AS DOUBLE) END AS tp
+         FROM embeddings CROSS JOIN ns
+         WHERE vec_id NOT IN $delIdsSql)""", delEdgeCtes)}
+         SELECT t.id AS vec_id, (e.label = $PprSeedLabel) AS is_seed,
+           round(r.pr, 9) AS ppr
+         FROM r$Iters r JOIN tvec t ON t.id = r.id
+         JOIN embeddings e ON e.vec_id = r.id
+         ORDER BY vec_id""",
     "graph_ppr" ->
       s"""$pprLoopSql
          SELECT t.id AS vec_id, (e.label = $PprSeedLabel) AS is_seed,
@@ -2289,6 +2400,28 @@ object GraphAnalytics {
          FROM l$Iters ORDER BY vec_id""",
     "graph_label_prop_w" ->
       s"""WITH $weightedLabelPropCtes
+         SELECT id AS vec_id, lbl AS label, (id % $SeedMod = 0) AS is_seed
+         FROM l$Iters ORDER BY vec_id""",
+    // the same weighted rounds with votes through the STORED cos column
+    "graph_label_prop_w_refined" ->
+      s"""WITH ${wlpLoopSqlOn(wlpNodesCte,
+        s"""${Retrieval.refinedGraphCtes},
+       gwedges AS MATERIALIZED (SELECT vec_id AS src, nbr_id AS dst,
+           cos AS w
+         FROM gref)""")}
+         SELECT id AS vec_id, lbl AS label, (id % $SeedMod = 0) AS is_seed
+         FROM l$Iters ORDER BY vec_id""",
+    // takedown replay: a recalled seed's weighted votes stop conducting
+    "graph_label_prop_w_del" ->
+      s"""WITH ${wlpLoopSqlOn(
+        s"""nodes_t AS (SELECT vec_id AS id,
+           CASE WHEN vec_id % $SeedMod = 0 THEN label END AS seed
+         FROM embeddings WHERE vec_id NOT IN $delIdsSql)""",
+        s"""${Retrieval.refinedGraphCtes},
+       gwedges AS MATERIALIZED (SELECT vec_id AS src, nbr_id AS dst,
+           cos AS w
+         FROM gref
+         WHERE vec_id NOT IN $delIdsSql AND nbr_id NOT IN $delIdsSql)""")}
          SELECT id AS vec_id, lbl AS label, (id % $SeedMod = 0) AS is_seed
          FROM l$Iters ORDER BY vec_id""",
     // takedown replay: the refined pyramid MINUS the recalled ids (both
