@@ -258,7 +258,9 @@ object Bench {
     //   takedown arms: graph_clustering_del 1.96, graph_clustering_
     //   local_del 2.25, graph_harmonic_sketch_del 2.75,
     //   graph_assortativity_del 1.29, graph_ppr_del 5.80 (the
-    //   propagation-loop family shape), graph_label_prop_w_del 4.20.
+    //   propagation-loop family shape), graph_label_prop_w_del 4.20;
+    //   append arms: graph_kcore_append 1.96, graph_harmonic_append
+    //   1.62, graph_communities_append 1.49.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Per-rep GC policy (SPARK_GRAFT_BENCH_GC = all | heavy | off).
     // r9 attribution of the uniform ~1.5× r7→r8 suite slowdown, measured

@@ -1153,6 +1153,46 @@ object GraphAnalytics {
           .select(col("__vid").as("src"), col("nbr_id").as("dst")))
       .orderBy("vec_id")
 
+  /** The INCREMENTALLY MAINTAINED layout's stored edge list — what
+    * every `_append` structure arm reads (base build + per-insert
+    * beam-searched forward/reverse links, no rebuild). */
+  private def appendEdges(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${Retrieval.graphAppendDir(s, d)}/idx/edges")
+      .select(col("__vid").as("src"), col("nbr_id").as("dst"))
+
+  /** [[kcoreQ]] over the INCREMENTALLY MAINTAINED layout: an inserted
+    * doc joins the core iff its insert-time links give it (and keep
+    * its neighbors) ≥ k within-core support — the cohesion face of the
+    * add half of the add-vs-train split. Same convergence guard. */
+  def kcoreAppendQ(s: SparkSession, d: String): DataFrame =
+    kcoreConverged(
+        kcorePeel(Tables.embeddings(s, d).select(col("vec_id").as("id")),
+          appendEdges(s, d), k = CoreK, rounds = PeelRounds),
+        k = CoreK, rounds = PeelRounds)
+      .select(col("id").as("vec_id"), col("in_core"), col("core_deg"))
+      .orderBy("vec_id")
+
+  /** [[harmonicQ]] over the INCREMENTALLY MAINTAINED layout: inserted
+    * docs enter every ring they now reach, and their insert-time links
+    * shorten survivors' distances — reach refreshed with no rebuild. */
+  def harmonicAppendQ(s: SparkSession, d: String): DataFrame =
+    harmonic3(Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        appendEdges(s, d))
+      .select(col("id").as("vec_id"), col("n1"), col("n2"), col("n3"),
+        col("harmonic"))
+      .orderBy("vec_id")
+
+  /** [[communitiesQ]] over the INCREMENTALLY MAINTAINED layout: an
+    * inserted doc adopts (or seeds) a community through its insert-time
+    * links — detection refreshed over the appended edge state. */
+  def communitiesAppendQ(s: SparkSession, d: String): DataFrame =
+    communitiesOverLayout(s,
+        Tables.embeddings(s, d).select(col("vec_id").as("id")),
+        s"${Retrieval.graphAppendDir(s, d)}/idx", Iters)
+      .select(col("id").as("vec_id"), col("lbl").as("community"),
+        col("comm_size"))
+      .orderBy("vec_id")
+
   private val HarmonicHops = 3 // the published reach horizon
 
   /** Bounded-hop harmonic centrality over the undirected closure:
@@ -1837,6 +1877,9 @@ object GraphAnalytics {
     "graph_components_hist" -> componentsHistQ,
     "graph_components_del" -> componentsDelQ,
     "graph_components_append" -> componentsAppendQ,
+    "graph_kcore_append" -> kcoreAppendQ,
+    "graph_harmonic_append" -> harmonicAppendQ,
+    "graph_communities_append" -> communitiesAppendQ,
     "graph_kcore" -> kcoreQ,
     "graph_kcore_refined" -> kcoreRefinedQ,
     "graph_kcore_del" -> kcoreDelQ,
@@ -1961,6 +2004,15 @@ object GraphAnalytics {
        gedges AS MATERIALIZED (SELECT vec_id AS src, nbr_id AS dst,
            (cos + 1) / 2 AS w
          FROM gref)"""
+
+  /** The append construction replay ending in `gedges` — base-slice
+    * pyramid + per-insert beam walks (the `knn_graph_append` CTEs),
+    * shared by every `_append` oracle. MATERIALIZED per the oracle
+    * memory policy below. */
+  private lazy val appendEdgeCtes: String =
+    s"""${Retrieval.appendedEdgeCtes},
+       gedges AS MATERIALIZED (SELECT src, dst
+         FROM ${Retrieval.appendedEdgesFinal})"""
 
   private lazy val delIdsSql: String =
     Retrieval.GraphDeletedIds.mkString("(", ", ", ")")
@@ -2331,9 +2383,7 @@ object GraphAnalytics {
       s"""${prLoopSql(
         """nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
        tvec AS (SELECT vec_id AS id, CAST(1 AS DOUBLE) / nn.n AS tp
-         FROM embeddings CROSS JOIN nn)""",
-        s"""${Retrieval.appendedEdgeCtes},
-       gedges AS (SELECT src, dst FROM ${Retrieval.appendedEdgesFinal})""")}
+         FROM embeddings CROSS JOIN nn)""", appendEdgeCtes)}
        SELECT id AS vec_id, round(pr, 9) AS pr FROM r$Iters ORDER BY vec_id""",
     // takedown replay: the same pyramid + loop over the LIVE slice only
     "graph_pagerank_del" ->
@@ -2489,11 +2539,32 @@ object GraphAnalytics {
     // components through their insert-time links, no rebuild
     "graph_components_append" ->
       s"""WITH ${componentsCtes(
-           "SELECT vec_id AS id FROM embeddings",
-           s"""${Retrieval.appendedEdgeCtes},
-       gedges AS (SELECT src, dst FROM ${Retrieval.appendedEdgesFinal})""")}
+           "SELECT vec_id AS id FROM embeddings", appendEdgeCtes)}
          SELECT c.vec_id, c.component, s.comp_size
          FROM ccomp c JOIN csz s USING (component)
+         ORDER BY vec_id""",
+    // the same unrolled peel over the appended edge state — an insert
+    // joins the core iff its links give it >= k within-core support
+    "graph_kcore_append" ->
+      s"""WITH ${kcoreCtesOn(
+           "SELECT vec_id AS id FROM embeddings", appendEdgeCtes)}
+         SELECT n.id AS vec_id, (k.id IS NOT NULL) AS in_core, kcd.core_deg
+         FROM knodes n LEFT JOIN kc$PeelRounds k ON k.id = n.id
+         LEFT JOIN kcd ON kcd.id = n.id
+         ORDER BY vec_id""",
+    // the same three expansions over the appended edge state
+    "graph_harmonic_append" ->
+      s"""WITH ${harmonicCtesOn(
+           "SELECT vec_id AS id FROM embeddings", appendEdgeCtes)}
+         $harmonicSelectSql""",
+    // the same unrolled unclamped-LPA rounds over the appended state —
+    // an insert adopts (or seeds) a community through its links
+    "graph_communities_append" ->
+      s"""WITH ${communityCtesOn(
+           "SELECT vec_id AS id FROM embeddings", appendEdgeCtes)},
+         csize AS (SELECT lbl, count(*) AS comm_size FROM cm$Iters GROUP BY lbl)
+         SELECT c.id AS vec_id, c.lbl AS community, s.comm_size
+         FROM cm$Iters c JOIN csize s USING (lbl)
          ORDER BY vec_id""",
     // three unrolled cumulative-reach expansions, then the fixed
     // three-term harmonic sum (bit-parity needs no fold discipline)
