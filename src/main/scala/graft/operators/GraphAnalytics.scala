@@ -777,6 +777,21 @@ object GraphAnalytics {
     * majority — GraphAnalyticsSpec pins the flip on a synthetic layout).
     * The oracle replays the refined pyramid minus the ids, then the
     * same unrolled vote rounds. */
+  /** [[labelPropQ]] over the PRODUCTION graph — the clamped-seed
+    * spread refreshed from the stored (src, dst) rows alone, no
+    * blocked-kNN build per reading (the plain-vote twin of
+    * [[labelPropWRefinedQ]], completing the refined column of the
+    * propagation matrix). */
+  def labelPropRefinedQ(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+      when(col("vec_id") % SeedMod === 0, col("label")).as("seed"))
+    labelPropOverLayout(s, nodes,
+        s"${Retrieval.graphIdxDir(s, d)}/idx", Iters)
+      .select(col("id").as("vec_id"), col("lbl").as("label"),
+        (col("id") % SeedMod === 0).as("is_seed"))
+      .orderBy("vec_id")
+  }
+
   def labelPropDelQ(s: SparkSession, d: String): DataFrame = {
     val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"),
       when(col("vec_id") % SeedMod === 0, col("label")).as("seed"))
@@ -1857,6 +1872,7 @@ object GraphAnalytics {
     "graph_ppr_del" -> pprDelQ,
     "graph_ppr_expand" -> pprExpandQ,
     "graph_label_prop" -> labelPropQ,
+    "graph_label_prop_refined" -> labelPropRefinedQ,
     "graph_label_prop_w" -> labelPropWQ,
     "graph_label_prop_w_refined" -> labelPropWRefinedQ,
     "graph_label_prop_w_del" -> labelPropWDelQ,
@@ -2446,6 +2462,14 @@ object GraphAnalytics {
          ORDER BY ppr DESC, vec_id""",
     "graph_label_prop" ->
       s"""WITH $labelPropCtes
+         SELECT id AS vec_id, lbl AS label, (id % $SeedMod = 0) AS is_seed
+         FROM l$Iters ORDER BY vec_id""",
+    // the same vote rounds over the stored production edges
+    "graph_label_prop_refined" ->
+      s"""WITH ${lpLoopSql(
+        s"""nodes_t AS (SELECT vec_id AS id,
+           CASE WHEN vec_id % $SeedMod = 0 THEN label END AS seed
+         FROM embeddings)""", refinedEdgeCtes)}
          SELECT id AS vec_id, lbl AS label, (id % $SeedMod = 0) AS is_seed
          FROM l$Iters ORDER BY vec_id""",
     "graph_label_prop_w" ->
