@@ -233,6 +233,21 @@ class RetrievalRunSpec extends SparkSpec {
     assert((got._3, got._4) === ((want._2, want._3)))
   }
 
+  test("centrality serving composes with incremental maintenance: an appended id is served its refreshed rank") {
+    // the same store builder over the APPEND layout — the add half of
+    // the add-vs-train split: an inserted doc gets centrality through
+    // its insert-time links, no NN-Descent rebuild, and the rank is
+    // graph_pagerank_append's oracle-checked row
+    val idx = s"${Retrieval.graphAppendDir(spark, d)}/idx"
+    val inserted = Retrieval.GraphAppendIds.head
+    val got = Retrieval.graphStatsReadFor(spark, d, idx, inserted)
+      .as[(Long, Double, Long, Long)].head()
+    assert(got._1 === inserted)
+    val wantPr = GraphAnalytics.pageRankAppendQ(spark, d)
+      .filter(col("vec_id") === inserted).as[(Long, Double)].head()._2
+    assert(got._2 === wantPr)
+  }
+
   test("graph mode: serves from the at-rest index, equals the named query for the default query vector") {
     val got = Retrieval.run(spark, d,
         SearchRequest("graph", k = 10, queryImageId = 0L))
