@@ -262,7 +262,9 @@ object Bench {
     //   append arms: graph_kcore_append 1.96, graph_harmonic_append
     //   1.62, graph_communities_append 1.49;
     //   graph_label_prop_refined 2.33 (the plain-vote refined cell,
-    //   post-freeze — same stored-edge shape as its weighted twin).
+    //   post-freeze — same stored-edge shape as its weighted twin);
+    //   graph_stats_store 0.38 (the serving artifact read back whole —
+    //   a pure bucket-partitioned parquet scan of the per-JVM store).
     // r18 freeze: per-query medians of three same-day full runs
     // (totals 247.2/242.5/225.3s over 261 queries) → 234.9s, committed
     // as BENCH_FULL.json. vs the r17 driver run (BENCH_r17, 243

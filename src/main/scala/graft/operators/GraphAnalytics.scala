@@ -1915,9 +1915,41 @@ object GraphAnalytics {
     "graph_modularity_refined" -> modularityRefinedQ,
     "graph_modularity_del" -> modularityDelQ,
     "graph_blast_radius" -> blastRadiusQ,
+    "graph_stats_store" -> graphStatsStoreQ,
   )
 
+  /** The at-rest graph-stats SERVING ARTIFACT as a relation — the exact
+    * (vec_id, pr, community, comm_size) rows `Retrieval.run` mode
+    * "centrality" point-reads, read back whole so the store itself is
+    * hash-checked (not just spec-pinned): pr must equal the refined
+    * centrality replay and community/size the refined detection replay,
+    * because the store IS those two derivations materialized once. */
+  def graphStatsStoreQ(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${Retrieval.graphStatsDir(s, d)}/stats")
+      .select(col("id").as("vec_id"), round(col("pr"), 9).as("pr"),
+        col("community"), col("comm_size"))
+      .orderBy("vec_id")
+
   // ------------------------------ oracles ------------------------- //
+
+  /** `graph_pagerank_refined`'s full oracle text — also the pr half of
+    * the `graph_stats_store` artifact check. */
+  private lazy val pageRankRefinedSql: String =
+    s"""${prLoopSql(
+      """nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+       tvec AS (SELECT vec_id AS id, CAST(1 AS DOUBLE) / nn.n AS tp
+         FROM embeddings CROSS JOIN nn)""", refinedEdgeCtes)}
+       SELECT id AS vec_id, round(pr, 9) AS pr FROM r$Iters ORDER BY vec_id"""
+
+  /** `graph_communities_refined`'s full oracle text — the community
+    * half of the `graph_stats_store` artifact check. */
+  private lazy val communitiesRefinedSql: String =
+    s"""WITH ${communityCtesOn(
+         "SELECT vec_id AS id FROM embeddings", refinedEdgeCtes)},
+       csize AS (SELECT lbl, count(*) AS comm_size FROM cm$Iters GROUP BY lbl)
+       SELECT c.id AS vec_id, c.lbl AS community, s.comm_size
+       FROM cm$Iters c JOIN csize s USING (lbl)
+       ORDER BY vec_id"""
 
   /** `knn_graph`'s own oracle pyramid (assignment → blocked pairs →
     * keep-3) renamed into an edge list `ge3 (src, dst, cos)`. */
@@ -2378,12 +2410,7 @@ object GraphAnalytics {
     // the refined-graph pyramid replays (as knn_graph_refined), then the
     // SAME unrolled loop over its edge list — the at-rest read is
     // bit-identical to the in-plan derivation (IvfLayoutSpec)
-    "graph_pagerank_refined" ->
-      s"""${prLoopSql(
-        """nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
-       tvec AS (SELECT vec_id AS id, CAST(1 AS DOUBLE) / nn.n AS tp
-         FROM embeddings CROSS JOIN nn)""", refinedEdgeCtes)}
-       SELECT id AS vec_id, round(pr, 9) AS pr FROM r$Iters ORDER BY vec_id""",
+    "graph_pagerank_refined" -> pageRankRefinedSql,
     // the refined pyramid's cos column replayed as the stored weight,
     // then the weighted loop — the at-rest twin of graph_pagerank_w
     "graph_pagerank_w_refined" ->
@@ -2644,12 +2671,15 @@ object GraphAnalytics {
          ORDER BY vec_id""",
     // the same unrolled rounds over the stored production edges — the
     // derivation the centrality serving store reads
-    "graph_communities_refined" ->
-      s"""WITH ${communityCtesOn(
-           "SELECT vec_id AS id FROM embeddings", refinedEdgeCtes)},
-         csize AS (SELECT lbl, count(*) AS comm_size FROM cm$Iters GROUP BY lbl)
-         SELECT c.id AS vec_id, c.lbl AS community, s.comm_size
-         FROM cm$Iters c JOIN csize s USING (lbl)
+    "graph_communities_refined" -> communitiesRefinedSql,
+    // the serving ARTIFACT itself hash-checked: the at-rest stats store
+    // (the exact rows `run` mode "centrality" point-reads) must equal
+    // the two refined replays joined — centrality refresh and community
+    // detection over the same stored edges, one relation
+    "graph_stats_store" ->
+      s"""SELECT p.vec_id, p.pr, c.community, c.comm_size
+         FROM ($pageRankRefinedSql) p
+         JOIN ($communitiesRefinedSql) c USING (vec_id)
          ORDER BY vec_id""",
     // takedown replay: the refined pyramid MINUS the recalled ids (both
     // endpoints), live nodes only, then the same unrolled unclamped-LPA
