@@ -222,7 +222,20 @@ object ScaleBench {
     // triangle join plus the three-corner credit union (≤ 3·T rows,
     // linear in triangles); the hub's one-key candidate mass is
     // scale-constant, so time must track rows like the census arm.
-    "graph_clustering_local_scaled")
+    "graph_clustering_local_scaled",
+    // round 19: the graph-stats SERVING ARTIFACT (the one at-rest
+    // family with no 10× row of its own until now). build = the
+    // production refresh job over the k ∝ N layout — PageRank + LPA
+    // communities + k-core + local clustering + harmonic sketch, all
+    // |E| = 3N-bounded, plus the bucket-partitioned write ⇒ time must
+    // track rows. read = 32 point lookups against the PRE-BUILT store
+    // (a deterministic on-disk path, so the isolated per-query-JVM
+    // freeze reads the store the build row left behind instead of
+    // re-paying the refresh): each lookup opens ONE bucket's partition,
+    // so the ratio is bounded by bucket growth (N/32 rows), far below
+    // rows — the per-request serving cost the SRS latency contract
+    // rides on.
+    "graph_stats_build_scaled", "graph_stats_read_scaled")
 
   /** Scratch dirs created by scale-only bindings whose output DataFrame
     * reads them lazily — reclaimed at JVM exit. */
@@ -251,6 +264,30 @@ object ScaleBench {
     val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k)
     (e, Search.knnGraph(e, col("vec_id"), col("embedding"), cents, k = 3)
       .select(col("__vid").as("src"), col("nbr_id").as("dst")))
+  }
+
+  /** Deterministic per-dir store root for the graph-stats arms — ON
+    * DISK (not a temp dir) so the isolated one-query-per-JVM freeze
+    * loop's read row finds the store the build row's JVM wrote. Under
+    * .scalebench, which the repo already treats as scratch. */
+  private def statsScaleRoot(d: String): String =
+    s"/root/repo/.scalebench/graph_stats_${Integer.toHexString(d.hashCode)}"
+
+  /** Write the k ∝ N edge layout + run the production stats refresh
+    * ([[graft.operators.Retrieval.buildGraphStats]]) into the
+    * deterministic root. `force` = rebuild even if present (the build
+    * row must TIME the refresh; the read row must NOT re-pay it). */
+  private def buildScaledStats(s: SparkSession, d: String,
+      force: Boolean): String = {
+    val root = statsScaleRoot(d)
+    val done = new java.io.File(s"$root/stats/_SUCCESS")
+    if (force || !done.exists()) {
+      val (_, knn) = scaledKnnEdges(s, d)
+      knn.select(col("src").as("__vid"), col("dst").as("nbr_id"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/idx/edges")
+      graft.operators.Retrieval.buildGraphStats(s, d, s"$root/idx", root)
+    }
+    root
   }
 
   /** Scale-only bindings that aren't part of the served query surface. */
@@ -334,6 +371,22 @@ object ScaleBench {
         Search.graphSearch(e, col("vec_id"), col("embedding"), edges,
           e.filter(col("vec_id") === 0).select(col("embedding").as("qv")),
           k = 10, entriesN = 64, beam = 32, hops = 3)
+      }),
+      // r19: the serving-artifact pair (see the Queries doc). The build
+      // row returns the artifact read back whole (rows ≈ N — its count
+      // is the row-growth denominator); the read row returns 32 point
+      // lookups (rows flat at 32 by construction — its TIME ratio is
+      // the claim).
+      "graph_stats_build_scaled" -> ((s, d) => {
+        val root = buildScaledStats(s, d, force = true)
+        s.read.parquet(s"$root/stats")
+      }),
+      "graph_stats_read_scaled" -> ((s, d) => {
+        import graft.operators.Retrieval
+        val root = buildScaledStats(s, d, force = false)
+        (0L until 32L).map(id =>
+            Retrieval.graphStatsReadAt(s, root, s"$root/idx", id))
+          .reduce(_ unionByName _)
       }),
       "graph_pagerank_scaled" -> ((s, d) => {
         import graft.operators.GraphAnalytics

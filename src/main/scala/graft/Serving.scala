@@ -160,7 +160,17 @@ object Serving {
 object ServingHttp {
 
   val MaxBody: Long = 16L * 1024 * 1024 // app.py:27 MAX_CONTENT_LENGTH
-  val Modes = Set("whole", "segment", "hybrid", "tags")
+
+  /** Routable modes = the full [[graft.operators.Retrieval.run]]
+    * dispatch (r19): the reference's four (`app.py:296-321`) plus the
+    * beyond-reference modes, so the SRS §5 latency contract can be
+    * measured per mode THROUGH the HTTP envelope ([[graft.ServingBench]])
+    * and a client gets every engine mode over the wire. An unknown mode
+    * still answers the reference's exact 400 envelope (naming its four —
+    * byte-pinned by ServingHttpSpec); accepting a superset changes no
+    * reference-visible behavior. */
+  val Modes = Set("whole", "segment", "hybrid", "tags", "lexical", "rrf",
+    "mmr", "maxsim", "fuzzy", "mlt", "graph", "centrality")
 
   /** Start the listener; `port = 0` picks an ephemeral port (tests).
     * Returns the running server — callers own `stop()`. */

@@ -1,0 +1,137 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+
+import org.apache.spark.sql.SparkSession
+
+/** Serving-latency meter for the SRS §5 contract (the reference's one
+  * hard public performance number: ≤ 2 s query latency at ≥ 1,000
+  * concurrent users — `docs/…SRS.pdf` §5, BASELINE.md): per
+  * [[graft.operators.Retrieval.run]] mode, p50/p95 request latency
+  * measured THROUGH the real HTTP envelope ([[ServingHttp]], real
+  * sockets, JSON in/out) under a concurrent burst, against
+  * `SPARK_GRAFT_SF_DIR` (default sf0.1 — the benchmark scale).
+  *
+  * Protocol per mode: one untimed warm request (absorbs the per-JVM
+  * at-rest index builds exactly as a freshly deployed server would),
+  * then `SPARK_GRAFT_SERVE_N` requests (default 96) fired from
+  * `SPARK_GRAFT_SERVE_C` (default 32) client threads, ids varied per
+  * request so no result cache could hide work. Latency = wall time from
+  * request write to last response byte, queueing included — what a user
+  * experiences, not what the engine bills.
+  *
+  * The 1,000-user face: one extra burst arm fires 1,000 requests at 128
+  * concurrent connections on the cheapest mode and reports throughput —
+  * the SRS target is a FLEET property (its deployment is cloud-native
+  * behind a load balancer; one Flask+ES node never served 1,000×2s
+  * either), so the honest single-node statement is per-mode p95 plus
+  * measured node throughput, from which replicas-for-1,000 follows.
+  * Output: one JSON line + BENCH_SERVING.json (the frozen artifact).
+  */
+object ServingBench {
+
+  private def post(port: Int, path: String, json: String): (Int, Long) = {
+    val t0 = System.nanoTime()
+    val c = new URI(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    c.setRequestMethod("POST")
+    c.setDoOutput(true)
+    val out = c.getOutputStream
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val status = c.getResponseCode
+    val in = if (status >= 400) c.getErrorStream else c.getInputStream
+    in.readAllBytes()
+    in.close()
+    (status, System.nanoTime() - t0)
+  }
+
+  /** Request body per mode, id varied per request index. Tag/term
+    * payloads use the same values the specs and named queries serve. */
+  private def requestFor(mode: String, i: Int): String = {
+    val id = i % 100 // ids are dense from 0 at every sf
+    mode match {
+      case "tags" => s"""{"mode":"tags","tags":"lbl_2,lbl_4","top_k":10}"""
+      case "lexical" | "fuzzy" =>
+        s"""{"mode":"$mode","terms":"hash,merge","top_k":10}"""
+      case "rrf" =>
+        s"""{"mode":"rrf","terms":"hash,merge","top_k":10,"query_image_id":$id}"""
+      case m =>
+        s"""{"mode":"$m","top_k":10,"query_image_id":$id}"""
+    }
+  }
+
+  private def pct(sorted: Seq[Double], p: Double): Double =
+    sorted(math.min(sorted.size - 1, math.ceil(p * sorted.size).toInt - 1))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val conc = sys.env.getOrElse("SPARK_GRAFT_SERVE_C", "32").toInt
+    val nReq = sys.env.getOrElse("SPARK_GRAFT_SERVE_N", "96").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val srv = ServingHttp.start(spark, sfDir, 0)
+    val port = srv.getAddress.getPort
+    val modes = Seq("whole", "segment", "hybrid", "tags", "lexical", "rrf",
+      "mmr", "maxsim", "fuzzy", "mlt", "graph", "centrality")
+    val pool = Executors.newFixedThreadPool(math.max(conc, 128))
+    def burst(mode: String, n: Int, c: Int): Seq[Double] = {
+      val sem = new java.util.concurrent.Semaphore(c)
+      val done = new java.util.concurrent.CountDownLatch(n)
+      val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      val failed = new java.util.concurrent.atomic.AtomicInteger(0)
+      (0 until n).foreach { i =>
+        sem.acquire()
+        pool.execute(() => {
+          try {
+            val (status, nanos) = post(port, "/api/search", requestFor(mode, i))
+            if (status == 200) lat.add(nanos / 1e9) else failed.incrementAndGet()
+          } catch { case _: Throwable => failed.incrementAndGet() }
+          finally { sem.release(); done.countDown() }
+        })
+      }
+      done.await()
+      require(failed.get() == 0,
+        s"serving bench: $mode had ${failed.get()} non-200/errored requests")
+      import scala.jdk.CollectionConverters._
+      lat.asScala.map(_.doubleValue).toSeq.sorted
+    }
+    // warm: one request per mode, untimed (index builds, JIT, plan reuse)
+    modes.foreach { m =>
+      val (status, _) = post(port, "/api/search", requestFor(m, 0))
+      require(status == 200, s"warm request for mode '$m' answered $status")
+    }
+    val perMode = modes.map { m =>
+      val lat = burst(m, nReq, conc)
+      m -> (pct(lat, 0.50), pct(lat, 0.95), lat.size)
+    }
+    // the 1,000-user face: one wide burst on the cheapest serving mode —
+    // node throughput, from which the fleet size for the SRS target follows
+    val wideN = sys.env.getOrElse("SPARK_GRAFT_SERVE_WIDE_N", "1000").toInt
+    val wideC = sys.env.getOrElse("SPARK_GRAFT_SERVE_WIDE_C", "128").toInt
+    val tw0 = System.nanoTime()
+    val wide = burst("whole", wideN, wideC)
+    val wideWall = (System.nanoTime() - tw0) / 1e9
+    val modesJson = perMode.map { case (m, (p50, p95, n)) =>
+      s""""$m":{"p50":${math.round(p50 * 1000) / 1000.0},"p95":${math.round(p95 * 1000) / 1000.0},"n":$n}"""
+    }.mkString("{", ",", "}")
+    val p95Max = perMode.map(_._2._2).max
+    val json =
+      s"""{"metric":"serving_p95_max","value":${math.round(p95Max * 1000) / 1000.0},"unit":"sec","modes":$modesJson,"concurrency":$conc,"wide_burst":{"mode":"whole","n":$wideN,"concurrency":$wideC,"p50":${math.round(pct(wide, 0.50) * 1000) / 1000.0},"p95":${math.round(pct(wide, 0.95) * 1000) / 1000.0},"throughput_rps":${math.round(wideN / wideWall * 10) / 10.0}},"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_SERVING.json")
+      try w.println(json) finally w.close()
+    } catch { case _: Throwable => () }
+    println(json)
+    pool.shutdown()
+    srv.stop(0)
+    spark.stop()
+  }
+}

@@ -667,10 +667,14 @@ object Retrieval {
   private val GraphStatsBuckets = 32L
 
   /** Per-JVM at-rest graph-ANALYTICS read store: (id, pr, community,
-    * comm_size) bucket-partitioned by id — PageRank and unclamped-LPA
-    * communities derived ONCE per graph LAYOUT ([[GraphAnalytics.Iters]]
-    * rounds, the exact published loops of `graph_pagerank_refined` /
-    * `graph_communities`), then every serving read is a
+    * comm_size, in_core, core_deg, deg, n_triangles, local_coeff,
+    * harmonic_est) bucket-partitioned by id — PageRank, unclamped-LPA
+    * communities, and (r19) the k-core / local-clustering /
+    * harmonic-sketch cohesion dials derived ONCE per graph LAYOUT
+    * ([[GraphAnalytics.Iters]] rounds, the exact published loops of
+    * `graph_pagerank_refined` / `graph_communities` /
+    * `graph_kcore_refined` / `graph_clustering_local_refined` /
+    * `graph_harmonic_sketch_refined`), then every serving read is a
     * partition-pruned point lookup. This is the SRS's "suggest similar
     * + quality signals" flow closed: search modes serve neighbors, this
     * store serves the per-doc corpus-position signals (centrality =
@@ -690,29 +694,46 @@ object Retrieval {
   private[operators] def graphStatsDirFor(s: SparkSession, d: String,
       idx: String): String =
     graphStatsCache.computeIfAbsent(idx, _ => {
-      import graft.sources.Tombstones
       val tmp = java.nio.file.Files.createTempDirectory("graft_graph_stats").toString
-      val nodes = Tombstones.dropDeleted(
-        Tables.embeddings(s, d).select(col("vec_id").as("id")),
-        col("id"), idx)
-      val edges = Tombstones.dropDeleted(
-        Tombstones.dropDeleted(
-          s.read.parquet(s"$idx/edges")
-            .select(col("__vid").as("src"), col("nbr_id").as("dst")),
-          col("src"), idx),
-        col("dst"), idx)
-      val pr = GraphAnalytics.pageRank(nodes, edges,
-        iters = GraphAnalytics.Iters)
-      val cm = GraphAnalytics.communitiesOverLayout(s, nodes, idx,
-        GraphAnalytics.Iters)
-      pr.join(cm, "id")
-        .select(col("id"), col("pr"), col("lbl").as("community"),
-          col("comm_size"))
-        .withColumn("bkt",
-          pmod(col("id"), lit(GraphStatsBuckets)).cast("int"))
-        .write.partitionBy("bkt").parquet(s"$tmp/stats")
+      buildGraphStats(s, d, idx, tmp)
       tmp
     })
+
+  /** The stats-store REFRESH job itself — one batch derivation of every
+    * per-doc graph signal over the layout at `idx`, written
+    * bucket-partitioned under `outDir/stats` (extracted from
+    * [[graphStatsDirFor]] so ScaleBench can target a deterministic dir
+    * and time the refresh in isolation). */
+  private[graft] def buildGraphStats(s: SparkSession, d: String,
+      idx: String, outDir: String): Unit = {
+    import graft.sources.Tombstones
+    val nodes = Tombstones.dropDeleted(
+      Tables.embeddings(s, d).select(col("vec_id").as("id")),
+      col("id"), idx)
+    val edges = Tombstones.dropDeleted(
+      Tombstones.dropDeleted(
+        s.read.parquet(s"$idx/edges")
+          .select(col("__vid").as("src"), col("nbr_id").as("dst")),
+        col("src"), idx),
+      col("dst"), idx)
+    val pr = GraphAnalytics.pageRank(nodes, edges,
+      iters = GraphAnalytics.Iters)
+    val cm = GraphAnalytics.communitiesOverLayout(s, nodes, idx,
+      GraphAnalytics.Iters)
+    // r19 widening: the cohesion/reach dials (k-core membership,
+    // Watts-Strogatz local clustering, KMV harmonic reach) join the
+    // same refresh — their oracle-checked `_refined` derivations over
+    // the SAME live nodes/edges, so one batch job materializes every
+    // per-doc graph signal a curation reviewer reads in one lookup.
+    val sig = GraphAnalytics.statsSignals(nodes, edges)
+    pr.join(cm, "id").join(sig, "id")
+      .select(col("id"), col("pr"), col("lbl").as("community"),
+        col("comm_size"), col("in_core"), col("core_deg"), col("deg"),
+        col("n_triangles"), col("local_coeff"), col("harmonic_est"))
+      .withColumn("bkt",
+        pmod(col("id"), lit(GraphStatsBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$outDir/stats")
+  }
 
   /** [[graphStatsDirFor]] over the clean production layout — what mode
     * `centrality` serves. */
@@ -726,14 +747,24 @@ object Retrieval {
     * every index family's probe path). */
   private[operators] def graphStatsReadFor(s: SparkSession, d: String,
       idx: String, id: Long): DataFrame =
+    graphStatsReadAt(s, graphStatsDirFor(s, d, idx), idx, id)
+
+  /** The probe body against an EXPLICIT store dir (ScaleBench times it
+    * against a pre-built deterministic store, so the read row measures
+    * reads, not the refresh): one bucket's partition opened, tombstones
+    * honored at probe time. */
+  private[graft] def graphStatsReadAt(s: SparkSession, storeDir: String,
+      idx: String, id: Long): DataFrame =
     graft.sources.Tombstones.dropDeleted(
-      s.read.parquet(s"${graphStatsDirFor(s, d, idx)}/stats")
+      s.read.parquet(s"$storeDir/stats")
         .filter(col("bkt") ===
           java.lang.Math.floorMod(id, GraphStatsBuckets).toInt &&
           col("id") === id),
       col("id"), idx)
       .select(col("id").as("vec_id"), round(col("pr"), 9).as("pr"),
-        col("community"), col("comm_size"))
+        col("community"), col("comm_size"), col("in_core"), col("core_deg"),
+        col("deg"), col("n_triangles"), col("local_coeff"),
+        col("harmonic_est"))
 
   /** [[graphStatsReadFor]] over the clean production layout. */
   private[operators] def graphStatsRead(s: SparkSession, d: String,

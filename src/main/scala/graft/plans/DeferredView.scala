@@ -63,16 +63,27 @@ object DeferredView {
     * sees through the view again. Re-registering the same name resets
     * to a fresh deferred node (overrideIfExists) — the rebuild-on-
     * re-register semantics the per-sfDir caches rely on. */
-  /** Per-name monitors serializing the stillOurs-check + splice against
-    * a concurrent re-register — without it, a re-register landing
-    * BETWEEN tempViewPlan() and registerTempView() is clobbered by the
-    * stale build's analyzed-plan splice. Registration takes the same
-    * lock, so the check-and-splice pair is atomic w.r.t. every other
-    * register()/build of the same view name. */
+  /** Per-(session, name) monitors serializing the stillOurs-check +
+    * splice against a concurrent re-register — without it, a
+    * re-register landing BETWEEN tempViewPlan() and registerTempView()
+    * is clobbered by the stale build's analyzed-plan splice.
+    * Registration takes the same lock, so the check-and-splice pair is
+    * atomic w.r.t. every other register()/build of the same view in the
+    * same session. The SESSION is part of the key because temp views
+    * are session-scoped state: two sessions registering the same view
+    * name touch different catalogs and must not serialize against each
+    * other. Entries are evicted when the owning context stops
+    * ([[graft.SessionSweep]]); within a live session the map is
+    * append-only by design (one monitor per distinct view name, ~270
+    * for the full surface). */
   private val nameLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def lockFor(name: String): Object =
-    nameLocks.computeIfAbsent(name, _ => new Object)
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Object]()
+  graft.SessionSweep.onContextStop(sc =>
+    nameLocks.keySet.removeIf(k => graft.SessionSweep.ownedBy(k._1, sc)))
+  private def lockFor(s: SparkSession, name: String): Object = {
+    graft.SessionSweep.watch(s)
+    nameLocks.computeIfAbsent((s, name), _ => new Object)
+  }
 
   def register(s: SparkSession, name: String)(thunk: => DataFrame): Unit = {
     install(s)
@@ -86,7 +97,7 @@ object DeferredView {
     lazy val node: DeferredViewNode = DeferredViewNode(name,
       new Body(name, () => {
         val df = thunk
-        lockFor(name).synchronized {
+        lockFor(s, name).synchronized {
           val current = GraftSqlShim.tempViewPlan(s, name)
           val stillOurs = current.exists {
             case n: DeferredViewNode => n.body eq node.body
@@ -97,7 +108,7 @@ object DeferredView {
         }
         df
       }))
-    lockFor(name).synchronized {
+    lockFor(s, name).synchronized {
       GraftSqlShim.registerTempView(s, name, node)
     }
   }

@@ -74,6 +74,23 @@ class ServingHttpSpec extends SparkSpec {
     }
   }
 
+  test("beyond-reference modes are routable over HTTP (r19): body = Serving.handle") {
+    withServer { port =>
+      // the serving-latency contract is measured per run() mode through
+      // this envelope (ServingBench) — every mode must route
+      val (s1, b1) = post(port, "/search/lexical",
+        """{"terms":"hash,merge","top_k":3}""")
+      assert(s1 === 200)
+      assert(b1 === Serving.handle(spark, d,
+        """{"terms":"hash,merge","top_k":3,"mode":"lexical"}"""))
+      val (s2, b2) = post(port, "/api/search",
+        """{"mode":"centrality","query_image_id":7}""")
+      assert(s2 === 200)
+      assert(b2 === Serving.handle(spark, d,
+        """{"mode":"centrality","query_image_id":7}"""))
+    }
+  }
+
   test("invalid mode on /api/search → 400 with app.py's exact envelope") {
     withServer { port =>
       val (status, body) = post(port, "/api/search", """{"mode":"sideways"}""")

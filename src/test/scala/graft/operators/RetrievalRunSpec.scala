@@ -179,6 +179,7 @@ class RetrievalRunSpec extends SparkSpec {
   test("centrality mode: point-read equals the oracle-checked refined ranking; partition-pruned; knob live") {
     val got = Retrieval.run(spark, d,
         SearchRequest("centrality", queryImageId = 42L))
+      .select("vec_id", "pr", "community", "comm_size")
       .as[(Long, Double, Long, Long)].collect().toSeq
     assert(got.size === 1 && got.head._1 === 42L)
     // pr must equal graph_pagerank_refined's row — same stored edges,
@@ -194,6 +195,32 @@ class RetrievalRunSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     val want = cm.find(_._1 == 42L).get
     assert((got.head._3, got.head._4) === ((want._2, want._3)))
+    // the r19-widened cohesion/reach columns serve the same rows their
+    // oracle-checked `_refined` named queries derive — one lookup, every
+    // per-doc graph dial
+    val wide = Retrieval.run(spark, d,
+        SearchRequest("centrality", queryImageId = 42L))
+      .select("vec_id", "in_core", "core_deg", "deg", "n_triangles",
+        "local_coeff", "harmonic_est")
+      .as[(Long, Boolean, Option[Long], Long, Long, Option[Double], Double)]
+      .head()
+    val wantCore = GraphAnalytics.kcoreRefinedQ(spark, d)
+      .filter(col("vec_id") === 42L)
+      .as[(Long, Boolean, Option[Long])].head()
+    assert((wide._2, wide._3) === ((wantCore._2, wantCore._3)))
+    val wantLcc = GraphAnalytics.clusteringLocalRefinedQ(spark, d)
+      .filter(col("vec_id") === 42L)
+      .as[(Long, Long, Long, Option[Double])].collect().headOption
+    wantLcc match {
+      case Some((_, deg, tri, lcc)) =>
+        assert((wide._4, wide._5, wide._6) === ((deg, tri, lcc)))
+      case None => // edge-less node: honest zeros, undefined coefficient
+        assert((wide._4, wide._5, wide._6) === ((0L, 0L, None)))
+    }
+    val wantReach = GraphAnalytics.harmonicSketchRefinedQ(spark, d)
+      .filter(col("vec_id") === 42L)
+      .select("harmonic_est").as[Double].head()
+    assert(wide._7 === wantReach)
     // the read is a point lookup: only the one bucket's partition scans
     val scan = Retrieval.run(spark, d,
       SearchRequest("centrality", queryImageId = 42L))
@@ -203,6 +230,7 @@ class RetrievalRunSpec extends SparkSpec {
     // the id knob is live
     val other = Retrieval.run(spark, d,
         SearchRequest("centrality", queryImageId = 7L))
+      .select("vec_id", "pr", "community", "comm_size")
       .as[(Long, Double, Long, Long)].collect().toSeq
     assert(other.head._1 === 7L)
     assert(other !== got)
@@ -220,10 +248,19 @@ class RetrievalRunSpec extends SparkSpec {
     val survivor = 42L
     assert(!Retrieval.GraphDeletedIds.contains(survivor))
     val got = Retrieval.graphStatsReadFor(spark, d, idx, survivor)
+      .select("vec_id", "pr", "community", "comm_size")
       .as[(Long, Double, Long, Long)].head()
     val wantPr = GraphAnalytics.pageRankDelQ(spark, d)
       .filter(col("vec_id") === survivor).as[(Long, Double)].head()._2
     assert(got._2 === wantPr)
+    // the widened reach column regrades over the SURVIVING graph too —
+    // exactly graph_harmonic_sketch_del's oracle-checked survivor row
+    val gotReach = Retrieval.graphStatsReadFor(spark, d, idx, survivor)
+      .select("harmonic_est").as[Double].head()
+    val wantReach = GraphAnalytics.harmonicSketchDelQ(spark, d)
+      .filter(col("vec_id") === survivor)
+      .select("harmonic_est").as[Double].head()
+    assert(gotReach === wantReach)
     // and its community row matches the tombstoned layout's partition
     val want = GraphAnalytics.communitiesOverLayout(spark,
         spark.read.parquet(s"$d/embeddings.parquet")
@@ -241,6 +278,7 @@ class RetrievalRunSpec extends SparkSpec {
     val idx = s"${Retrieval.graphAppendDir(spark, d)}/idx"
     val inserted = Retrieval.GraphAppendIds.head
     val got = Retrieval.graphStatsReadFor(spark, d, idx, inserted)
+      .select("vec_id", "pr", "community", "comm_size")
       .as[(Long, Double, Long, Long)].head()
     assert(got._1 === inserted)
     val wantPr = GraphAnalytics.pageRankAppendQ(spark, d)
