@@ -279,6 +279,26 @@ object Bench {
     // and both sit in the documented sub-second drift band (vec_sq8
     // 0.19→0.32, curate_dsir 0.63→1.05) — ENVIRONMENT, code untouched
     // (git: no r18 commit modified either path).
+    // r19 attribution — the VERDICT-requested edge-build rewire, measured
+    // as a same-day subset A/B (SPARK_GRAFT_BENCH_ONLY over the 18
+    // in-plan graph rows, reps=3 medians, sf0.1, same JVM protocol):
+    // knnEdgesCos memoized per (session, sfDir) behind a lazy
+    // localCheckpoint → 46.22s → 21.44s (0.46×). Per-row: graph_pagerank
+    // 4.96→2.34, graph_pagerank_w 4.91→3.06, graph_ppr 4.65→2.72,
+    // graph_ppr_expand 4.60→2.77, graph_label_prop_w 4.64→1.88,
+    // graph_label_prop 3.99→1.57, graph_label_prop_acc 3.28→1.16,
+    // graph_kcore 2.34→1.29, graph_harmonic 2.06→1.01,
+    // graph_harmonic_sketch 2.00→0.98, graph_clustering 1.28→0.43,
+    // graph_clustering_local 1.26→0.44, graph_density 1.30→0.25,
+    // graph_assortativity 1.53→0.25, graph_modularity 0.43→0.05,
+    // graph_components 1.87→0.95, graph_quality_prop 1.09→0.28;
+    // graph_communities flat at 0.03 (already served by the memoized
+    // LPA). The one-time blocked-kNN build is charged to the first row
+    // that forces it (the at-rest index families' amortization shape).
+    // Values bit-identical — all 55 graph oracles re-verified at sf0.01
+    // the same day. The prIterate pin-everything A/B (1.5× SLOWER)
+    // remains true for CHEAP sources; the rewire targets only the
+    // expensive in-plan build, exactly as its doc note prescribed.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Per-rep GC policy (SPARK_GRAFT_BENCH_GC = all | heavy | off).
     // r9 attribution of the uniform ~1.5× r7→r8 suite slowdown, measured

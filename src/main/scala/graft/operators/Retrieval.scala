@@ -49,10 +49,24 @@ object Retrieval {
       (col("vec_id") * 37 % 100 / lit(100.0)).as("conf"))
 
   /** Whole-image vectors: per-image element-wise mean of segment vectors
-    * (A10 — the one true UDAF, map-side partial aggregation). */
+    * (A10 — the one true UDAF, map-side partial aggregation). MEMOIZED
+    * per (session, sfDir) behind a lazy localCheckpoint (r19, the
+    * sessionFrameCache discipline): every whole/hybrid request — and
+    * half the retrieval named queries — re-ran this corpus aggregation;
+    * it is query-independent (the production analog is an at-rest
+    * table), so one derivation serves every request. Values unchanged;
+    * entries die with their SparkContext ([[graft.SessionSweep]]). */
+  private val imageVecCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  graft.SessionSweep.onContextStop(sc =>
+    imageVecCache.keySet.removeIf(k => graft.SessionSweep.ownedBy(k._1, sc)))
   def imageVecs(s: SparkSession, d: String): DataFrame =
-    segs(s, d).groupBy("image_id")
-      .agg(vectorMeanDouble(col("embedding")).as("wv"))
+    imageVecCache.computeIfAbsent((s, d), _ => {
+      graft.SessionSweep.watch(s)
+      segs(s, d).groupBy("image_id")
+        .agg(vectorMeanDouble(col("embedding")).as("wv"))
+        .localCheckpoint(eager = false)
+    })
 
   /** Per-label centroids = the zero-shot "vocabulary" vectors (V2: the
     * reference's 50 CLIP text-prompt embeddings become 10 label centroids). */
@@ -1327,7 +1341,10 @@ object Retrieval {
         Search.tagSearch(segs(s, d), req.tags, req.minConf, req.k)
       case "lexical" => // beyond-reference: deterministic BM25 (portable ES _score)
         require(req.terms.nonEmpty, "lexical mode needs non-empty 'terms'")
-        Lexical.bm25Scores(s, d, req.terms)
+        // served from the at-rest index (r19): per request only the query
+        // terms' bucket dirs are read — bit-identical to the ad-hoc scan
+        // on a fresh per-JVM index (search_bm25_idx's oracle contract)
+        Lexical.bm25Serve(s, d, req.terms)
           .orderBy(desc("score"), asc("doc_id")).limit(req.k)
       case "rrf" => // beyond-reference: ES-style hybrid rank fusion
         require(req.terms.nonEmpty, "rrf mode needs non-empty 'terms'")
@@ -1353,17 +1370,22 @@ object Retrieval {
           .withColumnRenamed("doc_id", "image_id")
       case "fuzzy" => // beyond-reference: typo-tolerant lexical (ES fuzziness:1)
         require(req.terms.nonEmpty, "fuzzy mode needs non-empty 'terms'")
-        Lexical.bm25FuzzyScores(s, d, req.terms)
+        // index-served (r19): SymSpell expands over the index's own terms
+        // table, scoring reads only the expansions' pruned buckets
+        Lexical.fuzzyServe(s, d, req.terms)
           .orderBy(desc("score"), asc("doc_id")).limit(req.k)
       case "mlt" => // beyond-reference: more-like-this (query_image_id = source doc)
         Lexical.moreLikeThis(s, d, req.queryImageId)
           .orderBy(desc("score"), asc("doc_id")).limit(req.k)
       case "graph" => // beyond-reference: graph-served ANN over the at-rest index
-        Search.graphSearchIndexed(s, s"${graphIdxDir(s, d)}/idx",
-            Tables.embeddings(s, d)
-              .filter(col("vec_id") === req.queryImageId)
-              .select(col("embedding").as("qv")),
-            k = req.k, beam = 32, hops = 3, buckets = 32)
+        // HOT-TIER serve (r19): the same deterministic beam walk as the
+        // distributed spelling (GraphServeSpec pins row equality incl.
+        // takedown layouts), driver-side against the cached layout image
+        // — zero Spark jobs per request, the tail that made this mode
+        // the worst serving row (p50 36s under a 32-way burst, ~11
+        // scheduler round-trips per request)
+        Search.graphSearchServeById(s, s"${graphIdxDir(s, d)}/idx",
+            req.queryImageId, k = req.k, beam = 32, hops = 3, buckets = 32)
           .select(col("id").as("vec_id"), col("score"))
       case "centrality" => // beyond-reference: per-doc graph signals read
         // (point lookup over the at-rest stats store — PageRank +

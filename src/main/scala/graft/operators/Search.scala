@@ -1106,6 +1106,163 @@ object Search {
   def deleteFromGraphIndex(ids: DataFrame, idCol: Column, path: String): Unit =
     graft.sources.Tombstones.add(ids, idCol, path)
 
+  // ------------------- hot-tier graph serving (r19) ------------------ //
+
+  /** In-memory image of one graph layout: the HOT TIER a real ANN
+    * serving node keeps (HNSW serves from RAM; the at-rest bucketed
+    * layout is the build/refresh artifact). `stamp` is the layout's
+    * recursive max-mtime at load — the poor man's manifest version this
+    * local-FS deployment gets; a lake deployment would bump an explicit
+    * version file on append/takedown/compact. */
+  private case class GraphHot(stamp: Long,
+      vecs: java.util.HashMap[java.lang.Long, Array[Double]],
+      nbrs: java.util.HashMap[java.lang.Long, Array[Long]],
+      entries: Array[Long],
+      tombs: java.util.HashSet[java.lang.Long])
+
+  private val graphHotCache =
+    new java.util.concurrent.ConcurrentHashMap[String, GraphHot]()
+
+  /** Recursive max-mtime of the layout — appends land part files inside
+    * bucket subdirs and takedowns inside `_tombstones/`, so only a deep
+    * stat sees every mutation. Bounded by the layout's file count (a
+    * few hundred here); the scale answer is a version/manifest file,
+    * not a deeper walk. */
+  private def layoutStamp(path: String): Long = {
+    // depth-2 stat is sufficient AND per-request-cheap: tombstones land
+    // as files directly under `_tombstones/` (level 2), appends land
+    // part files inside `nodes/bkt=N/` whose DIRECTORY mtime (level 2)
+    // moves with them — a full recursive walk per request was the graph
+    // mode's p95 tail under a concurrent burst
+    val root = new java.io.File(path)
+    if (!root.exists()) return 0L
+    var m = root.lastModified()
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { k =>
+      m = math.max(m, k.lastModified())
+      if (k.isDirectory)
+        Option(k.listFiles()).getOrElse(Array.empty[java.io.File])
+          .foreach(g => m = math.max(m, g.lastModified()))
+    }
+    m
+  }
+
+  private def widen(v: Any): Array[Double] = v match {
+    case a: scala.collection.Seq[_] => a.map {
+      case f: java.lang.Float => f.toDouble
+      case d: java.lang.Double => d.doubleValue()
+      case o => o.toString.toDouble
+    }.toArray
+    case o => sys.error(s"graph hot tier: unexpected vec cell $o")
+  }
+
+  /** Load (or reload, when the layout's stamp moved — a takedown or
+    * append after the last load must be served immediately, the same
+    * probe-time-current contract the distributed path gets from its
+    * per-request tombstone anti-join) the hot image of `path`. */
+  private def graphHotFor(s: SparkSession, path: String): GraphHot = {
+    val now = layoutStamp(path)
+    val cur = graphHotCache.get(path)
+    if (cur != null && cur.stamp == now) return cur
+    graphHotCache.compute(path, (_, prev) => {
+      if (prev != null && prev.stamp == now) prev
+      else {
+        import graft.sources.Tombstones
+        Tombstones.healPartitions(s, s"$path/nodes")
+        Tombstones.healPartitions(s, s"$path/edges")
+        val vecs = new java.util.HashMap[java.lang.Long, Array[Double]]()
+        s.read.parquet(s"$path/nodes").select("id", "vec").collect()
+          .foreach(r => vecs.put(r.getLong(0), widen(r.get(1))))
+        val nbrsRaw = new java.util.HashMap[java.lang.Long,
+          scala.collection.mutable.ArrayBuffer[Long]]()
+        s.read.parquet(s"$path/edges").select("__vid", "nbr_id").collect()
+          .foreach { r =>
+            nbrsRaw.computeIfAbsent(r.getLong(0),
+              _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+          }
+        val nbrs = new java.util.HashMap[java.lang.Long, Array[Long]](
+          nbrsRaw.size() * 2)
+        nbrsRaw.forEach((k, v) => nbrs.put(k, v.toArray))
+        val entries = s.read.parquet(s"$path/entries").select("id")
+          .collect().map(_.getLong(0)).sorted
+        val tombs = new java.util.HashSet[java.lang.Long]()
+        Tombstones.ids(s, path).foreach(
+          _.collect().foreach(r => tombs.add(r.getLong(0))))
+        // stamp re-read AFTER the load: a mutation racing the load is
+        // then seen as a stale stamp by the next request, which reloads
+        GraphHot(layoutStamp(path), vecs, nbrs, entries, tombs)
+      }
+    })
+  }
+
+  /** The exact [[graphSearchIndexed]] cosine: one ascending-index pass,
+    * elements widened to double — bit-identical to
+    * [[graft.functions.VectorExpressions]]' fused kernel. */
+  private def hotCos(a: Array[Double], b: Array[Double]): java.lang.Double = {
+    if (a.length != b.length) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+  }
+
+  /** [[graphSearchIndexed]]'s SERVING twin: the same deterministic beam
+    * walk — same entry ring, same (score desc, id asc) beam and final
+    * tiebreaks, same tombstone semantics — executed driver-side against
+    * the hot image, so a request costs ZERO Spark jobs (the distributed
+    * spelling pays ~11 jobs of scheduler latency per request, which is
+    * the whole tail under a concurrent serving burst; GraphServeSpec
+    * pins row-for-row equality against it on the clean AND tombstoned
+    * layouts). The query vector is fetched from the hot image by id —
+    * the layout stores the corpus vectors — so an unknown id returns
+    * the empty relation exactly like the distributed spelling's empty
+    * query frame. At 100 TB this is the hot shard tier: each serving
+    * node holds its shard's graph in RAM and refreshes from the at-rest
+    * layout on its version stamp. */
+  def graphSearchServeById(s: SparkSession, path: String, queryId: Long,
+      k: Int, beam: Int = 32, hops: Int = 3, buckets: Int = 32): DataFrame = {
+    import s.implicits._
+    requireBucketsMeta(s, path, buckets)
+    val hot = graphHotFor(s, path)
+    val qv = hot.vecs.get(queryId)
+    if (qv == null)
+      return Seq.empty[(Long, Double)].toDF("id", "score")
+    val scores = new java.util.HashMap[java.lang.Long, Double]()
+    def score(ids: Iterable[Long]): Unit = ids.foreach { id =>
+      if (!hot.tombs.contains(id) && !scores.containsKey(id)) {
+        val v = hot.vecs.get(id)
+        if (v != null) {
+          val c = hotCos(v, qv)
+          if (c != null) scores.put(id, c.doubleValue())
+        }
+      }
+    }
+    def top(n: Int): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      scores.entrySet().asScala.toSeq
+        .sortBy(e => (-e.getValue, e.getKey.longValue()))
+        .take(n).map(_.getKey.longValue())
+    }
+    val liveEntries = hot.entries.filterNot(hot.tombs.contains(_))
+    score(liveEntries)
+    val seen = scala.collection.mutable.Set[Long](liveEntries: _*)
+    var beamIds = top(beam)
+    var h = 0
+    while (h < hops && beamIds.nonEmpty) {
+      val fresh = beamIds.iterator
+        .flatMap(b => Option(hot.nbrs.get(b)).iterator.flatten)
+        .filterNot(n => hot.tombs.contains(n) || seen(n))
+        .toSet
+      if (fresh.nonEmpty) { score(fresh); seen ++= fresh }
+      beamIds = top(beam)
+      h += 1
+    }
+    val out = top(k).map(id => (id, scores.get(id).doubleValue()))
+    out.toDF("id", "score")
+  }
+
   /** HNSW-style incremental insert into a [[writeGraphIndex]] layout:
     * each new row (in ascending-id order — deterministic) (1) beam-
     * searches its top-`linkK` live neighbors on the CURRENT index
