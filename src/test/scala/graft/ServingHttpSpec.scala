@@ -158,15 +158,20 @@ class ServingHttpSpec extends SparkSpec {
     // /health — it must answer BEFORE the search burst drains, and
     // every search must still return the exact pure-function body.
     withServer { port =>
-      val json = """{"mode":"whole","top_k":3,"query_image_id":1}"""
+      // hybrid, and 12 of them: the r19 serving rewires made whole mode
+      // fast enough (memoized imageVecs) that a 6-request burst drained
+      // before /health could answer, flaking the overlap assertion — the
+      // heavier mode keeps the burst reliably in flight while /health
+      // runs, which is the very situation the test exists to pin
+      val json = """{"mode":"hybrid","top_k":3,"query_image_id":1}"""
       val want = Serving.handle(spark, d, json)
-      val n = 6
+      val n = 12
       val results = new java.util.concurrent.ConcurrentHashMap[Int, (Int, String)]()
       val done = new java.util.concurrent.CountDownLatch(n)
       val lastSearchDone = new java.util.concurrent.atomic.AtomicLong(0L)
       (0 until n).foreach { i =>
         new Thread(() => {
-          try results.put(i, post(port, "/search/whole", json))
+          try results.put(i, post(port, "/search/hybrid", json))
           finally {
             lastSearchDone.set(System.nanoTime()); done.countDown()
           }

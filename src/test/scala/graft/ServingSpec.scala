@@ -92,7 +92,12 @@ class ServingSpec extends SparkSpec {
     // concurrent-user deployment; without it each handle() re-scans parquet
     graft.Tables.cacheCorpus(spark, d) // embeddings — the serving-critical table
     try {
-      val df = Retrieval.run(spark, d, Retrieval.SearchRequest("whole", k = 3))
+      // segment mode derives everything from the embeddings table, so
+      // its whole plan must be the in-memory corpus (whole mode plans
+      // against the r19 memoized imageVecs checkpoint instead —
+      // asserted below; mmr would not do — it collects its pool and
+      // plans a LocalRelation)
+      val df = Retrieval.run(spark, d, Retrieval.SearchRequest("segment", k = 3))
       val optimized = df.queryExecution.optimizedPlan.toString
       assert(optimized.contains("InMemoryRelation"),
         s"cached corpus must plan as an in-memory scan:\n$optimized")
@@ -105,13 +110,22 @@ class ServingSpec extends SparkSpec {
       assert(leaves.nonEmpty && leaves.forall(
         _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
         s"every scan leaf must be the cached corpus:\n${leaves.mkString("\n")}")
+      // whole mode serves from the MEMOIZED whole-image table (r19 — a
+      // localCheckpoint LogicalRDD leaf): also no parquet read per request
+      val wholeLeaves = Retrieval.run(spark, d,
+          Retrieval.SearchRequest("whole", k = 3))
+        .queryExecution.optimizedPlan.collectLeaves()
+      assert(wholeLeaves.nonEmpty && wholeLeaves.forall(l =>
+        l.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation] ||
+        l.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+        s"whole-mode leaves must be cached/memoized, never parquet:\n${wholeLeaves.mkString("\n")}")
       // the serving boundary returns identical results through the cache
       val r1 = Serving.handle(spark, d, """{"mode":"whole","top_k":3}""")
       val r2 = Serving.handle(spark, d, """{"mode":"whole","top_k":3}""")
       assert(r1 === r2 && r1.contains("\"results\""))
     } finally graft.Tables.uncacheCorpus(d)
     // cache dropped: plans read parquet again
-    val after = Retrieval.run(spark, d, Retrieval.SearchRequest("whole", k = 3))
+    val after = Retrieval.run(spark, d, Retrieval.SearchRequest("segment", k = 3))
       .queryExecution.optimizedPlan
     assert(after.collectLeaves().nonEmpty && after.collectLeaves().forall(
       !_.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]))
