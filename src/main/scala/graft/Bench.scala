@@ -279,6 +279,19 @@ object Bench {
     // and both sit in the documented sub-second drift band (vec_sq8
     // 0.19→0.32, curate_dsir 0.63→1.05) — ENVIRONMENT, code untouched
     // (git: no r18 commit modified either path).
+    // r19 freeze: per-query medians of three same-day full runs (totals
+    // 206.4/209.1/208.4s over 264 queries, agreeing within ±1%) →
+    // 206.5s, committed as BENCH_FULL.json. vs the r18 driver artifact
+    // (269.6s/263): shared-query sum 0.764× — CODE this time, not tide:
+    // the edge-build memoization below (-25s over the 18 in-plan graph
+    // rows), the serving rewires' named-query side (q3_hybrid 0.51→0.07,
+    // search_mlt 0.60→0.03, search_fuzzy 0.62→0.06, search_prefix
+    // 0.75→0.06, search_synonyms 0.94→0.10 — memoized tokenization +
+    // index-served legs), and the LPA/communities memoization carrying
+    // over. One new row (graph_clustering_local_refined, 0.58s). The
+    // only >1.3× shared row over 0.5s is mm_decode_embed 0.63→0.83
+    // (1.32×) — sub-second drift band, git shows no r19 commit touched
+    // Multimodal/JdkImage.
     // r19 attribution — the VERDICT-requested edge-build rewire, measured
     // as a same-day subset A/B (SPARK_GRAFT_BENCH_ONLY over the 18
     // in-plan graph rows, reps=3 medians, sf0.1, same JVM protocol):
