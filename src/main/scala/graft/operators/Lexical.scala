@@ -226,6 +226,103 @@ object Lexical {
       transform(sequence(lit(0), length(term) - 1), i =>
         concat(term.substr(lit(1), i), term.substr(i + lit(2), length(term)))))
 
+  /** [[delVariants]] extended to ≤2 deletions — the SymSpell key set
+    * for edit distance 2: the term, its delete-1 strings, and its
+    * C(len, 2) delete-2 strings (≤ ~2k keys at [[MaxFuzzyTermLen]]). */
+  private def delVariants2(t: String): Seq[String] = {
+    val d2 = for {
+      i <- 0 until t.length
+      j <- i + 1 until t.length
+    } yield t.substring(0, i) + t.substring(i + 1, j) + t.substring(j + 1)
+    (delVariants(t) ++ d2).distinct
+  }
+
+  /** Column form of [[delVariants2]] (codegen'd HOFs, no UDF): term +
+    * delete-1 + delete-2 strings. The outer sequence stops at len−2 so
+    * the inner `sequence(i+1, len−1)` is always ascending (Spark's
+    * sequence DESCENDS when start > stop — a silent wrong-key
+    * generator otherwise); terms shorter than 2 get no delete-2 keys. */
+  private def delVariants2Col(term: Column): Column = {
+    val d2 = when(length(term) >= 2,
+      flatten(transform(sequence(lit(0), length(term) - 2), i =>
+        transform(sequence(i + lit(1), length(term) - 1), j =>
+          concat(term.substr(lit(1), i),
+            term.substr(i + lit(2), j - i - 1),
+            term.substr(j + lit(2), length(term))))))
+    ).otherwise(array())
+    array_union(delVariantsCol(term), d2)
+  }
+
+  /** ES `fuzziness: AUTO`'s edit-distance budget: 0 below 3 chars, 1
+    * for 3–5, 2 from 6 — the rule ES applies per analyzed term. */
+  private def autoAllowed(t: String): Int =
+    if (t.length >= 6) 2 else if (t.length >= 3) 1 else 0
+
+  /** [[fuzzyExpansions]] under ES `fuzziness: AUTO` semantics: each
+    * query term's budget follows [[autoAllowed]] (so short terms stay
+    * exact and long terms tolerate two edits — the ES default
+    * recommendation the r18 VERDICT listed as the one lexical gap).
+    * Same SymSpell shape at k = 2: the delete-neighborhood theorem
+    * (ED(q, v) ≤ k ⇒ some ≤k-deletion variants of q and v collide)
+    * holds per side, so the vocab side explodes delete-≤2 keys (≤
+    * ~len²/2 per term — still VOCABULARY-sized work, never corpus) and
+    * the query side broadcasts its per-budget keys; candidates are
+    * verified by exact `levenshtein` against each term's own budget. */
+  def autoFuzzyExpansions(vocab: DataFrame, rawTerms: Seq[String],
+      maxExpansions: Int = MaxFuzzyExpansions): DataFrame = {
+    val s = vocab.sparkSession
+    import s.implicits._
+    val terms = analyze(rawTerms)
+    require(terms.nonEmpty, "fuzzy expansion needs at least one term")
+    require(terms.forall(_.length <= MaxFuzzyTermLen),
+      s"fuzzy query terms are capped at $MaxFuzzyTermLen chars")
+    val qvar = terms.flatMap { t =>
+      (autoAllowed(t) match {
+        case 2 => delVariants2(t)
+        case 1 => delVariants(t)
+        case _ => Seq(t)
+      }).map(v => (t, v))
+    }.distinct.toDF("q_term", "__var")
+    val maxQLen = terms.map(_.length).max
+    val maxK = terms.map(autoAllowed).max
+    val vocabKeys = maxK match {
+      case 2 => delVariants2Col(col("term"))
+      case 1 => delVariantsCol(col("term"))
+      case _ => array(col("term"))
+    }
+    val budget = when(length(col("q_term")) >= 6, 2)
+      .when(length(col("q_term")) >= 3, 1).otherwise(0)
+    val cands = vocab
+      .filter(length(col("term")) <= maxQLen + maxK)
+      .select(col("term"), col("df"), explode(vocabKeys).as("__var"))
+      .join(broadcast(qvar), "__var")
+      .select("q_term", "term", "df").distinct()
+      .filter(levenshtein(col("q_term"), col("term")) <= budget)
+    capExpansions(cands, maxExpansions)
+  }
+
+  /** Fuzzy BM25 under `fuzziness: AUTO` — [[bm25FuzzyScores]] with the
+    * per-term-length budget. */
+  def bm25AutoFuzzyScores(s: SparkSession, d: String, rawTerms: Seq[String],
+      maxExpansions: Int = MaxFuzzyExpansions): DataFrame = {
+    val terms = analyze(rawTerms)
+    val (docs, vocab) = docsAndVocab(s, d)
+    bm25BestExpansionScores(docs, terms,
+      autoFuzzyExpansions(vocab, terms, maxExpansions))
+  }
+
+  /** Named query terms for the AUTO arm, one per budget band:
+    * "vektorr" (7 chars, budget 2 — k→c substitution PLUS a deleted r
+    * reach "vector", beyond the ED1 family's reach), "strem" (5 chars,
+    * budget 1 — one insertion to "stream"), "jo" (2 chars, budget 0 —
+    * matches only itself; absent from the corpus, it scores nothing:
+    * AUTO's short-term exactness gate, visible in the relation). */
+  val AutoFuzzyTerms: Seq[String] = Seq("vektorr", "strem", "jo")
+
+  def fuzzyAutoQ(s: SparkSession, d: String): DataFrame =
+    bm25AutoFuzzyScores(s, d, AutoFuzzyTerms)
+      .orderBy(desc("score"), asc("doc_id")).limit(10)
+
   /** Fuzzy term expansion: for each query term, the vocabulary terms
     * within Levenshtein distance 1, capped at `maxExpansions` by
     * (df DESC, term ASC).
@@ -1129,6 +1226,7 @@ object Lexical {
     "search_bool" -> boolQ,
     "search_dismax" -> disMaxQ,
     "search_fuzzy" -> fuzzyQ,
+    "search_fuzzy_auto" -> fuzzyAutoQ,
     "search_fuzzy_idx" -> fuzzyIdxQ,
     "search_prefix" -> prefixQ,
     "search_synonyms" -> synonymQ,
@@ -1209,6 +1307,14 @@ object Lexical {
   private def fuzzySql: String =
     expansionSql(FuzzyTerms, "levenshtein(q.q_term, v.term) <= 1")
 
+  /** AUTO replay: the same expansion pyramid with ES's per-term-length
+    * budget as the match condition. */
+  private def fuzzyAutoSql: String =
+    expansionSql(AutoFuzzyTerms,
+      """levenshtein(q.q_term, v.term) <=
+         CASE WHEN len(q.q_term) >= 6 THEN 2
+              WHEN len(q.q_term) >= 3 THEN 1 ELSE 0 END""")
+
   private def prefixSql: String =
     expansionSql(PrefixTerms, "v.term LIKE q.q_term || '%'")
 
@@ -1259,6 +1365,7 @@ object Lexical {
 
   val oracleSql: Map[String, String] = Map(
     "search_fuzzy" -> fuzzySql,
+    "search_fuzzy_auto" -> fuzzyAutoSql,
     // index serving is bit-identical to the corpus scan — same oracle
     "search_fuzzy_idx" -> fuzzySql,
     "search_prefix" -> prefixSql,

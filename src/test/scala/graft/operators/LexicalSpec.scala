@@ -365,6 +365,47 @@ class LexicalSpec extends SparkSpec {
     assert(capped === Seq(if (dfOf("slow") == dfOf("row")) Seq("row", "slow").min else best))
   }
 
+  test("autoFuzzyExpansions: per-term AUTO budget — brute-equal at ED<=2, ED1 band at 3-5 chars, exact below 3") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .select(graft.functions.TextFunctions.tokens($"text").as("toks"))
+    val vocab = docs.select(explode(array_distinct($"toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val vocabTerms = vocab.select("term").as[String].collect().toSeq
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def budget(t: String): Int =
+      if (t.length >= 6) 2 else if (t.length >= 3) 1 else 0
+    // one query per band + a transposition (plain-Levenshtein 2)
+    val qs = Seq("vektorr", "vectro", "strem", "jo", "key")
+    val got = Lexical.autoFuzzyExpansions(vocab, qs, maxExpansions = 1000)
+      .select("q_term", "term").as[(String, String)].collect().toSet
+    val want = (for (q <- qs; t <- vocabTerms if lev(q, t) <= budget(q))
+      yield (q, t)).toSet
+    assert(got === want,
+      s"AUTO expansion must equal the brute budgeted join: missing=${want -- got} extra=${got -- want}")
+    // the ED2 reach the plain family lacks: "vektorr" -> vector needs
+    // a substitution AND a deletion
+    assert(got.contains(("vektorr", "vector")))
+    assert(!Lexical.fuzzyExpansions(vocab, Seq("vektorr"), maxExpansions = 1000)
+      .select("term").as[String].collect().contains("vector"),
+      "the ED1 family must NOT reach vector from vektorr")
+    // the 3-5 band stays at ED1: "strem" reaches stream, never ED2 terms
+    assert(got.contains(("strem", "stream")))
+    assert(got.filter(_._1 == "strem").forall(p => lev("strem", p._2) <= 1))
+    // below 3 chars: exact only ("jo" is not a corpus token -> nothing)
+    assert(!got.exists(_._1 == "jo"))
+    // exact matches still ride the path at every band
+    assert(got.contains(("key", "key")))
+  }
+
   test("bm25FuzzyScores: best-expansion max per query term, summed in order; a term can score two query terms") {
     import spark.implicits._
     // hand corpus: "vector" and "victor" are both distance 1 from query
