@@ -78,7 +78,16 @@ object Serving {
       minConf = num("min_conf").getOrElse(defaults.minConf),
       wWhole = num("whole_weight").getOrElse(defaults.wWhole),
       wSeg = num("segment_weight").getOrElse(defaults.wSeg),
-      maxSegments = num("max_segments").map(_.toInt).getOrElse(defaults.maxSegments))
+      maxSegments = num("max_segments").map(_.toInt).getOrElse(defaults.maxSegments),
+      // ES's fuzziness parameter for mode "fuzzy": "1" or "auto" (AUTO's
+      // per-term-length 0/1/2 budget); numbers accepted like ES's JSON
+      fuzziness = fields.get("fuzziness").map {
+        case JString(v) => v.toLowerCase
+        case JInt(i) => i.toString
+        case JLong(l) => l.toString
+        case other => throw new IllegalArgumentException(
+          s"'fuzziness' must be a string or number, got $other")
+      }.getOrElse(defaults.fuzziness))
   }
 
   /** One request, one JSON response: parse → [[Retrieval.run]] →

@@ -558,7 +558,8 @@ object Lexical {
     * so the named binding shares its oracle. */
   def fuzzyFromIndex(s: SparkSession, dir: String, rawTerms: Seq[String],
       maxExpansions: Int = MaxFuzzyExpansions,
-      buckets: Int = IndexBuckets): DataFrame = {
+      buckets: Int = IndexBuckets,
+      auto: Boolean = false): DataFrame = {
     val terms = analyze(rawTerms)
     require(terms.nonEmpty, "fuzzy search needs at least one term")
     healIndex(s, dir)
@@ -570,7 +571,8 @@ object Lexical {
     // and a LocalTableScan re-creation costs one job and zero block-
     // manager state; values unchanged.
     import s.implicits._
-    val expRows = fuzzyExpansions(vocab, terms, maxExpansions)
+    val expRows = (if (auto) autoFuzzyExpansions(vocab, terms, maxExpansions)
+                   else fuzzyExpansions(vocab, terms, maxExpansions))
       .select("q_term", "term").collect()
     val expTerms = expRows.map(_.getString(1)).distinct.toSeq
     if (expTerms.isEmpty) {
@@ -1068,9 +1070,10 @@ object Lexical {
     bm25FromIndex(s, index(s, d), terms)
 
   /** [[bm25Serve]]'s fuzzy twin — [[fuzzyFromIndex]] over the per-JVM
-    * index. */
-  def fuzzyServe(s: SparkSession, d: String, terms: Seq[String]): DataFrame =
-    fuzzyFromIndex(s, index(s, d), terms)
+    * index; `auto` selects the ES AUTO per-term-length budget. */
+  def fuzzyServe(s: SparkSession, d: String, terms: Seq[String],
+      auto: Boolean = false): DataFrame =
+    fuzzyFromIndex(s, index(s, d), terms, auto = auto)
 
   /** The benchmark takedown set — doc_ids inside `search_bm25`'s sf0.01
     * top-10, so the delete visibly reranks the served list (and the

@@ -1307,7 +1307,10 @@ object Retrieval {
       // max_segments form field (`segment_query_image` keeps the top
       // max_segments masks after the area-desc sort,
       // `search_with_segments.py:72,82`; default 10, `app.py:158`)
-      maxSegments: Int = 10)
+      maxSegments: Int = 10,
+      // fuzzy mode's edit budget (ES `fuzziness`): "1" (the ES-default-
+      // style fixed budget) or "auto" (ES AUTO — 0/1/2 by term length)
+      fuzziness: String = "1")
 
   /** One entry point, four modes, every knob an argument — each mode
     * delegates to the same generic [[Search]] engine the named queries
@@ -1368,11 +1371,14 @@ object Retrieval {
             col("embedding"), qSegs.select(col("qseg").as("qid"), col("qv")),
             req.k)
           .withColumnRenamed("doc_id", "image_id")
-      case "fuzzy" => // beyond-reference: typo-tolerant lexical (ES fuzziness:1)
+      case "fuzzy" => // beyond-reference: typo-tolerant lexical (ES fuzziness)
         require(req.terms.nonEmpty, "fuzzy mode needs non-empty 'terms'")
+        require(Set("1", "auto")(req.fuzziness),
+          s"fuzziness must be '1' or 'auto', got '${req.fuzziness}'")
         // index-served (r19): SymSpell expands over the index's own terms
-        // table, scoring reads only the expansions' pruned buckets
-        Lexical.fuzzyServe(s, d, req.terms)
+        // table, scoring reads only the expansions' pruned buckets;
+        // "auto" applies ES's per-term-length 0/1/2 budget
+        Lexical.fuzzyServe(s, d, req.terms, auto = req.fuzziness == "auto")
           .orderBy(desc("score"), asc("doc_id")).limit(req.k)
       case "mlt" => // beyond-reference: more-like-this (query_image_id = source doc)
         Lexical.moreLikeThis(s, d, req.queryImageId)

@@ -176,6 +176,23 @@ class RetrievalRunSpec extends SparkSpec {
     assert(other !== got, "the source-doc knob is live")
   }
 
+  test("fuzzy mode: the fuzziness knob is live — AUTO reaches an ED2 typo the default budget cannot") {
+    // "vektorr" needs a substitution AND a deletion to reach "vector":
+    // unreachable at the default fuzziness "1", served under "auto"
+    val ed1 = Retrieval.run(spark, d,
+      SearchRequest("fuzzy", terms = Seq("vektorr"))).collect()
+    assert(ed1.isEmpty, "ED1 budget must not reach vector from vektorr")
+    val auto = Retrieval.run(spark, d,
+      SearchRequest("fuzzy", terms = Seq("vektorr"), fuzziness = "auto"))
+      .collect()
+    assert(auto.nonEmpty, "AUTO budget (2 edits at >=6 chars) must serve results")
+    // unknown budget is an engine-rejected request (the 400 path)
+    intercept[IllegalArgumentException] {
+      Retrieval.run(spark, d,
+        SearchRequest("fuzzy", terms = Seq("vektorr"), fuzziness = "3"))
+    }
+  }
+
   test("centrality mode: point-read equals the oracle-checked refined ranking; partition-pruned; knob live") {
     val got = Retrieval.run(spark, d,
         SearchRequest("centrality", queryImageId = 42L))
