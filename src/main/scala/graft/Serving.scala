@@ -342,13 +342,23 @@ object SearchCli {
     val kv = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val data = kv.getOrElse("--data",
       sys.error("--data <dir> is required (parquet table directory)"))
-    val spark = SparkSession.builder()
+    // --serve gets the SERVING profile ServingBench measured (r19): FAIR
+    // scheduling (FIFO head-of-line-blocks every queued request behind
+    // one heavy one) and few shuffle partitions (requests are point-ish
+    // queries; the batch profile's core-count partitions just multiply
+    // per-request task overhead under concurrency). One-shot CLI queries
+    // keep the batch profile.
+    val serving = kv.contains("--serve")
+    val parts =
+      if (serving) sys.env.getOrElse("SPARK_GRAFT_SERVE_PARTITIONS", "4")
+      else Runtime.getRuntime.availableProcessors().toString
+    val builder = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-search")
-      .config("spark.sql.shuffle.partitions",
-        Runtime.getRuntime.availableProcessors())
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (serving) builder.config("spark.scheduler.mode", "FAIR")
+                 else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     kv.get("--serve") match {
       case Some(port) => // long-running listener mode (app.py's role)
