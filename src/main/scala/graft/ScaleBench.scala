@@ -275,18 +275,15 @@ object ScaleBench {
 
   /** Write the k ∝ N edge layout + run the production stats refresh
     * ([[graft.operators.Retrieval.buildGraphStats]]) into the
-    * deterministic root. `force` = rebuild even if present (the build
-    * row must TIME the refresh; the read row must NOT re-pay it). */
-  private def buildScaledStats(s: SparkSession, d: String,
-      force: Boolean): String = {
+    * deterministic root — ALWAYS rebuilding (the build row times the
+    * refresh; staleness from an older code version must never survive a
+    * re-freeze). The read row requires the artifact this leaves. */
+  private def buildScaledStats(s: SparkSession, d: String): String = {
     val root = statsScaleRoot(d)
-    val done = new java.io.File(s"$root/stats/_SUCCESS")
-    if (force || !done.exists()) {
-      val (_, knn) = scaledKnnEdges(s, d)
-      knn.select(col("src").as("__vid"), col("dst").as("nbr_id"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$root/idx/edges")
-      graft.operators.Retrieval.buildGraphStats(s, d, s"$root/idx", root)
-    }
+    val (_, knn) = scaledKnnEdges(s, d)
+    knn.select(col("src").as("__vid"), col("dst").as("nbr_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/idx/edges")
+    graft.operators.Retrieval.buildGraphStats(s, d, s"$root/idx", root)
     root
   }
 
@@ -378,12 +375,22 @@ object ScaleBench {
       // lookups (rows flat at 32 by construction — its TIME ratio is
       // the claim).
       "graph_stats_build_scaled" -> ((s, d) => {
-        val root = buildScaledStats(s, d, force = true)
+        val root = buildScaledStats(s, d)
         s.read.parquet(s"$root/stats")
       }),
       "graph_stats_read_scaled" -> ((s, d) => {
         import graft.operators.Retrieval
-        val root = buildScaledStats(s, d, force = false)
+        // LOUD guard: the read row must measure READS. If the store the
+        // build row leaves behind is absent, silently building it here
+        // would freeze a refresh measurement under the read row's name
+        // (and a pre-existing store from OLDER code would serve stale
+        // artifact contents) — fail with the fix instead.
+        val root = statsScaleRoot(d)
+        require(new java.io.File(s"$root/stats/_SUCCESS").exists(),
+          s"graph_stats_read_scaled: no pre-built store at $root — run " +
+            "graph_stats_build_scaled first (same code version), e.g. " +
+            "tools/scalebench_isolated.sh graph_stats_build_scaled " +
+            "graph_stats_read_scaled")
         (0L until 32L).map(id =>
             Retrieval.graphStatsReadAt(s, root, s"$root/idx", id))
           .reduce(_ unionByName _)

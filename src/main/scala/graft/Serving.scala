@@ -85,8 +85,12 @@ object Serving {
         case JString(v) => v.toLowerCase
         case JInt(i) => i.toString
         case JLong(l) => l.toString
+        // integral JSON doubles (1.0) normalize like ES's lenient
+        // parsing; fractional budgets are nonsense and rejected
+        case JDouble(v) if v == math.floor(v) => v.toLong.toString
+        case JDecimal(v) if v.isWhole => v.toLong.toString
         case other => throw new IllegalArgumentException(
-          s"'fuzziness' must be a string or number, got $other")
+          s"'fuzziness' must be a string or an integral number, got $other")
       }.getOrElse(defaults.fuzziness))
   }
 
@@ -178,8 +182,9 @@ object ServingHttp {
     * still answers the reference's exact 400 envelope (naming its four —
     * byte-pinned by ServingHttpSpec); accepting a superset changes no
     * reference-visible behavior. */
-  val Modes = Set("whole", "segment", "hybrid", "tags", "lexical", "rrf",
-    "mmr", "maxsim", "fuzzy", "mlt", "graph", "centrality")
+  val OrderedModes: Seq[String] = Seq("whole", "segment", "hybrid", "tags",
+    "lexical", "rrf", "mmr", "maxsim", "fuzzy", "mlt", "graph", "centrality")
+  val Modes: Set[String] = OrderedModes.toSet
 
   /** Start the listener; `port = 0` picks an ephemeral port (tests).
     * Returns the running server — callers own `stop()`. */
@@ -245,11 +250,24 @@ object ServingHttp {
 
   private def dispatch(s: SparkSession, d: String,
       ex: com.sun.net.httpserver.HttpExchange, requestJson: String): Unit = {
-    // 200 success / 400 engine-rejected request / 500 engine fault —
-    // the classification lives with the engine boundary, not in string
-    // inspection here
-    val (status, out) = Serving.handleWithStatus(s, d, requestJson)
-    respond(ex, status, out)
+    // Scheduler FAIRNESS needs per-request POOLS, not just
+    // spark.scheduler.mode=FAIR: with no pool set, every job lands in
+    // the default pool, whose INTERNAL mode is FIFO — one heavy
+    // request's jobs still head-of-line block the queue. FAIR applies
+    // BETWEEN pools, so each handler thread claims its own lane
+    // (modulo-bounded: pool objects persist in the scheduler, so names
+    // must not grow with thread churn); under a FIFO-mode session the
+    // property is inert. The thread-local property must be cleared
+    // afterward — cached threads are reused.
+    s.sparkContext.setLocalProperty("spark.scheduler.pool",
+      s"graft-serve-${Thread.currentThread().getId % 64}")
+    try {
+      // 200 success / 400 engine-rejected request / 500 engine fault —
+      // the classification lives with the engine boundary, not in string
+      // inspection here
+      val (status, out) = Serving.handleWithStatus(s, d, requestJson)
+      respond(ex, status, out)
+    } finally s.sparkContext.setLocalProperty("spark.scheduler.pool", null)
   }
 
   /** Body up to [[MaxBody]]; None = over the cap (413 path). */
@@ -343,11 +361,12 @@ object SearchCli {
     val data = kv.getOrElse("--data",
       sys.error("--data <dir> is required (parquet table directory)"))
     // --serve gets the SERVING profile ServingBench measured (r19): FAIR
-    // scheduling (FIFO head-of-line-blocks every queued request behind
-    // one heavy one) and few shuffle partitions (requests are point-ish
-    // queries; the batch profile's core-count partitions just multiply
-    // per-request task overhead under concurrency). One-shot CLI queries
-    // keep the batch profile.
+    // scheduling — effective through the per-request pool lanes
+    // ServingHttp.dispatch sets; FAIR alone is inert because the default
+    // pool's internal mode is FIFO — and few shuffle partitions
+    // (requests are point-ish queries; the batch profile's core-count
+    // partitions just multiply per-request task overhead under
+    // concurrency). One-shot CLI queries keep the batch profile.
     val serving = kv.contains("--serve")
     val parts =
       if (serving) sys.env.getOrElse("SPARK_GRAFT_SERVE_PARTITIONS", "4")

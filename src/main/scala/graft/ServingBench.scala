@@ -71,12 +71,14 @@ object ServingBench {
       Runtime.getRuntime.availableProcessors().toString)
     val conc = sys.env.getOrElse("SPARK_GRAFT_SERVE_C", "32").toInt
     val nReq = sys.env.getOrElse("SPARK_GRAFT_SERVE_N", "96").toInt
-    // Serving-tuned session, NOT the batch profile: (1) FAIR scheduling —
-    // under FIFO one heavy request (a multi-hop graph walk) head-of-line
-    // blocks every queued request's jobs, and the first measured tail was
-    // queueing, not service (graph p95 read 120s at C=32; FAIR interleaves
-    // task scheduling across concurrent requests); (2) few shuffle
-    // partitions — a serving request is a point-ish query whose sorts and
+    // Serving-tuned session, NOT the batch profile: (1) FAIR scheduling
+    // + the per-request pool lanes ServingHttp.dispatch sets (FAIR alone
+    // is inert — with no pool set every job lands in the default pool,
+    // whose internal mode is FIFO; fairness applies BETWEEN pools) —
+    // under FIFO one heavy request head-of-line blocks every queued
+    // request's jobs, and the first measured tail was queueing, not
+    // service (graph p95 read 120s at C=32); (2) few shuffle partitions —
+    // a serving request is a point-ish query whose sorts and
     // aggregations carry thousands of rows, so the batch profile's 32
     // shuffle partitions just multiply per-request task overhead by 8×
     // under concurrency. Both are exactly what a production serving
@@ -91,9 +93,15 @@ object ServingBench {
     spark.sparkContext.setLogLevel("WARN")
     val srv = ServingHttp.start(spark, sfDir, 0)
     val port = srv.getAddress.getPort
-    val modes = Seq("whole", "segment", "hybrid", "tags", "lexical", "rrf",
-      "mmr", "maxsim", "fuzzy", "mlt", "graph", "centrality")
-    val pool = Executors.newFixedThreadPool(math.max(conc, 128))
+    // the bench list IS the routable surface — a mode added to
+    // ServingHttp.OrderedModes is latency-measured automatically
+    val modes = ServingHttp.OrderedModes
+    val wideN = sys.env.getOrElse("SPARK_GRAFT_SERVE_WIDE_N", "1000").toInt
+    val wideC = sys.env.getOrElse("SPARK_GRAFT_SERVE_WIDE_C", "128").toInt
+    // the pool must cover the WIDEST requested concurrency — a pool
+    // smaller than the wide burst's C would silently run it at pool
+    // size while the artifact reports the requested number
+    val pool = Executors.newFixedThreadPool(math.max(math.max(conc, wideC), 8))
     def burst(mode: String, n: Int, c: Int): Seq[Double] = {
       val sem = new java.util.concurrent.Semaphore(c)
       val done = new java.util.concurrent.CountDownLatch(n)
@@ -136,8 +144,6 @@ object ServingBench {
     }
     // the 1,000-user face: one wide burst on the cheapest serving mode —
     // node throughput, from which the fleet size for the SRS target follows
-    val wideN = sys.env.getOrElse("SPARK_GRAFT_SERVE_WIDE_N", "1000").toInt
-    val wideC = sys.env.getOrElse("SPARK_GRAFT_SERVE_WIDE_C", "128").toInt
     val tw0 = System.nanoTime()
     val wide = burst("whole", wideN, wideC)
     val wideWall = (System.nanoTime() - tw0) / 1e9

@@ -1160,6 +1160,13 @@ object Search {
     * probe-time-current contract the distributed path gets from its
     * per-request tombstone anti-join) the hot image of `path`. */
   private def graphHotFor(s: SparkSession, path: String): GraphHot = {
+    // a layout whose directory vanished must not serve its ghost (and a
+    // long-lived JVM must not retain dead layouts' full in-RAM images):
+    // drop the entry and let the parquet read fail loudly; past ~16 live
+    // layouts, sweep every entry whose path is gone
+    if (!new java.io.File(path).exists()) graphHotCache.remove(path)
+    if (graphHotCache.size() > 16)
+      graphHotCache.keySet.removeIf(p => !new java.io.File(p).exists())
     val now = layoutStamp(path)
     val cur = graphHotCache.get(path)
     if (cur != null && cur.stamp == now) return cur
@@ -1187,9 +1194,12 @@ object Search {
         val tombs = new java.util.HashSet[java.lang.Long]()
         Tombstones.ids(s, path).foreach(
           _.collect().foreach(r => tombs.add(r.getLong(0))))
-        // stamp re-read AFTER the load: a mutation racing the load is
-        // then seen as a stale stamp by the next request, which reloads
-        GraphHot(layoutStamp(path), vecs, nbrs, entries, tombs)
+        // the PRE-load stamp is stored: a mutation racing the load may
+        // be missing from this image, but it bumped the layout's mtime
+        // AFTER `now` was read, so the next request sees a stale stamp
+        // and reloads — storing a post-load stamp would absorb exactly
+        // that racing mutation forever
+        GraphHot(now, vecs, nbrs, entries, tombs)
       }
     })
   }
@@ -1228,21 +1238,26 @@ object Search {
     val hot = graphHotFor(s, path)
     val qv = hot.vecs.get(queryId)
     if (qv == null)
-      return Seq.empty[(Long, Double)].toDF("id", "score")
-    val scores = new java.util.HashMap[java.lang.Long, Double]()
+      return Seq.empty[(Long, Option[Double])].toDF("id", "score")
+    // `scores` holds every VISITED live id, null score included — the
+    // distributed walk keeps null-cosine rows (zero-norm or mismatched-
+    // length vectors) in its visited frame, where desc ordering sorts
+    // them last (ties by id asc); dropping them here would diverge from
+    // that spelling the moment a beam or final cut reaches past the
+    // non-null candidates (GraphServeSpec pins row equality)
+    val scores = new java.util.HashMap[java.lang.Long, java.lang.Double]()
     def score(ids: Iterable[Long]): Unit = ids.foreach { id =>
       if (!hot.tombs.contains(id) && !scores.containsKey(id)) {
         val v = hot.vecs.get(id)
-        if (v != null) {
-          val c = hotCos(v, qv)
-          if (c != null) scores.put(id, c.doubleValue())
-        }
+        if (v != null) scores.put(id, hotCos(v, qv))
       }
     }
     def top(n: Int): Seq[Long] = {
       import scala.jdk.CollectionConverters._
-      scores.entrySet().asScala.toSeq
-        .sortBy(e => (-e.getValue, e.getKey.longValue()))
+      val (nonNull, nulls) = scores.entrySet().asScala.toSeq
+        .partition(_.getValue != null)
+      (nonNull.sortBy(e => (-e.getValue.doubleValue(), e.getKey.longValue()))
+        ++ nulls.sortBy(_.getKey.longValue()))
         .take(n).map(_.getKey.longValue())
     }
     val liveEntries = hot.entries.filterNot(hot.tombs.contains(_))
@@ -1259,7 +1274,7 @@ object Search {
       beamIds = top(beam)
       h += 1
     }
-    val out = top(k).map(id => (id, scores.get(id).doubleValue()))
+    val out = top(k).map(id => (id, Option(scores.get(id)).map(_.doubleValue())))
     out.toDF("id", "score")
   }
 
