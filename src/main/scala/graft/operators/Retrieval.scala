@@ -1391,7 +1391,14 @@ object Retrieval {
         // the worst serving row (p50 36s under a 32-way burst, ~11
         // scheduler round-trips per request)
         Search.graphSearchServeById(s, s"${graphIdxDir(s, d)}/idx",
-            req.queryImageId, k = req.k, beam = 32, hops = 3, buckets = 32)
+            req.queryImageId, k = req.k, beam = 32, hops = 3, buckets = 32,
+            // an id in the corpus but not (yet) in the layout still walks
+            // with its embeddings-table vector — one tiny Spark job on the
+            // MISS path only, exactly what the distributed spelling's
+            // query frame would read (r20, ADVICE r19)
+            fallbackVec = qid => Tables.embeddings(s, d)
+              .filter(col("vec_id") === qid).select("embedding")
+              .collect().headOption.map(r => Search.widen(r.get(0))))
           .select(col("id").as("vec_id"), col("score"))
       case "centrality" => // beyond-reference: per-doc graph signals read
         // (point lookup over the at-rest stats store — PageRank +

@@ -1051,6 +1051,7 @@ object Search {
       .withColumn("__h", md5(col("id").cast("string")))
       .orderBy("__h").limit(entriesN).select("id")
       .write.parquet(s"$path/entries")
+    bumpLayoutVersion(path)
   }
 
   /** [[graphSearch]] served from a [[writeGraphIndex]] layout: identical
@@ -1103,18 +1104,54 @@ object Search {
   /** O(|ids|) takedown on the graph layout — serving excludes the ids
     * immediately (see [[writeGraphIndex]]); [[compactGraphIndex]]
     * reclaims. */
-  def deleteFromGraphIndex(ids: DataFrame, idCol: Column, path: String): Unit =
+  def deleteFromGraphIndex(ids: DataFrame, idCol: Column, path: String): Unit = {
     graft.sources.Tombstones.add(ids, idCol, path)
+    bumpLayoutVersion(path)
+  }
 
   // ------------------- hot-tier graph serving (r19) ------------------ //
+
+  /** Version-manifest file at the layout root — the hot tier's change
+    * signal. Every mutation commit point ([[writeGraphIndex]],
+    * [[deleteFromGraphIndex]], [[appendToGraphIndex]],
+    * [[compactGraphIndex]], and the staged [[rebuildGraphIndex]] via the
+    * fresh build's own bump) rewrites it with a fresh UUID (r20 — the
+    * r19 mtime stamp missed a mutation landing in the same filesystem
+    * clock tick as the cached stamp: ms on ext4, a full second on some
+    * filesystems — permanent staleness, not a one-request race). UUID
+    * inequality, not monotonic ordering, is the contract: the hot tier
+    * only asks "did the layout change since I loaded", which equality on
+    * a value that every mutation replaces answers with no clock at all —
+    * the same role Iceberg's snapshot id plays. Written via temp-file +
+    * atomic move so a reader never observes a half-written value. */
+  private[graft] val VersionFile = "_graft_version"
+
+  /** Rewrite the layout's version manifest — the mutation COMMIT POINT
+    * for hot-tier visibility: a crash after the data mutation but before
+    * the bump leaves the hot tier serving the pre-mutation image until
+    * the next committed mutation (manifest semantics — an uncommitted
+    * snapshot is invisible), while the distributed spellings, which read
+    * tombstones/buckets per request, see it immediately. */
+  private[graft] def bumpLayoutVersion(path: String): Unit = {
+    val dir = new java.io.File(path)
+    if (!dir.exists()) dir.mkdirs()
+    val tmp = java.io.File.createTempFile(s".$VersionFile", ".tmp", dir)
+    java.nio.file.Files.write(tmp.toPath,
+      java.util.UUID.randomUUID().toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, VersionFile).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** In-memory image of one graph layout: the HOT TIER a real ANN
     * serving node keeps (HNSW serves from RAM; the at-rest bucketed
     * layout is the build/refresh artifact). `stamp` is the layout's
-    * recursive max-mtime at load — the poor man's manifest version this
-    * local-FS deployment gets; a lake deployment would bump an explicit
-    * version file on append/takedown/compact. */
-  private case class GraphHot(stamp: Long,
+    * [[VersionFile]] content at load (pre-r20 layouts without one fall
+    * back to the recursive max-mtime, prefixed so the two spaces can
+    * never collide). */
+  private case class GraphHot(stamp: String,
       vecs: java.util.HashMap[java.lang.Long, Array[Double]],
       nbrs: java.util.HashMap[java.lang.Long, Array[Long]],
       entries: Array[Long],
@@ -1123,12 +1160,24 @@ object Search {
   private val graphHotCache =
     new java.util.concurrent.ConcurrentHashMap[String, GraphHot]()
 
+  /** The layout's change stamp: the version manifest when present (the
+    * r20 contract — clock-granularity-free), else the mtime walk for
+    * layouts written before the manifest existed. */
+  private def layoutStampOf(path: String): String = {
+    val vf = new java.io.File(path, VersionFile)
+    if (vf.exists())
+      "v:" + new String(java.nio.file.Files.readAllBytes(vf.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+    else "mtime:" + layoutMtime(path)
+  }
+
   /** Recursive max-mtime of the layout — appends land part files inside
     * bucket subdirs and takedowns inside `_tombstones/`, so only a deep
     * stat sees every mutation. Bounded by the layout's file count (a
-    * few hundred here); the scale answer is a version/manifest file,
-    * not a deeper walk. */
-  private def layoutStamp(path: String): Long = {
+    * few hundred here); kept only as the pre-manifest fallback — see
+    * [[VersionFile]] for why mtime alone is not a correct change signal
+    * (clock-tick granularity). */
+  private def layoutMtime(path: String): Long = {
     // depth-2 stat is sufficient AND per-request-cheap: tombstones land
     // as files directly under `_tombstones/` (level 2), appends land
     // part files inside `nodes/bkt=N/` whose DIRECTORY mtime (level 2)
@@ -1146,13 +1195,44 @@ object Search {
     m
   }
 
-  private def widen(v: Any): Array[Double] = v match {
+  private[operators] def widen(v: Any): Array[Double] = v match {
     case a: scala.collection.Seq[_] => a.map {
       case f: java.lang.Float => f.toDouble
       case d: java.lang.Double => d.doubleValue()
       case o => o.toString.toDouble
     }.toArray
     case o => sys.error(s"graph hot tier: unexpected vec cell $o")
+  }
+
+  /** Spec-only seam: runs between the stamp read and the image load in
+    * [[graphHotFor]], so GraphServeSpec can land a real mutation inside
+    * exactly the race window the stamp protocol argues about (a mutation
+    * racing the load bumps the version AFTER `now` was read, so the next
+    * request sees a changed stamp and reloads). Production never sets
+    * it. */
+  private[graft] var hotLoadTestHook: () => Unit = () => ()
+
+  /** Driver-RAM budget for one hot image, measured as the layout's
+    * ON-DISK parquet bytes (nodes + edges + entries — the file metadata
+    * the guard can read without loading anything). Default 2 GiB of
+    * parquet — roomy for the per-shard serving tier this cache is
+    * (VERDICT r19 #3: the expansion to boxed driver HashMaps is a small
+    * multiple of the on-disk bytes, well inside this JVM's heap), loud
+    * for the mistake it exists to catch: pointing the hot tier at a
+    * whole-corpus layout that belongs on the distributed spelling.
+    * Override via -Dgraft.graph.hot.maxBytes / GRAFT_GRAPH_HOT_MAX_BYTES. */
+  private def hotMaxBytes: Long =
+    sys.props.get("graft.graph.hot.maxBytes")
+      .orElse(sys.env.get("GRAFT_GRAPH_HOT_MAX_BYTES"))
+      .map(_.toLong).getOrElse(2L << 30)
+
+  private def layoutBytes(path: String): Long = {
+    def sz(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(sz).sum
+      else f.length()
+    Seq("nodes", "edges", "entries")
+      .map(t => sz(new java.io.File(path, t))).sum
   }
 
   /** Load (or reload, when the layout's stamp moved — a takedown or
@@ -1167,9 +1247,22 @@ object Search {
     if (!new java.io.File(path).exists()) graphHotCache.remove(path)
     if (graphHotCache.size() > 16)
       graphHotCache.keySet.removeIf(p => !new java.io.File(p).exists())
-    val now = layoutStamp(path)
+    val now = layoutStampOf(path)
+    hotLoadTestHook()
     val cur = graphHotCache.get(path)
     if (cur != null && cur.stamp == now) return cur
+    // loud size guard (r20, VERDICT r19 #3): the hot tier collects the
+    // ENTIRE layout into driver HashMaps — deliberate for the per-shard
+    // serving tier, an OOM for a corpus-sized layout. Refuse with the
+    // distributed alternative named instead of dying mid-collect.
+    val bytes = layoutBytes(path)
+    require(bytes <= hotMaxBytes,
+      s"graph hot tier: layout $path is $bytes on-disk bytes, over the " +
+        s"$hotMaxBytes budget for a driver-RAM image — this cache is the " +
+        "per-shard serving tier, not a corpus store. Either raise " +
+        "-Dgraft.graph.hot.maxBytes / GRAFT_GRAPH_HOT_MAX_BYTES, or serve " +
+        "this layout through the distributed walk (Search.graphSearchIndexed), " +
+        "which reads only partition-pruned point lookups per hop.")
     graphHotCache.compute(path, (_, prev) => {
       if (prev != null && prev.stamp == now) prev
       else {
@@ -1195,10 +1288,11 @@ object Search {
         Tombstones.ids(s, path).foreach(
           _.collect().foreach(r => tombs.add(r.getLong(0))))
         // the PRE-load stamp is stored: a mutation racing the load may
-        // be missing from this image, but it bumped the layout's mtime
-        // AFTER `now` was read, so the next request sees a stale stamp
-        // and reloads — storing a post-load stamp would absorb exactly
-        // that racing mutation forever
+        // be missing from this image, but it replaced the version
+        // manifest AFTER `now` was read, so the next request sees a
+        // different stamp and reloads — storing a post-load stamp would
+        // absorb exactly that racing mutation forever (spec-pinned via
+        // hotLoadTestHook, which lands a real mutation in this window)
         GraphHot(now, vecs, nbrs, entries, tombs)
       }
     })
@@ -1230,13 +1324,24 @@ object Search {
     * the empty relation exactly like the distributed spelling's empty
     * query frame. At 100 TB this is the hot shard tier: each serving
     * node holds its shard's graph in RAM and refreshes from the at-rest
-    * layout on its version stamp. */
+    * layout on its version stamp.
+    *
+    * Query-vector resolution (r20, ADVICE r19): the hot image stores the
+    * corpus vectors, so an INDEXED id resolves locally for free; an id
+    * absent from the layout consults `fallbackVec` — the serving dispatch
+    * passes the embeddings-table lookup, so "in the corpus but not (yet)
+    * in this layout" executes the walk with that query vector exactly
+    * like the distributed spelling would (GraphServeSpec pins it), and
+    * only an id known to NEITHER returns the empty relation (the
+    * distributed empty-query-frame analog). */
   def graphSearchServeById(s: SparkSession, path: String, queryId: Long,
-      k: Int, beam: Int = 32, hops: Int = 3, buckets: Int = 32): DataFrame = {
+      k: Int, beam: Int = 32, hops: Int = 3, buckets: Int = 32,
+      fallbackVec: Long => Option[Array[Double]] = _ => None): DataFrame = {
     import s.implicits._
     requireBucketsMeta(s, path, buckets)
     val hot = graphHotFor(s, path)
-    val qv = hot.vecs.get(queryId)
+    val qv = Option(hot.vecs.get(queryId))
+      .orElse(fallbackVec(queryId)).orNull
     if (qv == null)
       return Seq.empty[(Long, Option[Double])].toDF("id", "score")
     // `scores` holds every VISITED live id, null score included — the
@@ -1330,6 +1435,7 @@ object Search {
           .write.mode("append").partitionBy("bkt").parquet(s"$path/edges")
       }
     }
+    bumpLayoutVersion(path)
   }
 
   /** Physically apply graph tombstones: rewrite the node buckets holding
@@ -1370,6 +1476,7 @@ object Search {
       Tombstones.rewriteLive(s, s"$path/entries",
         df => df.join(tomb, col("id") === col("__t"), "left_anti"), onStep)
       Tombstones.clear(s, path)
+      bumpLayoutVersion(path)
     }
   }
 
