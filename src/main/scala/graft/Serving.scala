@@ -186,13 +186,36 @@ object ServingHttp {
     "lexical", "rrf", "mmr", "maxsim", "fuzzy", "mlt", "graph", "centrality")
   val Modes: Set[String] = OrderedModes.toSet
 
+  /** Default admission ceiling: concurrent in-flight SEARCH requests
+    * before the node sheds load with 503 (r20, VERDICT r19 #1 — the
+    * C=128 burst showed 28 s pure-queueing tails; an overloaded node
+    * must fail fast, not stretch every caller past its deadline).
+    * 48 sits above the measured C=32 saturation arm — the stress
+    * measurements still observe real queueing — and below the burst
+    * regime where tails go unbounded. Env-overridable per deployment. */
+  def defaultMaxConcurrent: Int =
+    sys.env.get("GRAFT_SERVE_MAX_CONCURRENT").map(_.toInt).getOrElse(48)
+
   /** Start the listener; `port = 0` picks an ephemeral port (tests).
-    * Returns the running server — callers own `stop()`. */
-  def start(s: SparkSession, d: String, port: Int): com.sun.net.httpserver.HttpServer = {
+    * Returns the running server — callers own `stop()`.
+    *
+    * Admission control: at most `maxConcurrent` search requests run at
+    * once; request `maxConcurrent + 1` is answered 503 + `Retry-After: 1`
+    * IMMEDIATELY (no queue — a queued request under overload is a slow
+    * failure the client can neither cancel nor retry elsewhere; the SRS
+    * availability face wants fast shedding so a load balancer routes
+    * around the hot node). `/health` is exempt: liveness probes must
+    * answer on a saturated node — that is when the monitor most needs
+    * them. */
+  def start(s: SparkSession, d: String, port: Int,
+      maxConcurrent: Int = defaultMaxConcurrent): com.sun.net.httpserver.HttpServer = {
+    require(maxConcurrent >= 1,
+      s"ServingHttp.start: maxConcurrent must be >= 1, got $maxConcurrent")
+    val admission = new java.util.concurrent.Semaphore(maxConcurrent)
     val srv = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(port), 0)
     srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
-      try route(s, d, ex)
+      try route(s, d, ex, admission)
       catch { // app.py:329-331 envelope — a handler bug must answer JSON
         case scala.util.control.NonFatal(e) =>
           respond(ex, 500,
@@ -209,7 +232,8 @@ object ServingHttp {
   }
 
   private def route(s: SparkSession, d: String,
-      ex: com.sun.net.httpserver.HttpExchange): Unit = {
+      ex: com.sun.net.httpserver.HttpExchange,
+      admission: java.util.concurrent.Semaphore): Unit = {
     val path = ex.getRequestURI.getPath
     (ex.getRequestMethod, path) match {
       case ("GET", "/health") => respond(ex, 200, Serving.health(s, d))
@@ -222,7 +246,7 @@ object ServingHttp {
           // but NOT a JSON object is the client's error — refusing
           // beats silently discarding its parameters and answering 200
           withMode(body, mode) match {
-            case Right(merged) => dispatch(s, d, ex, merged)
+            case Right(merged) => admit(s, d, ex, merged, admission)
             case Left(err) => respond(ex, 400, s"""{"error":${jstr(err)}}""")
           }
         }
@@ -239,7 +263,7 @@ object ServingHttp {
                 respond(ex, 400,
                   """{"error":"Invalid mode. Use: whole, segment, hybrid, or tags"}""")
               else withMode(body, mode) match {
-                case Right(merged) => dispatch(s, d, ex, merged)
+                case Right(merged) => admit(s, d, ex, merged, admission)
                 case Left(err) => respond(ex, 400, s"""{"error":${jstr(err)}}""")
               }
           }
@@ -247,6 +271,25 @@ object ServingHttp {
       case _ => respond(ex, 404, """{"error":"Not found"}""")
     }
   }
+
+  /** Admission gate in front of [[dispatch]]: non-blocking acquire — a
+    * request past the ceiling is shed NOW (503 + `Retry-After: 1`, the
+    * envelope load balancers and retry middlewares key on) instead of
+    * joining an unbounded queue whose tail the r19 burst measured at
+    * 28 s. Shedding happens AFTER request validation (a 400 is a 400
+    * even on a busy node) and holds the permit for the full engine call
+    * so the ceiling bounds in-flight Spark work, not just accepts. */
+  private def admit(s: SparkSession, d: String,
+      ex: com.sun.net.httpserver.HttpExchange, requestJson: String,
+      admission: java.util.concurrent.Semaphore): Unit =
+    if (!admission.tryAcquire()) {
+      ex.getResponseHeaders.set("Retry-After", "1")
+      respond(ex, 503,
+        """{"error":"Server overloaded, retry shortly","retry_after_seconds":1}""")
+    } else {
+      try dispatch(s, d, ex, requestJson)
+      finally admission.release()
+    }
 
   private def dispatch(s: SparkSession, d: String,
       ex: com.sun.net.httpserver.HttpExchange, requestJson: String): Unit = {

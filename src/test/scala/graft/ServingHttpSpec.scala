@@ -196,4 +196,60 @@ class ServingHttpSpec extends SparkSpec {
       }
     }
   }
+
+  test("overload sheds immediately with 503 + Retry-After; admitted requests still succeed (r20)") {
+    // the SRS availability face: past the admission ceiling a node must
+    // fail FAST (503 the balancer can route around), never stretch the
+    // queue — the r19 C=128 burst measured 28 s pure-queueing tails
+    val srv = ServingHttp.start(spark, d, 0, maxConcurrent = 1)
+    try {
+      val port = srv.getAddress.getPort
+      val n = 12
+      case class R(status: Int, retryAfter: Option[String], sec: Double, body: String)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val futures = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[R] {
+          def call(): R = {
+            gate.await()
+            val t0 = System.nanoTime()
+            val c = new URI(s"http://127.0.0.1:$port/api/search").toURL
+              .openConnection().asInstanceOf[HttpURLConnection]
+            c.setRequestMethod("POST"); c.setDoOutput(true)
+            val os = c.getOutputStream
+            try os.write(s"""{"mode":"whole","top_k":3,"query_image_id":$i}"""
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally os.close()
+            val status = c.getResponseCode
+            val ra = Option(c.getHeaderField("Retry-After"))
+            val in = if (status >= 400) c.getErrorStream else c.getInputStream
+            val body = new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            in.close()
+            R(status, ra, (System.nanoTime() - t0) / 1e9, body)
+          }
+        })
+      }
+      gate.countDown()
+      val rs = futures.map(_.get())
+      pool.shutdown()
+      val (ok, shed) = rs.partition(_.status == 200)
+      assert(shed.nonEmpty, "12 concurrent requests at capacity 1 must shed load")
+      assert(ok.nonEmpty, "admitted requests must still succeed under shedding")
+      shed.foreach { r =>
+        assert(r.status === 503, s"shed status must be 503, got ${r.status}")
+        assert(r.retryAfter.contains("1"), "503 must carry Retry-After: 1")
+        assert(r.body.contains("overloaded"))
+      }
+      // the fail-fast contract: no success waited behind an unbounded queue
+      ok.foreach(r => assert(r.sec < 5.0,
+        f"a success took ${r.sec}%.1f s — shedding must prevent queue tails"))
+      // a VALIDATION failure is a 400 even when the node is at capacity —
+      // and /health (exempt by construction) keeps answering
+      val (bs, _) = post(port, "/api/search", """{"mode":"nonsense"}""")
+      assert(bs === 400)
+      val (hs, _) = req(port, "GET", "/health")
+      assert(hs === 200)
+    } finally srv.stop(0)
+  }
 }
