@@ -574,6 +574,25 @@ class LexicalSpec extends SparkSpec {
       "takedown removes the doc, everything else bit-identical")
   }
 
+  test("fuzzyFromIndex(auto) ≡ bm25AutoFuzzyScores row-for-row on a fresh index (ADVICE r19)") {
+    // the ED1 served family shares search_fuzzy's oracle; the AUTO arm
+    // deserved the same pin — its served path expands over the index's
+    // own terms table, the in-plan path over the corpus vocabulary, and
+    // both must select identical expansions and scores
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lex_fuzzy_auto_idx").toString
+    Lexical.writeInvertedIndex(graft.Tables.documents(spark, sf),
+      col("doc_id"), col("text"), dir)
+    val scan = Lexical.bm25AutoFuzzyScores(spark, sf, Lexical.AutoFuzzyTerms)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(scan.nonEmpty)
+    val served = Lexical.fuzzyFromIndex(spark, dir, Lexical.AutoFuzzyTerms,
+        auto = true)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(served === scan,
+      "index-served AUTO fuzzy must be bit-identical to the in-plan spelling")
+  }
+
   test("searchHighlight: snippet window clamps at doc start, counts every occurrence; searchFacets covers the page") {
     import spark.implicits._
     val docs = Seq(
