@@ -408,10 +408,18 @@ object Bench {
     // the pointer to the full file. The full line still prints first for
     // complete logs.
     // SUBSET runs (SPARK_GRAFT_BENCH_ONLY dev loops) must not clobber
-    // the committed full artifact the stdout pointer advertises
+    // the committed full artifact the stdout pointer advertises.
+    // SPARK_GRAFT_BENCH_OUT redirects a full run's artifact (r20,
+    // VERDICT r19 #5): the driver's per-round run owns BENCH_FULL.json;
+    // the committed 3-run-median freeze lives at BENCH_FREEZE.json — a
+    // path the driver never writes — so the trend table's series can't
+    // be clobbered by the next driver run. Freeze runs pass
+    // SPARK_GRAFT_BENCH_OUT=/tmp/... and the medians are folded into
+    // BENCH_FREEZE.json by the freeze script.
     if (only.isEmpty) {
       try {
-        val w = new java.io.PrintWriter("BENCH_FULL.json")
+        val w = new java.io.PrintWriter(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
         try w.println(fullJson) finally w.close()
       } catch { case _: Throwable => () } // bench must report even if cwd is read-only
     }

@@ -266,12 +266,20 @@ object ScaleBench {
       .select(col("__vid").as("src"), col("nbr_id").as("dst")))
   }
 
+  /** Scratch root for every on-disk ScaleBench artifact — derived from
+    * the working dir (r20, ADVICE r19: the absolute /root/repo literal
+    * broke any checkout elsewhere), env-overridable for shared-scratch
+    * deployments. */
+  private def scaleRootBase: String =
+    sys.env.getOrElse("SPARK_GRAFT_SCALE_ROOT",
+      s"${sys.props("user.dir")}/.scalebench")
+
   /** Deterministic per-dir store root for the graph-stats arms — ON
     * DISK (not a temp dir) so the isolated one-query-per-JVM freeze
     * loop's read row finds the store the build row's JVM wrote. Under
-    * .scalebench, which the repo already treats as scratch. */
+    * [[scaleRootBase]], which the repo already treats as scratch. */
   private def statsScaleRoot(d: String): String =
-    s"/root/repo/.scalebench/graph_stats_${Integer.toHexString(d.hashCode)}"
+    s"$scaleRootBase/graph_stats_${Integer.toHexString(d.hashCode)}"
 
   /** Write the k ∝ N edge layout + run the production stats refresh
     * ([[graft.operators.Retrieval.buildGraphStats]]) into the
@@ -515,10 +523,158 @@ object ScaleBench {
   private val Reps = 10
   private val IdStride = 10000000L
 
+  /** Artifact rows NOT in [[Queries]] — the r20 100× probe arms. Known
+    * here so a full 10× re-freeze carries them instead of dropping them. */
+  private val ExtraArtifactRows: Set[String] =
+    Set("knn_ivf_probe_100x", "search_bm25_probe_100x")
+
+  /** Parse the artifact's per-line rows (our own writer emits one row
+    * per line, so a line regex is a full parser for it). */
+  private def existingRows(out: String): Map[String, String] = {
+    val rowRe = """^\s*"([A-Za-z0-9_]+)": (\{.*\}),?$""".r
+    val f = new java.io.File(out)
+    if (!f.exists()) Map.empty
+    else {
+      // explicit charset: the plain-java launcher's default may not be
+      // UTF-8, and the note contains multi-byte punctuation
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().collect { case rowRe(n, body) => n -> body }.toMap
+      finally src.close()
+    }
+  }
+
+  private def renderArtifact(base: String, note: String,
+      rows: Map[String, String]): String = {
+    val ordered = Queries.filter(rows.contains) ++
+      rows.keys.toSeq.filterNot(Queries.contains).sorted
+    val qJson = ordered.map(n => s"""    "$n": ${rows(n)}""").mkString(",\n")
+    s"""{
+       |  "rows_factor": $Reps,
+       |  "base": "$base",
+       |  "note": "$note",
+       |  "queries": {
+       |$qJson
+       |  }
+       |}""".stripMargin
+  }
+
+  /** r20, VERDICT r19 #7: ONE real datapoint past the 10× suite for the
+    * two serving-critical probe paths — IVF cluster probe and BM25
+    * term-bucket probe — at 100× replication, builds UNTIMED (the build
+    * is the scheduled refresh; the probe is what production repeats per
+    * request). Partition pruning is already plan-asserted
+    * (`IvfLayoutSpec` / `LexicalSpec`); this MEASURES it: probe time
+    * must grow ≪ the 100× corpus.
+    *
+    * The IVF codebook follows the k ∝ N rule of every scaled arm
+    * (per-cluster size ~constant — the regime a 100 TB store trains
+    * for), so the probe's pruned read is ~nprobe·clusterSize rows at
+    * BOTH scales. The BM25 probe reads the two query terms' bucket
+    * dirs — postings of the probed terms grow with df, far below the
+    * corpus. Probe timing = median of 3 after one untimed warm run. */
+  private def probe100(s: SparkSession, base: String, out: String): Unit = {
+    import graft.operators.{Lexical, Search}
+    val scratch = s"$scaleRootBase/sf100"
+    replicate(s, base, scratch, 100)
+    def timeNoop(df: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median3(df: => org.apache.spark.sql.DataFrame): Double = {
+      timeNoop(df) // warm: file listing, plan, JIT
+      (1 to 3).map(_ => timeNoop(df)).sorted.apply(1)
+    }
+    def ivfProbeSec(d: String): Double = {
+      val e = Tables.embeddings(s, d).localCheckpoint()
+      val n = e.count()
+      val k = math.max(8, (n / 100L).toInt) // k ∝ N: per-cluster ~100 rows
+      val cents = Search.kmeansTrain(e, col("vec_id"), col("embedding"), k,
+        iters = 3).localCheckpoint()
+      val idx = s"$scratch/__ivf_${Integer.toHexString(d.hashCode)}/idx"
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(idx)) // always fresh — never a stale-code layout
+      Search.writeIvfIndex(e, col("embedding"), cents, idx) // build UNTIMED
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv")).localCheckpoint()
+      median3(Search.knnIvfIndexed(s, idx, col("embedding"), cents, q0,
+        nprobe = 3, k = 10, tie = col("vec_id")))
+    }
+    def bm25ProbeSec(d: String): Double = {
+      val idx = s"$scratch/__bm25_${Integer.toHexString(d.hashCode)}/idx"
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(idx))
+      Lexical.writeInvertedIndex(Tables.documents(s, d), // build UNTIMED
+        col("doc_id"), col("text"), idx)
+      median3(Lexical.bm25FromIndex(s, idx)
+        .orderBy(desc("score"), asc("doc_id")).limit(10))
+    }
+    def row(p1: Double, p100: Double): String =
+      f"""{"probe_sec_1x": $p1%.3f, "probe_sec_100x": $p100%.3f, "probe_ratio": ${p100 / p1}%.2f, "rows_factor": 100, "build_untimed": true}"""
+    val ivf1 = ivfProbeSec(base)
+    val ivf100 = ivfProbeSec(scratch)
+    val bm1 = bm25ProbeSec(base)
+    val bm100 = bm25ProbeSec(scratch)
+    val fresh = Map(
+      "knn_ivf_probe_100x" -> row(ivf1, ivf100),
+      "search_bm25_probe_100x" -> row(bm1, bm100))
+    val merged = existingRows(out) ++ fresh
+    // note: re-render with the committed note line preserved via the
+    // existing artifact's own text — renderArtifact re-emits it
+    val noteRe = """^\s*"note": "(.*)",\s*$""".r
+    val note = {
+      val f = new java.io.File(out)
+      if (!f.exists()) "" else {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().collectFirst { case noteRe(n) => n }.getOrElse("")
+        finally src.close()
+      }
+    }
+    val json = renderArtifact(base, note, merged)
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+  }
+
+  /** Replicate `documents`/`embeddings` `reps`× into `scratch` (skipped
+    * when already present) — the dup-heavy recipe documented on the
+    * class, shared by the 10× suite and the r20 100× probe arms. */
+  private def replicate(spark: SparkSession, base: String, scratch: String,
+      reps: Int): Unit = {
+    if (new java.io.File(s"$scratch/embeddings.parquet").exists()) return
+    val docs = Tables.documents(spark, base)
+    (0 until reps).map { i =>
+      val toks = split(col("text"), " ")
+      val rotated =
+        if (i == 0) col("text")
+        else array_join(concat(
+          slice(toks, i + 1, 1 << 20), slice(toks, 1, i)), " ")
+      val text =
+        if (i >= 5) concat(rotated, lit(s" sbr$i")) // unique token → near-dup, not dup
+        else rotated
+      docs.select(
+        (col("doc_id") + i * IdStride).as("doc_id"),
+        text.as("text"), col("lang"), col("source"))
+    }.reduce(_ unionByName _)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$scratch/documents.parquet")
+    val emb = Tables.embeddings(spark, base)
+    (0 until reps).map { i =>
+      emb.select((col("vec_id") + i * IdStride).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$scratch/embeddings.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val scratch = if (args.length > 1) args(1) else "/root/repo/.scalebench/sf1"
-    val out = if (args.length > 2) args(2) else "/root/repo/BENCH_scale.json"
+    val scratch = if (args.length > 1) args(1) else s"$scaleRootBase/sf1"
+    val out = if (args.length > 2) args(2)
+      else s"${sys.props("user.dir")}/BENCH_scale.json"
     val cpus = Runtime.getRuntime.availableProcessors()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -527,30 +683,15 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$scratch/embeddings.parquet").exists()) {
-      val docs = Tables.documents(spark, base)
-      (0 until Reps).map { i =>
-        val toks = split(col("text"), " ")
-        val rotated =
-          if (i == 0) col("text")
-          else array_join(concat(
-            slice(toks, i + 1, 1 << 20), slice(toks, 1, i)), " ")
-        val text =
-          if (i >= 5) concat(rotated, lit(s" sbr$i")) // unique token → near-dup, not dup
-          else rotated
-        docs.select(
-          (col("doc_id") + i * IdStride).as("doc_id"),
-          text.as("text"), col("lang"), col("source"))
-      }.reduce(_ unionByName _)
-        .withColumn("n_chars", length(col("text")).cast("long"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$scratch/documents.parquet")
-      val emb = Tables.embeddings(spark, base)
-      (0 until Reps).map { i =>
-        emb.select((col("vec_id") + i * IdStride).as("vec_id"),
-          col("embedding"), col("label"))
-      }.reduce(_ unionByName _)
-        .write.mode(SaveMode.Overwrite).parquet(s"$scratch/embeddings.parquet")
+    // r20: the 100×-replication PROBE arms (serving-critical paths only)
+    // run as their own mode and merge their rows into the artifact
+    if (sys.env.get("SPARK_GRAFT_SCALE_100").contains("1")) {
+      probe100(spark, base, out)
+      spark.stop()
+      return
     }
+
+    replicate(spark, base, scratch, Reps)
 
     def run(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
@@ -672,38 +813,15 @@ object ScaleBench {
       "inherits another query's JIT/GC/block-manager state — the late-suite " +
       "drift that needed per-round attribution through r12 is gone by " +
       "construction."
-    def render(rows: Map[String, String]): String = {
-      val qJson = Queries.filter(rows.contains)
-        .map(n => s"""    "$n": ${rows(n)}""").mkString(",\n")
-      s"""{
-         |  "rows_factor": $Reps,
-         |  "base": "$base",
-         |  "note": "$note",
-         |  "queries": {
-         |$qJson
-         |  }
-         |}""".stripMargin
-    }
+    def render(rows: Map[String, String]): String =
+      renderArtifact(base, note, rows)
     val fresh = selected.map(n => n -> rowBody(n)).toMap
     val merge = sys.env.get("SPARK_GRAFT_SCALE_MERGE").contains("1")
     val json =
-      if (only.isEmpty) render(fresh)
-      else if (merge) {
-        // isolated per-query freeze: fold this JVM's rows into the
-        // artifact (our own writer emits one row per line, so a line
-        // regex is a full parser for it)
-        val rowRe = """^\s*"([A-Za-z0-9_]+)": (\{.*\}),?$""".r
-        val f = new java.io.File(out)
-        val existing: Map[String, String] =
-          if (f.exists()) {
-            // explicit charset: the plain-java launcher's default may not
-            // be UTF-8, and the note contains multi-byte punctuation
-            val src = scala.io.Source.fromFile(f, "UTF-8")
-            try src.getLines().collect { case rowRe(n, body) => n -> body }.toMap
-            finally src.close()
-          } else Map.empty
-        render(existing ++ fresh)
-      } else render(fresh)
+      if (only.isEmpty) render(existingRows(out).view
+        .filterKeys(ExtraArtifactRows).toMap ++ fresh)
+      else if (merge) render(existingRows(out) ++ fresh)
+      else render(fresh)
     // subset (attribution) runs without SPARK_GRAFT_SCALE_MERGE must not
     // clobber the committed artifact — same rule as SPARK_GRAFT_BENCH_ONLY
     if (only.isEmpty || merge)

@@ -22,12 +22,18 @@ import org.apache.spark.sql.SparkSession
   * request write to last response byte, queueing included — what a user
   * experiences, not what the engine bills.
   *
-  * The 1,000-user face: one extra burst arm fires 1,000 requests at 128
-  * concurrent connections on the cheapest mode and reports throughput —
-  * the SRS target is a FLEET property (its deployment is cloud-native
-  * behind a load balancer; one Flask+ES node never served 1,000×2s
-  * either), so the honest single-node statement is per-mode p95 plus
-  * measured node throughput, from which replicas-for-1,000 follows.
+  * The 1,000-user face: the SRS target is a FLEET property (its
+  * deployment is cloud-native behind a load balancer; one Flask+ES node
+  * never served 1,000×2s either), so the honest single-node statement
+  * is (a) per-mode p95 at the contract point, (b) the measured
+  * MAX-SUSTAINED throughput per cheap mode — a concurrency sweep
+  * reporting the best rps and the concurrency that achieved it (the
+  * knee, not past it — r20, VERDICT r19 #2: the replica arithmetic must
+  * derive from a number that is IN the artifact), and (c) one
+  * overloaded burst (1,000 requests at 128 connections, past the
+  * admission ceiling) demonstrating the r20 shedding contract: 503s
+  * counted, surviving successes still fast — not the 28 s queueing
+  * tails the unbounded r19 server measured.
   * Output: one JSON line + BENCH_SERVING.json (the frozen artifact).
   */
 object ServingBench {
@@ -102,26 +108,41 @@ object ServingBench {
     // smaller than the wide burst's C would silently run it at pool
     // size while the artifact reports the requested number
     val pool = Executors.newFixedThreadPool(math.max(math.max(conc, wideC), 8))
-    def burst(mode: String, n: Int, c: Int): Seq[Double] = {
+    /** (sorted success latencies, shed count, wall seconds). 503 = the
+      * admission gate shedding (r20) — counted, never an error; any
+      * OTHER non-200 still fails the bench. */
+    def burstFull(mode: String, n: Int, c: Int): (Seq[Double], Int, Double) = {
       val sem = new java.util.concurrent.Semaphore(c)
       val done = new java.util.concurrent.CountDownLatch(n)
       val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      val shed = new java.util.concurrent.atomic.AtomicInteger(0)
       val failed = new java.util.concurrent.atomic.AtomicInteger(0)
+      val t0 = System.nanoTime()
       (0 until n).foreach { i =>
         sem.acquire()
         pool.execute(() => {
           try {
             val (status, nanos) = post(port, "/api/search", requestFor(mode, i))
-            if (status == 200) lat.add(nanos / 1e9) else failed.incrementAndGet()
+            if (status == 200) lat.add(nanos / 1e9)
+            else if (status == 503) shed.incrementAndGet()
+            else failed.incrementAndGet()
           } catch { case _: Throwable => failed.incrementAndGet() }
           finally { sem.release(); done.countDown() }
         })
       }
       done.await()
+      val wall = (System.nanoTime() - t0) / 1e9
       require(failed.get() == 0,
-        s"serving bench: $mode had ${failed.get()} non-200/errored requests")
+        s"serving bench: $mode had ${failed.get()} non-200/non-503 requests")
       import scala.jdk.CollectionConverters._
-      lat.asScala.map(_.doubleValue).toSeq.sorted
+      (lat.asScala.map(_.doubleValue).toSeq.sorted, shed.get(), wall)
+    }
+    def burst(mode: String, n: Int, c: Int): Seq[Double] = {
+      val (lat, shed, _) = burstFull(mode, n, c)
+      // the measurement arms run BELOW the admission ceiling — a shed
+      // here means the ceiling moved under the bench, not overload
+      require(shed == 0, s"serving bench: $mode shed $shed below the ceiling")
+      lat
     }
     // warm: one request per mode, untimed (index builds, JIT, plan reuse)
     modes.foreach { m =>
@@ -142,20 +163,38 @@ object ServingBench {
       m -> (pct(solo, 0.50), pct(c8, 0.50), pct(c8, 0.95),
         pct(lat, 0.50), pct(lat, 0.95), lat.size)
     }
-    // the 1,000-user face: one wide burst on the cheapest serving mode —
-    // node throughput, from which the fleet size for the SRS target follows
-    val tw0 = System.nanoTime()
-    val wide = burst("whole", wideN, wideC)
-    val wideWall = (System.nanoTime() - tw0) / 1e9
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    def r1(v: Double): Double = math.round(v * 10) / 10.0
+    // max-sustained throughput per cheap mode (r20): sweep concurrency
+    // UP TO the admission ceiling and report the best measured rps with
+    // the concurrency that achieved it — the knee. This is the number
+    // replicas-for-1,000-users arithmetic derives from (BASELINE.md),
+    // so it must be measured, in the artifact, and below saturation.
+    val sweepCs = Seq(4, 8, 16, 24, 32)
+    val kneeModes = Seq("whole", "tags", "graph", "centrality")
+    val knees = kneeModes.map { m =>
+      val arms = sweepCs.map { c =>
+        val (lat, _, wall) = burstFull(m, math.max(64, 4 * c), c)
+        (c, lat.size / wall, pct(lat, 0.95))
+      }
+      val best = arms.maxBy(_._2)
+      m -> (best._1, best._2, best._3)
+    }
+    // the 1,000-user face, overloaded on purpose: 128 connections vs the
+    // admission ceiling — the r20 contract is fast 503s for the excess
+    // and still-fast successes, not queueing tails
+    val (wide, wideShed, wideWall) = burstFull("whole", wideN, wideC)
     val modesJson = perMode.map {
       case (m, (solo, p50c8, p95c8, p50, p95, n)) =>
         s""""$m":{"p50_solo":${r3(solo)},"p50_c8":${r3(p50c8)},"p95_c8":${r3(p95c8)},"p50_c$conc":${r3(p50)},"p95_c$conc":${r3(p95)},"n":$n}"""
     }.mkString("{", ",", "}")
+    val kneesJson = knees.map { case (m, (c, rps, p95)) =>
+      s""""$m":{"best_rps":${r1(rps)},"at_concurrency":$c,"p95_at_knee":${r3(p95)}}"""
+    }.mkString("{", ",", "}")
     // the headline is the contract point: worst p95 across modes at C=8
     val p95Max = perMode.map(_._2._3).max
     val json =
-      s"""{"metric":"serving_p95_max_c8","value":${r3(p95Max)},"unit":"sec","modes":$modesJson,"stress_concurrency":$conc,"wide_burst":{"mode":"whole","n":$wideN,"concurrency":$wideC,"p50":${r3(pct(wide, 0.50))},"p95":${r3(pct(wide, 0.95))},"throughput_rps":${math.round(wideN / wideWall * 10) / 10.0}},"sf":"$sfDir"}"""
+      s"""{"metric":"serving_p95_max_c8","value":${r3(p95Max)},"unit":"sec","modes":$modesJson,"stress_concurrency":$conc,"max_sustained":$kneesJson,"admission_ceiling":${ServingHttp.defaultMaxConcurrent},"wide_burst":{"mode":"whole","n":$wideN,"concurrency":$wideC,"completed":${wide.size},"shed_503":$wideShed,"p50":${r3(pct(wide, 0.50))},"p95":${r3(pct(wide, 0.95))},"completed_rps":${r1(wide.size / wideWall)}},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_SERVING.json")
       try w.println(json) finally w.close()

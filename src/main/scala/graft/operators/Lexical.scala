@@ -573,24 +573,34 @@ object Lexical {
     val terms = analyze(rawTerms)
     require(terms.nonEmpty, "fuzzy search needs at least one term")
     healIndex(s, dir)
-    val vocab = s.read.parquet(s"$dir/terms").select("term", "df")
     // the expansion table is bounded (≤ |Q|·cap rows) and consumed twice;
     // it used to be cut with a localCheckpoint, but that is an EAGER job
     // plus a persisted block PER REQUEST — under a 32-way serving burst
     // the accumulating blocks were the fuzzy tail (p95 26s). One collect
     // and a LocalTableScan re-creation costs one job and zero block-
-    // manager state; values unchanged.
+    // manager state; values unchanged. r20 goes the rest of the way:
+    // the table is DETERMINISTIC per (index, query, cap, budget) — the
+    // delete-neighborhood SymSpell literally precomputes — so it is
+    // cached like the other serving pools and a repeated fuzzy request
+    // pays only the pruned-bucket scoring leg (fuzzy's C=32 p95 was
+    // still ~3× lexical's from the per-request vocabulary jobs).
     import s.implicits._
-    val expRows = (if (auto) autoFuzzyExpansions(vocab, terms, maxExpansions)
-                   else fuzzyExpansions(vocab, terms, maxExpansions))
-      .select("q_term", "term").collect()
-    val expTerms = expRows.map(_.getString(1)).distinct.toSeq
+    sweepIfLarge(fuzzyExpCache)
+    val expRows = fuzzyExpCache.computeIfAbsent(
+      (s, dir, terms.toList, maxExpansions, auto), _ => {
+        graft.SessionSweep.watch(s)
+        val vocab = s.read.parquet(s"$dir/terms").select("term", "df")
+        (if (auto) autoFuzzyExpansions(vocab, terms, maxExpansions)
+         else fuzzyExpansions(vocab, terms, maxExpansions))
+          .select("q_term", "term").collect()
+          .map(r => (r.getString(0), r.getString(1)))
+      })
+    val expTerms = expRows.map(_._2).distinct.toSeq
     if (expTerms.isEmpty) {
       return s.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
     }
-    val exp = expRows.map(r => (r.getString(0), r.getString(1))).toSeq
-      .toDF("q_term", "term")
+    val exp = expRows.toSeq.toDF("q_term", "term")
     val posts = prunedRead(s, dir, "postings", expTerms, buckets)
       .select("doc_id", "dl", "term", "tf")
     val dfreq = prunedRead(s, dir, "terms", expTerms, buckets)
@@ -809,6 +819,7 @@ object Lexical {
     // crash between a swap's renames would otherwise wedge every retry
     // on PATH_NOT_FOUND without ever reaching the swap's own self-heal
     healIndex(s, dir)
+    invalidateFuzzyExpansions(dir) // vocabulary/df change below
     val toks = docs.select(id.as("doc_id"), tokens(text).as("toks"))
     val posts = postings(toks, buckets)
       .localCheckpoint() // one computation feeds both the append and the df merge
@@ -931,6 +942,7 @@ object Lexical {
   def mergeIndex(s: SparkSession, dir: String,
       onStep: String => Unit = _ => ()): Unit = {
     healIndex(s, dir)
+    invalidateFuzzyExpansions(dir) // df recombines below
     graft.sources.Tombstones.healPartitions(s, s"$dir/postings")
     graft.sources.Tombstones.ids(s, dir).foreach { tomb =>
       val posts = s.read.parquet(s"$dir/postings")
@@ -1107,15 +1119,28 @@ object Lexical {
     (SparkSession, String, Long), Seq[(Long, Double)]]()
   private val mltTermsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Long, Int), Seq[String]]()
+  private val fuzzyExpCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, List[String], Int, Boolean), Array[(String, String)]]()
   locally {
     graft.SessionSweep.onContextStop(sc => {
       lexPoolCache.keySet.removeIf(k => graft.SessionSweep.ownedBy(k._1, sc))
       vecPoolCache.keySet.removeIf(k => graft.SessionSweep.ownedBy(k._1, sc))
       mltTermsCache.keySet.removeIf(k => graft.SessionSweep.ownedBy(k._1, sc))
+      fuzzyExpCache.keySet.removeIf(k => graft.SessionSweep.ownedBy(k._1, sc))
     })
   }
   private def sweepIfLarge(m: java.util.concurrent.ConcurrentHashMap[_, _]): Unit =
     if (m.size() > 1024) m.clear() // rebuilding a pool is one bounded query
+
+  /** Drop cached fuzzy expansions for `dir` — called by the index
+    * mutations that can change the terms table ([[appendToIndex]],
+    * [[mergeIndex]]): the expansion CAP selects by df, so stale df could
+    * pick different expansions after a merge. Takedowns
+    * ([[deleteFromIndex]]) deliberately do NOT invalidate — the terms
+    * table is untouched until the merge (the documented pre-merge
+    * staleness contract), so the cached expansions remain exact. */
+  private def invalidateFuzzyExpansions(dir: String): Unit =
+    fuzzyExpCache.keySet.removeIf(_._2 == dir)
 
   /** Top-`PoolN` BM25 pool for `terms`, served from the at-rest index
     * and cached as driver rows — the lex leg of [[rrfHybridK]] and
