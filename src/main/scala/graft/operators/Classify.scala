@@ -243,6 +243,9 @@ object Classify {
       .groupBy("__s")
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("__n"))
+      // rangePrefixSum reads its input three times — cut here so the NB
+      // score pipeline feeding this runs once per action (r20)
+      .localCheckpoint(eager = false)
     Etl.rangePrefixSum(g, "__s", "__n", "__nb", b1 = buckets, b2 = buckets)
       .agg(sum("__p").as("n_pos"), sum("__n").as("n_neg"),
         sum(col("__p").cast("decimal(38,0)")
@@ -272,6 +275,8 @@ object Classify {
       .groupBy("grp", "__s")
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("__n"))
+      .localCheckpoint(eager = false) // the aucExact cut, per group
+
     Etl.rangePrefixSum(g, "__s", "__n", "__nb", grp = Seq("grp"),
         b1 = buckets, b2 = buckets)
       .groupBy("grp")
@@ -579,8 +584,14 @@ object Classify {
   def topFractionByScore(scored: DataFrame, id: Column, score: Column,
       frac: Double, buckets: Int = 64): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"frac in (0,1], got $frac")
+    // read twice (the tie-group reduce and the admit join) — without a
+    // cut the caller's scoring pipeline (for the named query: NB
+    // tokenize + score over the corpus) executes twice per action.
+    // Lazy cut, values unchanged (r20).
     val rows = scored.select(id.as("doc_id"), score.as("__s"))
+      .localCheckpoint(eager = false)
     val t = rows.groupBy("__s").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false) // rangePrefixSum reads it 3× (r20)
     val n = broadcast(t.agg(sum("__c").as("__N")))
     val admitted =
       Etl.rangePrefixSum(t, "__s", "__c", "__below",

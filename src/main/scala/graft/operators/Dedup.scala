@@ -313,6 +313,10 @@ object Dedup {
       rows: Int = 4, shingleN: Int = 0, buckets: Int = SigBuckets): Unit = {
     val s = docs.sparkSession
     bandedSigs(docs, id, text, block, k, bands, rows, shingleN, buckets)
+      // cluster rows before the partitioned write — without it every
+      // task opens a file in every bucket dir it has rows for (the
+      // guide-§6 small-files bug, paid again by every probe; r20)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands")
     import s.implicits._
     Seq((k, bands, rows, shingleN, buckets))
@@ -675,6 +679,7 @@ object Dedup {
       buckets: Int = HplBuckets): Unit = {
     val s = df.sparkSession
     bandedHpl(df, id, vec, nbits, bands, buckets)
+      .repartition(col("bucket")) // one file per bucket dir (guide §6, r20)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands")
     import s.implicits._
     Seq((nbits, bands, buckets)).toDF("nbits", "bands", "buckets")

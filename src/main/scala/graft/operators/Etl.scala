@@ -214,6 +214,11 @@ object Etl {
       valCol: String, out: String, grp: Seq[String] = Nil,
       b1: Int = 64, b2: Int = 64): DataFrame = {
     require(b1 >= 1 && b2 >= 1, s"rangePrefixSum: b1,b2 >= 1, got $b1,$b2")
+    // NOTE: t0 is read three times (span extremes, the cell fold, and
+    // the final per-row prefix join) — a caller whose t0 derivation is
+    // expensive (the AUC/top-fraction NB pipelines) must cut it first;
+    // cutting HERE taxed the cheap callers (etl_row_range) more than
+    // the recompute costs (r20 A/B).
     val t = t0.filter(col(sCol).isNotNull)
     val gCols = grp.map(col)
     val span =
@@ -236,6 +241,7 @@ object Etl {
     // (≤ b2 rows per window partition)
     val cellTot = cells.groupBy((keyB1 :+ "__cell").map(col): _*)
       .agg(sum(valCol).as("__cn"))
+      .localCheckpoint(eager = false) // feeds both offset levels; ≤ b1·b2 rows per group
     val wCell = Window.partitionBy(keyB1.map(col): _*).orderBy("__cell")
       .rowsBetween(Window.unboundedPreceding, -1)
     val cellOff = cellTot

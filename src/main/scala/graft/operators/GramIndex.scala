@@ -157,6 +157,7 @@ object GramIndex {
     require(n >= 1 && buckets >= 1)
     val s = docs.sparkSession
     gramRows(docs, id, text, n, buckets)
+      .repartition(col("bucket")) // one file per bucket dir (guide §6, r20)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/grams")
     docIdRows(docs, id).write.mode("overwrite").parquet(s"$dir/docids")
     // stats LAST: presence = completed build; n_docs counted from the

@@ -404,34 +404,27 @@ object Lexical {
       synonymExpansions(vocab, terms, synonyms, maxExpansions))
   }
 
-  /** The corpus tokenization + vocabulary df pair every expanded query
-    * starts from. */
-  /** Tokenized corpus + vocabulary, MEMOIZED per (session, sfDir)
-    * behind lazy localCheckpoints (the sessionFrameCache discipline from
-    * GraphAnalytics, r19): every expansion-family query (fuzzy, prefix,
-    * more-like-this, synonyms) re-derived the corpus tokenization AND
-    * the vocabulary df table per request — under a 32-way serving burst
-    * that made fuzzy/mlt the two worst tails (p50 17.5s / 15.1s at
-    * sf0.1). The pair is query-independent, so one derivation serves
-    * every request; values are unchanged (same deterministic rows).
-    * Entries die with their SparkContext ([[graft.SessionSweep]]). */
-  private val dvCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      (DataFrame, DataFrame)]()
-  graft.SessionSweep.onContextStop(sc =>
-    dvCache.keySet.removeIf(k => graft.SessionSweep.ownedBy(k._1, sc)))
-  private def docsAndVocab(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    dvCache.computeIfAbsent((s, d), _ => {
-      graft.SessionSweep.watch(s)
-      val docs = Tables.documents(s, d)
+  /** Tokenized corpus + vocabulary — the df pair every expanded query
+    * (fuzzy, prefix, more-like-this, synonyms) starts from — built ONCE
+    * per (JVM, sfDir) into scratch parquet ([[graft.plans.Scratch]] —
+    * r20; r19's session-keyed lazy checkpoints died under the bench's
+    * per-rep unpersist, see the Scratch doc): every expansion-family
+    * request re-derived the corpus tokenization AND the vocabulary df
+    * table — under a 32-way serving burst that made fuzzy/mlt the two
+    * worst tails (p50 17.5s / 15.1s at sf0.1). The pair is
+    * query-independent, so one derivation serves every request; values
+    * are unchanged (same deterministic rows). */
+  private def docsAndVocab(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = graft.plans.Scratch.frame(s, s"lexdocs|$d") {
+      Tables.documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .localCheckpoint(eager = false)
-      val vocab = docs
-        .select(explode(array_distinct(col("toks"))).as("term"))
+    }
+    val vocab = graft.plans.Scratch.frame(s, s"lexvocab|$d") {
+      docs.select(explode(array_distinct(col("toks"))).as("term"))
         .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-        .localCheckpoint(eager = false)
-      (docs, vocab)
-    })
+    }
+    (docs, vocab)
+  }
 
   /** Shared scorer for EXPANDED queries ([[bm25FuzzyScores]],
     * [[bm25PrefixScores]]): postings restricted to the union of
@@ -733,9 +726,14 @@ object Lexical {
       dir: String, buckets: Int = IndexBuckets): Unit = {
     val toks = docs.select(id.as("doc_id"), tokens(text).as("toks"))
     val posts = postings(toks, buckets)
-    posts.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    // cluster rows before the partitioned writes — without it every task
+    // opens a file in every bucket dir it has rows for (the guide-§6
+    // small-files bug, paid again by every probe's scan; r20)
+    posts.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
     posts.groupBy("bucket", "term")
       .agg(count(lit(1)).cast("double").as("df"))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
     // sum_dl rides along so incremental appends can recombine the average
     // EXACTLY (token counts are integers, so double sums are exact and
@@ -848,7 +846,8 @@ object Lexical {
       .select("bucket", "term", "df").unionByName(newDf)
       .groupBy("bucket", "term").agg(sum("df").as("df"))
     swapWrite(s, s"$dir/terms") { tmp =>
-      mergedTerms.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      mergedTerms.repartition(col("bucket")) // one file per bucket (§6, r20)
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     }
     val newStats = toks.agg(
       count(lit(1)).cast("double").as("n_docs"),
@@ -950,7 +949,8 @@ object Lexical {
       val newTerms = live.groupBy(col("bucket"), col("term"))
         .agg(count(lit(1)).cast("double").as("df"))
       swapWrite(s, s"$dir/terms") { tmp =>
-        newTerms.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        newTerms.repartition(col("bucket")) // one file per bucket (§6, r20)
+          .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
       }
       onStep("terms")
       val newStats = live.select(col("doc_id"), col("dl")).distinct()

@@ -162,6 +162,12 @@ object Search {
     corpus
       .withColumn("cluster", graft.functions.VectorExpressions.nearestCentroid(
         s, vec, book.map(_._1).toSeq, book.map(_._2.toSeq).toSeq))
+      // cluster rows before the partitioned write: without it every
+      // upstream task opens a file in every cluster dir it has rows for
+      // (tasks × clusters tiny files — the guide-§6 small-files bug,
+      // paid again by every probe's scan); clustered, each cluster dir
+      // holds one file per owning task (r20)
+      .repartition(col("cluster"))
       .write.mode(mode).partitionBy("cluster").parquet(path)
   }
 
@@ -622,6 +628,7 @@ object Search {
         s, vec, cb.map(_._1).toSeq, cb.map(_._2.toSeq).toSeq))
       .withColumn("codes",
         graft.functions.PqExpressions.pqEncode(s, vec, book, ks))
+      .repartition(col("cluster")) // one file per cluster, see writeIvf
       .write.partitionBy("cluster").parquet(path)
   }
 
@@ -1050,6 +1057,7 @@ object Search {
     writeBucketsMeta(corpus.sparkSession, path, buckets)
     corpus.select(id.cast("long").as("id"), vec.as("vec"))
       .withColumn("bkt", pmod(col("id"), lit(buckets.toLong)).cast("int"))
+      .repartition(col("bkt")) // one file per bucket dir, see writeIvf
       .write.partitionBy("bkt").parquet(s"$path/nodes")
     // a `cos` column rides along when the caller has it (the NN-Descent
     // edge weight) — weighted centrality refreshes then read ids +
@@ -1061,6 +1069,7 @@ object Search {
         Seq(col("cos").cast("double").as("cos")) else Nil)
     edges.select(ecols: _*)
       .withColumn("bkt", pmod(col("__vid"), lit(buckets.toLong)).cast("int"))
+      .repartition(col("bkt")) // one file per bucket dir, see writeIvf
       .write.partitionBy("bkt").parquet(s"$path/edges")
     corpus.select(id.cast("long").as("id"))
       .withColumn("__h", md5(col("id").cast("string")))

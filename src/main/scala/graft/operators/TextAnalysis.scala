@@ -238,8 +238,15 @@ object TextAnalysis {
   def dedupLinesAcross(df: DataFrame, id: Column, text: Column,
       maxOcc: Long): DataFrame = {
     require(maxOcc >= 1, s"dedupLinesAcross: maxOcc >= 1, got $maxOcc")
+    // `base` is read three times (the exploded lines feed BOTH the
+    // corpus-wide count and the rebuild join, and the final select
+    // reads n_lines), so without a cut the caller's text derivation —
+    // for the named query, the 5-token reflow over every document —
+    // runs three times per action (the pre-r20 plan held 3 scans of
+    // documents each re-running the reflow). Lazy cut, values unchanged.
     val base = df.select(id.as("doc_id"),
       filter(split(text, "\n"), x => length(trim(x)) > 0).as("__ls"))
+      .localCheckpoint(eager = false)
     val lines = base.select(col("doc_id"),
       posexplode(col("__ls")).as(Seq("__idx", "__line")))
     val counts = lines.groupBy("__line").agg(count(lit(1)).as("__n"))
@@ -291,6 +298,7 @@ object TextAnalysis {
       buckets: Int = LineBuckets): Unit = {
     val s = df.sparkSession
     lineCountsOf(df, text, buckets)
+      .repartition(col("bucket")) // one file per bucket dir (guide §6, r20)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/counts")
     import s.implicits._
     Seq(Tuple1(buckets)).toDF("buckets")
@@ -383,8 +391,12 @@ object TextAnalysis {
     require(maxOcc >= 1, s"exciseFromLineIndex: maxOcc >= 1, got $maxOcc")
     val s = df.sparkSession
     val buckets = readLineMeta(s, dir)
+    // read twice (the exploded lines and the final n_lines select) —
+    // the lazy cut keeps the caller's text derivation single-run, the
+    // dedupLinesAcross note applies
     val base = df.select(id.as("doc_id"),
       filter(split(text, "\n"), x => length(trim(x)) > 0).as("__ls"))
+      .localCheckpoint(eager = false)
     val lines = base.select(col("doc_id"),
         posexplode(col("__ls")).as(Seq("__idx", "__line")))
       .withColumn("__bkt", pmod(xxhash64(col("__line")), lit(buckets.toLong)))
