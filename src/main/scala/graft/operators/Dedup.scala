@@ -1523,6 +1523,9 @@ object Dedup {
     val grams = docs.select(col("doc_id"),
       size(col("toks")).cast("long").as("n_toks"),
       posexplode(spanGrams(df.sparkSession, n)).as(Seq("pos", "g")))
+      // read twice (the dup-gram reduce and the coverage join) — cut so
+      // the tokenize + gram explode runs once per action (r20)
+      .localCheckpoint(eager = false)
     val dupG = grams.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 2 &&
@@ -1594,6 +1597,9 @@ object Dedup {
     val grams = docs.filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         posexplode(spanGrams(df.sparkSession, n)).as(Seq("pos", "g")))
+      // read twice (the owner reduce and the excision join) — cut so the
+      // split + gram explode runs once per action (r20)
+      .localCheckpoint(eager = false)
     val owners = grams.groupBy("g")
       .agg(min(col("doc_id")).as("owner"),
         countDistinct(col("doc_id")).as("ndocs"))

@@ -858,11 +858,18 @@ object Search {
     val w = Window.partitionBy("__vid").orderBy(desc("cos"), col("nbr_id").asc)
     def keepK(scored: DataFrame): DataFrame = scored
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // g is read 3-4× inside every round body (the undirected closure,
+    // the fresh-pair anti-join, and the keep-k union) — cut it at round
+    // boundaries and cut the closure (read by both self-join sides), or
+    // the seed-scoring pipeline replays per reference (r20; lazy cuts,
+    // values unchanged — the keep-k window is deterministic).
     var g = keepK(score(seed.select(col("__vid"), col("nbr_id")).distinct()))
+      .localCheckpoint(eager = false)
     for (round <- 1 to rounds) {
       val und = g.select(col("__vid").as("src"), col("nbr_id").as("dst"))
         .unionByName(g.select(col("nbr_id").as("src"), col("__vid").as("dst")))
         .distinct()
+        .localCheckpoint(eager = false)
       val non = und.as("x").join(und.as("y"), col("x.dst") === col("y.src"))
         .filter(col("x.src") =!= col("y.dst"))
         .select(col("x.src").as("__vid"), col("y.dst").as("nbr_id"))
@@ -876,8 +883,9 @@ object Search {
       // bound the lineage between rounds: each round stacks joins/windows
       // on the last — checkpointing keeps the plan round-local (same
       // discipline as dupClusters' pointer jumping). Not after the final
-      // round: the caller consumes that plan directly.
-      if (round < rounds) g = g.localCheckpoint()
+      // round: the caller consumes that plan directly. Lazy (r20) so
+      // plan construction runs no job.
+      if (round < rounds) g = g.localCheckpoint(eager = false)
     }
     g
   }
