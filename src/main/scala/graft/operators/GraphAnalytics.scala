@@ -166,6 +166,39 @@ object GraphAnalytics {
     * index is for (`graph_pagerank_refined` reads stored edge ids and
     * measured 1.8× faster than the in-plan blocked build), and
     * localCheckpoint is the in-JVM equivalent. */
+  /** Data-proportional partition count for a loop-cut frame (r21, guide
+    * §2 "make partitioning scale-adaptive"): ceil(estimated plan bytes /
+    * the AQE advisory partition size), ≥ 1. The r20 per-round lazy
+    * checkpoints materialized every round at
+    * spark.sql.shuffle.partitions (= the core count in the bench)
+    * regardless of data size, and an RDD scan's partitioning is frozen
+    * against AQE coalescing — so at sf0.1 the ppr/pagerank family ran
+    * ~3× FASTER at 8 cores than at 32 (PERF_r20 scaling ratios 0.29-0.35)
+    * and graph_ppr/_refined regressed 25-30% vs the uncut r19 spelling.
+    * A `coalesce()` to this count collapses the tiny-data case (one
+    * near-empty partition per core per round → 1) and is a NO-OP at
+    * scale (coalesce never raises a partition count, and any estimate ≥
+    * advisory yields ≥ the natural count), so the cut partitioning stays
+    * ∝ data instead of ∝ the local core count. Driver-side only:
+    * reading optimizedPlan.stats runs no Spark job, and the loops call
+    * it on per-round plans that are one cut deep (cheap to optimize).
+    * Unknown stats (defaultSizeInBytes = Long.Max) degrade to the
+    * current behavior, never below it. */
+  private def cutParts(df: DataFrame): Int = {
+    val advisory = BigInt(df.sparkSession.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    ((bytes + advisory - 1) / advisory)
+      .max(BigInt(1)).min(BigInt(1 << 22)).toInt
+  }
+
+  /** The standard loop cut: [[cutParts]]-sized coalesce + lazy
+    * localCheckpoint. Values are unchanged — every fold that crosses one
+    * of these cuts is partitioning-independent by design (ordered folds,
+    * integer argmax, set distinct). */
+  private def sizedCut(df: DataFrame, parts: Int): DataFrame =
+    df.coalesce(parts).localCheckpoint(eager = false)
+
   private def prIterate(tvec: DataFrame, edges: DataFrame, iters: Int,
       damping: Double, subBuckets: Int, checkpointEvery: Int,
       weighted: Boolean = false,
@@ -185,8 +218,14 @@ object GraphAnalytics {
     // unchanged: the ordered folds are partitioning-independent by
     // design and a checkpoint stores the same deterministic rows.
     // `checkpointEvery` is subsumed (every round is cut) and retained
-    // only for source compatibility.
-    val tv = tvec.localCheckpoint(eager = false)
+    // only for source compatibility. Every cut is coalesced to a
+    // data-proportional partition count first (see [[cutParts]] — the
+    // r21 fix for the r20 32-partition-per-round materialization tax);
+    // nV sizes the node-cardinality frames (tv, od, dangling, each
+    // round's pr — all ≤ one row per node), nE the semi-joined edges.
+    val nV = cutParts(tvec)
+    val nE = cutParts(edges)
+    val tv = sizedCut(tvec, nV)
     // Conservation contract for ANY input: an edge whose dst falls
     // outside the node set would count in its src's out-degree yet
     // deliver its mass nowhere (sum(pr) silently < 1, no error) — the
@@ -196,9 +235,8 @@ object GraphAnalytics {
     val cols = Seq(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")) ++
       (if (weighted) Seq(col("w").cast("double").as("w")) else Nil)
-    val e = edges.select(cols: _*)
-      .join(tv.select(col("id").as("dst")), Seq("dst"), "left_semi")
-      .localCheckpoint(eager = false)
+    val e = sizedCut(edges.select(cols: _*)
+      .join(tv.select(col("id").as("dst")), Seq("dst"), "left_semi"), nE)
     // Hub-safe fold sizing, shared by the dangling fold (fan-in ≤ N),
     // the per-dst contribution fold (fan-in = in-degree ≤ N) and the
     // weighted out-mass fold (fan-in = out-degree ≤ N):
@@ -210,17 +248,16 @@ object GraphAnalytics {
     // out-mass normalizer, loop-invariant: edge COUNT unweighted (the
     // double cast is bit-neutral — Spark's divide casts the long
     // operand anyway), ordered per-src weight fold when weighted.
-    val od = (
+    val od = sizedCut(
       if (weighted && orderedFolds)
         orderedSumByKeySized(e, "src", "dst", "w", bDf)
           .select(col("src"), col("sum").as("__od"))
       else if (weighted)
         e.groupBy("src").agg(sum(col("w")).as("__od"))
-      else e.groupBy("src").agg(count(lit(1)).cast("double").as("__od"))
-    ).localCheckpoint(eager = false)
-    val dangling = tv.select("id")
-      .join(od.select(col("src").as("id")), Seq("id"), "left_anti")
-      .localCheckpoint(eager = false)
+      else e.groupBy("src").agg(count(lit(1)).cast("double").as("__od")),
+      nV)
+    val dangling = sizedCut(tv.select("id")
+      .join(od.select(col("src").as("id")), Seq("id"), "left_anti"), nV)
     var pr = tv.select(col("id"), col("__t").as("pr"))
     for (t <- 1 to iters) {
       // Σ pr over dangling nodes → one broadcastable row. groupBy().agg
@@ -254,7 +291,7 @@ object GraphAnalytics {
         .select(col("id"),
           (lit(1.0 - damping) * col("__t") + lit(damping) *
             (col("__dm") * col("__t") + coalesce(col("__s"), lit(0.0)))).as("pr"))
-      if (t < iters) pr = pr.localCheckpoint(eager = false)
+      if (t < iters) pr = sizedCut(pr, nV)
     }
     pr
   }
@@ -349,12 +386,14 @@ object GraphAnalytics {
     // the uncut chain doubles per round — see the prIterate note. Lazy
     // cuts, values unchanged (integer argmax, deterministic
     // tie-breaks); `checkpointEvery` subsumed, retained for source
-    // compatibility.
-    val base = nodes.select(col("id").cast("long").as("id"), col("seed"))
-      .localCheckpoint(eager = false)
-    val e = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .localCheckpoint(eager = false)
+    // compatibility. Cuts coalesced to data-proportional counts (r21,
+    // see [[cutParts]]).
+    val nV = cutParts(nodes)
+    val nE = cutParts(edges)
+    val base = sizedCut(
+      nodes.select(col("id").cast("long").as("id"), col("seed")), nV)
+    val e = sizedCut(edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")), nE)
     var lbl = base.select(col("id"), col("seed").as("lbl"))
     val w = Window.partitionBy("dst").orderBy(desc("__c"), asc("__vl"))
     for (t <- 1 to iters) {
@@ -369,7 +408,7 @@ object GraphAnalytics {
         .join(cand, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("seed"), col("__cand"), col("__prev")).as("lbl"))
-      if (t < iters) lbl = lbl.localCheckpoint(eager = false)
+      if (t < iters) lbl = sizedCut(lbl, nV)
     }
     lbl
   }
@@ -388,11 +427,14 @@ object GraphAnalytics {
     // Loop-lineage discipline (r20) — the labelPropagation note applies
     // verbatim; the slice-major fold keeps its published order (it is
     // partitioning-independent by design), so values are unchanged.
-    val base = nodes.select(col("id").cast("long").as("id"), col("seed"))
-      .localCheckpoint(eager = false)
-    val e = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"), col("w").cast("double").as("w"))
-      .localCheckpoint(eager = false)
+    // Cuts coalesced to data-proportional counts (r21, [[cutParts]]).
+    val nV = cutParts(nodes)
+    val nE = cutParts(edges)
+    val base = sizedCut(
+      nodes.select(col("id").cast("long").as("id"), col("seed")), nV)
+    val e = sizedCut(edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"),
+        col("w").cast("double").as("w")), nE)
     // per-(dst, label) fan-in ≤ in-degree ≤ N ⇒ the node-count sizing
     // bounds both fold levels at ~sqrt(N) (see [[subBucketsFor]])
     val bDf = subBucketsFor(base, subBuckets)
@@ -421,7 +463,7 @@ object GraphAnalytics {
         .join(cand, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("seed"), col("__cand"), col("__prev")).as("lbl"))
-      if (t < iters) lbl = lbl.localCheckpoint(eager = false)
+      if (t < iters) lbl = sizedCut(lbl, nV)
     }
     lbl
   }
@@ -879,7 +921,8 @@ object GraphAnalytics {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint(eager = false) // referenced 4× (3 joins + deg)
+      // referenced 4× (3 joins + deg); sized cut (r21, [[cutParts]])
+      .coalesce(cutParts(edges)).localCheckpoint(eager = false)
     val deg = p.select(col("a").as("v"))
       .unionByName(p.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -1020,17 +1063,20 @@ object GraphAnalytics {
       .filter(col("src") =!= col("dst"))
       .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
       .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
-    val und = e0.unionByName(
-        e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-      .localCheckpoint(eager = false)
+    // Cuts coalesced to data-proportional counts (r21, [[cutParts]]):
+    // und ≤ 2|E| rows, each round's survivor set ≤ |V|.
+    val nV = cutParts(nodes)
+    val nE = cutParts(edges)
+    val und = sizedCut(e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"))).distinct(), nE)
     def degWithin(live: DataFrame): DataFrame = und
       .join(live.select(col("id").as("src")), Seq("src"), "left_semi")
       .join(live.select(col("id").as("dst")), Seq("dst"), "left_semi")
       .groupBy(col("src").as("id")).agg(count(lit(1)).as("__deg"))
     var live = ids
     for (_ <- 1 to rounds) {
-      live = degWithin(live).filter(col("__deg") >= k).select("id")
-        .localCheckpoint(eager = false)
+      live = sizedCut(
+        degWithin(live).filter(col("__deg") >= k).select("id"), nV)
     }
     ids.join(live.select(col("id"), lit(true).as("in_core")), Seq("id"), "left")
       .join(degWithin(live).select(col("id"), col("__deg").as("core_deg")),
@@ -1262,9 +1308,14 @@ object GraphAnalytics {
         col("dst").cast("long").as("dst"))
       .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
       .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
-    val und = e0.unionByName(
-        e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-      .localCheckpoint(eager = false)
+    // Cuts coalesced to data-proportional counts (r21, [[cutParts]]).
+    // The per-hop reach set grows toward |V|·reach(h), so each hop's cut
+    // is sized from ITS OWN plan estimate (floored at the input-derived
+    // counts — an unknown estimate must never shrink a big frame).
+    val nV = cutParts(nodes)
+    val nE = cutParts(edges)
+    val und = sizedCut(e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"))).distinct(), nE)
     // cumulative reach R_h = R_{h-1} ∪ (R_{h-1} ⋈ edges), distinct;
     // sizes are cumulative counts INCLUDING self (dist 0). Each R_h is
     // referenced three times (union side, expansion side, its own size
@@ -1272,11 +1323,11 @@ object GraphAnalytics {
     // kcorePeel lineage note applies verbatim.
     var reach = ids.select(col("id"), col("id").as("m"))
     val sizes = (1 to HarmonicHops).map { h =>
-      reach = reach.unionByName(
+      val grown = reach.unionByName(
           reach.join(und.select(col("src").as("m"), col("dst")), "m")
             .select(col("id"), col("dst").as("m")))
         .distinct()
-        .localCheckpoint(eager = false)
+      reach = sizedCut(grown, cutParts(grown).max(nV).max(nE))
       reach.groupBy("id").agg(count(lit(1)).as(s"__s$h"))
     }
     sizes.foldLeft(ids)((acc, sz) => acc.join(sz, "id"))
@@ -1329,19 +1380,23 @@ object GraphAnalytics {
         col("dst").cast("long").as("dst"))
       .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
       .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
-    val und = e0.unionByName(
-        e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-      .localCheckpoint(eager = false)
+    // Cuts coalesced to data-proportional counts (r21, [[cutParts]]):
+    // und ≤ 2|E|; each hop's register table is exactly one row per node
+    // (≤ k doubles each), so nV bounds it within the constant k.
+    val nV = cutParts(nodes)
+    val nE = cutParts(edges)
+    val und = sizedCut(e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"))).distinct(), nE)
     val bk = graft.functions.BottomKAgg.bottomKDistinct(k)
     // register state as exploded (id, u) pairs — ≤ k rows per node
     var pairs = ids.select(col("id"),
       graft.functions.HashFunctions.md5UniformOpen(col("id")).as("u"))
     val ests = (1 to HarmonicHops).map { h =>
-      val regs = pairs.unionByName(
+      val regs = sizedCut(pairs.unionByName(
           pairs.select(col("id").as("src"), col("u"))
             .join(und, "src").select(col("dst").as("id"), col("u")))
-        .groupBy("id").agg(bk(col("u")).as("reg"))
-        .localCheckpoint(eager = false) // referenced by est AND next hop
+        .groupBy("id").agg(bk(col("u")).as("reg")),
+        nV) // referenced by est AND next hop
       pairs = regs.select(col("id"), explode(col("reg")).as("u"))
       // m < k ⇒ the register is the whole reach set: exact count.
       // Saturated ⇒ the KMV estimator off the k-th minimum.
@@ -1430,11 +1485,13 @@ object GraphAnalytics {
       iters: Int): DataFrame = {
     require(iters >= 1, s"communityLabelProp: iters >= 1, got $iters")
     val base = nodes.select(col("id").cast("long").as("id"))
-    val e = edges.select(col("src").cast("long").as("src"),
+    // Cuts coalesced to data-proportional counts (r21, [[cutParts]]).
+    val nV = cutParts(nodes)
+    val nE = cutParts(edges)
+    val e = sizedCut(edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .join(base.select(col("id").as("src")), Seq("src"), "left_semi")
-      .join(base.select(col("id").as("dst")), Seq("dst"), "left_semi")
-      .localCheckpoint(eager = false)
+      .join(base.select(col("id").as("dst")), Seq("dst"), "left_semi"), nE)
     val w = Window.partitionBy("dst").orderBy(desc("__c"), asc("__vl"))
     var lbl = base.select(col("id"), col("id").as("lbl"))
     for (_ <- 1 to iters) {
@@ -1443,9 +1500,8 @@ object GraphAnalytics {
         .groupBy("dst", "__vl").agg(count(lit(1)).as("__c"))
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .select(col("dst").as("id"), col("__vl").as("__cand"))
-      lbl = lbl.join(cand, Seq("id"), "left")
-        .select(col("id"), coalesce(col("__cand"), col("lbl")).as("lbl"))
-        .localCheckpoint(eager = false)
+      lbl = sizedCut(lbl.join(cand, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__cand"), col("lbl")).as("lbl")), nV)
     }
     lbl
   }
@@ -1476,7 +1532,9 @@ object GraphAnalytics {
       e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       .join(cm.select(col("id").as("src"), col("__cm").as("__ca")), "src")
       .join(cm.select(col("id").as("dst"), col("__cm").as("__cb")), "dst")
-      .localCheckpoint(eager = false)
+      // referenced 3× (m2, per-community, Σ); sized cut (r21,
+      // [[cutParts]] — ≤ 2|E| rows)
+      .coalesce(cutParts(edges)).localCheckpoint(eager = false)
     // loud Long-overflow guard: in_c·m2 and deg_c² are ≤ m2², so m2 <
     // 3·10⁹ keeps every numerator term under 2⁶³ with headroom for the
     // Σ_c sum. NOTE the margin is thin by design — m2² < 9.0·10¹⁸ vs
