@@ -374,14 +374,12 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries.filter { case (n, _) => !unbenched(n) }
     }
-    val results = selected.map { case (name, fn) =>
-      val times = Seq.fill(reps) {
-        val t0 = System.nanoTime()
+    val timed = selected.map { case (name, fn) =>
+      val (median, ok) = medianOfReps(reps) {
         // noop sink materializes every output column; .count() would let
         // Catalyst prune the computed columns and time only the scan.
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        val sec = (System.nanoTime() - t0) / 1e9
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } { sec =>
         // Deterministically drop localCheckpoint blocks (CC loops) so one
         // query's pinned block-manager memory never inflates the next
         // query's timing (ContextCleaner frees them only after GC) —
@@ -389,15 +387,23 @@ object Bench {
         // gcMode above (timing hygiene only; production never does this).
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         if (gcMode == "all" || (gcMode == "heavy" && sec >= 2.0)) System.gc()
-        sec
       }
-      name -> times.sorted.apply(reps / 2)
+      if (!ok) System.err.println(s"BENCH FAILED REP: $name")
+      (name, median, ok)
     }
+    val results = timed.map { case (n, m, _) => n -> m }
+    // Failure honesty (r21, VERDICT r20 #2): a rep that throws used to be
+    // swallowed and its time-to-throw folded into the median — ~40 r19
+    // rows silently timed exceptions. Any query with a failed rep is now
+    // named in a top-level "failed" array on BOTH output lines (an
+    // additions-only change: the queries map and total keep their shape).
+    val failed = timed.collect { case (n, _, false) => n }.toSeq.sorted
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of stdout; at 134
     // queries the single full-precision line is ~4.5 KB, so its head was
     // truncated and r10's per-query timings went unparsed. Two-part fix:
@@ -432,7 +438,26 @@ object Bench {
         compactQs.append("\"").append(k).append("\":").append(r3(v))
       }
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries_file":"BENCH_FULL.json","queries":{$compactQs},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries_file":"BENCH_FULL.json","queries":{$compactQs},"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Median-of-reps timer with per-rep failure tracking (r21). Runs
+    * `body` `reps` times, times each rep, runs `afterRep(sec)` between
+    * reps (GC hygiene), and returns (median seconds, all reps succeeded).
+    * A throwing rep still contributes its time-to-throw to the median —
+    * there is nothing honest to replace it with — but the false flag
+    * makes the row visibly untrustworthy instead of silently wrong. */
+  private[graft] def medianOfReps(reps: Int)(body: => Unit)(
+      afterRep: Double => Unit): (Double, Boolean) = {
+    var allOk = true
+    val times = Seq.fill(reps) {
+      val t0 = System.nanoTime()
+      try { body } catch { case _: Throwable => allOk = false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      afterRep(sec)
+      sec
+    }
+    (times.sorted.apply(reps / 2), allOk)
   }
 }

@@ -427,9 +427,15 @@ object Classify {
     val docs = Tables.documents(s, d)
     val (llr, scalars) = nbModel(docs.filter(isTrain(col("doc_id"))),
       col("text"), col("lang") === "en")
+    // temperatureSample reads its input TWICE (the per-language count
+    // table and the admit join), so without a cut the whole NB
+    // train+tokenize+score subtree above executes twice per action (the
+    // before-plan held 42 parquet scans / 49 Exchanges). Lazy cut,
+    // values unchanged (r21, the r20 top-fraction/AUC discipline).
     val kept = nbScore(docs, col("doc_id"), col("text"), llr, scalars)
       .filter(col("pred_pos"))
       .join(docs.select("doc_id", "lang", "source"), "doc_id")
+      .localCheckpoint(eager = false)
     val sampled = Curation.temperatureSample(kept, col("lang"),
       col("doc_id"), alpha = 0.5)
     Curation.capTokensPerGroup(sampled, col("source"), col("doc_id"),
@@ -615,6 +621,8 @@ object Classify {
     topFractionByScore(scored, col("doc_id"), col("__mfx"), frac = 0.1)
       .select(col("doc_id"),
         (col("__s").cast("double") / lit(1e6)).as("nb_margin"))
+      // sampled-sort cut (r21, the gopherQuality note)
+      .localCheckpoint(eager = false)
       .orderBy("doc_id")
   }
 

@@ -1290,13 +1290,16 @@ object Dedup {
     * DuckDB replays the kNN graph AND the transitive closure
     * (recursive CTE). */
   def semanticClustersQ(s: SparkSession, d: String): DataFrame = {
-    val g = Search.knnGraph(Tables.embeddings(s, d), col("vec_id"),
-      col("embedding"),
-      Retrieval.labelCentroids(s, d).select(col("label").as("cid"), col("c")),
-      k = 3)
+    // the k=3 cluster-blocked kNN edge set is the SAME derivation the
+    // graph family memoizes into scratch parquet
+    // ([[GraphAnalytics.knnEdgesCos]] — kmeans assignment + cluster
+    // self-join + rank window); r21 reads that memo instead of
+    // re-running the build per invocation. Rows identical (src/dst/cos
+    // are __vid/nbr_id/cos renamed).
+    val g = GraphAnalytics.knnEdgesCos(s, d)
       .filter(col("cos") >= 0.35)
-    val und = g.select(least(col("__vid"), col("nbr_id")).as("doc_a"),
-      greatest(col("__vid"), col("nbr_id")).as("doc_b")).distinct()
+    val und = g.select(least(col("src"), col("dst")).as("doc_a"),
+      greatest(col("src"), col("dst")).as("doc_b")).distinct()
     val cl = dupClusters(und)
     cl.groupBy("cluster").agg(count(lit(1)).as("comp_size"))
       .join(cl, "cluster")
@@ -1399,6 +1402,9 @@ object Dedup {
       .withColumn("is_keeper", row_number().over(w) === 1)
       .select(col("doc_id"), col("cluster"), col("comp_size"),
         col("quality"), col("is_keeper"))
+      // sampled-sort cut (r21): the final range exchange's bounds
+      // sampling re-ran the corpus tokenize (q) + keeper window
+      .localCheckpoint(eager = false)
       .orderBy("doc_id")
   }
 

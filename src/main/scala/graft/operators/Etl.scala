@@ -212,13 +212,21 @@ object Etl {
     * them separately or guarantee non-null scores by construction. */
   private[operators] def rangePrefixSum(t0: DataFrame, sCol: String,
       valCol: String, out: String, grp: Seq[String] = Nil,
-      b1: Int = 64, b2: Int = 64): DataFrame = {
+      b1: Int = 64, b2: Int = 64, cutCells: Boolean = false): DataFrame = {
     require(b1 >= 1 && b2 >= 1, s"rangePrefixSum: b1,b2 >= 1, got $b1,$b2")
     // NOTE: t0 is read three times (span extremes, the cell fold, and
     // the final per-row prefix join) — a caller whose t0 derivation is
     // expensive (the AUC/top-fraction NB pipelines) must cut it first;
     // cutting HERE taxed the cheap callers (etl_row_range) more than
-    // the recompute costs (r20 A/B).
+    // the recompute costs (r20 A/B). `cutCells` applies the same lesson
+    // to the internal per-cell fold (r21, advice fix): the cellTot cut
+    // is opt-in for callers whose cells derivation is expensive — an
+    // unconditional cut created one persisted block per invocation,
+    // freed only by the async ContextCleaner after GC, which is exactly
+    // the serving-burst accumulation the fuzzy/ScaleBench work
+    // previously diagnosed. Every current caller pre-cuts t0, so the
+    // cellTot recompute reads a materialized frame and the default is
+    // off.
     val t = t0.filter(col(sCol).isNotNull)
     val gCols = grp.map(col)
     val span =
@@ -239,9 +247,12 @@ object Etl {
     val keyCell = grp :+ "__cell"
     // level-2: per-cell totals, offset within the level-1 bucket
     // (≤ b2 rows per window partition)
-    val cellTot = cells.groupBy((keyB1 :+ "__cell").map(col): _*)
+    val cellTot0 = cells.groupBy((keyB1 :+ "__cell").map(col): _*)
       .agg(sum(valCol).as("__cn"))
-      .localCheckpoint(eager = false) // feeds both offset levels; ≤ b1·b2 rows per group
+    // feeds both offset levels; ≤ b1·b2 rows per group — cut only on
+    // request (see the cutCells note above)
+    val cellTot =
+      if (cutCells) cellTot0.localCheckpoint(eager = false) else cellTot0
     val wCell = Window.partitionBy(keyB1.map(col): _*).orderBy("__cell")
       .rowsBetween(Window.unboundedPreceding, -1)
     val cellOff = cellTot

@@ -67,9 +67,10 @@ import graft.Tables
   *     task — a mega-hub dst (or a mostly-dangling graph) cannot
   *     concentrate O(N/16) structs in one collect_list, at ANY corpus
   *     size and with no knob to mis-set.
-  *   - Lineage is cut every `checkpointEvery` rounds (localCheckpoint,
-  *     the [[Search.nnDescend]] / pointer-jumping discipline) so deep
-  *     iteration counts do not stack a mile-high plan.
+  *   - Lineage is cut every round (a sized coalesce + lazy
+  *     localCheckpoint, the [[Search.nnDescend]] / pointer-jumping
+  *     discipline) so deep iteration counts do not stack a mile-high
+  *     plan.
   */
 object GraphAnalytics {
 
@@ -200,7 +201,7 @@ object GraphAnalytics {
     df.coalesce(parts).localCheckpoint(eager = false)
 
   private def prIterate(tvec: DataFrame, edges: DataFrame, iters: Int,
-      damping: Double, subBuckets: Int, checkpointEvery: Int,
+      damping: Double, subBuckets: Int,
       weighted: Boolean = false,
       orderedFolds: Boolean = true): DataFrame = {
     require(iters >= 1, s"pageRank: iters >= 1, got $iters")
@@ -217,8 +218,9 @@ object GraphAnalytics {
     // cut once and every reference reuses its blocks). Values are
     // unchanged: the ordered folds are partitioning-independent by
     // design and a checkpoint stores the same deterministic rows.
-    // `checkpointEvery` is subsumed (every round is cut) and retained
-    // only for source compatibility. Every cut is coalesced to a
+    // (The old `checkpointEvery` knob was subsumed by the every-round
+    // cut and removed in r21 — a silently-ignored parameter misleads.)
+    // Every cut is coalesced to a
     // data-proportional partition count first (see [[cutParts]] — the
     // r21 fix for the r20 32-partition-per-round materialization tax);
     // nV sizes the node-cardinality frames (tv, od, dangling, each
@@ -306,11 +308,11 @@ object GraphAnalytics {
     * yields an empty result (nothing to rank), not an error. */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
       damping: Double = 0.85, subBuckets: Int = 16,
-      checkpointEvery: Int = 0, orderedFolds: Boolean = true): DataFrame = {
+      orderedFolds: Boolean = true): DataFrame = {
     val ids = nodes.select(col("id").cast("long").as("id"))
     val inv = broadcast(ids.agg((lit(1.0) / count(lit(1))).as("__t")))
     prIterate(ids.crossJoin(inv), edges, iters, damping, subBuckets,
-      checkpointEvery, orderedFolds = orderedFolds)
+      orderedFolds = orderedFolds)
   }
 
   /** [[pageRank]] with out-mass split ∝ EDGE WEIGHT instead of
@@ -323,12 +325,11 @@ object GraphAnalytics {
     * calibrate first, e.g. (cos+1)/2). With equal weights this is
     * BIT-IDENTICAL to [[pageRank]] (the spec pins it). */
   def weightedPageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
-      damping: Double = 0.85, subBuckets: Int = 16,
-      checkpointEvery: Int = 0): DataFrame = {
+      damping: Double = 0.85, subBuckets: Int = 16): DataFrame = {
     val ids = nodes.select(col("id").cast("long").as("id"))
     val inv = broadcast(ids.agg((lit(1.0) / count(lit(1))).as("__t")))
     prIterate(ids.crossJoin(inv), edges, iters, damping, subBuckets,
-      checkpointEvery, weighted = true)
+      weighted = true)
   }
 
   /** Personalized PageRank ([[prIterate]] with teleport mass uniform
@@ -341,8 +342,7 @@ object GraphAnalytics {
     * an in-plan broadcast scalar; an empty seed set yields all-zero
     * mass (there is nowhere for the teleport to land), not an error. */
   def personalizedPageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
-      damping: Double = 0.85, subBuckets: Int = 16,
-      checkpointEvery: Int = 0): DataFrame = {
+      damping: Double = 0.85, subBuckets: Int = 16): DataFrame = {
     val base = nodes.select(col("id").cast("long").as("id"), col("seed"))
     // LOUD guard on the teleport normalizer (the kcoreConverged /
     // modularity-bound assert discipline): with zero live seeds —
@@ -362,7 +362,7 @@ object GraphAnalytics {
     prIterate(
       base.crossJoin(inv).select(col("id"),
         when(col("seed"), col("__is")).otherwise(lit(0.0)).as("__t")),
-      edges, iters, damping, subBuckets, checkpointEvery)
+      edges, iters, damping, subBuckets)
   }
 
   /** Hard label propagation with clamped seeds, `iters` fixed rounds:
@@ -378,15 +378,14 @@ object GraphAnalytics {
     * lookup), one (dst, label) count, one per-dst argmax window — every
     * stage keyed and bounded by |E|. Output: (id, label) with label
     * null only where no label ever reached the node. */
-  def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int,
-      checkpointEvery: Int = 0): DataFrame = {
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+      iters: Int): DataFrame = {
     require(iters >= 1, s"labelPropagation: iters >= 1, got $iters")
     // Loop-lineage discipline (r20): base and e are referenced every
     // round and lbl TWICE per round (vote lookup + prev-label join), so
     // the uncut chain doubles per round — see the prIterate note. Lazy
     // cuts, values unchanged (integer argmax, deterministic
-    // tie-breaks); `checkpointEvery` subsumed, retained for source
-    // compatibility. Cuts coalesced to data-proportional counts (r21,
+    // tie-breaks). Cuts coalesced to data-proportional counts (r21,
     // see [[cutParts]]).
     val nV = cutParts(nodes)
     val nE = cutParts(edges)
@@ -421,8 +420,7 @@ object GraphAnalytics {
     * at cos 0.99 outvotes three marginal cos-0.3 ones — the right call
     * when edge weight measures trust. `edges` = (src, dst, w). */
   def weightedLabelPropagation(nodes: DataFrame, edges: DataFrame,
-      iters: Int, subBuckets: Int = 16,
-      checkpointEvery: Int = 0): DataFrame = {
+      iters: Int, subBuckets: Int = 16): DataFrame = {
     require(iters >= 1, s"weightedLabelPropagation: iters >= 1, got $iters")
     // Loop-lineage discipline (r20) — the labelPropagation note applies
     // verbatim; the slice-major fold keeps its published order (it is
@@ -493,7 +491,7 @@ object GraphAnalytics {
     * failure). Values are unchanged — the stored rows ARE the same
     * deterministic derivation (all graph oracles re-verified at
     * sf0.01). */
-  private def knnEdgesCos(s: SparkSession, d: String): DataFrame =
+  private[operators] def knnEdgesCos(s: SparkSession, d: String): DataFrame =
     graft.plans.Scratch.frame(s, s"edgescos|$d") {
       Search.knnGraph(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
           Retrieval.labelCentroids(s, d).select(col("label").as("cid"), col("c")),

@@ -279,11 +279,12 @@ object Multimodal {
     require(maxHamming < 4,
       s"phashDedup: pigeonhole recall guarantee needs maxHamming < bands (4), got $maxHamming")
     // the self-join below reads `banded` on BOTH sides, and without a
-    // lineage cut each side re-runs the full ImageIO decode of the
-    // corpus (the plan held two MapPartitions decode chains — r20 A/B
-    // at sf0.1: 3.68 → 2.42 s); the cut is lazy, values unchanged
-    val hashed = phashOf(corpusImgs(s, d), grid = 4)
-      .localCheckpoint(eager = false)
+    // cut each side re-runs the full ImageIO decode of the corpus (the
+    // plan held two MapPartitions decode chains — r20 A/B at sf0.1:
+    // 3.68 → 2.42 s); r21 moved the cut to the shared [[corpusPhash]]
+    // scratch frame, so the decode also amortizes ACROSS the family's
+    // queries instead of once per query. Values unchanged.
+    val hashed = corpusPhash(s, d)
     val banded = bandedPhash(hashed, bands = 4, grid = 4,
       buckets = PhashBuckets)
     banded.as("x").join(banded.as("y"),
@@ -304,6 +305,17 @@ object Multimodal {
     graft.sources.JdkImage
       .renderBmpFixtures(Tables.documents(s, d).select("doc_id"))
       .toDF("doc_id", "payload")
+
+  /** The corpus's (doc_id, phash) at the family grid (4), materialized
+    * ONCE per (JVM, sfDir) into parquet scratch (r21, the [[Retrieval]]
+    * imageVecs discipline): the full-corpus ImageIO decode is
+    * query-independent, and before this memo each of the four mm_phash
+    * queries re-paid it per invocation. Same derivation ([[phashOf]]),
+    * bit-identical rows; production shape — hash the frame lake once at
+    * ingest, serve the 8-byte hashes everywhere. */
+  private def corpusPhash(s: SparkSession, d: String): DataFrame =
+    graft.plans.Scratch.frame(s, s"mmCorpusPhash4:$d")(
+      phashOf(corpusImgs(s, d), grid = 4))
 
   /** Shared perceptual-hash derivation — (doc_id, phash) from
     * (doc_id, payload): real ImageIO decode through
@@ -393,9 +405,18 @@ object Multimodal {
     * `SAM/update_elasticsearch_with_segments.py:165-268` applied to the
     * image-dedup face). */
   def writePhashIndex(imgs: DataFrame, dir: String, grid: Int = 4,
-      bands: Int = 4, buckets: Int = PhashBuckets): Unit = {
-    val s = imgs.sparkSession
-    bandedPhash(phashOf(imgs, grid), bands, grid, buckets)
+      bands: Int = 4, buckets: Int = PhashBuckets): Unit =
+    writePhashIndexHashed(phashOf(imgs, grid), dir, grid, bands, buckets)
+
+  /** [[writePhashIndex]] from an ALREADY-HASHED (doc_id, phash) frame —
+    * the entry the memoized [[corpusPhash]] builds use so the cached
+    * index builds don't re-decode a corpus whose hashes already sit in
+    * scratch. `grid` must be the grid `hashed` was derived at (it is
+    * recorded in the index meta and governs every later probe). */
+  private def writePhashIndexHashed(hashed: DataFrame, dir: String,
+      grid: Int, bands: Int = 4, buckets: Int = PhashBuckets): Unit = {
+    val s = hashed.sparkSession
+    bandedPhash(hashed, bands, grid, buckets)
       .repartition(col("bucket")) // one file per bucket dir (guide §6, r20)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/hashes")
     import s.implicits._
@@ -459,10 +480,22 @@ object Multimodal {
   def probePhashIndex(increment: DataFrame, dir: String,
       maxHamming: Int = 3): DataFrame = {
     val s = increment.sparkSession
+    val (grid, _, _) = readPhashMeta(s, dir)
+    probePhashIndexHashed(phashOf(increment, grid), dir, maxHamming)
+  }
+
+  /** [[probePhashIndex]] from an ALREADY-HASHED (doc_id, phash)
+    * increment — the entry the memoized [[corpusPhash]] probes use. The
+    * caller guarantees the hashes were derived at the index's stored
+    * grid ([[readPhashMeta]]); the named queries satisfy this by
+    * construction (one grid-4 derivation feeds both). */
+  private def probePhashIndexHashed(hashedIncrement: DataFrame, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val s = hashedIncrement.sparkSession
     val (grid, bands, buckets) = readPhashMeta(s, dir)
     require(maxHamming < bands,
       s"probePhashIndex: pigeonhole recall needs maxHamming < bands ($bands), got $maxHamming")
-    val probe = bandedPhash(phashOf(increment, grid), bands, grid, buckets)
+    val probe = bandedPhash(hashedIncrement, bands, grid, buckets)
       .localCheckpoint() // feeds the touched-bucket collect AND the join
     val touched = probe.select("bucket").distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -520,10 +553,10 @@ object Multimodal {
   def phashDedupIdx(s: SparkSession, d: String): DataFrame = {
     val dir = phashIdxCache.computeIfAbsent(d, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ph_idx").toString
-      writePhashIndex(corpusImgs(s, d), tmp)
+      writePhashIndexHashed(corpusPhash(s, d), tmp, grid = 4)
       tmp
     })
-    probePhashIndex(corpusImgs(s, d), dir)
+    probePhashIndexHashed(corpusPhash(s, d), dir)
       .filter(col("doc_a") < col("doc_b"))
       .orderBy("doc_a", "doc_b")
   }
@@ -541,14 +574,16 @@ object Multimodal {
   def phashDedupIdxDel(s: SparkSession, d: String): DataFrame = {
     val dir = phashDelIdxCache.computeIfAbsent(d, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ph_del").toString
-      writePhashIndex(corpusImgs(s, d), tmp)
+      writePhashIndexHashed(corpusPhash(s, d), tmp, grid = 4)
       deleteFromPhashIndex(
         Tables.documents(s, d).filter(phashDeletedPred).select("doc_id"),
         col("doc_id"), tmp)
       tmp
     })
-    probePhashIndex(
-        corpusImgs(s, d).filter(!phashDeletedPred), dir)
+    // the takedown predicate is on doc_id, so it filters the hashed
+    // frame identically to filtering the images before hashing
+    probePhashIndexHashed(
+        corpusPhash(s, d).filter(!phashDeletedPred), dir)
       .filter(col("doc_a") < col("doc_b"))
       .orderBy("doc_a", "doc_b")
   }

@@ -25,7 +25,21 @@ object Pipelines {
 
   /** Survivors of the quality + language + exact-dedup stages, with the
     * signals that decided them (oracle-checkable end to end). */
-  def curateExact(s: SparkSession, d: String): DataFrame = {
+  def curateExact(s: SparkSession, d: String): DataFrame =
+    // sampled-sort cut (r21, the TextAnalysis.gopherQuality note): the
+    // final range exchange samples its child, which would re-run the
+    // post-window half of the chain per action; the cut bounds the
+    // sampling to the materialized 3-column survivor rows
+    curateExactUnsorted(s, d)
+      .localCheckpoint(eager = false)
+      .orderBy("doc_id")
+
+  /** The [[curateExact]] survivor set WITHOUT the presentation sort —
+    * the frame composing pipelines consume: [[curate]]'s base join and
+    * the banding input don't care about order, and pulling the sort out
+    * of the shared base removed a whole range exchange (plus its
+    * child-sampling double execution) from every downstream action. */
+  private def curateExactUnsorted(s: SparkSession, d: String): DataFrame = {
     val scored = Tables.documents(s, d)
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -40,7 +54,6 @@ object Pipelines {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("doc_id", "lang_pred", "n_tokens")
-      .orderBy("doc_id")
   }
 
   /** [[curateExact]] with PER-STAGE observed metrics — the engine analog
@@ -73,6 +86,10 @@ object Pipelines {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("doc_id", "lang_pred", "n_tokens")
+      // NO sampled-sort cut here (r21 A/B: the sort's child sits above
+      // the fingerprint window's exchange, so AQE's bounds sampling
+      // re-reads the materialized stage — the cut's extra job cost more
+      // than it saved, 1.01 → 1.20 s isolated)
       .orderBy("doc_id")
       // observe ABOVE the global sort: the sort's range-partitioner runs a
       // SAMPLING pass over its child, which would fire a below-sort
@@ -102,8 +119,12 @@ object Pipelines {
     * than exactness. */
   def curate(s: SparkSession, d: String): DataFrame = {
     // base feeds both the signing input and the final join — materialize
-    // once instead of recomputing the quality/langid scan per consumer
-    val base = curateExact(s, d).localCheckpoint()
+    // once instead of recomputing the quality/langid scan per consumer.
+    // The UNSORTED survivor set (r21): checkpointing the sorted form
+    // paid the range sort plus its child-sampling double execution for
+    // an order the joins below never use; the declared order comes from
+    // the final orderBy.
+    val base = curateExactUnsorted(s, d).localCheckpoint()
     val blk = Tables.documents(s, d)
       .join(base.select("doc_id"), "doc_id") // only survivors are signed
       .withColumn("blk", concat_ws("_", col("lang"), expr("n_chars DIV 100")))
@@ -117,6 +138,9 @@ object Pipelines {
     base.join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
       .select("doc_id", "lang_pred", "n_tokens")
+      // sampled-sort cut (r21): without it the final range exchange's
+      // bounds sampling re-ran the whole minhash+verify+cluster subtree
+      .localCheckpoint(eager = false)
       .orderBy("doc_id")
   }
 
@@ -180,6 +204,10 @@ object Pipelines {
       .filter(col("jac") >= minJac)
       .select(col("doc_b").as("doc_id")).distinct()
     kept.join(dropped, Seq("doc_id"), "left_anti")
+      // NO sampled-sort cut (r21 A/B: `dropped` sits behind the shingle
+      // join's exchanges, which AQE sampling re-reads as materialized
+      // stages — the cut regressed pipeline_curate_excise 3.38 → 3.93 s
+      // isolated, so it was reverted on evidence)
       .orderBy("doc_id")
   }
 
@@ -292,6 +320,9 @@ object Pipelines {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("doc_id", "n_words", "top2_frac", "dup5_frac")
+      // sampled-sort cut (r21): the bounds sampling re-ran the gopher
+      // kernel + fingerprint window otherwise
+      .localCheckpoint(eager = false)
       .orderBy("doc_id")
   }
 
@@ -375,8 +406,14 @@ object Pipelines {
     * shuffle keyed (fp, lang_pred, source, (source,bucket)). */
   def exportPipeline(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val kept = curateExact(s, d)
+    // unsorted survivors (r21): the old curateExact base carried a
+    // presentation sort no downstream stage needed — and paid that range
+    // exchange's child-sampling double execution inside the export
+    val kept = curateExactUnsorted(s, d)
+    // temperatureSample reads its input TWICE (per-language counts +
+    // admit join) — cut, or the curate gate pyramid runs twice (r21)
     val withSrc = kept.join(docs.select("doc_id", "source"), "doc_id")
+      .localCheckpoint(eager = false)
     val sampled = Curation.temperatureSample(
       withSrc, col("lang_pred"), col("doc_id"), alpha = 0.5)
     // stage boundary: the curated/sampled/capped doc set feeds BOTH the

