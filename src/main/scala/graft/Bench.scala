@@ -428,6 +428,18 @@ object Bench {
           sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
         try w.println(fullJson) finally w.close()
       } catch { case _: Throwable => () } // bench must report even if cwd is read-only
+      // Self-protection against multi-core-count driver runs (r21,
+      // VERDICT r20 housekeeping #6): the driver's 8-core scaling run
+      // used to overwrite the 32-core run's BENCH_FULL.json, destroying
+      // the full per-query map. A cpu-suffixed copy keeps each core
+      // count's artifact intact; additions-only (the unsuffixed path
+      // and the stdout contract are unchanged).
+      try {
+        val w2 = new java.io.PrintWriter(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+            + s".cpus$cpus")
+        try w2.println(fullJson) finally w2.close()
+      } catch { case _: Throwable => () }
     }
     println(fullJson)
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
